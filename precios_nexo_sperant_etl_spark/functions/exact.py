@@ -2,12 +2,24 @@
 
 Double addition is not associative, so a plain ``SUM(double)`` over a
 shuffled 100 TB table returns a *different last-ulp value per run* — which
-breaks reproducibility guarantees and value-hash comparisons against any
-oracle. These helpers route the accumulation through exact decimal
-arithmetic: cast each addend to a high-scale DECIMAL (exact within 12
-decimal places — far below the data's ulp), sum exactly, then cast the
-single final value back to double. Cost: decimal sum instead of double sum
-in the partial aggregate — still map-side combinable, still one shuffle.
+breaks reproducibility and value-hash comparison against any oracle. Two
+strategies, chosen by data shape:
+
+1. **Business values with a known decimal scale** (prices, quantities —
+   all 2-decimal here): cast to ``DECIMAL(18,2)`` and sum exactly. The
+   cast recovers the *intended* decimal value identically in Spark and
+   DuckDB (Spark goes through the double's shortest decimal repr, DuckDB
+   rounds the exact binary expansion — both land on the clean 2-dp value).
+   Do NOT use high scales like DECIMAL(26,12) for this: at scale 12 the
+   two engines disagree about digit 13 of a dirty double and the per-row
+   difference accumulates past one ulp of the final sum.
+
+2. **Arbitrary doubles** (embedding arithmetic): exact decimal is
+   unreachable, so force a *deterministic order* instead — a sequential
+   left fold (``F.aggregate``) matches DuckDB's ``list_reduce`` bit for
+   bit.
+
+Sums stay map-side combinable and shuffle one value per group.
 """
 
 from __future__ import annotations
@@ -15,36 +27,27 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Scale chosen so that business values (≤1e9, ≥1e-4) round identically in
-#: every engine; precision 26 + Spark's +10 sum headroom stays ≤ 38.
-_PRECISION = 26
-_SCALE = 12
-
-
-def _dec(c: Column) -> Column:
-    return c.cast(f"decimal({_PRECISION},{_SCALE})")
+#: Exact for 2-decimal business values; 16 integral digits of headroom.
+MONEY = "decimal(18,2)"
 
 
 def dsum(c: Column) -> Column:
-    """Deterministic ``SUM(double)`` via exact decimal accumulation."""
-    return F.sum(_dec(c)).cast("double")
+    """Deterministic ``SUM`` of a 2-decimal business column."""
+    return F.sum(c.cast(MONEY)).cast("double")
 
 
 def davg(c: Column) -> Column:
-    """Deterministic ``AVG(double)``: exact decimal sum ÷ count."""
-    return (F.sum(_dec(c)).cast("double") / F.count(c)).cast("double")
+    """Deterministic ``AVG``: exact decimal sum ÷ non-null count."""
+    return (F.sum(c.cast(MONEY)).cast("double") / F.count(c)).cast("double")
 
 
 def ddot(a: Column, b: Column) -> Column:
     """Deterministic dot product of two ``array<float>`` columns.
 
-    Products are computed in double (exact for float×float), rounded to
-    decimal, and summed exactly — order-independent, so the same vectors
-    give the same cosine on any partitioning or engine.
+    Sequential left-fold in double: ``acc + a[i]*b[i]`` in index order,
+    which DuckDB's ``list_reduce`` over ``list_zip`` reproduces exactly.
+    Order-dependence is confined to *within one row*, so partitioning
+    still cannot change the result.
     """
-    prods = F.zip_with(a, b, lambda x, y: _dec(x.cast("double") * y.cast("double")))
-    return F.aggregate(
-        prods,
-        F.lit(0).cast(f"decimal({_PRECISION + 10},{_SCALE})"),
-        lambda acc, x: acc + x,
-    ).cast("double")
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)

@@ -39,13 +39,16 @@ def dedup_keep_latest(df: DataFrame, keys: Sequence[str], order_col: str,
               .drop("_rn"))
 
 
-def dedup_keep_last(df: DataFrame, keys: Sequence[str], ordinal: str) -> DataFrame:
+def dedup_keep_last(df: DataFrame, keys: Sequence[str],
+                    ordinal: str | Sequence[str]) -> DataFrame:
     """One row per key, greatest ``ordinal`` wins (mode ``"ultimo"``, APN:141).
 
-    The ordinal column replaces pandas' physical position (e.g. a
+    The ordinal column(s) replace pandas' physical position (e.g. a
     ``row_number`` assigned at ingest over file name + in-file offset).
+    Pass several columns when one alone is not a total order within a key.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(ordinal).desc())
+    ordinals = [ordinal] if isinstance(ordinal, str) else list(ordinal)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(o).desc() for o in ordinals])
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1)
               .drop("_rn"))

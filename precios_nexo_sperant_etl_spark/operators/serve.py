@@ -1,0 +1,45 @@
+"""Serving-layer operators (reference P8, P9, O2-O4 — SURVEY §2.2, §2.7):
+the dashboard's filter / search / sort / paginate loop re-expressed as
+Spark plans over the published table.
+
+Pagination note for scale: ``offset().limit()`` requires a total order;
+Spark pushes the sort + limit down (TakeOrderedAndProject) so small pages
+stay cheap even on huge inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def equality_filters(df: DataFrame, filters: dict[str, str | None]) -> DataFrame:
+    """Dropdown filters (P8, index.html:209-219): empty selection = no-op."""
+    for col, val in filters.items():
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return df
+
+
+def global_search(df: DataFrame, query: str,
+                  columns: Sequence[str] | None = None) -> DataFrame:
+    """Case-insensitive substring search across columns (P9,
+    index.html:210,217). The haystack is a single concat_ws over the
+    stringified columns — one pass, codegen-friendly, no UDF."""
+    cols = list(columns) if columns is not None else df.columns
+    haystack = F.lower(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    return df.filter(haystack.contains(query.lower()))
+
+
+def sort_page(df: DataFrame, order: Sequence[Column], page: int,
+              page_size: int) -> DataFrame:
+    """Click-header sort + pagination (O2/O4). ``order`` must be a total
+    order (include a unique tiebreak) for deterministic pages."""
+    return df.orderBy(*order).offset(page * page_size).limit(page_size)
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """Sorted label list for filter combos (O3, index.html:194-201)."""
+    return df.select(col).distinct().orderBy(col)

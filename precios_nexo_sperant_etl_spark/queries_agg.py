@@ -1,0 +1,351 @@
+"""Aggregation, window, serving-layer, and set-operation queries
+(SURVEY §2.4-§2.7) with DuckDB oracles, over the synthetic star schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.exact import dsum
+from .operators.dedup import add_row_id, dedup_keep_last
+from .operators.join import before_after
+from .operators.kpi import kpi_by_group, kpi_cards, value_counts
+from .operators.pivot import pct_within_group, pivot_counts
+from .operators.serve import distinct_sorted, equality_filters, global_search, sort_page
+from .registry import register
+from .sources.tables import load_tables
+
+# DECIMAL type used by functions.exact — the oracle must accumulate in the
+# exact same type for bit-identical double results. Scale 2 matches the
+# data's true decimal scale (see functions/exact.py docstring).
+_DEC = "DECIMAL(18,2)"
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_tables(spark, sf)[name]
+
+
+# ---------------------------------------------------------------------------
+# A2/A3/A4 — global KPI cards: count, mean, exact median
+# ---------------------------------------------------------------------------
+
+register(
+    "a2_a4_kpi_cards",
+    lambda spark, sf: kpi_cards(_t(spark, sf, "lineitem"), "l_extendedprice"),
+    f"""
+SELECT COUNT(*) AS unidades_totales,
+       CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / COUNT(l_extendedprice)
+         AS precio_promedio,
+       median(l_extendedprice) AS precio_median
+FROM lineitem
+""",
+    doc="A2 count, A3 null-skipping mean (exact decimal sum), A4 exact median.",
+)
+
+# ---------------------------------------------------------------------------
+# A6 — per-group KPI cards
+# ---------------------------------------------------------------------------
+
+register(
+    "a6_kpi_by_group",
+    lambda spark, sf: kpi_by_group(_t(spark, sf, "orders"), "o_orderstatus", "o_totalprice"),
+    f"""
+SELECT o_orderstatus,
+       COUNT(*) AS unidades,
+       CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) / COUNT(o_totalprice)
+         AS precio_promedio,
+       median(o_totalprice) AS precio_median
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="A6: per-group count/mean/median (python_json.py:148-153).",
+)
+
+# ---------------------------------------------------------------------------
+# A5 — value_counts with __NA__ sentinel, count-desc order
+# ---------------------------------------------------------------------------
+
+register(
+    "a5_value_counts",
+    lambda spark, sf: value_counts(_t(spark, sf, "orders"), "o_orderpriority"),
+    """
+SELECT COALESCE(o_orderpriority, '__NA__') AS value, COUNT(*) AS count
+FROM orders GROUP BY 1 ORDER BY count DESC, value ASC
+""",
+    doc="A5 fillna('__NA__').value_counts() with deterministic ordering.",
+)
+
+# ---------------------------------------------------------------------------
+# A8 — 2-D pivot counts (status × priority)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+register(
+    "a8_pivot_counts",
+    lambda spark, sf: pivot_counts(_t(spark, sf, "orders"),
+                                   "o_orderstatus", "o_orderpriority", _PRIORITIES),
+    "SELECT o_orderstatus,\n"
+    + ",\n".join(
+        f"""  COUNT(*) FILTER (o_orderpriority = '{p}') AS "{p}" """ for p in _PRIORITIES)
+    + "\nFROM orders GROUP BY o_orderstatus",
+    doc="A8 stacked-bar cube: groupBy().pivot().count() with pinned columns.",
+)
+
+# ---------------------------------------------------------------------------
+# A9 — percent-of-total within group (window over reduced rows)
+# ---------------------------------------------------------------------------
+
+register(
+    "a9_pct_within_group",
+    lambda spark, sf: pct_within_group(_t(spark, sf, "orders"),
+                                       "o_orderstatus", "o_orderpriority"),
+    """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS count
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderstatus, o_orderpriority, count,
+       round_even(100 * count / SUM(count) OVER (PARTITION BY o_orderstatus), 2) AS pct
+FROM counts
+""",
+    doc="A9: 100*count/group_total via window, bround half-even.",
+)
+
+# ---------------------------------------------------------------------------
+# A10/A11 — distinct counts + deterministic top-k of value_counts
+# ---------------------------------------------------------------------------
+
+register(
+    "a10_distinct_counts",
+    lambda spark, sf: _t(spark, sf, "customer").agg(
+        F.countDistinct(F.lower(F.trim(F.col("c_mktsegment")))).alias("n_segments"),
+        F.countDistinct(F.col("c_nationkey")).alias("n_nations")),
+    """
+SELECT COUNT(DISTINCT lower(trim(c_mktsegment))) AS n_segments,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer
+""",
+    doc="A10 nunique() on normalized keys.",
+)
+
+register(
+    "a11_topk_value_counts",
+    lambda spark, sf: _t(spark, sf, "customer")
+        .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("c_nationkey")).limit(10),
+    """
+SELECT c_nationkey, COUNT(*) AS count
+FROM customer GROUP BY c_nationkey
+ORDER BY count DESC, c_nationkey ASC LIMIT 10
+""",
+    doc="A11 value_counts().head(10) with deterministic tiebreak.",
+)
+
+# ---------------------------------------------------------------------------
+# O2/O4 — total-order sort + offset/limit pagination
+# ---------------------------------------------------------------------------
+
+register(
+    "o2_o4_sort_page",
+    lambda spark, sf: sort_page(
+        _t(spark, sf, "customer"),
+        [F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc()],
+        page=5, page_size=20),
+    """
+SELECT * FROM customer
+ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC
+OFFSET 100 LIMIT 20
+""",
+    doc="O2 numeric-aware sort + O4 pagination (page 5 × 20 rows).",
+)
+
+register(
+    "o3_distinct_sorted",
+    lambda spark, sf: distinct_sorted(_t(spark, sf, "customer"), "c_mktsegment"),
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    doc="O3 sorted label list for filter dropdowns.",
+)
+
+# ---------------------------------------------------------------------------
+# P8/P9 — equality filter + global case-insensitive search
+# ---------------------------------------------------------------------------
+
+register(
+    "p8_p9_filter_search",
+    lambda spark, sf: global_search(
+        equality_filters(_t(spark, sf, "customer"), {"c_mktsegment": "BUILDING"})
+            .withColumn("key_str", F.col("c_custkey").cast("string")),
+        "19",
+        columns=["c_name", "c_mktsegment", "key_str"]).drop("key_str"),
+    """
+SELECT * FROM customer
+WHERE c_mktsegment = 'BUILDING'
+  AND contains(lower(concat_ws(chr(31), c_name, c_mktsegment,
+                               CAST(c_custkey AS VARCHAR))), '19')
+""",
+    doc="P8 dropdown filter + P9 substring search across stringified columns.",
+)
+
+# ---------------------------------------------------------------------------
+# U1 — UNION ALL by name with null backfill (P4 ensure-column)
+# ---------------------------------------------------------------------------
+
+def _u1(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+register(
+    "u1_union_by_name",
+    _u1,
+    """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="U1 pandas concat semantics: align on column-name union, missing → NULL.",
+)
+
+# ---------------------------------------------------------------------------
+# W2 — dedup keep-last by explicit ordinal
+# ---------------------------------------------------------------------------
+
+register(
+    "w2_dedup_keep_last",
+    lambda spark, sf: dedup_keep_last(
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        ["l_orderkey"], ordinal=["l_linenumber", "l_quantity"]),
+    """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+  FROM lineitem) t WHERE rn = 1
+""",
+    doc="W2 positional keep-last via explicit ingest-ordinal window.",
+)
+
+# ---------------------------------------------------------------------------
+# W4 — deterministic dense row id
+# ---------------------------------------------------------------------------
+
+register(
+    "w4_row_id",
+    lambda spark, sf: add_row_id(
+        _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        order_by=[F.col("o_orderkey")], name="row_id"),
+    """
+SELECT o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS INT) AS row_id
+FROM orders
+""",
+    doc="W4 dense 0-based row id over an explicit total order.",
+)
+
+# ---------------------------------------------------------------------------
+# J3 + P6 — before/after detail join, changed rows only
+# ---------------------------------------------------------------------------
+
+def _j3(spark: SparkSession, sf: str) -> DataFrame:
+    from .plans.price_pipeline import core_enriched
+    enriched = core_enriched(spark, sf)
+    before = enriched.select("c_custkey",
+                             F.col("precio_antes").alias("Precio"),
+                             F.col("estado_antes").alias("Estado"))
+    after = enriched.select("c_custkey",
+                            F.col("precio_despues").alias("Precio"),
+                            F.col("estado_despues").alias("Estado"))
+    detail = before_after(before, after, on=["c_custkey"])
+    from .functions.compare import isclose, nullsafe_neq
+    return (detail
+            .withColumn("Cambio_PrecioLista",
+                        ~isclose(F.col("Precio_Antes"), F.col("Precio_Despues")))
+            .withColumn("Cambio_Estado",
+                        nullsafe_neq(F.col("Estado_Antes"), F.col("Estado_Despues")))
+            .filter(F.col("Cambio_PrecioLista") | F.col("Cambio_Estado")))
+
+
+register(
+    "j3_p6_change_detail",
+    _j3,
+    """
+WITH snap AS (
+  SELECT o_custkey, o_totalprice, o_orderstatus FROM (
+    SELECT o_custkey, o_totalprice, o_orderstatus,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders) t WHERE rn = 1),
+detail AS (
+  SELECT c.c_custkey,
+         c.c_acctbal AS "Precio_Antes", c.c_mktsegment AS "Estado_Antes",
+         COALESCE(s.o_totalprice, c.c_acctbal) AS "Precio_Despues",
+         COALESCE(s.o_orderstatus, c.c_mktsegment) AS "Estado_Despues"
+  FROM customer c LEFT JOIN snap s ON c.c_custkey = s.o_custkey),
+flagged AS (
+  SELECT *,
+    NOT (CASE WHEN "Precio_Antes" IS NULL AND "Precio_Despues" IS NULL THEN TRUE
+         ELSE COALESCE(abs("Precio_Antes" - "Precio_Despues")
+                       <= 1e-8 + 1e-5 * abs("Precio_Despues"), FALSE) END)
+      AS "Cambio_PrecioLista",
+    "Estado_Antes" IS DISTINCT FROM "Estado_Despues" AS "Cambio_Estado"
+  FROM detail)
+SELECT c_custkey, "Precio_Antes", "Estado_Antes", "Precio_Despues", "Estado_Despues",
+       "Cambio_PrecioLista", "Cambio_Estado"
+FROM flagged WHERE "Cambio_PrecioLista" OR "Cambio_Estado"
+""",
+    doc="J3 before/after suffixed join + P6 changed-rows filter (audit detail).",
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary — headline bench query (A1-class agg at scale)
+# ---------------------------------------------------------------------------
+
+def _q1(spark: SparkSession, sf: str) -> DataFrame:
+    # Derived prices are computed entirely in decimal: the inputs are
+    # 2-decimal business values, so (12,2)*(5,2)→(18,4)→*(5,2)→(24,6) is
+    # exact in both Spark and DuckDB — no double rounding anywhere until
+    # the final cast of the (already exact) group sum.
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = ep * (F.lit(1) - disc)
+    charge = disc_price * (F.lit(1) + tax)
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+                dsum(F.col("l_quantity")).alias("sum_qty"),
+                dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                F.sum(charge).cast("double").alias("sum_charge"),
+                (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+                (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+                (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+register(
+    "tpch_q1_pricing_summary",
+    _q1,
+    f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped pricing summary; exact decimal product accumulation.",
+)

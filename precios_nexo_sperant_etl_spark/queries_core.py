@@ -59,10 +59,10 @@ SELECT n_name,
   COUNT(*) FILTER (cambio_precio)             AS "Cambios_Precio",
   COUNT(*) FILTER (cambio_estado)             AS "Cambios_Estado",
   COUNT(*) FILTER (NOT (cambio_precio OR cambio_estado) AND tiene_match) AS "Sin_Cambio",
-  ROUND(COUNT(*) FILTER (tiene_match)::DOUBLE / COUNT(*), 4) AS "pct_Con_Match",
-  ROUND(COUNT(*) FILTER (sin_match)::DOUBLE / COUNT(*), 4)   AS "pct_Sin_Match",
-  ROUND(COUNT(*) FILTER (cambio_precio OR cambio_estado)::DOUBLE / COUNT(*), 4) AS "pct_Cambios",
-  ROUND(COUNT(*) FILTER (NOT (cambio_precio OR cambio_estado) AND tiene_match)::DOUBLE
+  round_even(COUNT(*) FILTER (tiene_match)::DOUBLE / COUNT(*), 4) AS "pct_Con_Match",
+  round_even(COUNT(*) FILTER (sin_match)::DOUBLE / COUNT(*), 4)   AS "pct_Sin_Match",
+  round_even(COUNT(*) FILTER (cambio_precio OR cambio_estado)::DOUBLE / COUNT(*), 4) AS "pct_Cambios",
+  round_even(COUNT(*) FILTER (NOT (cambio_precio OR cambio_estado) AND tiene_match)::DOUBLE
         / COUNT(*), 4) AS "pct_Sin_Cambio"
 FROM flagged GROUP BY n_name ORDER BY n_name
 """,

@@ -1,0 +1,251 @@
+"""Scalar-function queries (SURVEY §2.8 F-ops, §2.2 P11/P12) checked on
+inline VALUES fixtures.
+
+Each fixture is ONE Python literal table rendered both as a Spark
+``createDataFrame`` and as a DuckDB ``VALUES`` clause, so the two sides
+can never drift. These pin the reference's quirkiest semantics: the
+mixed-separator number parser, the strictly-es-PE parser (including its
+deliberate US-format mis-parse), int-like key canonicalization, the
+tower-prefix masked update, and null-sentinel normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .functions.compare import isclose
+from .functions.normalize import intlike_canon, norm_key
+from .functions.numparse import NULL_SENTINELS, safe_num, to_number
+from .operators.update import tower_prefix
+from .registry import register
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _values_sql(rows, cols, types) -> str:
+    """Render a literal table as a DuckDB FROM-clause subquery."""
+    body = ",\n    ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
+    return f"(SELECT {sel} FROM (VALUES\n    {body}) t({', '.join(cols)}))"
+
+
+def _string_df(spark: SparkSession, rows, cols) -> DataFrame:
+    schema = StructType([StructField(c, StringType()) for c in cols])
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+
+# ---------------------------------------------------------------------------
+# F4 — mixed-separator number parser (APN:104-128)
+# ---------------------------------------------------------------------------
+
+_F4_ROWS = [
+    ("1.234.567,89",), ("1,234,567.89",), ("1,234",), ("1.234.567",),
+    (" 416 881,11 ",), ("",), ("junk",), ("101.0",), ("-1.234,5",),
+    ("1234",), (None,), ("12.5",), ("0,99",), ("1.000",), ("  7 ",),
+    ("547000",), ("2,5,7",), (".5",), ("1.",),
+]
+
+register(
+    "f4_to_number",
+    lambda spark, sf: _string_df(spark, _F4_ROWS, ["raw"])
+        .select(F.col("raw"), to_number(F.col("raw")).alias("parsed")),
+    f"""
+WITH v AS (SELECT raw FROM {_values_sql(_F4_ROWS, ["raw"], ["VARCHAR"])}),
+t AS (SELECT raw, regexp_replace(trim(raw), ' ', '', 'g') AS s FROM v)
+SELECT raw,
+  CASE
+    WHEN s IS NULL OR s = '' THEN NULL
+    WHEN contains(s, ',') AND contains(s, '.') THEN
+      CASE WHEN strpos(reverse(s), ',') < strpos(reverse(s), '.')
+        THEN TRY_CAST(replace(replace(s, '.', ''), ',', '.') AS DOUBLE)
+        ELSE TRY_CAST(replace(s, ',', '') AS DOUBLE) END
+    WHEN contains(s, ',') THEN TRY_CAST(replace(replace(s, '.', ''), ',', '.') AS DOUBLE)
+    WHEN length(s) - length(replace(s, '.', '')) > 1 THEN
+      TRY_CAST(replace(substr(s, 1, length(s) - strpos(reverse(s), '.')), '.', '')
+               || '.' || substr(s, length(s) - strpos(reverse(s), '.') + 2) AS DOUBLE)
+    ELSE TRY_CAST(s AS DOUBLE)
+  END AS parsed
+FROM t
+""",
+    doc="F4 _to_number decision tree: last separator wins; comma-only is decimal.",
+)
+
+# ---------------------------------------------------------------------------
+# F5 — strictly es-PE parser with null sentinels (python_json.py:64-78)
+# ---------------------------------------------------------------------------
+
+_F5_ROWS = [
+    ("1.234.567,89",), ("1,234.56",), ("NA",), ("#N/A",), ("-",), ("None",),
+    ("null",), ("",), ("  42  ",), ("3,14",), ("1.000",), (None,), ("#ND",),
+    ("N/A",), ("abc",),
+]
+
+_SENTINEL_SQL = ", ".join(_sql_lit(s) for s in NULL_SENTINELS)
+
+register(
+    "f5_safe_num",
+    lambda spark, sf: _string_df(spark, _F5_ROWS, ["raw"])
+        .select(F.col("raw"), safe_num(F.col("raw")).alias("parsed")),
+    f"""
+WITH v AS (SELECT raw FROM {_values_sql(_F5_ROWS, ["raw"], ["VARCHAR"])}),
+t AS (SELECT raw, trim(raw) AS s FROM v)
+SELECT raw,
+  CASE WHEN s IN ({_SENTINEL_SQL}) THEN NULL
+       ELSE TRY_CAST(replace(replace(s, '.', ''), ',', '.') AS DOUBLE) END AS parsed
+FROM t
+""",
+    doc="F5 _safe_num: sentinel→NULL then strict es-PE parse (mis-parses US format by design).",
+)
+
+# ---------------------------------------------------------------------------
+# F6 — int-like unit-number canonicalization (APN:243-247)
+# ---------------------------------------------------------------------------
+
+_F6_ROWS = [
+    ("101.0",), ("A101",), (" 202 ",), ("12.5",), ("0007",), ("B-3",),
+    ("",), (None,), ("3.14.15",), ("999",),
+]
+
+register(
+    "f6_intlike_canon",
+    lambda spark, sf: _string_df(spark, _F6_ROWS, ["raw"])
+        .select(F.col("raw"), intlike_canon(F.col("raw")).alias("canon")),
+    f"""
+WITH v AS (SELECT raw FROM {_values_sql(_F6_ROWS, ["raw"], ["VARCHAR"])})
+SELECT raw,
+  CASE WHEN regexp_matches(raw, '^\\d+(\\.\\d+)?$')
+       THEN CAST(CAST(trunc(CAST(raw AS DOUBLE)) AS BIGINT) AS VARCHAR)
+       ELSE trim(raw) END AS canon
+FROM v
+""",
+    doc="F6: digit-like strings → int string ('101.0'→'101'), else trimmed.",
+)
+
+# ---------------------------------------------------------------------------
+# P11 — tower-prefix conditional masked update (APN:256-291)
+# ---------------------------------------------------------------------------
+
+_P11_ROWS = [
+    ("Matera", "A-101", "101"),       # prefix applied → A101
+    ("matera ", "B206", "206"),       # normalized project, B letter → B206
+    ("Capadocia", "X-77", "301"),     # letter not in whitelist → unchanged
+    ("Napoles", "a5", "A404"),        # already prefixed → unchanged
+    ("Fenix", "A-1", "502"),          # project not masked → unchanged
+    ("MATERA", "B2", "b33"),          # lowercase existing prefix counts (case-insens. guard)
+    ("Matera", None, "606"),          # null typology → unchanged
+    ("Matera", "A9", None),           # null unit → stays null-ish ("None"? no: null)
+]
+
+register(
+    "p11_tower_prefix",
+    lambda spark, sf: tower_prefix(
+        _string_df(spark, _P11_ROWS, ["Proyecto", "Tipologia", "Numero"]),
+        project_col="Proyecto", typology_col="Tipologia", unit_col="Numero"),
+    f"""
+WITH v AS (SELECT * FROM {_values_sql(_P11_ROWS, ["Proyecto", "Tipologia", "Numero"],
+                                      ["VARCHAR", "VARCHAR", "VARCHAR"])}),
+t AS (SELECT *,
+        lower(trim(Proyecto)) IN ('capadocia','matera','napoles') AS proj_ok,
+        upper(substr(trim(Tipologia), 1, 1)) AS letra,
+        trim(Numero) AS num
+      FROM v)
+SELECT Proyecto, Tipologia,
+  CASE WHEN proj_ok AND letra IN ('A','B')
+            AND NOT regexp_matches(upper(num), '^[AB]\\d+$')
+       THEN letra || num ELSE num END AS "Numero"
+FROM t
+""",
+    doc="P11 idempotent tower-letter prefix for whitelisted projects.",
+)
+
+# ---------------------------------------------------------------------------
+# F16 — numpy.isclose tolerance compare (APN:430-434)
+# ---------------------------------------------------------------------------
+
+_F16_ROWS = [
+    (100.0, 100.0), (100.0, 100.0009), (100.0, 100.2), (None, None),
+    (None, 5.0), (5.0, None), (0.0, 0.0), (0.0, 1e-9), (1e6, 1e6 + 5.0),
+    (1e6, 1e6 + 50.0), (-3.5, -3.5000001),
+]
+
+register(
+    "f16_isclose",
+    lambda spark, sf: spark.createDataFrame(_F16_ROWS, "a double, b double")
+        .select("a", "b", isclose(F.col("a"), F.col("b")).alias("close")),
+    f"""
+WITH v AS (SELECT a, b FROM {_values_sql(_F16_ROWS, ["a", "b"], ["DOUBLE", "DOUBLE"])})
+SELECT a, b,
+  CASE WHEN a IS NULL AND b IS NULL THEN TRUE
+       ELSE COALESCE(abs(a - b) <= 1e-8 + 1e-5 * abs(b), FALSE) END AS close
+FROM v
+""",
+    doc="F16 numpy.isclose(equal_nan=True): rtol 1e-5, atol 1e-8, NULL==NULL.",
+)
+
+# ---------------------------------------------------------------------------
+# F1/F7/F10-F13/F17 — string ops bundle on customer
+# ---------------------------------------------------------------------------
+
+register(
+    "string_ops_bundle",
+    lambda spark, sf: _string_ops(spark, sf),
+    """
+SELECT c_custkey,
+  lower(trim(c_name)) AS name_key,
+  upper(substr(trim(c_mktsegment), 1, 1)) AS seg_letter,
+  regexp_matches(c_name, '^Customer#\\d+$') AS name_ok,
+  c_mktsegment IN ('BUILDING', 'MACHINERY') AS seg_in,
+  c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_tag,
+  c_mktsegment IS DISTINCT FROM upper(c_mktsegment) AS seg_changed
+FROM customer
+""",
+    doc="F1 norm_key, F10 first-letter, F11 rlike, F12 isin, F13 concat, F17 null-safe neq.",
+)
+
+
+def _string_ops(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.tables import load_tables
+    c = load_tables(spark, sf)["customer"]
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        norm_key(F.col("c_name")).alias("name_key"),
+        F.upper(F.substring(F.trim(seg), 1, 1)).alias("seg_letter"),
+        F.col("c_name").rlike(r"^Customer#\d+$").alias("name_ok"),
+        seg.isin("BUILDING", "MACHINERY").alias("seg_in"),
+        F.concat(seg, F.lit("#"), F.col("c_nationkey").cast("string")).alias("seg_tag"),
+        (~seg.eqNullSafe(F.upper(seg))).alias("seg_changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 — null-sentinel normalization (python_json.py:72-73)
+# ---------------------------------------------------------------------------
+
+_P12_ROWS = [
+    ("ok",), ("NA",), ("N/A",), ("#N/A",), ("#ND",), ("None",), ("null",),
+    ("-",), ("",), ("  ",), ("0",), (None,),
+]
+
+register(
+    "p12_null_sentinels",
+    lambda spark, sf: _string_df(spark, _P12_ROWS, ["raw"]).select(
+        F.col("raw"),
+        F.when(F.trim(F.col("raw")).isin(*NULL_SENTINELS), F.lit(None).cast("string"))
+         .otherwise(F.col("raw")).alias("cleaned")),
+    f"""
+WITH v AS (SELECT raw FROM {_values_sql(_P12_ROWS, ["raw"], ["VARCHAR"])})
+SELECT raw,
+  CASE WHEN trim(raw) IN ({_SENTINEL_SQL}) THEN NULL ELSE raw END AS cleaned
+FROM v
+""",
+    doc="P12: spreadsheet junk strings normalized to NULL.",
+)
