@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines: exact hash dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+
+Scale design notes (the part that matters at 100 TB):
+
+- **Exact dedup** is one hash-groupBy: map-side partial aggregation means
+  the shuffle carries one row per distinct hash, not per input row.
+- **MinHash+LSH** avoids the quadratic all-pairs comparison: signatures
+  are a linear scan; candidate generation is an equi-join on (band,
+  band-hash) buckets, so only near-duplicates ever meet in a reducer.
+  Skewed buckets (boilerplate text) are the known hazard — AQE skew-join
+  handles moderate skew; degenerate buckets should be capped upstream.
+- **SimHash** here verifies candidates with an all-pairs XOR/popcount,
+  fine at test scale; the scale path is banding the signature bytes into
+  buckets exactly like MinHash-LSH.
+- All hashes are portable polynomial folds (see ``text.char_hash_expr``)
+  so DuckDB oracles reproduce them bit-for-bit — no engine-private hash
+  functions in any semantic output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_P, char_hash_expr
+
+#: MinHash permutation parameters (a*h + b mod P), fixed small primes.
+MINHASH_A = (7, 11, 13, 17, 19, 23, 29, 31)
+MINHASH_B = (3, 5, 101, 2029, 4783, 9001, 104729, 999331)
+N_BANDS = 2  # 2 bands × 4 rows over the 8-signature
+
+
+def canonical_text(col):
+    """Normalization applied before exact hashing: lower, trim, collapse
+    internal whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via md5 of canonicalized text: one surviving (minimum)
+    id per hash plus the duplicate count."""
+    h = F.md5(canonical_text(F.col(text_col))).alias("text_hash")
+    return (df.select(h, F.col(id_col))
+              .groupBy("text_hash")
+              .agg(F.min(id_col).alias("keeper_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+def shingle_expr(tokens_col: str, k: int = 3) -> str:
+    """SQL expression: list of k-gram shingles (space-joined) from a token
+    array column; empty when the document is shorter than k tokens."""
+    return (f"CASE WHEN size({tokens_col}) >= {k} THEN "
+            f"transform(sequence(1, size({tokens_col}) - {k - 1}), "
+            f"i -> concat_ws(' ', slice({tokens_col}, i, {k}))) "
+            f"ELSE array() END")
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return (df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+              .select(id_col, F.expr(shingle_expr("toks", k)).alias("shingles")))
+
+
+def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 3) -> DataFrame:
+    """Distinct (id, shingle-hash) pairs — the input to MinHash and
+    Jaccard. One explode; dedup happens in the same shuffle as the
+    downstream aggregation."""
+    ex = _shingled(df, text_col, id_col, k).select(
+        id_col, F.explode("shingles").alias("sh"))
+    return ex.select(id_col, F.expr(char_hash_expr("sh")).alias("h")).distinct()
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """8-permutation MinHash signature per document: min over shingle
+    hashes of ``(a_i*h + b_i) mod P``. Linear scan + one combinable agg."""
+    hashed = shingle_hashes(df, text_col, id_col, k)
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: documents agreeing on all 4 signature rows of
+    at least one band. Equi-join on (band, band-hash) — never all-pairs."""
+    n_per_band = len(MINHASH_A) // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"mh_{b * n_per_band + j}" for j in range(n_per_band)]
+        expr = F.lit(0).cast("long")
+        for c in cols:
+            expr = (expr * 131 + F.col(c)) % HASH_P
+        bands.append(sigs.select(F.col(id_col), F.lit(b).alias("band"),
+                                 expr.alias("bh")))
+    buckets = bands[0]
+    for other in bands[1:]:
+        buckets = buckets.unionByName(other)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, on=["band", "bh"], how="inner")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+             .distinct())
+
+
+def jaccard_pairs(hashed: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for the given candidate pairs."""
+    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ha = hashed.select(F.col(id_col).alias("doc_a"), "h")
+    hb = hashed.select(F.col(id_col).alias("doc_b"), "h")
+    common = (pairs.join(ha, "doc_a").join(hb, ["doc_b", "h"])
+                   .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+                  .select("doc_a", "doc_b",
+                          (F.col("common") /
+                           (F.col("n_a") + F.col("n_b") - F.col("common")))
+                          .alias("jaccard")))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band-bucket
+    join → exact-Jaccard verify → threshold."""
+    hashed = shingle_hashes(df, text_col, id_col, k)
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    pairs = minhash_band_pairs(sigs, id_col)
+    return (jaccard_pairs(hashed, pairs, id_col)
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exhaustive n-gram Jaccard over pairs sharing ≥1 shingle (the
+    non-LSH baseline; the shared-shingle join bounds the pair explosion)."""
+    hashed = shingle_hashes(df, text_col, id_col, k)
+    a = hashed.select(F.col(id_col).alias("doc_a"), "h")
+    b = hashed.select(F.col(id_col).alias("doc_b"), "h")
+    pairs = (a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b").distinct())
+    return (jaccard_pairs(hashed, pairs, id_col)
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 16) -> DataFrame:
+    """Per-document SimHash over token hashes: bit b of the signature is
+    the sign of ``sum(±1)`` across tokens for that bit position. One
+    explode + one combinable aggregation."""
+    toks = (df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+              .select(id_col, F.explode("toks").alias("tok")))
+    hashed = toks.select(id_col, F.expr(char_hash_expr("tok")).alias("h"))
+    bit_sums = [
+        F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) - 1).alias(f"s_{b}")
+        for b in range(n_bits)
+    ]
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sig = sig + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance on the 16-bit signature.
+
+    Test-scale verification uses the all-pairs XOR/popcount; at scale,
+    band the signature into chunks and equi-join buckets first (same
+    pattern as MinHash-LSH) so only colliding chunks meet.
+    """
+    sigs = simhash(df, text_col, id_col)
+    a = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    dist = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (pairs.select("doc_a", "doc_b", dist.alias("hamming"))
+                 .filter(F.col("hamming") <= max_hamming)
+                 .orderBy("doc_a", "doc_b"))

@@ -1,0 +1,103 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Beyond-reference surface (BASELINE.json north star). Everything is pure
+Catalyst expressions over token arrays — no Python UDFs — so the hot path
+stays inside whole-stage codegen and scales linearly with scanned bytes.
+The polynomial hashes are kept below 2^31 so 64-bit multiply-accumulate
+never overflows (Spark runs ANSI mode; overflow would be an error, not a
+wrap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Modulus for all rolling hashes (fits products in int64: p*31+c < 2^35).
+HASH_P = 1_000_000_007
+
+#: Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+STOPWORDS = tuple(w for ws in LANG_PROFILES.values() for w in ws)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def char_hash_expr(s: str) -> str:
+    """SQL for the rolling character hash of string expression ``s``:
+    left fold of ``acc*31 + ascii(char) (mod P)``. The same fold is
+    reproduced in DuckDB oracles via ``list_reduce`` (see queries_scale),
+    so fingerprints are engine-portable by construction."""
+    return (f"aggregate(transform(sequence(1, length({s})), i -> ascii(substr({s}, i, 1))), "
+            f"0L, (a, c) -> (a * 31 + c) % {HASH_P})")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: char/token counts, distinct tokens, avg token
+    length, stopword ratio — the raw material of quality filters."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        ((F.length(F.trim(F.col(text_col))) - (n_tok - 1)) / n_tok).alias("avg_token_len"),
+        (stop_hits / n_tok).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: rewards mid-length docs, lexical
+    diversity, and a natural stopword rate. Deterministic arithmetic only."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    score = F.bround(0.4 * length_score + 0.4 * diversity + 0.2 * stop_ratio, 4)
+    return df.select(F.col(id_col), score.alias("quality"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: count hits per language profile, pick
+    the max (ties and zero evidence → 'und'). A real system would use
+    character n-gram models; the *shape* — per-language hit counts reduced
+    to an argmax, all JVM-side — is the scalable part."""
+    toks = tokens(F.col(text_col))
+
+    def _hits(ws: tuple[str, ...]):
+        # NB: the lambda must be unary — F.filter feeds a second (index)
+        # argument to two-parameter lambdas.
+        return F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
+
+    hits = {lang: _hits(ws) for lang, ws in LANG_PROFILES.items()}
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    # first language (in fixed order) achieving the max wins
+    for lang in reversed(langs):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    out = df.select(F.col(id_col), *[hits[lang].alias(f"hits_{lang}") for lang in langs],
+                    pred.alias("lang_pred"))
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: rolling character hash of the
+    full text. Identical documents → identical fingerprint; any edit →
+    different (mod collisions). Engine-portable (see char_hash_expr)."""
+    return df.select(F.col(id_col),
+                     F.expr(char_hash_expr(text_col)).alias("fingerprint"))

@@ -1,0 +1,48 @@
+"""Event-time window operators over the ``events`` table: tumbling and
+sliding aggregation (``F.window``) and gap-based sessionization
+(``F.session_window``).
+
+These run in batch here; ``streaming.stream_kpis`` runs the identical
+aggregations under ``readStream`` with a watermark — same plan shape, so
+the batch oracles also pin the streaming semantics. Window aggregation is
+hash-agg on (key, window): partial-combinable, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Per event-type counts + value sums in tumbling windows (epoch
+    aligned, as ``F.window`` defines them)."""
+    return (events.groupBy(F.window("ts", width).alias("win"), "event_type")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       dsum(F.col("value")).alias("total_value"))
+                  .select(F.col("win.start").alias("win_start"), "event_type",
+                          "n_events", "total_value"))
+
+
+def sliding_agg(events: DataFrame, width: str = "10 minutes",
+                slide: str = "5 minutes") -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows."""
+    return (events.groupBy(F.window("ts", width, slide).alias("win"))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       dsum(F.col("value")).alias("total_value"))
+                  .select(F.col("win.start").alias("win_start"),
+                          "n_events", "total_value"))
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user via ``F.session_window``: a session
+    starts at its first event; a quiet period longer than ``gap`` closes
+    it. Output: one row per (user, session) with start, size, value sum."""
+    return (events.groupBy("user_id", F.session_window("ts", gap).alias("win"))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       dsum(F.col("value")).alias("total_value"))
+                  .select("user_id", F.col("win.start").alias("session_start"),
+                          "n_events", "total_value")
+                  .orderBy("user_id", "session_start"))

@@ -105,7 +105,7 @@ WITH counts AS (
   SELECT o_orderstatus, o_orderpriority, COUNT(*) AS count
   FROM orders GROUP BY 1, 2)
 SELECT o_orderstatus, o_orderpriority, count,
-       round_even(100 * count / SUM(count) OVER (PARTITION BY o_orderstatus), 2) AS pct
+       CAST(round_even(CAST(100 * count / SUM(count) OVER (PARTITION BY o_orderstatus) AS DECIMAL(20,17)), 2) AS DOUBLE) AS pct
 FROM counts
 """,
     doc="A9: 100*count/group_total via window, bround half-even.",

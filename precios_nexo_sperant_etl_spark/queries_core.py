@@ -59,11 +59,11 @@ SELECT n_name,
   COUNT(*) FILTER (cambio_precio)             AS "Cambios_Precio",
   COUNT(*) FILTER (cambio_estado)             AS "Cambios_Estado",
   COUNT(*) FILTER (NOT (cambio_precio OR cambio_estado) AND tiene_match) AS "Sin_Cambio",
-  round_even(COUNT(*) FILTER (tiene_match)::DOUBLE / COUNT(*), 4) AS "pct_Con_Match",
-  round_even(COUNT(*) FILTER (sin_match)::DOUBLE / COUNT(*), 4)   AS "pct_Sin_Match",
-  round_even(COUNT(*) FILTER (cambio_precio OR cambio_estado)::DOUBLE / COUNT(*), 4) AS "pct_Cambios",
-  round_even(COUNT(*) FILTER (NOT (cambio_precio OR cambio_estado) AND tiene_match)::DOUBLE
-        / COUNT(*), 4) AS "pct_Sin_Cambio"
+  CAST(round_even(CAST(COUNT(*) FILTER (tiene_match)::DOUBLE / COUNT(*) AS DECIMAL(20,17)), 4) AS DOUBLE) AS "pct_Con_Match",
+  CAST(round_even(CAST(COUNT(*) FILTER (sin_match)::DOUBLE / COUNT(*) AS DECIMAL(20,17)), 4) AS DOUBLE)   AS "pct_Sin_Match",
+  CAST(round_even(CAST(COUNT(*) FILTER (cambio_precio OR cambio_estado)::DOUBLE / COUNT(*) AS DECIMAL(20,17)), 4) AS DOUBLE) AS "pct_Cambios",
+  CAST(round_even(CAST(COUNT(*) FILTER (NOT (cambio_precio OR cambio_estado) AND tiene_match)::DOUBLE
+        / COUNT(*) AS DECIMAL(20,17)), 4) AS DOUBLE) AS "pct_Sin_Cambio"
 FROM flagged GROUP BY n_name ORDER BY n_name
 """,
     doc="Full §3.1 pipeline: W1 dedup → broadcast left join → coalesce update → audit agg.",

@@ -1,0 +1,388 @@
+"""Beyond-reference scale-operator queries (BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal plumbing, event-time
+windows — each with a DuckDB oracle built on the same portable hash folds.
+
+The DuckDB snippets below mirror the Spark expressions *structurally*
+(same fold order, same modulus, same slicing) so double/hash results are
+bit-identical — see functions/exact.py for why order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup_fuzzy import (MINHASH_A, MINHASH_B, exact_dedup,
+                                    minhash_dedup_pairs, minhash_signatures,
+                                    ngram_jaccard_pairs, simhash,
+                                    simhash_near_pairs)
+from .operators.multimodal import attach_binary, extract_features
+from .operators.similarity import cosine_topk
+from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
+                             lang_id, quality_score, text_stats)
+from .operators.windows import sessionize, sliding_agg, tumbling_agg
+from .registry import register
+from .sources.tables import load_tables
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_tables(spark, sf)[name]
+
+
+# ---- portable SQL snippets (DuckDB side of the shared hash folds) ---------
+
+def _duck_char_hash(s: str) -> str:
+    """DuckDB twin of text.char_hash_expr: identical left fold."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, length({s}) + 1), "
+            f"i -> CAST(ascii(substr({s}, i, 1)) AS BIGINT))), "
+            f"(a, c) -> (a * 31 + c) % {HASH_P})")
+
+
+_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+_DUCK_SHINGLES = (
+    "CASE WHEN len(tk) >= 3 THEN "
+    "list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """DuckDB twin of functions.exact.ddot: sequential double fold."""
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+            f"(x, y) -> x + y)")
+
+
+_DUCK_HS = f"""
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
+hs AS (SELECT DISTINCT doc_id, {_duck_char_hash('s')} AS h FROM shs)
+"""
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+register(
+    "dedup_exact",
+    lambda spark, sf: exact_dedup(_t(spark, sf, "documents")),
+    """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    doc="Exact dedup: md5 of canonicalized text, min-id survivor per group.",
+)
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pipeline
+# ---------------------------------------------------------------------------
+
+_SIG_SQL = ", ".join(
+    f"min(({a} * h + {b}) % {HASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+
+
+def _band_fold(cols: list[str]) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for c in cols:
+        expr = f"(({expr}) * 131 + {c}) % {HASH_P}"
+    return expr
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {_band_fold([f'mh_{b * 4 + j}' for j in range(4)])} AS bh FROM sig"
+    for b in range(2))
+
+register(
+    "minhash_signatures",
+    lambda spark, sf: minhash_signatures(_t(spark, sf, "documents")),
+    f"""
+WITH {_DUCK_HS}
+SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id
+""",
+    doc="8-permutation MinHash signatures over 3-token shingles.",
+)
+
+register(
+    "minhash_dedup_pairs",
+    lambda spark, sf: minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.2),
+    f"""
+WITH {_DUCK_HS},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+    doc="MinHash+LSH: shingle → sign → band-bucket join → Jaccard verify.",
+)
+
+register(
+    "ngram_jaccard_pairs",
+    lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),
+    f"""
+WITH {_DUCK_HS},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hs a JOIN hs b ON a.h = b.h WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+    doc="Exhaustive n-gram Jaccard baseline over shared-shingle pairs.",
+)
+
+# ---------------------------------------------------------------------------
+# SimHash + near-pairs
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKHASH = f"""
+tkh AS (
+  SELECT doc_id, {_duck_char_hash('tok')} AS h
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents))
+"""
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(2 * ((h >> {b}) & 1) - 1) AS s_{b}" for b in range(16))
+_SIMHASH_COMBINE = " + ".join(
+    f"CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(16))
+
+register(
+    "simhash_signatures",
+    lambda spark, sf: simhash(_t(spark, sf, "documents")),
+    f"""
+WITH {_DUCK_TOKHASH},
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tkh GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM sums
+""",
+    doc="16-bit SimHash from token-hash bit votes.",
+)
+
+register(
+    "simhash_near_pairs",
+    lambda spark, sf: simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3),
+    f"""
+WITH {_DUCK_TOKHASH},
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tkh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a, sig b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+""",
+    doc="SimHash near-dup pairs by Hamming distance (banding = scale path).",
+)
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+register(
+    "ann_cosine_topk",
+    lambda spark, sf: cosine_topk(_t(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=3),
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_duck_dot('q.qv', 'e.embedding')}
+           / (sqrt({_duck_dot('q.qv', 'q.qv')})
+              * sqrt({_duck_dot('e.embedding', 'e.embedding')})) AS cosine
+  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3 ORDER BY query_id, rn
+""",
+    doc="Brute-force cosine top-k (broadcast queries × streaming corpus).",
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+register(
+    "text_stats",
+    lambda spark, sf: text_stats(_t(spark, sf, "documents")),
+    f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(tk) AS n_tokens,
+  len(list_distinct(tk)) AS n_distinct_tokens,
+  (length(trim(text)) - (len(tk) - 1)) / len(tk) AS avg_token_len,
+  len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk) AS stopword_ratio
+FROM t
+""",
+    doc="Per-document char/token/diversity/stopword statistics.",
+)
+
+register(
+    "text_quality_score",
+    lambda spark, sf: quality_score(_t(spark, sf, "documents")),
+    f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
+SELECT doc_id,
+  CAST(round_even(CAST(0.4 * least(len(tk) / 50.0, 1.0)
+             + 0.4 * (len(list_distinct(tk)) / len(tk))
+             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))
+             AS DECIMAL(20,17)), 4) AS DOUBLE) AS quality
+FROM t
+""",
+    doc="Composite quality score: length, diversity, stopword rate.",
+)
+
+_LANGS = list(LANG_PROFILES)
+_HIT_SQL = ", ".join(
+    "len(list_filter(tk, x -> x IN ({}))) AS hits_{}".format(
+        ", ".join(f"'{w}'" for w in ws), lang)
+    for lang, ws in LANG_PROFILES.items())
+_BEST_SQL = "greatest({})".format(", ".join(f"hits_{lang}" for lang in _LANGS))
+_PRED_SQL = ("CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' "
+             + " ".join(f"WHEN hits_{lang} = {_BEST_SQL} THEN '{lang}'" for lang in _LANGS)
+             + " ELSE 'und' END")
+
+register(
+    "text_lang_id",
+    lambda spark, sf: lang_id(_t(spark, sf, "documents")),
+    f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+h AS (SELECT doc_id, {_HIT_SQL} FROM t)
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _LANGS)},
+       {_PRED_SQL} AS lang_pred
+FROM h
+""",
+    doc="Stopword-profile language ID with deterministic argmax.",
+)
+
+register(
+    "text_fingerprint",
+    lambda spark, sf: fingerprint(_t(spark, sf, "documents")),
+    f"""
+SELECT doc_id, {_duck_char_hash('text')} AS fingerprint FROM documents
+""",
+    doc="Rolling-hash document fingerprint (engine-portable fold).",
+)
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch twins of the streaming plans)
+# ---------------------------------------------------------------------------
+
+_DUCK_EVENTS = "SELECT ts::TIMESTAMP AS ts, event_type, value, user_id FROM events"
+_WIN = ("TIMESTAMP '1970-01-01' + (CAST(floor(epoch(ts) / {w}) AS BIGINT) * {w})"
+        " * INTERVAL 1 SECOND")
+
+register(
+    "events_tumbling_agg",
+    lambda spark, sf: tumbling_agg(_t(spark, sf, "events")),
+    f"""
+WITH e AS ({_DUCK_EVENTS})
+SELECT {_WIN.format(w=600)} AS win_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e GROUP BY 1, 2
+""",
+    doc="10-minute tumbling windows per event type (F.window).",
+)
+
+register(
+    "events_sliding_agg",
+    lambda spark, sf: sliding_agg(_t(spark, sf, "events")),
+    f"""
+WITH e AS ({_DUCK_EVENTS}),
+assigned AS (
+  SELECT unnest([CAST(floor(epoch(ts) / 300) AS BIGINT) * 300,
+                 CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS s,
+         value
+  FROM e)
+SELECT TIMESTAMP '1970-01-01' + s * INTERVAL 1 SECOND AS win_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM assigned GROUP BY 1
+""",
+    doc="10-minute windows sliding by 5 (each event in two windows).",
+)
+
+register(
+    "events_sessionize",
+    lambda spark, sf: sessionize(_t(spark, sf, "events")),
+    f"""
+WITH e AS ({_DUCK_EVENTS}),
+m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s FROM e),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""",
+    doc="Gap-based sessionization (F.session_window ≡ lag/cumsum oracle).",
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload plumbing (metadata JVM-side; features via
+# Arrow-batched mapInPandas — still oracle-checkable because the stub
+# decode is deterministic)
+# ---------------------------------------------------------------------------
+
+register(
+    "multimodal_metadata",
+    lambda spark, sf: attach_binary(_t(spark, sf, "documents"))
+        .select("doc_id", F.col("meta.byte_len").alias("byte_len"),
+                F.col("meta.mime").alias("mime")),
+    """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       'application/octet-stream' AS mime
+FROM documents
+""",
+    doc="Binary payload column + typed metadata struct.",
+)
+
+register(
+    "multimodal_features",
+    lambda spark, sf: extract_features(attach_binary(_t(spark, sf, "documents"))),
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
+       md5(text) AS content_md5
+FROM documents
+""",
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads.",
+)
