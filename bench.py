@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on ``local[$SPARK_GRAFT_CPUS]``
+and prints ONE JSON line with per-query wall times.
+
+Each query is materialized through the ``noop`` sink so timing covers the
+full distributed plan (scan → shuffle → agg) without collect/driver
+serialization noise. One warm-up run of a trivial action absorbs JVM/
+codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from precios_nexo_sperant_etl_spark.registry import queries  # noqa: E402
+from precios_nexo_sperant_etl_spark.session import get_spark  # noqa: E402
+from precios_nexo_sperant_etl_spark.sources.tables import load_tables  # noqa: E402
+
+#: Headline set: one representative per engine subsystem.
+HEADLINE = [
+    "core_update_audit",        # dedup → broadcast join → coalesce → audit agg
+    "tpch_q1_pricing_summary",  # scan-heavy grouped aggregation
+    "w1_dedup_latest",          # window dedup over the fact table
+    "a8_pivot_counts",          # pivot cube
+    "a9_pct_within_group",      # agg + analytic window
+    "o2_o4_sort_page",          # total-order sort + pagination
+    "events_tumbling_agg",      # event-time windows
+    "events_sessionize",        # session windows
+    "dedup_exact",              # hash dedup over documents
+    "minhash_dedup_pairs",      # shingle → MinHash → LSH → verify
+    "simhash_near_pairs",       # simhash + pair generation
+    "ann_cosine_topk",          # embedding similarity
+    "text_stats",               # token analytics
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    qs = queries()
+
+    # Warm-up: force session init, parquet footer reads, codegen of one job.
+    load_tables(spark, sf_dir)["nation"].count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_P, char_hash_expr
+from .text import HASH_P, md5_hash
 
 #: MinHash permutation parameters (a*h + b mod P), fixed small primes.
 MINHASH_A = (7, 11, 13, 17, 19, 23, 29, 31)
@@ -69,14 +69,20 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     downstream aggregation."""
     ex = _shingled(df, text_col, id_col, k).select(
         id_col, F.explode("shingles").alias("sh"))
-    return ex.select(id_col, F.expr(char_hash_expr("sh")).alias("h")).distinct()
+    return ex.select(id_col, md5_hash(F.col("sh")).alias("h")).distinct()
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", k: int = 3,
+                       hashed: DataFrame | None = None) -> DataFrame:
     """8-permutation MinHash signature per document: min over shingle
-    hashes of ``(a_i*h + b_i) mod P``. Linear scan + one combinable agg."""
-    hashed = shingle_hashes(df, text_col, id_col, k)
+    hashes of ``(a_i*h + b_i) mod P``. Linear scan + one combinable agg.
+
+    Pass ``hashed`` (from :func:`shingle_hashes`) to reuse an already
+    materialized shingle set — the explode is the expensive part.
+    """
+    if hashed is None:
+        hashed = shingle_hashes(df, text_col, id_col, k)
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"mh_{i}")
             for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -127,9 +133,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band-bucket
-    join → exact-Jaccard verify → threshold."""
-    hashed = shingle_hashes(df, text_col, id_col, k)
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    join → exact-Jaccard verify → threshold.
+
+    The shingle set feeds three consumers (signatures, Jaccard numerator,
+    set sizes); persisting it turns an O(5×) recompute of the explode +
+    hash subtree into one materialization.
+    """
+    hashed = shingle_hashes(df, text_col, id_col, k).persist()
+    sigs = minhash_signatures(df, text_col, id_col, k, hashed=hashed)
     pairs = minhash_band_pairs(sigs, id_col)
     return (jaccard_pairs(hashed, pairs, id_col)
             .filter(F.col("jaccard") >= threshold)
@@ -140,8 +151,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.2) -> DataFrame:
     """Exhaustive n-gram Jaccard over pairs sharing ≥1 shingle (the
-    non-LSH baseline; the shared-shingle join bounds the pair explosion)."""
-    hashed = shingle_hashes(df, text_col, id_col, k)
+    non-LSH baseline; the shared-shingle join bounds the pair explosion —
+    though with a small vocabulary hot shingles still fan out
+    quadratically, which is exactly why the LSH variant exists)."""
+    hashed = shingle_hashes(df, text_col, id_col, k).persist()
     a = hashed.select(F.col(id_col).alias("doc_a"), "h")
     b = hashed.select(F.col(id_col).alias("doc_b"), "h")
     pairs = (a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
@@ -158,7 +171,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     explode + one combinable aggregation."""
     toks = (df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
               .select(id_col, F.explode("toks").alias("tok")))
-    hashed = toks.select(id_col, F.expr(char_hash_expr("tok")).alias("h"))
+    hashed = toks.select(id_col, md5_hash(F.col("tok")).alias("h"))
     bit_sums = [
         F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) - 1).alias(f"s_{b}")
         for b in range(n_bits)

@@ -37,9 +37,25 @@ def char_hash_expr(s: str) -> str:
     """SQL for the rolling character hash of string expression ``s``:
     left fold of ``acc*31 + ascii(char) (mod P)``. The same fold is
     reproduced in DuckDB oracles via ``list_reduce`` (see queries_scale),
-    so fingerprints are engine-portable by construction."""
+    so fingerprints are engine-portable by construction.
+
+    NB: higher-order-function folds are expression-interpreted (outside
+    whole-stage codegen) — fine for one fold per document (fingerprint),
+    too slow for one fold per token/shingle. Use :func:`md5_hash` there.
+    """
     return (f"aggregate(transform(sequence(1, length({s})), i -> ascii(substr({s}, i, 1))), "
             f"0L, (a, c) -> (a * 31 + c) % {HASH_P})")
+
+
+def md5_hash(c: Column) -> Column:
+    """48-bit integer hash of a string: first 12 hex digits of md5.
+
+    Fully codegen'd (md5/substring/conv are builtins) and engine-portable:
+    DuckDB computes the identical value as
+    ``('0x' || substr(md5(s), 1, 12))::BIGINT``. This is the hot-path hash
+    for per-token / per-shingle work at scale.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -39,6 +39,11 @@ def _duck_char_hash(s: str) -> str:
             f"(a, c) -> (a * 31 + c) % {HASH_P})")
 
 
+def _duck_md5_hash(s: str) -> str:
+    """DuckDB twin of text.md5_hash: 48-bit int from the md5 hex prefix."""
+    return f"('0x' || substr(md5({s}), 1, 12))::BIGINT"
+
+
 _DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
 _DUCK_SHINGLES = (
@@ -59,7 +64,7 @@ def _duck_dot(a: str, b: str) -> str:
 _DUCK_HS = f"""
 toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
 shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
-hs AS (SELECT DISTINCT doc_id, {_duck_char_hash('s')} AS h FROM shs)
+hs AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs)
 """
 
 # ---------------------------------------------------------------------------
@@ -166,7 +171,7 @@ ORDER BY doc_a, doc_b
 
 _DUCK_TOKHASH = f"""
 tkh AS (
-  SELECT doc_id, {_duck_char_hash('tok')} AS h
+  SELECT doc_id, {_duck_md5_hash('tok')} AS h
   FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents))
 """
 
