@@ -1,0 +1,145 @@
+"""Ingest-normalization layer: the reference's tolerant per-file logic
+re-expressed at the DataFrame boundary.
+
+Spark cannot represent duplicate or dirty column names post-hoc, so this
+layer runs *before a DataFrame is born* (SURVEY §1.3): raw rows (from any
+driver-side reader — xlrd, openpyxl, csv) pass through header detection
+and name cleanup in plain Python (tiny, per-file, driver-side), then
+become a DataFrame with positional columns that a named projection
+collapses via ``coalesce`` — the engine-side analog of the reference's
+``bfill(axis=1)`` duplicate-column handling.
+
+The per-file Python here is O(header), not O(rows): all row data flows
+into Spark untouched, so 100 TB of spreadsheet exports would still ingest
+in parallel (one task per file via ``spark.createDataFrame`` per file, or
+a binaryFile scan + mapInPandas for true cluster-side parsing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..functions.normalize import clean_col_name, norm_key
+from ..functions.numparse import to_number
+
+#: Canonical target columns (Actualizar_Precios_de_Nexo.py:55-57).
+COL_NUMERO = "Número de inmueble"
+COL_PRECIO = "Precio de lista"
+COL_ESTADO = "Estado de inmueble"
+
+#: Alias tables (Actualizar_Precios_de_Nexo.py:60-65).
+ALIASES_NUMERO = [
+    "Número de inmueble", "Numero de inmueble", "N° inmueble", "N° de inmueble",
+    "numero", "número", "nombre", "nombre inmueble", "unidad", "codigo",
+    "código", "Código de inmueble",
+]
+ALIASES_PRECIO = ["Precio de lista", "precio de lista", "precio", "precio lista",
+                  "Precio Lista"]
+ALIASES_ESTADO = ["Estado de inmueble", "estado de inmueble", "estado",
+                  "estado comercial"]
+
+
+def _norm(x) -> str | None:
+    return str(x).strip().lower() if x is not None else None
+
+
+def find_header_row(rows: Sequence[Sequence[object]],
+                    candidates: Sequence[str] | None = None,
+                    max_scan: int = 15) -> int | None:
+    """Header auto-detection (S3, APN:84-91): scan the first ``max_scan``
+    physical rows for any known alias string; that row is the header."""
+    if candidates is None:
+        candidates = ALIASES_NUMERO + ALIASES_PRECIO + ALIASES_ESTADO
+    cand = {_norm(c) for c in candidates}
+    for i, row in enumerate(rows[:max_scan]):
+        if any(_norm(cell) in cand for cell in row):
+            return i
+    return None
+
+
+def alias_pick(cols: Sequence[str], aliases: Sequence[str], canonical: str) -> str:
+    """First present alias wins (APN:93-99)."""
+    colset = set(cols)
+    for a in aliases:
+        if a in colset:
+            return a
+    return canonical
+
+
+def ingest_sheet(spark: SparkSession, rows: Sequence[Sequence[object]],
+                 project: str, header_row: int | None = None) -> DataFrame:
+    """Reference ingest for one tolerantly-read sheet (APN:186-228):
+
+    1. header detection (fallback: physical row 5, i.e. index 4)
+    2. header cleanup (collapse whitespace)
+    3. duplicate-name collapse: first non-null across same-named columns
+       (``_collapse_duplicate_name``/``bfill``, APN:149-179) becomes a
+       positional ``coalesce`` projection
+    4. alias → canonical renames
+    5. ensure target columns exist (null backfill, P4)
+    6. price coercion via the F4 parser
+    7. ``Proyecto`` literal + a deterministic ingest ordinal (``_ord``)
+       replacing pandas' physical row order for downstream tiebreaks
+    """
+    hdr_idx = header_row if header_row is not None else find_header_row(rows)
+    if hdr_idx is None:
+        hdr_idx = 4
+    header = [clean_col_name(c) for c in rows[hdr_idx]]
+    data = [[None if c == "" else str(c) if c is not None else None for c in r]
+            for r in rows[hdr_idx + 1:]]
+    width = len(header)
+    # The trailing long is the in-file ordinal — the deterministic stand-in
+    # for pandas' physical row order (SURVEY §2.6 W4), assigned before the
+    # rows are parallelized so no partitioning can change it.
+    data = [list(r)[:width] + [None] * max(0, width - len(r)) + [i]
+            for i, r in enumerate(data)]
+
+    pos_schema = StructType(
+        [StructField(f"_c{i}", StringType()) for i in range(width)]
+        + [StructField("_ord", LongType())])
+    raw = spark.createDataFrame(data, pos_schema)
+
+    # duplicate-name collapse: first non-null left-to-right (F15/W3)
+    seen: dict[str, list[int]] = {}
+    for i, name in enumerate(header):
+        seen.setdefault(name, []).append(i)
+    named = raw.select(*([
+        F.coalesce(*[F.col(f"_c{i}") for i in idxs]).alias(name) if len(idxs) > 1
+        else F.col(f"_c{idxs[0]}").alias(name)
+        for name, idxs in seen.items()
+    ] + [F.col("_ord")]))
+
+    ren = {}
+    for aliases, canonical in ((ALIASES_NUMERO, COL_NUMERO),
+                               (ALIASES_PRECIO, COL_PRECIO),
+                               (ALIASES_ESTADO, COL_ESTADO)):
+        picked = alias_pick(named.columns, aliases, canonical)
+        if picked != canonical:
+            ren[picked] = canonical
+    for old, new in ren.items():
+        named = named.withColumnRenamed(old, new)
+
+    for c in (COL_NUMERO, COL_PRECIO, COL_ESTADO):
+        if c not in named.columns:
+            named = named.withColumn(c, F.lit(None).cast("string"))
+
+    named = named.withColumn(COL_PRECIO, to_number(F.col(COL_PRECIO)))
+    return named.select(F.lit(project).alias("Proyecto"), "*")
+
+
+def union_projects(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U1 (APN:235): pandas-concat semantics — align on the union of
+    column names, missing columns become NULL."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def drop_all_null_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P7 (python_json.py:130): remove rows where every column is null."""
+    return df.na.drop(how="all", subset=list(subset) if subset else None)

@@ -1,0 +1,76 @@
+"""Structured Streaming variants of the event-time aggregations.
+
+The reference is batch-only (SURVEY §2.9) — its "refresh" is re-running
+the extractor. Here the same windowed KPI aggregation runs incrementally:
+``readStream`` over the events parquet (stand-in for Kafka/files arriving)
+→ watermark → tumbling window counts → sink. The plan is identical to
+``operators.windows.tumbling_agg``, so the batch oracles pin the
+streaming semantics; the watermark bounds state for late data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampNTZType)
+
+#: Raw schema of events.parquet under nanosAsLong (ts arrives as int64 ns).
+_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the same nanos→micros
+    normalization the batch loader applies."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The file streaming source requires a *directory* to monitor; stage a
+    # symlink dir (new files appearing there would be picked up as they
+    # arrive — exactly the production file-drop pattern).
+    stage = os.path.join(tempfile.gettempdir(),
+                         "stream_events_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = spark.readStream.schema(_RAW_SCHEMA).parquet(stage)
+    # Watermarks require TIMESTAMP (not NTZ); with the session pinned to
+    # UTC the wall-clock values match the batch loader's NTZ reading.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame, width: str = "10 minutes",
+                              watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming
+    twin of ``operators.windows.tumbling_agg``. State for a window is
+    dropped once the watermark passes its end; later events are discarded
+    as late (append-mode semantics)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("win_start"), "event_type",
+                    "n_events"))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str = "kpi_stream",
+                      timeout_s: int = 120) -> list:
+    """Drain all currently-available input (Trigger.AvailableNow) into an
+    in-memory table and return its rows — the batch-equivalence harness
+    used by tests."""
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (stream_df.writeStream.format("memory").queryName(query_name)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout_s)
+        spark = stream_df.sparkSession
+        return spark.table(query_name).collect()

@@ -1,0 +1,62 @@
+"""Golden-semantics tests for the locale number parsers (SURVEY §5):
+every row pins behavior verified against the reference implementation
+(_to_number, Actualizar_Precios_de_Nexo.py:104-128; _safe_num,
+python_json.py:64-78), including the deliberate F4/F5 divergence."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from precios_nexo_sperant_etl_spark.functions.numparse import safe_num, to_number
+
+F4_CASES = [
+    ("1.234.567,89", 1234567.89),   # es-PE: dots thousands, comma decimal
+    ("1,234,567.89", 1234567.89),   # US: commas thousands, dot decimal
+    ("1,234", 1.234),               # comma-only => comma IS the decimal
+    ("1.234.567", 1234.567),        # multi-dot => last dot is the decimal
+    (" 416 881,11 ", 416881.11),    # internal spaces stripped
+    ("", None),
+    ("junk", None),
+    ("101.0", 101.0),
+    ("-1.234,5", -1234.5),
+    ("1234", 1234.0),
+    (None, None),
+    ("2,5,7", None),                # comma-only multi-comma -> unparseable
+    (".5", 0.5),
+    ("1.000", 1.0),                 # single dot stays decimal
+]
+
+F5_CASES = [
+    ("1.234.567,89", 1234567.89),
+    ("1,234.56", 1.23456),          # F5 mis-parses US format BY DESIGN
+    ("NA", None), ("#N/A", None), ("-", None), ("None", None),
+    ("null", None), ("", None), ("#ND", None), ("N/A", None),
+    ("  42  ", 42.0),
+    ("3,14", 3.14),
+    ("abc", None),
+]
+
+
+def _run(spark, fn, cases):
+    df = spark.createDataFrame([(c[0],) for c in cases], "raw string")
+    got = [r["out"] for r in df.select(fn(F.col("raw")).alias("out")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == pytest.approx(want) if want is not None else g is None, \
+            f"{raw!r}: want {want}, got {g}"
+
+
+def test_to_number_golden(spark):
+    _run(spark, to_number, F4_CASES)
+
+
+def test_safe_num_golden(spark):
+    _run(spark, safe_num, F5_CASES)
+
+
+def test_f4_f5_divergence(spark):
+    """The two parsers intentionally disagree on US-format input."""
+    df = spark.createDataFrame([("1,234.56",)], "raw string")
+    row = df.select(to_number(F.col("raw")).alias("f4"),
+                    safe_num(F.col("raw")).alias("f5")).collect()[0]
+    assert row["f4"] == pytest.approx(1234.56)
+    assert row["f5"] == pytest.approx(1.23456)

@@ -1,0 +1,72 @@
+"""Operator-semantics tests: update rules, tower-prefix idempotence,
+dedup tiebreak quirks, tolerant/null-safe compares."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from precios_nexo_sperant_etl_spark.functions.compare import isclose, nullsafe_neq
+from precios_nexo_sperant_etl_spark.operators.dedup import dedup_keep_latest
+from precios_nexo_sperant_etl_spark.operators.update import coalesce_update, tower_prefix
+
+
+def test_coalesce_update_modes(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (None, 3.0), (4.0, None), (None, None)], "old double, new double")
+    rows = df.select(
+        coalesce_update(F.col("old"), F.col("new"), "preferir_nuevo").alias("nuevo"),
+        coalesce_update(F.col("old"), F.col("new"), "preferir_existente").alias("exist"),
+    ).collect()
+    assert [r["nuevo"] for r in rows] == [2.0, 3.0, 4.0, None]
+    assert [r["exist"] for r in rows] == [1.0, 3.0, 4.0, None]
+
+
+def test_tower_prefix_idempotent(spark):
+    df = spark.createDataFrame(
+        [("Matera", "A-1", "101"), ("Napoles", "B9", "207"), ("Fenix", "A2", "301")],
+        "Proyecto string, Tipologia string, Numero string")
+    once = tower_prefix(df, project_col="Proyecto", typology_col="Tipologia",
+                        unit_col="Numero")
+    twice = tower_prefix(once, project_col="Proyecto", typology_col="Tipologia",
+                         unit_col="Numero")
+    assert sorted(r["Numero"] for r in once.collect()) == ["301", "A101", "B207"]
+    assert once.collect() == twice.collect()
+
+
+def test_dedup_nat_sorts_last_quirk(spark):
+    """pandas sorts NaT last in the dedup sort, so an UNDATED row beats any
+    dated row (SURVEY §2.6 W1) — reproduced via desc_nulls_first."""
+    df = spark.createDataFrame(
+        [("k", 1, dt.datetime(2024, 1, 1)),
+         ("k", 2, None),
+         ("k", 3, dt.datetime(2024, 6, 1))],
+        "key string, payload int, fecha timestamp")
+    out = dedup_keep_latest(df, ["key"], "fecha", tiebreak="payload").collect()
+    assert len(out) == 1 and out[0]["payload"] == 2  # the undated row wins
+
+
+def test_dedup_tiebreak_on_ordinal(spark):
+    df = spark.createDataFrame(
+        [("k", 1, dt.datetime(2024, 1, 1)), ("k", 2, dt.datetime(2024, 1, 1))],
+        "key string, ordn int, fecha timestamp")
+    out = dedup_keep_latest(df, ["key"], "fecha", tiebreak="ordn").collect()
+    assert out[0]["ordn"] == 2  # positional last-wins via explicit ordinal
+
+
+def test_isclose_semantics(spark):
+    df = spark.createDataFrame(
+        [(100.0, 100.0009), (100.0, 100.2), (None, None), (None, 5.0)],
+        "a double, b double")
+    got = [r["c"] for r in df.select(isclose(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [True, False, True, False]
+
+
+def test_nullsafe_neq_case_sensitive(spark):
+    """F17: case-sensitive by design — 'Disponible (Visible)' vs
+    'disponible' flags a change (the reference's committed audit quirk)."""
+    df = spark.createDataFrame(
+        [("Disponible (Visible)", "disponible"), ("x", "x"), (None, None), (None, "x")],
+        "a string, b string")
+    got = [r["c"] for r in
+           df.select(nullsafe_neq(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [True, False, False, True]
