@@ -25,6 +25,9 @@ from precios_nexo_sperant_etl_spark.sources.tables import load_tables  # noqa: E
 HEADLINE = [
     "core_update_audit",        # dedup → broadcast join → coalesce → audit agg
     "tpch_q1_pricing_summary",  # scan-heavy grouped aggregation
+    "tpch_q3_shipping_priority",  # 3-way join + top-k
+    "tpch_q5_nation_revenue",   # join chain through dims
+    "tpch_q6_forecast_revenue", # pushdown-selective scan
     "w1_dedup_latest",          # window dedup over the fact table
     "a8_pivot_counts",          # pivot cube
     "a9_pct_within_group",      # agg + analytic window

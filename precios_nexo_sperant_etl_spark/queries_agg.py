@@ -76,6 +76,25 @@ FROM orders GROUP BY 1 ORDER BY count DESC, value ASC
 )
 
 # ---------------------------------------------------------------------------
+# A6b — per-group per-state counts (the KPI tree's por_estado subtree,
+# python_json.py:154-157), count-desc with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+register(
+    "a6_states_by_group",
+    lambda spark, sf: _t(spark, sf, "orders")
+        .groupBy("o_orderstatus",
+                 F.coalesce(F.col("o_orderpriority"), F.lit("__NA__")).alias("estado"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("o_orderstatus", F.desc("count"), F.asc("estado")),
+    """
+SELECT o_orderstatus, COALESCE(o_orderpriority, '__NA__') AS estado, COUNT(*) AS count
+FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, count DESC, estado ASC
+""",
+    doc="A6 por_estado subtree: nested value_counts per group.",
+)
+
+# ---------------------------------------------------------------------------
 # A8 — 2-D pivot counts (status × priority)
 # ---------------------------------------------------------------------------
 

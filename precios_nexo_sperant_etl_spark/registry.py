@@ -59,7 +59,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import queries_agg, queries_core, queries_scalar  # noqa: F401
+    from . import queries_agg, queries_core, queries_joins, queries_scalar  # noqa: F401
     try:
         from . import queries_scale  # noqa: F401
     except ImportError:

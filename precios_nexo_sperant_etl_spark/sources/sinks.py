@@ -1,0 +1,84 @@
+"""Sink operators (reference S6-S11 — SURVEY §2.1).
+
+The reference writes xlsx workbooks per project plus JSON/CSV artifacts.
+Engine-side, the scalable analogs are partitioned parquet / JSON / CSV
+writes; the xlsx workbook shims are driver-side conveniences over the
+*already reduced* outputs (audit summaries are ≤ |projects| rows), kept
+behind an import guard since Excel libs may be absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def safe_filename(name: object) -> str:
+    """F20 (APN:101-102): whitelist filename characters."""
+    return re.sub(r"[^A-Za-z0-9._ \-\(\)]", "", str(name)).strip() or "Proyecto"
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str = "Proyecto",
+                      fmt: str = "parquet", front_cols: Sequence[str] = ()) -> None:
+    """S6 (APN:399-406): one output per group, canonical columns first.
+
+    ``partitionBy`` writes each group to its own directory in one job —
+    the distributed analog of the reference's groupby → to_excel loop.
+    Empty groups produce no directory (S8's skip-empty is free).
+    """
+    cols = [c for c in front_cols if c in df.columns]
+    rest = [c for c in df.columns if c not in cols]
+    (df.select(*cols, *rest)
+       .write.mode("overwrite").partitionBy(partition_col).format(fmt).save(path))
+
+
+def write_json_records(df: DataFrame, path: str) -> None:
+    """S9 (python_json.py:198-205): row dump; Spark writes nulls natively
+    (the reference's NaN→None pass is unnecessary engine-side)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_json_document(doc: dict, path: str) -> None:
+    """S10 (python_json.py:80-82): driver-side pretty JSON for the (tiny)
+    KPI document — matches ensure_ascii=False, indent=2."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, ensure_ascii=False, indent=2)
+
+
+def write_csv_quoted(df: DataFrame, path: str) -> None:
+    """S11 (index.html:108-118): CSV export with every field quoted and
+    embedded quotes doubled — ``quoteAll`` reproduces the dashboard's
+    ``csvEscape`` exactly."""
+    (df.write.mode("overwrite")
+       .option("header", True).option("quoteAll", True)
+       .option("escape", '"')  # RFC 4180 doubled quotes, not backslash
+       .csv(path))
+
+
+def write_excel_per_group(df: DataFrame, out_dir: str,
+                          group_col: str = "Proyecto") -> list[str]:
+    """S6/S8 xlsx shim: one workbook per group, driver-side, for outputs
+    already reduced to human scale. No-op (returns []) when no Excel
+    writer is importable — the engine's own formats are above."""
+    try:
+        import pandas as pd  # noqa: F401
+        pdf = df.toPandas()
+    except ImportError:  # pragma: no cover
+        return []
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for name, g in pdf.groupby(group_col, dropna=False):
+        target = os.path.join(out_dir, f"{safe_filename(name)}.xlsx")
+        try:
+            g.to_excel(target, index=False)
+        except (ImportError, ModuleNotFoundError):  # no openpyxl/xlsxwriter
+            target = target[:-5] + ".csv"
+            g.to_csv(target, index=False)
+        written.append(target)
+    return written

@@ -1,0 +1,78 @@
+"""Sink operators (S6-S11) and physical-plan shape assertions — the
+"would this survive 100×" checks: broadcast joins stay broadcast, filters
+reach the parquet scan, scans prune columns."""
+
+import csv
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from precios_nexo_sperant_etl_spark.plans.price_pipeline import core_update_audit
+from precios_nexo_sperant_etl_spark.registry import queries
+from precios_nexo_sperant_etl_spark.sources.sinks import (safe_filename,
+                                                          write_csv_quoted,
+                                                          write_json_document,
+                                                          write_json_records,
+                                                          write_partitioned)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_safe_filename():
+    assert safe_filename("Tizón & Bueno/3") == "Tizn  Bueno3"
+    assert safe_filename("///") == "Proyecto"
+
+
+def test_write_partitioned_one_dir_per_group(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("A", 1, "x"), ("A", 2, "y"), ("B", 3, "z")], "Proyecto string, v int, w string")
+    out = str(tmp_path / "parts")
+    write_partitioned(df, out, front_cols=["w"])
+    dirs = {os.path.basename(p) for p in glob.glob(out + "/Proyecto=*")}
+    assert dirs == {"Proyecto=A", "Proyecto=B"}
+    back = spark.read.parquet(out)
+    assert back.count() == 3 and back.columns[0] == "w"
+
+
+def test_write_json_records_and_document(spark, tmp_path):
+    df = spark.createDataFrame([(1, None), (2, 3.5)], "id int, v double")
+    out = str(tmp_path / "recs")
+    write_json_records(df, out)
+    rows = [json.loads(l) for f in glob.glob(out + "/part-*.json")
+            for l in open(f) if l.strip()]
+    assert {r["id"] for r in rows} == {1, 2}
+    assert all("v" not in r or r["v"] is not None for r in rows)  # nulls omitted
+
+    doc_path = str(tmp_path / "kpis.json")
+    write_json_document({"cards": {"unidades_totales": 5}, "ñ": "sí"}, doc_path)
+    doc = json.load(open(doc_path, encoding="utf-8"))
+    assert doc["cards"]["unidades_totales"] == 5 and doc["ñ"] == "sí"
+
+
+def test_write_csv_quote_all(spark, tmp_path):
+    df = spark.createDataFrame([('say "hi"', 1)], "msg string, n int")
+    out = str(tmp_path / "csv")
+    write_csv_quoted(df, out)
+    text = "".join(open(f).read() for f in glob.glob(out + "/part-*.csv"))
+    assert '"say ""hi""","1"' in text  # every field quoted, quotes doubled
+
+
+def test_flagship_plan_is_broadcast_not_sortmerge(spark):
+    plan = core_update_audit(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark):
+    q6 = queries()["tpch_q6_forecast_revenue"](spark, SF_DIR)
+    scan = [l for l in q6._jdf.queryExecution().toString().splitlines()
+            if "FileScan" in l]
+    assert scan, "no FileScan found"
+    line = scan[0]
+    # shipdate/discount/quantity predicates reach the scan
+    assert "l_shipdate" in line and "l_discount" in line
+    # only the 4 needed columns are read, not all 11
+    assert "l_orderkey" not in line.split("ReadSchema")[0].split("[")[1]
