@@ -43,3 +43,15 @@ def sort_page(df: DataFrame, order: Sequence[Column], page: int,
 def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
     """Sorted label list for filter combos (O3, index.html:194-201)."""
     return df.select(col).distinct().orderBy(col)
+
+
+def natural_sort_keys(c: Column) -> list[Column]:
+    """Numeric-aware sort keys for unit-number-like strings (O2's
+    ``localeCompare(..., {numeric:true})``, index.html:222-234):
+    ``A2 < A10`` because the comparison is (lowercased alpha prefix,
+    numeric value), not codepoints. Returns the key columns to pass to
+    ``orderBy`` — a sort-key *expression*, so the sort itself stays a
+    regular Spark range-partitioned sort at any scale."""
+    alpha = F.lower(F.regexp_extract(c.cast("string"), r"^([^0-9]*)", 1))
+    num = F.regexp_extract(c.cast("string"), r"(\d+)", 1).try_cast("long")
+    return [alpha, F.coalesce(num, F.lit(-1)), c.cast("string")]

@@ -68,6 +68,48 @@ def lsh_bucket_expr(vec_col: str, n_planes: int = 8) -> str:
             f"0L, (a, x) -> a + x)")
 
 
+def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    cell_col: str = "label", n_probe: int = 2) -> DataFrame:
+    """IVF-style approximate top-k: vectors are pre-assigned to coarse
+    cells (here the existing ``label`` column stands in for k-means cell
+    ids); a query scores only the ``n_probe`` cells whose centroids are
+    closest to it. Per-query work drops from |corpus| to
+    |corpus| * n_probe / n_cells; the centroid table is tiny and
+    broadcast. Recall is measured against :func:`cosine_topk` in tests.
+    """
+    from pyspark.sql import Window
+
+    # Cell centroids: per-dimension mean via posexplode + groupBy — one
+    # shuffle keyed by (cell, dim), combinable.
+    dims = (emb.select(cell_col, F.posexplode(vec_col).alias("dim", "x"))
+               .groupBy(cell_col, "dim").agg(F.avg("x").alias("m"))
+               .groupBy(cell_col)
+               .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+               .select(cell_col, F.expr("transform(s, p -> p.m)").alias("centroid")))
+    q = (emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    # rank cells per query by centroid cosine, keep n_probe
+    qc = (broadcast(q).crossJoin(broadcast(dims))
+          .select("query_id", "qv", cell_col,
+                  (ddot(F.col("qv"), F.col("centroid"))
+                   / (_norm(F.col("qv")) * _norm(F.col("centroid")))).alias("csim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc(cell_col))
+    probes = (qc.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= n_probe).select("query_id", "qv", cell_col))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                   cell_col)
+    scored = (broadcast(probes).join(c, cell_col)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      (ddot(F.col("qv"), F.col("cv"))
+                       / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+                  .filter(F.col("rank") <= k)
+                  .orderBy("query_id", "rank"))
+
+
 def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 8) -> DataFrame:

@@ -111,6 +111,15 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return out
 
 
+def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level term frequencies, top-k with deterministic tiebreak —
+    explode + partial-aggregated count, the canonical one-shuffle word
+    count."""
+    toks = (df.select(F.explode(tokens(F.col(text_col))).alias("term")))
+    return (toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("term")).limit(k))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint: rolling character hash of the
     full text. Identical documents → identical fingerprint; any edit →

@@ -167,6 +167,35 @@ FROM t
 )
 
 # ---------------------------------------------------------------------------
+# O2 — numeric-aware "natural" sort (localeCompare numeric:true)
+# ---------------------------------------------------------------------------
+
+_O2_ROWS = [("A2",), ("A10",), ("B1",), ("a3",), ("10",), ("2",), ("A2B",),
+            ("",), ("B-7",)]
+
+def _o2(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.serve import natural_sort_keys
+    from pyspark.sql import Window
+    df = _string_df(spark, _O2_ROWS, ["raw"])
+    w = Window.orderBy(*natural_sort_keys(F.col("raw")))
+    return df.select("raw", F.row_number().over(w).alias("pos"))
+
+
+register(
+    "o2_natural_sort",
+    _o2,
+    f"""
+WITH v AS (SELECT raw FROM {_values_sql(_O2_ROWS, ["raw"], ["VARCHAR"])})
+SELECT raw, CAST(ROW_NUMBER() OVER (ORDER BY
+         lower(regexp_extract(raw, '^([^0-9]*)', 1)),
+         COALESCE(TRY_CAST(regexp_extract(raw, '(\\d+)', 1) AS BIGINT), -1),
+         raw) AS INT) AS pos
+FROM v
+""",
+    doc="O2 natural sort: A2 < A10 via (alpha prefix, numeric value) keys.",
+)
+
+# ---------------------------------------------------------------------------
 # F16 — numpy.isclose tolerance compare (APN:430-434)
 # ---------------------------------------------------------------------------
 

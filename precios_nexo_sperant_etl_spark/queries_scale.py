@@ -17,9 +17,9 @@ from .operators.dedup_fuzzy import (MINHASH_A, MINHASH_B, exact_dedup,
                                     ngram_jaccard_pairs, simhash,
                                     simhash_near_pairs)
 from .operators.multimodal import attach_binary, extract_features
-from .operators.similarity import cosine_topk
+from .operators.similarity import cosine_topk, ivf_cosine_topk
 from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
-                             lang_id, quality_score, text_stats)
+                             lang_id, quality_score, text_stats, top_terms)
 from .operators.windows import sessionize, sliding_agg, tumbling_agg
 from .registry import register
 from .sources.tables import load_tables
@@ -292,6 +292,25 @@ SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _LANGS)},
 FROM h
 """,
     doc="Stopword-profile language ID with deterministic argmax.",
+)
+
+register(
+    "text_top_terms",
+    lambda spark, sf: top_terms(_t(spark, sf, "documents")),
+    f"""
+SELECT term, COUNT(*) AS freq
+FROM (SELECT unnest({_DUCK_TOKENS}) AS term FROM documents)
+GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20
+""",
+    doc="Corpus top-k term frequencies (one-shuffle word count).",
+)
+
+register(
+    "ann_ivf_topk",
+    lambda spark, sf: ivf_cosine_topk(_t(spark, sf, "embeddings"),
+                                      _ANN_QUERY_IDS, k=3),
+    None,  # centroid float means are partition-order-dependent → rows-only
+    doc="IVF-style ANN: probe the 2 nearest coarse cells only (approximate).",
 )
 
 register(

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
     exact_dedup, minhash_dedup_pairs, ngram_jaccard_pairs, simhash_near_pairs)
 from precios_nexo_sperant_etl_spark.operators.similarity import (cosine_topk,
+                                                                 ivf_cosine_topk,
                                                                  lsh_cosine_topk)
 
 DOCS = [
@@ -48,6 +49,25 @@ def test_simhash_identical_docs_distance_zero(spark):
     rows = simhash_near_pairs(_docs(spark), max_hamming=3).collect()
     d = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
     assert d[(0, 3)] == 0
+
+
+def test_ivf_cosine_recall_against_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, qids, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_cosine_topk(emb, qids, k=3, n_probe=2).collect()}
+    assert len(approx) == len(exact)  # still returns k per query
+    # The synthetic labels are not geometric clusters, so recall sits near
+    # the n_probe/n_cells floor (2/10) — assert it doesn't collapse BELOW
+    # that floor; with real k-means cells it climbs toward 1.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"IVF recall below random floor: {recall}"
+    # full-probe IVF must converge to the exact answer
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(emb, qids, k=3, n_probe=10).collect()}
+    assert full == exact
 
 
 def test_lsh_cosine_recall_against_bruteforce(spark):
