@@ -53,6 +53,30 @@ def key_set_difference(a: DataFrame, b: DataFrame, a_key: str, b_key: str) -> Da
     return left.join(right, on="key", how="left_anti").orderBy("key")
 
 
+def salted_left_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                     n_salts: int = 8,
+                     salt_source: str | None = None) -> DataFrame:
+    """Skew-resistant LEFT equi-join: hot join keys are spread across
+    ``n_salts`` reducers.
+
+    The left side gets a deterministic salt (hash of ``salt_source``, a
+    high-cardinality left column — any unique-ish id works); the right
+    side is replicated once per salt value, so every (key, salt) pair
+    still finds its match. Semantically identical to a plain left join
+    (verified by test), physically it splits a mega-key's rows across
+    ``n_salts`` tasks instead of one straggler. Use when the build side
+    is too big to broadcast AND keys are skewed beyond what AQE's
+    skew-join splitting handles.
+    """
+    keys = list(on)
+    src = F.col(salt_source) if salt_source else F.concat_ws("\x1f", *keys)
+    l_salted = left.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)))
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return (l_salted.join(r_salted, on=keys + ["_salt"], how="left")
+                    .drop("_salt"))
+
+
 def before_after(before: DataFrame, after: DataFrame, on: Sequence[str],
                  suffixes: tuple[str, str] = ("_Antes", "_Despues")) -> DataFrame:
     """Inner self-join aligning pre/post snapshots (J3, APN:473-476).

@@ -136,6 +136,108 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 )
 
 # ---------------------------------------------------------------------------
+# Q12-shaped: order-priority counts by line status (join + conditional agg)
+# ---------------------------------------------------------------------------
+
+def _q12(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linestatus")
+    o = t["orders"].select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("l_linestatus")
+              .agg(F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+                   F.sum((~high).cast("int")).cast("long").alias("low_line_count"))
+              .orderBy("l_linestatus"))
+
+
+register(
+    "tpch_q12_priority_shipping",
+    _q12,
+    """
+SELECT l_linestatus,
+       COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+    doc="Q12-shaped: fact-fact join + conditional boolean-sum aggregation.",
+)
+
+# ---------------------------------------------------------------------------
+# Q14-shaped: promo revenue share (join + ratio of conditional decimal sums)
+# ---------------------------------------------------------------------------
+
+def _q14(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    li = t["lineitem"].select("l_partkey", "l_extendedprice", "l_discount")
+    p = t["part"].select("p_partkey", "p_type")
+    disc = (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    promo = F.col("p_type") == "PROMO"
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (F.lit(100.0)
+         * F.sum(F.when(promo, disc).otherwise(F.lit(0).cast("decimal(18,4)")))
+             .cast("double")
+         / F.sum(disc).cast("double")).alias("promo_revenue_pct"))
+
+
+register(
+    "tpch_q14_promo_revenue",
+    _q14,
+    """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+    doc="Q14-shaped: dimension join + conditional decimal sums ratio.",
+)
+
+# ---------------------------------------------------------------------------
+# §3.3 serving loop as ONE query: filter → search → chart agg over the view
+# ---------------------------------------------------------------------------
+
+def _serving(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.pivot import pct_within_group
+    from .operators.serve import equality_filters, global_search
+    view = equality_filters(_t(spark, sf, "orders"), {"o_orderstatus": "F"})
+    view = global_search(view.withColumn("key_str", F.col("o_orderkey").cast("string")),
+                         "7", columns=["o_orderpriority", "key_str"]).drop("key_str")
+    return pct_within_group(view, "o_orderstatus", "o_orderpriority")
+
+
+register(
+    "serving_filtered_chart",
+    _serving,
+    """
+WITH view AS (
+  SELECT * FROM orders
+  WHERE o_orderstatus = 'F'
+    AND contains(lower(concat_ws(chr(31), o_orderpriority,
+                                 CAST(o_orderkey AS VARCHAR))), '7')),
+counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS count
+  FROM view GROUP BY 1, 2)
+SELECT o_orderstatus, o_orderpriority, count,
+       CAST(round_even(CAST(100 * count / SUM(count) OVER (PARTITION BY o_orderstatus)
+                       AS DECIMAL(20,17)), 2) AS DOUBLE) AS pct
+FROM counts
+""",
+    doc="§3.3 dashboard loop: dropdown filter + search + chart agg on the view.",
+)
+
+# ---------------------------------------------------------------------------
 # JSON props extraction over events (the one semi-structured column)
 # ---------------------------------------------------------------------------
 

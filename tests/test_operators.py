@@ -53,6 +53,23 @@ def test_dedup_tiebreak_on_ordinal(spark):
     assert out[0]["ordn"] == 2  # positional last-wins via explicit ordinal
 
 
+def test_salted_join_equivalent_to_plain(spark):
+    """Skew salting is a physical transform only: output must match the
+    plain left join exactly, including unmatched-left rows."""
+    from precios_nexo_sperant_etl_spark.operators.join import salted_left_join
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 99), ("miss", 1)],
+        "k string, lv int")
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("extra", "X")], "k string, rv string")
+    plain = {(r["k"], r["lv"], r["rv"]) for r in
+             left.join(right, "k", "left").collect()}
+    salted = {(r["k"], r["lv"], r["rv"]) for r in
+              salted_left_join(left, right, ["k"], n_salts=4,
+                               salt_source="lv").collect()}
+    assert salted == plain and ("miss", 1, None) in salted
+
+
 def test_isclose_semantics(spark):
     df = spark.createDataFrame(
         [(100.0, 100.0009), (100.0, 100.2), (None, None), (None, 5.0)],

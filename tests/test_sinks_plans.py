@@ -51,6 +51,18 @@ def test_write_json_records_and_document(spark, tmp_path):
     assert doc["cards"]["unidades_totales"] == 5 and doc["ñ"] == "sí"
 
 
+def test_json_records_roundtrip_via_read(spark, tmp_path):
+    """S12 (index.html:133-143): the serving side re-reads the published
+    records artifact — spark.read.json round-trips what S9 wrote."""
+    df = spark.createDataFrame([(1, "a", 2.5), (2, "b", None)],
+                               "id long, s string, v double")
+    out = str(tmp_path / "recs")
+    write_json_records(df, out)
+    back = spark.read.json(out)
+    got = {(r["id"], r["s"], r["v"]) for r in back.collect()}
+    assert got == {(1, "a", 2.5), (2, "b", None)}
+
+
 def test_write_csv_quote_all(spark, tmp_path):
     df = spark.createDataFrame([('say "hi"', 1)], "msg string, n int")
     out = str(tmp_path / "csv")
