@@ -53,6 +53,46 @@ def to_number(c: Column) -> Column:
             .otherwise(normalized.try_cast("double"))
 
 
+def to_number_pandas_udf():
+    """Arrow-batched pandas-UDF twin of :func:`to_number` — the documented
+    escape hatch for bit-exact parity with the reference's row-wise Python
+    on pathological inputs (SURVEY §2.10). ~10-100× slower than the
+    Column chain (leaves codegen, crosses to Python per batch); tests
+    assert the two agree on the golden table, so the fast path is the
+    default everywhere.
+    """
+    import pandas as pd  # noqa: F401 (resolved by the UDF's type hints)
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse_one(s):
+        if s is None:
+            return None
+        txt = str(s).strip().replace(" ", "")
+        if txt == "":
+            return None
+        if "," in txt and "." in txt:
+            if txt.rfind(",") > txt.rfind("."):
+                txt = txt.replace(".", "").replace(",", ".")
+            else:
+                txt = txt.replace(",", "")
+        elif "," in txt:
+            txt = txt.replace(".", "").replace(",", ".")
+        else:
+            parts = txt.split(".")
+            if len(parts) > 2:
+                txt = "".join(parts[:-1]) + "." + parts[-1]
+        try:
+            return float(txt)
+        except ValueError:
+            return None
+
+    def _to_number_batch(s: "pd.Series") -> "pd.Series":
+        return s.map(_parse_one)
+
+    _to_number_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_to_number_batch, "double")
+
+
 def safe_num(c: Column) -> Column:
     """Strictly es-PE numeric parse (``_safe_num``, python_json.py:64-78).
 

@@ -76,6 +76,32 @@ FROM orders GROUP BY 1 ORDER BY count DESC, value ASC
 )
 
 # ---------------------------------------------------------------------------
+# SQL-text interface: the engine is also driven by raw Spark SQL over
+# registered views — the SAME SQL string is the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_SQL_TEXT = """
+SELECT o_orderstatus, COALESCE(o_orderpriority, '__NA__') AS priority,
+       COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total
+FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, priority
+"""
+
+
+def _sql_text(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.tables import register_views
+    register_views(spark, sf)
+    return spark.sql(_SQL_TEXT)
+
+
+register(
+    "sql_text_interface",
+    _sql_text,
+    _SQL_TEXT,
+    doc="spark.sql() over registered views; identical SQL text is the oracle.",
+)
+
+# ---------------------------------------------------------------------------
 # A6b — per-group per-state counts (the KPI tree's por_estado subtree,
 # python_json.py:154-157), count-desc with deterministic tiebreak
 # ---------------------------------------------------------------------------

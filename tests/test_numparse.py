@@ -53,6 +53,18 @@ def test_safe_num_golden(spark):
     _run(spark, safe_num, F5_CASES)
 
 
+def test_pandas_udf_escape_hatch_agrees_with_column_chain(spark):
+    """The Arrow-batched pandas-UDF twin (the documented bit-exactness
+    escape hatch) must agree with the Catalyst chain on the golden table."""
+    from precios_nexo_sperant_etl_spark.functions.numparse import to_number_pandas_udf
+    udf = to_number_pandas_udf()
+    df = spark.createDataFrame([(c[0],) for c in F4_CASES], "raw string")
+    rows = df.select(to_number(F.col("raw")).alias("fast"),
+                     udf(F.col("raw")).alias("exact")).collect()
+    for r in rows:
+        assert r["fast"] == r["exact"] or (r["fast"] is None and r["exact"] is None)
+
+
 def test_f4_f5_divergence(spark):
     """The two parsers intentionally disagree on US-format input."""
     df = spark.createDataFrame([("1,234.56",)], "raw string")

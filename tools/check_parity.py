@@ -7,6 +7,12 @@ float that differs at all is reported with its max abs delta so
 decimal-accumulation fixes can be targeted.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+       python tools/check_parity.py --vanilla [sf_dir] [query ...]
+
+``--vanilla`` runs on an untuned SparkSession (default shuffle
+partitions, no engine conf) — the closest local stand-in for the
+driver's own session; results must be identical because every operator
+is partition-independent by construction.
 """
 
 from __future__ import annotations
@@ -72,8 +78,12 @@ def compare(name, spark_df, con, sql):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     qs, oracles = e.queries(), e.oracle_sql()
@@ -82,7 +92,15 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark()
+    if vanilla:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("parity-vanilla")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .getOrCreate())
+    else:
+        spark = get_spark()
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
