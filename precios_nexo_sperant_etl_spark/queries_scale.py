@@ -379,6 +379,67 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 )
 
 # ---------------------------------------------------------------------------
+# Temporal joins Spark lacks natively: as-of and banded range join —
+# DuckDB's native ASOF JOIN / inequality join are the oracles.
+# ---------------------------------------------------------------------------
+
+def _asof(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.temporal import asof_join
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("value").alias("p_value"))
+    return asof_join(clicks, purchases, on=["user_id"], left_ts="ts",
+                     right_ts="p_ts", right_vals=["p_value", "p_ts"],
+                     tiebreak="p_value")
+
+
+register(
+    "asof_join_click_purchase",
+    _asof,
+    """
+WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value
+           FROM events),
+clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts AS p_ts, value AS p_value
+          FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, c.ts, c.event_id,
+       p.p_value AS asof_p_value, p.p_ts AS asof_p_ts
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND p.p_ts <= c.ts
+""",
+    doc="As-of join via union + carry-forward window vs DuckDB native ASOF.",
+)
+
+
+def _range_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.temporal import range_join_within
+    e = _t(spark, sf, "events")
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", F.col("ts").alias("ts_view"))
+    buys = e.filter(F.col("event_type") == "purchase") \
+            .select("user_id", F.col("ts").alias("ts_buy"))
+    return range_join_within(views, buys, on=["user_id"],
+                             a_ts="ts_view", b_ts="ts_buy", max_gap_s=600)
+
+
+register(
+    "range_join_view_purchase",
+    _range_pairs,
+    """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events)
+SELECT DISTINCT a.user_id, a.ts AS ts_view, b.ts AS ts_buy
+FROM (SELECT user_id, ts FROM e WHERE event_type = 'view') a
+JOIN (SELECT user_id, ts FROM e WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600 * 1000000
+""",
+    doc="Banded range join (bucket equi-join + exact filter) vs inequality join.",
+)
+
+# ---------------------------------------------------------------------------
 # Multimodal: binary payload plumbing (metadata JVM-side; features via
 # Arrow-batched mapInPandas — still oracle-checkable because the stub
 # decode is deterministic)
