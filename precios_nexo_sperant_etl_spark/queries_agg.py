@@ -157,6 +157,31 @@ FROM counts
 )
 
 # ---------------------------------------------------------------------------
+# Rollup — hierarchical subtotals (hypertable-rollup-style aggregation;
+# beyond the reference's flat groupBys). NULL group keys are sentinel-
+# mapped so subtotal rows are distinguishable from genuine null groups.
+# ---------------------------------------------------------------------------
+
+register(
+    "rollup_status_priority",
+    lambda spark, sf: _t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(F.col("o_totalprice")).alias("total"))
+        .select(F.coalesce(F.col("o_orderstatus"), F.lit("__ALL__")).alias("status"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("__ALL__")).alias("priority"),
+                "n", "total"),
+    f"""
+SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
+       COALESCE(o_orderpriority, '__ALL__') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="Hierarchical rollup subtotals (status, priority, grand total).",
+)
+
+# ---------------------------------------------------------------------------
 # A10/A11 — distinct counts + deterministic top-k of value_counts
 # ---------------------------------------------------------------------------
 

@@ -42,6 +42,39 @@ def test_real_decode_is_explicit_stub():
         real_decode_placeholder(b"\x89PNG")
 
 
+def test_stateful_user_profiles_match_batch(spark):
+    """applyInPandasWithState running profiles: after draining all input,
+    each user's final state row must equal the batch groupBy answer."""
+    import tempfile
+
+    from precios_nexo_sperant_etl_spark.streaming.stateful import \
+        running_user_profiles
+
+    stream = running_user_profiles(stream_events(spark, SF_DIR))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (stream.writeStream.format("memory").queryName("profiles")
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    # last emitted row per user = final state
+    got = {}
+    for r in spark.table("profiles").collect():
+        got[r["user_id"]] = (r["n_events"], r["total_value"], r["event_types"])
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv"),
+                  F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+                   .alias("et"))
+             .collect())
+    assert len(got) == len(batch) > 0
+    for r in batch:
+        n, tv, et = got[r["user_id"]]
+        assert n == r["n"] and et == r["et"]
+        assert abs(tv - r["tv"]) < 1e-6
+
+
 def test_streaming_matches_batch_tumbling(spark):
     """AvailableNow streaming run must agree with the batch plan for every
     window it emits (append mode withholds windows the final watermark
