@@ -48,6 +48,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).alias("n_copies")))
 
 
+def exact_dedup_survivors(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus itself: one full row per distinct
+    canonicalized text (minimum id wins). Implemented as a window rank so
+    the surviving rows keep ALL their columns — the operation a training
+    pipeline actually applies before tokenization."""
+    from pyspark.sql import Window
+    h = F.md5(canonical_text(F.col(text_col)))
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def shingle_expr(tokens_col: str, k: int = 3) -> str:
     """SQL expression: list of k-gram shingles (space-joined) from a token
     array column; empty when the document is shorter than k tokens."""

@@ -136,6 +136,39 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 )
 
 # ---------------------------------------------------------------------------
+# Q4-shaped: orders with at least one late line — LEFT SEMI join (the
+# physical operator behind EXISTS; J2's flag variant is in the flagship)
+# ---------------------------------------------------------------------------
+
+def _q4(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")))
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    exists = o.join(late, (F.col("o_orderkey") == F.col("l_orderkey"))
+                    & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+    return (exists.groupBy("o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("order_count"))
+                  .orderBy("o_orderpriority"))
+
+
+register(
+    "tpch_q4_order_priority",
+    _q4,
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="Q4-shaped: EXISTS as a LEFT SEMI join with a non-equi residual.",
+)
+
+# ---------------------------------------------------------------------------
 # Q12-shaped: order-priority counts by line status (join + conditional agg)
 # ---------------------------------------------------------------------------
 

@@ -13,9 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dedup_fuzzy import (MINHASH_A, MINHASH_B, exact_dedup,
-                                    minhash_dedup_pairs, minhash_signatures,
-                                    ngram_jaccard_pairs, simhash,
-                                    simhash_near_pairs)
+                                    exact_dedup_survivors, minhash_dedup_pairs,
+                                    minhash_signatures, ngram_jaccard_pairs,
+                                    simhash, simhash_near_pairs)
 from .operators.multimodal import attach_binary, extract_features
 from .operators.similarity import cosine_topk, ivf_cosine_topk
 from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
@@ -80,6 +80,19 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
 FROM documents GROUP BY 1
 """,
     doc="Exact dedup: md5 of canonicalized text, min-id survivor per group.",
+)
+
+register(
+    "dedup_exact_survivors",
+    lambda spark, sf: exact_dedup_survivors(_t(spark, sf, "documents")),
+    """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id ASC) AS rn
+  FROM documents) t WHERE rn = 1
+""",
+    doc="The deduplicated corpus: full surviving rows (min-id per text hash).",
 )
 
 # ---------------------------------------------------------------------------

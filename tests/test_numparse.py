@@ -65,6 +65,27 @@ def test_pandas_udf_escape_hatch_agrees_with_column_chain(spark):
         assert r["fast"] == r["exact"] or (r["fast"] is None and r["exact"] is None)
 
 
+def test_random_corpus_cross_implementation_agreement(spark):
+    """Property-style sweep: 500 seeded pseudo-random separator-soup
+    strings must parse identically through the two independent F4
+    implementations (Catalyst chain vs row-wise Python twin)."""
+    import random
+
+    from precios_nexo_sperant_etl_spark.functions.numparse import to_number_pandas_udf
+
+    rng = random.Random(42)
+    alphabet = "0123456789.,- x"
+    corpus = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+              for _ in range(500)]
+    df = spark.createDataFrame([(s,) for s in corpus], "raw string").coalesce(4)
+    rows = df.select("raw", to_number(F.col("raw")).alias("fast"),
+                     to_number_pandas_udf()(F.col("raw")).alias("exact")).collect()
+    bad = [(r["raw"], r["fast"], r["exact"]) for r in rows
+           if r["fast"] != r["exact"]
+           and not (r["fast"] is None and r["exact"] is None)]
+    assert not bad, f"{len(bad)} disagreements, e.g. {bad[:5]}"
+
+
 def test_f4_f5_divergence(spark):
     """The two parsers intentionally disagree on US-format input."""
     df = spark.createDataFrame([("1,234.56",)], "raw string")
