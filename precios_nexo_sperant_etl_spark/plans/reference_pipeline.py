@@ -18,7 +18,7 @@ from pyspark.sql.functions import broadcast
 from ..functions.normalize import intlike_canon, norm_key
 from ..operators.audit import audit_summary, change_flags
 from ..operators.dedup import dedup_keep_latest
-from ..operators.join import key_set_difference
+from ..operators.join import key_set_difference, left_enrich
 from ..operators.update import coalesce_update, tower_prefix
 from ..sources.ingest import COL_ESTADO, COL_NUMERO, COL_PRECIO
 
@@ -74,10 +74,10 @@ def update_prices(nexo: DataFrame, sperant: DataFrame,
     left = prepare_nexo(nexo)
     right = prepare_sperant(sperant, dedup_rule)
 
-    merged = left.join(
-        broadcast(right.select("_key_proy", "_key_num", "precio_lista",
-                               "estado_comercial")),
-        on=["_key_proy", "_key_num"], how="left")
+    merged = left_enrich(
+        left,
+        right.select("_key_proy", "_key_num", "precio_lista", "estado_comercial"),
+        on=["_key_proy", "_key_num"])
 
     to_num = F.col(COL_PRECIO).cast("double")
     merged = (merged

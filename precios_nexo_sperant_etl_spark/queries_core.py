@@ -7,8 +7,6 @@ nation = project.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
-
 from .plans.price_pipeline import core_enriched, core_update_audit, latest_order_snapshot
 from .operators.join import key_set_difference
 from .registry import register

@@ -9,7 +9,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .functions.exact import dsum
 from .registry import register
 from .sources.tables import load_tables
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..functions.normalize import clean_col_name, norm_key
+from ..functions.normalize import clean_col_name
 from ..functions.numparse import to_number
 
 #: Canonical target columns (Actualizar_Precios_de_Nexo.py:55-57).

@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType, TimestampNTZType)
+                               StructType)
 
 #: Raw schema of events.parquet under nanosAsLong (ts arrives as int64 ns).
 _RAW_SCHEMA = StructType([
