@@ -212,6 +212,23 @@ ORDER BY count DESC, c_nationkey ASC LIMIT 10
 )
 
 # ---------------------------------------------------------------------------
+# P10 — scatter-plot positive-pair filter (index_2.html:337-342)
+# ---------------------------------------------------------------------------
+
+register(
+    "p10_scatter_points",
+    lambda spark, sf: _t(spark, sf, "part")
+        .filter((F.col("p_size") > 0) & (F.col("p_retailprice") > 0))
+        .select("p_partkey", F.col("p_size").alias("x"),
+                F.col("p_retailprice").alias("y")),
+    """
+SELECT p_partkey, p_size AS x, p_retailprice AS y
+FROM part WHERE p_size > 0 AND p_retailprice > 0
+""",
+    doc="P10: drop non-plottable points before the scatter aggregation.",
+)
+
+# ---------------------------------------------------------------------------
 # O2/O4 — total-order sort + offset/limit pagination
 # ---------------------------------------------------------------------------
 
