@@ -60,6 +60,9 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # Release per-query persists (e.g. the LSH shingle cache) so one
+        # query's cache never occupies executor storage for the next.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -55,13 +55,53 @@ def dedup_keep_last(df: DataFrame, keys: Sequence[str],
 
 
 def add_row_id(df: DataFrame, order_by: Sequence[str | Column],
-               name: str = "_rowid") -> DataFrame:
-    """Dense, deterministic 0-based row id (APN:336 ``range(len(df))``).
+               name: str = "_rowid", num_partitions: int | None = None) -> DataFrame:
+    """Dense, deterministic 0-based row id (APN:336 ``range(len(df))``)
+    — the distributed two-pass ``zipWithIndex`` pattern, never a
+    single-task global window.
 
-    A global ``row_number`` over an explicit total order. Note for 100 TB:
-    an unpartitioned window serializes through one task — use only on
-    already-reduced data, or accept ``monotonically_increasing_id`` when
-    mere uniqueness suffices (SURVEY §4.2).
+    Plan: range-repartition on the order keys (global order across
+    partitions, ties co-located), sort within partitions, then derive
+    (partition, local-index) from ``monotonically_increasing_id``
+    arithmetic (pid = id >> 33, consecutive local index = low 33 bits —
+    a narrow op, no window, no extra shuffle). Per-partition counts are
+    aggregated (tiny: one row per partition), turned into cumulative
+    offsets, and broadcast-joined back: ``row_id = offset + local_index``.
+    The fact table is shuffled exactly once (the range exchange, reused
+    by both the count and the output branch); the only single-partition
+    work is the offsets cumsum over ≤ ``num_partitions`` rows.
+
+    The tagged frame is persisted (memory-and-disk) before the counts
+    pass: ``repartitionByRange`` samples its boundaries with a fresh seed
+    per execution, so without pinning the materialized partitioning the
+    counts job and the output job would each re-sample and see
+    *different* layouts (empirically: ~95% of ids wrong at sf0.01).
+    Persisting is the same cost model as ``RDD.zipWithIndex`` — one
+    materialization plus a tiny counts job — and is inherent to dense
+    global ids; callers that only need uniqueness should use
+    ``monotonically_increasing_id`` directly. The cache is dropped by
+    the first action's GC or an explicit ``df.unpersist()`` upstream.
     """
-    w = Window.orderBy(*order_by)
-    return df.withColumn(name, F.row_number().over(w) - F.lit(1))
+    from pyspark import StorageLevel
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (df.repartitionByRange(n, *order_cols)
+                .sortWithinPartitions(*order_cols))
+    # _mid gets its own projection: a stateful nondeterministic expression
+    # referenced twice must be evaluated once (CollapseProject refuses to
+    # inline it, so the derived pid/idx always read one shared value).
+    tagged = (ranged
+              .select("*", F.monotonically_increasing_id().alias("_mid"))
+              .select("*",
+                      F.shiftright(F.col("_mid"), 33).alias("_pid"),
+                      F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_idx"))
+              .drop("_mid")
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    counts = tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(cum), F.lit(0)).alias("_off"))
+    return (tagged.join(F.broadcast(offsets), "_pid")
+                  .withColumn(name, (F.col("_off") + F.col("_idx")).cast("int"))
+                  .drop("_pid", "_idx", "_off"))

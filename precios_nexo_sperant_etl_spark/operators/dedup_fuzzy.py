@@ -10,9 +10,10 @@ Scale design notes (the part that matters at 100 TB):
   band-hash) buckets, so only near-duplicates ever meet in a reducer.
   Skewed buckets (boilerplate text) are the known hazard — AQE skew-join
   handles moderate skew; degenerate buckets should be capped upstream.
-- **SimHash** here verifies candidates with an all-pairs XOR/popcount,
-  fine at test scale; the scale path is banding the signature bytes into
-  buckets exactly like MinHash-LSH.
+- **SimHash** candidate generation is exact pigeonhole banding
+  (``max_hamming + 1`` signature chunks → equi-join on chunk buckets),
+  with XOR/popcount verification of survivors — same bucket-join shape
+  as MinHash-LSH, never all-pairs.
 - All hashes are portable polynomial folds (see ``text.char_hash_expr``)
   so DuckDB oracles reproduce them bit-for-bit — no engine-private hash
   functions in any semantic output.
@@ -150,7 +151,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
     The shingle set feeds three consumers (signatures, Jaccard numerator,
     set sizes); persisting it turns an O(5×) recompute of the explode +
-    hash subtree into one materialization.
+    hash subtree into one materialization. Cache lifetime is owned by the
+    caller: run ``spark.catalog.clearCache()`` (or ``.unpersist()`` on
+    the input) once the result is materialized — the bench/parity
+    harnesses do this between queries.
     """
     hashed = shingle_hashes(df, text_col, id_col, k).persist()
     sigs = minhash_signatures(df, text_col, id_col, k, hashed=hashed)
@@ -197,13 +201,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       n_bits: int = 16) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance on the 16-bit signature.
 
-    Test-scale verification uses the all-pairs XOR/popcount; at scale,
-    band the signature into chunks and equi-join buckets first (same
-    pattern as MinHash-LSH) so only colliding chunks meet.
+    Candidate generation is EXACT banding, never all-pairs: split the
+    signature into ``max_hamming + 1`` equal-width chunks; by pigeonhole,
+    two signatures within Hamming ``max_hamming`` agree exactly on at
+    least one chunk, so an equi-join on (chunk-id, chunk-value) finds
+    every qualifying pair. Survivors are then verified with the exact
+    XOR/popcount. Same plan shape as :func:`minhash_band_pairs` — the
+    shuffle carries (chunk, value) buckets, and only colliding chunks
+    ever meet in a reducer, so cost scales with collisions, not n².
+    (The r1 crossJoin version is preserved as
+    :func:`simhash_near_pairs_allpairs` for test cross-checks.)
     """
+    n_chunks = max_hamming + 1
+    assert n_bits % n_chunks == 0, "signature width must split into equal chunks"
+    cw = n_bits // n_chunks
+    mask = (1 << cw) - 1
+    sigs = simhash(df, text_col, id_col, n_bits)
+    chunks = [
+        sigs.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * cw)
+                     .bitwiseAND(F.lit(mask)).alias("cv"))
+        for c in range(n_chunks)
+    ]
+    buckets = chunks[0]
+    for other in chunks[1:]:
+        buckets = buckets.unionByName(other)
+    a = buckets.select(F.col(id_col).alias("doc_a"),
+                       F.col("simhash").alias("sh_a"), "chunk", "cv")
+    b = buckets.select(F.col(id_col).alias("doc_b"),
+                       F.col("simhash").alias("sh_b"), "chunk", "cv")
+    cand = (a.join(b, on=["chunk", "cv"], how="inner")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sh_a", "sh_b")
+             .distinct())
+    dist = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (cand.select("doc_a", "doc_b", dist.alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming)
+                .orderBy("doc_a", "doc_b"))
+
+
+def simhash_near_pairs_allpairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                max_hamming: int = 3) -> DataFrame:
+    """All-pairs XOR/popcount oracle for :func:`simhash_near_pairs` —
+    O(n²), test scale only; kept so pytest can assert the banded plan is
+    lossless."""
     sigs = simhash(df, text_col, id_col)
     a = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))

@@ -33,6 +33,32 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def _word_set_pattern(words: tuple[str, ...]) -> str:
+    """Java regex matching exactly the tokens that equal one of ``words``
+    under whitespace tokenization: the alternation bounded by zero-width
+    token edges. ``(?:^|(?<=\\s))`` / ``(?=\\s|$)`` consume nothing, so
+    consecutive stopwords each match; backtracking resolves prefix
+    conflicts ('de' vs 'des') exactly like token equality would.
+    """
+    alt = "|".join(dict.fromkeys(words))  # dedupe, keep order
+    return rf"(?:^|(?<=\s))(?:{alt})(?=\s|$)"
+
+
+def word_set_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens of ``text`` that are members of ``words``.
+
+    Semantically identical to
+    ``F.size(F.filter(tokens(text), t -> t.isin(*words)))`` but stays in
+    whole-stage codegen: higher-order-function lambdas are
+    expression-interpreted per token, while ``regexp_count`` runs one
+    compiled-regex scan per document — the difference was 10.1s → ~1s for
+    text_stats at sf0.1 (VERDICT r1 finding 1). DuckDB oracles keep the
+    list_filter form (RE2 lacks lookarounds); the two sides agree because
+    both count exact token membership.
+    """
+    return F.regexp_count(F.trim(text), F.lit(_word_set_pattern(words))).cast("int")
+
+
 def char_hash_expr(s: str) -> str:
     """SQL for the rolling character hash of string expression ``s``:
     left fold of ``acc*31 + ascii(char) (mod P)``. The same fold is
@@ -63,7 +89,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     length, stopword ratio — the raw material of quality filters."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_hits = word_set_hits(F.col(text_col), STOPWORDS)
     return df.select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
@@ -80,7 +106,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     diversity = F.size(F.array_distinct(toks)) / n_tok
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok
+    stop_ratio = word_set_hits(F.col(text_col), STOPWORDS) / n_tok
     length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     score = F.bround(0.4 * length_score + 0.4 * diversity + 0.2 * stop_ratio, 4)
     return df.select(F.col(id_col), score.alias("quality"))
@@ -91,12 +117,8 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     the max (ties and zero evidence → 'und'). A real system would use
     character n-gram models; the *shape* — per-language hit counts reduced
     to an argmax, all JVM-side — is the scalable part."""
-    toks = tokens(F.col(text_col))
-
     def _hits(ws: tuple[str, ...]):
-        # NB: the lambda must be unary — F.filter feeds a second (index)
-        # argument to two-parameter lambdas.
-        return F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
+        return word_set_hits(F.col(text_col), ws).cast("long")
 
     hits = {lang: _hits(ws) for lang, ws in LANG_PROFILES.items()}
     langs = list(LANG_PROFILES)

@@ -43,12 +43,21 @@ def prepare_sperant(sperant: DataFrame,
     casts, key derivation, projection, W1 dedup (latest
     ``fecha_actualizacion`` wins; pandas sorts NaT *last*, so an undated
     row beats any dated one — reproduced via desc_nulls_first; ``_ord``
-    is the positional tiebreak)."""
+    is the positional tiebreak). A *string* ``fecha_actualizacion`` (the
+    usual Sperant-export shape) is coerced via F8
+    (``pd.to_datetime(errors="coerce")``, APN:137): junk → NULL."""
+    from pyspark.sql.types import StringType
+
+    from ..functions.dates import to_datetime_coerce
+
     df = sperant
     for c in (*SPERANT_KEYS, *SPERANT_VALS):
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast(
                 "timestamp" if c == "fecha_actualizacion" else "string"))
+    if isinstance(df.schema["fecha_actualizacion"].dataType, StringType):
+        df = df.withColumn("fecha_actualizacion",
+                           to_datetime_coerce(F.col("fecha_actualizacion")))
     if "_ord" not in df.columns:
         df = df.withColumn("_ord", F.monotonically_increasing_id())
     df = (df.withColumn("_key_proy", norm_key(F.col("nombre_proyecto")))

@@ -362,7 +362,7 @@ WITH snap AS (
   SELECT o_custkey, o_totalprice, o_orderstatus FROM (
     SELECT o_custkey, o_totalprice, o_orderstatus,
            ROW_NUMBER() OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                              ORDER BY o_orderdate DESC NULLS FIRST, o_orderkey DESC) AS rn
     FROM orders) t WHERE rn = 1),
 detail AS (
   SELECT c.c_custkey,

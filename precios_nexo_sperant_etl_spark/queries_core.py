@@ -25,7 +25,7 @@ WITH snap AS (
   SELECT o_custkey, o_totalprice, o_orderstatus FROM (
     SELECT o_custkey, o_totalprice, o_orderstatus,
            ROW_NUMBER() OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                              ORDER BY o_orderdate DESC NULLS FIRST, o_orderkey DESC) AS rn
     FROM orders) t WHERE rn = 1),
 enriched AS (
   SELECT c.c_custkey, n.n_name,
@@ -85,7 +85,7 @@ register(
 SELECT o_custkey, o_totalprice, o_orderstatus, o_orderdate FROM (
   SELECT o_custkey, o_totalprice, o_orderstatus, o_orderdate,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                            ORDER BY o_orderdate DESC NULLS FIRST, o_orderkey DESC) AS rn
   FROM orders) t WHERE rn = 1
 """,
     doc="W1 window dedup: keep latest row per key with deterministic tiebreak.",

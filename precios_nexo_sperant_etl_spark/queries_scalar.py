@@ -278,3 +278,34 @@ FROM v
 """,
     doc="P12: spreadsheet junk strings normalized to NULL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# F8 — to_datetime coercion (APN:137 pd.to_datetime(errors="coerce"))
+# ---------------------------------------------------------------------------
+
+_F8_ROWS = [
+    ("2024-01-15",), ("2024-01-15 13:45:09",), ("15/01/2024",),
+    ("2024-13-01",), ("31/02/2024",), ("pronto",), ("",), ("  ",),
+    (None,), ("2024-02-29 00:00:00",), ("29/02/2023",), (" 2024-06-01 ",),
+]
+
+
+def _f8(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.dates import to_datetime_coerce
+    return _string_df(spark, _F8_ROWS, ["raw"]).select(
+        F.col("raw"), to_datetime_coerce(F.col("raw")).alias("parsed"))
+
+
+register(
+    "f8_to_datetime",
+    _f8,
+    f"""
+WITH v AS (SELECT raw FROM {_values_sql(_F8_ROWS, ["raw"], ["VARCHAR"])})
+SELECT raw,
+  COALESCE(TRY_CAST(trim(raw) AS TIMESTAMP),
+           try_strptime(trim(raw), '%d/%m/%Y')) AS parsed
+FROM v
+""",
+    doc="F8 pd.to_datetime(errors='coerce'): ISO + es-PE dd/MM/yyyy; junk → NULL.",
+)

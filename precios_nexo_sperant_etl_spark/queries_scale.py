@@ -401,12 +401,16 @@ def _asof(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     clicks = e.filter(F.col("event_type") == "click") \
               .select("event_id", "user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase") \
-                 .select("user_id", F.col("ts").alias("p_ts"),
-                         F.col("value").alias("p_value"))
+    # The right side is deduped to ONE row per (key, ts) with an explicit
+    # rule (max value) BEFORE the as-of join: DuckDB's native ASOF JOIN
+    # does not specify which duplicate-timestamp row wins, so parity must
+    # not rest on its tie behavior (ADVICE r1). Same GROUP BY in the
+    # oracle below.
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                  .groupBy("user_id", F.col("ts").alias("p_ts"))
+                  .agg(F.max("value").alias("p_value")))
     return asof_join(clicks, purchases, on=["user_id"], left_ts="ts",
-                     right_ts="p_ts", right_vals=["p_value", "p_ts"],
-                     tiebreak="p_value")
+                     right_ts="p_ts", right_vals=["p_value", "p_ts"])
 
 
 register(
@@ -416,8 +420,8 @@ register(
 WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value
            FROM events),
 clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
-purch AS (SELECT user_id, ts AS p_ts, value AS p_value
-          FROM e WHERE event_type = 'purchase')
+purch AS (SELECT user_id, ts AS p_ts, MAX(value) AS p_value
+          FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
 SELECT c.user_id, c.ts, c.event_id,
        p.p_value AS asof_p_value, p.p_ts AS asof_p_ts
 FROM clicks c ASOF LEFT JOIN purch p

@@ -59,9 +59,9 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import queries_agg, queries_core, queries_joins, queries_scalar  # noqa: F401
-    try:
-        from . import queries_scale  # noqa: F401
-    except ImportError:
-        pass
+    # No try/except: a broken import here must fail loudly — swallowing it
+    # would silently shrink queries()/oracle_sql() and the driver's
+    # correctness gate would pass without checking the lost queries.
+    from . import (queries_agg, queries_core, queries_joins,  # noqa: F401
+                   queries_scalar, queries_scale)
     _LOADED = True

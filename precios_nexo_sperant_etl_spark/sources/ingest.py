@@ -128,6 +128,11 @@ def ingest_sheet(spark: SparkSession, rows: Sequence[Sequence[object]],
             named = named.withColumn(c, F.lit(None).cast("string"))
 
     named = named.withColumn(COL_PRECIO, to_number(F.col(COL_PRECIO)))
+    # The reference overwrites any pre-existing Proyecto column
+    # (APN:233 ``df['Proyecto'] = project``); dropping first avoids a
+    # duplicate column name that would make F.col('Proyecto') ambiguous.
+    if "Proyecto" in named.columns:
+        named = named.drop("Proyecto")
     return named.select(F.lit(project).alias("Proyecto"), "*")
 
 

@@ -122,6 +122,7 @@ def main():
                 print(f"      {p}")
         else:
             print(f"  ✓ {name} [{time.time()-t0:.1f}s]")
+        spark.catalog.clearCache()  # drop per-query persists between queries
 
     print(f"\n{len(failed)} failed" + (f": {failed}" if failed else ""))
     sys.exit(1 if failed else 0)
