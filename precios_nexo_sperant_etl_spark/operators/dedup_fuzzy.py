@@ -220,7 +220,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     assert n_bits % n_chunks == 0, "signature width must split into equal chunks"
     cw = n_bits // n_chunks
     mask = (1 << cw) - 1
-    sigs = simhash(df, text_col, id_col, n_bits)
+    # One signature row per document — tiny relative to the corpus. The
+    # self-join references it twice; persisting avoids recomputing the
+    # token explode + bit-vote agg for each side (and lets AQE broadcast
+    # the bucket build side when it fits). Lifetime: caller/harness
+    # clears caches between queries.
+    sigs = simhash(df, text_col, id_col, n_bits).persist()
     chunks = [
         sigs.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),
                     F.shiftright(F.col("simhash"), c * cw)
@@ -234,14 +239,29 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        F.col("simhash").alias("sh_a"), "chunk", "cv")
     b = buckets.select(F.col(id_col).alias("doc_b"),
                        F.col("simhash").alias("sh_b"), "chunk", "cv")
-    cand = (a.join(b, on=["chunk", "cv"], how="inner")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b", "sh_a", "sh_b")
-             .distinct())
+    # A pair whose signatures agree on several chunks would surface once
+    # per agreeing chunk; instead of deduping with a distinct (a full
+    # shuffle of the output), keep a pair only in its FIRST agreeing
+    # chunk — the standard emit-on-first-band LSH trick. "First agreeing
+    # chunk" is a pure codegen expression over (sh_a, sh_b), so dedup
+    # costs zero exchanges; so is the XOR/popcount verification. The
+    # only shuffles in the whole plan are the bucket equi-join and the
+    # final presentation sort.
+    def _chunk(col, c):
+        return F.shiftright(col, c * cw).bitwiseAND(F.lit(mask))
+
+    first_match = F.lit(None).cast("int")
+    for c in reversed(range(n_chunks)):
+        first_match = F.when(
+            _chunk(F.col("sh_a"), c) == _chunk(F.col("sh_b"), c),
+            F.lit(c)).otherwise(first_match)
     dist = F.bit_count(F.expr("sh_a ^ sh_b"))
-    return (cand.select("doc_a", "doc_b", dist.alias("hamming"))
-                .filter(F.col("hamming") <= max_hamming)
-                .orderBy("doc_a", "doc_b"))
+    return (a.join(b, on=["chunk", "cv"], how="inner")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .filter(F.col("chunk") == first_match)
+             .select("doc_a", "doc_b", dist.alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .orderBy("doc_a", "doc_b"))
 
 
 def simhash_near_pairs_allpairs(df: DataFrame, text_col: str = "text",

@@ -145,6 +145,55 @@ def union_projects(dfs: Sequence[DataFrame]) -> DataFrame:
     return out
 
 
+def ingest_project_files(spark: SparkSession, archivos: dict[str, str],
+                         reader=None, header_row: int | None = None,
+                         on_skip=None) -> DataFrame:
+    """S5 tolerant fan-in (APN:186-230): per-project file map → one union.
+
+    Mirrors the reference's error budget exactly:
+
+    - missing path → warn and skip (``print(f"❌ No encontrado: ...")``)
+    - per-file read/parse exception → warn and skip (the APN:229
+      ``except Exception`` around the whole per-file block)
+    - **zero** successful loads → ``RuntimeError`` (APN:231-232) — a
+      silent empty union would let downstream stages "succeed" on
+      nothing, which is the one failure the reference refuses to mask.
+
+    ``reader(path) -> rows`` supplies the raw row matrix (defaults to the
+    tolerant .xls shim; inject a fake for tests / other formats).
+    ``on_skip(project, reason)`` observes skips (defaults to a log
+    warning) so fleets can alert on degraded ingests rather than
+    discovering them in the row counts.
+    """
+    import logging
+
+    if reader is None:
+        from .excel import read_xls_rows
+        reader = read_xls_rows
+    if on_skip is None:
+        log = logging.getLogger(__name__)
+        on_skip = lambda project, reason: log.warning(  # noqa: E731
+            "skipping %s: %s", project, reason)
+
+    import os
+
+    loaded = []
+    for project, path in archivos.items():
+        if isinstance(path, str) and not os.path.exists(path):
+            on_skip(project, f"not found: {path}")
+            continue
+        try:
+            rows = reader(path)
+            loaded.append(ingest_sheet(spark, rows, project, header_row))
+        except Exception as ex:  # noqa: BLE001 — per-file tolerance is the op
+            on_skip(project, f"{type(ex).__name__}: {ex}")
+    if not loaded:
+        raise RuntimeError(
+            "No project file could be read — check paths and formats "
+            "(reference: 'No se leyó ningún .xls')")
+    return union_projects(loaded)
+
+
 def drop_all_null_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """P7 (python_json.py:130): remove rows where every column is null."""
     return df.na.drop(how="all", subset=list(subset) if subset else None)

@@ -61,6 +61,43 @@ def write_csv_quoted(df: DataFrame, path: str) -> None:
        .csv(path))
 
 
+def write_audit_workbook(resumen: DataFrame, solo_nexo: DataFrame,
+                         solo_sperant: DataFrame, path: str) -> list[str]:
+    """S7 (APN:482-487): the 3-sheet audit workbook — ONE file with sheets
+    ``Resumen`` / ``Solo_en_df_total`` / ``Solo_en_sperant``, fed by
+    ``update_prices``' ``resumen``/``solo_nexo``/``solo_sperant`` outputs.
+
+    All three inputs are already reduced (≤ |projects| rows), so the
+    driver-side ``toPandas`` is bounded regardless of fact-table scale —
+    the same argument as the reference's own ``pd.ExcelWriter`` stage.
+    When no Excel engine is importable (this container), falls back to a
+    sibling directory with one CSV per sheet, same names, so the artifact
+    remains machine-checkable. Returns the written paths.
+    """
+    import pandas as pd
+
+    sheets = {
+        "Resumen": resumen.toPandas(),
+        "Solo_en_df_total": solo_nexo.toPandas(),
+        "Solo_en_sperant": solo_sperant.toPandas(),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        with pd.ExcelWriter(path) as xw:
+            for name, pdf in sheets.items():
+                pdf.to_excel(xw, sheet_name=name, index=False)
+        return [path]
+    except (ImportError, ModuleNotFoundError):
+        out_dir = path[:-5] if path.endswith(".xlsx") else path + ".sheets"
+        os.makedirs(out_dir, exist_ok=True)
+        written = []
+        for name, pdf in sheets.items():
+            target = os.path.join(out_dir, f"{name}.csv")
+            pdf.to_csv(target, index=False)
+            written.append(target)
+        return written
+
+
 def write_excel_per_group(df: DataFrame, out_dir: str,
                           group_col: str = "Proyecto") -> list[str]:
     """S6/S8 xlsx shim: one workbook per group, driver-side, for outputs

@@ -83,3 +83,24 @@ def test_lsh_cosine_recall_against_bruteforce(spark):
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
     # every LSH result must be a genuine neighbor of its query
     assert all(q in qids for q, _ in approx)
+
+
+def test_simhash_banding_lossless_vs_allpairs(spark):
+    """Pigeonhole banding must find EXACTLY the pairs the O(n²) oracle
+    finds — banding is a candidate filter, never an approximation."""
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
+        simhash_near_pairs_allpairs)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {tuple(r) for r in simhash_near_pairs(docs).collect()}
+    allpairs = {tuple(r) for r in simhash_near_pairs_allpairs(docs).collect()}
+    assert banded == allpairs and banded
+
+
+def test_simhash_banded_plan_has_no_cross_join(spark):
+    """The scale guarantee: candidate generation is a bucket equi-join;
+    an all-pairs cross join must never appear in the physical plan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = simhash_near_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -58,3 +58,70 @@ def test_union_by_name_null_backfill(spark):
 def test_drop_all_null_rows(spark):
     df = spark.createDataFrame([("a", "1"), (None, None)], "x string, y string")
     assert drop_all_null_rows(df).count() == 1
+
+
+def test_tolerant_fan_in(spark, tmp_path):
+    """S5 (APN:186-230): missing file → skip, corrupt file → skip,
+    surviving files union; zero survivors → RuntimeError."""
+    import pytest
+
+    from precios_nexo_sperant_etl_spark.sources.ingest import ingest_project_files
+
+    good = tmp_path / "good.xls"
+    good.write_text("placeholder")
+    corrupt = tmp_path / "corrupt.xls"
+    corrupt.write_text("placeholder")
+
+    def reader(path):
+        if "corrupt" in str(path):
+            raise ValueError("simulated unreadable workbook")
+        return MESSY_SHEET
+
+    skips = []
+    df = ingest_project_files(
+        spark,
+        {"Matera": str(good), "Roto": str(corrupt),
+         "Fantasma": str(tmp_path / "absent.xls")},
+        reader=reader, on_skip=lambda p, r: skips.append((p, r)))
+    assert df.count() == 3  # only the good project's rows
+    assert {r["Proyecto"] for r in df.select("Proyecto").distinct().collect()} \
+        == {"Matera"}
+    assert {p for p, _ in skips} == {"Roto", "Fantasma"}
+
+    with pytest.raises(RuntimeError):
+        ingest_project_files(
+            spark, {"Fantasma": str(tmp_path / "absent.xls")}, reader=reader)
+
+
+def test_matera_duplicate_header_collapse(spark):
+    """Golden ingest test mirroring tablas_actualizadas/Matera.xlsx's
+    86-column layout: four headers each repeated ×4 plus alias headers.
+    Pins first-non-null left-to-right collapse and alias pick under the
+    duplicate storm (SURVEY 'what's hard' #3)."""
+    dup_names = ["Área Total", "Área Techada", "Precio m2", "Observación"]
+    singles = [f"extra {i:02d}" for i in range(86 - 4 - 4 * len(dup_names))]
+    header = (["codigo", "precio  lista", "estado", "Tipología"]
+              + [n for n in dup_names for _ in range(4)] + singles)
+    assert len(header) == 86
+
+    def spread(v):          # dup group: blank, empty, then two values
+        return [None, "", f"{v}-2", f"{v}-3"]
+
+    row1 = (["101", "1.500,75", "Disponible", "A-1"]
+            + sum((spread(n[:3]) for n in dup_names), [])
+            + [""] * len(singles))
+    row2 = (["102", "200", "Vendido", "B-2"]
+            + sum(([None, None, None, f"{n[:3]}-last"] for n in dup_names), [])
+            + [None] * len(singles))
+
+    df = ingest_sheet(spark, [header, row1, row2], project="Matera",
+                      header_row=0)
+    assert len(df.columns) == len(set(df.columns))        # no dup names survive
+    for c in (COL_NUMERO, COL_PRECIO, COL_ESTADO):        # aliases picked
+        assert c in df.columns, c
+    rows = {r[COL_NUMERO]: r for r in df.collect()}
+    for n in dup_names:
+        assert rows["101"][n] == f"{n[:3]}-2"   # first non-null left-to-right
+        assert rows["102"][n] == f"{n[:3]}-last"
+    assert rows["101"][COL_PRECIO] == 1500.75   # F4 parse survives the storm
+    assert rows["102"][COL_PRECIO] == 200.0

@@ -88,3 +88,33 @@ def test_q6_pushes_filters_and_prunes_columns(spark):
     assert "l_shipdate" in line and "l_discount" in line
     # only the 4 needed columns are read, not all 11
     assert "l_orderkey" not in line.split("ReadSchema")[0].split("[")[1]
+
+
+def test_audit_workbook_roundtrip(spark, tmp_path):
+    """S7 (APN:482-487): ONE audit workbook with sheets Resumen /
+    Solo_en_df_total / Solo_en_sperant; CSV-directory fallback when no
+    Excel engine is importable (this container). Round-trips the sf-scale
+    fixture pipeline's outputs either way."""
+    import os
+
+    import pandas as pd
+
+    from precios_nexo_sperant_etl_spark.plans.reference_pipeline import update_prices
+    from precios_nexo_sperant_etl_spark.sources.sinks import write_audit_workbook
+    from tests.test_reference_pipeline import _fixture
+
+    nexo, sperant = _fixture(spark)
+    out = update_prices(nexo, sperant)
+    path = str(tmp_path / "Resumen_cambios_por_proyecto.xlsx")
+    written = write_audit_workbook(out["resumen"], out["solo_nexo"],
+                                   out["solo_sperant"], path)
+    assert written
+    if written == [path]:  # a real Excel engine was available
+        sheets = pd.read_excel(path, sheet_name=None)
+    else:                  # fallback: one CSV per sheet, same names
+        sheets = {os.path.basename(p)[:-4]: pd.read_csv(p) for p in written}
+    assert set(sheets) == {"Resumen", "Solo_en_df_total", "Solo_en_sperant"}
+    assert sorted(sheets["Resumen"]["Proyecto"]) == ["Fenix", "Matera"]
+    assert list(sheets["Solo_en_sperant"]["Proyecto_solo_df_sperant"]) \
+        == ["Solitario", "matera"]
+    assert len(sheets["Solo_en_df_total"]) == 0
