@@ -38,6 +38,7 @@ HEADLINE = [
     "events_sessionize",        # session windows
     "dedup_exact",              # hash dedup over documents
     "minhash_dedup_pairs",      # shingle → MinHash → LSH → verify
+    "minhash_dedup_pairs_prod", # same plan at 128 perms / 16 bands
     "simhash_near_pairs",       # simhash + pair generation
     "ann_cosine_topk",          # embedding similarity
     "text_stats",               # token analytics

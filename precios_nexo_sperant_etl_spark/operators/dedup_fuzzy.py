@@ -27,9 +27,38 @@ from pyspark.sql import functions as F
 from .text import HASH_P, md5_hash
 
 #: MinHash permutation parameters (a*h + b mod P), fixed small primes.
+#: This 8-permutation set is the TOY config used by the hash-checked
+#: oracle queries; production uses :func:`minhash_params` below.
 MINHASH_A = (7, 11, 13, 17, 19, 23, 29, 31)
 MINHASH_B = (3, 5, 101, 2029, 4783, 9001, 104729, 999331)
 N_BANDS = 2  # 2 bands × 4 rows over the 8-signature
+
+#: Production LSH shape: 128 permutations in 16 bands of 8 rows.
+#: P(candidate | J) = 1 - (1 - J^8)^16 — the S-curve crosses 0.5 near
+#: J ≈ 0.65 and is ≈1 above J ≈ 0.85, with a low false-candidate rate
+#: below J ≈ 0.4: real near-dup-detection collision probabilities, vs
+#: the toy 2×4 shape whose curve is too shallow to separate. Same plan,
+#: bigger constants — the 100 TB story is unchanged.
+PROD_N_PERMS = 128
+PROD_N_BANDS = 16
+
+
+def minhash_params(n_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation parameters for any signature
+    width. The first 8 are the toy constants (so oracle SQL generated
+    from them never drifts); beyond that, a fixed LCG stream — portable,
+    seedless, and reproducible in SQL as plain literals."""
+    params = list(zip(MINHASH_A, MINHASH_B))[:n_perms]
+    x = 40503
+    while len(params) < n_perms:
+        x = (1103515245 * x + 12345) % HASH_P
+        # a stays < 2^14: shingle hashes are 48-bit (md5 prefix), and
+        # a*h must fit signed 64-bit under ANSI mode (no silent wrap) —
+        # 2^14 * 2^48 = 2^62. Same bound applies to the DuckDB oracle.
+        a = (x & 0x3FFF) or 1
+        x = (1103515245 * x + 12345) % HASH_P
+        params.append((a, x))
+    return params
 
 
 def canonical_text(col):
@@ -88,9 +117,12 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       hashed: DataFrame | None = None) -> DataFrame:
-    """8-permutation MinHash signature per document: min over shingle
-    hashes of ``(a_i*h + b_i) mod P``. Linear scan + one combinable agg.
+                       hashed: DataFrame | None = None,
+                       n_perms: int = 8) -> DataFrame:
+    """``n_perms``-permutation MinHash signature per document: min over
+    shingle hashes of ``(a_i*h + b_i) mod P``. Linear scan + one
+    combinable agg regardless of width — more permutations only widen
+    the agg row, they never add a shuffle.
 
     Pass ``hashed`` (from :func:`shingle_hashes`) to reuse an already
     materialized shingle set — the explode is the expensive part.
@@ -98,32 +130,41 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     if hashed is None:
         hashed = shingle_hashes(df, text_col, id_col, k)
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))]
+            for i, (a, b) in enumerate(minhash_params(n_perms))]
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """LSH candidate pairs: documents agreeing on all 4 signature rows of
-    at least one band. Equi-join on (band, band-hash) — never all-pairs."""
-    n_per_band = len(MINHASH_A) // N_BANDS
-    bands = []
-    for b in range(N_BANDS):
-        cols = [f"mh_{b * n_per_band + j}" for j in range(n_per_band)]
+def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                       n_bands: int = N_BANDS) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on ALL signature rows of
+    at least one band. Never all-pairs.
+
+    Plan shape: every band hash is folded in ONE projection over the
+    signature row (an array of (band, bh) structs, exploded), so the
+    signature aggregate upstream is computed exactly once — a bucket
+    self-JOIN would evaluate it once per join side. Buckets are then
+    grouped with ``collect_list`` (the only shuffle here) and pairs are
+    generated bucket-locally from the id list. Cost scales with
+    Σ bucket², i.e. with genuine collisions; degenerate buckets
+    (boilerplate-dominated corpora) are the known hazard — cap or sample
+    them upstream before running at 100 TB."""
+    n_perms = sum(1 for c in sigs.columns if c.startswith("mh_"))
+    n_per_band = n_perms // n_bands
+    folds = []
+    for b in range(n_bands):
         expr = F.lit(0).cast("long")
-        for c in cols:
-            expr = (expr * 131 + F.col(c)) % HASH_P
-        bands.append(sigs.select(F.col(id_col), F.lit(b).alias("band"),
-                                 expr.alias("bh")))
-    buckets = bands[0]
-    for other in bands[1:]:
-        buckets = buckets.unionByName(other)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (a.join(b, on=["band", "bh"], how="inner")
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("doc_a"),
-                     F.col(f"b.{id_col}").alias("doc_b"))
-             .distinct())
+        for j in range(n_per_band):
+            expr = (expr * 131 + F.col(f"mh_{b * n_per_band + j}")) % HASH_P
+        folds.append(F.struct(F.lit(b).alias("band"), expr.alias("bh")))
+    buckets = (sigs.select(F.col(id_col), F.explode(F.array(*folds)).alias("_b"))
+                   .select(id_col, "_b.band", "_b.bh"))
+    grouped = (buckets.groupBy("band", "bh")
+                      .agg(F.collect_list(id_col).alias("_ids"))
+                      .filter(F.size("_ids") >= 2))
+    return (grouped.select(F.explode("_ids").alias("doc_a"), "_ids")
+                   .select("doc_a", F.explode("_ids").alias("doc_b"))
+                   .filter(F.col("doc_a") < F.col("doc_b"))
+                   .distinct())
 
 
 def jaccard_pairs(hashed: DataFrame, pairs: DataFrame,
@@ -145,7 +186,8 @@ def jaccard_pairs(hashed: DataFrame, pairs: DataFrame,
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5, n_perms: int = 8,
+                        n_bands: int = N_BANDS) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band-bucket
     join → exact-Jaccard verify → threshold.
 
@@ -157,8 +199,9 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     harnesses do this between queries.
     """
     hashed = shingle_hashes(df, text_col, id_col, k).persist()
-    sigs = minhash_signatures(df, text_col, id_col, k, hashed=hashed)
-    pairs = minhash_band_pairs(sigs, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, k, hashed=hashed,
+                              n_perms=n_perms)
+    pairs = minhash_band_pairs(sigs, id_col, n_bands=n_bands)
     return (jaccard_pairs(hashed, pairs, id_col)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("doc_a", "doc_b"))

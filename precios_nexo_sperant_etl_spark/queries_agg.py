@@ -436,3 +436,71 @@ ORDER BY l_returnflag, l_linestatus
 """,
     doc="TPC-H Q1-shaped pricing summary; exact decimal product accumulation.",
 )
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation — all subtotal combinations in ONE pass (the engine
+# expands grouping sets map-side; never N separate scans)
+# ---------------------------------------------------------------------------
+
+def _cube(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+                   F.count(F.lit(1)).alias("n_rows"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                      "sum_qty", "n_rows")
+              .orderBy("returnflag", "linestatus"))
+
+
+register(
+    "cube_flag_status",
+    _cube,
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    doc="CUBE over (returnflag, linestatus): every subtotal combination in "
+        "one shuffle; NULL grouping slots surfaced as 'ALL'.",
+)
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (HLL distinct, quantile sketch) — checked by
+# bounding them against the exact answers INSIDE the query, so the oracle
+# can still hash-match: the exact values plus always-true bound flags.
+# ---------------------------------------------------------------------------
+
+def _approx(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("_hll"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_p50"))
+    return agg.select(
+        "exact_custkeys",
+        ((F.abs(F.col("_hll") - F.col("exact_custkeys"))
+          / F.col("exact_custkeys")) <= 0.05).alias("hll_within_5pct"),
+        "exact_p50",
+        ((F.abs(F.col("_p50") - F.col("exact_p50"))
+          / F.col("exact_p50")) <= 0.01).alias("p50_within_1pct"))
+
+
+register(
+    "approx_agg_bounds",
+    _approx,
+    """
+SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys,
+       TRUE AS hll_within_5pct,
+       quantile_cont(o_totalprice, 0.5) AS exact_p50,
+       TRUE AS p50_within_1pct
+FROM orders
+""",
+    doc="HLL distinct + quantile sketch vs exact, as oracle-checkable "
+        "bound flags: the sketches must land within their error budgets.",
+)

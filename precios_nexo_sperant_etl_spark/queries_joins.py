@@ -285,3 +285,173 @@ FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
 """,
     doc="JSON field extraction from the semi-structured props column.",
 )
+
+# ---------------------------------------------------------------------------
+# Q7-shaped: volume shipping between two nations — the classic two-role
+# dimension join (nation joined twice under different roles)
+# ---------------------------------------------------------------------------
+
+def _q7(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    supp = (t["supplier"].select("s_suppkey", "s_nationkey")
+            .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (t["customer"].select("c_custkey", "c_nationkey")
+            .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .select("c_custkey", "cust_nation"))
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate",
+                              "l_extendedprice", "l_discount")
+    disc = (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .filter(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("long").alias("l_year"))
+              .agg(F.sum(disc).cast("double").alias("revenue"))
+              .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+register(
+    "tpch_q7_volume_shipping",
+    _q7,
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="Q7-shaped: nation joined twice under different roles; per-year "
+        "decimal revenue between a nation pair.",
+)
+
+# ---------------------------------------------------------------------------
+# Q8-shaped: market share — ratio of conditional sums per year across a
+# 5-way join (both nation roles + region gate)
+# ---------------------------------------------------------------------------
+
+def _q8(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    region = t["region"].filter(F.col("r_name") == "REGION_0").select("r_regionkey")
+    cust_nation = (t["nation"]
+                   .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select(F.col("n_nationkey").alias("c_nk")))
+    cust = (t["customer"].select("c_custkey", "c_nationkey")
+            .join(broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nk"))
+            .select("c_custkey"))
+    supp = (t["supplier"].select("s_suppkey", "s_nationkey")
+            .join(broadcast(t["nation"].select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    promo_parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t["lineitem"].select("l_orderkey", "l_partkey", "l_suppkey",
+                              "l_extendedprice", "l_discount")
+    disc = (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    target = F.when(F.col("supp_nation") == "NATION_5", disc) \
+              .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (li.join(broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+              .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg((F.sum(target).cast("double")
+                    / F.sum(disc).cast("double")).alias("mkt_share"))
+              .orderBy("o_year"))
+
+
+register(
+    "tpch_q8_market_share",
+    _q8,
+    """
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n1.n_regionkey AND r_name = 'REGION_0'
+GROUP BY o_year ORDER BY o_year
+""",
+    doc="Q8-shaped: one nation's share of promo-part revenue in a region, "
+        "per year — conditional/total decimal-sum ratio over a 5-way join.",
+)
+
+# ---------------------------------------------------------------------------
+# Q2-shaped: min-cost supplier per part — the aggregate-subquery pattern
+# (window min == correlated MIN subquery), small-dim broadcast chain
+# ---------------------------------------------------------------------------
+
+def _q2(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    t = load_tables(spark, sf)
+    parts = t["part"].filter(F.col("p_size") < 10).select("p_partkey")
+    offers = (t["lineitem"]
+              .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min("l_extendedprice").alias("offer")))
+    # best offer per part: window min replaces Q2's correlated subquery —
+    # same shuffle (already partitioned by l_partkey from the agg)
+    w = Window.partitionBy("l_partkey")
+    best = (offers.withColumn("_best", F.min("offer").over(w))
+                  .filter(F.col("offer") == F.col("_best")).drop("_best"))
+    supp = (t["supplier"]
+            .join(broadcast(t["nation"].select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+    return (best.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+                .select(F.col("l_partkey").alias("p_partkey"), "s_name",
+                        "n_name", "offer")
+                .orderBy("p_partkey", "s_name"))
+
+
+register(
+    "tpch_q2_min_cost_supplier",
+    _q2,
+    """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer
+  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_size < 10
+  GROUP BY 1, 2)
+SELECT o.l_partkey AS p_partkey, s_name, n_name, offer
+FROM offers o
+JOIN supplier ON s_suppkey = o.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE offer = (SELECT MIN(o2.offer) FROM offers o2
+               WHERE o2.l_partkey = o.l_partkey)
+ORDER BY p_partkey, s_name
+""",
+    doc="Q2-shaped: correlated-MIN subquery expressed as a window min over "
+        "the per-(part, supplier) offer aggregate.",
+)

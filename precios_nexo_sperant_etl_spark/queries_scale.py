@@ -99,9 +99,11 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 # MinHash signatures + LSH near-dup pipeline
 # ---------------------------------------------------------------------------
 
-_SIG_SQL = ", ".join(
-    f"min(({a} * h + {b}) % {HASH_P}) AS mh_{i}"
-    for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+def _sig_sql(n_perms: int = 8) -> str:
+    from .operators.dedup_fuzzy import minhash_params
+    return ", ".join(
+        f"min(({a} * h + {b}) % {HASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(n_perms)))
 
 
 def _band_fold(cols: list[str]) -> str:
@@ -111,9 +113,16 @@ def _band_fold(cols: list[str]) -> str:
     return expr
 
 
-_BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, {_band_fold([f'mh_{b * 4 + j}' for j in range(4)])} AS bh FROM sig"
-    for b in range(2))
+def _bands_sql(n_perms: int = 8, n_bands: int = 2) -> str:
+    npb = n_perms // n_bands
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{_band_fold([f'mh_{b * npb + j}' for j in range(npb)])} AS bh FROM sig"
+        for b in range(n_bands))
+
+
+_SIG_SQL = _sig_sql(8)
+_BANDS_SQL = _bands_sql(8, 2)
 
 register(
     "minhash_signatures",
@@ -151,6 +160,37 @@ WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
 ORDER BY doc_a, doc_b
 """,
     doc="MinHash+LSH: shingle → sign → band-bucket join → Jaccard verify.",
+)
+
+register(
+    "minhash_dedup_pairs_prod",
+    lambda spark, sf: minhash_dedup_pairs(_t(spark, sf, "documents"),
+                                          threshold=0.2, n_perms=128,
+                                          n_bands=16),
+    f"""
+WITH {_DUCK_HS},
+sig AS (SELECT doc_id, {_sig_sql(128)} FROM hs GROUP BY doc_id),
+bands AS ({_bands_sql(128, 16)}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+    doc="Production-shape MinHash+LSH (128 perms, 16 bands of 8): the real "
+        "near-dup S-curve; identical plan to the toy config, wider agg row.",
 )
 
 register(

@@ -104,3 +104,24 @@ def test_simhash_banded_plan_has_no_cross_join(spark):
     plan = simhash_near_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_prod_config_recall(spark):
+    """Production LSH shape (128 perms / 16 bands of 8) must dominate the
+    toy config: every toy-found pair is found, and recall against the
+    exhaustive shared-shingle Jaccard baseline is ≥ the toy's. The
+    verified outputs are all subsets of the exhaustive truth (the
+    Jaccard-verify stage guarantees precision = 1 for all configs)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exhaustive = {(r["doc_a"], r["doc_b"])
+                  for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    toy = {(r["doc_a"], r["doc_b"])
+           for r in minhash_dedup_pairs(docs, threshold=0.2).collect()}
+    prod = {(r["doc_a"], r["doc_b"])
+            for r in minhash_dedup_pairs(docs, threshold=0.2, n_perms=128,
+                                         n_bands=16).collect()}
+    assert toy <= exhaustive and prod <= exhaustive  # precision 1 by verify
+    assert toy <= prod                               # prod dominates toy
+    assert len(prod) >= len(toy)
+    # the 16×8 S-curve should catch essentially everything ≥ 0.2 here
+    assert len(prod) / max(len(exhaustive), 1) >= 0.9, (len(prod), len(exhaustive))
