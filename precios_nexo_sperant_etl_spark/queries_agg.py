@@ -504,3 +504,37 @@ FROM orders
     doc="HLL distinct + quantile sketch vs exact, as oracle-checkable "
         "bound flags: the sketches must land within their error budgets.",
 )
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — explicit subtotal list (finer control than CUBE: only
+# the sets the report needs, still one pass / one shuffle)
+# ---------------------------------------------------------------------------
+
+def _gsets(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (o.groupingSets(
+                [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+                "o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  dsum(F.col("o_totalprice")).alias("total_price"))
+             .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                     F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                     "n_orders", "total_price")
+             .orderBy("status", "priority"))
+
+
+register(
+    "grouping_sets_orders",
+    _gsets,
+    """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY status, priority
+""",
+    doc="GROUPING SETS: exactly the (status, priority) / (status) / () "
+        "subtotals, one shuffle.",
+)

@@ -61,6 +61,27 @@ def write_csv_quoted(df: DataFrame, path: str) -> None:
        .csv(path))
 
 
+def write_bucketed(df: DataFrame, table: str, keys: Sequence[str],
+                   n_buckets: int = 64, sorted_by_keys: bool = True,
+                   fmt: str = "parquet") -> None:
+    """Bucketed (and optionally sorted) managed-table write — the scale
+    sink for fact tables that are joined or aggregated on ``keys``
+    repeatedly.
+
+    Bucketing pays the hash exchange ONCE at write time; every later
+    join/agg on the bucket keys between co-bucketed tables runs
+    shuffle-free (proved by ``tests/test_bucketing.py``'s plan
+    assertion). ``sortBy`` additionally removes the per-query sort from
+    sort-merge joins. At 100 TB this converts the recurring dominant
+    exchange of the workload into a one-time write-side cost — choose
+    ``n_buckets`` so each bucket file stays in the 100 MB–1 GB range.
+    """
+    w = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *keys)
+    if sorted_by_keys:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
 def write_audit_workbook(resumen: DataFrame, solo_nexo: DataFrame,
                          solo_sperant: DataFrame, path: str) -> list[str]:
     """S7 (APN:482-487): the 3-sheet audit workbook — ONE file with sheets

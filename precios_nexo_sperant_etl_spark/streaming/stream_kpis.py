@@ -62,6 +62,41 @@ def streaming_tumbling_counts(events: DataFrame, width: str = "10 minutes",
                     "n_events"))
 
 
+def streaming_click_purchase_join(events: DataFrame,
+                                  max_gap: str = "10 minutes",
+                                  watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same user's
+    purchases within ``max_gap`` AFTER the click — the canonical
+    attribution join.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in both directions, so the engine can expire join state: a buffered
+    click is dropped once the watermark passes ``click_ts + max_gap``,
+    which is what makes this runnable forever on unbounded streams
+    (state ∝ events inside the gap window, not the stream length). The
+    batch twin (same predicate on static frames) pins the semantics in
+    tests.
+    """
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("buy_ts"),
+                         F.col("value").alias("buy_value"))
+                 .withWatermark("buy_ts", watermark))
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return (clicks.join(purchases, cond, "inner")
+            .select(F.col("c_user").alias("user_id"), "click_id",
+                    "click_ts", "buy_ts", "buy_value"))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str = "kpi_stream",
                       timeout_s: int = 120) -> list:
     """Drain all currently-available input (Trigger.AvailableNow) into an

@@ -12,14 +12,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def bucketed_tables(spark):
+    from precios_nexo_sperant_etl_spark.sources.sinks import write_bucketed
+
     # writes to the session's default warehouse (./spark-warehouse, gitignored)
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
-           .sortBy("o_orderkey").saveAsTable("orders_b"))
-    (lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
-             .write.mode("overwrite").bucketBy(8, "o_orderkey")
-             .sortBy("o_orderkey").saveAsTable("lineitem_b"))
+    write_bucketed(orders, "orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "lineitem_b", ["o_orderkey"], n_buckets=8)
     yield
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -86,3 +86,37 @@ def test_streaming_matches_batch_tumbling(spark):
     assert len(stream_rows) > 0
     for r in stream_rows:
         assert batch[(r["win_start"], r["event_type"])] == r["n_events"]
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The stream-stream attribution join (click × purchase within the
+    gap, per user) must produce exactly the batch join's pairs when the
+    input is drained with AvailableNow."""
+    from precios_nexo_sperant_etl_spark.streaming.stream_kpis import \
+        streaming_click_purchase_join
+
+    stream_rows = run_available_now(
+        streaming_click_purchase_join(stream_events(spark, SF_DIR)),
+        query_name="ssj")
+    assert stream_rows, "stream-stream join produced no pairs"
+
+    e = load_tables(spark, SF_DIR)["events"]
+    # batch twin on the same predicate (NTZ timestamps; session is UTC so
+    # wall-times agree with the streaming TIMESTAMP reading)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"))
+    batch = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
+        "inner")
+    batch_set = {(r["click_id"], str(r["buy_ts"]), r["buy_value"])
+                 for r in batch.collect()}
+    stream_set = {(r["click_id"], str(r["buy_ts"]), r["buy_value"])
+                  for r in stream_rows}
+    assert stream_set == batch_set
