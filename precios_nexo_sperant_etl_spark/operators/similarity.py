@@ -110,6 +110,47 @@ def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                   .orderBy("query_id", "rank"))
 
 
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    ``cosine >= threshold`` — the EXACT baseline (O(n²) scoring), kept
+    as the semantic ground truth the bucketed variant is measured
+    against. At corpus scale use :func:`embedding_neardup_lsh`."""
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (broadcast(a).crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b",
+                    (ddot(F.col("va"), F.col("vb"))
+                     / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("vec_a", "vec_b"))
+
+
+def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_planes: int = 6) -> DataFrame:
+    """Scale path for embedding near-dup: score only pairs sharing an LSH
+    sign bucket. One shuffle on the bucket key; cost scales with
+    Σ bucket², not n². Recall < 1 by design (high-cosine pairs collide
+    with probability (1 - θ/π)^planes); measured against the exact
+    baseline in tests — raise recall with fewer planes or multi-probe."""
+    bucketed = emb.withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, n_planes)))
+    a = bucketed.select(F.col(id_col).alias("vec_a"),
+                        F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("vec_b"),
+                        F.col(vec_col).alias("vb"), "bucket")
+    return (a.join(b, "bucket")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b",
+                     (ddot(F.col("va"), F.col("vb"))
+                      / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"))
+             .filter(F.col("cosine") >= threshold)
+             .distinct()
+             .orderBy("vec_a", "vec_b"))
+
+
 def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 8) -> DataFrame:

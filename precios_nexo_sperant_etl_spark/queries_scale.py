@@ -528,3 +528,30 @@ FROM documents
 """,
     doc="Arrow-batched mapInPandas feature extraction over binary payloads.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (exact baseline; LSH variant in tests)
+# ---------------------------------------------------------------------------
+
+register(
+    "embedding_neardup_pairs",
+    lambda spark, sf: __import__(
+        "precios_nexo_sperant_etl_spark.operators.similarity",
+        fromlist=["embedding_neardup_pairs"]).embedding_neardup_pairs(
+            _t(spark, sf, "embeddings"), threshold=0.35),
+    f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_duck_dot('a.embedding', 'b.embedding')}
+         / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+            * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {_duck_dot('a.embedding', 'b.embedding')}
+        / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+           * sqrt({_duck_dot('b.embedding', 'b.embedding')})) >= 0.35
+ORDER BY vec_a, vec_b
+""",
+    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline; the "
+        "LSH sign-bucket variant is the scale path, recall-tested).",
+)

@@ -125,3 +125,33 @@ def test_minhash_prod_config_recall(spark):
     assert len(prod) >= len(toy)
     # the 16×8 S-curve should catch essentially everything ≥ 0.2 here
     assert len(prod) / max(len(exhaustive), 1) >= 0.9, (len(prod), len(exhaustive))
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """LSH sign-bucket near-dup must be a subset of the exact pairs
+    (precision 1 — the cosine verify runs on every candidate) and must
+    catch most planted high-cosine pairs (recall (1-θ/π)^planes ≈ 0.76
+    at cosine 0.99 with 6 planes)."""
+    import math
+
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        embedding_neardup_lsh, embedding_neardup_pairs)
+
+    dim = 16
+    base = [[math.sin(i * 0.7 + j) for j in range(dim)] for i in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        # planted near-dup: tiny deterministic perturbation (cos ≈ 0.999)
+        rows.append((2 * i + 1, [x + 0.01 * ((j % 3) - 1)
+                                 for j, x in enumerate(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    approx = {(r["vec_a"], r["vec_b"])
+              for r in embedding_neardup_lsh(emb, threshold=0.95).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= exact                     # the baseline finds them all
+    assert approx <= exact                      # precision 1
+    recall = len(approx & planted) / len(planted)
+    assert recall >= 0.5, f"LSH near-dup recall collapsed: {recall}"
