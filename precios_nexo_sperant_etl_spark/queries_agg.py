@@ -538,3 +538,49 @@ ORDER BY status, priority
     doc="GROUPING SETS: exactly the (status, priority) / (status) / () "
         "subtotals, one shuffle.",
 )
+
+# ---------------------------------------------------------------------------
+# Window-analytics suite — lag/lead/rank/running totals per customer (the
+# analytic-function family beyond the dedup windows)
+# ---------------------------------------------------------------------------
+
+def _window_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (o.select(
+                "o_custkey", "o_orderkey", "o_orderdate",
+                F.row_number().over(w).alias("order_seq"),
+                F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+                F.lead("o_totalprice", 1).over(w).alias("next_price"),
+                F.sum(price).over(wsum).cast("double").alias("running_total"),
+                F.rank().over(
+                    Window.partitionBy("o_custkey")
+                          .orderBy(F.desc("o_totalprice"), "o_orderkey"))
+                 .alias("price_rank"))
+            .orderBy("o_custkey", "order_seq"))
+
+
+register(
+    "window_analytics_suite",
+    _window_suite,
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROW_NUMBER() OVER w AS order_seq,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       CAST(RANK() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+         AS price_rank
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq
+""",
+    doc="Analytic-window family: lag/lead/rank/dense running totals per "
+        "customer, one shuffle on the partition key.",
+)

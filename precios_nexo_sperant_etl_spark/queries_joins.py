@@ -455,3 +455,76 @@ ORDER BY p_partkey, s_name
     doc="Q2-shaped: correlated-MIN subquery expressed as a window min over "
         "the per-(part, supplier) offer aggregate.",
 )
+
+# ---------------------------------------------------------------------------
+# Q10-shaped: returned-item revenue per customer (join + top-k by measure)
+# ---------------------------------------------------------------------------
+
+def _q10(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    li = (t["lineitem"].filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    c = t["customer"].select("c_custkey", "c_name", "c_acctbal")
+    disc = (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("c_custkey", "c_name", "c_acctbal")
+              .agg(F.sum(disc).cast("double").alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+              .limit(20))
+
+
+register(
+    "tpch_q10_returned_items",
+    _q10,
+    """
+SELECT c_custkey, c_name, c_acctbal,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""",
+    doc="Q10-shaped: returned-line revenue per customer, deterministic "
+        "top-20 by measure.",
+)
+
+# ---------------------------------------------------------------------------
+# Q18-shaped: large-quantity orders — HAVING-gated agg feeding a semi-join
+# back into the fact
+# ---------------------------------------------------------------------------
+
+def _q18(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+             .filter(F.col("_q") > 55)
+             .select("l_orderkey", F.col("_q").cast("double").alias("total_qty")))
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    return (o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+             .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+                     "total_qty")
+             .orderBy(F.desc("total_qty"), F.asc("o_orderkey")))
+
+
+register(
+    "tpch_q18_large_orders",
+    _q18,
+    """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 55) big
+  ON o_orderkey = big.l_orderkey
+ORDER BY total_qty DESC, o_orderkey ASC
+""",
+    doc="Q18-shaped: HAVING-gated quantity rollup joined back to orders.",
+)
