@@ -142,6 +142,28 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
                 .orderBy(F.desc("freq"), F.asc("term")).limit(k))
 
 
+#: BPE-ish pre-tokenizer pattern: contraction suffixes, letter runs,
+#: short digit runs, punctuation runs. Deliberately lookaround-free so
+#: Java regex (Spark) and RE2 (DuckDB) match identically; both engines
+#: use leftmost-first alternation, so alternative order is significant
+#: and must stay in sync with any oracle.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways (the LLM-pipeline budget metric): naive
+    whitespace tokens and a BPE-ish pre-tokenization count — the latter
+    tracks real tokenizer budgets far more closely (punctuation and
+    digit runs split off). Both are single compiled-regex scans per
+    document, whole-stage codegen."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("bpe_ish_tokens"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint: rolling character hash of the
     full text. Identical documents → identical fingerprint; any edit →

@@ -555,3 +555,21 @@ ORDER BY vec_a, vec_b
     doc="Embedding-cosine near-dup pairs (exact all-pairs baseline; the "
         "LSH sign-bucket variant is the scale path, recall-tested).",
 )
+
+
+register(
+    "text_token_counts",
+    lambda spark, sf: __import__(
+        "precios_nexo_sperant_etl_spark.operators.text",
+        fromlist=["token_counts"]).token_counts(_t(spark, sf, "documents")),
+    r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))
+         AS bpe_ish_tokens
+FROM documents
+""",
+    doc="Token budgets: whitespace count + BPE-ish pre-tokenizer count "
+        "(lookaround-free pattern, identical in Java regex and RE2).",
+)
