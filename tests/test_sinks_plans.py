@@ -118,3 +118,26 @@ def test_audit_workbook_roundtrip(spark, tmp_path):
     assert list(sheets["Solo_en_sperant"]["Proyecto_solo_df_sperant"]) \
         == ["Solitario", "matera"]
     assert len(sheets["Solo_en_df_total"]) == 0
+
+
+def test_q7_q10_broadcast_dimensions(spark):
+    """The new join anchors keep their dimension chains broadcast: the
+    only sort-merge exchange allowed is the fact-fact lineitem⋈orders
+    join."""
+    for name in ("tpch_q7_volume_shipping", "tpch_q10_returned_items"):
+        plan = queries()[name](spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("SortMergeJoin") <= 1, name
+
+
+def test_row_id_plan_has_no_global_window(spark):
+    """W4's dense ids must come from the two-pass partition-offset plan,
+    never a single-task unpartitioned window over the fact table: the
+    only Window allowed is the offsets cumsum over ≤ n_partitions rows."""
+    df = queries()["w4_row_id"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the offsets branch has one tiny global window; the fact branch must
+    # not — so at most one Window node total, and a range exchange exists
+    assert plan.count("Window") <= 1
+    assert "rangepartitioning" in plan.lower()
