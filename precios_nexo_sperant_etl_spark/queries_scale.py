@@ -573,3 +573,65 @@ FROM documents
     doc="Token budgets: whitespace count + BPE-ish pre-tokenizer count "
         "(lookaround-free pattern, identical in Java regex and RE2).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — the reproducible training-data
+# downsampler: rank within stratum by a portable hash of the id and keep
+# n per stratum. Unlike Bernoulli sampleBy, the selected SET is a pure
+# function of the data (stable across engines, partitionings, and runs),
+# which is what dataset curation actually needs for auditability.
+# ---------------------------------------------------------------------------
+
+def _strat_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.text import md5_hash
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5_hash(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (docs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= 50)
+                .select("doc_id", "lang", "source", "n_chars")
+                .orderBy("lang", "doc_id"))
+
+
+register(
+    "stratified_sample_docs",
+    _strat_sample,
+    f"""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_duck_md5_hash("CAST(doc_id AS VARCHAR)")},
+                                     doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 50 ORDER BY lang, doc_id
+""",
+    doc="Deterministic stratified sample: 50 docs per language, ranked by "
+        "portable id hash — reproducible across engines and partitionings.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-group quantiles — exact distribution summary per stratum
+# ---------------------------------------------------------------------------
+
+register(
+    "quantiles_by_status",
+    lambda spark, sf: _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+             F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+             F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+             F.expr("percentile(o_totalprice, 0.9)").alias("p90"))
+        .orderBy("o_orderstatus"),
+    """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5)  AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       quantile_cont(o_totalprice, 0.9)  AS p90
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    doc="Exact per-group quantiles (interpolated), one shuffle.",
+)
