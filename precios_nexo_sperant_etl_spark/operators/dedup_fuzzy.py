@@ -135,7 +135,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                       n_bands: int = N_BANDS) -> DataFrame:
+                       n_bands: int = N_BANDS,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidate pairs: documents agreeing on ALL signature rows of
     at least one band. Never all-pairs.
 
@@ -146,8 +147,12 @@ def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
     grouped with ``collect_list`` (the only shuffle here) and pairs are
     generated bucket-locally from the id list. Cost scales with
     Σ bucket², i.e. with genuine collisions; degenerate buckets
-    (boilerplate-dominated corpora) are the known hazard — cap or sample
-    them upstream before running at 100 TB."""
+    (boilerplate-dominated corpora) are the known hazard —
+    ``max_bucket_size`` is the production guard: buckets above the cap
+    are DROPPED (their members still pair via their other, more
+    selective bands; a bucket that big carries no discriminative signal,
+    only quadratic cost). At 100 TB set it so cap² fits a task's
+    pair-generation budget, e.g. 10_000."""
     n_perms = sum(1 for c in sigs.columns if c.startswith("mh_"))
     n_per_band = n_perms // n_bands
     folds = []
@@ -161,6 +166,8 @@ def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
     grouped = (buckets.groupBy("band", "bh")
                       .agg(F.collect_list(id_col).alias("_ids"))
                       .filter(F.size("_ids") >= 2))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
     return (grouped.select(F.explode("_ids").alias("doc_a"), "_ids")
                    .select("doc_a", F.explode("_ids").alias("doc_b"))
                    .filter(F.col("doc_a") < F.col("doc_b"))

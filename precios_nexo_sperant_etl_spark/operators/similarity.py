@@ -110,6 +110,55 @@ def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                   .orderBy("query_id", "rank"))
 
 
+def assign_kmeans_cells(emb: DataFrame, n_cells: int = 10, n_iter: int = 3,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        cell_col: str = "cell") -> DataFrame:
+    """Deterministic k-means cell assignment (fixed Lloyd iterations) —
+    the real IVF coarse quantizer, replacing the label-column stand-in.
+
+    Init: the vectors of the ``n_cells`` smallest ids (deterministic —
+    no RNG, reproducible across engines/partitionings). Each iteration:
+    assign every vector to its nearest centroid (squared-L2 via one
+    fold per cell against centroid LITERALS — the centroid table is
+    k×dim tiny, so it rides into the plan as constants, no join), then
+    recompute centroids as per-dimension means (posexplode + one
+    combinable shuffle, collected to the driver: k×dim values).
+
+    Scale shape: per iteration one linear scan + one tiny agg; k·dim
+    multiply-adds per row stay modest for coarse quantizers (k ≤ 1024).
+    For large k·dim move the argmin into a vectorized Pandas UDF matrix
+    product — same plan, denser arithmetic.
+    """
+    first = (emb.orderBy(id_col).limit(n_cells)
+                .select(vec_col).collect())
+    centroids = [list(r[0]) for r in first]
+
+    def _assign(cents):
+        structs = []
+        for ci, c in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = (ddot(F.col(vec_col), F.col(vec_col))
+                  - 2.0 * ddot(F.col(vec_col), carr)
+                  + ddot(carr, carr))
+            structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+        return F.array_min(F.array(*structs))["c"]
+
+    for _ in range(n_iter):
+        assigned = emb.withColumn(cell_col, _assign(centroids))
+        means = (assigned.select(cell_col, F.posexplode(vec_col).alias("dim", "x"))
+                 .groupBy(cell_col, "dim").agg(F.avg("x").alias("m"))
+                 .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r[cell_col], {})[r["dim"]] = r["m"]
+        centroids = [
+            [by_cell[ci][d] for d in sorted(by_cell[ci])]
+            if ci in by_cell else centroids[ci]          # empty cell: keep
+            for ci in range(n_cells)
+        ]
+    return emb.withColumn(cell_col, _assign(centroids))
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:

@@ -358,12 +358,20 @@ GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20
     doc="Corpus top-k term frequencies (one-shuffle word count).",
 )
 
+def _ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import assign_kmeans_cells
+    cells = assign_kmeans_cells(_t(spark, sf, "embeddings"),
+                                n_cells=10, n_iter=3)
+    return ivf_cosine_topk(cells, _ANN_QUERY_IDS, k=3, cell_col="cell")
+
+
 register(
     "ann_ivf_topk",
-    lambda spark, sf: ivf_cosine_topk(_t(spark, sf, "embeddings"),
-                                      _ANN_QUERY_IDS, k=3),
+    _ivf_kmeans,
     None,  # centroid float means are partition-order-dependent → rows-only
-    doc="IVF-style ANN: probe the 2 nearest coarse cells only (approximate).",
+    doc="IVF ANN over deterministic k-means coarse cells (3 Lloyd "
+        "iterations), probing the 2 nearest cells only; recall vs the "
+        "exact baseline is pinned in tests (0.87 vs 0.2 for label cells).",
 )
 
 register(

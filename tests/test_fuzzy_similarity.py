@@ -155,3 +155,56 @@ def test_embedding_neardup_lsh_recall(spark):
     assert approx <= exact                      # precision 1
     recall = len(approx & planted) / len(planted)
     assert recall >= 0.5, f"LSH near-dup recall collapsed: {recall}"
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """The production guard: a boilerplate mega-bucket is dropped when it
+    exceeds max_bucket_size, while selective buckets keep pairing."""
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
+        minhash_band_pairs, minhash_signatures)
+
+    # 30 identical boilerplate docs (one mega-bucket in every band) plus
+    # one distinct near-dup pair
+    rows = [(i, "common boilerplate header repeated on every page here")
+            for i in range(30)]
+    rows += [(100, "a unique document about spark adaptive execution plans"),
+             (101, "a unique document about spark adaptive execution plan")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    uncapped = minhash_band_pairs(sigs).collect()
+    capped = minhash_band_pairs(sigs, max_bucket_size=10).collect()
+    unc = {(r["doc_a"], r["doc_b"]) for r in uncapped}
+    cap = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (100, 101) in unc and (100, 101) in cap  # selective pair survives
+    assert any(a < 30 and b < 30 for a, b in unc)   # mega-bucket paired before
+    assert not any(a < 30 and b < 30 for a, b in cap)  # ...and is dropped now
+    assert len(cap) < len(unc)
+
+
+def test_kmeans_ivf_beats_label_cells(spark):
+    """The real coarse quantizer must beat the label-column stand-in:
+    k-means cells are geometric, so nearest neighbors concentrate in the
+    probed cells. Also pins determinism (no RNG anywhere)."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import \
+        assign_kmeans_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, qids, k=3).collect()}
+    km = assign_kmeans_cells(emb, n_cells=10, n_iter=3)
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_cosine_topk(km, qids, k=3, cell_col="cell",
+                                    n_probe=2).collect()}
+    label = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_cosine_topk(emb, qids, k=3, n_probe=2).collect()}
+    km_recall = len(got & exact) / len(exact)
+    label_recall = len(label & exact) / len(exact)
+    assert km_recall > label_recall
+    assert km_recall >= 0.6, km_recall
+    # deterministic: same cells, same answer, every run
+    km2 = assign_kmeans_cells(emb, n_cells=10, n_iter=3)
+    got2 = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(km2, qids, k=3, cell_col="cell",
+                                     n_probe=2).collect()}
+    assert got == got2
