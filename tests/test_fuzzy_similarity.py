@@ -208,3 +208,34 @@ def test_kmeans_ivf_beats_label_cells(spark):
             for r in ivf_cosine_topk(km2, qids, k=3, cell_col="cell",
                                      n_probe=2).collect()}
     assert got == got2
+
+
+def test_embedding_neardup_multiprobe_recall_dominates(spark):
+    """Multi-probe must strictly extend single-probe candidates (probing
+    Hamming-1 buckets rescues one-plane misses) while staying a subset
+    of the exact answer."""
+    import math
+
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        embedding_neardup_lsh, embedding_neardup_pairs)
+
+    dim = 16
+    rows = []
+    for i in range(40):
+        v = [math.sin(i * 1.3 + j * 0.5) for j in range(dim)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + 0.02 * math.cos(j + i) for j, x in enumerate(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    p1 = {(r["vec_a"], r["vec_b"])
+          for r in embedding_neardup_lsh(emb, threshold=0.95).collect()}
+    p4 = {(r["vec_a"], r["vec_b"])
+          for r in embedding_neardup_lsh(emb, threshold=0.95, n_probe=4).collect()}
+    assert p1 <= p4 <= exact
+    assert len(p4) >= len(p1)
+    planted = {(2 * i, 2 * i + 1) for i in range(40)} & exact
+    r1 = len(p1 & planted) / len(planted)
+    r4 = len(p4 & planted) / len(planted)
+    assert r4 >= r1
+    assert r4 >= 0.7, (r1, r4)

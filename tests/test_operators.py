@@ -87,3 +87,29 @@ def test_nullsafe_neq_case_sensitive(spark):
     got = [r["c"] for r in
            df.select(nullsafe_neq(F.col("a"), F.col("b")).alias("c")).collect()]
     assert got == [True, False, False, True]
+
+
+def test_row_id_dense_permutation_random_data(spark):
+    """add_row_id must assign a dense 0..n-1 permutation that respects
+    the total order, including under duplicate order keys (ties get
+    arbitrary-but-valid consecutive ids) and across repeated runs
+    (repartitionByRange samples per execution — the persist inside the
+    operator pins one layout; regression test for the r1 bug where the
+    counts and output branches saw different samplings)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from precios_nexo_sperant_etl_spark.operators.dedup import add_row_id
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(50), i) for i in range(2000)]  # heavy key ties
+    df = spark.createDataFrame(rows, "k long, payload long")
+    for trial in range(2):
+        out = add_row_id(df, order_by=[F.col("k")], name="rid",
+                         num_partitions=16).collect()
+        ids = sorted(r["rid"] for r in out)
+        assert ids == list(range(2000))              # dense permutation
+        by_id = sorted(out, key=lambda r: r["rid"])
+        ks = [r["k"] for r in by_id]
+        assert ks == sorted(ks)                      # ids respect the order
