@@ -17,9 +17,11 @@ from .operators.dedup_fuzzy import (MINHASH_A, MINHASH_B, exact_dedup,
                                     minhash_signatures, ngram_jaccard_pairs,
                                     simhash, simhash_near_pairs)
 from .operators.multimodal import attach_binary, extract_features
-from .operators.similarity import cosine_topk, ivf_cosine_topk
+from .operators.similarity import (cosine_topk, embedding_neardup_pairs,
+                                   ivf_cosine_topk)
 from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
-                             lang_id, quality_score, text_stats, top_terms)
+                             lang_id, quality_score, text_stats, token_counts,
+                             top_terms)
 from .operators.windows import sessionize, sliding_agg, tumbling_agg
 from .registry import register
 from .sources.tables import load_tables
@@ -544,10 +546,8 @@ FROM documents
 
 register(
     "embedding_neardup_pairs",
-    lambda spark, sf: __import__(
-        "precios_nexo_sperant_etl_spark.operators.similarity",
-        fromlist=["embedding_neardup_pairs"]).embedding_neardup_pairs(
-            _t(spark, sf, "embeddings"), threshold=0.35),
+    lambda spark, sf: embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35),
     f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_duck_dot('a.embedding', 'b.embedding')}
@@ -567,9 +567,7 @@ ORDER BY vec_a, vec_b
 
 register(
     "text_token_counts",
-    lambda spark, sf: __import__(
-        "precios_nexo_sperant_etl_spark.operators.text",
-        fromlist=["token_counts"]).token_counts(_t(spark, sf, "documents")),
+    lambda spark, sf: token_counts(_t(spark, sf, "documents")),
     r"""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
