@@ -293,6 +293,11 @@ _F8_ROWS = [
 
 def _f8(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.dates import to_datetime_coerce
+
+    # Parsed TIMESTAMPs are LTZ; pin UTC so wall-times match the naive
+    # DuckDB oracle even when this VALUES query runs on a fresh session
+    # that never went through load_tables (which normally sets this).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _string_df(spark, _F8_ROWS, ["raw"]).select(
         F.col("raw"), to_datetime_coerce(F.col("raw")).alias("parsed"))
 
