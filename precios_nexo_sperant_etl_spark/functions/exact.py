@@ -48,6 +48,42 @@ def ddot(a: Column, b: Column) -> Column:
     which DuckDB's ``list_reduce`` over ``list_zip`` reproduces exactly.
     Order-dependence is confined to *within one row*, so partitioning
     still cannot change the result.
+
+    This is the ORACLE form: lambda higher-order functions are
+    expression-interpreted, so at real embedding dims (768+) the fold
+    dominates similarity scoring. :func:`ddot_arrow` is the throughput
+    form — still deterministic, not bit-identical to this fold.
     """
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def make_ddot_arrow():
+    """Arrow-vectorized dot product: ``pandas_udf`` over numpy.
+
+    10-100× the fold's throughput at large dims (one Arrow batch
+    crossing, SIMD multiply-add) and still DETERMINISTIC — numpy's
+    reduction order is fixed for a given shape, so the same row yields
+    the same double on every run and partitioning. It is NOT
+    bit-identical to the sequential fold (different association), which
+    is why oracle-checked queries keep :func:`ddot` and scale paths can
+    swap this in behind the same call shape.
+
+    Returned as a factory so importing this module never forces a
+    pyarrow requirement on callers that only need the decimal helpers.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: under `from __future__ import annotations` they are
+    # strings pyspark's hint parser can't resolve here; the explicit
+    # pandas_udf(fn, type) form selects the scalar UDF directly.
+    def _ddot_arrow(a, b):
+        return pd.Series([
+            float(np.dot(np.asarray(x, dtype=np.float64),
+                         np.asarray(y, dtype=np.float64)))
+            for x, y in zip(a, b)
+        ])
+
+    return pandas_udf(_ddot_arrow, "double")

@@ -30,19 +30,31 @@ def _norm(v: Column) -> Column:
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                use_arrow: bool = False) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (self excluded).
 
     Deterministic ranking: cosine desc, then neighbor id asc.
+    ``use_arrow`` swaps the interpreted sequential-fold dot product for
+    the Arrow/numpy one (``exact.make_ddot_arrow``): same API, same
+    determinism, 10-100× throughput at real embedding dims — but not
+    bit-identical to the fold, so oracle-checked queries keep the
+    default.
     """
+    if use_arrow:
+        from ..functions.exact import make_ddot_arrow
+        dot = make_ddot_arrow()
+    else:
+        dot = ddot
     q = (emb.filter(F.col(id_col).isin(query_ids))
             .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      (ddot(F.col("qv"), F.col("cv"))
-                       / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine")))
+                      (dot(F.col("qv"), F.col("cv"))
+                       / (F.sqrt(dot(F.col("qv"), F.col("qv")))
+                          * F.sqrt(dot(F.col("cv"), F.col("cv"))))).alias("cosine")))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -239,3 +239,19 @@ def test_embedding_neardup_multiprobe_recall_dominates(spark):
     r4 = len(p4 & planted) / len(planted)
     assert r4 >= r1
     assert r4 >= 0.7, (r1, r4)
+
+
+def test_arrow_ddot_matches_fold_and_is_deterministic(spark):
+    """The Arrow/numpy dot product must agree with the sequential fold to
+    float tolerance, produce the same top-k ranking on real data, and be
+    deterministic across runs."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    fold = cosine_topk(emb, qids, k=3).collect()
+    arrow1 = cosine_topk(emb, qids, k=3, use_arrow=True).collect()
+    arrow2 = cosine_topk(emb, qids, k=3, use_arrow=True).collect()
+    key = lambda rows: [(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows]
+    assert key(arrow1) == key(fold)          # same ranking
+    assert [r["cosine"] for r in arrow1] == [r["cosine"] for r in arrow2]
+    for fa, fb in zip(fold, arrow1):
+        assert abs(fa["cosine"] - fb["cosine"]) < 1e-9
