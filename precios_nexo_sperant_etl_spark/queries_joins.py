@@ -528,3 +528,216 @@ ORDER BY total_qty DESC, o_orderkey ASC
 """,
     doc="Q18-shaped: HAVING-gated quantity rollup joined back to orders.",
 )
+
+# ---------------------------------------------------------------------------
+# Q13-shaped: order-count distribution per customer (left join keeps the
+# zero-order customers; two-level aggregation)
+# ---------------------------------------------------------------------------
+
+def _q13(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    c = t["customer"].select("c_custkey")
+    o = t["orders"].filter(~F.col("o_orderpriority").startswith("1-")) \
+                   .select("o_orderkey", "o_custkey")
+    per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist"))
+                    .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+register(
+    "tpch_q13_customer_distribution",
+    _q13,
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+  GROUP BY c_custkey) cc
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+    doc="Q13-shaped: per-customer order counts (zeros kept via left join), "
+        "then the distribution of those counts.",
+)
+
+# ---------------------------------------------------------------------------
+# Q15-shaped: top supplier(s) by period revenue — window max replaces the
+# correlated MAX subquery over a derived view
+# ---------------------------------------------------------------------------
+
+def _q15(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    t = load_tables(spark, sf)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")))
+    disc = (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.sum(disc).alias("_r"))
+             .select("l_suppkey", F.col("_r").cast("double").alias("total_revenue")))
+    w = Window.orderBy(F.lit(1))  # global max over the tiny per-supplier agg
+    best = (rev.withColumn("_max", F.max("total_revenue").over(w))
+               .filter(F.col("total_revenue") == F.col("_max")).drop("_max"))
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (best.join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_suppkey", "s_name", "total_revenue")
+                .orderBy("s_suppkey"))
+
+
+register(
+    "tpch_q15_top_supplier",
+    _q15,
+    """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    doc="Q15-shaped: correlated-MAX over a revenue view as a window max on "
+        "the already-reduced per-supplier aggregate.",
+)
+
+# ---------------------------------------------------------------------------
+# Q17-shaped: revenue impact of small-quantity lines — per-part average
+# via window avg (deterministic decimal ratio), then the selective filter
+# ---------------------------------------------------------------------------
+
+def _q17(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    t = load_tables(spark, sf)
+    parts = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = (t["lineitem"]
+          .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    w = Window.partitionBy("l_partkey")
+    qsum = F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+    qcnt = F.count(F.lit(1)).over(w)
+    avg_qty = (qsum.cast("double") / qcnt)
+    flagged = li.withColumn("_avg", avg_qty) \
+                .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+    return flagged.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+         / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+register(
+    "tpch_q17_small_quantity",
+    _q17,
+    """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'),
+av AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM li GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM li JOIN av USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+""",
+    doc="Q17-shaped: correlated per-part average as a window avg with the "
+        "deterministic decimal-sum/count ratio.",
+)
+
+# ---------------------------------------------------------------------------
+# Q19-shaped: disjunctive multi-attribute predicates (OR of brand/size/qty
+# triples) — one scan, one join, predicates folded into the join filter
+# ---------------------------------------------------------------------------
+
+def _q19(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    li = t["lineitem"].select("l_partkey", "l_quantity",
+                              "l_extendedprice", "l_discount")
+    p = t["part"].select("p_partkey", "p_brand", "p_size")
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 21)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 40)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 50)))
+    )
+    disc = (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return joined.filter(cond).agg(
+        F.sum(disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+register(
+    "tpch_q19_disjunctive_predicates",
+    _q19,
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+    doc="Q19-shaped: OR of attribute-triple predicates evaluated in one "
+        "join pass (no union of scans).",
+)
+
+# ---------------------------------------------------------------------------
+# Q22-shaped: above-average-balance customers with no orders (scalar
+# aggregate subquery + anti join)
+# ---------------------------------------------------------------------------
+
+def _q22(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    c = t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment")
+    positive = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = (positive.agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("a")))
+    rich = (c.join(broadcast(avg_bal))
+             .filter(F.col("c_acctbal") > F.col("a")).drop("a"))
+    o = t["orders"].select("o_custkey")
+    no_orders = rich.join(o, F.col("c_custkey") == F.col("o_custkey"),
+                          "left_anti")
+    return (no_orders.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("totacctbal"))
+            .orderBy("c_mktsegment"))
+
+
+register(
+    "tpch_q22_global_sales_opportunity",
+    _q22,
+    """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    doc="Q22-shaped: scalar-average subquery broadcast into the filter, "
+        "anti join for customers with no orders.",
+)
