@@ -120,10 +120,20 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     remains the reference/oracle form; both produce identical sets.)"""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col),
+    # A per-ROW tag (not just the id) keys the window: two input rows
+    # sharing an id (or a caller collapsing ids) must never interleave
+    # their token streams into cross-row shingles. The tag is evaluated
+    # once per input row before the explode, so every token of a row
+    # carries the same value; it never reaches the output.
+    tagged = df.select(F.col(id_col), F.col(text_col),
+                       F.monotonically_increasing_id().alias("_row"))
+    # (own projection: a nondeterministic expr in the SAME select as a
+    # generator would be re-evaluated per exploded row — every token
+    # would get its own tag and no shingle would ever form)
+    toks = tagged.select(
+        F.col(id_col), F.col("_row"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
+    w = Window.partitionBy(id_col, "_row").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
     last = F.lead("tok", k - 1).over(w)
     sh = (toks.select(id_col, F.concat_ws(" ", *leads).alias("sh"),
@@ -246,6 +256,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return (jaccard_pairs(hashed, pairs, id_col)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("doc_a", "doc_b"))
+
+
+def contamination_screen(df: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3) -> DataFrame:
+    """Benchmark-contamination screen: fraction of each document's
+    k-token shingles that appear anywhere in the ``benchmark`` corpus
+    (eval sets, held-out suites). The standard pre-training leakage
+    check: ratio ≈ 1 ⇒ the document IS benchmark data; high fractions
+    ⇒ paraphrased leakage.
+
+    Plan: the benchmark's distinct shingle hashes are tiny relative to
+    the corpus and broadcast into a hash semi-match; the corpus is
+    scanned once (shingle + one groupBy). Zero-overlap documents are
+    kept via left join + coalesce(0) — silence is a result here.
+    """
+    doc_sh = shingle_hashes(df, text_col, id_col, k)
+    bench_sh = (shingle_hashes(benchmark.select(F.lit(0).alias(id_col),
+                                                F.col(text_col)),
+                               text_col, id_col, k)
+                .select("h").distinct())
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (doc_sh.join(F.broadcast(bench_sh), "h")
+                     .groupBy(id_col).agg(F.count(F.lit(1)).alias("_c")))
+    return (sizes.join(overlap, id_col, "left")
+                 .select(F.col(id_col), "n_shingles",
+                         F.coalesce(F.col("_c"), F.lit(0)).alias("n_overlap"),
+                         (F.coalesce(F.col("_c"), F.lit(0))
+                          / F.col("n_shingles")).alias("contamination"))
+                 .orderBy(id_col))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

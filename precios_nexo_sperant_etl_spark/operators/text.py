@@ -142,6 +142,33 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
                 .orderBy(F.desc("freq"), F.asc("term")).limit(k))
 
 
+#: PII-ish patterns, deliberately lookaround-free (Java regex ≡ RE2).
+#: Order matters: emails before bare domains would, URLs first so their
+#: embedded host parts aren't half-masked by the email rule.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Mask URL / email / phone-shaped spans — the standard pre-training
+    scrub pass. A chain of ``regexp_replace`` calls, one compiled-regex
+    scan each, whole-stage codegen; rule order is part of the contract
+    (URLs first so the email rule never bites a URL's userinfo part).
+    Emits the redacted text plus per-rule hit counts so downstream
+    audits can quantify what was masked."""
+    out = F.col(text_col)
+    counts = []
+    for pat, mask in PII_RULES:
+        counts.append(F.regexp_count(out, F.lit(pat)).cast("long")
+                      .alias(f"n_{mask.strip('<>').lower()}"))
+        out = F.regexp_replace(out, pat, mask)
+    return df.select(F.col(id_col), out.alias("redacted"), *counts)
+
+
 #: BPE-ish pre-tokenizer pattern: contraction suffixes, letter runs,
 #: short digit runs, punctuation runs. Deliberately lookaround-free so
 #: Java regex (Spark) and RE2 (DuckDB) match identically; both engines

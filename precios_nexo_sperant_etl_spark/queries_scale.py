@@ -20,7 +20,7 @@ from .operators.multimodal import attach_binary, extract_features
 from .operators.similarity import (cosine_topk, embedding_neardup_pairs,
                                    ivf_cosine_topk)
 from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
-                             lang_id, quality_score, text_stats, token_counts,
+                             lang_id, quality_score, redact_pii, text_stats, token_counts,
                              top_terms)
 from .operators.windows import sessionize, sliding_agg, tumbling_agg
 from .registry import register
@@ -640,4 +640,66 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
     doc="Exact per-group quantiles (interpolated), one shuffle.",
+)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pre-training scrub pass)
+# ---------------------------------------------------------------------------
+
+register(
+    "text_redact_pii",
+    lambda spark, sf: redact_pii(_t(spark, sf, "documents")),
+    r"""
+WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1
+       FROM s0),
+s2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t2
+       FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g')
+         AS redacted,
+       len(regexp_extract_all(t0, 'https?://[^\s]+')) AS n_url,
+       len(regexp_extract_all(t1,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phone
+FROM s2
+""",
+    doc="PII scrub: URL/email/phone masking with per-rule hit counts; "
+        "staged rule order is part of the contract.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screen (eval-set leakage check)
+# ---------------------------------------------------------------------------
+
+def _contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import contamination_screen
+    docs = _t(spark, sf, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 3).select("text")
+    return contamination_screen(docs, benchmark)
+
+
+register(
+    "contamination_screen",
+    _contamination,
+    f"""
+WITH {_DUCK_HS},
+bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hs GROUP BY 1),
+ov AS (SELECT hs.doc_id, COUNT(*) AS c
+       FROM hs JOIN bench ON hs.h = bench.h GROUP BY 1)
+SELECT s.doc_id, s.n_shingles,
+       COALESCE(ov.c, 0) AS n_overlap,
+       COALESCE(ov.c, 0) / s.n_shingles AS contamination
+FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+ORDER BY s.doc_id
+""",
+    doc="Benchmark-contamination screen: per-doc fraction of shingles "
+        "found in the (broadcast) benchmark shingle set; zeros kept.",
 )
