@@ -703,3 +703,59 @@ ORDER BY s.doc_id
     doc="Benchmark-contamination screen: per-doc fraction of shingles "
         "found in the (broadcast) benchmark shingle set; zeros kept.",
 )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: dedup survivors → quality gate → language
+# gate → token budget. The composed flow a training-data run executes —
+# one registered query so the WHOLE chain is oracle-checked, not just the
+# pieces.
+# ---------------------------------------------------------------------------
+
+def _curation(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    survivors = exact_dedup_survivors(docs)
+    q = quality_score(survivors)
+    lang = lang_id(survivors).select("doc_id", "lang_pred")
+    toks = token_counts(survivors).select("doc_id", "bpe_ish_tokens")
+    return (survivors.join(q, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
+            .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+            .select("doc_id", "lang_pred", "quality", "bpe_ish_tokens")
+            .orderBy("doc_id"))
+
+
+register(
+    "curation_pipeline",
+    _curation,
+    f"""
+WITH surv AS (
+  SELECT doc_id, text FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id ASC) AS rn
+    FROM documents) x WHERE rn = 1),
+t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM surv),
+q AS (SELECT doc_id,
+  CAST(round_even(CAST(0.4 * least(len(tk) / 50.0, 1.0)
+             + 0.4 * (len(list_distinct(tk)) / len(tk))
+             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))
+             AS DECIMAL(20,17)), 4) AS DOUBLE) AS quality
+  FROM t),
+h AS (SELECT doc_id, {_HIT_SQL} FROM t),
+l AS (SELECT doc_id, {_PRED_SQL} AS lang_pred FROM h),
+tok AS (SELECT doc_id,
+  len(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+    AS bpe_ish_tokens
+  FROM surv)
+SELECT s.doc_id, l.lang_pred, q.quality, tok.bpe_ish_tokens
+FROM surv s
+JOIN q   ON q.doc_id = s.doc_id
+JOIN l   ON l.doc_id = s.doc_id
+JOIN tok ON tok.doc_id = s.doc_id
+WHERE q.quality >= 0.5 AND l.lang_pred != 'und'
+ORDER BY s.doc_id
+""",
+    doc="The composed curation flow (dedup → quality gate → language gate "
+        "→ token budget) oracle-checked end-to-end.",
+)
