@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash_near_pairs",       # simhash + pair generation
     "ann_cosine_topk",          # embedding similarity
     "text_stats",               # token analytics
+    "curation_pipeline",        # end-to-end curation flow
 ]
 
 

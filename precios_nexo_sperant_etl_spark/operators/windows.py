@@ -46,3 +46,41 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
                   .select("user_id", F.col("win.start").alias("session_start"),
                           "n_events", "total_value")
                   .orderBy("user_id", "session_start"))
+
+
+def funnel_counts(events: DataFrame, stages: tuple[str, ...] =
+                  ("view", "click", "purchase"),
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered funnel: how many users reached each stage IN ORDER —
+    stage k counts a user only if their earliest stage-k event occurs at
+    or after their earliest qualifying stage-(k-1) event.
+
+    One shuffle on the user key, then one window pass per stage over the
+    same partitioning (Spark chains the window execs without
+    re-exchanging). Per-stage first-times are conditional ``min`` window
+    aggregates — no joins, no self-unions, works unchanged at any event
+    count per user.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        col = f"_t{i}"
+        df = df.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = col
+    per_user = df.select(user_col, *[f"_t{i}" for i in range(len(stages))]) \
+                 .distinct()
+    aggs = [F.count(F.col(f"_t{i}")).alias(f"n_{stage}")
+            for i, stage in enumerate(stages)]
+    out = per_user.agg(*aggs)
+    base = F.col(f"n_{stages[0]}")
+    for i, stage in enumerate(stages[1:], start=1):
+        out = out.withColumn(
+            f"pct_{stage}",
+            F.bround(F.col(f"n_{stage}") / base, 4))
+    return out

@@ -759,3 +759,41 @@ ORDER BY s.doc_id
     doc="The composed curation flow (dedup → quality gate → language gate "
         "→ token budget) oracle-checked end-to-end.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel over events (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+def _funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.windows import funnel_counts
+    return funnel_counts(_t(spark, sf, "events"))
+
+
+register(
+    "events_funnel",
+    _funnel,
+    f"""
+WITH e AS ({_DUCK_EVENTS}),
+s0 AS (SELECT user_id, MIN(ts) FILTER (event_type = 'view') AS t0
+       FROM e GROUP BY user_id),
+s1 AS (SELECT e.user_id, MIN(e.ts) AS t1
+       FROM e JOIN s0 ON e.user_id = s0.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+       FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY e.user_id)
+SELECT COUNT(s0.t0) AS n_view,
+       COUNT(s1.t1) AS n_click,
+       COUNT(s2.t2) AS n_purchase,
+       CAST(round_even(CAST(COUNT(s1.t1) AS DECIMAL(20,17))
+                       / COUNT(s0.t0), 4) AS DOUBLE) AS pct_click,
+       CAST(round_even(CAST(COUNT(s2.t2) AS DECIMAL(20,17))
+                       / COUNT(s0.t0), 4) AS DOUBLE) AS pct_purchase
+FROM s0
+LEFT JOIN s1 ON s0.user_id = s1.user_id
+LEFT JOIN s2 ON s0.user_id = s2.user_id
+""",
+    doc="Ordered conversion funnel: per-user first-times via chained "
+        "conditional window mins, one shuffle total.",
+)
