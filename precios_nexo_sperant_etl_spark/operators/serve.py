@@ -55,3 +55,31 @@ def natural_sort_keys(c: Column) -> list[Column]:
     alpha = F.lower(F.regexp_extract(c.cast("string"), r"^([^0-9]*)", 1))
     num = F.regexp_extract(c.cast("string"), r"(\d+)", 1).try_cast("long")
     return [alpha, F.coalesce(num, F.lit(-1)), c.cast("string")]
+
+
+def top_k_per_group(df: DataFrame, group_cols: Sequence[str],
+                    order_cols: Sequence[Column], k: int) -> DataFrame:
+    """First ``k`` rows per group under a total order, scale-safely.
+
+    A plain ``Window.partitionBy(group).orderBy(...)`` funnels each
+    ENTIRE group through one task — a 10 TB stratum becomes a 10 TB
+    task. Two phases fix that without changing the answer:
+
+    1. local: rank within (group, physical partition) and keep k — each
+       task sorts only its own slice; survivors ≤ k × n_partitions.
+    2. global: rank the tiny survivor set within the group and keep k.
+
+    Phase 1's per-partition top-k is a SUPERSET of every group's global
+    top-k (any global winner is also a winner of its own partition), so
+    the result is deterministic and partitioning-independent even
+    though ``spark_partition_id`` itself is not.
+    """
+    from pyspark.sql import Window
+
+    local = Window.partitionBy(*group_cols, F.spark_partition_id()) \
+                  .orderBy(*order_cols)
+    survivors = (df.withColumn("_lrn", F.row_number().over(local))
+                   .filter(F.col("_lrn") <= k).drop("_lrn"))
+    final = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (survivors.withColumn("_rn", F.row_number().over(final))
+                     .filter(F.col("_rn") <= k).drop("_rn"))

@@ -590,15 +590,14 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def _strat_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.serve import top_k_per_group
     from .operators.text import md5_hash
     docs = _t(spark, sf, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        md5_hash(F.col("doc_id").cast("string")), F.col("doc_id"))
-    return (docs.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= 50)
-                .select("doc_id", "lang", "source", "n_chars")
-                .orderBy("lang", "doc_id"))
+    sampled = top_k_per_group(
+        docs, ["lang"],
+        [md5_hash(F.col("doc_id").cast("string")), F.col("doc_id")], 50)
+    return (sampled.select("doc_id", "lang", "source", "n_chars")
+                   .orderBy("lang", "doc_id"))
 
 
 register(

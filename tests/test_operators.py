@@ -113,3 +113,27 @@ def test_row_id_dense_permutation_random_data(spark):
         by_id = sorted(out, key=lambda r: r["rid"])
         ks = [r["k"] for r in by_id]
         assert ks == sorted(ks)                      # ids respect the order
+
+
+def test_top_k_per_group_partitioning_independent(spark):
+    """Two-phase top-k must equal the single-window answer regardless of
+    how the input is partitioned (phase-1 local winners are a superset
+    of every global top-k)."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from precios_nexo_sperant_etl_spark.operators.serve import top_k_per_group
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(5), rng.randrange(10_000), i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g long, v long, i long")
+    want_w = Window.partitionBy("g").orderBy("v", "i")
+    want = {(r["g"], r["v"], r["i"]) for r in
+            df.withColumn("_r", F.row_number().over(want_w))
+              .filter(F.col("_r") <= 7).drop("_r").collect()}
+    for parts in (1, 7, 64):
+        got = {(r["g"], r["v"], r["i"]) for r in
+               top_k_per_group(df.repartition(parts),
+                               ["g"], [F.col("v"), F.col("i")], 7).collect()}
+        assert got == want, parts
