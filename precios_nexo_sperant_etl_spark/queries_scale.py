@@ -12,10 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.dedup_fuzzy import (MINHASH_A, MINHASH_B, exact_dedup,
-                                    exact_dedup_survivors, minhash_dedup_pairs,
-                                    minhash_signatures, ngram_jaccard_pairs,
-                                    simhash, simhash_near_pairs)
+from .operators.dedup_fuzzy import (exact_dedup, exact_dedup_survivors,
+                                    minhash_dedup_pairs, minhash_signatures,
+                                    ngram_jaccard_pairs, simhash,
+                                    simhash_near_pairs)
 from .operators.multimodal import attach_binary, extract_features
 from .operators.similarity import (cosine_topk, embedding_neardup_pairs,
                                    ivf_cosine_topk)
