@@ -741,3 +741,125 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
     doc="Q22-shaped: scalar-average subquery broadcast into the filter, "
         "anti join for customers with no orders.",
 )
+
+# ---------------------------------------------------------------------------
+# Q21-shaped: sole late supplier in multi-supplier orders — EXISTS and
+# NOT EXISTS correlated on the same fact, as conditional count-distinct
+# window aggregates (one pass over lineitem, no self-joins)
+# ---------------------------------------------------------------------------
+
+def _q21(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    t = load_tables(spark, sf)
+    o = t["orders"].filter(F.col("o_orderstatus") == "F") \
+                   .select("o_orderkey", "o_orderdate")
+    li = (t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    w = Window.partitionBy("l_orderkey")
+    flagged = (li.withColumn("_n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+                 .withColumn("_n_late_supp",
+                             F.size(F.collect_set(
+                                 F.when(late, F.col("l_suppkey"))).over(w))))
+    target = (flagged.filter(late & (F.col("_n_supp") > 1)
+                             & (F.col("_n_late_supp") == 1))
+                     .select("l_suppkey").distinct())
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (target.join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+                  .groupBy("s_suppkey", "s_name")
+                  .agg(F.lit(1).alias("is_sole_late"))
+                  .orderBy("s_suppkey"))
+
+
+register(
+    "tpch_q21_sole_late_supplier",
+    _q21,
+    """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'),
+agg AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM li GROUP BY l_orderkey)
+SELECT s_suppkey, s_name, 1 AS is_sole_late
+FROM (
+  SELECT DISTINCT li.l_suppkey
+  FROM li JOIN agg ON li.l_orderkey = agg.l_orderkey
+  WHERE li.is_late AND agg.n_supp > 1 AND agg.n_late_supp = 1) t
+JOIN supplier ON s_suppkey = t.l_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+""",
+    doc="Q21-shaped: EXISTS (another supplier) and NOT EXISTS (another "
+        "late supplier) folded into per-order distinct-count windows — "
+        "one pass over lineitem, no correlated self-joins.",
+)
+
+# ---------------------------------------------------------------------------
+# U3 INTERSECT: key sets present on both sides (the set op J4's anti
+# join is the complement of)
+# ---------------------------------------------------------------------------
+
+register(
+    "u3_key_intersect",
+    lambda spark, sf: load_tables(spark, sf)["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .intersect(load_tables(spark, sf)["orders"]
+                   .filter(F.col("o_orderpriority") == "1-URGENT")
+                   .select(F.col("o_custkey").alias("key")))
+        .orderBy("key"),
+    """
+SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY key
+""",
+    doc="INTERSECT of filtered key sets (left-semi on distinct keys).",
+)
+
+# ---------------------------------------------------------------------------
+# Robust outlier filter: per-group median absolute deviation (MAD) gate
+# — the data-cleaning pass before training-statistics aggregation
+# ---------------------------------------------------------------------------
+
+def _mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = load_tables(spark, sf)["orders"].select("o_orderkey", "o_orderstatus",
+                                                "o_totalprice")
+    w = Window.partitionBy("o_orderstatus")
+    med = F.expr("percentile(o_totalprice, 0.5)").over(w)
+    flagged = (o.withColumn("_med", med)
+                .withColumn("_mad", F.expr(
+                    "percentile(abs(o_totalprice - _med), 0.5)").over(w)))
+    return (flagged.filter(F.abs(F.col("o_totalprice") - F.col("_med"))
+                           > 3 * F.col("_mad"))
+                   .select("o_orderkey", "o_orderstatus", "o_totalprice")
+                   .orderBy("o_orderkey"))
+
+
+register(
+    "mad_outlier_filter",
+    _mad_outliers,
+    """
+WITH med AS (
+  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY o_orderstatus),
+mad AS (
+  SELECT o.o_orderstatus, quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS d
+  FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+  GROUP BY o.o_orderstatus)
+SELECT o_orderkey, o.o_orderstatus, o_totalprice
+FROM orders o
+JOIN med ON o.o_orderstatus = med.o_orderstatus
+JOIN mad ON o.o_orderstatus = mad.o_orderstatus
+WHERE abs(o_totalprice - med.m) > 3 * mad.d
+ORDER BY o_orderkey
+""",
+    doc="Per-group median-absolute-deviation outlier gate (robust "
+        "z-score): nested exact medians per group.",
+)
