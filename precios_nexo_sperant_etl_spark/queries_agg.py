@@ -584,3 +584,120 @@ ORDER BY o_custkey, order_seq
     doc="Analytic-window family: lag/lead/rank/dense running totals per "
         "customer, one shuffle on the partition key.",
 )
+
+# ---------------------------------------------------------------------------
+# Period-over-period: monthly revenue with lag-based deltas
+# ---------------------------------------------------------------------------
+
+def _mom(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders")
+    monthly = (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                          .alias("month"))
+                 .agg(dsum(F.col("o_totalprice")).alias("revenue")))
+    w = Window.orderBy("month")  # |months| rows — tiny, single task is fine
+    return (monthly
+            .withColumn("prev_revenue", F.lag("revenue").over(w))
+            .withColumn("mom_pct",
+                        F.bround((F.col("revenue") - F.col("prev_revenue"))
+                                 / F.col("prev_revenue"), 4))
+            .orderBy("month"))
+
+
+register(
+    "monthly_revenue_mom",
+    _mom,
+    """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       CAST(round_even(CAST((revenue - lag(revenue) OVER (ORDER BY month))
+            / lag(revenue) OVER (ORDER BY month) AS DECIMAL(20,17)), 4)
+         AS DOUBLE) AS mom_pct
+FROM m ORDER BY month
+""",
+    doc="Monthly revenue with lag-based month-over-month deltas; the lag "
+        "window runs on the already-reduced |months| rows.",
+)
+
+# ---------------------------------------------------------------------------
+# Histogram: fixed-width price buckets (floor binning — portable, unlike
+# width_bucket which DuckDB lacks)
+# ---------------------------------------------------------------------------
+
+register(
+    "price_histogram",
+    lambda spark, sf: _t(spark, sf, "orders")
+        .select(F.floor(F.col("o_totalprice") / 50_000).cast("long")
+                 .alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket_low", (F.col("bucket") * 50_000).cast("double"))
+        .orderBy("bucket"),
+    """
+SELECT bucket, COUNT(*) AS n_orders,
+       CAST(bucket * 50000 AS DOUBLE) AS bucket_low
+FROM (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket
+      FROM orders) t
+GROUP BY bucket ORDER BY bucket
+""",
+    doc="Fixed-width histogram via floor binning — combinable one-shuffle "
+        "group count.",
+)
+
+# ---------------------------------------------------------------------------
+# Data-quality profile: per-column null / distinct / extremes in ONE scan
+# ---------------------------------------------------------------------------
+
+def _profile(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = o.agg(*aggs)
+    # unpivot to one row per column (stack is codegen; 3 metrics each)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in cols)
+    return (wide.selectExpr(
+                f"stack({len(cols)}, {stack_args}) AS "
+                "(column_name, n_rows, n_nulls, n_distinct)")
+            .orderBy("column_name"))
+
+
+register(
+    "table_profile_orders",
+    _profile,
+    """
+WITH w AS (
+  SELECT COUNT(*) AS rows_,
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nk,
+    COUNT(DISTINCT o_orderkey) AS dk,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nc,
+    COUNT(DISTINCT o_custkey) AS dc,
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS ns,
+    COUNT(DISTINCT o_orderstatus) AS ds,
+    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nt,
+    COUNT(DISTINCT o_totalprice) AS dt,
+    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS np,
+    COUNT(DISTINCT o_orderpriority) AS dp
+  FROM orders)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name, rows_ AS n_rows, nk AS n_nulls, dk AS n_distinct FROM w
+  UNION ALL SELECT 'o_custkey', rows_, nc, dc FROM w
+  UNION ALL SELECT 'o_orderstatus', rows_, ns, ds FROM w
+  UNION ALL SELECT 'o_totalprice', rows_, nt, dt FROM w
+  UNION ALL SELECT 'o_orderpriority', rows_, np, dp FROM w)
+ORDER BY column_name
+""",
+    doc="Per-column null/distinct profile in one scan, unpivoted via "
+        "stack — the schema-audit pass.",
+)
