@@ -141,3 +141,22 @@ def test_row_id_plan_has_no_global_window(spark):
     # not — so at most one Window node total, and a range exchange exists
     assert plan.count("Window") <= 1
     assert "rangepartitioning" in plan.lower()
+
+
+def test_q21_single_pass_no_self_join(spark):
+    """Q21's EXISTS/NOT-EXISTS fold into per-order windows: lineitem must
+    be scanned once (no self-join), with only the orders join plus the
+    broadcast supplier lookup."""
+    plan = queries()["tpch_q21_sole_late_supplier"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 3  # lineitem + orders + supplier
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_broadcast_only(spark):
+    """The end-to-end curation chain joins tiny per-doc aggregates back
+    to the survivors — every join must be broadcast, never sort-merge."""
+    plan = queries()["curation_pipeline"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
