@@ -314,3 +314,60 @@ FROM v
 """,
     doc="F8 pd.to_datetime(errors='coerce'): ISO + es-PE dd/MM/yyyy; junk → NULL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# F3 — accent folding as a column op (the header cleaner's es-PE subset)
+# ---------------------------------------------------------------------------
+
+_F3_ROWS = [
+    ("Número de inmueble",), ("Precio de lista",), ("tipología",),
+    ("ÁREA TECHADA",), ("año",), ("señal única",), ("sin acentos",),
+    ("ümlaut über",), ("",), (None,),
+]
+
+_ACCENTS = "áéíóúüñÁÉÍÓÚÜÑ"
+_PLAIN = "aeiouunAEIOUUN"
+
+
+register(
+    "f3_accent_fold",
+    lambda spark, sf: _string_df(spark, _F3_ROWS, ["raw"]).select(
+        F.col("raw"), F.translate(F.col("raw"), _ACCENTS, _PLAIN).alias("folded")),
+    f"""
+WITH v AS (SELECT raw FROM {_values_sql(_F3_ROWS, ["raw"], ["VARCHAR"])})
+SELECT raw, strip_accents(raw) AS folded FROM v
+""",
+    doc="F3 accent folding (á→a … ñ→n) as a codegen translate; DuckDB "
+        "strip_accents agrees on the es-PE alphabet.",
+)
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys match
+# each other instead of vanishing
+# ---------------------------------------------------------------------------
+
+_NSJ_LEFT = [("a", "1"), ("b", "2"), (None, "3"), ("d", "4")]
+_NSJ_RIGHT = [("a", "x"), (None, "y"), ("c", "z")]
+
+
+def _null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    left = _string_df(spark, _NSJ_LEFT, ["k", "lv"])
+    right = _string_df(spark, _NSJ_RIGHT, ["k2", "rv"])
+    return (left.join(right, left["k"].eqNullSafe(right["k2"]), "inner")
+                .select("k", "lv", "rv").orderBy("lv"))
+
+
+register(
+    "null_safe_join",
+    _null_safe_join,
+    f"""
+WITH l AS (SELECT k, lv FROM {_values_sql(_NSJ_LEFT, ["k", "lv"], ["VARCHAR", "VARCHAR"])}),
+r AS (SELECT k2, rv FROM {_values_sql(_NSJ_RIGHT, ["k2", "rv"], ["VARCHAR", "VARCHAR"])})
+SELECT l.k, l.lv, r.rv
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+ORDER BY l.lv
+""",
+    doc="Null-safe equi-join: <=> (IS NOT DISTINCT FROM) lets NULL keys "
+        "pair instead of dropping.",
+)

@@ -796,3 +796,27 @@ LEFT JOIN s2 ON s0.user_id = s2.user_id
     doc="Ordered conversion funnel: per-user first-times via chained "
         "conditional window mins, one shuffle total.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: from_json struct extraction + per-field aggregation
+# ---------------------------------------------------------------------------
+
+register(
+    "events_props_struct",
+    lambda spark, sf: _t(spark, sf, "events")
+        .select(F.from_json(F.col("props"), "k BIGINT").alias("p"))
+        .select(F.col("p.k").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("k"),
+    """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n_events
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY k ORDER BY k
+""",
+    doc="from_json schema-on-read struct extraction feeding an "
+        "aggregation (vs get_json_object's per-path scan).",
+)
