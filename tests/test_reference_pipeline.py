@@ -86,3 +86,59 @@ def test_pipeline_idempotent(spark):
     resumen = {r["Proyecto"]: r for r in second["resumen"].collect()}
     assert resumen["Matera"]["Cambios"] == 0
     assert resumen["Fenix"]["Cambios"] == 0
+
+
+def test_full_reference_journey(spark, tmp_path):
+    """The complete reference run as one flow: tolerant multi-file
+    ingest (one good, one corrupt, one missing source) → price update →
+    the 3-sheet audit workbook artifact — what a reference user's cron
+    job does end-to-end."""
+    import os
+
+    import pandas as pd
+
+    from precios_nexo_sperant_etl_spark.sources.ingest import \
+        ingest_project_files
+    from precios_nexo_sperant_etl_spark.sources.sinks import \
+        write_audit_workbook
+
+    good_a = tmp_path / "matera.xls"
+    good_a.write_text("placeholder")
+    good_b = tmp_path / "fenix.xls"
+    good_b.write_text("placeholder")
+    corrupt = tmp_path / "roto.xls"
+    corrupt.write_text("placeholder")
+
+    fenix_rows = [
+        ["Número de inmueble", "Precio de lista", "Estado de inmueble"],
+        ["201", "300,25", "Disponible"],
+        ["202", "", None],
+    ]
+
+    def reader(path):
+        p = str(path)
+        if "roto" in p:
+            raise ValueError("unreadable workbook")
+        return MESSY_SHEET if "matera" in p else fenix_rows
+
+    skips = []
+    nexo = ingest_project_files(
+        spark,
+        {"Matera": str(good_a), "Fenix": str(good_b), "Roto": str(corrupt),
+         "Fantasma": str(tmp_path / "nope.xls")},
+        reader=reader, on_skip=lambda p, r: skips.append(p))
+    assert {s for s in skips} == {"Roto", "Fantasma"}
+
+    _, sperant = _fixture(spark)
+    out = update_prices(nexo, sperant)
+    path = str(tmp_path / "aud" / "Resumen_cambios_por_proyecto.xlsx")
+    written = write_audit_workbook(out["resumen"], out["solo_nexo"],
+                                   out["solo_sperant"], path)
+    if written == [path]:
+        sheets = pd.read_excel(path, sheet_name=None)
+    else:
+        sheets = {os.path.basename(p)[:-4]: pd.read_csv(p) for p in written}
+    assert sorted(sheets["Resumen"]["Proyecto"]) == ["Fenix", "Matera"]
+    assert sheets["Resumen"]["Registros"].sum() == 5
+    assert list(sheets["Solo_en_sperant"]["Proyecto_solo_df_sperant"]) \
+        == ["Solitario", "matera"]
