@@ -820,3 +820,85 @@ GROUP BY k ORDER BY k
     doc="from_json schema-on-read struct extraction feeding an "
         "aggregation (vs get_json_object's per-path scan).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (exact): daily distinct sets are small
+# relative to the event stream, so the rolling union runs as a banded
+# self-join over the REDUCED (day, user) table — never over raw events
+# ---------------------------------------------------------------------------
+
+def _rolling_dau(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    daily = (e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+              .distinct())
+    days = daily.select("day").distinct() \
+                .select(F.col("day").alias("anchor"))
+    window_days = 7
+    joined = daily.join(
+        days,
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") > F.col("anchor") - F.expr(f"INTERVAL {window_days} DAYS")))
+    return (joined.groupBy("anchor")
+                  .agg(F.countDistinct("user_id").alias("rolling_users"))
+                  .orderBy("anchor"))
+
+
+register(
+    "rolling_7d_distinct_users",
+    _rolling_dau,
+    f"""
+WITH e AS ({_DUCK_EVENTS}),
+daily AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 user_id FROM e),
+days AS (SELECT DISTINCT day AS anchor FROM daily)
+SELECT anchor, COUNT(DISTINCT user_id) AS rolling_users
+FROM daily JOIN days
+  ON daily.day <= days.anchor AND daily.day > days.anchor - INTERVAL 7 DAY
+GROUP BY anchor ORDER BY anchor
+""",
+    doc="Exact rolling 7-day distinct users over the reduced (day, user) "
+        "table — the self-join never touches raw events.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week; per (cohort,
+# weeks-since) distinct retained users
+# ---------------------------------------------------------------------------
+
+def _cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    weekly = (e.select(F.date_trunc("week", F.col("ts")).alias("week"),
+                       "user_id").distinct())
+    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (weekly.join(first, "user_id")
+            .select("cohort",
+                    F.floor(F.unix_timestamp("week") / (7 * 86400)
+                            - F.unix_timestamp("cohort") / (7 * 86400))
+                     .cast("long").alias("weeks_since"),
+                    "user_id")
+            .groupBy("cohort", "weeks_since")
+            .agg(F.countDistinct("user_id").alias("retained"))
+            .orderBy("cohort", "weeks_since"))
+
+
+register(
+    "cohort_retention",
+    _cohorts,
+    f"""
+WITH e AS ({_DUCK_EVENTS}),
+weekly AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                  user_id FROM e),
+first AS (SELECT user_id, MIN(week) AS cohort FROM weekly GROUP BY user_id)
+SELECT f.cohort,
+       CAST(floor(epoch(w.week) / 604800 - epoch(f.cohort) / 604800)
+            AS BIGINT) AS weeks_since,
+       COUNT(DISTINCT w.user_id) AS retained
+FROM weekly w JOIN first f ON w.user_id = f.user_id
+GROUP BY f.cohort, weeks_since
+ORDER BY f.cohort, weeks_since
+""",
+    doc="Cohort retention: first-week cohorts × weeks-since, distinct "
+        "retained users per cell; all aggs on the reduced weekly table.",
+)
