@@ -832,14 +832,19 @@ def _rolling_dau(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     daily = (e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
               .distinct())
-    days = daily.select("day").distinct() \
-                .select(F.col("day").alias("anchor"))
-    window_days = 7
-    joined = daily.join(
-        days,
-        (F.col("day") <= F.col("anchor"))
-        & (F.col("day") > F.col("anchor") - F.expr(f"INTERVAL {window_days} DAYS")))
-    return (joined.groupBy("anchor")
+    # Each (day, user) row EMITS its 7 anchor days (explode of a
+    # sequence) instead of inequality-joining against the day list —
+    # an inequality join would plan as a nested-loop over
+    # |daily| x |days|; the explode is linear with constant fan-out and
+    # the only join left is a broadcast semi against the real day set
+    # (anchors past the last observed day must not appear).
+    days = daily.select(F.col("day").alias("anchor")).distinct()
+    fanned = daily.select(
+        F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)"))
+         .alias("anchor"),
+        "user_id")
+    return (fanned.join(F.broadcast(days), "anchor", "left_semi")
+                  .groupBy("anchor")
                   .agg(F.countDistinct("user_id").alias("rolling_users"))
                   .orderBy("anchor"))
 
