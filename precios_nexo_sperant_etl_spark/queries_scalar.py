@@ -371,3 +371,68 @@ ORDER BY l.lv
     doc="Null-safe equi-join: <=> (IS NOT DISTINCT FROM) lets NULL keys "
         "pair instead of dropping.",
 )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge — versioned-dimension twin of the F14 overwrite update
+# ---------------------------------------------------------------------------
+
+_SCD_DIM = [
+    ("k1", "v1", "2024-01-01 00:00:00", None),
+    ("k1", "v0", "2023-01-01 00:00:00", "2024-01-01 00:00:00"),
+    ("k2", "a", "2024-01-01 00:00:00", None),
+    ("k3", None, "2024-01-01 00:00:00", None),
+]
+_SCD_UPD = [
+    ("k1", "v2", "2024-06-01 00:00:00"),   # changed → close + open
+    ("k2", "a", "2024-06-01 00:00:00"),    # unchanged → no-op
+    ("k3", "x", "2024-06-01 00:00:00"),    # NULL→value counts as change
+    ("k4", "new", "2024-06-01 00:00:00"),  # new key → first version
+]
+
+
+def _scd2(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.update import scd2_merge
+    dim = _string_df(spark, _SCD_DIM, ["k", "v", "effective_ts", "end_ts"]) \
+        .select("k", "v",
+                F.col("effective_ts").cast("timestamp_ntz").alias("effective_ts"),
+                F.col("end_ts").cast("timestamp_ntz").alias("end_ts"))
+    upd = _string_df(spark, _SCD_UPD, ["k", "v", "update_ts"]) \
+        .select("k", "v",
+                F.col("update_ts").cast("timestamp_ntz").alias("update_ts"))
+    return (scd2_merge(dim, upd, ["k"], ["v"])
+            .orderBy("k", "effective_ts"))
+
+
+register(
+    "scd2_merge",
+    _scd2,
+    f"""
+WITH dim AS (SELECT * FROM {_values_sql(_SCD_DIM, ["k", "v", "effective_ts", "end_ts"],
+                                        ["VARCHAR", "VARCHAR", "TIMESTAMP", "TIMESTAMP"])}),
+u AS (SELECT k, v AS uv, update_ts AS uts
+      FROM {_values_sql(_SCD_UPD, ["k", "v", "update_ts"],
+                        ["VARCHAR", "VARCHAR", "TIMESTAMP"])}),
+cur AS (SELECT * FROM dim WHERE end_ts IS NULL),
+oldr AS (SELECT * FROM dim WHERE end_ts IS NOT NULL),
+j AS (SELECT COALESCE(c.k, u.k) AS k, c.v, c.effective_ts, c.end_ts,
+             u.uv, u.uts,
+             (c.effective_ts IS NULL) AS is_new,
+             (u.uts IS NOT NULL) AS has_u,
+             (c.v IS DISTINCT FROM u.uv) AS chg
+      FROM cur c FULL OUTER JOIN u ON c.k = u.k)
+SELECT k, v, effective_ts, end_ts FROM oldr
+UNION ALL
+SELECT k, v, effective_ts, end_ts FROM j
+WHERE NOT has_u OR (NOT is_new AND NOT chg)
+UNION ALL
+SELECT k, v, effective_ts, uts AS end_ts FROM j
+WHERE has_u AND NOT is_new AND chg
+UNION ALL
+SELECT k, uv AS v, uts AS effective_ts, CAST(NULL AS TIMESTAMP) AS end_ts
+FROM j WHERE has_u AND (is_new OR chg)
+ORDER BY k, effective_ts
+""",
+    doc="SCD2 merge: close changed current rows, open new versions, "
+        "keep history — null-safe change detection, full-outer on keys.",
+)
