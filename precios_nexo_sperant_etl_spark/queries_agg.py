@@ -679,15 +679,15 @@ register(
     """
 WITH w AS (
   SELECT COUNT(*) AS rows_,
-    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nk,
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk,
     COUNT(DISTINCT o_orderkey) AS dk,
-    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nc,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc,
     COUNT(DISTINCT o_custkey) AS dc,
-    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS ns,
+    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ns,
     COUNT(DISTINCT o_orderstatus) AS ds,
-    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nt,
+    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nt,
     COUNT(DISTINCT o_totalprice) AS dt,
-    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS np,
+    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np,
     COUNT(DISTINCT o_orderpriority) AS dp
   FROM orders)
 SELECT * FROM (
