@@ -102,6 +102,10 @@ def add_row_id(df: DataFrame, order_by: Sequence[str | Column],
     cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_cnt").over(cum), F.lit(0)).alias("_off"))
+    # The id stays LONG: a 32-bit cast caps the table at ~2.1B rows and
+    # throws under ANSI mode at exactly the scale this two-pass design
+    # exists for. (The reference's range(len(df)) is a Python int — no
+    # width contract to preserve.)
     return (tagged.join(F.broadcast(offsets), "_pid")
-                  .withColumn(name, (F.col("_off") + F.col("_idx")).cast("int"))
+                  .withColumn(name, F.col("_off") + F.col("_idx"))
                   .drop("_pid", "_idx", "_off"))

@@ -313,7 +313,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     """SimHash near-dup pairs by Hamming distance on the 16-bit signature.
 
     Candidate generation is EXACT banding, never all-pairs: split the
-    signature into ``max_hamming + 1`` equal-width chunks; by pigeonhole,
+    signature into ``max_hamming + 1`` chunks (widths differ by at most
+    one bit when the signature doesn't divide evenly); by pigeonhole,
     two signatures within Hamming ``max_hamming`` agree exactly on at
     least one chunk, so an equi-join on (chunk-id, chunk-value) finds
     every qualifying pair. Survivors are then verified with the exact
@@ -324,9 +325,18 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     :func:`simhash_near_pairs_allpairs` for test cross-checks.)
     """
     n_chunks = max_hamming + 1
-    assert n_bits % n_chunks == 0, "signature width must split into equal chunks"
-    cw = n_bits // n_chunks
-    mask = (1 << cw) - 1
+    if n_chunks > n_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} non-empty chunks "
+            f"but the signature has only {n_bits} bits; lower max_hamming "
+            f"or widen n_bits")
+    # Pigeonhole needs max_hamming+1 chunks of ANY nonzero width (a pair
+    # within Hamming max_hamming has at least one chunk with no differing
+    # bit), so unequal widths are fine: the first n_bits % n_chunks
+    # chunks get one extra bit.
+    base, extra = divmod(n_bits, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     # One signature row per document — tiny relative to the corpus. The
     # self-join references it twice; persisting avoids recomputing the
     # token explode + bit-vote agg for each side (and lets AQE broadcast
@@ -335,8 +345,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     sigs = simhash(df, text_col, id_col, n_bits).persist()
     chunks = [
         sigs.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),
-                    F.shiftright(F.col("simhash"), c * cw)
-                     .bitwiseAND(F.lit(mask)).alias("cv"))
+                    F.shiftright(F.col("simhash"), offsets[c])
+                     .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("cv"))
         for c in range(n_chunks)
     ]
     buckets = chunks[0]
@@ -355,7 +365,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     # only shuffles in the whole plan are the bucket equi-join and the
     # final presentation sort.
     def _chunk(col, c):
-        return F.shiftright(col, c * cw).bitwiseAND(F.lit(mask))
+        return F.shiftright(col, offsets[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1))
 
     first_match = F.lit(None).cast("int")
     for c in reversed(range(n_chunks)):

@@ -74,6 +74,17 @@ def scd2_merge(dim, updates, keys, tracked, ts_col="effective_ts",
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"_u_{c}") for c in tracked],
         F.col(update_ts_col).alias("_uts"))
+    # A batch may carry several updates for one key; applying them all
+    # through the full-outer join would fan out the current row and open
+    # several simultaneous versions. Keep only the LATEST update per key
+    # (ts desc, tracked values as a deterministic tiebreak) — the
+    # intermediate versions never became current within this batch.
+    from pyspark.sql import Window
+    latest = Window.partitionBy(*keys).orderBy(
+        F.col("_uts").desc(),
+        *[F.col(f"_u_{c}").desc_nulls_last() for c in tracked])
+    u = (u.withColumn("_rn", F.row_number().over(latest))
+          .filter(F.col("_rn") == 1).drop("_rn"))
     j = current.join(u, keys, "full_outer")
 
     changed = [~F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in tracked]

@@ -325,7 +325,7 @@ register(
         order_by=[F.col("o_orderkey")], name="row_id"),
     """
 SELECT o_orderkey, o_totalprice,
-       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS INT) AS row_id
+       ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
 FROM orders
 """,
     doc="W4 dense 0-based row id over an explicit total order.",

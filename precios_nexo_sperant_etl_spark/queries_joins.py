@@ -755,7 +755,9 @@ def _q21(spark: SparkSession, sf: str) -> DataFrame:
                    .select("o_orderkey", "o_orderdate")
     li = (t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
-    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    # Timestamp-preserving cutoff: date_add would truncate o_orderdate to
+    # DATE while the oracle's "+ INTERVAL 60 DAY" keeps time-of-day.
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     w = Window.partitionBy("l_orderkey")
     flagged = (li.withColumn("_n_supp", F.size(F.collect_set("l_suppkey").over(w)))
                  .withColumn("_n_late_supp",

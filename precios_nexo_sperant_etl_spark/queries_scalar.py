@@ -388,6 +388,10 @@ _SCD_UPD = [
     ("k2", "a", "2024-06-01 00:00:00"),    # unchanged → no-op
     ("k3", "x", "2024-06-01 00:00:00"),    # NULL→value counts as change
     ("k4", "new", "2024-06-01 00:00:00"),  # new key → first version
+    # two updates for one key in a single batch: only the LATEST becomes
+    # the open version (the intermediate never became current)
+    ("k5", "mid", "2024-05-01 00:00:00"),
+    ("k5", "fin", "2024-06-01 00:00:00"),
 ]
 
 
@@ -412,7 +416,10 @@ WITH dim AS (SELECT * FROM {_values_sql(_SCD_DIM, ["k", "v", "effective_ts", "en
                                         ["VARCHAR", "VARCHAR", "TIMESTAMP", "TIMESTAMP"])}),
 u AS (SELECT k, v AS uv, update_ts AS uts
       FROM {_values_sql(_SCD_UPD, ["k", "v", "update_ts"],
-                        ["VARCHAR", "VARCHAR", "TIMESTAMP"])}),
+                        ["VARCHAR", "VARCHAR", "TIMESTAMP"])}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+                                 ORDER BY update_ts DESC,
+                                          v DESC NULLS LAST) = 1),
 cur AS (SELECT * FROM dim WHERE end_ts IS NULL),
 oldr AS (SELECT * FROM dim WHERE end_ts IS NOT NULL),
 j AS (SELECT COALESCE(c.k, u.k) AS k, c.v, c.effective_ts, c.end_ts,

@@ -106,6 +106,28 @@ def test_simhash_banded_plan_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_unequal_chunk_widths_lossless(spark):
+    """max_hamming values that don't divide the signature width (e.g. 2
+    chunks of 6+5+5 bits over 16) must still be exact — pigeonhole needs
+    max_hamming+1 nonzero chunks, not equal ones."""
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
+        simhash_near_pairs_allpairs)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {tuple(r) for r in
+              simhash_near_pairs(docs, max_hamming=2).collect()}
+    allpairs = {tuple(r) for r in
+                simhash_near_pairs_allpairs(docs, max_hamming=2).collect()}
+    assert banded == allpairs and banded
+
+
+def test_simhash_max_hamming_exceeding_bits_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty chunks"):
+        simhash_near_pairs(_docs(spark), max_hamming=16, n_bits=16)
+
+
 def test_minhash_prod_config_recall(spark):
     """Production LSH shape (128 perms / 16 bands of 8) must dominate the
     toy config: every toy-found pair is found, and recall against the
