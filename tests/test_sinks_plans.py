@@ -143,6 +143,18 @@ def test_row_id_plan_has_no_global_window(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_mad_outlier_no_window_over_fact(spark):
+    """The MAD gate computes per-status medians as tiny groupBy
+    aggregates broadcast back onto the fact scan — an unbounded
+    per-group percentile Window would funnel a third of the table
+    through one task."""
+    plan = queries()["mad_outlier_filter"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_q21_single_pass_no_self_join(spark):
     """Q21's EXISTS/NOT-EXISTS fold into per-order windows: lineitem must
     be scanned once (no self-join), with only the orders join plus the
