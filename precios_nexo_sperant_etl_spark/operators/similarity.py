@@ -80,6 +80,25 @@ def lsh_bucket_expr(vec_col: str, n_planes: int = 8) -> str:
             f"0L, (a, x) -> a + x)")
 
 
+def duck_lsh_bucket_expr(vec_col: str, n_planes: int = 8) -> str:
+    """DuckDB twin of :func:`lsh_bucket_expr`, mirrored operation-for-
+    operation so an oracle can reproduce the bucket assignment (and thus
+    the LSH candidate set) bit-exactly: same integer plane generation,
+    same sequential left-fold dot product, same sign threshold. DuckDB
+    lists are 1-based where Spark arrays are 0-based, so ``v[i]`` here
+    addresses the element Spark reads as ``v[i - 1]``."""
+    dot_j = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+             f"list_transform(range(1, len({vec_col}) + 1), i -> "
+             f"  CAST({vec_col}[i] AS DOUBLE) * "
+             f"  (CAST((i * {_LSH_MULT} + j * {_LSH_JMULT}) % {_LSH_MOD} AS DOUBLE)"
+             f"    / {_LSH_MOD}.0 - 0.5))), "
+             f"(x, y) -> x + y)")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(0, {n_planes}), j -> "
+            f"CASE WHEN {dot_j} >= 0 THEN CAST(1 AS BIGINT) << j "
+            f"ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)")
+
+
 def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     cell_col: str = "label", n_probe: int = 2) -> DataFrame:

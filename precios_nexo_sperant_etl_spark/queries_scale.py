@@ -17,8 +17,8 @@ from .operators.dedup_fuzzy import (exact_dedup, exact_dedup_survivors,
                                     ngram_jaccard_pairs, simhash,
                                     simhash_near_pairs)
 from .operators.multimodal import attach_binary, extract_features
-from .operators.similarity import (cosine_topk, embedding_neardup_pairs,
-                                   ivf_cosine_topk)
+from .operators.similarity import (cosine_topk, duck_lsh_bucket_expr,
+                                   embedding_neardup_lsh, ivf_cosine_topk)
 from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
                              lang_id, quality_score, redact_pii, text_stats, token_counts,
                              top_terms)
@@ -544,24 +544,41 @@ FROM documents
 # Embedding-cosine near-dup pairs (exact baseline; LSH variant in tests)
 # ---------------------------------------------------------------------------
 
+# The REGISTERED near-dup operator is the LSH bucket join — the plan a
+# 100 TB corpus actually runs (one shuffle on the bucket key, cost
+# Σ bucket², never n²). The oracle reproduces the bucket assignment
+# bit-exactly via duck_lsh_bucket_expr, so the lossy candidate set is
+# itself oracle-checked; the O(n²) exact baseline stays available as
+# embedding_neardup_pairs() for pytest recall measurement only.
+_ENP_PLANES = 6
+_ENP_THRESHOLD = 0.35
+
 register(
     "embedding_neardup_pairs",
-    lambda spark, sf: embedding_neardup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.35),
+    lambda spark, sf: embedding_neardup_lsh(
+        _t(spark, sf, "embeddings"), threshold=_ENP_THRESHOLD,
+        n_planes=_ENP_PLANES, n_probe=2),
     f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_duck_dot('a.embedding', 'b.embedding')}
-         / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
-            * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cosine
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND {_duck_dot('a.embedding', 'b.embedding')}
-        / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
-           * sqrt({_duck_dot('b.embedding', 'b.embedding')})) >= 0.35
+WITH bkt AS (
+  SELECT vec_id, embedding,
+         {duck_lsh_bucket_expr('embedding', _ENP_PLANES)} AS bucket
+  FROM embeddings),
+a AS (SELECT vec_id, embedding,
+             unnest([bucket, xor(bucket, 1)]) AS bucket FROM bkt),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_duck_dot('a.embedding', 'b.embedding')}
+           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cosine
+  FROM a JOIN bkt b USING (bucket)
+  WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cosine FROM cand
+WHERE cosine >= {_ENP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """,
-    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline; the "
-        "LSH sign-bucket variant is the scale path, recall-tested).",
+    doc="Embedding-cosine near-dup pairs via multi-probe sign-bucket LSH "
+        "(bucket equi-join; oracle mirrors the bucket expression "
+        "bit-exactly, recall vs the exact baseline pinned in pytest).",
 )
 
 

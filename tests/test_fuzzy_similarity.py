@@ -179,6 +179,17 @@ def test_embedding_neardup_lsh_recall(spark):
     assert recall >= 0.5, f"LSH near-dup recall collapsed: {recall}"
 
 
+def test_registered_embedding_neardup_is_bucket_join(spark):
+    """The user-facing embedding_neardup_pairs query must run the LSH
+    bucket equi-join, never the O(n²) all-pairs baseline."""
+    from precios_nexo_sperant_etl_spark.registry import queries
+
+    df = queries()["embedding_neardup_pairs"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
     """The production guard: a boilerplate mega-bucket is dropped when it
     exceeds max_bucket_size, while selective buckets keep pairing."""
