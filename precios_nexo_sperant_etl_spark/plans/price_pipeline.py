@@ -48,11 +48,19 @@ def core_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply the coalesce update rules. Preserves customer cardinality."""
     t = load_tables(spark, sf_dir)
     snap = latest_order_snapshot(t["orders"])
+    # No broadcast hint on the snapshot: it is one row per
+    # customer-with-orders, so it GROWS with the fact side's key
+    # cardinality — an explicit hint overrides every size check and
+    # would OOM the driver at scale instead of demoting. Catalyst/AQE
+    # still broadcast it whenever its runtime size fits the threshold
+    # (it does at test scale); past that the join degrades gracefully
+    # to sort-merge. The genuinely bounded dimension (nation, below)
+    # keeps its hint.
     enriched = (
         t["customer"]
         .withColumnRenamed("c_acctbal", "precio_antes")
         .withColumnRenamed("c_mktsegment", "estado_antes")
-        .join(broadcast(snap), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .join(snap, F.col("c_custkey") == F.col("o_custkey"), "left")
     )
     enriched = match_flags(enriched, marker="o_custkey")
     enriched = (enriched
