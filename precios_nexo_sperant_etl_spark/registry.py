@@ -34,6 +34,66 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+#: The driver stamps only the FIRST 50 entries of ``queries()`` per round,
+#: in iteration order — so ordering is a correctness-evidence budget, not
+#: cosmetics. Names listed here surface first; everything else follows in
+#: registration order. Policy: queries that were never driver-checked, were
+#: rewritten since their last stamp, or failed last round go at the front;
+#: long-stable green queries rotate to the back (their old stamps stand).
+#: Update this list every round from the latest CORRECTNESS_r*.json.
+_CHECK_FIRST: list[str] = [
+    # --- never driver-checked as of r02 (registered past slot 50) ---
+    "mad_outlier_filter",
+    "f8_to_datetime",
+    "f3_accent_fold",
+    "null_safe_join",
+    "scd2_merge",
+    "minhash_dedup_pairs_prod",
+    "text_top_terms",
+    "ann_ivf_topk",
+    "text_fingerprint",
+    "events_tumbling_agg",
+    "events_sliding_agg",
+    "events_sessionize",
+    "asof_join_click_purchase",
+    "range_join_view_purchase",
+    "multimodal_metadata",
+    "multimodal_features",
+    "embedding_neardup_pairs",
+    "text_token_counts",
+    "stratified_sample_docs",
+    "quantiles_by_status",
+    "text_redact_pii",
+    "contamination_screen",
+    "curation_pipeline",
+    "events_funnel",
+    "events_props_struct",
+    "rolling_7d_distinct_users",
+    "cohort_retention",
+    # --- rewritten in r2 after their r01 stamp (stale evidence) ---
+    "simhash_near_pairs",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "text_stats",
+    "text_quality_score",
+    "text_lang_id",
+    # --- r02 red row (oracle type fixed in r3) / changed in r3 ---
+    "table_profile_orders",
+    "w4_row_id",
+    "tpch_q21_sole_late_supplier",
+    "core_update_audit",
+    "j1_left_enrich_coalesce",
+    "j3_p6_change_detail",
+    # --- r01-only stamps, implementation unchanged: refresh while slots last
+    "dedup_exact",
+    "dedup_exact_survivors",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "f4_to_number",
+    "f5_safe_num",
+]
+
 
 def register(name: str, fn: QueryFn, oracle: str | None, doc: str = "") -> None:
     if name in _REGISTRY:
@@ -41,14 +101,25 @@ def register(name: str, fn: QueryFn, oracle: str | None, doc: str = "") -> None:
     _REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc)
 
 
+def _ordered() -> list[str]:
+    front = [n for n in _CHECK_FIRST if n in _REGISTRY]
+    missing = set(_CHECK_FIRST) - set(front)
+    if missing:
+        # A typo here would silently waste correctness-window slots.
+        raise ValueError(f"_CHECK_FIRST names not registered: {sorted(missing)}")
+    rest = [n for n in _REGISTRY if n not in set(front)]
+    return front + rest
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return {name: q.fn for name, q in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+    return {name: _REGISTRY[name].oracle for name in _ordered()
+            if _REGISTRY[name].oracle is not None}
 
 
 _LOADED = False
