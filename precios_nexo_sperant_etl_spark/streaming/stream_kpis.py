@@ -62,6 +62,19 @@ def streaming_tumbling_counts(events: DataFrame, width: str = "10 minutes",
                     "n_events"))
 
 
+def streaming_session_windows(events: DataFrame, gap: str = "30 minutes",
+                              watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked gap-based sessionization — the streaming twin of
+    ``operators.windows.sessionize``. Session state for a user merges
+    while events keep arriving within ``gap``; the session closes (and
+    emits, in append mode) once the watermark passes its end."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("win.start").alias("session_start"),
+                    "n_events"))
+
+
 def streaming_click_purchase_join(events: DataFrame,
                                   max_gap: str = "10 minutes",
                                   watermark: str = "30 minutes") -> DataFrame:

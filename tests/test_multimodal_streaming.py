@@ -76,16 +76,69 @@ def test_stateful_user_profiles_match_batch(spark):
 
 
 def test_streaming_matches_batch_tumbling(spark):
-    """AvailableNow streaming run must agree with the batch plan for every
-    window it emits (append mode withholds windows the final watermark
-    hasn't passed — that is watermark semantics, not data loss)."""
+    """AvailableNow streaming run must equal the batch plan EXACTLY on
+    the set of windows the final watermark closed: every emitted row
+    matches batch, and every batch window older than the watermark
+    horizon (max ts - 30 min delay) was emitted — full end-to-end
+    equality, with the withheld tail accounted for explicitly."""
+    import datetime
+
     stream_rows = run_available_now(
         streaming_tumbling_counts(stream_events(spark, SF_DIR)))
+    events = load_tables(spark, SF_DIR)["events"]
     batch = {(r["win_start"], r["event_type"]): r["n_events"]
-             for r in tumbling_agg(load_tables(spark, SF_DIR)["events"]).collect()}
+             for r in tumbling_agg(events).collect()}
     assert len(stream_rows) > 0
-    for r in stream_rows:
-        assert batch[(r["win_start"], r["event_type"])] == r["n_events"]
+    stream = {(r["win_start"], r["event_type"]): r["n_events"]
+              for r in stream_rows}
+    for k, n in stream.items():
+        assert batch[k] == n
+    # completeness: the final watermark is max(ts) - 30min; every batch
+    # window that closed strictly before it must have been emitted
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(minutes=30)
+    closed = {k for k in batch
+              if k[0] + datetime.timedelta(minutes=10) < horizon}
+    assert closed <= set(stream), (
+        f"windows closed by the watermark but never emitted: "
+        f"{sorted(closed - set(stream))[:5]}")
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """Watermarked session windows drained with AvailableNow must equal
+    the batch sessionize answer for every session the watermark closed."""
+    import datetime
+
+    from precios_nexo_sperant_etl_spark.operators.windows import sessionize
+    from precios_nexo_sperant_etl_spark.streaming.stream_kpis import \
+        streaming_session_windows
+
+    stream_rows = run_available_now(
+        streaming_session_windows(stream_events(spark, SF_DIR)),
+        query_name="sessions_stream")
+    assert stream_rows, "no sessions emitted"
+    stream = {(r["user_id"], r["session_start"]): r["n_events"]
+              for r in stream_rows}
+    batch = {(r["user_id"], r["session_start"]): r["n_events"]
+             for r in sessionize(load_tables(spark, SF_DIR)["events"]).collect()}
+    for k, n in stream.items():
+        assert batch[k] == n, f"session {k}: stream {n} != batch {batch[k]}"
+    # completeness: a session emits once the watermark passes its end
+    # (= last event + gap); recompute batch sessions WITH their ends and
+    # require every session ending before the horizon to have emitted
+    events = load_tables(spark, SF_DIR)["events"]
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(minutes=30)
+    ends = (events.groupBy("user_id",
+                           F.session_window("ts", "30 minutes").alias("win"))
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .select("user_id", F.col("win.start").alias("session_start"),
+                          F.col("win.end").alias("session_end"))
+            .collect())
+    closed = {(r["user_id"], r["session_start"]) for r in ends
+              if r["session_end"] < horizon}
+    missing = closed - set(stream)
+    assert not missing, f"closed sessions never emitted: {sorted(missing)[:5]}"
 
 
 def test_stream_stream_join_matches_batch(spark):
