@@ -221,7 +221,8 @@ def jaccard_pairs(hashed: DataFrame, pairs: DataFrame,
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5, n_perms: int = 8,
-                        n_bands: int = N_BANDS) -> DataFrame:
+                        n_bands: int = N_BANDS,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band-bucket
     join → exact-Jaccard verify → threshold.
 
@@ -235,7 +236,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     hashed = shingle_hashes(df, text_col, id_col, k).persist()
     sigs = minhash_signatures(df, text_col, id_col, k, hashed=hashed,
                               n_perms=n_perms)
-    pairs = minhash_band_pairs(sigs, id_col, n_bands=n_bands)
+    pairs = minhash_band_pairs(sigs, id_col, n_bands=n_bands,
+                               max_bucket_size=max_bucket_size)
     return (jaccard_pairs(hashed, pairs, id_col)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("doc_a", "doc_b"))

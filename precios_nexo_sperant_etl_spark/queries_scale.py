@@ -195,6 +195,46 @@ ORDER BY doc_a, doc_b
         "near-dup S-curve; identical plan to the toy config, wider agg row.",
 )
 
+# Degenerate-bucket guard exercised as a registered query: buckets above
+# the cap are dropped before pair expansion (boilerplate-dominated
+# corpora otherwise explode quadratically inside one bucket). Cap chosen
+# at 2 so it provably engages on this corpus (the organic distribution
+# has size-3 buckets); the oracle mirrors the cap with a HAVING filter.
+register(
+    "minhash_dedup_pairs_capped",
+    lambda spark, sf: minhash_dedup_pairs(_t(spark, sf, "documents"),
+                                          threshold=0.2, max_bucket_size=2),
+    f"""
+WITH {_DUCK_HS},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+       HAVING COUNT(*) BETWEEN 2 AND 2),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN ok ON a.band = ok.band AND a.bh = ok.bh
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+    doc="MinHash+LSH with the max_bucket_size production guard engaged: "
+        "degenerate buckets are dropped before bucket-local pair "
+        "expansion; oracle mirrors the cap via HAVING.",
+)
+
 register(
     "ngram_jaccard_pairs",
     lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),

@@ -179,6 +179,34 @@ def test_embedding_neardup_lsh_recall(spark):
     assert recall >= 0.5, f"LSH near-dup recall collapsed: {recall}"
 
 
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """A boilerplate-dominated corpus (200 copies of one doc) must not
+    explode quadratically: with max_bucket_size set, the degenerate
+    buckets are dropped — pair output stays bounded — while recall on
+    the organic near-dups is unchanged."""
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
+        minhash_band_pairs, minhash_signatures)
+
+    boiler = [(1000 + i, "standard legal disclaimer repeated verbatim on "
+                         "every single page of the crawl corpus")
+              for i in range(200)]
+    rows = DOCS + boiler
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+
+    uncapped = minhash_band_pairs(sigs).count()
+    capped_pairs = minhash_band_pairs(sigs, max_bucket_size=50)
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_pairs.collect()}
+
+    # uncapped: the 200 identical docs alone produce C(200,2) = 19,900
+    assert uncapped >= 19_900
+    # capped: every degenerate bucket dropped → bounded output
+    assert len(capped) < 100
+    assert not any(a >= 1000 and b >= 1000 for a, b in capped)
+    # organic near-dups still surface through their small buckets
+    assert (0, 3) in capped and (0, 1) in capped
+
+
 def test_registered_embedding_neardup_is_bucket_join(spark):
     """The user-facing embedding_neardup_pairs query must run the LSH
     bucket equi-join, never the O(n²) all-pairs baseline."""
