@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_cosine_topk",          # embedding similarity
     "text_stats",               # token analytics
     "curation_pipeline",        # end-to-end curation flow
+    "skew_salted_join",         # skewed fact join through the salted SMJ path
 ]
 
 

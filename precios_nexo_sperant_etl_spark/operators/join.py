@@ -69,7 +69,15 @@ def salted_left_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     skew-join splitting handles.
     """
     keys = list(on)
-    src = F.col(salt_source) if salt_source else F.concat_ws("\x1f", *keys)
+    if salt_source is not None:
+        src = F.col(salt_source)
+    else:
+        # The salt must VARY WITHIN a join key — salting by the key
+        # itself would map a hot key's rows to one salt and change
+        # nothing. Default: hash every left column, so only fully
+        # identical rows share a salt.
+        src = F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                    for c in left.columns])
     l_salted = left.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)))
     r_salted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))

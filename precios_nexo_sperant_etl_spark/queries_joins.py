@@ -872,3 +872,51 @@ ORDER BY o_orderkey
     doc="Per-group median-absolute-deviation outlier gate (robust "
         "z-score, 2-MAD): agg-then-broadcast medians, no fact-side window.",
 )
+
+# ---------------------------------------------------------------------------
+# Skew-stress: fact-side salted join against per-key statistics on a
+# deliberately skewed key (~90% of rows share one key). Every other
+# headline join has a broadcastable small side; this one FORCES the
+# sort-merge path (merge hint — the 100 TB case where the stats table is
+# itself fact-sized and cannot broadcast) and spreads the hot key across
+# 32 salts so no single reducer sees the whole mega-key. Salting is a
+# physical transform only: the oracle is the plain unsalted join.
+# ---------------------------------------------------------------------------
+
+def _skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.join import salted_left_join
+    li = load_tables(spark, sf)["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    fact = li.withColumn(
+        "skew_key",
+        F.when(F.col("l_partkey") % 10 == 0, F.col("l_partkey"))
+         .otherwise(F.lit(0)))
+    stats = (fact.groupBy("skew_key")
+                 .agg(F.max("l_quantity").alias("max_qty"))
+                 .hint("merge"))
+    joined = salted_left_join(fact, stats, ["skew_key"], n_salts=32,
+                              salt_source="l_orderkey")
+    return (joined.filter(F.col("l_quantity") == F.col("max_qty"))
+                  .groupBy("skew_key")
+                  .agg(F.count(F.lit(1)).alias("n_at_max"))
+                  .orderBy("skew_key"))
+
+
+register(
+    "skew_salted_join",
+    _skew_salted,
+    """
+WITH f AS (
+  SELECT CASE WHEN l_partkey % 10 = 0 THEN l_partkey ELSE 0 END AS skew_key,
+         l_quantity
+  FROM lineitem),
+s AS (SELECT skew_key, MAX(l_quantity) AS max_qty FROM f GROUP BY skew_key)
+SELECT f.skew_key, COUNT(*) AS n_at_max
+FROM f JOIN s ON f.skew_key = s.skew_key AND f.l_quantity = s.max_qty
+GROUP BY f.skew_key
+ORDER BY f.skew_key
+""",
+    doc="Deliberately skewed fact join (90% of rows on one key) through "
+        "the salted sort-merge path — rows at their skew-group max "
+        "quantity; oracle is the plain unsalted join.",
+)

@@ -79,6 +79,7 @@ _CHECK_FIRST: list[str] = [
     "text_lang_id",
     # --- r02 red row (oracle type fixed in r3) / changed in r3 ---
     "minhash_dedup_pairs_capped",
+    "skew_salted_join",
     "table_profile_orders",
     "w4_row_id",
     "tpch_q21_sole_late_supplier",

@@ -147,6 +147,18 @@ def test_row_id_plan_has_no_global_window(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_skew_salted_join_plan(spark):
+    """The skew-stress query must actually take the salted sort-merge
+    path: SMJ forced (no broadcast), the salt column among the join
+    keys, and the replicate-side explode present — so the hot key
+    (90% of rows) is spread across 32 reducers instead of one."""
+    plan = queries()["skew_salted_join"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
+    assert "explode" in plan.lower()
+
+
 def test_mad_outlier_no_window_over_fact(spark):
     """The MAD gate computes per-status medians as tiny groupBy
     aggregates broadcast back onto the fact scan — an unbounded
