@@ -75,6 +75,32 @@ def test_update_prices_end_to_end(spark):
     assert out["solo_nexo"].count() == 0
 
 
+def test_update_prices_string_dates_drive_dedup(spark):
+    """The usual Sperant export carries fecha_actualizacion as dd/MM/yyyy
+    STRINGS. The pipeline must coerce them (F8: junk → NULL, never
+    raise) and the W1 keep-latest dedup must order by the PARSED dates —
+    here the later date appears first positionally, so positional
+    keep-last would pick the wrong row; only real date parsing keeps
+    1200/vendido. The junk-dated row exercises coerce-to-NULL (undated
+    beats dated per the reference's NaT-last quirk — B102 still matches)."""
+    nexo, _ = _fixture(spark)
+    sperant = spark.createDataFrame(
+        [("matera", "A101", 1200.0, "vendido", "01/02/2024", 0),
+         ("Matera ", "A101", 1100.0, "disponible", "01/01/2024", 1),
+         ("Matera", "B102", 900.0, None, "not a date", 2),
+         ("Fenix", "201", None, "separado", "", 3)],
+        "nombre_proyecto string, nombre string, precio_lista double, "
+        "estado_comercial string, fecha_actualizacion string, _ord long")
+    out = update_prices(nexo, sperant)
+    updated = {(r["Proyecto"], r[COL_NUMERO]): r for r in out["updated"].collect()}
+    a101 = updated[("Matera", "A101")]
+    assert a101[COL_PRECIO] == 1200.0 and a101[COL_ESTADO] == "vendido"
+    b102 = updated[("Matera", "B102")]
+    assert b102[COL_PRECIO] == 900.0  # junk date coerced to NULL, row kept
+    f201 = updated[("Fenix", "201")]
+    assert f201[COL_PRECIO] == 300.25 and f201[COL_ESTADO] == "separado"
+
+
 def test_pipeline_idempotent(spark):
     """Running the update twice changes nothing the second time (SURVEY §5
     property): after the first pass the Nexo side already carries the
