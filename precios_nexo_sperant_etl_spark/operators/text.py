@@ -197,3 +197,49 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     different (mod collisions). Engine-portable (see char_hash_expr)."""
     return df.select(F.col(id_col),
                      F.expr(char_hash_expr(text_col)).alias("fingerprint"))
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Corpus-wide paragraph-level deduplication (the CCNet/RefinedWeb
+    boilerplate-removal pass): every paragraph keeps only its FIRST
+    occurrence across the whole corpus — later repeats (site chrome,
+    license blocks, navigation text, intra-document copy-paste) are
+    dropped — and each document is reassembled from its surviving
+    paragraphs in original order.
+
+    Keep-first is deterministic: occurrence order is (doc_id, position).
+    Whitespace-only paragraphs are discarded up front. Documents whose
+    every paragraph was seen earlier vanish from the output (their
+    ``text_dedup`` would be empty).
+
+    Scale shape: posexplode is narrow; the dedup is ONE shuffle keyed by
+    the 48-bit paragraph hash (window row_number — the hot boilerplate
+    hash concentrates its copies on one reducer, but carries only
+    (doc_id, pos, hash) rows, not text bytes, so even a million-copy
+    boilerplate paragraph is ~24 MB on that reducer); reassembly is one
+    combinable groupBy on doc_id. Text bytes cross the wire once.
+    """
+    para = F.trim(F.col("_para"))
+    paras = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                        .alias("_pos", "_para"))
+               .filter(para != "")
+               .select(id_col, "_pos", F.col("_para"),
+                       md5_hash(para).alias("_h")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    flagged = paras.withColumn("_kept", F.row_number().over(w) == 1)
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_paras"),
+                 F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_kept"),
+                                    F.struct(F.col("_pos").alias("pos"),
+                                             F.col("_para").alias("para"))))),
+                         lambda x: x["para"]),
+                     sep).alias("text_dedup"))
+            .filter(F.col("n_kept") > 0)
+            .orderBy(id_col))

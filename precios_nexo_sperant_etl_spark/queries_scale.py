@@ -20,8 +20,8 @@ from .operators.multimodal import attach_binary, extract_features
 from .operators.similarity import (cosine_topk, duck_lsh_bucket_expr,
                                    embedding_neardup_lsh, ivf_cosine_topk)
 from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
-                             lang_id, quality_score, redact_pii, text_stats, token_counts,
-                             top_terms)
+                             lang_id, paragraph_dedup, quality_score, redact_pii,
+                             text_stats, token_counts, top_terms)
 from .operators.windows import sessionize, sliding_agg, tumbling_agg
 from .registry import register
 from .sources.tables import load_tables
@@ -963,4 +963,43 @@ ORDER BY f.cohort, weeks_since
 """,
     doc="Cohort retention: first-week cohorts × weeks-since, distinct "
         "retained users per cell; all aggs on the reduced weekly table.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (CCNet/RefinedWeb boilerplate removal). The test
+# corpus is single-line bags of words, so the registered query splits on a
+# separator that actually occurs (' the ') — the keep-first window, vanishing
+# docs, and reassembly paths all fire on real repeats; newline-paragraph
+# semantics are pinned by pytest fixtures.
+# ---------------------------------------------------------------------------
+
+register(
+    "paragraph_dedup",
+    lambda spark, sf: paragraph_dedup(
+        _t(spark, sf, "documents").select("doc_id", "text"), sep=" the "),
+    f"""
+WITH raw AS (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
+ex AS (SELECT doc_id,
+              unnest(list_transform(ps,
+                  (p, i) -> struct_pack(pos := i, para := trim(p)))) AS u
+       FROM raw),
+paras AS (SELECT doc_id, u.pos AS pos, u.para AS para,
+                 {_duck_md5_hash("u.para")} AS h
+          FROM ex WHERE u.para != ''),
+flagged AS (SELECT doc_id, pos, para,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+                     AS kept
+            FROM paras)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       COUNT(*) FILTER (WHERE kept) AS n_kept,
+       string_agg(CASE WHEN kept THEN para END, ' the ' ORDER BY pos)
+         AS text_dedup
+FROM flagged GROUP BY doc_id
+HAVING COUNT(*) FILTER (WHERE kept) > 0
+ORDER BY doc_id
+""",
+    doc="Corpus-wide keep-first paragraph dedup with in-order document "
+        "reassembly; one hash-keyed shuffle carrying (doc_id, pos, hash).",
 )

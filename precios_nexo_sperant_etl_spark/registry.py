@@ -78,6 +78,7 @@ _CHECK_FIRST: list[str] = [
     "text_quality_score",
     "text_lang_id",
     # --- r02 red row (oracle type fixed in r3) / changed in r3 ---
+    "paragraph_dedup",
     "minhash_dedup_pairs_capped",
     "skew_salted_join",
     "table_profile_orders",

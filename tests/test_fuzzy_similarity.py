@@ -316,3 +316,38 @@ def test_arrow_ddot_matches_fold_and_is_deterministic(spark):
     assert [r["cosine"] for r in arrow1] == [r["cosine"] for r in arrow2]
     for fa, fb in zip(fold, arrow1):
         assert abs(fa["cosine"] - fb["cosine"]) < 1e-9
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    """Corpus-wide paragraph dedup: first occurrence (doc_id, pos) wins,
+    repeats vanish, docs reassemble in original order, all-boilerplate
+    docs drop out, whitespace-only paragraphs never count."""
+    from precios_nexo_sperant_etl_spark.operators.text import paragraph_dedup
+    docs = spark.createDataFrame([
+        (0, "alpha beta\nBOILER\ngamma delta"),
+        (1, "BOILER\nepsilon zeta\n   \nBOILER"),   # leading boiler + blank + repeat
+        (2, "BOILER"),                              # vanishes entirely
+        (3, "eta theta\neta theta\niota"),          # intra-doc repeat
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[0]["text_dedup"] == "alpha beta\nBOILER\ngamma delta"
+    assert (out[0]["n_paras"], out[0]["n_kept"]) == (3, 3)
+    # doc 1: BOILER already seen in doc 0; blank line discarded pre-count
+    assert out[1]["text_dedup"] == "epsilon zeta"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 1)
+    assert 2 not in out                              # every paragraph seen before
+    # doc 3: second "eta theta" is a later occurrence of its own first
+    assert out[3]["text_dedup"] == "eta theta\niota"
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (3, 2)
+
+
+def test_paragraph_dedup_partitioning_independent(spark):
+    """Keep-first is (doc_id, pos)-ordered, not partition-ordered: the
+    result must be identical under adversarial repartitioning."""
+    from precios_nexo_sperant_etl_spark.operators.text import paragraph_dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    a = paragraph_dedup(docs, sep=" the ").orderBy("doc_id").collect()
+    b = paragraph_dedup(docs.repartition(17, "text"), sep=" the ") \
+        .orderBy("doc_id").collect()
+    assert a == b and len(a) > 0
