@@ -920,3 +920,208 @@ ORDER BY f.skew_key
         "the salted sort-merge path — rows at their skew-group max "
         "quantity; oracle is the plain unsalted join.",
 )
+
+# ---------------------------------------------------------------------------
+# Q9-shaped: product-line profit by supplier nation and year. The corpus
+# has no partsupp table, so unit cost is proxied by p_retailprice (same
+# plan shape: fact scan joined to two filtered dims + orders for the
+# year). Lineitem-orders stays a shuffle join — neither side is
+# dimension-sized at scale; the part and supplier⋈nation sides broadcast.
+# ---------------------------------------------------------------------------
+
+def _q9(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    parts = (t["part"].filter(F.col("p_name").like("%widget%"))
+             .select("p_partkey", "p_retailprice"))
+    supp = (t["supplier"]
+            .join(broadcast(t["nation"].select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name"))
+    li = t["lineitem"].select("l_orderkey", "l_partkey", "l_suppkey",
+                              "l_quantity", "l_extendedprice", "l_discount")
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    profit = (F.col("l_extendedprice").cast("decimal(12,2)")
+              * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+              - F.col("p_retailprice").cast("decimal(12,2)")
+              * F.col("l_quantity").cast("decimal(12,2)"))
+    return (li.join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+              .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").alias("o_year"))
+              .agg(F.sum(profit).cast("double").alias("sum_profit"))
+              .orderBy("nation", F.desc("o_year")))
+
+
+register(
+    "tpch_q9_product_profit",
+    _q9,
+    """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+ORDER BY nation, o_year DESC
+""",
+    doc="Q9-shaped: per-nation per-year profit (retailprice as the cost "
+        "proxy; no partsupp in this corpus) over a 4-way join.",
+)
+
+# ---------------------------------------------------------------------------
+# Q11-shaped: important parts by shipped value from one nation's
+# suppliers, thresholded against a scalar aggregate of the same view —
+# Q11's correlated HAVING as a 1-row broadcast cross join. The 2×-mean
+# threshold is scale-free (selectivity stays put as part count grows).
+# ---------------------------------------------------------------------------
+
+def _q11(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    supp = (t["supplier"]
+            .join(broadcast(t["nation"]
+                            .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+                            .select("n_nationkey")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    per_part = (t["lineitem"]
+                .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+                .groupBy(F.col("l_partkey").alias("p_partkey"))
+                .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                      .alias("_val")))
+    stats = per_part.agg(
+        F.sum("_val").alias("_total"),
+        F.count(F.lit(1)).alias("_nparts"))
+    return (per_part.crossJoin(broadcast(stats))
+            .filter(F.col("_val").cast("double")
+                    > 2.0 * F.col("_total").cast("double")
+                      / F.col("_nparts"))
+            .select("p_partkey", F.col("_val").cast("double").alias("part_value"))
+            .orderBy(F.desc("part_value"), "p_partkey"))
+
+
+register(
+    "tpch_q11_important_stock",
+    _q11,
+    """
+WITH pv AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2'))
+  GROUP BY l_partkey)
+SELECT p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(val AS DOUBLE) > 2.0 * (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*)
+                                   FROM pv)
+ORDER BY part_value DESC, p_partkey
+""",
+    doc="Q11-shaped: per-part shipped value from two nations' suppliers, "
+        "kept where above 2× the mean — scalar-subquery HAVING as a "
+        "broadcast cross join.",
+)
+
+# ---------------------------------------------------------------------------
+# Q16-shaped: supplier diversity per part descriptor — distinct-count agg
+# with an exclusion anti-join (low-balance suppliers stand in for Q16's
+# complaint suppliers; all balances here are positive so the cut is a
+# fixed threshold).
+# ---------------------------------------------------------------------------
+
+def _q16(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    parts = (t["part"]
+             .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") < 30))
+             .select("p_partkey", "p_brand", "p_type", "p_size"))
+    excluded = (t["supplier"].filter(F.col("s_acctbal") < 1000)
+                .select("s_suppkey"))
+    li = (t["lineitem"].select("l_partkey", "l_suppkey")
+          .join(broadcast(excluded),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    return (li.join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+              .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+register(
+    "tpch_q16_supplier_diversity",
+    _q16,
+    """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size < 30
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    doc="Q16-shaped: distinct suppliers per (brand, type, size) after an "
+        "anti-join exclusion list.",
+)
+
+# ---------------------------------------------------------------------------
+# Q20-shaped: dominant suppliers of a part line in one year — per
+# (supplier, part) shipped quantity against a per-part window total, then
+# a semi-join up to named suppliers. Mirrors Q20's nested-subquery chain
+# (agg → correlated threshold → semi-join → dim lookup) without partsupp.
+# ---------------------------------------------------------------------------
+
+def _q20(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    t = load_tables(spark, sf)
+    parts = (t["part"].filter(F.col("p_name").like("%bolt%"))
+             .select("p_partkey"))
+    y1996 = (t["lineitem"]
+             .filter(F.year("l_shipdate") == 1996)
+             .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                   .alias("qty")))
+    w = Window.partitionBy("l_partkey")
+    dominant = (y1996.withColumn("_part_total", F.sum("qty").over(w))
+                .filter(F.col("qty").cast("double")
+                        > 0.3 * F.col("_part_total").cast("double"))
+                .select("l_suppkey").distinct())
+    supp = (t["supplier"]
+            .join(broadcast(t["nation"].select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+    return (supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+                .orderBy("s_name"))
+
+
+register(
+    "tpch_q20_dominant_supplier",
+    _q20,
+    """
+WITH y AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE year(l_shipdate) = 1996 AND p_name LIKE '%bolt%'
+  GROUP BY l_suppkey, l_partkey),
+dom AS (
+  SELECT DISTINCT l_suppkey FROM y
+  WHERE CAST(qty AS DOUBLE) > 0.3 * (SELECT CAST(SUM(y2.qty) AS DOUBLE)
+                                     FROM y y2 WHERE y2.l_partkey = y.l_partkey))
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_name
+""",
+    doc="Q20-shaped: suppliers shipping >30% of a part's 1996 volume "
+        "(window share vs Q20's correlated subquery), semi-joined to the "
+        "supplier dimension.",
+)

@@ -188,3 +188,26 @@ def test_curation_pipeline_broadcast_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q9_q16_q20_dimension_chains_broadcast(spark):
+    """The round-3 TPC-H anchors keep part/supplier/nation sides
+    broadcast; the only sort-merge exchange allowed is lineitem⋈orders
+    (q9's fact-fact edge, which is deliberately NOT hinted so it can
+    shuffle at real scale)."""
+    for name in ("tpch_q9_product_profit", "tpch_q16_supplier_diversity",
+                 "tpch_q20_dominant_supplier"):
+        plan = queries()[name](spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("SortMergeJoin") <= 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q11_scalar_threshold_is_single_row_broadcast(spark):
+    """Q11's scalar-aggregate threshold joins as a broadcast of the 1-row
+    stats aggregate — never a shuffled cross product of the fact side."""
+    plan = queries()["tpch_q11_important_stock"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
