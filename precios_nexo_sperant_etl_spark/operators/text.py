@@ -243,3 +243,54 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                      sep).alias("text_dedup"))
             .filter(F.col("n_kept") > 0)
             .orderBy(id_col))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021's
+    repetition filters, re-expressed for Spark):
+
+    - ``dup_token_frac`` — fraction of tokens that repeat an earlier
+      token, ``(n_tokens - n_distinct) / n_tokens``;
+    - ``top{n}gram_char_frac`` — fraction of the document's characters
+      covered by occurrences of its single most frequent word n-gram,
+      ``count * length(gram) / n_chars`` (0.0 when the doc is shorter
+      than n tokens).
+
+    Scale shape: the per-doc token stats are one projection; each n-gram
+    pass is explode → hash-agg on (doc_id, gram) → per-doc max — both
+    aggs map-side combinable, no windows over the corpus. The per-doc
+    argmax uses ``max(struct(count, gram))`` so ties break to the
+    lexicographically greatest gram — deterministic under any
+    partitioning, mirrored in oracles as ``ORDER BY c DESC, g DESC``.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        toks.alias("_toks"))
+    out = base.select(
+        F.col(id_col), "n_chars", "_toks",
+        ((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"))
+         .alias("dup_token_frac"))
+    for n in ns:
+        grams = out.select(
+            F.col(id_col),
+            F.explode(
+                F.when(F.size("_toks") >= n,
+                       F.transform(
+                           F.sequence(F.lit(1), F.size("_toks") - n + 1),
+                           lambda i: F.array_join(F.slice("_toks", i, n), " ")))
+                 .otherwise(F.array().cast("array<string>"))).alias("g"))
+        top = (grams.groupBy(id_col, "g")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy(id_col)
+               .agg(F.max(F.struct(F.col("c"), F.col("g"))).alias("m")))
+        frac = (F.col("m.c") * F.length(F.col("m.g")) / F.col("n_chars"))
+        out = (out.join(top, id_col, "left")
+               .withColumn(f"top{n}gram_char_frac",
+                           F.coalesce(frac, F.lit(0.0)))
+               .drop("m"))
+    return out.drop("_toks", "n_chars").orderBy(id_col)

@@ -21,7 +21,8 @@ from .operators.similarity import (cosine_topk, duck_lsh_bucket_expr,
                                    embedding_neardup_lsh, ivf_cosine_topk)
 from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
                              lang_id, paragraph_dedup, quality_score, redact_pii,
-                             text_stats, token_counts, top_terms)
+                             repetition_stats, text_stats, token_counts,
+                             top_terms)
 from .operators.windows import sessionize, sliding_agg, tumbling_agg
 from .registry import register
 from .sources.tables import load_tables
@@ -1002,4 +1003,55 @@ ORDER BY doc_id
 """,
     doc="Corpus-wide keep-first paragraph dedup with in-order document "
         "reassembly; one hash-keyed shuffle carrying (doc_id, pos, hash).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (dup-token fraction + top-n-gram char
+# coverage). The per-doc argmax ties break (count DESC, gram DESC) on
+# both engines — max(struct) in Spark, ROW_NUMBER in DuckDB.
+# ---------------------------------------------------------------------------
+
+def _duck_ngrams(n: int) -> str:
+    return (f"CASE WHEN len(tk) >= {n} THEN "
+            f"list_transform(range(1, len(tk) - {n} + 2), "
+            f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END")
+
+
+register(
+    "text_repetition_stats",
+    lambda spark, sf: repetition_stats(_t(spark, sf, "documents")),
+    f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, {_DUCK_TOKENS} AS tk
+  FROM documents),
+stats AS (
+  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+         len(list_distinct(tk)) AS n_distinct, tk
+  FROM base),
+g2 AS (SELECT doc_id, unnest({_duck_ngrams(2)}) AS g FROM stats),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, c, g FROM (
+         SELECT doc_id, c, g, ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+         FROM c2) WHERE rn = 1),
+g3 AS (SELECT doc_id, unnest({_duck_ngrams(3)}) AS g FROM stats),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, c, g FROM (
+         SELECT doc_id, c, g, ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+         FROM c3) WHERE rn = 1)
+SELECT s.doc_id,
+       (s.n_tokens - s.n_distinct) / s.n_tokens AS dup_token_frac,
+       COALESCE(t2.c * length(t2.g) / s.n_chars, 0.0) AS top2gram_char_frac,
+       COALESCE(t3.c * length(t3.g) / s.n_chars, 0.0) AS top3gram_char_frac
+FROM stats s
+LEFT JOIN t2 ON s.doc_id = t2.doc_id
+LEFT JOIN t3 ON s.doc_id = t3.doc_id
+ORDER BY s.doc_id
+""",
+    doc="Gopher-style repetition signals: duplicate-token fraction and "
+        "the character share of the most frequent 2-/3-gram; explode → "
+        "combinable hash-aggs, no corpus-wide windows.",
 )

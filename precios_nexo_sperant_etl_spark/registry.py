@@ -87,6 +87,8 @@ _CHECK_FIRST: list[str] = [
     "core_update_audit",
     "j1_left_enrich_coalesce",
     "j3_p6_change_detail",
+    # --- new in r3: Gopher repetition filters ---
+    "text_repetition_stats",
     # --- new in r3: full TPC-H coverage (q9/q11/q16/q20 anchors) ---
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
@@ -96,7 +98,6 @@ _CHECK_FIRST: list[str] = [
     "dedup_exact",
     "dedup_exact_survivors",
     "simhash_signatures",
-    "ngram_jaccard_pairs",
 ]
 
 

@@ -351,3 +351,22 @@ def test_paragraph_dedup_partitioning_independent(spark):
     b = paragraph_dedup(docs.repartition(17, "text"), sep=" the ") \
         .orderBy("doc_id").collect()
     assert a == b and len(a) > 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals pinned against hand-computed values:
+    'a b a b a b c' = 7 tokens / 3 distinct → dup 4/7; top 2-gram 'a b'
+    ×3 covers 9 of 13 chars; top 3-gram 'a b a' ×2 covers 10 of 13."""
+    from precios_nexo_sperant_etl_spark.operators.text import repetition_stats
+    df = spark.createDataFrame([
+        (0, "a b a b a b c"),
+        (1, "x y z"),
+        (2, "q"),                      # shorter than any n-gram → 0.0
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert abs(rows[0]["dup_token_frac"] - 4 / 7) < 1e-12
+    assert abs(rows[0]["top2gram_char_frac"] - 9 / 13) < 1e-12
+    assert abs(rows[0]["top3gram_char_frac"] - 10 / 13) < 1e-12
+    assert rows[1]["dup_token_frac"] == 0.0
+    assert rows[2]["top2gram_char_frac"] == 0.0
+    assert rows[2]["top3gram_char_frac"] == 0.0
