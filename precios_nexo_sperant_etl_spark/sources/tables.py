@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -36,16 +37,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if key in _CACHE:
         return dict(_CACHE[key])
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects; read nanos as epoch-long and truncate to micros (the data is
-    # second-precision, so lossless). Other tables are unaffected by the conf.
+    # Some fixture generations store events.ts as TIMESTAMP(NANOS), which
+    # Spark's parquet reader rejects; read nanos as epoch-long and truncate
+    # to micros (the data is second-precision, so lossless). Newer fixtures
+    # write micros directly, which Spark reads as TIMESTAMP_NTZ — normalize
+    # both shapes to TIMESTAMP_NTZ so downstream plans see one type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for t in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
         if t == "events":
-            df = df.withColumn(
-                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn(
+                    "ts",
+                    F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         out[t] = df
     _CACHE[key] = out
     return dict(out)

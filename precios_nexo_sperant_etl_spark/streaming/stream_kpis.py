@@ -16,17 +16,28 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
+                               StructType, TimestampNTZType)
 
-#: Raw schema of events.parquet under nanosAsLong (ts arrives as int64 ns).
-_RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+
+def _raw_schema(sf_dir: str) -> StructType:
+    """Raw schema of events.parquet. Fixture generations differ: nanos
+    timestamps arrive as int64 under ``nanosAsLong``; micros timestamps
+    arrive as TIMESTAMP_NTZ. Sniff the footer (driver-side, one metadata
+    read) so the stream's user-supplied schema matches the files."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+    ts_type = pq.read_schema(
+        os.path.join(sf_dir, "events.parquet")).field("ts").type
+    ts_field = (StructField("ts", LongType()) if pat.is_integer(ts_type)
+                else StructField("ts", TimestampNTZType()))
+    return StructType([
+        StructField("event_id", LongType()),
+        ts_field,
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,10 +54,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw = spark.readStream.schema(_RAW_SCHEMA).parquet(stage)
+    schema = _raw_schema(sf_dir)
+    raw = spark.readStream.schema(schema).parquet(stage)
     # Watermarks require TIMESTAMP (not NTZ); with the session pinned to
     # UTC the wall-clock values match the batch loader's NTZ reading.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(events: DataFrame, width: str = "10 minutes",
