@@ -83,12 +83,26 @@ def exact_dedup_survivors(df: DataFrame, text_col: str = "text",
     """The deduplicated corpus itself: one full row per distinct
     canonicalized text (minimum id wins). Implemented as a window rank so
     the surviving rows keep ALL their columns — the operation a training
-    pipeline actually applies before tokenization."""
+    pipeline actually applies before tokenization.
+
+    The hash shuffle is an EXPLICIT repartition at the session's shuffle
+    width: the window's required distribution is already satisfied (no
+    second exchange), and the explicit partition count stops AQE from
+    coalescing the small-BYTES shuffle into one task — downstream
+    consumers (quality/language/token regex passes) are CPU-dense per
+    byte, and serializing them costs 9× locally. At cluster scale
+    shuffle.partitions is sized for the job, so the explicit width is
+    exactly what AQE would have kept anyway.
+    """
     from pyspark.sql import Window
+    spark = df.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     h = F.md5(canonical_text(F.col(text_col)))
-    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
-    return (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (df.withColumn("_h", h)
+              .repartition(n_shuffle, "_h")
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn", "_h"))
 
 
 def shingle_expr(tokens_col: str, k: int = 3) -> str:

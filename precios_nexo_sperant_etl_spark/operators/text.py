@@ -100,16 +100,43 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def quality_expr(text: Column) -> Column:
+    """Column form of the composite quality score — usable inside a wider
+    projection (e.g. the curation pipeline computes quality, language, and
+    token budget in ONE pass over the text instead of three joined
+    sub-frames)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = word_set_hits(text, STOPWORDS) / n_tok
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    return F.bround(0.4 * length_score + 0.4 * diversity + 0.2 * stop_ratio, 4)
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite quality score in [0,1]: rewards mid-length docs, lexical
     diversity, and a natural stopword rate. Deterministic arithmetic only."""
-    toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
-    diversity = F.size(F.array_distinct(toks)) / n_tok
-    stop_ratio = word_set_hits(F.col(text_col), STOPWORDS) / n_tok
-    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    score = F.bround(0.4 * length_score + 0.4 * diversity + 0.2 * stop_ratio, 4)
-    return df.select(F.col(id_col), score.alias("quality"))
+    return df.select(F.col(id_col), quality_expr(F.col(text_col)).alias("quality"))
+
+
+def lang_hits_exprs(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts as columns (one compiled-regex scan
+    per language profile)."""
+    return {lang: word_set_hits(text, ws).cast("long")
+            for lang, ws in LANG_PROFILES.items()}
+
+
+def lang_pred_expr(text: Column) -> Column:
+    """Column form of the language prediction (argmax of profile hits,
+    ties and zero evidence → 'und')."""
+    hits = lang_hits_exprs(text)
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    # first language (in fixed order) achieving the max wins
+    for lang in reversed(langs):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best <= 0, F.lit("und")).otherwise(pred)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -117,20 +144,10 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     the max (ties and zero evidence → 'und'). A real system would use
     character n-gram models; the *shape* — per-language hit counts reduced
     to an argmax, all JVM-side — is the scalable part."""
-    def _hits(ws: tuple[str, ...]):
-        return word_set_hits(F.col(text_col), ws).cast("long")
-
-    hits = {lang: _hits(ws) for lang, ws in LANG_PROFILES.items()}
-    langs = list(LANG_PROFILES)
-    best = F.greatest(*[hits[lang] for lang in langs])
-    pred = F.lit("und")
-    # first language (in fixed order) achieving the max wins
-    for lang in reversed(langs):
-        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
-    out = df.select(F.col(id_col), *[hits[lang].alias(f"hits_{lang}") for lang in langs],
-                    pred.alias("lang_pred"))
-    return out
+    hits = lang_hits_exprs(F.col(text_col))
+    return df.select(F.col(id_col),
+                     *[hits[lang].alias(f"hits_{lang}") for lang in LANG_PROFILES],
+                     lang_pred_expr(F.col(text_col)).alias("lang_pred"))
 
 
 def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:

@@ -770,14 +770,20 @@ ORDER BY s.doc_id
 # ---------------------------------------------------------------------------
 
 def _curation(spark: SparkSession, sf: str) -> DataFrame:
+    # Quality, language, and token budget are all row-local functions of
+    # text, so after the dedup window they compose into ONE projection —
+    # no self-joins, no recomputing the survivors plan per branch. The
+    # whole pipeline is: scan → dedup shuffle → projection → filter → sort.
+    from .operators.text import BPE_ISH_PATTERN, lang_pred_expr, quality_expr
     docs = _t(spark, sf, "documents")
     survivors = exact_dedup_survivors(docs)
-    q = quality_score(survivors)
-    lang = lang_id(survivors).select("doc_id", "lang_pred")
-    toks = token_counts(survivors).select("doc_id", "bpe_ish_tokens")
-    return (survivors.join(q, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
+    return (survivors.select(
+                "doc_id",
+                lang_pred_expr(F.col("text")).alias("lang_pred"),
+                quality_expr(F.col("text")).alias("quality"),
+                F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+                 .cast("long").alias("bpe_ish_tokens"))
             .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
-            .select("doc_id", "lang_pred", "quality", "bpe_ish_tokens")
             .orderBy("doc_id"))
 
 
