@@ -44,6 +44,7 @@ HEADLINE = [
     "text_stats",               # token analytics
     "curation_pipeline",        # end-to-end curation flow
     "skew_salted_join",         # skewed fact join through the salted SMJ path
+    "neardup_clusters",         # LSH pairs → iterative connected components
 ]
 
 

@@ -1,0 +1,113 @@
+"""Distributed connected components — the clustering step of a near-dup
+pipeline.
+
+LSH (MinHash / SimHash / embedding buckets) emits *pairs*; a real dedup
+run then groups documents into duplicate CLUSTERS and keeps one
+representative per cluster. That grouping is connected components over
+the pair graph. Beyond-reference surface (the reference has no graph
+operator); re-expressed Spark-first as iterative hash-min label
+propagation:
+
+- every node starts labeled with itself;
+- each round, a node's label becomes the min of its own and its
+  neighbors' labels (one shuffle join + one map-side-combinable min-agg);
+- converged when no label changes — detected with one tiny ``sum(lbl)``
+  aggregate per round (labels only ever decrease, so the sum is strictly
+  monotone until fixpoint).
+
+Scale shape: rounds needed = graph diameter. Near-dup clusters are
+dense and shallow (copies of one document all pair with each other), so
+2-3 rounds close them; the ``max_iter`` guard bounds pathological
+chains. Each round shuffles only (node, lbl) longs — never text — and
+persists its frame while unpersisting the previous one, so lineage and
+storage stay O(1) in rounds. For adversarial long-chain graphs the
+large-star/small-star variant (Kiveris et al., "Connected Components in
+MapReduce and Beyond") halves diameter per round; hash-min is the right
+default for dedup workloads and keeps every step an oracle-expressible
+relational op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Cluster assignment for every node appearing in ``pairs``.
+
+    Returns (node, cluster_id) where ``cluster_id`` is the minimum node
+    id in the node's connected component — deterministic under any
+    partitioning. Raises if ``max_iter`` rounds don't converge (a
+    correctness guard: a silent early stop would split clusters).
+    """
+    edges = pairs.select(F.col(src).cast("long").alias("u"),
+                         F.col(dst).cast("long").alias("v"))
+    # Undirected: propagate both ways.
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+
+    # Fused init + first propagation round: every node's label starts as
+    # min(self, direct neighbors) — one combinable agg instead of a
+    # distinct + a join round. Dense near-dup cliques are already
+    # converged here; the loop then just confirms the fixpoint.
+    labels = (edges.groupBy(F.col("u").alias("node"))
+              .agg(F.least(F.first("u"), F.min("v")).alias("lbl"))
+              .persist())
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+
+    converged = False
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.v == labels.node)
+                   .groupBy(F.col("u").alias("node"))
+                   .agg(F.min("lbl").alias("nbr_lbl")))
+        new_labels = (labels.alias("l")
+                      .join(nbr_min.alias("n"), "node", "left")
+                      .select("node",
+                              F.least(F.col("l.lbl"),
+                                      F.coalesce(F.col("n.nbr_lbl"),
+                                                 F.col("l.lbl"))).alias("lbl"))
+                      .persist())
+        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds "
+            "(graph diameter exceeds the guard; raise max_iter)")
+    # Returned frame stays PERSISTED (same contract as minhash_dedup_pairs):
+    # unpersisting here would make every downstream consumer replay the
+    # whole iterative lineage. Callers/harnesses own the unpersist.
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def cluster_assignment(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id", src: str = "doc_a",
+                       dst: str = "doc_b") -> DataFrame:
+    """Full-corpus cluster ids: every document gets a cluster (docs in no
+    pair are their own singleton cluster), plus the cluster's size.
+
+    One broadcast-sized join back to the corpus (the component table is
+    |nodes-in-pairs| rows — tiny relative to the corpus, so Catalyst/AQE
+    broadcasts it), then ONE shuffle on cluster_id for the size — a
+    window count, not a groupBy + self-join, so the corpus is scanned
+    once.
+    """
+    from pyspark.sql import Window
+    comp = connected_components(pairs, src=src, dst=dst)
+    assigned = (docs.select(F.col(id_col).cast("long").alias(id_col))
+                .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+                .select(id_col,
+                        F.coalesce("cluster_id", F.col(id_col))
+                         .alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(id_col, "cluster_id",
+                           F.count(F.lit(1)).over(w).alias("cluster_size"))

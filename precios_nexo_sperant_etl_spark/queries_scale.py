@@ -236,6 +236,71 @@ ORDER BY doc_a, doc_b
         "expansion; oracle mirrors the cap via HAVING.",
 )
 
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: LSH pairs → connected components → one cluster id
+# per document (the step between pair generation and "keep one per
+# cluster" in a real dedup run). Spark side is iterative hash-min label
+# propagation (operators/graph.py); the oracle expresses the same closure
+# with a recursive CTE — a full value-checked oracle for an iterative
+# algorithm.
+# ---------------------------------------------------------------------------
+
+def _neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import cluster_assignment
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    return cluster_assignment(docs, pairs).orderBy("doc_id")
+
+
+register(
+    "neardup_clusters",
+    _neardup_clusters,
+    f"""
+WITH RECURSIVE {_DUCK_HS},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM cand p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE c.c / (sa.n + sb.n - c.c) >= 0.2),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM verified),
+reach(u, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.u, e.v FROM reach JOIN edges e ON reach.r = e.u),
+comp AS (SELECT u AS node, LEAST(u, MIN(r)) AS cluster_id
+         FROM reach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           FROM assigned GROUP BY 1)
+SELECT a.doc_id, a.cluster_id, s.cluster_size
+FROM assigned a JOIN csizes s ON s.cluster_id = a.cluster_id
+ORDER BY a.doc_id
+""",
+    doc="Near-dup clustering: MinHash+LSH verified pairs → connected "
+        "components (hash-min label propagation) → full-corpus cluster "
+        "assignment with sizes; oracle is the same closure as a "
+        "recursive CTE.",
+)
+
 register(
     "ngram_jaccard_pairs",
     lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),

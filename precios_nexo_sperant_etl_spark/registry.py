@@ -87,17 +87,17 @@ _CHECK_FIRST: list[str] = [
     "core_update_audit",
     "j1_left_enrich_coalesce",
     "j3_p6_change_detail",
-    # --- new in r3: Gopher repetition filters ---
+    # --- new in r3: near-dup clustering + Gopher repetition filters ---
+    "neardup_clusters",
     "text_repetition_stats",
     # --- new in r3: full TPC-H coverage (q9/q11/q16/q20 anchors) ---
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q16_supplier_diversity",
     "tpch_q20_dominant_supplier",
-    # --- r01-only stamps, implementation unchanged: refresh while slots last
-    "dedup_exact",
+    # --- changed in r3 (explicit repartition) / refresh while slots last
     "dedup_exact_survivors",
-    "simhash_signatures",
+    "dedup_exact",
 ]
 
 

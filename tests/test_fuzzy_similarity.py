@@ -370,3 +370,59 @@ def test_repetition_stats_hand_computed(spark):
     assert rows[1]["dup_token_frac"] == 0.0
     assert rows[2]["top2gram_char_frac"] == 0.0
     assert rows[2]["top3gram_char_frac"] == 0.0
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A 4-node chain (diameter 3 — needs real propagation rounds, not
+    just the fused init) and a disjoint triangle each collapse to their
+    min node id."""
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12)],   # triangle 10-11-12
+        "doc_a long, doc_b long")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_partitioning_independent(spark):
+    """Same labels regardless of input partitioning (min is commutative;
+    the driver-side convergence check must not depend on layout)."""
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        connected_components)
+    edges = [(i, i + 1) for i in range(0, 20, 2)] + [(4, 6), (8, 100)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple,
+                   connected_components(pairs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_connected_components_max_iter_guard(spark):
+    """A long chain must raise, not silently emit split clusters."""
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        connected_components)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(chain, max_iter=2)
+
+
+def test_cluster_assignment_covers_singletons(spark):
+    """Every doc gets a cluster id; docs in no pair are their own
+    singleton cluster; sizes count the full corpus assignment."""
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        cluster_assignment)
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in cluster_assignment(docs, pairs).collect()}
+    assert len(rows) == 6
+    assert rows[0]["cluster_id"] == rows[3]["cluster_id"] == rows[5]["cluster_id"] == 0
+    assert rows[0]["cluster_size"] == 3
+    for singleton in (1, 2, 4):
+        assert rows[singleton]["cluster_id"] == singleton
+        assert rows[singleton]["cluster_size"] == 1
