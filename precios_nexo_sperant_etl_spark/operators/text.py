@@ -208,6 +208,70 @@ def token_counts(df: DataFrame, text_col: str = "text",
          .cast("long").alias("bpe_ish_tokens"))
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/relevance
+    signal a curation pipeline uses for topic filtering and quality
+    diagnostics.
+
+    The idf is the RATIONAL smooth form ``(N + 1) / (df_t + 1)`` (no
+    logarithm): monotone in the same direction, and — unlike ``ln`` —
+    composed only of IEEE-754 division/multiplication, so Spark and any
+    oracle engine produce bit-identical doubles from identical integer
+    inputs (transcendental libm calls may differ in the last ulp and
+    break value-hash parity).
+
+    Scale shape: explode → two map-side-combinable aggs (per-(doc,term)
+    tf, per-term docfreq); the corpus size joins in as a broadcast
+    one-row frame (no driver collect); top-k per doc goes through the
+    two-phase ``top_k_per_group`` so no document's term list funnels a
+    whole partition. The docfreq join key is the term — hot terms have
+    at most one row per (doc, term), bounding skew at |docs|.
+    """
+    from .serve import top_k_per_group
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_td"))
+    doclen = tf.groupBy(id_col).agg(F.sum("n_td").alias("len_d"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(doclen, id_col).join(dfreq, "term")
+              .crossJoin(F.broadcast(ndocs))
+              .withColumn(
+                  "tfidf",
+                  (F.col("n_td") / F.col("len_d"))
+                  * ((F.col("n_docs") + F.lit(1.0))
+                     / (F.col("df_t") + F.lit(1.0)))))
+    return (top_k_per_group(scored, [id_col],
+                            [F.desc("tfidf"), F.asc("term")], k)
+            .select(id_col, "term", "n_td", "df_t", "tfidf"))
+
+
+def vocab_oov_rate(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   vocab_col: str = "term") -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary table —
+    the tokenizer-coverage metric run before committing a corpus to a
+    fixed vocab.
+
+    The vocabulary is dimension-sized (≤ a few hundred thousand terms)
+    → broadcast left join, one corpus scan, one combinable agg on
+    doc_id. Documents with zero tokens report null oov_rate rather than
+    dividing by zero.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    marked = toks.join(
+        F.broadcast(vocab.select(F.col(vocab_col).alias("term"),
+                                 F.lit(True).alias("_in_vocab"))),
+        "term", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("_in_vocab").isNull(), 1)
+                        .otherwise(0)).alias("n_oov"))
+            .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens")))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint: rolling character hash of the
     full text. Identical documents → identical fingerprint; any edit →

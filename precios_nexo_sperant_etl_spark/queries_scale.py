@@ -301,6 +301,71 @@ ORDER BY a.doc_id
         "recursive CTE.",
 )
 
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords + vocabulary OOV coverage
+# ---------------------------------------------------------------------------
+
+def _tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tfidf_top_terms
+    return (tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+            .orderBy("doc_id", "term"))
+
+
+register(
+    "tfidf_top_terms",
+    _tfidf,
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS n_td FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(n_td) AS BIGINT) AS len_d FROM tf GROUP BY 1),
+dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.n_td, dfq.df_t,
+         (tf.n_td / dl.len_d) * ((nd.n_docs + 1.0) / (dfq.df_t + 1.0))
+           AS tfidf
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfq ON dfq.term = tf.term
+  CROSS JOIN nd),
+rk AS (SELECT *, ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+       FROM scored)
+SELECT doc_id, term, n_td, df_t, tfidf FROM rk WHERE rn <= 5
+ORDER BY doc_id, term
+""",
+    doc="Top-5 TF-IDF terms per document with a rational (log-free) idf "
+        "so both engines compute bit-identical doubles.",
+)
+
+
+def _oov(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import top_terms, vocab_oov_rate
+    docs = _t(spark, sf, "documents")
+    vocab = top_terms(docs, k=50).select("term")
+    return vocab_oov_rate(docs, vocab).orderBy("doc_id")
+
+
+register(
+    "vocab_oov_rate",
+    _oov,
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+vocab AS (SELECT term FROM (
+    SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1
+    ORDER BY freq DESC, term ASC LIMIT 50))
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+       COUNT(*) FILTER (WHERE v.term IS NULL) / COUNT(*) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.term = t.term
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    doc="Per-document out-of-vocabulary rate against the corpus top-50 "
+        "vocabulary (broadcast membership join).",
+)
+
 register(
     "ngram_jaccard_pairs",
     lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),

@@ -86,18 +86,18 @@ _CHECK_FIRST: list[str] = [
     "tpch_q21_sole_late_supplier",
     "core_update_audit",
     "j1_left_enrich_coalesce",
-    "j3_p6_change_detail",
-    # --- new in r3: near-dup clustering + Gopher repetition filters ---
+    # --- new in r3: clustering, TF-IDF, OOV, Gopher repetition filters ---
     "neardup_clusters",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
     "text_repetition_stats",
     # --- new in r3: full TPC-H coverage (q9/q11/q16/q20 anchors) ---
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q16_supplier_diversity",
     "tpch_q20_dominant_supplier",
-    # --- changed in r3 (explicit repartition) / refresh while slots last
+    # --- changed in r3 (explicit repartition) ---
     "dedup_exact_survivors",
-    "dedup_exact",
 ]
 
 

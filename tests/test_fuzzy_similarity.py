@@ -426,3 +426,37 @@ def test_cluster_assignment_covers_singletons(spark):
     for singleton in (1, 2, 4):
         assert rows[singleton]["cluster_id"] == singleton
         assert rows[singleton]["cluster_size"] == 1
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Rational-idf TF-IDF pinned by hand: corpus of 3 docs; 'rare'
+    appears only in doc 0, so it outranks the ubiquitous 'the'."""
+    from precios_nexo_sperant_etl_spark.operators.text import tfidf_top_terms
+    df = spark.createDataFrame([
+        (0, "the rare term"),
+        (1, "the common the"),
+        (2, "the common"),
+    ], "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 'rare' and 'term' (df=1, idf=(3+1)/(1+1)=2.0, tf=1/3) beat
+    # 'the' (df=3, idf=1.0); tie broken by term asc.
+    assert [r["term"] for r in by_doc[0]] == ["rare", "term"]
+    assert abs(by_doc[0][0]["tfidf"] - (1 / 3) * 2.0) < 1e-15
+    # doc 1: 'the' tf=2/3 idf=1.0 = 2/3 > 'common' 1/3 * (4/3)
+    assert [r["term"] for r in by_doc[1]] == ["the", "common"]
+
+
+def test_vocab_oov_rate_membership(spark):
+    from precios_nexo_sperant_etl_spark.operators.text import vocab_oov_rate
+    docs = spark.createDataFrame([
+        (0, "a b zz"),
+        (1, "a a a"),
+    ], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("b",)], "term string")
+    rows = {r["doc_id"]: r for r in vocab_oov_rate(docs, vocab).collect()}
+    assert rows[0]["n_tokens"] == 3 and rows[0]["n_oov"] == 1
+    assert abs(rows[0]["oov_rate"] - 1 / 3) < 1e-15
+    assert rows[1]["n_oov"] == 0 and rows[1]["oov_rate"] == 0.0
