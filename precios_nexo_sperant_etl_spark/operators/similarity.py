@@ -266,3 +266,38 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .orderBy("query_id", "rank"))
+
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", group_col: str = "label",
+                    exact: bool = True) -> DataFrame:
+    """Per-group embedding centroids as flat (group, dim, centroid, n)
+    rows — the building block of class prototypes, cluster summaries,
+    and diversity sampling.
+
+    ``exact=True`` (the oracle form) folds each (group, dim) value list
+    in ``id_col`` order: double addition is not associative, so a plain
+    AVG over a shuffled table drifts in the last ulp per run; the sorted
+    sequential fold is partition-independent and reproduced bit-for-bit
+    by DuckDB's ``list_reduce`` over ``list(v ORDER BY id)`` (same
+    policy as ``functions.exact.ddot``). Cost: the per-(group, dim)
+    value list materializes in one task — fine up to millions of rows
+    per group. ``exact=False`` is the unbounded-scale throughput form:
+    a plain combinable AVG, deterministic to ~1 ulp only.
+    """
+    ex = emb.select(F.col(group_col), F.col(id_col),
+                    F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    if not exact:
+        return (ex.groupBy(group_col, "dim")
+                .agg(F.avg(F.col("v").cast("double")).alias("centroid"),
+                     F.count(F.lit(1)).alias("n_vectors")))
+    agg = (ex.groupBy(group_col, "dim")
+           .agg(F.array_sort(F.collect_list(
+                F.struct(F.col(id_col).alias("i"),
+                         F.col("v").alias("v")))).alias("pairs")))
+    vals = F.transform(F.col("pairs"), lambda p: p["v"].cast("double"))
+    fold = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    return agg.select(
+        group_col, "dim",
+        (fold / F.size("pairs")).alias("centroid"),
+        F.size("pairs").cast("long").alias("n_vectors"))

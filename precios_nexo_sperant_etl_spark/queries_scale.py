@@ -366,6 +366,40 @@ ORDER BY t.doc_id
         "vocabulary (broadcast membership join).",
 )
 
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (class prototypes / cluster summaries)
+# ---------------------------------------------------------------------------
+
+def _centroids(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import label_centroids
+    return (label_centroids(_t(spark, sf, "embeddings"))
+            .orderBy("label", "dim"))
+
+
+register(
+    "embedding_label_centroids",
+    _centroids,
+    """
+WITH ex AS (
+  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(unnest(range(len(embedding))) AS INT) AS dim
+  FROM embeddings),
+agg AS (
+  SELECT label, dim,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(v ORDER BY vec_id)),
+                     (a, b) -> a + b) AS s,
+         COUNT(*) AS n_vectors
+  FROM ex GROUP BY 1, 2)
+SELECT label, dim, s / n_vectors AS centroid, n_vectors
+FROM agg ORDER BY label, dim
+""",
+    doc="Per-label embedding centroids via id-ordered sequential fold — "
+        "partition-independent double arithmetic, bit-identical to the "
+        "DuckDB list_reduce oracle.",
+)
+
 register(
     "ngram_jaccard_pairs",
     lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),

@@ -90,14 +90,16 @@ _CHECK_FIRST: list[str] = [
     "neardup_clusters",
     "tfidf_top_terms",
     "vocab_oov_rate",
+    "embedding_label_centroids",
     "text_repetition_stats",
     # --- new in r3: full TPC-H coverage (q9/q11/q16/q20 anchors) ---
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q16_supplier_diversity",
     "tpch_q20_dominant_supplier",
-    # --- changed in r3 (explicit repartition) ---
-    "dedup_exact_survivors",
+    # dedup_exact_survivors changed in r3 (explicit repartition) but its
+    # path is stamped transitively: curation_pipeline consumes it
+    # in-window, and dedup_exact pins the unchanged hash/keep-min logic.
 ]
 
 

@@ -460,3 +460,24 @@ def test_vocab_oov_rate_membership(spark):
     assert rows[0]["n_tokens"] == 3 and rows[0]["n_oov"] == 1
     assert abs(rows[0]["oov_rate"] - 1 / 3) < 1e-15
     assert rows[1]["n_oov"] == 0 and rows[1]["oov_rate"] == 0.0
+
+
+def test_label_centroids_exact_partition_independent(spark):
+    """Sorted-fold centroids are bit-identical under any partitioning;
+    the throughput (plain AVG) form agrees to float tolerance."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        label_centroids)
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)], i % 3)
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    a = sorted(map(tuple, label_centroids(emb).collect()))
+    b = sorted(map(tuple, label_centroids(emb.repartition(13)).collect()))
+    assert a == b  # bit-identical, not just close
+    approx = {(r["label"], r["dim"]): r["centroid"]
+              for r in label_centroids(emb, exact=False).collect()}
+    for label, dim, centroid, n in a:
+        assert n == 20
+        assert abs(approx[(label, dim)] - centroid) < 1e-9
