@@ -83,3 +83,38 @@ def top_k_per_group(df: DataFrame, group_cols: Sequence[str],
     final = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (survivors.withColumn("_rn", F.row_number().over(final))
                      .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               splits: Sequence[tuple[str, float]] = (
+                   ("train", 0.90), ("val", 0.05), ("test", 0.05)),
+               n_buckets: int = 10_000, salt: str = "") -> DataFrame:
+    """Deterministic train/val/test assignment — the split a training
+    run must be able to reproduce years later from nothing but the raw
+    ids.
+
+    The bucket is the portable 48-bit md5 id hash (``text.md5_hash`` —
+    identical in any engine) mod ``n_buckets``; splits own contiguous
+    cumulative ranges, so fractions are honored to 1/n_buckets
+    resolution *per id*, independent of partitioning, row order, data
+    volume, and engine. ``salt`` re-deals the split without touching
+    the data. One narrow projection — no shuffle, no sampling
+    nondeterminism (``df.randomSplit`` is seed + partition-layout
+    dependent, which is exactly what a reproducible pipeline cannot
+    use).
+    """
+    from .text import md5_hash
+    fracs = [f for _, f in splits]
+    assert abs(sum(fracs) - 1.0) < 1e-9, "split fractions must sum to 1"
+    bucket = md5_hash(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))) % n_buckets
+    out = df.withColumn("bucket", bucket)
+    cum = 0.0
+    expr = None
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = F.col("bucket") < int(round(cum * n_buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(splits[-1][0]) if expr is not None
+            else F.lit(splits[-1][0]))
+    return out.withColumn("split", expr)

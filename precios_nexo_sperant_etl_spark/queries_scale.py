@@ -400,6 +400,35 @@ FROM agg ORDER BY label, dim
         "DuckDB list_reduce oracle.",
 )
 
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (reproducible-forever corpus split)
+# ---------------------------------------------------------------------------
+
+def _split(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.serve import hash_split
+    return (hash_split(_t(spark, sf, "documents"))
+            .select("doc_id", "bucket", "split").orderBy("doc_id"))
+
+
+register(
+    "train_val_test_split",
+    _split,
+    f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             {_duck_md5_hash("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+      FROM documents)
+ORDER BY doc_id
+""",
+    doc="Deterministic 90/5/5 split by portable id-hash bucket — "
+        "reproducible from raw ids alone, independent of partitioning "
+        "and engine (randomSplit is layout-dependent; this is not).",
+)
+
 register(
     "ngram_jaccard_pairs",
     lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),

@@ -85,12 +85,14 @@ _CHECK_FIRST: list[str] = [
     "w4_row_id",
     "tpch_q21_sole_late_supplier",
     "core_update_audit",
-    "j1_left_enrich_coalesce",
+    # j1_left_enrich_coalesce rotated out: r02-green, and its changed
+    # enrich edge (hint removal) is covered in-window by core_update_audit.
     # --- new in r3: clustering, TF-IDF, OOV, Gopher repetition filters ---
     "neardup_clusters",
     "tfidf_top_terms",
     "vocab_oov_rate",
     "embedding_label_centroids",
+    "train_val_test_split",
     "text_repetition_stats",
     # --- new in r3: full TPC-H coverage (q9/q11/q16/q20 anchors) ---
     "tpch_q9_product_profit",

@@ -137,3 +137,23 @@ def test_top_k_per_group_partitioning_independent(spark):
                top_k_per_group(df.repartition(parts),
                                ["g"], [F.col("v"), F.col("i")], 7).collect()}
         assert got == want, parts
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Split assignment is a pure function of the id: identical under
+    repartitioning, fractions approximately honored, salt re-deals."""
+    from precios_nexo_sperant_etl_spark.operators.serve import hash_split
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in hash_split(df).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in hash_split(df.repartition(11)).collect()}
+    assert a == b
+    from collections import Counter
+    frac = Counter(s for _, s in a.values())
+    assert abs(frac["train"] / 5000 - 0.90) < 0.02
+    assert abs(frac["val"] / 5000 - 0.05) < 0.01
+    assert abs(frac["test"] / 5000 - 0.05) < 0.01
+    salted = {r["doc_id"]: r["split"]
+              for r in hash_split(df, salt="v2").collect()}
+    assert any(salted[i] != a[i][1] for i in a)
