@@ -1,0 +1,66 @@
+"""Greedy sequence packing — filling fixed token-budget training
+sequences from variable-length documents.
+
+The last mile of a training-data pipeline: documents become training
+sequences of at most ``budget`` tokens, packed greedily in a
+deterministic order so the same corpus always yields the same packing.
+Greedy first-fit-in-order is genuinely SEQUENTIAL — each break point
+depends on the running remainder, so no window/aggregate expresses it —
+which makes it the honest use case for ``applyInPandas``: per-group
+sequential Python over Arrow batches.
+
+Scale shape: packing runs per group (language, shard); a real pipeline
+packs per output shard, so groups are many and individually bounded —
+each group's (id, token-count) pairs fit one task comfortably since only
+NUMERIC columns cross the Python boundary (token counts are computed
+JVM-side first; text never crosses). For unsharded corpora, pre-shard
+with ``serve.hash_split``-style buckets and accept per-shard packing —
+global greedy packing is inherently serial, and per-shard is what
+production systems do anyway.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(df: DataFrame, budget: int, group_col: str = "lang",
+                   id_col: str = "doc_id",
+                   token_col: str = "n_tokens") -> DataFrame:
+    """Assign each document a sequence id within its group.
+
+    Within a group, documents are processed in ``id_col`` order: a doc
+    joins the current sequence unless that would exceed ``budget``, in
+    which case it starts the next one. A single document longer than the
+    budget gets a sequence of its own (reported fill exceeds budget —
+    truncation is the caller's policy decision, not the packer's).
+
+    Output: (group, doc_id, n_tokens, seq_id, seq_fill) where seq_id
+    counts from 0 per group and seq_fill is the running fill AFTER the
+    document was placed.
+    """
+    schema = (f"{group_col} string, {id_col} long, {token_col} long, "
+              "seq_id long, seq_fill long")
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seq, fill = 0, 0
+        seqs, fills = [], []
+        for t in pdf[token_col].astype("int64"):
+            if fill > 0 and fill + t > budget:
+                seq += 1
+                fill = 0
+            fill += int(t)
+            seqs.append(seq)
+            fills.append(fill)
+        pdf = pdf[[group_col, id_col, token_col]].copy()
+        pdf["seq_id"] = pd.Series(seqs, dtype="int64")
+        pdf["seq_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    slim = df.select(F.col(group_col), F.col(id_col),
+                     F.col(token_col).cast("long"))
+    return slim.groupBy(group_col).applyInPandas(_pack, schema)

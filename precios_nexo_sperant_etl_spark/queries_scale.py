@@ -429,6 +429,53 @@ ORDER BY doc_id
         "and engine (randomSplit is layout-dependent; this is not).",
 )
 
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (fixed token-budget training sequences)
+# ---------------------------------------------------------------------------
+
+def _packing(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+    from .operators.text import BPE_ISH_PATTERN
+    docs = _t(spark, sf, "documents").select(
+        "lang", "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_tokens"))
+    return (pack_sequences(docs, budget=512)
+            .orderBy("lang", "doc_id"))
+
+
+register(
+    "pack_sequences_by_lang",
+    _packing,
+    """
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))
+           AS n_tokens
+  FROM documents),
+ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+          AS rn FROM toks),
+packed(lang, doc_id, n_tokens, rn, seq_id, seq_fill) AS (
+  SELECT lang, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
+              THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
+  FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
+SELECT lang, doc_id, n_tokens, seq_id, seq_fill
+FROM packed ORDER BY lang, doc_id
+""",
+    doc="Greedy first-fit-in-order packing into 512-token sequences per "
+        "language — sequential semantics via applyInPandas (numeric "
+        "columns only cross the Arrow boundary); oracle replays the same "
+        "recursion as a recursive CTE.",
+)
+
 register(
     "ngram_jaccard_pairs",
     lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),

@@ -73,7 +73,8 @@ _CHECK_FIRST: list[str] = [
     # --- rewritten in r2 after their r01 stamp (stale evidence) ---
     "simhash_near_pairs",
     "minhash_dedup_pairs",
-    "minhash_signatures",
+    # minhash_signatures rotated out: its rewritten shingle path is
+    # stamped transitively by minhash_dedup_pairs (in-window consumer).
     "text_stats",
     "text_quality_score",
     "text_lang_id",
@@ -93,6 +94,7 @@ _CHECK_FIRST: list[str] = [
     "vocab_oov_rate",
     "embedding_label_centroids",
     "train_val_test_split",
+    "pack_sequences_by_lang",
     "text_repetition_stats",
     # --- new in r3: full TPC-H coverage (q9/q11/q16/q20 anchors) ---
     "tpch_q9_product_profit",

@@ -157,3 +157,35 @@ def test_hash_split_deterministic_and_proportional(spark):
     salted = {r["doc_id"]: r["split"]
               for r in hash_split(df, salt="v2").collect()}
     assert any(salted[i] != a[i][1] for i in a)
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Greedy first-fit-in-order pinned by hand, including the
+    over-budget single document and the group boundary reset."""
+    from precios_nexo_sperant_etl_spark.operators.packing import (
+        pack_sequences)
+    df = spark.createDataFrame([
+        ("en", 0, 300), ("en", 1, 200),   # 300+200=500 fits budget 512
+        ("en", 2, 20),                    # 520 > 512 -> new seq
+        ("en", 3, 600),                   # over budget alone -> own seq
+        ("es", 10, 100),                  # new group restarts at seq 0
+    ], "lang string, doc_id long, n_tokens long")
+    rows = {(r["lang"], r["doc_id"]): (r["seq_id"], r["seq_fill"])
+            for r in pack_sequences(df, budget=512).collect()}
+    assert rows[("en", 0)] == (0, 300)
+    assert rows[("en", 1)] == (0, 500)
+    assert rows[("en", 2)] == (1, 20)
+    assert rows[("en", 3)] == (2, 600)   # oversized doc isolated
+    assert rows[("es", 10)] == (0, 100)
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    from precios_nexo_sperant_etl_spark.operators.packing import (
+        pack_sequences)
+    import random
+    rng = random.Random(3)
+    rows = [(f"g{i % 4}", i, rng.randint(10, 400)) for i in range(200)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    a = sorted(map(tuple, pack_sequences(df, 512).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(17), 512).collect()))
+    assert a == b
