@@ -111,13 +111,16 @@ def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     """
     from pyspark.sql import Window
 
-    # Cell centroids: per-dimension mean via posexplode + groupBy — one
-    # shuffle keyed by (cell, dim), combinable.
-    dims = (emb.select(cell_col, F.posexplode(vec_col).alias("dim", "x"))
-               .groupBy(cell_col, "dim").agg(F.avg("x").alias("m"))
-               .groupBy(cell_col)
-               .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
-               .select(cell_col, F.expr("transform(s, p -> p.m)").alias("centroid")))
+    # Cell centroids via the id-ordered exact fold (label_centroids):
+    # partition-independent doubles, so probe selection is deterministic
+    # and the whole IVF chain is oracle-expressible. One shuffle keyed by
+    # (cell, dim).
+    dims = (label_centroids(emb, vec_col=vec_col, id_col=id_col,
+                            group_col=cell_col)
+            .groupBy(cell_col)
+            .agg(F.array_sort(F.collect_list(
+                 F.struct("dim", F.col("centroid").alias("m")))).alias("s"))
+            .select(cell_col, F.expr("transform(s, p -> p.m)").alias("centroid")))
     q = (emb.filter(F.col(id_col).isin(query_ids))
             .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
     # rank cells per query by centroid cosine, keep n_probe
@@ -176,12 +179,16 @@ def assign_kmeans_cells(emb: DataFrame, n_cells: int = 10, n_iter: int = 3,
 
     for _ in range(n_iter):
         assigned = emb.withColumn(cell_col, _assign(centroids))
-        means = (assigned.select(cell_col, F.posexplode(vec_col).alias("dim", "x"))
-                 .groupBy(cell_col, "dim").agg(F.avg("x").alias("m"))
+        # Means via the id-ordered exact fold: the collected centroid
+        # doubles are partition-independent, so every Lloyd iteration —
+        # and therefore the final assignment — is reproducible bit-for-
+        # bit in any engine (the oracle unrolls these same iterations).
+        means = (label_centroids(assigned, vec_col=vec_col, id_col=id_col,
+                                 group_col=cell_col)
                  .collect())
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cell.setdefault(r[cell_col], {})[r["dim"]] = r["m"]
+            by_cell.setdefault(r[cell_col], {})[r["dim"]] = r["centroid"]
         centroids = [
             [by_cell[ci][d] for d in sorted(by_cell[ci])]
             if ci in by_cell else centroids[ci]          # empty cell: keep

@@ -648,13 +648,96 @@ def _ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_cosine_topk(cells, _ANN_QUERY_IDS, k=3, cell_col="cell")
 
 
+def _ivf_kmeans_oracle(n_cells: int = 10, n_iter: int = 3,
+                       k: int = 3, n_probe: int = 2) -> str:
+    """Unrolled-Lloyd oracle for the full k-means IVF chain.
+
+    Every float in the Spark path is now an id-ordered sequential fold
+    (assign_kmeans_cells / label_centroids / ddot), so each Lloyd
+    iteration — init from the n_cells smallest ids, argmin assignment
+    against centroid literals, fold-mean recompute with empty-cell
+    carry-over — can be replayed verbatim as SQL CTEs, iteration by
+    iteration. What was a rows-only check becomes a full value hash.
+    """
+    def cent_from(assign: str) -> str:
+        # per-(cell, dim) fold mean over an assignment CTE → centroid list
+        return f"""(
+  SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+    SELECT cell, dim,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                       (a, b) -> a + b) / len(vs) AS m
+    FROM (SELECT cell, dim, list(v ORDER BY vec_id) AS vs
+          FROM (SELECT cell, vec_id,
+                       CAST(unnest(embedding) AS DOUBLE) AS v,
+                       CAST(unnest(range(len(embedding))) AS INT) AS dim
+                FROM {assign})
+          GROUP BY cell, dim))
+  GROUP BY cell)"""
+
+    def d2(v: str, c: str) -> str:
+        return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
+                f" + {_duck_dot(c, c)}")
+
+    ctes = [f"""cents0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {n_cells}))"""]
+    for i in range(n_iter + 1):
+        ctes.append(f"""assign{i + 1} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {d2('e.embedding', 'c.centroid')} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cents{i} c) t WHERE rn = 1)""")
+        if i < n_iter:
+            # fold-mean recompute; empty cells keep their old centroid
+            ctes.append(f"""cents{i + 1} AS (
+  SELECT c.cell, COALESCE(n.centroid, c.centroid) AS centroid
+  FROM cents{i} c LEFT JOIN {cent_from(f'assign{i + 1}')} n
+    ON n.cell = c.cell)""")
+    final = f"assign{n_iter + 1}"
+    ids = ", ".join(map(str, _ANN_QUERY_IDS))
+    cos = (f"{_duck_dot('p.qv', 'a.embedding')} / "
+           f"(sqrt({_duck_dot('p.qv', 'p.qv')}) * "
+           f"sqrt({_duck_dot('a.embedding', 'a.embedding')}))")
+    ctes.append(f"""centf AS (SELECT * FROM {cent_from(final)})""")
+    ctes.append(f"""q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({ids}))""")
+    ctes.append(f"""qc AS (
+  SELECT q.query_id, q.qv, c.cell,
+         {_duck_dot('q.qv', 'c.centroid')} /
+           (sqrt({_duck_dot('q.qv', 'q.qv')}) *
+            sqrt({_duck_dot('c.centroid', 'c.centroid')})) AS csim
+  FROM q CROSS JOIN centf c)""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY csim DESC, cell ASC) AS r
+    FROM qc) t WHERE r <= {n_probe})""")
+    ctes.append(f"""scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cosine
+  FROM probes p JOIN {final} a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= {k} ORDER BY query_id, rn
+""")
+
+
 register(
     "ann_ivf_topk",
     _ivf_kmeans,
-    None,  # centroid float means are partition-order-dependent → rows-only
+    _ivf_kmeans_oracle(),
     doc="IVF ANN over deterministic k-means coarse cells (3 Lloyd "
         "iterations), probing the 2 nearest cells only; recall vs the "
-        "exact baseline is pinned in tests (0.87 vs 0.2 for label cells).",
+        "exact baseline is pinned in tests. All centroid arithmetic is "
+        "id-ordered folds, so the oracle unrolls the Lloyd iterations "
+        "as CTEs and the whole chain is value-hash-checked.",
 )
 
 register(
