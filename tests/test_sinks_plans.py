@@ -211,3 +211,33 @@ def test_q11_scalar_threshold_is_single_row_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_round3_query_plan_shapes(spark):
+    """Scale-shape assertions for the round-3 operators: the vocab and
+    corpus-size sides broadcast, and nothing in the clustering or
+    packing paths degenerates into a cartesian product."""
+    import __spark_entry__ as e
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        df = qs[name](spark, sf)
+        df.count()  # let AQE finalize
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan("vocab_oov_rate")
+    assert "BroadcastHashJoin" in p          # vocab membership broadcast
+    assert "CartesianProduct" not in p
+
+    p = plan("tfidf_top_terms")
+    assert "CartesianProduct" not in p       # corpus-size 1-row frame
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+    p = plan("neardup_clusters")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # pure projection + final sort: no joins anywhere in the plan
+    p = plan("train_val_test_split")
+    assert "Join" not in p
