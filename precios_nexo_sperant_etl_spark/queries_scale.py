@@ -476,6 +476,8 @@ FROM packed ORDER BY lang, doc_id
         "recursion as a recursive CTE.",
 )
 
+
+
 register(
     "ngram_jaccard_pairs",
     lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),
@@ -1383,4 +1385,48 @@ ORDER BY s.doc_id
     doc="Gopher-style repetition signals: duplicate-token fraction and "
         "the character share of the most frequent 2-/3-gram; explode → "
         "combinable hash-aggs, no corpus-wide windows.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-language calibrated quality gate: a single global threshold biases
+# against whole languages (stopword profiles differ), so the cut is each
+# language's own p25 — per-group quantile agg (tiny) broadcast back to
+# the corpus, the same scale-safe shape as the MAD outlier gate (never a
+# percentile window over the fact table).
+# ---------------------------------------------------------------------------
+
+def _quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import quality_expr
+    docs = _t(spark, sf, "documents")
+    q = docs.select("doc_id", "lang",
+                    quality_expr(F.col("text")).alias("quality"))
+    thr = q.groupBy("lang").agg(
+        F.expr("percentile(quality, 0.25)").alias("lang_q25"))
+    return (q.join(F.broadcast(thr), "lang")
+            .filter(F.col("quality") >= F.col("lang_q25"))
+            .select("doc_id", "lang", "quality", "lang_q25")
+            .orderBy("doc_id"))
+
+
+register(
+    "quality_calibrated_filter",
+    _quality_calibrated,
+    f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents),
+q AS (SELECT doc_id, lang,
+  CAST(round_even(CAST(0.4 * least(len(tk) / 50.0, 1.0)
+             + 0.4 * (len(list_distinct(tk)) / len(tk))
+             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))
+             AS DECIMAL(20,17)), 4) AS DOUBLE) AS quality
+  FROM t),
+thr AS (SELECT lang, quantile_cont(quality, 0.25) AS lang_q25
+        FROM q GROUP BY lang)
+SELECT q.doc_id, q.lang, q.quality, thr.lang_q25
+FROM q JOIN thr ON thr.lang = q.lang
+WHERE q.quality >= thr.lang_q25
+ORDER BY q.doc_id
+""",
+    doc="Per-language p25 quality gate: per-group quantile agg broadcast "
+        "back to the corpus — no percentile window over the fact table.",
 )

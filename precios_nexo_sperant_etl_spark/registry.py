@@ -76,7 +76,9 @@ _CHECK_FIRST: list[str] = [
     # minhash_signatures rotated out: its rewritten shingle path is
     # stamped transitively by minhash_dedup_pairs (in-window consumer).
     "text_stats",
-    "text_quality_score",
+    # text_quality_score rotated out: quality_expr is stamped in-window
+    # by curation_pipeline and quality_calibrated_filter (same column
+    # expression and same oracle SQL fragment).
     "text_lang_id",
     # --- r02 red row (oracle type fixed in r3) / changed in r3 ---
     "paragraph_dedup",
@@ -95,6 +97,7 @@ _CHECK_FIRST: list[str] = [
     "embedding_label_centroids",
     "train_val_test_split",
     "pack_sequences_by_lang",
+    "quality_calibrated_filter",
     "text_repetition_stats",
     # --- new in r3: full TPC-H coverage (q9/q11/q16/q20 anchors) ---
     "tpch_q9_product_profit",
