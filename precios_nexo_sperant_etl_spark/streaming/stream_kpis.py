@@ -153,3 +153,35 @@ def run_available_now(stream_df: DataFrame, query_name: str = "kpi_stream",
         q.awaitTermination(timeout_s)
         spark = stream_df.sparkSession
         return spark.table(query_name).collect()
+
+
+def streaming_parquet_upsert(stream_df: DataFrame, out_dir: str,
+                             key_cols: list[str] | None = None,
+                             part_col: str = "event_type",
+                             timeout_s: int = 180) -> None:
+    """``foreachBatch`` incremental load into a partitioned parquet lake
+    table — the production file-drop → lake ingestion pattern.
+
+    Each micro-batch is deduplicated against ITSELF on ``key_cols``
+    (at-least-once sources re-deliver inside a batch too), then written
+    with dynamic partition overwrite: only the partitions present in the
+    batch are replaced, so a replayed batch converges to the same files
+    instead of appending duplicates — idempotent, which is what makes
+    foreachBatch's at-least-once delivery effectively exactly-once at
+    the table level. Scale: one write job per micro-batch, parallel per
+    partition; no driver-side data movement.
+    """
+    key_cols = key_cols or ["event_id"]
+
+    def _upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (batch.dropDuplicates(key_cols)
+              .write.mode("overwrite").partitionBy(part_col)
+              .parquet(out_dir))
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (stream_df.writeStream.foreachBatch(_upsert)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout_s)

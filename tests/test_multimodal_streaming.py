@@ -192,3 +192,21 @@ def test_streaming_dedup_matches_batch(spark):
     stream_ids = [r["event_id"] for r in stream_rows]
     assert len(stream_ids) == len(set(stream_ids))  # no duplicates emitted
     assert set(stream_ids) == batch_ids             # nothing lost
+
+
+def test_streaming_parquet_upsert_idempotent(spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite: the lake table equals
+    the batch-deduped input, and replaying the stream converges to the
+    same table instead of appending duplicates."""
+    from precios_nexo_sperant_etl_spark.streaming.stream_kpis import (
+        stream_events, streaming_parquet_upsert)
+    from precios_nexo_sperant_etl_spark.sources.tables import load_tables
+    out = str(tmp_path / "lake")
+    streaming_parquet_upsert(stream_events(spark, SF_DIR), out)
+    batch = load_tables(spark, SF_DIR)["events"]
+    expect = batch.count()
+    got1 = spark.read.parquet(out).count()
+    assert got1 == expect
+    # replay: same source again — idempotent, not doubled
+    streaming_parquet_upsert(stream_events(spark, SF_DIR), out)
+    assert spark.read.parquet(out).count() == expect

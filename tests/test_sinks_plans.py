@@ -181,13 +181,15 @@ def test_q21_single_pass_no_self_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_curation_pipeline_broadcast_only(spark):
-    """The end-to-end curation chain joins tiny per-doc aggregates back
-    to the survivors — every join must be broadcast, never sort-merge."""
+def test_curation_pipeline_single_pass(spark):
+    """The end-to-end curation chain computes quality/language/token
+    budget as ONE projection over the dedup survivors — no joins of any
+    kind (the r2 shape joined three per-doc frames back on doc_id; the
+    r3 shape has exactly the dedup exchange plus the final sort)."""
     plan = queries()["curation_pipeline"](spark, SF_DIR) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2  # dedup hash + presentation sort
 
 
 def test_q9_q16_q20_dimension_chains_broadcast(spark):
