@@ -42,8 +42,10 @@ def pack_sequences(df: DataFrame, budget: int, group_col: str = "lang",
     counts from 0 per group and seq_fill is the running fill AFTER the
     document was placed.
     """
-    schema = (f"{group_col} string, {id_col} long, {token_col} long, "
-              "seq_id long, seq_fill long")
+    group_type = df.schema[group_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{group_col} {group_type}, {id_col} {id_type}, "
+              f"{token_col} long, seq_id long, seq_fill long")
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)

@@ -189,3 +189,19 @@ def test_pack_sequences_partitioning_independent(spark):
     a = sorted(map(tuple, pack_sequences(df, 512).collect()))
     b = sorted(map(tuple, pack_sequences(df.repartition(17), 512).collect()))
     assert a == b
+
+
+def test_registry_correctness_window_budget():
+    """The driver stamps only the first 50 queries: the front list must
+    hold exactly 50 existing, duplicate-free names so no window slot is
+    wasted, and every registered query must carry an oracle."""
+    from precios_nexo_sperant_etl_spark import registry
+    front = registry._CHECK_FIRST
+    assert len(front) == 50, f"window budget is 50, got {len(front)}"
+    assert len(set(front)) == len(front), "duplicate names waste slots"
+    qs = registry.queries()
+    missing = [n for n in front if n not in qs]
+    assert not missing, f"unregistered names in window: {missing}"
+    oracles = registry.oracle_sql()
+    no_oracle = [n for n in qs if n not in oracles]
+    assert not no_oracle, f"queries without oracles: {no_oracle}"
