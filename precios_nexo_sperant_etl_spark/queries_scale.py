@@ -1430,3 +1430,56 @@ ORDER BY q.doc_id
     doc="Per-language p25 quality gate: per-group quantile agg broadcast "
         "back to the corpus — no percentile window over the fact table.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus card: the one-row datasheet a pipeline publishes with a corpus —
+# volume, token budget, language mix, exact-dup rate. One scan + tiny
+# combinable aggs (the lang distribution pivots through a map built from
+# a GROUP BY, never a collect).
+# ---------------------------------------------------------------------------
+
+def _corpus_card(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import BPE_ISH_PATTERN
+    from .operators.dedup_fuzzy import canonical_text
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_tokens"),
+        F.md5(canonical_text(F.col("text"))).alias("h"))
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+        (F.sum("n_tokens") / F.count(F.lit(1))).alias("mean_doc_tokens"))
+
+
+register(
+    "corpus_card",
+    _corpus_card,
+    """
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))
+           AS BIGINT) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT h) AS n_unique_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       MAX(n_tokens) AS max_doc_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) / COUNT(*) AS mean_doc_tokens
+FROM base
+""",
+    doc="One-row corpus datasheet: volume, token budget, language count, "
+        "exact-dup rate inputs — single scan, combinable aggs.",
+)
