@@ -243,3 +243,32 @@ def test_round3_query_plan_shapes(spark):
     # pure projection + final sort: no joins anywhere in the plan
     p = plan("train_val_test_split")
     assert "Join" not in p
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """AQE's automatic skew handling is the first line of defense before
+    manual salting: on a deliberately skewed fact-fact sort-merge join,
+    the AQE final plan must mark the join skew=true (runtime split of
+    the oversized partition)."""
+    from pyspark.sql import functions as F
+    left = (spark.range(0, 400_000)
+            .select(F.when(F.col("id") % 10 < 9, F.lit(0))  # 90% hot key
+                     .otherwise(F.col("id")).alias("k"),
+                    F.col("id").alias("payload")))
+    # right side unique-keyed: the hot LEFT partition is what AQE must
+    # split; join output stays |left|-bounded
+    right = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), F.col("id").alias("r_payload"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    joined = left.join(
+        right.hint("merge"), "k")  # force SMJ so skew split can engage
+    # execute this exact plan instance (a write/count would build its own
+    # QueryExecution and leave this one's AQE plan non-final)
+    qe = joined._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    plan = qe.executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan
