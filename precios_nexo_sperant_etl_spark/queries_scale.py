@@ -253,10 +253,10 @@ def _neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_assignment(docs, pairs).orderBy("doc_id")
 
 
-register(
-    "neardup_clusters",
-    _neardup_clusters,
-    f"""
+# Shared closure: LSH candidates → Jaccard verify → recursive transitive
+# closure → full-corpus cluster assignment (used by neardup_clusters and
+# neardup_survivors).
+_NEARDUP_CLOSURE_SQL = f"""
 WITH RECURSIVE {_DUCK_HS},
 sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
 bands AS ({_BANDS_SQL}),
@@ -288,7 +288,13 @@ comp AS (SELECT u AS node, LEAST(u, MIN(r)) AS cluster_id
          FROM reach GROUP BY u),
 assigned AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)"""
+
+
+register(
+    "neardup_clusters",
+    _neardup_clusters,
+    f"""{_NEARDUP_CLOSURE_SQL},
 csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
            FROM assigned GROUP BY 1)
 SELECT a.doc_id, a.cluster_id, s.cluster_size
@@ -299,6 +305,30 @@ ORDER BY a.doc_id
         "components (hash-min label propagation) → full-corpus cluster "
         "assignment with sizes; oracle is the same closure as a "
         "recursive CTE.",
+)
+
+
+def _neardup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import cluster_assignment
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    keepers = (cluster_assignment(docs, pairs)
+               .filter(F.col("doc_id") == F.col("cluster_id"))
+               .select("doc_id"))
+    return docs.join(keepers, "doc_id").orderBy("doc_id")
+
+
+register(
+    "neardup_survivors",
+    _neardup_survivors,
+    f"""{_NEARDUP_CLOSURE_SQL}
+SELECT d.* FROM documents d
+JOIN assigned a ON a.doc_id = d.doc_id AND a.cluster_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    doc="The near-dup-deduplicated corpus: one representative (minimum "
+        "id) per cluster, full rows — the action the clustering exists "
+        "for. Keeper join is broadcast-sized (cluster table is tiny).",
 )
 
 
