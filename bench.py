@@ -45,6 +45,7 @@ HEADLINE = [
     "curation_pipeline",        # end-to-end curation flow
     "skew_salted_join",         # skewed fact join through the salted SMJ path
     "neardup_clusters",         # LSH pairs → iterative connected components
+    "prep_pipeline",            # composed dedup→gate→split→pack prep run
 ]
 
 

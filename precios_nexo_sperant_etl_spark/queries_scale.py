@@ -254,10 +254,16 @@ def _neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Shared closure: LSH candidates → Jaccard verify → recursive transitive
-# closure → full-corpus cluster assignment (used by neardup_clusters and
-# neardup_survivors).
-_NEARDUP_CLOSURE_SQL = f"""
-WITH RECURSIVE {_DUCK_HS},
+# closure → cluster assignment over an arbitrary corpus CTE/table (used
+# by neardup_clusters, neardup_survivors, and the composed prep
+# pipeline, which runs it over the exact-deduped corpus).
+def _neardup_assigned_from(src: str) -> str:
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, which would
+    # re-derive the shingle/sign/verify chain on every recursion step of
+    # the closure (216s -> seconds on the prep pipeline oracle).
+    return f"""toks AS MATERIALIZED (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM {src}),
+shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
+hs AS MATERIALIZED (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs),
 sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
 bands AS ({_BANDS_SQL}),
 cand AS (
@@ -277,7 +283,7 @@ verified AS (
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
   WHERE c.c / (sa.n + sb.n - c.c) >= 0.2),
-edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM verified
           UNION ALL
           SELECT doc_b AS u, doc_a AS v FROM verified),
 reach(u, r) AS (
@@ -288,7 +294,10 @@ comp AS (SELECT u AS node, LEAST(u, MIN(r)) AS cluster_id
          FROM reach GROUP BY u),
 assigned AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)"""
+  FROM {src} d LEFT JOIN comp c ON c.node = d.doc_id)"""
+
+
+_NEARDUP_CLOSURE_SQL = "WITH RECURSIVE " + _neardup_assigned_from("documents")
 
 
 register(
@@ -1512,4 +1521,93 @@ FROM base
 """,
     doc="One-row corpus datasheet: volume, token budget, language count, "
         "exact-dup rate inputs — single scan, combinable aggs.",
+)
+
+
+# ---------------------------------------------------------------------------
+# The COMPOSED training-data prep pipeline — the full run a corpus goes
+# through before tokenization, as ONE oracle-checked query:
+#   exact dedup → near-dup dedup (MinHash+LSH → connected components,
+#   keep min-id per cluster) → quality gate → language gate →
+#   deterministic train split → greedy 512-token sequence packing.
+# Every stage is a proven piece (each has its own registered query);
+# this registers the composition so stage INTERACTIONS are value-checked
+# end to end, not just the parts.
+# ---------------------------------------------------------------------------
+
+def _prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import cluster_assignment
+    from .operators.packing import pack_sequences
+    from .operators.serve import hash_split
+    from .operators.text import (BPE_ISH_PATTERN, lang_pred_expr,
+                                 quality_expr)
+    docs = _t(spark, sf, "documents")
+    surv = exact_dedup_survivors(docs)
+    pairs = minhash_dedup_pairs(surv, threshold=0.2)
+    keepers = (cluster_assignment(surv, pairs)
+               .filter(F.col("doc_id") == F.col("cluster_id"))
+               .select("doc_id"))
+    clean = surv.join(keepers, "doc_id")
+    gated = (clean.select(
+                "doc_id", "lang",
+                quality_expr(F.col("text")).alias("quality"),
+                lang_pred_expr(F.col("text")).alias("lang_pred"),
+                F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+                 .cast("long").alias("n_tokens"))
+             .filter((F.col("quality") >= 0.5)
+                     & (F.col("lang_pred") != "und")))
+    train = (hash_split(gated).filter(F.col("split") == "train")
+             .select("lang", "doc_id", "n_tokens"))
+    return pack_sequences(train, budget=512).orderBy("lang", "doc_id")
+
+
+_PREP_QUALITY_SQL = f"""CAST(round_even(CAST(0.4 * least(len(tk) / 50.0, 1.0)
+    + 0.4 * (len(list_distinct(tk)) / len(tk))
+    + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))
+    AS DECIMAL(20,17)), 4) AS DOUBLE)"""
+
+register(
+    "prep_pipeline",
+    _prep_pipeline,
+    f"""
+WITH RECURSIVE surv AS MATERIALIZED (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text, ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id ASC) AS rn
+    FROM documents) x WHERE rn = 1),
+{_neardup_assigned_from('surv')},
+keepers AS (SELECT doc_id FROM assigned WHERE cluster_id = doc_id),
+clean AS (SELECT s.* FROM surv s JOIN keepers k ON k.doc_id = s.doc_id),
+ct AS (SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tk FROM clean),
+hits AS (SELECT doc_id, {_HIT_SQL} FROM ct),
+gated AS (
+  SELECT ct.doc_id, ct.lang,
+         len(regexp_extract_all(ct.text,
+             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+           AS n_tokens
+  FROM ct JOIN hits ON hits.doc_id = ct.doc_id
+  WHERE {_PREP_QUALITY_SQL} >= 0.5 AND ({_PRED_SQL}) != 'und'),
+train AS (
+  SELECT lang, doc_id, n_tokens FROM gated
+  WHERE ({_duck_md5_hash("CAST(doc_id AS VARCHAR)")} % 10000) < 9000),
+ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+          AS rn FROM train),
+packed(lang, doc_id, n_tokens, rn, seq_id, seq_fill) AS (
+  SELECT lang, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
+              THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
+  FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
+SELECT lang, doc_id, n_tokens, seq_id, seq_fill
+FROM packed ORDER BY lang, doc_id
+""",
+    doc="The composed prep run: exact dedup → near-dup cluster dedup → "
+        "quality/language gates → deterministic train split → greedy "
+        "sequence packing, value-checked end to end (two recursive CTEs "
+        "in one oracle: transitive closure + packing recursion).",
 )
