@@ -1611,3 +1611,52 @@ FROM packed ORDER BY lang, doc_id
         "sequence packing, value-checked end to end (two recursive CTEs "
         "in one oracle: transitive closure + packing recursion).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage screen: after the deterministic split, does any
+# TRAIN document share shingles with the TEST split? The check that
+# catches near-duplicate pairs straddling a split boundary (exact dups
+# land in the same split by construction — same text can still differ in
+# id — but near-dups and quotations do not).
+# ---------------------------------------------------------------------------
+
+def _split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import contamination_screen
+    from .operators.serve import hash_split
+    docs = _t(spark, sf, "documents")
+    split = hash_split(docs)
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    test = split.filter(F.col("split") == "test").select("text")
+    return contamination_screen(train, test)
+
+
+register(
+    "split_leakage_screen",
+    _split_leakage,
+    f"""
+WITH split AS (
+  SELECT doc_id, text,
+         {_duck_md5_hash("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+  FROM documents),
+train AS (SELECT doc_id, text FROM split WHERE bucket < 9000),
+test AS (SELECT text FROM split WHERE bucket >= 9500),
+ttoks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM train),
+tshs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM ttoks),
+ths AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM tshs),
+btoks AS (SELECT {_DUCK_TOKENS} AS tk FROM test),
+bshs AS (SELECT unnest({_DUCK_SHINGLES}) AS s FROM btoks),
+bench AS (SELECT DISTINCT {_duck_md5_hash('s')} AS h FROM bshs),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ths GROUP BY 1),
+ov AS (SELECT ths.doc_id, COUNT(*) AS c
+       FROM ths JOIN bench ON ths.h = bench.h GROUP BY 1)
+SELECT s.doc_id, s.n_shingles,
+       COALESCE(ov.c, 0) AS n_overlap,
+       COALESCE(ov.c, 0) / s.n_shingles AS contamination
+FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+ORDER BY s.doc_id
+""",
+    doc="Train-vs-test shingle-overlap screen over the deterministic "
+        "split — catches near-dup pairs straddling the split boundary; "
+        "test-side shingle set broadcasts, train side scans once.",
+)
