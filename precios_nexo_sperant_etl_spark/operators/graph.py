@@ -55,7 +55,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     labels = (edges.groupBy(F.col("u").alias("node"))
               .agg(F.least(F.first("u"), F.min("v")).alias("lbl"))
               .persist())
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    # Convergence checksum in DECIMAL(38,0): labels only ever decrease,
+    # so equal sums ⇔ fixpoint — and a long sum of 64-bit ids over a
+    # trillion-node graph would overflow (ANSI mode errors); decimal
+    # gives 38 digits of headroom at the same one-row cost.
+    _chk = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_chk).first()[0]
 
     converged = False
     for _ in range(max_iter):
@@ -69,7 +74,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                                       F.coalesce(F.col("n.nbr_lbl"),
                                                  F.col("l.lbl"))).alias("lbl"))
                       .persist())
-        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        cur_sum = new_labels.agg(_chk).first()[0]
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
