@@ -259,14 +259,35 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exhaustive n-gram Jaccard over pairs sharing ≥1 shingle (the
     non-LSH baseline; the shared-shingle join bounds the pair explosion —
     though with a small vocabulary hot shingles still fan out
-    quadratically, which is exactly why the LSH variant exists)."""
+    quadratically, which is exactly why the LSH variant exists).
+
+    ``max_shingle_df`` is the scale guard: shingles appearing in more
+    than that many documents (boilerplate phrases — each contributes
+    df² candidate pairs but near-zero discriminative signal) are dropped
+    from CANDIDATE GENERATION only. Verification still scores full
+    shingle sets, so the Jaccard value of every surviving pair is exact;
+    the approximation is recall-side only. SIZE THE CAP ABOVE the
+    expected near-dup cluster size: a cluster of more than ``cap``
+    near-identical documents makes every one of its shared shingles hot,
+    and its pairs vanish entirely (pinned in tests) — run exact dedup
+    first so identical clusters can't inflate df. With the cap,
+    candidate cost is bounded by Σ min(df, cap)² instead of Σ df².
+    """
     hashed = shingle_hashes(df, text_col, id_col, k).persist()
-    a = hashed.select(F.col(id_col).alias("doc_a"), "h")
-    b = hashed.select(F.col(id_col).alias("doc_b"), "h")
+    cand_src = hashed
+    if max_shingle_df is not None:
+        rare = (hashed.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_shingle_df)
+                .select("h"))
+        cand_src = hashed.join(rare, "h")
+    a = cand_src.select(F.col(id_col).alias("doc_a"), "h")
+    b = cand_src.select(F.col(id_col).alias("doc_b"), "h")
     pairs = (a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
               .select("doc_a", "doc_b").distinct())
     return (jaccard_pairs(hashed, pairs, id_col)

@@ -542,6 +542,38 @@ ORDER BY doc_a, doc_b
     doc="Exhaustive n-gram Jaccard baseline over shared-shingle pairs.",
 )
 
+register(
+    "ngram_jaccard_pairs_capped",
+    lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"),
+                                          threshold=0.2, max_shingle_df=5),
+    f"""
+WITH {_DUCK_HS},
+rare AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) <= 5),
+cs AS (SELECT hs.doc_id, hs.h FROM hs JOIN rare ON rare.h = hs.h),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cs a JOIN cs b ON a.h = b.h WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+    doc="n-gram Jaccard with the hot-shingle doc-frequency cap: "
+        "boilerplate shingles (df > 5 — each contributes df² candidates "
+        "and no signal) are dropped from candidate generation only; "
+        "verification scores full shingle sets so surviving Jaccard "
+        "values are exact. Bounds the baseline's quadratic fan-out.",
+)
+
 # ---------------------------------------------------------------------------
 # SimHash + near-pairs
 # ---------------------------------------------------------------------------

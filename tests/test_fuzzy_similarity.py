@@ -481,3 +481,23 @@ def test_label_centroids_exact_partition_independent(spark):
     for label, dim, centroid, n in a:
         assert n == 20
         assert abs(approx[(label, dim)] - centroid) < 1e-9
+
+
+def test_ngram_hot_shingle_cap_sizing(spark):
+    """The doc-frequency cap's contract: a right-sized cap (above the
+    corpus's near-dup cluster size) loses nothing; an undersized cap
+    degrades to a strict SUBSET — a cluster of >cap near-identical docs
+    makes every shared shingle hot, so its pairs vanish. That's why the
+    docstring says size the cap above expected cluster size (and run
+    exact dedup first)."""
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
+        ngram_jaccard_pairs)
+    from precios_nexo_sperant_etl_spark.sources.tables import load_tables
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    full = set(map(tuple, ngram_jaccard_pairs(docs).collect()))
+    right = set(map(tuple,
+                    ngram_jaccard_pairs(docs, max_shingle_df=10).collect()))
+    under = set(map(tuple,
+                    ngram_jaccard_pairs(docs, max_shingle_df=3).collect()))
+    assert right == full            # right-sized: lossless
+    assert under < full             # undersized: strict subset, never junk
