@@ -1692,3 +1692,105 @@ ORDER BY s.doc_id
         "split — catches near-dup pairs straddling the split boundary; "
         "test-side shingle set broadcasts, train side scans once.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Packed-sequence manifest: the roster a trainer consumes — one row per
+# (group, sequence) with the ordered member list. One combinable agg
+# over the packing output.
+# ---------------------------------------------------------------------------
+
+def _seq_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+    from .operators.text import BPE_ISH_PATTERN
+    docs = _t(spark, sf, "documents").select(
+        "lang", "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_tokens"))
+    packed = pack_sequences(docs, budget=512)
+    return (packed.groupBy("lang", "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("doc_id"))),
+                         lambda x: x["doc_id"].cast("string")),
+                     ",").alias("doc_ids"))
+            .orderBy("lang", "seq_id"))
+
+
+register(
+    "seq_manifest",
+    _seq_manifest,
+    """
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))
+           AS n_tokens
+  FROM documents),
+ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+          AS rn FROM toks),
+packed(lang, doc_id, n_tokens, rn, seq_id, seq_fill) AS (
+  SELECT lang, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
+              THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
+  FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
+SELECT lang, seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id
+""",
+    doc="Per-sequence roster (member docs in order, token totals) over "
+        "the greedy packing — the manifest a trainer consumes.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source rollup (C4-style domain stats): volume, token budget, and
+# mean quality per source. Quality is bround'ed to 4dp, so the decimal
+# cast recovers the intended value exactly and the sum is
+# order-independent (functions/exact.py policy).
+# ---------------------------------------------------------------------------
+
+def _source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import BPE_ISH_PATTERN, quality_expr
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        quality_expr(F.col("text")).alias("q"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_tokens"))
+    return (base.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 (F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("mean_quality"))
+            .orderBy("source"))
+
+
+register(
+    "source_stats",
+    _source_stats,
+    f"""
+WITH t AS (SELECT source, {_DUCK_TOKENS} AS tk, text FROM documents),
+q AS (SELECT source,
+  {_PREP_QUALITY_SQL} AS q,
+  CAST(len(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+    AS BIGINT) AS n_tokens
+  FROM t)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS mean_quality
+FROM q GROUP BY source ORDER BY source
+""",
+    doc="Per-source volume/token/quality rollup (domain stats); exact "
+        "decimal quality sum keeps the mean order-independent.",
+)
