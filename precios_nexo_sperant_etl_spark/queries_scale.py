@@ -1794,3 +1794,75 @@ FROM q GROUP BY source ORDER BY source
     doc="Per-source volume/token/quality rollup (domain stats); exact "
         "decimal quality sum keeps the mean order-independent.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral feature vector (feature-store extraction): one row
+# per user with typed activity counts and value stats — single shuffle
+# on user_id, FILTER-style conditional aggs, exact decimal sums.
+# ---------------------------------------------------------------------------
+
+def _user_features(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
+    return (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 cnt("view").alias("n_view"),
+                 cnt("click").alias("n_click"),
+                 cnt("purchase").alias("n_purchase"),
+                 F.sum(F.when(F.col("event_type") == "purchase",
+                              F.col("value")).cast("decimal(18,2)"))
+                  .cast("double").alias("purchase_value"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"))
+            .orderBy("user_id"))
+
+
+register(
+    "user_feature_vectors",
+    _user_features,
+    """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    doc="Per-user behavioral feature vector: typed counts + exact-"
+        "decimal value sums + activity span, one shuffle on user_id.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: predicted vs labeled language over the
+# corpus — the heuristic's evaluation artifact (precision per cell falls
+# out of the counts).
+# ---------------------------------------------------------------------------
+
+def _langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import lang_pred_expr
+    docs = _t(spark, sf, "documents")
+    return (docs.select("lang",
+                        lang_pred_expr(F.col("text")).alias("lang_pred"))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang", "lang_pred"))
+
+
+register(
+    "langid_confusion",
+    _langid_confusion,
+    f"""
+WITH t AS (SELECT lang, {_DUCK_TOKENS} AS tk FROM documents),
+h AS (SELECT lang, {_HIT_SQL} FROM t)
+SELECT lang, {_PRED_SQL} AS lang_pred, COUNT(*) AS n
+FROM h GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+""",
+    doc="Language-ID confusion matrix (labeled vs predicted) — the "
+        "evaluation artifact for the stopword-profile heuristic.",
+)
