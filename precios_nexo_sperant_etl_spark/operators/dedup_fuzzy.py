@@ -433,3 +433,42 @@ def simhash_near_pairs_allpairs(df: DataFrame, text_col: str = "text",
     return (pairs.select("doc_a", "doc_b", dist.alias("hamming"))
                  .filter(F.col("hamming") <= max_hamming)
                  .orderBy("doc_a", "doc_b"))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      threshold: float = 0.8,
+                      n_perms: int = 8,
+                      n_bands: int = N_BANDS) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥
+    ``threshold`` — the measure that catches doc-inside-doc duplication
+    (quotes, nested boilerplate, article + commentary wrappers) that
+    symmetric Jaccard misses: a short doc fully contained in a long one
+    has containment 1.0 but Jaccard ≈ |short|/|long|.
+
+    Candidates come from the SAME MinHash band buckets as the Jaccard
+    path (a contained doc shares all its shingles, so band collisions
+    remain likely); verification computes both directional containments
+    exactly. Plan shape is identical to :func:`minhash_dedup_pairs` —
+    one extra projection, no new shuffles.
+    """
+    hashed = shingle_hashes(df, text_col, id_col, k).persist()
+    sigs = minhash_signatures(df, text_col, id_col, k,
+                              hashed=hashed, n_perms=n_perms)
+    cand = minhash_band_pairs(sigs, id_col, n_bands)
+    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ha = hashed.select(F.col(id_col).alias("doc_a"), "h")
+    hb = hashed.select(F.col(id_col).alias("doc_b"), "h")
+    common = (cand.join(ha, "doc_a").join(hb, ["doc_b", "h"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("common") / F.least("n_a", "n_b"))
+                     .alias("containment"),
+                    (F.col("common") / F.col("n_a")).alias("containment_a"),
+                    (F.col("common") / F.col("n_b")).alias("containment_b"))
+            .filter(F.col("containment") >= threshold)
+            .orderBy("doc_a", "doc_b"))

@@ -104,13 +104,23 @@ def quality_expr(text: Column) -> Column:
     """Column form of the composite quality score — usable inside a wider
     projection (e.g. the curation pipeline computes quality, language, and
     token budget in ONE pass over the text instead of three joined
-    sub-frames)."""
+    sub-frames).
+
+    Deliberately UNROUNDED: the raw expression is pure IEEE-754
+    arithmetic over integer-derived operands in a fixed order, so any
+    engine reproduces it bit-for-bit. A cosmetic ``bround(…, 4)`` here
+    once broke cross-engine parity on round-half boundaries — Spark
+    rounds the double's shortest decimal repr half-even, while DuckDB's
+    ``round_even`` ties break on the binary expansion (0.58125 →
+    0.5812 vs 0.5813). Rounding is a presentation concern; keep it out
+    of the semantic value.
+    """
     toks = tokens(text)
     n_tok = F.size(toks)
     diversity = F.size(F.array_distinct(toks)) / n_tok
     stop_ratio = word_set_hits(text, STOPWORDS) / n_tok
     length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    return F.bround(0.4 * length_score + 0.4 * diversity + 0.2 * stop_ratio, 4)
+    return 0.4 * length_score + 0.4 * diversity + 0.2 * stop_ratio
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

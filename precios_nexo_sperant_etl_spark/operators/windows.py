@@ -79,8 +79,10 @@ def funnel_counts(events: DataFrame, stages: tuple[str, ...] =
             for i, stage in enumerate(stages)]
     out = per_user.agg(*aggs)
     base = F.col(f"n_{stages[0]}")
+    # pct stays UNROUNDED: long/long division is bit-identical in any
+    # IEEE-754 engine, while bround on the dirty quotient can disagree
+    # with an oracle's tie-breaking (see text.quality_expr).
     for i, stage in enumerate(stages[1:], start=1):
         out = out.withColumn(
-            f"pct_{stage}",
-            F.bround(F.col(f"n_{stage}") / base, 4))
+            f"pct_{stage}", F.col(f"n_{stage}") / base)
     return out

@@ -671,10 +671,9 @@ register(
     f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
 SELECT doc_id,
-  CAST(round_even(CAST(0.4 * least(len(tk) / 50.0, 1.0)
+  (0.4 * least(len(tk) / 50.0, 1.0)
              + 0.4 * (len(list_distinct(tk)) / len(tk))
-             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))
-             AS DECIMAL(20,17)), 4) AS DOUBLE) AS quality
+             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))) AS quality
 FROM t
 """,
     doc="Composite quality score: length, diversity, stopword rate.",
@@ -1195,10 +1194,9 @@ WITH surv AS (
     FROM documents) x WHERE rn = 1),
 t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM surv),
 q AS (SELECT doc_id,
-  CAST(round_even(CAST(0.4 * least(len(tk) / 50.0, 1.0)
+  (0.4 * least(len(tk) / 50.0, 1.0)
              + 0.4 * (len(list_distinct(tk)) / len(tk))
-             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))
-             AS DECIMAL(20,17)), 4) AS DOUBLE) AS quality
+             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))) AS quality
   FROM t),
 h AS (SELECT doc_id, {_HIT_SQL} FROM t),
 l AS (SELECT doc_id, {_PRED_SQL} AS lang_pred FROM h),
@@ -1245,10 +1243,8 @@ s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
 SELECT COUNT(s0.t0) AS n_view,
        COUNT(s1.t1) AS n_click,
        COUNT(s2.t2) AS n_purchase,
-       CAST(round_even(CAST(COUNT(s1.t1) AS DECIMAL(20,17))
-                       / COUNT(s0.t0), 4) AS DOUBLE) AS pct_click,
-       CAST(round_even(CAST(COUNT(s2.t2) AS DECIMAL(20,17))
-                       / COUNT(s0.t0), 4) AS DOUBLE) AS pct_purchase
+       COUNT(s1.t1) / COUNT(s0.t0) AS pct_click,
+       COUNT(s2.t2) / COUNT(s0.t0) AS pct_purchase
 FROM s0
 LEFT JOIN s1 ON s0.user_id = s1.user_id
 LEFT JOIN s2 ON s0.user_id = s2.user_id
@@ -1486,10 +1482,9 @@ register(
     f"""
 WITH t AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents),
 q AS (SELECT doc_id, lang,
-  CAST(round_even(CAST(0.4 * least(len(tk) / 50.0, 1.0)
+  (0.4 * least(len(tk) / 50.0, 1.0)
              + 0.4 * (len(list_distinct(tk)) / len(tk))
-             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))
-             AS DECIMAL(20,17)), 4) AS DOUBLE) AS quality
+             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))) AS quality
   FROM t),
 thr AS (SELECT lang, quantile_cont(quality, 0.25) AS lang_q25
         FROM q GROUP BY lang)
@@ -1593,10 +1588,9 @@ def _prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(train, budget=512).orderBy("lang", "doc_id")
 
 
-_PREP_QUALITY_SQL = f"""CAST(round_even(CAST(0.4 * least(len(tk) / 50.0, 1.0)
+_PREP_QUALITY_SQL = f"""(0.4 * least(len(tk) / 50.0, 1.0)
     + 0.4 * (len(list_distinct(tk)) / len(tk))
-    + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))
-    AS DECIMAL(20,17)), 4) AS DOUBLE)"""
+    + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk)))"""
 
 register(
     "prep_pipeline",
@@ -1865,4 +1859,48 @@ FROM h GROUP BY lang, lang_pred ORDER BY lang, lang_pred
 """,
     doc="Language-ID confusion matrix (labeled vs predicted) — the "
         "evaluation artifact for the stopword-profile heuristic.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup pairs: asymmetric |A∩B| / min(|A|,|B|) — catches
+# doc-inside-doc duplication (quotes, wrappers) that symmetric Jaccard
+# dilutes. Same MinHash bucket candidates, one extra projection.
+# ---------------------------------------------------------------------------
+
+def _containment(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import containment_pairs
+    return containment_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+register(
+    "containment_pairs",
+    _containment,
+    f"""
+WITH {_DUCK_HS},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM cand p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       c.c / least(sa.n, sb.n) AS containment,
+       c.c / sa.n AS containment_a,
+       c.c / sb.n AS containment_b
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.c / least(sa.n, sb.n) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    doc="Asymmetric containment pairs over MinHash bucket candidates — "
+        "doc-inside-doc duplication that Jaccard dilutes.",
 )
