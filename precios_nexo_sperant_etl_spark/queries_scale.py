@@ -1904,3 +1904,40 @@ ORDER BY doc_a, doc_b
     doc="Asymmetric containment pairs over MinHash bucket candidates — "
         "doc-inside-doc duplication that Jaccard dilutes.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup rate: which sources contribute the duplicate mass —
+# the datasheet row that decides where to tighten crawling. One scan,
+# two combinable aggs (distinct hashes counted per source).
+# ---------------------------------------------------------------------------
+
+def _source_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import canonical_text
+    docs = _t(spark, sf, "documents")
+    base = docs.select("source",
+                       F.md5(canonical_text(F.col("text"))).alias("h"))
+    return (base.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("h").alias("n_unique"),
+                 ((F.count(F.lit(1)) - F.countDistinct("h"))
+                  / F.count(F.lit(1))).alias("dup_rate"))
+            .orderBy("source"))
+
+
+register(
+    "source_dup_rate",
+    _source_dup_rate,
+    """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         AS n_unique,
+       (COUNT(*) - COUNT(DISTINCT
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))))
+         / COUNT(*) AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+""",
+    doc="Per-source duplicate mass (exact-hash dup rate) — the "
+        "datasheet row that targets crawl cleanup.",
+)
