@@ -19,8 +19,10 @@ Scale shape: rounds needed = graph diameter. Near-dup clusters are
 dense and shallow (copies of one document all pair with each other), so
 2-3 rounds close them; the ``max_iter`` guard bounds pathological
 chains. Each round shuffles only (node, lbl) longs — never text — and
-persists its frame while unpersisting the previous one, so lineage and
-storage stay O(1) in rounds. For adversarial long-chain graphs the
+``localCheckpoint``s its frame, so both LINEAGE (plan size, stage
+count) and storage stay O(1) in rounds instead of growing with each
+iteration; superseded rounds' blocks are reclaimed by the
+ContextCleaner as their references are dropped. For adversarial long-chain graphs the
 large-star/small-star variant (Kiveris et al., "Connected Components in
 MapReduce and Beyond") halves diameter per round; hash-min is the right
 default for dedup workloads and keeps every step an oracle-expressible
@@ -44,9 +46,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     """
     edges = pairs.select(F.col(src).cast("long").alias("u"),
                          F.col(dst).cast("long").alias("v"))
-    # Undirected: propagate both ways.
+    # Undirected: propagate both ways. localCheckpoint (not persist):
+    # beyond caching, it TRUNCATES lineage, so each round's join plan
+    # references a flat scan of (u, v) longs instead of replaying the
+    # upstream candidate generator (e.g. the full MinHash banding plan) —
+    # without this, plan size and stage count grow with every round
+    # (observed: 22 stacked broadcast joins in prep_pipeline's audit).
     edges = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
 
     # Fused init + first propagation round: every node's label starts as
     # min(self, direct neighbors) — one combinable agg instead of a
@@ -54,7 +62,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # converged here; the loop then just confirms the fixpoint.
     labels = (edges.groupBy(F.col("u").alias("node"))
               .agg(F.least(F.first("u"), F.min("v")).alias("lbl"))
-              .persist())
+              .localCheckpoint(eager=False))
     # Convergence checksum in DECIMAL(38,0): labels only ever decrease,
     # so equal sums ⇔ fixpoint — and a long sum of 64-bit ids over a
     # trillion-node graph would overflow (ANSI mode errors); decimal
@@ -67,30 +75,35 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         nbr_min = (edges.join(labels, edges.v == labels.node)
                    .groupBy(F.col("u").alias("node"))
                    .agg(F.min("lbl").alias("nbr_lbl")))
+        # Lazy checkpoint: the checksum action right below materializes
+        # it, so each round stays ONE job while the new label frame's
+        # lineage is cut to a flat (node, lbl) scan. Prior rounds'
+        # checkpoint blocks are reclaimed by the ContextCleaner as the
+        # dropped Python/JVM references are garbage-collected — no
+        # caller-side unpersist contract (bounded by max_iter regardless).
         new_labels = (labels.alias("l")
                       .join(nbr_min.alias("n"), "node", "left")
                       .select("node",
                               F.least(F.col("l.lbl"),
                                       F.coalesce(F.col("n.nbr_lbl"),
                                                  F.col("l.lbl"))).alias("lbl"))
-                      .persist())
+                      .localCheckpoint(eager=False))
         cur_sum = new_labels.agg(_chk).first()[0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
 
-    edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components: no convergence in {max_iter} rounds "
             "(graph diameter exceeds the guard; raise max_iter)")
-    # Returned frame stays PERSISTED (same contract as minhash_dedup_pairs):
-    # unpersisting here would make every downstream consumer replay the
-    # whole iterative lineage. Callers/harnesses own the unpersist.
+    # The returned frame is locally checkpointed: downstream consumers
+    # read the materialized (node, lbl) blocks instead of replaying the
+    # iterative lineage, and — unlike the old persist() contract — there
+    # is nothing for the caller to unpersist; storage is reclaimed once
+    # the frame is unreferenced.
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
@@ -104,7 +117,8 @@ def cluster_assignment(docs: DataFrame, pairs: DataFrame,
     |nodes-in-pairs| rows — tiny relative to the corpus, so Catalyst/AQE
     broadcasts it), then ONE shuffle on cluster_id for the size — a
     window count, not a groupBy + self-join, so the corpus is scanned
-    once.
+    once. The component table arrives locally checkpointed, so repeated
+    invocations leave no caller-owned cache entries behind.
     """
     from pyspark.sql import Window
     comp = connected_components(pairs, src=src, dst=dst)

@@ -24,6 +24,7 @@ from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
                              repetition_stats, text_stats, token_counts,
                              top_terms)
 from .operators.windows import sessionize, sliding_agg, tumbling_agg
+from .oracle_util import duck_bround
 from .registry import register
 from .sources.tables import load_tables
 
@@ -1468,8 +1469,29 @@ def _quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     q = docs.select("doc_id", "lang",
                     quality_expr(F.col("text")).alias("quality"))
-    thr = q.groupBy("lang").agg(
-        F.expr("percentile(quality, 0.25)").alias("lang_q25"))
+    # Explicit order-statistic p25, NOT the builtin percentile():
+    # Spark interpolates (1-f)*lo + f*hi while DuckDB's quantile_cont
+    # does lo + f*(hi-lo) — up to 1 ulp apart on dirty doubles, and
+    # lang_q25 is both an output column and the gate boundary. Writing
+    # ONE lerp formula on both engines over the same sorted list makes
+    # the threshold bit-identical by construction. (Memory shape is the
+    # same as percentile(): one buffered value list per lang — fine for
+    # a handful of languages; a 100 TB corpus with huge groups would
+    # switch to approx_percentile and give up the exact oracle.)
+    thr = (q.groupBy("lang")
+           .agg(F.sort_array(F.collect_list("quality")).alias("arr"))
+           .select(
+               "lang",
+               F.expr("""
+                 element_at(arr, CAST(floor(0.25 * (size(arr) - 1)) AS INT) + 1)
+                 + (0.25 * (size(arr) - 1)
+                    - floor(0.25 * (size(arr) - 1)))
+                   * (element_at(arr, least(
+                          CAST(floor(0.25 * (size(arr) - 1)) AS INT) + 2,
+                          size(arr)))
+                      - element_at(arr,
+                          CAST(floor(0.25 * (size(arr) - 1)) AS INT) + 1))
+               """).alias("lang_q25")))
     return (q.join(F.broadcast(thr), "lang")
             .filter(F.col("quality") >= F.col("lang_q25"))
             .select("doc_id", "lang", "quality", "lang_q25")
@@ -1486,8 +1508,14 @@ q AS (SELECT doc_id, lang,
              + 0.4 * (len(list_distinct(tk)) / len(tk))
              + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))) AS quality
   FROM t),
-thr AS (SELECT lang, quantile_cont(quality, 0.25) AS lang_q25
-        FROM q GROUP BY lang)
+thr0 AS (SELECT lang, list_sort(list(quality)) AS arr
+         FROM q GROUP BY lang),
+thr AS (SELECT lang,
+  arr[CAST(floor(0.25 * (len(arr) - 1)) AS INT) + 1]
+  + (0.25 * (len(arr) - 1) - floor(0.25 * (len(arr) - 1)))
+    * (arr[least(CAST(floor(0.25 * (len(arr) - 1)) AS INT) + 2, len(arr))]
+       - arr[CAST(floor(0.25 * (len(arr) - 1)) AS INT) + 1]) AS lang_q25
+  FROM thr0)
 SELECT q.doc_id, q.lang, q.quality, thr.lang_q25
 FROM q JOIN thr ON thr.lang = q.lang
 WHERE q.quality >= thr.lang_q25
@@ -1747,8 +1775,12 @@ FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id
 
 # ---------------------------------------------------------------------------
 # Per-source rollup (C4-style domain stats): volume, token budget, and
-# mean quality per source. Quality is bround'ed to 4dp, so the decimal
-# cast recovers the intended value exactly and the sum is
+# mean quality per source. quality_expr is a dirty double (deliberately
+# unrounded — see its docstring), and double→DECIMAL casts tie-break
+# differently across engines, so an explicit bround(q, 4) lands the
+# value ON a 4dp decimal first (via oracle_util.duck_bround on the
+# DuckDB side, which matches Spark's BigDecimal half-even exactly);
+# the DECIMAL(18,6) cast is then exact on both engines and the sum is
 # order-independent (functions/exact.py policy).
 # ---------------------------------------------------------------------------
 
@@ -1757,7 +1789,7 @@ def _source_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     base = docs.select(
         "source",
-        quality_expr(F.col("text")).alias("q"),
+        F.bround(quality_expr(F.col("text")), 4).alias("q"),
         F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
          .cast("long").alias("n_tokens"))
     return (base.groupBy("source")
@@ -1774,7 +1806,7 @@ register(
     f"""
 WITH t AS (SELECT source, {_DUCK_TOKENS} AS tk, text FROM documents),
 q AS (SELECT source,
-  {_PREP_QUALITY_SQL} AS q,
+  {duck_bround(_PREP_QUALITY_SQL, 4)} AS q,
   CAST(len(regexp_extract_all(text,
       '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
     AS BIGINT) AS n_tokens
