@@ -275,9 +275,18 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                   .orderBy("query_id", "rank"))
 
 
+#: Cap on rows per group for ``label_centroids(exact=True)`` — each
+#: (group, dim) sorted value list materializes in ONE task, so beyond
+#: this the exact path risks a silent executor OOM instead of a wrong
+#: answer. ~4M (id, double) structs ≈ 100 MB per task buffer.
+EXACT_CENTROID_MAX_GROUP_ROWS = 4_000_000
+
+
 def label_centroids(emb: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", group_col: str = "label",
-                    exact: bool = True) -> DataFrame:
+                    exact: bool = True,
+                    exact_max_group_rows: int = EXACT_CENTROID_MAX_GROUP_ROWS,
+                    ) -> DataFrame:
     """Per-group embedding centroids as flat (group, dim, centroid, n)
     rows — the building block of class prototypes, cluster summaries,
     and diversity sampling.
@@ -288,9 +297,13 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding",
     sequential fold is partition-independent and reproduced bit-for-bit
     by DuckDB's ``list_reduce`` over ``list(v ORDER BY id)`` (same
     policy as ``functions.exact.ddot``). Cost: the per-(group, dim)
-    value list materializes in one task — fine up to millions of rows
-    per group. ``exact=False`` is the unbounded-scale throughput form:
-    a plain combinable AVG, deterministic to ~1 ulp only.
+    value list materializes in one task — so the exact path is GUARDED:
+    a cheap pre-count (combinable, one tiny job) raises ``ValueError``
+    if any group exceeds ``exact_max_group_rows`` rather than letting a
+    100× group silently OOM a task. The fallback is an explicit caller
+    choice, not automatic — ``exact=False`` (a plain combinable AVG,
+    deterministic to ~1 ulp only) changes bit-level semantics, and an
+    oracle-form function must not do that behind the caller's back.
     """
     ex = emb.select(F.col(group_col), F.col(id_col),
                     F.posexplode(F.col(vec_col)).alias("dim", "v"))
@@ -298,6 +311,20 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding",
         return (ex.groupBy(group_col, "dim")
                 .agg(F.avg(F.col("v").cast("double")).alias("centroid"),
                      F.count(F.lit(1)).alias("n_vectors")))
+    oversized = (emb.groupBy(group_col)
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") > exact_max_group_rows)
+                 .orderBy(F.desc("n"))
+                 .limit(3).collect())
+    if oversized:
+        worst = ", ".join(f"{r[group_col]}={r['n']}" for r in oversized)
+        raise ValueError(
+            f"label_centroids(exact=True): group(s) exceed "
+            f"exact_max_group_rows={exact_max_group_rows} ({worst}); the "
+            "exact fold materializes each (group, dim) value list in one "
+            "task and would risk an executor OOM. Use exact=False (scale "
+            "form, ~1 ulp nondeterminism) or raise exact_max_group_rows "
+            "deliberately.")
     agg = (ex.groupBy(group_col, "dim")
            .agg(F.array_sort(F.collect_list(
                 F.struct(F.col(id_col).alias("i"),

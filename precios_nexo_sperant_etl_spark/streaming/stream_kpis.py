@@ -159,26 +159,62 @@ def streaming_parquet_upsert(stream_df: DataFrame, out_dir: str,
                              key_cols: list[str] | None = None,
                              part_col: str = "event_type",
                              timeout_s: int = 180) -> None:
-    """``foreachBatch`` incremental load into a partitioned parquet lake
+    """``foreachBatch`` incremental MERGE into a partitioned parquet lake
     table — the production file-drop → lake ingestion pattern.
 
     Each micro-batch is deduplicated against ITSELF on ``key_cols``
-    (at-least-once sources re-deliver inside a batch too), then written
-    with dynamic partition overwrite: only the partitions present in the
-    batch are replaced, so a replayed batch converges to the same files
-    instead of appending duplicates — idempotent, which is what makes
-    foreachBatch's at-least-once delivery effectively exactly-once at
-    the table level. Scale: one write job per micro-batch, parallel per
-    partition; no driver-side data movement.
+    (at-least-once sources re-deliver inside a batch too), then MERGED by
+    key: existing rows in the batch's partitions that are NOT re-keyed by
+    the batch are retained (left-anti join), the union is materialized
+    (``localCheckpoint`` — you cannot lazily read the very files an
+    overwrite is about to delete), and only the touched partitions are
+    rewritten under dynamic partition overwrite. This is upsert
+    semantics across ANY batching: batch N never wipes batch N-1's rows
+    that share a low-cardinality partition value (a plain dynamic
+    overwrite per batch would — each batch replaces whole partitions),
+    and a REPLAYED batch re-keys its own rows, so at-least-once delivery
+    still converges — effectively exactly-once at the table level.
+
+    The session's ``partitionOverwriteMode`` is saved and restored around
+    every write; the shared session is left untouched.
+
+    Scale: the merge reads only the batch's partitions (partition-pruned
+    scan) and shuffles only those rows for the anti-join — the same
+    bounded cost a lakehouse MERGE pays; per-batch work scales with the
+    touched partitions, not the table. A real deployment would use a
+    format with transactional MERGE (Delta/Iceberg); plain parquet makes
+    the same plan explicit.
     """
     key_cols = key_cols or ["event_id"]
 
     def _upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        fresh = batch.dropDuplicates(key_cols)
+        parts = [r[0] for r in fresh.select(part_col).distinct().collect()]
+        if not parts:
+            return
+        try:
+            old = (spark.read.schema(fresh.schema).parquet(out_dir)
+                   .filter(F.col(part_col).isin(parts)))
+            merged = old.join(fresh.select(key_cols), key_cols, "left_anti") \
+                        .unionByName(fresh)
+        except Exception as exc:  # first batch: table doesn't exist yet
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            merged = fresh
+        merged = merged.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (batch.dropDuplicates(key_cols)
-              .write.mode("overwrite").partitionBy(part_col)
-              .parquet(out_dir))
+        try:
+            (merged.write.mode("overwrite").partitionBy(part_col)
+                   .parquet(out_dir))
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (stream_df.writeStream.foreachBatch(_upsert)

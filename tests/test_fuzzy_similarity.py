@@ -483,6 +483,28 @@ def test_label_centroids_exact_partition_independent(spark):
         assert abs(approx[(label, dim)] - centroid) < 1e-9
 
 
+def test_label_centroids_exact_guard_rejects_oversized_group(spark):
+    """exact=True pre-counts group sizes and refuses to materialize a
+    value list beyond the cap (silent task OOM at scale); exact=False
+    and a deliberately raised cap both still work on the same data."""
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        label_centroids)
+    rows = [(i, [float(i), 1.0], "big" if i < 8 else "small")
+            for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    with pytest.raises(ValueError, match="exact_max_group_rows=5.*big=8"):
+        label_centroids(emb, exact_max_group_rows=5)
+    # Loud, not lossy: the same call succeeds with the cap raised …
+    out = {(r["label"], r["dim"]): r["n_vectors"]
+           for r in label_centroids(emb, exact_max_group_rows=8).collect()}
+    assert out[("big", 0)] == 8 and out[("small", 1)] == 2
+    # … and the scale form ignores the cap entirely.
+    assert label_centroids(emb, exact=False,
+                           exact_max_group_rows=1).count() == 4
+
+
 def test_ngram_hot_shingle_cap_sizing(spark):
     """The doc-frequency cap's contract: a right-sized cap (above the
     corpus's near-dup cluster size) loses nothing; an undersized cap

@@ -1,6 +1,7 @@
 """Multimodal plumbing and Structured Streaming equivalence tests."""
 
 import hashlib
+import os
 
 import pytest
 
@@ -210,3 +211,45 @@ def test_streaming_parquet_upsert_idempotent(spark, tmp_path):
     # replay: same source again — idempotent, not doubled
     streaming_parquet_upsert(stream_events(spark, SF_DIR), out)
     assert spark.read.parquet(out).count() == expect
+
+
+def test_streaming_parquet_upsert_multi_batch_no_loss(spark, tmp_path):
+    """The merge must survive MULTI-batch streams: two micro-batches that
+    share a partition value (event_type) — a plain per-batch dynamic
+    overwrite would have batch 2 wipe batch 1's rows in the shared
+    partition. Also checks key-upsert semantics (batch 2 re-keys one of
+    batch 1's rows) and that the shared session's overwrite-mode conf is
+    left untouched."""
+    from precios_nexo_sperant_etl_spark.streaming.stream_kpis import (
+        streaming_parquet_upsert)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(conf_key, None)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = tmp_path / "drops"
+    src.mkdir()
+    cols = "event_id long, event_type string, value double"
+    pa_schema = pa.schema([("event_id", pa.int64()),
+                           ("event_type", pa.string()),
+                           ("value", pa.float64())])
+    pq.write_table(pa.table({"event_id": [1, 2],
+                             "event_type": ["view", "click"],
+                             "value": [1.0, 2.0]}, schema=pa_schema),
+                   src / "f1.parquet")
+    pq.write_table(pa.table({"event_id": [2, 3],
+                             "event_type": ["click", "view"],
+                             "value": [99.0, 3.0]}, schema=pa_schema),
+                   src / "f2.parquet")
+    # Pin arrival order: the file source processes oldest-mtime first.
+    os.utime(src / "f1.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "f2.parquet", (1_700_000_100, 1_700_000_100))
+    stream = (spark.readStream.schema(cols)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src)))
+    out = str(tmp_path / "lake")
+    streaming_parquet_upsert(stream, out, key_cols=["event_id"])
+    rows = {r["event_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 3}          # nothing lost across batches
+    assert rows[2]["value"] == 99.0        # later batch won the key
+    assert rows[1]["event_type"] == "view"
+    assert spark.conf.get(conf_key, None) == before
