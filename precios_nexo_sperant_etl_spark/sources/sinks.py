@@ -91,52 +91,47 @@ def write_audit_workbook(resumen: DataFrame, solo_nexo: DataFrame,
     All three inputs are already reduced (≤ |projects| rows), so the
     driver-side ``toPandas`` is bounded regardless of fact-table scale —
     the same argument as the reference's own ``pd.ExcelWriter`` stage.
-    When no Excel engine is importable (this container), falls back to a
-    sibling directory with one CSV per sheet, same names, so the artifact
-    remains machine-checkable. Returns the written paths.
+    Written with the stdlib ``excel.write_xlsx`` (no Excel engine
+    needed), so the artifact is a real single-file workbook in every
+    environment. Returns the written paths.
     """
-    import pandas as pd
+    from .excel import write_xlsx
 
     sheets = {
-        "Resumen": resumen.toPandas(),
-        "Solo_en_df_total": solo_nexo.toPandas(),
-        "Solo_en_sperant": solo_sperant.toPandas(),
+        "Resumen": _sheet_matrix(resumen),
+        "Solo_en_df_total": _sheet_matrix(solo_nexo),
+        "Solo_en_sperant": _sheet_matrix(solo_sperant),
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    try:
-        with pd.ExcelWriter(path) as xw:
-            for name, pdf in sheets.items():
-                pdf.to_excel(xw, sheet_name=name, index=False)
-        return [path]
-    except (ImportError, ModuleNotFoundError):
-        out_dir = path[:-5] if path.endswith(".xlsx") else path + ".sheets"
-        os.makedirs(out_dir, exist_ok=True)
-        written = []
-        for name, pdf in sheets.items():
-            target = os.path.join(out_dir, f"{name}.csv")
-            pdf.to_csv(target, index=False)
-            written.append(target)
-        return written
+    write_xlsx(path, sheets)
+    return [path]
+
+
+def _sheet_matrix(df: DataFrame) -> list[list[object]]:
+    """Header + rows as the raw matrix ``excel.write_xlsx`` takes —
+    NaN/NaT normalized to empty cells like ``to_excel`` would."""
+    import math
+    rows = [list(df.columns)]
+    for r in df.collect():
+        rows.append([None if (isinstance(v, float) and math.isnan(v)) else v
+                     for v in r])
+    return rows
 
 
 def write_excel_per_group(df: DataFrame, out_dir: str,
                           group_col: str = "Proyecto") -> list[str]:
-    """S6/S8 xlsx shim: one workbook per group, driver-side, for outputs
-    already reduced to human scale. No-op (returns []) when no Excel
-    writer is importable — the engine's own formats are above."""
-    try:
-        import pandas as pd  # noqa: F401
-        pdf = df.toPandas()
-    except ImportError:  # pragma: no cover
-        return []
+    """S6/S8 xlsx sink: one workbook per group, driver-side, for outputs
+    already reduced to human scale — written with the stdlib
+    ``excel.write_xlsx`` so it works without any Excel engine."""
+    from .excel import write_xlsx
+    pdf = df.toPandas()
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for name, g in pdf.groupby(group_col, dropna=False):
         target = os.path.join(out_dir, f"{safe_filename(name)}.xlsx")
-        try:
-            g.to_excel(target, index=False)
-        except (ImportError, ModuleNotFoundError):  # no openpyxl/xlsxwriter
-            target = target[:-5] + ".csv"
-            g.to_csv(target, index=False)
+        matrix = [list(g.columns)] + [
+            [None if (isinstance(v, float) and v != v) else v for v in row]
+            for row in g.itertuples(index=False)]
+        write_xlsx(target, {str(name): matrix})
         written.append(target)
     return written

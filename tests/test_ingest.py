@@ -125,3 +125,36 @@ def test_matera_duplicate_header_collapse(spark):
         assert rows["102"][n] == f"{n[:3]}-last"
     assert rows["101"][COL_PRECIO] == 1500.75   # F4 parse survives the storm
     assert rows["102"][COL_PRECIO] == 200.0
+
+
+def test_xlsx_roundtrip_and_e2e_ingest(spark, tmp_path):
+    """S1 is EXECUTABLE, not a guard: a workbook generated by the stdlib
+    writer round-trips through the stdlib zip+XML reader (typed cells,
+    sparse gaps, second sheet, shared-string-free inline text), and the
+    messy sheet flows through read_xlsx_rows → ingest_sheet end to end —
+    the reference's pd.read_excel(...) → normalize path (APN:36)."""
+    from precios_nexo_sperant_etl_spark.sources.excel import (read_xlsx_rows,
+                                                              write_xlsx)
+    path = str(tmp_path / "reporte.xlsx")
+    write_xlsx(path, {"Precios": MESSY_SHEET,
+                      "Tipos": [[1, 2.5, True, "ñandú & <xml>"],
+                                [None, None, None, "gap row below"],
+                                [],
+                                [-3, 1e300, False, ""]]})
+
+    # Typed round-trip on the second sheet (by name and by index).
+    tipos = read_xlsx_rows(path, sheet_name="Tipos")
+    assert tipos == read_xlsx_rows(path, sheet_name=1)
+    assert tipos[0] == [1, 2.5, True, "ñandú & <xml>"]
+    assert tipos[1] == [None, None, None, "gap row below"]
+    assert tipos[2] == [None] * 4                       # empty physical row
+    assert tipos[3][:3] == [-3, 1e300, False]
+
+    # E2E: reader output drives the full ingest normalization.
+    rows = read_xlsx_rows(path)                          # first sheet
+    df = ingest_sheet(spark, rows, project="Matera")
+    got = {r[COL_NUMERO]: r for r in df.collect()}
+    assert set(got) == {"101.0", "102", "A103"}
+    assert got["101.0"][COL_PRECIO] == 1000.50
+    assert got["102"][COL_PRECIO] is None               # junk -> NULL
+    assert got["101.0"]["Área Total"] == "55,5"         # dup-col collapse

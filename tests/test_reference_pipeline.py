@@ -160,11 +160,18 @@ def test_full_reference_journey(spark, tmp_path):
     path = str(tmp_path / "aud" / "Resumen_cambios_por_proyecto.xlsx")
     written = write_audit_workbook(out["resumen"], out["solo_nexo"],
                                    out["solo_sperant"], path)
-    if written == [path]:
-        sheets = pd.read_excel(path, sheet_name=None)
-    else:
-        sheets = {os.path.basename(p)[:-4]: pd.read_csv(p) for p in written}
+    assert written == [path]
+    sheets = {name: _sheet_df(path, name)
+              for name in ("Resumen", "Solo_en_sperant")}
     assert sorted(sheets["Resumen"]["Proyecto"]) == ["Fenix", "Matera"]
-    assert sheets["Resumen"]["Registros"].sum() == 5
+    assert sum(sheets["Resumen"]["Registros"]) == 5
     assert list(sheets["Solo_en_sperant"]["Proyecto_solo_df_sperant"]) \
         == ["Solitario", "matera"]
+
+
+def _sheet_df(path, name):
+    """Columns of one sheet via the stdlib reader (no Excel engine)."""
+    from precios_nexo_sperant_etl_spark.sources.excel import read_xlsx_rows
+    rows = read_xlsx_rows(path, sheet_name=name)
+    header, data = rows[0], rows[1:]
+    return {c: [r[i] for r in data] for i, c in enumerate(header)}

@@ -96,14 +96,11 @@ def test_q6_pushes_filters_and_prunes_columns(spark):
 
 def test_audit_workbook_roundtrip(spark, tmp_path):
     """S7 (APN:482-487): ONE audit workbook with sheets Resumen /
-    Solo_en_df_total / Solo_en_sperant; CSV-directory fallback when no
-    Excel engine is importable (this container). Round-trips the sf-scale
-    fixture pipeline's outputs either way."""
-    import os
-
-    import pandas as pd
-
+    Solo_en_df_total / Solo_en_sperant, written and read back entirely
+    with the stdlib xlsx codec — no Excel engine in this container.
+    Round-trips the sf-scale fixture pipeline's outputs."""
     from precios_nexo_sperant_etl_spark.plans.reference_pipeline import update_prices
+    from precios_nexo_sperant_etl_spark.sources.excel import read_xlsx_rows
     from precios_nexo_sperant_etl_spark.sources.sinks import write_audit_workbook
     from tests.test_reference_pipeline import _fixture
 
@@ -112,16 +109,17 @@ def test_audit_workbook_roundtrip(spark, tmp_path):
     path = str(tmp_path / "Resumen_cambios_por_proyecto.xlsx")
     written = write_audit_workbook(out["resumen"], out["solo_nexo"],
                                    out["solo_sperant"], path)
-    assert written
-    if written == [path]:  # a real Excel engine was available
-        sheets = pd.read_excel(path, sheet_name=None)
-    else:                  # fallback: one CSV per sheet, same names
-        sheets = {os.path.basename(p)[:-4]: pd.read_csv(p) for p in written}
-    assert set(sheets) == {"Resumen", "Solo_en_df_total", "Solo_en_sperant"}
+    assert written == [path]
+    sheets = {}
+    for name in ("Resumen", "Solo_en_df_total", "Solo_en_sperant"):
+        rows = read_xlsx_rows(path, sheet_name=name)
+        header, data = rows[0], rows[1:]
+        sheets[name] = {c: [r[i] for r in data]
+                        for i, c in enumerate(header)}
     assert sorted(sheets["Resumen"]["Proyecto"]) == ["Fenix", "Matera"]
     assert list(sheets["Solo_en_sperant"]["Proyecto_solo_df_sperant"]) \
         == ["Solitario", "matera"]
-    assert len(sheets["Solo_en_df_total"]) == 0
+    assert all(len(v) == 0 for v in sheets["Solo_en_df_total"].values())
 
 
 def test_q7_q10_broadcast_dimensions(spark):
