@@ -57,6 +57,43 @@ def natural_sort_keys(c: Column) -> list[Column]:
     return [alpha, F.coalesce(num, F.lit(-1)), c.cast("string")]
 
 
+#: Accent folding for the es primary collation level (ñ handled apart —
+#: it is its own letter, not an accented n).
+_ES_ACCENTED = "áàâäéèêëíìîïóòôöúùûüç"
+_ES_FOLDED = "aaaaeeeeiiiioooouuuuc"
+
+
+def es_natural_sort_keys(c: Column) -> list[Column]:
+    """Spanish-collation numeric-aware sort keys — the full O2 comparator
+    (``localeCompare(..., "es", {numeric: true})``, index.html:233), not
+    just its numeric half (:func:`natural_sort_keys` covers that part).
+
+    Multi-level keys, mirroring how es collation actually tiebreaks:
+
+    1. PRIMARY: lowercased, accent-folded alpha prefix — with ``ñ``
+       expanded to ``n{`` first (``{`` = 0x7B sorts after ``z``), which
+       places the ñ section after every ``n…`` word and before ``o``:
+       ``anzuelo < añejo < aorta``. ñ is a distinct letter in Spanish,
+       NOT an accented n, so it must survive the accent fold.
+    2. the numeric value (``A2 < A10``),
+    3. SECONDARY: the lowercased unfolded prefix — binary codepoint
+       order puts unaccented before accented (``cafe < café``), which is
+       exactly es collation's accent tiebreak for Latin-1 vowels,
+    4. TERTIARY: the raw string (case + post-number suffix).
+
+    Pure expressions (replace/translate/regexp), so the sort stays a
+    regular range-partitioned Spark sort at any scale — no UDF, no
+    collator object per row.
+    """
+    s = c.cast("string")
+    prefix = F.regexp_extract(s, r"^([^0-9]*)", 1)
+    low = F.lower(prefix)
+    primary = F.translate(F.replace(low, F.lit("ñ"), F.lit("n{")),
+                          _ES_ACCENTED, _ES_FOLDED)
+    num = F.regexp_extract(s, r"(\d+)", 1).try_cast("long")
+    return [primary, F.coalesce(num, F.lit(-1)), low, s]
+
+
 def top_k_per_group(df: DataFrame, group_cols: Sequence[str],
                     order_cols: Sequence[Column], k: int) -> DataFrame:
     """First ``k`` rows per group under a total order, scale-safely.

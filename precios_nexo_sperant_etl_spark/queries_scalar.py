@@ -196,6 +196,47 @@ FROM v
 )
 
 # ---------------------------------------------------------------------------
+# O2 — full es-collation comparator (localeCompare "es" + numeric:true):
+# ñ sorts as its own letter between n and o, accents tiebreak after the
+# folded form, numbers compare by value.
+# ---------------------------------------------------------------------------
+
+_O2_ES_ROWS = [("niño 2",), ("nino 10",), ("niño 10",), ("Nino 1",),
+               ("ñandú",), ("nube",), ("anzuelo",), ("añejo",), ("aorta",),
+               ("ozono",), ("cafe",), ("café",), ("coco",),
+               ("Torre Ñ-2",), ("Torre N-10",), ("Torre O-1",),
+               ("A2",), ("A10",), ("á1",)]
+
+def _o2_es(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.serve import es_natural_sort_keys
+    from pyspark.sql import Window
+    df = _string_df(spark, _O2_ES_ROWS, ["raw"])
+    w = Window.orderBy(*es_natural_sort_keys(F.col("raw")))
+    return df.select("raw", F.row_number().over(w).alias("pos"))
+
+
+register(
+    "o2_es_collation",
+    _o2_es,
+    f"""
+WITH v AS (SELECT raw FROM {_values_sql(_O2_ES_ROWS, ["raw"], ["VARCHAR"])}),
+k AS (SELECT raw,
+        lower(regexp_extract(raw, '^([^0-9]*)', 1)) AS low,
+        COALESCE(TRY_CAST(regexp_extract(raw, '(\\d+)', 1) AS BIGINT), -1)
+          AS num
+      FROM v)
+SELECT raw, CAST(ROW_NUMBER() OVER (ORDER BY
+         translate(replace(low, 'ñ', 'n{{'),
+                   'áàâäéèêëíìîïóòôöúùûüç', 'aaaaeeeeiiiioooouuuuc'),
+         num, low, raw) AS INT) AS pos
+FROM k
+""",
+    doc="O2 es collation: ñ is a letter between n and o (anzuelo < añejo "
+        "< aorta), accents tiebreak secondarily (cafe < café), numbers "
+        "by value — same key expressions on both engines.",
+)
+
+# ---------------------------------------------------------------------------
 # F16 — numpy.isclose tolerance compare (APN:430-434)
 # ---------------------------------------------------------------------------
 
