@@ -42,71 +42,65 @@ _REGISTRY: dict[str, Query] = {}
 #: long-stable green queries rotate to the back (their old stamps stand).
 #: Update this list every round from the latest CORRECTNESS_r*.json.
 _CHECK_FIRST: list[str] = [
-    # --- never driver-checked as of r02 (registered past slot 50) ---
-    "mad_outlier_filter",
-    "f8_to_datetime",
-    "f3_accent_fold",
-    "null_safe_join",
-    "scd2_merge",
-    "minhash_dedup_pairs_prod",
-    "text_top_terms",
-    "ann_ivf_topk",
-    "text_fingerprint",
-    "events_tumbling_agg",
-    "events_sliding_agg",
-    "events_sessionize",
-    "asof_join_click_purchase",
-    "range_join_view_purchase",
-    "multimodal_metadata",
-    "multimodal_features",
-    "embedding_neardup_pairs",
-    "text_token_counts",
-    "stratified_sample_docs",
-    "quantiles_by_status",
-    "text_redact_pii",
-    "contamination_screen",
-    "curation_pipeline",
-    "events_funnel",
-    "events_props_struct",
-    "rolling_7d_distinct_users",
-    "cohort_retention",
-    # --- rewritten in r2 after their r01 stamp (stale evidence) ---
-    "simhash_near_pairs",
-    "minhash_dedup_pairs",
-    # minhash_signatures rotated out: its rewritten shingle path is
-    # stamped transitively by minhash_dedup_pairs (in-window consumer).
-    "text_stats",
-    # text_quality_score rotated out: quality_expr is stamped in-window
-    # by curation_pipeline and quality_calibrated_filter (same column
-    # expression and same oracle SQL fragment).
-    "text_lang_id",
-    # --- r02 red row (oracle type fixed in r3) / changed in r3 ---
-    "paragraph_dedup",
-    "minhash_dedup_pairs_capped",
-    "skew_salted_join",
-    "table_profile_orders",
-    "w4_row_id",
-    "tpch_q21_sole_late_supplier",
-    "core_update_audit",
-    # j1_left_enrich_coalesce rotated out: r02-green, and its changed
-    # enrich edge (hint removal) is covered in-window by core_update_audit.
-    # --- new in r3: clustering, TF-IDF, OOV, Gopher repetition filters ---
-    "neardup_clusters",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    "embedding_label_centroids",
-    "train_val_test_split",
-    "pack_sequences_by_lang",
-    "quality_calibrated_filter",
-    "text_repetition_stats",
-    # --- new in r3: full TPC-H coverage (q9/q11/q16/q20 anchors) ---
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_diversity",
-    "tpch_q20_dominant_supplier",
-    # dedup_exact_survivors changed in r3 (explicit repartition) but its
-    # path is stamped transitively: curation_pipeline consumes it
-    # in-window, and dedup_exact pins the unchanged hash/keep-min logic.
+    # --- registered in r3 past slot 50, never driver-checked (locally
+    # green via tools/check_parity.py since r3; evidence gap only) ---
+    "prep_pipeline",
+    "containment_pairs",
+    "seq_manifest",
+    "source_stats",            # also rewritten r4: bround'ed quality
+    "source_dup_rate",
+    "user_feature_vectors",
+    "langid_confusion",
+    "split_leakage_screen",
+    "neardup_survivors",
+    "ngram_jaccard_pairs_capped",
+    "corpus_card",
+    # --- new in r4 ---
+    "o2_es_collation",
+    # --- rewritten in r4 after their r03 stamp (stale evidence) ---
+    "quality_calibrated_filter",   # explicit order-statistic p25
+    "neardup_clusters",            # CC localCheckpoint rounds
+    "embedding_label_centroids",   # exact-path group-size guard
+    # (streaming_parquet_upsert also changed in r4 but has no oracle
+    # surface — pinned by the multi-batch pytest instead.)
+    # --- oldest stamps in the ledger (r01) — refresh while slots allow ---
+    "ann_cosine_topk",
+    "dedup_exact",
+    "dedup_exact_survivors",
+    "f16_isclose",
+    "f4_to_number",
+    "f5_safe_num",
+    "f6_intlike_canon",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "o2_natural_sort",
+    "p11_tower_prefix",
+    "p12_null_sentinels",
+    "simhash_signatures",
+    "string_ops_bundle",
+    "text_quality_score",
+    # --- r02 stamps on core anchors (everything r03-stamped rotates to
+    # the back: those stamps are current, none rewritten since) ---
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_nation_revenue",
+    "tpch_q6_forecast_revenue",
+    "w1_dedup_latest",
+    "w2_dedup_keep_last",
+    "j1_left_enrich_coalesce",
+    "j3_p6_change_detail",
+    "j4_key_set_difference",
+    "u1_union_by_name",
+    "a2_a4_kpi_cards",
+    "a5_value_counts",
+    "a6_kpi_by_group",
+    "a6_states_by_group",
+    "a8_pivot_counts",
+    "a9_pct_within_group",
+    "o2_o4_sort_page",
+    "o3_distinct_sorted",
+    "p8_p9_filter_search",
+    "p10_scatter_points",
 ]
 
 
