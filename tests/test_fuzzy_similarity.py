@@ -523,3 +523,37 @@ def test_ngram_hot_shingle_cap_sizing(spark):
                     ngram_jaccard_pairs(docs, max_shingle_df=3).collect()))
     assert right == full            # right-sized: lossless
     assert under < full             # undersized: strict subset, never junk
+
+
+def test_no_storage_growth_across_repeated_queries(spark):
+    """The persisted-frame contract, pinned: three consecutive runs of
+    the cache-returning queries (minhash persist contract, CC
+    localCheckpoint blocks) leave ZERO cached storage behind once the
+    harness does what bench.py/check_parity.py do — clearCache for
+    persist() entries — plus the GC pass that lets the ContextCleaner
+    reap localCheckpoint blocks (clearCache alone cannot free those:
+    they are RDD-level, not catalog-level). A long-lived session running
+    the full registry in a loop must not accrete storage."""
+    import gc
+    import time as _time
+
+    from precios_nexo_sperant_etl_spark.registry import queries
+
+    qs = queries()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def drain() -> int:
+        spark.catalog.clearCache()
+        for _ in range(60):
+            if len(jsc.getRDDStorageInfo()) == 0:
+                return 0
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            _time.sleep(0.25)
+        return len(jsc.getRDDStorageInfo())
+
+    sf = "/root/testdata/sf0.001"
+    for _ in range(3):
+        qs["minhash_dedup_pairs"](spark, sf).count()
+        qs["neardup_clusters"](spark, sf).count()
+        assert drain() == 0, [r.toString() for r in jsc.getRDDStorageInfo()]
