@@ -175,6 +175,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """(id, band, band-hash) rows: every band's signature rows folded to
+    one long in a single projection over the signature row (the fold is
+    ``(acc*131 + mh) % HASH_P`` — mirrored verbatim by the oracle SQL)."""
+    n_perms = sum(1 for c in sigs.columns if c.startswith("mh_"))
+    n_per_band = n_perms // n_bands
+    folds = []
+    for b in range(n_bands):
+        expr = F.lit(0).cast("long")
+        for j in range(n_per_band):
+            expr = (expr * 131 + F.col(f"mh_{b * n_per_band + j}")) % HASH_P
+        folds.append(F.struct(F.lit(b).alias("band"), expr.alias("bh")))
+    return (sigs.select(F.col(id_col), F.explode(F.array(*folds)).alias("_b"))
+                .select(id_col, "_b.band", "_b.bh"))
+
+
 def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
                        n_bands: int = N_BANDS,
                        max_bucket_size: int | None = None) -> DataFrame:
@@ -194,16 +210,7 @@ def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
     selective bands; a bucket that big carries no discriminative signal,
     only quadratic cost). At 100 TB set it so cap² fits a task's
     pair-generation budget, e.g. 10_000."""
-    n_perms = sum(1 for c in sigs.columns if c.startswith("mh_"))
-    n_per_band = n_perms // n_bands
-    folds = []
-    for b in range(n_bands):
-        expr = F.lit(0).cast("long")
-        for j in range(n_per_band):
-            expr = (expr * 131 + F.col(f"mh_{b * n_per_band + j}")) % HASH_P
-        folds.append(F.struct(F.lit(b).alias("band"), expr.alias("bh")))
-    buckets = (sigs.select(F.col(id_col), F.explode(F.array(*folds)).alias("_b"))
-                   .select(id_col, "_b.band", "_b.bh"))
+    buckets = _band_buckets(sigs, id_col, n_bands)
     grouped = (buckets.groupBy("band", "bh")
                       .agg(F.collect_list(id_col).alias("_ids"))
                       .filter(F.size("_ids") >= 2))
@@ -216,15 +223,23 @@ def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 
 def jaccard_pairs(hashed: DataFrame, pairs: DataFrame,
-                  id_col: str = "doc_id") -> DataFrame:
-    """Exact shingle-set Jaccard for the given candidate pairs."""
-    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+                  id_col: str = "doc_id",
+                  hashed_b: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for the given candidate pairs.
+
+    ``hashed_b`` switches to two-sided mode: ``doc_a`` ids resolve
+    against ``hashed`` and ``doc_b`` ids against ``hashed_b`` (the
+    cross-corpus join path, where the two sides are different tables and
+    their id spaces may overlap)."""
+    hb_src = hashed if hashed_b is None else hashed_b
+    sa = (hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
+          .withColumnRenamed(id_col, "doc_a"))
+    sb = (hb_src.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
+          .withColumnRenamed(id_col, "doc_b"))
     ha = hashed.select(F.col(id_col).alias("doc_a"), "h")
-    hb = hashed.select(F.col(id_col).alias("doc_b"), "h")
+    hb = hb_src.select(F.col(id_col).alias("doc_b"), "h")
     common = (pairs.join(ha, "doc_a").join(hb, ["doc_b", "h"])
                    .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("common")))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (common.join(sa, "doc_a").join(sb, "doc_b")
                   .select("doc_a", "doc_b",
                           (F.col("common") /
@@ -253,6 +268,54 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     pairs = minhash_band_pairs(sigs, id_col, n_bands=n_bands,
                                max_bucket_size=max_bucket_size)
     return (jaccard_pairs(hashed, pairs, id_col)
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b"))
+
+
+def minhash_join(left: DataFrame, right: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3, threshold: float = 0.5,
+                 n_perms: int = 8, n_bands: int = N_BANDS,
+                 max_bucket_size: int | None = None) -> DataFrame:
+    """Cross-corpus near-dup JOIN: every (left doc, right doc) pair with
+    shingle Jaccard ≥ ``threshold`` — the incremental-ingest primitive
+    (dedup a new crawl batch against the existing corpus, or
+    decontaminate against a large curated set).
+
+    Same LSH shape as :func:`minhash_dedup_pairs`, but candidates come
+    from an equi-join BETWEEN the two sides' (band, band-hash) bucket
+    frames instead of bucket-local self-pairing — both sides can be
+    arbitrarily large (no broadcast; compare
+    :func:`contamination_screen`, which broadcasts a small benchmark's
+    shingles). The bucket join shuffles each side once on (band, bh);
+    candidate cost is Σ_buckets |left ∩ bucket| × |right ∩ bucket|,
+    i.e. it scales with genuine cross-collisions. ``max_bucket_size``
+    caps each SIDE's bucket membership (a bucket degenerate on either
+    side is dropped; pairs survive via their other bands). Output ids:
+    ``doc_a`` from ``left``, ``doc_b`` from ``right`` — id spaces may
+    overlap, no ``a < b`` constraint.
+
+    Shingle frames are persisted (3 consumers each); cache lifetime is
+    owned by the caller, same contract as :func:`minhash_dedup_pairs`.
+    """
+    hl = shingle_hashes(left, text_col, id_col, k).persist()
+    hr = shingle_hashes(right, text_col, id_col, k).persist()
+    sl = minhash_signatures(left, text_col, id_col, k, hashed=hl,
+                            n_perms=n_perms)
+    sr = minhash_signatures(right, text_col, id_col, k, hashed=hr,
+                            n_perms=n_perms)
+    bl = _band_buckets(sl, id_col, n_bands)
+    br = _band_buckets(sr, id_col, n_bands)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bh")
+        bl = (bl.withColumn("_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("_n") <= max_bucket_size).drop("_n"))
+        br = (br.withColumn("_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("_n") <= max_bucket_size).drop("_n"))
+    cand = (bl.withColumnRenamed(id_col, "doc_a")
+              .join(br.withColumnRenamed(id_col, "doc_b"), ["band", "bh"])
+              .select("doc_a", "doc_b").distinct())
+    return (jaccard_pairs(hl, cand, id_col, hashed_b=hr)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("doc_a", "doc_b"))
 

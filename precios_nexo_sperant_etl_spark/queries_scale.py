@@ -117,11 +117,12 @@ def _band_fold(cols: list[str]) -> str:
     return expr
 
 
-def _bands_sql(n_perms: int = 8, n_bands: int = 2) -> str:
+def _bands_sql(n_perms: int = 8, n_bands: int = 2, src: str = "sig") -> str:
     npb = n_perms // n_bands
     return " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"{_band_fold([f'mh_{b * npb + j}' for j in range(npb)])} AS bh FROM sig"
+        f"{_band_fold([f'mh_{b * npb + j}' for j in range(npb)])} AS bh "
+        f"FROM {src}"
         for b in range(n_bands))
 
 
@@ -235,6 +236,59 @@ ORDER BY doc_a, doc_b
     doc="MinHash+LSH with the max_bucket_size production guard engaged: "
         "degenerate buckets are dropped before bucket-local pair "
         "expansion; oracle mirrors the cap via HAVING.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus near-dup JOIN: the incremental-ingest primitive — dedup a
+# new batch against the existing corpus (or decontaminate against a
+# large curated set) with BOTH sides big: banded equi-join between the
+# two sides' bucket frames, never a broadcast. Fixture split: even
+# doc_ids are the "existing" corpus, odd the "incoming" batch.
+# ---------------------------------------------------------------------------
+
+def _cross_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import minhash_join
+    docs = _t(spark, sf, "documents")
+    return minhash_join(docs.filter(F.col("doc_id") % 2 == 0),
+                        docs.filter(F.col("doc_id") % 2 == 1),
+                        threshold=0.2)
+
+
+register(
+    "cross_corpus_neardup",
+    _cross_corpus,
+    f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
+hs AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs),
+hl AS (SELECT * FROM hs WHERE doc_id % 2 = 0),
+hr AS (SELECT * FROM hs WHERE doc_id % 2 = 1),
+sl AS (SELECT doc_id, {_SIG_SQL} FROM hl GROUP BY doc_id),
+sr AS (SELECT doc_id, {_SIG_SQL} FROM hr GROUP BY doc_id),
+bl AS ({_bands_sql(8, 2, src="sl")}),
+br AS ({_bands_sql(8, 2, src="sr")}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bl a JOIN br b ON a.band = b.band AND a.bh = b.bh),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN hl ha ON ha.doc_id = p.doc_a
+  JOIN hr hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2),
+sza AS (SELECT doc_id, COUNT(*) AS n FROM hl GROUP BY doc_id),
+szb AS (SELECT doc_id, COUNT(*) AS n FROM hr GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
+FROM common c
+JOIN sza sa ON sa.doc_id = c.doc_a
+JOIN szb sb ON sb.doc_id = c.doc_b
+WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+    doc="Cross-corpus near-dup join (incremental ingest / decontam with "
+        "two big sides): banded equi-join between per-side bucket "
+        "frames, exact cross-side Jaccard verify.",
 )
 
 

@@ -557,3 +557,25 @@ def test_no_storage_growth_across_repeated_queries(spark):
         qs["minhash_dedup_pairs"](spark, sf).count()
         qs["neardup_clusters"](spark, sf).count()
         assert drain() == 0, [r.toString() for r in jsc.getRDDStorageInfo()]
+
+
+def test_minhash_join_cross_corpus(spark):
+    """Cross-corpus join finds planted left↔right near-dups (identical
+    and one-word-edit), never pairs within a side, and the per-side
+    bucket cap degrades recall-only (surviving pairs keep exact
+    Jaccard)."""
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
+        minhash_join)
+    left = spark.createDataFrame([d for d in DOCS if d[0] % 2 == 0],
+                                 "doc_id long, text string")
+    right = spark.createDataFrame([d for d in DOCS if d[0] % 2 == 1],
+                                  "doc_id long, text string")
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_join(left, right, threshold=0.5).collect()}
+    assert rows[(0, 3)] == 1.0          # identical pair across sides
+    assert 0.5 <= rows[(0, 1)] < 1.0    # one-word edit
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b in rows)
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in minhash_join(left, right, threshold=0.5,
+                                    max_bucket_size=50).collect()}
+    assert capped == rows               # generous cap loses nothing
