@@ -385,3 +385,66 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                            F.coalesce(frac, F.lit(0.0)))
                .drop("m"))
     return out.drop("_toks", "n_chars").orderBy(id_col)
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     model_df: DataFrame | None = None) -> DataFrame:
+    """CCNet-style language-model quality signal, cross-engine exact:
+    per-document MEAN BIGRAM PROBABILITY under an add-1-smoothed bigram
+    model — low scores mark gibberish/boilerplate the way LM perplexity
+    filtering does, without the log: every per-bigram probability is one
+    IEEE division of integer counts ((c12+1)/(c1+V), correctly rounded,
+    so bit-identical in any engine), and the per-document mean folds the
+    probabilities in TOKEN-POSITION order (same sorted-fold policy as
+    ``similarity.label_centroids``), so no log-implementation or
+    summation-order divergence can leak into the value. (Perplexity is a
+    monotone transform of the per-doc geometric mean; the arithmetic
+    mean ranks documents the same way for filtering purposes and stays
+    exactly representable.)
+
+    ``model_df`` trains the counts on a DIFFERENT corpus (the production
+    shape: score a crawl against a clean reference model); default is
+    self-scoring. Scale: two combinable count aggs for the model, one
+    equi-join on (w1, w2) — hot bigrams skew-bounded by vocabulary — and
+    a per-DOCUMENT (not per-group) sorted fold, so task memory is one
+    doc's bigram list. The vocabulary size rides a 1-row broadcast
+    (BNLJ by construction, same documented shape as the ann_cosine
+    query-set broadcast).
+    """
+    from pyspark.sql import Window
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "w1"))
+        w = Window.partitionBy(id_col).orderBy("pos")
+        return (toks.select(id_col, "pos", "w1",
+                            F.lead("w1").over(w).alias("w2"))
+                .filter(F.col("w2").isNotNull()))
+
+    train = _bigrams(model_df if model_df is not None else df)
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (model_df if model_df is not None else df).select(
+        F.explode(tokens(F.col(text_col))).alias("w")) \
+        .agg(F.countDistinct("w").alias("v"))
+
+    score = _bigrams(df) if model_df is not None else train
+    p = (score.join(c12, ["w1", "w2"], "left")
+              .join(c1, "w1", "left")
+              .crossJoin(F.broadcast(vocab))
+              .select(id_col, "pos",
+                      ((F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                       .cast("double")
+                       / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")))
+                      .alias("p")))
+    agg = (p.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "p")))
+                .alias("ps")))
+    vals = F.transform(F.col("ps"), lambda x: x["p"])
+    fold = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    return (agg.select(F.col(id_col),
+                       F.size("ps").cast("long").alias("n_bigrams"),
+                       (fold / F.size("ps")).alias("mean_bigram_p"))
+            .orderBy(id_col))

@@ -293,6 +293,51 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
+# LM-based quality signal (CCNet-style filtering) without the log:
+# per-doc mean bigram probability under an add-1 bigram model. Every
+# probability is one integer-count IEEE division and the per-doc mean is
+# a position-ordered fold, so the value is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+def _lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import bigram_lm_scores
+    return bigram_lm_scores(_t(spark, sf, "documents"))
+
+
+register(
+    "lm_bigram_quality",
+    _lm_bigram,
+    f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS w1,
+               generate_subscripts(tk, 1) AS pos FROM toks),
+big AS (SELECT doc_id, pos, w1,
+               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM pos),
+bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w1) AS v FROM pos),
+p AS (SELECT bg.doc_id, bg.pos,
+             CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v) AS p
+      FROM bg
+      JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+      JOIN c1 ON c1.w1 = bg.w1
+      CROSS JOIN v)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                list(p ORDER BY pos)),
+                   (a, b) -> a + b) / COUNT(*) AS mean_bigram_p
+FROM p GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Bigram-LM quality signal (CCNet-style): add-1 smoothed mean "
+        "bigram probability per doc — integer-count divisions and a "
+        "position-ordered fold keep it exact cross-engine.",
+)
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: LSH pairs → connected components → one cluster id
 # per document (the step between pair generation and "keep one per
 # cluster" in a real dedup run). Spark side is iterative hash-min label

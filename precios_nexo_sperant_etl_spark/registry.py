@@ -58,6 +58,7 @@ _CHECK_FIRST: list[str] = [
     # --- new in r4 ---
     "o2_es_collation",
     "cross_corpus_neardup",
+    "lm_bigram_quality",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -100,8 +101,8 @@ _CHECK_FIRST: list[str] = [
     "a9_pct_within_group",
     "o2_o4_sort_page",
     "o3_distinct_sorted",
-    "p8_p9_filter_search",
-    # p10_scatter_points rotated out to stay at 50 (r02-green, unchanged).
+    # p8_p9_filter_search / p10_scatter_points rotated out to stay at 50
+    # (both r02-green, unchanged since).
 ]
 
 

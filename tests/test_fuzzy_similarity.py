@@ -579,3 +579,25 @@ def test_minhash_join_cross_corpus(spark):
               for r in minhash_join(left, right, threshold=0.5,
                                     max_bucket_size=50).collect()}
     assert capped == rows               # generous cap loses nothing
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-1 bigram probabilities against hand-computed values, plus the
+    cross-model shape (score a corpus under a model trained elsewhere:
+    unseen bigrams/contexts degrade to 1/(0+V), never error)."""
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        bigram_lm_scores)
+    docs = spark.createDataFrame([(1, "a b a b")],
+                                 "doc_id long, text string")
+    r = bigram_lm_scores(docs).collect()[0]
+    # bigrams (a,b),(b,a),(a,b); c12(a,b)=2,(b,a)=1; c1 a=2,b=1; V=2
+    assert r["n_bigrams"] == 3
+    assert abs(r["mean_bigram_p"] - (0.75 + 2 / 3 + 0.75) / 3) < 1e-15
+
+    model = spark.createDataFrame([(9, "x y")], "doc_id long, text string")
+    target = spark.createDataFrame([(2, "x y z")],
+                                   "doc_id long, text string")
+    r = bigram_lm_scores(target, model_df=model).collect()[0]
+    # p(x,y)=(1+1)/(1+2); p(y,z) unseen context=(0+1)/(0+2)
+    assert r["n_bigrams"] == 2
+    assert abs(r["mean_bigram_p"] - (2 / 3 + 0.5) / 2) < 1e-15
