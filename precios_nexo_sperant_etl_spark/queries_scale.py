@@ -441,6 +441,39 @@ ORDER BY d.doc_id
 )
 
 
+def _cluster_split(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import cluster_assignment
+    from .operators.serve import hash_split
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    assigned = cluster_assignment(docs, pairs).select("doc_id", "cluster_id")
+    return (hash_split(assigned, id_col="cluster_id")
+            .select("doc_id", "cluster_id", "bucket", "split")
+            .orderBy("doc_id"))
+
+
+register(
+    "cluster_aware_split",
+    _cluster_split,
+    f"""{_NEARDUP_CLOSURE_SQL}
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             {_duck_md5_hash("CAST(cluster_id AS VARCHAR)")} % 10000
+               AS bucket
+      FROM assigned)
+ORDER BY doc_id
+""",
+    doc="Leakage-safe split: the deterministic 90/5/5 hash split keyed "
+        "on the near-dup CLUSTER id, so every member of a duplicate "
+        "cluster lands in the same split — a doc-id split can leak a "
+        "train near-dup into test, which split_leakage_screen detects "
+        "and this prevents by construction.",
+)
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF keywords + vocabulary OOV coverage
 # ---------------------------------------------------------------------------

@@ -601,3 +601,22 @@ def test_bigram_lm_scores_hand_computed(spark):
     # p(x,y)=(1+1)/(1+2); p(y,z) unseen context=(0+1)/(0+2)
     assert r["n_bigrams"] == 2
     assert abs(r["mean_bigram_p"] - (2 / 3 + 0.5) / 2) < 1e-15
+
+
+def test_cluster_aware_split_never_straddles(spark):
+    """Every near-dup cluster lands whole in one split: the planted
+    triple {0,1,3} shares one cluster and one split; a doc-id-keyed
+    split could straddle it."""
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        cluster_assignment)
+    from precios_nexo_sperant_etl_spark.operators.serve import hash_split
+    docs = _docs(spark)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    assigned = cluster_assignment(docs, pairs).select("doc_id", "cluster_id")
+    rows = hash_split(assigned, id_col="cluster_id").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert cluster_of[0] == cluster_of[1] == cluster_of[3] == 0
