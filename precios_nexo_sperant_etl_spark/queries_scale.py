@@ -475,6 +475,48 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Domain-mix reweighting: per-source sampling weights that move the
+# corpus from its ACTUAL source mix to a TARGET mix (uniform here) —
+# the data-mixing knob a training pipeline turns (DoReMi-style domain
+# weights, applied as per-source sampling rates). Tiny agg + one-row
+# broadcast; every output is an IEEE division of integer counts.
+# ---------------------------------------------------------------------------
+
+def _source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(F.sum("n_docs").alias("n_total"),
+                        F.count(F.lit(1)).alias("n_sources"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("source", "n_docs",
+                    (F.col("n_docs") / F.col("n_total"))
+                    .alias("actual_frac"),
+                    (F.lit(1.0) / F.col("n_sources")).alias("target_frac"),
+                    ((F.col("n_total") / F.col("n_sources"))
+                     / F.col("n_docs")).alias("sample_weight"))
+            .orderBy("source"))
+
+
+register(
+    "source_mix_weights",
+    _source_mix,
+    """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             COUNT(*) AS n_sources FROM c)
+SELECT source, n_docs,
+       n_docs / n_total AS actual_frac,
+       1.0 / n_sources AS target_frac,
+       (n_total / n_sources) / n_docs AS sample_weight
+FROM c CROSS JOIN t ORDER BY source
+""",
+    doc="Per-source sampling weights to hit a uniform target mix "
+        "(DoReMi-style domain reweighting): weight > 1 = upsample, "
+        "< 1 = downsample; integer-count divisions only.",
+)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF keywords + vocabulary OOV coverage
 # ---------------------------------------------------------------------------
 

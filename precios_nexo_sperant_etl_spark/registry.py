@@ -60,6 +60,7 @@ _CHECK_FIRST: list[str] = [
     "cross_corpus_neardup",
     "lm_bigram_quality",
     "cluster_aware_split",
+    "source_mix_weights",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -100,9 +101,9 @@ _CHECK_FIRST: list[str] = [
     "a6_states_by_group",
     "a8_pivot_counts",
     "a9_pct_within_group",
-    "o2_o4_sort_page",
-    # o3_distinct_sorted / p8_p9_filter_search / p10_scatter_points
-    # rotated out to stay at 50 (all r02-green, unchanged since).
+    # o2_o4_sort_page / o3_distinct_sorted / p8_p9_filter_search /
+    # p10_scatter_points rotated out to stay at 50 (all r02-green,
+    # unchanged since).
 ]
 
 
