@@ -250,6 +250,43 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
              .orderBy("vec_a", "vec_b"))
 
 
+def semdedup_survivors(emb: DataFrame, threshold: float = 0.35,
+                       n_cells: int = 10, n_iter: int = 3,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic k-means
+    coarse quantizer, then WITHIN each cluster drop every vector that has
+    a lower-id neighbor with cosine >= ``threshold``; the min-id member
+    of each semantic duplicate group survives.
+
+    Scale shape — the whole point of the paper's clustering step: pair
+    generation is bounded by Σ cell² instead of the corpus-wide n².
+    Here that is one equi-join on the cell key (one shuffle per side);
+    k-means cost is ``n_iter`` linear scans. All cosine arithmetic is
+    the sequential-fold double (:func:`functions.exact.ddot`), so the
+    survivor SET is bit-reproducible in any engine and the whole chain
+    (Lloyd iterations included) can be value-hash-checked by an
+    unrolled-CTE oracle.
+    """
+    cells = assign_kmeans_cells(emb, n_cells=n_cells, n_iter=n_iter,
+                                id_col=id_col, vec_col=vec_col)
+    a = cells.select(F.col(id_col).alias("keep_id"),
+                     F.col(vec_col).alias("va"), "cell")
+    b = cells.select(F.col(id_col).alias("drop_id"),
+                     F.col(vec_col).alias("vb"), "cell")
+    drops = (a.join(b, "cell")
+              .filter(F.col("keep_id") < F.col("drop_id"))
+              .filter((ddot(F.col("va"), F.col("vb"))
+                       / (_norm(F.col("va")) * _norm(F.col("vb"))))
+                      >= threshold)
+              .select("drop_id").distinct())
+    return (cells.join(drops, cells[id_col] == drops["drop_id"],
+                       "left_anti")
+                 .select(F.col(id_col), F.col("cell"))
+                 .orderBy(id_col))
+
+
 def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 8) -> DataFrame:

@@ -448,3 +448,34 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                        F.size("ps").cast("long").alias("n_bigrams"),
                        (fold / F.size("ps")).alias("mean_bigram_p"))
             .orderBy(id_col))
+
+
+def chunk_documents(docs: DataFrame, chunk_size: int = 32, step: int = 24,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunker that feeds training (and RAG passage
+    extraction). Chunk ``c`` covers tokens ``[c*step, c*step+chunk_size)``
+    (the final chunk may be shorter); ``step < chunk_size`` gives
+    ``chunk_size - step`` tokens of overlap so no span is split across a
+    boundary without also appearing whole in some chunk.
+
+    Scale shape: a pure narrow map — tokenize, build the start index
+    array with ``sequence``, ``slice`` per start, ``posexplode``. No
+    shuffle, no UDF; output rows ≈ input tokens / step regardless of
+    document skew, and whole-stage codegen keeps it scan-bound.
+    """
+    if step <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and step must be positive")
+    tk = tokens(F.col(text_col))
+    chunks = F.expr(
+        f"transform(sequence(0, CAST((size(tk) - 1) / {step} AS INT)), "
+        f"c -> slice(tk, c * {step} + 1, {chunk_size}))")
+    return (docs.select(F.col(id_col), tk.alias("tk"))
+            .filter(F.size("tk") > 0)
+            .select(id_col, F.posexplode(chunks).alias("chunk_id", "ctk"))
+            .select(F.col(id_col),
+                    F.col("chunk_id").cast("int").alias("chunk_id"),
+                    (F.col("chunk_id") * step).cast("int").alias("chunk_start"),
+                    F.array_join("ctk", " ").alias("chunk_text"),
+                    F.size("ctk").alias("n_chunk_tokens")))

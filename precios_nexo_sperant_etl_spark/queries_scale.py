@@ -895,20 +895,9 @@ def _ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_cosine_topk(cells, _ANN_QUERY_IDS, k=3, cell_col="cell")
 
 
-def _ivf_kmeans_oracle(n_cells: int = 10, n_iter: int = 3,
-                       k: int = 3, n_probe: int = 2) -> str:
-    """Unrolled-Lloyd oracle for the full k-means IVF chain.
-
-    Every float in the Spark path is now an id-ordered sequential fold
-    (assign_kmeans_cells / label_centroids / ddot), so each Lloyd
-    iteration — init from the n_cells smallest ids, argmin assignment
-    against centroid literals, fold-mean recompute with empty-cell
-    carry-over — can be replayed verbatim as SQL CTEs, iteration by
-    iteration. What was a rows-only check becomes a full value hash.
-    """
-    def cent_from(assign: str) -> str:
-        # per-(cell, dim) fold mean over an assignment CTE → centroid list
-        return f"""(
+def _duck_cent_from(assign: str) -> str:
+    # per-(cell, dim) fold mean over an assignment CTE → centroid list
+    return f"""(
   SELECT cell, list(m ORDER BY dim) AS centroid FROM (
     SELECT cell, dim,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
@@ -921,6 +910,20 @@ def _ivf_kmeans_oracle(n_cells: int = 10, n_iter: int = 3,
           GROUP BY cell, dim))
   GROUP BY cell)"""
 
+
+def _duck_lloyd_ctes(n_cells: int = 10,
+                     n_iter: int = 3) -> tuple[list[str], str]:
+    """Unrolled-Lloyd CTE prefix shared by every oracle that consumes
+    ``assign_kmeans_cells`` (IVF ANN, SemDeDup).
+
+    Every float in the Spark path is an id-ordered sequential fold
+    (assign_kmeans_cells / label_centroids / ddot), so each Lloyd
+    iteration — init from the n_cells smallest ids, argmin assignment
+    against centroid literals, fold-mean recompute with empty-cell
+    carry-over — can be replayed verbatim as SQL CTEs, iteration by
+    iteration. Returns ``(ctes, final_assignment_cte_name)``; the final
+    CTE has columns ``(vec_id, embedding, cell)``.
+    """
     def d2(v: str, c: str) -> str:
         return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
                 f" + {_duck_dot(c, c)}")
@@ -941,9 +944,18 @@ def _ivf_kmeans_oracle(n_cells: int = 10, n_iter: int = 3,
             # fold-mean recompute; empty cells keep their old centroid
             ctes.append(f"""cents{i + 1} AS (
   SELECT c.cell, COALESCE(n.centroid, c.centroid) AS centroid
-  FROM cents{i} c LEFT JOIN {cent_from(f'assign{i + 1}')} n
+  FROM cents{i} c LEFT JOIN {_duck_cent_from(f'assign{i + 1}')} n
     ON n.cell = c.cell)""")
-    final = f"assign{n_iter + 1}"
+    return ctes, f"assign{n_iter + 1}"
+
+
+def _ivf_kmeans_oracle(n_cells: int = 10, n_iter: int = 3,
+                       k: int = 3, n_probe: int = 2) -> str:
+    """Oracle for the full k-means IVF chain: the shared Lloyd prefix
+    (:func:`_duck_lloyd_ctes`) plus centroid-probe selection and
+    within-cell scoring. A full value hash, not a rows-only check."""
+    cent_from = _duck_cent_from
+    ctes, final = _duck_lloyd_ctes(n_cells, n_iter)
     ids = ", ".join(map(str, _ANN_QUERY_IDS))
     cos = (f"{_duck_dot('p.qv', 'a.embedding')} / "
            f"(sqrt({_duck_dot('p.qv', 'p.qv')}) * "
@@ -2146,4 +2158,137 @@ FROM documents GROUP BY source ORDER BY source
 """,
     doc="Per-source duplicate mass (exact-hash dup rate) — the "
         "datasheet row that targets crawl cleanup.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: fixed-size token windows with overlap — the
+# chunker that turns curated documents into training/RAG passages. Pure
+# narrow map (tokenize → sequence → slice → posexplode), zero shuffles.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STEP = 24  # 8-token overlap between consecutive chunks
+
+
+def _doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import chunk_documents
+    return chunk_documents(_t(spark, sf, "documents"),
+                           chunk_size=_CHUNK_SIZE, step=_CHUNK_STEP)
+
+
+register(
+    "doc_chunks",
+    _doc_chunks,
+    f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+s AS (SELECT doc_id, tk, len(tk) AS n,
+             unnest(range(0, ((len(tk) - 1) // {_CHUNK_STEP}) + 1)) AS c
+      FROM t WHERE len(tk) > 0)
+SELECT doc_id,
+       CAST(c AS INT) AS chunk_id,
+       CAST(c * {_CHUNK_STEP} AS INT) AS chunk_start,
+       array_to_string(tk[c * {_CHUNK_STEP} + 1 : c * {_CHUNK_STEP} + {_CHUNK_SIZE}], ' ')
+         AS chunk_text,
+       CAST(least({_CHUNK_SIZE}, n - c * {_CHUNK_STEP}) AS INT) AS n_chunk_tokens
+FROM s
+""",
+    doc="Fixed-size token-window chunking with overlap (32-token chunks, "
+        "24-token stride) — narrow map, no shuffle, codegen-only.",
+)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup bounded by k-means clusters (Abbas et al.
+# 2023). Reuses the deterministic Lloyd quantizer, so the oracle replays
+# the full chain — clustering AND survivor selection — as unrolled CTEs.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import semdedup_survivors
+    return semdedup_survivors(_t(spark, sf, "embeddings"),
+                              threshold=_SEMDEDUP_TAU, n_cells=10, n_iter=3)
+
+
+def _semdedup_oracle(threshold: float, n_cells: int = 10,
+                     n_iter: int = 3) -> str:
+    ctes, final = _duck_lloyd_ctes(n_cells, n_iter)
+    cos = (f"{_duck_dot('a.embedding', 'b.embedding')} / "
+           f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "
+           f"sqrt({_duck_dot('b.embedding', 'b.embedding')}))")
+    return ("WITH " + ",\n".join(ctes) + f""",
+drops AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM {final} a JOIN {final} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold})
+SELECT f.vec_id, f.cell FROM {final} f
+WHERE f.vec_id NOT IN (SELECT drop_id FROM drops)
+ORDER BY f.vec_id
+""")
+
+
+register(
+    "semdedup_survivors",
+    _semdedup,
+    _semdedup_oracle(_SEMDEDUP_TAU),
+    doc="SemDeDup semantic dedup: within each deterministic k-means "
+        "cluster, drop vectors with a lower-id neighbor above cosine "
+        "0.35 — pair generation bounded by Σ cell², one cell-key "
+        "shuffle, never n²; the oracle unrolls Lloyd + survivor "
+        "selection as CTEs for a full value hash.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout manifest: Morton-interleave (custkey, order-day) and
+# roll up per-file-bucket min/max ranges — the data-skipping index a
+# lake write would persist. Narrow bit arithmetic + one agg shuffle.
+# ---------------------------------------------------------------------------
+
+def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.layout import zorder_key
+    o = _t(spark, sf, "orders")
+    x = F.col("o_custkey")
+    y = F.datediff(F.col("o_orderdate"),
+                   F.lit("1995-01-01").cast("date")).cast("int")
+    z = zorder_key(x, y, bits=16)
+    return (o.select(z.alias("zkey"), x.alias("ck"), y.alias("dy"))
+             .groupBy(F.shiftright(F.col("zkey"), 14).alias("file_bucket"))
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.min("ck").alias("custkey_min"),
+                  F.max("ck").alias("custkey_max"),
+                  F.min("dy").alias("day_min"),
+                  F.max("dy").alias("day_max"))
+             .orderBy("file_bucket"))
+
+
+def _zorder_oracle() -> str:
+    from .operators.layout import duck_zorder_key
+    y = "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)"
+    z = duck_zorder_key("o_custkey", y, bits=16)
+    return f"""
+SELECT ({z} >> 14) AS file_bucket,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS custkey_min,
+       MAX(o_custkey) AS custkey_max,
+       MIN({y}) AS day_min,
+       MAX({y}) AS day_max
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    "zorder_layout",
+    _zorder_layout,
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering manifest over (o_custkey, "
+        "order-day): per-bucket min/max ranges stay narrow in BOTH "
+        "dimensions, which is exactly the file-skipping property a "
+        "lakehouse write on repartitionByRange(zkey) buys. Bit-exact "
+        "key twin on both engines.",
 )
