@@ -49,6 +49,9 @@ HEADLINE = [
     # appended r4 (additions only, never replacements — keeps the
     # cross-round comparable subset intact):
     "cross_corpus_neardup",     # banded join between two corpora
+    "doc_chunks",               # narrow-map context-window chunking
+    "semdedup_survivors",       # k-means-bounded semantic dedup
+    "zorder_layout",            # Morton-key layout manifest
 ]
 
 

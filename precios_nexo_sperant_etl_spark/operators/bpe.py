@@ -1,0 +1,126 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary learning — the
+tokenizer-prep step of a training-data pipeline (Sennrich et al. 2016).
+
+Scale shape — the part that matters at 100 TB: the corpus is touched
+ONCE, by the word-frequency aggregation (one combinable shuffle). Every
+merge round after that runs on the DISTINCT-WORD table (vocab-sized,
+millions of rows, not corpus-sized): adjacent-pair counts weighted by
+word frequency, a global argmax (tiny), and a narrow string rewrite.
+That is exactly how production BPE trainers stay tractable; Spark gets
+it by construction because the rounds never re-read the corpus.
+
+Determinism: the argmax tie-break is (count DESC, pair lexicographic
+ASC) over binary collation; the merge application is defined as a
+TWO-PASS non-overlapping left-to-right ``replace`` on the
+space-joined symbol string (pass 2 rescues occurrences whose shared
+boundary space pass 1 consumed). For non-degenerate pairs this equals
+classic greedy BPE pairing; for self-adjacent chains (``a a a a a``
+with pair ``(a, a)``) it is a fixed, documented variant — what matters
+for the oracle is that ``replace`` has identical semantics in Spark SQL
+and DuckDB, so the whole merge table is value-hash-checkable round by
+round (same unrolled-CTE pattern as the k-means Lloyd oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _apply_merge(s: str, p1: str, p2: str) -> str:
+    """SQL expression applying merge (p1, p2) to symbol string col ``s``
+    via the two-pass padded replace. Literals are embedded; callers must
+    ensure the symbols contain no single quotes (token alphabets here
+    are whitespace-free words, enforced below)."""
+    pat = f"' ' || '{p1}' || ' ' || '{p2}' || ' '"
+    rep = f"' ' || '{p1}' || '{p2}' || ' '"
+    one = f"replace(' ' || {s} || ' ', {pat}, {rep})"
+    two = f"replace({one}, {pat}, {rep})"
+    return f"trim({two})"
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 6,
+              text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    table ``(round, p1, p2, merged, pair_count)``.
+
+    Driver involvement per round is one 1-row collect (the argmax pair)
+    — the same k×1 pattern as ``assign_kmeans_cells``'s centroids; all
+    counting and rewriting is distributed.
+    """
+    spark = docs.sparkSession
+    words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+                 .filter(F.col("w") != "")
+                 .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    cur = words.select(
+        "cnt",
+        F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), " ").alias("s"))
+    cur = cur.localCheckpoint(eager=True)  # corpus touched once, here
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(n_merges):
+        sp = F.split(F.col("s"), " ")
+        pairs = (cur.filter(F.size(sp) >= 2)
+                    .select("cnt",
+                            F.explode(F.arrays_zip(
+                                F.slice(sp, 1, F.size(sp) - 1).alias("p1"),
+                                F.slice(sp, 2, F.size(sp) - 1).alias("p2")))
+                             .alias("pr"))
+                    .select("cnt", F.col("pr.p1").alias("p1"),
+                            F.col("pr.p2").alias("p2")))
+        best = (pairs.groupBy("p1", "p2")
+                     .agg(F.sum("cnt").alias("c"))
+                     .orderBy(F.desc("c"), F.asc("p1"), F.asc("p2"))
+                     .limit(1).collect())
+        if not best:
+            break  # vocabulary fully merged (tiny corpora only)
+        b = best[0]
+        if "'" in b["p1"] + b["p2"]:
+            raise ValueError("symbol contains a quote; corpus not supported")
+        merges.append((r, b["p1"], b["p2"], b["p1"] + b["p2"], b["c"]))
+        cur = cur.select(
+            "cnt", F.expr(_apply_merge("s", b["p1"], b["p2"])).alias("s"))
+        # Lineage stays R string-rewrites deep at most (R = n_merges,
+        # single digits) — no checkpoint needed inside the loop.
+    return spark.createDataFrame(
+        merges, "round int, p1 string, p2 string, merged string, "
+                "pair_count bigint")
+
+
+def duck_bpe_sql(n_merges: int = 6,
+                 duck_tokens: str =
+                 "string_split_regex(trim(text), '\\s+')") -> str:
+    """DuckDB twin of :func:`bpe_learn`: the same word-frequency base,
+    and each round's pair-count → argmax → two-pass replace unrolled as
+    CTEs (zip pairs via parallel unnest of shifted list slices)."""
+    ctes = [f"""w0 AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest({duck_tokens}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w)""",
+            """s0 AS (
+  SELECT cnt, array_to_string(regexp_extract_all(w, '.'), ' ') AS s
+  FROM w0)"""]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+  SELECT p1, p2, SUM(cnt) AS c FROM (
+    SELECT cnt,
+           unnest(sp[1 : len(sp) - 1]) AS p1,
+           unnest(sp[2 : len(sp)]) AS p2
+    FROM (SELECT cnt, string_split(s, ' ') AS sp FROM s{r})
+    WHERE len(sp) >= 2)
+  GROUP BY p1, p2)""")
+        ctes.append(f"""b{r} AS (
+  SELECT p1, p2, c FROM p{r} ORDER BY c DESC, p1 ASC, p2 ASC LIMIT 1)""")
+        pat = "' ' || b.p1 || ' ' || b.p2 || ' '"
+        rep = "' ' || b.p1 || b.p2 || ' '"
+        ctes.append(f"""s{r + 1} AS (
+  SELECT cnt,
+         trim(replace(replace(' ' || s || ' ', {pat}, {rep}),
+                      {pat}, {rep})) AS s
+  FROM s{r} CROSS JOIN b{r} b)""")
+    rows = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, p1, p2, p1 || p2 AS merged, c AS pair_count "
+        f"FROM b{r}" for r in range(n_merges))
+    return "WITH " + ",\n".join(ctes) + f"\n{rows}\nORDER BY round"

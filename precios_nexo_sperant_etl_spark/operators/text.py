@@ -479,3 +479,55 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 32, step: int = 24,
                     (F.col("chunk_id") * step).cast("int").alias("chunk_start"),
                     F.array_join("ctk", " ").alias("chunk_text"),
                     F.size("ctk").alias("n_chunk_tokens")))
+
+
+def dsir_importance_weights(docs: DataFrame, target: Column, k: int = 32,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Data-selection importance weights (DSIR, Xie et al. 2023,
+    arXiv:2302.03169), unigram variant: weight each document by how much
+    more likely its tokens are under the TARGET distribution (rows where
+    ``target`` is true) than under the RAW corpus distribution, both
+    add-1 smoothed over the shared vocabulary.
+
+    Cross-engine exactness without logs: every per-token ratio is a
+    quotient of exact-integer products ((c_t+1)(N_r+V)) / ((N_t+V)(c_r+1)),
+    and the per-document weight is the POSITION-ORDERED product over the
+    first ``k`` tokens — multiplication and division are exact IEEE ops,
+    so the fold is bit-identical in any engine (no libm). Bounding the
+    product at ``k`` tokens keeps its dynamic range inside double.
+
+    Scale shape: one corpus scan builds the two count tables (combinable
+    shuffles, vocab-sized results); scoring joins the exploded prefix
+    tokens against them (broadcast when vocab fits, shuffle join
+    otherwise — Catalyst/AQE decides) plus a 1-row broadcast of the
+    totals. No UDFs anywhere.
+    """
+    tk = tokens(F.col(text_col))
+    base = (docs.select(F.col(id_col), tk.alias("tk"), target.alias("is_t"))
+                .filter(F.size("tk") > 0))
+    alltok = base.select(F.explode("tk").alias("w"), "is_t")
+    cr = alltok.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (alltok.filter(F.col("is_t"))
+                .groupBy("w").agg(F.count(F.lit(1)).alias("ct")))
+    scal = alltok.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("nt"),
+        F.countDistinct("w").alias("v"))
+    tok = base.select(id_col,
+                      F.posexplode(F.slice("tk", 1, k)).alias("pos", "w"))
+    ratio = ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+             * (F.col("nr") + F.col("v")).cast("double")
+             / ((F.col("nt") + F.col("v")).cast("double")
+                * (F.col("cr") + 1).cast("double")))
+    r = (tok.join(cr, "w").join(ct, "w", "left")
+            .crossJoin(F.broadcast(scal))
+            .select(id_col, "pos", ratio.alias("r")))
+    agg = (r.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "r")))
+                 .alias("ps")))
+    vals = F.transform(F.col("ps"), lambda x: x["r"])
+    fold = F.aggregate(vals, F.lit(1.0), lambda a, x: a * x)
+    return (agg.select(F.col(id_col), F.size("ps").alias("n_scored"),
+                       fold.alias("dsir_weight"))
+               .orderBy(id_col))

@@ -2292,3 +2292,88 @@ register(
         "lakehouse write on repartitionByRange(zkey) buys. Bit-exact "
         "key twin on both engines.",
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning (Sennrich et al. 2016): corpus → word-frequency
+# table (one shuffle, the only corpus touch) → n merge rounds on the
+# vocab-sized table. Oracle unrolls every round as CTEs.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+
+
+def _bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.bpe import bpe_learn
+    return bpe_learn(_t(spark, sf, "documents"), n_merges=_BPE_MERGES)
+
+
+def _bpe_oracle() -> str:
+    from .operators.bpe import duck_bpe_sql
+    return duck_bpe_sql(_BPE_MERGES, duck_tokens=_DUCK_TOKENS)
+
+
+register(
+    "bpe_merges",
+    _bpe_merges,
+    _bpe_oracle(),
+    doc="Distributed BPE tokenizer training: 6 merge rounds over the "
+        "word-frequency table (corpus scanned once; rounds are "
+        "vocab-sized). Deterministic argmax tie-break and two-pass "
+        "replace merge give bit-identical merge tables on both engines.",
+)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: rate every document by target-vs-raw unigram
+# likelihood (target = English subcorpus). Log-free exact arithmetic —
+# see operators.text.dsir_importance_weights.
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 32
+
+
+def _dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import dsir_importance_weights
+    return dsir_importance_weights(_t(spark, sf, "documents"),
+                                   target=F.col("lang") == "en", k=_DSIR_K)
+
+
+register(
+    "dsir_weights",
+    _dsir_weights,
+    f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk, (lang = 'en') AS is_t
+  FROM documents WHERE len({_DUCK_TOKENS}) > 0),
+alltok AS (SELECT unnest(tk) AS w, is_t FROM base),
+cr AS (SELECT w, COUNT(*) AS cr FROM alltok GROUP BY w),
+ct AS (SELECT w, COUNT(*) AS ct FROM alltok WHERE is_t GROUP BY w),
+scal AS (SELECT COUNT(*) AS nr,
+                SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+                COUNT(DISTINCT w) AS v
+         FROM alltok),
+tok AS (SELECT doc_id,
+               unnest(range(1, least(len(tk), {_DSIR_K}) + 1)) AS pos,
+               unnest(tk[1 : {_DSIR_K}]) AS w
+        FROM base),
+rat AS (
+  SELECT t.doc_id, t.pos,
+         (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+          * CAST(s.nr + s.v AS DOUBLE))
+         / (CAST(s.nt + s.v AS DOUBLE) * CAST(cr.cr + 1 AS DOUBLE)) AS r
+  FROM tok t JOIN cr ON cr.w = t.w
+  LEFT JOIN ct ON ct.w = t.w
+  CROSS JOIN scal s)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_scored,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                                list(r ORDER BY pos)),
+                   (a, b) -> a * b) AS dsir_weight
+FROM rat GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="DSIR data-selection importance weights (unigram, add-1 "
+        "smoothed, target = lang='en'): position-ordered exact product "
+        "over the first 32 tokens — log-free, so bit-identical across "
+        "engines.",
+)

@@ -64,6 +64,8 @@ _CHECK_FIRST: list[str] = [
     "doc_chunks",
     "semdedup_survivors",
     "zorder_layout",
+    "bpe_merges",
+    "dsir_weights",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -99,8 +101,7 @@ _CHECK_FIRST: list[str] = [
     "j4_key_set_difference",
     "u1_union_by_name",
     "a2_a4_kpi_cards",
-    "a5_value_counts",
-    "a6_kpi_by_group",
+    # a5_value_counts / a6_kpi_by_group /
     # a6_states_by_group / a8_pivot_counts / a9_pct_within_group /
     # o2_o4_sort_page / o3_distinct_sorted / p8_p9_filter_search /
     # p10_scatter_points rotated out to stay at 50 (all r02-green,
