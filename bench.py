@@ -52,6 +52,8 @@ HEADLINE = [
     "doc_chunks",               # narrow-map context-window chunking
     "semdedup_survivors",       # k-means-bounded semantic dedup
     "zorder_layout",            # Morton-key layout manifest
+    "bpe_merges",               # iterative vocab learning on word table
+    "dsir_weights",             # target-vs-raw importance scoring
 ]
 
 
