@@ -89,18 +89,22 @@ def bpe_learn(docs: DataFrame, n_merges: int = 6,
                 "pair_count bigint")
 
 
-def duck_bpe_sql(n_merges: int = 6,
-                 duck_tokens: str =
-                 "string_split_regex(trim(text), '\\s+')") -> str:
-    """DuckDB twin of :func:`bpe_learn`: the same word-frequency base,
-    and each round's pair-count → argmax → two-pass replace unrolled as
-    CTEs (zip pairs via parallel unnest of shifted list slices)."""
+def duck_bpe_ctes(n_merges: int = 6,
+                  duck_tokens: str =
+                  "string_split_regex(trim(text), '\\s+')"
+                  ) -> tuple[list[str], str]:
+    """Shared unrolled-round CTE prefix for the BPE oracles: the
+    word-frequency base and each round's pair-count → argmax → two-pass
+    replace (pairs zipped via parallel unnest of shifted list slices).
+    Returns ``(ctes, final_symbol_cte)``; each ``s{r}`` CTE carries
+    ``(w, cnt, s)`` so both the training and the encode oracle can
+    consume it."""
     ctes = [f"""w0 AS (
   SELECT w, COUNT(*) AS cnt
   FROM (SELECT unnest({duck_tokens}) AS w FROM documents)
   WHERE w <> '' GROUP BY w)""",
             """s0 AS (
-  SELECT cnt, array_to_string(regexp_extract_all(w, '.'), ' ') AS s
+  SELECT w, cnt, array_to_string(regexp_extract_all(w, '.'), ' ') AS s
   FROM w0)"""]
     for r in range(n_merges):
         ctes.append(f"""p{r} AS (
@@ -116,11 +120,69 @@ def duck_bpe_sql(n_merges: int = 6,
         pat = "' ' || b.p1 || ' ' || b.p2 || ' '"
         rep = "' ' || b.p1 || b.p2 || ' '"
         ctes.append(f"""s{r + 1} AS (
-  SELECT cnt,
+  SELECT w, cnt,
          trim(replace(replace(' ' || s || ' ', {pat}, {rep}),
                       {pat}, {rep})) AS s
   FROM s{r} CROSS JOIN b{r} b)""")
+    return ctes, f"s{n_merges}"
+
+
+def duck_bpe_sql(n_merges: int = 6,
+                 duck_tokens: str =
+                 "string_split_regex(trim(text), '\\s+')") -> str:
+    """DuckDB twin of :func:`bpe_learn` (the merge table)."""
+    ctes, _ = duck_bpe_ctes(n_merges, duck_tokens)
     rows = "\nUNION ALL ".join(
         f"SELECT {r} AS round, p1, p2, p1 || p2 AS merged, c AS pair_count "
         f"FROM b{r}" for r in range(n_merges))
     return "WITH " + ",\n".join(ctes) + f"\n{rows}\nORDER BY round"
+
+
+def bpe_encode_counts(docs: DataFrame, n_merges: int = 6,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Apply the corpus's own learned merges back to it — the encode
+    side of the tokenizer: per-document whitespace-token and BPE-token
+    budgets ``(doc_id, n_ws_tokens, n_bpe_tokens)``.
+
+    Scale shape: training touches the corpus once (see
+    :func:`bpe_learn`); encoding rebuilds the DISTINCT-WORD symbol
+    table (vocab-sized, the merge chain applied as ``n_merges`` static
+    string rewrites), then one explode + broadcast join + combinable
+    agg over the corpus. Per-token work is a hash probe — no per-row
+    Python, no shuffle beyond the final agg.
+    """
+    merges = bpe_learn(docs, n_merges=n_merges,
+                       text_col=text_col).collect()
+    words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+                 .filter(F.col("w") != "").distinct())
+    sym = "array_join(regexp_extract_all(w, '.', 0), ' ')"
+    for m in merges:
+        sym = _apply_merge(sym, m["p1"], m["p2"])
+    wtab = words.select("w", F.size(F.split(F.expr(sym), " "))
+                        .alias("n_sym"))
+    toks = (docs.select(F.col(id_col),
+                        F.explode(tokens(F.col(text_col))).alias("w"))
+                .filter(F.col("w") != ""))
+    return (toks.join(F.broadcast(wtab), "w")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_ws_tokens"),
+                     F.sum("n_sym").alias("n_bpe_tokens"))
+                .orderBy(id_col))
+
+
+def duck_bpe_encode_sql(n_merges: int = 6,
+                        duck_tokens: str =
+                        "string_split_regex(trim(text), '\\s+')") -> str:
+    """DuckDB twin of :func:`bpe_encode_counts`."""
+    ctes, final = duck_bpe_ctes(n_merges, duck_tokens)
+    return ("WITH " + ",\n".join(ctes) + f""",
+wtab AS (SELECT w, len(string_split(s, ' ')) AS n_sym FROM {final}),
+tok AS (SELECT doc_id, unnest({duck_tokens}) AS w FROM documents)
+SELECT t.doc_id,
+       COUNT(*) AS n_ws_tokens,
+       SUM(n_sym) AS n_bpe_tokens
+FROM tok t JOIN wtab ON wtab.w = t.w
+WHERE t.w <> ''
+GROUP BY t.doc_id ORDER BY t.doc_id
+""")

@@ -2377,3 +2377,25 @@ FROM rat GROUP BY doc_id ORDER BY doc_id
         "over the first 32 tokens — log-free, so bit-identical across "
         "engines.",
 )
+
+
+def _bpe_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.bpe import bpe_encode_counts
+    return bpe_encode_counts(_t(spark, sf, "documents"),
+                             n_merges=_BPE_MERGES)
+
+
+def _bpe_encode_oracle() -> str:
+    from .operators.bpe import duck_bpe_encode_sql
+    return duck_bpe_encode_sql(_BPE_MERGES, duck_tokens=_DUCK_TOKENS)
+
+
+register(
+    "bpe_token_budget",
+    _bpe_token_budget,
+    _bpe_encode_oracle(),
+    doc="BPE encode side: apply the corpus's learned merges back to it "
+        "— per-document whitespace vs BPE token budgets via a "
+        "vocab-sized symbol table (broadcast join), one corpus explode, "
+        "one combinable agg.",
+)

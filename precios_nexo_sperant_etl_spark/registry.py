@@ -65,6 +65,7 @@ _CHECK_FIRST: list[str] = [
     "semdedup_survivors",
     "zorder_layout",
     "bpe_merges",
+    "bpe_token_budget",
     "dsir_weights",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
@@ -100,8 +101,7 @@ _CHECK_FIRST: list[str] = [
     "j3_p6_change_detail",
     "j4_key_set_difference",
     "u1_union_by_name",
-    "a2_a4_kpi_cards",
-    # a5_value_counts / a6_kpi_by_group /
+    # a2_a4_kpi_cards / a5_value_counts / a6_kpi_by_group /
     # a6_states_by_group / a8_pivot_counts / a9_pct_within_group /
     # o2_o4_sort_page / o3_distinct_sorted / p8_p9_filter_search /
     # p10_scatter_points rotated out to stay at 50 (all r02-green,

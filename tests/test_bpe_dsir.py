@@ -80,3 +80,25 @@ def test_dsir_weights_favor_target_like_docs(spark):
              w.groupBy((F.col("lang") == "en").alias("is_en"))
               .agg(F.avg("dsir_weight").alias("m")).collect()}
     assert means[True] > means[False]
+
+
+def test_bpe_encode_counts_compress_monotonically(spark):
+    from precios_nexo_sperant_etl_spark.operators.bpe import (
+        bpe_encode_counts)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    zero = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_encode_counts(docs, n_merges=0).collect()}
+    six = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode_counts(docs, n_merges=6).collect()}
+    chars = {r["doc_id"]: r["n"] for r in
+             docs.select("doc_id",
+                         F.length(F.regexp_replace(F.trim("text"),
+                                                   r"\s+", "")).alias("n"))
+                 .collect()}
+    assert set(zero) == set(six) == set(chars)
+    for d in zero:
+        # 0 merges → every symbol is one character
+        assert zero[d] == chars[d]
+        # merges only ever shrink the budget, never below the ws count
+        assert six[d] < zero[d]
