@@ -701,3 +701,61 @@ ORDER BY column_name
     doc="Per-column null/distinct profile in one scan, unpivoted via "
         "stack — the schema-audit pass.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: every FK edge of the star schema in one
+# result — row counts, distinct keys, orphans (child key with no parent),
+# and null keys. The ETL gate that runs before anything joins.
+# Scale shape: one left join + combinable agg per edge; dim-side parents
+# broadcast, the two fact-fact edges shuffle on the key like any join.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    out = None
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        c = _t(spark, sf, child)
+        p = _t(spark, sf, parent).select(F.col(pk).alias("_pk")).distinct()
+        joined = c.join(p, F.col(ck) == F.col("_pk"), "left")
+        row = joined.agg(
+            F.lit(edge).alias("edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col(ck)).alias("n_keys"),
+            F.sum(F.when(F.col(ck).isNotNull() & F.col("_pk").isNull(), 1)
+                   .otherwise(0)).alias("n_orphans"),
+            F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+             .alias("n_null_keys"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge")
+
+
+_RI_SQL = "\nUNION ALL\n".join(f"""
+SELECT '{edge}' AS edge,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT c.{ck}) AS n_keys,
+       CAST(SUM(CASE WHEN c.{ck} IS NOT NULL AND p._pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(SUM(CASE WHEN c.{ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_keys
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p
+  ON c.{ck} = p._pk""" for edge, child, ck, parent, pk in _FK_EDGES)
+
+register(
+    "referential_integrity",
+    _referential_integrity,
+    _RI_SQL + "\nORDER BY edge",
+    doc="One-result referential-integrity audit of every FK edge: "
+        "rows, distinct keys, orphans, null keys per edge.",
+)
