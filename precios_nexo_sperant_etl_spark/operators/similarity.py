@@ -269,8 +269,14 @@ def semdedup_survivors(emb: DataFrame, threshold: float = 0.35,
     (Lloyd iterations included) can be value-hash-checked by an
     unrolled-CTE oracle.
     """
+    # Materialize the assignment once: three consumers below (both join
+    # sides + the anti-join base) would otherwise each replay the full
+    # k·dim argmin scan. Same bounded-lifetime localCheckpoint pattern
+    # as connected_components — storage is reclaimed on GC, nothing for
+    # the caller to unpersist.
     cells = assign_kmeans_cells(emb, n_cells=n_cells, n_iter=n_iter,
-                                id_col=id_col, vec_col=vec_col)
+                                id_col=id_col, vec_col=vec_col
+                                ).localCheckpoint(eager=True)
     a = cells.select(F.col(id_col).alias("keep_id"),
                      F.col(vec_col).alias("va"), "cell")
     b = cells.select(F.col(id_col).alias("drop_id"),
