@@ -87,3 +87,32 @@ def real_decode_placeholder(payload: bytes) -> None:
     raise NotImplementedError(
         "media decoding libraries are not available in this environment; "
         "wire PIL/torchaudio/ffmpeg into decode_batch for real payloads")
+
+
+def frame_sample_schedule(binary_df: DataFrame, interval_ms: int = 1000,
+                          max_frames: int = 8,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Deterministic frame-sampling schedule from typed metadata — the
+    PLANNING half of video frame extraction, all in the engine: one
+    sample every ``interval_ms`` capped at ``max_frames``, evenly from
+    t=0. The decode half (actually seeking those timestamps) stays
+    behind the mapInPandas seam like every other media touch.
+
+    Duration is derived from the stand-in metadata (10 ms per payload
+    byte) the same way real pipelines read it from a container-header
+    probe — the schedule math is what this operator pins. Narrow map:
+    sequence + explode, no shuffle; output rows ≤ max_frames per media
+    row regardless of duration skew.
+    """
+    dur = (F.col("meta.byte_len") * 10).alias("duration_ms")
+    n = F.least(F.lit(max_frames),
+                F.ceil(dur / F.lit(interval_ms))).cast("int")
+    return (binary_df.select(F.col(id_col), dur, n.alias("n_frames"))
+            .filter(F.col("n_frames") > 0)
+            .select(id_col, "duration_ms", "n_frames",
+                    F.explode(F.expr("sequence(0, n_frames - 1)"))
+                     .alias("frame_idx"))
+            .select(F.col(id_col), F.col("duration_ms"), F.col("n_frames"),
+                    F.col("frame_idx"),
+                    (F.col("frame_idx").cast("long") * interval_ms)
+                     .alias("sample_ms")))

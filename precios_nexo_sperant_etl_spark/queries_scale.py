@@ -2399,3 +2399,31 @@ register(
         "vocab-sized symbol table (broadcast join), one corpus explode, "
         "one combinable agg.",
 )
+
+
+def _frame_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import frame_sample_schedule
+    return frame_sample_schedule(attach_binary(_t(spark, sf, "documents")))
+
+
+register(
+    "multimodal_frame_schedule",
+    _frame_schedule,
+    """
+WITH b AS (SELECT doc_id,
+                  octet_length(encode(text)) * 10 AS duration_ms
+           FROM documents),
+s AS (SELECT doc_id, duration_ms,
+             least(8, CAST(ceil(CAST(duration_ms AS DOUBLE) / 1000)
+                           AS BIGINT)) AS n
+      FROM b)
+SELECT doc_id, duration_ms,
+       CAST(n AS INT) AS n_frames,
+       CAST(unnest(range(0, n)) AS INT) AS frame_idx,
+       unnest(range(0, n)) * 1000 AS sample_ms
+FROM s WHERE n > 0
+""",
+    doc="Deterministic frame-sampling schedule (1 frame/s, cap 8) from "
+        "typed media metadata — the planning half of frame extraction; "
+        "decode stays behind the mapInPandas seam.",
+)

@@ -68,6 +68,7 @@ _CHECK_FIRST: list[str] = [
     "bpe_token_budget",
     "dsir_weights",
     "referential_integrity",
+    "multimodal_frame_schedule",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -88,7 +89,7 @@ _CHECK_FIRST: list[str] = [
     "p11_tower_prefix",
     "p12_null_sentinels",
     "simhash_signatures",
-    "string_ops_bundle",
+    # string_ops_bundle rotated out (r01-green refresh, unchanged).
     # text_quality_score rotated out (r01-green refresh, unchanged).
     # --- r02 stamps on core anchors (everything r03-stamped rotates to
     # the back: those stamps are current, none rewritten since) ---
