@@ -76,3 +76,49 @@ def test_hash_split_total_and_stable(spark, ids):
     assert all(r["split"] in ("train", "val", "test") for r in rows)
     again = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
     assert all(again[r["doc_id"]] == r["split"] for r in rows)  # stable
+
+
+def _bpe_ref(texts, n_merges):
+    """Pure-Python BPE reference with the SAME documented semantics:
+    frequency-weighted pair argmax, (count DESC, pair ASC) tie-break,
+    two-pass non-overlapping replace merge (str.replace scans left to
+    right exactly like SQL replace)."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                words[w] += 1
+    syms = {w: " ".join(list(w)) for w in words}
+    merges = []
+    for r in range(n_merges):
+        pc = Counter()
+        for w, cnt in words.items():
+            sp = syms[w].split(" ")
+            for a, b in zip(sp, sp[1:]):
+                pc[(a, b)] += cnt
+        if not pc:
+            break
+        (p1, p2), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, p1, p2, p1 + p2, c))
+        pat, rep = f" {p1} {p2} ", f" {p1}{p2} "
+        for w in syms:
+            s = f" {syms[w]} ".replace(pat, rep).replace(pat, rep)
+            syms[w] = s.strip()
+    return merges
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+             min_size=1, max_size=12).map(" ".join),
+    min_size=1, max_size=4))
+def test_bpe_learn_matches_pure_python_reference(spark, texts):
+    from precios_nexo_sperant_etl_spark.operators.bpe import bpe_learn
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id int, text string")
+    got = [tuple(r) for r in bpe_learn(docs, n_merges=3).collect()]
+    assert got == _bpe_ref(texts, 3)
