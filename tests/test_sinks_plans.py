@@ -270,3 +270,42 @@ def test_aqe_skew_join_split_engages(spark):
     plan = qe.executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan
+
+
+def test_round4_query_plan_shapes(spark):
+    """Scale-shape assertions for the round-4 operators: the chunker and
+    frame scheduler are shuffle-free narrow maps, Z-order aggregates in
+    one exchange pair, SemDeDup's pair generation is a cell equi-join
+    (never cartesian), and DSIR's only nested-loop is the 1-row totals
+    broadcast."""
+    import __spark_entry__ as e
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        df = qs[name](spark, sf)
+        df.count()  # let AQE finalize
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan("doc_chunks")
+    assert "Exchange" not in p               # pure narrow map
+    assert "Join" not in p
+
+    p = plan("multimodal_frame_schedule")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+    p = plan("zorder_layout")
+    assert "Join" not in p                   # bit math + one agg + sort
+
+    p = plan("semdedup_survivors")
+    assert "CartesianProduct" not in p       # cell equi-join only
+
+    p = plan("dsir_weights")
+    assert "CartesianProduct" not in p
+    # the 1-row totals frame must ride a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+    p = plan("referential_integrity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
