@@ -39,6 +39,39 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     return z
 
 
+def minmax_scaled(v: Column, lo: int, hi: int, bits: int = 16) -> Column:
+    """Scale an integer column with known domain ``[lo, hi]`` onto the
+    full ``bits``-bit range with exact integer arithmetic
+    (``(v - lo) * (2^bits - 1) div (hi - lo)``).
+
+    This is NOT cosmetic: interleaving raw values with asymmetric bit
+    widths puts one dimension's bits on top of the key, and any coarse
+    range-split (few files) then degenerates into a single-column sort.
+    Equal-width scaling is what makes the Morton key's top bits
+    alternate dimensions, so even an 8-way split already rectangles
+    both. Real OPTIMIZE ZORDER implementations do exactly this from
+    column stats; callers here get lo/hi from a 1-row min/max aggregate.
+    """
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    span = (1 << bits) - 1
+    num = (v.cast("long") - F.lit(lo)) * F.lit(span)
+    den = F.lit(hi - lo).cast("long")
+    # exact floor-div in Column algebra: strip the remainder (exact
+    # integer %), then the double division is of an exact multiple and
+    # rounds to the exact integer quotient (all values << 2^53).
+    return ((num - num % den) / den).cast("long")
+
+
+def duck_minmax_scaled(v: str, lo: str, hi: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`minmax_scaled`; ``lo``/``hi`` may be scalar
+    subqueries so the oracle derives the same stats from the data."""
+    span = (1 << bits) - 1
+    return (f"CASE WHEN ({hi}) <= ({lo}) THEN 0 ELSE "
+            f"((CAST({v} AS BIGINT) - ({lo})) * {span}) "
+            f"// (({hi}) - ({lo})) END")
+
+
 def duck_zorder_key(x: str, y: str, bits: int = 16) -> str:
     """DuckDB twin of :func:`zorder_key` — identical bit arithmetic, so
     an oracle can reproduce keys (and any bucketing derived from them)

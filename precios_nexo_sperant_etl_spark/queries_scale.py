@@ -2250,14 +2250,19 @@ register(
 # ---------------------------------------------------------------------------
 
 def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.layout import zorder_key
+    from .operators.layout import minmax_scaled, zorder_key
     o = _t(spark, sf, "orders")
     x = F.col("o_custkey")
     y = F.datediff(F.col("o_orderdate"),
                    F.lit("1995-01-01").cast("date")).cast("int")
-    z = zorder_key(x, y, bits=16)
+    # column stats for equal-width scaling — the same 1-row collect an
+    # OPTIMIZE ZORDER pass does; the oracle derives identical values
+    # via scalar subqueries.
+    st = o.agg(F.min(x), F.max(x), F.min(y), F.max(y)).collect()[0]
+    z = zorder_key(minmax_scaled(x, st[0], st[1], 16),
+                   minmax_scaled(y, st[2], st[3], 16), bits=16)
     return (o.select(z.alias("zkey"), x.alias("ck"), y.alias("dy"))
-             .groupBy(F.shiftright(F.col("zkey"), 14).alias("file_bucket"))
+             .groupBy(F.shiftright(F.col("zkey"), 26).alias("file_bucket"))
              .agg(F.count(F.lit(1)).alias("n_rows"),
                   F.min("ck").alias("custkey_min"),
                   F.max("ck").alias("custkey_max"),
@@ -2267,11 +2272,19 @@ def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _zorder_oracle() -> str:
-    from .operators.layout import duck_zorder_key
+    from .operators.layout import duck_minmax_scaled, duck_zorder_key
     y = "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)"
-    z = duck_zorder_key("o_custkey", y, bits=16)
+    xs = duck_minmax_scaled(
+        "o_custkey",
+        "(SELECT MIN(o_custkey) FROM orders)",
+        "(SELECT MAX(o_custkey) FROM orders)", 16)
+    ys = duck_minmax_scaled(
+        y,
+        f"(SELECT MIN({y}) FROM orders)",
+        f"(SELECT MAX({y}) FROM orders)", 16)
+    z = duck_zorder_key(xs, ys, bits=16)
     return f"""
-SELECT ({z} >> 14) AS file_bucket,
+SELECT ({z} >> 26) AS file_bucket,
        COUNT(*) AS n_rows,
        MIN(o_custkey) AS custkey_min,
        MAX(o_custkey) AS custkey_max,

@@ -166,14 +166,17 @@ def test_zorder_locality_beats_single_sort(spark):
     per-bucket ranges that are narrow in BOTH dimensions, while
     single-column sort leaves the other dimension's range at ~full
     width. Measured on real orders data."""
-    from precios_nexo_sperant_etl_spark.operators.layout import zorder_key
+    from precios_nexo_sperant_etl_spark.operators.layout import (
+        minmax_scaled, zorder_key)
 
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     x = F.col("o_custkey")
     y = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
-    stats = (o.select(x.alias("ck"), y.alias("dy"),
-                      zorder_key(x, y, 16).alias("z"))
-              .groupBy(F.shiftright(F.col("z"), 12).alias("b"))
+    st = o.agg(F.min(x), F.max(x), F.min(y), F.max(y)).collect()[0]
+    z = zorder_key(minmax_scaled(x, st[0], st[1], 16),
+                   minmax_scaled(y, st[2], st[3], 16), 16)
+    stats = (o.select(x.alias("ck"), y.alias("dy"), z.alias("z"))
+              .groupBy(F.shiftright(F.col("z"), 26).alias("b"))
               .agg((F.max("ck") - F.min("ck")).alias("wx"),
                    (F.max("dy") - F.min("dy")).alias("wy"))
               .agg(F.avg("wx").alias("ax"), F.avg("wy").alias("ay"))
@@ -184,3 +187,69 @@ def test_zorder_locality_beats_single_sort(spark):
     # both dims' average per-bucket width well under the full span
     assert stats["ax"] < 0.7 * full
     assert stats["ay"] < 0.7 * fully
+
+
+def test_zorder_write_prunes_files_in_both_dims(spark, tmp_path):
+    """The executable version of the layout claim: write orders 8-ways
+    range-partitioned (a) by custkey alone and (b) by the Morton key,
+    then read back every file's parquet footer min/max stats. A narrow
+    predicate on EITHER dimension must exclude most files under the
+    Z-order layout; the single-column sort only ever prunes its own
+    column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from precios_nexo_sperant_etl_spark.operators.layout import (
+        minmax_scaled, zorder_key)
+
+    o = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+         .select(F.col("o_custkey").alias("ck"),
+                 F.datediff(F.col("o_orderdate"),
+                            F.lit("1995-01-01").cast("date")).alias("dy")))
+    st = o.agg(F.min("ck"), F.max("ck"), F.min("dy"), F.max("dy")).collect()[0]
+    o = o.withColumn("zkey",
+                     zorder_key(minmax_scaled(F.col("ck"), st[0], st[1], 16),
+                                minmax_scaled(F.col("dy"), st[2], st[3], 16),
+                                16))
+
+    out_a = str(tmp_path / "by_custkey")
+    out_b = str(tmp_path / "by_zorder")
+    o.repartitionByRange(8, "ck").write.parquet(out_a)
+    o.repartitionByRange(8, "zkey").write.parquet(out_b)
+
+    def file_ranges(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins = {"ck": None, "dy": None}
+            maxs = {"ck": None, "dy": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        lo, hi = col.statistics.min, col.statistics.max
+                        mins[name] = lo if mins[name] is None else min(mins[name], lo)
+                        maxs[name] = hi if maxs[name] is None else max(maxs[name], hi)
+            if mins["ck"] is not None:
+                out.append((mins["ck"], maxs["ck"], mins["dy"], maxs["dy"]))
+        return out
+
+    ra, rb = file_ranges(out_a), file_ranges(out_b)
+    assert len(ra) >= 4 and len(rb) >= 4
+
+    ck_lo, ck_hi = 10, 25          # narrow custkey band
+    dy_lo, dy_hi = 100, 200        # narrow date band
+
+    def hits(ranges, lo, hi, dim):
+        i = 0 if dim == "ck" else 2
+        return sum(1 for r in ranges if not (r[i + 1] < lo or r[i] > hi))
+
+    # custkey predicate: both layouts prune (custkey sort trivially so)
+    assert hits(ra, ck_lo, ck_hi, "ck") <= len(ra) // 2
+    assert hits(rb, ck_lo, ck_hi, "ck") <= len(rb) // 2
+    # date predicate: the custkey sort cannot prune (every file spans
+    # all dates) — the Z-order layout must
+    assert hits(ra, dy_lo, dy_hi, "dy") == len(ra)
+    assert hits(rb, dy_lo, dy_hi, "dy") <= len(rb) // 2
