@@ -1,0 +1,84 @@
+"""Streaming document curation: the batch quality/language/dedup gates
+applied to a file-drop stream of documents, landing in a partitioned
+parquet lake through the exactly-once file sink.
+
+Beyond-reference (§2.9): the same Catalyst expressions the batch
+curation queries use (`text.quality_expr`, `text.lang_pred_expr`,
+canonical text hash) run unchanged under Structured Streaming — the
+"streaming twin" property the windowed KPIs already demonstrate,
+extended to the corpus-curation domain.
+
+Dedup semantics: ``dropDuplicates`` on the canonical text hash keeps the
+FIRST arrival per hash. State is one hash per distinct document —
+bounded by corpus cardinality, not stream length; for unbounded streams
+pair it with periodic state TTL or the watermarked
+``dropDuplicatesWithinWatermark`` used for events. The file sink commits
+atomically per micro-batch (write-ahead log in the checkpoint), so a
+crashed-and-restarted run neither loses nor duplicates documents.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet via a staged symlink
+    directory (the file-drop pattern; new files appearing there are
+    picked up as they arrive)."""
+    stage = os.path.join(tempfile.gettempdir(),
+                         "stream_docs_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def curated_doc_stream(docs: DataFrame, quality_min: float = 0.5,
+                       dedup: bool = True) -> DataFrame:
+    """The batch gates as a streaming transformation: quality score,
+    language prediction, token budget, canonical hash; optionally
+    first-arrival dedup on the hash."""
+    from ..operators.dedup_fuzzy import canonical_text
+    from ..operators.text import (BPE_ISH_PATTERN, lang_pred_expr,
+                                  quality_expr)
+
+    gated = (docs.select(
+        "doc_id", "lang", "source", "text",
+        quality_expr(F.col("text")).alias("quality"),
+        lang_pred_expr(F.col("text")).alias("lang_pred"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_tokens"),
+        F.md5(canonical_text(F.col("text"))).alias("text_hash"))
+        .filter((F.col("quality") >= quality_min)
+                & (F.col("lang_pred") != "und")))
+    return gated.dropDuplicates(["text_hash"]) if dedup else gated
+
+
+def stream_curated_to_lake(spark: SparkSession, sf_dir: str, out_dir: str,
+                           timeout_s: int = 180) -> None:
+    """Land the curated stream in ``out_dir`` partitioned by lang via
+    the exactly-once streaming file sink (availableNow: drain what is
+    there, then stop — the batch-backfill idiom)."""
+    curated = curated_doc_stream(stream_documents(spark, sf_dir))
+    ckpt = os.path.join(out_dir, "_checkpoint")
+    q = (curated.writeStream.format("parquet")
+         .option("path", os.path.join(out_dir, "docs"))
+         .option("checkpointLocation", ckpt)
+         .partitionBy("lang")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)

@@ -253,3 +253,54 @@ def test_streaming_parquet_upsert_multi_batch_no_loss(spark, tmp_path):
     assert rows[2]["value"] == 99.0        # later batch won the key
     assert rows[1]["event_type"] == "view"
     assert spark.conf.get(conf_key, None) == before
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """The curation gates are streaming twins of the batch expressions:
+    gate-only output matches the batch gate row-for-row, dedup keeps
+    exactly one row per distinct canonical hash, and the lake landing is
+    partitioned by lang with nothing lost."""
+    from pyspark.sql import functions as F
+
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
+        canonical_text)
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        BPE_ISH_PATTERN, lang_pred_expr, quality_expr)
+    from precios_nexo_sperant_etl_spark.streaming.stream_curation import (
+        curated_doc_stream, stream_curated_to_lake, stream_documents)
+
+    sf = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf}/documents.parquet")
+    batch_gated = (batch.select(
+        "doc_id",
+        quality_expr(F.col("text")).alias("quality"),
+        lang_pred_expr(F.col("text")).alias("lang_pred"),
+        F.md5(canonical_text(F.col("text"))).alias("text_hash"))
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und")))
+    want_ids = {r["doc_id"] for r in batch_gated.collect()}
+    want_hashes = {r["text_hash"] for r in batch_gated.collect()}
+
+    # gate-only stream == batch gate, row for row
+    gate_only = curated_doc_stream(stream_documents(spark, sf), dedup=False)
+    q = (gate_only.writeStream.format("memory").queryName("cur_gate")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("cur_gate").collect()
+    assert {r["doc_id"] for r in got} == want_ids
+
+    # dedup keeps exactly one row per distinct hash
+    deduped = curated_doc_stream(stream_documents(spark, sf), dedup=True)
+    q = (deduped.writeStream.format("memory").queryName("cur_dedup")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("cur_dedup").collect()
+    assert len(rows) == len(want_hashes)
+    assert {r["text_hash"] for r in rows} == want_hashes
+
+    # lake landing: partitioned by lang, same number of curated docs
+    out = str(tmp_path / "curated_lake")
+    stream_curated_to_lake(spark, sf, out)
+    landed = spark.read.parquet(f"{out}/docs")
+    assert landed.count() == len(want_hashes)
+    import glob
+    assert glob.glob(f"{out}/docs/lang=*"), "not partitioned by lang"
