@@ -253,3 +253,38 @@ def test_zorder_write_prunes_files_in_both_dims(spark, tmp_path):
     # all dates) — the Z-order layout must
     assert hits(ra, dy_lo, dy_hi, "dy") == len(ra)
     assert hits(rb, dy_lo, dy_hi, "dy") <= len(rb) // 2
+
+
+def test_semdedup_within_cell_recall_floor(spark):
+    """SemDeDup trades recall for the Σ cell² cost bound: only pairs
+    sharing a k-means cell are examined, so cross-cell similar pairs are
+    missed by design (the paper's regime is high-τ near-identical
+    content, which co-clusters; the LSH operator is the high-recall path
+    for moderate τ). Pin the measured floor so a clustering regression
+    (e.g. degenerate single-dimension cells) can't silently pass."""
+    from precios_nexo_sperant_etl_spark.functions.exact import ddot
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        assign_kmeans_cells)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tau = 0.35
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cos = (ddot(F.col("va"), F.col("vb"))
+           / (F.sqrt(ddot(F.col("va"), F.col("va")))
+              * F.sqrt(ddot(F.col("vb"), F.col("vb")))))
+    exact = (F.broadcast(a).crossJoin(b).filter(F.col("ia") < F.col("ib"))
+             .filter(cos >= tau).select("ia", "ib").cache())
+    n_exact = exact.count()
+    assert n_exact > 100  # fixture must exercise the regime at all
+    cells = assign_kmeans_cells(emb)
+    within = (exact
+              .join(cells.select(F.col("vec_id").alias("ia"),
+                                 F.col("cell").alias("ca")), "ia")
+              .join(cells.select(F.col("vec_id").alias("ib"),
+                                 F.col("cell").alias("cb")), "ib")
+              .filter(F.col("ca") == F.col("cb")).count())
+    exact.unpersist()
+    # measured 0.335 on this fixture; a degenerate clustering (all
+    # pairs split across cells) would drop toward 1/n_cells * skew ≈ 0.1
+    assert within / n_exact >= 0.25
