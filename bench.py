@@ -54,6 +54,8 @@ HEADLINE = [
     "zorder_layout",            # Morton-key layout manifest
     "bpe_merges",               # iterative vocab learning on word table
     "dsir_weights",             # target-vs-raw importance scoring
+    "referential_integrity",    # FK audit joins across the star schema
+    "multimodal_frame_schedule",  # narrow-map media sampling schedule
 ]
 
 
