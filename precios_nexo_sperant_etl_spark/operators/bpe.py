@@ -49,6 +49,15 @@ def bpe_learn(docs: DataFrame, n_merges: int = 6,
     Driver involvement per round is one 1-row collect (the argmax pair)
     — the same k×1 pattern as ``assign_kmeans_cells``'s centroids; all
     counting and rewriting is distributed.
+
+    Regime note: each round appends two ``replace`` calls to the symbol
+    expression and pays one pair-count aggregation, so this shape is
+    right for merge counts up to the low hundreds (analysis, ablations,
+    small vocabs). A full 32k-merge production vocab needs the
+    incremental pair-cache algorithm (only counts touching the merged
+    pair change per round) — a different driver loop over the same
+    distributed primitives, out of scope here and documented so nobody
+    scales this one silently.
     """
     spark = docs.sparkSession
     words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))

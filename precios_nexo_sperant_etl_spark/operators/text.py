@@ -467,6 +467,11 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 32, step: int = 24,
     """
     if step <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and step must be positive")
+    if step > chunk_size:
+        # a stride past the window would silently DROP the tokens in
+        # the gap — never a curation intent; fail loudly instead.
+        raise ValueError(
+            f"step ({step}) > chunk_size ({chunk_size}) would skip tokens")
     tk = tokens(F.col(text_col))
     chunks = F.expr(
         f"transform(sequence(0, CAST((size(tk) - 1) / {step} AS INT)), "

@@ -288,3 +288,12 @@ def test_semdedup_within_cell_recall_floor(spark):
     # measured 0.335 on this fixture; a degenerate clustering (all
     # pairs split across cells) would drop toward 1/n_cells * skew ≈ 0.1
     assert within / n_exact >= 0.25
+
+
+def test_chunk_documents_rejects_token_dropping_stride(spark):
+    import pytest as _pytest
+
+    from precios_nexo_sperant_etl_spark.operators.text import chunk_documents
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="skip tokens"):
+        chunk_documents(docs, chunk_size=8, step=9)
