@@ -197,6 +197,76 @@ def assign_kmeans_cells(emb: DataFrame, n_cells: int = 10, n_iter: int = 3,
     return emb.withColumn(cell_col, _assign(centroids))
 
 
+def assign_cells_arrow(emb: DataFrame, centroids: list[list[float]],
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       cell_col: str = "cell") -> DataFrame:
+    """Vectorized nearest-centroid assignment: Arrow-batched
+    ``mapInPandas``, one numpy ``(B×d)·(d×k)`` matmul per batch.
+
+    This is the documented 100 TB path for the assign phase (the
+    interpreted per-cell fold is O(n·k·d) with expression-tree
+    constants; the matmul is the same arithmetic at BLAS speed).
+    Tie-break matches the fold (smallest cell index among equal
+    distances — numpy argmin picks the first minimum), but float
+    SUMMATION ORDER differs from the sequential fold, so assignments
+    can differ on exact distance ties at ulp level: use this for
+    throughput, keep the fold path for oracle-checked queries.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    c = np.asarray(centroids, dtype=np.float64)          # k×d
+    cn = (c * c).sum(axis=1)                             # |c|² per cell
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    # copy the fields: StructType.add mutates in place, and emb.schema
+    # hands back the DataFrame's cached instance
+    out_schema = StructType(list(emb.schema.fields)
+                            + [StructField(cell_col, IntegerType())])
+
+    def _batches(it):
+        for pdf in it:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((v * v).sum(axis=1)[:, None]
+                  - 2.0 * (v @ c.T) + cn[None, :])
+            pdf = pdf.copy()
+            pdf[cell_col] = d2.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return emb.mapInPandas(_batches, out_schema)
+
+
+def assign_kmeans_cells_arrow(emb: DataFrame, n_cells: int = 10,
+                              n_iter: int = 3, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              cell_col: str = "cell") -> DataFrame:
+    """:func:`assign_kmeans_cells` with the Arrow matmul doing every
+    assignment pass; centroid recompute stays the id-ordered exact fold
+    (``label_centroids``), so iterations see the same centroids as the
+    fold path whenever the assignments agree. Equivalence on real data
+    is pinned in tests; the fold path remains the oracle surface.
+    """
+    first = (emb.orderBy(id_col).limit(n_cells)
+                .select(vec_col).collect())
+    centroids = [list(r[0]) for r in first]
+    for _ in range(n_iter):
+        assigned = assign_cells_arrow(emb, centroids, id_col=id_col,
+                                      vec_col=vec_col, cell_col=cell_col)
+        means = (label_centroids(assigned, vec_col=vec_col, id_col=id_col,
+                                 group_col=cell_col)
+                 .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r[cell_col], {})[r["dim"]] = r["centroid"]
+        centroids = [
+            [by_cell[ci][d] for d in sorted(by_cell[ci])]
+            if ci in by_cell else centroids[ci]
+            for ci in range(n_cells)
+        ]
+    return assign_cells_arrow(emb, centroids, id_col=id_col,
+                              vec_col=vec_col, cell_col=cell_col)
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:

@@ -620,3 +620,19 @@ def test_cluster_aware_split_never_straddles(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert cluster_of[0] == cluster_of[1] == cluster_of[3] == 0
+
+
+def test_arrow_assignment_matches_fold_path(spark):
+    """The Arrow matmul assignment (the documented 100 TB path for the
+    k-means assign phase, 14x the interpreted fold at x30 stress) must
+    agree with the fold path on real data — same init, same exact-fold
+    centroid recompute, same first-minimum tie-break."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        assign_kmeans_cells, assign_kmeans_cells_arrow)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = {r["vec_id"]: r["cell"]
+            for r in assign_kmeans_cells(emb).collect()}
+    arrow = {r["vec_id"]: r["cell"]
+             for r in assign_kmeans_cells_arrow(emb).collect()}
+    assert fold == arrow
