@@ -636,3 +636,29 @@ def test_arrow_assignment_matches_fold_path(spark):
     arrow = {r["vec_id"]: r["cell"]
              for r in assign_kmeans_cells_arrow(emb).collect()}
     assert fold == arrow
+
+
+def test_semdedup_arrow_drops_match_join_path(spark):
+    """The per-cell matmul drop computation (paper's cluster-shard
+    regime) must produce the same drop set as the distributed pair
+    join."""
+    from pyspark.sql import functions as F
+
+    from precios_nexo_sperant_etl_spark.functions.exact import ddot
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        _norm, assign_kmeans_cells, semdedup_drops_arrow)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = assign_kmeans_cells(emb).localCheckpoint(eager=True)
+    a = cells.select(F.col("vec_id").alias("ka"),
+                     F.col("embedding").alias("va"), "cell")
+    b = cells.select(F.col("vec_id").alias("kb"),
+                     F.col("embedding").alias("vb"), "cell")
+    cos = (ddot(F.col("va"), F.col("vb"))
+           / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    join_drops = {r["kb"] for r in
+                  a.join(b, "cell").filter(F.col("ka") < F.col("kb"))
+                   .filter(cos >= 0.35).select("kb").distinct().collect()}
+    arrow_drops = {r["drop_id"] for r in
+                   semdedup_drops_arrow(cells, 0.35).collect()}
+    assert join_drops == arrow_drops and len(arrow_drops) > 0
