@@ -320,6 +320,64 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
              .orderBy("vec_a", "vec_b"))
 
 
+def semdedup_survivors_diverse(emb: DataFrame, threshold: float = 0.35,
+                               n_cells: int = 10, n_iter: int = 3,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup with the PAPER's keep policy (Abbas et al. 2023 §3):
+    within each duplicate neighborhood keep the example with the LOWEST
+    cosine to its cluster centroid — edge examples survive, prototypes
+    are dropped, which preserves diversity where min-id keeps an
+    arbitrary member.
+
+    Mechanics: rank vectors within each cell by (centroid cosine ASC,
+    id ASC); drop every vector that has a LOWER-RANK neighbor at
+    cosine >= threshold. With rank = id order this degenerates to
+    :func:`semdedup_survivors`; the rank is the only difference.
+    Centroid cosines are sequential folds against the bit-stable
+    collected centroids, so the survivor set is engine-reproducible and
+    the whole chain (Lloyd + centroids + ranking + drops) has an
+    unrolled-CTE oracle.
+    """
+    from pyspark.sql import Window
+
+    cells = assign_kmeans_cells(emb, n_cells=n_cells, n_iter=n_iter,
+                                id_col=id_col, vec_col=vec_col
+                                ).localCheckpoint(eager=True)
+    means = (label_centroids(cells, vec_col=vec_col, id_col=id_col,
+                             group_col="cell").collect())
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["centroid"]
+
+    ccos = None
+    for ci in sorted(by_cell):
+        carr = F.array(*[F.lit(float(by_cell[ci][d]))
+                         for d in sorted(by_cell[ci])])
+        c = (ddot(F.col(vec_col), carr)
+             / (_norm(F.col(vec_col)) * _norm(carr)))
+        ccos = c if ccos is None else F.when(F.col("cell") == ci, c).otherwise(ccos)
+    # build as nested when from the last cell outward; order irrelevant
+    # since cells are disjoint
+    ranked = cells.withColumn("ccos", ccos).withColumn(
+        "rnk", F.row_number().over(
+            Window.partitionBy("cell").orderBy(F.asc("ccos"),
+                                               F.asc(id_col))))
+    a = ranked.select(F.col(id_col).alias("ka"), F.col(vec_col).alias("va"),
+                      "cell", F.col("rnk").alias("ra"))
+    b = ranked.select(F.col(id_col).alias("kb"), F.col(vec_col).alias("vb"),
+                      "cell", F.col("rnk").alias("rb"))
+    drops = (a.join(b, "cell")
+              .filter(F.col("ra") < F.col("rb"))
+              .filter((ddot(F.col("va"), F.col("vb"))
+                       / (_norm(F.col("va")) * _norm(F.col("vb"))))
+                      >= threshold)
+              .select("kb").distinct())
+    return (ranked.join(drops, ranked[id_col] == drops["kb"], "left_anti")
+                  .select(F.col(id_col), F.col("cell"))
+                  .orderBy(id_col))
+
+
 def semdedup_drops_arrow(cells: DataFrame, threshold: float,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",

@@ -2440,3 +2440,51 @@ FROM s WHERE n > 0
         "typed media metadata — the planning half of frame extraction; "
         "decode stays behind the mapInPandas seam.",
 )
+
+
+def _semdedup_diverse(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import semdedup_survivors_diverse
+    return semdedup_survivors_diverse(_t(spark, sf, "embeddings"),
+                                      threshold=_SEMDEDUP_TAU,
+                                      n_cells=10, n_iter=3)
+
+
+def _semdedup_diverse_oracle(threshold: float, n_cells: int = 10,
+                             n_iter: int = 3) -> str:
+    ctes, final = _duck_lloyd_ctes(n_cells, n_iter)
+    ccos = (f"{_duck_dot('a.embedding', 'c.centroid')} / "
+            f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "
+            f"sqrt({_duck_dot('c.centroid', 'c.centroid')}))")
+    cos_ab = (f"{_duck_dot('a.embedding', 'b.embedding')} / "
+              f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "
+              f"sqrt({_duck_dot('b.embedding', 'b.embedding')}))")
+    return ("WITH " + ",\n".join(ctes) + f""",
+centf AS (SELECT * FROM {_duck_cent_from(final)}),
+cc AS (
+  SELECT a.vec_id, a.embedding, a.cell, {ccos} AS ccos
+  FROM {final} a JOIN centf c ON c.cell = a.cell),
+rk AS (
+  SELECT vec_id, embedding, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY ccos ASC, vec_id ASC) AS rnk
+  FROM cc),
+drops AS (
+  SELECT DISTINCT b.vec_id AS d
+  FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk
+  WHERE {cos_ab} >= {threshold})
+SELECT vec_id, cell FROM rk
+WHERE vec_id NOT IN (SELECT d FROM drops)
+ORDER BY vec_id
+""")
+
+
+register(
+    "semdedup_diverse",
+    _semdedup_diverse,
+    _semdedup_diverse_oracle(_SEMDEDUP_TAU),
+    doc="SemDeDup with the paper's keep policy: within each duplicate "
+        "neighborhood the member FARTHEST from its cluster centroid "
+        "survives (diversity-preserving), via a per-cell (centroid "
+        "cosine, id) rank. Full unrolled-CTE oracle over Lloyd + "
+        "centroids + ranking + drops.",
+)

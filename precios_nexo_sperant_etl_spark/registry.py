@@ -69,6 +69,7 @@ _CHECK_FIRST: list[str] = [
     "dsir_weights",
     "referential_integrity",
     "multimodal_frame_schedule",
+    "semdedup_diverse",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -88,8 +89,8 @@ _CHECK_FIRST: list[str] = [
     "o2_natural_sort",
     "p11_tower_prefix",
     "p12_null_sentinels",
-    "simhash_signatures",
-    # string_ops_bundle rotated out (r01-green refresh, unchanged).
+    # simhash_signatures / string_ops_bundle rotated out (r01-green
+    # refreshes, unchanged).
     # text_quality_score rotated out (r01-green refresh, unchanged).
     # --- r02 stamps on core anchors (everything r03-stamped rotates to
     # the back: those stamps are current, none rewritten since) ---

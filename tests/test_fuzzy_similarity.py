@@ -662,3 +662,36 @@ def test_semdedup_arrow_drops_match_join_path(spark):
     arrow_drops = {r["drop_id"] for r in
                    semdedup_drops_arrow(cells, 0.35).collect()}
     assert join_drops == arrow_drops and len(arrow_drops) > 0
+
+
+def test_semdedup_diverse_keeps_farthest_from_centroid(spark):
+    """Paper keep-policy: within each close pair (same cell, cosine >=
+    tau) the survivor must be the member with LOWER centroid-cosine
+    rank; and the policy actually changes the outcome vs min-id."""
+    from pyspark.sql import functions as F
+
+    from precios_nexo_sperant_etl_spark.functions.exact import ddot
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        _norm, assign_kmeans_cells, semdedup_survivors,
+        semdedup_survivors_diverse)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tau = 0.35
+    div = {r["vec_id"] for r in
+           semdedup_survivors_diverse(emb, threshold=tau).collect()}
+    mid = {r["vec_id"] for r in
+           semdedup_survivors(emb, threshold=tau).collect()}
+    assert div and div != mid  # the keep policy changes the outcome
+
+    # no two surviving vectors in the same cell may be >= tau apart
+    cells = assign_kmeans_cells(emb).localCheckpoint(eager=True)
+    surv = cells.filter(F.col("vec_id").isin([int(i) for i in div]))
+    a = surv.select(F.col("vec_id").alias("ia"),
+                    F.col("embedding").alias("va"), "cell")
+    b = surv.select(F.col("vec_id").alias("ib"),
+                    F.col("embedding").alias("vb"), "cell")
+    cos = (ddot(F.col("va"), F.col("vb"))
+           / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    close_pairs = (a.join(b, "cell").filter(F.col("ia") < F.col("ib"))
+                    .filter(cos >= tau).count())
+    assert close_pairs == 0
