@@ -87,6 +87,24 @@ def run_semdedup_phases(emb: DataFrame, n_cells: int,
     return t_assign, t_pairs, n_surv
 
 
+def run_semdedup_arrow(emb: DataFrame, n_cells: int,
+                       threshold: float = 0.35) -> tuple[float, float, int]:
+    """Same two phases through the Arrow gear: matmul assignment
+    (``assign_kmeans_cells_arrow``) and per-cell matmul drops
+    (``semdedup_drops_arrow``)."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        assign_kmeans_cells_arrow, semdedup_drops_arrow)
+    t0 = time.time()
+    cells = assign_kmeans_cells_arrow(emb, n_cells=n_cells,
+                                      n_iter=1).localCheckpoint(eager=True)
+    t_assign = time.time() - t0
+    t0 = time.time()
+    drops = semdedup_drops_arrow(cells, threshold)
+    n_surv = (cells.join(drops, cells["vec_id"] == drops["drop_id"],
+                         "left_anti").count())
+    return t_assign, time.time() - t0, n_surv
+
+
 def run_bpe(docs: DataFrame, n_merges: int = 4) -> tuple[float, int]:
     from precios_nexo_sperant_etl_spark.operators.bpe import bpe_learn
     from precios_nexo_sperant_etl_spark.operators.text import tokens
@@ -112,6 +130,9 @@ def main() -> None:
         t_assign, t_pairs, n_surv = run_semdedup_phases(emb,
                                                         n_cells=10 * k)
         spark.catalog.clearCache()
+        ta_arrow, tp_arrow, n_surv_a = run_semdedup_arrow(emb,
+                                                          n_cells=10 * k)
+        spark.catalog.clearCache()
         docs = exploded_docs(spark, sf_dir, k).localCheckpoint()
         t_bpe, vocab = run_bpe(docs)
         spark.catalog.clearCache()
@@ -119,6 +140,9 @@ def main() -> None:
                "semdedup_assign_s": round(t_assign, 2),
                "semdedup_pairs_s": round(t_pairs, 2),
                "survivors": n_surv,
+               "arrow_assign_s": round(ta_arrow, 2),
+               "arrow_pairs_s": round(tp_arrow, 2),
+               "arrow_survivors": n_surv_a,
                "bpe_wall_s": round(t_bpe, 2), "vocab": vocab}
         results.append(row)
         print(json.dumps(row), flush=True)
