@@ -20,23 +20,35 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` bits of two non-negative integer
-    columns into a Morton key (x in even bit positions, y in odd).
+def zorder_key_n(cols: list[Column], bits: int = 16) -> Column:
+    """N-dimensional Morton key: bit ``i`` of column ``j`` lands at key
+    position ``i * n + j``, so the key's top bits cycle through every
+    dimension — the property that makes coarse range-splits rectangle
+    ALL dimensions at once (scale each column to equal bit width with
+    :func:`minmax_scaled` first).
 
-    Unrolled at plan-build time into ``2 * bits`` constant shift/mask
+    Unrolled at plan-build time into ``n * bits`` constant shift/mask
     terms — Catalyst folds them into one codegen'd expression; cost is
     a few dozen ALU ops per row, no memory traffic.
     """
-    if not 1 <= bits <= 31:
-        raise ValueError("bits must be in [1, 31]")
-    xl = x.cast("long")
-    yl = y.cast("long")
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if not 1 <= bits * n <= 63:
+        raise ValueError(f"{n} dims x {bits} bits exceeds a 63-bit key")
     z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)), 2 * i))
-        z = z.bitwiseOR(F.shiftleft(F.shiftright(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    for j, c in enumerate(cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(cl, i).bitwiseAND(F.lit(1)), i * n + j))
     return z
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Two-dimensional Morton key (x in even bit positions, y in odd) —
+    the common case, delegating to :func:`zorder_key_n`."""
+    return zorder_key_n([x, y], bits=bits)
 
 
 def minmax_scaled(v: Column, lo: int, hi: int, bits: int = 16) -> Column:

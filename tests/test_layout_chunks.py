@@ -297,3 +297,35 @@ def test_chunk_documents_rejects_token_dropping_stride(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with _pytest.raises(ValueError, match="skip tokens"):
         chunk_documents(docs, chunk_size=8, step=9)
+
+
+def test_zorder_key_n_three_dims(spark):
+    from precios_nexo_sperant_etl_spark.operators.layout import zorder_key_n
+
+    rows = [(5, 3, 6), (0, 0, 0), (255, 255, 255), (1, 0, 0),
+            (0, 1, 0), (0, 0, 1)]
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    got = [r["m"] for r in df.select(
+        zorder_key_n([F.col("x"), F.col("y"), F.col("z")], bits=8)
+        .alias("m")).collect()]
+
+    def morton3(x, y, z):
+        m = 0
+        for i in range(8):
+            m |= ((x >> i) & 1) << (3 * i)
+            m |= ((y >> i) & 1) << (3 * i + 1)
+            m |= ((z >> i) & 1) << (3 * i + 2)
+        return m
+
+    assert got == [morton3(*r) for r in rows]
+    # unit vectors land on distinct low bits
+    assert got[3:] == [1, 2, 4]
+
+
+def test_zorder_key_n_rejects_key_overflow(spark):
+    import pytest as _pytest
+
+    from precios_nexo_sperant_etl_spark.operators.layout import zorder_key_n
+    with _pytest.raises(ValueError, match="63-bit"):
+        zorder_key_n([F.col("a"), F.col("b"), F.col("c"), F.col("d")],
+                     bits=16)
