@@ -2488,3 +2488,66 @@ register(
         "cosine, id) rank. Full unrolled-CTE oracle over Lloyd + "
         "centroids + ranking + drops.",
 )
+
+
+def _zorder_layout3(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.layout import minmax_scaled, zorder_key_n
+    o = _t(spark, sf, "orders")
+    x = F.col("o_custkey")
+    y = F.datediff(F.col("o_orderdate"),
+                   F.lit("1995-01-01").cast("date")).cast("int")
+    # integer cents via floor (NOT a bare cast: Spark casts truncate
+    # where DuckDB casts round — floor first is identical on both)
+    p = F.floor(F.col("o_totalprice") * 100).cast("long")
+    st = o.agg(F.min(x), F.max(x), F.min(y), F.max(y),
+               F.min(p), F.max(p)).collect()[0]
+    z = zorder_key_n([minmax_scaled(x, st[0], st[1], 16),
+                      minmax_scaled(y, st[2], st[3], 16),
+                      minmax_scaled(p, st[4], st[5], 16)], bits=16)
+    return (o.select(z.alias("zkey"), x.alias("ck"), y.alias("dy"),
+                     p.alias("cents"))
+             .groupBy(F.shiftright(F.col("zkey"), 42).alias("file_bucket"))
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
+                  F.min("dy").alias("day_min"), F.max("dy").alias("day_max"),
+                  F.min("cents").alias("cents_min"),
+                  F.max("cents").alias("cents_max"))
+             .orderBy("file_bucket"))
+
+
+def _zorder3_oracle() -> str:
+    from .operators.layout import duck_minmax_scaled
+    y = "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)"
+    p = "CAST(floor(o_totalprice * 100) AS BIGINT)"
+    xs = duck_minmax_scaled("o_custkey",
+                            "(SELECT MIN(o_custkey) FROM orders)",
+                            "(SELECT MAX(o_custkey) FROM orders)", 16)
+    ys = duck_minmax_scaled(y, f"(SELECT MIN({y}) FROM orders)",
+                            f"(SELECT MAX({y}) FROM orders)", 16)
+    ps = duck_minmax_scaled(p, f"(SELECT MIN({p}) FROM orders)",
+                            f"(SELECT MAX({p}) FROM orders)", 16)
+    terms = []
+    for j, s in enumerate((xs, ys, ps)):
+        for i in range(16):
+            terms.append(f"(((({s}) >> {i}) & 1) << {3 * i + j})")
+    z = "(" + " | ".join(terms) + ")"
+    return f"""
+SELECT ({z} >> 42) AS file_bucket,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+       MIN({y}) AS day_min, MAX({y}) AS day_max,
+       MIN({p}) AS cents_min, MAX({p}) AS cents_max
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    "zorder_layout3",
+    _zorder_layout3,
+    _zorder3_oracle(),
+    doc="Three-dimensional Morton layout manifest over (custkey, "
+        "order-day, price-cents): key bits cycle through all three "
+        "dims, so coarse buckets rectangle every dimension — min/max "
+        "pruning works for predicates on any of the three.",
+)
