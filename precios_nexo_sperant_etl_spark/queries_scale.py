@@ -2551,3 +2551,61 @@ register(
         "dims, so coarse buckets rectangle every dimension — min/max "
         "pruning works for predicates on any of the three.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-user anomaly screen: z-score outliers over event values. Variance
+# comes from exact DECIMAL sums (count / sum / sum-of-squares are
+# partition-independent), then one fixed double formula — so the flagged
+# SET is bit-reproducible, unlike a naive stddev_samp whose float
+# reduction order varies with partitioning.
+# ---------------------------------------------------------------------------
+
+def _events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    d = F.col("value").cast("decimal(18,2)")
+    stats = (ev.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(d).alias("s1"),
+                    F.sum(d * d).alias("s2")))
+    j = ev.join(stats, "user_id")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / F.col("n")
+    var = (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (j.filter((F.col("n") >= 2) & (var > 0))
+             .select("event_id", "user_id", "value", z.alias("z"))
+             .filter(F.abs(F.col("z")) > 3)
+             .orderBy("event_id"))
+
+
+register(
+    "events_anomaly_zscore",
+    _events_anomaly,
+    """
+WITH st AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+           AS s2
+  FROM events GROUP BY user_id)
+SELECT event_id, user_id, value,
+       (value - CAST(s1 AS DOUBLE) / n)
+         / sqrt((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
+         AS z
+FROM events JOIN st USING (user_id)
+WHERE n >= 2
+  AND (CAST(s2 AS DOUBLE)
+       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0
+  AND abs((value - CAST(s1 AS DOUBLE) / n)
+          / sqrt((CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 / (n - 1))) > 3
+ORDER BY event_id
+""",
+    doc="Per-user z-score anomaly screen over event values; variance "
+        "from exact DECIMAL count/sum/sum-of-squares then one fixed "
+        "double formula, so the flagged set is partition-independent.",
+)

@@ -71,6 +71,7 @@ _CHECK_FIRST: list[str] = [
     "multimodal_frame_schedule",
     "semdedup_diverse",
     "zorder_layout3",
+    "events_anomaly_zscore",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -88,8 +89,8 @@ _CHECK_FIRST: list[str] = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "o2_natural_sort",
-    "p11_tower_prefix",
-    # p12_null_sentinels rotated out (r01-green refresh, unchanged).
+    # p11_tower_prefix / p12_null_sentinels rotated out (r01-green
+    # refreshes, unchanged).
     # simhash_signatures / string_ops_bundle rotated out (r01-green
     # refreshes, unchanged).
     # text_quality_score rotated out (r01-green refresh, unchanged).
