@@ -2609,3 +2609,57 @@ ORDER BY event_id
         "from exact DECIMAL count/sum/sum-of-squares then one fixed "
         "double formula, so the flagged set is partition-independent.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics: the report an engineer reads BEFORE
+# choosing broadcast / AQE skew-join / manual salting. One combinable
+# count per key column, then tiny per-key-column stats.
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def _join_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    out = None
+    for table, key in _SKEW_KEYS:
+        t = _t(spark, sf, table)
+        per_key = t.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("c"))
+        row = per_key.agg(
+            F.lit(f"{table}.{key}").alias("join_key"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+            # hot-key share and skew factor from exact integer counts;
+            # single double division each → deterministic
+            (F.max("c").cast("double") / F.sum("c")).alias("hot_share"),
+            (F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"))
+             .alias("skew_factor"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_key")
+
+
+_SKEW_SQL = "\nUNION ALL\n".join(f"""
+SELECT '{table}.{key}' AS join_key,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS hot_share,
+       CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_factor
+FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY {key})"""
+                                 for table, key in _SKEW_KEYS)
+
+register(
+    "join_skew_report",
+    _join_skew_report,
+    _SKEW_SQL + "\nORDER BY join_key",
+    doc="Per-join-key skew report (rows, keys, hottest key, skew "
+        "factor = max/avg) — the numbers that pick broadcast vs AQE "
+        "skew-join vs manual salting.",
+)

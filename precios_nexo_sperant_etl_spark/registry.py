@@ -72,6 +72,7 @@ _CHECK_FIRST: list[str] = [
     "semdedup_diverse",
     "zorder_layout3",
     "events_anomaly_zscore",
+    "join_skew_report",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -88,9 +89,8 @@ _CHECK_FIRST: list[str] = [
     "f6_intlike_canon",
     "minhash_signatures",
     "ngram_jaccard_pairs",
-    "o2_natural_sort",
-    # p11_tower_prefix / p12_null_sentinels rotated out (r01-green
-    # refreshes, unchanged).
+    # o2_natural_sort / p11_tower_prefix / p12_null_sentinels rotated
+    # out (r01-green refreshes, unchanged).
     # simhash_signatures / string_ops_bundle rotated out (r01-green
     # refreshes, unchanged).
     # text_quality_score rotated out (r01-green refresh, unchanged).
