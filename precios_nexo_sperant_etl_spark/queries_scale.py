@@ -659,10 +659,9 @@ def _packing(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang", "doc_id"))
 
 
-register(
-    "pack_sequences_by_lang",
-    _packing,
-    """
+#: Shared recursive-CTE prefix replaying the greedy packer (also the
+#: base of the pack-efficiency rollup below).
+_PACK_RECURSIVE_SQL = """
 WITH RECURSIVE toks AS (
   SELECT lang, doc_id,
          len(regexp_extract_all(text,
@@ -681,6 +680,12 @@ packed(lang, doc_id, n_tokens, rn, seq_id, seq_fill) AS (
          CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
               THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
   FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
+"""
+
+register(
+    "pack_sequences_by_lang",
+    _packing,
+    _PACK_RECURSIVE_SQL + """
 SELECT lang, doc_id, n_tokens, seq_id, seq_fill
 FROM packed ORDER BY lang, doc_id
 """,
@@ -688,6 +693,34 @@ FROM packed ORDER BY lang, doc_id
         "language — sequential semantics via applyInPandas (numeric "
         "columns only cross the Arrow boundary); oracle replays the same "
         "recursion as a recursive CTE.",
+)
+
+
+def _pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    packed = _packing(spark, sf)
+    return (packed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.max("seq_id") + 1).alias("n_seqs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 (F.sum("n_tokens").cast("double")
+                  / ((F.max("seq_id") + 1) * 512)).alias("fill_rate"))
+            .orderBy("lang"))
+
+
+register(
+    "pack_efficiency_report",
+    _pack_efficiency,
+    _PACK_RECURSIVE_SQL + """
+SELECT lang, COUNT(*) AS n_docs,
+       MAX(seq_id) + 1 AS n_seqs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(seq_id) + 1) * 512)
+         AS fill_rate
+FROM packed GROUP BY lang ORDER BY lang
+""",
+    doc="Packing efficiency per language shard: sequences produced and "
+        "token fill rate against the 512 budget — the waste metric that "
+        "tunes budget and sharding.",
 )
 
 

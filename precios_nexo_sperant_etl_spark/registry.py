@@ -73,6 +73,8 @@ _CHECK_FIRST: list[str] = [
     "zorder_layout3",
     "events_anomaly_zscore",
     "join_skew_report",
+    "pack_efficiency_report",
+    "pack_sequences_by_lang",   # oracle refactored into shared CTE (r4)
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -87,9 +89,9 @@ _CHECK_FIRST: list[str] = [
     "f4_to_number",
     "f5_safe_num",
     "f6_intlike_canon",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    # o2_natural_sort / p11_tower_prefix / p12_null_sentinels rotated
+    # minhash_signatures rotated out (r01-green refresh, unchanged).
+    # ngram_jaccard_pairs / o2_natural_sort / p11_tower_prefix /
+    # p12_null_sentinels rotated
     # out (r01-green refreshes, unchanged).
     # simhash_signatures / string_ops_bundle rotated out (r01-green
     # refreshes, unchanged).
