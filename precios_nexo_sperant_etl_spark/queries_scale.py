@@ -2696,3 +2696,74 @@ register(
         "factor = max/avg) — the numbers that pick broadcast vs AQE "
         "skew-join vs manual salting.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold-selection curve: pairs and affected docs at each
+# candidate Jaccard cut — the plot a curator reads to pick the dedup
+# threshold. One banded candidate pass, then tiny per-threshold counts.
+# ---------------------------------------------------------------------------
+
+_CURVE_THRESHOLDS = (0.2, 0.35, 0.5, 0.65, 0.8)
+
+
+def _dedup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
+    # all banded candidates with exact Jaccard (threshold 0 keeps every
+    # candidate; the LSH banding already bounds the set)
+    pairs = minhash_dedup_pairs(_t(spark, sf, "documents"),
+                                threshold=0.0).localCheckpoint(eager=True)
+    out = None
+    for t in _CURVE_THRESHOLDS:
+        hit = pairs.filter(F.col("jaccard") >= t)
+        row = hit.agg(
+            F.lit(t).alias("threshold"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(F.col("doc_a")).alias("n_docs_a"))
+        docs = (hit.select(F.col("doc_a").alias("d"))
+                   .unionAll(hit.select(F.col("doc_b").alias("d")))
+                   .agg(F.countDistinct("d").alias("n_docs_affected")))
+        row = row.crossJoin(docs)
+        out = row if out is None else out.unionByName(row)
+    return out.select("threshold", "n_pairs", "n_docs_affected") \
+              .orderBy("threshold")
+
+
+_CURVE_BASE = f"""
+WITH {_DUCK_HS},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM cand p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2),
+jac AS (
+  SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b)
+"""
+
+_CURVE_ROWS = "\nUNION ALL\n".join(f"""
+SELECT CAST({t} AS DOUBLE) AS threshold,
+       COUNT(*) AS n_pairs,
+       (SELECT COUNT(DISTINCT d) FROM (
+          SELECT doc_a AS d FROM jac WHERE jaccard >= {t}
+          UNION ALL SELECT doc_b FROM jac WHERE jaccard >= {t}))
+         AS n_docs_affected
+FROM jac WHERE jaccard >= {t}""" for t in _CURVE_THRESHOLDS)
+
+register(
+    "dedup_threshold_curve",
+    _dedup_threshold_curve,
+    _CURVE_BASE + _CURVE_ROWS + "\nORDER BY threshold",
+    doc="Dedup threshold-selection curve over LSH candidates: pairs and "
+        "affected docs at each Jaccard cut — one banded candidate pass, "
+        "per-threshold counts are tiny aggregates.",
+)

@@ -75,6 +75,7 @@ _CHECK_FIRST: list[str] = [
     "join_skew_report",
     "pack_efficiency_report",
     "pack_sequences_by_lang",   # oracle refactored into shared CTE (r4)
+    "dedup_threshold_curve",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -88,8 +89,8 @@ _CHECK_FIRST: list[str] = [
     "f16_isclose",
     "f4_to_number",
     "f5_safe_num",
-    "f6_intlike_canon",
-    # minhash_signatures rotated out (r01-green refresh, unchanged).
+    # f6_intlike_canon / minhash_signatures rotated out (r01-green
+    # refreshes, unchanged).
     # ngram_jaccard_pairs / o2_natural_sort / p11_tower_prefix /
     # p12_null_sentinels rotated
     # out (r01-green refreshes, unchanged).
