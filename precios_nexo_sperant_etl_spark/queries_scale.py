@@ -2767,3 +2767,91 @@ register(
         "affected docs at each Jaccard cut — one banded candidate pass, "
         "per-threshold counts are tiny aggregates.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc label/prediction language mismatches — the actionable worklist
+# behind langid_confusion's aggregate matrix.
+# ---------------------------------------------------------------------------
+
+def _lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import lang_pred_expr
+    docs = _t(spark, sf, "documents")
+    return (docs.select("doc_id", "lang", "source",
+                        lang_pred_expr(F.col("text")).alias("lang_pred"))
+                .filter(F.col("lang_pred") != F.col("lang"))
+                .orderBy("doc_id"))
+
+
+register(
+    "doc_lang_mismatch",
+    _lang_mismatch,
+    f"""
+WITH t AS (SELECT doc_id, lang, source, {_DUCK_TOKENS} AS tk
+           FROM documents),
+h AS (SELECT doc_id, lang, source, {_HIT_SQL} FROM t)
+SELECT doc_id, lang, source, {_PRED_SQL} AS lang_pred
+FROM h
+WHERE {_PRED_SQL} != lang
+ORDER BY doc_id
+""",
+    doc="Per-document language label/prediction mismatches with source "
+        "attribution — the relabeling worklist behind langid_confusion.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced output sharding: round-robin docs (longest first) over
+# N shards so per-shard token totals stay within a few percent — the
+# deterministic writer layout for even training files.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+def _shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.text import BPE_ISH_PATTERN
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_tokens"))
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    # boustrophedon (snake) round-robin: longest docs spread first, each
+    # pass reverses direction so early shards don't accumulate the heavy
+    # head of every pass
+    pass_no = ((F.col("rn") - 1) / _N_SHARDS).cast("long")
+    pos = (F.col("rn") - 1) % _N_SHARDS
+    shard = F.when(pass_no % 2 == 0, pos).otherwise(_N_SHARDS - 1 - pos)
+    return (ranked.select("doc_id", "n_tokens",
+                          shard.cast("int").alias("shard"))
+                  .orderBy("doc_id"))
+
+
+register(
+    "shard_assignment",
+    _shard_assignment,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+           AS n_tokens
+  FROM documents),
+r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM t)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN ((rn - 1) // {_N_SHARDS}) % 2 = 0
+                 THEN (rn - 1) % {_N_SHARDS}
+                 ELSE {_N_SHARDS} - 1 - ((rn - 1) % {_N_SHARDS}) END
+            AS INT) AS shard
+FROM r ORDER BY doc_id
+""",
+    doc="Token-balanced snake round-robin shard assignment (8 shards, "
+        "longest-first) — deterministic near-equal shard token totals "
+        "for even training files. The global rank is the only wide op; "
+        "at real scale assign within hash-partitioned substreams.",
+)

@@ -76,6 +76,8 @@ _CHECK_FIRST: list[str] = [
     "pack_efficiency_report",
     "pack_sequences_by_lang",   # oracle refactored into shared CTE (r4)
     "dedup_threshold_curve",
+    "doc_lang_mismatch",
+    "shard_assignment",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -87,10 +89,8 @@ _CHECK_FIRST: list[str] = [
     "dedup_exact",
     "dedup_exact_survivors",
     "f16_isclose",
-    "f4_to_number",
-    "f5_safe_num",
-    # f6_intlike_canon / minhash_signatures rotated out (r01-green
-    # refreshes, unchanged).
+    # f4_to_number / f5_safe_num / f6_intlike_canon /
+    # minhash_signatures rotated out (r01-green refreshes, unchanged).
     # ngram_jaccard_pairs / o2_natural_sort / p11_tower_prefix /
     # p12_null_sentinels rotated
     # out (r01-green refreshes, unchanged).
