@@ -329,3 +329,23 @@ def test_zorder_key_n_rejects_key_overflow(spark):
     with _pytest.raises(ValueError, match="63-bit"):
         zorder_key_n([F.col("a"), F.col("b"), F.col("c"), F.col("d")],
                      bits=16)
+
+
+def test_shard_assignment_balances_tokens(spark):
+    """The snake round-robin must produce near-equal shard token totals
+    on real data (within a few percent of the mean), and every doc must
+    land in exactly one of the 8 shards."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from precios_nexo_sperant_etl_spark.queries_scale import (
+        _shard_assignment)
+
+    out = _shard_assignment(spark, SF_DIR)
+    totals = {r["shard"]: r["t"] for r in
+              out.groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+                 .collect()}
+    assert set(totals) == set(range(8))
+    mean = sum(totals.values()) / 8
+    assert max(totals.values()) <= 1.05 * mean
+    assert min(totals.values()) >= 0.95 * mean
+    assert out.count() == out.select("doc_id").distinct().count()
