@@ -304,3 +304,20 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     assert landed.count() == len(want_hashes)
     import glob
     assert glob.glob(f"{out}/docs/lang=*"), "not partitioned by lang"
+
+
+def test_streaming_curation_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the availableNow lake landing with the SAME checkpoint
+    must be a no-op: the file-sink write-ahead log already recorded the
+    batch, so no documents are duplicated or lost."""
+    from precios_nexo_sperant_etl_spark.streaming.stream_curation import (
+        stream_curated_to_lake)
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated_lake_restart")
+    stream_curated_to_lake(spark, sf, out)
+    first = spark.read.parquet(f"{out}/docs").count()
+    assert first > 0
+    # same checkpoint dir: the source sees no new files, sink replays nothing
+    stream_curated_to_lake(spark, sf, out)
+    assert spark.read.parquet(f"{out}/docs").count() == first
