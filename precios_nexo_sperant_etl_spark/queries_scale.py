@@ -2855,3 +2855,98 @@ FROM r ORDER BY doc_id
         "for even training files. The global rank is the only wide op; "
         "at real scale assign within hash-partitioned substreams.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Repeat high-spenders: customers above the yearly average in two
+# CONSECUTIVE years — the TPC-DS-style retention/value pattern (yearly
+# agg, per-year benchmark join, adjacent-year self-join).
+# ---------------------------------------------------------------------------
+
+def _repeat_high_spenders(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    yearly = (o.groupBy(F.col("o_custkey").alias("custkey"),
+                        F.year("o_orderdate").alias("yr"))
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .alias("spend")))
+    bench = (yearly.groupBy("yr")
+                   .agg((F.sum("spend") / F.count(F.lit(1)))
+                        .alias("avg_spend")))
+    hi = (yearly.join(bench, "yr")
+                .filter(F.col("spend") > F.col("avg_spend"))
+                .select("custkey", "yr"))
+    a = hi.alias("a")
+    b = hi.alias("b")
+    return (a.join(b, (F.col("a.custkey") == F.col("b.custkey"))
+                   & (F.col("b.yr") == F.col("a.yr") + 1))
+             .select(F.col("a.custkey").alias("custkey"),
+                     F.col("a.yr").alias("first_year"))
+             .orderBy("custkey", "first_year"))
+
+
+register(
+    "repeat_high_spenders",
+    _repeat_high_spenders,
+    """
+WITH yearly AS (
+  SELECT o_custkey AS custkey, EXTRACT(year FROM o_orderdate) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1, 2),
+bench AS (SELECT yr, SUM(spend) / COUNT(*) AS avg_spend
+          FROM yearly GROUP BY yr),
+hi AS (SELECT custkey, yr FROM yearly JOIN bench USING (yr)
+       WHERE spend > avg_spend)
+SELECT a.custkey AS custkey, CAST(a.yr AS INT) AS first_year
+FROM hi a JOIN hi b ON b.custkey = a.custkey AND b.yr = a.yr + 1
+ORDER BY a.custkey, first_year
+""",
+    doc="Customers above the yearly average spend in two consecutive "
+        "years (yearly agg -> benchmark join -> adjacent-year self-join).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment lag: days from order date to FIRST line shipment,
+# rolled up per priority — min-agg join + exact integer-day averages.
+# ---------------------------------------------------------------------------
+
+def _fulfillment_lag(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    first_ship = (li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+                    .agg(F.min("l_shipdate").alias("first_ship")))
+    lag = (o.join(first_ship, "o_orderkey")
+             .select("o_orderpriority",
+                     F.datediff(F.col("first_ship"),
+                                F.col("o_orderdate")).alias("lag_days")))
+    return (lag.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.min("lag_days").alias("min_days"),
+                    F.max("lag_days").alias("max_days"),
+                    (F.sum("lag_days").cast("double")
+                     / F.count(F.lit(1))).alias("avg_days"))
+               .orderBy("o_orderpriority"))
+
+
+register(
+    "order_fulfillment_lag",
+    _fulfillment_lag,
+    """
+WITH fs AS (
+  SELECT l_orderkey AS o_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY 1)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(first_ship AS DATE))) AS INT) AS min_days,
+       CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(first_ship AS DATE))) AS INT) AS max_days,
+       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(first_ship AS DATE))) AS DOUBLE) / COUNT(*)
+         AS avg_days
+FROM orders JOIN fs USING (o_orderkey)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="Days from order to first shipment per priority — min-agg join "
+        "plus exact integer-day averages (one double division).",
+)

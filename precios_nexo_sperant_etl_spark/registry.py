@@ -78,6 +78,8 @@ _CHECK_FIRST: list[str] = [
     "dedup_threshold_curve",
     "doc_lang_mismatch",
     "shard_assignment",
+    "repeat_high_spenders",
+    "order_fulfillment_lag",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -87,8 +89,8 @@ _CHECK_FIRST: list[str] = [
     # --- oldest stamps in the ledger (r01) — refresh while slots allow ---
     "ann_cosine_topk",
     "dedup_exact",
-    "dedup_exact_survivors",
-    "f16_isclose",
+    # dedup_exact_survivors / f16_isclose rotated out (r01-green
+    # refreshes, unchanged).
     # f4_to_number / f5_safe_num / f6_intlike_canon /
     # minhash_signatures rotated out (r01-green refreshes, unchanged).
     # ngram_jaccard_pairs / o2_natural_sort / p11_tower_prefix /
