@@ -2950,3 +2950,48 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
     doc="Days from order to first shipment per priority — min-agg join "
         "plus exact integer-day averages (one double division).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Discount-band revenue: disjoint CASE banding + exact decimal revenue —
+# the pricing-analytics rollup (a Q6 generalization over all bands).
+# ---------------------------------------------------------------------------
+
+def _discount_band_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    band = (F.when(F.col("l_discount") < 0.03, "00-02")
+             .when(F.col("l_discount") < 0.06, "03-05")
+             .when(F.col("l_discount") < 0.09, "06-08")
+             .otherwise("09+"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (li.groupBy(band.alias("discount_band"))
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+                   (F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                     .cast("double") / F.count(F.lit(1))).alias("avg_qty"))
+              .orderBy("discount_band"))
+
+
+register(
+    "discount_band_revenue",
+    _discount_band_revenue,
+    """
+SELECT CASE WHEN l_discount < 0.03 THEN '00-02'
+            WHEN l_discount < 0.06 THEN '03-05'
+            WHEN l_discount < 0.09 THEN '06-08'
+            ELSE '09+' END AS discount_band,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+         AS revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_qty
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+""",
+    doc="Revenue and volume per discount band — disjoint CASE banding, "
+        "exact decimal accumulation (a Q6 generalization).",
+)
