@@ -2995,3 +2995,73 @@ GROUP BY 1 ORDER BY 1
     doc="Revenue and volume per discount band — disjoint CASE banding, "
         "exact decimal accumulation (a Q6 generalization).",
 )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: recency / frequency / monetary with
+# deterministic rank-based quintiles (id tie-break, so NTILE agrees
+# across engines and partitionings).
+# ---------------------------------------------------------------------------
+
+def _customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("asof")).collect()[0]["asof"]
+    base = (o.groupBy(F.col("o_custkey").alias("custkey"))
+             .agg(F.datediff(F.lit(asof).cast("date"),
+                             F.max(F.col("o_orderdate")).cast("date"))
+                   .alias("recency_days"),
+                  F.count(F.lit(1)).alias("frequency"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .alias("monetary")))
+    # lower recency is better → ascending; higher f/m better → descending
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    return (base.withColumn("r_quintile", F.ntile(5).over(wr))
+                .withColumn("f_quintile", F.ntile(5).over(wf))
+                .withColumn("m_quintile", F.ntile(5).over(wm))
+                .select("custkey", "recency_days", "frequency", "monetary",
+                        "r_quintile", "f_quintile", "m_quintile",
+                        F.concat_ws("-", "r_quintile", "f_quintile",
+                                    "m_quintile").alias("rfm_segment"))
+                .orderBy("custkey"))
+
+
+register(
+    "customer_rfm",
+    _customer_rfm,
+    """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey)
+SELECT custkey, CAST(recency_days AS INT) AS recency_days, frequency,
+       monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS INT)
+         AS r_quintile,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS INT)
+         AS f_quintile,
+       CAST(NTILE(5) OVER (ORDER BY monetary DESC, custkey ASC) AS INT)
+         AS m_quintile,
+       CAST(NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC)
+            AS VARCHAR)
+         || '-' ||
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC)
+            AS VARCHAR)
+         || '-' ||
+       CAST(NTILE(5) OVER (ORDER BY monetary DESC, custkey ASC)
+            AS VARCHAR) AS rfm_segment
+FROM base ORDER BY custkey
+""",
+    doc="RFM segmentation with deterministic rank-based quintiles (id "
+        "tie-break) — recency vs the corpus max date, exact decimal "
+        "monetary. The global NTILEs run over the |customers| aggregate, "
+        "not the fact table; at extreme scale swap in percent_rank over "
+        "range-partitioned sorts.",
+)

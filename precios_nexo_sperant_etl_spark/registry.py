@@ -81,6 +81,7 @@ _CHECK_FIRST: list[str] = [
     "repeat_high_spenders",
     "order_fulfillment_lag",
     "discount_band_revenue",
+    "customer_rfm",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -88,8 +89,8 @@ _CHECK_FIRST: list[str] = [
     # (streaming_parquet_upsert also changed in r4 but has no oracle
     # surface — pinned by the multi-batch pytest instead.)
     # --- oldest stamps in the ledger (r01) — refresh while slots allow ---
-    "ann_cosine_topk",
-    # dedup_exact rotated out (r01-green refresh, unchanged).
+    # ann_cosine_topk / dedup_exact rotated out (r01-green refreshes,
+    # unchanged).
     # dedup_exact_survivors / f16_isclose rotated out (r01-green
     # refreshes, unchanged).
     # f4_to_number / f5_safe_num / f6_intlike_canon /
