@@ -3065,3 +3065,40 @@ FROM base ORDER BY custkey
         "not the fact table; at extreme scale swap in percent_rank over "
         "range-partitioned sorts.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size distribution: the dup-structure datasheet row —
+# how many singletons vs pairs vs larger cliques, and the heaviest
+# cluster. Tiny aggregate on top of the shared closure.
+# ---------------------------------------------------------------------------
+
+def _cluster_size_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import cluster_assignment
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    sizes = (cluster_assignment(docs, pairs)
+             .groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+                 .agg(F.count(F.lit(1)).alias("n_clusters"),
+                      (F.count(F.lit(1)) * F.col("cluster_size"))
+                       .alias("n_docs"))
+                 .orderBy("cluster_size"))
+
+
+register(
+    "neardup_cluster_sizes",
+    _cluster_size_distribution,
+    f"""{_NEARDUP_CLOSURE_SQL},
+csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           FROM assigned GROUP BY 1)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       COUNT(*) * cluster_size AS n_docs
+FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+""",
+    doc="Distribution of near-dup cluster sizes (singletons, pairs, "
+        "larger cliques, with doc mass per size) — the dup-structure "
+        "datasheet; same closure oracle as neardup_clusters.",
+)

@@ -82,6 +82,7 @@ _CHECK_FIRST: list[str] = [
     "order_fulfillment_lag",
     "discount_band_revenue",
     "customer_rfm",
+    "neardup_cluster_sizes",
     # --- rewritten in r4 after their r03 stamp (stale evidence) ---
     "quality_calibrated_filter",   # explicit order-statistic p25
     "neardup_clusters",            # CC localCheckpoint rounds
@@ -112,7 +113,7 @@ _CHECK_FIRST: list[str] = [
     "j1_left_enrich_coalesce",
     "j3_p6_change_detail",
     "j4_key_set_difference",
-    "u1_union_by_name",
+    # u1_union_by_name rotated out (r02-green, unchanged).
     # a2_a4_kpi_cards / a5_value_counts / a6_kpi_by_group /
     # a6_states_by_group / a8_pivot_counts / a9_pct_within_group /
     # o2_o4_sort_page / o3_distinct_sorted / p8_p9_filter_search /
