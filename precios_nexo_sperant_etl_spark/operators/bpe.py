@@ -86,8 +86,14 @@ def bpe_learn(docs: DataFrame, n_merges: int = 6,
         if not best:
             break  # vocabulary fully merged (tiny corpora only)
         b = best[0]
-        if "'" in b["p1"] + b["p2"]:
-            raise ValueError("symbol contains a quote; corpus not supported")
+        # Quotes would break the embedded SQL literal outright; a
+        # backslash is worse — Spark's F.expr parses C-style escapes in
+        # string literals while DuckDB takes them literally, so the two
+        # engines would silently apply DIFFERENT merges. Fail loud on
+        # both rather than mis-merge.
+        if any(ch in b["p1"] + b["p2"] for ch in ("'", "\\")):
+            raise ValueError(
+                "symbol contains a quote or backslash; corpus not supported")
         merges.append((r, b["p1"], b["p2"], b["p1"] + b["p2"], b["c"]))
         cur = cur.select(
             "cnt", F.expr(_apply_merge("s", b["p1"], b["p2"])).alias("s"))
@@ -141,8 +147,12 @@ def duck_bpe_sql(n_merges: int = 6,
                  "string_split_regex(trim(text), '\\s+')") -> str:
     """DuckDB twin of :func:`bpe_learn` (the merge table)."""
     ctes, _ = duck_bpe_ctes(n_merges, duck_tokens)
+    # CAST: DuckDB's SUM over integers widens to HUGEINT; the Spark side
+    # emits BIGINT (`pair_count bigint` in bpe_learn's schema). The
+    # driver's value-hash is type-sensitive, so pin the oracle type.
     rows = "\nUNION ALL ".join(
-        f"SELECT {r} AS round, p1, p2, p1 || p2 AS merged, c AS pair_count "
+        f"SELECT {r} AS round, p1, p2, p1 || p2 AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count "
         f"FROM b{r}" for r in range(n_merges))
     return "WITH " + ",\n".join(ctes) + f"\n{rows}\nORDER BY round"
 
@@ -190,7 +200,7 @@ wtab AS (SELECT w, len(string_split(s, ' ')) AS n_sym FROM {final}),
 tok AS (SELECT doc_id, unnest({duck_tokens}) AS w FROM documents)
 SELECT t.doc_id,
        COUNT(*) AS n_ws_tokens,
-       SUM(n_sym) AS n_bpe_tokens
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
 FROM tok t JOIN wtab ON wtab.w = t.w
 WHERE t.w <> ''
 GROUP BY t.doc_id ORDER BY t.doc_id

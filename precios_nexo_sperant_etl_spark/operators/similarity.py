@@ -226,6 +226,8 @@ def assign_cells_arrow(emb: DataFrame, centroids: list[list[float]],
 
     def _batches(it):
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # np.stack([]) raises; empty Arrow batch is legal
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             d2 = ((v * v).sum(axis=1)[:, None]
                   - 2.0 * (v @ c.T) + cn[None, :])
@@ -323,7 +325,8 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
 def semdedup_survivors_diverse(emb: DataFrame, threshold: float = 0.35,
                                n_cells: int = 10, n_iter: int = 3,
                                id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               arrow_assign: bool = False) -> DataFrame:
     """SemDeDup with the PAPER's keep policy (Abbas et al. 2023 §3):
     within each duplicate neighborhood keep the example with the LOWEST
     cosine to its cluster centroid — edge examples survive, prototypes
@@ -341,9 +344,13 @@ def semdedup_survivors_diverse(emb: DataFrame, threshold: float = 0.35,
     """
     from pyspark.sql import Window
 
-    cells = assign_kmeans_cells(emb, n_cells=n_cells, n_iter=n_iter,
-                                id_col=id_col, vec_col=vec_col
-                                ).localCheckpoint(eager=True)
+    # Same arrow_assign switch as semdedup_survivors: Arrow matmul for
+    # every Lloyd assignment pass, fold path kept as the oracle surface.
+    assign = assign_kmeans_cells_arrow if arrow_assign \
+        else assign_kmeans_cells
+    cells = assign(emb, n_cells=n_cells, n_iter=n_iter,
+                   id_col=id_col, vec_col=vec_col
+                   ).localCheckpoint(eager=True)
     means = (label_centroids(cells, vec_col=vec_col, id_col=id_col,
                              group_col="cell").collect())
     by_cell: dict[int, dict[int, float]] = {}
@@ -398,6 +405,8 @@ def semdedup_drops_arrow(cells: DataFrame, threshold: float,
     import pandas as pd
 
     def _drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:  # np.stack([]) raises on an empty group
+            return pd.DataFrame({"drop_id": pd.Series([], dtype="int64")})
         order = pdf[id_col].to_numpy().argsort(kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
@@ -416,7 +425,8 @@ def semdedup_drops_arrow(cells: DataFrame, threshold: float,
 def semdedup_survivors(emb: DataFrame, threshold: float = 0.35,
                        n_cells: int = 10, n_iter: int = 3,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       arrow_assign: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the deterministic k-means
     coarse quantizer, then WITHIN each cluster drop every vector that has
@@ -437,9 +447,17 @@ def semdedup_survivors(emb: DataFrame, threshold: float = 0.35,
     # k·dim argmin scan. Same bounded-lifetime localCheckpoint pattern
     # as connected_components — storage is reclaimed on GC, nothing for
     # the caller to unpersist.
-    cells = assign_kmeans_cells(emb, n_cells=n_cells, n_iter=n_iter,
-                                id_col=id_col, vec_col=vec_col
-                                ).localCheckpoint(eager=True)
+    #
+    # ``arrow_assign`` swaps every Lloyd assignment pass for the Arrow
+    # matmul gear (:func:`assign_kmeans_cells_arrow`) — the 100 TB
+    # default for the registered query. The fold path stays the oracle
+    # surface; fold≡arrow on real data is pinned in tests, and the two
+    # can only diverge on exact-distance ties at ulp level.
+    assign = assign_kmeans_cells_arrow if arrow_assign \
+        else assign_kmeans_cells
+    cells = assign(emb, n_cells=n_cells, n_iter=n_iter,
+                   id_col=id_col, vec_col=vec_col
+                   ).localCheckpoint(eager=True)
     a = cells.select(F.col(id_col).alias("keep_id"),
                      F.col(vec_col).alias("va"), "cell")
     b = cells.select(F.col(id_col).alias("drop_id"),

@@ -476,8 +476,12 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 32, step: int = 24,
     chunks = F.expr(
         f"transform(sequence(0, CAST((size(tk) - 1) / {step} AS INT)), "
         f"c -> slice(tk, c * {step} + 1, {chunk_size}))")
+    # size(tk) > 0 alone would pass empty/whitespace-only docs, whose
+    # tokenization is [''] — emitting a bogus chunk_text='' row with
+    # n_chunk_tokens=1. Require at least one NON-empty token, like the
+    # BPE/DSIR operators do.
     return (docs.select(F.col(id_col), tk.alias("tk"))
-            .filter(F.size("tk") > 0)
+            .filter(F.size(F.array_remove(F.col("tk"), "")) > 0)
             .select(id_col, F.posexplode(chunks).alias("chunk_id", "ctk"))
             .select(F.col(id_col),
                     F.col("chunk_id").cast("int").alias("chunk_id"),

@@ -568,13 +568,13 @@ register(
     _window_suite,
     """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       ROW_NUMBER() OVER w AS order_seq,
+       CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
        lag(o_totalprice, 1) OVER w AS prev_price,
        lead(o_totalprice, 1) OVER w AS next_price,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
             OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
        CAST(RANK() OVER (PARTITION BY o_custkey
-                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                         ORDER BY o_totalprice DESC, o_orderkey) AS INT)
          AS price_rank
 FROM orders
 WHERE o_custkey < 200

@@ -484,3 +484,55 @@ ORDER BY k, effective_ts
     doc="SCD2 merge: close changed current rows, open new versions, "
         "keep history — null-safe change detection, full-outer on keys.",
 )
+
+
+# ---------------------------------------------------------------------------
+# F22 — es-PE PEN currency formatting (reference
+# html_con_datos/index.html:104-106, Intl.NumberFormat es-PE PEN with
+# maximumFractionDigits: 0; null/NaN → "–"). Display-only in the
+# reference; pinned here on a fixture covering grouping, the half-away
+# tie at the integer boundary (both signs), null, and NaN.
+# ---------------------------------------------------------------------------
+
+_F22_ROWS = [
+    (1, 0.0),
+    (2, 1234.4),
+    (3, 1234.5),          # tie: Intl halfExpand → 1,235
+    (4, -1234.5),         # tie, negative: away from zero → -1,235
+    (5, 12345678.89),     # multi-group
+    (6, None),
+    (8, 75.25),
+]
+
+
+def _f22_money(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.currency import format_pen
+    rows = _F22_ROWS + [(7, float("nan"))]
+    df = spark.createDataFrame(rows, "id int, amount double")
+    return (df.select("id", format_pen(F.col("amount")).alias("money_pen"))
+              .orderBy("id"))
+
+
+def _f22_oracle() -> str:
+    from .functions.currency import duck_format_pen
+    body = ",\n    ".join(
+        f"({i}, {'NULL' if a is None else repr(a)})" for i, a in _F22_ROWS)
+    return f"""
+SELECT id, {duck_format_pen('amount')} AS money_pen
+FROM (SELECT CAST(id AS INT) AS id, CAST(amount AS DOUBLE) AS amount
+      FROM (VALUES
+    {body},
+    (7, CAST('NaN' AS DOUBLE))) t(id, amount))
+ORDER BY id
+"""
+
+
+register(
+    "f22_money_format",
+    _f22_money,
+    _f22_oracle(),
+    doc="F22 es-PE PEN formatter: 'S/\\u00a0<comma-grouped integer>' "
+        "with Intl's halfExpand rounding, null/NaN → '–'. Rounding "
+        "happens on exact DECIMAL before formatting, so both engines "
+        "format a plain integer.",
+)

@@ -2217,7 +2217,7 @@ register(
 WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
 s AS (SELECT doc_id, tk, len(tk) AS n,
              unnest(range(0, ((len(tk) - 1) // {_CHUNK_STEP}) + 1)) AS c
-      FROM t WHERE len(tk) > 0)
+      FROM t WHERE len(list_filter(tk, x -> x <> '')) > 0)
 SELECT doc_id,
        CAST(c AS INT) AS chunk_id,
        CAST(c * {_CHUNK_STEP} AS INT) AS chunk_start,
@@ -2242,8 +2242,12 @@ _SEMDEDUP_TAU = 0.35
 
 def _semdedup(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import semdedup_survivors
+    # arrow_assign: Lloyd assignment passes run the Arrow matmul gear;
+    # the oracle below still unrolls the fold-path CTEs (fold≡arrow on
+    # this data is pinned in tests/test_fuzzy_similarity.py).
     return semdedup_survivors(_t(spark, sf, "embeddings"),
-                              threshold=_SEMDEDUP_TAU, n_cells=10, n_iter=3)
+                              threshold=_SEMDEDUP_TAU, n_cells=10, n_iter=3,
+                              arrow_assign=True)
 
 
 def _semdedup_oracle(threshold: float, n_cells: int = 10,
@@ -2457,7 +2461,8 @@ register(
     _frame_schedule,
     """
 WITH b AS (SELECT doc_id,
-                  octet_length(encode(text)) * 10 AS duration_ms
+                  CAST(octet_length(encode(text)) * 10 AS INT)
+                    AS duration_ms
            FROM documents),
 s AS (SELECT doc_id, duration_ms,
              least(8, CAST(ceil(CAST(duration_ms AS DOUBLE) / 1000)
@@ -2479,7 +2484,8 @@ def _semdedup_diverse(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import semdedup_survivors_diverse
     return semdedup_survivors_diverse(_t(spark, sf, "embeddings"),
                                       threshold=_SEMDEDUP_TAU,
-                                      n_cells=10, n_iter=3)
+                                      n_cells=10, n_iter=3,
+                                      arrow_assign=True)
 
 
 def _semdedup_diverse_oracle(threshold: float, n_cells: int = 10,
@@ -2870,10 +2876,17 @@ def _repeat_high_spenders(spark: SparkSession, sf: str) -> DataFrame:
                .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                      .alias("spend")))
     bench = (yearly.groupBy("yr")
-                   .agg((F.sum("spend") / F.count(F.lit(1)))
-                        .alias("avg_spend")))
+                   .agg(F.sum("spend").alias("total_spend"),
+                        F.count(F.lit(1)).alias("n_customers")))
+    # "above the yearly average" via cross-multiplication — spend *
+    # n_customers > total_spend — so the predicate is exact decimal ×
+    # integer arithmetic. A division here would be DECIMAL in Spark but
+    # DOUBLE in DuckDB, and a customer within rounding distance of the
+    # average could flip membership between engines.
     hi = (yearly.join(bench, "yr")
-                .filter(F.col("spend") > F.col("avg_spend"))
+                .filter(F.col("spend")
+                        * F.col("n_customers").cast("decimal(10,0)")
+                        > F.col("total_spend"))
                 .select("custkey", "yr"))
     a = hi.alias("a")
     b = hi.alias("b")
@@ -2892,10 +2905,11 @@ WITH yearly AS (
   SELECT o_custkey AS custkey, EXTRACT(year FROM o_orderdate) AS yr,
          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
   FROM orders GROUP BY 1, 2),
-bench AS (SELECT yr, SUM(spend) / COUNT(*) AS avg_spend
+bench AS (SELECT yr, SUM(spend) AS total_spend,
+                 COUNT(*) AS n_customers
           FROM yearly GROUP BY yr),
 hi AS (SELECT custkey, yr FROM yearly JOIN bench USING (yr)
-       WHERE spend > avg_spend)
+       WHERE spend * CAST(n_customers AS DECIMAL(10,0)) > total_spend)
 SELECT a.custkey AS custkey, CAST(a.yr AS INT) AS first_year
 FROM hi a JOIN hi b ON b.custkey = a.custkey AND b.yr = a.yr + 1
 ORDER BY a.custkey, first_year
@@ -3039,7 +3053,11 @@ WITH base AS (
                    (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
            AS recency_days,
          COUNT(*) AS frequency,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+         -- CAST: DuckDB widens SUM(DECIMAL(18,2)) to DECIMAL(38,2);
+         -- Spark's sum yields DECIMAL(28,2). Pin to the Spark type so
+         -- the driver's type-sensitive value-hash matches.
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS monetary
   FROM orders GROUP BY o_custkey)
 SELECT custkey, CAST(recency_days AS INT) AS recency_days, frequency,
        monetary,

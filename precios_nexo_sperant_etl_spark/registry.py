@@ -42,83 +42,66 @@ _REGISTRY: dict[str, Query] = {}
 #: long-stable green queries rotate to the back (their old stamps stand).
 #: Update this list every round from the latest CORRECTNESS_r*.json.
 _CHECK_FIRST: list[str] = [
-    # --- registered in r3 past slot 50, never driver-checked (locally
-    # green via tools/check_parity.py since r3; evidence gap only) ---
-    "prep_pipeline",
-    "containment_pairs",
-    "seq_manifest",
-    "source_stats",            # also rewritten r4: bround'ed quality
-    "source_dup_rate",
-    "user_feature_vectors",
-    "langid_confusion",
-    "split_leakage_screen",
-    "neardup_survivors",
-    "ngram_jaccard_pairs_capped",
-    "corpus_card",
-    # --- new in r4 ---
-    "o2_es_collation",
-    "cross_corpus_neardup",
-    "lm_bigram_quality",
-    "cluster_aware_split",
-    "source_mix_weights",
-    "doc_chunks",
-    "semdedup_survivors",
-    "zorder_layout",
+    # --- r5 front: failed r04 on oracle-type mismatch, fixed by casts ---
     "bpe_merges",
     "bpe_token_budget",
-    "dsir_weights",
-    "referential_integrity",
-    "multimodal_frame_schedule",
-    "semdedup_diverse",
-    "zorder_layout3",
-    "events_anomaly_zscore",
-    "join_skew_report",
-    "pack_efficiency_report",
-    "pack_sequences_by_lang",   # oracle refactored into shared CTE (r4)
-    "dedup_threshold_curve",
-    "doc_lang_mismatch",
-    "shard_assignment",
-    "repeat_high_spenders",
-    "order_fulfillment_lag",
-    "discount_band_revenue",
     "customer_rfm",
+    # --- fresh r04 stamp whose fingerprint was absorbed late (ledger
+    # hygiene): stamp once more clean ---
+    "pack_sequences_by_lang",
+    # --- changed in r5 (predicate/filter/plan or oracle cast) ---
+    "repeat_high_spenders",        # exact cross-multiplied benchmark
+    "doc_chunks",                  # empty-doc chunk filter
+    "semdedup_survivors",          # arrow_assign default
+    "semdedup_diverse",            # arrow_assign default
+    "multimodal_frame_schedule",   # oracle duration_ms INT cast
+    "window_analytics_suite",      # oracle row_number/rank INT casts
+    # --- new in r5 ---
+    "f22_money_format",
+    # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
+    # size aggregation): values unchanged, plans changed — re-stamp ---
+    "minhash_dedup_pairs",
+    "minhash_dedup_pairs_prod",
+    "minhash_dedup_pairs_capped",
+    "ngram_jaccard_pairs",             # also r01-stamped
+    "ngram_jaccard_pairs_capped",
+    "cross_corpus_neardup",
+    "neardup_clusters",
+    "neardup_survivors",
+    "cluster_aware_split",
+    "prep_pipeline",
+    "dedup_threshold_curve",
     "neardup_cluster_sizes",
-    # --- rewritten in r4 after their r03 stamp (stale evidence) ---
-    "quality_calibrated_filter",   # explicit order-statistic p25
-    "neardup_clusters",            # CC localCheckpoint rounds
-    "embedding_label_centroids",   # exact-path group-size guard
-    # (streaming_parquet_upsert also changed in r4 but has no oracle
-    # surface — pinned by the multi-batch pytest instead.)
-    # --- oldest stamps in the ledger (r01) — refresh while slots allow ---
-    # ann_cosine_topk / dedup_exact rotated out (r01-green refreshes,
-    # unchanged).
-    # dedup_exact_survivors / f16_isclose rotated out (r01-green
-    # refreshes, unchanged).
-    # f4_to_number / f5_safe_num / f6_intlike_canon /
-    # minhash_signatures rotated out (r01-green refreshes, unchanged).
-    # ngram_jaccard_pairs / o2_natural_sort / p11_tower_prefix /
-    # p12_null_sentinels rotated
-    # out (r01-green refreshes, unchanged).
-    # simhash_signatures / string_ops_bundle rotated out (r01-green
-    # refreshes, unchanged).
-    # text_quality_score rotated out (r01-green refresh, unchanged).
-    # --- r02 stamps on core anchors (everything r03-stamped rotates to
-    # the back: those stamps are current, none rewritten since) ---
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_nation_revenue",
-    "tpch_q6_forecast_revenue",
-    "w1_dedup_latest",
-    "w2_dedup_keep_last",
-    "j1_left_enrich_coalesce",
-    "j3_p6_change_detail",
-    "j4_key_set_difference",
-    # u1_union_by_name rotated out (r02-green, unchanged).
-    # a2_a4_kpi_cards / a5_value_counts / a6_kpi_by_group /
-    # a6_states_by_group / a8_pivot_counts / a9_pct_within_group /
-    # o2_o4_sort_page / o3_distinct_sorted / p8_p9_filter_search /
-    # p10_scatter_points rotated out to stay at 50 (all r02-green,
-    # unchanged since).
+    # --- oldest evidence: the r01 cohort (fingerprints unknown that
+    # early) — refresh so no stamp predates r02 ---
+    "f4_to_number",
+    "f5_safe_num",
+    "f6_intlike_canon",
+    "p11_tower_prefix",
+    "o2_natural_sort",
+    "f16_isclose",
+    "string_ops_bundle",
+    "p12_null_sentinels",
+    "dedup_exact",
+    "dedup_exact_survivors",
+    "minhash_signatures",
+    "simhash_signatures",
+    "ann_cosine_topk",
+    "text_quality_score",
+    # --- oldest r02 stamps: the TPC-H anchor block ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 

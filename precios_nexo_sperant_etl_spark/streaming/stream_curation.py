@@ -36,8 +36,21 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "stream_docs_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")
+    target = os.path.join(sf_dir, "documents.parquet")
+    # The stage dir is shared across sessions keyed only by sf_dir, so
+    # (a) a stale link can outlive a moved/regenerated dataset — validate
+    # the target and recreate; (b) exists-check-then-symlink races with a
+    # concurrent session — treat FileExistsError as "the other session
+    # won" as long as its link points at the same target.
+    if os.path.islink(link) and os.path.realpath(link) != \
+            os.path.realpath(target):
+        os.unlink(link)
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            if os.path.realpath(link) != os.path.realpath(target):
+                raise
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("text", StringType()),

@@ -30,6 +30,54 @@ from precios_nexo_sperant_etl_spark.session import get_spark  # noqa: E402
 from precios_nexo_sperant_etl_spark.sources.tables import TABLES  # noqa: E402
 
 
+# --- result-TYPE comparison -------------------------------------------------
+# The driver's value-hash serializes the logical result type, so a DuckDB
+# HUGEINT (un-cast SUM over integers) vs Spark BIGINT — or DECIMAL(38,2)
+# vs DECIMAL(28,2) — fails the driver even when every value is equal.
+# Round 4 shipped three such queries green locally; this mirror is now
+# type-strict: both schemas are mapped to one canonical vocabulary and
+# must match EXACTLY per column. Strictness over-approximates the driver
+# (a flagged width mismatch just means "add a cast to the oracle"), which
+# is the safe direction.
+
+_DUCK_SCALAR = {
+    "BOOLEAN": "boolean", "TINYINT": "tinyint", "SMALLINT": "smallint",
+    "INTEGER": "int", "BIGINT": "bigint", "HUGEINT": "hugeint",
+    "FLOAT": "float", "DOUBLE": "double", "VARCHAR": "string",
+    "DATE": "date", "BLOB": "binary",
+    # Naive-vs-zoned timestamp is a session-zone presentation detail both
+    # engines agree on at the value level; collapse the variants.
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp", "TIMESTAMP_MS": "timestamp",
+}
+
+
+def _duck_canon(t) -> str:
+    s = str(t).strip().upper()
+    if s.endswith("[]"):
+        return "array<" + _duck_canon(s[:-2]) + ">"
+    if s.startswith("DECIMAL"):
+        return s.lower().replace(" ", "")
+    return _DUCK_SCALAR.get(s, s.lower())
+
+
+def _spark_canon(dt) -> str:
+    s = dt.simpleString()
+    return "timestamp" if s in ("timestamp_ntz", "timestamp") else s
+
+
+def compare_types(spark_df, rel):
+    """Per-column canonical-type diff (by column name); [] if clean."""
+    s_types = {f.name: _spark_canon(f.dataType) for f in spark_df.schema.fields}
+    d_types = {c: _duck_canon(t) for c, t in zip(rel.columns, rel.types)}
+    out = []
+    for col in sorted(set(s_types) & set(d_types)):
+        if s_types[col] != d_types[col]:
+            out.append(f"types: col={col} spark={s_types[col]} "
+                       f"duck={d_types[col]}")
+    return out
+
+
 def _norm_cell(v):
     if v is None:
         return None
@@ -55,6 +103,7 @@ def compare(name, spark_df, con, sql):
     problems = []
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    problems.extend(compare_types(spark_df, rel))
     if len(s_data) != len(d_data):
         problems.append(f"rowcount: spark={len(s_data)} duck={len(d_data)}")
     if not problems:
