@@ -426,7 +426,8 @@ def semdedup_survivors(emb: DataFrame, threshold: float = 0.35,
                        n_cells: int = 10, n_iter: int = 3,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       arrow_assign: bool = False) -> DataFrame:
+                       arrow_assign: bool = False,
+                       arrow_pairs: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the deterministic k-means
     coarse quantizer, then WITHIN each cluster drop every vector that has
@@ -458,16 +459,25 @@ def semdedup_survivors(emb: DataFrame, threshold: float = 0.35,
     cells = assign(emb, n_cells=n_cells, n_iter=n_iter,
                    id_col=id_col, vec_col=vec_col
                    ).localCheckpoint(eager=True)
-    a = cells.select(F.col(id_col).alias("keep_id"),
-                     F.col(vec_col).alias("va"), "cell")
-    b = cells.select(F.col(id_col).alias("drop_id"),
-                     F.col(vec_col).alias("vb"), "cell")
-    drops = (a.join(b, "cell")
-              .filter(F.col("keep_id") < F.col("drop_id"))
-              .filter((ddot(F.col("va"), F.col("vb"))
-                       / (_norm(F.col("va")) * _norm(F.col("vb"))))
-                      >= threshold)
-              .select("drop_id").distinct())
+    if arrow_pairs:
+        # Per-cell BLAS matmul scoring (one applyInPandas task per
+        # cell) instead of the interpreted O(d)-per-pair fold on the
+        # equi-join — the paper's per-cluster-shard regime. Same drop
+        # set up to ulp ties at the threshold (pinned in tests); the
+        # oracle stays on the fold semantics.
+        drops = semdedup_drops_arrow(cells, threshold, id_col=id_col,
+                                     vec_col=vec_col, cell_col="cell")
+    else:
+        a = cells.select(F.col(id_col).alias("keep_id"),
+                         F.col(vec_col).alias("va"), "cell")
+        b = cells.select(F.col(id_col).alias("drop_id"),
+                         F.col(vec_col).alias("vb"), "cell")
+        drops = (a.join(b, "cell")
+                  .filter(F.col("keep_id") < F.col("drop_id"))
+                  .filter((ddot(F.col("va"), F.col("vb"))
+                           / (_norm(F.col("va")) * _norm(F.col("vb"))))
+                          >= threshold)
+                  .select("drop_id").distinct())
     return (cells.join(drops, cells[id_col] == drops["drop_id"],
                        "left_anti")
                  .select(F.col(id_col), F.col("cell"))

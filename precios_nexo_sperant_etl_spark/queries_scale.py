@@ -2247,7 +2247,7 @@ def _semdedup(spark: SparkSession, sf: str) -> DataFrame:
     # this data is pinned in tests/test_fuzzy_similarity.py).
     return semdedup_survivors(_t(spark, sf, "embeddings"),
                               threshold=_SEMDEDUP_TAU, n_cells=10, n_iter=3,
-                              arrow_assign=True)
+                              arrow_assign=True, arrow_pairs=True)
 
 
 def _semdedup_oracle(threshold: float, n_cells: int = 10,
