@@ -695,3 +695,20 @@ def test_semdedup_diverse_keeps_farthest_from_centroid(spark):
     close_pairs = (a.join(b, "cell").filter(F.col("ia") < F.col("ib"))
                     .filter(cos >= tau).count())
     assert close_pairs == 0
+
+
+def test_semdedup_two_gear_query_matches_fold_path(spark):
+    """The registered semdedup_survivors runs arrow_assign+arrow_pairs;
+    the oracle replays the fold semantics. Pin the full two-gear result
+    (ids AND cells) against the all-fold path end to end on real data."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        semdedup_survivors)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = {(r["vec_id"], r["cell"])
+            for r in semdedup_survivors(emb, threshold=0.35).collect()}
+    arrow = {(r["vec_id"], r["cell"])
+             for r in semdedup_survivors(emb, threshold=0.35,
+                                         arrow_assign=True,
+                                         arrow_pairs=True).collect()}
+    assert fold == arrow and len(arrow) > 0

@@ -349,3 +349,19 @@ def test_shard_assignment_balances_tokens(spark):
     assert max(totals.values()) <= 1.05 * mean
     assert min(totals.values()) >= 0.95 * mean
     assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_chunker_skips_empty_and_whitespace_docs(spark):
+    """A whitespace-only document tokenizes to [''] — size > 0 alone
+    would emit a bogus ('' , 1-token) chunk. The chunker must emit
+    nothing for such docs and still chunk real ones."""
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        chunk_documents)
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"), (4, "uno dos tres")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_size=2, step=2).collect()
+    assert {r["doc_id"] for r in out} == {4}
+    assert [r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_id"])] \
+        == ["uno dos", "tres"]

@@ -93,3 +93,34 @@ def test_f4_f5_divergence(spark):
                     safe_num(F.col("raw")).alias("f5")).collect()[0]
     assert row["f4"] == pytest.approx(1234.56)
     assert row["f5"] == pytest.approx(1.23456)
+
+
+# ---------------------------------------------------------------------------
+# F22 — es-PE PEN money formatting (reference html_con_datos/
+# index.html:104-106): Intl.NumberFormat("es-PE", PEN, max 0 fraction
+# digits), null/NaN → "–". NBSP between symbol and digits, halfExpand.
+# ---------------------------------------------------------------------------
+
+F22_CASES = [
+    (0.0, "S/ 0"),
+    (1234.4, "S/ 1,234"),
+    (1234.5, "S/ 1,235"),        # tie rounds away from zero
+    (-1234.5, "S/ -1,235"),      # negative tie: away from zero
+    (12345678.89, "S/ 12,345,679"),
+    (None, "–"),
+    (float("nan"), "–"),
+]
+
+
+def test_f22_format_pen(spark):
+    from precios_nexo_sperant_etl_spark.functions.currency import format_pen
+
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(F22_CASES)],
+        "id int, amount double")
+    got = {r["id"]: r["money"]
+           for r in df.select("id",
+                              format_pen(F.col("amount")).alias("money"))
+                      .collect()}
+    for i, (_, want) in enumerate(F22_CASES):
+        assert got[i] == want, (i, got[i], want)
