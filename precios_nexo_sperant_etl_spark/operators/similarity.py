@@ -326,7 +326,8 @@ def semdedup_survivors_diverse(emb: DataFrame, threshold: float = 0.35,
                                n_cells: int = 10, n_iter: int = 3,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding",
-                               arrow_assign: bool = False) -> DataFrame:
+                               arrow_assign: bool = False,
+                               arrow_pairs: bool = False) -> DataFrame:
     """SemDeDup with the PAPER's keep policy (Abbas et al. 2023 §3):
     within each duplicate neighborhood keep the example with the LOWEST
     cosine to its cluster centroid — edge examples survive, prototypes
@@ -370,16 +371,27 @@ def semdedup_survivors_diverse(emb: DataFrame, threshold: float = 0.35,
         "rnk", F.row_number().over(
             Window.partitionBy("cell").orderBy(F.asc("ccos"),
                                                F.asc(id_col))))
-    a = ranked.select(F.col(id_col).alias("ka"), F.col(vec_col).alias("va"),
-                      "cell", F.col("rnk").alias("ra"))
-    b = ranked.select(F.col(id_col).alias("kb"), F.col(vec_col).alias("vb"),
-                      "cell", F.col("rnk").alias("rb"))
-    drops = (a.join(b, "cell")
-              .filter(F.col("ra") < F.col("rb"))
-              .filter((ddot(F.col("va"), F.col("vb"))
-                       / (_norm(F.col("va")) * _norm(F.col("vb"))))
-                      >= threshold)
-              .select("kb").distinct())
+    if arrow_pairs:
+        # The rank itself stays the exact fold (its ORDER is what the
+        # oracle replays); only the pair scoring moves to the per-cell
+        # matmul, ordered by that rank.
+        drops = (semdedup_drops_arrow(ranked, threshold, id_col=id_col,
+                                      vec_col=vec_col, cell_col="cell",
+                                      rank_col="rnk")
+                 .withColumnRenamed("drop_id", "kb"))
+    else:
+        a = ranked.select(F.col(id_col).alias("ka"),
+                          F.col(vec_col).alias("va"),
+                          "cell", F.col("rnk").alias("ra"))
+        b = ranked.select(F.col(id_col).alias("kb"),
+                          F.col(vec_col).alias("vb"),
+                          "cell", F.col("rnk").alias("rb"))
+        drops = (a.join(b, "cell")
+                  .filter(F.col("ra") < F.col("rb"))
+                  .filter((ddot(F.col("va"), F.col("vb"))
+                           / (_norm(F.col("va")) * _norm(F.col("vb"))))
+                          >= threshold)
+                  .select("kb").distinct())
     return (ranked.join(drops, ranked[id_col] == drops["kb"], "left_anti")
                   .select(F.col(id_col), F.col("cell"))
                   .orderBy(id_col))
@@ -388,7 +400,8 @@ def semdedup_survivors_diverse(emb: DataFrame, threshold: float = 0.35,
 def semdedup_drops_arrow(cells: DataFrame, threshold: float,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         cell_col: str = "cell") -> DataFrame:
+                         cell_col: str = "cell",
+                         rank_col: str | None = None) -> DataFrame:
     """Arrow path for SemDeDup's pair scoring: one ``applyInPandas``
     task per cell computes the full pairwise cosine matrix as a numpy
     matmul and emits the ids to drop (any vector with a lower-id
@@ -400,14 +413,22 @@ def semdedup_drops_arrow(cells: DataFrame, threshold: float,
     equi-join spreads pairs across the cluster with no per-cell bound.
     Pick by cell size; same drop set either way up to ulp-level ties at
     the threshold (equivalence on real data pinned in tests).
+
+    ``rank_col``: order vectors by this column instead of id before the
+    lower-neighbor test — the hook for the paper's diversity keep
+    policy (rank = centroid-cosine order, see
+    :func:`semdedup_survivors_diverse`). Must be unique per vector
+    within a cell (a ``row_number``).
     """
     import numpy as np
     import pandas as pd
 
+    order_col = rank_col or id_col
+
     def _drops(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:  # np.stack([]) raises on an empty group
             return pd.DataFrame({"drop_id": pd.Series([], dtype="int64")})
-        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        order = pdf[order_col].to_numpy().argsort(kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
         norms = np.sqrt((v * v).sum(axis=1))
@@ -416,7 +437,10 @@ def semdedup_drops_arrow(cells: DataFrame, threshold: float,
         drop = ids[close.any(axis=0)]
         return pd.DataFrame({"drop_id": drop.astype("int64")})
 
-    return (cells.select(F.col(cell_col), F.col(id_col), F.col(vec_col))
+    cols = [F.col(cell_col), F.col(id_col), F.col(vec_col)]
+    if rank_col is not None:
+        cols.append(F.col(rank_col))
+    return (cells.select(*cols)
                  .groupBy(cell_col)
                  .applyInPandas(_drops, "drop_id long")
                  .distinct())

@@ -2485,7 +2485,7 @@ def _semdedup_diverse(spark: SparkSession, sf: str) -> DataFrame:
     return semdedup_survivors_diverse(_t(spark, sf, "embeddings"),
                                       threshold=_SEMDEDUP_TAU,
                                       n_cells=10, n_iter=3,
-                                      arrow_assign=True)
+                                      arrow_assign=True, arrow_pairs=True)
 
 
 def _semdedup_diverse_oracle(threshold: float, n_cells: int = 10,

@@ -712,3 +712,19 @@ def test_semdedup_two_gear_query_matches_fold_path(spark):
                                          arrow_assign=True,
                                          arrow_pairs=True).collect()}
     assert fold == arrow and len(arrow) > 0
+
+
+def test_semdedup_diverse_two_gear_matches_fold_path(spark):
+    """Rank-ordered arrow pair scoring (rank_col) must reproduce the
+    diversity keep policy's fold-path survivor set exactly."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        semdedup_survivors_diverse)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = {(r["vec_id"], r["cell"]) for r in
+            semdedup_survivors_diverse(emb, threshold=0.35).collect()}
+    arrow = {(r["vec_id"], r["cell"]) for r in
+             semdedup_survivors_diverse(emb, threshold=0.35,
+                                        arrow_assign=True,
+                                        arrow_pairs=True).collect()}
+    assert fold == arrow and len(arrow) > 0
