@@ -543,3 +543,36 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                     (F.col("common") / F.col("n_b")).alias("containment_b"))
             .filter(F.col("containment") >= threshold)
             .orderBy("doc_a", "doc_b"))
+
+
+def duplicate_ngram_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document duplicate n-gram exposure — the memorization-risk
+    datasheet column from "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022, arXiv:2107.06499): for each
+    document, the fraction of its DISTINCT k-gram shingles that also
+    occur in at least one OTHER document. Near-1 rates flag boilerplate
+    and templated spam that pairwise dedup (which needs a single matching
+    partner above a Jaccard bar) can miss entirely.
+
+    Output: ``(doc_id, n_ngrams, n_dup_ngrams, dup_ngram_rate)``.
+    Documents with fewer than ``k`` tokens have no shingles and are
+    absent — no n-grams means no exposure to measure.
+
+    Scale shape: distinct (doc, shingle-hash) pairs → document-frequency
+    per shingle (combinable groupBy, shingle-vocab-sized result) → one
+    equi-join back on the hash → per-doc combinable agg. Two shuffles of
+    the shingle table, never a pair join; cost is corpus-linear.
+    """
+    hashed = shingle_hashes(df, text_col, id_col, k)
+    # df(h) = number of docs containing shingle h (pairs are distinct)
+    dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    return (hashed.join(dfreq, "h")
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                       F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+                        .cast("bigint").alias("n_dup_ngrams"))
+                  .select(F.col(id_col), "n_ngrams", "n_dup_ngrams",
+                          (F.col("n_dup_ngrams") / F.col("n_ngrams"))
+                           .alias("dup_ngram_rate"))
+                  .orderBy(id_col))

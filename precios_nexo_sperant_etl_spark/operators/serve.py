@@ -155,3 +155,37 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     expr = (expr.otherwise(splits[-1][0]) if expr is not None
             else F.lit(splits[-1][0]))
     return out.withColumn("split", expr)
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
+                           stratum_col: str = "source",
+                           id_col: str = "doc_id",
+                           n_buckets: int = 10_000, salt: str = "",
+                           default_rate: float = 1.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli thinning — the mechanism that
+    APPLIES a source-mix decision (down-sample the crawl, keep the books)
+    as a pure function of the row's identity, like :func:`hash_split`:
+    keep a row iff ``md5_hash(salt || stratum || ':' || id) % n_buckets``
+    falls under the stratum's integer threshold ``round(rate·n_buckets)``.
+
+    Partitioning/order/engine-independent and re-dealable via ``salt``;
+    thresholds are integers so no float comparison sits on the keep
+    boundary. The rate table joins in as a broadcast (strata counts are
+    dimension-sized); unknown strata fall back to ``default_rate``. One
+    narrow projection + broadcast probe — no shuffle of the fact side.
+    """
+    from pyspark.sql import functions as F
+
+    from .text import md5_hash
+    spark = df.sparkSession
+    rtab = spark.createDataFrame(
+        [(s, float(r), int(round(r * n_buckets)))
+         for s, r in sorted(rates.items())],
+        f"{stratum_col} string, target_rate double, _thr long")
+    bucket = md5_hash(F.concat(
+        F.lit(salt), F.col(stratum_col), F.lit(":"),
+        F.col(id_col).cast("string"))) % n_buckets
+    dflt = int(round(default_rate * n_buckets))
+    return (df.join(F.broadcast(rtab), stratum_col, "left")
+              .filter(bucket < F.coalesce(F.col("_thr"), F.lit(dflt)))
+              .drop("_thr"))

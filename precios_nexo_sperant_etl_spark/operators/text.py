@@ -540,3 +540,67 @@ def dsir_importance_weights(docs: DataFrame, target: Column, k: int = 32,
     return (agg.select(F.col(id_col), F.size("ps").alias("n_scored"),
                        fold.alias("dsir_weight"))
                .orderBy(id_col))
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021, arXiv:2112.11446,
+#: Table A1), word-count floor scaled to this corpus's short synthetic
+#: documents (the paper uses 50; these docs average tens of words).
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Rule-based document quality filter in the style of Gopher's
+    heuristics (Rae et al. 2021, Table A1): hard bounds instead of a
+    blended score, one boolean column per rule plus the conjunction —
+    the shape curation pipelines want, because each rule's kill rate is
+    auditable on its own (``GROUP BY`` the flags) before anything is
+    dropped.
+
+    Rules (thresholds in module constants): word count within bounds,
+    mean word length within bounds, symbol-to-word ratio ('#'/ellipsis)
+    below cap, ≥80% of words contain a letter, ≥2 stopword hits.
+
+    Mean word length is exact integer arithmetic over the trimmed text
+    (chars minus separators, over token count) — the same formula as
+    :func:`text_stats`. The alpha-word test is the one per-token lambda
+    (``filter`` + ``rlike``); it is interpreted, but runs once per
+    document over an already-split array, and DuckDB's ``list_filter``
+    mirrors it exactly.
+    """
+    tk = tokens(F.col(text_col))
+    n_words = F.size(tk).cast("bigint")
+    mean_wl = (F.length(F.trim(F.col(text_col))) - (F.size(tk) - 1)) \
+        / F.size(tk)
+    n_sym = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…"))
+    n_alpha = F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = word_set_hits(F.col(text_col), STOPWORDS)
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        (n_sym / n_words).alias("symbol_ratio"),
+        (n_alpha / n_words).alias("alpha_word_ratio"),
+        n_stop.cast("bigint").alias("n_stopword_hits"))
+    ok_wc = ((F.col("n_words") >= GOPHER_MIN_WORDS)
+             & (F.col("n_words") <= GOPHER_MAX_WORDS))
+    ok_wl = ((F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+             & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN))
+    ok_sym = F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_WORD_RATIO
+    ok_stop = F.col("n_stopword_hits") >= GOPHER_MIN_STOPWORD_HITS
+    return base.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_sym & ok_alpha & ok_stop)
+            .alias("passes_gopher")).orderBy(id_col)

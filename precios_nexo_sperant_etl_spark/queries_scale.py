@@ -3120,3 +3120,161 @@ FROM csizes GROUP BY cluster_size ORDER BY cluster_size
         "larger cliques, with doc mass per size) — the dup-structure "
         "datasheet; same closure oracle as neardup_clusters.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram exposure (Lee et al. 2022): per-doc fraction of
+# distinct 3-gram shingles occurring in >= 2 documents — the
+# memorization-risk datasheet column that pairwise near-dup misses for
+# boilerplate spread thinly across many partners.
+# ---------------------------------------------------------------------------
+
+def _dup_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import duplicate_ngram_stats
+    return duplicate_ngram_stats(_t(spark, sf, "documents"))
+
+
+register(
+    "dup_ngram_rate",
+    _dup_ngram_stats,
+    f"""
+WITH {_DUCK_HS},
+dfq AS (SELECT h, COUNT(*) AS _df FROM hs GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN _df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_ngrams,
+       CAST(SUM(CASE WHEN _df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS dup_ngram_rate
+FROM hs JOIN dfq USING (h)
+GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Per-document duplicate n-gram rate (share of distinct 3-grams "
+        "present in other docs) — shingle document-frequency join, two "
+        "combinable shuffles, corpus-linear (never a pair join).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality flags (Rae et al. 2021, Table A1):
+# hard per-rule booleans + conjunction, auditable rule by rule.
+# ---------------------------------------------------------------------------
+
+def _gopher_flags(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import gopher_quality_flags
+    return gopher_quality_flags(_t(spark, sf, "documents"))
+
+
+def _gopher_oracle() -> str:
+    from .operators.text import (GOPHER_MAX_MEAN_WORD_LEN,
+                                 GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
+                                 GOPHER_MIN_ALPHA_WORD_RATIO,
+                                 GOPHER_MIN_MEAN_WORD_LEN,
+                                 GOPHER_MIN_STOPWORD_HITS, GOPHER_MIN_WORDS)
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents),
+b AS (SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             (length(trim(text)) - (len(tk) - 1)) / len(tk)
+               AS mean_word_len,
+             len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+               / CAST(len(tk) AS BIGINT) AS symbol_ratio,
+             len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(len(tk) AS BIGINT) AS alpha_word_ratio,
+             CAST(len(list_filter(tk, x -> x IN ({_STOP_SQL}))) AS BIGINT)
+               AS n_stopword_hits
+      FROM t)
+SELECT *,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS ok_word_count,
+       (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}) AS ok_word_len,
+       (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+       (alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO})
+         AS ok_alpha_words,
+       (n_stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS ok_stopwords,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+             AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN})
+        AND (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO})
+        AND (alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO})
+        AND (n_stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}))
+         AS passes_gopher
+FROM b ORDER BY doc_id
+"""
+
+
+register(
+    "gopher_quality_flags",
+    _gopher_flags,
+    _gopher_oracle(),
+    doc="Gopher-style rule table: word-count/word-length bounds, symbol "
+        "ratio, alpha-word share, stopword evidence — one boolean per "
+        "rule plus the conjunction, all in one narrow scan pass.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling: apply a per-source mix decision as
+# hash-threshold Bernoulli thinning (the executable counterpart of
+# source_mix_weights), audited per stratum.
+# ---------------------------------------------------------------------------
+
+_STRAT_RATES = {f"src{i}": round(0.2 + 0.04 * i, 2) for i in range(20)}
+_STRAT_BUCKETS = 10_000
+
+
+def _stratified_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.serve import stratified_hash_sample
+    docs = _t(spark, sf, "documents")
+    kept = (stratified_hash_sample(docs, _STRAT_RATES,
+                                   n_buckets=_STRAT_BUCKETS)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")))
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rtab = spark.createDataFrame(sorted(_STRAT_RATES.items()),
+                                 "source string, target_rate double")
+    return (tot.join(kept, "source", "left")
+               .join(F.broadcast(rtab), "source", "left")
+               .select("source", "n_docs",
+                       F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                        .alias("n_kept"),
+                       "target_rate",
+                       (F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"))
+                        .alias("realized_rate"))
+               .orderBy("source"))
+
+
+def _stratified_oracle() -> str:
+    vals = ",\n    ".join(
+        f"('{s}', {r!r}, {int(round(r * _STRAT_BUCKETS))})"
+        for s, r in sorted(_STRAT_RATES.items()))
+    bucket = (f"('0x' || substr(md5(source || ':' || "
+              f"CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
+              f"% {_STRAT_BUCKETS}")
+    return f"""
+WITH r AS (SELECT * FROM (VALUES
+    {vals}) t(source, target_rate, _thr)),
+tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+k AS (SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN r USING (source)
+      WHERE {bucket} < _thr
+      GROUP BY d.source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(target_rate AS DOUBLE) AS target_rate,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) / CAST(n_docs AS BIGINT)
+         AS realized_rate
+FROM tot LEFT JOIN k USING (source) LEFT JOIN r USING (source)
+ORDER BY source
+"""
+
+
+register(
+    "stratified_sample_audit",
+    _stratified_audit,
+    _stratified_oracle(),
+    doc="Per-source deterministic Bernoulli thinning (hash threshold on "
+        "(source, id), integer thresholds, broadcast rate table) with a "
+        "per-stratum realized-vs-target audit. Partitioning- and "
+        "engine-independent keep decisions; no shuffle of the fact side.",
+)

@@ -99,9 +99,11 @@ _CHECK_FIRST: list[str] = [
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q22_global_sales_opportunity",
+    # --- new in r5 (displace three r02 TPC-H refreshes — those stamps
+    # are current, just old; they rotate forward next round) ---
+    "dup_ngram_rate",
+    "gopher_quality_flags",
+    "stratified_sample_audit",
 ]
 
 

@@ -728,3 +728,24 @@ def test_semdedup_diverse_two_gear_matches_fold_path(spark):
                                         arrow_assign=True,
                                         arrow_pairs=True).collect()}
     assert fold == arrow and len(arrow) > 0
+
+
+def test_duplicate_ngram_stats_semantics(spark):
+    """3-gram dup exposure on a hand-built corpus: identical docs are
+    fully duplicated, a doc sharing one 3-gram partially, a unique doc
+    not at all, and a 2-token doc is absent (no 3-grams)."""
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import (
+        duplicate_ngram_stats)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),          # shingles: 'a b c', 'b c d'
+         (2, "a b c d"),          # identical — both shingles dup
+         (3, "a b c x y"),        # shares 'a b c' only
+         (4, "p q r s"),          # unique
+         (5, "t u")],             # too short — no shingles
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in duplicate_ngram_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["dup_ngram_rate"] == 1.0 == rows[2]["dup_ngram_rate"]
+    assert rows[3]["n_ngrams"] == 3 and rows[3]["n_dup_ngrams"] == 1
+    assert rows[4]["n_dup_ngrams"] == 0 and rows[4]["dup_ngram_rate"] == 0.0

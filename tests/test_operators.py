@@ -205,3 +205,49 @@ def test_registry_correctness_window_budget():
     oracles = registry.oracle_sql()
     no_oracle = [n for n in qs if n not in oracles]
     assert not no_oracle, f"queries without oracles: {no_oracle}"
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule must trip on a doc built to violate exactly it."""
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        gopher_quality_flags)
+
+    docs = spark.createDataFrame([
+        (1, "the cat and the dog ran to the big house"),  # passes all
+        (2, "one two"),                                   # too few words
+        (3, "the ### and ## of # a # to # # stuff"),      # symbol-heavy
+        (4, "1 2 3 4 5 6 7 8 9 the and"),                 # few alpha words
+        (5, "lorem ipsum dolor sit amet foo bar"),        # no stopwords
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert rows[1]["passes_gopher"]
+    assert not rows[2]["ok_word_count"] and not rows[2]["passes_gopher"]
+    assert not rows[3]["ok_symbol_ratio"] and not rows[3]["passes_gopher"]
+    assert not rows[4]["ok_alpha_words"] and not rows[4]["passes_gopher"]
+    assert not rows[5]["ok_stopwords"] and not rows[5]["passes_gopher"]
+
+
+def test_stratified_hash_sample_deterministic_and_salted(spark):
+    """Keep decisions are a pure function of (salt, stratum, id): same
+    call twice → identical sample; different salt → different deal;
+    rate 0 kills a stratum, rate 1 keeps it whole; unknown strata use
+    default_rate."""
+    from precios_nexo_sperant_etl_spark.operators.serve import (
+        stratified_hash_sample)
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string")
+    rates = {"s0": 0.0, "s1": 1.0, "s2": 0.5}
+    a = {r["doc_id"] for r in stratified_hash_sample(docs, rates).collect()}
+    b = {r["doc_id"] for r in stratified_hash_sample(docs, rates).collect()}
+    assert a == b
+    assert not any(i % 3 == 0 for i in a)           # s0 gone
+    assert sum(1 for i in a if i % 3 == 1) == 100   # s1 intact
+    n_s2 = sum(1 for i in a if i % 3 == 2)
+    assert 20 <= n_s2 <= 80                         # ~half, hash-dealt
+    c = {r["doc_id"] for r in
+         stratified_hash_sample(docs, rates, salt="v2").collect()}
+    assert c != a
+    # unknown stratum: default_rate=1.0 keeps everything
+    d = stratified_hash_sample(docs, {"zzz": 0.0}).count()
+    assert d == 300
