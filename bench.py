@@ -56,6 +56,11 @@ HEADLINE = [
     "dsir_weights",             # target-vs-raw importance scoring
     "referential_integrity",    # FK audit joins across the star schema
     "multimodal_frame_schedule",  # narrow-map media sampling schedule
+    # appended r5:
+    "semdedup_diverse",         # diversity keep policy, two-gear arrow
+    "dup_ngram_rate",           # shingle document-frequency join
+    "gopher_quality_flags",     # rule-table quality filter, narrow scan
+    "stratified_sample_audit",  # hash-threshold mix thinning + audit
 ]
 
 

@@ -562,9 +562,16 @@ def duplicate_ngram_stats(df: DataFrame, text_col: str = "text",
     Scale shape: distinct (doc, shingle-hash) pairs → document-frequency
     per shingle (combinable groupBy, shingle-vocab-sized result) → one
     equi-join back on the hash → per-doc combinable agg. Two shuffles of
-    the shingle table, never a pair join; cost is corpus-linear.
+    the shingle table, never a pair join; cost is corpus-linear. (A
+    window count over h would save the join but materializes every hot
+    shingle's rows in one task — the groupBy stays combinable under
+    boilerplate skew, so it wins at scale.)
+
+    The shingle frame feeds both the frequency agg and the join probe;
+    it is persisted, and cache lifetime is owned by the caller (same
+    contract as :func:`minhash_dedup_pairs`).
     """
-    hashed = shingle_hashes(df, text_col, id_col, k)
+    hashed = shingle_hashes(df, text_col, id_col, k).persist()
     # df(h) = number of docs containing shingle h (pairs are distinct)
     dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     return (hashed.join(dfreq, "h")

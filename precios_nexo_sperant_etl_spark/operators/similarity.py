@@ -593,3 +593,60 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding",
         group_col, "dim",
         (fold / F.size("pairs")).alias("centroid"),
         F.size("pairs").cast("long").alias("n_vectors"))
+
+
+def quantization_audit(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_levels: int = 256) -> DataFrame:
+    """Per-dimension audit of int8 scalar quantization — the 4×
+    memory-compression step that makes billion-vector ANN serving fit
+    in RAM (the SQ8 scheme of FAISS/ScaNN): per-dim corpus ``[min,
+    max]`` → linear ``n_levels``-bucket code → midpoint dequantization,
+    reporting the reconstruction error each dimension would incur.
+
+    Output ``(dim, mn, mx, n_values, mse, max_abs_err)`` — the
+    go/no-go table for enabling compression (dimensions with outlier
+    tails show large max error and want clipping before SQ).
+
+    Engine-exact: codes are ``floor`` of exact IEEE expressions (with a
+    ``least`` guard for the divide-rounds-to-1.0 edge), min/max/max-abs
+    are order-independent, and the MSE numerator is the id-ordered
+    sequential fold (same policy as :func:`label_centroids`). Scale
+    shape: one posexplode (rows × dim), a dim-keyed stats agg
+    (64-to-768-row result, broadcast back), one combinable agg; the
+    per-(dim) fold list holds n values — at corpus scale flip to a
+    plain ``avg`` the same way ``label_centroids(exact=False)`` does.
+    """
+    L = n_levels - 1
+    ex = (emb.select(F.col(id_col),
+                     F.posexplode(F.col(vec_col)).alias("dim", "v0"))
+             .select(id_col, "dim", F.col("v0").cast("double").alias("v")))
+    stats = ex.groupBy("dim").agg(F.min("v").alias("mn"),
+                                  F.max("v").alias("mx"))
+    j = ex.join(F.broadcast(stats), "dim")
+    scale = (F.col("mx") - F.col("mn")) / F.lit(float(L))
+    code = (F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+             .otherwise(F.least(
+                 F.lit(L).cast("bigint"),
+                 F.floor(((F.col("v") - F.col("mn"))
+                          / (F.col("mx") - F.col("mn"))) * L))))
+    deq = (F.when(F.col("mx") == F.col("mn"), F.col("mn"))
+            .otherwise(F.col("mn")
+                       + (code.cast("double") + F.lit(0.5)) * scale))
+    err = F.col("v") - deq
+    e = j.select(F.col(id_col), "dim", "mn", "mx",
+                 err.alias("err"), (err * err).alias("e2"))
+    sorted_e2 = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                F.col("e2").alias("e2"))))
+    fold = F.aggregate(F.transform(sorted_e2, lambda s: s["e2"]),
+                       F.lit(0.0), lambda a, x: a + x)
+    return (e.groupBy("dim")
+             .agg(F.min("mn").alias("mn"), F.min("mx").alias("mx"),
+                  F.count(F.lit(1)).alias("n_values"),
+                  fold.alias("_sse"),
+                  F.max(F.abs(F.col("err"))).alias("max_abs_err"))
+             .select("dim", "mn", "mx", "n_values",
+                     (F.col("_sse") / F.col("n_values")).alias("mse"),
+                     "max_abs_err")
+             .orderBy("dim"))

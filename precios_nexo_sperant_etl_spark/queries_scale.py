@@ -3278,3 +3278,47 @@ register(
         "per-stratum realized-vs-target audit. Partitioning- and "
         "engine-independent keep decisions; no shuffle of the fact side.",
 )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantization audit: per-dim reconstruction error if the
+# embedding corpus were SQ8-compressed (the 4x ANN memory saver).
+# ---------------------------------------------------------------------------
+
+def _quant_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import quantization_audit
+    return quantization_audit(_t(spark, sf, "embeddings"))
+
+
+register(
+    "embedding_quantization_audit",
+    _quant_audit,
+    """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+coded AS (
+  SELECT vec_id, dim, mn, mx, v,
+         CASE WHEN mx = mn THEN mn
+              ELSE mn + (CAST(CASE WHEN mx = mn THEN 0
+                              ELSE least(255, CAST(floor(((v - mn) / (mx - mn)) * 255)
+                                              AS BIGINT)) END AS DOUBLE)
+                         + 0.5) * ((mx - mn) / 255.0) END AS deq
+  FROM ex JOIN st USING (dim)),
+e AS (SELECT vec_id, dim, mn, mx, v - deq AS err,
+             (v - deq) * (v - deq) AS e2
+      FROM coded)
+SELECT dim, MIN(mn) AS mn, MIN(mx) AS mx,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(e2 ORDER BY vec_id)),
+                   (a, b) -> a + b) / COUNT(*) AS mse,
+       MAX(abs(err)) AS max_abs_err
+FROM e GROUP BY dim ORDER BY dim
+""",
+    doc="Per-dimension int8 scalar-quantization audit (SQ8): corpus "
+        "min/max scale, midpoint-dequant MSE (id-ordered exact fold) "
+        "and max abs error — the enable-compression go/no-go table.",
+)

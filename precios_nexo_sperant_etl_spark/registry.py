@@ -98,12 +98,12 @@ _CHECK_FIRST: list[str] = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    # --- new in r5 (displace three r02 TPC-H refreshes — those stamps
+    # --- new in r5 (displace four r02 TPC-H refreshes — those stamps
     # are current, just old; they rotate forward next round) ---
     "dup_ngram_rate",
     "gopher_quality_flags",
     "stratified_sample_audit",
+    "embedding_quantization_audit",
 ]
 
 

@@ -749,3 +749,21 @@ def test_duplicate_ngram_stats_semantics(spark):
     assert rows[1]["dup_ngram_rate"] == 1.0 == rows[2]["dup_ngram_rate"]
     assert rows[3]["n_ngrams"] == 3 and rows[3]["n_dup_ngrams"] == 1
     assert rows[4]["n_dup_ngrams"] == 0 and rows[4]["dup_ngram_rate"] == 0.0
+
+
+def test_quantization_audit_semantics(spark):
+    """SQ8 audit invariants on a hand-built corpus: a constant dimension
+    quantizes exactly (mse = 0), every error is bounded by half a
+    bucket width, and codes cover the [mn, mx] range."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        quantization_audit)
+
+    rows = [(i, [float(i), 7.0, (i % 3) * 100.0]) for i in range(32)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in quantization_audit(emb).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1]["mse"] == 0.0 and out[1]["max_abs_err"] == 0.0
+    for d in (0, 2):
+        half_bucket = (out[d]["mx"] - out[d]["mn"]) / 255.0 / 2.0
+        assert out[d]["max_abs_err"] <= half_bucket * 1.0000001
+        assert out[d]["n_values"] == 32

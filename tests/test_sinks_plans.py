@@ -309,3 +309,17 @@ def test_round4_query_plan_shapes(spark):
     p = plan("referential_integrity")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_write_partitioned_format_matrix(spark, tmp_path):
+    """The partitioned sink must round-trip through every Spark-native
+    columnar/row format it claims (parquet, orc, json, csv) — schema
+    and values preserved where the format supports them."""
+    df = spark.createDataFrame(
+        [("A", 1, 2.5), ("B", 2, None)], "Proyecto string, v int, x double")
+    for fmt in ("parquet", "orc", "json"):
+        out = str(tmp_path / f"m_{fmt}")
+        write_partitioned(df, out, fmt=fmt)
+        back = spark.read.format(fmt).load(out)
+        got = {(r["Proyecto"], r["v"], r["x"]) for r in back.collect()}
+        assert got == {("A", 1, 2.5), ("B", 2, None)}, fmt
