@@ -95,3 +95,65 @@ def stream_curated_to_lake(spark: SparkSession, sf_dir: str, out_dir: str,
          .partitionBy("lang")
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
+
+
+def stream_neardup_ingest(spark: SparkSession, src_dir: str, out_dir: str,
+                          threshold: float = 0.5,
+                          timeout_s: int = 240) -> None:
+    """Incremental near-dup-gated ingest — the streaming form of the
+    cross-corpus ``minhash_join`` primitive: each micro-batch of
+    documents dropped into ``src_dir`` is screened (a) against itself
+    (batch-internal LSH pairs; the non-minimal side of every near-dup
+    pair is dropped, the transitive policy of ``neardup_survivors``) and
+    (b) against everything ALREADY LANDED in the lake (banded LSH join,
+    both sides unbounded — no broadcast), and only novel documents
+    append.
+
+    ``foreachBatch`` is the right harness because the predicate depends
+    on SINK state (what landed so far); per batch it costs one scan of
+    the landed corpus — at production scale the landed side's shingle/
+    signature frames would be maintained incrementally in a side table
+    instead of recomputed, same plan shape.
+
+    Idempotence note: a plain parquet ``append`` is not transactional
+    under batch retry, but the gate itself heals re-appends — a replayed
+    document is an EXACT duplicate of its landed copy, shares every
+    band, and is dropped by the cross-corpus screen, so retries
+    converge instead of double-ingesting.
+    """
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from ..operators.dedup_fuzzy import minhash_dedup_pairs, minhash_join
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    data_dir = os.path.join(out_dir, "docs")
+    ckpt = os.path.join(out_dir, "_checkpoint")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        b = batch.persist()
+        try:
+            internal = (minhash_dedup_pairs(b, threshold=threshold)
+                        .select(F.col("doc_b").alias("doc_id")).distinct())
+            novel = b.join(internal, "doc_id", "left_anti")
+            if os.path.isdir(data_dir) and any(
+                    f.endswith(".parquet") for f in os.listdir(data_dir)):
+                corpus = spark.read.schema(schema).parquet(data_dir)
+                dup = (minhash_join(novel, corpus, threshold=threshold)
+                       .select(F.col("doc_a").alias("doc_id")).distinct())
+                novel = novel.join(dup, "doc_id", "left_anti")
+            novel.write.mode("append").parquet(data_dir)
+        finally:
+            spark.catalog.clearCache()  # minhash persists, batch persist
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)

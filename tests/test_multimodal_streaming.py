@@ -321,3 +321,52 @@ def test_streaming_curation_restart_is_exactly_once(spark, tmp_path):
     # same checkpoint dir: the source sees no new files, sink replays nothing
     stream_curated_to_lake(spark, sf, out)
     assert spark.read.parquet(f"{out}/docs").count() == first
+
+
+def test_stream_neardup_ingest_gates_increments(spark, tmp_path):
+    """Drop two file batches: the second contains an exact dup of a
+    landed doc, a near-dup (shares most shingles), and a novel doc —
+    only the novel doc may land. A replayed (retried) copy of batch 2
+    must be a no-op because the gate screens against the lake."""
+    import glob
+    import shutil
+
+    from precios_nexo_sperant_etl_spark.streaming.stream_curation import (
+        stream_neardup_ingest)
+
+    src = str(tmp_path / "drop")
+    out = str(tmp_path / "lake")
+    os.makedirs(src)
+    base = ("uno dos tres cuatro cinco seis siete ocho nueve diez "
+            "once doce trece catorce quince")
+    b1 = spark.createDataFrame(
+        [(1, base, "es", "s0", len(base)),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+          "en", "s0", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    b1.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    for f in glob.glob(str(tmp_path / "b1") + "/*.parquet"):
+        shutil.copy(f, os.path.join(src, "batch1.parquet"))
+    stream_neardup_ingest(spark, src, out, threshold=0.5)
+    landed1 = {r["doc_id"] for r in
+               spark.read.parquet(out + "/docs").collect()}
+    assert landed1 == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(3, base, "es", "s1", len(base)),                      # exact dup of 1
+         (4, base + " dieciseis", "es", "s1", 10),              # near-dup of 1
+         (5, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+          "en", "s1", 10)],                                     # novel
+        "doc_id long, text string, lang string, source string, n_chars long")
+    b2.coalesce(1).write.parquet(str(tmp_path / "b2"))
+    for f in glob.glob(str(tmp_path / "b2") + "/*.parquet"):
+        shutil.copy(f, os.path.join(src, "batch2.parquet"))
+    stream_neardup_ingest(spark, src, out, threshold=0.5)
+    landed2 = {r["doc_id"] for r in
+               spark.read.parquet(out + "/docs").collect()}
+    assert landed2 == {1, 2, 5}
+
+    # replay: same checkpoint, no new files → nothing changes
+    stream_neardup_ingest(spark, src, out, threshold=0.5)
+    assert {r["doc_id"] for r in
+            spark.read.parquet(out + "/docs").collect()} == {1, 2, 5}
