@@ -182,9 +182,12 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
         [(s, float(r), int(round(r * n_buckets)))
          for s, r in sorted(rates.items())],
         f"{stratum_col} string, target_rate double, _thr long")
+    # coalesce: a NULL stratum would null the concat and the comparison,
+    # silently dropping the row regardless of default_rate — null strata
+    # must flow through the default-rate path like any unknown stratum.
     bucket = md5_hash(F.concat(
-        F.lit(salt), F.col(stratum_col), F.lit(":"),
-        F.col(id_col).cast("string"))) % n_buckets
+        F.lit(salt), F.coalesce(F.col(stratum_col), F.lit("")),
+        F.lit(":"), F.col(id_col).cast("string"))) % n_buckets
     dflt = int(round(default_rate * n_buckets))
     return (df.join(F.broadcast(rtab), stratum_col, "left")
               .filter(bucket < F.coalesce(F.col("_thr"), F.lit(dflt)))

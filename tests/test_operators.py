@@ -251,3 +251,9 @@ def test_stratified_hash_sample_deterministic_and_salted(spark):
     # unknown stratum: default_rate=1.0 keeps everything
     d = stratified_hash_sample(docs, {"zzz": 0.0}).count()
     assert d == 300
+    # NULL stratum flows through the default-rate path, never silently
+    # dropped by a nulled hash concat
+    withnull = spark.createDataFrame(
+        [(1, None), (2, "s0")], "doc_id long, source string")
+    kept = stratified_hash_sample(withnull, {"s0": 1.0}).count()
+    assert kept == 2
