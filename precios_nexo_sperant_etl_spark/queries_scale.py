@@ -2816,15 +2816,19 @@ _N_SHARDS = 8
 
 
 def _shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from .operators.dedup import add_row_id
     from .operators.text import BPE_ISH_PATTERN
     docs = _t(spark, sf, "documents").select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
          .cast("long").alias("n_tokens"))
-    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-    ranked = docs.withColumn("rn", F.row_number().over(w))
+    # Global rank via the two-pass range-partitioned row id (W4's
+    # machinery) instead of a single-task global window — same
+    # deterministic (n_tokens DESC, doc_id ASC) order, corpus-scalable.
+    ranked = (add_row_id(docs, [F.col("n_tokens").desc(),
+                                F.col("doc_id").asc()], name="_r0")
+              .withColumn("rn", (F.col("_r0") + 1).cast("int"))
+              .drop("_r0"))
     # boustrophedon (snake) round-robin: longest docs spread first, each
     # pass reverses direction so early shards don't accumulate the heavy
     # head of every pass

@@ -97,13 +97,14 @@ _CHECK_FIRST: list[str] = [
     "tpch_q12_priority_shipping",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    # --- new in r5 (displace four r02 TPC-H refreshes — those stamps
-    # are current, just old; they rotate forward next round) ---
+    # --- new or changed in r5 (displace five r02 TPC-H refreshes —
+    # those stamps are current, just old; they rotate forward next
+    # round; stale-or-new evidence outranks refreshing valid stamps) ---
     "dup_ngram_rate",
     "gopher_quality_flags",
     "stratified_sample_audit",
     "embedding_quantization_audit",
+    "shard_assignment",            # rank moved to two-pass row id (r5)
 ]
 
 
