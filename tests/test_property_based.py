@@ -122,3 +122,64 @@ def test_bpe_learn_matches_pure_python_reference(spark, texts):
                                  "doc_id int, text string")
     got = [tuple(r) for r in bpe_learn(docs, n_merges=3).collect()]
     assert got == _bpe_ref(texts, 3)
+
+
+def _money_ref(v):
+    """Pure-Python reference for F22: Intl es-PE PEN, max 0 fraction
+    digits — double → exact DECIMAL(18,2) via the shortest repr (Spark's
+    cast), then integer sol with halfExpand (away from zero), comma
+    grouping, NBSP after the symbol."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "–"
+    d2 = Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    i = int(d2.quantize(Decimal("1"), ROUND_HALF_UP))
+    return f"S/ {i:,}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.floats(min_value=-1e12, max_value=1e12,
+                        allow_nan=False, allow_infinity=False),
+              st.just(float("nan"))),
+    min_size=1, max_size=40))
+def test_format_pen_matches_reference(spark, vals):
+    from pyspark.sql import functions as F
+
+    from precios_nexo_sperant_etl_spark.functions.currency import format_pen
+    df = spark.createDataFrame(list(enumerate(vals)), "id int, v double")
+    got = {r["id"]: r["m"] for r in
+           df.select("id", format_pen(F.col("v")).alias("m")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == _money_ref(v), (v, got[i], _money_ref(v))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 500),
+                          st.sampled_from(["a", "b", "c", None])),
+                min_size=1, max_size=80, unique_by=lambda t: t[0]),
+       st.sampled_from(["", "s2"]))
+def test_stratified_sample_matches_reference(spark, rows, salt):
+    """The distributed keep set must equal the pure-Python hash
+    computation row for row (portable md5 semantics)."""
+    import hashlib
+
+    from precios_nexo_sperant_etl_spark.operators.serve import (
+        stratified_hash_sample)
+    rates = {"a": 0.3, "b": 1.0, "c": 0.0}
+
+    def keep(i, s):
+        thr = int(round(rates.get(s, 0.5) * 10_000)) if s is not None \
+            else 5_000  # default_rate=0.5
+        h = hashlib.md5(
+            f"{salt}{s if s is not None else ''}:{i}".encode()).hexdigest()
+        return int(h[:12], 16) % 10_000 < thr
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["doc_id"] for r in
+           stratified_hash_sample(df, rates, salt=salt,
+                                  default_rate=0.5).collect()}
+    want = {i for i, s in rows if keep(i, s)}
+    assert got == want
