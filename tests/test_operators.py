@@ -257,3 +257,18 @@ def test_stratified_hash_sample_deterministic_and_salted(spark):
         [(1, None), (2, "s0")], "doc_id long, source string")
     kept = stratified_hash_sample(withnull, {"s0": 1.0}).count()
     assert kept == 2
+
+
+def test_stratified_sample_plan_is_broadcast_only(spark):
+    """The sampler must never shuffle the fact side: its plan is a scan
+    + broadcast probe + filter — one BroadcastHashJoin, zero shuffle
+    exchanges of the documents table."""
+    from precios_nexo_sperant_etl_spark.operators.serve import (
+        stratified_hash_sample)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_hash_sample(docs, {"src0": 0.5, "src1": 1.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
