@@ -3326,3 +3326,50 @@ FROM e GROUP BY dim ORDER BY dim
         "min/max scale, midpoint-dequant MSE (id-ordered exact fold) "
         "and max abs error — the enable-compression go/no-go table.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer pressure by language: whitespace vs BPE-ish pre-tokenizer
+# counts per language — the fertility-style datasheet row that decides
+# which languages a shared vocabulary is under-serving.
+# ---------------------------------------------------------------------------
+
+def _token_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import BPE_ISH_PATTERN, tokens
+    docs = _t(spark, sf, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("bp"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ws").alias("ws_tokens"),
+                 F.sum("bp").alias("bpe_ish_tokens"))
+            .select("lang", "n_docs", "ws_tokens", "bpe_ish_tokens",
+                    (F.col("bpe_ish_tokens") / F.col("ws_tokens"))
+                     .alias("fertility"))
+            .orderBy("lang"))
+
+
+register(
+    "token_fertility_by_lang",
+    _token_fertility_by_lang,
+    r"""
+WITH d AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\s+')) AS ws,
+         len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))
+           AS bp
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bp) AS BIGINT) AS bpe_ish_tokens,
+       CAST(SUM(bp) AS BIGINT) / CAST(SUM(ws) AS BIGINT) AS fertility
+FROM d GROUP BY lang ORDER BY lang
+""",
+    doc="Per-language tokenizer pressure: BPE-ish tokens per whitespace "
+        "token (fertility) — one scan, one combinable agg; integer sums "
+        "then one exact IEEE division.",
+)
