@@ -3169,14 +3169,16 @@ def _gopher_flags(spark: SparkSession, sf: str) -> DataFrame:
     return gopher_quality_flags(_t(spark, sf, "documents"))
 
 
-def _gopher_oracle() -> str:
+def _duck_gopher_ctes(src: str = "documents") -> tuple[str, str]:
+    """Shared Gopher-rule CTE pair ``(sql, pass_condition)`` over table
+    ``src`` — used by both the flags oracle and the composed release
+    manifest so the rule arithmetic can never drift between them."""
     from .operators.text import (GOPHER_MAX_MEAN_WORD_LEN,
                                  GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
                                  GOPHER_MIN_ALPHA_WORD_RATIO,
                                  GOPHER_MIN_MEAN_WORD_LEN,
                                  GOPHER_MIN_STOPWORD_HITS, GOPHER_MIN_WORDS)
-    return f"""
-WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents),
+    sql = f"""t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM {src}),
 b AS (SELECT doc_id,
              CAST(len(tk) AS BIGINT) AS n_words,
              (length(trim(text)) - (len(tk) - 1)) / len(tk)
@@ -3187,7 +3189,25 @@ b AS (SELECT doc_id,
                / CAST(len(tk) AS BIGINT) AS alpha_word_ratio,
              CAST(len(list_filter(tk, x -> x IN ({_STOP_SQL}))) AS BIGINT)
                AS n_stopword_hits
-      FROM t)
+      FROM t)"""
+    cond = (f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})"
+            f" AND (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}"
+            f" AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN})"
+            f" AND (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO})"
+            f" AND (alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO})"
+            f" AND (n_stopword_hits >= {GOPHER_MIN_STOPWORD_HITS})")
+    return sql, cond
+
+
+def _gopher_oracle() -> str:
+    from .operators.text import (GOPHER_MAX_MEAN_WORD_LEN,
+                                 GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
+                                 GOPHER_MIN_ALPHA_WORD_RATIO,
+                                 GOPHER_MIN_MEAN_WORD_LEN,
+                                 GOPHER_MIN_STOPWORD_HITS, GOPHER_MIN_WORDS)
+    ctes, _ = _duck_gopher_ctes()
+    return f"""
+WITH {ctes}
 SELECT *,
        (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
          AS ok_word_count,
@@ -3372,4 +3392,89 @@ FROM d GROUP BY lang ORDER BY lang
     doc="Per-language tokenizer pressure: BPE-ish tokens per whitespace "
         "token (fertility) — one scan, one combinable agg; integer sums "
         "then one exact IEEE division.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data RELEASE manifest: the round-5 operators composed into
+# one release chain — Gopher gate → exact dedup → stratified mix
+# thinning → deterministic split — summarized per (split, lang). Every
+# stage is hash-threshold/rule-deterministic, so the whole chain has a
+# single mirrored oracle.
+# ---------------------------------------------------------------------------
+
+def _release_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import exact_dedup_survivors
+    from .operators.serve import hash_split, stratified_hash_sample
+    from .operators.text import BPE_ISH_PATTERN, gopher_quality_flags
+    docs = _t(spark, sf, "documents")
+    good_ids = (gopher_quality_flags(docs)
+                .filter(F.col("passes_gopher")).select("doc_id"))
+    good = docs.join(good_ids, "doc_id")
+    deduped = exact_dedup_survivors(good)
+    sampled = stratified_hash_sample(deduped, _STRAT_RATES,
+                                     n_buckets=_STRAT_BUCKETS)
+    split = hash_split(sampled)
+    per_doc = split.select(
+        "split", "lang", "source",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_tok"))
+    return (per_doc.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.countDistinct("source").alias("n_sources"))
+            .orderBy("split", "lang"))
+
+
+def _release_oracle() -> str:
+    gopher_ctes, gopher_cond = _duck_gopher_ctes()
+    rate_vals = ",\n    ".join(
+        f"('{s}', {int(round(r * _STRAT_BUCKETS))})"
+        for s, r in sorted(_STRAT_RATES.items()))
+    samp_bucket = (f"('0x' || substr(md5(source || ':' || "
+                   f"CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
+                   f"% {_STRAT_BUCKETS}")
+    split_bucket = _duck_md5_hash("CAST(doc_id AS VARCHAR)") + " % 10000"
+    return f"""
+WITH {gopher_ctes},
+good AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT doc_id FROM b WHERE {gopher_cond}) g USING (doc_id)),
+ded AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id ASC) AS rn
+    FROM good) x WHERE rn = 1),
+r AS (SELECT * FROM (VALUES
+    {rate_vals}) rt(source, _thr)),
+samp AS (
+  SELECT ded.* FROM ded LEFT JOIN r USING (source)
+  WHERE {samp_bucket} < COALESCE(_thr, {_STRAT_BUCKETS})),
+sp AS (
+  SELECT lang, source,
+         CASE WHEN {split_bucket} < 9000 THEN 'train'
+              WHEN {split_bucket} < 9500 THEN 'val'
+              ELSE 'test' END AS split,
+         len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+           AS n_tok
+  FROM samp)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM sp GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+register(
+    "release_manifest",
+    _release_manifest,
+    _release_oracle(),
+    doc="Composed training-data release chain: Gopher rule gate → "
+        "exact-dedup survivors → per-source hash thinning → "
+        "deterministic 90/5/5 split, summarized per (split, lang). "
+        "Every stage is a pure function of the data, so the manifest "
+        "is reproducible from the raw corpus alone.",
 )

@@ -95,7 +95,6 @@ _CHECK_FIRST: list[str] = [
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
     # --- new or changed in r5 (displace five r02 TPC-H refreshes —
     # those stamps are current, just old; they rotate forward next
     # round; stale-or-new evidence outranks refreshing valid stamps) ---
@@ -105,6 +104,7 @@ _CHECK_FIRST: list[str] = [
     "embedding_quantization_audit",
     "shard_assignment",            # rank moved to two-pass row id (r5)
     "token_fertility_by_lang",
+    "release_manifest",
 ]
 
 
