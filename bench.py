@@ -61,6 +61,7 @@ HEADLINE = [
     "dup_ngram_rate",           # shingle document-frequency join
     "gopher_quality_flags",     # rule-table quality filter, narrow scan
     "stratified_sample_audit",  # hash-threshold mix thinning + audit
+    "release_manifest",         # composed gate→dedup→mix→split chain
 ]
 
 
