@@ -170,7 +170,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """
     if hashed is None:
         hashed = shingle_hashes(df, text_col, id_col, k)
-    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"mh_{i}")
+    # One F.expr per permutation, NOT a composed Column tree: every
+    # Column operator is a py4j round trip, and 128 perms × ~6 ops was
+    # ~2s of pure driver-side build time at prod width. The SQL string
+    # is parsed JVM-side in one crossing; arithmetic is identical.
+    aggs = [F.expr(f"min(({a} * h + {b}) % {HASH_P}) AS mh_{i}")
             for i, (a, b) in enumerate(minhash_params(n_perms))]
     return hashed.groupBy(id_col).agg(*aggs)
 
@@ -181,13 +185,16 @@ def _band_buckets(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame:
     ``(acc*131 + mh) % HASH_P`` — mirrored verbatim by the oracle SQL)."""
     n_perms = sum(1 for c in sigs.columns if c.startswith("mh_"))
     n_per_band = n_perms // n_bands
-    folds = []
+    # Whole band array as ONE SQL string (single py4j crossing) — see
+    # minhash_signatures for why composed Column trees are avoided here.
+    structs = []
     for b in range(n_bands):
-        expr = F.lit(0).cast("long")
+        fold = "CAST(0 AS BIGINT)"
         for j in range(n_per_band):
-            expr = (expr * 131 + F.col(f"mh_{b * n_per_band + j}")) % HASH_P
-        folds.append(F.struct(F.lit(b).alias("band"), expr.alias("bh")))
-    return (sigs.select(F.col(id_col), F.explode(F.array(*folds)).alias("_b"))
+            fold = f"(({fold}) * 131 + mh_{b * n_per_band + j}) % {HASH_P}"
+        structs.append(f"named_struct('band', {b}, 'bh', {fold})")
+    arr = "explode(array(" + ", ".join(structs) + "))"
+    return (sigs.select(F.col(id_col), F.expr(arr).alias("_b"))
                 .select(id_col, "_b.band", "_b.bh"))
 
 
