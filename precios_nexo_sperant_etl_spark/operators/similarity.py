@@ -29,6 +29,16 @@ def _norm(v: Column) -> Column:
     return F.sqrt(ddot(v, v))
 
 
+def _arr_lit(vals) -> Column:
+    """Double-array literal as ONE SQL string — a ``F.array(*[F.lit(x)
+    ...])`` of dim elements costs dim py4j crossings per call site,
+    which dominates plan construction for k×dim centroid embeddings.
+    ``repr`` round-trips every finite double exactly (shortest-repr
+    guarantee) and Spark's ``D`` suffix parses it straight to double,
+    so the embedded values are bit-identical to the lit form."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 use_arrow: bool = False) -> DataFrame:
@@ -170,7 +180,7 @@ def assign_kmeans_cells(emb: DataFrame, n_cells: int = 10, n_iter: int = 3,
     def _assign(cents):
         structs = []
         for ci, c in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in c])
+            carr = _arr_lit(c)
             d2 = (ddot(F.col(vec_col), F.col(vec_col))
                   - 2.0 * ddot(F.col(vec_col), carr)
                   + ddot(carr, carr))
@@ -360,8 +370,7 @@ def semdedup_survivors_diverse(emb: DataFrame, threshold: float = 0.35,
 
     ccos = None
     for ci in sorted(by_cell):
-        carr = F.array(*[F.lit(float(by_cell[ci][d]))
-                         for d in sorted(by_cell[ci])])
+        carr = _arr_lit(by_cell[ci][d] for d in sorted(by_cell[ci]))
         c = (ddot(F.col(vec_col), carr)
              / (_norm(F.col(vec_col)) * _norm(carr)))
         ccos = c if ccos is None else F.when(F.col("cell") == ci, c).otherwise(ccos)
