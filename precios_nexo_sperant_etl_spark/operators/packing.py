@@ -63,6 +63,9 @@ def pack_sequences(df: DataFrame, budget: int, group_col: str = "lang",
         pdf["seq_fill"] = pd.Series(fills, dtype="int64")
         return pdf
 
+    # coalesce: a null token count (null text upstream) would crash the
+    # Arrow worker's int64 cast; a null-text doc packs as 0 tokens.
     slim = df.select(F.col(group_col), F.col(id_col),
-                     F.col(token_col).cast("long"))
+                     F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+                      .alias(token_col))
     return slim.groupBy(group_col).applyInPandas(_pack, schema)
