@@ -387,6 +387,93 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     return out.drop("_toks", "n_chars").orderBy(id_col)
 
 
+def exact_substring_coverage(df: DataFrame, window: int = 8,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr, re-expressed relationally): every ``window``-token
+    sliding window is hashed; a window whose hash also occurs in ANOTHER
+    document marks its token span as duplicated, and per document the
+    duplicated spans are merged into maximal islands whose union is the
+    doc's duplicated-token coverage. Output per document:
+    ``(doc_id, n_tokens, n_dup_windows, n_spans, covered_tokens,
+    dup_frac)``.
+
+    This is POSITIONAL, not set-based: MinHash/containment measure
+    shingle-set overlap of whole documents, while this op localizes
+    exactly WHICH token runs are shared verbatim across documents — the
+    signal the suffix-array pass in the paper computes. A relational
+    window join replaces the suffix array: same result for spans ≥
+    ``window`` tokens, no global sort, no driver state.
+
+    Scale shape: window extraction is a linear explode (≈1 row per
+    token, same fan-out as shingling); the cross-doc test is one
+    map-side-combinable agg on the window hash; the interval merge runs
+    only over DUPLICATED windows, partitioned by doc_id (a classic
+    gaps-and-islands: running max of span end → island ids → per-island
+    extent). No corpus-wide window functions, no driver collects.
+    """
+    from pyspark.sql import Window as PW
+    w = window
+    toks = F.array_remove(tokens(F.col(text_col)), "")
+    sized = df.select(F.col(id_col), toks.alias("tk"),
+                      F.size(toks).cast("long").alias("n_tokens"))
+    wins = (sized.select(
+                F.col(id_col), "tk",
+                F.explode(
+                    F.when(F.col("n_tokens") >= w,
+                           F.sequence(F.lit(1),
+                                      F.col("n_tokens").cast("int") - w + 1))
+                     .otherwise(F.array().cast("array<int>"))).alias("start"))
+            .select(F.col(id_col), "start",
+                    F.md5(F.array_join(F.slice("tk", F.col("start"), w), " "))
+                     .alias("h")))
+    # Cross-doc duplicated hashes: the span is shared with at least one
+    # OTHER document (within-doc repeats alone are Gopher's signal, not
+    # this one's). min!=max is combinable — no distinct-count needed.
+    dup = (wins.groupBy("h")
+               .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+               .filter(F.col("_lo") != F.col("_hi"))
+               .select("h"))
+    spans = (wins.join(dup, "h")
+                 .select(F.col(id_col), "start",
+                         (F.col("start") + w - 1).alias("end")))
+    by_doc = PW.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("end").over(
+        by_doc.rowsBetween(PW.unboundedPreceding, -1))
+    # New island when this span starts past the furthest end reached so
+    # far +1 (contiguous spans merge; "-2" sentinel makes row 1 open one).
+    isl = (spans.withColumn(
+                "_new", (F.col("start") > F.coalesce(prev_end, F.lit(-2)) + 1)
+                        .cast("int"))
+                .withColumn("_isl", F.sum("_new").over(
+                    by_doc.rowsBetween(PW.unboundedPreceding, 0))))
+    per_doc = (isl.groupBy(id_col, "_isl")
+                  .agg(F.min("start").alias("_s"), F.max("end").alias("_e"),
+                       F.count(F.lit(1)).alias("_nw"))
+                  .groupBy(id_col)
+                  .agg(F.sum("_nw").alias("n_dup_windows"),
+                       F.count(F.lit(1)).alias("n_spans"),
+                       F.sum(F.col("_e") - F.col("_s") + 1).cast("long")
+                        .alias("covered_tokens")))
+    return (sized.select(id_col, "n_tokens")
+                 .join(per_doc, id_col, "left")
+                 .select(F.col(id_col), "n_tokens",
+                         F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                          .alias("n_dup_windows"),
+                         F.coalesce("n_spans", F.lit(0)).cast("long")
+                          .alias("n_spans"),
+                         F.coalesce("covered_tokens", F.lit(0)).cast("long")
+                          .alias("covered_tokens"),
+                         F.when(F.col("n_tokens") > 0,
+                                F.coalesce("covered_tokens", F.lit(0))
+                                  .cast("double") /
+                                F.col("n_tokens").cast("double"))
+                          .otherwise(F.lit(0.0)).alias("dup_frac"))
+                 .orderBy(id_col))
+
+
 def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      model_df: DataFrame | None = None) -> DataFrame:

@@ -3478,3 +3478,75 @@ register(
         "Every stage is a pure function of the data, so the manifest "
         "is reproducible from the raw corpus alone.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr):
+# positional W-token window hashing → cross-doc collision → per-doc
+# island merge. Positional, unlike the set-based MinHash/containment
+# family: it localizes WHICH token runs are shared verbatim.
+# ---------------------------------------------------------------------------
+
+_XS_W = 8
+
+
+def _exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import exact_substring_coverage
+    return exact_substring_coverage(_t(spark, sf, "documents"),
+                                    window=_XS_W)
+
+
+register(
+    "exact_substring_coverage",
+    _exact_substring,
+    f"""
+WITH base AS (
+  SELECT doc_id, list_filter({_DUCK_TOKENS}, t -> t <> '') AS tk
+  FROM documents),
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM base),
+w AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(tk[i : i + {_XS_W - 1}], ' ')) AS h
+  FROM (SELECT doc_id, tk,
+               unnest(CASE WHEN n >= {_XS_W}
+                      THEN range(1, n - {_XS_W} + 2)
+                      ELSE CAST([] AS BIGINT[]) END) AS i
+        FROM sized)),
+dup AS (SELECT h FROM w GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+dw AS (SELECT w.doc_id, w.start, w.start + {_XS_W - 1} AS e
+       FROM w JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, start, e,
+         CASE WHEN start > COALESCE(MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -2) + 1 THEN 1 ELSE 0 END AS ni
+  FROM dw),
+g AS (SELECT doc_id, start, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS UNBOUNDED PRECEDING) AS isl_id
+      FROM isl),
+cov AS (SELECT doc_id, isl_id, MIN(start) AS s, MAX(e) AS e2,
+               COUNT(*) AS nw
+        FROM g GROUP BY 1, 2),
+per AS (SELECT doc_id,
+               CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e2 - s + 1) AS BIGINT) AS covered_tokens
+        FROM cov GROUP BY doc_id)
+SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN s.n > 0
+            THEN CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE)
+                 / CAST(s.n AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM sized s LEFT JOIN per p USING (doc_id) ORDER BY s.doc_id
+""",
+    doc="Exact-substring duplication coverage (ExactSubstr, Lee et al. "
+        "2022): 8-token sliding-window hashes, cross-doc collisions, "
+        "per-doc maximal-span merge (gaps-and-islands over duplicated "
+        "windows only). Linear explode + combinable hash agg; the only "
+        "window functions run per-doc over the duplicated subset.",
+)

@@ -58,6 +58,7 @@ _CHECK_FIRST: list[str] = [
     "window_analytics_suite",      # oracle row_number/rank INT casts
     # --- new in r5 ---
     "f22_money_format",
+    "exact_substring_coverage",
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",

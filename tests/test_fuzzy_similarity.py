@@ -372,6 +372,51 @@ def test_repetition_stats_hand_computed(spark):
     assert rows[2]["top3gram_char_frac"] == 0.0
 
 
+def test_exact_substring_coverage_hand_computed(spark):
+    """ExactSubstr coverage pinned by hand (window=3): overlapping dup
+    windows merge into one island; disjoint spans stay two islands;
+    within-doc-only repeats do NOT count (cross-doc semantics); docs
+    shorter than the window and empty docs report zeros."""
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        exact_substring_coverage)
+    df = spark.createDataFrame([
+        (0, "a b c d e f"),        # shares (a b c),(b c d) with doc 1
+        (1, "a b c d x y"),
+        (2, "p q r s t u v w"),    # nothing shared
+        (3, "a b c"),              # its single window is shared → 100%
+        (4, "z z"),                # shorter than window
+        (5, ""),                   # empty
+        (6, "m n o p m n o"),      # repeats (m n o) only within itself
+        (7, "a b c j k l m b c d"),  # two disjoint shared spans
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           exact_substring_coverage(df, window=3).collect()}
+    assert (out[0]["n_dup_windows"], out[0]["n_spans"],
+            out[0]["covered_tokens"]) == (2, 1, 4)   # [1,3]∪[2,4] → [1,4]
+    assert abs(out[0]["dup_frac"] - 4 / 6) < 1e-12
+    assert out[1]["covered_tokens"] == 4
+    assert (out[2]["n_dup_windows"], out[2]["covered_tokens"]) == (0, 0)
+    assert out[3]["dup_frac"] == 1.0 and out[3]["n_spans"] == 1
+    assert (out[4]["n_tokens"], out[4]["dup_frac"]) == (2, 0.0)
+    assert (out[5]["n_tokens"], out[5]["dup_frac"]) == (0, 0.0)
+    assert out[6]["n_dup_windows"] == 0              # cross-doc only
+    assert (out[7]["n_spans"], out[7]["covered_tokens"]) == (2, 6)
+
+
+def test_exact_substring_coverage_partitioning_independent(spark):
+    """Window collision + island merge are pure functions of the data:
+    identical output under adversarial repartitioning on real docs."""
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        exact_substring_coverage)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    a = exact_substring_coverage(docs, window=8).collect()
+    b = exact_substring_coverage(docs.repartition(17, "text"),
+                                 window=8).collect()
+    assert a == b and len(a) > 0
+    assert any(r["n_dup_windows"] > 0 for r in a)    # exact dups exist
+
+
 def test_connected_components_chain_and_cliques(spark):
     """A 4-node chain (diameter 3 — needs real propagation rounds, not
     just the fused init) and a disjoint triangle each collapse to their
