@@ -62,6 +62,7 @@ HEADLINE = [
     "gopher_quality_flags",     # rule-table quality filter, narrow scan
     "stratified_sample_audit",  # hash-threshold mix thinning + audit
     "release_manifest",         # composed gate→dedup→mix→split chain
+    "exact_substring_coverage",  # positional window-hash dup spans
 ]
 
 
