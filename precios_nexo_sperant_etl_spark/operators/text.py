@@ -691,3 +691,36 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_wl & ok_sym & ok_alpha & ok_stop)
             .alias("passes_gopher")).orderBy(id_col)
+
+
+def temperature_mix(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Temperature-scaled domain mixing weights (XLM-R/mT5 α-smoothing,
+    α = 1/2): ``target_frac_i ∝ n_i^α`` flattens the source distribution
+    without going fully uniform; ``sample_weight = target/actual`` is the
+    per-source resampling factor.
+
+    Cross-engine exactness: α = 1/2 is IEEE ``sqrt`` (correctly rounded
+    in both engines), and the normalizing denominator — a sum of doubles,
+    which IS order-sensitive — is folded in SORTED group order on both
+    sides (Spark: ``aggregate`` over an ``array_sort``-ed
+    ``collect_list``; DuckDB: ``SUM(... ORDER BY source)``), so the whole
+    result is hash-exact. The per-group count table is tiny (domains,
+    not documents), so the sorted fold and the broadcast are O(groups).
+    """
+    c = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(
+                F.col(group_col).alias("g"),
+                F.sqrt(F.col("n_docs").cast("double")).alias("sq")))),
+            F.lit(0.0), lambda acc, x: acc + x["sq"]).alias("denom"))
+    sq = F.sqrt(F.col("n_docs").cast("double"))
+    actual = F.col("n_docs") / F.col("n_total")
+    target = sq / F.col("denom")
+    return (c.crossJoin(F.broadcast(t))
+             .select(group_col, "n_docs",
+                     actual.alias("actual_frac"),
+                     target.alias("target_frac"),
+                     (target / actual).alias("sample_weight"))
+             .orderBy(group_col))

@@ -3550,3 +3550,71 @@ FROM sized s LEFT JOIN per p USING (doc_id) ORDER BY s.doc_id
         "windows only). Linear explode + combinable hash agg; the only "
         "window functions run per-doc over the duplicated subset.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity matching (record linkage): levenshtein over
+# within-block candidate pairs of the DISTINCT part-name dictionary.
+# ---------------------------------------------------------------------------
+
+def _fuzzy_part_match(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.join import blocked_fuzzy_pairs
+    names = _t(spark, sf, "part").select("p_name").distinct()
+    return blocked_fuzzy_pairs(names, "p_name",
+                               "split_part(p_name, ' ', 2)", max_dist=4)
+
+
+register(
+    "fuzzy_part_match",
+    _fuzzy_part_match,
+    """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+s AS (SELECT p_name AS nm, split_part(p_name, ' ', 2) AS blk FROM n)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 4
+ORDER BY name_a, name_b
+""",
+    doc="Blocked fuzzy entity matching over the distinct part-name "
+        "dictionary: block on the noun, Levenshtein <= 4 within blocks "
+        "— Σ block² candidates, never n²; unit edit distance agrees "
+        "exactly between Spark and DuckDB.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (XLM-R/mT5 α-smoothing, α = 1/2):
+# target_frac_i ∝ n_i^α flattens the source distribution without going
+# fully uniform. α = 1/2 is computed as IEEE sqrt (correctly rounded in
+# both engines) and the denominator is folded in SORTED source order on
+# both sides — Spark aggregate() over an array_sort'ed collect_list,
+# DuckDB SUM(... ORDER BY source) — so the double sum is order-pinned
+# and the whole result stays hash-exact.
+# ---------------------------------------------------------------------------
+
+def _source_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import temperature_mix
+    return temperature_mix(_t(spark, sf, "documents"))
+
+
+register(
+    "source_temperature_mix",
+    _source_temperature_mix,
+    """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             SUM(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source) AS denom
+      FROM c)
+SELECT source, n_docs,
+       n_docs / n_total AS actual_frac,
+       sqrt(CAST(n_docs AS DOUBLE)) / denom AS target_frac,
+       (sqrt(CAST(n_docs AS DOUBLE)) / denom) / (n_docs / n_total)
+         AS sample_weight
+FROM c CROSS JOIN t ORDER BY source
+""",
+    doc="Temperature-scaled source mixing (α = 1/2, XLM-R-style): "
+        "flattens the domain distribution via per-source sqrt weights; "
+        "the only inexact op is IEEE sqrt (correctly rounded in both "
+        "engines) and the denominator fold is order-pinned by source.",
+)

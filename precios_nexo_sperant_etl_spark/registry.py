@@ -59,6 +59,8 @@ _CHECK_FIRST: list[str] = [
     # --- new in r5 ---
     "f22_money_format",
     "exact_substring_coverage",
+    "fuzzy_part_match",
+    "source_temperature_mix",
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",

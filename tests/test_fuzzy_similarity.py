@@ -417,6 +417,42 @@ def test_exact_substring_coverage_partitioning_independent(spark):
     assert any(r["n_dup_windows"] > 0 for r in a)    # exact dups exist
 
 
+def test_blocked_fuzzy_pairs_hand_computed(spark):
+    """Blocked levenshtein matching: only within-block pairs compared,
+    distance threshold enforced, name_a < name_b canonical order."""
+    from precios_nexo_sperant_etl_spark.operators.join import (
+        blocked_fuzzy_pairs)
+    names = spark.createDataFrame(
+        [("cold widget",), ("bold widget",), ("tiny widget",),
+         ("cold bolt",), ("gold bolt",), ("cold rod",)],
+        "p_name string")
+    out = blocked_fuzzy_pairs(names, "p_name",
+                              "split_part(p_name, ' ', 2)",
+                              max_dist=2).collect()
+    got = {(r["name_a"], r["name_b"]): r["dist"] for r in out}
+    # widget block: cold~bold dist 1 in; tiny~cold dist 4 out.
+    # bolt block: cold~gold dist 1 in. rod block: singleton, no pairs.
+    # cold widget ~ cold bolt: different blocks, never compared.
+    assert got == {("bold widget", "cold widget"): 1,
+                   ("cold bolt", "gold bolt"): 1}
+
+
+def test_source_temperature_mix_math(spark):
+    """α=1/2 temperature mixing on a skewed two-source corpus: 16 vs 4
+    docs → sqrt weights 4:2 → target 2/3 vs 1/3; sample_weight is
+    target/actual (upsamples the small source)."""
+    from precios_nexo_sperant_etl_spark.operators.text import temperature_mix
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "big" if i < 16 else "small")
+         for i in range(20)],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in temperature_mix(docs).collect()}
+    assert abs(out["big"]["target_frac"] - 2 / 3) < 1e-12
+    assert abs(out["small"]["target_frac"] - 1 / 3) < 1e-12
+    assert abs(out["big"]["sample_weight"] - (2 / 3) / 0.8) < 1e-12
+    assert abs(out["small"]["sample_weight"] - (1 / 3) / 0.2) < 1e-12
+
+
 def test_connected_components_chain_and_cliques(spark):
     """A 4-node chain (diameter 3 — needs real propagation rounds, not
     just the fused init) and a disjoint triangle each collapse to their
