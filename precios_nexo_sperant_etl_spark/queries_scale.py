@@ -3618,3 +3618,180 @@ FROM c CROSS JOIN t ORDER BY source
         "the only inexact op is IEEE sqrt (correctly rounded in both "
         "engines) and the denominator fold is order-pinned by source.",
 )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM buckets: per-language head/middle/tail split of the
+# bigram-LM quality score at the exact p25/p75 order statistics (same
+# one-lerp-formula-on-both-engines device as quality_calibrated_filter;
+# 0.25/0.75 are exact binary doubles, so the thresholds are bit-stable).
+# CCNet buckets by wikipedia-LM perplexity; the add-1 bigram mean
+# probability is this repo's exact-arithmetic stand-in for it.
+# ---------------------------------------------------------------------------
+
+def _lerp_spark(frac: str, arr: str = "arr") -> str:
+    lo = f"CAST(floor({frac} * (size({arr}) - 1)) AS INT) + 1"
+    return (f"element_at({arr}, {lo})"
+            f" + ({frac} * (size({arr}) - 1)"
+            f"    - floor({frac} * (size({arr}) - 1)))"
+            f"   * (element_at({arr}, least({lo} + 1, size({arr})))"
+            f"      - element_at({arr}, {lo}))")
+
+
+def _lerp_duck(frac: str, arr: str = "arr") -> str:
+    lo = f"CAST(floor({frac} * (len({arr}) - 1)) AS INT) + 1"
+    return (f"{arr}[{lo}]"
+            f" + ({frac} * (len({arr}) - 1)"
+            f"    - floor({frac} * (len({arr}) - 1)))"
+            f"   * ({arr}[least({lo} + 1, len({arr}))] - {arr}[{lo}])")
+
+
+def _ccnet_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import bigram_lm_scores
+    docs = _t(spark, sf, "documents")
+    scored = (docs.select("doc_id", "lang")
+                  .join(bigram_lm_scores(docs), "doc_id"))
+    thr = (scored.groupBy("lang")
+           .agg(F.sort_array(F.collect_list("mean_bigram_p")).alias("arr"))
+           .select("lang",
+                   F.expr(_lerp_spark("0.25")).alias("p25"),
+                   F.expr(_lerp_spark("0.75")).alias("p75")))
+    b = (scored.join(F.broadcast(thr), "lang")
+         .withColumn("bucket",
+                     F.when(F.col("mean_bigram_p") >= F.col("p75"), "head")
+                      .when(F.col("mean_bigram_p") >= F.col("p25"), "middle")
+                      .otherwise(F.lit("tail"))))
+    return (b.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bigrams").alias("total_bigrams"),
+                 F.min("mean_bigram_p").alias("min_score"),
+                 F.max("mean_bigram_p").alias("max_score"))
+            .orderBy("lang", "bucket"))
+
+
+register(
+    "ccnet_lm_buckets",
+    _ccnet_lm_buckets,
+    f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS w1,
+               generate_subscripts(tk, 1) AS pos FROM toks),
+big AS (SELECT doc_id, pos, w1,
+               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM pos),
+bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w1) AS v FROM pos),
+p AS (SELECT bg.doc_id, bg.pos,
+             CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v) AS p
+      FROM bg
+      JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+      JOIN c1 ON c1.w1 = bg.w1
+      CROSS JOIN v),
+sc0 AS (SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                        list(p ORDER BY pos)),
+                           (a, b) -> a + b) / COUNT(*) AS s
+        FROM p GROUP BY doc_id),
+sc AS (SELECT d.lang, sc0.* FROM sc0 JOIN documents d USING (doc_id)),
+thr0 AS (SELECT lang, list_sort(list(s)) AS arr FROM sc GROUP BY lang),
+thr AS (SELECT lang, {_lerp_duck("0.25")} AS p25,
+                     {_lerp_duck("0.75")} AS p75
+        FROM thr0),
+b AS (SELECT sc.lang, sc.n_bigrams, sc.s,
+             CASE WHEN sc.s >= thr.p75 THEN 'head'
+                  WHEN sc.s >= thr.p25 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sc JOIN thr ON thr.lang = sc.lang)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       MIN(s) AS min_score,
+       MAX(s) AS max_score
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+""",
+    doc="CCNet-style head/middle/tail LM-quality buckets per language "
+        "at exact p25/p75 order statistics; per-group sorted-list lerp "
+        "broadcast back — no percentile window over the corpus.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Filter funnel datasheet (FineWeb-style ablation reporting): how many
+# documents each curation stage removes, marginally, in pipeline order —
+# the artifact that justifies every rule's existence before a run drops
+# data. Counts only (plus one exact integer-ratio division), so the
+# whole funnel is one scan + tiny combinable aggs.
+# ---------------------------------------------------------------------------
+
+def _filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import canonical_text
+    from .operators.text import gopher_quality_flags, lang_pred_expr
+    docs = _t(spark, sf, "documents")
+    g = gopher_quality_flags(docs).select("doc_id", "passes_gopher")
+    base = (docs.select("doc_id",
+                        lang_pred_expr(F.col("text")).alias("lp"),
+                        F.md5(canonical_text(F.col("text"))).alias("h"))
+                .join(g, "doc_id"))
+    pass2 = F.col("passes_gopher") & (F.col("lp") != "und")
+    a = base.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("passes_gopher").cast("long")).alias("n1"),
+        F.sum(pass2.cast("long")).alias("n2"),
+        # keep-first exact dedup of stage-2 survivors ≡ distinct hashes
+        F.countDistinct(F.when(pass2, F.col("h"))).alias("n3"))
+    stages = F.explode(F.array(
+        F.struct(F.lit(1).alias("stage"),
+                 F.lit("gopher_rules").alias("rule"),
+                 F.col("n0").alias("n_in"), F.col("n1").alias("n_out")),
+        F.struct(F.lit(2).alias("stage"),
+                 F.lit("lang_known").alias("rule"),
+                 F.col("n1").alias("n_in"), F.col("n2").alias("n_out")),
+        F.struct(F.lit(3).alias("stage"),
+                 F.lit("exact_dedup").alias("rule"),
+                 F.col("n2").alias("n_in"), F.col("n3").alias("n_out"))))
+    return (a.select(stages.alias("s")).select("s.*")
+             .withColumn("n_removed", F.col("n_in") - F.col("n_out"))
+             .withColumn("removed_frac", F.col("n_removed") / F.col("n_in"))
+             .orderBy("stage"))
+
+
+def _funnel_oracle() -> str:
+    ctes, cond = _duck_gopher_ctes()
+    return f"""
+WITH {ctes},
+lp AS (SELECT doc_id, {_PRED_SQL} AS lp
+       FROM (SELECT doc_id, {_HIT_SQL} FROM t) x),
+flags AS (SELECT b.doc_id, ({cond}) AS pg, lp.lp,
+                 md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g'))
+                   AS h
+          FROM b JOIN lp USING (doc_id) JOIN t USING (doc_id)),
+a AS (SELECT COUNT(*) AS n0,
+             COUNT(*) FILTER (WHERE pg) AS n1,
+             COUNT(*) FILTER (WHERE pg AND lp <> 'und') AS n2,
+             COUNT(DISTINCT h) FILTER (WHERE pg AND lp <> 'und') AS n3
+      FROM flags)
+SELECT stage, rule, n_in, n_out,
+       n_in - n_out AS n_removed,
+       (n_in - n_out) / n_in AS removed_frac
+FROM (
+  SELECT 1 AS stage, 'gopher_rules' AS rule, n0 AS n_in, n1 AS n_out FROM a
+  UNION ALL
+  SELECT 2, 'lang_known', n1, n2 FROM a
+  UNION ALL
+  SELECT 3, 'exact_dedup', n2, n3 FROM a) s
+ORDER BY stage
+"""
+
+
+register(
+    "filter_funnel",
+    _filter_funnel,
+    _funnel_oracle(),
+    doc="Curation filter funnel: marginal document removal per stage "
+        "(Gopher rules → known language → exact dedup) in pipeline "
+        "order — one scan, combinable aggs, the ablation datasheet "
+        "published with a curation run.",
+)

@@ -61,6 +61,8 @@ _CHECK_FIRST: list[str] = [
     "exact_substring_coverage",
     "fuzzy_part_match",
     "source_temperature_mix",
+    "ccnet_lm_buckets",
+    "filter_funnel",
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",

@@ -453,6 +453,20 @@ def test_source_temperature_mix_math(spark):
     assert abs(out["small"]["sample_weight"] - (1 / 3) / 0.2) < 1e-12
 
 
+def test_filter_funnel_monotone_and_consistent(spark):
+    """The funnel can only shrink: n_in >= n_out per stage, each stage's
+    n_in equals the previous stage's n_out, fractions in [0,1]."""
+    import precios_nexo_sperant_etl_spark.queries_scale as qs
+    rows = qs._filter_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert [r["stage"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["n_out"] <= r["n_in"]
+        assert r["n_removed"] == r["n_in"] - r["n_out"]
+        assert 0.0 <= r["removed_frac"] <= 1.0
+    assert rows[1]["n_in"] == rows[0]["n_out"]
+    assert rows[2]["n_in"] == rows[1]["n_out"]
+
+
 def test_connected_components_chain_and_cliques(spark):
     """A 4-node chain (diameter 3 — needs real propagation rounds, not
     just the fused init) and a disjoint triangle each collapse to their
