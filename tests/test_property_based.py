@@ -183,3 +183,47 @@ def test_stratified_sample_matches_reference(spark, rows, salt):
                                   default_rate=0.5).collect()}
     want = {i for i, s in rows if keep(i, s)}
     assert got == want
+
+
+def _xs_reference(docs, w):
+    """Brute-force ExactSubstr coverage: windows as tuples, cross-doc
+    collision by set membership, interval union per doc."""
+    wins = {}  # tuple -> set of doc ids
+    toks = {}
+    for i, text in docs:
+        tk = [t for t in text.split() if t]
+        toks[i] = tk
+        for s in range(len(tk) - w + 1):
+            wins.setdefault(tuple(tk[s:s + w]), set()).add(i)
+    out = {}
+    for i, tk in toks.items():
+        spans = [(s + 1, s + w) for s in range(len(tk) - w + 1)
+                 if len(wins[tuple(tk[s:s + w])]) > 1]
+        covered = n_spans = 0
+        cur_s = cur_e = None
+        for s, e in spans:
+            if cur_e is None or s > cur_e + 1:
+                if cur_e is not None:
+                    covered += cur_e - cur_s + 1
+                cur_s, cur_e, n_spans = s, e, n_spans + 1
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            covered += cur_e - cur_s + 1
+        out[i] = (len(tk), len(spans), n_spans, covered)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from("ab"), min_size=0, max_size=12)
+                .map(lambda ts: " ".join(ts)),
+                min_size=1, max_size=8))
+def test_exact_substring_matches_brute_force(spark, texts):
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        exact_substring_coverage)
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dup_windows"], r["n_spans"],
+                         r["covered_tokens"])
+           for r in exact_substring_coverage(df, window=3).collect()}
+    assert got == _xs_reference(docs, 3)

@@ -119,6 +119,20 @@ def run_prep(spark, docs: DataFrame) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def run_exact_substring(docs: DataFrame) -> tuple[float, int]:
+    """ExactSubstr window-hash coverage on an arbitrary documents frame.
+    The replica substitution rewrites windows, so cross-doc collisions
+    (and therefore the interval-merge input) replicate ×k — wall must
+    track linear growth if the collision test is really one combinable
+    agg and never an all-pairs comparison."""
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        exact_substring_coverage)
+    t0 = time.time()
+    n = (exact_substring_coverage(docs, window=8)
+         .filter(F.col("n_dup_windows") > 0).count())
+    return time.time() - t0, n
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -138,9 +152,12 @@ def main() -> None:
         spark.catalog.clearCache()
         prep_wall, prep_rows = run_prep(spark, docs)
         spark.catalog.clearCache()
+        xs_wall, xs_docs = run_exact_substring(docs)
+        spark.catalog.clearCache()
         row = {"k": k, "n_docs": n_docs, "lsh_candidates": cand,
                "minhash_pairs": mh_pairs, "minhash_wall_s": round(mh_wall, 2),
-               "prep_rows": prep_rows, "prep_wall_s": round(prep_wall, 2)}
+               "prep_rows": prep_rows, "prep_wall_s": round(prep_wall, 2),
+               "xs_dup_docs": xs_docs, "xs_wall_s": round(xs_wall, 2)}
         results.append(row)
         print(json.dumps(row))
     base = results[0]
@@ -154,7 +171,11 @@ def main() -> None:
             "minhash_wall_growth": round(r["minhash_wall_s"]
                                          / base["minhash_wall_s"], 2),
             "prep_wall_growth": round(r["prep_wall_s"]
-                                      / base["prep_wall_s"], 2)}))
+                                      / base["prep_wall_s"], 2),
+            "xs_dup_docs_growth": round(r["xs_dup_docs"]
+                                        / max(base["xs_dup_docs"], 1), 2),
+            "xs_wall_growth": round(r["xs_wall_s"]
+                                    / base["xs_wall_s"], 2)}))
 
 
 if __name__ == "__main__":
