@@ -3795,3 +3795,55 @@ register(
         "order — one scan, combinable aggs, the ablation datasheet "
         "published with a curation run.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup merge: the monthly orders rollup computed as two
+# disjoint partials (history < 1997, increment >= 1997) MERGED via the
+# mergeable-aggregate algebra, against a single-pass oracle — hash
+# equality certifies the merge is lossless, i.e. the incremental
+# pipeline can maintain the rollup without ever re-reading history.
+# ---------------------------------------------------------------------------
+
+def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.incremental import merge_rollups, partial_rollup
+    o = _t(spark, sf, "orders").select(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    hist = partial_rollup(o.filter(F.col("yr") < 1997).drop("yr"),
+                          ["month"], "price")
+    inc = partial_rollup(o.filter(F.col("yr") >= 1997).drop("yr"),
+                         ["month"], "price")
+    merged = merge_rollups(hist, inc, ["month"])
+    return (merged.select(
+                "month", "cnt",
+                # re-merge widens sum(DECIMAL(28,2)) to (38,2); pin the
+                # published type to the single-pass result's
+                F.col("total").cast("decimal(28,2)").alias("total"),
+                "min_v", "max_v",
+                (F.col("total").cast("double") / F.col("cnt"))
+                 .alias("avg_price"))
+            .orderBy("month"))
+
+
+register(
+    "incremental_rollup_merge",
+    _incremental_rollup,
+    """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(28,2)) AS total,
+       MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_v,
+       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_v,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(28,2)) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders
+GROUP BY month ORDER BY month
+""",
+    doc="Monthly orders rollup maintained incrementally: two disjoint "
+        "partials merged via the count/sum/min/max algebra, oracle is "
+        "the single-pass aggregation — hash equality certifies the "
+        "merge is lossless and history never needs re-reading.",
+)

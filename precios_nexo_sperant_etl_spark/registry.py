@@ -63,6 +63,7 @@ _CHECK_FIRST: list[str] = [
     "source_temperature_mix",
     "ccnet_lm_buckets",
     "filter_funnel",
+    "incremental_rollup_merge",
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",

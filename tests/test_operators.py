@@ -272,3 +272,28 @@ def test_stratified_sample_plan_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_rollup_merge_lossless_any_split(spark):
+    """Mergeable-rollup algebra: splitting the fact table 3 ways by an
+    arbitrary hash and merging in either association order reproduces
+    the single-pass rollup exactly (count/sum/min/max all exact)."""
+    from pyspark.sql import functions as F
+    from precios_nexo_sperant_etl_spark.operators.incremental import (
+        merge_rollups, partial_rollup)
+    o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+         .select(F.trunc("o_orderdate", "month").alias("month"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+                 (F.abs(F.hash("o_orderkey")) % 3).alias("part")))
+    parts = [partial_rollup(o.filter(F.col("part") == i), ["month"], "v")
+             for i in range(3)]
+    left = merge_rollups(merge_rollups(parts[0], parts[1], ["month"]),
+                         parts[2], ["month"])
+    right = merge_rollups(parts[0],
+                          merge_rollups(parts[1], parts[2], ["month"]),
+                          ["month"])
+    single = partial_rollup(o, ["month"], "v")
+    key = lambda df: sorted(
+        (r["month"], r["cnt"], r["total"], r["min_v"], r["max_v"])
+        for r in df.collect())
+    assert key(left) == key(right) == key(single)
