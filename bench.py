@@ -63,6 +63,8 @@ HEADLINE = [
     "stratified_sample_audit",  # hash-threshold mix thinning + audit
     "release_manifest",         # composed gate→dedup→mix→split chain
     "exact_substring_coverage",  # positional window-hash dup spans
+    "ccnet_lm_buckets",         # bigram-LM + per-lang order-stat lerp
+    "filter_funnel",            # composed curation ablation datasheet
 ]
 
 

@@ -862,3 +862,20 @@ def test_quantization_audit_semantics(spark):
         half_bucket = (out[d]["mx"] - out[d]["mn"]) / 255.0 / 2.0
         assert out[d]["max_abs_err"] <= half_bucket * 1.0000001
         assert out[d]["n_values"] == 32
+
+
+def test_ccnet_lm_buckets_partition_and_order(spark):
+    """Buckets partition each language's scored docs and respect the
+    score order: every head score >= every middle score >= every tail
+    score within a language."""
+    import precios_nexo_sperant_etl_spark.queries_scale as qs
+    rows = qs._ccnet_lm_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) <= {"head", "middle", "tail"}
+        if "head" in b and "middle" in b:
+            assert b["head"]["min_score"] >= b["middle"]["max_score"]
+        if "middle" in b and "tail" in b:
+            assert b["middle"]["min_score"] >= b["tail"]["max_score"]
