@@ -94,16 +94,10 @@ _CHECK_FIRST: list[str] = [
     "simhash_signatures",
     "ann_cosine_topk",
     "text_quality_score",
-    # --- oldest r02 stamps: the TPC-H anchor block ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_shipping",
-    # --- new or changed in r5 (displace five r02 TPC-H refreshes —
-    # those stamps are current, just old; they rotate forward next
-    # round; stale-or-new evidence outranks refreshing valid stamps) ---
+    # --- new or changed in r5 (displace the r02 TPC-H anchor-block
+    # refreshes entirely — those stamps are current, just old; they
+    # rotate forward next round; stale-or-new evidence outranks
+    # refreshing valid stamps) ---
     "dup_ngram_rate",
     "gopher_quality_flags",
     "stratified_sample_audit",
