@@ -3651,6 +3651,11 @@ def _ccnet_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     scored = (docs.select("doc_id", "lang")
                   .join(bigram_lm_scores(docs), "doc_id"))
+    # Consumed twice (threshold build + bucket join): materialize the
+    # NARROW score table once — 4 columns per doc, not the corpus — so
+    # the bigram-LM chain doesn't recompute per consumer (same
+    # convention as the CC rounds' per-iteration checkpoint).
+    scored = scored.localCheckpoint(eager=True)
     thr = (scored.groupBy("lang")
            .agg(F.sort_array(F.collect_list("mean_bigram_p")).alias("arr"))
            .select("lang",
