@@ -3852,3 +3852,52 @@ GROUP BY month ORDER BY month
         "the single-pass aggregation — hash equality certifies the "
         "merge is lossless and history never needs re-reading.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA of daily activity (α = 1/2): the exponential-smoothing
+# signal behind engagement scoring / anomaly baselines. The smoothing is
+# an ORDER-SENSITIVE fold, so both engines fold the date-sorted daily
+# counts sequentially (Spark: aggregate over array_sort; DuckDB:
+# list_reduce over list(... ORDER BY d)) — α = 1/2 is a power of two,
+# and identical IEEE ops in identical order make the value hash-exact.
+# State per user is one (date, count) list bounded by the day span, not
+# the event volume — the same per-key-bounded shape as sessionization.
+# ---------------------------------------------------------------------------
+
+def _ewma_user_activity(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    daily = (e.select(F.col("user_id"), F.to_date("ts").alias("d"))
+              .groupBy("user_id", "d")
+              .agg(F.count(F.lit(1)).alias("c")))
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("d"), F.col("c").cast("double").alias("c"))))
+    return (daily.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum("c").alias("total_events"),
+                 F.aggregate(
+                     F.slice(arr, 2,
+                             F.greatest(F.size(arr) - 1, F.lit(0))),
+                     F.element_at(arr, 1)["c"],
+                     lambda acc, x: 0.5 * x["c"] + 0.5 * acc).alias("ewma"))
+            .orderBy("user_id"))
+
+
+register(
+    "ewma_user_activity",
+    _ewma_user_activity,
+    f"""
+WITH e AS ({_DUCK_EVENTS}),
+daily AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
+          FROM e GROUP BY 1, 2)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(c) AS BIGINT) AS total_events,
+       list_reduce(list(CAST(c AS DOUBLE) ORDER BY d),
+                   (a, b) -> 0.5 * b + 0.5 * a) AS ewma
+FROM daily GROUP BY user_id ORDER BY user_id
+""",
+    doc="Per-user EWMA (α = 1/2) of daily event counts — order-pinned "
+        "sequential fold on both engines; per-key state bounded by day "
+        "span, never event volume.",
+)

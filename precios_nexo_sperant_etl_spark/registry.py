@@ -77,7 +77,9 @@ _CHECK_FIRST: list[str] = [
     "cluster_aware_split",
     "prep_pipeline",
     "dedup_threshold_curve",
-    "neardup_cluster_sizes",
+    # (neardup_cluster_sizes' re-stamp is covered by its upstream
+    # cluster queries above; its slot goes to the new EWMA query)
+    "ewma_user_activity",
     # --- oldest evidence: the r01 cohort (fingerprints unknown that
     # early) — refresh so no stamp predates r02 ---
     "f4_to_number",

@@ -879,3 +879,45 @@ def test_ccnet_lm_buckets_partition_and_order(spark):
             assert b["head"]["min_score"] >= b["middle"]["max_score"]
         if "middle" in b and "tail" in b:
             assert b["middle"]["min_score"] >= b["tail"]["max_score"]
+
+
+def test_temperature_mix_partition_independent(spark):
+    """The order-pinned denominator fold must be partition-invariant:
+    identical results under adversarial repartitioning."""
+    from precios_nexo_sperant_etl_spark.operators.text import temperature_mix
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = temperature_mix(docs).collect()
+    b = temperature_mix(docs.repartition(17, "text")).collect()
+    assert a == b and len(a) > 0
+
+
+def test_ewma_hand_computed(spark):
+    """EWMA fold pinned by hand: daily counts [4, 2, 8] (date order) at
+    α=1/2 → 4, then 0.5·2+0.5·4 = 3, then 0.5·8+0.5·3 = 5.5. A second
+    user with one day returns that day's count; date order must follow
+    the calendar even when input rows arrive shuffled."""
+    import datetime as dt
+    import precios_nexo_sperant_etl_spark.queries_scale as qs
+    from pyspark.sql import functions as F
+    rows = []
+    # user 1: deliberately inserted out of calendar order
+    for d, n in ((3, 8), (1, 4), (2, 2)):
+        for i in range(n):
+            rows.append((1, dt.datetime(2024, 1, d, 10, 0, i)))
+    rows.append((2, dt.datetime(2024, 1, 5, 12, 0, 0)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    daily = (ev.select("user_id", F.to_date("ts").alias("d"))
+               .groupBy("user_id", "d")
+               .agg(F.count(F.lit(1)).alias("c")))
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("d"), F.col("c").cast("double").alias("c"))))
+    out = {r["user_id"]: r for r in
+           (daily.groupBy("user_id")
+                 .agg(F.aggregate(
+                     F.slice(arr, 2,
+                             F.greatest(F.size(arr) - 1, F.lit(0))),
+                     F.element_at(arr, 1)["c"],
+                     lambda acc, x: 0.5 * x["c"] + 0.5 * acc)
+                      .alias("ewma"))).collect()}
+    assert out[1]["ewma"] == 5.5
+    assert out[2]["ewma"] == 1.0
