@@ -130,3 +130,41 @@ def cluster_assignment(docs: DataFrame, pairs: DataFrame,
     w = Window.partitionBy("cluster_id")
     return assigned.select(id_col, "cluster_id",
                            F.count(F.lit(1)).over(w).alias("cluster_size"))
+
+
+def triangle_stats(pairs: DataFrame, src: str = "doc_a",
+                   dst: str = "doc_b") -> DataFrame:
+    """Global triangle census of an undirected edge list (edges
+    canonical ``src < dst``): node/edge counts, open-wedge count
+    (Σ deg·(deg−1)/2), triangle count, and the global clustering
+    coefficient 3·triangles / wedges — the dup-graph QA signal that
+    distinguishes tight cliques (copy farms, mirrored sites) from
+    chains of borderline matches that CC alone can't tell apart.
+
+    Triangle enumeration is the canonical two-join pattern over the
+    ordered edge list: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a<b<c, so each
+    triangle is counted exactly once and the join fan-out is bounded by
+    Σ_edges deg — fine for a verified near-dup graph (edges ≪ corpus).
+    At web scale you'd pre-bucket by degree (node-iterator++); the plan
+    shape per bucket is identical.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum((deg * (deg - 1)) div 2)").alias("n_wedges"))
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    tri = (e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+            .join(e.alias("e3"),
+                  (F.col("e3.a") == F.col("e1.a"))
+                  & (F.col("e3.b") == F.col("e2.b")))
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (base.crossJoin(ecnt).crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    F.when(F.col("n_wedges") > 0,
+                           (F.col("n_triangles") * 3).cast("double")
+                           / F.col("n_wedges").cast("double"))
+                     .otherwise(F.lit(0.0)).alias("global_clustering")))

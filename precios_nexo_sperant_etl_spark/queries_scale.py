@@ -3901,3 +3901,64 @@ FROM daily GROUP BY user_id ORDER BY user_id
         "sequential fold on both engines; per-key state bounded by day "
         "span, never event volume.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph triangle census: cliques vs chains in the verified
+# LSH pair graph — the QA signal CC can't give (a 100-doc chain and a
+# 100-doc clique are one component each, but only the clique closes
+# triangles).
+# ---------------------------------------------------------------------------
+
+def _neardup_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import triangle_stats
+    pairs = minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.2)
+    return triangle_stats(pairs)
+
+
+register(
+    "neardup_triangles",
+    _neardup_triangles,
+    f"""
+WITH {_DUCK_HS},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM cand p
+  JOIN hs ha ON ha.doc_id = p.doc_a
+  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2),
+e AS (SELECT c.doc_a AS a, c.doc_b AS b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE c.c / (sa.n + sb.n - c.c) >= 0.2),
+deg AS (SELECT node, COUNT(*) AS deg FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+         FROM deg),
+ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST(n_triangles * 3 AS DOUBLE)
+                 / CAST(n_wedges AS DOUBLE)
+            ELSE 0.0 END AS global_clustering
+FROM base CROSS JOIN ec CROSS JOIN tri
+""",
+    doc="Triangle census of the verified near-dup graph (nodes, edges, "
+        "wedges, triangles, global clustering coefficient) — ordered "
+        "two-join triangle enumeration, each triangle counted once; "
+        "distinguishes copy-farm cliques from borderline-match chains.",
+)

@@ -76,7 +76,10 @@ _CHECK_FIRST: list[str] = [
     "neardup_survivors",
     "cluster_aware_split",
     "prep_pipeline",
-    "dedup_threshold_curve",
+    # (dedup_threshold_curve's r04 stamp stands; five siblings of the
+    # same jaccard-plan family re-stamp above — slot goes to the new
+    # triangle census)
+    "neardup_triangles",
     # (neardup_cluster_sizes' re-stamp is covered by its upstream
     # cluster queries above; its slot goes to the new EWMA query)
     "ewma_user_activity",

@@ -921,3 +921,23 @@ def test_ewma_hand_computed(spark):
                       .alias("ewma"))).collect()}
     assert out[1]["ewma"] == 5.5
     assert out[2]["ewma"] == 1.0
+
+
+def test_triangle_stats_hand_computed(spark):
+    """Triangle census pinned by hand: a 4-clique (4 triangles, 12
+    wedges), a 3-chain (0 triangles, 2 wedges... path 1-2-3-4 has 2
+    wedges), and an isolated edge. Clustering = 3*tri/wedges."""
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        triangle_stats)
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    lone = [(20, 21)]
+    pairs = spark.createDataFrame(clique + chain + lone,
+                                  "doc_a long, doc_b long")
+    r = triangle_stats(pairs).collect()[0]
+    assert r["n_nodes"] == 4 + 4 + 2
+    assert r["n_edges"] == 6 + 3 + 1
+    # wedges: clique 4*C(3,2)=12; chain degs 1,2,2,1 -> 1+1=2; edge 0
+    assert r["n_wedges"] == 12 + 2
+    assert r["n_triangles"] == 4
+    assert abs(r["global_clustering"] - 12 / 14) < 1e-15
