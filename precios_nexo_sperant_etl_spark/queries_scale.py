@@ -3962,3 +3962,73 @@ FROM base CROSS JOIN ec CROSS JOIN tri
         "two-join triangle enumeration, each triangle counted once; "
         "distinguishes copy-farm cliques from borderline-match chains.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit: the classic anomaly screen for amount
+# columns (synthetic or fabricated figures flunk it). The expected
+# fractions log10(1 + 1/d) are computed ONCE in Python and embedded as
+# identical double literals in both engines, so no cross-engine log()
+# is ever evaluated; the leading digit comes from the integer part's
+# decimal string, which is exact in both engines (never from a
+# double's string repr, which is not portable).
+# ---------------------------------------------------------------------------
+
+def _benford_rows() -> list[tuple[int, float]]:
+    import math
+    return [(d, math.log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+def _benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") >= 1)
+    counts = (o.select(F.substring(
+                  F.floor("o_totalprice").cast("long").cast("string"),
+                  1, 1).cast("int").alias("digit"))
+               .groupBy("digit")
+               .agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    bf = spark.createDataFrame(_benford_rows(),
+                               "digit int, benford_frac double")
+    return (F.broadcast(bf)
+            .join(counts, "digit", "left")
+            .crossJoin(F.broadcast(total))
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    (F.coalesce("n", F.lit(0)) / F.col("n_total"))
+                     .alias("obs_frac"),
+                    "benford_frac",
+                    F.abs(F.coalesce("n", F.lit(0)) / F.col("n_total")
+                          - F.col("benford_frac")).alias("abs_dev"))
+            .orderBy("digit"))
+
+
+def _benford_oracle() -> str:
+    vals = ", ".join(f"({d}, {p!r})" for d, p in _benford_rows())
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+bf AS (SELECT digit, CAST(benford_frac AS DOUBLE) AS benford_frac
+       FROM (VALUES {vals}) v(digit, benford_frac))
+SELECT bf.digit,
+       COALESCE(c.n, 0) AS n,
+       COALESCE(c.n, 0) / n_total AS obs_frac,
+       bf.benford_frac,
+       abs(COALESCE(c.n, 0) / n_total - bf.benford_frac) AS abs_dev
+FROM bf LEFT JOIN c ON c.digit = bf.digit CROSS JOIN t
+ORDER BY bf.digit
+"""
+
+
+register(
+    "benford_digit_audit",
+    _benford_audit,
+    _benford_oracle(),
+    doc="Benford leading-digit screen over order totals: observed vs "
+        "expected log10(1+1/d) fractions and absolute deviation per "
+        "digit — expectations embedded as identical literals in both "
+        "engines, leading digit from the integer part's decimal string.",
+)

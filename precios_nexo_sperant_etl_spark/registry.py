@@ -70,7 +70,9 @@ _CHECK_FIRST: list[str] = [
     "minhash_dedup_pairs_prod",
     "minhash_dedup_pairs_capped",
     "ngram_jaccard_pairs",             # also r01-stamped
-    "ngram_jaccard_pairs_capped",
+    # (ngram_jaccard_pairs_capped: r04 stamp stands, uncapped sibling
+    # re-stamps above — slot goes to the new Benford audit)
+    "benford_digit_audit",
     "cross_corpus_neardup",
     "neardup_clusters",
     "neardup_survivors",
