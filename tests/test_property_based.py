@@ -227,3 +227,29 @@ def test_exact_substring_matches_brute_force(spark, texts):
                          r["covered_tokens"])
            for r in exact_substring_coverage(df, window=3).collect()}
     assert got == _xs_reference(docs, 3)
+
+
+def _triangle_reference(edges):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    tris = sum(1 for a, b in es for c in (adj[a] & adj[b]) if b < c)
+    return len(adj), len(es), wedges, tris
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40))
+def test_triangle_stats_matches_brute_force(spark, raw):
+    from precios_nexo_sperant_etl_spark.operators.graph import triangle_stats
+    es = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not es:
+        return
+    pairs = spark.createDataFrame(es, "doc_a long, doc_b long")
+    r = triangle_stats(pairs).collect()[0]
+    n, e, w, t = _triangle_reference(es)
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
+            r["n_triangles"]) == (n, e, w, t)
