@@ -297,3 +297,41 @@ def test_rollup_merge_lossless_any_split(spark):
         (r["month"], r["cnt"], r["total"], r["min_v"], r["max_v"])
         for r in df.collect())
     assert key(left) == key(right) == key(single)
+
+
+def test_rollup_maintenance_incremental_and_replay_safe(spark, tmp_path):
+    """The incremental-pipeline pattern end-to-end: each micro-batch
+    writes its PARTIAL rollup into its own batch_id partition (dynamic
+    overwrite — a replayed batch replaces itself, never double-counts),
+    and the read-time merge of all partials equals the single-pass
+    rollup over everything."""
+    from pyspark.sql import functions as F
+    from precios_nexo_sperant_etl_spark.operators.incremental import (
+        merge_rollups, partial_rollup)
+    out = str(tmp_path / "rollup")
+    o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+         .select(F.trunc("o_orderdate", "month").alias("month"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+                 (F.abs(F.hash("o_orderkey")) % 3).alias("bid")))
+    old_conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for i in (0, 1, 2, 1):  # batch 1 replayed (at-least-once)
+            (partial_rollup(o.filter(F.col("bid") == i), ["month"], "v")
+             .withColumn("batch_id", F.lit(i))
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(out))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       old_conf)
+    parts = spark.read.parquet(out)
+    merged = merge_rollups(
+        merge_rollups(parts.filter("batch_id = 0").drop("batch_id"),
+                      parts.filter("batch_id = 1").drop("batch_id"),
+                      ["month"]),
+        parts.filter("batch_id = 2").drop("batch_id"), ["month"])
+    single = partial_rollup(o, ["month"], "v")
+    key = lambda df: sorted(
+        (r["month"], r["cnt"], r["total"], r["min_v"], r["max_v"])
+        for r in df.collect())
+    assert key(merged) == key(single)
