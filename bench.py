@@ -65,6 +65,12 @@ HEADLINE = [
     "exact_substring_coverage",  # positional window-hash dup spans
     "ccnet_lm_buckets",         # bigram-LM + per-lang order-stat lerp
     "filter_funnel",            # composed curation ablation datasheet
+    "fuzzy_part_match",         # blocked levenshtein record linkage
+    "source_temperature_mix",   # α-smoothed mix, order-pinned fold
+    "incremental_rollup_merge",  # mergeable partial aggregates
+    "ewma_user_activity",       # per-key sequential smoothing fold
+    "neardup_triangles",        # ordered two-join triangle census
+    "benford_digit_audit",      # leading-digit distribution screen
 ]
 
 
