@@ -205,3 +205,52 @@ FROM tok t JOIN wtab ON wtab.w = t.w
 WHERE t.w <> ''
 GROUP BY t.doc_id ORDER BY t.doc_id
 """)
+
+
+def bpe_compression_curve(docs: DataFrame, n_merges: int = 6,
+                          text_col: str = "text") -> DataFrame:
+    """Tokenizer ablation curve: total corpus symbol count after each
+    merge round, ``(round, total_symbols)`` for rounds 0..n_merges
+    (round 0 = raw characters). The standard artifact for choosing a
+    vocab size — the knee of this curve is where merges stop paying.
+
+    Scale shape: same as :func:`bpe_learn` — the corpus is touched once
+    for word frequencies; every round's total is a weighted sum over
+    the DISTINCT-WORD table with the merge chain applied as static
+    string rewrites, all rounds evaluated in ONE pass over that table.
+    """
+    spark = docs.sparkSession
+    merges = bpe_learn(docs, n_merges=n_merges, text_col=text_col).collect()
+    words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+                 .filter(F.col("w") != "")
+                 .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    sym = "array_join(regexp_extract_all(w, '.', 0), ' ')"
+    totals = [F.sum(F.col("cnt")
+                    * F.size(F.split(F.expr(sym), " "))).alias("t0")]
+    for r, m in enumerate(merges):
+        sym = _apply_merge(sym, m["p1"], m["p2"])
+        totals.append(F.sum(F.col("cnt")
+                            * F.size(F.split(F.expr(sym), " ")))
+                      .alias(f"t{r + 1}"))
+    one = words.agg(*totals)
+    stack = ", ".join(f"{r}, t{r}" for r in range(len(totals)))
+    return (one.select(F.expr(
+                f"stack({len(totals)}, {stack}) "
+                f"as (round, total_symbols)"))
+            .select(F.col("round").cast("int").alias("round"),
+                    F.col("total_symbols").cast("long")
+                     .alias("total_symbols"))
+            .orderBy("round"))
+
+
+def duck_bpe_curve_sql(n_merges: int = 6,
+                       duck_tokens: str =
+                       "string_split_regex(trim(text), '\\s+')") -> str:
+    """DuckDB twin of :func:`bpe_compression_curve`."""
+    ctes, _ = duck_bpe_ctes(n_merges, duck_tokens)
+    rows = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, "
+        f"CAST(SUM(cnt * len(string_split(s, ' '))) AS BIGINT) "
+        f"AS total_symbols FROM s{r}"
+        for r in range(n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + f"\n{rows}\nORDER BY round"

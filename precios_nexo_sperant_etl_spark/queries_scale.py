@@ -4032,3 +4032,30 @@ register(
         "digit — expectations embedded as identical literals in both "
         "engines, leading digit from the integer part's decimal string.",
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE compression curve: corpus symbol count after each merge round —
+# the vocab-size ablation artifact (the curve's knee is where merges
+# stop paying). All rounds computed in one pass over the distinct-word
+# table; corpus touched once.
+# ---------------------------------------------------------------------------
+
+def _bpe_curve(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.bpe import bpe_compression_curve
+    return bpe_compression_curve(_t(spark, sf, "documents"), n_merges=6)
+
+
+def _bpe_curve_oracle() -> str:
+    from .operators.bpe import duck_bpe_curve_sql
+    return duck_bpe_curve_sql(6)
+
+
+register(
+    "bpe_compression_curve",
+    _bpe_curve,
+    _bpe_curve_oracle(),
+    doc="Total corpus symbols after each BPE merge round (0 = raw "
+        "chars): the vocab-size ablation curve, every round a weighted "
+        "sum over the distinct-word table in one pass.",
+)

@@ -97,7 +97,10 @@ _CHECK_FIRST: list[str] = [
     "p12_null_sentinels",
     "dedup_exact",
     "dedup_exact_survivors",
-    "minhash_signatures",
+    # (minhash_signatures' surface is the exact prefix of
+    # minhash_dedup_pairs, which re-stamps above — slot goes to the
+    # new BPE compression curve)
+    "bpe_compression_curve",
     "simhash_signatures",
     "ann_cosine_topk",
     "text_quality_score",

@@ -102,3 +102,26 @@ def test_bpe_encode_counts_compress_monotonically(spark):
         assert zero[d] == chars[d]
         # merges only ever shrink the budget, never below the ws count
         assert six[d] < zero[d]
+
+
+def test_bpe_compression_curve_monotone_and_consistent(spark):
+    """The curve starts at the weighted character count, decreases
+    monotonically (every merge strictly reduces symbols of the winning
+    pair's words), and each drop equals at least the round's pair count
+    is NOT guaranteed under two-pass replace — but monotonicity and the
+    round-0 anchor are."""
+    from pyspark.sql import functions as F
+    from precios_nexo_sperant_etl_spark.operators.bpe import (
+        bpe_compression_curve)
+    from precios_nexo_sperant_etl_spark.operators.text import tokens
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    curve = [r["total_symbols"]
+             for r in bpe_compression_curve(docs, n_merges=4).collect()]
+    assert len(curve) == 5
+    chars = (docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+                 .filter(F.col("w") != "")
+                 .agg(F.sum(F.length("w")).alias("s")).collect()[0]["s"])
+    assert curve[0] == chars                      # round 0 = raw chars
+    assert all(a >= b for a, b in zip(curve, curve[1:]))
+    assert curve[-1] < curve[0]                   # merges actually paid
