@@ -4059,3 +4059,56 @@ register(
         "chars): the vocab-size ablation curve, every round a weighted "
         "sum over the distinct-word table in one pass.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup survivor policy: keep the HIGHEST-QUALITY doc per cluster
+# (ties → min id) — the curation alternative to keep-min-id when dup
+# clusters mix clean and boilerplate-ridden copies. Same closure, one
+# quality join, one per-cluster argmax window.
+# ---------------------------------------------------------------------------
+
+def _neardup_best_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.graph import cluster_assignment
+    from .operators.text import quality_expr
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    assigned = (cluster_assignment(docs, pairs)
+                .select("doc_id", "cluster_id"))
+    q = docs.select("doc_id", quality_expr(F.col("text")).alias("quality"))
+    w = Window.partitionBy("cluster_id")
+    ranked = (assigned.join(q, "doc_id")
+              .withColumn("cluster_size",
+                          F.count(F.lit(1)).over(w))
+              .withColumn("rn", F.row_number().over(
+                  w.orderBy(F.desc("quality"), F.asc("doc_id")))))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("doc_id", "cluster_id", "quality", "cluster_size")
+            .orderBy("doc_id"))
+
+
+register(
+    "neardup_keep_best_quality",
+    _neardup_best_quality,
+    f"""{_NEARDUP_CLOSURE_SQL},
+q AS (SELECT doc_id,
+             (0.4 * least(len(tk) / 50.0, 1.0)
+              + 0.4 * (len(list_distinct(tk)) / len(tk))
+              + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL})))
+                       / len(tk))) AS quality
+      FROM toks),
+r AS (SELECT a.doc_id, a.cluster_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                                ORDER BY q.quality DESC, a.doc_id ASC)
+               AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY a.cluster_id) AS BIGINT)
+               AS cluster_size
+      FROM assigned a JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, quality, cluster_size
+FROM r WHERE rn = 1 ORDER BY doc_id
+""",
+    doc="Quality-keep near-dup survivor policy: per-cluster argmax of "
+        "the composite quality score (ties to min id) instead of "
+        "keep-min-id — same closure, one broadcast-sized keeper table.",
+)

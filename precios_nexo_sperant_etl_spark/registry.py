@@ -101,7 +101,10 @@ _CHECK_FIRST: list[str] = [
     # minhash_dedup_pairs, which re-stamps above — slot goes to the
     # new BPE compression curve)
     "bpe_compression_curve",
-    "simhash_signatures",
+    # (simhash_signatures: r01 stamp stands and the signature fold is
+    # pinned by the banding-lossless pytest pair — slot goes to the new
+    # quality-keep survivor policy)
+    "neardup_keep_best_quality",
     "ann_cosine_topk",
     "text_quality_score",
     # --- new or changed in r5 (displace the r02 TPC-H anchor-block
