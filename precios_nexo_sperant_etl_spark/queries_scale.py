@@ -3021,8 +3021,21 @@ GROUP BY 1 ORDER BY 1
 # across engines and partitionings).
 # ---------------------------------------------------------------------------
 
+def _ntile5_expr(rank: str, n: int) -> str:
+    """NTILE(5) bucket of 1-based ``rank`` over ``n`` rows, as integer
+    arithmetic: the first n%5 buckets take ceil(n/5) rows, the rest
+    floor(n/5) — exactly SQL NTILE semantics, no window required."""
+    q, rem = n // 5, n % 5
+    big = rem * (q + 1)
+    safe_q = max(q, 1)  # q=0 → every row lands in the WHEN branch
+    return (f"CAST(CASE WHEN {rank} <= {big} "
+            f"THEN ({rank} + {q}) div {q + 1} "
+            f"ELSE {rem} + (({rank} - {big} + {safe_q - 1}) div {safe_q}) "
+            f"END AS INT)")
+
+
 def _customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.dedup import add_row_id
 
     o = _t(spark, sf, "orders")
     asof = o.agg(F.max("o_orderdate").alias("asof")).collect()[0]["asof"]
@@ -3033,18 +3046,30 @@ def _customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
                   F.count(F.lit(1)).alias("frequency"),
                   F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                    .alias("monetary")))
-    # lower recency is better → ascending; higher f/m better → descending
-    wr = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    return (base.withColumn("r_quintile", F.ntile(5).over(wr))
-                .withColumn("f_quintile", F.ntile(5).over(wf))
-                .withColumn("m_quintile", F.ntile(5).over(wm))
-                .select("custkey", "recency_days", "frequency", "monetary",
-                        "r_quintile", "f_quintile", "m_quintile",
-                        F.concat_ws("-", "r_quintile", "f_quintile",
-                                    "m_quintile").alias("rfm_segment"))
-                .orderBy("custkey"))
+    # Quintiles need three GLOBAL ranks; a plain NTILE window moves the
+    # whole customer table to one task (WindowExec warns exactly that).
+    # Instead: the two-pass range-partitioned row id (W4 machinery, same
+    # as shard_assignment) per dimension, then NTILE arithmetic from the
+    # rank — identical buckets, no single-partition stage. The customer
+    # count is one scalar collect (same class as the asof date above).
+    base = base.localCheckpoint(eager=True)  # feeds 3 rank passes + join
+    n = base.count()
+    dims = {
+        "r_quintile": [F.asc("recency_days"), F.asc("custkey")],
+        "f_quintile": [F.desc("frequency"), F.asc("custkey")],
+        "m_quintile": [F.desc("monetary"), F.asc("custkey")],
+    }
+    out = base
+    for col, order in dims.items():
+        ranked = (add_row_id(base, order, name="_rk")
+                  .select("custkey", F.expr(_ntile5_expr("(_rk + 1)", n))
+                          .alias(col)))
+        out = out.join(ranked, "custkey")
+    return (out.select("custkey", "recency_days", "frequency", "monetary",
+                       "r_quintile", "f_quintile", "m_quintile",
+                       F.concat_ws("-", "r_quintile", "f_quintile",
+                                   "m_quintile").alias("rfm_segment"))
+               .orderBy("custkey"))
 
 
 register(
