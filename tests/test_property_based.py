@@ -253,3 +253,24 @@ def test_triangle_stats_matches_brute_force(spark, raw):
     n, e, w, t = _triangle_reference(es)
     assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
             r["n_triangles"]) == (n, e, w, t)
+
+
+def _ntile_reference(n, k=5):
+    q, rem = divmod(n, k)
+    out, r = [], 1
+    for b in range(1, k + 1):
+        size = q + 1 if b <= rem else q
+        out.extend([b] * size)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.integers(1, 300))
+def test_ntile5_arithmetic_matches_sql_semantics(spark, n):
+    from pyspark.sql import functions as F
+    from precios_nexo_sperant_etl_spark.queries_scale import _ntile5_expr
+    got = [r["b"] for r in
+           (spark.range(1, n + 1)
+            .select(F.expr(_ntile5_expr("id", n)).alias("b"))
+            .orderBy("id").collect())]
+    assert got == _ntile_reference(n)
