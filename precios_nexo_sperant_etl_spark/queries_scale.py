@@ -4014,8 +4014,10 @@ def _benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     total = counts.agg(F.sum("n").alias("n_total"))
     bf = spark.createDataFrame(_benford_rows(),
                                "digit int, benford_frac double")
-    return (F.broadcast(bf)
-            .join(counts, "digit", "left")
+    # Broadcast the aggregated side: counts is ≤9 rows after the groupBy,
+    # and a left-outer join can only build its RIGHT side (broadcasting
+    # the preserved side is unsupported — the hint would be dropped).
+    return (bf.join(F.broadcast(counts), "digit", "left")
             .crossJoin(F.broadcast(total))
             .select("digit",
                     F.coalesce("n", F.lit(0)).alias("n"),
