@@ -174,3 +174,68 @@ def triangle_stats(pairs: DataFrame, src: str = "doc_a",
                            (F.col("n_triangles") * 3).cast("double")
                            / F.col("n_wedges").cast("double"))
                      .otherwise(F.lit(0.0)).alias("global_clustering")))
+
+
+def pagerank_fixed_point(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", n_rounds: int = 5,
+                         damping_pct: int = 85,
+                         scale: int = 10 ** 12) -> DataFrame:
+    """PageRank over an undirected edge list in FIXED-POINT integer
+    arithmetic — the centrality signal that ranks a near-dup component's
+    "canonical" document (the node the most duplicates point at), and
+    the classic iterative-dataflow benchmark re-expressed Spark-first.
+
+    Everything is BIGINT micro-units (``scale`` units = rank mass 1.0):
+
+    - init   r₀ = scale div n                 (n = node count)
+    - round  rᵥ' = teleport + (damping_pct · Σ_{u→v} (rᵤ div degᵤ)) div 100
+      with   teleport = ((scale div n) · (100 − damping_pct)) div 100
+
+    Integer division and BIGINT sums are exact and order-independent,
+    so the result is bit-identical under ANY partitioning and in any
+    engine that implements integer div the same way (Spark ``div``,
+    DuckDB ``//``) — unlike float PageRank, whose non-associative sums
+    make cross-engine hashes flap. The quantization error is ≤ deg·1
+    unit per node per round — 1e-12-scale noise, irrelevant for ranking.
+
+    Scale shape: each round is ONE shuffle join (edges ⋈ ranks on the
+    source node) + one combinable BIGINT sum — the canonical Pregel
+    message-passing step as relational ops. Edges and per-round ranks
+    are ``localCheckpoint``-ed so lineage/plan size stay O(1) in rounds
+    (same discipline as :func:`connected_components`). The only driver
+    value is the node count (one scalar). Overflow headroom: ranks are
+    bounded by the total mass ``scale`` = 1e12, and the pre-division
+    product is ≤ 85·scale ≪ 2⁶³. Undirected graphs have no dangling
+    nodes (every node has deg ≥ 1), so no lost-mass correction term.
+    """
+    edges = pairs.select(F.col(src).cast("long").alias("u"),
+                         F.col(dst).cast("long").alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = (edges.groupBy(F.col("u").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .localCheckpoint(eager=True))
+    n = deg.count()
+    if n == 0:
+        return deg.select("node", "deg",
+                          F.lit(0).cast("long").alias("pr_units"),
+                          F.lit(0.0).alias("pagerank"))
+    init = scale // n
+    teleport = (init * (100 - damping_pct)) // 100
+    ranks = deg.select("node", "deg", F.lit(init).cast("long").alias("r"))
+    for _ in range(n_rounds):
+        incoming = (edges.join(ranks, edges.u == ranks.node)
+                         .select(F.col("v").alias("node"),
+                                 F.expr("r div deg").alias("c"))
+                         .groupBy("node")
+                         .agg(F.sum("c").alias("s")))
+        ranks = (deg.join(incoming, "node", "left")
+                    .select("node", "deg",
+                            (F.lit(teleport).cast("long")
+                             + F.expr(f"({damping_pct} * coalesce(s, 0L)) "
+                                      "div 100")).alias("r"))
+                    .localCheckpoint(eager=False))
+    return ranks.select("node", "deg", F.col("r").alias("pr_units"),
+                        (F.col("r").cast("double")
+                         / F.lit(float(scale))).alias("pagerank"))

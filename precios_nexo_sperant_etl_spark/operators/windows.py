@@ -86,3 +86,37 @@ def funnel_counts(events: DataFrame, stages: tuple[str, ...] =
         out = out.withColumn(
             f"pct_{stage}", F.col(f"n_{stage}") / base)
     return out
+
+
+def gapfill_locf(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 id_col: str = "event_id") -> DataFrame:
+    """Hypertable-style daily gap-fill with last-observation-carried-
+    forward: one row per (user, day) over the CORPUS day span, carrying
+    each user's last observed daily-close ``value`` forward across days
+    with no events; days before a user's first observation stay NULL
+    (honest LOCF — no invented baseline).
+
+    Scale shape: the grid is users × span-days built by broadcasting the
+    tiny day spine into a cross join (never an explode over the fact
+    table); the daily close is a combinable struct-max (deterministic —
+    ``(ts, id)`` is unique); the LOCF window is per-user over day rows,
+    so its state is O(span) per key regardless of event volume.
+    """
+    from pyspark.sql import Window
+    span = events.agg(F.min(F.to_date(ts_col)).alias("d0"),
+                      F.max(F.to_date(ts_col)).alias("d1"))
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    users = events.select(user_col).distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    daily = (events.groupBy(user_col, F.to_date(ts_col).alias("d"))
+             .agg(F.max(F.struct(ts_col, id_col, value_col)).alias("m"))
+             .select(user_col, "d",
+                     F.col(f"m.{value_col}").alias("close_value")))
+    w = (Window.partitionBy(user_col).orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(daily, [user_col, "d"], "left")
+            .select(user_col, "d",
+                    F.col("close_value").isNotNull().alias("observed"),
+                    F.last("close_value", ignorenulls=True).over(w)
+                     .alias("filled_value")))

@@ -4139,3 +4139,107 @@ FROM r WHERE rn = 1 ORDER BY doc_id
         "the composite quality score (ties to min id) instead of "
         "keep-min-id — same closure, one broadcast-sized keeper table.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the verified near-dup graph: the centrality
+# signal that picks a component's "canonical" document (the node most
+# duplicates point at). Both engines run the SAME integer micro-unit
+# recurrence (BIGINT, integer div), so five iterations are bit-identical
+# under any partitioning — float PageRank could never hash-match across
+# engines (non-associative sums). See operators/graph.py:pagerank_fixed_point.
+# ---------------------------------------------------------------------------
+
+def _pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import pagerank_fixed_point
+    pairs = minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.2)
+    return (pagerank_fixed_point(pairs, n_rounds=5)
+            .withColumnRenamed("node", "doc_id")
+            .orderBy("doc_id"))
+
+
+def _pagerank_oracle(n_rounds: int = 5, scale: int = 10 ** 12,
+                     damping_pct: int = 85) -> str:
+    # Reuses the shared LSH→verify chain's `edges` CTE (both directions),
+    # then unrolls the rounds like duck_bpe_ctes does — DuckDB evaluates
+    # only the CTEs the final SELECT reaches, so the closure's unused
+    # recursive `reach` costs nothing.
+    tele_pct = 100 - damping_pct
+    ctes = [f"""deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM edges GROUP BY u)""",
+            f"""nn AS (SELECT ({scale} // COUNT(*)) AS init,
+              ((({scale} // COUNT(*)) * {tele_pct}) // 100) AS tele
+       FROM deg)""",
+            """r0 AS (SELECT node, deg, init AS r FROM deg CROSS JOIN nn)"""]
+    for k in range(n_rounds):
+        ctes.append(f"""r{k + 1} AS (
+  SELECT d.node, d.deg,
+         nn.tele + ({damping_pct} * COALESCE(i.s, 0)) // 100 AS r
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (SELECT e.v AS node,
+                    CAST(SUM(p.r // p.deg) AS BIGINT) AS s
+             FROM edges e JOIN r{k} p ON p.node = e.u
+             GROUP BY e.v) i ON i.node = d.node)""")
+    return (",\n".join(ctes) + f"""
+SELECT node AS doc_id, deg, r AS pr_units,
+       CAST(r AS DOUBLE) / {float(scale)} AS pagerank
+FROM r{n_rounds} ORDER BY doc_id""")
+
+
+register(
+    "pagerank_neardup",
+    _pagerank_neardup,
+    f"""{_NEARDUP_CLOSURE_SQL},
+{_pagerank_oracle(5)}
+""",
+    doc="Fixed-point integer PageRank (5 rounds, d=0.85, 1e12 micro-"
+        "units) over the verified near-dup graph — exact BIGINT "
+        "arithmetic makes the iterative dataflow hash-identical across "
+        "engines and partitionings.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style gap-fill + LOCF: per-user daily grid over the corpus
+# span, each day carrying the user's last observed closing value forward
+# (classic time-series rollup Spark lacks as a built-in — composed from
+# sequence/explode + a bounded per-key window, never a driver loop).
+# ---------------------------------------------------------------------------
+
+def _events_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.windows import gapfill_locf
+    return (gapfill_locf(_t(spark, sf, "events"))
+            .orderBy("user_id", "d"))
+
+
+register(
+    "events_gapfill_locf",
+    _events_gapfill_locf,
+    """
+WITH e AS (SELECT ts::TIMESTAMP AS ts, event_id, user_id, value
+           FROM events),
+span AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+         FROM e),
+days AS (SELECT CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                            INTERVAL 1 DAY)) AS DATE) AS d
+         FROM span),
+users AS (SELECT DISTINCT user_id FROM e),
+grid AS (SELECT user_id, d FROM users CROSS JOIN days),
+ranked AS (SELECT user_id, CAST(ts AS DATE) AS d, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM e),
+daily AS (SELECT user_id, d, value AS close_value FROM ranked WHERE rn = 1)
+SELECT g.user_id, g.d,
+       dl.close_value IS NOT NULL AS observed,
+       LAST_VALUE(dl.close_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM grid g LEFT JOIN daily dl ON dl.user_id = g.user_id AND dl.d = g.d
+ORDER BY g.user_id, g.d
+""",
+    doc="Hypertable-style daily gap-fill with last-observation-carried-"
+        "forward per user — grid = users × corpus day span, LOCF via a "
+        "bounded per-key window; days before a user's first event stay "
+        "NULL (honest LOCF).",
+)

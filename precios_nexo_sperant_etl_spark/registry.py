@@ -64,6 +64,8 @@ _CHECK_FIRST: list[str] = [
     "ccnet_lm_buckets",
     "filter_funnel",
     "incremental_rollup_merge",
+    "pagerank_neardup",            # new r5: fixed-point integer PageRank
+    "events_gapfill_locf",         # new r5: hypertable gap-fill + LOCF
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",
@@ -96,7 +98,12 @@ _CHECK_FIRST: list[str] = [
     "string_ops_bundle",
     "p12_null_sentinels",
     "dedup_exact",
-    "dedup_exact_survivors",
+    # (dedup_exact_survivors: its surface is dedup_exact's md5 prefix +
+    # the ROW_NUMBER keep that prep_pipeline — in-window — composes;
+    # slot goes to the new PageRank. text_quality_score: the score
+    # expression is exercised in-window by gopher_quality_flags and
+    # neardup_keep_best_quality; slot goes to the new gap-fill. Both
+    # r01 refreshes rotate forward to r6.)
     # (minhash_signatures' surface is the exact prefix of
     # minhash_dedup_pairs, which re-stamps above — slot goes to the
     # new BPE compression curve)
@@ -106,7 +113,6 @@ _CHECK_FIRST: list[str] = [
     # quality-keep survivor policy)
     "neardup_keep_best_quality",
     "ann_cosine_topk",
-    "text_quality_score",
     # --- new or changed in r5 (displace the r02 TPC-H anchor-block
     # refreshes entirely — those stamps are current, just old; they
     # rotate forward next round; stale-or-new evidence outranks

@@ -941,3 +941,63 @@ def test_triangle_stats_hand_computed(spark):
     assert r["n_wedges"] == 12 + 2
     assert r["n_triangles"] == 4
     assert abs(r["global_clustering"] - 12 / 14) < 1e-15
+
+
+def _pagerank_reference(edges, n_rounds=5, damping_pct=85, scale=10 ** 12):
+    """Pure-Python twin of the fixed-point recurrence (exact integers)."""
+    from collections import defaultdict
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    out = defaultdict(list)
+    deg = defaultdict(int)
+    for u, v in und:
+        out[u].append(v)
+        deg[u] += 1
+    nodes = sorted(deg)
+    n = len(nodes)
+    init = scale // n
+    tele = (init * (100 - damping_pct)) // 100
+    r = {u: init for u in nodes}
+    for _ in range(n_rounds):
+        s = defaultdict(int)
+        for u in nodes:
+            c = r[u] // deg[u]
+            for v in out[u]:
+                s[v] += c
+        r = {u: tele + (damping_pct * s[u]) // 100 for u in nodes}
+    return r, dict(deg)
+
+
+def test_pagerank_fixed_point_matches_reference(spark):
+    """Spark's distributed rounds reproduce the exact-integer reference
+    on a hub-and-spoke plus a disjoint pair; the hub outranks leaves."""
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        pagerank_fixed_point)
+    edges = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (10, 11)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want, want_deg = _pagerank_reference(edges)
+    got = {r["node"]: (r["pr_units"], r["deg"])
+           for r in pagerank_fixed_point(pairs).collect()}
+    assert {u: p for u, (p, _) in got.items()} == want
+    assert {u: d for u, (_, d) in got.items()} == want_deg
+    assert got[1][0] > got[4][0]  # hub above leaf
+
+
+def test_pagerank_partitioning_independent_and_mass(spark):
+    """Integer arithmetic ⇒ bit-identical under any partitioning, and
+    total mass stays within the documented quantization loss (≤ 1 unit
+    per node per div, a few·n per round — never more)."""
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        pagerank_fixed_point)
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23)
+             if i != (i * 7 + 3) % 23]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = sorted(map(tuple, pagerank_fixed_point(pairs).collect()))
+    b = sorted(map(tuple,
+                   pagerank_fixed_point(pairs.repartition(9)).collect()))
+    assert a == b
+    scale, n, rounds = 10 ** 12, len({u for e in edges for u in e}), 5
+    total = sum(r[2] for r in a)
+    assert scale >= total > scale - 3 * n * rounds - n

@@ -42,3 +42,43 @@ def test_range_join_within_gap_boundary(spark):
     assert (_ts(0), _ts(601)) not in pairs      # just outside
     assert (_ts(1000), _ts(601)) in pairs       # symmetric (|diff| = 399)
     assert (_ts(1000), _ts(999)) in pairs
+
+
+def test_gapfill_locf_semantics(spark):
+    """Grid covers the corpus span; values carry forward across silent
+    days; days before a user's first event stay NULL; the daily close is
+    the (ts, event_id)-max event of the day."""
+    from precios_nexo_sperant_etl_spark.operators.windows import gapfill_locf
+    t = dt.datetime
+    rows = [
+        # user 1: two events day 1 (close = later one), silent day 2,
+        # event day 3
+        (1, t(2024, 1, 1, 9), 1, 10.0),
+        (2, t(2024, 1, 1, 18), 1, 20.0),
+        (3, t(2024, 1, 3, 12), 1, 30.0),
+        # user 2: first event only on day 2 -> day 1 unfilled
+        (4, t(2024, 1, 2, 8), 2, 99.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {(r["user_id"], str(r["d"])): (r["observed"], r["filled_value"])
+           for r in gapfill_locf(events).collect()}
+    assert len(got) == 6  # 2 users x 3-day span
+    assert got[(1, "2024-01-01")] == (True, 20.0)   # later event wins
+    assert got[(1, "2024-01-02")] == (False, 20.0)  # carried forward
+    assert got[(1, "2024-01-03")] == (True, 30.0)
+    assert got[(2, "2024-01-01")] == (False, None)  # before first obs
+    assert got[(2, "2024-01-02")] == (True, 99.0)
+    assert got[(2, "2024-01-03")] == (False, 99.0)
+
+
+def test_gapfill_locf_daily_close_tiebreak(spark):
+    """Two events at the SAME timestamp: the higher event_id wins —
+    the struct-max tie-break the oracle's ROW_NUMBER mirrors."""
+    from precios_nexo_sperant_etl_spark.operators.windows import gapfill_locf
+    t = dt.datetime
+    events = spark.createDataFrame(
+        [(7, t(2024, 5, 5, 12), 1, 1.0), (8, t(2024, 5, 5, 12), 1, 2.0)],
+        "event_id long, ts timestamp, user_id long, value double")
+    [row] = gapfill_locf(events).collect()
+    assert row["filled_value"] == 2.0
