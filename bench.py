@@ -71,6 +71,8 @@ HEADLINE = [
     "ewma_user_activity",       # per-key sequential smoothing fold
     "neardup_triangles",        # ordered two-join triangle census
     "benford_digit_audit",      # leading-digit distribution screen
+    "pagerank_neardup",         # fixed-point iterative message passing
+    "events_gapfill_locf",      # grid cross join + bounded LOCF window
 ]
 
 
