@@ -66,6 +66,9 @@ _CHECK_FIRST: list[str] = [
     "incremental_rollup_merge",
     "pagerank_neardup",            # new r5: fixed-point integer PageRank
     "events_gapfill_locf",         # new r5: hypertable gap-fill + LOCF
+    "corpus_diversity_index",      # new r5: Gini–Simpson mix datasheet
+    "k_anonymity_screen",          # new r5: quasi-identifier audit
+    "inverted_index_stats",        # new r5: term → postings datasheet
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",
@@ -93,11 +96,14 @@ _CHECK_FIRST: list[str] = [
     "f5_safe_num",
     "f6_intlike_canon",
     "p11_tower_prefix",
-    "o2_natural_sort",
-    "f16_isclose",
     "string_ops_bundle",
-    "p12_null_sentinels",
     "dedup_exact",
+    # (o2_natural_sort: the sort-key family is pinned by o2_es_collation's
+    # r04 stamp; p12_null_sentinels: the sentinel map is the same
+    # numparse.py:96 path f5_safe_num re-stamps above; f16_isclose:
+    # unchanged since r01 and its tolerance compare feeds the r03-stamped
+    # core_update_audit. All three rotate to r6 — their slots go to the
+    # three new governance queries at the front.)
     # (dedup_exact_survivors: its surface is dedup_exact's md5 prefix +
     # the ROW_NUMBER keep that prep_pipeline — in-window — composes;
     # slot goes to the new PageRank. text_quality_score: the score
@@ -165,6 +171,6 @@ def _load_all() -> None:
     # No try/except: a broken import here must fail loudly — swallowing it
     # would silently shrink queries()/oracle_sql() and the driver's
     # correctness gate would pass without checking the lost queries.
-    from . import (queries_agg, queries_core, queries_joins,  # noqa: F401
-                   queries_scalar, queries_scale)
+    from . import (queries_agg, queries_audit, queries_core,  # noqa: F401
+                   queries_joins, queries_scalar, queries_scale)
     _LOADED = True

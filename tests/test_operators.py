@@ -335,3 +335,25 @@ def test_rollup_maintenance_incremental_and_replay_safe(spark, tmp_path):
         (r["month"], r["cnt"], r["total"], r["min_v"], r["max_v"])
         for r in df.collect())
     assert key(merged) == key(single)
+
+
+def test_inverted_index_argmax_tiebreak(spark):
+    """Equal tf postings resolve to the SMALLEST doc_id (the
+    max(struct(tf, -doc_id)) trick the oracle's ROW_NUMBER mirrors),
+    and df<2 terms are excluded."""
+    from precios_nexo_sperant_etl_spark.queries_audit import _inverted_index
+    import precios_nexo_sperant_etl_spark.queries_audit as qa
+    docs = spark.createDataFrame(
+        [(5, "alpha beta beta"), (2, "alpha gamma"), (9, "alpha")],
+        "doc_id long, text string")
+    orig = qa._t
+    qa._t = lambda s, sf, name: docs
+    try:
+        rows = {r["term"]: r for r in _inverted_index(spark, "x").collect()}
+    finally:
+        qa._t = orig
+    # 'alpha': tf=1 in docs 2,5,9 -> tie to min doc 2
+    assert rows["alpha"]["df"] == 3 and rows["alpha"]["top_doc_id"] == 2
+    assert rows["alpha"]["top_tf"] == 1
+    # 'beta' df=1, 'gamma' df=1 -> excluded
+    assert set(rows) == {"alpha"}
