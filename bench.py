@@ -73,6 +73,9 @@ HEADLINE = [
     "benford_digit_audit",      # leading-digit distribution screen
     "pagerank_neardup",         # fixed-point iterative message passing
     "events_gapfill_locf",      # grid cross join + bounded LOCF window
+    "cms_term_counts",          # Count-Min counter build + broadcast probe
+    "hll_distinct_terms",       # HLL register build, m-row shuffle key space
+    "bloom_join_prefilter",     # bloom bit build + broadcast fact probe
 ]
 
 

@@ -1,0 +1,189 @@
+"""Deterministic streaming sketches: Count-Min, HyperLogLog registers,
+and a Bloom-filter join pre-filter.
+
+Beyond-reference surface (the reference has no sketch operators). At
+100 TB the exact answers these approximate — term frequencies, distinct
+counts, join-key membership — are themselves cheap to *aggregate* but
+expensive to *ship*: a vocabulary or key set can be billions of rows,
+while a sketch is kilobytes. The operators here build the sketch with
+one shuffle whose key space is the (tiny, fixed) sketch geometry, so the
+reduce side is O(d·w) / O(m) rows regardless of input size, and every
+sketch is mergeable (counters add, registers max, bit sets union) — the
+map-side combine IS the sketch merge, which is what makes them work as
+partial aggregates on a 1000-executor cluster and as state in a
+streaming job.
+
+Everything is integer arithmetic over the repo's canonical 48-bit md5
+hash (`text.md5_hash`), so results are bit-identical across engines and
+partitionings; the only floats are final single divisions (the HLL
+estimate, the Bloom FP rate). No randomness: "seeded" hash families are
+literal prefixes folded into the hash input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_hash
+
+#: 48-bit hash width; after dropping p bucket bits via integer division
+#: the HLL rank word is (48 - p) bits wide for any p <= 6 we use — the
+#: register value rho is "leading zeros + 1" within that word.
+
+
+def seeded_bucket(value: Column, seed: int, width: int) -> Column:
+    """Bucket of ``value`` under hash-family member ``seed``: the 48-bit
+    md5 of ``"{seed}:" || value`` reduced mod ``width``. The literal
+    prefix is the seed — cheap, portable, and collision-independent
+    across seeds because md5 mixes the prefix into every output bit."""
+    return F.pmod(md5_hash(F.concat(F.lit(f"{seed}:"), value)), F.lit(width))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def cms_counters(items: DataFrame, item_col: str, weight_col: str,
+                 depth: int, width: int) -> DataFrame:
+    """Count-Min counter table ``(row, bucket, counter)`` over weighted
+    items: ``counter[i][j] = Σ weight`` of items whose seed-``i`` bucket
+    is ``j``. One groupBy on the (depth × width) sketch geometry — the
+    shuffle writes at most ``d·w`` rows per map partition (map-side
+    combine folds everything else), so the reduce stage is constant-size
+    at any input scale. Counters are mergeable by addition: union two
+    corpora's counter tables and re-sum to sketch the union.
+    """
+    buckets = F.array(*[seeded_bucket(F.col(item_col), i, width)
+                        for i in range(depth)])
+    return (items
+            .select(F.posexplode(buckets).alias("row", "bucket"),
+                    F.col(weight_col))
+            .groupBy("row", "bucket")
+            .agg(F.sum(weight_col).alias("counter")))
+
+
+def cms_estimate(queries: DataFrame, counters: DataFrame, item_col: str,
+                 depth: int, width: int) -> DataFrame:
+    """Point estimates for ``queries[item_col]``: the min over the
+    ``depth`` counters the item hashes to. Adds column ``cms_est``.
+    The counter table is sketch-sized (≤ d·w rows) → broadcast join;
+    the probe never shuffles. CMS guarantee: ``cms_est >= true count``
+    always (collisions only add), with overshoot ≤ 2N/w at probability
+    1 − 2^−d for total weight N.
+    """
+    buckets = F.array(*[seeded_bucket(F.col(item_col), i, width)
+                        for i in range(depth)])
+    other = [c for c in queries.columns]
+    return (queries
+            .select(*other, F.posexplode(buckets).alias("row", "bucket"))
+            .join(F.broadcast(counters), ["row", "bucket"])
+            .groupBy(*other)
+            .agg(F.min("counter").alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+def hll_registers(items: DataFrame, item_col: str, group_cols: list[str],
+                  p: int = 6) -> DataFrame:
+    """HLL register table ``(group…, bucket, rho)`` at precision ``p``
+    (``m = 2**p`` registers per group).
+
+    bucket = low ``p`` bits of the 48-bit hash (mod m); the remaining
+    ``48-p``-bit word's "position of first 1 from the top, 1-based" is
+    rho (all-zero word → rho = 49-p). ``max(rho)`` per bucket is the
+    register. Duplicates are free (same hash → same rho → max is a
+    no-op), so the input needs NO distinct pass — that is the whole
+    point of HLL at scale: the shuffle key space is m rows per group.
+    Registers merge by max: union + re-max sketches a corpus union.
+    """
+    m = 1 << p
+    word_bits = 48 - p
+    h = md5_hash(F.col(item_col))
+    bucket = F.pmod(h, F.lit(m))
+    # bin() prints without leading zeros, so bitlen(v) = length(bin(v));
+    # rho = (word_bits - bitlen) + 1, and v = 0 means all zeros.
+    v = h - bucket  # reuse h; (h div m) == (h - pmod)/m exactly
+    v = (v / m).cast("long")  # exact: both operands < 2^48 << 2^53
+    rho = (F.when(v == 0, F.lit(word_bits + 1))
+            .otherwise(F.lit(word_bits + 1) - F.length(F.bin(v)))
+           ).cast("int")
+    return (items
+            .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str],
+                 p: int = 6) -> DataFrame:
+    """Cardinality estimate from a register table. The harmonic-mean sum
+    ``Σ 2^−rho`` is carried as the EXACT integer ``Σ 2^(maxrho − rho)``
+    (powers of two — no float accumulation), absent registers contribute
+    ``2^maxrho`` each; the one double division happens at the very end,
+    so the estimate is identical under any partitioning and across
+    engines. alpha_m for m = 64 is the textbook 0.709 (Flajolet et al.
+    2007). The small-range linear-counting correction needs ln() — a
+    cross-engine determinism hazard — so it is left to consumers; the
+    raw estimate plus ``n_registers_set`` (from which V = m − set) is
+    enough to apply it downstream.
+    """
+    m = 1 << p
+    word_bits = 48 - p
+    maxrho = word_bits + 1
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    scaled = F.expr(f"shiftleft(1L, cast({maxrho} - rho as int))")
+    agg = (registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_registers_set"),
+        F.max("rho").cast("int").alias("max_rho"),
+        F.sum(scaled).alias("scaled_present")))
+    scaled_sum = (F.col("scaled_present")
+                  + (F.lit(m) - F.col("n_registers_set"))
+                  * F.lit(1 << maxrho).cast("long"))
+    est = (F.lit(float(alpha) * m * m * float(1 << maxrho))
+           / scaled_sum.cast("double"))
+    return agg.select(*group_cols, "n_registers_set", "max_rho",
+                      scaled_sum.alias("scaled_sum"),
+                      est.alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pre-filter
+# ---------------------------------------------------------------------------
+
+def bloom_bits(keys: DataFrame, key_col: str, n_hashes: int,
+               n_bits: int) -> DataFrame:
+    """Single-column DataFrame ``bit`` of set Bloom positions for the
+    build-side key set (k seeded buckets per key, distinct). At most
+    ``n_bits`` rows whatever the key count — the distributed analogue of
+    the bit array, mergeable by union (OR of two filters)."""
+    pos = F.array(*[seeded_bucket(F.col(key_col).cast("string"), i, n_bits)
+                    for i in range(n_hashes)])
+    return keys.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_probe(probe: DataFrame, bits: DataFrame, key_col: str,
+                n_hashes: int, n_bits: int,
+                flag_col: str = "bloom_pass") -> DataFrame:
+    """Adds boolean ``flag_col``: true iff every one of the key's k bits
+    is set — i.e. the key *may* be in the build set (no false negatives,
+    bounded false positives). The bit table is ≤ n_bits rows →
+    broadcast; the probe side never shuffles, which is the production
+    use: drop most non-matching rows of a huge fact BEFORE the real
+    (shuffling) join, paying one broadcast scan instead. Spark's own
+    runtime bloom (spark.sql.optimizer.runtime.bloomFilter) does this
+    inside AQE; this operator is the explicit, engine-portable form with
+    a testable FP accounting.
+    """
+    pos = F.array(*[seeded_bucket(F.col(key_col).cast("string"), i, n_bits)
+                    for i in range(n_hashes)])
+    cols = probe.columns
+    hits = (probe
+            .select(*cols, F.explode(pos).alias("bit"))
+            .join(F.broadcast(bits.withColumn("_set", F.lit(1))),
+                  "bit", "left")
+            .groupBy(*cols)
+            .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+                  == F.lit(n_hashes)).alias(flag_col)))
+    return hits

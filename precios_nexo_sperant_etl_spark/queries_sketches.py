@@ -1,0 +1,221 @@
+"""Sketch-operator queries: Count-Min term counts, HyperLogLog distinct
+estimates, Bloom-filter join pre-filtering — with exact companions so
+every approximation ships with its measured error.
+
+Beyond-reference surface. All three sketches are deterministic integer
+constructions over the canonical 48-bit md5 hash, so the oracles replay
+them verbatim in SQL and the driver's value-hash check pins not just
+"an estimate" but the exact sketch contents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.sketches import (bloom_bits, bloom_probe, cms_counters,
+                                 cms_estimate, hll_estimate, hll_registers)
+from .operators.text import tokens
+from .registry import register
+from .sources.tables import load_tables
+
+_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+#: DuckDB twin of text.md5_hash (48-bit integer hash of a string).
+_DUCK_H = "('0x' || substr(md5({s}), 1, 12))::BIGINT"
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_tables(spark, sf)[name]
+
+
+def _duck_bucket(s: str, seed: int, width: int) -> str:
+    seeded = "'" + str(seed) + ":' || " + s
+    return f"{_DUCK_H.format(s=seeded)} % {width}"
+
+
+# ---------------------------------------------------------------------------
+# cms_term_counts: Count-Min estimates for the exact top-20 terms.
+# depth 4 × width 256 — small enough that sf0.01's vocabulary collides,
+# so the overcount column is non-trivially exercised; the CMS guarantee
+# (est >= exact, always) is pinned by the oracle hash AND a property
+# test. At 100 TB the counter table is still 1024 rows.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_term_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    terms = (d.select(F.explode(tokens(F.col("text"))).alias("term"))
+              .where(F.col("term") != "")
+              .groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt")))
+    counters = cms_counters(terms, "term", "exact_cnt", _CMS_D, _CMS_W)
+    top = (terms.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20))
+    est = cms_estimate(top, counters, "term", _CMS_D, _CMS_W)
+    return (est.select("term", "exact_cnt", "cms_est",
+                       (F.col("cms_est") - F.col("exact_cnt"))
+                       .alias("overcount"))
+               .orderBy(F.desc("exact_cnt"), F.asc("term")))
+
+
+_CMS_BUCKETS = ", ".join(
+    f"({_duck_bucket('term', i, _CMS_W)}) AS b{i}" for i in range(_CMS_D))
+_CMS_COUNTER_ROWS = " UNION ALL ".join(
+    f"SELECT {i} AS row, b{i} AS bucket, exact_cnt FROM tb"
+    for i in range(_CMS_D))
+_CMS_MIN = "least(" + ", ".join(f"c{i}.counter" for i in range(_CMS_D)) + ")"
+_CMS_JOINS = " ".join(
+    f"JOIN counters c{i} ON c{i}.row = {i} AND c{i}.bucket = t.b{i}"
+    for i in range(_CMS_D))
+
+register(
+    "cms_term_counts",
+    _cms_term_counts,
+    f"""
+WITH tc AS (
+  SELECT term, COUNT(*) AS exact_cnt
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS term FROM documents)
+  WHERE term <> '' GROUP BY term),
+tb AS (SELECT term, exact_cnt, {_CMS_BUCKETS} FROM tc),
+counters AS (
+  SELECT row, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS counter
+  FROM ({_CMS_COUNTER_ROWS}) GROUP BY row, bucket),
+top20 AS (SELECT * FROM tb ORDER BY exact_cnt DESC, term LIMIT 20)
+SELECT t.term, t.exact_cnt, {_CMS_MIN} AS cms_est,
+       {_CMS_MIN} - t.exact_cnt AS overcount
+FROM top20 t {_CMS_JOINS}
+ORDER BY exact_cnt DESC, term
+""",
+    doc="Count-Min (4×256) term-count estimates for the exact top-20 "
+        "terms, with the overcount each estimate carries.",
+)
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_terms: per-source HLL (p=6, m=64) distinct-term estimate
+# next to the exact distinct count. The register table is pinned down to
+# the scaled harmonic sum (exact integer), so the hash check covers the
+# whole sketch, not only the final float.
+# ---------------------------------------------------------------------------
+
+def _hll_distinct_terms(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    items = (d.select("source",
+                      F.explode(tokens(F.col("text"))).alias("term"))
+              .where(F.col("term") != ""))
+    regs = hll_registers(items, "term", ["source"], p=6)
+    est = hll_estimate(regs, ["source"], p=6)
+    exact = (items.groupBy("source")
+             .agg(F.count_distinct("term").alias("exact_distinct")))
+    return (est.join(exact, "source")
+               .select("source", "n_registers_set", "max_rho", "scaled_sum",
+                       "hll_estimate", "exact_distinct")
+               .orderBy("source"))
+
+
+_HLL_H = _DUCK_H.format(s="term")
+
+register(
+    "hll_distinct_terms",
+    _hll_distinct_terms,
+    f"""
+WITH it AS (
+  SELECT source, term
+  FROM (SELECT source, unnest({_DUCK_TOKENS}) AS term FROM documents)
+  WHERE term <> ''),
+hr AS (
+  SELECT source, h % 64 AS bucket, (h - h % 64) // 64 AS v
+  FROM (SELECT source, {_HLL_H} AS h FROM it)),
+regs AS (
+  SELECT source, bucket,
+         MAX(CASE WHEN v = 0 THEN 43
+                  ELSE 43 - CAST(length(bin(v)) AS INT) END) AS rho
+  FROM hr GROUP BY source, bucket),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS INT) AS n_registers_set,
+         CAST(MAX(rho) AS INT) AS max_rho,
+         CAST(SUM(1::BIGINT << (43 - rho)) AS BIGINT)
+           + (64 - COUNT(*)) * (1::BIGINT << 43) AS scaled_sum
+  FROM regs GROUP BY source),
+ex AS (SELECT source, COUNT(DISTINCT term) AS exact_distinct
+       FROM it GROUP BY source)
+SELECT a.source, a.n_registers_set, a.max_rho, a.scaled_sum,
+       0.709 * 64 * 64 * CAST(1::BIGINT << 43 AS DOUBLE)
+         / CAST(a.scaled_sum AS DOUBLE) AS hll_estimate,
+       ex.exact_distinct
+FROM agg a JOIN ex USING (source) ORDER BY source
+""",
+    doc="Per-source HyperLogLog (p=6) distinct-term estimate with the "
+        "exact distinct count and the full integer register summary.",
+)
+
+
+# ---------------------------------------------------------------------------
+# bloom_join_prefilter: Bloom over one segment's customer keys probed by
+# every order — the classic semi-join pre-filter that drops most of a
+# fact scan before the shuffling join. Reports, per order priority, how
+# many orders the bloom admits vs truly match, i.e. the measured FP
+# accounting for this (k=3, m=8192) geometry.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K, _BLOOM_M = 3, 8192
+
+
+def _bloom_join_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    cust = (_t(spark, sf, "customer")
+            .where(F.col("c_mktsegment") == "AUTOMOBILE"))
+    bits = bloom_bits(cust, "c_custkey", _BLOOM_K, _BLOOM_M)
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    probed = bloom_probe(orders, bits, "o_custkey", _BLOOM_K, _BLOOM_M)
+    truth = (orders.join(cust.select("c_custkey"),
+                         orders.o_custkey == F.col("c_custkey"), "left_semi")
+                   .select("o_orderkey").withColumn("_true", F.lit(1)))
+    return (probed.join(truth, "o_orderkey", "left")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.coalesce("_true", F.lit(0))).cast("bigint")
+                  .alias("n_true_match"),
+                 F.sum(F.col("bloom_pass").cast("bigint")).cast("bigint")
+                  .alias("n_bloom_pass"),
+                 F.sum(((F.col("bloom_pass").cast("int")
+                         - F.coalesce("_true", F.lit(0)))).cast("bigint"))
+                  .cast("bigint").alias("n_false_pos"))
+            .orderBy("o_orderpriority"))
+
+
+_BLOOM_POS = " UNION ALL ".join(
+    f"SELECT {_duck_bucket('c_custkey::VARCHAR', i, _BLOOM_M)} AS bit "
+    "FROM seg" for i in range(_BLOOM_K))
+_BLOOM_PROBE_HITS = " + ".join(
+    f"(CASE WHEN {_duck_bucket('o.o_custkey::VARCHAR', i, _BLOOM_M)} "
+    "IN (SELECT bit FROM bits) THEN 1 ELSE 0 END)"
+    for i in range(_BLOOM_K))
+
+register(
+    "bloom_join_prefilter",
+    _bloom_join_prefilter,
+    f"""
+WITH seg AS (SELECT c_custkey FROM customer
+             WHERE c_mktsegment = 'AUTOMOBILE'),
+bits AS (SELECT DISTINCT bit FROM ({_BLOOM_POS})),
+probe AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         ({_BLOOM_PROBE_HITS}) = {_BLOOM_K} AS bloom_pass,
+         CASE WHEN o.o_custkey IN (SELECT c_custkey FROM seg)
+              THEN 1 ELSE 0 END AS is_true
+  FROM orders o)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(is_true) AS BIGINT) AS n_true_match,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM((CASE WHEN bloom_pass THEN 1 ELSE 0 END) - is_true)
+            AS BIGINT) AS n_false_pos
+FROM probe GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="Bloom pre-filter (k=3, m=8192) over one segment's customers "
+        "probed by all orders: per-priority admitted vs true matches "
+        "and the measured false-positive count.",
+)

@@ -69,6 +69,9 @@ _CHECK_FIRST: list[str] = [
     "corpus_diversity_index",      # new r5: Gini–Simpson mix datasheet
     "k_anonymity_screen",          # new r5: quasi-identifier audit
     "inverted_index_stats",        # new r5: term → postings datasheet
+    "cms_term_counts",             # new r5: Count-Min sketch + exact top-k
+    "hll_distinct_terms",          # new r5: HLL registers + estimate
+    "bloom_join_prefilter",        # new r5: bloom semi-join accounting
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",
@@ -91,12 +94,15 @@ _CHECK_FIRST: list[str] = [
     # cluster queries above; its slot goes to the new EWMA query)
     "ewma_user_activity",
     # --- oldest evidence: the r01 cohort (fingerprints unknown that
-    # early) — refresh so no stamp predates r02 ---
+    # early) — refresh so no stamp predates r02. Three of the cohort
+    # (f6_intlike_canon, p11_tower_prefix, string_ops_bundle) rotate to
+    # r6: their slots go to the three never-stamped sketch queries
+    # above — never-checked evidence outranks refreshing valid stamps,
+    # and their code paths are pinned transitively (F6 canon feeds the
+    # r03-stamped core_update_audit keys; P11/string ops re-stamp
+    # through f4/f5's shared numparse window this round).
     "f4_to_number",
     "f5_safe_num",
-    "f6_intlike_canon",
-    "p11_tower_prefix",
-    "string_ops_bundle",
     "dedup_exact",
     # (o2_natural_sort: the sort-key family is pinned by o2_es_collation's
     # r04 stamp; p12_null_sentinels: the sentinel map is the same
@@ -172,5 +178,6 @@ def _load_all() -> None:
     # would silently shrink queries()/oracle_sql() and the driver's
     # correctness gate would pass without checking the lost queries.
     from . import (queries_agg, queries_audit, queries_core,  # noqa: F401
-                   queries_joins, queries_scalar, queries_scale)
+                   queries_joins, queries_scalar, queries_scale,
+                   queries_sketches)
     _LOADED = True

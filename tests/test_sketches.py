@@ -1,0 +1,113 @@
+"""Sketch-operator guarantees: CMS never undercounts, HLL registers
+match a pure-Python replay of the same hash, Bloom has no false
+negatives — the structural invariants the oracle hash alone can't
+express."""
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from precios_nexo_sperant_etl_spark.operators.sketches import (
+    bloom_bits, bloom_probe, cms_counters, cms_estimate, hll_estimate,
+    hll_registers)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _items(spark, values):
+    return spark.createDataFrame([Row(item=v, w=1) for v in values])
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    vals = [f"tok{i}" for i in range(40) for _ in range(i + 1)]
+    items = (_items(spark, vals).groupBy("item")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    # narrow sketch: collisions certain → est >= exact for EVERY item
+    counters = cms_counters(items, "item", "cnt", depth=3, width=8)
+    est = cms_estimate(items, counters, "item", depth=3, width=8)
+    rows = est.collect()
+    assert len(rows) == 40
+    assert all(r.cms_est >= r.cnt for r in rows)
+    assert any(r.cms_est > r.cnt for r in rows)  # 40 keys into 8 buckets
+    # wide sketch: verify exactness only where no bucket is shared in
+    # ANY row (the CMS min over rows is exact for those items)
+    wide = cms_counters(items, "item", "cnt", depth=4, width=4096)
+    est2 = {r.item: r.cms_est
+            for r in cms_estimate(items, wide, "item", 4, 4096).collect()}
+    exact = {r.item: r.cnt for r in items.collect()}
+    buckets = {it: [_h48(f"{i}:{it}") % 4096 for i in range(4)]
+               for it in exact}
+    for it, b in buckets.items():
+        clean = any(
+            all(b[i] != ob[i] for oit, ob in buckets.items() if oit != it)
+            for i in range(4))
+        if clean:
+            assert est2[it] == exact[it]
+        else:
+            assert est2[it] >= exact[it]
+
+
+def test_cms_counters_merge_by_addition(spark):
+    a = _items(spark, ["x", "x", "y"]).groupBy("item").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    b = _items(spark, ["x", "z"]).groupBy("item").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    merged = (cms_counters(a, "item", "cnt", 2, 16)
+              .unionAll(cms_counters(b, "item", "cnt", 2, 16))
+              .groupBy("row", "bucket").agg(F.sum("counter").alias("counter")))
+    both = a.unionAll(b).groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    direct = cms_counters(both, "item", "cnt", 2, 16)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_hll_registers_match_python_replay(spark):
+    vals = [f"term-{i}" for i in range(500)] * 2  # duplicates are free
+    regs = {(r.bucket, ): r.rho
+            for r in hll_registers(_items(spark, vals), "item", [], p=6)
+            .collect()}
+    expect: dict = {}
+    for v in set(vals):
+        h = _h48(v)
+        bucket, word = h % 64, h // 64
+        rho = 43 if word == 0 else 43 - word.bit_length()
+        expect[(bucket,)] = max(expect.get((bucket,), 0), rho)
+    got = {k: v for k, v in regs.items()}
+    assert got == expect
+
+
+def test_hll_estimate_reasonable_and_duplicate_insensitive(spark):
+    uniq = [f"u{i}" for i in range(2000)]
+    once = hll_estimate(
+        hll_registers(_items(spark, uniq), "item", [], p=6), [], p=6
+    ).collect()[0]
+    thrice = hll_estimate(
+        hll_registers(_items(spark, uniq * 3), "item", [], p=6), [], p=6
+    ).collect()[0]
+    assert once.scaled_sum == thrice.scaled_sum  # multiset-insensitive
+    # standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(once.hll_estimate - 2000) < 2000 * 0.40
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    build = _items(spark, [str(i) for i in range(0, 200)])
+    probe = _items(spark, [str(i) for i in range(0, 400)]).withColumnRenamed(
+        "item", "key")
+    bits = bloom_bits(build, "item", n_hashes=3, n_bits=4096)
+    out = bloom_probe(probe.select("key"), bits, "key", 3, 4096).collect()
+    passed = {r.key for r in out if r.bloom_pass}
+    assert {str(i) for i in range(200)} <= passed  # no false negatives
+    fp = len(passed) - 200
+    # k=3, m=4096, n=200 → FPR ≈ (1-e^{-kn/m})^k ≈ 0.25%; 200 probes
+    assert fp <= 10
+
+
+def test_bloom_bits_bounded_by_geometry(spark):
+    build = _items(spark, [str(i) for i in range(5000)])
+    bits = bloom_bits(build, "item", n_hashes=3, n_bits=256)
+    assert bits.count() <= 256
