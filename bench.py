@@ -76,6 +76,8 @@ HEADLINE = [
     "cms_term_counts",          # Count-Min counter build + broadcast probe
     "hll_distinct_terms",       # HLL register build, m-row shuffle key space
     "bloom_join_prefilter",     # bloom bit build + broadcast fact probe
+    "expectations_report",      # constraint suite in one fact scan
+    "systematic_weighted_sample",  # blocked two-pass weighted cumsum
 ]
 
 

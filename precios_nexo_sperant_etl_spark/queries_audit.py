@@ -170,3 +170,92 @@ WHERE a.df >= 2 ORDER BY a.term
         "frequency, total tf, and top posting (argmax tf, tie to min "
         "doc_id) — the search-serving artifact as two combinable aggs.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations suite (Deequ-style): one row per declared
+# constraint — completeness, uniqueness, accepted values, range, format,
+# referential integrity — each with its violation count and pass flag.
+# ONE wide pass over orders (left join to the customer dim carries the
+# FK check into the same scan: conditional-sum aggregates all combine
+# map-side), then the fixed 6-row constraint table is unpivoted with
+# stack(). At 100 TB this is a single fact scan + one broadcast-dim
+# probe; the result is constraint-count-sized.
+# ---------------------------------------------------------------------------
+
+_EXPECT_STATUSES = ("F", "O", "P")
+
+
+def _expectations(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("_ck"), F.lit(1).alias("_fk"))
+    j = o.join(F.broadcast(c), o.o_custkey == F.col("_ck"), "left")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    wide = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("o_custkey").isNull()).alias("v_complete"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+            .cast("long").alias("v_unique"),
+        viol(~F.col("o_orderstatus").isin(*_EXPECT_STATUSES))
+            .alias("v_accepted"),
+        viol(~(F.col("o_totalprice") > 0)).alias("v_range"),
+        viol(~F.col("o_orderpriority").rlike("^[1-5]-"))
+            .alias("v_format"),
+        viol(F.col("_fk").isNull()).alias("v_fk"))
+    stacked = wide.select(
+        "n_rows",
+        F.expr(
+            "stack(6, "
+            "'completeness: o_custkey NOT NULL', v_complete, "
+            "'uniqueness: o_orderkey', v_unique, "
+            "'accepted_values: o_orderstatus in (F,O,P)', v_accepted, "
+            "'range: o_totalprice > 0', v_range, "
+            "'format: o_orderpriority ~ ^[1-5]-', v_format, "
+            "'referential: o_custkey in customer', v_fk"
+            ") AS (check_name, n_violations)"))
+    return (stacked.select("check_name", "n_rows", "n_violations",
+                           (F.col("n_violations") == 0).alias("passed"))
+                   .orderBy("check_name"))
+
+
+register(
+    "expectations_report",
+    _expectations,
+    """
+WITH wide AS (
+  SELECT COUNT(*) AS n_rows,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_complete,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_accepted,
+    CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_range,
+    CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_format,
+    CAST(SUM(CASE WHEN c._ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk
+  FROM orders o
+  LEFT JOIN (SELECT c_custkey AS _ck FROM customer) c
+    ON o.o_custkey = c._ck),
+rows AS (
+  SELECT 'completeness: o_custkey NOT NULL' AS check_name,
+         n_rows, v_complete AS n_violations FROM wide
+  UNION ALL SELECT 'uniqueness: o_orderkey', n_rows, v_unique FROM wide
+  UNION ALL SELECT 'accepted_values: o_orderstatus in (F,O,P)',
+         n_rows, v_accepted FROM wide
+  UNION ALL SELECT 'range: o_totalprice > 0', n_rows, v_range FROM wide
+  UNION ALL SELECT 'format: o_orderpriority ~ ^[1-5]-',
+         n_rows, v_format FROM wide
+  UNION ALL SELECT 'referential: o_custkey in customer',
+         n_rows, v_fk FROM wide)
+SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+FROM rows ORDER BY check_name
+""",
+    doc="Deequ-style expectations suite over orders: six declared "
+        "constraints (completeness, uniqueness, accepted values, range, "
+        "format, FK) checked in one fact scan + broadcast dim probe.",
+)

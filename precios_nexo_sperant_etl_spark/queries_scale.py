@@ -4243,3 +4243,76 @@ ORDER BY g.user_id, g.d
         "bounded per-key window; days before a user's first event stay "
         "NULL (honest LOCF).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Systematic weight-proportional sampling: lay every document on a line
+# segment of length = its n_chars (in doc_id order) and take one tick
+# every `total/_SYS_N` characters — inclusion probability exactly
+# proportional to weight, zero randomness, integer-only arithmetic
+# (the ln()-based A-ES/A-ExpJ weighted reservoirs need floats; this is
+# the engine-portable deterministic alternative). A doc longer than the
+# step crosses several ticks: multiplicity is reported, not silently
+# capped.
+#
+# Scale shape: the global cumulative sum does NOT use a single-task
+# global window — doc_ids are blocked (div 1024), the within-block
+# cumsum is a window partitioned by block, the block offsets are a
+# prefix over the (tiny) block-sums table broadcast back. Same two-pass
+# design as add_row_id, but key-derived (no repartitionByRange sampling,
+# so no persist pin needed). The corpus total is the documented 1-row
+# broadcast.
+# ---------------------------------------------------------------------------
+
+_SYS_N = 100          # target tick count
+_SYS_BLOCK = 1024     # doc_id block width for the two-pass cumsum
+
+
+def _systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.floor(F.col("doc_id") / _SYS_BLOCK).alias("_blk"))
+    win = (Window.partitionBy("_blk").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = d.withColumn("_cum_in", F.sum("n_chars").over(win))
+    bsums = d.groupBy("_blk").agg(F.sum("n_chars").alias("_bsum"))
+    owin = (Window.orderBy("_blk")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = bsums.select(
+        "_blk", F.coalesce(F.sum("_bsum").over(owin), F.lit(0)).alias("_off"))
+    total = d.agg(F.sum("n_chars").alias("_total"))
+    step = (F.col("_total") / _SYS_N).cast("long")
+    cum = F.col("_off") + F.col("_cum_in")
+    ticks = (F.floor(cum / step) - F.floor((cum - F.col("n_chars")) / step))
+    return (within
+            .join(F.broadcast(offsets), "_blk")
+            .crossJoin(F.broadcast(total))
+            .select("doc_id", "source", "n_chars",
+                    cum.alias("cum_chars"),
+                    ticks.cast("int").alias("n_ticks"))
+            .where(F.col("n_ticks") >= 1)
+            .orderBy("doc_id"))
+
+
+register(
+    "systematic_weighted_sample",
+    _systematic_sample,
+    f"""
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM documents),
+t AS (SELECT CAST(SUM(n_chars) AS BIGINT) // {_SYS_N} AS step
+      FROM documents)
+SELECT doc_id, source, n_chars, cum AS cum_chars,
+       CAST(cum // step - (cum - n_chars) // step AS INT) AS n_ticks
+FROM c, t
+WHERE cum // step - (cum - n_chars) // step >= 1
+ORDER BY doc_id
+""",
+    doc="Deterministic systematic sampling proportional to n_chars: one "
+        "tick per total/100 characters along the doc_id-ordered line; "
+        "blocked two-pass cumsum, no global single-task window.",
+)

@@ -72,6 +72,8 @@ _CHECK_FIRST: list[str] = [
     "cms_term_counts",             # new r5: Count-Min sketch + exact top-k
     "hll_distinct_terms",          # new r5: HLL registers + estimate
     "bloom_join_prefilter",        # new r5: bloom semi-join accounting
+    "expectations_report",         # new r5: Deequ-style constraint suite
+    "systematic_weighted_sample",  # new r5: integer-exact weighted sample
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",
@@ -101,9 +103,13 @@ _CHECK_FIRST: list[str] = [
     # and their code paths are pinned transitively (F6 canon feeds the
     # r03-stamped core_update_audit keys; P11/string ops re-stamp
     # through f4/f5's shared numparse window this round).
+    # (dedup_exact and ann_cosine_topk also rotate to r6 for the two
+    # never-stamped r5 quality/sampling queries: both are pinned
+    # transitively every round — dedup_exact's md5-prefix plan runs
+    # inside the r5-window prep_pipeline, ann_cosine_topk's ddot/top-k
+    # inside the r03-stamped ann_ivf_topk.)
     "f4_to_number",
     "f5_safe_num",
-    "dedup_exact",
     # (o2_natural_sort: the sort-key family is pinned by o2_es_collation's
     # r04 stamp; p12_null_sentinels: the sentinel map is the same
     # numparse.py:96 path f5_safe_num re-stamps above; f16_isclose:
@@ -124,7 +130,6 @@ _CHECK_FIRST: list[str] = [
     # pinned by the banding-lossless pytest pair — slot goes to the new
     # quality-keep survivor policy)
     "neardup_keep_best_quality",
-    "ann_cosine_topk",
     # --- new or changed in r5 (displace the r02 TPC-H anchor-block
     # refreshes entirely — those stamps are current, just old; they
     # rotate forward next round; stale-or-new evidence outranks

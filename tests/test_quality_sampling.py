@@ -1,0 +1,94 @@
+"""Expectations suite + systematic weighted sampler: the green path on
+the clean fixture, violation detection on a deliberately corrupted
+orders table, and the sampler's weight-proportionality invariants."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from precios_nexo_sperant_etl_spark.queries_audit import _expectations
+from precios_nexo_sperant_etl_spark.queries_scale import (_SYS_N,
+                                                          _systematic_sample)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_expectations_all_pass_on_clean_fixture(spark):
+    rows = _expectations(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    assert all(r.passed for r in rows)
+    assert all(r.n_violations == 0 for r in rows)
+    n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert all(r.n_rows == n for r in rows)
+
+
+@pytest.fixture()
+def corrupted_sf(spark, tmp_path):
+    """sf dir where orders carries one violation of every constraint and
+    the customer dim is missing one referenced key."""
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("region", "nation", "supplier", "part", "lineitem",
+              "events", "documents", "embeddings"):
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{sf}/{t}.parquet")
+    orders = [
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+            o_totalprice=10.0, o_orderpriority="1-URGENT"),
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",      # dup key
+            o_totalprice=10.0, o_orderpriority="2-HIGH"),
+        Row(o_orderkey=2, o_custkey=None, o_orderstatus="O",   # null FK
+            o_totalprice=10.0, o_orderpriority="3-MEDIUM"),
+        Row(o_orderkey=3, o_custkey=1, o_orderstatus="X",      # bad status
+            o_totalprice=10.0, o_orderpriority="4-NOT SPECIFIED"),
+        Row(o_orderkey=4, o_custkey=1, o_orderstatus="F",
+            o_totalprice=-5.0, o_orderpriority="5-LOW"),       # bad range
+        Row(o_orderkey=5, o_custkey=1, o_orderstatus="F",
+            o_totalprice=10.0, o_orderpriority="URGENT"),      # bad format
+        Row(o_orderkey=6, o_custkey=99, o_orderstatus="F",     # dangling FK
+            o_totalprice=10.0, o_orderpriority="1-URGENT"),
+    ]
+    spark.createDataFrame(orders).coalesce(1).write.parquet(
+        f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [Row(c_custkey=1, c_name="a", c_nationkey=0, c_acctbal=0.0,
+             c_mktsegment="BUILDING")]
+    ).coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    return sf
+
+
+def test_expectations_detect_each_violation(spark, corrupted_sf):
+    got = {r.check_name: r for r in _expectations(spark, corrupted_sf)
+           .collect()}
+    assert not any(r.passed for r in got.values())
+    assert got["completeness: o_custkey NOT NULL"].n_violations == 1
+    assert got["uniqueness: o_orderkey"].n_violations == 1
+    assert got["accepted_values: o_orderstatus in (F,O,P)"].n_violations == 1
+    assert got["range: o_totalprice > 0"].n_violations == 1
+    assert got["format: o_orderpriority ~ ^[1-5]-"].n_violations == 1
+    # null o_custkey joins nothing AND the dangling key 99 joins nothing
+    assert got["referential: o_custkey in customer"].n_violations == 2
+
+
+def test_systematic_sample_tick_budget_and_coverage(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    step = total // _SYS_N
+    out = _systematic_sample(spark, SF_DIR).collect()
+    # every tick in (0, total] lands on exactly one document
+    assert sum(r.n_ticks for r in out) == total // step
+    # inclusion is weight-proportional: a doc spanning >= step chars is
+    # ALWAYS included (crosses at least one boundary)
+    big = {r.doc_id for r in docs.where(F.col("n_chars") >= step)
+           .select("doc_id").collect()}
+    picked = {r.doc_id for r in out}
+    assert big <= picked
+    # cumulative positions are consistent with the doc_id-ordered line
+    cum = 0
+    by_id = {r.doc_id: r for r in out}
+    for d in sorted(docs.select("doc_id", "n_chars").collect(),
+                    key=lambda r: r.doc_id):
+        cum += d.n_chars
+        if d.doc_id in by_id:
+            assert by_id[d.doc_id].cum_chars == cum
