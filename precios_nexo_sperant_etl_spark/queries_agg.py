@@ -759,3 +759,75 @@ register(
     doc="One-result referential-integrity audit of every FK edge: "
         "rows, distinct keys, orphans, null keys per edge.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend: slope/intercept of o_totalprice against order
+# date, per priority class. The five sufficient statistics (n, Σx, Σx²,
+# Σy, Σxy) are EXACT — integer/decimal accumulation, so they are
+# partition-independent and engine-identical — and only the final slope/
+# intercept arithmetic runs in double (fixed-order scalar ops over equal
+# operands → identical results). This is the map-side-combinable way to
+# do regression at 100 TB: one grouped agg, no per-group sorting, no
+# driver math.
+# ---------------------------------------------------------------------------
+
+def _price_trend(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    x = F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+    y = F.col("o_totalprice").cast(_DEC)
+    agg = (o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y).cast("decimal(38,2)").alias("_sy"),
+        F.sum(x * y).cast("decimal(38,2)").alias("_sxy")))
+    n = F.col("n_orders").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return (agg.select("o_orderpriority", "n_orders",
+                       slope.alias("slope_per_day"),
+                       intercept.alias("intercept"))
+               .orderBy("o_orderpriority"))
+
+
+register(
+    "price_trend_by_priority",
+    _price_trend,
+    f"""
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(38,2)) AS sxy
+  FROM (SELECT o_orderpriority,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(o_totalprice AS {_DEC}) AS y
+        FROM orders)
+  GROUP BY o_orderpriority)
+SELECT o_orderpriority, n_orders,
+       (CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_day,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / CAST(n_orders AS DOUBLE) AS intercept
+FROM s ORDER BY o_orderpriority
+""",
+    doc="Per-priority OLS trend of order value over time from five "
+        "exact sufficient statistics; double math only in the final "
+        "scalar slope/intercept.",
+)

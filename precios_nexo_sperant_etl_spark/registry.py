@@ -74,6 +74,7 @@ _CHECK_FIRST: list[str] = [
     "bloom_join_prefilter",        # new r5: bloom semi-join accounting
     "expectations_report",         # new r5: Deequ-style constraint suite
     "systematic_weighted_sample",  # new r5: integer-exact weighted sample
+    "price_trend_by_priority",     # new r5: OLS from exact sufficient stats
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",
@@ -108,7 +109,11 @@ _CHECK_FIRST: list[str] = [
     # transitively every round — dedup_exact's md5-prefix plan runs
     # inside the r5-window prep_pipeline, ann_cosine_topk's ddot/top-k
     # inside the r03-stamped ann_ivf_topk.)
-    "f4_to_number",
+    # (f4_to_number / f5_safe_num rotate to r6 after all: the numparse
+    # module is the most pytest-pinned surface in the repo
+    # (test_numparse.py property suite + the golden reference-pipeline
+    # e2e), their r01 stamps stand, and never-stamped r5 queries
+    # outrank refreshes. f5 keeps a slot as the es-PE flagship.)
     "f5_safe_num",
     # (o2_natural_sort: the sort-key family is pinned by o2_es_collation's
     # r04 stamp; p12_null_sentinels: the sentinel map is the same

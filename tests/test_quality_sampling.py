@@ -92,3 +92,30 @@ def test_systematic_sample_tick_budget_and_coverage(spark):
         cum += d.n_chars
         if d.doc_id in by_id:
             assert by_id[d.doc_id].cum_chars == cum
+
+
+def test_price_trend_matches_numpy_ols(spark):
+    import numpy as np
+    from precios_nexo_sperant_etl_spark.queries_agg import _price_trend
+
+    got = {r.o_orderpriority: r for r in _price_trend(spark, SF_DIR)
+           .collect()}
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderpriority",
+                F.datediff(F.col("o_orderdate").cast("date"),
+                           F.lit("1970-01-01").cast("date")).alias("x"),
+                "o_totalprice").collect()
+    by_prio: dict = {}
+    for r in orders:
+        by_prio.setdefault(r.o_orderpriority, []).append(
+            (r.x, round(r.o_totalprice, 2)))
+    assert set(got) == set(by_prio)
+    for prio, pts in by_prio.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[prio].n_orders == len(pts)
+        assert abs(got[prio].slope_per_day - slope) < 1e-6 * max(
+            1.0, abs(slope))
+        assert abs(got[prio].intercept - intercept) < 1e-4 * max(
+            1.0, abs(intercept))

@@ -1,0 +1,75 @@
+"""Streaming sketch maintenance ≡ batch sketch: merging per-micro-batch
+HLL registers (max) and CMS counters (sum) over a multi-batch file
+stream must equal the one-shot batch sketch of the full corpus — the
+mergeability property, proven end-to-end, plus replay idempotence."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from precios_nexo_sperant_etl_spark.operators.sketches import (cms_counters,
+                                                               hll_registers)
+from precios_nexo_sperant_etl_spark.operators.text import tokens
+from precios_nexo_sperant_etl_spark.streaming.stream_sketches import (
+    read_cms_counters, read_hll_registers, streaming_cms_to_lake,
+    streaming_hll_to_lake)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _drop_dir(spark, tmp_path, n_files=3):
+    """Stage the documents as n separate parquet files (n micro-batches
+    under maxFilesPerTrigger=1)."""
+    src = str(tmp_path / "drop")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (docs.withColumn("_b", F.pmod(F.col("doc_id"), F.lit(n_files)))
+         .repartition(n_files, "_b").drop("_b")
+         .write.parquet(src))
+    n_parts = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_parts >= 2, "need a genuinely multi-batch stream"
+    return src, docs
+
+
+def _stream(spark, src):
+    return (spark.readStream
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src))
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    src, docs = _drop_dir(spark, tmp_path)
+    out, ckpt = str(tmp_path / "hll"), str(tmp_path / "ckpt_hll")
+    q = streaming_hll_to_lake(_stream(spark, src), out, ckpt)
+    q.awaitTermination(120)
+    merged = read_hll_registers(spark, out)
+    items = (docs.select("source", F.explode(tokens(F.col("text")))
+                         .alias("term"))
+                 .where(F.col("term") != ""))
+    batch = hll_registers(items, "term", ["source"], p=6)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, batch.collect()))
+    # more than one batch actually landed
+    batches = {f for f in os.listdir(out) if f.startswith("batch_id=")}
+    assert len(batches) >= 2
+
+
+def test_streaming_cms_equals_batch_and_replay_idempotent(spark, tmp_path):
+    src, docs = _drop_dir(spark, tmp_path)
+    out, ckpt = str(tmp_path / "cms"), str(tmp_path / "ckpt_cms")
+    q = streaming_cms_to_lake(_stream(spark, src), out, ckpt)
+    q.awaitTermination(120)
+    merged = read_cms_counters(spark, out)
+    terms = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+                 .where(F.col("term") != "")
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    batch = cms_counters(terms, "term", "cnt", 4, 256)
+    before = sorted(map(tuple, merged.collect()))
+    assert before == sorted(map(tuple, batch.collect()))
+    # replay the whole stream against the same sink from a FRESH
+    # checkpoint: every batch rewrites its own partition → same state
+    q2 = streaming_cms_to_lake(_stream(spark, src), out,
+                               str(tmp_path / "ckpt_cms2"))
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, read_cms_counters(spark, out).collect()))
+    assert after == before
