@@ -4316,3 +4316,55 @@ ORDER BY doc_id
         "tick per total/100 characters along the doc_id-ordered line; "
         "blocked two-pass cumsum, no global single-task window.",
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE round-trip audit: the tokenizer-integrity invariant — decoding
+# every word's learned symbol sequence (concatenate, drop separators)
+# must reproduce the word exactly, for EVERY distinct word in the
+# corpus. One vocab-sized check behind the same single corpus explode
+# the encode side uses; the result is a 1-row datasheet the release
+# pipeline can gate on. A lossy merge chain (the classic detokenization
+# bug class) flips all_ok to false and the oracle hash with it.
+# ---------------------------------------------------------------------------
+
+def _bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.bpe import _apply_merge, bpe_learn
+    from .operators.text import tokens
+    docs = _t(spark, sf, "documents")
+    merges = bpe_learn(docs, n_merges=_BPE_MERGES).collect()
+    words = (docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+                 .filter(F.col("w") != "").distinct())
+    sym = "array_join(regexp_extract_all(w, '.', 0), ' ')"
+    for m in merges:
+        sym = _apply_merge(sym, m["p1"], m["p2"])
+    ok = F.expr(f"replace({sym}, ' ', '') = w")
+    return (words.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(ok.cast("long")).alias("n_roundtrip_ok"))
+        .select("n_words", "n_roundtrip_ok",
+                (F.col("n_words") == F.col("n_roundtrip_ok"))
+                .alias("all_ok")))
+
+
+def _bpe_roundtrip_oracle() -> str:
+    from .operators.bpe import duck_bpe_ctes
+    ctes, final = duck_bpe_ctes(_BPE_MERGES, _DUCK_TOKENS)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT COUNT(*) AS n_words,
+       CAST(SUM(CASE WHEN replace(s, ' ', '') = w THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_roundtrip_ok,
+       COUNT(*) = CAST(SUM(CASE WHEN replace(s, ' ', '') = w
+                           THEN 1 ELSE 0 END) AS BIGINT) AS all_ok
+FROM {final}
+""")
+
+
+register(
+    "bpe_roundtrip_audit",
+    _bpe_roundtrip,
+    _bpe_roundtrip_oracle(),
+    doc="Tokenizer integrity: decode(encode(w)) == w for every distinct "
+        "corpus word — 1-row release gate over the vocab-sized symbol "
+        "table.",
+)

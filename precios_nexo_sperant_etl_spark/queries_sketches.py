@@ -219,3 +219,93 @@ FROM probe GROUP BY o_orderpriority ORDER BY o_orderpriority
         "probed by all orders: per-priority admitted vs true matches "
         "and the measured false-positive count.",
 )
+
+
+# ---------------------------------------------------------------------------
+# hll_set_algebra: distinct-term union/intersection between two corpus
+# slices by REGISTER algebra — union = per-bucket max of the two
+# register tables (the sketch-level OR), intersection by inclusion-
+# exclusion. This is what you do at 100 TB when the two slices live in
+# different tables/clusters: ship 64 registers each, not the vocabulary.
+# Exact companions quantify the error on this corpus.
+# ---------------------------------------------------------------------------
+
+def _hll_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    items = (d.where(F.col("lang").isin("en", "es"))
+              .select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+              .where(F.col("term") != ""))
+    regs = hll_registers(items, "term", ["lang"], p=6)
+    union_regs = (regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+                      .withColumn("lang", F.lit("both")))
+    est = hll_estimate(regs.unionByName(union_regs), ["lang"], p=6)
+    # one row per slice → pivot to a single row of scalars
+    e = (est.groupBy().pivot("lang", ["en", "es", "both"])
+            .agg(F.first("hll_estimate")))
+    exact = (items.select("lang", "term").distinct()
+             .groupBy().agg(
+                 F.count_distinct(F.when(F.col("lang") == "en",
+                                         F.col("term"))).alias("exact_en"),
+                 F.count_distinct(F.when(F.col("lang") == "es",
+                                         F.col("term"))).alias("exact_es"),
+                 F.count_distinct("term").alias("exact_union")))
+    return (e.crossJoin(exact)
+             .select(F.col("en").alias("hll_en"),
+                     F.col("es").alias("hll_es"),
+                     F.col("both").alias("hll_union"),
+                     (F.col("en") + F.col("es") - F.col("both"))
+                       .alias("hll_intersection"),
+                     "exact_en", "exact_es", "exact_union",
+                     (F.col("exact_en") + F.col("exact_es")
+                      - F.col("exact_union")).alias("exact_intersection")))
+
+
+def _duck_hll_est(regs_cte: str) -> str:
+    """DuckDB HLL estimate (p=6) over a register CTE ``(bucket, rho)``."""
+    return f"""(
+  SELECT 0.709 * 64 * 64 * CAST(1::BIGINT << 43 AS DOUBLE)
+         / CAST(CAST(SUM(1::BIGINT << (43 - rho)) AS BIGINT)
+                + (64 - COUNT(*)) * (1::BIGINT << 43) AS DOUBLE)
+  FROM {regs_cte})"""
+
+
+register(
+    "hll_set_algebra",
+    _hll_set_algebra,
+    f"""
+WITH it AS (
+  SELECT lang, term
+  FROM (SELECT lang, unnest({_DUCK_TOKENS}) AS term FROM documents
+        WHERE lang IN ('en', 'es'))
+  WHERE term <> ''),
+hr AS (
+  SELECT lang, h % 64 AS bucket,
+         CASE WHEN (h - h % 64) // 64 = 0 THEN 43
+              ELSE 43 - CAST(length(bin((h - h % 64) // 64)) AS INT)
+         END AS rho
+  FROM (SELECT lang, {_HLL_H} AS h FROM it)),
+regs AS (SELECT lang, bucket, MAX(rho) AS rho FROM hr
+         GROUP BY lang, bucket),
+uregs AS (SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY bucket),
+ex AS (SELECT COUNT(DISTINCT CASE WHEN lang = 'en' THEN term END)
+                 AS exact_en,
+              COUNT(DISTINCT CASE WHEN lang = 'es' THEN term END)
+                 AS exact_es,
+              COUNT(DISTINCT term) AS exact_union
+       FROM it)
+SELECT {_duck_hll_est("(SELECT bucket, rho FROM regs WHERE lang = 'en')")}
+         AS hll_en,
+       {_duck_hll_est("(SELECT bucket, rho FROM regs WHERE lang = 'es')")}
+         AS hll_es,
+       {_duck_hll_est("uregs")} AS hll_union,
+       {_duck_hll_est("(SELECT bucket, rho FROM regs WHERE lang = 'en')")}
+         + {_duck_hll_est("(SELECT bucket, rho FROM regs WHERE lang = 'es')")}
+         - {_duck_hll_est("uregs")} AS hll_intersection,
+       exact_en, exact_es, exact_union,
+       exact_en + exact_es - exact_union AS exact_intersection
+FROM ex
+""",
+    doc="HLL register algebra: union (per-bucket max) and inclusion-"
+        "exclusion intersection of two corpus slices' distinct-term "
+        "sketches, with exact companions.",
+)

@@ -75,18 +75,24 @@ _CHECK_FIRST: list[str] = [
     "expectations_report",         # new r5: Deequ-style constraint suite
     "systematic_weighted_sample",  # new r5: integer-exact weighted sample
     "price_trend_by_priority",     # new r5: OLS from exact sufficient stats
+    "hll_set_algebra",             # new r5: register union/intersection
+    "bpe_roundtrip_audit",         # new r5: tokenizer integrity gate
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",
     "minhash_dedup_pairs_prod",
-    "minhash_dedup_pairs_capped",
+    # (minhash_dedup_pairs_capped shares the re-stamping siblings' plan
+    # fix verbatim — its r04 value stamp stands; slot goes to the new
+    # HLL set-algebra query)
     "ngram_jaccard_pairs",             # also r01-stamped
     # (ngram_jaccard_pairs_capped: r04 stamp stands, uncapped sibling
     # re-stamps above — slot goes to the new Benford audit)
     "benford_digit_audit",
     "cross_corpus_neardup",
     "neardup_clusters",
-    "neardup_survivors",
+    # (neardup_survivors' plan change is the same shared subtree its
+    # in-window upstreams neardup_clusters + cluster_aware_split
+    # re-stamp; slot goes to the new BPE round-trip gate)
     "cluster_aware_split",
     "prep_pipeline",
     # (dedup_threshold_curve's r04 stamp stands; five siblings of the
