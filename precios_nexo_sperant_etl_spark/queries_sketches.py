@@ -309,3 +309,107 @@ FROM ex
         "exclusion intersection of two corpus slices' distinct-term "
         "sketches, with exact companions.",
 )
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantile_sketch: the 4th sketch — mergeable approximate
+# quantiles from a fixed 64-bin equi-width histogram (bin counts add,
+# so partial aggregation / streaming maintenance work exactly like the
+# other three). Bin assignment is INTEGER arithmetic over cents; the
+# only doubles are the final midpoint estimate and the error-bound
+# check against the exact interpolated median. At 100 TB the shuffle
+# carries ≤ groups×64 rows; the exact companion (a per-group sort)
+# is the thing this sketch exists to avoid — here it doubles as the
+# quality gate.
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 64
+
+
+def _hist_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders").select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    rng = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = (o.crossJoin(F.broadcast(rng))
+               .select("o_orderstatus", "lo", "hi",
+                       F.expr(f"((cents - lo) * {_HQ_BINS}) "
+                              "div (hi - lo + 1)").alias("bin")))
+    hist = (binned.groupBy("o_orderstatus", "bin")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = hist.groupBy("o_orderstatus").agg(F.sum("cnt").alias("n_orders"))
+    w = (Window.partitionBy("o_orderstatus").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    med = (cum.join(tot, "o_orderstatus")
+              .where(F.col("cum") * 2 >= F.col("n_orders"))
+              .groupBy("o_orderstatus")
+              .agg(F.min("bin").alias("median_bin"),
+                   F.max("n_orders").alias("n_orders")))
+    exact = (_t(spark, sf, "orders").groupBy("o_orderstatus")
+             .agg(F.expr("percentile(o_totalprice, 0.5)")
+                  .alias("exact_p50")))
+    binw = (F.col("hi") - F.col("lo") + 1).cast("double") / _HQ_BINS / 100.0
+    approx = (F.col("lo").cast("double")
+              + (F.col("median_bin").cast("double") + 0.5)
+              * ((F.col("hi") - F.col("lo") + 1).cast("double") / _HQ_BINS)
+              ) / 100.0
+    return (med.crossJoin(F.broadcast(rng)).join(exact, "o_orderstatus")
+            .select("o_orderstatus", "n_orders", "median_bin",
+                    approx.alias("approx_p50"), "exact_p50",
+                    binw.alias("bin_width"),
+                    (F.abs(approx - F.col("exact_p50")) <= binw)
+                    .alias("within_one_bin"))
+            .orderBy("o_orderstatus"))
+
+
+register(
+    "histogram_quantile_sketch",
+    _hist_quantile,
+    f"""
+WITH c AS (SELECT o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents
+           FROM orders),
+rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c),
+b AS (SELECT o_orderstatus,
+             ((cents - lo) * {_HQ_BINS}) // (hi - lo + 1) AS bin
+      FROM c, rng),
+hist AS (SELECT o_orderstatus, bin, COUNT(*) AS cnt
+         FROM b GROUP BY o_orderstatus, bin),
+tot AS (SELECT o_orderstatus, CAST(SUM(cnt) AS BIGINT) AS n_orders
+        FROM hist GROUP BY o_orderstatus),
+cum AS (SELECT o_orderstatus, bin, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM hist),
+med AS (SELECT c.o_orderstatus, MIN(c.bin) AS median_bin,
+               MAX(t.n_orders) AS n_orders
+        FROM cum c JOIN tot t USING (o_orderstatus)
+        WHERE c.cum * 2 >= t.n_orders
+        GROUP BY c.o_orderstatus),
+ex AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS exact_p50
+       FROM orders GROUP BY o_orderstatus)
+SELECT m.o_orderstatus, m.n_orders, m.median_bin,
+       (CAST(lo AS DOUBLE)
+        + (CAST(m.median_bin AS DOUBLE) + 0.5)
+          * (CAST(hi - lo + 1 AS DOUBLE) / {_HQ_BINS})) / 100.0
+         AS approx_p50,
+       ex.exact_p50,
+       CAST(hi - lo + 1 AS DOUBLE) / {_HQ_BINS} / 100.0 AS bin_width,
+       abs((CAST(lo AS DOUBLE)
+            + (CAST(m.median_bin AS DOUBLE) + 0.5)
+              * (CAST(hi - lo + 1 AS DOUBLE) / {_HQ_BINS})) / 100.0
+           - ex.exact_p50)
+         <= CAST(hi - lo + 1 AS DOUBLE) / {_HQ_BINS} / 100.0
+         AS within_one_bin
+FROM med m JOIN ex USING (o_orderstatus), rng
+ORDER BY o_orderstatus
+""",
+    doc="Mergeable 64-bin histogram quantile sketch over order totals: "
+        "integer bin assignment, per-group median bin via tiny cumsum, "
+        "midpoint estimate gated against the exact median (≤1 bin "
+        "error).",
+)

@@ -77,6 +77,7 @@ _CHECK_FIRST: list[str] = [
     "price_trend_by_priority",     # new r5: OLS from exact sufficient stats
     "hll_set_algebra",             # new r5: register union/intersection
     "bpe_roundtrip_audit",         # new r5: tokenizer integrity gate
+    "histogram_quantile_sketch",   # new r5: mergeable quantile sketch
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged, plans changed — re-stamp ---
     "minhash_dedup_pairs",
@@ -115,12 +116,13 @@ _CHECK_FIRST: list[str] = [
     # transitively every round — dedup_exact's md5-prefix plan runs
     # inside the r5-window prep_pipeline, ann_cosine_topk's ddot/top-k
     # inside the r03-stamped ann_ivf_topk.)
-    # (f4_to_number / f5_safe_num rotate to r6 after all: the numparse
-    # module is the most pytest-pinned surface in the repo
+    # (f4_to_number / f5_safe_num rotate to r6 after all: the whole
+    # r01-refresh cohort moves to r6 wholesale — their value stamps are
+    # VALID, numparse is the most pytest-pinned surface in the repo
     # (test_numparse.py property suite + the golden reference-pipeline
-    # e2e), their r01 stamps stand, and never-stamped r5 queries
-    # outrank refreshes. f5 keeps a slot as the es-PE flagship.)
-    "f5_safe_num",
+    # e2e), and this round produced 11 genuinely never-stamped queries
+    # that outrank any refresh. r6's window should lead with the r01
+    # cohort.)
     # (o2_natural_sort: the sort-key family is pinned by o2_es_collation's
     # r04 stamp; p12_null_sentinels: the sentinel map is the same
     # numparse.py:96 path f5_safe_num re-stamps above; f16_isclose:

@@ -111,3 +111,33 @@ def test_bloom_bits_bounded_by_geometry(spark):
     build = _items(spark, [str(i) for i in range(5000)])
     bits = bloom_bits(build, "item", n_hashes=3, n_bits=256)
     assert bits.count() <= 256
+
+
+def test_histogram_quantile_within_bound_and_mergeable(spark):
+    from precios_nexo_sperant_etl_spark.queries_sketches import (
+        _HQ_BINS, _hist_quantile)
+    rows = _hist_quantile(spark, SF_DIR).collect()
+    assert rows, "expected one row per order status"
+    for r in rows:
+        assert 0 <= r.median_bin < _HQ_BINS
+        assert r.within_one_bin
+        assert abs(r.approx_p50 - r.exact_p50) <= r.bin_width
+    # bin counts merge by addition: histogram of two halves == histogram
+    # of the whole (the property that makes it a sketch)
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    lo, hi = o.agg(F.min("cents"), F.max("cents")).collect()[0]
+    bin_expr = F.expr(f"((cents - {lo}) * {_HQ_BINS}) div ({hi} - {lo} + 1)")
+    whole = sorted(map(tuple, o.groupBy("o_orderstatus",
+                                        bin_expr.alias("bin"))
+                       .count().collect()))
+    half_a = o.where(F.col("cents") % 2 == 0)
+    half_b = o.where(F.col("cents") % 2 != 0)
+    merged = (half_a.groupBy("o_orderstatus", bin_expr.alias("bin")).count()
+              .unionAll(half_b.groupBy("o_orderstatus",
+                                       bin_expr.alias("bin")).count())
+              .groupBy("o_orderstatus", "bin").agg(F.sum("count")
+                                                   .alias("count")))
+    assert sorted(map(tuple, merged.collect())) == whole
