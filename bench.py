@@ -78,6 +78,10 @@ HEADLINE = [
     "bloom_join_prefilter",     # bloom bit build + broadcast fact probe
     "expectations_report",      # constraint suite in one fact scan
     "systematic_weighted_sample",  # blocked two-pass weighted cumsum
+    "price_trend_by_priority",  # OLS from exact sufficient statistics
+    "hll_set_algebra",          # register union/intersection algebra
+    "bpe_roundtrip_audit",      # vocab-sized tokenizer integrity gate
+    "histogram_quantile_sketch",  # 64-bin mergeable quantile sketch
 ]
 
 
