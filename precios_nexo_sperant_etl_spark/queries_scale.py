@@ -4368,3 +4368,187 @@ register(
         "corpus word — 1-row release gate over the vocab-sized symbol "
         "table.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over event types (A-Priori at k=2):
+# support / confidence / lift for every co-occurring pair of event
+# types across users. Counts are exact integers; each metric is ONE
+# final double division over integer operands (lift's numerator and
+# denominator are pre-multiplied in BIGINT so there is exactly one
+# float op, not a quotient of quotients). Scale shape: the self-join is
+# per-user and bounded by the event-type cardinality (constant), the
+# pair agg is combinable, and the per-type counts arrive by broadcast —
+# the classic frequent-itemset shape where the shuffle key space is
+# |types|², not |events|.
+# ---------------------------------------------------------------------------
+
+def _event_rules(spark: SparkSession, sf: str) -> DataFrame:
+    ev = (_t(spark, sf, "events")
+          .select("user_id", "event_type").distinct())
+    users = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"))
+    a = ev.select("user_id", F.col("event_type").alias("type_a"))
+    b = ev.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (a.join(b, "user_id")
+              .where(F.col("type_a") < F.col("type_b"))
+              .groupBy("type_a", "type_b")
+              .agg(F.count(F.lit(1)).alias("n_both")))
+    na = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("n_type").alias("n_a"))
+    nb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("n_type").alias("n_b"))
+    return (pairs.join(F.broadcast(na), "type_a")
+                 .join(F.broadcast(nb), "type_b")
+                 .crossJoin(F.broadcast(users))
+                 .select("type_a", "type_b", "n_both", "n_a", "n_b",
+                         "n_users",
+                         (F.col("n_both").cast("double")
+                          / F.col("n_users").cast("double"))
+                         .alias("support"),
+                         (F.col("n_both").cast("double")
+                          / F.col("n_a").cast("double"))
+                         .alias("confidence_a_to_b"),
+                         ((F.col("n_both") * F.col("n_users"))
+                          .cast("double")
+                          / (F.col("n_a") * F.col("n_b")).cast("double"))
+                         .alias("lift"))
+                 .orderBy("type_a", "type_b"))
+
+
+register(
+    "event_cooccurrence_rules",
+    _event_rules,
+    """
+WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ev),
+t AS (SELECT event_type, COUNT(*) AS n_type FROM ev GROUP BY event_type),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ev a JOIN ev b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_both,
+       ta.n_type AS n_a, tb.n_type AS n_b, u.n_users,
+       CAST(p.n_both AS DOUBLE) / CAST(u.n_users AS DOUBLE) AS support,
+       CAST(p.n_both AS DOUBLE) / CAST(ta.n_type AS DOUBLE)
+         AS confidence_a_to_b,
+       CAST(p.n_both * u.n_users AS DOUBLE)
+         / CAST(ta.n_type * tb.n_type AS DOUBLE) AS lift
+FROM p JOIN t ta ON ta.event_type = p.type_a
+       JOIN t tb ON tb.event_type = p.type_b, u
+ORDER BY type_a, type_b
+""",
+    doc="Association rules (A-Priori k=2) over per-user event-type "
+        "baskets: exact co-occurrence counts with support, confidence, "
+        "and lift as single double divisions.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics per group: Pearson correlation from exact sufficient
+# statistics (same machinery as the OLS trend: integer/decimal sums,
+# sqrt/divide only at the very end), and a winsorized mean — values
+# clipped at the group's exact [p5, p95] before a DECIMAL re-accumulate,
+# the standard heavy-tail guard for metric pipelines.
+# ---------------------------------------------------------------------------
+
+def _discount_price_corr(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    x = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = (li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y).cast("decimal(38,2)").alias("_sy"),
+        F.sum(y * y).cast("decimal(38,4)").alias("_syy"),
+        F.sum(x * y).cast("decimal(38,2)").alias("_sxy")))
+    n = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    r = ((n * sxy - sx * sy)
+         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return (agg.select("l_returnflag", "n_rows", r.alias("pearson_r"))
+               .orderBy("l_returnflag"))
+
+
+register(
+    "discount_price_corr",
+    _discount_price_corr,
+    """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy,
+         CAST(SUM(x * y) AS DECIMAL(38,2)) AS sxy
+  FROM (SELECT l_returnflag,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n_rows,
+       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS pearson_r
+FROM s ORDER BY l_returnflag
+""",
+    doc="Per-returnflag Pearson correlation of discount vs extended "
+        "price from six exact sufficient statistics; sqrt/divide only "
+        "in the final scalar.",
+)
+
+
+def _winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    pct = (o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p5"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95")))
+    clipped = (o.join(F.broadcast(pct), "o_orderstatus")
+                .select("o_orderstatus",
+                        F.least(F.greatest(F.col("o_totalprice"),
+                                           F.col("p5")), F.col("p95"))
+                        .cast("decimal(18,2)").alias("w")))
+    return (clipped.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("w").cast("decimal(38,2)").alias("w_total"))
+            .select("o_orderstatus", "n_orders", "w_total",
+                    (F.col("w_total").cast("double")
+                     / F.col("n_orders").cast("double"))
+                    .alias("winsorized_mean"))
+            .orderBy("o_orderstatus"))
+
+
+register(
+    "winsorized_mean_by_status",
+    _winsorized_mean,
+    """
+WITH pct AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.05) AS p5,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderstatus),
+c AS (SELECT o.o_orderstatus,
+             CAST(least(greatest(o.o_totalprice, p.p5), p.p95)
+                  AS DECIMAL(18,2)) AS w
+      FROM orders o JOIN pct p USING (o_orderstatus))
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(w) AS DECIMAL(38,2)) AS w_total,
+       CAST(CAST(SUM(w) AS DECIMAL(38,2)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean
+FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    doc="Winsorized mean per status: values clipped at the group's "
+        "exact [p5, p95], then exact DECIMAL re-accumulation — the "
+        "heavy-tail-robust location estimate.",
+)

@@ -78,27 +78,25 @@ _CHECK_FIRST: list[str] = [
     "hll_set_algebra",             # new r5: register union/intersection
     "bpe_roundtrip_audit",         # new r5: tokenizer integrity gate
     "histogram_quantile_sketch",   # new r5: mergeable quantile sketch
+    "event_cooccurrence_rules",    # new r5: A-Priori k=2 basket rules
+    "discount_price_corr",         # new r5: exact-stats Pearson r
+    "winsorized_mean_by_status",   # new r5: robust clipped mean
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
-    # size aggregation): values unchanged, plans changed — re-stamp ---
+    # size aggregation): values unchanged (local type-strict parity
+    # green across the whole family, tuned AND vanilla), plans changed.
+    # THREE representatives re-stamp — the band generator
+    # (minhash_dedup_pairs), the iterative consumer (neardup_clusters),
+    # and the full composition (prep_pipeline); the other family
+    # members (_prod/_capped, ngram_jaccard_pairs + _capped,
+    # cluster_aware_split, neardup_survivors, dedup_threshold_curve)
+    # share that subtree verbatim, keep their r01–r04 value stamps, and
+    # rotate to r6 — their slots fund the never-stamped r5 queries
+    # above ---
     "minhash_dedup_pairs",
-    "minhash_dedup_pairs_prod",
-    # (minhash_dedup_pairs_capped shares the re-stamping siblings' plan
-    # fix verbatim — its r04 value stamp stands; slot goes to the new
-    # HLL set-algebra query)
-    "ngram_jaccard_pairs",             # also r01-stamped
-    # (ngram_jaccard_pairs_capped: r04 stamp stands, uncapped sibling
-    # re-stamps above — slot goes to the new Benford audit)
     "benford_digit_audit",
     "cross_corpus_neardup",
     "neardup_clusters",
-    # (neardup_survivors' plan change is the same shared subtree its
-    # in-window upstreams neardup_clusters + cluster_aware_split
-    # re-stamp; slot goes to the new BPE round-trip gate)
-    "cluster_aware_split",
     "prep_pipeline",
-    # (dedup_threshold_curve's r04 stamp stands; five siblings of the
-    # same jaccard-plan family re-stamp above — slot goes to the new
-    # triangle census)
     "neardup_triangles",
     # (neardup_cluster_sizes' re-stamp is covered by its upstream
     # cluster queries above; its slot goes to the new EWMA query)

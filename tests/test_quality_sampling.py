@@ -119,3 +119,48 @@ def test_price_trend_matches_numpy_ols(spark):
             1.0, abs(slope))
         assert abs(got[prio].intercept - intercept) < 1e-4 * max(
             1.0, abs(intercept))
+
+
+def test_pearson_matches_numpy(spark):
+    import numpy as np
+    from precios_nexo_sperant_etl_spark.queries_scale import (
+        _discount_price_corr)
+    got = {r.l_returnflag: r.pearson_r
+           for r in _discount_price_corr(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_discount", "l_extendedprice").collect()
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (round(r.l_discount * 100), round(r.l_extendedprice, 2)))
+    for flag, pts in by_flag.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        expect = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[flag] - expect) < 1e-9
+
+
+def test_event_rules_invariants(spark):
+    from precios_nexo_sperant_etl_spark.queries_scale import _event_rules
+    rows = _event_rules(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence_a_to_b <= 1
+        assert r.lift > 0
+        # lift is symmetric in (a, b): recompute from the counts
+        assert abs(r.lift - r.n_both * r.n_users / (r.n_a * r.n_b)) < 1e-12
+
+
+def test_winsorized_mean_bounded_by_clip_points(spark):
+    from precios_nexo_sperant_etl_spark.queries_scale import _winsorized_mean
+    got = {r.o_orderstatus: r.winsorized_mean
+           for r in _winsorized_mean(spark, SF_DIR).collect()}
+    pct = spark.read.parquet(f"{SF_DIR}/orders.parquet").groupBy(
+        "o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p5"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95")).collect()
+    for r in pct:
+        assert r.p5 <= got[r.o_orderstatus] <= r.p95
