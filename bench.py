@@ -82,6 +82,9 @@ HEADLINE = [
     "hll_set_algebra",          # register union/intersection algebra
     "bpe_roundtrip_audit",      # vocab-sized tokenizer integrity gate
     "histogram_quantile_sketch",  # 64-bin mergeable quantile sketch
+    "event_cooccurrence_rules",  # per-user basket self-join, |types|² agg
+    "discount_price_corr",      # exact-sufficient-stats correlation
+    "winsorized_mean_by_status",  # percentile clip + decimal re-sum
 ]
 
 
