@@ -81,13 +81,14 @@ _CHECK_FIRST: list[str] = [
     "event_cooccurrence_rules",    # new r5: A-Priori k=2 basket rules
     "discount_price_corr",         # new r5: exact-stats Pearson r
     "winsorized_mean_by_status",   # new r5: robust clipped mean
+    "streaming_curation_hashes",   # new r5: first streaming hash oracle
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged (local type-strict parity
     # green across the whole family, tuned AND vanilla), plans changed.
-    # THREE representatives re-stamp — the band generator
-    # (minhash_dedup_pairs), the iterative consumer (neardup_clusters),
-    # and the full composition (prep_pipeline); the other family
-    # members (_prod/_capped, ngram_jaccard_pairs + _capped,
+    # TWO representatives re-stamp — the band generator
+    # (minhash_dedup_pairs, the direct owner of the changed code) and
+    # the full composition (prep_pipeline); the other family members
+    # (_prod/_capped, ngram_jaccard_pairs + _capped, neardup_clusters,
     # cluster_aware_split, neardup_survivors, dedup_threshold_curve)
     # share that subtree verbatim, keep their r01–r04 value stamps, and
     # rotate to r6 — their slots fund the never-stamped r5 queries
@@ -95,7 +96,10 @@ _CHECK_FIRST: list[str] = [
     "minhash_dedup_pairs",
     "benford_digit_audit",
     "cross_corpus_neardup",
-    "neardup_clusters",
+    # (neardup_clusters also rotates to r6: its r03 stamp stands, the
+    # CC algorithm is unchanged, and the r5 jaccard subtree feeding it
+    # is re-stamped by minhash_dedup_pairs and composed end-to-end by
+    # prep_pipeline below; slot funds the streaming hash oracle.)
     "prep_pipeline",
     "neardup_triangles",
     # (neardup_cluster_sizes' re-stamp is covered by its upstream
@@ -195,5 +199,5 @@ def _load_all() -> None:
     # correctness gate would pass without checking the lost queries.
     from . import (queries_agg, queries_audit, queries_core,  # noqa: F401
                    queries_joins, queries_scalar, queries_scale,
-                   queries_sketches)
+                   queries_sketches, queries_streaming)
     _LOADED = True
