@@ -58,3 +58,55 @@ ORDER BY text_hash
         "parquet landing) hash-checked via its winner-independent "
         "invariant: the set of landed canonical text hashes.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL register maintenance, hash-checked END-TO-END: unlike
+# the curation landing (arbitrary dedup winner → only the hash set is
+# stable), sketch state is fully deterministic — registers are pure
+# functions of the multiset of terms, and merge-at-read (max) erases
+# batch boundaries. So the streamed-and-merged register table must
+# equal the batch register SQL bit for bit, and the driver can pin the
+# whole streaming path (source → foreachBatch → partitioned landing →
+# merge-at-read) with an ordinary value oracle.
+# ---------------------------------------------------------------------------
+
+def _streaming_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_curation import stream_documents
+    from .streaming.stream_sketches import (read_hll_registers,
+                                            streaming_hll_to_lake)
+    out = tempfile.mkdtemp(prefix="stream_hll_q_")
+    q = streaming_hll_to_lake(stream_documents(spark, sf),
+                              os.path.join(out, "regs"),
+                              os.path.join(out, "ckpt"))
+    q.awaitTermination(120)
+    return (read_hll_registers(spark, os.path.join(out, "regs"))
+            .select("source", F.col("bucket").cast("long").alias("bucket"),
+                    F.col("rho").cast("int").alias("rho"))
+            .orderBy("source", "bucket"))
+
+
+_SHLL_H = "('0x' || substr(md5(term), 1, 12))::BIGINT"
+
+register(
+    "streaming_hll_registers",
+    _streaming_hll_registers,
+    f"""
+WITH it AS (
+  SELECT source, term
+  FROM (SELECT source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+  WHERE term <> ''),
+hr AS (
+  SELECT source, h % 64 AS bucket, (h - h % 64) // 64 AS v
+  FROM (SELECT source, {_SHLL_H} AS h FROM it))
+SELECT source, bucket,
+       MAX(CASE WHEN v = 0 THEN 43
+                ELSE 43 - CAST(length(bin(v)) AS INT) END) AS rho
+FROM hr GROUP BY source, bucket ORDER BY source, bucket
+""",
+    doc="Structured-Streaming HLL register maintenance (per-batch "
+        "partitioned landing, merge-at-read) pinned bit-for-bit against "
+        "the batch register SQL.",
+)

@@ -82,6 +82,7 @@ _CHECK_FIRST: list[str] = [
     "discount_price_corr",         # new r5: exact-stats Pearson r
     "winsorized_mean_by_status",   # new r5: robust clipped mean
     "streaming_curation_hashes",   # new r5: first streaming hash oracle
+    "streaming_hll_registers",     # new r5: streaming sketch, bit-exact
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged (local type-strict parity
     # green across the whole family, tuned AND vanilla), plans changed.
@@ -95,7 +96,10 @@ _CHECK_FIRST: list[str] = [
     # above ---
     "minhash_dedup_pairs",
     "benford_digit_audit",
-    "cross_corpus_neardup",
+    # (cross_corpus_neardup rotates to r6: r04 stamp stands; its
+    # two-sided jaccard mode is covered by the local type-strict gate
+    # and the stream_neardup_ingest pytest; slot funds the streaming
+    # HLL oracle.)
     # (neardup_clusters also rotates to r6: its r03 stamp stands, the
     # CC algorithm is unchanged, and the r5 jaccard subtree feeding it
     # is re-stamped by minhash_dedup_pairs and composed end-to-end by
