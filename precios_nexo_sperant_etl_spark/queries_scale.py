@@ -4552,3 +4552,69 @@ FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
         "exact [p5, p95], then exact DECIMAL re-accumulation — the "
         "heavy-tail-robust location estimate.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier: the documents no other document dominates
+# (strictly better on one of {quality ↑, token cost ↓}, at least as
+# good on the other) — the multi-objective selection primitive behind
+# "best docs per budget" curation. Native-window formulation over the
+# INTEGER axis: sort by n_tokens, then a document is dominated iff the
+# running max quality over strictly-cheaper docs already reaches its
+# quality, or a same-cost doc strictly beats it. The oracle states
+# dominance directly (NOT EXISTS) — O(n²) is fine for DuckDB at sf0.01,
+# while the Spark side is O(n log n). Scale note: the frontier is
+# merge-closed (global frontier ⊆ union of partition-local frontiers),
+# so at 100 TB this runs as local-frontier → tiny global pass; the
+# registered query keeps the single-window form the oracle can mirror
+# and documents the two-pass gear here.
+# ---------------------------------------------------------------------------
+
+def _pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.text import BPE_ISH_PATTERN, quality_expr
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        quality_expr(F.col("text")).alias("quality"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_tokens"))
+    w_lt = (Window.orderBy("n_tokens")
+            .rangeBetween(Window.unboundedPreceding, -1))
+    w_eq = Window.partitionBy("n_tokens")
+    scored = d.select(
+        "doc_id", "quality", "n_tokens",
+        F.max("quality").over(w_lt).alias("_best_cheaper"),
+        F.max("quality").over(w_eq).alias("_best_same"))
+    frontier = scored.where(
+        (F.col("_best_cheaper").isNull()
+         | (F.col("_best_cheaper") < F.col("quality")))
+        & (F.col("quality") == F.col("_best_same")))
+    return (frontier.select("doc_id", "quality", "n_tokens")
+                    .orderBy("doc_id"))
+
+
+register(
+    "pareto_frontier_docs",
+    _pareto_frontier,
+    f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk, text FROM documents),
+s AS (SELECT doc_id,
+  (0.4 * least(len(tk) / 50.0, 1.0)
+             + 0.4 * (len(list_distinct(tk)) / len(tk))
+             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk)))
+    AS quality,
+  CAST(len(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+    AS BIGINT) AS n_tokens
+  FROM t)
+SELECT doc_id, quality, n_tokens
+FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.quality >= a.quality AND b.n_tokens <= a.n_tokens
+    AND (b.quality > a.quality OR b.n_tokens < a.n_tokens))
+ORDER BY doc_id
+""",
+    doc="Pareto frontier over (quality ↑, token cost ↓): window "
+        "formulation vs the oracle's direct NOT-EXISTS dominance test.",
+)

@@ -83,6 +83,10 @@ _CHECK_FIRST: list[str] = [
     "winsorized_mean_by_status",   # new r5: robust clipped mean
     "streaming_curation_hashes",   # new r5: first streaming hash oracle
     "streaming_hll_registers",     # new r5: streaming sketch, bit-exact
+    # (pareto_frontier_docs, added late in r5, waits for the r6 window:
+    # every remaining slot is a fixed-red / changed / never-stamped
+    # essential. Local evidence: type-strict parity green tuned AND
+    # vanilla + brute-force dominance pytest. FRONT-LOAD IT IN r6.)
     # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
     # size aggregation): values unchanged (local type-strict parity
     # green across the whole family, tuned AND vanilla), plans changed.

@@ -164,3 +164,23 @@ def test_winsorized_mean_bounded_by_clip_points(spark):
         F.expr("percentile(o_totalprice, 0.95)").alias("p95")).collect()
     for r in pct:
         assert r.p5 <= got[r.o_orderstatus] <= r.p95
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from precios_nexo_sperant_etl_spark.queries_scale import _pareto_frontier
+    got = {r.doc_id for r in _pareto_frontier(spark, SF_DIR).collect()}
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        BPE_ISH_PATTERN, quality_expr)
+    pts = [(r.doc_id, r.q, r.t) for r in
+           spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+               "doc_id", quality_expr(F.col("text")).alias("q"),
+               F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+               .cast("long").alias("t")).collect()]
+    expect = set()
+    for i, qi, ti in pts:
+        dominated = any(
+            qj >= qi and tj <= ti and (qj > qi or tj < ti)
+            for j, qj, tj in pts if j != i)
+        if not dominated:
+            expect.add(i)
+    assert got == expect
