@@ -4618,3 +4618,37 @@ ORDER BY doc_id
     doc="Pareto frontier over (quality ↑, token cost ↓): window "
         "formulation vs the oracle's direct NOT-EXISTS dominance test.",
 )
+
+
+def pareto_frontier_two_pass(d: DataFrame, n_blocks: int = 32) -> DataFrame:
+    """The 100 TB gear for :func:`_pareto_frontier`: the frontier is
+    merge-closed (global frontier ⊆ union of block-local frontiers), so
+    pass 1 computes a local frontier per hash-block of the input — the
+    global window runs only PER BLOCK — and pass 2 re-runs the same
+    dominance filter over the union of survivors, which is frontier-
+    sized, not corpus-sized. No single task ever sees the full corpus.
+    Input: (doc_id, quality, n_tokens). Equivalence to the one-window
+    form is pytest-pinned.
+    """
+    from pyspark.sql import Window
+
+    def _frontier(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        w_lt = (Window.partitionBy(*part_cols).orderBy("n_tokens")
+                .rangeBetween(Window.unboundedPreceding, -1)
+                if part_cols else
+                Window.orderBy("n_tokens")
+                .rangeBetween(Window.unboundedPreceding, -1))
+        w_eq = Window.partitionBy(*(part_cols + ["n_tokens"]))
+        scored = df.select(
+            "doc_id", "quality", "n_tokens",
+            F.max("quality").over(w_lt).alias("_bc"),
+            F.max("quality").over(w_eq).alias("_bs"))
+        return (scored.where(
+            (F.col("_bc").isNull() | (F.col("_bc") < F.col("quality")))
+            & (F.col("quality") == F.col("_bs")))
+            .select("doc_id", "quality", "n_tokens"))
+
+    blocked = d.withColumn(
+        "_blk", F.pmod(F.hash(F.col("doc_id")), F.lit(n_blocks)))
+    local = _frontier(blocked, ["_blk"])
+    return _frontier(local, [])

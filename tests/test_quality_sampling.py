@@ -184,3 +184,17 @@ def test_pareto_frontier_matches_bruteforce(spark):
         if not dominated:
             expect.add(i)
     assert got == expect
+
+
+def test_pareto_two_pass_equals_single_window(spark):
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        BPE_ISH_PATTERN, quality_expr)
+    from precios_nexo_sperant_etl_spark.queries_scale import (
+        _pareto_frontier, pareto_frontier_two_pass)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", quality_expr(F.col("text")).alias("quality"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("long").alias("n_tokens"))
+    two = sorted(map(tuple, pareto_frontier_two_pass(d, 8).collect()))
+    one = sorted(map(tuple, _pareto_frontier(spark, SF_DIR).collect()))
+    assert two == one
