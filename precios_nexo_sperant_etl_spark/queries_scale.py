@@ -4652,3 +4652,97 @@ def pareto_frontier_two_pass(d: DataFrame, n_blocks: int = 32) -> DataFrame:
         "_blk", F.pmod(F.hash(F.col("doc_id")), F.lit(n_blocks)))
     local = _frontier(blocked, ["_blk"])
     return _frontier(local, [])
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two periods (population-stability check):
+# chi-square distance over 10 fixed integer bins of order value,
+# early-half vs late-half of the order history. PSI's ln() is a
+# cross-engine hazard, so the chi-square form is used: all bin counts
+# are exact integers; the per-bin contributions are single double ops;
+# and the final Σ over ≤10 bins is an ORDER-PINNED fold (sorted list →
+# sequential aggregate), the repo's standard pattern for summing a
+# handful of doubles deterministically. Scale: two grouped counts and a
+# 10-row fold — one fact scan, constant-size reduce.
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+
+
+def _order_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"))
+    rng = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                F.min("d").alias("d0"), F.max("d").alias("d1"))
+    binned = (o.crossJoin(F.broadcast(rng))
+              .select(F.expr(f"((cents - lo) * {_DRIFT_BINS}) "
+                             "div (hi - lo + 1)").alias("bin"),
+                      (F.datediff("d", "d0") * 2
+                       <= F.datediff("d1", "d0")).alias("early")))
+    counts = (binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0)).alias("n_b")))
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    contrib = (counts.crossJoin(F.broadcast(tot))
+               .select("bin", "n_a", "n_b",
+                       ((F.col("n_a").cast("double")
+                         / F.col("ta").cast("double")
+                         - F.col("n_b").cast("double")
+                         / F.col("tb").cast("double"))
+                        * (F.col("n_a").cast("double")
+                           / F.col("ta").cast("double")
+                           - F.col("n_b").cast("double")
+                           / F.col("tb").cast("double"))
+                        / (F.col("n_a").cast("double")
+                           / F.col("ta").cast("double")
+                           + F.col("n_b").cast("double")
+                           / F.col("tb").cast("double")))
+                       .alias("c")))
+    return (contrib.agg(
+        F.sum("n_a").cast("bigint").alias("n_early"),
+        F.sum("n_b").cast("bigint").alias("n_late"),
+        F.expr("aggregate(array_sort(collect_list(struct(bin, c))), "
+               "cast(0.0 as double), (acc, x) -> acc + x.c)")
+        .alias("chi2_distance")))
+
+
+register(
+    "order_value_drift",
+    _order_value_drift,
+    f"""
+WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents,
+                  CAST(o_orderdate AS DATE) AS d
+           FROM orders),
+rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+               MIN(d) AS d0, MAX(d) AS d1 FROM c),
+b AS (SELECT ((cents - lo) * {_DRIFT_BINS}) // (hi - lo + 1) AS bin,
+             datediff('day', d0, d) * 2 <= datediff('day', d0, d1) AS early
+      FROM c, rng),
+cnt AS (SELECT bin,
+               CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+        FROM b GROUP BY bin),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+               CAST(SUM(n_b) AS BIGINT) AS tb FROM cnt),
+ctr AS (SELECT bin, n_a, n_b,
+               (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                  - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+               * (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                  - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                  + CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS c
+        FROM cnt, tot)
+SELECT CAST(SUM(n_a) AS BIGINT) AS n_early,
+       CAST(SUM(n_b) AS BIGINT) AS n_late,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(c ORDER BY bin)),
+                   (acc, x) -> acc + x) AS chi2_distance
+FROM ctr
+""",
+    doc="Order-value distribution drift (early vs late half): chi-square "
+        "distance over 10 integer bins, summed by an order-pinned fold.",
+)
