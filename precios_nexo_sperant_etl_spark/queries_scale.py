@@ -4746,3 +4746,138 @@ FROM ctr
     doc="Order-value distribution drift (early vs late half): chi-square "
         "distance over 10 integer bins, summed by an order-pinned fold.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V between lang and source: categorical-association strength
+# from the exact contingency table. Chi-square over ≤ |langs|·|sources|
+# cells (expected counts from the exact margins — one double division
+# per cell), summed with the order-pinned fold; V = sqrt(χ²/(n·(k−1)))
+# as the final scalar. The ln-free cousin of mutual information, same
+# reason as the drift screen.
+# ---------------------------------------------------------------------------
+
+def _cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_ls"))
+    rows = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    cols = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"),
+                F.count_distinct("lang").alias("kl"),
+                F.count_distinct("source").alias("ks"))
+    contrib = (cells.join(F.broadcast(rows), "lang")
+                    .join(F.broadcast(cols), "source")
+                    .crossJoin(F.broadcast(tot))
+                    .select(
+        "lang", "source",
+        ((F.col("n_ls").cast("double")
+          - F.col("n_l").cast("double") * F.col("n_s").cast("double")
+            / F.col("n").cast("double"))
+         * (F.col("n_ls").cast("double")
+            - F.col("n_l").cast("double") * F.col("n_s").cast("double")
+              / F.col("n").cast("double"))
+         / (F.col("n_l").cast("double") * F.col("n_s").cast("double")
+            / F.col("n").cast("double"))).alias("c"),
+        "n", "kl", "ks"))
+    return (contrib.groupBy("n", "kl", "ks")
+            .agg(F.expr(
+                "aggregate(array_sort(collect_list(struct(lang, source, c))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.c)")
+                .alias("chi2"))
+            .select(F.col("n").alias("n_docs"),
+                    F.col("kl").cast("int").alias("n_langs"),
+                    F.col("ks").cast("int").alias("n_sources"),
+                    "chi2",
+                    F.sqrt(F.col("chi2")
+                           / (F.col("n").cast("double")
+                              * (F.least("kl", "ks").cast("double") - 1)))
+                    .alias("cramers_v")))
+
+
+register(
+    "cramers_v_lang_source",
+    _cramers_v,
+    """
+WITH cells AS (SELECT lang, source, COUNT(*) AS n_ls
+               FROM documents GROUP BY lang, source),
+r AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+s AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT COUNT(*) AS n, COUNT(DISTINCT lang) AS kl,
+             COUNT(DISTINCT source) AS ks FROM documents),
+ctr AS (SELECT c.lang, c.source,
+               (CAST(c.n_ls AS DOUBLE)
+                  - CAST(r.n_l AS DOUBLE) * CAST(s.n_s AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+               * (CAST(c.n_ls AS DOUBLE)
+                  - CAST(r.n_l AS DOUBLE) * CAST(s.n_s AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+               / (CAST(r.n_l AS DOUBLE) * CAST(s.n_s AS DOUBLE)
+                  / CAST(t.n AS DOUBLE)) AS c,
+               t.n, t.kl, t.ks
+        FROM cells c JOIN r USING (lang) JOIN s USING (source), t)
+SELECT n AS n_docs, CAST(kl AS INT) AS n_langs, CAST(ks AS INT) AS n_sources,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(c ORDER BY lang, source)),
+                   (acc, x) -> acc + x) AS chi2,
+       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(c ORDER BY lang, source)),
+                        (acc, x) -> acc + x)
+            / (CAST(n AS DOUBLE) * (CAST(least(kl, ks) AS DOUBLE) - 1)))
+         AS cramers_v
+FROM ctr GROUP BY n, kl, ks
+""",
+    doc="Cramér's V association between lang and source from the exact "
+        "contingency table; χ² summed by an order-pinned fold.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: counts of
+# (event_type → next event_type) under the explicit (ts, event_id)
+# ordering, row-normalized to transition probabilities. One window
+# (lead) partitioned by user — the fact shuffles once on user_id — and
+# one combinable pair count; the probability is a single division by
+# the broadcast row margin.
+# ---------------------------------------------------------------------------
+
+def _event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", F.col("event_type").alias("from_type"),
+                       F.lead("event_type").over(w).alias("to_type"))
+               .where(F.col("to_type").isNotNull())
+               .groupBy("from_type", "to_type")
+               .agg(F.count(F.lit(1)).alias("n_trans")))
+    margin = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").alias("n_from"))
+    return (pairs.join(F.broadcast(margin), "from_type")
+            .select("from_type", "to_type", "n_trans",
+                    F.col("n_from").cast("bigint").alias("n_from"),
+                    (F.col("n_trans").cast("double")
+                     / F.col("n_from").cast("double")).alias("p_trans"))
+            .orderBy("from_type", "to_type"))
+
+
+register(
+    "event_transition_matrix",
+    _event_transitions,
+    """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+p AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      FROM p GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n_trans, m.n_from,
+       CAST(p.n_trans AS DOUBLE) / CAST(m.n_from AS DOUBLE) AS p_trans
+FROM p JOIN m USING (from_type)
+ORDER BY from_type, to_type
+""",
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences (explicit (ts, event_id) ordering), row-normalized.",
+)

@@ -83,8 +83,9 @@ _CHECK_FIRST: list[str] = [
     "winsorized_mean_by_status",   # new r5: robust clipped mean
     "streaming_curation_hashes",   # new r5: first streaming hash oracle
     "streaming_hll_registers",     # new r5: streaming sketch, bit-exact
-    # (pareto_frontier_docs and order_value_drift, added late in r5,
-    # wait for the r6 window:
+    # (pareto_frontier_docs, order_value_drift, cramers_v_lang_source,
+    # and event_transition_matrix, added late in r5, wait for the r6
+    # window:
     # every remaining slot is a fixed-red / changed / never-stamped
     # essential. Local evidence: type-strict parity green tuned AND
     # vanilla + brute-force dominance pytest. FRONT-LOAD IT IN r6.)
