@@ -4881,3 +4881,99 @@ ORDER BY from_type, to_type
     doc="First-order Markov transition matrix over per-user event "
         "sequences (explicit (ts, event_id) ordering), row-normalized.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan–Meier estimate of "still unconverted" at
+# fixed horizons, over per-user time from first event to first
+# purchase, right-censored at corpus end for users who never convert.
+# The KM product Π (1 − dₜ/nₜ) runs as an order-pinned fold over the
+# day-grained event-time table (≤ observation-window days long —
+# bounded state, so the fold is constant-size however big the corpus);
+# everything upstream is one groupBy(user) + one tiny desc-cumsum.
+# ln-free by construction (the hazard factors multiply directly).
+# ---------------------------------------------------------------------------
+
+_KM_HORIZONS = (1, 7, 14)
+
+
+def _survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events")
+    end = ev.agg(F.max("ts").alias("t_end"))
+    per_user = (ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("tp")))
+    dur = (per_user.crossJoin(F.broadcast(end))
+           .select(F.when(F.col("tp").isNotNull(),
+                          F.datediff(F.col("tp").cast("date"),
+                                     F.col("t0").cast("date")))
+                    .otherwise(F.datediff(F.col("t_end").cast("date"),
+                                          F.col("t0").cast("date")))
+                    .cast("long").alias("dur"),
+                   F.col("tp").isNotNull().alias("converted")))
+    counts = dur.groupBy("dur").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("n_at"))
+    w = (Window.orderBy(F.desc("dur"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    factors = (counts.withColumn("n_risk", F.sum("n_at").over(w))
+               .where(F.col("d") > 0)
+               .select("dur",
+                       (F.lit(1.0) - F.col("d").cast("double")
+                        / F.col("n_risk").cast("double")).alias("f")))
+    surv = [F.expr(
+        "aggregate(array_sort(collect_list(struct(dur, f))), "
+        f"cast(1.0 as double), (acc, x) -> "
+        f"case when x.dur <= {h} then acc * x.f else acc end)")
+        .alias(f"s_unconverted_d{h}") for h in _KM_HORIZONS]
+    totals = dur.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+         .cast("bigint").alias("n_converted"))
+    return factors.agg(*surv).crossJoin(F.broadcast(totals)).select(
+        "n_users", "n_converted",
+        *[f"s_unconverted_d{h}" for h in _KM_HORIZONS])
+
+
+register(
+    "survival_time_to_purchase",
+    _survival_km,
+    f"""
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+endt AS (SELECT MAX(ts) AS t_end FROM e),
+pu AS (SELECT user_id, MIN(ts) AS t0,
+              MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+       FROM e GROUP BY user_id),
+dur AS (SELECT CASE WHEN tp IS NOT NULL
+                    THEN datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                    ELSE datediff('day', CAST(t0 AS DATE),
+                                  CAST(t_end AS DATE)) END AS dur,
+               tp IS NOT NULL AS converted
+        FROM pu, endt),
+cnt AS (SELECT dur, CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END)
+                         AS BIGINT) AS d,
+               COUNT(*) AS n_at
+        FROM dur GROUP BY dur),
+fct AS (SELECT dur,
+               1.0 - CAST(d AS DOUBLE) / CAST(
+                 SUM(n_at) OVER (ORDER BY dur DESC
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS f
+        FROM cnt QUALIFY d > 0),
+tot AS (SELECT COUNT(*) AS n_users,
+               CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_converted
+        FROM dur)
+SELECT tot.n_users, tot.n_converted,
+{",".join(f'''       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+         (SELECT list(CASE WHEN dur <= {h} THEN f ELSE 1.0 END
+                 ORDER BY dur) FROM fct)),
+         (acc, x) -> acc * x) AS s_unconverted_d{h}''' for h in _KM_HORIZONS)}
+FROM tot
+""",
+    doc="Kaplan–Meier survival of the unconverted state at 1/7/14-day "
+        "horizons (first event → first purchase, right-censored), with "
+        "the KM product as an order-pinned fold over day-grained "
+        "factors.",
+)

@@ -198,3 +198,40 @@ def test_pareto_two_pass_equals_single_window(spark):
     two = sorted(map(tuple, pareto_frontier_two_pass(d, 8).collect()))
     one = sorted(map(tuple, _pareto_frontier(spark, SF_DIR).collect()))
     assert two == one
+
+
+def test_survival_km_matches_python_reference(spark):
+    from precios_nexo_sperant_etl_spark.queries_scale import (_KM_HORIZONS,
+                                                              _survival_km)
+    row = _survival_km(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_type").collect()
+    t_end = max(r.ts for r in ev)
+    users: dict = {}
+    for r in ev:
+        u = users.setdefault(r.user_id, {"t0": r.ts, "tp": None})
+        u["t0"] = min(u["t0"], r.ts)
+        if r.event_type == "purchase":
+            u["tp"] = r.ts if u["tp"] is None else min(u["tp"], r.ts)
+    durs = []
+    for u in users.values():
+        if u["tp"] is not None:
+            durs.append(((u["tp"].date() - u["t0"].date()).days, True))
+        else:
+            durs.append(((t_end.date() - u["t0"].date()).days, False))
+    assert row.n_users == len(durs)
+    assert row.n_converted == sum(1 for _, c in durs if c)
+    for h in _KM_HORIZONS:
+        s = 1.0
+        for t in sorted({t for t, c in durs if c}):
+            if t > h:
+                continue
+            n_risk = sum(1 for d, _ in durs if d >= t)
+            d_t = sum(1 for d, c in durs if d == t and c)
+            s *= 1.0 - d_t / n_risk
+        got = getattr(row, f"s_unconverted_d{h}")
+        assert abs(got - s) < 1e-12
+        assert 0.0 <= got <= 1.0
+    # survival is non-increasing in the horizon
+    vals = [getattr(row, f"s_unconverted_d{h}") for h in _KM_HORIZONS]
+    assert vals == sorted(vals, reverse=True)
