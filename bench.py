@@ -85,6 +85,12 @@ HEADLINE = [
     "event_cooccurrence_rules",  # per-user basket self-join, |types|² agg
     "discount_price_corr",      # exact-sufficient-stats correlation
     "winsorized_mean_by_status",  # percentile clip + decimal re-sum
+    "pareto_frontier_docs",     # skyline via integer-axis running max
+    "order_value_drift",        # chi-square drift, order-pinned fold
+    "cramers_v_lang_source",    # contingency-table association
+    "event_transition_matrix",  # per-user lead window + margins
+    "survival_time_to_purchase",  # KM product over day-grained factors
+    "item_item_copurchase",     # basket self-join recommender
 ]
 
 

@@ -4977,3 +4977,64 @@ FROM tot
         "the KM product as an order-pinned fold over day-grained "
         "factors.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Item–item collaborative filtering over purchase baskets: cosine
+# similarity between parts from their order-co-occurrence counts — the
+# classic "bought together" recommender primitive. The self-join is
+# per-order (basket width ≤ ~7 lines, so fan-out is Σ width², linear
+# in orders); pair counts and per-item counts are exact integers; the
+# cosine n_ab / sqrt(n_a·n_b) is the single final double op per pair.
+# Top-20 by (count desc, pair) keeps the output deterministic.
+# ---------------------------------------------------------------------------
+
+def _item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    li = (_t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+              .where(F.col("part_a") < F.col("part_b"))
+              .groupBy("part_a", "part_b")
+              .agg(F.count(F.lit(1)).alias("n_both")))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    na = item.select(F.col("l_partkey").alias("part_a"),
+                     F.col("n_item").alias("n_a"))
+    nb = item.select(F.col("l_partkey").alias("part_b"),
+                     F.col("n_item").alias("n_b"))
+    return (pairs.join(F.broadcast(na), "part_a")
+                 .join(F.broadcast(nb), "part_b")
+                 .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                         (F.col("n_both").cast("double")
+                          / F.sqrt(F.col("n_a").cast("double")
+                                   * F.col("n_b").cast("double")))
+                         .alias("cosine"))
+                 .orderBy(F.desc("n_both"), "part_a", "part_b")
+                 .limit(20))
+
+
+register(
+    "item_item_copurchase",
+    _item_item_cf,
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_both
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+it AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey)
+SELECT p.part_a, p.part_b, p.n_both,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(p.n_both AS DOUBLE)
+         / sqrt(CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+         AS cosine
+FROM p JOIN it ia ON ia.l_partkey = p.part_a
+       JOIN it ib ON ib.l_partkey = p.part_b
+ORDER BY n_both DESC, part_a, part_b LIMIT 20
+""",
+    doc="Item-item 'bought together' cosine from order-basket "
+        "co-occurrence: per-order self-join (bounded fan-out), exact "
+        "counts, one final double op per pair.",
+)
