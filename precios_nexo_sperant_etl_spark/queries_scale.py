@@ -5038,3 +5038,99 @@ ORDER BY n_both DESC, part_a, part_b LIMIT 20
         "co-occurrence: per-order self-join (bounded fan-out), exact "
         "counts, one final double op per pair.",
 )
+
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point screen over the daily event volume, in CLOSED FORM:
+# the one-sided statistic Sₜ = max(0, Sₜ₋₁ + xₜ − μ − k) equals
+# Cₜ − min(0, min_{j≤t} C_j) with Cₜ = Pₜ − t·(μ+k) — so instead of a
+# sequential fold it is two tiny windows over the DAY-GRAINED series
+# (≤ observation-window rows): an INTEGER prefix sum Pₜ (exact) and a
+# running min of per-row scalars. A fold version was tried first and
+# exposed a genuine cross-engine hazard, recorded here on purpose:
+# DuckDB's list_reduce mutates a struct accumulator field-by-field
+# (later fields see already-updated earlier fields) while Spark's
+# aggregate() evaluates every lambda field from the same immutable
+# accumulator — multi-field recurrences silently diverge. Closed forms
+# over exact prefix sums sidestep the whole class. k = σ/2 from exact
+# integer moments; change_day tie-breaks to the FIRST day reaching the
+# max via struct-max on (S, −t).
+# ---------------------------------------------------------------------------
+
+def _event_volume_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    daily = (_t(spark, sf, "events")
+             .groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    mu = F.col("sx").cast("double") / F.col("n_days").cast("double")
+    kk = (F.sqrt(F.col("sxx").cast("double")
+                 / F.col("n_days").cast("double") - mu * mu) / 2.0)
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cur = (daily.crossJoin(F.broadcast(stats))
+           .withColumn("t", F.row_number().over(Window.orderBy("d")))
+           .withColumn("p", F.sum("x").over(w))
+           .withColumn("c", F.col("p").cast("double")
+                       - F.col("t").cast("double") * (mu + kk))
+           .withColumn("runmin", F.least(F.lit(0.0), F.min("c").over(w)))
+           .withColumn("s_t", F.col("c") - F.col("runmin")))
+    best = F.max(F.struct(F.col("s_t"), (-F.col("t")).alias("nt"),
+                          F.col("d"))).alias("m")
+    return (cur.groupBy(F.col("n_days").cast("int").alias("n_days"),
+                        mu.alias("mu"))
+            .agg(best)
+            .select("n_days", "mu",
+                    F.col("m.s_t").alias("cusum_max"),
+                    F.col("m.d").alias("change_day")))
+
+
+register(
+    "event_volume_cusum",
+    _event_volume_cusum,
+    """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+               FROM events GROUP BY 1),
+st AS (SELECT COUNT(*) AS n_days,
+              CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(x * x) AS BIGINT) AS sxx
+       FROM daily),
+g AS (SELECT CAST(n_days AS INT) AS n_days,
+             CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+             sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+               / 2.0 AS kk
+      FROM st),
+cur AS (SELECT d,
+               ROW_NUMBER() OVER (ORDER BY d) AS t,
+               CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS p,
+               g.n_days, g.mu, g.kk
+        FROM daily, g),
+sc AS (SELECT d, t, n_days, mu,
+              CAST(p AS DOUBLE) - CAST(t AS DOUBLE) * (mu + kk) AS c
+       FROM cur),
+run AS (SELECT d, t, n_days, mu, c,
+               least(CAST(0.0 AS DOUBLE),
+                     MIN(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                 AS runmin
+        FROM sc)
+SELECT n_days, mu,
+       MAX(struct_pack(s_t := c - runmin, nt := -t, d := d)).s_t
+         AS cusum_max,
+       MAX(struct_pack(s_t := c - runmin, nt := -t, d := d)).d
+         AS change_day
+FROM run GROUP BY n_days, mu
+""",
+    doc="One-sided CUSUM change-point over daily event volume in closed "
+        "form: exact integer prefix sums, two bounded windows, "
+        "first-day tie-break.",
+)

@@ -235,3 +235,27 @@ def test_survival_km_matches_python_reference(spark):
     # survival is non-increasing in the horizon
     vals = [getattr(row, f"s_unconverted_d{h}") for h in _KM_HORIZONS]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    import math
+    from precios_nexo_sperant_etl_spark.queries_scale import (
+        _event_volume_cusum)
+    row = _event_volume_cusum(spark, SF_DIR).collect()[0]
+    daily = sorted(
+        (r.d, r.x) for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x")).collect())
+    xs = [x for _, x in daily]
+    n = len(xs)
+    mu = sum(xs) / n
+    kk = math.sqrt(sum(v * v for v in xs) / n - mu * mu) / 2
+    s = smax = 0.0
+    dbest = None
+    for d, x in daily:
+        s = max(0.0, s + x - mu - kk)
+        if s > smax:
+            smax, dbest = s, d
+    assert row.n_days == n
+    assert abs(row.cusum_max - smax) < 1e-9
+    assert row.change_day == dbest
