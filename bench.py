@@ -91,6 +91,7 @@ HEADLINE = [
     "event_transition_matrix",  # per-user lead window + margins
     "survival_time_to_purchase",  # KM product over day-grained factors
     "item_item_copurchase",     # basket self-join recommender
+    "event_volume_cusum",       # closed-form CUSUM, bounded windows
 ]
 
 
