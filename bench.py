@@ -92,6 +92,7 @@ HEADLINE = [
     "survival_time_to_purchase",  # KM product over day-grained factors
     "item_item_copurchase",     # basket self-join recommender
     "event_volume_cusum",       # closed-form CUSUM, bounded windows
+    "ann_mrr_eval",             # index-quality MRR, composed chains
 ]
 
 

@@ -5134,3 +5134,57 @@ FROM run GROUP BY n_days, mu
         "form: exact integer prefix sums, two bounded windows, "
         "first-day tie-break.",
 )
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation metrics: reciprocal rank of the exact top-1 neighbor
+# within the IVF top-k, per query point — the standard index-quality
+# datasheet (MRR), with rr = 0 when the IVF probe misses the true
+# neighbor entirely. ln-free (log2-gain NDCG is a cross-engine libm
+# hazard; reciprocal rank is a single exact division). The oracle
+# COMPOSES the two already-pinned chains (brute-force top-k and the
+# unrolled-Lloyd IVF) as subqueries, so this query also pins their
+# agreement with each other, not just each with its own oracle.
+# ---------------------------------------------------------------------------
+
+def _ann_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    exact = (cosine_topk(_t(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=3)
+             .where(F.col("rank") == 1)
+             .select("query_id", F.col("neighbor_id").alias("exact_top1")))
+    ivf = _ivf_kmeans(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ivf_rank"))
+    return (exact.join(ivf,
+                       (exact.query_id == ivf.query_id)
+                       & (exact.exact_top1 == ivf.neighbor_id), "left")
+            .select(exact.query_id, "exact_top1",
+                    F.col("ivf_rank").cast("int").alias("ivf_rank"),
+                    F.coalesce(F.lit(1.0)
+                               / F.col("ivf_rank").cast("double"),
+                               F.lit(0.0)).alias("rr"))
+            .orderBy("query_id"))
+
+
+def _ann_mrr_oracle() -> str:
+    from .registry import _REGISTRY
+    exact = _REGISTRY["ann_cosine_topk"].oracle
+    ivf = _ivf_kmeans_oracle()
+    return f"""
+SELECT ex.query_id, ex.exact_top1,
+       CAST(iv.rank AS INT) AS ivf_rank,
+       COALESCE(1.0 / CAST(iv.rank AS DOUBLE), 0.0) AS rr
+FROM (SELECT query_id, neighbor_id AS exact_top1
+      FROM ({exact}) WHERE rank = 1) ex
+LEFT JOIN (SELECT query_id, neighbor_id, rank FROM ({ivf})) iv
+  ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.exact_top1
+ORDER BY ex.query_id
+"""
+
+
+register(
+    "ann_mrr_eval",
+    _ann_mrr,
+    _ann_mrr_oracle(),
+    doc="ANN index quality: reciprocal rank of the exact top-1 within "
+        "the IVF top-k per query point (0 on probe miss); the oracle "
+        "composes the two independently-pinned chains.",
+)

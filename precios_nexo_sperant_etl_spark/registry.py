@@ -85,8 +85,8 @@ _CHECK_FIRST: list[str] = [
     "streaming_hll_registers",     # new r5: streaming sketch, bit-exact
     # (pareto_frontier_docs, order_value_drift, cramers_v_lang_source,
     # event_transition_matrix, survival_time_to_purchase,
-    # item_item_copurchase, and event_volume_cusum, added late in r5,
-    # wait for the r6 window:
+    # item_item_copurchase, event_volume_cusum, and ann_mrr_eval,
+    # added late in r5, wait for the r6 window:
     # every remaining slot is a fixed-red / changed / never-stamped
     # essential. Local evidence: type-strict parity green tuned AND
     # vanilla + brute-force dominance pytest. FRONT-LOAD IT IN r6.)
