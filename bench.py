@@ -93,6 +93,7 @@ HEADLINE = [
     "item_item_copurchase",     # basket self-join recommender
     "event_volume_cusum",       # closed-form CUSUM, bounded windows
     "ann_mrr_eval",             # index-quality MRR, composed chains
+    "quantile_normalized_quality",  # per-source rank calibration
 ]
 
 

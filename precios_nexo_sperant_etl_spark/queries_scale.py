@@ -5188,3 +5188,81 @@ register(
         "the IVF top-k per query point (0 on probe miss); the oracle "
         "composes the two independently-pinned chains.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source score calibration (quantile normalization): a quality
+# threshold tuned on one source transfers badly to another when their
+# score DISTRIBUTIONS differ, so mixing pipelines normalize each doc's
+# score to its within-source quantile rank first. q = (rank − 1)/(n − 1)
+# with rank by (quality, doc_id) inside the source — integer window
+# arithmetic + one final division, so the oracle replays it exactly.
+# The datasheet aggregates per source: raw-score mean vs the (by
+# construction ~uniform) calibrated mean, and the share of docs each
+# source would contribute to a global top-25% cut BEFORE calibration —
+# the number that exposes the distribution mismatch. Per-source windows
+# shuffle on source; for skewed sources the two-pass row-id gear
+# (add_row_id) is the documented escape hatch.
+# ---------------------------------------------------------------------------
+
+def _quantile_normalized_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.text import quality_expr
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", quality_expr(F.col("text")).alias("q"))
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    scored = (d.withColumn("rnk", F.row_number().over(w))
+               .withColumn("n_src", F.count(F.lit(1))
+                           .over(Window.partitionBy("source")))
+               .withColumn("q_cal",
+                           (F.col("rnk") - 1).cast("double")
+                           / (F.col("n_src") - 1).cast("double")))
+    cut = d.agg(F.expr("percentile(q, 0.75)").alias("q75"))
+    return (scored.crossJoin(F.broadcast(cut))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr("percentile(q, 0.5)").alias("raw_p50"),
+                 F.sum("rnk").alias("_rnksum"),
+                 F.sum(F.when(F.col("q") > F.col("q75"), 1).otherwise(0))
+                  .cast("bigint").alias("n_above_global_cut"))
+            .select("source", "n_docs", "raw_p50",
+                    # Σ q_cal = Σ(rnk−1)/(n−1) = (Σrnk − n)/(n−1); the
+                    # mean divides by n — integer arithmetic until ONE
+                    # double division (float q_cal sums would be
+                    # shuffle-order-dependent)
+                    ((F.col("_rnksum") - F.col("n_docs")).cast("double")
+                     / ((F.col("n_docs") - 1) * F.col("n_docs"))
+                       .cast("double")).alias("cal_mean"),
+                    "n_above_global_cut")
+            .orderBy("source"))
+
+
+register(
+    "quantile_normalized_quality",
+    _quantile_normalized_quality,
+    f"""
+WITH t AS (SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents),
+s AS (SELECT doc_id, source,
+  (0.4 * least(len(tk) / 50.0, 1.0)
+             + 0.4 * (len(list_distinct(tk)) / len(tk))
+             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk)))
+    AS q
+  FROM t),
+r AS (SELECT source, q,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q, doc_id) AS rnk
+      FROM s),
+cut AS (SELECT quantile_cont(q, 0.75) AS q75 FROM s)
+SELECT source, COUNT(*) AS n_docs,
+       quantile_cont(q, 0.5) AS raw_p50,
+       CAST(CAST(SUM(rnk) AS BIGINT) - COUNT(*) AS DOUBLE)
+         / CAST((COUNT(*) - 1) * COUNT(*) AS DOUBLE) AS cal_mean,
+       CAST(SUM(CASE WHEN q > q75 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_global_cut
+FROM r, cut GROUP BY source ORDER BY source
+""",
+    doc="Cross-source quality-score calibration: within-source quantile "
+        "rank (integer window + one division), per-source raw median vs "
+        "calibrated mean, and each source's share above the global "
+        "top-25% raw cut.",
+)

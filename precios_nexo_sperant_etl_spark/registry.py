@@ -85,8 +85,9 @@ _CHECK_FIRST: list[str] = [
     "streaming_hll_registers",     # new r5: streaming sketch, bit-exact
     # (pareto_frontier_docs, order_value_drift, cramers_v_lang_source,
     # event_transition_matrix, survival_time_to_purchase,
-    # item_item_copurchase, event_volume_cusum, and ann_mrr_eval,
-    # added late in r5, wait for the r6 window:
+    # item_item_copurchase, event_volume_cusum, ann_mrr_eval, and
+    # quantile_normalized_quality, added late in r5, wait for the r6
+    # window (the authoritative list is stamp_ledger.DEFERRED_TO_NEXT):
     # every remaining slot is a fixed-red / changed / never-stamped
     # essential. Local evidence: type-strict parity green tuned AND
     # vanilla + brute-force dominance pytest. FRONT-LOAD IT IN r6.)

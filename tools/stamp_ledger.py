@@ -58,6 +58,7 @@ DEFERRED_TO_NEXT = {
     "pareto_frontier_docs", "order_value_drift", "cramers_v_lang_source",
     "event_transition_matrix", "survival_time_to_purchase",
     "item_item_copurchase", "event_volume_cusum", "ann_mrr_eval",
+    "quantile_normalized_quality",
 }
 
 
