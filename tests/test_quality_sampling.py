@@ -259,3 +259,19 @@ def test_cusum_closed_form_matches_recurrence(spark):
     assert row.n_days == n
     assert abs(row.cusum_max - smax) < 1e-9
     assert row.change_day == dbest
+
+
+def test_quantile_calibration_uniformizes_each_source(spark):
+    from precios_nexo_sperant_etl_spark.queries_scale import (
+        _quantile_normalized_quality)
+    rows = _quantile_normalized_quality(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # mean of (0, 1/(n-1), ..., 1) is exactly 0.5 whatever the
+        # source's raw distribution — the point of calibration
+        assert abs(r.cal_mean - 0.5) < 1e-12
+        assert 0 <= r.n_above_global_cut <= r.n_docs
+    # the global cut is shared: above-cut shares sum to ~25% of docs
+    total = sum(r.n_docs for r in rows)
+    above = sum(r.n_above_global_cut for r in rows)
+    assert above <= total * 0.30
