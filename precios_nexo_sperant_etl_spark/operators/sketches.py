@@ -71,15 +71,22 @@ def cms_estimate(queries: DataFrame, counters: DataFrame, item_col: str,
     the probe never shuffles. CMS guarantee: ``cms_est >= true count``
     always (collisions only add), with overshoot ≤ 2N/w at probability
     1 − 2^−d for total weight N.
+
+    The counter join is LEFT with ``coalesce(counter, 0)``: a counter
+    table only materializes touched (row, bucket) cells, so an item the
+    corpus never hashed into must read those cells as 0 — an inner join
+    would drop the item entirely (all cells empty) or overestimate (min
+    over only the occupied cells).
     """
     buckets = F.array(*[seeded_bucket(F.col(item_col), i, width)
                         for i in range(depth)])
     other = [c for c in queries.columns]
     return (queries
             .select(*other, F.posexplode(buckets).alias("row", "bucket"))
-            .join(F.broadcast(counters), ["row", "bucket"])
+            .join(F.broadcast(counters), ["row", "bucket"], "left")
             .groupBy(*other)
-            .agg(F.min("counter").alias("cms_est")))
+            .agg(F.min(F.coalesce(F.col("counter"), F.lit(0).cast("long")))
+                  .alias("cms_est")))
 
 
 # ---------------------------------------------------------------------------
@@ -175,15 +182,23 @@ def bloom_probe(probe: DataFrame, bits: DataFrame, key_col: str,
     runtime bloom (spark.sql.optimizer.runtime.bloomFilter) does this
     inside AQE; this operator is the explicit, engine-portable form with
     a testable FP accounting.
+
+    Row multiplicity is preserved: the k exploded bits re-assemble under
+    a per-row surrogate id, not the value columns, so duplicate probe
+    rows (no unique key required) each keep their own output row. The id
+    is internal only — it never leaves the operator, so its
+    partitioning-dependent values can't affect the result.
     """
     pos = F.array(*[seeded_bucket(F.col(key_col).cast("string"), i, n_bits)
                     for i in range(n_hashes)])
     cols = probe.columns
     hits = (probe
-            .select(*cols, F.explode(pos).alias("bit"))
+            .withColumn("_probe_row", F.monotonically_increasing_id())
+            .select("_probe_row", *cols, F.explode(pos).alias("bit"))
             .join(F.broadcast(bits.withColumn("_set", F.lit(1))),
                   "bit", "left")
-            .groupBy(*cols)
+            .groupBy("_probe_row", *cols)
             .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0)))
-                  == F.lit(n_hashes)).alias(flag_col)))
+                  == F.lit(n_hashes)).alias(flag_col))
+            .drop("_probe_row"))
     return hits

@@ -4349,16 +4349,21 @@ def _systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, -1))
     offsets = bsums.select(
         "_blk", F.coalesce(F.sum("_bsum").over(owin), F.lit(0)).alias("_off"))
-    total = d.agg(F.sum("n_chars").alias("_total"))
-    step = (F.col("_total") / _SYS_N).cast("long")
-    cum = F.col("_off") + F.col("_cum_in")
-    ticks = (F.floor(cum / step) - F.floor((cum - F.col("n_chars")) / step))
+    total = d.agg(F.sum("n_chars").cast("long").alias("_total"))
+    # True integer division (div) end-to-end, matching the oracle's `//`:
+    # double-division + floor is only integer-exact below ~2^53, which
+    # would make engine parity scale-dependent instead of by-construction.
     return (within
             .join(F.broadcast(offsets), "_blk")
             .crossJoin(F.broadcast(total))
-            .select("doc_id", "source", "n_chars",
-                    cum.alias("cum_chars"),
-                    ticks.cast("int").alias("n_ticks"))
+            .withColumn("cum_chars",
+                        (F.col("_off") + F.col("_cum_in")).cast("long"))
+            .withColumn("_step", F.expr(f"_total div {_SYS_N}"))
+            .withColumn("n_ticks",
+                        F.expr("cum_chars div _step"
+                               " - (cum_chars - n_chars) div _step")
+                         .cast("int"))
+            .select("doc_id", "source", "n_chars", "cum_chars", "n_ticks")
             .where(F.col("n_ticks") >= 1)
             .orderBy("doc_id"))
 

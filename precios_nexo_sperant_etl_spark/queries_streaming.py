@@ -79,7 +79,11 @@ def _streaming_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
     q = streaming_hll_to_lake(stream_documents(spark, sf),
                               os.path.join(out, "regs"),
                               os.path.join(out, "ckpt"))
-    q.awaitTermination(120)
+    # availableNow drain: surface a hang as an error rather than reading
+    # a partially-landed register lake into the bit-exact comparison.
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming HLL drain exceeded 120s")
     return (read_hll_registers(spark, os.path.join(out, "regs"))
             .select("source", F.col("bucket").cast("long").alias("bucket"),
                     F.col("rho").cast("int").alias("rho"))

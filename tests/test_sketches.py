@@ -107,6 +107,30 @@ def test_bloom_no_false_negatives_and_fp_bound(spark):
     assert fp <= 10
 
 
+def test_cms_unseen_item_estimates_zero(spark):
+    corpus = _items(spark, ["a", "a", "b"]).groupBy("item").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    counters = cms_counters(corpus, "item", "cnt", depth=3, width=4096)
+    # wide sketch → an unseen item's buckets are almost surely all empty;
+    # the estimate must be 0, not a dropped row or an inflated min over
+    # whichever cells happen to be occupied
+    probe = _items(spark, ["never-in-corpus"]).select("item")
+    rows = cms_estimate(probe, counters, "item", 3, 4096).collect()
+    assert len(rows) == 1
+    assert rows[0].cms_est == 0
+
+
+def test_bloom_probe_preserves_duplicate_row_multiplicity(spark):
+    build = _items(spark, ["a", "b"])
+    bits = bloom_bits(build, "item", n_hashes=3, n_bits=1024)
+    # probe has NO unique key: 3 copies of "a", 2 of "zzz"
+    probe = _items(spark, ["a", "a", "a", "zzz", "zzz"]).select("item")
+    out = bloom_probe(probe, bits, "item", 3, 1024).collect()
+    assert len(out) == 5
+    assert sum(1 for r in out if r.item == "a" and r.bloom_pass) == 3
+    assert sum(1 for r in out if r.item == "zzz") == 2
+
+
 def test_bloom_bits_bounded_by_geometry(spark):
     build = _items(spark, [str(i) for i in range(5000)])
     bits = bloom_bits(build, "item", n_hashes=3, n_bits=256)

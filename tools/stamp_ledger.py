@@ -53,12 +53,16 @@ OUT_MD = os.path.join(ROOT, "STAMPS.md")
 
 #: Queries deliberately left outside the CURRENT round's 50-slot window
 #: (added after its slots were committed); the next round's rotation
-#: must front-load them. Kept here, next to the check that enforces it.
+#: must front-load them. Maps name -> the CORRECTNESS round in which the
+#: deferral was granted: the excuse is valid only while that round is
+#: still the newest — once a later round lands, a still-unstamped
+#: deferred query is a rotation bug again (exit 1), not an info line.
 DEFERRED_TO_NEXT = {
-    "pareto_frontier_docs", "order_value_drift", "cramers_v_lang_source",
-    "event_transition_matrix", "survival_time_to_purchase",
-    "item_item_copurchase", "event_volume_cusum", "ann_mrr_eval",
-    "quantile_normalized_quality",
+    "pareto_frontier_docs": 5, "order_value_drift": 5,
+    "cramers_v_lang_source": 5, "event_transition_matrix": 5,
+    "survival_time_to_purchase": 5, "item_item_copurchase": 5,
+    "event_volume_cusum": 5, "ann_mrr_eval": 5,
+    "quantile_normalized_quality": 5,
 }
 
 
@@ -170,8 +174,10 @@ def main(update: bool = False) -> int:
     if stale:
         lines.append(f"Stale (changed since stamp): {', '.join(stale)}.")
     out_of_window = [n for n in (never + stale) if n not in window]
-    deferred = sorted(n for n in out_of_window if n in DEFERRED_TO_NEXT)
-    bug = sorted(n for n in out_of_window if n not in DEFERRED_TO_NEXT)
+    newest_rnd = rounds[-1][0] if rounds else 0
+    deferred = sorted(n for n in out_of_window
+                      if DEFERRED_TO_NEXT.get(n, -1) >= newest_rnd)
+    bug = sorted(n for n in out_of_window if n not in deferred)
     status = 0
     if deferred:
         lines.append(
