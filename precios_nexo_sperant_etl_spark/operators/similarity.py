@@ -173,38 +173,62 @@ def assign_kmeans_cells(emb: DataFrame, n_cells: int = 10, n_iter: int = 3,
     For large k·dim move the argmin into a vectorized Pandas UDF matrix
     product — same plan, denser arithmetic.
     """
+    centroids = kmeans_fit(emb, n_cells=n_cells, n_iter=n_iter,
+                           id_col=id_col, vec_col=vec_col)
+    return assign_cells_fold(emb, centroids, vec_col=vec_col,
+                             cell_col=cell_col)
+
+
+def assign_cells_fold(emb: DataFrame, centroids: list[list[float]],
+                      vec_col: str = "embedding",
+                      cell_col: str = "cell") -> DataFrame:
+    """Nearest-centroid assignment via the interpreted sequential fold
+    against centroid literals — the bit-exact, oracle-expressible twin
+    of :func:`assign_cells_arrow` (same argmin tie-break: smallest cell
+    index)."""
+    structs = []
+    for ci, c in enumerate(centroids):
+        carr = _arr_lit(c)
+        d2 = (ddot(F.col(vec_col), F.col(vec_col))
+              - 2.0 * ddot(F.col(vec_col), carr)
+              + ddot(carr, carr))
+        structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+    return emb.withColumn(cell_col, F.array_min(F.array(*structs))["c"])
+
+
+def kmeans_fit(emb: DataFrame, n_cells: int = 10, n_iter: int = 3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[float]]:
+    """The Lloyd-iteration FIT alone: returns the trained centroid list
+    (k×dim floats) without building an assignment plan. Split out so
+    consumers that share a quantizer (IVF top-k, MRR eval, SemDeDup)
+    can fit once and reuse the centroids — the fit is the only part of
+    the chain with driver-side rounds (one k×dim collect per
+    iteration), so reusing it turns every consumer after the first into
+    a purely lazy plan."""
     first = (emb.orderBy(id_col).limit(n_cells)
                 .select(vec_col).collect())
     centroids = [list(r[0]) for r in first]
 
-    def _assign(cents):
-        structs = []
-        for ci, c in enumerate(cents):
-            carr = _arr_lit(c)
-            d2 = (ddot(F.col(vec_col), F.col(vec_col))
-                  - 2.0 * ddot(F.col(vec_col), carr)
-                  + ddot(carr, carr))
-            structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
-        return F.array_min(F.array(*structs))["c"]
-
     for _ in range(n_iter):
-        assigned = emb.withColumn(cell_col, _assign(centroids))
+        assigned = assign_cells_fold(emb, centroids, vec_col=vec_col,
+                                     cell_col="__fit_cell")
         # Means via the id-ordered exact fold: the collected centroid
         # doubles are partition-independent, so every Lloyd iteration —
         # and therefore the final assignment — is reproducible bit-for-
         # bit in any engine (the oracle unrolls these same iterations).
         means = (label_centroids(assigned, vec_col=vec_col, id_col=id_col,
-                                 group_col=cell_col)
+                                 group_col="__fit_cell")
                  .collect())
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cell.setdefault(r[cell_col], {})[r["dim"]] = r["centroid"]
+            by_cell.setdefault(r["__fit_cell"], {})[r["dim"]] = r["centroid"]
         centroids = [
             [by_cell[ci][d] for d in sorted(by_cell[ci])]
             if ci in by_cell else centroids[ci]          # empty cell: keep
             for ci in range(n_cells)
         ]
-    return emb.withColumn(cell_col, _assign(centroids))
+    return centroids
 
 
 def assign_cells_arrow(emb: DataFrame, centroids: list[list[float]],

@@ -42,133 +42,74 @@ _REGISTRY: dict[str, Query] = {}
 #: long-stable green queries rotate to the back (their old stamps stand).
 #: Update this list every round from the latest CORRECTNESS_r*.json.
 _CHECK_FIRST: list[str] = [
-    # --- r5 front: failed r04 on oracle-type mismatch, fixed by casts ---
-    "bpe_merges",
-    "bpe_token_budget",
+    # ================= ROUND-6 WINDOW =================
+    # --- r5 hash-reds, fixed: published decimals narrowed to
+    # int64-backed DECIMAL(18,s) (the int128-publication mechanism
+    # behind every r02-r05 hash failure; see the canary pair) ---
     "customer_rfm",
-    # --- fresh r04 stamp whose fingerprint was absorbed late (ledger
-    # hygiene): stamp once more clean ---
-    "pack_sequences_by_lang",
-    # --- changed in r5 (predicate/filter/plan or oracle cast) ---
-    "repeat_high_spenders",        # exact cross-multiplied benchmark
-    "doc_chunks",                  # empty-doc chunk filter
-    "semdedup_survivors",          # arrow_assign default
-    "semdedup_diverse",            # arrow_assign default
-    "multimodal_frame_schedule",   # oracle duration_ms INT cast
-    "window_analytics_suite",      # oracle row_number/rank INT casts
-    # --- new in r5 ---
-    "f22_money_format",
-    "exact_substring_coverage",
-    "fuzzy_part_match",
-    "source_temperature_mix",
-    "ccnet_lm_buckets",
-    "filter_funnel",
     "incremental_rollup_merge",
-    "pagerank_neardup",            # new r5: fixed-point integer PageRank
-    "events_gapfill_locf",         # new r5: hypertable gap-fill + LOCF
-    "corpus_diversity_index",      # new r5: Gini–Simpson mix datasheet
-    "k_anonymity_screen",          # new r5: quasi-identifier audit
-    "inverted_index_stats",        # new r5: term → postings datasheet
-    "cms_term_counts",             # new r5: Count-Min sketch + exact top-k
-    "hll_distinct_terms",          # new r5: HLL registers + estimate
-    "bloom_join_prefilter",        # new r5: bloom semi-join accounting
-    "expectations_report",         # new r5: Deequ-style constraint suite
-    "systematic_weighted_sample",  # new r5: integer-exact weighted sample
-    "price_trend_by_priority",     # new r5: OLS from exact sufficient stats
-    "hll_set_algebra",             # new r5: register union/intersection
-    "bpe_roundtrip_audit",         # new r5: tokenizer integrity gate
-    "histogram_quantile_sketch",   # new r5: mergeable quantile sketch
-    "event_cooccurrence_rules",    # new r5: A-Priori k=2 basket rules
-    "discount_price_corr",         # new r5: exact-stats Pearson r
-    "winsorized_mean_by_status",   # new r5: robust clipped mean
-    "streaming_curation_hashes",   # new r5: first streaming hash oracle
-    "streaming_hll_registers",     # new r5: streaming sketch, bit-exact
-    # (pareto_frontier_docs, order_value_drift, cramers_v_lang_source,
-    # event_transition_matrix, survival_time_to_purchase,
-    # item_item_copurchase, event_volume_cusum, ann_mrr_eval, and
-    # quantile_normalized_quality, added late in r5, wait for the r6
-    # window (the authoritative list is stamp_ledger.DEFERRED_TO_NEXT):
-    # every remaining slot is a fixed-red / changed / never-stamped
-    # essential. Local evidence: type-strict parity green tuned AND
-    # vanilla + brute-force dominance pytest. FRONT-LOAD IT IN r6.)
-    # --- consumers of the r5 jaccard_pairs plan fix (shared-subtree
-    # size aggregation): values unchanged (local type-strict parity
-    # green across the whole family, tuned AND vanilla), plans changed.
-    # TWO representatives re-stamp — the band generator
-    # (minhash_dedup_pairs, the direct owner of the changed code) and
-    # the full composition (prep_pipeline); the other family members
-    # (_prod/_capped, ngram_jaccard_pairs + _capped, neardup_clusters,
-    # cluster_aware_split, neardup_survivors, dedup_threshold_curve)
-    # share that subtree verbatim, keep their r01–r04 value stamps, and
-    # rotate to r6 — their slots fund the never-stamped r5 queries
-    # above ---
-    "minhash_dedup_pairs",
-    "benford_digit_audit",
-    # (cross_corpus_neardup rotates to r6: r04 stamp stands; its
-    # two-sided jaccard mode is covered by the local type-strict gate
-    # and the stream_neardup_ingest pytest; slot funds the streaming
-    # HLL oracle.)
-    # (neardup_clusters also rotates to r6: its r03 stamp stands, the
-    # CC algorithm is unchanged, and the r5 jaccard subtree feeding it
-    # is re-stamped by minhash_dedup_pairs and composed end-to-end by
-    # prep_pipeline below; slot funds the streaming hash oracle.)
-    "prep_pipeline",
-    "neardup_triangles",
-    # (neardup_cluster_sizes' re-stamp is covered by its upstream
-    # cluster queries above; its slot goes to the new EWMA query)
-    "ewma_user_activity",
-    # --- oldest evidence: the r01 cohort (fingerprints unknown that
-    # early) — refresh so no stamp predates r02. Three of the cohort
-    # (f6_intlike_canon, p11_tower_prefix, string_ops_bundle) rotate to
-    # r6: their slots go to the three never-stamped sketch queries
-    # above — never-checked evidence outranks refreshing valid stamps,
-    # and their code paths are pinned transitively (F6 canon feeds the
-    # r03-stamped core_update_audit keys; P11/string ops re-stamp
-    # through f4/f5's shared numparse window this round).
-    # (dedup_exact and ann_cosine_topk also rotate to r6 for the two
-    # never-stamped r5 quality/sampling queries: both are pinned
-    # transitively every round — dedup_exact's md5-prefix plan runs
-    # inside the r5-window prep_pipeline, ann_cosine_topk's ddot/top-k
-    # inside the r03-stamped ann_ivf_topk.)
-    # (f4_to_number / f5_safe_num rotate to r6 after all: the whole
-    # r01-refresh cohort moves to r6 wholesale — their value stamps are
-    # VALID, numparse is the most pytest-pinned surface in the repo
-    # (test_numparse.py property suite + the golden reference-pipeline
-    # e2e), and this round produced 11 genuinely never-stamped queries
-    # that outrank any refresh. r6's window should lead with the r01
-    # cohort.)
-    # (o2_natural_sort: the sort-key family is pinned by o2_es_collation's
-    # r04 stamp; p12_null_sentinels: the sentinel map is the same
-    # numparse.py:96 path f5_safe_num re-stamps above; f16_isclose:
-    # unchanged since r01 and its tolerance compare feeds the r03-stamped
-    # core_update_audit. All three rotate to r6 — their slots go to the
-    # three new governance queries at the front.)
-    # (dedup_exact_survivors: its surface is dedup_exact's md5 prefix +
-    # the ROW_NUMBER keep that prep_pipeline — in-window — composes;
-    # slot goes to the new PageRank. text_quality_score: the score
-    # expression is exercised in-window by gopher_quality_flags and
-    # neardup_keep_best_quality; slot goes to the new gap-fill. Both
-    # r01 refreshes rotate forward to r6.)
-    # (minhash_signatures' surface is the exact prefix of
-    # minhash_dedup_pairs, which re-stamps above — slot goes to the
-    # new BPE compression curve)
-    "bpe_compression_curve",
-    # (simhash_signatures: r01 stamp stands and the signature fold is
-    # pinned by the banding-lossless pytest pair — slot goes to the new
-    # quality-keep survivor policy)
-    "neardup_keep_best_quality",
-    # --- new or changed in r5 (displace the r02 TPC-H anchor-block
-    # refreshes entirely — those stamps are current, just old; they
-    # rotate forward next round; stale-or-new evidence outranks
-    # refreshing valid stamps) ---
-    "dup_ngram_rate",
-    "gopher_quality_flags",
-    "stratified_sample_audit",
-    "embedding_quantization_audit",
-    "shard_assignment",            # rank moved to two-pass row id (r5)
-    "token_fertility_by_lang",
-    "release_manifest",
+    "winsorized_mean_by_status",
+    # --- mechanism canaries: identical values at two publication
+    # widths; wide is EXPECTED red, narrow green — the pair localizes
+    # the driver's int128 serialization divergence experimentally ---
+    "canary_decimal_narrow",
+    "canary_decimal_wide",
+    # --- stale (implementation changed since stamp) ---
+    "discount_band_revenue",   # revenue narrowed to DECIMAL(18,4)
+    "ann_ivf_topk",            # fit/assign split + shared-fit memo
+    # --- changed in r6 (ADVICE fixes) ---
+    "cms_term_counts",             # cms_estimate left-join + coalesce 0
+    "bloom_join_prefilter",        # bloom_probe per-row multiplicity id
+    "systematic_weighted_sample",  # true integer div end-to-end
+    "streaming_hll_registers",     # awaitTermination timeout surfaced
+    # --- the 9 late-r5 deferrals (never stamped; deferral granted r5,
+    # expires this round — stamp_ledger.DEFERRED_TO_NEXT) ---
+    "pareto_frontier_docs",
+    "order_value_drift",
+    "cramers_v_lang_source",
+    "event_transition_matrix",
+    "survival_time_to_purchase",
+    "item_item_copurchase",
+    "event_volume_cusum",
+    "ann_mrr_eval",            # construct 9.8s → 2.6s via shared fit
+    "quantile_normalized_quality",
+    # --- r01-cohort refresh (oldest stamps in the ledger; after this
+    # round no stamp predates r02) ---
+    "f4_to_number",
+    "f5_safe_num",
+    "f6_intlike_canon",
+    "p11_tower_prefix",
+    "o2_natural_sort",
+    "f16_isclose",
+    "string_ops_bundle",
+    "p12_null_sentinels",
+    "dedup_exact",
+    "dedup_exact_survivors",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "ann_cosine_topk",
+    "text_quality_score",
+    # --- r02-cohort refresh (next-oldest; the serving/KPI anchor
+    # block) — displaced by any new r6 queries, which outrank
+    # refreshing valid stamps ---
+    "a2_a4_kpi_cards",
+    "a5_value_counts",
+    "a6_kpi_by_group",
+    "a6_states_by_group",
+    "a8_pivot_counts",
+    "a9_pct_within_group",
+    "p8_p9_filter_search",
+    "p10_scatter_points",
+    "o2_o4_sort_page",
+    "o3_distinct_sorted",
+    "u1_union_by_name",
+    "sql_text_interface",
+    "monthly_revenue_mom",
+    "price_histogram",
+    "tpch_q4_order_priority",
 ]
+
 
 
 def register(name: str, fn: QueryFn, oracle: str | None, doc: str = "") -> None:
