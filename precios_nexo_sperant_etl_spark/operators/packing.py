@@ -69,3 +69,57 @@ def pack_sequences(df: DataFrame, budget: int, group_col: str = "lang",
                      F.coalesce(F.col(token_col).cast("long"), F.lit(0))
                       .alias(token_col))
     return slim.groupBy(group_col).applyInPandas(_pack, schema)
+
+
+def waterfill(sup: DataFrame, key_col: str = "source",
+              supply_col: str = "supply_tokens",
+              budget_num: int = 6, budget_den: int = 10) -> DataFrame:
+    """Deterministic token-budget waterfill across groups.
+
+    ``budget = total_supply * budget_num div budget_den`` (integer).
+    Each group is funded up to a common water level capped at its own
+    supply; the level is the closed form over the supply-ascending sort
+    (group k is fully funded iff ``prefix(k-1) + supply_k*(n-k+1) <=
+    budget`` — fullness is a prefix of the sort), and the remainder
+    after integer division goes one token each to the smallest unfunded
+    groups, so ``Σ allocated == min(budget, total)`` EXACTLY. Integer
+    arithmetic end-to-end → identical in any engine/partitioning.
+
+    Adds ``fully_funded`` and ``allocated_tokens``. All windows run
+    over the per-group aggregate (|groups| rows — small by definition),
+    so the unpartitioned window is a non-issue at corpus scale.
+    """
+    from pyspark.sql import Window
+    w_ord = Window.orderBy(F.asc(supply_col), F.asc(key_col))
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = (Window.orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    g = (sup
+         .withColumn("_k", F.row_number().over(w_ord))
+         .withColumn("_n", F.count(F.lit(1)).over(w_all))
+         .withColumn("_total", F.sum(supply_col).over(w_all))
+         .withColumn("_prefix", F.coalesce(
+             F.sum(supply_col).over(w_prev), F.lit(0).cast("long")))
+         .withColumn("_budget",
+                     F.expr(f"_total * {budget_num} div {budget_den}"))
+         .withColumn("fully_funded",
+                     (F.col("_prefix")
+                      + F.col(supply_col) * (F.col("_n") - F.col("_k") + 1))
+                     <= F.col("_budget")))
+    g = (g.withColumn("_prefix_full", F.sum(
+              F.when(F.col("fully_funded"), F.col(supply_col))
+               .otherwise(F.lit(0).cast("long"))).over(w_all))
+          .withColumn("_n_full", F.sum(
+              F.col("fully_funded").cast("long")).over(w_all))
+          .withColumn("_n_tail", F.col("_n") - F.col("_n_full")))
+    alloc = F.expr(
+        f"CASE WHEN fully_funded THEN {supply_col} "
+        f"WHEN _n_tail = 0 THEN {supply_col} "
+        "ELSE (_budget - _prefix_full) div _n_tail "
+        "     + (CASE WHEN (_k - _n_full) <= "
+        "              (_budget - _prefix_full) % _n_tail "
+        "        THEN 1 ELSE 0 END) END").cast("long")
+    return (g.withColumn("allocated_tokens", alloc)
+             .select(key_col, supply_col, "fully_funded",
+                     "allocated_tokens"))

@@ -3506,6 +3506,93 @@ FROM d GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Token-budget waterfill: allocate a global training-token budget across
+# sources without oversampling any — each source is funded up to a
+# common water level L, capped at its own supply, with L chosen so the
+# total allocation is EXACTLY the budget (remainder tokens go one each
+# to the smallest unfunded sources). The closed form needs no
+# iteration: sort sources by supply ascending; source k is fully funded
+# iff prefix(k-1) + supply_k · (n-k+1) <= B (fullness is a prefix of
+# the sort order), the tail level is (B - Σ full supply) div n_tail.
+# Integer arithmetic end-to-end → engine-exact. All windows run over
+# the per-SOURCE aggregate (|sources| rows — small by definition), so
+# the single-partition window is a non-issue at any corpus scale; the
+# one data-sized pass is the combinable per-source token sum.
+# ---------------------------------------------------------------------------
+
+def _token_budget_waterfill(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.packing import waterfill
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents")
+    sup = (d.select("source",
+                    F.size(tokens(F.col("text"))).cast("long").alias("nt"))
+            .groupBy("source").agg(F.sum("nt").alias("supply_tokens")))
+    return (waterfill(sup, key_col="source", supply_col="supply_tokens",
+                      budget_num=6, budget_den=10)
+            .select("source", "supply_tokens", "fully_funded",
+                    "allocated_tokens",
+                    (F.col("allocated_tokens").cast("double")
+                     / F.col("supply_tokens").cast("double"))
+                     .alias("fill_ratio"))
+            .orderBy("source"))
+
+
+register(
+    "token_budget_waterfill",
+    _token_budget_waterfill,
+    r"""
+WITH sup AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS supply_tokens
+  FROM documents GROUP BY source),
+g AS (
+  SELECT source, supply_tokens,
+         ROW_NUMBER() OVER (ORDER BY supply_tokens, source) AS k,
+         COUNT(*) OVER () AS n,
+         CAST(SUM(supply_tokens) OVER () AS BIGINT) AS total,
+         CAST(COALESCE(SUM(supply_tokens) OVER (
+              ORDER BY supply_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prefix
+  FROM sup),
+f AS (
+  SELECT *, total * 6 // 10 AS budget,
+         (prefix + supply_tokens * (n - k + 1)) <= (total * 6 // 10)
+           AS fully_funded
+  FROM g),
+a AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN fully_funded THEN supply_tokens ELSE 0 END)
+              OVER () AS BIGINT) AS prefix_full,
+         CAST(SUM(CASE WHEN fully_funded THEN 1 ELSE 0 END) OVER ()
+           AS BIGINT) AS n_full,
+         n - SUM(CASE WHEN fully_funded THEN 1 ELSE 0 END) OVER () AS n_tail
+  FROM f),
+r AS (
+  SELECT source, supply_tokens, fully_funded,
+         CAST(CASE WHEN fully_funded THEN supply_tokens
+                   WHEN n_tail = 0 THEN supply_tokens
+                   ELSE (budget - prefix_full) // n_tail
+                        + (CASE WHEN (k - n_full)
+                                     <= (budget - prefix_full) % n_tail
+                           THEN 1 ELSE 0 END)
+              END AS BIGINT) AS allocated_tokens
+  FROM a)
+SELECT source, supply_tokens, fully_funded, allocated_tokens,
+       CAST(allocated_tokens AS DOUBLE) / CAST(supply_tokens AS DOUBLE)
+         AS fill_ratio
+FROM r ORDER BY source
+""",
+    doc="Deterministic token-budget waterfill across sources (budget = "
+        "60% of total supply): fund each source up to a common water "
+        "level capped at its supply, remainder one-token grants to the "
+        "smallest unfunded sources — Σ allocated == budget exactly, "
+        "closed form, integer arithmetic end-to-end.",
+)
+
+
+# ---------------------------------------------------------------------------
 # Training-data RELEASE manifest: the round-5 operators composed into
 # one release chain — Gopher gate → exact dedup → stratified mix
 # thinning → deterministic split — summarized per (split, lang). Every

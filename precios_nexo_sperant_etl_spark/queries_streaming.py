@@ -114,3 +114,61 @@ FROM hr GROUP BY source, bucket ORDER BY source, bucket
         "partitioned landing, merge-at-read) pinned bit-for-bit against "
         "the batch register SQL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS counter maintenance, the third bit-exact streaming
+# oracle: counters are LINEAR (each batch lands its own d×w counter
+# table; live counters = per-cell SUM over batches), so the streamed-
+# and-merged table must equal the single-pass batch counters exactly —
+# integer arithmetic end-to-end, no winner-dependence anywhere. Together
+# with the HLL (merge = max) and curation (merge = set union) queries,
+# all three streaming merge algebras are driver-pinned.
+# ---------------------------------------------------------------------------
+
+_SCMS_D, _SCMS_W = 4, 256
+
+
+def _streaming_cms_counters(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_curation import stream_documents
+    from .streaming.stream_sketches import (read_cms_counters,
+                                            streaming_cms_to_lake)
+    out = tempfile.mkdtemp(prefix="stream_cms_q_")
+    q = streaming_cms_to_lake(stream_documents(spark, sf),
+                              os.path.join(out, "counters"),
+                              os.path.join(out, "ckpt"),
+                              depth=_SCMS_D, width=_SCMS_W)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming CMS drain exceeded 120s")
+    return (read_cms_counters(spark, os.path.join(out, "counters"))
+            .select(F.col("row").cast("int").alias("row"),
+                    F.col("bucket").cast("long").alias("bucket"),
+                    F.col("counter").cast("long").alias("counter"))
+            .orderBy("row", "bucket"))
+
+
+_SCMS_H = "('0x' || substr(md5({s}), 1, 12))::BIGINT"
+_SCMS_ROWS = " UNION ALL ".join(
+    f"SELECT {i} AS row, ({_SCMS_H.format(s=chr(39) + str(i) + ':' + chr(39) + ' || term')})"
+    f" % {_SCMS_W} AS bucket, cnt FROM tc"
+    for i in range(_SCMS_D))
+
+register(
+    "streaming_cms_counters",
+    _streaming_cms_counters,
+    f"""
+WITH tc AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY term)
+SELECT CAST(row AS INT) AS row, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(cnt) AS BIGINT) AS counter
+FROM ({_SCMS_ROWS})
+GROUP BY row, bucket ORDER BY row, bucket
+""",
+    doc="Structured-Streaming Count-Min counter maintenance (per-batch "
+        "landing, merge-at-read sum over the linear counter algebra) "
+        "pinned bit-for-bit against the single-pass batch counter SQL.",
+)

@@ -73,6 +73,9 @@ _CHECK_FIRST: list[str] = [
     "event_volume_cusum",
     "ann_mrr_eval",            # construct 9.8s → 2.6s via shared fit
     "quantile_normalized_quality",
+    # --- NEW in r6 (never stamped — outrank refreshes) ---
+    "streaming_cms_counters",  # third bit-exact streaming merge algebra
+    "token_budget_waterfill",  # closed-form integer mixture allocation
     # --- r01-cohort refresh (oldest stamps in the ledger; after this
     # round no stamp predates r02) ---
     "f4_to_number",
@@ -106,8 +109,9 @@ _CHECK_FIRST: list[str] = [
     "u1_union_by_name",
     "sql_text_interface",
     "monthly_revenue_mom",
-    "price_histogram",
-    "tpch_q4_order_priority",
+    # (price_histogram and tpch_q4_order_priority rotate to r7: their
+    # r02 stamps stand; the two slots fund the new never-stamped r6
+    # queries above.)
 ]
 
 

@@ -275,3 +275,36 @@ def test_quantile_calibration_uniformizes_each_source(spark):
     total = sum(r.n_docs for r in rows)
     above = sum(r.n_above_global_cut for r in rows)
     assert above <= total * 0.30
+
+
+def test_waterfill_exhausts_budget_exactly(spark):
+    from precios_nexo_sperant_etl_spark.operators.packing import waterfill
+    sup = spark.createDataFrame(
+        [Row(source=s, supply_tokens=v) for s, v in
+         [("a", 5), ("b", 1000), ("c", 40), ("d", 40), ("e", 7)]])
+    out = waterfill(sup, budget_num=6, budget_den=10).collect()
+    total = 5 + 1000 + 40 + 40 + 7
+    budget = total * 6 // 10
+    alloc = {r.source: r.allocated_tokens for r in out}
+    assert sum(alloc.values()) == budget          # exact, incl. remainder
+    by_src = {r.source: r for r in out}
+    for r in out:                                 # never oversample
+        assert r.allocated_tokens <= r.supply_tokens
+        if r.fully_funded:
+            assert r.allocated_tokens == r.supply_tokens
+    # unfunded groups sit within one token of a common water level
+    tail = [r.allocated_tokens for r in out if not r.fully_funded]
+    assert tail and max(tail) - min(tail) <= 1
+    # the big source absorbs the slack; small ones are fully funded
+    assert by_src["a"].fully_funded and by_src["e"].fully_funded
+    assert not by_src["b"].fully_funded
+
+
+def test_waterfill_budget_above_total_funds_everything(spark):
+    from precios_nexo_sperant_etl_spark.operators.packing import waterfill
+    sup = spark.createDataFrame(
+        [Row(source=s, supply_tokens=v) for s, v in
+         [("a", 3), ("b", 9), ("c", 27)]])
+    out = waterfill(sup, budget_num=11, budget_den=10).collect()
+    assert all(r.allocated_tokens == r.supply_tokens for r in out)
+    assert all(r.fully_funded for r in out)
