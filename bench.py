@@ -94,6 +94,9 @@ HEADLINE = [
     "event_volume_cusum",       # closed-form CUSUM, bounded windows
     "ann_mrr_eval",             # index-quality MRR, composed chains
     "quantile_normalized_quality",  # per-source rank calibration
+    # appended r6:
+    "streaming_cms_counters",   # streaming CMS landing + merge-at-read
+    "token_budget_waterfill",   # closed-form mixture budget allocation
 ]
 
 

@@ -197,22 +197,43 @@ def assign_cells_fold(emb: DataFrame, centroids: list[list[float]],
 
 
 def kmeans_fit(emb: DataFrame, n_cells: int = 10, n_iter: int = 3,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> list[list[float]]:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               arrow_iters: bool = False) -> list[list[float]]:
     """The Lloyd-iteration FIT alone: returns the trained centroid list
     (k×dim floats) without building an assignment plan. Split out so
     consumers that share a quantizer (IVF top-k, MRR eval, SemDeDup)
     can fit once and reuse the centroids — the fit is the only part of
     the chain with driver-side rounds (one k×dim collect per
     iteration), so reusing it turns every consumer after the first into
-    a purely lazy plan."""
+    a purely lazy plan.
+
+    ``arrow_iters=True`` runs each iteration's ASSIGNMENT through the
+    Arrow matmul instead of the interpreted fold. The fold's k×dim
+    expression tree costs seconds of Catalyst analysis per iteration,
+    which dominates the fit at coarse-quantizer scale; the matmul plan
+    is constant-size. The centroid RECOMPUTE stays the id-ordered
+    exact fold either way, so the trajectories agree whenever the
+    assignments do (no ulp-level distance ties — pinned by the
+    fold-vs-arrow equivalence pytest, the same bet the driver-green
+    semdedup queries take)."""
     first = (emb.orderBy(id_col).limit(n_cells)
                 .select(vec_col).collect())
     centroids = [list(r[0]) for r in first]
 
+    # The fit jobs are overhead-dominated at coarse-quantizer scale
+    # (k×dim centroids from a sample-sized table): cap the fit-side
+    # parallelism so each Lloyd round is a handful of tasks, not a full
+    # shuffle fan-out. Values are unchanged — the centroid recompute is
+    # the id-ordered exact fold, partition-independent by construction.
+    # (At 100 TB the fit runs on a sample anyway; the full-corpus pass
+    # is the single downstream assign, which keeps native parallelism.)
+    fit_emb = emb.coalesce(4)
+    assign = assign_cells_arrow if arrow_iters else assign_cells_fold
+    assign_kw = ({"id_col": id_col} if arrow_iters else {})
+
     for _ in range(n_iter):
-        assigned = assign_cells_fold(emb, centroids, vec_col=vec_col,
-                                     cell_col="__fit_cell")
+        assigned = assign(fit_emb, centroids, vec_col=vec_col,
+                          cell_col="__fit_cell", **assign_kw)
         # Means via the id-ordered exact fold: the collected centroid
         # doubles are partition-independent, so every Lloyd iteration —
         # and therefore the final assignment — is reproducible bit-for-

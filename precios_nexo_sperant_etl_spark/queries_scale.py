@@ -198,6 +198,7 @@ ORDER BY doc_a, doc_b
         "near-dup S-curve; identical plan to the toy config, wider agg row.",
 )
 
+
 # Degenerate-bucket guard exercised as a registered query: buckets above
 # the cap are dropped before pair expansion (boilerplate-dominated
 # corpora otherwise explode quadratically inside one bucket). Cap chosen
@@ -936,7 +937,8 @@ def _ivf_centroids(spark: SparkSession, sf: str, n_cells: int = 10,
     key = (sf, n_cells, n_iter)
     if key not in _KMEANS_FIT_CACHE:
         _KMEANS_FIT_CACHE[key] = kmeans_fit(
-            _t(spark, sf, "embeddings"), n_cells=n_cells, n_iter=n_iter)
+            _t(spark, sf, "embeddings"), n_cells=n_cells, n_iter=n_iter,
+            arrow_iters=True)
     return _KMEANS_FIT_CACHE[key]
 
 
