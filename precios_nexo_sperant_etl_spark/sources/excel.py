@@ -52,8 +52,16 @@ def _cfb_stream(data: bytes, name_candidates: tuple[str, ...]) -> bytes:
     import struct
     if data[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         raise ValueError("not an OLE2 compound file (bad magic)")
-    ssz = 1 << struct.unpack_from("<H", data, 30)[0]
-    mssz = 1 << struct.unpack_from("<H", data, 32)[0]
+    if len(data) < 512:
+        raise ValueError("truncated OLE2 header")
+    sshift = struct.unpack_from("<H", data, 30)[0]
+    mshift = struct.unpack_from("<H", data, 32)[0]
+    # Spec values are 9/12 and 6; anything far outside is corruption —
+    # reject rather than let a 2^65535-byte "sector" wedge the process.
+    if not (6 <= sshift <= 20 and 2 <= mshift <= 16):
+        raise ValueError("implausible sector shift (corrupt header)")
+    ssz = 1 << sshift
+    mssz = 1 << mshift
     n_fat = struct.unpack_from("<I", data, 44)[0]
     dir_start = struct.unpack_from("<I", data, 48)[0]
     mini_cutoff = struct.unpack_from("<I", data, 56)[0]
@@ -65,10 +73,17 @@ def _cfb_stream(data: bytes, name_candidates: tuple[str, ...]) -> bytes:
         return data[off:off + ssz]
 
     # FAT sector list: 109 header DIFAT entries + chained DIFAT sectors.
+    # Every chain walk below carries a seen-set: a corrupted link that
+    # points back into itself must terminate with the prefix read so
+    # far, not loop forever accumulating sectors (the fan-in's per-file
+    # `except Exception` can absorb a raise but not a hang).
     difat = list(struct.unpack_from("<109I", data, 76))
-    nxt = difat_start
-    while nxt not in (_ENDOFCHAIN, _FREESECT):
+    nxt, difat_seen = difat_start, set()
+    while nxt not in (_ENDOFCHAIN, _FREESECT) and nxt not in difat_seen:
+        difat_seen.add(nxt)
         s = sector(nxt)
+        if len(s) < ssz:  # chain ran off the end of the file
+            break
         entries = struct.unpack(f"<{ssz // 4}I", s)
         difat.extend(entries[:-1])
         nxt = entries[-1]
@@ -76,7 +91,8 @@ def _cfb_stream(data: bytes, name_candidates: tuple[str, ...]) -> bytes:
     for si in difat[:n_fat]:
         if si in (_ENDOFCHAIN, _FREESECT):
             continue
-        fat.extend(struct.unpack(f"<{ssz // 4}I", sector(si)))
+        s = sector(si)
+        fat.extend(struct.unpack_from(f"<{len(s) // 4}I", s))
 
     def chain(start: int) -> bytes:
         out, cur, seen = [], start, set()
@@ -111,12 +127,17 @@ def _cfb_stream(data: bytes, name_candidates: tuple[str, ...]) -> bytes:
         return chain(start)[:size]
     # Mini-stream: sectors of `mssz` bytes inside the root entry's
     # regular chain, linked by the miniFAT.
+    if root_start is None:
+        raise ValueError("mini-stream entry without a root directory entry")
     mini_container = chain(root_start)[:root_size]
     minifat = b""
-    nxt = minifat_start
-    while nxt not in (_ENDOFCHAIN, _FREESECT) and nxt < len(fat):
+    nxt, mf_seen = minifat_start, set()
+    while (nxt not in (_ENDOFCHAIN, _FREESECT) and nxt < len(fat)
+           and nxt not in mf_seen):
+        mf_seen.add(nxt)
         minifat += sector(nxt)
         nxt = fat[nxt]
+    minifat = minifat[:len(minifat) - len(minifat) % 4]
     mfat = struct.unpack(f"<{len(minifat) // 4}I", minifat)
     out, cur, seen = [], start, set()
     while cur not in (_ENDOFCHAIN, _FREESECT) and cur < len(mfat):
