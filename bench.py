@@ -97,6 +97,8 @@ HEADLINE = [
     # appended r6:
     "streaming_cms_counters",   # streaming CMS landing + merge-at-read
     "token_budget_waterfill",   # closed-form mixture budget allocation
+    "pmi_collocations",         # rational-PMI phrase mining, top-50
+    "embedding_health_by_label",  # pre-ANN embedding QA table
 ]
 
 

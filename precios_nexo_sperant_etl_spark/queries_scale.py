@@ -5450,3 +5450,192 @@ FROM r, cut GROUP BY source ORDER BY source
         "calibrated mean, and each source's share above the global "
         "top-25% raw cut.",
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining: the phrase-discovery table (AutoPhrase /
+# collocation-extraction style) — adjacent-bigram pointwise mutual
+# information as an exact RATIONAL ratio, log-free so it is cross-engine
+# bit-exact: pmi_ratio = P(w1,w2) / (P(w1)·P(w2))
+#                      = (cb · tu · tu) / (cu1 · cu2 · tb)
+# computed as ONE explicitly-parenthesized double expression (identical
+# association order on both engines). Support floor cb ≥ 5 kills the
+# hapax noise that dominates raw PMI.
+#
+# Scale shape: consecutive pairs come from ARRAY SLICING on the token
+# array (adjacency is within-row structure — no posexplode+lead window,
+# which would shuffle the whole exploded corpus by doc just to look one
+# row ahead); unigram/bigram counts are combinable aggs (shuffle =
+# vocab, not corpus); the totals are array-length sums that never
+# explode at all and ride in as two 1-row broadcast frames (PLANS.md
+# reading guide); the final top-50 is a TakeOrdered over the vocab-
+# sized scored frame, never the corpus.
+# ---------------------------------------------------------------------------
+
+def _pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents").select(tokens(F.col("text")).alias("ts"))
+    n_pairs = F.greatest(F.size("ts") - 1, F.lit(0))
+    big = (d.select(F.slice("ts", 1, n_pairs).alias("a"),
+                    F.slice("ts", 2, n_pairs).alias("b"))
+            .select(F.explode(F.arrays_zip("a", "b")).alias("p"))
+            .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2")))
+    uni = (d.select(F.explode("ts").alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cu")))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    tu = d.agg(F.sum(F.size("ts")).alias("tu"))
+    tb = d.agg(F.sum(n_pairs.cast("long")).alias("tb"))
+    scored = (bi.filter(F.col("cb") >= 5)
+                .join(uni.select(F.col("tok").alias("w1"),
+                                 F.col("cu").alias("cu1")), "w1")
+                .join(uni.select(F.col("tok").alias("w2"),
+                                 F.col("cu").alias("cu2")), "w2")
+                .crossJoin(F.broadcast(tu))
+                .crossJoin(F.broadcast(tb)))
+    pmi = ((F.col("cb").cast("double") * F.col("tu") * F.col("tu"))
+           / (F.col("cu1").cast("double") * F.col("cu2") * F.col("tb")))
+    return (scored.select("w1", "w2",
+                          F.col("cb").alias("pair_count"),
+                          F.col("cu1").alias("w1_count"),
+                          F.col("cu2").alias("w2_count"),
+                          pmi.alias("pmi_ratio"))
+                  .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+                  .limit(50))
+
+
+register(
+    "pmi_collocations",
+    _pmi_collocations,
+    f"""
+WITH toks AS (
+  SELECT doc_id, CAST(unnest(range(len(ts))) AS INT) AS pos,
+         unnest(ts) AS tok
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents)),
+big AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks),
+bi AS (SELECT w1, w2, COUNT(*) AS cb FROM big
+       WHERE w2 IS NOT NULL GROUP BY 1, 2),
+uni AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY 1),
+tots AS (SELECT (SELECT COUNT(*) FROM toks) AS tu,
+                (SELECT COUNT(*) FROM big WHERE w2 IS NOT NULL) AS tb)
+SELECT b.w1, b.w2, b.cb AS pair_count,
+       u1.cu AS w1_count, u2.cu AS w2_count,
+       (CAST(b.cb AS DOUBLE) * t.tu * t.tu)
+         / (CAST(u1.cu AS DOUBLE) * u2.cu * t.tb) AS pmi_ratio
+FROM bi b
+JOIN uni u1 ON u1.tok = b.w1
+JOIN uni u2 ON u2.tok = b.w2, tots t
+WHERE b.cb >= 5
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT 50
+""",
+    doc="Adjacent-bigram PMI collocations (support >= 5): log-free "
+        "rational ratio, one pinned-association double expression on "
+        "both engines; top-50 phrase candidates.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-health diagnostics per label: the pre-indexing QA table that
+# catches collapsed / mis-scaled / broken embedding batches BEFORE they
+# poison an ANN index or SemDeDup run — per group: member count, norm
+# stats (fold-mean / min / max), the centroid's own norm (a collapsed
+# group has near-zero members-mean but a healthy centroid norm shows
+# anisotropy), and cohesion = fold-mean cosine of members to their
+# centroid (intra-cluster tightness; near 1.0 = degenerate duplicates,
+# near 0 = label is semantic soup).
+#
+# Engine-exact: centroids come from label_centroids' id-ordered fold
+# (its oversized-group guard protects this whole composition — the
+# per-label cosine/norm lists here are exactly as long as its per-
+# (label, dim) lists); member norms/cosines are ddot folds; the
+# per-label means fold the member values in vec_id order. Scale shape:
+# centroid table is |labels|×dim tiny → broadcast back; everything else
+# is one linear scan + label-keyed combinable aggs.
+# ---------------------------------------------------------------------------
+
+def _embedding_health(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.exact import ddot
+    from .operators.similarity import label_centroids
+    emb = _t(spark, sf, "embeddings")
+    cent = (label_centroids(emb)
+            .groupBy("label")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(dim, centroid))), p -> p.centroid)")
+                  .alias("cvec")))
+    cent = cent.select(
+        "label", "cvec",
+        F.sqrt(ddot(F.col("cvec"), F.col("cvec"))).alias("centroid_norm"))
+    nrm = F.sqrt(ddot(F.col("embedding"), F.col("embedding")))
+    scored = (emb.join(F.broadcast(cent), "label")
+                 .select("label", "vec_id", nrm.alias("nrm"),
+                         (ddot(F.col("embedding"), F.col("cvec"))
+                          / (nrm * F.col("centroid_norm"))).alias("cs")))
+    per = (scored.groupBy("label")
+           .agg(F.count(F.lit(1)).alias("n_vectors"),
+                F.expr("transform(array_sort(collect_list("
+                       "struct(vec_id, nrm))), p -> p.nrm)").alias("_ns"),
+                F.expr("transform(array_sort(collect_list("
+                       "struct(vec_id, cs))), p -> p.cs)").alias("_cs"),
+                F.min("nrm").alias("min_norm"),
+                F.max("nrm").alias("max_norm")))
+
+    def fold_mean(c: str):
+        return (F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x)
+                / F.col("n_vectors"))
+
+    return (per.join(cent.select("label", "centroid_norm"), "label")
+               .select("label", "n_vectors",
+                       fold_mean("_ns").alias("mean_norm"),
+                       "min_norm", "max_norm", "centroid_norm",
+                       fold_mean("_cs").alias("cohesion"))
+               .orderBy("label"))
+
+
+register(
+    "embedding_health_by_label",
+    _embedding_health,
+    f"""
+WITH cents AS (
+  SELECT label, list(m ORDER BY dim) AS cvec FROM (
+    SELECT label, dim,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                       (a, b) -> a + b) / len(vs) AS m
+    FROM (SELECT label, dim, list(v ORDER BY vec_id) AS vs
+          FROM (SELECT label, vec_id,
+                       CAST(unnest(embedding) AS DOUBLE) AS v,
+                       CAST(unnest(range(len(embedding))) AS INT) AS dim
+                FROM embeddings)
+          GROUP BY label, dim))
+  GROUP BY label),
+scored AS (
+  SELECT e.label, e.vec_id,
+         sqrt({_duck_dot('e.embedding', 'e.embedding')}) AS nrm,
+         {_duck_dot('e.embedding', 'c.cvec')}
+           / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+              * sqrt({_duck_dot('c.cvec', 'c.cvec')})) AS cs
+  FROM embeddings e JOIN cents c USING (label)),
+folds AS (
+  SELECT label, COUNT(*) AS n_vectors,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(nrm ORDER BY vec_id)),
+                     (a, b) -> a + b) AS sn,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(cs ORDER BY vec_id)),
+                     (a, b) -> a + b) AS sc,
+         MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+  FROM scored GROUP BY label)
+SELECT f.label, f.n_vectors,
+       f.sn / f.n_vectors AS mean_norm,
+       f.min_norm, f.max_norm,
+       sqrt({_duck_dot('c.cvec', 'c.cvec')}) AS centroid_norm,
+       f.sc / f.n_vectors AS cohesion
+FROM folds f JOIN cents c USING (label)
+ORDER BY f.label
+""",
+    doc="Per-label embedding QA: member count, norm fold-mean/min/max, "
+        "centroid norm, and fold-mean cosine cohesion to the label "
+        "centroid — the pre-ANN/SemDeDup health table.",
+)

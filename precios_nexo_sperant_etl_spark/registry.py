@@ -76,6 +76,8 @@ _CHECK_FIRST: list[str] = [
     # --- NEW in r6 (never stamped — outrank refreshes) ---
     "streaming_cms_counters",  # third bit-exact streaming merge algebra
     "token_budget_waterfill",  # closed-form integer mixture allocation
+    "pmi_collocations",        # log-free rational PMI phrase mining
+    "embedding_health_by_label",  # pre-ANN embedding QA diagnostics
     # --- r01-cohort refresh (oldest stamps in the ledger; after this
     # round no stamp predates r02) ---
     "f4_to_number",
@@ -107,11 +109,9 @@ _CHECK_FIRST: list[str] = [
     "o2_o4_sort_page",
     "o3_distinct_sorted",
     "u1_union_by_name",
-    "sql_text_interface",
-    "monthly_revenue_mom",
-    # (price_histogram and tpch_q4_order_priority rotate to r7: their
-    # r02 stamps stand; the two slots fund the new never-stamped r6
-    # queries above.)
+    # (price_histogram, tpch_q4_order_priority, sql_text_interface and
+    # monthly_revenue_mom rotate to r7: their r02 stamps stand; the
+    # four slots fund the new never-stamped r6 queries above.)
 ]
 
 
