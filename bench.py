@@ -99,6 +99,7 @@ HEADLINE = [
     "token_budget_waterfill",   # closed-form mixture budget allocation
     "pmi_collocations",         # rational-PMI phrase mining, top-50
     "embedding_health_by_label",  # pre-ANN embedding QA table
+    "epoch_repetition_schedule",  # epoch waterfill over repetition caps
 ]
 
 

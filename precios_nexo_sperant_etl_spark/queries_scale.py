@@ -5639,3 +5639,98 @@ ORDER BY f.label
         "centroid norm, and fold-mean cosine cohesion to the label "
         "centroid — the pre-ANN/SemDeDup health table.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch scheduler: when the token BUDGET exceeds the
+# unique-token supply, the curator repeats sources — but repetition has
+# sharply diminishing returns past a few epochs ("Scaling Data-
+# Constrained Language Models", Muennighoff et al. 2023), so each
+# source is capped at MAX_EPOCHS x its unique supply and the budget
+# waterfills across the CAPS: small sources hit their repetition cap
+# (at_cap), large ones land at a common water level below it. Pure
+# composition over the waterfill closed form — cap column as the
+# "supply", budget re-expressed against the cap total ((3T) div 2 ==
+# floor(1.5T) for every integer T, so the 1/2-of-caps budget IS the
+# 1.5x-of-supply budget with MAX_EPOCHS=3) — hence integer-exact and
+# engine-identical for the allocation; epochs is the one double
+# division at the end. Same scale shape as token_budget_waterfill: one
+# combinable per-source sum, then |sources|-row windows.
+# ---------------------------------------------------------------------------
+
+def _epoch_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.packing import waterfill
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents")
+    sup = (d.select("source",
+                    F.size(tokens(F.col("text"))).cast("long").alias("nt"))
+            .groupBy("source").agg(F.sum("nt").alias("supply_tokens"))
+            .withColumn("cap_tokens", F.col("supply_tokens") * 3))
+    # budget = Σcap * 1 div 2 = (3·Σsupply) div 2 = floor(1.5 · Σsupply)
+    alloc = waterfill(sup.select("source", "cap_tokens"),
+                      key_col="source", supply_col="cap_tokens",
+                      budget_num=1, budget_den=2)
+    return (alloc.join(sup.select("source", "supply_tokens"), "source")
+                 .select("source", "supply_tokens", "cap_tokens",
+                         F.col("fully_funded").alias("at_cap"),
+                         "allocated_tokens",
+                         (F.col("allocated_tokens").cast("double")
+                          / F.col("supply_tokens").cast("double"))
+                          .alias("epochs"))
+                 .orderBy("source"))
+
+
+register(
+    "epoch_repetition_schedule",
+    _epoch_schedule,
+    r"""
+WITH sup AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS supply_tokens
+  FROM documents GROUP BY source),
+capd AS (SELECT source, supply_tokens,
+                supply_tokens * 3 AS cap_tokens FROM sup),
+g AS (
+  SELECT source, supply_tokens, cap_tokens,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS k,
+         COUNT(*) OVER () AS n,
+         CAST(SUM(cap_tokens) OVER () AS BIGINT) AS total,
+         CAST(COALESCE(SUM(cap_tokens) OVER (
+              ORDER BY cap_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prefix
+  FROM capd),
+f AS (
+  SELECT *, total * 1 // 2 AS budget,
+         (prefix + cap_tokens * (n - k + 1)) <= (total * 1 // 2)
+           AS at_cap
+  FROM g),
+a AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN at_cap THEN cap_tokens ELSE 0 END)
+              OVER () AS BIGINT) AS prefix_full,
+         CAST(SUM(CASE WHEN at_cap THEN 1 ELSE 0 END) OVER ()
+           AS BIGINT) AS n_full,
+         n - SUM(CASE WHEN at_cap THEN 1 ELSE 0 END) OVER () AS n_tail
+  FROM f),
+r AS (
+  SELECT source, supply_tokens, cap_tokens, at_cap,
+         CAST(CASE WHEN at_cap THEN cap_tokens
+                   WHEN n_tail = 0 THEN cap_tokens
+                   ELSE (budget - prefix_full) // n_tail
+                        + (CASE WHEN (k - n_full)
+                                     <= (budget - prefix_full) % n_tail
+                           THEN 1 ELSE 0 END)
+              END AS BIGINT) AS allocated_tokens
+  FROM a)
+SELECT source, supply_tokens, cap_tokens, at_cap, allocated_tokens,
+       CAST(allocated_tokens AS DOUBLE) / CAST(supply_tokens AS DOUBLE)
+         AS epochs
+FROM r ORDER BY source
+""",
+    doc="Epoch-repetition schedule under a 1.5x-of-supply token budget "
+        "with a 3-epoch repetition cap per source (data-constrained "
+        "scaling): waterfill over caps, integer-exact allocation, "
+        "epochs as the one final double division.",
+)

@@ -78,6 +78,7 @@ _CHECK_FIRST: list[str] = [
     "token_budget_waterfill",  # closed-form integer mixture allocation
     "pmi_collocations",        # log-free rational PMI phrase mining
     "embedding_health_by_label",  # pre-ANN embedding QA diagnostics
+    "epoch_repetition_schedule",  # data-constrained epoch waterfill
     # --- r01-cohort refresh (oldest stamps in the ledger; after this
     # round no stamp predates r02) ---
     "f4_to_number",
@@ -108,10 +109,10 @@ _CHECK_FIRST: list[str] = [
     "p10_scatter_points",
     "o2_o4_sort_page",
     "o3_distinct_sorted",
-    "u1_union_by_name",
-    # (price_histogram, tpch_q4_order_priority, sql_text_interface and
-    # monthly_revenue_mom rotate to r7: their r02 stamps stand; the
-    # four slots fund the new never-stamped r6 queries above.)
+    # (price_histogram, tpch_q4_order_priority, sql_text_interface,
+    # monthly_revenue_mom and u1_union_by_name rotate to r7: their r02
+    # stamps stand; the five slots fund the new never-stamped r6
+    # queries above.)
 ]
 
 

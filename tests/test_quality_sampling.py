@@ -308,3 +308,24 @@ def test_waterfill_budget_above_total_funds_everything(spark):
     out = waterfill(sup, budget_num=11, budget_den=10).collect()
     assert all(r.allocated_tokens == r.supply_tokens for r in out)
     assert all(r.fully_funded for r in out)
+
+
+def test_epoch_schedule_invariants(spark):
+    """The epoch scheduler (waterfill over 3x caps at a 1.5x budget)
+    exhausts the budget exactly, never exceeds any source's repetition
+    cap, and pins epochs to allocated/supply."""
+    from precios_nexo_sperant_etl_spark.queries_scale import _epoch_schedule
+    out = _epoch_schedule(spark, "/root/testdata/sf0.001").collect()
+    assert out, "no sources"
+    total = sum(r.supply_tokens for r in out)
+    assert sum(r.allocated_tokens for r in out) == 3 * total // 2
+    for r in out:
+        assert r.cap_tokens == 3 * r.supply_tokens
+        assert r.allocated_tokens <= r.cap_tokens
+        assert 0 < r.epochs <= 3.0
+        assert r.epochs == r.allocated_tokens / r.supply_tokens
+        if r.at_cap:
+            assert r.allocated_tokens == r.cap_tokens
+    # a 1.5x budget with 3x caps must leave at least one source BELOW
+    # its cap (else the budget would be >= 3x total)
+    assert any(not r.at_cap for r in out)
