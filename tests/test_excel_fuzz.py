@@ -177,3 +177,77 @@ def test_fanin_skips_corrupt_keeps_good(spark, valid_xls, tmp_path):
     assert all(p == "bad" for p, _ in skips)
     assert df.filter((df["Torre"] == "A-101")
                      & (df["Proyecto"] == "good")).count() == 1
+
+
+# --- xlsx (zip + XML) twin of the BIFF fuzz above: the container is
+# stdlib zipfile/ElementTree, so corruption surfaces as BadZipFile /
+# ParseError / KeyError — all absorbed by the fan-in's per-file skip.
+# The invariant under fuzzing is the same: return-or-raise, never hang.
+
+@pytest.fixture(scope="module")
+def valid_xlsx(tmp_path_factory):
+    from precios_nexo_sperant_etl_spark.sources.excel import write_xlsx
+    path = str(tmp_path_factory.mktemp("fuzzx") / "valid.xlsx")
+    write_xlsx(path, {"Hoja1": ROWS})
+    with open(path, "rb") as f:
+        return path, f.read()
+
+
+def test_xlsx_valid_baseline(valid_xlsx):
+    from precios_nexo_sperant_etl_spark.sources.excel import read_xlsx_rows
+    path, _ = valid_xlsx
+    got = read_xlsx_rows(path)
+    assert got[0][:3] == ROWS[0] and got[1][1] == 350000.5
+
+
+def test_xlsx_truncation_sweep(valid_xlsx, tmp_path):
+    from precios_nexo_sperant_etl_spark.sources.excel import read_xlsx_rows
+    _, data = valid_xlsx
+    p = str(tmp_path / "trunc.xlsx")
+    for cut in range(0, len(data), 131):
+        with open(p, "wb") as f:
+            f.write(data[:cut])
+        def _handler(signum, frame):
+            raise _Alarm("xlsx reader hung")
+        old = signal.signal(signal.SIGALRM, _handler)
+        signal.alarm(20)
+        try:
+            out = read_xlsx_rows(p)
+            assert isinstance(out, list)
+        except _Alarm:
+            raise
+        except Exception:  # noqa: BLE001 — raising IS the contract
+            pass
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+
+def test_xlsx_byteflip_fuzz(valid_xlsx, tmp_path):
+    from precios_nexo_sperant_etl_spark.sources.excel import read_xlsx_rows
+    _, data = valid_xlsx
+    p = str(tmp_path / "flip.xlsx")
+    outcomes = {"ok": 0, "err": 0}
+    for seed in range(200):
+        rng = random.Random(10_000 + seed)
+        buf = bytearray(data)
+        for _ in range(rng.randint(1, 6)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        with open(p, "wb") as f:
+            f.write(bytes(buf))
+        def _handler(signum, frame):
+            raise _Alarm("xlsx reader hung")
+        old = signal.signal(signal.SIGALRM, _handler)
+        signal.alarm(20)
+        try:
+            out = read_xlsx_rows(p)
+            assert isinstance(out, list)
+            outcomes["ok"] += 1
+        except _Alarm:
+            raise
+        except Exception:  # noqa: BLE001
+            outcomes["err"] += 1
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+    assert outcomes["ok"] > 0 and outcomes["err"] > 0, outcomes

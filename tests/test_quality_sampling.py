@@ -329,3 +329,36 @@ def test_epoch_schedule_invariants(spark):
     # a 1.5x budget with 3x caps must leave at least one source BELOW
     # its cap (else the budget would be >= 3x total)
     assert any(not r.at_cap for r in out)
+
+
+def test_waterfill_property_random_supplies(spark):
+    """Hypothesis-style sweep without per-example Spark jobs (one plan
+    per case is too slow): 24 seeded random supply vectors, full
+    invariant set — exact exhaustion min(budget, total), per-group
+    supply cap, funded prefix of the (supply, key) sort, tail within
+    one token of a common level."""
+    import random
+    from precios_nexo_sperant_etl_spark.operators.packing import waterfill
+    for seed in range(24):
+        rng = random.Random(seed)
+        n = rng.randint(1, 12)
+        rows = [Row(source=f"s{i:02d}", supply_tokens=rng.randint(0, 2000))
+                for i in range(n)]
+        num, den = rng.choice([(1, 10), (6, 10), (9, 10), (10, 10), (13, 10)])
+        out = (waterfill(spark.createDataFrame(rows),
+                         budget_num=num, budget_den=den)
+               .collect())
+        total = sum(r.supply_tokens for r in rows)
+        budget = total * num // den
+        alloc = sum(r.allocated_tokens for r in out)
+        assert alloc == min(budget, total), (seed, alloc, budget, total)
+        for r in out:
+            assert 0 <= r.allocated_tokens <= r.supply_tokens, (seed, r)
+            if r.fully_funded:
+                assert r.allocated_tokens == r.supply_tokens
+        ordered = sorted(out, key=lambda r: (r.supply_tokens, r.source))
+        flags = [r.fully_funded for r in ordered]
+        assert flags == sorted(flags, reverse=True), (seed, flags)
+        tail = [r.allocated_tokens for r in ordered if not r.fully_funded]
+        if tail:
+            assert max(tail) - min(tail) <= 1, (seed, tail)
