@@ -1001,3 +1001,18 @@ def test_pagerank_partitioning_independent_and_mass(spark):
     scale, n, rounds = 10 ** 12, len({u for e in edges for u in e}), 5
     total = sum(r[2] for r in a)
     assert scale >= total > scale - 3 * n * rounds - n
+
+
+def test_kmeans_fit_arrow_iters_matches_fold(spark):
+    """kmeans_fit(arrow_iters=True) — the construct-time gear the IVF
+    centroid memo uses — must return bit-identical centroids to the
+    interpreted-fold fit: same init, per-iteration assignments agree
+    (pinned above), and the centroid recompute is the same id-ordered
+    exact fold in both gears."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        kmeans_fit)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = kmeans_fit(emb, n_cells=10, n_iter=3)
+    arrow = kmeans_fit(emb, n_cells=10, n_iter=3, arrow_iters=True)
+    assert fold == arrow
