@@ -370,3 +370,79 @@ def test_stream_neardup_ingest_gates_increments(spark, tmp_path):
     stream_neardup_ingest(spark, src, out, threshold=0.5)
     assert {r["doc_id"] for r in
             spark.read.parquet(out + "/docs").collect()} == {1, 2, 5}
+
+
+# --- real BMP / WAV decode (round 6): the decode seam is genuine for
+# the two uncompressed container formats stdlib+numpy can handle; only
+# compressed codecs remain behind real_decode_placeholder.
+
+def _make_bmp(w, h, rgb_fn):
+    """Hand-packed 24-bpp bottom-up BMP; rgb_fn(x, y) -> (r, g, b)."""
+    import struct
+    stride = (w * 3 + 3) // 4 * 4
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up row order
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb_fn(x, y)
+            row += bytes((b, g, r))         # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + pix)
+
+
+def _make_wav(rate, frames):
+    """Hand-packed mono 16-bit PCM RIFF/WAVE; frames = list of ints."""
+    import struct
+    data = b"".join(struct.pack("<h", v) for v in frames)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_bmp_real_pixels():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import decode_bmp
+    # 5x3 gradient: r = 10x, g = 20y, b = 7
+    bmp = _make_bmp(5, 3, lambda x, y: (10 * x, 20 * y, 7))
+    d = decode_bmp(bmp)
+    assert (d["width"], d["height"], d["bits_per_pixel"]) == (5, 3, 24)
+    n = 15
+    assert d["mean_b_milli"] == 7000
+    assert d["mean_g_milli"] == sum(20 * y for y in range(3)) * 5 * 1000 // n
+    assert d["mean_r_milli"] == sum(10 * x for x in range(5)) * 3 * 1000 // n
+
+
+def test_decode_wav_real_pcm():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import decode_wav
+    frames = [0, 1000, -1000, 2000, -2000, 30000, -30000, 5]
+    wav = _make_wav(8000, frames)
+    d = decode_wav(wav)
+    assert (d["channels"], d["sample_rate"], d["n_frames"]) == (1, 8000, 8)
+    assert d["duration_ms"] == 8 * 1000 // 8000
+    assert d["ms_amplitude"] == sum(v * v for v in frames) // len(frames)
+
+
+def test_extract_media_features_routes_by_magic(spark):
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        extract_media_features)
+    bmp = _make_bmp(4, 2, lambda x, y: (x, y, x + y))
+    wav = _make_wav(16000, [100, -100, 200, -200])
+    rows = [(0, bytearray(bmp)), (1, bytearray(wav)),
+            (2, bytearray(b"plain text payload")),
+            (3, bytearray(b"BM\x01corrupt"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict()
+           for r in extract_media_features(df).collect()}
+    assert got[0]["mime_detected"] == "image/bmp"
+    assert (got[0]["width"], got[0]["height"]) == (4, 2)
+    assert got[1]["mime_detected"] == "audio/wav"
+    assert got[1]["sample_rate"] == 16000
+    assert got[1]["ms_amplitude"] == (100**2 + 100**2 + 200**2 + 200**2) // 4
+    assert got[2]["mime_detected"] == "application/octet-stream"
+    assert got[2]["width"] is None and got[2]["sample_rate"] is None
+    assert got[3]["mime_detected"] == "corrupt/bmp"
+    assert all(got[i]["byte_len"] == len(rows[i][1]) for i in got)
