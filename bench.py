@@ -100,6 +100,7 @@ HEADLINE = [
     "pmi_collocations",         # rational-PMI phrase mining, top-50
     "embedding_health_by_label",  # pre-ANN embedding QA table
     "epoch_repetition_schedule",  # epoch waterfill over repetition caps
+    "wav_decode_roundtrip",     # real WAV decode via the Arrow seam
 ]
 
 

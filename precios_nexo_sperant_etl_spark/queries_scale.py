@@ -5734,3 +5734,88 @@ FROM r ORDER BY source
         "scaling): waterfill over caps, integer-exact allocation, "
         "epochs as the one final double division.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Real-decode roundtrip oracle: the multimodal seam's first VALUE-
+# hashable driver query. Each document's UTF-8 bytes are wrapped into a
+# genuine RIFF/WAVE container JVM-side (header fields assembled as
+# little-endian bytes with hex/unhex — binary stays binary, no
+# stringification), decoded by the REAL WAV parser through the Arrow
+# mapInPandas seam (operators/multimodal.decode_wav: chunk walk +
+# exact-integer PCM energy), and the decoded features are hash-compared
+# against a DuckDB oracle that computes the same 16-bit little-endian
+# samples directly from the text bytes. Every output is integer
+# arithmetic — Σx², integer division — so the decode path is as
+# oracle-stable as any relational column.
+#
+# Scale shape: narrow map end-to-end (construct header + concat bytes,
+# one Arrow crossing per batch for the decode), zero shuffles before
+# the final doc_id sort; payload bytes dominate partition sizing, which
+# is exactly the multimodal partitioning note in operators/multimodal.
+# ---------------------------------------------------------------------------
+
+def _wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features
+
+    def le32(c):
+        def pair(x):
+            return F.lpad(F.hex(x % 256), 2, "0")
+        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
+                                pair((c / 65536).cast("long")),
+                                pair((c / 16777216).cast("long"))))
+
+    d = _t(spark, sf, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    data = F.when(F.octet_length(raw) % 2 == 1,
+                  F.concat(raw, F.lit(b"\x00"))).otherwise(raw)
+    dlen = F.octet_length(data).cast("long")
+    # fmt chunk: PCM, mono, 8 kHz, 16 bps — static, one literal.
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    payload = F.concat(F.lit(b"RIFF"), le32(dlen + 36), F.lit(b"WAVE"),
+                       F.lit(fmt), F.lit(b"data"), le32(dlen), data)
+    binary_df = d.select("doc_id", payload.alias("payload"))
+    return (extract_media_features(binary_df)
+            .select("doc_id", "mime_detected", "byte_len", "channels",
+                    "sample_rate", "duration_ms", "ms_amplitude")
+            .orderBy("doc_id"))
+
+
+register(
+    "wav_decode_roundtrip",
+    _wav_roundtrip,
+    r"""
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
+p AS (SELECT doc_id,
+             CASE WHEN length(hx0) % 4 = 0 THEN hx0
+                  ELSE hx0 || '00' END AS hx
+      FROM b),
+s AS (SELECT doc_id, CAST(length(hx) // 4 AS BIGINT) AS n,
+             list_transform(range(0, length(hx) // 4), i ->
+               ('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2))::BIGINT
+               + 256 * ('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2))::BIGINT)
+               AS raw
+      FROM p),
+v AS (SELECT doc_id, n,
+             list_transform(raw, x -> CASE WHEN x >= 32768
+                                           THEN x - 65536 ELSE x END) AS vals
+      FROM s)
+SELECT doc_id,
+       'audio/wav' AS mime_detected,
+       CAST(2 * n + 44 AS BIGINT) AS byte_len,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST(list_sum(list_transform(vals, x -> x * x)) // n
+                      AS BIGINT) END AS ms_amplitude
+FROM v ORDER BY doc_id
+""",
+    doc="Real WAV decode roundtrip: text bytes wrapped in a genuine "
+        "RIFF/WAVE container JVM-side, decoded by the real PCM parser "
+        "through mapInPandas, hash-verified against sample-level SQL "
+        "over the same bytes — the multimodal seam's value oracle.",
+)
