@@ -323,3 +323,21 @@ def test_write_partitioned_format_matrix(spark, tmp_path):
         back = spark.read.format(fmt).load(out)
         got = {(r["Proyecto"], r["v"], r["x"]) for r in back.collect()}
         assert got == {("A", 1, 2.5), ("B", 2, None)}, fmt
+
+
+def test_r6_additions_plan_shapes(spark):
+    """Round-6 queries keep the intended shapes: no sort-merge join
+    anywhere (every join side is vocab-/label-/source-sized or an
+    explicit tiny broadcast), and pmi's totals ride in as broadcast
+    1-row frames instead of per-row subqueries."""
+    for name in ("pmi_collocations", "embedding_health_by_label",
+                 "epoch_repetition_schedule", "token_budget_waterfill"):
+        plan = queries()[name](spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+    # wav roundtrip: pure narrow map + one Arrow crossing — no joins,
+    # no aggregates before the final sort.
+    plan = queries()["wav_decode_roundtrip"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
