@@ -101,6 +101,7 @@ HEADLINE = [
     "embedding_health_by_label",  # pre-ANN embedding QA table
     "epoch_repetition_schedule",  # epoch waterfill over repetition caps
     "wav_decode_roundtrip",     # real WAV decode via the Arrow seam
+    "bmp_decode_roundtrip",     # real BMP decode via the Arrow seam
 ]
 
 

@@ -186,6 +186,8 @@ MEDIA_SCHEMA = StructType([
     StructField("width", LongType()),
     StructField("height", LongType()),
     StructField("mean_r_milli", LongType()),
+    StructField("mean_g_milli", LongType()),
+    StructField("mean_b_milli", LongType()),
     StructField("channels", LongType()),
     StructField("sample_rate", LongType()),
     StructField("duration_ms", LongType()),
@@ -203,6 +205,7 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
     for p in payloads:
         row = {"byte_len": len(p), "mime_detected": "application/octet-stream",
                "width": None, "height": None, "mean_r_milli": None,
+               "mean_g_milli": None, "mean_b_milli": None,
                "channels": None, "sample_rate": None, "duration_ms": None,
                "ms_amplitude": None}
         try:
@@ -210,7 +213,9 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                 d = decode_bmp(p)
                 row.update(mime_detected="image/bmp", width=d["width"],
                            height=d["height"],
-                           mean_r_milli=d.get("mean_r_milli"))
+                           mean_r_milli=d.get("mean_r_milli"),
+                           mean_g_milli=d.get("mean_g_milli"),
+                           mean_b_milli=d.get("mean_b_milli"))
             elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                 d = decode_wav(p)
                 row.update(mime_detected="audio/wav",

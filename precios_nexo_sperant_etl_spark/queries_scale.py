@@ -5819,3 +5819,91 @@ FROM v ORDER BY doc_id
         "through mapInPandas, hash-verified against sample-level SQL "
         "over the same bytes — the multimodal seam's value oracle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# BMP roundtrip oracle — the image half of the real-decode seam, same
+# design as wav_decode_roundtrip: text bytes (zero-padded to 12-byte
+# rows) become the pixel array of a genuine width-4 24-bpp BMP (stride
+# = 4px x 3B = 12 — divisible by 4, so the array is the raw bytes with
+# NO interleaved row padding), the real header parser + numpy channel
+# means decode it through the Arrow seam, and DuckDB recomputes the
+# exact integer per-channel means from the same bytes (byte i belongs
+# to channel i mod 3 because the stride is a multiple of 3). Narrow map
+# end-to-end, integer arithmetic only.
+# ---------------------------------------------------------------------------
+
+def _bmp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features
+
+    def le32(c):
+        def pair(x):
+            return F.lpad(F.hex(x % 256), 2, "0")
+        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
+                                pair((c / 65536).cast("long")),
+                                pair((c / 16777216).cast("long"))))
+
+    d = _t(spark, sf, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    pad = (12 - F.octet_length(raw) % 12) % 12
+    data = F.concat(raw, F.substring(F.lit(b"\x00" * 11), 1, pad))
+    dlen = F.octet_length(data).cast("long")
+    h = (dlen / 12).cast("long")
+    header = F.concat(
+        F.lit(b"BM"), le32(dlen + 54), F.lit(b"\x00\x00\x00\x00"),
+        le32(F.lit(54)),                       # pixel-array offset
+        le32(F.lit(40)), le32(F.lit(4)), le32(h),  # info hdr, w=4, h
+        F.lit((1).to_bytes(2, "little") + (24).to_bytes(2, "little")),
+        le32(F.lit(0)), le32(dlen),            # BI_RGB, image size
+        F.lit(b"\x00" * 16))                   # resolution/palette zeros
+    binary_df = d.select("doc_id", F.concat(header, data).alias("payload"))
+    return (extract_media_features(binary_df)
+            .select("doc_id", "mime_detected", "byte_len", "width",
+                    "height", "mean_b_milli", "mean_g_milli",
+                    "mean_r_milli")
+            .orderBy("doc_id"))
+
+
+register(
+    "bmp_decode_roundtrip",
+    _bmp_roundtrip,
+    r"""
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
+p AS (SELECT doc_id,
+             hx0 || repeat('00', CAST((12 - (length(hx0) // 2) % 12) % 12
+                                      AS BIGINT)) AS hx
+      FROM b),
+s AS (SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS nb,
+             list_transform(range(0, length(hx) // 2), i ->
+               ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)
+               AS bytes
+      FROM p),
+m AS (SELECT doc_id, nb, nb // 3 AS npx,
+             list_sum(list_transform(range(0, nb // 3),
+                                     i -> bytes[CAST(3 * i + 1 AS INT)]))
+               AS sb,
+             list_sum(list_transform(range(0, nb // 3),
+                                     i -> bytes[CAST(3 * i + 2 AS INT)]))
+               AS sg,
+             list_sum(list_transform(range(0, nb // 3),
+                                     i -> bytes[CAST(3 * i + 3 AS INT)]))
+               AS sr
+      FROM s)
+SELECT doc_id,
+       'image/bmp' AS mime_detected,
+       CAST(nb + 54 AS BIGINT) AS byte_len,
+       CAST(4 AS BIGINT) AS width,
+       CAST(nb // 12 AS BIGINT) AS height,
+       CASE WHEN npx = 0 THEN NULL
+            ELSE CAST(sb * 1000 // npx AS BIGINT) END AS mean_b_milli,
+       CASE WHEN npx = 0 THEN NULL
+            ELSE CAST(sg * 1000 // npx AS BIGINT) END AS mean_g_milli,
+       CASE WHEN npx = 0 THEN NULL
+            ELSE CAST(sr * 1000 // npx AS BIGINT) END AS mean_r_milli
+FROM m ORDER BY doc_id
+""",
+    doc="Real BMP decode roundtrip: text bytes as the pixel array of a "
+        "genuine width-4 24-bpp BMP, decoded by the real header parser "
+        "+ integer channel means through mapInPandas, hash-verified "
+        "against byte-level SQL over the same bytes.",
+)

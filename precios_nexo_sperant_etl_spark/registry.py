@@ -80,6 +80,7 @@ _CHECK_FIRST: list[str] = [
     "embedding_health_by_label",  # pre-ANN embedding QA diagnostics
     "epoch_repetition_schedule",  # data-constrained epoch waterfill
     "wav_decode_roundtrip",    # real WAV decode through mapInPandas
+    "bmp_decode_roundtrip",    # real BMP decode through mapInPandas
     # --- r01-cohort refresh (oldest stamps in the ledger; after this
     # round no stamp predates r02) ---
     "f4_to_number",
@@ -108,11 +109,10 @@ _CHECK_FIRST: list[str] = [
     "a9_pct_within_group",
     "p8_p9_filter_search",
     "p10_scatter_points",
-    "o2_o4_sort_page",
     # (price_histogram, tpch_q4_order_priority, sql_text_interface,
-    # monthly_revenue_mom, u1_union_by_name and o3_distinct_sorted
-    # rotate to r7: their r02 stamps stand; the six slots fund the new
-    # never-stamped r6 queries above.)
+    # monthly_revenue_mom, u1_union_by_name, o3_distinct_sorted and
+    # o2_o4_sort_page rotate to r7: their r02 stamps stand; the seven
+    # slots fund the new never-stamped r6 queries above.)
 ]
 
 
