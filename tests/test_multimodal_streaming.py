@@ -446,3 +446,32 @@ def test_extract_media_features_routes_by_magic(spark):
     assert got[2]["width"] is None and got[2]["sample_rate"] is None
     assert got[3]["mime_detected"] == "corrupt/bmp"
     assert all(got[i]["byte_len"] == len(rows[i][1]) for i in got)
+
+
+def test_decode_bmp_top_down_negative_height():
+    """Top-down BMPs store height negative; channel means are row-order
+    independent so they must match the bottom-up packing exactly."""
+    import struct
+    from precios_nexo_sperant_etl_spark.operators.multimodal import decode_bmp
+    up = _make_bmp(4, 2, lambda x, y: (3 * x, 5 * y, 9))
+    buf = bytearray(up)
+    struct.pack_into("<i", buf, 22, -2)  # height → -2 (top-down)
+    d_up, d_down = decode_bmp(up), decode_bmp(bytes(buf))
+    assert d_down["height"] == 2
+    assert {k: v for k, v in d_down.items() if k.startswith("mean")} == \
+           {k: v for k, v in d_up.items() if k.startswith("mean")}
+
+
+def test_decode_wav_stereo_interleaved():
+    import struct
+    from precios_nexo_sperant_etl_spark.operators.multimodal import decode_wav
+    frames = [(100, -200), (300, -400)]       # L/R interleaved
+    data = b"".join(struct.pack("<hh", l, r) for l, r in frames)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    d = decode_wav(wav)
+    assert (d["channels"], d["sample_rate"], d["n_frames"]) == (2, 44100, 2)
+    flat = [v for fr in frames for v in fr]
+    assert d["ms_amplitude"] == sum(v * v for v in flat) // len(flat)
