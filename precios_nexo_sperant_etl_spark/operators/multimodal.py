@@ -203,6 +203,16 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
     curation pipeline's warn-and-continue posture)."""
     rows = []
     for p in payloads:
+        if p is None:
+            # NULL payload (e.g. a null source column upstream): a null
+            # feature row, not a crashed Arrow batch.
+            rows.append({"byte_len": None,
+                         "mime_detected": None, "width": None,
+                         "height": None, "mean_r_milli": None,
+                         "mean_g_milli": None, "mean_b_milli": None,
+                         "channels": None, "sample_rate": None,
+                         "duration_ms": None, "ms_amplitude": None})
+            continue
         row = {"byte_len": len(p), "mime_detected": "application/octet-stream",
                "width": None, "height": None, "mean_r_milli": None,
                "mean_g_milli": None, "mean_b_milli": None,

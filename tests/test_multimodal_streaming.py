@@ -475,3 +475,16 @@ def test_decode_wav_stereo_interleaved():
     assert (d["channels"], d["sample_rate"], d["n_frames"]) == (2, 44100, 2)
     flat = [v for fr in frames for v in fr]
     assert d["ms_amplitude"] == sum(v * v for v in flat) // len(flat)
+
+
+def test_extract_media_features_null_payload_row(spark):
+    """A NULL payload yields a null feature row instead of crashing the
+    Arrow batch (len(None))."""
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        extract_media_features)
+    df = spark.createDataFrame([(0, bytearray(b"x")), (1, None)],
+                               "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict()
+           for r in extract_media_features(df).collect()}
+    assert got[0]["mime_detected"] == "application/octet-stream"
+    assert got[1]["mime_detected"] is None and got[1]["byte_len"] is None
