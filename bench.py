@@ -102,6 +102,7 @@ HEADLINE = [
     "epoch_repetition_schedule",  # epoch waterfill over repetition caps
     "wav_decode_roundtrip",     # real WAV decode via the Arrow seam
     "bmp_decode_roundtrip",     # real BMP decode via the Arrow seam
+    "vocab_coverage_curve",     # Zipf top-k coverage datasheet
 ]
 
 

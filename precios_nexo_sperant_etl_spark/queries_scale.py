@@ -5907,3 +5907,76 @@ FROM m ORDER BY doc_id
         "+ integer channel means through mapInPandas, hash-verified "
         "against byte-level SQL over the same bytes.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: the tokenizer-design datasheet row — what
+# share of all corpus tokens the top-k most frequent terms cover, at
+# k ∈ {100, 1000, 10000} (clamped to the actual vocabulary size). The
+# Zipf reality this measures decides vocab budgets: if 10k terms cover
+# 99%, a bigger vocab buys almost nothing. Exact integer counts; the
+# one unpartitioned window runs over the VOCAB-sized frame (bounded by
+# distinct terms, not corpus — same rationale as waterfill), and the
+# ratio is a single final double division.
+# ---------------------------------------------------------------------------
+
+def _vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents")
+    tc = (d.select(F.explode(tokens(F.col("text"))).alias("term"))
+           .filter(F.col("term") != "")
+           .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.orderBy(F.desc("cnt"), F.asc("term"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = tc.select(
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+         .alias("rnk"),
+        F.sum("cnt").over(w).alias("cum"))
+    tot = tc.agg(F.sum("cnt").alias("total_tokens"),
+                 F.count(F.lit(1)).alias("n_vocab"))
+    ks = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(100), F.lit(1000), F.lit(10000)),
+                     (F.col("id") + 1).cast("int")).alias("k"))
+    return (ks.crossJoin(F.broadcast(tot))
+              .withColumn("rnk", F.least(F.col("k"),
+                                         F.col("n_vocab")).cast("int"))
+              .join(ranked, "rnk")
+              .select("k", "n_vocab", "total_tokens",
+                      F.col("cum").alias("covered_tokens"),
+                      (F.col("cum").cast("double")
+                       / F.col("total_tokens").cast("double"))
+                       .alias("coverage_ratio"))
+              .orderBy("k"))
+
+
+register(
+    "vocab_coverage_curve",
+    _vocab_coverage,
+    r"""
+WITH tc AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY term),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk,
+         SUM(cnt) OVER (ORDER BY cnt DESC, term
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM tc),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_vocab FROM tc),
+ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+SELECT CAST(ks.k AS INT) AS k, t.n_vocab, t.total_tokens,
+       CAST(r.cum AS BIGINT) AS covered_tokens,
+       CAST(r.cum AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+         AS coverage_ratio
+FROM ks, tot t
+JOIN ranked r ON r.rnk = least(ks.k, t.n_vocab)
+ORDER BY k
+""",
+    doc="Vocabulary coverage at top-k (100/1k/10k, clamped to vocab "
+        "size): exact cumulative token share of the most frequent "
+        "terms — the Zipf datasheet that sizes tokenizer vocabularies.",
+)

@@ -81,6 +81,7 @@ _CHECK_FIRST: list[str] = [
     "epoch_repetition_schedule",  # data-constrained epoch waterfill
     "wav_decode_roundtrip",    # real WAV decode through mapInPandas
     "bmp_decode_roundtrip",    # real BMP decode through mapInPandas
+    "vocab_coverage_curve",    # top-k token coverage datasheet
     # --- r01-cohort refresh (oldest stamps in the ledger; after this
     # round no stamp predates r02) ---
     "f4_to_number",
@@ -108,11 +109,11 @@ _CHECK_FIRST: list[str] = [
     "a8_pivot_counts",
     "a9_pct_within_group",
     "p8_p9_filter_search",
-    "p10_scatter_points",
     # (price_histogram, tpch_q4_order_priority, sql_text_interface,
-    # monthly_revenue_mom, u1_union_by_name, o3_distinct_sorted and
-    # o2_o4_sort_page rotate to r7: their r02 stamps stand; the seven
-    # slots fund the new never-stamped r6 queries above.)
+    # monthly_revenue_mom, u1_union_by_name, o3_distinct_sorted,
+    # o2_o4_sort_page and p10_scatter_points rotate to r7: their r02
+    # stamps stand; the eight slots fund the new never-stamped r6
+    # queries above.)
 ]
 
 
