@@ -13,8 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.sketches import (bloom_bits, bloom_probe, cms_counters,
-                                 cms_estimate, hll_estimate, hll_registers)
+from .operators.sketches import (KMV_SPACE, bloom_bits, bloom_probe,
+                                 cms_counters, cms_estimate, hll_estimate,
+                                 hll_registers, kmv_sketch)
 from .operators.text import tokens
 from .registry import register
 from .sources.tables import load_tables
@@ -412,4 +413,65 @@ ORDER BY o_orderstatus
         "integer bin assignment, per-group median bin via tiny cumsum, "
         "midpoint estimate gated against the exact median (≤1 bin "
         "error).",
+)
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_terms: the fourth distinct-count sketch family — KMV
+# (k-minimum-values) per-source distinct-term estimates next to the
+# exact counts. k=64 over the same 48-bit hash space as HLL, so the two
+# sketches are directly comparable on the same corpus; unlike HLL the
+# KMV state is a SAMPLE of real hashes (the seed of distinct-sum /
+# Jaccard estimators). The whole sketch (k_used, h_k) is pinned by the
+# oracle hash, not only the estimate.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _kmv_distinct_terms(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    items = (d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+              .where(F.col("term") != ""))
+    sk = kmv_sketch(items, "term", ["source"], k=_KMV_K)
+    exact = (items.groupBy("source")
+                  .agg(F.countDistinct("term").alias("exact_distinct")))
+    return (sk.join(exact, "source")
+              .select("source", "k_used", "h_k", "kmv_est", "exact_distinct",
+                      ((F.col("kmv_est") - F.col("exact_distinct"))
+                       .cast("double") / F.col("exact_distinct"))
+                      .alias("err_frac"))
+              .orderBy("source"))
+
+
+register(
+    "kmv_distinct_terms",
+    _kmv_distinct_terms,
+    f"""
+WITH it AS (
+  SELECT source, term
+  FROM (SELECT source, unnest({_DUCK_TOKENS}) AS term FROM documents)
+  WHERE term <> ''),
+h AS (SELECT DISTINCT source, {_DUCK_H.format(s='term')} AS h FROM it),
+r AS (SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM h),
+km AS (SELECT source, CAST(COUNT(*) AS INT) AS k_used, MAX(h) AS h_k
+       FROM r WHERE rn <= {_KMV_K} GROUP BY source),
+ex AS (SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct
+       FROM it GROUP BY source),
+est AS (
+  SELECT km.source, km.k_used, km.h_k,
+         CASE WHEN km.k_used < {_KMV_K} THEN CAST(km.k_used AS BIGINT)
+              ELSE ({_KMV_K} - 1) * {KMV_SPACE} // km.h_k END AS kmv_est,
+         ex.exact_distinct
+  FROM km JOIN ex USING (source))
+SELECT source, k_used, h_k, kmv_est, exact_distinct,
+       CAST(kmv_est - exact_distinct AS DOUBLE) / exact_distinct AS err_frac
+FROM est ORDER BY source
+""",
+    doc="KMV (k=64) per-source distinct-term sketch vs exact counts: "
+        "two-level k-min selection (64 shard windows per group, then the "
+        "survivor window), integer-division estimate, whole sketch "
+        "state hash-pinned.",
 )

@@ -165,3 +165,43 @@ def test_histogram_quantile_within_bound_and_mergeable(spark):
               .groupBy("o_orderstatus", "bin").agg(F.sum("count")
                                                    .alias("count")))
     assert sorted(map(tuple, merged.collect())) == whole
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from precios_nexo_sperant_etl_spark.operators.sketches import kmv_sketch
+    # group "small": 10 distinct values -> sketch holds all, count exact;
+    # group "big": 5000 distinct values -> estimate within KMV's expected
+    # relative error (~1/sqrt(k-1) ~ 12.6% at k=64; assert a lax 4 sigma).
+    rows = ([Row(g="small", v=f"s{i}") for i in range(10)]
+            + [Row(g="big", v=f"b{i}") for i in range(5000)])
+    df = spark.createDataFrame(rows)
+    out = {r.g: r for r in kmv_sketch(df, "v", ["g"], k=64).collect()}
+    assert out["small"].k_used == 10
+    assert out["small"].kmv_est == 10
+    assert out["big"].k_used == 64
+    assert abs(out["big"].kmv_est - 5000) / 5000 < 0.5
+
+
+def test_kmv_duplicate_insensitive_and_mergeable(spark):
+    from precios_nexo_sperant_etl_spark.operators.sketches import kmv_sketch
+    rows = [Row(g="g", v=f"x{i % 300}") for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    once = kmv_sketch(df.distinct(), "v", ["g"], k=32).collect()[0]
+    dup = kmv_sketch(df, "v", ["g"], k=32).collect()[0]
+    assert (once.k_used, once.h_k, once.kmv_est) == (dup.k_used, dup.h_k,
+                                                     dup.kmv_est)
+    # merge = k-min of the union of the two halves' sketches: re-running
+    # the same selection over sketch state reproduces the whole-corpus
+    # sketch (the property that makes KMV a partial aggregate).
+    half_a = df.where(F.length("v") % 2 == 0)
+    half_b = df.where(F.length("v") % 2 != 0)
+    from precios_nexo_sperant_etl_spark.operators.text import md5_hash
+    state = None
+    for half in (half_a, half_b):
+        h = (half.select(md5_hash(F.col("v")).alias("h")).distinct()
+                 .orderBy("h").limit(32))
+        state = h if state is None else state.unionAll(h)
+    merged = (state.distinct().orderBy("h").limit(32)
+              .agg(F.count(F.lit(1)).alias("k_used"), F.max("h").alias("h_k"))
+              .collect()[0])
+    assert (merged.k_used, merged.h_k) == (dup.k_used, dup.h_k)
