@@ -172,3 +172,59 @@ GROUP BY row, bucket ORDER BY row, bucket
         "landing, merge-at-read sum over the linear counter algebra) "
         "pinned bit-for-bit against the single-pass batch counter SQL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom-filter maintenance, the fourth bit-exact streaming
+# oracle and the fourth merge algebra: bit sets union (OR). Union is
+# idempotent — a replayed batch re-asserts the same bits — so this is
+# the natural streaming form of the exact-dedup "seen set": the landed
+# filter answers "might this canonical text have already arrived?" with
+# no false negatives at any point in the stream's history. The streamed
+# filter must equal the batch bloom_bits SQL exactly (same seeded
+# buckets, same canonicalization), completing the algebra set:
+# curation = set union of hashes, HLL = register max, CMS = counter sum,
+# Bloom = bit OR.
+# ---------------------------------------------------------------------------
+
+_SBLOOM_K, _SBLOOM_M = 3, 4096
+
+
+def _streaming_bloom_bits(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_curation import stream_documents
+    from .streaming.stream_sketches import (read_bloom_bits,
+                                            streaming_bloom_to_lake)
+    out = tempfile.mkdtemp(prefix="stream_bloom_q_")
+    q = streaming_bloom_to_lake(stream_documents(spark, sf),
+                                os.path.join(out, "bits"),
+                                os.path.join(out, "ckpt"),
+                                n_hashes=_SBLOOM_K, n_bits=_SBLOOM_M)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming Bloom drain exceeded 120s")
+    return (read_bloom_bits(spark, os.path.join(out, "bits"))
+            .select(F.col("bit").cast("long").alias("bit"))
+            .orderBy("bit"))
+
+
+_SBLOOM_H = "('0x' || substr(md5({s}), 1, 12))::BIGINT"
+_SBLOOM_POS = " UNION ALL ".join(
+    "SELECT (" + _SBLOOM_H.format(s=f"'{i}:' || th") + f") % {_SBLOOM_M}"
+    " AS bit FROM th"
+    for i in range(_SBLOOM_K))
+
+register(
+    "streaming_bloom_bits",
+    _streaming_bloom_bits,
+    f"""
+WITH th AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS th
+  FROM documents)
+SELECT DISTINCT CAST(bit AS BIGINT) AS bit
+FROM ({_SBLOOM_POS})
+ORDER BY bit
+""",
+    doc="Structured-Streaming Bloom-filter maintenance over canonical "
+        "document hashes (per-batch bit landing, merge-at-read OR) "
+        "pinned bit-for-bit against the batch bloom_bits SQL.",
+)

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketches import cms_counters, hll_registers
+from ..operators.dedup_fuzzy import canonical_text
+from ..operators.sketches import bloom_bits, cms_counters, hll_registers
 from ..operators.text import tokens
 
 
@@ -82,3 +83,39 @@ def read_cms_counters(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge-at-read: live counters = per-(row, bucket) sum of batches."""
     return (spark.read.parquet(out_dir)
             .groupBy("row", "bucket").agg(F.sum("counter").alias("counter")))
+
+
+def streaming_bloom_to_lake(docs: DataFrame, out_dir: str, checkpoint: str,
+                            n_hashes: int = 3, n_bits: int = 4096):
+    """Maintain a Bloom membership filter of canonical document text
+    hashes over a document stream — the streaming form of the exact-dedup
+    "seen set". The fourth streaming merge algebra: bits OR (set union of
+    set positions), idempotent, so a replayed batch can neither lose nor
+    double-count state. Each batch lands its own <= n_bits bit rows in a
+    ``batch_id=N`` partition (dynamic overwrite, same exactly-once recipe
+    as the HLL/CMS landings); the live filter is ``DISTINCT bit`` over
+    all landed partitions."""
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keys = batch.select(
+                F.md5(canonical_text(F.col("text"))).alias("text_hash"))
+            (bloom_bits(keys, "text_hash", n_hashes, n_bits)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite").partitionBy("batch_id")
+                .parquet(out_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (docs.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-at-read: live filter = union (OR) of all landed bit sets."""
+    return (spark.read.parquet(out_dir)
+            .select("bit").distinct())

@@ -73,3 +73,28 @@ def test_streaming_cms_equals_batch_and_replay_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     after = sorted(map(tuple, read_cms_counters(spark, out).collect()))
     assert after == before
+
+
+def test_streaming_bloom_equals_batch_and_replay_idempotent(spark, tmp_path):
+    from precios_nexo_sperant_etl_spark.operators.dedup_fuzzy import \
+        canonical_text
+    from precios_nexo_sperant_etl_spark.operators.sketches import bloom_bits
+    from precios_nexo_sperant_etl_spark.streaming.stream_sketches import (
+        read_bloom_bits, streaming_bloom_to_lake)
+    src, docs = _drop_dir(spark, tmp_path)
+    out, ckpt = str(tmp_path / "bloom"), str(tmp_path / "ckpt_bloom")
+    q = streaming_bloom_to_lake(_stream(spark, src), out, ckpt)
+    assert q.awaitTermination(120)
+    keys = docs.select(F.md5(canonical_text(F.col("text")))
+                       .alias("text_hash"))
+    batch = bloom_bits(keys, "text_hash", 3, 4096)
+    merged = read_bloom_bits(spark, out)
+    before = sorted(r.bit for r in merged.collect())
+    assert before == sorted(r.bit for r in batch.collect())
+    # replay from a fresh checkpoint: OR is idempotent, each batch
+    # overwrites its own partition -> identical live filter
+    q2 = streaming_bloom_to_lake(_stream(spark, src), out,
+                                 str(tmp_path / "ckpt_bloom2"))
+    assert q2.awaitTermination(120)
+    after = sorted(r.bit for r in read_bloom_bits(spark, out).collect())
+    assert after == before
