@@ -1,0 +1,107 @@
+"""Hybrid-retrieval queries: dense ANN + sparse inverted-index rankings
+fused with Reciprocal Rank Fusion, over the shared doc_id/vec_id space
+(documents and their embeddings carry the same ids).
+
+Beyond-reference surface. Every score is either integer (overlap
+counts, ranks) or a fixed-order double expression both engines round
+identically (the cosine fold, ``1/(k0+rank)`` sums), so the full fused
+ranking is oracle-pinned, not just spot-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.retrieval import rrf_fuse, sparse_overlap_topk
+from .operators.similarity import cosine_topk
+from .queries_scale import _DUCK_TOKENS, _duck_dot
+from .registry import register
+from .sources.tables import load_tables
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_tables(spark, sf)[name]
+
+
+# ---------------------------------------------------------------------------
+# rrf_hybrid_retrieval: for 5 probe documents, fuse the dense cosine
+# top-20 (their embeddings vs the corpus) with the sparse token-overlap
+# top-20 (inverted-index join, df-pruned posting lists) via RRF and
+# keep the fused top-10. The classic hybrid-search layout: neither
+# scorer's scale matters, only its ranks, so no calibration step.
+# ---------------------------------------------------------------------------
+
+_RRF_PROBES = [0, 1, 2, 3, 4]
+_RRF_LIST_K = 20   # per-scorer candidate list depth
+_RRF_K0 = 60       # RRF constant (Cormack et al. 2009)
+_RRF_TOPK = 10     # fused list depth
+
+
+def _rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    dense = cosine_topk(_t(spark, sf, "embeddings"), _RRF_PROBES,
+                        k=_RRF_LIST_K).select("query_id", "neighbor_id",
+                                              "rank")
+    sparse = sparse_overlap_topk(_t(spark, sf, "documents"), _RRF_PROBES,
+                                 k=_RRF_LIST_K)
+    fused = rrf_fuse(dense, sparse, k0=_RRF_K0, topk=_RRF_TOPK)
+    return fused.select("query_id", "neighbor_id",
+                        F.col("rank_a").alias("dense_rank"),
+                        F.col("rank_b").alias("sparse_rank"),
+                        "rrf_score", "fused_rank")
+
+
+_RRF_IDS = ", ".join(map(str, _RRF_PROBES))
+
+register(
+    "rrf_hybrid_retrieval",
+    _rrf_hybrid,
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_RRF_IDS})),
+dscored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_duck_dot('q.qv', 'e.embedding')}
+           / (sqrt({_duck_dot('q.qv', 'q.qv')})
+              * sqrt({_duck_dot('e.embedding', 'e.embedding')})) AS cosine
+  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+dense AS (
+  SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn FROM dscored)
+  WHERE rn <= {_RRF_LIST_K}),
+toks AS (SELECT DISTINCT doc_id AS did, term
+         FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents)
+         WHERE term <> ''),
+kept AS (SELECT term FROM toks GROUP BY term
+         HAVING COUNT(*) * 10 <= (SELECT COUNT(*) FROM documents)),
+pr AS (SELECT t.did, t.term FROM toks t JOIN kept USING (term)),
+probes AS (SELECT did AS query_id, term FROM pr
+           WHERE did IN ({_RRF_IDS})),
+sscored AS (
+  SELECT p.query_id, c.did AS neighbor_id, CAST(COUNT(*) AS INT) AS overlap
+  FROM pr c JOIN probes p USING (term)
+  WHERE c.did != p.query_id GROUP BY 1, 2),
+sparse AS (
+  SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY overlap DESC, neighbor_id) AS rn FROM sscored)
+  WHERE rn <= {_RRF_LIST_K}),
+fused AS (
+  SELECT query_id, neighbor_id, d.rank AS dense_rank, s.rank AS sparse_rank,
+         COALESCE(1.0 / CAST({_RRF_K0} + d.rank AS DOUBLE), 0.0)
+         + COALESCE(1.0 / CAST({_RRF_K0} + s.rank AS DOUBLE), 0.0)
+           AS rrf_score
+  FROM dense d FULL JOIN sparse s USING (query_id, neighbor_id))
+SELECT query_id, neighbor_id, dense_rank, sparse_rank, rrf_score,
+       CAST(fr AS INT) AS fused_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_score DESC, neighbor_id) AS fr FROM fused)
+WHERE fr <= {_RRF_TOPK}
+ORDER BY query_id, fused_rank
+""",
+    doc="Hybrid search: dense cosine top-20 + sparse df-pruned "
+        "inverted-index overlap top-20, fused with RRF (k0=60), fused "
+        "top-10 per probe — rank arithmetic end-to-end, fully "
+        "oracle-pinned.",
+)

@@ -1,0 +1,64 @@
+"""Hybrid retrieval: RRF fusion semantics and the sparse inverted-index
+ranking's pruning/scoring invariants."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from precios_nexo_sperant_etl_spark.operators.retrieval import (
+    rrf_fuse, sparse_overlap_topk)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_rrf_both_lists_beat_single_list(spark):
+    # cand 10 is rank 2 in BOTH lists; cand 11/12 are rank 1 in exactly
+    # one. 1/62+1/62 > 1/61 -> the doubly-ranked candidate must fuse first.
+    a = spark.createDataFrame([Row(query_id=1, neighbor_id=11, rank=1),
+                               Row(query_id=1, neighbor_id=10, rank=2)])
+    b = spark.createDataFrame([Row(query_id=1, neighbor_id=12, rank=1),
+                               Row(query_id=1, neighbor_id=10, rank=2)])
+    out = rrf_fuse(a, b, k0=60, topk=10).collect()
+    assert [r.neighbor_id for r in out] == [10, 11, 12]
+    assert out[0].fused_rank == 1
+    # missing ranking contributes exactly 0
+    assert out[1].rrf_score == 1.0 / 61
+    # ties (11 vs 12 both score 1/61) break by neighbor id
+    assert [r.neighbor_id for r in out if r.rrf_score == 1.0 / 61] == [11, 12]
+
+
+def test_sparse_overlap_prunes_high_df_terms(spark):
+    # "the" appears in every doc -> pruned at df*10 <= N (N=20); the rare
+    # shared term drives the ranking.
+    rows = [Row(doc_id=i, text=f"the unique{i} word{i % 2}")
+            for i in range(20)]
+    docs = spark.createDataFrame(rows)
+    out = sparse_overlap_topk(docs, [0], k=5).collect()
+    # probe 0 has tokens {the, unique0, word0}; 'the' pruned (df=20),
+    # 'word0' kept (df=10, 10*10 <= 20 is false) -> also pruned; so no
+    # candidates at all with the default denominator.
+    assert out == []
+    # with a laxer prune, word0 (df=10) survives and matches the even docs
+    out2 = sparse_overlap_topk(docs, [0], k=50, df_prune_den=1).collect()
+    evens = {r.neighbor_id for r in out2 if r.overlap >= 1}
+    assert {2, 4, 6, 8} <= evens
+    # ranking: overlap desc then id asc, ranks are 1..n
+    ranks = [r.rank for r in out2]
+    assert ranks == sorted(ranks) == list(range(1, len(out2) + 1))
+
+
+def test_hybrid_query_shape_on_fixture(spark):
+    from precios_nexo_sperant_etl_spark.queries_retrieval import _rrf_hybrid
+    out = _rrf_hybrid(spark, SF_DIR).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.fused_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        # fused score is monotone non-increasing down the list
+        scores = [r.rrf_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # every fused candidate came from at least one list
+        assert all(r.dense_rank is not None or r.sparse_rank is not None
+                   for r in rs)
