@@ -5980,3 +5980,116 @@ ORDER BY k
         "size): exact cumulative token share of the most frequent "
         "terms — the Zipf datasheet that sizes tokenizer vocabularies.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth: cumulative distinct-vocabulary size at
+# decile checkpoints of the doc_id-ordered token stream — the companion
+# datasheet to vocab_coverage_curve (which fixes the corpus and varies
+# vocab rank; this fixes the vocab rule and varies corpus size). The
+# practical read: where the curve flattens, more same-distribution data
+# stops buying new vocabulary (data-constrained scaling's raw signal).
+#
+# Scale shape: a term contributes vocabulary exactly once, at its FIRST
+# document — min(doc_id) per term is one combinable agg, no per-prefix
+# recount. Both running sums (tokens, new terms) use the same blocked
+# two-pass cumsum as systematic_weighted_sample (block window + tiny
+# offset broadcast, no global single-task window); the decile selector
+# is a 10-row broadcast inequality join. Integer arithmetic throughout.
+# ---------------------------------------------------------------------------
+
+_HEAPS_BLOCK = 1024
+
+
+def _heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.text import tokens as _tok
+    d = _t(spark, sf, "documents")
+    per_doc = d.select(
+        "doc_id",
+        F.size(F.filter(_tok(F.col("text")), lambda t: t != ""))
+         .cast("long").alias("n_tok"),
+        F.floor(F.col("doc_id") / _HEAPS_BLOCK).alias("_blk"))
+    terms = (d.select("doc_id", F.explode(_tok(F.col("text"))).alias("term"))
+              .where(F.col("term") != ""))
+    first = terms.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    new_terms = (first.groupBy("first_doc")
+                      .agg(F.count(F.lit(1)).alias("n_new"))
+                      .withColumnRenamed("first_doc", "doc_id"))
+    docs = (per_doc.join(new_terms, "doc_id", "left")
+                   .select("doc_id", "_blk", "n_tok",
+                           F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    win = (Window.partitionBy("_blk").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = (docs.withColumn("_ct_in", F.sum("n_tok").over(win))
+                  .withColumn("_cv_in", F.sum("n_new").over(win)))
+    bsums = docs.groupBy("_blk").agg(F.sum("n_tok").alias("_bt"),
+                                     F.sum("n_new").alias("_bv"))
+    owin = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bsums.select(
+        "_blk",
+        F.coalesce(F.sum("_bt").over(owin), F.lit(0)).alias("_ot"),
+        F.coalesce(F.sum("_bv").over(owin), F.lit(0)).alias("_ov"))
+    total = docs.agg(F.sum("n_tok").cast("long").alias("_total"))
+    cum = (within.join(F.broadcast(offsets), "_blk")
+                 .select("doc_id",
+                         (F.col("_ot") + F.col("_ct_in")).cast("long")
+                         .alias("cum_tokens"),
+                         (F.col("_ov") + F.col("_cv_in")).cast("long")
+                         .alias("cum_vocab")))
+    deciles = (spark.range(1, 11)
+                    .select(F.col("id").cast("int").alias("decile"))
+                    .crossJoin(F.broadcast(total))
+                    .select("decile",
+                            F.expr("(_total * decile) div 10")
+                             .alias("checkpoint_tokens")))
+    last = (cum.join(F.broadcast(deciles),
+                     F.col("cum_tokens") <= F.col("checkpoint_tokens"))
+               .groupBy("decile", "checkpoint_tokens")
+               .agg(F.max("doc_id").alias("_last_doc")))
+    return (last.join(cum, last["_last_doc"] == cum["doc_id"])
+                .select("decile", "checkpoint_tokens",
+                        F.col("cum_tokens").alias("tokens_at"),
+                        F.col("cum_vocab").alias("vocab_size"),
+                        (F.col("cum_vocab") * F.lit(1000.0)
+                         / F.col("cum_tokens")).alias("vocab_per_kilotoken"))
+                .orderBy("decile"))
+
+
+register(
+    "heaps_vocab_growth",
+    _heaps_vocab_growth,
+    f"""
+WITH pd AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_DUCK_TOKENS}, x -> x <> '')) AS BIGINT)
+           AS n_tok
+  FROM documents),
+tm AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+fst AS (SELECT term, MIN(doc_id) AS first_doc FROM tm
+        WHERE term <> '' GROUP BY term),
+nw AS (SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM fst GROUP BY 1),
+c AS (
+  SELECT pd.doc_id,
+         CAST(SUM(pd.n_tok) OVER (ORDER BY pd.doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY pd.doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+  FROM pd LEFT JOIN nw USING (doc_id)),
+t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM pd),
+dc AS (SELECT CAST(d.range AS INT) AS decile,
+              (t.total * d.range) // 10 AS checkpoint_tokens
+       FROM range(1, 11) d, t),
+sel AS (SELECT dc.decile, dc.checkpoint_tokens, MAX(c.doc_id) AS last_doc
+        FROM dc JOIN c ON c.cum_tokens <= dc.checkpoint_tokens
+        GROUP BY 1, 2)
+SELECT s.decile, s.checkpoint_tokens, c.cum_tokens AS tokens_at,
+       c.cum_vocab AS vocab_size,
+       c.cum_vocab * 1000.0 / c.cum_tokens AS vocab_per_kilotoken
+FROM sel s JOIN c ON c.doc_id = s.last_doc
+ORDER BY s.decile
+""",
+    doc="Heaps-law vocabulary growth at token-stream deciles: "
+        "first-occurrence agg per term + blocked two-pass cumsums; the "
+        "decile selector is a 10-row broadcast inequality join.",
+)

@@ -362,3 +362,22 @@ def test_waterfill_property_random_supplies(spark):
         tail = [r.allocated_tokens for r in ordered if not r.fully_funded]
         if tail:
             assert max(tail) - min(tail) <= 1, (seed, tail)
+
+
+def test_heaps_vocab_growth_monotone_and_exact_at_full(spark):
+    from precios_nexo_sperant_etl_spark.operators.text import tokens
+    from precios_nexo_sperant_etl_spark.queries_scale import \
+        _heaps_vocab_growth
+    rows = _heaps_vocab_growth(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    toks = [r.tokens_at for r in rows]
+    voc = [r.vocab_size for r in rows]
+    assert toks == sorted(toks) and voc == sorted(voc)
+    assert all(v <= t for v, t in zip(voc, toks))
+    # decile 10 covers the whole stream: vocab == corpus distinct terms,
+    # tokens == corpus token count
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ex = (d.select(F.explode(tokens(F.col("text"))).alias("t"))
+           .where(F.col("t") != ""))
+    assert voc[-1] == ex.select("t").distinct().count()
+    assert toks[-1] == ex.count()
