@@ -6093,3 +6093,67 @@ ORDER BY s.decile
         "first-occurrence agg per term + blocked two-pass cumsums; the "
         "decile selector is a 10-row broadcast inequality join.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood record linkage (SNM, Hernández & Stolfo 1995):
+# the third blocking family next to LSH banding (minhash_dedup_pairs)
+# and key blocking (fuzzy_part_match). Sort the dictionary by the match
+# key, compare only records within a fixed window w of the sort order —
+# candidates are N*(w-1) by construction, robust to the key-blocking
+# failure mode (a typo in the blocking key exiles the record from its
+# block; in sort order it usually stays adjacent). same_block flags
+# whether key blocking would have surfaced each SNM pair — the recall
+# comparison between the two methods, as a datasheet.
+#
+# Scale shape: the total order comes from add_row_id (range-partitioned
+# two-pass id, no global window); the window join is an EQUI-join on
+# rn_b = rn_a + off over the exploded offsets 1..w-1, so it shuffles on
+# an integer key instead of an inequality. Levenshtein runs on the
+# N*(w-1) candidates only.
+# ---------------------------------------------------------------------------
+
+_SNM_W = 4        # window width: pair with the next w-1 names in order
+_SNM_MAXD = 4     # adjudication threshold (same as fuzzy_part_match)
+
+
+def _snm_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import add_row_id
+    names = _t(spark, sf, "part").select("p_name").distinct()
+    seq = add_row_id(names, ["p_name"], name="rn")
+    offs = spark.range(1, _SNM_W).select(F.col("id").alias("_off"))
+    a = seq.select(F.col("p_name").alias("name_a"), F.col("rn").alias("_ra"))
+    b = seq.select(F.col("p_name").alias("name_b"), F.col("rn").alias("_rb"))
+    cand = (a.crossJoin(F.broadcast(offs))
+             .withColumn("_rb", F.col("_ra") + F.col("_off"))
+             .join(b, "_rb"))
+    return (cand.select(
+                "name_a", "name_b", F.col("_off").cast("int").alias("gap"),
+                F.levenshtein("name_a", "name_b").alias("dist"),
+                (F.expr("split_part(name_a, ' ', 2)")
+                 == F.expr("split_part(name_b, ' ', 2)")).alias("same_block"))
+                .where(F.col("dist") <= _SNM_MAXD)
+                .orderBy("name_a", "name_b"))
+
+
+register(
+    "snm_part_pairs",
+    _snm_part_pairs,
+    f"""
+WITH n AS (SELECT DISTINCT p_name FROM part),
+s AS (SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS rn FROM n),
+cand AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         CAST(b.rn - a.rn AS INT) AS gap
+  FROM s a JOIN s b ON b.rn > a.rn AND b.rn < a.rn + {_SNM_W})
+SELECT name_a, name_b, gap,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist,
+       split_part(name_a, ' ', 2) = split_part(name_b, ' ', 2) AS same_block
+FROM cand WHERE levenshtein(name_a, name_b) <= {_SNM_MAXD}
+ORDER BY name_a, name_b
+""",
+    doc="Sorted-neighborhood record linkage over the part-name "
+        "dictionary: two-pass global sort ids, equi-join on rank "
+        "offsets 1..w-1, Levenshtein adjudication, with a same-block "
+        "flag comparing SNM recall against key blocking.",
+)

@@ -1016,3 +1016,30 @@ def test_kmeans_fit_arrow_iters_matches_fold(spark):
     fold = kmeans_fit(emb, n_cells=10, n_iter=3)
     arrow = kmeans_fit(emb, n_cells=10, n_iter=3, arrow_iters=True)
     assert fold == arrow
+
+
+def test_snm_pairs_window_and_threshold(spark, tmp_path):
+    # A dictionary where sort-adjacency finds a pair that key blocking
+    # (second word) would miss: 'azure pen' ~ 'azury pen' share no block
+    # key ('pen' vs 'pen' would match -- use differing second words).
+    import os
+    from precios_nexo_sperant_etl_spark.queries_scale import _snm_part_pairs
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("region", "nation", "customer", "supplier", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   f"{sf}/{t}.parquet")
+    names = ["azure pens", "azure qens", "coral pen", "zz top"]
+    spark.createDataFrame([(n,) for n in names], ["p_name"]) \
+         .write.parquet(f"{sf}/part.parquet")
+    rows = _snm_part_pairs(spark, sf).collect()
+    got = {(r.name_a, r.name_b): r for r in rows}
+    # adjacent in sort order, dist 1, different block key ('pens' vs 'qens')
+    assert ("azure pens", "azure qens") in got
+    assert got[("azure pens", "azure qens")].dist == 1
+    assert got[("azure pens", "azure qens")].same_block is False
+    # everything returned respects the window (gap < 4) and threshold
+    assert all(1 <= r.gap <= 3 and r.dist <= 4 for r in rows)
+    # 'zz top' is adjacent to 'coral pen' in order but edit-far -> absent
+    assert all("zz top" not in (r.name_a, r.name_b) for r in rows)
