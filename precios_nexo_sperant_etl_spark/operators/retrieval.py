@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import md5_hash, tokens
 
 
 def sparse_overlap_topk(docs: DataFrame, query_ids: list[int], k: int = 20,
@@ -86,3 +86,79 @@ def rrf_fuse(a: DataFrame, b: DataFrame, k0: int = 60,
     return (fused.withColumn("fused_rank", F.row_number().over(w))
                  .filter(F.col("fused_rank") <= topk)
                  .orderBy("query_id", "fused_rank"))
+
+
+def negative_samples(docs: DataFrame, n_buckets: int = 64, k: int = 2,
+                     id_col: str = "doc_id",
+                     strat_col: str = "source") -> DataFrame:
+    """``k`` deterministic cross-``strat_col`` negatives per anchor
+    document — the training-pair miner for contrastive objectives
+    (a negative must come from a different source than its anchor, the
+    usual proxy for "semantically unrelated").
+
+    Construction, all hash arithmetic: candidates land in
+    ``hash(id) % n_buckets`` buckets ordered within the bucket by the
+    remaining hash bits; each anchor probes bucket
+    ``hash(j, id) % n_buckets`` for draw j. The bucket's representative
+    is its hash-minimal candidate (``min1``); if that shares the
+    anchor's stratum, the hash-minimal candidate of any OTHER stratum
+    (``min2``) substitutes — by construction ``min2``'s stratum differs
+    from ``min1``'s, so the substitute is always valid. A probe into an
+    empty bucket (or a bucket whose every candidate shares the anchor's
+    stratum with no fallback) yields a NULL negative, reported rather
+    than silently dropped — size ``n_buckets`` for the corpus so this
+    stays a measure-zero event.
+
+    Scale shape: the representative table is two group-bys down to
+    ``<= n_buckets * |strata|`` rows and the anchor side joins it
+    BROADCAST — the fact table never shuffles, no window touches it,
+    and draw quality is hash-uniform. Collisions (two anchors probing
+    one bucket share a negative) are the accepted trade for that plan;
+    grow ``n_buckets`` with the corpus to bound them.
+    """
+    cand = (docs.select(
+                F.col(id_col).alias("cand_id"),
+                F.col(strat_col).alias("cand_strat"),
+                md5_hash(F.concat(F.lit("nc:"),
+                                  F.col(id_col).cast("string"))).alias("_h"))
+                .select("cand_id", "cand_strat",
+                        F.pmod(F.col("_h"), F.lit(n_buckets)).alias("bucket"),
+                        F.expr(f"_h div {n_buckets}").alias("ord")))
+    per_bs = (cand.groupBy("bucket", "cand_strat")
+                  .agg(F.min(F.struct("ord", "cand_id")).alias("_m"))
+                  .select("bucket", "cand_strat",
+                          F.col("_m.ord").alias("ord"),
+                          F.col("_m.cand_id").alias("cand_id")))
+    m1 = (per_bs.groupBy("bucket")
+                .agg(F.min(F.struct("ord", "cand_id", "cand_strat"))
+                      .alias("_m"))
+                .select("bucket", F.col("_m.cand_id").alias("m1_id"),
+                        F.col("_m.cand_strat").alias("m1_strat")))
+    m2 = (per_bs.join(m1, "bucket")
+                .where(F.col("cand_strat") != F.col("m1_strat"))
+                .groupBy("bucket")
+                .agg(F.min(F.struct("ord", "cand_id", "cand_strat"))
+                      .alias("_m"))
+                .select("bucket", F.col("_m.cand_id").alias("m2_id"),
+                        F.col("_m.cand_strat").alias("m2_strat")))
+    reps = m1.join(m2, "bucket", "left")
+    probes = docs.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(strat_col).alias("anchor_strat"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.pmod(md5_hash(F.concat(F.lit(f"nb:{j}:"),
+                                              F.col(id_col).cast("string"))),
+                            F.lit(n_buckets)).alias("bucket"))
+            for j in range(k)])).alias("_p")) \
+        .select("anchor_id", "anchor_strat", "_p.j", "_p.bucket")
+    fallback = F.col("m1_strat") == F.col("anchor_strat")
+    return (probes.join(F.broadcast(reps), "bucket", "left")
+                  .select("anchor_id", "anchor_strat", "j",
+                          F.when(fallback, F.col("m2_id"))
+                           .otherwise(F.col("m1_id")).alias("neg_id"),
+                          F.when(fallback, F.col("m2_strat"))
+                           .otherwise(F.col("m1_strat")).alias("neg_strat"),
+                          F.coalesce(fallback, F.lit(False))
+                           .alias("used_fallback"))
+                  .orderBy("anchor_id", "j"))

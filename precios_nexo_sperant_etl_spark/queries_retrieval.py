@@ -105,3 +105,69 @@ ORDER BY query_id, fused_rank
         "top-10 per probe — rank arithmetic end-to-end, fully "
         "oracle-pinned.",
 )
+
+
+# ---------------------------------------------------------------------------
+# contrastive_negative_samples: k deterministic cross-source negatives
+# per anchor via bucketed hash draws (operators.retrieval
+# .negative_samples). The representative table is <= n_buckets*|sources|
+# rows and broadcast — the anchor side never shuffles.
+# ---------------------------------------------------------------------------
+
+_NEG_B, _NEG_K = 64, 2
+_NEG_H = "('0x' || substr(md5({s}), 1, 12))::BIGINT"
+
+
+def _negative_samples_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.retrieval import negative_samples
+    return negative_samples(_t(spark, sf, "documents"),
+                            n_buckets=_NEG_B, k=_NEG_K)
+
+
+_NEG_PROBE_B = _NEG_H.format(
+    s="'nb:' || CAST(j.j AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")
+
+register(
+    "contrastive_negative_samples",
+    _negative_samples_q,
+    f"""
+WITH c AS (
+  SELECT doc_id AS cand_id, source AS cand_strat,
+         {_NEG_H.format(s="'nc:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+cb AS (SELECT cand_id, cand_strat, h % {_NEG_B} AS bucket,
+              h // {_NEG_B} AS ord FROM c),
+pbs AS (
+  SELECT bucket, cand_strat, ord, cand_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket, cand_strat
+                  ORDER BY ord, cand_id) AS rn FROM cb)
+  WHERE rn = 1),
+m1 AS (
+  SELECT bucket, cand_id AS m1_id, cand_strat AS m1_strat
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                  ORDER BY ord, cand_id) AS rn FROM pbs)
+  WHERE rn = 1),
+m2 AS (
+  SELECT bucket, cand_id AS m2_id, cand_strat AS m2_strat
+  FROM (SELECT p.*, ROW_NUMBER() OVER (PARTITION BY p.bucket
+                    ORDER BY p.ord, p.cand_id) AS rn
+        FROM pbs p JOIN m1 USING (bucket)
+        WHERE p.cand_strat != m1.m1_strat)
+  WHERE rn = 1),
+pr AS (
+  SELECT d.doc_id AS anchor_id, d.source AS anchor_strat,
+         CAST(j.j AS INT) AS j, ({_NEG_PROBE_B}) % {_NEG_B} AS bucket
+  FROM documents d, (SELECT 0 AS j UNION ALL SELECT 1) j)
+SELECT anchor_id, anchor_strat, j,
+       CASE WHEN m1_strat = anchor_strat THEN m2_id ELSE m1_id END AS neg_id,
+       CASE WHEN m1_strat = anchor_strat THEN m2_strat ELSE m1_strat END
+         AS neg_strat,
+       COALESCE(m1_strat = anchor_strat, FALSE) AS used_fallback
+FROM pr LEFT JOIN m1 USING (bucket) LEFT JOIN m2 USING (bucket)
+ORDER BY anchor_id, j
+""",
+    doc="Deterministic cross-source negative sampling for contrastive "
+        "pairs: hash-bucketed candidates, per-bucket source-diverse "
+        "minima broadcast to every anchor; NULL draws reported, never "
+        "dropped.",
+)

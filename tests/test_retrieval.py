@@ -62,3 +62,36 @@ def test_hybrid_query_shape_on_fixture(spark):
         # every fused candidate came from at least one list
         assert all(r.dense_rank is not None or r.sparse_rank is not None
                    for r in rs)
+
+
+def test_negative_samples_cross_source_and_complete(spark):
+    from precios_nexo_sperant_etl_spark.operators.retrieval import \
+        negative_samples
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = negative_samples(docs, n_buckets=16, k=2).collect()
+    n = docs.count()
+    # every anchor gets exactly k draw rows
+    assert len(out) == 2 * n
+    for r in out:
+        if r.neg_id is not None:
+            # the contract: a negative never shares the anchor's source
+            assert r.neg_strat != r.anchor_strat
+            assert r.neg_id != r.anchor_id
+    # with 16 buckets over this corpus no draw should be NULL
+    assert all(r.neg_id is not None for r in out)
+    # deterministic: a second run returns the identical draw table
+    again = negative_samples(docs, n_buckets=16, k=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_single_source_yields_null_draws(spark):
+    from pyspark.sql import Row
+    from precios_nexo_sperant_etl_spark.operators.retrieval import \
+        negative_samples
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="only") for i in range(20)])
+    out = negative_samples(docs, n_buckets=4, k=1).collect()
+    # no cross-source candidate exists anywhere: every draw must be a
+    # reported NULL, never a same-source "negative"
+    assert len(out) == 20
+    assert all(r.neg_id is None for r in out)
