@@ -82,6 +82,12 @@ _CHECK_FIRST: list[str] = [
     "wav_decode_roundtrip",    # real WAV decode through mapInPandas
     "bmp_decode_roundtrip",    # real BMP decode through mapInPandas
     "vocab_coverage_curve",    # top-k token coverage datasheet
+    "kmv_distinct_terms",      # KMV distinct-count sketch
+    "streaming_bloom_bits",    # fourth bit-exact streaming merge algebra
+    "heaps_vocab_growth",      # Heaps-law vocabulary growth curve
+    "rrf_hybrid_retrieval",    # sparse+dense reciprocal-rank fusion
+    "snm_part_pairs",          # sorted-neighborhood record linkage
+    "contrastive_negative_samples",  # bucket-representative negatives
     # --- r01-cohort refresh (oldest stamps in the ledger; after this
     # round no stamp predates r02) ---
     "f4_to_number",
@@ -103,16 +109,12 @@ _CHECK_FIRST: list[str] = [
     # block) — displaced by any new r6 queries, which outrank
     # refreshing valid stamps ---
     "a2_a4_kpi_cards",
-    "a5_value_counts",
-    "a6_kpi_by_group",
-    "a6_states_by_group",
-    "a8_pivot_counts",
-    "a9_pct_within_group",
-    "p8_p9_filter_search",
-    # (price_histogram, tpch_q4_order_priority, sql_text_interface,
+    # (a5_value_counts, a6_kpi_by_group, a6_states_by_group,
+    # a8_pivot_counts, a9_pct_within_group, p8_p9_filter_search plus
+    # price_histogram, tpch_q4_order_priority, sql_text_interface,
     # monthly_revenue_mom, u1_union_by_name, o3_distinct_sorted,
     # o2_o4_sort_page and p10_scatter_points rotate to r7: their r02
-    # stamps stand; the eight slots fund the new never-stamped r6
+    # stamps stand; the fourteen slots fund the new never-stamped r6
     # queries above.)
 ]
 
