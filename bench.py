@@ -103,6 +103,12 @@ HEADLINE = [
     "wav_decode_roundtrip",     # real WAV decode via the Arrow seam
     "bmp_decode_roundtrip",     # real BMP decode via the Arrow seam
     "vocab_coverage_curve",     # Zipf top-k coverage datasheet
+    "kmv_distinct_terms",       # two-level k-min distinct sketch
+    "streaming_bloom_bits",     # streaming Bloom landing + OR-merge
+    "heaps_vocab_growth",       # first-occurrence-rank decile curve
+    "rrf_hybrid_retrieval",     # sparse+dense reciprocal-rank fusion
+    "snm_part_pairs",           # sorted-neighborhood sliding window
+    "contrastive_negative_samples",  # broadcast bucket-rep negatives
 ]
 
 

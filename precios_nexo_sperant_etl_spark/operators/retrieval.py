@@ -33,9 +33,14 @@ def sparse_overlap_topk(docs: DataFrame, query_ids: list[int], k: int = 20,
     The term join runs only over terms with ``df * df_prune_den <= N``
     (document frequency at most 1/df_prune_den of the corpus) — the
     posting-list prune that keeps the join linear in the number of
-    *discriminative* term occurrences. Probes prune the same way, so
-    overlap is counted over the pruned vocabulary on both sides
-    (a probe-only stopword can never create a candidate anyway).
+    *discriminative* term occurrences. Overlap is still counted over
+    the pruned vocabulary on both sides, but only the CANDIDATE side
+    carries the kept-join: a probe term outside the kept vocabulary
+    joins zero pruned posting rows, so pruning the probe side too
+    would be redundant — and would re-run the whole token-explode +
+    document-frequency subtree a second time (the shared-subtree
+    double-scan class the r5 jaccard fix addressed). The probe side
+    instead filters ``id_col`` first, which pushes into the scan.
     Integer scoring end-to-end; ties broken by candidate id.
     """
     toks = (docs.select(F.col(id_col).alias("did"),
@@ -48,8 +53,8 @@ def sparse_overlap_topk(docs: DataFrame, query_ids: list[int], k: int = 20,
                   .where(F.col("_df") * df_prune_den <= F.col("_n"))
                   .select("term"))
     pruned = toks.join(kept, "term")
-    probes = (pruned.where(F.col("did").isin(query_ids))
-                    .select(F.col("did").alias("query_id"), "term"))
+    probes = (toks.where(F.col("did").isin(query_ids))
+                  .select(F.col("did").alias("query_id"), "term"))
     scored = (pruned.join(F.broadcast(probes), "term")
                     .where(F.col("did") != F.col("query_id"))
                     .groupBy("query_id", F.col("did").alias("neighbor_id"))
