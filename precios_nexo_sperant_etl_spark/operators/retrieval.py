@@ -24,11 +24,41 @@ from pyspark.sql import functions as F
 from .text import md5_hash, tokens
 
 
+def term_sets(docs: DataFrame, ngram: int = 1, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Distinct ``(did, term)`` pairs per document: whitespace unigrams
+    (``ngram=1``) or space-joined word bigrams (``ngram=2``) — the
+    shingle unit of lexical retrieval. Bigrams come from zipping the
+    token array against itself shifted by one (``zip_with`` pads the
+    short side with null, and ``concat`` nulls the dangling last pair
+    out), so no per-document window is needed.
+    """
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    arr = tokens(F.col(text_col))
+    if ngram == 1:
+        terms = F.explode(arr).alias("term")
+        out = (docs.select(F.col(id_col).alias("did"), terms)
+                   .where(F.col("term") != ""))
+    else:
+        bi = F.zip_with(arr, F.slice(arr, 2, F.size(arr)),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+        out = (docs.select(F.col(id_col).alias("did"),
+                           F.explode(bi).alias("term"))
+                   .where(F.col("term").isNotNull()
+                          & ~F.col("term").startswith(" ")
+                          & ~F.col("term").endswith(" ")))
+    return out.distinct()
+
+
 def sparse_overlap_topk(docs: DataFrame, query_ids: list[int], k: int = 20,
                         df_prune_den: int = 10, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id", ngram: int = 1) -> DataFrame:
     """Top-``k`` lexical matches per probe document: candidates ranked by
-    the count of shared distinct terms (overlap desc, candidate id asc).
+    the count of shared distinct terms (overlap desc, candidate id asc),
+    where a term is a word unigram or, with ``ngram=2``, a word bigram
+    shingle — the right unit when the unigram vocabulary is so small
+    that every word is a stopword (df pruning then removes everything).
 
     The term join runs only over terms with ``df * df_prune_den <= N``
     (document frequency at most 1/df_prune_den of the corpus) — the
@@ -43,10 +73,7 @@ def sparse_overlap_topk(docs: DataFrame, query_ids: list[int], k: int = 20,
     instead filters ``id_col`` first, which pushes into the scan.
     Integer scoring end-to-end; ties broken by candidate id.
     """
-    toks = (docs.select(F.col(id_col).alias("did"),
-                        F.explode(tokens(F.col(text_col))).alias("term"))
-                .where(F.col("term") != "")
-                .distinct())
+    toks = term_sets(docs, ngram=ngram, text_col=text_col, id_col=id_col)
     n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
     df_tab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     kept = (df_tab.crossJoin(F.broadcast(n_docs))

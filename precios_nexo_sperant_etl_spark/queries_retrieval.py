@@ -26,10 +26,16 @@ def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # rrf_hybrid_retrieval: for 5 probe documents, fuse the dense cosine
-# top-20 (their embeddings vs the corpus) with the sparse token-overlap
-# top-20 (inverted-index join, df-pruned posting lists) via RRF and
-# keep the fused top-10. The classic hybrid-search layout: neither
-# scorer's scale matters, only its ranks, so no calibration step.
+# top-20 (their embeddings vs the corpus) with the sparse shingle-overlap
+# top-20 (inverted-index join over word BIGRAMS, df-pruned posting
+# lists) via RRF and keep the fused top-10. The classic hybrid-search
+# layout: neither scorer's scale matters, only its ranks, so no
+# calibration step. Bigram shingles, not unigrams: the synthetic corpus
+# draws from a ~31-word vocabulary, so every unigram is a stopword
+# (median df = 78% of docs — the df prune correctly removes all of
+# them and the sparse list is empty); the ~960-point bigram space has
+# df around 10% of the corpus, which is exactly the discriminative
+# band the prune keeps.
 # ---------------------------------------------------------------------------
 
 _RRF_PROBES = [0, 1, 2, 3, 4]
@@ -43,7 +49,7 @@ def _rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
                         k=_RRF_LIST_K).select("query_id", "neighbor_id",
                                               "rank")
     sparse = sparse_overlap_topk(_t(spark, sf, "documents"), _RRF_PROBES,
-                                 k=_RRF_LIST_K)
+                                 k=_RRF_LIST_K, ngram=2)
     fused = rrf_fuse(dense, sparse, k0=_RRF_K0, topk=_RRF_TOPK)
     return fused.select("query_id", "neighbor_id",
                         F.col("rank_a").alias("dense_rank"),
@@ -71,8 +77,11 @@ dense AS (
                   ORDER BY cosine DESC, neighbor_id) AS rn FROM dscored)
   WHERE rn <= {_RRF_LIST_K}),
 toks AS (SELECT DISTINCT doc_id AS did, term
-         FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents)
-         WHERE term <> ''),
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(1, len(tk)),
+                             i -> tk[i] || ' ' || tk[i + 1])) AS term
+               FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents))
+         WHERE term NOT LIKE ' %' AND term NOT LIKE '% '),
 kept AS (SELECT term FROM toks GROUP BY term
          HAVING COUNT(*) * 10 <= (SELECT COUNT(*) FROM documents)),
 pr AS (SELECT t.did, t.term FROM toks t JOIN kept USING (term)),
@@ -101,9 +110,9 @@ WHERE fr <= {_RRF_TOPK}
 ORDER BY query_id, fused_rank
 """,
     doc="Hybrid search: dense cosine top-20 + sparse df-pruned "
-        "inverted-index overlap top-20, fused with RRF (k0=60), fused "
-        "top-10 per probe — rank arithmetic end-to-end, fully "
-        "oracle-pinned.",
+        "bigram-shingle inverted-index overlap top-20, fused with RRF "
+        "(k0=60), fused top-10 per probe — rank arithmetic end-to-end, "
+        "fully oracle-pinned.",
 )
 
 

@@ -95,3 +95,58 @@ def test_negative_samples_single_source_yields_null_draws(spark):
     # reported NULL, never a same-source "negative"
     assert len(out) == 20
     assert all(r.neg_id is None for r in out)
+
+
+# --- property: sparse ranking matches a pure-Python reference -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
+_DOCS = st.lists(st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8),
+                 min_size=2, max_size=14)
+
+
+def _ref_sparse(texts, probe_ids, k, den, ngram):
+    def terms(words):
+        if ngram == 1:
+            return set(words)
+        return {f"{a} {b}" for a, b in zip(words, words[1:])}
+
+    tsets = {i: terms(t.split()) for i, t in enumerate(texts)}
+    n = len(texts)
+    df = {}
+    for s in tsets.values():
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    kept = {t for t, c in df.items() if c * den <= n}
+    out = []
+    for q in probe_ids:
+        scored = sorted(
+            ((len(tsets[q] & tsets[d] & kept), d) for d in tsets if d != q),
+            key=lambda x: (-x[0], x[1]))
+        rank = 0
+        for ov, d in scored:
+            if ov == 0:
+                break
+            rank += 1
+            if rank > k:
+                break
+            out.append((q, d, ov, rank))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_DOCS, den=st.sampled_from([1, 2, 4]),
+       ngram=st.sampled_from([1, 2]))
+def test_sparse_overlap_matches_reference(spark, docs, den, ngram):
+    texts = [" ".join(w) for w in docs]
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    probes = [0, 1]
+    got = sorted((r.query_id, r.neighbor_id, r.overlap, r.rank)
+                 for r in sparse_overlap_topk(frame, probes, k=3,
+                                              df_prune_den=den,
+                                              ngram=ngram).collect())
+    assert got == _ref_sparse(texts, probes, 3, den, ngram)

@@ -43,22 +43,22 @@ from tools.scale_stress import exploded_docs  # noqa: E402
 
 
 def sparse_fanout(docs: DataFrame, probe_ids: list[int],
-                  df_prune_den: int = 10) -> tuple[float, int, int, int]:
+                  df_prune_den: int = 10,
+                  ngram: int = 2) -> tuple[float, int, int, int]:
     """(wall of the full top-k query, pruned join fan-out, unpruned
     fan-out, kept-vocabulary size). Fan-out = posting rows that reach
-    the probe join — the real cost driver of the sparse ranking."""
+    the probe join — the real cost driver of the sparse ranking.
+    Measured over the same bigram shingle unit the registered
+    rrf_hybrid_retrieval query uses."""
     from precios_nexo_sperant_etl_spark.operators.retrieval import (
-        sparse_overlap_topk)
-    from precios_nexo_sperant_etl_spark.operators.text import tokens
+        sparse_overlap_topk, term_sets)
 
     t0 = time.time()
     sparse_overlap_topk(docs, probe_ids, k=20,
-                        df_prune_den=df_prune_den).count()
+                        df_prune_den=df_prune_den, ngram=ngram).count()
     wall = time.time() - t0
 
-    toks = (docs.select(F.col("doc_id").alias("did"),
-                        F.explode(tokens(F.col("text"))).alias("term"))
-                .where(F.col("term") != "").distinct())
+    toks = term_sets(docs, ngram=ngram)
     n_docs = docs.count()
     df_tab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     kept = df_tab.where(F.col("_df") * df_prune_den <= n_docs)
