@@ -150,3 +150,48 @@ def test_sparse_overlap_matches_reference(spark, docs, den, ngram):
                                               df_prune_den=den,
                                               ngram=ngram).collect())
     assert got == _ref_sparse(texts, probes, 3, den, ngram)
+
+
+_RANKED = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(10, 25)),
+    min_size=0, max_size=12, unique=True)
+
+
+def _ref_rrf(a, b, k0, topk):
+    # a/b: {(q, n): rank}; fused score with missing side contributing 0
+    cands = set(a) | set(b)
+    out = []
+    for q in {qn[0] for qn in cands}:
+        scored = sorted(
+            ((1.0 / (k0 + a[(q, n)]) if (q, n) in a else 0.0)
+             + (1.0 / (k0 + b[(q, n)]) if (q, n) in b else 0.0), -n)
+            for qq, n in cands if qq == q for n in [n])
+        scored.reverse()
+        for fr, (s, negn) in enumerate(scored[:topk], 1):
+            out.append((q, -negn, s, fr))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(la=_RANKED, lb=_RANKED)
+def test_rrf_fuse_matches_reference(spark, la, lb):
+    # build rank lists: per query, ranks 1..n in the given neighbor order
+    def ranks(lst):
+        seen, rows = {}, {}
+        for q, n in lst:
+            seen[q] = seen.get(q, 0) + 1
+            rows[(q, n)] = seen[q]
+        return rows
+
+    ra, rb = ranks(la), ranks(lb)
+    mk = lambda rows: spark.createDataFrame(
+        [(q, n, r) for (q, n), r in rows.items()] or [(None, None, None)],
+        "query_id long, neighbor_id long, rank long").dropna()
+    got = sorted((r.query_id, r.neighbor_id, r.rrf_score, r.fused_rank)
+                 for r in rrf_fuse(mk(ra), mk(rb), k0=60, topk=5).collect())
+    want = _ref_rrf(ra, rb, 60, 5)
+    assert [(g[0], g[1], g[3]) for g in got] == [(w[0], w[1], w[3])
+                                                 for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == w[2]  # bit-exact: same two divisions, same sum order
