@@ -94,7 +94,13 @@ def stream_curated_to_lake(spark: SparkSession, sf_dir: str, out_dir: str,
          .option("checkpointLocation", ckpt)
          .partitionBy("lang")
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    # An ignored timeout here would hand the caller a PARTIALLY-landed
+    # lake (queries_streaming reads it for a bit-exact oracle compare) —
+    # fail loudly instead, same contract as the queries_streaming sites.
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"curated-lake drain exceeded {timeout_s}s before completing")
 
 
 def stream_neardup_ingest(spark: SparkSession, src_dir: str, out_dir: str,
@@ -156,4 +162,7 @@ def stream_neardup_ingest(spark: SparkSession, src_dir: str, out_dir: str,
          .writeStream.foreachBatch(_ingest)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"near-dup ingest drain exceeded {timeout_s}s before completing")

@@ -150,7 +150,12 @@ def run_available_now(stream_df: DataFrame, query_name: str = "kpi_stream",
         q = (stream_df.writeStream.format("memory").queryName(query_name)
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(timeout_s)
+        # A silent timeout would return a PARTIAL table to the
+        # batch-equivalence comparison — fail loudly instead.
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"availableNow drain exceeded {timeout_s}s")
         spark = stream_df.sparkSession
         return spark.table(query_name).collect()
 
@@ -220,4 +225,7 @@ def streaming_parquet_upsert(stream_df: DataFrame, out_dir: str,
         q = (stream_df.writeStream.foreachBatch(_upsert)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"upsert drain exceeded {timeout_s}s")
