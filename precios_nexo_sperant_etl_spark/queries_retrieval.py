@@ -80,8 +80,7 @@ toks AS (SELECT DISTINCT doc_id AS did, term
          FROM (SELECT doc_id,
                       unnest(list_transform(range(1, len(tk)),
                              i -> tk[i] || ' ' || tk[i + 1])) AS term
-               FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents))
-         WHERE term NOT LIKE ' %' AND term NOT LIKE '% '),
+               FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents))),
 kept AS (SELECT term FROM toks GROUP BY term
          HAVING COUNT(*) * 10 <= (SELECT COUNT(*) FROM documents)),
 pr AS (SELECT t.did, t.term FROM toks t JOIN kept USING (term)),

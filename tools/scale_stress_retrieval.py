@@ -63,13 +63,15 @@ def sparse_fanout(docs: DataFrame, probe_ids: list[int],
     df_tab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     kept = df_tab.where(F.col("_df") * df_prune_den <= n_docs)
     n_vocab_kept = kept.count()
-    probe_terms_all = (toks.where(F.col("did").isin(probe_ids))
-                           .select("term").distinct())
-    # fan-out = Σ df over probe terms (every posting row of a probe term
-    # enters the join) — computed from the df table, no join needed
-    pruned_fan = (kept.join(probe_terms_all, "term")
+    # fan-out = Σ over (probe, term) pairs of that term's df: the join
+    # emits one output row per posting row PER PROBE carrying the term,
+    # so a shingle shared by several probes multiplies — summing over
+    # the distinct term union would undercount the materialized rows.
+    probe_terms = (toks.where(F.col("did").isin(probe_ids))
+                       .select("did", "term"))
+    pruned_fan = (kept.join(probe_terms, "term")
                       .agg(F.sum("_df")).first()[0] or 0)
-    unpruned_fan = (df_tab.join(probe_terms_all, "term")
+    unpruned_fan = (df_tab.join(probe_terms, "term")
                           .agg(F.sum("_df")).first()[0] or 0)
     return wall, int(pruned_fan), int(unpruned_fan), n_vocab_kept
 
