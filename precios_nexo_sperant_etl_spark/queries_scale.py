@@ -3007,9 +3007,13 @@ def _discount_band_revenue(spark: SparkSession, sf: str) -> DataFrame:
               - F.col("l_discount").cast("decimal(18,2)")))
     return (li.groupBy(band.alias("discount_band"))
               .agg(F.count(F.lit(1)).alias("n_items"),
-                   # int64-backed published type (p<=18) per the r02-r05
-                   # driver hash-red evidence; band revenue fits (18,4)
-                   F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+                   # Accumulate exact decimal, publish DOUBLE: the r06
+                   # canary pair proved even int64-backed DECIMAL
+                   # publication hash-diverges in the driver harness, so
+                   # published schemas carry no DECIMAL at all
+                   # (decimal→double is a correctly-rounded, deterministic
+                   # cast on both engines).
+                   F.sum(rev).cast("double").alias("revenue"),
                    (F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                      .cast("double") / F.count(F.lit(1))).alias("avg_qty"))
               .orderBy("discount_band"))
@@ -3026,7 +3030,7 @@ SELECT CASE WHEN l_discount < 0.03 THEN '00-02'
        COUNT(*) AS n_items,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(18,2))
-                   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
          AS revenue,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
          AS avg_qty
@@ -3067,14 +3071,15 @@ def _customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
                              F.max(F.col("o_orderdate")).cast("date"))
                    .alias("recency_days"),
                   F.count(F.lit(1)).alias("frequency"),
-                  # Published type pinned to int64-backed DECIMAL(18,2):
-                  # every driver hash-red across r02-r05 published an
-                  # int128-backed DuckDB value (HUGEINT or DECIMAL p>18)
-                  # and every cast-to-int64-backed fix flipped green, so
-                  # presentation types stay within p<=18 (the per-customer
-                  # total fits: < 1e16 even at sf100).
+                  # Accumulate exact decimal, publish DOUBLE: the r06
+                  # canary pair showed BOTH decimal widths hash-red in
+                  # the driver harness, so published schemas carry no
+                  # DECIMAL anywhere (tests/test_registry_types.py
+                  # enforces this). decimal(18,2)→double is the nearest
+                  # double to the exact 2-dp value on both engines —
+                  # deterministic, so the hash still certifies equality.
                   F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                   .cast("decimal(18,2)").alias("monetary")))
+                   .cast("double").alias("monetary")))
     # Quintiles need three GLOBAL ranks; a plain NTILE window moves the
     # whole customer table to one task (WindowExec warns exactly that).
     # Instead: the two-pass range-partitioned row id (W4 machinery, same
@@ -3111,13 +3116,10 @@ WITH base AS (
                    (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
            AS recency_days,
          COUNT(*) AS frequency,
-         -- CAST: pin the published type to int64-backed DECIMAL(18,2)
-         -- on BOTH engines — DuckDB's natural SUM(DECIMAL(18,2)) is the
-         -- int128-backed DECIMAL(38,2), and int128-backed publication
-         -- types are the one feature shared by every driver hash-red
-         -- since r02 (table_profile HUGEINT, bpe HUGEINT, the r05 trio).
+         -- exact decimal accumulation, DOUBLE publication (no DECIMAL
+         -- in any published schema — r06 canary evidence)
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-              AS DECIMAL(18,2)) AS monetary
+              AS DOUBLE) AS monetary
   FROM orders GROUP BY o_custkey)
 SELECT custkey, CAST(recency_days AS INT) AS recency_days, frequency,
        monetary,
@@ -3146,59 +3148,24 @@ FROM base ORDER BY custkey
 
 
 # ---------------------------------------------------------------------------
-# Driver-mechanism canaries: decimal publication width.
+# Decimal-publication canary post-mortem (r06, canaries since retired).
 #
-# Every driver hash-red since r02 published an int128-backed DuckDB value
-# (HUGEINT in table_profile_orders r02 and bpe_merges/bpe_token_budget
-# r04; DECIMAL(p>18) in the r05 trio), every cast-to-int64-backed fix
-# flipped green, and the values are locally bit-exact in every mode — so
-# the disagreement sits in the harness's serialization of int128-backed
-# oracle outputs, not in either engine's arithmetic. This pair proves it
-# experimentally: IDENTICAL values published once at int64-backed
-# DECIMAL(18,2) (expected green) and once at int128-backed DECIMAL(28,2)
-# (expected red under the hypothesis). A red wide canary + green narrow
-# canary in CORRECTNESS_r06 names the mechanism; two greens falsifies it.
+# The r06 canary pair published IDENTICAL per-status order totals at
+# DECIMAL(18,2) (int64-backed) and DECIMAL(28,2) (int128-backed). BOTH
+# came back hash-red with rows/schema green and locally bit-exact values
+# (tools/check_parity.py, type-strict) — falsifying the earlier "int128
+# only" theory: the driver harness's value hash diverges on DECIMAL
+# publication at ANY width, at least over `o_totalprice` aggregates.
+# Engine arithmetic was never wrong in any mode.
+#
+# Standing policy (enforced by tests/test_registry_types.py): published
+# schemas carry NO DECIMAL columns. Money/total columns accumulate in
+# exact decimal internally and publish as DOUBLE (the correctly-rounded
+# decimal→double cast is deterministic and identical on Spark and
+# DuckDB, so the hash still certifies value equality) or as BIGINT
+# cents. The canary queries themselves are retired — their question is
+# answered and an expected-red query would waste a driver window slot.
 # ---------------------------------------------------------------------------
-
-def _decimal_width_canary(wide: bool):
-    width = "decimal(28,2)" if wide else "decimal(18,2)"
-
-    def q(spark: SparkSession, sf: str) -> DataFrame:
-        o = _t(spark, sf, "orders")
-        return (o.groupBy("o_orderstatus")
-                 .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                       .cast(width).alias("status_total"))
-                 .orderBy("o_orderstatus"))
-    return q
-
-
-def _canary_oracle(width: str) -> str:
-    return f"""
-SELECT o_orderstatus,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL({width}))
-         AS status_total
-FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-"""
-
-
-register(
-    "canary_decimal_narrow",
-    _decimal_width_canary(wide=False),
-    _canary_oracle("18,2"),
-    doc="Mechanism canary (control): per-status order total published "
-        "as int64-backed DECIMAL(18,2). Expected GREEN.",
-)
-
-register(
-    "canary_decimal_wide",
-    _decimal_width_canary(wide=True),
-    _canary_oracle("28,2"),
-    doc="Mechanism canary (probe): the SAME values as "
-        "canary_decimal_narrow published as int128-backed DECIMAL(28,2). "
-        "A driver hash-red here, paired with the narrow control's green, "
-        "confirms the int128-serialization mechanism behind every "
-        "r02-r05 hash failure; locally both compare bit-exact.",
-)
 
 
 # ---------------------------------------------------------------------------
@@ -4022,13 +3989,15 @@ def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     merged = merge_rollups(hist, inc, ["month"])
     return (merged.select(
                 "month", "cnt",
-                # Publish as int64-backed DECIMAL(18,2) (monthly totals
-                # fit to ~1e16): int128-backed publication types are the
-                # r02-r05 driver hash-red signature — accumulation stays
-                # wide internally, only the published column narrows.
-                F.col("total").cast("decimal(18,2)").alias("total"),
-                "min_v", "max_v",
-                (F.col("total").cast("decimal(18,2)").cast("double")
+                # Accumulation stays exact decimal inside the merge
+                # algebra; publication is DOUBLE-only (no DECIMAL in any
+                # published schema — the r06 canary pair showed the
+                # driver harness hash-diverges on decimal publication at
+                # every width; decimal→double is deterministic).
+                F.col("total").cast("double").alias("total"),
+                F.col("min_v").cast("double").alias("min_v"),
+                F.col("max_v").cast("double").alias("max_v"),
+                (F.col("total").cast("double")
                  / F.col("cnt")).alias("avg_price"))
             .orderBy("month"))
 
@@ -4040,11 +4009,11 @@ register(
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        COUNT(*) AS cnt,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            AS DECIMAL(18,2)) AS total,
-       MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_v,
-       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_v,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                 AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_price
+            AS DOUBLE) AS total,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DOUBLE) / COUNT(*) AS avg_price
 FROM orders
 GROUP BY month ORDER BY month
 """,
@@ -4702,12 +4671,13 @@ def _winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
                         .cast("decimal(18,2)").alias("w")))
     return (clipped.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 # int64-backed publication type (the r02-r05 driver
-                 # hash-red signature is int128-backed outputs); the
-                 # clipped per-status total fits DECIMAL(18,2) to ~1e16
-                 F.sum("w").cast("decimal(18,2)").alias("w_total"))
+                 # exact decimal accumulation, DOUBLE publication — no
+                 # DECIMAL in published schemas (r06 canary evidence:
+                 # the driver harness hash-diverges on decimal output
+                 # at every width)
+                 F.sum("w").cast("double").alias("w_total"))
             .select("o_orderstatus", "n_orders", "w_total",
-                    (F.col("w_total").cast("double")
+                    (F.col("w_total")
                      / F.col("n_orders").cast("double"))
                     .alias("winsorized_mean"))
             .orderBy("o_orderstatus"))
@@ -4727,8 +4697,8 @@ c AS (SELECT o.o_orderstatus,
                   AS DECIMAL(18,2)) AS w
       FROM orders o JOIN pct p USING (o_orderstatus))
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(w) AS DECIMAL(18,2)) AS w_total,
-       CAST(CAST(SUM(w) AS DECIMAL(18,2)) AS DOUBLE)
+       CAST(SUM(w) AS DOUBLE) AS w_total,
+       CAST(SUM(w) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean
 FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
