@@ -30,39 +30,35 @@ def term_sets(docs: DataFrame, ngram: int = 1, text_col: str = "text",
     (``ngram=1``) or space-joined word bigrams (``ngram=2``) — the
     shingle unit of lexical retrieval.
 
-    Bigrams use the posexplode + ``lead`` window form, the same shape
-    as ``dedup_fuzzy.shingle_hashes`` and for the same reason: array
-    higher-order functions interpret their lambda per element, and even
-    the cheap ``zip_with``+``concat`` variant measured ~30% slower at
-    sf0.1 (the per-element slice forms are 9× slower). The window is
-    keyed by a per-row tag, not the id, so duplicate ids can never
-    interleave token streams into phantom cross-row bigrams. The
-    ``concat`` with the null ``lead`` of the last position drops the
-    dangling pair; interior empty tokens cannot occur (``tokens`` is
-    ``split(trim(text), '\\s+')``, so the only possible empty is the
-    lone ``['']`` of blank text, which forms no bigram).
+    Both shapes are fully NARROW: the term set is built per row inside
+    array expressions (``array_distinct`` before the explode gives the
+    per-document distinct, and distinct-per-(did,term) equals global
+    distinct when ids are unique — ids here are the document key) so no
+    shuffle is ever needed. The r6 bigram form routed through
+    posexplode + a ``lead`` window keyed by a row tag + a global
+    ``.distinct()`` — two corpus-wide shuffles that the r7 plan diet
+    removed; the indexed-``transform`` lambda costs ~O(1) per element
+    (``element_at`` on an array, not the 9×-slower per-element slice
+    forms measured for shingle_hashes).
+
+    Blank text yields ``['']`` from ``tokens`` (so no bigram and an
+    empty unigram, filtered); interior empty tokens cannot occur
+    (``tokens`` splits on runs of whitespace).
     """
     if ngram not in (1, 2):
         raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    tk = tokens(F.col(text_col))
     if ngram == 1:
-        out = (docs.select(F.col(id_col).alias("did"),
-                           F.explode(tokens(F.col(text_col))).alias("term"))
-                   .where(F.col("term") != ""))
+        terms = F.array_distinct(F.filter(tk, lambda x: x != ""))
     else:
-        from pyspark.sql import Window
-        # tag in its own projection: a nondeterministic expr in the same
-        # select as a generator is re-evaluated per exploded row
-        tagged = docs.select(F.col(id_col).alias("did"), F.col(text_col),
-                             F.monotonically_increasing_id().alias("_row"))
-        toks = tagged.select("did", "_row",
-                             F.posexplode(tokens(F.col(text_col)))
-                              .alias("pos", "w1"))
-        w = Window.partitionBy("_row").orderBy("pos")
-        out = (toks.select("did", F.concat("w1", F.lit(" "),
-                                           F.lead("w1").over(w))
-                                   .alias("term"))
-                   .where(F.col("term").isNotNull()))
-    return out.distinct()
+        base = docs.select(F.col(id_col).alias("did"), tk.alias("_tk"))
+        bigrams = F.expr(
+            "transform(slice(_tk, 1, size(_tk) - 1),"
+            " (x, i) -> concat(x, ' ', element_at(_tk, i + 2)))")
+        return base.select("did",
+                           F.explode(F.array_distinct(bigrams)).alias("term"))
+    return (docs.select(F.col(id_col).alias("did"), terms.alias("_terms"))
+                .select("did", F.explode("_terms").alias("term")))
 
 
 def sparse_overlap_topk(docs: DataFrame, query_ids: list[int], k: int = 20,
@@ -77,25 +73,45 @@ def sparse_overlap_topk(docs: DataFrame, query_ids: list[int], k: int = 20,
     The term join runs only over terms with ``df * df_prune_den <= N``
     (document frequency at most 1/df_prune_den of the corpus) — the
     posting-list prune that keeps the join linear in the number of
-    *discriminative* term occurrences. Overlap is still counted over
-    the pruned vocabulary on both sides, but only the CANDIDATE side
-    carries the kept-join: a probe term outside the kept vocabulary
-    joins zero pruned posting rows, so pruning the probe side too
-    would be redundant — and would re-run the whole token-explode +
-    document-frequency subtree a second time (the shared-subtree
-    double-scan class the r5 jaccard fix addressed). The probe side
-    instead filters ``id_col`` first, which pushes into the scan.
+    *discriminative* term occurrences. Plan shape (the r7 diet; the r6
+    form built the posting list, the df table and the probe terms as
+    three independent full-corpus explode+window+distinct subtrees —
+    28 shuffles, 78 stages):
+
+    - the prune ships as a broadcast STOP-LIST anti join, not a kept
+      semi join: terms over the df threshold number at most
+      ``df_prune_den × avg distinct terms per doc`` (each stop term
+      has df > N/den, and total (did, term) rows are N × the average,
+      so fewer than den × average terms can exceed it) — bounded by
+      document shape, NOT corpus size, hence broadcastable at any
+      scale, while the kept vocabulary grows with the corpus.
+    - the corpus-side posting subtree is explode → broadcast-anti →
+      broadcast-probe-join → partial-agg: the corpus-sized table never
+      shuffles on term, so a hot 10%-df term can never pin one task
+      (the skew class a ``count over (partition by term)`` window
+      df would reintroduce).
+    - the df aggregation recomputes the narrow explode rather than
+      persisting it: at scale, re-running a map-only subtree beats
+      materializing an exploded 100-TB corpus; map-side combine means
+      only vocabulary-sized partials shuffle.
+    - the probe side filters ``docs`` by ``id_col`` FIRST (a scan-level
+      pushdown; |probes| rows) and explodes only those rows, so probe
+      terms never touch the corpus-sized subtree. A probe term in the
+      stop-list still scores (overlap counts the unpruned posting rows
+      it reaches — zero, exactly as the r6 kept-vocabulary form).
+
     Integer scoring end-to-end; ties broken by candidate id.
     """
     toks = term_sets(docs, ngram=ngram, text_col=text_col, id_col=id_col)
-    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
-    df_tab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    kept = (df_tab.crossJoin(F.broadcast(n_docs))
-                  .where(F.col("_df") * df_prune_den <= F.col("_n"))
-                  .select("term"))
-    pruned = toks.join(kept, "term")
-    probes = (toks.where(F.col("did").isin(query_ids))
-                  .select(F.col("did").alias("query_id"), "term"))
+    stop = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+                .crossJoin(F.broadcast(
+                    docs.select(F.count(F.lit(1)).alias("_n"))))
+                .where(F.col("_df") * df_prune_den > F.col("_n"))
+                .select("term"))
+    pruned = toks.join(F.broadcast(stop), "term", "left_anti")
+    probes = (term_sets(docs.where(F.col(id_col).isin(query_ids)),
+                        ngram=ngram, text_col=text_col, id_col=id_col)
+              .select(F.col("did").alias("query_id"), "term"))
     scored = (pruned.join(F.broadcast(probes), "term")
                     .where(F.col("did") != F.col("query_id"))
                     .groupBy("query_id", F.col("did").alias("neighbor_id"))

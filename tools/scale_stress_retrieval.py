@@ -95,7 +95,12 @@ def snm_candidates(docs: DataFrame, w: int = 4) -> tuple[float, int, int]:
     wall = time.time() - t0
     n_keys = keys.count()
     expected = n_keys * (w - 1) - (w - 1) * w // 2
-    assert n_cand == expected, (n_cand, expected)
+    # Explicit raise, not `assert`: SCALING.md cites this equality as the
+    # stress guarantee, and asserts vanish under `python -O`.
+    if n_cand != expected:
+        raise AssertionError(
+            f"snm candidate count {n_cand} != closed form {expected} "
+            f"(n_keys={n_keys}, w={w})")
     return wall, n_keys, n_cand
 
 
