@@ -82,15 +82,15 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
 
 def real_decode_placeholder(payload: bytes) -> None:
-    """Where a COMPRESSED-format decoder (JPEG/PNG/MP3/MP4) would plug
-    in. Kept explicit so the remaining gap is visible and tested as
-    such — the uncompressed container formats below (BMP, WAV/PCM) are
-    decoded for real with stdlib + numpy."""
+    """Where a transform-coded decoder (JPEG/MP3/MP4) would plug in.
+    Kept explicit so the remaining gap is visible and tested as such —
+    BMP and WAV/PCM (uncompressed containers) and PNG (zlib-deflate
+    container, stdlib-decodable) are decoded for real below."""
     raise NotImplementedError(
-        "compressed-media codecs (PIL/torchaudio/ffmpeg) are not "
-        "available in this environment; BMP and WAV decode is real "
-        "(decode_bmp / decode_wav), wire codec libraries into "
-        "decode_media_batch for JPEG/PNG/MP3/MP4 payloads")
+        "transform-codec media (libjpeg/torchaudio/ffmpeg) is not "
+        "available in this environment; BMP, WAV and PNG decode is "
+        "real (decode_bmp / decode_wav / decode_png), wire codec "
+        "libraries into decode_media_batch for JPEG/MP3/MP4 payloads")
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +177,146 @@ def decode_wav(payload: bytes) -> dict:
     return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+from zlib import error as _zlib_error  # noqa: E402  (a torn IDAT raises it)
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode with stdlib ``zlib`` + numpy: walk the chunk
+    list (big-endian lengths, CRC-32 verified per chunk — same loud
+    failure posture as the BIFF reader), inflate the concatenated IDAT
+    stream (``zlib.decompress`` also checks the Adler-32 trailer),
+    reverse all five scanline filters (None/Sub/Up/Average/Paeth, the
+    full PNG filter method 0 set), and compute the exact integer
+    per-channel means like :func:`decode_bmp`. Supports 8-bit
+    truecolor (color type 2) non-interlaced images — the shape the
+    roundtrip oracle emits; other color configurations raise.
+
+    Cost note: filters Sub/Average/Paeth are sequential in x by
+    definition (each byte's predictor reads the just-reconstructed
+    left neighbor), so those rows reconstruct in a per-byte loop;
+    None/Up rows stay vectorized. Spec: the public PNG specification
+    (RFC 2083 / ISO 15948); reference repo has no media surface
+    (SURVEY §2.8 — beyond-reference capability).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, end_seen = 8, None, [], False
+    while pos + 12 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            end_seen = True
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not end_seen:
+        raise ValueError("missing IHDR/IEND chunk")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit truecolor non-interlaced PNG "
+                         "is decoded here")
+    out = {"width": int(w), "height": int(h), "bits_per_pixel": 24}
+    raw = zlib.decompress(b"".join(idat))  # inflate + Adler-32 check
+    bpp, stride = 3, 3 * w
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline size mismatch")
+    if h == 0 or w == 0:
+        return out
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    prior = np.zeros(stride, dtype=np.int64)
+    totals = np.zeros(3, dtype=np.int64)
+    for y in range(h):
+        ft, cur = int(arr[y, 0]), arr[y, 1:].astype(np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:                      # Up
+            rec = (cur + prior) & 0xFF
+        elif ft in (1, 3, 4):              # Sub / Average / Paeth
+            rec = cur
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if pa <= pb and pa <= pc
+                            else b if pb <= pc else c)
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        totals += rec.reshape(-1, 3).sum(axis=0)
+        prior = rec
+    n = w * h
+    out.update(mean_r_milli=int(totals[0] * 1000 // n),
+               mean_g_milli=int(totals[1] * 1000 // n),
+               mean_b_milli=int(totals[2] * 1000 // n))
+    return out
+
+
+def encode_png(rgb: bytes, width: int) -> bytes:
+    """Build a genuine 8-bit truecolor PNG from raw RGB bytes — the
+    encode half of the roundtrip oracle. Rows cycle through filter
+    types 0/1/2 (None/Sub/Up) so the decoder's de-filtering is
+    actually exercised, and the IDAT stream is real ``zlib.compress``
+    output (the decode path runs a real inflate; compressed bytes are
+    never hashed, so codec-level nondeterminism cannot leak into
+    oracle values). CRC-32s are computed per chunk per the spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+    stride = 3 * width
+    if width <= 0 or len(rgb) % stride:
+        raise ValueError("rgb length must be a multiple of 3*width")
+    h = len(rgb) // stride
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, 2, 0, 0, 0)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, stride) if h else \
+        np.zeros((0, stride), dtype=np.uint8)
+    lines = bytearray()
+    for y in range(h):
+        row = px[y].astype(np.int16)
+        ft = y % 3
+        if ft == 0:
+            filtered = px[y]
+        elif ft == 1:                      # Sub
+            left = np.concatenate([np.zeros(3, dtype=np.int16),
+                                   row[:-3]])
+            filtered = ((row - left) & 0xFF).astype(np.uint8)
+        else:                              # Up
+            prior = px[y - 1].astype(np.int16)
+            filtered = ((row - prior) & 0xFF).astype(np.uint8)
+        lines.append(ft)
+        lines += filtered.tobytes()
+    idat = zlib.compress(bytes(lines))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 #: Output schema of the real-media feature pass: one nullable column
 #: set per modality; ``mime_detected`` says which decoder ran.
 MEDIA_SCHEMA = StructType([
@@ -233,8 +373,17 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                            sample_rate=d["sample_rate"],
                            duration_ms=d["duration_ms"],
                            ms_amplitude=d.get("ms_amplitude"))
-        except (ValueError, IndexError):
+            elif p.startswith(_PNG_SIG):
+                d = decode_png(p)
+                row.update(mime_detected="image/png", width=d["width"],
+                           height=d["height"],
+                           mean_r_milli=d.get("mean_r_milli"),
+                           mean_g_milli=d.get("mean_g_milli"),
+                           mean_b_milli=d.get("mean_b_milli"))
+        except (ValueError, IndexError, _zlib_error):
             row["mime_detected"] = ("corrupt/bmp" if p[:2] == b"BM"
+                                    else "corrupt/png"
+                                    if p.startswith(_PNG_SIG)
                                     else "corrupt/wav")
         rows.append(row)
     return pd.DataFrame(rows)

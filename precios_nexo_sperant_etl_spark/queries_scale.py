@@ -5880,6 +5880,96 @@ FROM m ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# PNG roundtrip oracle — the COMPRESSED half of the real-decode seam
+# (the r6 gap: BMP/WAV are uncompressed containers; a real corpus is
+# compressed formats). Text bytes (zero-padded to 12-byte rows) become
+# the RGB pixels of a genuine 8-bit truecolor PNG built by
+# operators/multimodal.encode_png — real zlib deflate in the IDAT
+# stream, per-chunk CRC-32s, scanline filters cycling None/Sub/Up — in
+# one Arrow-batched encode pass; decode_png then walks the chunks
+# (verifying CRCs), INFLATES the stream (Adler-32 checked), reverses
+# the filters and computes exact integer channel means through the
+# same mapInPandas seam as BMP/WAV. DuckDB recomputes the expected
+# means directly from the text bytes, so a bug anywhere in the codec
+# round trip (filter math, chunk framing, inflate plumbing) breaks the
+# value hash. Compressed bytes themselves are never hashed — zlib
+# version differences cannot leak into oracle values.
+#
+# Scale shape: two narrow Arrow crossings (encode, decode), zero
+# shuffles before the final doc_id sort; payload-byte partition sizing
+# per the multimodal module note.
+# ---------------------------------------------------------------------------
+
+def _png_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+    from .operators.multimodal import encode_png, extract_media_features
+
+    d = _t(spark, sf, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    pad = (12 - F.octet_length(raw) % 12) % 12
+    rgb = F.concat(raw, F.substring(F.lit(b"\x00" * 11), 1, pad))
+    src = d.select("doc_id", rgb.alias("rgb"))
+
+    def enc(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [encode_png(bytes(b), 4) for b in pdf["rgb"]],
+            })
+
+    binary_df = src.mapInPandas(enc, "doc_id long, payload binary")
+    return (extract_media_features(binary_df)
+            .select("doc_id", "mime_detected", "width", "height",
+                    "mean_r_milli", "mean_g_milli", "mean_b_milli")
+            .orderBy("doc_id"))
+
+
+register(
+    "png_decode_roundtrip",
+    _png_roundtrip,
+    r"""
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
+p AS (SELECT doc_id,
+             hx0 || repeat('00', CAST((12 - (length(hx0) // 2) % 12) % 12
+                                      AS BIGINT)) AS hx
+      FROM b),
+s AS (SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS nb,
+             list_transform(range(0, length(hx) // 2), i ->
+               ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)
+               AS bytes
+      FROM p),
+m AS (SELECT doc_id, nb, nb // 3 AS npx,
+             list_sum(list_transform(range(0, nb // 3),
+                                     i -> bytes[CAST(3 * i + 1 AS INT)]))
+               AS sr,
+             list_sum(list_transform(range(0, nb // 3),
+                                     i -> bytes[CAST(3 * i + 2 AS INT)]))
+               AS sg,
+             list_sum(list_transform(range(0, nb // 3),
+                                     i -> bytes[CAST(3 * i + 3 AS INT)]))
+               AS sb
+      FROM s)
+SELECT doc_id,
+       'image/png' AS mime_detected,
+       CAST(4 AS BIGINT) AS width,
+       CAST(nb // 12 AS BIGINT) AS height,
+       CASE WHEN npx = 0 THEN NULL
+            ELSE CAST(sr * 1000 // npx AS BIGINT) END AS mean_r_milli,
+       CASE WHEN npx = 0 THEN NULL
+            ELSE CAST(sg * 1000 // npx AS BIGINT) END AS mean_g_milli,
+       CASE WHEN npx = 0 THEN NULL
+            ELSE CAST(sb * 1000 // npx AS BIGINT) END AS mean_b_milli
+FROM m ORDER BY doc_id
+""",
+    doc="Real PNG decode roundtrip: text bytes as the RGB pixels of a "
+        "genuine zlib-deflate PNG (filters None/Sub/Up across rows, "
+        "CRC-checked chunks), encoded and decoded through two Arrow "
+        "crossings, hash-verified against byte-level SQL over the same "
+        "bytes — the compressed-codec half of the multimodal seam.",
+)
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve: the tokenizer-design datasheet row — what
 # share of all corpus tokens the top-k most frequent terms cover, at
 # k ∈ {100, 1000, 10000} (clamped to the actual vocabulary size). The

@@ -54,7 +54,7 @@ _CHECK_FIRST: list[str] = [
     "winsorized_mean_by_status",
     "discount_band_revenue",
     # --- NEW in r7 (never stamped; uncommented as each is registered) ---
-    # "png_decode_roundtrip",      # real zlib/Paeth PNG decode oracle
+    "png_decode_roundtrip",        # real zlib/Paeth PNG decode oracle
     # "domain_dedup_datasheet",    # URL/domain-keyed dedup + mix stats
     # "streaming_late_drop",       # watermark lateness value oracle
     # "url_host_extract",          # domain parsing primitive

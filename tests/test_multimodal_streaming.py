@@ -488,3 +488,106 @@ def test_extract_media_features_null_payload_row(spark):
            for r in extract_media_features(df).collect()}
     assert got[0]["mime_detected"] == "application/octet-stream"
     assert got[1]["mime_detected"] is None and got[1]["byte_len"] is None
+
+
+def _hand_png(px_rows, filters):
+    """Independent PNG encoder (shares no code with encode_png): raw
+    rows + explicit per-row filter types, spec-direct filter math."""
+    import struct
+    import zlib
+    stride = len(px_rows[0]) if px_rows else 0
+    w, h = stride // 3, len(px_rows)
+
+    def chunk(t, data):
+        return (struct.pack(">I", len(data)) + t + data
+                + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF))
+
+    lines, prior = bytearray(), bytes(stride)
+    for row, ft in zip(px_rows, filters):
+        out = bytearray()
+        for x in range(stride):
+            a = row[x - 3] if x >= 3 else 0
+            b = prior[x]
+            c = prior[x - 3] if x >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+            out.append((row[x] - pred) & 0xFF)
+        lines.append(ft)
+        lines += out
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_all_five_filters():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) reconstructs
+    bit-exactly, verified against an independent hand encoder."""
+    import random
+    from precios_nexo_sperant_etl_spark.operators.multimodal import decode_png
+    rng = random.Random(11)
+    rows = [bytes(rng.randrange(256) for _ in range(15)) for _ in range(6)]
+    png = _hand_png(rows, [0, 1, 2, 3, 4, 4])
+    d = decode_png(png)
+    flat = b"".join(rows)
+    n = len(flat) // 3
+    for i, key in enumerate(("mean_r_milli", "mean_g_milli",
+                             "mean_b_milli")):
+        assert d[key] == sum(flat[i::3]) * 1000 // n
+    assert (d["width"], d["height"]) == (5, 6)
+
+
+def test_encode_png_roundtrip_and_idempotent_means():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_png, encode_png)
+    rgb = bytes(range(256)) * 3  # 768 bytes = 64 px rows of width 4
+    d = decode_png(encode_png(rgb, 4))
+    n = len(rgb) // 3
+    assert (d["width"], d["height"]) == (4, n // 4)
+    for i, key in enumerate(("mean_r_milli", "mean_g_milli",
+                             "mean_b_milli")):
+        assert d[key] == sum(rgb[i::3]) * 1000 // n
+
+
+def test_decode_png_rejects_corruption():
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_png, encode_png)
+    png = bytearray(encode_png(bytes(range(60)), 4))
+    flipped = bytearray(png)
+    flipped[-5] ^= 0xFF                       # IEND CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(flipped))
+    torn = bytes(png[:len(png) // 2])         # torn chunk list
+    with pytest.raises(ValueError):
+        decode_png(torn)
+    body_flip = bytearray(png)
+    body_flip[40] ^= 0xFF                     # IDAT byte (CRC now stale)
+    with pytest.raises(ValueError):
+        decode_png(bytes(body_flip))
+
+
+def test_media_batch_routes_png(spark):
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        encode_png, extract_media_features)
+    png = encode_png(bytes([10, 20, 30] * 8), 4)
+    df = spark.createDataFrame([(7, bytearray(png))],
+                               "doc_id long, payload binary")
+    row = extract_media_features(df).collect()[0]
+    assert row["mime_detected"] == "image/png"
+    assert (row["width"], row["height"]) == (4, 2)
+    assert (row["mean_r_milli"], row["mean_g_milli"],
+            row["mean_b_milli"]) == (10000, 20000, 30000)
+    assert row["channels"] is None            # image row: audio cols null
