@@ -1,0 +1,83 @@
+"""URL / domain keying for web-corpus curation.
+
+Beyond-reference surface. The most common curation key for web-scale
+training data is the URL — per-domain mixing quotas, domain-keyed
+dedup, and domain blocklists all need a *registrable domain* (the
+"site", e.g. ``example.co.uk``) extracted from raw URLs. This module
+keeps that extraction declarative: every part is a Column expression
+(Spark-native ``parse_url`` plus regexes), so it runs inside
+whole-stage codegen with no Python crossing and pushes through scans
+like any other projection.
+
+The registrable-domain rule here is the pragmatic two-label heuristic
+with an explicit multi-label public-suffix list (``co.uk`` and
+friends). A production deployment swaps in the full Mozilla Public
+Suffix List — same expression shape, longer lookup — which is why the
+suffix set is one obvious constant below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Second-level public suffixes treated as part of the TLD. A tiny,
+#: explicit subset of the Public Suffix List — enough to make the
+#: "last two vs last three labels" decision real.
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "com.pe", "gob.pe", "com.au",
+    "co.jp", "com.mx", "com.br",
+)
+
+#: Same set as one SQL IN-list literal (used by oracles).
+MULTI_LABEL_SUFFIX_SQL = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased hostname (no port, no userinfo) via Spark-native
+    ``parse_url`` — JVM-side, codegen-friendly."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as INT, NULL when the URL carries none."""
+    return F.nullif(F.regexp_extract(url, r"://[^/?#]*:(\d+)", 1),
+                    F.lit("")).cast("int")
+
+
+def url_path(url: Column) -> Column:
+    """Path component (leading slash, query/fragment excluded); NULL
+    for an empty path."""
+    return F.nullif(F.parse_url(url, F.lit("PATH")), F.lit(""))
+
+
+def url_query(url: Column) -> Column:
+    """Query string without the ``?``; NULL when absent."""
+    return F.parse_url(url, F.lit("QUERY"))
+
+
+def registrable_domain(host: Column) -> Column:
+    """Registrable domain of a lowercased host: the last two labels,
+    or the last three when the last two form a multi-label public
+    suffix (``blog.x.co.uk`` → ``x.co.uk``). Hosts with fewer labels
+    pass through unchanged."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return (F.when(last2.isin(*MULTI_LABEL_SUFFIXES) & (last3 != ""),
+                   last3)
+             .when(last2 != "", last2)
+             .otherwise(host))
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Project host / port / path / query_string / domain columns out
+    of ``url_col`` — a narrow, fully-pushable enrichment."""
+    u = F.col(url_col)
+    host = url_host(u)
+    return df.withColumns({
+        "host": host,
+        "port": url_port(u),
+        "path": url_path(u),
+        "query_string": url_query(u),
+        "domain": registrable_domain(host),
+    })

@@ -9,7 +9,7 @@ bit-identical — see functions/exact.py for why order matters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dedup_fuzzy import (exact_dedup, exact_dedup_survivors,
@@ -5966,6 +5966,169 @@ FROM m ORDER BY doc_id
         "CRC-checked chunks), encoded and decoded through two Arrow "
         "crossings, hash-verified against byte-level SQL over the same "
         "bytes — the compressed-codec half of the multimodal seam.",
+)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain keying (operators/urls.py). The fixture has no URL
+# column, so both queries synthesize one deterministically from
+# (source, doc_id) — five shapes covering subdomains, explicit ports,
+# query strings, uppercase hosts and multi-label public suffixes — and
+# then PARSE it back with the real machinery (Spark parse_url +
+# registrable-domain label logic), which the oracle re-derives with
+# portable regexes. The parsing is the operator under test; the
+# synthesis is just a deterministic stand-in for a crawl's url column.
+# ---------------------------------------------------------------------------
+
+def _synth_url_spark() -> Column:
+    sid = F.col("source")
+    did = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 5
+    return (F.when(v == 0, F.concat(F.lit("https://www."), sid,
+                                    F.lit(".com/articles/"), did))
+             .when(v == 1, F.concat(F.lit("http://blog."), sid,
+                                    F.lit(".co.uk/post?id="), did))
+             .when(v == 2, F.concat(F.lit("https://cdn."), sid,
+                                    F.lit(".org:8443/assets/"), did,
+                                    F.lit(".html")))
+             .when(v == 3, F.concat(F.lit("https://"), sid,
+                                    F.lit(".com.pe/x/"), did))
+             .otherwise(F.concat(F.lit("http://"), F.upper(sid),
+                                 F.lit(".net/p/"), did)))
+
+
+_SYNTH_URL_SQL = """
+CASE doc_id % 5
+  WHEN 0 THEN 'https://www.' || source || '.com/articles/'
+              || CAST(doc_id AS VARCHAR)
+  WHEN 1 THEN 'http://blog.' || source || '.co.uk/post?id='
+              || CAST(doc_id AS VARCHAR)
+  WHEN 2 THEN 'https://cdn.' || source || '.org:8443/assets/'
+              || CAST(doc_id AS VARCHAR) || '.html'
+  WHEN 3 THEN 'https://' || source || '.com.pe/x/'
+              || CAST(doc_id AS VARCHAR)
+  ELSE 'http://' || upper(source) || '.net/p/' || CAST(doc_id AS VARCHAR)
+END"""
+
+#: DuckDB mirror of urls.url_host / registrable_domain.
+_DUCK_HOST = (r"lower(regexp_extract(url,"
+              r" '://(?:[^/@]*@)?([^/:?#]+)', 1))")
+
+
+def _duck_domain(host: str) -> str:
+    from .operators.urls import MULTI_LABEL_SUFFIX_SQL
+    last2 = rf"regexp_extract({host}, '([^.]+\.[^.]+)$', 1)"
+    last3 = rf"regexp_extract({host}, '([^.]+\.[^.]+\.[^.]+)$', 1)"
+    return (f"CASE WHEN {last2} IN ({MULTI_LABEL_SUFFIX_SQL})"
+            f" AND {last3} <> '' THEN {last3}"
+            f" WHEN {last2} <> '' THEN {last2}"
+            f" ELSE {host} END")
+
+
+def _url_host_extract(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.urls import with_url_parts
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", _synth_url_spark().alias("url"))
+    return (with_url_parts(base)
+            .select("doc_id", "url", "host", "port", "path",
+                    "query_string", "domain")
+            .orderBy("doc_id"))
+
+
+register(
+    "url_host_extract",
+    _url_host_extract,
+    rf"""
+WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+SELECT doc_id, url,
+       {_DUCK_HOST} AS host,
+       CAST(nullif(regexp_extract(url, '://[^/?#]*:(\d+)', 1), '')
+            AS INT) AS port,
+       nullif(regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1), '') AS path,
+       nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query_string,
+       {_duck_domain(_DUCK_HOST)} AS domain
+FROM u ORDER BY doc_id
+""",
+    doc="URL parsing primitive: host (lowercased, port/userinfo "
+        "stripped), explicit port, path, query string and registrable "
+        "domain (multi-label public-suffix aware) — Spark parse_url + "
+        "label logic vs portable regex re-derivation, fully narrow.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain curation datasheet: the mixing/dedup summary a crawl
+# pipeline publishes per site — volume, exact-dup structure within the
+# domain, cross-domain contamination (texts that also appear under
+# another domain), and token share against the corpus total.
+#
+# Scale shape: one fact-fact shuffle join keyed by text hash (the
+# per-hash domain-spread table is corpus-sized in the worst case and
+# therefore NOT broadcast — AQE may still elect broadcast at small sf),
+# group-bys with map-side combine everywhere else, and the corpus token
+# total rides in as a broadcast 1-row frame.
+# ---------------------------------------------------------------------------
+
+def _domain_dedup_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import canonical_text
+    from .operators.text import BPE_ISH_PATTERN
+    from .operators.urls import registrable_domain, url_host
+
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        registrable_domain(url_host(_synth_url_spark())).alias("domain"),
+        F.md5(canonical_text(F.col("text"))).alias("h"),
+        F.regexp_count(F.col("text"),
+                       F.lit(BPE_ISH_PATTERN)).cast("long")
+         .alias("n_tokens"))
+    spread = (base.groupBy("h")
+                  .agg(F.count_distinct("domain").alias("n_domains")))
+    totals = base.agg(F.sum("n_tokens").alias("_total"))
+    return (base.join(spread, "h")
+                .groupBy("domain")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.count_distinct("h").alias("n_unique"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.sum(F.when(F.col("n_domains") > 1, 1)
+                            .otherwise(0)).alias("n_cross_domain_dup"))
+                .crossJoin(F.broadcast(totals))
+                .select("domain", "n_docs", "n_unique",
+                        ((F.col("n_docs") - F.col("n_unique"))
+                         / F.col("n_docs")).alias("within_dup_rate"),
+                        "n_tokens",
+                        (F.col("n_tokens") / F.col("_total"))
+                         .alias("token_share"),
+                        "n_cross_domain_dup")
+                .orderBy("domain"))
+
+
+register(
+    "domain_dedup_datasheet",
+    _domain_dedup_datasheet,
+    rf"""
+WITH u AS (SELECT doc_id, text, {_SYNTH_URL_SQL} AS url FROM documents),
+b AS (SELECT {_duck_domain(_DUCK_HOST)} AS domain,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+             CAST(len(regexp_extract_all(text,
+                 '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\s]'))
+               AS BIGINT) AS n_tokens
+      FROM u),
+spread AS (SELECT h, COUNT(DISTINCT domain) AS n_domains
+           FROM b GROUP BY h)
+SELECT domain, COUNT(*) AS n_docs,
+       COUNT(DISTINCT b.h) AS n_unique,
+       (COUNT(*) - COUNT(DISTINCT b.h)) / COUNT(*) AS within_dup_rate,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       SUM(n_tokens) / (SELECT SUM(n_tokens) FROM b) AS token_share,
+       CAST(SUM(CASE WHEN n_domains > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_domain_dup
+FROM b JOIN spread USING (h)
+GROUP BY domain ORDER BY domain
+""",
+    doc="Per-domain curation datasheet over URL-keyed documents: "
+        "volume, within-domain exact-dup rate, cross-domain duplicate "
+        "count, token share of corpus — the per-site mixing/blocklist "
+        "evidence a crawl pipeline publishes.",
 )
 
 
