@@ -228,3 +228,44 @@ ORDER BY bit
         "document hashes (per-batch bit landing, merge-at-read OR) "
         "pinned bit-for-bit against the batch bloom_bits SQL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_late_drop: the watermark-LATENESS value oracle (r7). The
+# harness replays a known old subset in a second pinned micro-batch;
+# the watermark established by batch 1 must drop every replayed row
+# (22h margin — no boundary ambiguity), and the final watermark closes
+# exactly the windows older than max_ts − delay. The landed result is
+# therefore a pure batch expression: tumbling counts over (events −
+# late subset) restricted to closed windows — no streaming machinery
+# in the oracle at all. Bit-exact by construction: integer counts,
+# epoch-aligned window starts.
+# ---------------------------------------------------------------------------
+
+def _streaming_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_kpis import streaming_late_window_counts
+    return streaming_late_window_counts(spark, sf)
+
+
+register(
+    "streaming_late_drop",
+    _streaming_late_drop,
+    """
+WITH e AS (SELECT ts::TIMESTAMP AS ts, user_id FROM events),
+p AS (SELECT max(ts) AS mx FROM e),
+kept AS (SELECT ts FROM e, p
+         WHERE NOT (ts < mx - INTERVAL 72 HOUR AND user_id % 5 = 0)),
+w AS (SELECT TIMESTAMP '1970-01-01'
+               + (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
+               * INTERVAL 1 SECOND AS win_start,
+             COUNT(*) AS n_events
+      FROM kept GROUP BY 1)
+SELECT win_start, n_events FROM w, p
+WHERE win_start + INTERVAL 2 HOUR <= mx
+ORDER BY win_start
+""",
+    doc="Watermark lateness pinned as a value oracle: a replayed late "
+        "subset is dropped by the batch-1 watermark and the final "
+        "watermark closes windows older than max_ts - 1h; the landed "
+        "append-mode result equals plain SQL over (events - late).",
+)

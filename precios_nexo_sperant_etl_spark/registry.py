@@ -56,7 +56,7 @@ _CHECK_FIRST: list[str] = [
     # --- NEW in r7 (never stamped; uncommented as each is registered) ---
     "png_decode_roundtrip",        # real zlib/Paeth PNG decode oracle
     "domain_dedup_datasheet",      # URL/domain-keyed dedup + mix stats
-    # "streaming_late_drop",       # watermark lateness value oracle
+    "streaming_late_drop",         # watermark lateness value oracle
     "url_host_extract",            # domain parsing primitive
     # "cc_largestar_equivalence",  # large/small-star CC vs hash-min
     # --- changed in r7: plan diet (shared posting-list subtree) ---

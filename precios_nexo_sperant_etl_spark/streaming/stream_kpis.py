@@ -229,3 +229,98 @@ def streaming_parquet_upsert(stream_df: DataFrame, out_dir: str,
             q.stop()
             raise TimeoutError(
                 f"upsert drain exceeded {timeout_s}s")
+
+
+def streaming_late_window_counts(spark: SparkSession, sf_dir: str,
+                                 width: str = "1 hour",
+                                 delay: str = "1 hour",
+                                 timeout_s: int = 300) -> DataFrame:
+    """Watermark LATENESS as a deterministic value oracle: two pinned
+    micro-batches where a known subset arrives provably late and must
+    be dropped by the watermark.
+
+    Construction (all cutoffs derived from the events' own max ts, so
+    the experiment scales with the fixture; ``late`` = events with
+    ``ts < max_ts − 72h`` and ``user_id % 5 = 0``, the replayed-late
+    subset):
+
+    - batch 1 = everything before ``max_ts − 50h`` EXCEPT ``late``.
+    - batch 2 = the heartbeat slice ``[max_ts − 50h, max_ts − 48h)``.
+      The watermark only takes effect one batch after the data that
+      set it (it is computed from the PREVIOUS batch's max event
+      time), so this batch exists to run eviction: while it
+      processes, the watermark is ``≈ max_ts − 51h`` and at its end
+      every ``late`` window (closed ≥ 20h earlier) is emitted and
+      evicted. A two-batch design provably does NOT drop the late
+      rows — they merge into still-open state and the drop counter
+      stays 0 (measured); lateness in Spark means "window already
+      finalized", not "timestamp below watermark".
+    - batch 3 = the tail (``ts ≥ max_ts − 48h``) PLUS ``late``. The
+      late rows now target evicted windows and are dropped
+      (``numRowsDroppedByWatermark`` > 0 in the progress metrics);
+      the tail advances the final watermark to ``max_ts − delay``.
+
+    Batch order is pinned by file modification times (the file source
+    orders by mod time; ``maxFilesPerTrigger=1`` gives one batch per
+    file), and the tumbling counts land through the exactly-once
+    parquet sink in append mode. The emitted result is therefore
+    exactly: tumbling counts over (all events − late) restricted to
+    windows the final watermark closed (end ≤ max_ts − delay) — which
+    SQL reproduces with no streaming machinery at all (the registered
+    oracle; verified exact at sf0.001 and sf0.01).
+    """
+    import datetime
+    import glob
+    import shutil
+
+    from ..sources.tables import load_tables
+
+    events = load_tables(spark, sf_dir)["events"].select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    t2 = max_ts - datetime.timedelta(hours=48)
+    t2a = t2 - datetime.timedelta(hours=2)
+    t_late = max_ts - datetime.timedelta(hours=72)
+    is_late = (F.col("ts") < F.lit(t_late)) & (F.col("user_id") % 5 == 0)
+
+    root = tempfile.mkdtemp(prefix="stream_late_")
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+
+    def _land(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(root, f"_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"{name}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    import time as _time
+    now = _time.time()
+    _land(events.filter((F.col("ts") < F.lit(t2a)) & ~is_late),
+          "batch1", now - 3000)
+    _land(events.filter((F.col("ts") >= F.lit(t2a))
+                        & (F.col("ts") < F.lit(t2))),
+          "batch2", now - 2000)
+    _land(events.filter((F.col("ts") >= F.lit(t2)) | is_late),
+          "batch3", now - 1000)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (spark.readStream
+           .schema("ts timestamp, user_id long")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(stage))
+    agg = (src.withWatermark("ts", delay)
+              .groupBy(F.window("ts", width).alias("win"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    q = (agg.select(F.col("win.start").alias("win_start"), "n_events")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"late-drop drain exceeded {timeout_s}s")
+    return (spark.read.parquet(sink)
+            .select(F.col("win_start").cast("timestamp_ntz"), "n_events")
+            .orderBy("win_start"))
