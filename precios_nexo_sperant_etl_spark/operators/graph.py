@@ -107,9 +107,101 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(pairs: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b",
+                              max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the adversarial-graph gear behind
+    :func:`connected_components`.
+
+    Hash-min propagates the minimum one HOP per round, so a path graph
+    of diameter d needs d rounds; the star rounds rewire edges toward
+    local minima and contract long chains in O(log² n) rounds. Near-dup
+    graphs are shallow (hash-min's 2-3 rounds beat the star rounds'
+    extra distinct shuffle per phase), which is why hash-min stays the
+    default and this variant is opt-in for long-chain workloads.
+
+    Phases over a canonical (a < b) edge list:
+
+    - LARGE-STAR: per node u (bidirectional view), m = min(u ∪ N(u));
+      every strictly-larger neighbor v > u re-attaches as (m, v).
+    - SMALL-STAR: per larger-endpoint u, m = min of its smaller
+      neighbors; u and each smaller neighbor v ≠ m re-attach to m.
+
+    Both phases only ever connect nodes already in one component, and
+    the per-node minimum reachable neighbor is non-increasing, so the
+    Σ-label checksum stalls only at candidate fixpoints. A stall is
+    VERIFIED before returning: the label map must be constant across
+    every ORIGINAL edge (the defining property of a component
+    assignment — label chains stay in-component and lbl(x) ≤ x, so a
+    verified map labels every component by its minimum id, exactly the
+    :func:`connected_components` contract). An unverified stall keeps
+    iterating; ``max_iter`` guards pathological cases loudly.
+    """
+    orig = (pairs.select(F.col(src).cast("long").alias("u"),
+                         F.col(dst).cast("long").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .localCheckpoint(eager=False))
+    edges = (orig.select(F.least("u", "v").alias("a"),
+                         F.greatest("u", "v").alias("b"))
+                 .distinct().localCheckpoint(eager=False))
+
+    def _bid(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("x"), F.col("b").alias("y")).union(
+            e.select(F.col("b").alias("x"), F.col("a").alias("y")))
+
+    def _labels(e: DataFrame) -> DataFrame:
+        return (_bid(e).groupBy(F.col("x").alias("node"))
+                .agg(F.least(F.first("x"), F.min("y")).alias("lbl")))
+
+    _chk = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = _labels(edges).agg(_chk).first()[0]
+
+    for _ in range(max_iter):
+        # Large-star: strictly-larger neighbors attach to the local min.
+        bid = _bid(edges)
+        mins = (bid.groupBy(F.col("x").alias("u"))
+                   .agg(F.least(F.first("x"), F.min("y")).alias("m")))
+        ls = (bid.join(mins, bid.x == mins.u)
+                 .where(F.col("y") > F.col("x"))
+                 .select(F.col("m").alias("a"), F.col("y").alias("b"))
+                 .where(F.col("a") != F.col("b"))
+                 .distinct())
+        # Small-star: the larger endpoint and its smaller neighbors
+        # attach to the minimum smaller neighbor.
+        smins = (ls.groupBy(F.col("b").alias("u"))
+                   .agg(F.min("a").alias("m")))
+        ss = (ls.join(smins, ls.b == smins.u)
+                .select(F.col("m").alias("a"), F.col("a").alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .union(smins.select(F.col("m").alias("a"),
+                                    F.col("u").alias("b")))
+                .distinct()
+                .localCheckpoint(eager=False))
+        labels = _labels(ss)
+        cur_sum = labels.agg(_chk).first()[0]
+        edges = ss
+        if cur_sum == prev_sum:
+            lu = labels.select(F.col("node").alias("u"),
+                               F.col("lbl").alias("lu"))
+            lv = labels.select(F.col("node").alias("v"),
+                               F.col("lbl").alias("lv"))
+            bad = (orig.join(lu, "u").join(lv, "v")
+                       .where(F.col("lu") != F.col("lv")).limit(1).count())
+            if bad == 0:
+                return (labels.localCheckpoint(eager=True)
+                        .select("node", F.col("lbl").alias("cluster_id")))
+        prev_sum = cur_sum
+
+    raise RuntimeError(
+        f"connected_components_star: no verified convergence in "
+        f"{max_iter} rounds")
+
+
 def cluster_assignment(docs: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id", src: str = "doc_a",
-                       dst: str = "doc_b") -> DataFrame:
+                       dst: str = "doc_b", algo: str = "hashmin") -> DataFrame:
     """Full-corpus cluster ids: every document gets a cluster (docs in no
     pair are their own singleton cluster), plus the cluster's size.
 
@@ -119,9 +211,19 @@ def cluster_assignment(docs: DataFrame, pairs: DataFrame,
     window count, not a groupBy + self-join, so the corpus is scanned
     once. The component table arrives locally checkpointed, so repeated
     invocations leave no caller-owned cache entries behind.
+
+    ``algo`` selects the component machinery: ``"hashmin"`` (default —
+    right for shallow near-dup graphs) or ``"star"``
+    (:func:`connected_components_star`, for adversarial long-chain
+    graphs). Both return identical assignments by contract.
     """
     from pyspark.sql import Window
-    comp = connected_components(pairs, src=src, dst=dst)
+    if algo == "hashmin":
+        comp = connected_components(pairs, src=src, dst=dst)
+    elif algo == "star":
+        comp = connected_components_star(pairs, src=src, dst=dst)
+    else:
+        raise ValueError(f"unknown components algo: {algo!r}")
     assigned = (docs.select(F.col(id_col).cast("long").alias(id_col))
                 .join(comp.withColumnRenamed("node", id_col), id_col, "left")
                 .select(id_col,

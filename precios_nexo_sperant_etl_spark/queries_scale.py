@@ -418,6 +418,33 @@ ORDER BY a.doc_id
 )
 
 
+def _cc_largestar(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import cluster_assignment
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    return cluster_assignment(docs, pairs, algo="star").orderBy("doc_id")
+
+
+register(
+    "cc_largestar_equivalence",
+    _cc_largestar,
+    f"""{_NEARDUP_CLOSURE_SQL},
+csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           FROM assigned GROUP BY 1)
+SELECT a.doc_id, a.cluster_id, s.cluster_size
+FROM assigned a JOIN csizes s ON s.cluster_id = a.cluster_id
+ORDER BY a.doc_id
+""",
+    doc="Large-star/small-star connected components (Kiveris et al. "
+        "2014) over the same verified near-dup graph, hash-checked "
+        "against the identical recursive-closure oracle as the "
+        "hash-min path — driver-level proof the two component gears "
+        "agree; the star gear contracts adversarial long chains in "
+        "O(log^2 n) rounds where hash-min needs diameter rounds "
+        "(property-tested).",
+)
+
+
 def _neardup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.graph import cluster_assignment
     docs = _t(spark, sf, "documents")

@@ -58,7 +58,7 @@ _CHECK_FIRST: list[str] = [
     "domain_dedup_datasheet",      # URL/domain-keyed dedup + mix stats
     "streaming_late_drop",         # watermark lateness value oracle
     "url_host_extract",            # domain parsing primitive
-    # "cc_largestar_equivalence",  # large/small-star CC vs hash-min
+    "cc_largestar_equivalence",    # large/small-star CC vs hash-min
     # --- changed in r7: plan diet (shared posting-list subtree) ---
     "rrf_hybrid_retrieval",
     # --- r02-cohort refresh (the oldest stamps in the ledger;

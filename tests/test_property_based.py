@@ -274,3 +274,34 @@ def test_ntile5_arithmetic_matches_sql_semantics(spark, n):
             .select(F.expr(_ntile5_expr("id", n)).alias("b"))
             .orderBy("id").collect())]
     assert got == _ntile_reference(n)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=60))
+def test_star_components_match_union_find(spark, edges):
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        connected_components_star)
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_star(pairs, max_iter=60).collect()}
+    assert got == _union_find(edges)
+
+
+def test_star_components_contract_long_chains(spark):
+    """The star rounds' reason to exist: a diameter-120 path converges
+    within 10 rounds, where hash-min (one hop per round) provably
+    cannot and raises its convergence guard."""
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.graph import (
+        connected_components_star)
+    path = [(i, i + 1) for i in range(120)]
+    pairs = spark.createDataFrame(path, "doc_a long, doc_b long")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_star(pairs, max_iter=10).collect()}
+    assert len(got) == 121 and set(got.values()) == {0}
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(pairs, max_iter=10)
