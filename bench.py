@@ -118,6 +118,12 @@ HEADLINE = [
     "rrf_hybrid_retrieval",     # sparse+dense reciprocal-rank fusion
     "snm_part_pairs",           # sorted-neighborhood sliding window
     "contrastive_negative_samples",  # broadcast bucket-rep negatives
+    # appended r7:
+    "png_decode_roundtrip",     # zlib inflate + de-filter via Arrow seam
+    "url_host_extract",         # parse_url + registrable-domain labels
+    "domain_dedup_datasheet",   # hash-spread join + per-domain rollup
+    "streaming_late_drop",      # 3-batch watermark lateness drain
+    "cc_largestar_equivalence",  # star-contraction components
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -57,12 +57,8 @@ OUT_MD = os.path.join(ROOT, "STAMPS.md")
 #: deferral was granted: the excuse is valid only while that round is
 #: still the newest — once a later round lands, a still-unstamped
 #: deferred query is a rotation bug again (exit 1), not an info line.
-DEFERRED_TO_NEXT = {
-    "pareto_frontier_docs": 5, "order_value_drift": 5,
-    "cramers_v_lang_source": 5, "event_transition_matrix": 5,
-    "survival_time_to_purchase": 5, "item_item_copurchase": 5,
-    "event_volume_cusum": 5, "ann_mrr_eval": 5,
-    "quantile_normalized_quality": 5,
+DEFERRED_TO_NEXT: dict[str, int] = {
+    # (the nine r5 deferrals were all stamped in r06 — none outstanding)
 }
 
 
