@@ -99,6 +99,13 @@ _CHECK_FIRST: list[str] = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_global_sales_opportunity",
+    # --- r03-cohort head start (oldest stamps after the r02 block;
+    # fills the window to exactly 50) ---
+    "core_update_audit",
+    "table_profile_orders",
+    "tpch_q9_product_profit",
+    "f8_to_datetime",
+    "scd2_merge",
 ]
 
 
