@@ -246,14 +246,20 @@ def decode_png(payload: bytes) -> dict:
             rec = cur
         elif ft == 2:                      # Up
             rec = (cur + prior) & 0xFF
-        elif ft in (1, 3, 4):              # Sub / Average / Paeth
+        elif ft == 1:                      # Sub = per-channel prefix sum
+            # rec[x] = cur[x] + rec[x-3] (mod 256) unrolls to a cumsum
+            # per interleaved channel — vectorized, no per-byte loop.
+            rec = cur.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(rec[c::bpp]) & 0xFF
+        elif ft in (3, 4):                 # Average / Paeth
+            # Both predictors read the just-reconstructed left byte AND
+            # the prior row nonlinearly — inherently sequential in x.
             rec = cur
             for x in range(stride):
                 a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prior[x])
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) // 2
                 else:
                     c = int(prior[x - bpp]) if x >= bpp else 0

@@ -5935,7 +5935,13 @@ def _png_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     raw = F.encode(F.col("text"), "UTF-8")
     pad = (12 - F.octet_length(raw) % 12) % 12
     rgb = F.concat(raw, F.substring(F.lit(b"\x00" * 11), 1, pad))
-    src = d.select("doc_id", rgb.alias("rgb"))
+    # Explicit width before the Arrow crossings: the codec is CPU-dense
+    # per byte, and the single-file scan would otherwise serialize both
+    # mapInPandas stages onto one core (the exact_dedup_survivors
+    # rationale; measured ~2.5x on this query at sf0.1). The tiny
+    # byte shuffle is the price of fanning the decode out.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    src = d.select("doc_id", rgb.alias("rgb")).repartition(n_shuffle)
 
     def enc(it):
         for pdf in it:
