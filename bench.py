@@ -124,6 +124,7 @@ HEADLINE = [
     "domain_dedup_datasheet",   # hash-spread join + per-domain rollup
     "streaming_late_drop",      # 3-batch watermark lateness drain
     "cc_largestar_equivalence",  # star-contraction components
+    "jpeg_header_probe",        # marker-segment walk via Arrow seam
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -323,6 +323,52 @@ def encode_png(rgb: bytes, width: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def probe_jpeg(payload: bytes) -> dict:
+    """REAL JPEG header probe: walk the marker segments (skipping
+    unknown ones by their big-endian lengths, tolerating standalone
+    markers) and extract dimensions / precision / component count from
+    the first SOFn frame header. This is the metadata pass a curation
+    pipeline runs over every image even when pixel decode is delegated
+    to a codec library — entropy decode itself stays honestly stubbed
+    (:func:`real_decode_placeholder`); the container walking is real.
+
+    Returns width / height / precision / n_components / progressive
+    (SOF2). Raises on missing SOI/SOF, truncated segments, or EOI
+    before any frame header.
+    """
+    import struct
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:                    # EOI
+            break
+        # standalone markers carry no length: TEM, RSTn
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment length")
+        seg_len = struct.unpack_from(">H", payload, pos)[0]
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("truncated JPEG segment")
+        # SOFn frame headers (C0-CF except DHT C4, DAC CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                raise ValueError("short SOF segment")
+            precision, h, w, ncomp = struct.unpack_from(">BHHB",
+                                                        payload, pos + 2)
+            return {"width": int(w), "height": int(h),
+                    "precision": int(precision),
+                    "n_components": int(ncomp),
+                    "progressive": marker == 0xC2}
+        pos += seg_len
+    raise ValueError("no SOF frame header before EOI")
+
+
 #: Output schema of the real-media feature pass: one nullable column
 #: set per modality; ``mime_detected`` says which decoder ran.
 MEDIA_SCHEMA = StructType([
@@ -386,10 +432,19 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                            mean_r_milli=d.get("mean_r_milli"),
                            mean_g_milli=d.get("mean_g_milli"),
                            mean_b_milli=d.get("mean_b_milli"))
+            elif p[:2] == b"\xff\xd8":
+                d = probe_jpeg(p)
+                # pixel decode stays stubbed; the header probe fills
+                # dimensions + component count (channels)
+                row.update(mime_detected="image/jpeg", width=d["width"],
+                           height=d["height"],
+                           channels=d["n_components"])
         except (ValueError, IndexError, _zlib_error):
             row["mime_detected"] = ("corrupt/bmp" if p[:2] == b"BM"
                                     else "corrupt/png"
                                     if p.startswith(_PNG_SIG)
+                                    else "corrupt/jpeg"
+                                    if p[:2] == b"\xff\xd8"
                                     else "corrupt/wav")
         rows.append(row)
     return pd.DataFrame(rows)

@@ -6003,6 +6003,68 @@ FROM m ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# JPEG header probe — the metadata half of compressed-image handling.
+# Entropy decode stays honestly stubbed (no codec library in this
+# environment), but the container walk is real: the query builds a
+# genuine JPEG segment stream JVM-side (SOI, literal JFIF APP0, a
+# variable-length COM segment carrying the document text — so the
+# probe's skip-by-length logic is actually exercised — and an SOF0
+# frame header with computed big-endian dimensions), probes it through
+# the Arrow seam, and the oracle recomputes the expected dimensions
+# arithmetically. A real corpus's dimension/aspect filters run exactly
+# this pass before any pixel ever decodes.
+# ---------------------------------------------------------------------------
+
+def _jpeg_header_probe(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features
+
+    def be16(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    d = _t(spark, sf, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    ln = F.octet_length(raw).cast("long")
+    h = 1 + ln % 311
+    w = 1 + ln % 499
+    app0 = (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+            b"\x00\x48\x00\x48\x00\x00")
+    sof0_tail = b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    payload = F.concat(
+        F.lit(b"\xff\xd8"), F.lit(app0),
+        F.lit(b"\xff\xfe"), be16(ln + 2), raw,          # COM: skipped
+        F.lit(b"\xff\xc0\x00\x11\x08"), be16(h), be16(w),
+        F.lit(sof0_tail),
+        F.lit(b"\xff\xd9"))
+    binary_df = d.select("doc_id", payload.alias("payload"))
+    return (extract_media_features(binary_df)
+            .select("doc_id", "mime_detected", "byte_len", "width",
+                    "height", "channels")
+            .orderBy("doc_id"))
+
+
+register(
+    "jpeg_header_probe",
+    _jpeg_header_probe,
+    """
+WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS ln
+           FROM documents)
+SELECT doc_id,
+       'image/jpeg' AS mime_detected,
+       45 + ln AS byte_len,
+       1 + ln % 499 AS width,
+       1 + ln % 311 AS height,
+       CAST(3 AS BIGINT) AS channels
+FROM b ORDER BY doc_id
+""",
+    doc="Real JPEG marker-segment walk: dimensions/components probed "
+        "from the SOF0 frame header of a genuine JVM-built segment "
+        "stream (variable-length COM exercises skip-by-length), "
+        "verified against arithmetic SQL; entropy decode stays an "
+        "explicit stub.",
+)
+
+
+# ---------------------------------------------------------------------------
 # URL / domain keying (operators/urls.py). The fixture has no URL
 # column, so both queries synthesize one deterministically from
 # (source, doc_id) — five shapes covering subdomains, explicit ports,

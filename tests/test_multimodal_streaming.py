@@ -591,3 +591,50 @@ def test_media_batch_routes_png(spark):
     assert (row["mean_r_milli"], row["mean_g_milli"],
             row["mean_b_milli"]) == (10000, 20000, 30000)
     assert row["channels"] is None            # image row: audio cols null
+
+
+def test_probe_jpeg_walks_markers():
+    import struct
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import probe_jpeg
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    sof0 = struct.pack(">BHHB", 8, 240, 320, 3) + b"\x01\x22\x00" * 3
+    jpeg = (b"\xff\xd8" + seg(0xE0, b"JFIF\x00rest") + b"\xff\x01"
+            + seg(0xFE, b"a comment") + seg(0xC0, sof0) + b"\xff\xd9")
+    d = probe_jpeg(jpeg)
+    assert (d["width"], d["height"], d["precision"],
+            d["n_components"], d["progressive"]) == (320, 240, 8, 3, False)
+
+    # progressive SOF2 + RST standalone markers
+    sof2 = struct.pack(">BHHB", 8, 7, 9, 1) + b"\x01\x11\x00"
+    jpeg2 = b"\xff\xd8" + b"\xff\xd0" + seg(0xC2, sof2) + b"\xff\xd9"
+    d2 = probe_jpeg(jpeg2)
+    assert (d2["width"], d2["height"], d2["progressive"]) == (9, 7, True)
+
+    with pytest.raises(ValueError, match="no SOF"):
+        probe_jpeg(b"\xff\xd8" + seg(0xFE, b"only a comment") + b"\xff\xd9")
+    with pytest.raises(ValueError, match="truncated"):
+        probe_jpeg((b"\xff\xd8" + seg(0xC0, sof0))[:-5])
+    with pytest.raises(ValueError, match="SOI"):
+        probe_jpeg(b"\x00\x00")
+
+
+def test_media_batch_routes_jpeg(spark):
+    import struct
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        extract_media_features)
+    sof0 = struct.pack(">BHHB", 8, 10, 20, 3) + b"\x01\x22\x00" * 3
+    jpeg = (b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+            + b"\xff\xd9")
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg)), (2, bytearray(b"\xff\xd8\xff\xfe"))],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict()
+           for r in extract_media_features(df).collect()}
+    assert got[1]["mime_detected"] == "image/jpeg"
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (20, 10, 3)
+    assert got[1]["mean_r_milli"] is None     # pixel decode stays stubbed
+    assert got[2]["mime_detected"] == "corrupt/jpeg"
