@@ -5938,10 +5938,12 @@ def _png_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # Explicit width before the Arrow crossings: the codec is CPU-dense
     # per byte, and the single-file scan would otherwise serialize both
     # mapInPandas stages onto one core (the exact_dedup_survivors
-    # rationale; measured ~2.5x on this query at sf0.1). The tiny
-    # byte shuffle is the price of fanning the decode out.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    src = d.select("doc_id", rgb.alias("rgb")).repartition(n_shuffle)
+    # rationale; measured ~2.5x on this query at sf0.1). Width = CORES,
+    # not shuffle.partitions: the target is one Python worker per core,
+    # and a vanilla session's 200 shuffle partitions would fragment the
+    # Arrow batches (measured 14s vs ~2s at sf0.01 vanilla).
+    src = (d.select("doc_id", rgb.alias("rgb"))
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def enc(it):
         for pdf in it:
