@@ -125,6 +125,7 @@ HEADLINE = [
     "streaming_late_drop",      # 3-batch watermark lateness drain
     "cc_largestar_equivalence",  # star-contraction components
     "jpeg_header_probe",        # marker-segment walk via Arrow seam
+    "streaming_kmv_minima",     # streaming min-selection merge algebra
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -242,6 +242,18 @@ def kmv_sketch(items: DataFrame, item_col: str, group_cols: list[str],
     the other three families. Integer arithmetic end-to-end: the
     estimate is a true integer division, engine-exact at any magnitude.
     """
+    return kmv_finalize(kmv_minima(items, item_col, group_cols, k=k),
+                        group_cols, k=k)
+
+
+def kmv_minima(items: DataFrame, item_col: str, group_cols: list[str],
+               k: int = 64) -> DataFrame:
+    """The sketch STATE: per group, the ``k`` smallest distinct 48-bit
+    hashes as ``(*group_cols, h)`` rows — the mergeable half of
+    :func:`kmv_sketch`. Merging sketches is "k smallest of the union
+    of minima", which is lossless (any global top-k minimum is a
+    minimum within its own part), so these rows are what the streaming
+    landing persists per batch."""
     from pyspark.sql import Window
     h = (items.select(*group_cols,
                       md5_hash(F.col(item_col).cast("string")).alias("h"))
@@ -249,10 +261,25 @@ def kmv_sketch(items: DataFrame, item_col: str, group_cols: list[str],
     lvl1 = Window.partitionBy(*group_cols, F.pmod(F.col("h"), F.lit(KMV_SHARDS))) \
                  .orderBy("h")
     lvl2 = Window.partitionBy(*group_cols).orderBy("h")
-    kmin = (h.withColumn("_rn1", F.row_number().over(lvl1))
+    return (h.withColumn("_rn1", F.row_number().over(lvl1))
              .where(F.col("_rn1") <= k)
              .withColumn("_rn2", F.row_number().over(lvl2))
-             .where(F.col("_rn2") <= k))
+             .where(F.col("_rn2") <= k)
+             .select(*group_cols, "h"))
+
+
+def kmv_finalize(minima: DataFrame, group_cols: list[str],
+                 k: int = 64) -> DataFrame:
+    """Reduce (possibly merged) minima rows to the published sketch
+    ``(k_used, h_k, kmv_est)``. Re-selects the k smallest first, so it
+    accepts the union of several parts' minima as-is (each part
+    contributes ≤ k rows per group — the window frame is bounded by
+    parts × k, never corpus-sized)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kmin = (minima.select(*group_cols, "h").distinct()
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= k))
     agg = kmin.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("int").alias("k_used"),
         F.max("h").alias("h_k"))

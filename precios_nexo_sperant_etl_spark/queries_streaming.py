@@ -269,3 +269,60 @@ ORDER BY win_start
         "watermark closes windows older than max_ts - 1h; the landed "
         "append-mode result equals plain SQL over (events - late).",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_kmv_minima: the FIFTH bit-exact streaming merge algebra —
+# min-selection. Per-batch KMV minima land in their own partitions; the
+# merged read must equal the single-pass batch sketch EXACTLY (k
+# smallest of per-part k-smallest == global k smallest), so the whole
+# state (k_used, h_k) and the integer-division estimate are value-
+# hashed against the batch SQL.
+# ---------------------------------------------------------------------------
+
+_SKMV_K = 64
+
+
+def _streaming_kmv_minima(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_curation import stream_documents
+    from .streaming.stream_sketches import (read_kmv_sketch,
+                                            streaming_kmv_to_lake)
+    out = tempfile.mkdtemp(prefix="stream_kmv_q_")
+    q = streaming_kmv_to_lake(stream_documents(spark, sf),
+                              os.path.join(out, "minima"),
+                              os.path.join(out, "ckpt"), k=_SKMV_K)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming KMV drain exceeded 300s")
+    return (read_kmv_sketch(spark, os.path.join(out, "minima"), k=_SKMV_K)
+            .orderBy("source"))
+
+
+_SKMV_H = "('0x' || substr(md5(term), 1, 12))::BIGINT"
+
+register(
+    "streaming_kmv_minima",
+    _streaming_kmv_minima,
+    f"""
+WITH it AS (
+  SELECT source, term
+  FROM (SELECT source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+  WHERE term <> ''),
+h AS (SELECT DISTINCT source, {_SKMV_H} AS h FROM it),
+r AS (SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM h),
+km AS (SELECT source, CAST(COUNT(*) AS INT) AS k_used, MAX(h) AS h_k
+       FROM r WHERE rn <= {_SKMV_K} GROUP BY source)
+SELECT source, k_used, h_k,
+       CASE WHEN k_used < {_SKMV_K} THEN CAST(k_used AS BIGINT)
+            ELSE ({_SKMV_K} - 1) * {1 << 48} // h_k END AS kmv_est
+FROM km ORDER BY source
+""",
+    doc="Structured-Streaming KMV maintenance (per-batch minima "
+        "landing, k-smallest-of-union merge-at-read) pinned "
+        "bit-for-bit against the single-pass batch sketch SQL — the "
+        "fifth streaming merge algebra (min-selection).",
+)

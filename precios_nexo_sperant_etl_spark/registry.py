@@ -60,6 +60,7 @@ _CHECK_FIRST: list[str] = [
     "url_host_extract",            # domain parsing primitive
     "cc_largestar_equivalence",    # large/small-star CC vs hash-min
     "jpeg_header_probe",           # real JPEG marker/SOF dimension probe
+    "streaming_kmv_minima",        # fifth streaming merge algebra (min)
     # --- changed in r7: plan diet (shared posting-list subtree) ---
     "rrf_hybrid_retrieval",
     # --- r02-cohort refresh (the oldest stamps in the ledger;
@@ -105,7 +106,6 @@ _CHECK_FIRST: list[str] = [
     "core_update_audit",
     "table_profile_orders",
     "tpch_q9_product_profit",
-    "f8_to_datetime",
 ]
 
 

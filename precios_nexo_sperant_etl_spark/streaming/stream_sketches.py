@@ -119,3 +119,43 @@ def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge-at-read: live filter = union (OR) of all landed bit sets."""
     return (spark.read.parquet(out_dir)
             .select("bit").distinct())
+
+
+def streaming_kmv_to_lake(docs: DataFrame, out_dir: str, checkpoint: str,
+                          k: int = 64):
+    """Maintain per-source KMV distinct-term sketches over a document
+    stream — the FIFTH streaming merge algebra: min-SELECTION (k
+    smallest of the union), next to set-union (curation hashes), max
+    (HLL registers), sum (CMS counters) and bit-OR (Bloom). Lossless by
+    the top-k-of-parts argument in ``sketches.kmv_minima``: each batch
+    lands its own ≤ k minima rows per group in a ``batch_id=N``
+    partition (dynamic overwrite — replay-idempotent), and the live
+    sketch re-selects over ≤ batches × k rows per group at read."""
+    from ..operators.sketches import kmv_minima
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            items = (batch.select(
+                "source", F.explode(tokens(F.col("text"))).alias("term"))
+                .where(F.col("term") != ""))
+            (kmv_minima(items, "term", ["source"], k=k)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite").partitionBy("batch_id")
+                .parquet(out_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (docs.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def read_kmv_sketch(spark: SparkSession, out_dir: str,
+                    k: int = 64) -> DataFrame:
+    """Merge-at-read: live sketch = k smallest of all landed minima."""
+    from ..operators.sketches import kmv_finalize
+    return kmv_finalize(spark.read.parquet(out_dir), ["source"], k=k)

@@ -98,3 +98,30 @@ def test_streaming_bloom_equals_batch_and_replay_idempotent(spark, tmp_path):
     assert q2.awaitTermination(120)
     after = sorted(r.bit for r in read_bloom_bits(spark, out).collect())
     assert after == before
+
+
+def test_streaming_kmv_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """Fifth merge algebra (min-selection): the k-smallest-of-union
+    merge over per-batch minima must equal the one-shot batch sketch
+    bit-for-bit, and a replayed run must leave the state unchanged."""
+    from precios_nexo_sperant_etl_spark.operators.sketches import kmv_sketch
+    from precios_nexo_sperant_etl_spark.streaming.stream_sketches import (
+        read_kmv_sketch, streaming_kmv_to_lake)
+    src, docs = _drop_dir(spark, tmp_path)
+    out, ckpt = str(tmp_path / "kmv"), str(tmp_path / "ckpt_kmv")
+    q = streaming_kmv_to_lake(_stream(spark, src), out, ckpt, k=16)
+    assert q.awaitTermination(120)
+    items = (docs.select("source", F.explode(tokens(F.col("text")))
+                         .alias("term"))
+             .where(F.col("term") != ""))
+    batch = {(r["source"], r["k_used"], r["h_k"], r["kmv_est"])
+             for r in kmv_sketch(items, "term", ["source"], k=16).collect()}
+    merged = {(r["source"], r["k_used"], r["h_k"], r["kmv_est"])
+              for r in read_kmv_sketch(spark, out, k=16).collect()}
+    assert merged == batch
+    q2 = streaming_kmv_to_lake(_stream(spark, src), out,
+                               str(tmp_path / "ckpt_kmv2"), k=16)
+    assert q2.awaitTermination(120)
+    again = {(r["source"], r["k_used"], r["h_k"], r["kmv_est"])
+             for r in read_kmv_sketch(spark, out, k=16).collect()}
+    assert again == batch
