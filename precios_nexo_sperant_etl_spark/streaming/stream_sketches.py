@@ -159,3 +159,37 @@ def read_kmv_sketch(spark: SparkSession, out_dir: str,
     """Merge-at-read: live sketch = k smallest of all landed minima."""
     from ..operators.sketches import kmv_finalize
     return kmv_finalize(spark.read.parquet(out_dir), ["source"], k=k)
+
+
+def compact_sketch_lake(spark: SparkSession, out_dir: str, kind: str,
+                        compacted_id: int = -1) -> None:
+    """Fold all landed per-batch sketch partitions into one
+    ``batch_id=<compacted_id>`` partition using the lake's own merge
+    algebra — the maintenance pass that keeps merge-at-read cost O(1)
+    in stream age instead of O(batches).
+
+    Correct because every algebra here is idempotent-or-associative
+    over partitions (max / sum / or / min-selection), and safe because
+    the fold lands via an atomic swap: the merged frame is materialized
+    (localCheckpoint) BEFORE the directory is rewritten, and the
+    rewrite is mode("overwrite") of the whole lake in one job — a
+    reader never sees a half-compacted mix of old and new partitions
+    in separate files because batch_id partitioning is rebuilt wholesale.
+    CMS is the one non-idempotent algebra (sum), so compaction must not
+    race a live landing; run it between drains (the availableNow model
+    used here has no always-on writer).
+    """
+    merged = {
+        "hll": lambda df: df.groupBy("source", "bucket")
+                            .agg(F.max("rho").alias("rho")),
+        "cms": lambda df: df.groupBy("row", "bucket")
+                            .agg(F.sum("counter").alias("counter")),
+        "bloom": lambda df: df.select("bit").distinct(),
+        "kmv": lambda df: df.select("source", "h").distinct(),
+    }
+    if kind not in merged:
+        raise ValueError(f"unknown sketch lake kind: {kind!r}")
+    df = (merged[kind](spark.read.parquet(out_dir))
+          .withColumn("batch_id", F.lit(compacted_id))
+          .localCheckpoint(eager=True))
+    (df.write.mode("overwrite").partitionBy("batch_id").parquet(out_dir))

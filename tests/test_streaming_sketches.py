@@ -125,3 +125,37 @@ def test_streaming_kmv_equals_batch_and_replay_idempotent(spark, tmp_path):
     again = {(r["source"], r["k_used"], r["h_k"], r["kmv_est"])
              for r in read_kmv_sketch(spark, out, k=16).collect()}
     assert again == batch
+
+
+def test_compact_sketch_lake_preserves_merged_state(spark, tmp_path):
+    """Compacting the per-batch partitions into one must leave every
+    lake's merged read bit-identical (max/sum/or/min-selection all fold
+    associatively), with the partition count collapsing to 1."""
+    from precios_nexo_sperant_etl_spark.streaming.stream_sketches import (
+        compact_sketch_lake, read_cms_counters, read_kmv_sketch,
+        streaming_cms_to_lake, streaming_kmv_to_lake)
+    src, docs = _drop_dir(spark, tmp_path)
+
+    out_c, out_k = str(tmp_path / "cms"), str(tmp_path / "kmv")
+    assert streaming_cms_to_lake(_stream(spark, src), out_c,
+                                 str(tmp_path / "ck1")).awaitTermination(120)
+    assert streaming_kmv_to_lake(_stream(spark, src), out_k,
+                                 str(tmp_path / "ck2"),
+                                 k=16).awaitTermination(120)
+    cms_before = sorted((r["row"], r["bucket"], r["counter"])
+                        for r in read_cms_counters(spark, out_c).collect())
+    kmv_before = sorted((r["source"], r["k_used"], r["h_k"], r["kmv_est"])
+                        for r in read_kmv_sketch(spark, out_k,
+                                                 k=16).collect())
+    compact_sketch_lake(spark, out_c, "cms")
+    compact_sketch_lake(spark, out_k, "kmv")
+    assert sorted((r["row"], r["bucket"], r["counter"])
+                  for r in read_cms_counters(spark, out_c).collect()) \
+        == cms_before
+    assert sorted((r["source"], r["k_used"], r["h_k"], r["kmv_est"])
+                  for r in read_kmv_sketch(spark, out_k, k=16).collect()) \
+        == kmv_before
+    parts = {r["batch_id"] for r in
+             spark.read.parquet(out_c).select("batch_id")
+             .distinct().collect()}
+    assert parts == {-1}
