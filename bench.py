@@ -126,6 +126,8 @@ HEADLINE = [
     "cc_largestar_equivalence",  # star-contraction components
     "jpeg_header_probe",        # marker-segment walk via Arrow seam
     "streaming_kmv_minima",     # streaming min-selection merge algebra
+    "gzip_text_roundtrip",      # DEFLATE wrap/unwrap via Arrow seam
+    "training_order_manifest",  # seeded global shuffle, dense positions
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -369,6 +369,24 @@ def probe_jpeg(payload: bytes) -> dict:
     raise ValueError("no SOF frame header before EOI")
 
 
+def decode_gzip(payload: bytes) -> bytes:
+    """REAL gzip member decode with stdlib machinery: magic/method
+    check for a clean error taxonomy, then ``gzip.decompress`` (which
+    verifies the CRC-32 and ISIZE trailers). Web corpora arrive
+    overwhelmingly gzip-wrapped (WARC records, .jsonl.gz drops), so
+    the decompress-then-process seam is the same first-class boundary
+    as the media decoders — Arrow-batched, one crossing per batch."""
+    import gzip
+    if len(payload) < 18 or payload[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip payload")
+    if payload[2] != 8:
+        raise ValueError("unsupported gzip compression method")
+    try:
+        return gzip.decompress(payload)
+    except (OSError, EOFError) as exc:  # BadGzipFile subclasses OSError
+        raise ValueError(f"corrupt gzip payload: {exc}") from None
+
+
 #: Output schema of the real-media feature pass: one nullable column
 #: set per modality; ``mime_detected`` says which decoder ran.
 MEDIA_SCHEMA = StructType([

@@ -6005,6 +6005,125 @@ FROM m ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Gzip ingestion roundtrip: documents gzip-wrapped in one Arrow
+# crossing (stdlib gzip — real DEFLATE, CRC-32 + ISIZE trailers), then
+# decompressed and fingerprinted through a second crossing; the oracle
+# recomputes length and md5 from the original text, so a bug anywhere
+# in the wrap/unwrap path (member framing, inflate, trailer checks)
+# breaks the value hash. Compressed bytes are never hashed — the gzip
+# header's mtime field and compressor level cannot leak into oracle
+# values. The .jsonl.gz / WARC ingestion seam, value-pinned.
+# ---------------------------------------------------------------------------
+
+def _gzip_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import gzip
+    import hashlib
+
+    import pandas as pd
+    from .operators.multimodal import decode_gzip
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [gzip.compress(t.encode("utf-8"))
+                            for t in pdf["text"]],
+            })
+
+    def dec(it):
+        for pdf in it:
+            raw = [decode_gzip(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "uncompressed_len": [len(b) for b in raw],
+                "text_md5": [hashlib.md5(b).hexdigest() for b in raw],
+            })
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, uncompressed_len long,"
+                                 " text_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "gzip_text_roundtrip",
+    _gzip_text_roundtrip,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS uncompressed_len,
+       md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="Real gzip wrap/unwrap through two Arrow crossings (DEFLATE + "
+        "CRC-32/ISIZE trailer verification), value-pinned by "
+        "recomputing length and md5 from the original text — the "
+        ".jsonl.gz / WARC ingestion seam.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training order: the LAST transform before data reaches
+# a trainer — a seeded global shuffle with reproducible positions. The
+# order key is md5(seed || doc_id) (portable, layout-independent — the
+# same property argument as serve.hash_split vs randomSplit), and the
+# dense global position comes from the W4 two-pass range-partitioned
+# row id, never a single-task window. Re-running with the same seed on
+# any cluster layout reproduces byte-identical order; changing the
+# seed reshuffles. Position also yields the per-shard (shard, offset)
+# pair a multi-host loader consumes.
+# ---------------------------------------------------------------------------
+
+_ORDER_SEED = "epoch0"
+_ORDER_SHARDS = 8
+
+
+def _training_order(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import add_row_id
+    from .operators.text import md5_hash
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        md5_hash(F.concat(F.lit(_ORDER_SEED + ":"),
+                          F.col("doc_id").cast("string"))).alias("_ok"))
+    ordered = add_row_id(d, [F.asc("_ok"), F.asc("doc_id")],
+                         name="position")
+    return (ordered.select(
+                "doc_id", "position",
+                (F.col("position") % _ORDER_SHARDS).cast("int")
+                 .alias("shard"),
+                F.expr(f"position div {_ORDER_SHARDS}").alias("offset"))
+            .orderBy("position"))
+
+
+register(
+    "training_order_manifest",
+    _training_order,
+    f"""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{_ORDER_SEED}:' || CAST(doc_id AS VARCHAR)),
+                         1, 12))::BIGINT AS ok
+  FROM documents),
+r AS (SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY ok, doc_id) - 1 AS BIGINT)
+               AS position
+      FROM k)
+SELECT doc_id, position,
+       CAST(position % {_ORDER_SHARDS} AS INT) AS shard,
+       position // {_ORDER_SHARDS} AS offset
+FROM r ORDER BY position
+""",
+    doc="Seeded deterministic global training order: md5(seed||id) "
+        "order key + two-pass range-partitioned dense positions (no "
+        "single-task window), with round-robin (shard, offset) for "
+        "multi-host loaders — reproducible under any cluster layout, "
+        "reshuffled by the seed.",
+)
+
+
+# ---------------------------------------------------------------------------
 # JPEG header probe — the metadata half of compressed-image handling.
 # Entropy decode stays honestly stubbed (no codec library in this
 # environment), but the container walk is real: the query builds a

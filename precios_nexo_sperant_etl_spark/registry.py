@@ -61,6 +61,8 @@ _CHECK_FIRST: list[str] = [
     "cc_largestar_equivalence",    # large/small-star CC vs hash-min
     "jpeg_header_probe",           # real JPEG marker/SOF dimension probe
     "streaming_kmv_minima",        # fifth streaming merge algebra (min)
+    "gzip_text_roundtrip",         # gzip ingestion seam value oracle
+    "training_order_manifest",     # seeded deterministic global shuffle
     # --- changed in r7: plan diet (shared posting-list subtree) ---
     "rrf_hybrid_retrieval",
     # --- r02-cohort refresh (the oldest stamps in the ledger;
@@ -104,8 +106,6 @@ _CHECK_FIRST: list[str] = [
     # --- r03-cohort head start (oldest stamps after the r02 block;
     # fills the window to exactly 50) ---
     "core_update_audit",
-    "table_profile_orders",
-    "tpch_q9_product_profit",
 ]
 
 

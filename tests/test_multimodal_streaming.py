@@ -638,3 +638,19 @@ def test_media_batch_routes_jpeg(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (20, 10, 3)
     assert got[1]["mean_r_milli"] is None     # pixel decode stays stubbed
     assert got[2]["mime_detected"] == "corrupt/jpeg"
+
+
+def test_decode_gzip_verifies_trailers():
+    import gzip
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import decode_gzip
+    body = b"hello gzip world" * 10
+    assert decode_gzip(gzip.compress(body)) == body
+    with pytest.raises(ValueError, match="not a gzip"):
+        decode_gzip(b"\x00" * 20)
+    bad = bytearray(gzip.compress(body))
+    bad[-6] ^= 0xFF                            # flip a CRC-32 byte
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        decode_gzip(bytes(bad))
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        decode_gzip(gzip.compress(body)[:-4])  # torn trailer
