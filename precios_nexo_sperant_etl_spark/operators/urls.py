@@ -40,9 +40,13 @@ def url_host(url: Column) -> Column:
 
 
 def url_port(url: Column) -> Column:
-    """Explicit port as INT, NULL when the URL carries none."""
-    return F.nullif(F.regexp_extract(url, r"://[^/?#]*:(\d+)", 1),
-                    F.lit("")).cast("int")
+    """Explicit port as INT, NULL when the URL carries none. The host
+    alternative consumes a bracketed IPv6 literal whole so its colons
+    can never be mistaken for a port separator."""
+    return F.nullif(
+        F.regexp_extract(
+            url, r"://(?:[^/@?#]*@)?(?:\[[^\]]*\]|[^/:?#]*):(\d+)", 1),
+        F.lit("")).cast("int")
 
 
 def url_path(url: Column) -> Column:
@@ -59,11 +63,16 @@ def url_query(url: Column) -> Column:
 def registrable_domain(host: Column) -> Column:
     """Registrable domain of a lowercased host: the last two labels,
     or the last three when the last two form a multi-label public
-    suffix (``blog.x.co.uk`` → ``x.co.uk``). Hosts with fewer labels
-    pass through unchanged."""
+    suffix (``blog.x.co.uk`` → ``x.co.uk``). Hosts with fewer labels,
+    IPv4 literals (no label structure — truncating ``10.1.2.3`` to
+    ``2.3`` would merge unrelated machines into one "site"), and
+    bracketed IPv6 literals pass through unchanged."""
+    is_ip = (host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+             | host.startswith("["))
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    return (F.when(last2.isin(*MULTI_LABEL_SUFFIXES) & (last3 != ""),
+    return (F.when(is_ip, host)
+             .when(last2.isin(*MULTI_LABEL_SUFFIXES) & (last3 != ""),
                    last3)
              .when(last2 != "", last2)
              .otherwise(host))

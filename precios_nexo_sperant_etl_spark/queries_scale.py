@@ -6228,14 +6228,17 @@ END"""
 
 #: DuckDB mirror of urls.url_host / registrable_domain.
 _DUCK_HOST = (r"lower(regexp_extract(url,"
-              r" '://(?:[^/@]*@)?([^/:?#]+)', 1))")
+              r" '://(?:[^/@?#]*@)?(\[[^\]]*\]|[^/:?#]+)', 1))")
 
 
 def _duck_domain(host: str) -> str:
     from .operators.urls import MULTI_LABEL_SUFFIX_SQL
+    ip = (rf"(regexp_matches({host}, '^\d{{1,3}}(\.\d{{1,3}}){{3}}$')"
+          rf" OR {host} LIKE '[%')")
     last2 = rf"regexp_extract({host}, '([^.]+\.[^.]+)$', 1)"
     last3 = rf"regexp_extract({host}, '([^.]+\.[^.]+\.[^.]+)$', 1)"
-    return (f"CASE WHEN {last2} IN ({MULTI_LABEL_SUFFIX_SQL})"
+    return (f"CASE WHEN {ip} THEN {host}"
+            f" WHEN {last2} IN ({MULTI_LABEL_SUFFIX_SQL})"
             f" AND {last3} <> '' THEN {last3}"
             f" WHEN {last2} <> '' THEN {last2}"
             f" ELSE {host} END")
@@ -6258,7 +6261,8 @@ register(
 WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
 SELECT doc_id, url,
        {_DUCK_HOST} AS host,
-       CAST(nullif(regexp_extract(url, '://[^/?#]*:(\d+)', 1), '')
+       CAST(nullif(regexp_extract(url,
+                '://(?:[^/@?#]*@)?(?:\[[^\]]*\]|[^/:?#]*):(\d+)', 1), '')
             AS INT) AS port,
        nullif(regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1), '') AS path,
        nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query_string,

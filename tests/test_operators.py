@@ -357,3 +357,33 @@ def test_inverted_index_argmax_tiebreak(spark):
     assert rows["alpha"]["top_tf"] == 1
     # 'beta' df=1, 'gamma' df=1 -> excluded
     assert set(rows) == {"alpha"}
+
+
+def test_url_parts_edge_cases(spark):
+    """URL keying over the shapes a crawl actually contains: deep
+    subdomains, multi-label public suffixes, ports, userinfo, IPv4 and
+    bracketed IPv6 literals (which must NOT be label-truncated),
+    uppercase hosts, and single-label intranet hosts."""
+    from precios_nexo_sperant_etl_spark.operators.urls import with_url_parts
+    cases = [
+        ("https://a.b.example.com/x", "a.b.example.com", None,
+         "/x", None, "example.com"),
+        ("http://blog.shop.co.uk/p?q=1#frag", "blog.shop.co.uk", None,
+         "/p", "q=1", "shop.co.uk"),
+        ("https://user:pw@cdn.example.org:8443/a.html",
+         "cdn.example.org", 8443, "/a.html", None, "example.org"),
+        ("http://192.168.0.1:8080/admin", "192.168.0.1", 8080,
+         "/admin", None, "192.168.0.1"),
+        ("http://[2001:db8::1]/x", "[2001:db8::1]", None,
+         "/x", None, "[2001:db8::1]"),
+        ("http://EXAMPLE.NET/y", "example.net", None, "/y", None,
+         "example.net"),
+        ("http://intranet/wiki", "intranet", None, "/wiki", None,
+         "intranet"),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    got = {r["url"]: r for r in with_url_parts(df).collect()}
+    for url, host, port, path, qs, dom in cases:
+        r = got[url]
+        assert (r["host"], r["port"], r["path"], r["query_string"],
+                r["domain"]) == (host, port, path, qs, dom), url
