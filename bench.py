@@ -128,6 +128,7 @@ HEADLINE = [
     "streaming_kmv_minima",     # streaming min-selection merge algebra
     "gzip_text_roundtrip",      # DEFLATE wrap/unwrap via Arrow seam
     "training_order_manifest",  # seeded global shuffle, dense positions
+    "bmp_resize_features",      # integer box-downsample via Arrow seam
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

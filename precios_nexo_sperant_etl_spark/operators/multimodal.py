@@ -369,6 +369,49 @@ def probe_jpeg(payload: bytes) -> dict:
     raise ValueError("no SOF frame header before EOI")
 
 
+def bmp_pixels(payload: bytes):
+    """Decode an uncompressed 24-bpp BMP to an (h, w, 3) uint8 array in
+    IMAGE orientation (top row first): positive-height BMPs store rows
+    bottom-up and are flipped here; negative height means top-down
+    already. Channel order stays B, G, R as stored."""
+    import struct
+
+    import numpy as np
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_sz, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if (hdr_sz < 40 or planes != 1 or bpp != 24 or compression != 0
+            or w <= 0):
+        raise ValueError("bmp_pixels needs an uncompressed 24-bpp BMP")
+    if h == 0:
+        return np.zeros((0, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < pix_off + stride * abs(h):
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * abs(h), offset=pix_off)
+    px = rows.reshape(abs(h), stride)[:, :w * 3].reshape(abs(h), w, 3)
+    return px[::-1] if h > 0 else px
+
+
+def downsample_box2(px) -> "object":
+    """Exact 2×2 integer box downsample (floor mean) of an (h, w, 3)
+    uint8 array — the RESIZE primitive of the media pipeline, all
+    integer arithmetic so the result is engine/oracle-exact (unlike
+    float bilinear, whose rounding is library-specific). Odd trailing
+    row/column is dropped (floor semantics), matching the oracle's
+    index arithmetic."""
+    import numpy as np
+    h2, w2 = px.shape[0] // 2, px.shape[1] // 2
+    if h2 == 0 or w2 == 0:
+        return np.zeros((h2, w2, 3), dtype=np.int64)
+    p = px[:h2 * 2, :w2 * 2].astype(np.int64)
+    return p.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+
+
 def decode_gzip(payload: bytes) -> bytes:
     """REAL gzip member decode with stdlib machinery: magic/method
     check for a clean error taxonomy, then ``gzip.decompress`` (which

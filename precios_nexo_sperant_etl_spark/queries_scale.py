@@ -6005,6 +6005,111 @@ FROM m ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# BMP resize (exact 2x2 box downsample): the RESIZE half of the media
+# pipeline made real — decode → integer floor-mean downsample → per-
+# channel sums, all pinned by byte-level SQL over the original pixel
+# bytes. Text bytes pad to 24-byte blocks so the height is EVEN: with
+# whole 2x2 blocks the channel sums are storage-orientation-invariant
+# (bottom-up row pairing is the same set of pairs), keeping the oracle
+# free of orientation arithmetic; odd-size behavior (floor drop) is
+# pinned in pytest instead. Float bilinear would be library-specific —
+# integer box filtering is the deterministic choice.
+# ---------------------------------------------------------------------------
+
+def _bmp_resize_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+    from .operators.multimodal import bmp_pixels, downsample_box2
+
+    def le32(c):
+        def pair(x):
+            return F.lpad(F.hex(x % 256), 2, "0")
+        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
+                                pair((c / 65536).cast("long")),
+                                pair((c / 16777216).cast("long"))))
+
+    d = _t(spark, sf, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    pad = (24 - F.octet_length(raw) % 24) % 24
+    data = F.concat(raw, F.substring(F.lit(b"\x00" * 23), 1, pad))
+    dlen = F.octet_length(data).cast("long")
+    h = (dlen / 12).cast("long")
+    header = F.concat(
+        F.lit(b"BM"), le32(dlen + 54), F.lit(b"\x00\x00\x00\x00"),
+        le32(F.lit(54)), le32(F.lit(40)), le32(F.lit(4)), le32(h),
+        F.lit((1).to_bytes(2, "little") + (24).to_bytes(2, "little")),
+        le32(F.lit(0)), le32(dlen), F.lit(b"\x00" * 16))
+    src = (d.select("doc_id", F.concat(header, data).alias("payload"))
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def feats(it):
+        for pdf in it:
+            rows = []
+            for p in pdf["payload"]:
+                small = downsample_box2(bmp_pixels(bytes(p)))
+                s = small.sum(axis=(0, 1)) if small.size else [0, 0, 0]
+                rows.append({"out_w": small.shape[1],
+                             "out_h": small.shape[0],
+                             "sum_b": int(s[0]), "sum_g": int(s[1]),
+                             "sum_r": int(s[2])})
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
+            yield out
+
+    return (src.mapInPandas(feats, "doc_id long, out_w long, out_h long,"
+                                   " sum_b long, sum_g long, sum_r long")
+               .orderBy("doc_id"))
+
+
+register(
+    "bmp_resize_features",
+    _bmp_resize_features,
+    r"""
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
+p AS (SELECT doc_id,
+             hx0 || repeat('00', CAST((24 - (length(hx0) // 2) % 24) % 24
+                                      AS BIGINT)) AS hx
+      FROM b),
+s AS (SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS nb,
+             list_transform(range(0, length(hx) // 2), i ->
+               ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)
+               AS bytes
+      FROM p),
+m AS (SELECT doc_id, nb, nb // 24 AS h2,
+             list_sum(list_transform(range(0, (nb // 24) * 2), k ->
+               (bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 1 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 4 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 13 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 16 AS INT)])
+               // 4)) AS sum_b,
+             list_sum(list_transform(range(0, (nb // 24) * 2), k ->
+               (bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 2 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 5 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 14 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 17 AS INT)])
+               // 4)) AS sum_g,
+             list_sum(list_transform(range(0, (nb // 24) * 2), k ->
+               (bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 3 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 6 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 15 AS INT)]
+                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 18 AS INT)])
+               // 4)) AS sum_r
+      FROM s)
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS out_w,
+       h2 AS out_h,
+       CAST(COALESCE(sum_b, 0) AS BIGINT) AS sum_b,
+       CAST(COALESCE(sum_g, 0) AS BIGINT) AS sum_g,
+       CAST(COALESCE(sum_r, 0) AS BIGINT) AS sum_r
+FROM m ORDER BY doc_id
+""",
+    doc="Real image RESIZE: decode a genuine width-4 24-bpp BMP and "
+        "2x2 integer box-downsample it (floor mean — deterministic, "
+        "unlike float bilinear), per-channel sums hash-verified "
+        "against byte-index SQL over the original pixel bytes.",
+)
+
+
+# ---------------------------------------------------------------------------
 # Gzip ingestion roundtrip: documents gzip-wrapped in one Arrow
 # crossing (stdlib gzip — real DEFLATE, CRC-32 + ISIZE trailers), then
 # decompressed and fingerprinted through a second crossing; the oracle

@@ -63,6 +63,7 @@ _CHECK_FIRST: list[str] = [
     "streaming_kmv_minima",        # fifth streaming merge algebra (min)
     "gzip_text_roundtrip",         # gzip ingestion seam value oracle
     "training_order_manifest",     # seeded deterministic global shuffle
+    "bmp_resize_features",         # exact integer box-downsample resize
     # --- changed in r7: plan diet (shared posting-list subtree) ---
     "rrf_hybrid_retrieval",
     # --- r02-cohort refresh (the oldest stamps in the ledger;
@@ -103,9 +104,6 @@ _CHECK_FIRST: list[str] = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_global_sales_opportunity",
-    # --- r03-cohort head start (oldest stamps after the r02 block;
-    # fills the window to exactly 50) ---
-    "core_update_audit",
 ]
 
 

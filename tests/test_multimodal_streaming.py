@@ -654,3 +654,24 @@ def test_decode_gzip_verifies_trailers():
         decode_gzip(bytes(bad))
     with pytest.raises(ValueError, match="corrupt gzip"):
         decode_gzip(gzip.compress(body)[:-4])  # torn trailer
+
+
+def test_downsample_box2_floor_and_orientation():
+    """2x2 box resize: exact floor means, odd trailing row/col dropped,
+    and bottom-up BMP storage decodes to image orientation."""
+    import numpy as np
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        bmp_pixels, downsample_box2)
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    small = downsample_box2(px)
+    assert small.shape == (2, 1, 3)          # floor(5/2), floor(3/2)
+    blk = px[0:2, 0:2].astype(np.int64)
+    assert (small[0, 0] == blk.sum(axis=(0, 1)) // 4).all()
+
+    # bottom-up storage flips to image orientation; rgb_fn returns
+    # (r, g, b) and the array keeps disk order (b, g, r)
+    bmp = _make_bmp(2, 2, lambda x, y: (x, y, x + y))
+    img = bmp_pixels(bmp)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 1].tolist() == [1, 0, 1]   # y=0, x=1: (b=1, g=0, r=1)
+    assert img[1, 0].tolist() == [1, 1, 0]   # y=1, x=0: (b=1, g=1, r=0)
