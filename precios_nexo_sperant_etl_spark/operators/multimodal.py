@@ -82,15 +82,20 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
 
 def real_decode_placeholder(payload: bytes) -> None:
-    """Where a transform-coded decoder (JPEG/MP3/MP4) would plug in.
-    Kept explicit so the remaining gap is visible and tested as such —
-    BMP and WAV/PCM (uncompressed containers) and PNG (zlib-deflate
-    container, stdlib-decodable) are decoded for real below."""
+    """Where the REMAINING stubbed codecs (MP3 audio, MP4/H.264 video,
+    progressive/subsampled JPEG) would plug in. Kept explicit so the
+    gap is visible and tested as such — BMP, WAV/PCM, PNG
+    (zlib-deflate) and now baseline-sequential JPEG (real Huffman +
+    dequant + IDCT entropy decode, ``operators/jpegcodec.py``) are
+    decoded for real; out-of-subset JPEGs fall back to the header
+    probe rather than pretending."""
     raise NotImplementedError(
-        "transform-codec media (libjpeg/torchaudio/ffmpeg) is not "
-        "available in this environment; BMP, WAV and PNG decode is "
-        "real (decode_bmp / decode_wav / decode_png), wire codec "
-        "libraries into decode_media_batch for JPEG/MP3/MP4 payloads")
+        "transform-codec media beyond baseline JPEG (MP3/H.264, "
+        "progressive or subsampled JPEG) needs libjpeg-turbo/ffmpeg, "
+        "not available in this environment; BMP, WAV, PNG and "
+        "baseline JPEG decode is real (decode_bmp / decode_wav / "
+        "decode_png / jpegcodec.decode_baseline) — wire codec "
+        "libraries into decode_media_batch for the rest")
 
 
 # ---------------------------------------------------------------------------
@@ -494,12 +499,30 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                            mean_g_milli=d.get("mean_g_milli"),
                            mean_b_milli=d.get("mean_b_milli"))
             elif p[:2] == b"\xff\xd8":
-                d = probe_jpeg(p)
-                # pixel decode stays stubbed; the header probe fills
-                # dimensions + component count (channels)
-                row.update(mime_detected="image/jpeg", width=d["width"],
-                           height=d["height"],
-                           channels=d["n_components"])
+                from .jpegcodec import UnsupportedJpeg, decode_baseline
+                try:
+                    d = decode_baseline(p)
+                    px = d["pixels"].astype("int64")
+                    npx = px.shape[0] * px.shape[1]
+                    if px.ndim == 2:        # grayscale: one luma mean
+                        mr = mg = mb = int(px.sum()) * 1000 // npx
+                    else:                   # RGB planes from YCbCr
+                        mr = int(px[:, :, 0].sum()) * 1000 // npx
+                        mg = int(px[:, :, 1].sum()) * 1000 // npx
+                        mb = int(px[:, :, 2].sum()) * 1000 // npx
+                    row.update(mime_detected="image/jpeg",
+                               width=d["width"], height=d["height"],
+                               channels=d["n_components"],
+                               mean_r_milli=mr, mean_g_milli=mg,
+                               mean_b_milli=mb)
+                except UnsupportedJpeg:
+                    # Out-of-subset stream (progressive, subsampled,
+                    # metadata-only): dimensions still come from the
+                    # real header probe; pixel means stay null.
+                    d = probe_jpeg(p)
+                    row.update(mime_detected="image/jpeg",
+                               width=d["width"], height=d["height"],
+                               channels=d["n_components"])
         except (ValueError, IndexError, _zlib_error):
             row["mime_detected"] = ("corrupt/bmp" if p[:2] == b"BM"
                                     else "corrupt/png"

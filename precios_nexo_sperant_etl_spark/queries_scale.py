@@ -6705,3 +6705,97 @@ ORDER BY name_a, name_b
         "offsets 1..w-1, Levenshtein adjudication, with a same-block "
         "flag comparing SNM recall against key blocking.",
 )
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG entropy decode roundtrip — the compressed-image half of the
+# media seam, value-pinned. Each document becomes a genuine baseline-
+# sequential JPEG (operators/jpegcodec.encode_baseline_gray: real FDCT,
+# quantization, Annex-K Huffman coding, byte stuffing; even doc_ids add
+# a restart interval so the RSTn + DC-predictor-reset path is inside the
+# hashed data, not just pytest): a 16x16 grayscale image of four flat
+# 8x8 blocks whose values derive from doc_id. The real decoder
+# (marker walk -> DHT canonical Huffman -> bit unstuffing -> DC-diff +
+# AC run-length decode -> dequant -> IDCT -> level shift) recovers the
+# pixels EXACTLY — the DC basis is constant, so flat blocks survive the
+# float transform pair bit-exactly — and DuckDB recomputes sum/min/max
+# arithmetically from doc_id. Any bug anywhere in the entropy layer
+# (table reconstruction, stuffing, predictor chains, EOB handling)
+# breaks the value hash.
+#
+# Scale shape: two Arrow crossings (encode, decode), zero shuffles
+# before the final doc_id sort; pure per-row work, embarrassingly
+# parallel — the partition-sizing note in operators/multimodal applies.
+# ---------------------------------------------------------------------------
+
+def _jpeg_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.jpegcodec import decode_baseline, encode_baseline_gray
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                px = np.zeros((16, 16), dtype=np.uint8)
+                for k in range(4):
+                    v = (did * 31 + 97 * k) % 256
+                    by, bx = divmod(k, 2)
+                    px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+                payloads.append(encode_baseline_gray(
+                    px, restart_interval=2 if did % 2 == 0 else 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_baseline(bytes(p))
+                px = r["pixels"].astype("int64")
+                rows.append({"doc_id": int(did),
+                             "out_w": r["width"], "out_h": r["height"],
+                             "pix_sum": int(px.sum()),
+                             "pix_min": int(px.min()),
+                             "pix_max": int(px.max())})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, out_w long, out_h long,"
+                                 " pix_sum long, pix_min long,"
+                                 " pix_max long")
+               .orderBy("doc_id"))
+
+
+register(
+    "jpeg_decode_roundtrip",
+    _jpeg_decode_roundtrip,
+    """
+WITH v AS (
+  SELECT doc_id,
+         (doc_id * 31 +   0) % 256 AS v0,
+         (doc_id * 31 +  97) % 256 AS v1,
+         (doc_id * 31 + 194) % 256 AS v2,
+         (doc_id * 31 + 291) % 256 AS v3
+  FROM documents)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS out_w,
+       CAST(16 AS BIGINT) AS out_h,
+       CAST(64 * (v0 + v1 + v2 + v3) AS BIGINT) AS pix_sum,
+       CAST(LEAST(v0, v1, v2, v3) AS BIGINT) AS pix_min,
+       CAST(GREATEST(v0, v1, v2, v3) AS BIGINT) AS pix_max
+FROM v ORDER BY doc_id
+""",
+    doc="Real baseline-JPEG entropy decode roundtrip: genuine "
+        "FDCT/Huffman/stuffed streams (restart markers on even ids) "
+        "built per document, decoded by the real T.81 entropy layer "
+        "(jpegcodec.decode_baseline), pixel sum/min/max hash-verified "
+        "against doc_id arithmetic — flat blocks survive the "
+        "transform pair bit-exactly.",
+)
