@@ -129,6 +129,7 @@ HEADLINE = [
     "gzip_text_roundtrip",      # DEFLATE wrap/unwrap via Arrow seam
     "training_order_manifest",  # seeded global shuffle, dense positions
     "bmp_resize_features",      # integer box-downsample via Arrow seam
+    "jpeg_decode_roundtrip",    # real T.81 entropy decode via Arrow seam
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and
