@@ -374,6 +374,109 @@ def probe_jpeg(payload: bytes) -> dict:
     raise ValueError("no SOF frame header before EOI")
 
 
+def probe_mp4(payload: bytes) -> dict:
+    """REAL ISO-BMFF (MP4/MOV) container probe: walk the box tree
+    (32-bit size / FourCC type framing, 64-bit ``largesize`` escapes,
+    size-0 to-EOF boxes, 16-byte ``uuid`` extensions), recurse into the
+    ``moov``/``trak`` containers, and read the movie header (``mvhd``
+    v0/v1: timescale + duration) and each track header (``tkhd`` v0/v1:
+    track id, 16.16 fixed-point presentation width/height). This is the
+    metadata pass a video curation pipeline runs over every clip —
+    duration/aspect filters, frame-sample scheduling — before any
+    sample data decodes; codec payload decode (H.264 etc.) stays behind
+    :func:`real_decode_placeholder`.
+
+    Returns ``{"brand", "timescale", "duration_ms", "n_tracks",
+    "width", "height", "byte_len"}`` where width/height come from the
+    first track with a nonzero presentation size (fixed-point integer
+    part). Raises ``ValueError`` on truncated/overlapping boxes or a
+    missing ``moov``/``mvhd``.
+    """
+    import struct
+
+    n = len(payload)
+    if n < 8:
+        raise ValueError("too short for an ISO-BMFF box")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated box header")
+            size = struct.unpack_from(">I", payload, pos)[0]
+            typ = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("truncated largesize box")
+                size = struct.unpack_from(">Q", payload, pos + 8)[0]
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if typ == b"uuid":
+                body += 16
+            if size < body - pos or pos + size > hi:
+                raise ValueError(f"box {typ!r} overruns its container")
+            yield typ, body, pos + size
+            pos += size
+
+    brand = None
+    timescale = None
+    duration = None
+    n_tracks = 0
+    width = height = None
+
+    def parse_mvhd(body: int, end: int) -> tuple[int, int]:
+        version = payload[body]
+        if version == 1:
+            if body + 28 > end:
+                raise ValueError("truncated mvhd v1")
+            ts = struct.unpack_from(">I", payload, body + 20)[0]
+            dur = struct.unpack_from(">Q", payload, body + 24)[0]
+        else:
+            if body + 20 > end:
+                raise ValueError("truncated mvhd v0")
+            ts = struct.unpack_from(">I", payload, body + 12)[0]
+            dur = struct.unpack_from(">I", payload, body + 16)[0]
+        if ts == 0:
+            raise ValueError("mvhd timescale is zero")
+        return ts, dur
+
+    def parse_tkhd(body: int, end: int) -> tuple[int, int]:
+        version = payload[body]
+        # v0 head: ver/flags+ctime+mtime+track_id+reserved+duration = 24
+        # v1 head: 64-bit ctime/mtime/duration               = 36
+        # common tail before width: reserved(8) layer(2) alt_group(2)
+        #   volume(2) reserved(2) matrix(36)                 = 52
+        off = body + (36 if version == 1 else 24) + 52
+        if off + 8 > end:
+            raise ValueError("truncated tkhd")
+        w = struct.unpack_from(">I", payload, off)[0] >> 16
+        h = struct.unpack_from(">I", payload, off + 4)[0] >> 16
+        return w, h
+
+    for typ, body, end in walk(0, n):
+        if typ == b"ftyp" and end - body >= 4:
+            brand = payload[body:body + 4].decode("latin-1")
+        elif typ == b"moov":
+            for t2, b2, e2 in walk(body, end):
+                if t2 == b"mvhd":
+                    timescale, duration = parse_mvhd(b2, e2)
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    for t3, b3, e3 in walk(b2, e2):
+                        if t3 == b"tkhd":
+                            w, h = parse_tkhd(b3, e3)
+                            if width is None and (w or h):
+                                width, height = w, h
+    if timescale is None:
+        raise ValueError("no moov/mvhd movie header")
+    return {"brand": brand, "timescale": timescale,
+            "duration_ms": duration * 1000 // timescale,
+            "n_tracks": n_tracks, "width": width, "height": height,
+            "byte_len": n}
+
+
 def bmp_pixels(payload: bytes):
     """Decode an uncompressed 24-bpp BMP to an (h, w, 3) uint8 array in
     IMAGE orientation (top row first): positive-height BMPs store rows
@@ -498,6 +601,14 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                            mean_r_milli=d.get("mean_r_milli"),
                            mean_g_milli=d.get("mean_g_milli"),
                            mean_b_milli=d.get("mean_b_milli"))
+            elif p[4:8] == b"ftyp":
+                d = probe_mp4(p)
+                # sample decode (H.264 etc.) stays stubbed; the box
+                # walk fills duration + presentation size + track count
+                row.update(mime_detected="video/mp4",
+                           width=d["width"], height=d["height"],
+                           duration_ms=d["duration_ms"],
+                           channels=d["n_tracks"])
             elif p[:2] == b"\xff\xd8":
                 from .jpegcodec import UnsupportedJpeg, decode_baseline
                 try:
@@ -529,6 +640,8 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                                     if p.startswith(_PNG_SIG)
                                     else "corrupt/jpeg"
                                     if p[:2] == b"\xff\xd8"
+                                    else "corrupt/mp4"
+                                    if p[4:8] == b"ftyp"
                                     else "corrupt/wav")
         rows.append(row)
     return pd.DataFrame(rows)

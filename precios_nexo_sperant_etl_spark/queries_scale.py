@@ -6799,3 +6799,102 @@ FROM v ORDER BY doc_id
         "against doc_id arithmetic — flat blocks survive the "
         "transform pair bit-exactly.",
 )
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) container probe — the video half of the media-metadata
+# seam, value-pinned like jpeg_header_probe. Each document's bytes are
+# framed JVM-side into a GENUINE box tree (ftyp; a variable-length mdat
+# carrying the text FIRST, so the probe's skip-by-size logic is
+# exercised over real payload bytes before moov is found — the common
+# non-faststart layout; then moov > mvhd + trak > tkhd with computed
+# big-endian timescale/duration and 16.16 fixed-point dimensions), the
+# real box walker (operators/multimodal.probe_mp4: 32/64-bit sizes,
+# container recursion, v0/v1 headers) probes it through the Arrow seam,
+# and DuckDB recomputes every field arithmetically from the text
+# length. Sample-data decode (H.264) stays honestly stubbed — this is
+# the duration/aspect filter pass a video pipeline runs on every clip.
+# ---------------------------------------------------------------------------
+
+def _mp4_box_probe(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import probe_mp4
+
+    import pandas as pd
+
+    def be32(c):
+        def pair(x):
+            return F.lpad(F.hex(x % 256), 2, "0")
+        return F.unhex(F.concat(pair((c / 16777216).cast("long")),
+                                pair((c / 65536).cast("long")),
+                                pair((c / 256).cast("long")), pair(c)))
+
+    d = _t(spark, sf, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    ln = F.octet_length(raw).cast("long")
+    dur = ln * 3
+    w = 1 + ln % 640
+    h = 1 + ln % 480
+    ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+    mdat = F.concat(be32(ln + 8), F.lit(b"mdat"), raw)
+    mvhd = F.concat(
+        F.lit(b"\x00\x00\x00\x6cmvhd" + b"\x00" * 12),   # ver/flags,times
+        be32(F.lit(600)), be32(dur),                      # timescale, dur
+        F.lit(b"\x00\x01\x00\x00\x01\x00" + b"\x00" * 10  # rate, volume
+              + b"\x00" * 36 + b"\x00" * 24               # matrix, predef
+              + b"\x00\x00\x00\x02"))                     # next track id
+    tkhd = F.concat(
+        F.lit(b"\x00\x00\x00\x5ctkhd" + b"\x00\x00\x00\x07"
+              + b"\x00" * 8 + b"\x00\x00\x00\x01" + b"\x00" * 4),
+        be32(dur),
+        F.lit(b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36),  # layer..matrix
+        be32(w * 65536), be32(h * 65536))
+    moov = F.concat(F.lit(b"\x00\x00\x00\xd8moov"), mvhd,
+                    F.lit(b"\x00\x00\x00\x64trak"), tkhd)
+    payload = F.concat(F.lit(ftyp), mdat, moov)
+    src = (d.select("doc_id", payload.alias("payload"))
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def probe(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = probe_mp4(bytes(p))
+                rows.append({"doc_id": int(did), "brand": r["brand"],
+                             "timescale": r["timescale"],
+                             "duration_ms": r["duration_ms"],
+                             "n_tracks": r["n_tracks"],
+                             "width": r["width"], "height": r["height"],
+                             "byte_len": r["byte_len"]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(probe, "doc_id long, brand string,"
+                                   " timescale long, duration_ms long,"
+                                   " n_tracks long, width long,"
+                                   " height long, byte_len long")
+               .orderBy("doc_id"))
+
+
+register(
+    "mp4_box_probe",
+    _mp4_box_probe,
+    """
+WITH b AS (SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS ln
+           FROM documents)
+SELECT doc_id,
+       'isom' AS brand,
+       CAST(600 AS BIGINT) AS timescale,
+       CAST(ln * 3 * 1000 // 600 AS BIGINT) AS duration_ms,
+       CAST(1 AS BIGINT) AS n_tracks,
+       CAST(1 + ln % 640 AS BIGINT) AS width,
+       CAST(1 + ln % 480 AS BIGINT) AS height,
+       CAST(16 + (ln + 8) + 216 AS BIGINT) AS byte_len
+FROM b ORDER BY doc_id
+""",
+    doc="Real ISO-BMFF box-tree probe: genuine ftyp/mdat/moov "
+        "structures (mdat-first layout, computed 16.16 dimensions) "
+        "built JVM-side per document, walked by the real container "
+        "parser through the Arrow seam, every field hash-verified "
+        "against text-length arithmetic.",
+)

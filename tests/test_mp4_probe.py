@@ -1,0 +1,112 @@
+"""Unit tests for the real ISO-BMFF box walker
+(operators/multimodal.probe_mp4) — pure bytes, no Spark session.
+
+Covers the framing variants a real corpus throws at the probe: 32-bit
+sizes, 64-bit largesize escapes, size-0 to-EOF boxes, uuid extensions,
+mvhd/tkhd version 0 and 1, multiple tracks, and the corrupt taxonomy
+(overrunning boxes, missing moov).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+import pytest
+
+from precios_nexo_sperant_etl_spark.operators.multimodal import (
+    decode_media_batch, probe_mp4)
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def _mvhd_v0(ts: int, dur: int) -> bytes:
+    body = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", ts, dur)
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24
+            + struct.pack(">I", 2))
+    return _box(b"mvhd", body)
+
+
+def _tkhd_v0(w: int, h: int) -> bytes:
+    body = (b"\x00\x00\x00\x07" + b"\x00" * 8 + struct.pack(">I", 1)
+            + b"\x00" * 4 + struct.pack(">I", 600) + b"\x00" * 8
+            + b"\x00" * 8 + b"\x00" * 36
+            + struct.pack(">II", w << 16, h << 16))
+    return _box(b"tkhd", body)
+
+
+FTYP = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+
+
+def _movie(ts=600, dur=1800, tracks=((640, 360),), mdat=b"x" * 137):
+    moov = _mvhd_v0(ts, dur) + b"".join(
+        _box(b"trak", _tkhd_v0(w, h)) for w, h in tracks)
+    return FTYP + _box(b"mdat", mdat) + _box(b"moov", moov)
+
+
+def test_probe_reads_movie_and_first_sized_track():
+    p = _movie(tracks=((0, 0), (1920, 1080)))
+    d = probe_mp4(p)
+    assert d["brand"] == "isom"
+    assert d["timescale"] == 600 and d["duration_ms"] == 3000
+    assert d["n_tracks"] == 2
+    # first track is 0x0 (audio-style): dimensions come from the second
+    assert (d["width"], d["height"]) == (1920, 1080)
+    assert d["byte_len"] == len(p)
+
+
+def test_largesize_and_to_eof_boxes():
+    big_mdat = (struct.pack(">I", 1) + b"mdat"
+                + struct.pack(">Q", 16 + 21) + b"y" * 21)
+    moov = _mvhd_v0(1000, 2500)
+    p = FTYP + big_mdat + struct.pack(">I", 0) + b"moov" + moov
+    d = probe_mp4(p)
+    assert d["duration_ms"] == 2500
+    assert d["width"] is None  # no trak at all
+
+
+def test_uuid_extension_box_is_skipped():
+    uuid_box = _box(b"uuid", b"\x11" * 16 + b"opaque-vendor-data")
+    p = FTYP + uuid_box + _box(b"moov", _mvhd_v0(600, 600))
+    assert probe_mp4(p)["duration_ms"] == 1000
+
+
+def test_mvhd_v1_64bit_duration():
+    body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">I", 90000) + struct.pack(">Q", 450000)
+            + b"\x00" * 80)
+    d = probe_mp4(_box(b"moov", _box(b"mvhd", body)))
+    assert d["timescale"] == 90000 and d["duration_ms"] == 5000
+
+
+def test_tkhd_v1_offsets():
+    body = (b"\x01\x00\x00\x07" + b"\x00" * 16 + struct.pack(">I", 1)
+            + b"\x00" * 4 + struct.pack(">Q", 600) + b"\x00" * 8
+            + b"\x00" * 8 + b"\x00" * 36
+            + struct.pack(">II", 320 << 16, 240 << 16))
+    moov = _mvhd_v0(600, 600) + _box(b"trak", _box(b"tkhd", body))
+    d = probe_mp4(_box(b"moov", moov))
+    assert (d["width"], d["height"]) == (320, 240)
+
+
+def test_corrupt_taxonomy():
+    p = _movie()
+    with pytest.raises(ValueError):
+        probe_mp4(p[:-5])                       # moov overruns
+    with pytest.raises(ValueError):
+        probe_mp4(FTYP + _box(b"mdat", b"x"))   # no moov/mvhd
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00")                  # too short
+
+
+def test_media_batch_dispatches_mp4():
+    out = decode_media_batch(pd.Series([_movie(), FTYP + b"\x00\x00"]))
+    ok, bad = out.iloc[0], out.iloc[1]
+    assert ok["mime_detected"] == "video/mp4"
+    assert ok["width"] == 640 and ok["duration_ms"] == 3000
+    assert ok["channels"] == 1  # n_tracks rides the channels column
+    assert bad["mime_detected"] == "corrupt/mp4"
