@@ -182,6 +182,70 @@ def decode_wav(payload: bytes) -> dict:
     return out
 
 
+def wav_samples(payload: bytes):
+    """Decode a 16-bit integer-PCM WAV to its raw samples: an
+    (n_frames, channels) int16 array in file order. Same chunk walk and
+    error taxonomy as :func:`decode_wav`; this is the accessor the
+    frame-level feature extractors build on (energy contours, VAD-style
+    gating) — summary stats alone can't express those."""
+    import struct
+
+    import numpy as np
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos:pos + 4], struct.unpack_from("<I", payload,
+                                                           pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, _rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("wav_samples decodes 16-bit integer PCM only")
+    bpf = channels * 2
+    n = len(data) // bpf if bpf else 0
+    return np.frombuffer(data, dtype="<i2",
+                         count=n * channels).reshape(n, channels)
+
+
+def pcm_frame_features(x, frame: int = 64,
+                       voiced_threshold: int = 1_000_000) -> dict:
+    """Frame-level features over a mono int PCM signal, all exact
+    integer arithmetic (oracle-stable): per-frame mean-square energy
+    (Σx²//frame over each complete ``frame``-sample window, tail
+    dropped), the max energy and its FIRST peak frame index, the count
+    of frames above ``voiced_threshold`` (energy-gate VAD, the
+    speech/silence screen an audio curation pipeline runs before any
+    model), and signal-wide sign-transition zero crossings (a crude
+    pitch/noisiness cue)."""
+    import numpy as np
+    x = np.asarray(x, dtype=np.int64)
+    n = int(x.size)
+    nf = n // frame
+    out = {"n_samples": n, "n_frames": nf,
+           "zero_crossings": int(((x[:-1] < 0) != (x[1:] < 0)).sum())
+           if n > 1 else 0}
+    if nf == 0:
+        out.update(max_energy=None, peak_frame=None, voiced_frames=0)
+        return out
+    w = x[:nf * frame].reshape(nf, frame)
+    energies = (w * w).sum(axis=1) // frame
+    out.update(max_energy=int(energies.max()),
+               peak_frame=int(energies.argmax()),
+               voiced_frames=int((energies > voiced_threshold).sum()))
+    return out
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 from zlib import error as _zlib_error  # noqa: E402  (a torn IDAT raises it)

@@ -6898,3 +6898,114 @@ FROM b ORDER BY doc_id
         "parser through the Arrow seam, every field hash-verified "
         "against text-length arithmetic.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Frame-level audio features — the step AFTER decode in an audio
+# curation pipeline (energy contour, VAD-style voiced-frame gating,
+# zero-crossing noisiness), value-pinned at the sample level. Same
+# container construction as wav_decode_roundtrip (text bytes as 16-bit
+# mono PCM in a genuine RIFF/WAVE), but the crossing decodes to RAW
+# SAMPLES (multimodal.wav_samples) and runs the integer frame math
+# (pcm_frame_features: Σx²//frame per 64-sample window, first-peak
+# index, energy-gate count, sign-transition crossings). DuckDB
+# recomputes every feature from the same little-endian sample list, so
+# a bug in framing, the tail-drop rule, argmax tie-breaking, or the
+# signedness decode breaks the value hash.
+# ---------------------------------------------------------------------------
+
+def _wav_frame_energy(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import pcm_frame_features, wav_samples
+
+    def le32(c):
+        def pair(x):
+            return F.lpad(F.hex(x % 256), 2, "0")
+        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
+                                pair((c / 65536).cast("long")),
+                                pair((c / 16777216).cast("long"))))
+
+    d = _t(spark, sf, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    data = F.when(F.octet_length(raw) % 2 == 1,
+                  F.concat(raw, F.lit(b"\x00"))).otherwise(raw)
+    dlen = F.octet_length(data).cast("long")
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    payload = F.concat(F.lit(b"RIFF"), le32(dlen + 36), F.lit(b"WAVE"),
+                       F.lit(fmt), F.lit(b"data"), le32(dlen), data)
+    src = (d.select("doc_id", payload.alias("payload"))
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def feats(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                x = wav_samples(bytes(p))[:, 0]
+                r = pcm_frame_features(x, frame=64,
+                                       voiced_threshold=1_000_000)
+                r["doc_id"] = int(did)
+                rows.append(r)
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(feats, "n_samples long, n_frames long,"
+                                   " zero_crossings long,"
+                                   " max_energy long, peak_frame long,"
+                                   " voiced_frames long, doc_id long")
+               .select("doc_id", "n_samples", "n_frames", "max_energy",
+                       "peak_frame", "voiced_frames", "zero_crossings")
+               .orderBy("doc_id"))
+
+
+register(
+    "wav_frame_energy",
+    _wav_frame_energy,
+    r"""
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
+p AS (SELECT doc_id,
+             CASE WHEN length(hx0) % 4 = 0 THEN hx0
+                  ELSE hx0 || '00' END AS hx
+      FROM b),
+s AS (SELECT doc_id, CAST(length(hx) // 4 AS BIGINT) AS n,
+             list_transform(range(0, length(hx) // 4), i ->
+               ('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2))::BIGINT
+               + 256 * ('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2))::BIGINT)
+               AS raw
+      FROM p),
+v AS (SELECT doc_id, n,
+             list_transform(raw, x -> CASE WHEN x >= 32768
+                                           THEN x - 65536 ELSE x END) AS x
+      FROM s),
+e AS (SELECT doc_id, n, x, n // 64 AS nf,
+             list_transform(range(0, n // 64), f ->
+               list_sum(list_transform(range(0, 64), j ->
+                 x[CAST(64 * f + j + 1 AS INT)]
+                 * x[CAST(64 * f + j + 1 AS INT)])) // 64) AS en
+      FROM v)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(nf AS BIGINT) AS n_frames,
+       CASE WHEN nf = 0 THEN NULL
+            ELSE CAST(list_max(en) AS BIGINT) END AS max_energy,
+       CASE WHEN nf = 0 THEN NULL
+            ELSE CAST(list_position(en, list_max(en)) - 1 AS BIGINT)
+            END AS peak_frame,
+       CAST(COALESCE(list_sum(list_transform(en, q ->
+              CASE WHEN q > 1000000 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS voiced_frames,
+       CAST(COALESCE(list_sum(list_transform(range(1, n), i ->
+              CASE WHEN (x[CAST(i AS INT)] < 0)
+                        != (x[CAST(i + 1 AS INT)] < 0)
+                   THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+FROM e ORDER BY doc_id
+""",
+    doc="Frame-level PCM features through the real WAV sample decoder: "
+        "64-sample mean-square energy windows (tail dropped), first-"
+        "peak frame, energy-gate voiced-frame count and sign-transition "
+        "zero crossings — every value integer-exact against sample-"
+        "level SQL over the same bytes.",
+)

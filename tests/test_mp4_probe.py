@@ -110,3 +110,46 @@ def test_media_batch_dispatches_mp4():
     assert ok["width"] == 640 and ok["duration_ms"] == 3000
     assert ok["channels"] == 1  # n_tracks rides the channels column
     assert bad["mime_detected"] == "corrupt/mp4"
+
+
+# --- PCM frame features (same file: the round's media additions) ----------
+
+def test_wav_samples_and_frame_features():
+    import numpy as np
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        pcm_frame_features, wav_samples)
+
+    sig = np.array([100, -200, 300, -400] * 40, dtype="<i2")  # 160 samples
+    data = sig.tobytes()
+    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(data).to_bytes(4, "little") + data)
+    x = wav_samples(hdr)
+    assert x.shape == (160, 1)
+    assert (x[:4, 0] == [100, -200, 300, -400]).all()
+
+    r = pcm_frame_features(x[:, 0], frame=64, voiced_threshold=50_000)
+    assert r["n_samples"] == 160 and r["n_frames"] == 2  # tail 32 dropped
+    # every sample alternates sign: 159 crossings
+    assert r["zero_crossings"] == 159
+    # both complete frames have identical energy; first peak wins
+    expected_e = (np.array([100, -200, 300, -400] * 16, dtype=np.int64)
+                  ** 2).sum() // 64
+    assert r["max_energy"] == expected_e
+    assert r["peak_frame"] == 0
+    assert r["voiced_frames"] == (2 if expected_e > 50_000 else 0)
+
+    # empty and sub-frame signals
+    r0 = pcm_frame_features(np.array([], dtype=np.int64), frame=64)
+    assert r0["n_frames"] == 0 and r0["max_energy"] is None
+    assert r0["zero_crossings"] == 0 and r0["voiced_frames"] == 0
+
+    r1 = pcm_frame_features(np.array([5, -5, 5], dtype=np.int64), frame=64)
+    assert r1["n_frames"] == 0 and r1["zero_crossings"] == 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wav_samples(b"RIFF\x00\x00\x00\x00WAVEjunk")
