@@ -1,0 +1,341 @@
+"""Model-based quality filtering: a linear probe TRAINED inside the
+engine, plus model-based scoring — the fastText-classifier slot of an
+LLM curation pipeline (reference parity: the reference has no trained
+models; this extends the beyond-reference scale surface like the rest
+of the LLM-pipeline operators).
+
+Why normal equations and not gradient descent: a least-squares probe
+over k features needs exactly ONE distributed pass — the Gram matrix
+``XᵀX`` and moment vector ``Xᵀy`` are sums of per-row integer products,
+map-side combinable, shuffling k(k+1)/2 + k numbers total regardless of
+corpus size. That is the 100 TB shape (GD would scan the corpus once
+per step and still land on the same unique minimizer). The features are
+engineered as INTEGERS (capped token count, capped English-stopword
+hits) so every accumulated moment is exact — no float summation-order
+nondeterminism anywhere in training. The tiny k×k solve happens once on
+exact integers via Cramer's rule in arbitrary-precision Python ints
+(driver-side, k=3: nine numbers — the same aggregates-only collect
+posture as the KPI document assembly), and the ONLY floating-point
+operations in the whole pipeline are the final numerator/determinant
+divisions — one correctly-rounded IEEE op per weight, which DuckDB
+reproduces bit-exactly from the same exact integers (both engines
+round the integer→double casts to nearest and divide once).
+
+Scoring is then a narrow map: ``w0 + w1·x1 + w2·x2`` with a fixed
+association order, bit-identical in both engines because the weights
+are bit-identical doubles and the features are integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType)
+
+from .operators.text import LANG_PROFILES, tokens, word_set_hits
+from .registry import register
+from .sources.tables import load_tables
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_tables(spark, sf)[name]
+
+
+#: Feature cap keeps every Gram entry inside BIGINT headroom at any
+#: corpus size the bench touches: x ≤ 1000, so Σx² ≤ n·10⁶.
+_TOK_CAP = 1000
+
+# label: is the document English (lang tag) — a stand-in target with a
+# genuinely learnable surface signal (stopword-bearing token shapes).
+
+
+def _features():
+    """(x1, x2, y) integer feature columns shared by train and score.
+
+    x1 = whitespace token count, capped; x2 = count of tokens from the
+    English stopword profile, capped (the surface signal a fastText
+    lang/quality classifier actually keys on); y = 1 if lang='en'.
+    """
+    toks = F.size(tokens(F.col("text")))
+    x1 = F.least(toks, F.lit(_TOK_CAP)).cast("long")
+    x2 = F.least(word_set_hits(F.col("text"), LANG_PROFILES["en"]),
+                 F.lit(_TOK_CAP)).cast("long")
+    y = (F.col("lang") == "en").cast("long")
+    return x1.alias("x1"), x2.alias("x2"), y.alias("y")
+
+
+_EN_SQL = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+
+_FEATURES_SQL = f"""
+  SELECT doc_id,
+         LEAST(len(string_split_regex(trim(text), '\\s+')), 1000) AS x1,
+         LEAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               tk -> tk IN ({_EN_SQL}))), 1000) AS x2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+"""
+
+
+def _moments(spark: SparkSession, sf: str):
+    """One distributed pass: the six unique Gram entries and three
+    moment-vector entries, all exact BIGINT sums."""
+    d = _t(spark, sf, "documents").select(*_features())
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("b0"),
+        F.sum(F.col("x1") * F.col("y")).alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).alias("b2"))
+    return agg.collect()[0].asDict()
+
+
+def _solve(m: dict) -> tuple[float | None, ...]:
+    """Exact 3×3 Cramer solve in Python bigints; floats appear only in
+    the final one-division-per-weight step."""
+    n, s1, s2 = int(m["n_docs"]), int(m["s1"]), int(m["s2"])
+    s11, s12, s22 = int(m["s11"]), int(m["s12"]), int(m["s22"])
+    b0, b1, b2 = int(m["b0"]), int(m["b1"]), int(m["b2"])
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) \
+            + c * (d * h - e * g)
+
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    if det == 0:
+        return None, None, None, 0.0
+    n0 = det3(b0, s1, s2, b1, s11, s12, b2, s12, s22)
+    n1 = det3(n, b0, s2, s1, b1, s12, s2, b2, s22)
+    n2 = det3(n, s1, b0, s1, s11, b1, s2, s12, b2)
+    return (float(n0) / float(det), float(n1) / float(det),
+            float(n2) / float(det), float(det))
+
+
+_TRAIN_SCHEMA = StructType([
+    StructField("n_docs", LongType()), StructField("s1", LongType()),
+    StructField("s2", LongType()), StructField("s11", LongType()),
+    StructField("s12", LongType()), StructField("s22", LongType()),
+    StructField("b0", LongType()), StructField("b1", LongType()),
+    StructField("b2", LongType()), StructField("det", DoubleType()),
+    StructField("w0", DoubleType()), StructField("w1", DoubleType()),
+    StructField("w2", DoubleType()),
+])
+
+
+def _quality_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
+    m = _moments(spark, sf)
+    w0, w1, w2, det = _solve(m)
+    row = {**{k: int(m[k]) for k in ("n_docs", "s1", "s2", "s11", "s12",
+                                     "s22", "b0", "b1", "b2")},
+           "det": det, "w0": w0, "w1": w1, "w2": w2}
+    return spark.createDataFrame([row], schema=_TRAIN_SCHEMA)
+
+
+# The oracle replays the identical algebra: exact HUGEINT moments, the
+# same Sarrus expansions, and one double division per weight. hg() casts
+# keep every intermediate product exact (3×3 dets of ≤n·10⁶ entries
+# stay far below the 128-bit ceiling).
+_TRAIN_ORACLE = """
+WITH f AS (%s),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(y) AS BIGINT) AS b0,
+         CAST(SUM(x1 * y) AS BIGINT) AS b1,
+         CAST(SUM(x2 * y) AS BIGINT) AS b2
+  FROM f),
+h AS (
+  SELECT *,
+         CAST(n_docs AS HUGEINT) AS hn,
+         CAST(s1 AS HUGEINT) AS h1, CAST(s2 AS HUGEINT) AS h2,
+         CAST(s11 AS HUGEINT) AS h11, CAST(s12 AS HUGEINT) AS h12,
+         CAST(s22 AS HUGEINT) AS h22,
+         CAST(b0 AS HUGEINT) AS hb0, CAST(b1 AS HUGEINT) AS hb1,
+         CAST(b2 AS HUGEINT) AS hb2
+  FROM m),
+d AS (
+  SELECT *,
+         hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS dt,
+         hb0 * (h11 * h22 - h12 * h12)
+           - h1 * (hb1 * h22 - h12 * hb2)
+           + h2 * (hb1 * h12 - h11 * hb2) AS d0,
+         hn * (hb1 * h22 - h12 * hb2)
+           - hb0 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * hb2 - hb1 * h2) AS d1,
+         hn * (h11 * hb2 - hb1 * h12)
+           - h1 * (h1 * hb2 - hb1 * h2)
+           + hb0 * (h1 * h12 - h11 * h2) AS d2
+  FROM h)
+SELECT n_docs, s1, s2, s11, s12, s22, b0, b1, b2,
+       CAST(dt AS DOUBLE) AS det,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d0 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w0,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d1 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w1,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d2 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w2
+FROM d
+""" % _FEATURES_SQL
+
+register(
+    "quality_linear_probe",
+    _quality_linear_probe,
+    _TRAIN_ORACLE,
+    doc="TRAIN a model in the engine: least-squares linear probe "
+        "(is-English target) fit by exact-integer normal equations — "
+        "one map-side-combinable pass builds XᵀX / Xᵀy, Cramer solves "
+        "3x3 on arbitrary-precision ints, floats only in the final "
+        "one-division-per-weight step, bit-exact vs DuckDB HUGEINT.",
+)
+
+
+def _quality_linear_scores(spark: SparkSession, sf: str) -> DataFrame:
+    m = _moments(spark, sf)
+    w0, w1, w2, _det = _solve(m)
+    d = _t(spark, sf, "documents")
+    x1c, x2c, yc = _features()
+    feats = d.select("doc_id", x1c, x2c, yc)
+    score = (F.lit(w0) + F.lit(w1) * F.col("x1").cast("double")
+             + F.lit(w2) * F.col("x2").cast("double"))
+    return (feats.select("doc_id", "x1", "x2", "y",
+                         score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20))
+
+
+_SCORE_ORACLE = """
+WITH f AS (%s),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS hn,
+         CAST(SUM(x1) AS HUGEINT) AS h1, CAST(SUM(x2) AS HUGEINT) AS h2,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS h11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS h12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS h22,
+         CAST(SUM(y) AS HUGEINT) AS hb0,
+         CAST(SUM(x1 * y) AS HUGEINT) AS hb1,
+         CAST(SUM(x2 * y) AS HUGEINT) AS hb2
+  FROM f),
+w AS (
+  SELECT
+    CAST(hb0 * (h11 * h22 - h12 * h12)
+       - h1 * (hb1 * h22 - h12 * hb2)
+       + h2 * (hb1 * h12 - h11 * hb2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w0,
+    CAST(hn * (hb1 * h22 - h12 * hb2)
+       - hb0 * (h1 * h22 - h12 * h2)
+       + h2 * (h1 * hb2 - hb1 * h2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w1,
+    CAST(hn * (h11 * hb2 - hb1 * h12)
+       - h1 * (h1 * hb2 - hb1 * h2)
+       + hb0 * (h1 * h12 - h11 * h2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w2
+  FROM m)
+SELECT doc_id, CAST(x1 AS BIGINT) AS x1, CAST(x2 AS BIGINT) AS x2,
+       CAST(y AS BIGINT) AS y,
+       w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) AS score
+FROM f, w
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""" % _FEATURES_SQL
+
+register(
+    "quality_linear_scores",
+    _quality_linear_scores,
+    _SCORE_ORACLE,
+    doc="Model-based quality SCORING: apply the trained linear probe "
+        "to every document (narrow map, fixed association order so "
+        "the doubles are bit-identical to the oracle's) and keep the "
+        "top-20 by score with doc_id tiebreak.",
+)
+
+
+def _quality_probe_eval(spark: SparkSession, sf: str) -> DataFrame:
+    m = _moments(spark, sf)
+    w0, w1, w2, _det = _solve(m)
+    d = _t(spark, sf, "documents")
+    x1c, x2c, yc = _features()
+    feats = d.select(x1c, x2c, yc)
+    score = (F.lit(w0) + F.lit(w1) * F.col("x1").cast("double")
+             + F.lit(w2) * F.col("x2").cast("double"))
+    pred = (score >= 0.5).cast("long")
+    y = F.col("y")
+    return feats.select(pred.alias("p"), y.alias("y")).agg(
+        F.sum((F.col("p") * F.col("y"))).alias("tp"),
+        F.sum((F.col("p") * (1 - F.col("y")))).alias("fp"),
+        F.sum(((1 - F.col("p")) * (1 - F.col("y")))).alias("tn"),
+        F.sum(((1 - F.col("p")) * F.col("y"))).alias("fn"),
+        F.expr("CAST(sum(p * y + (1 - p) * (1 - y)) * 1000"
+               " DIV count(*) AS BIGINT)").alias("accuracy_milli"))
+
+
+_EVAL_ORACLE = """
+WITH f AS (%s),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS hn,
+         CAST(SUM(x1) AS HUGEINT) AS h1, CAST(SUM(x2) AS HUGEINT) AS h2,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS h11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS h12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS h22,
+         CAST(SUM(y) AS HUGEINT) AS hb0,
+         CAST(SUM(x1 * y) AS HUGEINT) AS hb1,
+         CAST(SUM(x2 * y) AS HUGEINT) AS hb2
+  FROM f),
+w AS (
+  SELECT
+    CAST(hb0 * (h11 * h22 - h12 * h12)
+       - h1 * (hb1 * h22 - h12 * hb2)
+       + h2 * (hb1 * h12 - h11 * hb2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w0,
+    CAST(hn * (hb1 * h22 - h12 * hb2)
+       - hb0 * (h1 * h22 - h12 * h2)
+       + h2 * (h1 * hb2 - hb1 * h2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w1,
+    CAST(hn * (h11 * hb2 - hb1 * h12)
+       - h1 * (h1 * hb2 - hb1 * h2)
+       + hb0 * (h1 * h12 - h11 * h2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w2
+  FROM m),
+s AS (
+  SELECT y,
+         CASE WHEN w0 + w1 * CAST(x1 AS DOUBLE)
+                   + w2 * CAST(x2 AS DOUBLE) >= 0.5
+              THEN 1 ELSE 0 END AS p
+  FROM f, w)
+SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
+       CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+       CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+       CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
+       CAST(SUM(p * y + (1 - p) * (1 - y)) * 1000 // COUNT(*) AS BIGINT)
+         AS accuracy_milli
+FROM s
+""" % _FEATURES_SQL
+
+register(
+    "quality_probe_eval",
+    _quality_probe_eval,
+    _EVAL_ORACLE,
+    doc="EVALUATE the trained probe: threshold the bit-exact scores at "
+        "0.5 and fold the confusion matrix (tp/fp/tn/fn + milli "
+        "accuracy) in one integer aggregation — the train/score/eval "
+        "triple of model-based quality filtering, all value-hashed.",
+)

@@ -148,6 +148,7 @@ def _load_all() -> None:
     # would silently shrink queries()/oracle_sql() and the driver's
     # correctness gate would pass without checking the lost queries.
     from . import (queries_agg, queries_audit, queries_core,  # noqa: F401
-                   queries_joins, queries_retrieval, queries_scalar,
-                   queries_scale, queries_sketches, queries_streaming)
+                   queries_joins, queries_ml, queries_retrieval,
+                   queries_scalar, queries_scale, queries_sketches,
+                   queries_streaming)
     _LOADED = True
