@@ -7009,3 +7009,92 @@ FROM e ORDER BY doc_id
         "zero crossings — every value integer-exact against sample-"
         "level SQL over the same bytes.",
 )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset shard roundtrip — the tar-of-samples container that
+# large-scale multimodal training corpora actually ship in. Documents
+# are sharded (doc_id div 32), each shard task writes ONE deterministic
+# ustar archive holding two members per sample (<key>.txt payload +
+# <key>.cls label — the WebDataset naming convention), and the
+# from-scratch walker (operators/webdataset.py: octal fields, header
+# checksums, 512-block alignment, terminator check) reads every sample
+# back out through a second Arrow crossing. The oracle recomputes the
+# expected (shard, length, label) triple per document, so a bug in
+# octal encoding, checksum math, member framing, or sample keying
+# breaks the value hash.
+#
+# Scale shape: ONE shuffle keyed by shard id (applyInPandas — exactly
+# how a real shard writer lays out output files), then narrow maps.
+# Rows-per-shard is the partition-sizing knob; payload bytes dominate.
+# ---------------------------------------------------------------------------
+
+_WDS_SHARD_DIV = 32
+
+
+def _webdataset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.webdataset import (build_shard, group_samples,
+                                       parse_tar_members)
+
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", "text",
+                 F.coalesce(F.col("lang"), F.lit("")).alias("cls"),
+                 (F.col("doc_id") / _WDS_SHARD_DIV).cast("long")
+                  .alias("shard_id")))
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        parts = []
+        for did, text, cls in zip(pdf["doc_id"].astype("int64"),
+                                  pdf["text"], pdf["cls"]):
+            key = f"{int(did):012d}"
+            parts.append((f"{key}.txt", str(text).encode("utf-8")))
+            parts.append((f"{key}.cls", str(cls).encode("utf-8")))
+        return pd.DataFrame({
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "payload": [build_shard(parts)],
+        })
+
+    shards = (d.groupBy("shard_id")
+               .applyInPandas(write_shard, "shard_id long, payload binary"))
+
+    def read_shard(it):
+        for pdf in it:
+            rows = []
+            for sid, p in zip(pdf["shard_id"].astype("int64"),
+                              pdf["payload"]):
+                samples = group_samples(parse_tar_members(bytes(p)))
+                for key, parts in samples.items():
+                    rows.append({
+                        "doc_id": int(key),
+                        "shard_id": int(sid),
+                        "txt_len": len(parts["txt"]),
+                        "cls": parts["cls"].decode("utf-8"),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "shard_id", "txt_len", "cls"])
+
+    return (shards.mapInPandas(read_shard,
+                               "doc_id long, shard_id long,"
+                               " txt_len long, cls string")
+            .orderBy("doc_id"))
+
+
+register(
+    "webdataset_roundtrip",
+    _webdataset_roundtrip,
+    f"""
+SELECT doc_id,
+       doc_id // {_WDS_SHARD_DIV} AS shard_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS txt_len,
+       COALESCE(lang, '') AS cls
+FROM documents ORDER BY doc_id
+""",
+    doc="WebDataset tar-shard roundtrip: one applyInPandas shuffle "
+        "writes deterministic ustar shards (two members per sample, "
+        "WebDataset key.ext naming), the from-scratch walker verifies "
+        "checksums/framing and regroups samples, and every "
+        "(shard, length, label) is hash-verified against arithmetic.",
+)
