@@ -541,6 +541,117 @@ def probe_mp4(payload: bytes) -> dict:
             "byte_len": n}
 
 
+#: TIFF/EXIF field types → byte widths (public TIFF 6.0 spec, table in
+#: section 2). Only the widths matter for offset-vs-inline decisions.
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+                    9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def probe_tiff_exif(payload: bytes) -> dict:
+    """REAL TIFF/EXIF metadata probe: parse the TIFF header (both ``II``
+    little- and ``MM`` big-endian byte orders, magic 42), walk IFD0's
+    12-byte directory entries (tag / type / count / inline-value-or-
+    offset per the TIFF 6.0 value-fits-in-4-bytes rule), follow the
+    EXIF sub-IFD pointer (tag 0x8769) when present, and return the
+    fields an image curation pass filters on: dimensions (0x0100/
+    0x0101), orientation (0x0112 — the field that silently rotates a
+    training image when ignored), and DateTimeOriginal (0x9003, ASCII).
+
+    Also accepts the JPEG carriage: an APP1 segment whose body starts
+    ``Exif\\x00\\x00`` followed by the TIFF stream (found by walking
+    the JPEG markers like :func:`probe_jpeg`).
+
+    Raises ``ValueError`` on bad byte-order marks, truncated IFDs, or
+    entry offsets that leave the payload.
+    """
+    import struct
+
+    if payload[:2] == b"\xff\xd8":          # EXIF-in-JPEG: find APP1
+        pos = 2
+        tiff = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker sync lost hunting APP1")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            seg_len = struct.unpack_from(">H", payload, pos)[0]
+            if seg_len < 2 or pos + seg_len > len(payload):
+                raise ValueError("truncated JPEG segment hunting APP1")
+            if (marker == 0xE1
+                    and payload[pos + 2:pos + 8] == b"Exif\x00\x00"):
+                tiff = payload[pos + 8:pos + seg_len]
+                break
+            pos += seg_len
+        if tiff is None:
+            raise ValueError("no EXIF APP1 segment in JPEG")
+        payload = tiff
+
+    if len(payload) < 8:
+        raise ValueError("too short for a TIFF header")
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    magic, ifd0 = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+
+    def read_ifd(off: int) -> dict[int, tuple[int, int, bytes]]:
+        if off + 2 > len(payload):
+            raise ValueError("IFD offset leaves the payload")
+        count = struct.unpack_from(e + "H", payload, off)[0]
+        end = off + 2 + 12 * count
+        if end + 4 > len(payload):
+            raise ValueError("truncated IFD entry table")
+        entries = {}
+        for k in range(count):
+            base = off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+            entries[tag] = (typ, cnt, payload[base + 8:base + 12])
+        return entries
+
+    def value(entry: tuple[int, int, bytes]) -> int | str:
+        typ, cnt, raw = entry
+        width = _TIFF_TYPE_SIZES.get(typ)
+        if width is None:
+            raise ValueError(f"unknown TIFF field type {typ}")
+        total = width * cnt
+        if total > 4:                       # stored out-of-line
+            off = struct.unpack_from(e + "I", raw, 0)[0]
+            if off + total > len(payload):
+                raise ValueError("TIFF value offset leaves the payload")
+            raw = payload[off:off + total]
+        if typ == 2:                        # ASCII, NUL-terminated
+            return raw[:cnt].split(b"\x00", 1)[0].decode("latin-1")
+        if typ == 3:
+            return struct.unpack_from(e + "H", raw, 0)[0]
+        if typ == 4:
+            return struct.unpack_from(e + "I", raw, 0)[0]
+        raise ValueError(f"unhandled TIFF field type {typ}")
+
+    ifd = read_ifd(ifd0)
+    out = {"byte_order": "little" if e == "<" else "big",
+           "width": None, "height": None, "orientation": None,
+           "datetime_original": None}
+    if 0x0100 in ifd:
+        out["width"] = int(value(ifd[0x0100]))
+    if 0x0101 in ifd:
+        out["height"] = int(value(ifd[0x0101]))
+    if 0x0112 in ifd:
+        out["orientation"] = int(value(ifd[0x0112]))
+    if 0x8769 in ifd:                       # EXIF sub-IFD
+        sub = read_ifd(int(value(ifd[0x8769])))
+        if 0x9003 in sub:
+            out["datetime_original"] = str(value(sub[0x9003]))
+    return out
+
+
 def bmp_pixels(payload: bytes):
     """Decode an uncompressed 24-bpp BMP to an (h, w, 3) uint8 array in
     IMAGE orientation (top row first): positive-height BMPs store rows

@@ -7098,3 +7098,95 @@ FROM documents ORDER BY doc_id
         "checksums/framing and regroups samples, and every "
         "(shard, length, label) is hash-verified against arithmetic.",
 )
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation/dimension probe — the metadata pass that keeps
+# training images from being silently rotated or mis-sized. Each
+# document becomes a genuine little-endian TIFF (header + IFD0 with
+# LONG width/height and SHORT orientation entries, assembled JVM-side
+# byte-for-byte from the public TIFF 6.0 layout); ODD doc_ids ship the
+# same TIFF inside a real JPEG APP1 "Exif\0\0" segment, so both
+# carriages the wild serves (bare TIFF, EXIF-in-JPEG) are inside the
+# hashed data. The real IFD walker (operators/multimodal.
+# probe_tiff_exif: byte-order marks, 12-byte entries, inline-vs-offset
+# value rule) extracts the fields and the oracle recomputes them
+# arithmetically. Narrow map end-to-end, one Arrow crossing.
+# ---------------------------------------------------------------------------
+
+def _exif_orientation_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import probe_tiff_exif
+
+    def le32(c):
+        def pair(x):
+            return F.lpad(F.hex(x % 256), 2, "0")
+        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
+                                pair((c / 65536).cast("long")),
+                                pair((c / 16777216).cast("long"))))
+
+    def le16(c):
+        def pair(x):
+            return F.lpad(F.hex(x % 256), 2, "0")
+        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long"))))
+
+    d = _t(spark, sf, "documents")
+    ln = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    w = 1 + ln % 640
+    h = 1 + ln % 480
+    orient = (1 + F.col("doc_id") % 8).cast("long")
+    tiff = F.concat(
+        F.lit(b"II*\x00\x08\x00\x00\x00\x03\x00"),      # hdr + count=3
+        F.lit(b"\x00\x01\x04\x00\x01\x00\x00\x00"), le32(w),
+        F.lit(b"\x01\x01\x04\x00\x01\x00\x00\x00"), le32(h),
+        F.lit(b"\x12\x01\x03\x00\x01\x00\x00\x00"), le16(orient),
+        F.lit(b"\x00\x00" + b"\x00\x00\x00\x00"))       # pad + next=0
+    # fixed TIFF length (50) → fixed APP1 segment length (58)
+    jpeg = F.concat(F.lit(b"\xff\xd8\xff\xe1\x00\x3aExif\x00\x00"),
+                    tiff, F.lit(b"\xff\xd9"))
+    payload = F.when(F.col("doc_id") % 2 == 1, jpeg).otherwise(tiff)
+    carriage = F.when(F.col("doc_id") % 2 == 1,
+                      F.lit("jpeg")).otherwise(F.lit("tiff"))
+    src = (d.select("doc_id", carriage.alias("carriage"),
+                    payload.alias("payload"))
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def probe(it):
+        for pdf in it:
+            rows = []
+            for did, car, p in zip(pdf["doc_id"].astype("int64"),
+                                   pdf["carriage"], pdf["payload"]):
+                r = probe_tiff_exif(bytes(p))
+                rows.append({"doc_id": int(did), "carriage": car,
+                             "byte_order": r["byte_order"],
+                             "width": r["width"], "height": r["height"],
+                             "orientation": r["orientation"]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(probe, "doc_id long, carriage string,"
+                                   " byte_order string, width long,"
+                                   " height long, orientation long")
+               .orderBy("doc_id"))
+
+
+register(
+    "exif_orientation_probe",
+    _exif_orientation_probe,
+    """
+WITH b AS (SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS ln
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'tiff' END AS carriage,
+       'little' AS byte_order,
+       CAST(1 + ln % 640 AS BIGINT) AS width,
+       CAST(1 + ln % 480 AS BIGINT) AS height,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation
+FROM b ORDER BY doc_id
+""",
+    doc="Real EXIF/TIFF IFD probe: byte-exact TIFF streams (and, for "
+        "odd ids, the JPEG APP1 Exif carriage) built JVM-side, walked "
+        "by the real IFD parser through the Arrow seam, orientation "
+        "and dimensions hash-verified against arithmetic.",
+)

@@ -153,3 +153,62 @@ def test_wav_samples_and_frame_features():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         wav_samples(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+# --- TIFF/EXIF probe -------------------------------------------------------
+
+def _tiff_le(w, h, orient, dt=None):
+    n = 4 if dt else 3
+    hdr = b"II" + struct.pack("<HI", 42, 8)
+    e = struct.pack("<HHI", 0x0100, 4, 1) + struct.pack("<I", w)
+    e += struct.pack("<HHI", 0x0101, 4, 1) + struct.pack("<I", h)
+    e += struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", orient, 0)
+    sub_off = 8 + 2 + 12 * n + 4
+    if dt:
+        e += struct.pack("<HHI", 0x8769, 4, 1) + struct.pack("<I", sub_off)
+    body = hdr + struct.pack("<H", n) + e + struct.pack("<I", 0)
+    if dt:
+        s = dt.encode() + b"\x00"
+        dt_off = sub_off + 2 + 12 + 4
+        body += (struct.pack("<H", 1)
+                 + struct.pack("<HHI", 0x9003, 2, len(s))
+                 + struct.pack("<I", dt_off) + struct.pack("<I", 0) + s)
+    return body
+
+
+def test_exif_probe_le_with_subifd_datetime():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        probe_tiff_exif)
+    d = probe_tiff_exif(_tiff_le(640, 480, 6, "2024:01:02 03:04:05"))
+    assert d == {"byte_order": "little", "width": 640, "height": 480,
+                 "orientation": 6,
+                 "datetime_original": "2024:01:02 03:04:05"}
+
+
+def test_exif_probe_big_endian_inline_shorts():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        probe_tiff_exif)
+    hdr = b"MM" + struct.pack(">HI", 42, 8)
+    e = struct.pack(">HHI", 0x0100, 3, 1) + struct.pack(">HH", 320, 0)
+    e += struct.pack(">HHI", 0x0101, 3, 1) + struct.pack(">HH", 240, 0)
+    e += struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 1, 0)
+    d = probe_tiff_exif(hdr + struct.pack(">H", 3) + e
+                        + struct.pack(">I", 0))
+    assert d["byte_order"] == "big"
+    assert (d["width"], d["height"], d["orientation"]) == (320, 240, 1)
+
+
+def test_exif_probe_jpeg_app1_carriage_and_errors():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        probe_tiff_exif)
+    tiff = _tiff_le(64, 32, 3)
+    app1 = b"Exif\x00\x00" + tiff
+    jpeg = (b"\xff\xd8\xff\xe1" + struct.pack(">H", len(app1) + 2)
+            + app1 + b"\xff\xd9")
+    d = probe_tiff_exif(jpeg)
+    assert (d["width"], d["height"], d["orientation"]) == (64, 32, 3)
+    for bad in (b"XX" + tiff[2:],      # bad byte-order mark
+                tiff[:20],             # truncated IFD
+                b"\xff\xd8\xff\xd9"):  # JPEG without APP1
+        with pytest.raises(ValueError):
+            probe_tiff_exif(bad)
