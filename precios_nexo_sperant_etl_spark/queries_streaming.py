@@ -326,3 +326,53 @@ FROM km ORDER BY source
         "bit-for-bit against the single-pass batch sketch SQL — the "
         "fifth streaming merge algebra (min-selection).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming model training — the SIXTH bit-exact merge algebra
+# (component-wise integer SUM of the quality probe's moment vector).
+# Each micro-batch lands one exact-integer moment row; merge-at-read
+# sums them; solving the 3×3 system on the merged moments refreshes the
+# trained model without rescanning stream history. Because the features
+# are integers and integer addition is associative, the streamed
+# moments — and therefore the solved weights, which divide the same
+# exact determinants — equal the batch-trained model bit for bit, so
+# the whole incremental-training path sits behind an ordinary value
+# oracle (the same SQL as quality_linear_probe).
+# ---------------------------------------------------------------------------
+
+def _streaming_gram_moments(spark: SparkSession, sf: str) -> DataFrame:
+    from .queries_ml import _TRAIN_SCHEMA, _solve
+    from .streaming.stream_curation import stream_documents
+    from .streaming.stream_sketches import (read_gram_moments,
+                                            streaming_gram_to_lake)
+    out = tempfile.mkdtemp(prefix="stream_gram_q_")
+    q = streaming_gram_to_lake(stream_documents(spark, sf),
+                               os.path.join(out, "moments"),
+                               os.path.join(out, "ckpt"))
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming Gram drain exceeded 120s")
+    m = read_gram_moments(spark, os.path.join(out, "moments")) \
+        .collect()[0].asDict()
+    w0, w1, w2, det = _solve(m)
+    row = {**{k: int(m[k]) for k in ("n_docs", "s1", "s2", "s11", "s12",
+                                     "s22", "b0", "b1", "b2")},
+           "det": det, "w0": w0, "w1": w1, "w2": w2}
+    return spark.createDataFrame([row], schema=_TRAIN_SCHEMA)
+
+
+def _register_streaming_gram():
+    from .queries_ml import _TRAIN_ORACLE
+    register(
+        "streaming_gram_moments",
+        _streaming_gram_moments,
+        _TRAIN_ORACLE,
+        doc="Incremental model training under Structured Streaming: "
+            "per-batch exact-integer moment landing (exactly-once), "
+            "merge-at-read SUM, re-solved weights bit-identical to the "
+            "batch-trained quality probe.",
+    )
+
+
+_register_streaming_gram()

@@ -193,3 +193,52 @@ def compact_sketch_lake(spark: SparkSession, out_dir: str, kind: str,
           .withColumn("batch_id", F.lit(compacted_id))
           .localCheckpoint(eager=True))
     (df.write.mode("overwrite").partitionBy("batch_id").parquet(out_dir))
+
+
+def streaming_gram_to_lake(docs: DataFrame, out_dir: str,
+                           checkpoint: str):
+    """Maintain the quality-probe training moments (``queries_ml``:
+    XᵀX Gram entries + Xᵀy, all exact BIGINT sums of integer features)
+    over a document stream — the SIXTH streaming merge algebra is the
+    simplest of all: component-wise integer SUM of a fixed-width moment
+    vector. Each batch lands its own one-row moment frame in a
+    ``batch_id=N`` partition (dynamic overwrite — replay-idempotent);
+    the live moments are the column sums over landed batches, and
+    re-SOLVING the 3×3 system on them refreshes the trained model after
+    every micro-batch without ever rescanning stream history. That is
+    incremental model training under exactly-once semantics, and
+    because integer addition is associative/commutative the streamed
+    moments equal the batch moments bit for bit."""
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        from ..queries_ml import _features
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            f = batch.select(*_features())
+            (f.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+                   F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+                   F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+                   F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+                   F.sum("y").alias("b0"),
+                   F.sum(F.col("x1") * F.col("y")).alias("b1"),
+                   F.sum(F.col("x2") * F.col("y")).alias("b2"))
+               .na.fill(0)    # an empty batch lands a zero row, not nulls
+               .withColumn("batch_id", F.lit(batch_id))
+               .write.mode("overwrite").partitionBy("batch_id")
+               .parquet(out_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (docs.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def read_gram_moments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-at-read: live moments = column sums over landed batches."""
+    cols = ["n_docs", "s1", "s2", "s11", "s12", "s22", "b0", "b1", "b2"]
+    return (spark.read.parquet(out_dir)
+            .agg(*[F.sum(c).alias(c) for c in cols]))

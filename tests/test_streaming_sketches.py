@@ -159,3 +159,41 @@ def test_compact_sketch_lake_preserves_merged_state(spark, tmp_path):
              spark.read.parquet(out_c).select("batch_id")
              .distinct().collect()}
     assert parts == {-1}
+
+
+def test_streaming_gram_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """Sixth merge algebra (component-wise integer SUM of training
+    moments): multi-batch streamed moments must equal the one-pass
+    batch moments exactly, and a replay from a fresh checkpoint must
+    leave the merged state unchanged (per-batch dynamic overwrite)."""
+    from precios_nexo_sperant_etl_spark.queries_ml import _features
+    from precios_nexo_sperant_etl_spark.streaming.stream_sketches import (
+        read_gram_moments, streaming_gram_to_lake)
+
+    src, docs = _drop_dir(spark, tmp_path)
+    out, ckpt = str(tmp_path / "gram"), str(tmp_path / "ckpt_gram")
+    q = streaming_gram_to_lake(_stream(spark, src), out, ckpt)
+    assert q.awaitTermination(120)
+
+    batches = {f for f in os.listdir(out) if f.startswith("batch_id=")}
+    assert len(batches) >= 2
+
+    merged = read_gram_moments(spark, out).collect()[0].asDict()
+    f = docs.select(*_features())
+    batch = f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("b0"),
+        F.sum(F.col("x1") * F.col("y")).alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).alias("b2")).collect()[0].asDict()
+    assert merged == batch
+
+    # replay: fresh checkpoint, same sink — batch_id partitions overwrite
+    # themselves, merged moments unchanged
+    q2 = streaming_gram_to_lake(_stream(spark, src), out,
+                                str(tmp_path / "ckpt_gram2"))
+    assert q2.awaitTermination(120)
+    assert read_gram_moments(spark, out).collect()[0].asDict() == batch
