@@ -541,6 +541,78 @@ def probe_mp4(payload: bytes) -> dict:
             "byte_len": n}
 
 
+#: MPEG-1 Layer III bitrate table (kbps) by 4-bit header index (public
+#: ISO/IEC 11172-3 table); index 0 is "free format", 15 is invalid.
+_MP3_BITRATES = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320, None)
+#: Sampling-rate table (Hz) by 2-bit index; 3 is reserved.
+_MP3_RATES = (44100, 48000, 32000, None)
+#: Samples per MPEG-1 Layer III frame.
+_MP3_SPF = 1152
+
+
+def parse_mp3_frames(payload: bytes) -> dict:
+    """REAL MPEG-1 Layer III frame walk: find the 11-bit sync word,
+    decode version/layer/bitrate-index/sample-rate-index/padding from
+    each 4-byte frame header, compute the frame length from the public
+    formula (``144 * bitrate / sample_rate + padding``), and step
+    frame-to-frame verifying each lands on a new sync word. Returns
+    stream-level metadata (frame count, bitrate of the first frame,
+    sample rate, exact-integer duration) — the duration/bitrate filter
+    pass an audio curation pipeline runs before any synthesis-filter
+    decode (which stays honestly stubbed: the polyphase/MDCT layer
+    needs a real codec).
+
+    Only MPEG-1 Layer III CBR streams are walked; other versions/
+    layers, free-format (index 0) and invalid indices raise
+    ``ValueError``. An ID3v2 prefix tag is skipped by its syncsafe
+    length (the common carriage in the wild).
+    """
+    pos = 0
+    n = len(payload)
+    # ID3v2: "ID3" + ver(2) + flags(1) + 4-byte syncsafe size
+    if payload[:3] == b"ID3" and n >= 10:
+        size = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        pos = 10 + size
+        if pos > n:
+            raise ValueError("ID3v2 tag overruns the stream")
+    if pos + 4 > n:
+        raise ValueError("too short for an MP3 frame header")
+    n_frames = 0
+    first_bitrate = None
+    rate = None
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, _b3 = payload[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 frame sync at {pos}")
+        version = (b1 >> 3) & 0x03      # 3 = MPEG-1
+        layer = (b1 >> 1) & 0x03        # 1 = Layer III
+        if version != 3 or layer != 1:
+            raise ValueError("only MPEG-1 Layer III is walked here")
+        bitrate = _MP3_BITRATES[(b2 >> 4) & 0x0F]
+        srate = _MP3_RATES[(b2 >> 2) & 0x03]
+        padding = (b2 >> 1) & 0x01
+        if bitrate is None or srate is None:
+            raise ValueError("invalid bitrate/sample-rate index")
+        if rate is None:
+            rate = srate
+            first_bitrate = bitrate
+        elif srate != rate:
+            raise ValueError("sample-rate change mid-stream")
+        frame_len = 144 * bitrate * 1000 // srate + padding
+        if pos + frame_len > n:
+            raise ValueError("MP3 frame overruns the stream")
+        n_frames += 1
+        pos += frame_len
+    return {"n_frames": n_frames, "bitrate_kbps": first_bitrate,
+            "sample_rate": rate,
+            "duration_ms": n_frames * _MP3_SPF * 1000 // rate,
+            "byte_len": n}
+
+
 #: TIFF/EXIF field types → byte widths (public TIFF 6.0 spec, table in
 #: section 2). Only the widths matter for offset-vs-inline decisions.
 _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,

@@ -7190,3 +7190,105 @@ FROM b ORDER BY doc_id
         "by the real IFD parser through the Arrow seam, orientation "
         "and dimensions hash-verified against arithmetic.",
 )
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header probe — the compressed-audio half of the media-
+# metadata seam. Each document synthesizes a genuine MPEG-1 Layer III
+# CBR stream (1 + doc_id%4 frames; bitrate index 1 + doc_id%14 and
+# sample-rate index doc_id%3 cycle the public ISO 11172-3 tables;
+# per-frame padding bits alternate so the 144·bitrate/rate + padding
+# length formula is exercised on both values), prefixed with an ID3v2
+# tag whose syncsafe length the walker must skip. The real frame walk
+# (operators/multimodal.parse_mp3_frames) recovers frame count /
+# bitrate / sample rate / exact-integer duration, and DuckDB recomputes
+# them from the same index arithmetic via CASE tables. Synthesis-filter
+# decode stays honestly stubbed; this is the duration/bitrate gate an
+# audio pipeline runs on every clip.
+# ---------------------------------------------------------------------------
+
+def _mp3_frame_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import (_MP3_BITRATES, _MP3_RATES,
+                                       parse_mp3_frames)
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                bidx = 1 + did % 14
+                ridx = did % 3
+                nf = 1 + did % 4
+                chunks = [b"ID3\x04\x00\x00" + bytes([0, 0, 0, 11])
+                          + b"tag-payload"]
+                for k in range(nf):
+                    pad = (did + k) % 2
+                    hdr = bytes([0xFF, 0xFB,
+                                 (bidx << 4) | (ridx << 2) | (pad << 1),
+                                 0x00])
+                    flen = (144 * _MP3_BITRATES[bidx] * 1000
+                            // _MP3_RATES[ridx] + pad)
+                    chunks.append(hdr + b"\x00" * (flen - 4))
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def probe(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = parse_mp3_frames(bytes(p))
+                r["doc_id"] = int(did)
+                rows.append(r)
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(synth, "doc_id long, payload binary")
+               .mapInPandas(probe, "n_frames long, bitrate_kbps long,"
+                                   " sample_rate long, duration_ms long,"
+                                   " byte_len long, doc_id long")
+               .select("doc_id", "n_frames", "bitrate_kbps",
+                       "sample_rate", "duration_ms", "byte_len")
+               .orderBy("doc_id"))
+
+
+_MP3_BR_SQL = ("CASE 1 + doc_id % 14 "
+               + " ".join(f"WHEN {i} THEN {b}" for i, b in
+                          [(1, 32), (2, 40), (3, 48), (4, 56), (5, 64),
+                           (6, 80), (7, 96), (8, 112), (9, 128),
+                           (10, 160), (11, 192), (12, 224), (13, 256),
+                           (14, 320)])
+               + " END")
+_MP3_SR_SQL = ("CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000"
+               " ELSE 32000 END")
+
+register(
+    "mp3_frame_probe",
+    _mp3_frame_probe,
+    f"""
+WITH b AS (
+  SELECT doc_id,
+         1 + doc_id % 4 AS nf,
+         {_MP3_BR_SQL} AS br,
+         {_MP3_SR_SQL} AS sr
+  FROM documents)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(br AS BIGINT) AS bitrate_kbps,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(21 + nf * (144 * br * 1000 // sr)
+            + (nf + doc_id % 2) // 2 AS BIGINT) AS byte_len
+FROM b ORDER BY doc_id
+""",
+    doc="Real MPEG-1 Layer III frame walk: genuine CBR streams (table-"
+        "cycled bitrate/rate indices, alternating padding, ID3v2 "
+        "prefix) synthesized per document, walked by the real header "
+        "parser, frame count / bitrate / duration hash-verified "
+        "against the public-table arithmetic.",
+)

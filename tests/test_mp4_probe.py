@@ -212,3 +212,37 @@ def test_exif_probe_jpeg_app1_carriage_and_errors():
                 b"\xff\xd8\xff\xd9"):  # JPEG without APP1
         with pytest.raises(ValueError):
             probe_tiff_exif(bad)
+
+
+# --- MP3 frame walk ----------------------------------------------------------
+
+def test_mp3_frame_walk_and_taxonomy():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        _MP3_BITRATES, _MP3_RATES, parse_mp3_frames)
+
+    def frame(bidx, ridx, pad):
+        hdr = bytes([0xFF, 0xFB,
+                     (bidx << 4) | (ridx << 2) | (pad << 1), 0x00])
+        flen = 144 * _MP3_BITRATES[bidx] * 1000 // _MP3_RATES[ridx] + pad
+        return hdr + b"\x00" * (flen - 4)
+
+    stream = frame(9, 0, 0) + frame(9, 0, 1) + frame(14, 0, 0)
+    d = parse_mp3_frames(stream)
+    assert d["n_frames"] == 3
+    assert d["bitrate_kbps"] == 128       # first frame's index 9
+    assert d["sample_rate"] == 44100
+    assert d["duration_ms"] == 3 * 1152 * 1000 // 44100
+
+    # ID3v2 prefix skipped by its syncsafe length
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"x" * 20
+    assert parse_mp3_frames(id3 + stream)["n_frames"] == 3
+
+    free_fmt = bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 100
+    reserved = bytes([0xFF, 0xFB, (9 << 4) | (3 << 2), 0x00]) + b"\x00" * 100
+    for bad in (stream[:-10],             # last frame overruns
+                b"\x00" * 8,              # no sync word
+                free_fmt,                 # free-format bitrate index
+                reserved,                 # reserved rate index
+                frame(9, 0, 0) + frame(9, 1, 0)):  # rate change mid-stream
+        with pytest.raises(ValueError):
+            parse_mp3_frames(bad)
