@@ -339,3 +339,103 @@ register(
         "accuracy) in one integer aggregation — the train/score/eval "
         "triple of model-based quality filtering, all value-hashed.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Model-driven curriculum order: the trained probe's score decides the
+# COARSE order (quality buckets, best first — curriculum learning's
+# easy-to-hard schedule) and a seeded hash shuffles WITHIN each bucket
+# (the anti-correlation guarantee of training_order_manifest). Dense
+# global positions come from the two-pass range-partitioned row id —
+# never a single-task window — so the manifest is reproducible under
+# any cluster layout and still O(n/p) per task at 100 TB. Bucket edges
+# use the bit-exact scores, so the whole ordering sits behind a value
+# oracle.
+# ---------------------------------------------------------------------------
+
+_CURR_SEED = "curriculum0"
+_CURR_BUCKETS = 4
+
+
+def _curriculum_order_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import add_row_id
+    from .operators.text import md5_hash
+
+    m = _moments(spark, sf)
+    w0, w1, w2, _det = _solve(m)
+    d = _t(spark, sf, "documents")
+    x1c, x2c, yc = _features()
+    feats = d.select("doc_id", x1c, x2c, yc)
+    score = (F.lit(w0) + F.lit(w1) * F.col("x1").cast("double")
+             + F.lit(w2) * F.col("x2").cast("double"))
+    bucket = F.least(F.greatest(F.floor(score * _CURR_BUCKETS), F.lit(0)),
+                     F.lit(_CURR_BUCKETS - 1)).cast("long")
+    keyed = feats.select(
+        "doc_id", score.alias("score"), bucket.alias("bucket"),
+        md5_hash(F.concat(F.lit(_CURR_SEED + ":"),
+                          F.col("doc_id").cast("string"))).alias("_ok"))
+    ordered = add_row_id(
+        keyed, [F.desc("bucket"), F.asc("_ok"), F.asc("doc_id")],
+        name="position")
+    return (ordered.select("doc_id", "bucket", "score", "position")
+            .orderBy("position"))
+
+
+_CURRICULUM_ORACLE = """
+WITH f AS (%s),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS hn,
+         CAST(SUM(x1) AS HUGEINT) AS h1, CAST(SUM(x2) AS HUGEINT) AS h2,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS h11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS h12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS h22,
+         CAST(SUM(y) AS HUGEINT) AS hb0,
+         CAST(SUM(x1 * y) AS HUGEINT) AS hb1,
+         CAST(SUM(x2 * y) AS HUGEINT) AS hb2
+  FROM f),
+w AS (
+  SELECT
+    CAST(hb0 * (h11 * h22 - h12 * h12)
+       - h1 * (hb1 * h22 - h12 * hb2)
+       + h2 * (hb1 * h12 - h11 * hb2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w0,
+    CAST(hn * (hb1 * h22 - h12 * hb2)
+       - hb0 * (h1 * h22 - h12 * h2)
+       + h2 * (h1 * hb2 - hb1 * h2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w1,
+    CAST(hn * (h11 * hb2 - hb1 * h12)
+       - h1 * (h1 * hb2 - hb1 * h2)
+       + hb0 * (h1 * h12 - h11 * h2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w2
+  FROM m),
+s AS (
+  SELECT doc_id,
+         w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) AS score
+  FROM f, w),
+k AS (
+  SELECT doc_id, score,
+         LEAST(GREATEST(CAST(floor(score * %d) AS BIGINT), 0), %d)
+           AS bucket,
+         md5('%s:' || CAST(doc_id AS VARCHAR)) AS ok
+  FROM s)
+SELECT doc_id, bucket, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY bucket DESC, ok, doc_id) - 1
+            AS BIGINT) AS position
+FROM k ORDER BY position
+""" % (_FEATURES_SQL, _CURR_BUCKETS, _CURR_BUCKETS - 1, _CURR_SEED)
+
+register(
+    "curriculum_order_manifest",
+    _curriculum_order_manifest,
+    _CURRICULUM_ORACLE,
+    doc="Model-driven curriculum order: bit-exact probe scores bucket "
+        "the corpus (best first), a seeded hash shuffles within "
+        "buckets, and two-pass range-partitioned row ids assign dense "
+        "reproducible positions — no single-task window anywhere.",
+)
