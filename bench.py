@@ -130,6 +130,13 @@ HEADLINE = [
     "training_order_manifest",  # seeded global shuffle, dense positions
     "bmp_resize_features",      # integer box-downsample via Arrow seam
     "jpeg_decode_roundtrip",    # real T.81 entropy decode via Arrow seam
+    "mp4_box_probe",            # ISO-BMFF box walk via Arrow seam
+    "mp3_frame_probe",          # MPEG-1 L3 frame walk via Arrow seam
+    "exif_orientation_probe",   # TIFF/EXIF IFD walk via Arrow seam
+    "wav_frame_energy",         # frame-level PCM features
+    "webdataset_roundtrip",     # tar shard write + walk roundtrip
+    "quality_linear_probe",     # exact normal-equation model training
+    "curriculum_order_manifest",  # model-bucketed seeded global order
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

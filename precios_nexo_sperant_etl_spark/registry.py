@@ -43,6 +43,18 @@ _REGISTRY: dict[str, Query] = {}
 #: Update this list every round from the latest CORRECTNESS_r*.json.
 _CHECK_FIRST: list[str] = [
     # ================= ROUND-7 WINDOW =================
+    # The window is exactly full: 15 fixed/new-in-early-r7 + rrf + the
+    # 35-query r02-stamp cohort (VERDICT r6 item 4: after this round no
+    # stamp predates r03). The 11 queries ADDED LATE in r7 (media
+    # probes/decoders, WebDataset, the quality-probe ML family,
+    # streaming Gram) therefore stay outside this window by design —
+    # STAMPS.md flags them loudly — and form the committed head of the
+    # ROUND-8 WINDOW: jpeg_decode_roundtrip, mp4_box_probe,
+    # mp3_frame_probe, exif_orientation_probe, wav_frame_energy,
+    # webdataset_roundtrip, quality_linear_probe, quality_linear_scores,
+    # quality_probe_eval, curriculum_order_manifest,
+    # streaming_gram_moments. All are parity-green locally
+    # (tools/check_parity.py, sf0.01) as of their registration commits.
     # --- the r06 hash-reds, fixed: DECIMAL publication removed
     # entirely (both r06 canaries came back red → the driver harness
     # diverges on decimal output at any width; these now publish
