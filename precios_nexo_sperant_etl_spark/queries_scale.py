@@ -7292,3 +7292,129 @@ FROM b ORDER BY doc_id
         "parser, frame count / bitrate / duration hash-verified "
         "against the public-table arithmetic.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — the bootstrap that actually works at 100 TB.
+# Classic bootstrap resampling needs n index draws per replicate (a
+# corpus-sized shuffle per replicate); the Poisson approximation gives
+# every row an independent Poisson(1) multiplicity per replicate, so
+# ALL B replicates come out of ONE corpus scan (explode over replicate
+# ids, map-side-combinable agg). Determinism: the multiplicity is the
+# inverse-CDF of Poisson(1) applied to a 48-bit-hash uniform — the
+# hash is the engine-portable md5 fold, 48 bits < 53 so h/2^48 is an
+# EXACT double, the CDF thresholds are shared literals, and each
+# replicate mean is one BIGINT/BIGINT double division: every value is
+# bit-identical across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64
+#: Cumulative Poisson(1) pmf: P(X<=k) for k = 0..6; u past the last
+#: entry draws multiplicity 7 (P ≈ 8e-5; exact tail truncation shared
+#: by both engines).
+_POIS_CDF = ("0.36787944117144233", "0.7357588823428847",
+             "0.9196986029286058", "0.9810118431238463",
+             "0.9963401531726563", "0.9994058151824183",
+             "0.999916758850712")
+
+
+def _boot_weight(u):
+    w = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(w)
+    return w
+
+
+def _boot_means_df(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import md5_hash, tokens
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("x"))
+    r = (d.select("doc_id", "x",
+                  F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("_r"))
+          .select("doc_id", "x", F.col("_r").cast("long").alias("r")))
+    h = md5_hash(F.concat(F.col("r").cast("string"), F.lit(":"),
+                          F.col("doc_id").cast("string")))
+    u = h.cast("double") / F.lit(float(2 ** 48))
+    w = _boot_weight(u).cast("long")
+    return (r.select("r", "x", w.alias("w"))
+             .groupBy("r")
+             .agg(F.sum("w").alias("sw"),
+                  F.sum(F.col("w") * F.col("x")).alias("swx"))
+             .select("r", "sw", "swx",
+                     (F.col("swx").cast("double")
+                      / F.col("sw").cast("double")).alias("mean_tokens")))
+
+
+_BOOT_W_SQL = " ".join(
+    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))
+
+_BOOT_MEANS_SQL = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS x
+           FROM documents),
+e AS (SELECT doc_id, x, CAST(unnest(range(1, {_BOOT_B + 1})) AS BIGINT)
+               AS r
+      FROM d),
+u AS (SELECT r, x,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 12))
+                  ::BIGINT AS DOUBLE) / 281474976710656.0 AS u
+      FROM e),
+w AS (SELECT r, x, CASE {_BOOT_W_SQL} ELSE 7 END AS w FROM u)
+SELECT r, CAST(SUM(w) AS BIGINT) AS sw,
+       CAST(SUM(w * x) AS BIGINT) AS swx,
+       CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_tokens
+FROM w GROUP BY r
+"""
+
+register(
+    "poisson_bootstrap_means",
+    lambda spark, sf: _boot_means_df(spark, sf).orderBy("r"),
+    _BOOT_MEANS_SQL + "ORDER BY r",
+    doc="Poisson-bootstrap replicate table: 64 replicates of the mean "
+        "token count from ONE corpus scan (Poisson(1) multiplicities "
+        "from exact 48-bit-hash uniforms), every weight and mean "
+        "bit-identical across engines.",
+)
+
+
+def _poisson_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens
+    means = _boot_means_df(spark, sf)
+    d = _t(spark, sf, "documents").select(
+        F.size(tokens(F.col("text"))).cast("long").alias("x"))
+    point = d.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("point_mean"))
+    # 64 replicate means -> one sorted array; ranks 2 and 63 (1-based)
+    # are the shared 2.5% / 97.5% convention. The collect_list feeds a
+    # 64-element array — driver-free, single tiny agg.
+    ci = means.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sort_array(F.collect_list("mean_tokens")).alias("ms"))
+    return (ci.crossJoin(point)
+              .select("b", "point_mean",
+                      F.col("ms").getItem(1).alias("ci_lo"),
+                      F.col("ms").getItem(62).alias("ci_hi")))
+
+
+register(
+    "poisson_bootstrap_ci",
+    _poisson_bootstrap_ci,
+    f"""
+WITH means AS ({_BOOT_MEANS_SQL}),
+s AS (SELECT list_sort(list(mean_tokens)) AS ms,
+             CAST(COUNT(*) AS BIGINT) AS b
+      FROM means),
+p AS (SELECT CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                  AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS point_mean
+      FROM documents)
+SELECT b, point_mean, ms[2] AS ci_lo, ms[63] AS ci_hi
+FROM s, p
+""",
+    doc="95% Poisson-bootstrap CI for the mean token count: sorted "
+        "replicate means, ranks 2/63 of 64 — the one-scan uncertainty "
+        "quantification a corpus-stat dashboard needs at scale.",
+)
