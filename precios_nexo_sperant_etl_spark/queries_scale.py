@@ -7418,3 +7418,76 @@ FROM s, p
         "replicate means, ranks 2/63 of 64 — the one-scan uncertainty "
         "quantification a corpus-stat dashboard needs at scale.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization — the canonicalization pass every text
+# curation pipeline runs before hashing/dedup (decomposed sequences
+# like e + COMBINING ACUTE hash differently from their composed forms,
+# silently splitting duplicate groups). Spark has no built-in NFC, so
+# the normalize runs in the Arrow crossing via unicodedata; DuckDB's
+# nfc_normalize (verified char-identical to Python's) recomputes every
+# output. Even doc_ids get a DECOMPOSED suffix (changes under NFC),
+# odd ones the precomposed equivalent (already normal) — both the
+# changed and unchanged paths sit inside the hashed data, pinned by
+# character counts and the md5 of the normalized UTF-8.
+# ---------------------------------------------------------------------------
+
+def _unicode_nfc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import unicodedata
+
+    import pandas as pd
+
+    d = _t(spark, sf, "documents")
+    dec = " e\u0301A\u030a"   # e+COMBINING ACUTE, A+COMBINING RING
+    comp = " \u00e9\u00c5"     # the precomposed forms
+    t2 = F.concat(F.col("text"),
+                  F.when(F.col("doc_id") % 2 == 0, F.lit(dec))
+                   .otherwise(F.lit(comp)))
+    src = (d.select("doc_id", t2.alias("t"))
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def norm(it):
+        for pdf in it:
+            rows = []
+            for did, s in zip(pdf["doc_id"].astype("int64"), pdf["t"]):
+                n = unicodedata.normalize("NFC", s)
+                rows.append({"doc_id": int(did),
+                             "orig_chars": len(s),
+                             "nfc_chars": len(n),
+                             "changed": n != s,
+                             "nfc_md5": hashlib.md5(
+                                 n.encode("utf-8")).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(norm, "doc_id long, orig_chars long,"
+                                  " nfc_chars long, changed boolean,"
+                                  " nfc_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "unicode_nfc_roundtrip",
+    _unicode_nfc_roundtrip,
+    """
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0
+                      THEN ' ' || chr(101) || chr(769)
+                           || chr(65) || chr(778)
+                      ELSE ' ' || chr(233) || chr(197) END AS s
+  FROM documents)
+SELECT doc_id,
+       CAST(length(s) AS BIGINT) AS orig_chars,
+       CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_chars,
+       nfc_normalize(s) != s AS changed,
+       md5(nfc_normalize(s)) AS nfc_md5
+FROM t ORDER BY doc_id
+""",
+    doc="Unicode NFC canonicalization through the Arrow seam "
+        "(unicodedata), hash-verified against DuckDB's nfc_normalize: "
+        "decomposed suffixes compose (changed=true, shorter), "
+        "precomposed ones pass through — the pre-dedup text "
+        "canonicalization pass.",
+)
