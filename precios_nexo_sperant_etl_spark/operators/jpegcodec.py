@@ -298,7 +298,13 @@ class _BitReader:
         if self._nbits == 0:
             self._fill()
         self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+        b = (self._acc >> self._nbits) & 1
+        # mask consumed bits away: without this the accumulator grows
+        # into an arbitrary-precision int spanning the whole stream and
+        # every shift turns O(stream) — quadratic decode (caught by
+        # tools/scale_stress_media.py's per-block cost curve)
+        self._acc &= (1 << self._nbits) - 1
+        return b
 
     def bits(self, n: int) -> int:
         v = 0
