@@ -7491,3 +7491,99 @@ FROM t ORDER BY doc_id
         "precomposed ones pass through — the pre-dedup text "
         "canonicalization pass.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit — the retrieval-quality check behind
+# MRL-style embedding truncation (serve the first d dims of a 64-dim
+# vector to cut index cost d/64x; Kusupati et al. 2022, public). For
+# each probe, exact top-k under the FULL vectors is compared with
+# top-k under prefixes (d = 8, 16): top-1 agreement and overlap@k per
+# (probe, d). Both rankings use the deterministic sequential-fold dot
+# (functions/exact.ddot), so ranks — and therefore the audit verdict —
+# are bit-stable and oracle-checkable. Scale shape: the probe set
+# broadcasts, the corpus streams once per dim tier (each tier reads a
+# PREFIX of the same column — no second embedding table), ranks come
+# from a per-probe window over ≤|corpus| scored rows.
+# ---------------------------------------------------------------------------
+
+_MATRY_DIMS = (8, 16)
+_MATRY_K = 5
+
+
+def _matryoshka_topk_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    full = (cosine_topk(emb, _ANN_QUERY_IDS, k=_MATRY_K)
+            .select("query_id", "neighbor_id", "rank"))
+    out = None
+    for d in _MATRY_DIMS:
+        sliced = emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, d).alias("embedding"))
+        trunc = (cosine_topk(sliced, _ANN_QUERY_IDS, k=_MATRY_K)
+                 .select("query_id", "neighbor_id", "rank"))
+        top1 = (full.where(F.col("rank") == 1)
+                .select("query_id",
+                        F.col("neighbor_id").alias("top1_full"))
+                .join(trunc.where(F.col("rank") == 1)
+                      .select("query_id",
+                              F.col("neighbor_id").alias("top1_trunc")),
+                      "query_id"))
+        overlap = (trunc.join(full, ["query_id", "neighbor_id"], "semi")
+                   .groupBy("query_id")
+                   .agg(F.count(F.lit(1)).alias("overlap_at_k")))
+        tier = (top1.join(overlap, "query_id", "left")
+                .select("query_id", F.lit(d).cast("long").alias("dim"),
+                        "top1_full", "top1_trunc",
+                        (F.col("top1_full") == F.col("top1_trunc"))
+                         .alias("top1_agree"),
+                        F.coalesce("overlap_at_k", F.lit(0))
+                         .cast("long").alias("overlap_at_k")))
+        out = tier if out is None else out.unionByName(tier)
+    return out.orderBy("query_id", "dim")
+
+
+def _matry_rank_sql(vec: str) -> str:
+    return f"""
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_duck_dot(f'q.qv{vec}', f'e.embedding{vec}')}
+             / (sqrt({_duck_dot(f'q.qv{vec}', f'q.qv{vec}')})
+                * sqrt({_duck_dot(f'e.embedding{vec}',
+                                  f'e.embedding{vec}')})) DESC,
+             e.vec_id) AS rn
+  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})) q,
+       embeddings e
+  WHERE e.vec_id != q.query_id
+"""
+
+
+register(
+    "matryoshka_topk_agreement",
+    _matryoshka_topk_agreement,
+    f"""
+WITH fullr AS ({_matry_rank_sql("")}),
+fk AS (SELECT query_id, neighbor_id, rn FROM fullr WHERE rn <= {_MATRY_K}),
+{", ".join(f'''
+r{d} AS ({_matry_rank_sql(f"[1:{d}]")}),
+k{d} AS (SELECT query_id, neighbor_id, rn FROM r{d} WHERE rn <= {_MATRY_K}),
+t{d} AS (
+  SELECT f1.query_id, CAST({d} AS BIGINT) AS dim,
+         f1.neighbor_id AS top1_full, t1.neighbor_id AS top1_trunc,
+         f1.neighbor_id = t1.neighbor_id AS top1_agree,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM k{d} t
+          JOIN fk f ON f.query_id = t.query_id
+                   AND f.neighbor_id = t.neighbor_id
+          WHERE t.query_id = f1.query_id) AS overlap_at_k
+  FROM (SELECT * FROM fk WHERE rn = 1) f1
+  JOIN (SELECT * FROM k{d} WHERE rn = 1) t1 USING (query_id))'''
+           for d in _MATRY_DIMS)}
+SELECT * FROM t8 UNION ALL SELECT * FROM t16
+ORDER BY query_id, dim
+""",
+    doc="Matryoshka (MRL) truncation audit: exact top-k under full "
+        "64-dim vectors vs 8/16-dim prefixes — top-1 agreement and "
+        "overlap@k per probe, bit-stable via the deterministic "
+        "sequential-fold dot product.",
+)
