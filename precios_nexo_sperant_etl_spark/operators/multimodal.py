@@ -585,7 +585,7 @@ def parse_mp3_frames(payload: bytes) -> dict:
     while pos < n:
         if pos + 4 > n:
             raise ValueError("truncated MP3 frame header")
-        b0, b1, b2, _b3 = payload[pos:pos + 4]
+        b0, b1, b2, b3 = payload[pos:pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise ValueError(f"lost MP3 frame sync at {pos}")
         version = (b1 >> 3) & 0x03      # 3 = MPEG-1
@@ -600,6 +600,8 @@ def parse_mp3_frames(payload: bytes) -> dict:
         if rate is None:
             rate = srate
             first_bitrate = bitrate
+            # channel mode is the top 2 bits of byte 3: 3 = single
+            channels = 1 if (b3 >> 6) & 0x03 == 3 else 2
         elif srate != rate:
             raise ValueError("sample-rate change mid-stream")
         frame_len = 144 * bitrate * 1000 // srate + padding
@@ -607,8 +609,10 @@ def parse_mp3_frames(payload: bytes) -> dict:
             raise ValueError("MP3 frame overruns the stream")
         n_frames += 1
         pos += frame_len
+    if rate is None:
+        raise ValueError("no MP3 frames after the ID3 tag")
     return {"n_frames": n_frames, "bitrate_kbps": first_bitrate,
-            "sample_rate": rate,
+            "sample_rate": rate, "channels": channels,
             "duration_ms": n_frames * _MP3_SPF * 1000 // rate,
             "byte_len": n}
 
@@ -848,6 +852,16 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                            mean_r_milli=d.get("mean_r_milli"),
                            mean_g_milli=d.get("mean_g_milli"),
                            mean_b_milli=d.get("mean_b_milli"))
+            elif (p[:3] == b"ID3"
+                  or (len(p) >= 2 and p[0] == 0xFF
+                      and (p[1] & 0xE0) == 0xE0 and p[:2] != b"\xff\xd8")):
+                d = parse_mp3_frames(p)
+                # synthesis-filter decode stays stubbed; the frame walk
+                # fills duration + sample rate + header channel mode
+                row.update(mime_detected="audio/mpeg",
+                           sample_rate=d["sample_rate"],
+                           duration_ms=d["duration_ms"],
+                           channels=d["channels"])
             elif p[4:8] == b"ftyp":
                 d = probe_mp4(p)
                 # sample decode (H.264 etc.) stays stubbed; the box
@@ -889,6 +903,10 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                                     if p[:2] == b"\xff\xd8"
                                     else "corrupt/mp4"
                                     if p[4:8] == b"ftyp"
+                                    else "corrupt/mpeg"
+                                    if (p[:3] == b"ID3"
+                                        or (len(p) >= 2 and p[0] == 0xFF
+                                            and (p[1] & 0xE0) == 0xE0))
                                     else "corrupt/wav")
         rows.append(row)
     return pd.DataFrame(rows)

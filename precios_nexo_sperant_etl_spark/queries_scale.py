@@ -7244,8 +7244,12 @@ def _mp3_frame_probe(spark: SparkSession, sf: str) -> DataFrame:
             for did, p in zip(pdf["doc_id"].astype("int64"),
                               pdf["payload"]):
                 r = parse_mp3_frames(bytes(p))
-                r["doc_id"] = int(did)
-                rows.append(r)
+                rows.append({"doc_id": int(did),
+                             "n_frames": r["n_frames"],
+                             "bitrate_kbps": r["bitrate_kbps"],
+                             "sample_rate": r["sample_rate"],
+                             "duration_ms": r["duration_ms"],
+                             "byte_len": r["byte_len"]})
             yield pd.DataFrame(rows)
 
     return (src.mapInPandas(synth, "doc_id long, payload binary")

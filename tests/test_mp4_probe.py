@@ -246,3 +246,27 @@ def test_mp3_frame_walk_and_taxonomy():
                 frame(9, 0, 0) + frame(9, 1, 0)):  # rate change mid-stream
         with pytest.raises(ValueError):
             parse_mp3_frames(bad)
+
+
+def test_media_batch_dispatches_mp3():
+    import pandas as pd
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        _MP3_BITRATES, _MP3_RATES, decode_media_batch)
+
+    def fr(bidx, ridx, pad, mode=3):
+        hdr = bytes([0xFF, 0xFB,
+                     (bidx << 4) | (ridx << 2) | (pad << 1), mode << 6])
+        flen = 144 * _MP3_BITRATES[bidx] * 1000 // _MP3_RATES[ridx] + pad
+        return hdr + b"\x00" * (flen - 4)
+
+    mono = fr(9, 0, 0) + fr(9, 0, 1)
+    stereo = fr(5, 1, 0, mode=0)
+    id3_only = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4]) + b"tagx"
+    out = decode_media_batch(pd.Series([mono, stereo, id3_only]))
+    assert out.iloc[0]["mime_detected"] == "audio/mpeg"
+    assert out.iloc[0]["channels"] == 1
+    assert out.iloc[0]["sample_rate"] == 44100
+    assert out.iloc[0]["duration_ms"] == 2 * 1152 * 1000 // 44100
+    assert out.iloc[1]["channels"] == 2
+    assert out.iloc[1]["sample_rate"] == 48000
+    assert out.iloc[2]["mime_detected"] == "corrupt/mpeg"
