@@ -1,0 +1,98 @@
+"""Property-based checks for the round-7 byte-level codecs (hypothesis,
+no Spark session): arbitrary inputs, not hand-picked fixtures.
+
+- JPEG: any image roundtrips within ±1 at quant=1 under any restart
+  interval; flat images roundtrip bit-exactly at any size.
+- WebDataset tar: any set of (name, payload) members roundtrips
+  byte-exactly through build_shard → parse_tar_members, and always
+  agrees with stdlib tarfile's read of the same bytes.
+- MP3: any frame sequence built from valid table indices walks back to
+  the exact frame count/duration.
+- gzip: wrap/unwrap identity over arbitrary byte strings.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from precios_nexo_sperant_etl_spark.operators.jpegcodec import (
+    decode_baseline, encode_baseline_gray)
+from precios_nexo_sperant_etl_spark.operators.multimodal import (
+    _MP3_BITRATES, _MP3_RATES, decode_gzip, parse_mp3_frames)
+from precios_nexo_sperant_etl_spark.operators.webdataset import (
+    build_shard, group_samples, parse_tar_members)
+
+_SETTINGS = dict(max_examples=20, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 4),
+       st.integers(0, 2 ** 32 - 1))
+def test_jpeg_random_roundtrip_within_one(bh, bw, restart, seed):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(bh * 8, bw * 8), dtype=np.uint8)
+    j = encode_baseline_gray(px, restart_interval=restart)
+    d = decode_baseline(j)
+    assert d["pixels"].shape == px.shape
+    assert np.abs(d["pixels"].astype(int) - px.astype(int)).max() <= 1
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 255), st.integers(1, 6), st.integers(1, 6))
+def test_jpeg_flat_roundtrip_bit_exact(v, bh, bw):
+    px = np.full((bh * 8, bw * 8), v, dtype=np.uint8)
+    assert np.array_equal(decode_baseline(encode_baseline_gray(px))["pixels"],
+                          px)
+
+
+_member_names = st.lists(
+    st.from_regex(r"[a-z0-9]{1,12}\.[a-z0-9.]{1,8}", fullmatch=True),
+    min_size=1, max_size=12, unique=True)
+
+
+@settings(**_SETTINGS)
+@given(_member_names, st.data())
+def test_tar_roundtrip_and_stdlib_agreement(names, data):
+    parts = [(n, data.draw(st.binary(max_size=2000), label=n))
+             for n in names]
+    shard = build_shard(parts)
+    ours = {m["name"]: m["data"] for m in parse_tar_members(shard)}
+    assert ours == dict(parts)
+    with tarfile.open(fileobj=io.BytesIO(shard)) as tf:
+        theirs = {ti.name: tf.extractfile(ti).read()
+                  for ti in tf.getmembers()}
+    assert ours == theirs
+    # grouping never loses a member when (key, ext) pairs are unique
+    keyed = group_samples(parse_tar_members(shard))
+    assert sum(len(v) for v in keyed.values()) == len(parts)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(1, 14), st.booleans()),
+                min_size=1, max_size=8),
+       st.integers(0, 2))
+def test_mp3_frame_walk_exact(frames, ridx):
+    rate = _MP3_RATES[ridx]
+    chunks = []
+    for bidx, pad in frames:
+        hdr = bytes([0xFF, 0xFB,
+                     (bidx << 4) | (ridx << 2) | (int(pad) << 1), 0xC0])
+        flen = 144 * _MP3_BITRATES[bidx] * 1000 // rate + int(pad)
+        chunks.append(hdr + b"\x00" * (flen - 4))
+    d = parse_mp3_frames(b"".join(chunks))
+    assert d["n_frames"] == len(frames)
+    assert d["bitrate_kbps"] == _MP3_BITRATES[frames[0][0]]
+    assert d["sample_rate"] == rate and d["channels"] == 1
+    assert d["duration_ms"] == len(frames) * 1152 * 1000 // rate
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=5000))
+def test_gzip_wrap_unwrap_identity(raw):
+    assert decode_gzip(gzip.compress(raw)) == raw
