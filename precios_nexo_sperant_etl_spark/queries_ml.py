@@ -439,3 +439,91 @@ register(
         "buckets, and two-pass range-partitioned row ids assign dense "
         "reproducible positions — no single-task window anywhere.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regularization — same exact algebra, shifted diagonal. The
+# L2-regularized normal equations (XᵀX + λI)w = Xᵀy keep every property
+# of the plain probe (one distributed pass, integer moments, exact
+# Cramer solve, floats only at the final divisions) because λ is an
+# integer added to the diagonal BEFORE any float appears. With the
+# intercept conventionally left unpenalized, the shifted system is
+# still a 3×3 integer Cramer solve.
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 10_000
+
+
+def _solve_ridge(m: dict, lam: int) -> tuple[float | None, ...]:
+    shifted = dict(m)
+    shifted["s11"] = int(m["s11"]) + lam
+    shifted["s22"] = int(m["s22"]) + lam
+    return _solve(shifted)
+
+
+def _quality_ridge_probe(spark: SparkSession, sf: str) -> DataFrame:
+    m = _moments(spark, sf)
+    w0, w1, w2, det = _solve_ridge(m, _RIDGE_LAMBDA)
+    row = {**{k: int(m[k]) for k in ("n_docs", "s1", "s2", "s11", "s12",
+                                     "s22", "b0", "b1", "b2")},
+           "det": det, "w0": w0, "w1": w1, "w2": w2}
+    return spark.createDataFrame([row], schema=_TRAIN_SCHEMA)
+
+
+_RIDGE_ORACLE = """
+WITH f AS (%s),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(y) AS BIGINT) AS b0,
+         CAST(SUM(x1 * y) AS BIGINT) AS b1,
+         CAST(SUM(x2 * y) AS BIGINT) AS b2
+  FROM f),
+h AS (
+  SELECT *,
+         CAST(n_docs AS HUGEINT) AS hn,
+         CAST(s1 AS HUGEINT) AS h1, CAST(s2 AS HUGEINT) AS h2,
+         CAST(s11 AS HUGEINT) + %d AS h11,
+         CAST(s12 AS HUGEINT) AS h12,
+         CAST(s22 AS HUGEINT) + %d AS h22,
+         CAST(b0 AS HUGEINT) AS hb0, CAST(b1 AS HUGEINT) AS hb1,
+         CAST(b2 AS HUGEINT) AS hb2
+  FROM m),
+d AS (
+  SELECT *,
+         hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS dt,
+         hb0 * (h11 * h22 - h12 * h12)
+           - h1 * (hb1 * h22 - h12 * hb2)
+           + h2 * (hb1 * h12 - h11 * hb2) AS d0,
+         hn * (hb1 * h22 - h12 * hb2)
+           - hb0 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * hb2 - hb1 * h2) AS d1,
+         hn * (h11 * hb2 - hb1 * h12)
+           - h1 * (h1 * hb2 - hb1 * h2)
+           + hb0 * (h1 * h12 - h11 * h2) AS d2
+  FROM h)
+SELECT n_docs, s1, s2, s11, s12, s22, b0, b1, b2,
+       CAST(dt AS DOUBLE) AS det,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d0 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w0,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d1 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w1,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d2 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w2
+FROM d
+""" % (_FEATURES_SQL, _RIDGE_LAMBDA, _RIDGE_LAMBDA)
+
+register(
+    "quality_ridge_probe",
+    _quality_ridge_probe,
+    _RIDGE_ORACLE,
+    doc="L2-regularized probe: integer lambda shifts the Gram diagonal "
+        "(intercept unpenalized) before any float appears, so the "
+        "ridge weights stay bit-exact vs the HUGEINT oracle — "
+        "regularization without giving up exactness.",
+)

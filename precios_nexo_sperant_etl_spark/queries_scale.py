@@ -7591,3 +7591,58 @@ ORDER BY query_id, dim
         "overlap@k per probe, bit-stable via the deterministic "
         "sequential-fold dot product.",
 )
+
+
+# ---------------------------------------------------------------------------
+# FIM (fill-in-the-middle) transformation manifest — the data-side half
+# of infilling training (Bavarian et al. 2022, public): each document
+# splits at deterministic thirds into prefix/middle/suffix and is
+# re-serialized [prefix][SUF][suffix][MID][middle] so the model learns
+# to fill the gap. The manifest pins the split arithmetic and the md5
+# of the transformed text, so the oracle catches off-by-one split
+# points, wrong segment order, or separator drift — the bugs that
+# silently corrupt an infilling corpus. Pure narrow map.
+# ---------------------------------------------------------------------------
+
+def _fim_split_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    n = F.length("text")
+    prefix = F.substring(F.col("text"), 1, F.floor(n / 3).cast("int"))
+    middle = F.expr("substring(text, CAST(length(text) DIV 3 AS INT) + 1,"
+                    " CAST(length(text) * 2 DIV 3 AS INT)"
+                    " - CAST(length(text) DIV 3 AS INT))")
+    suffix = F.expr("substring(text,"
+                    " CAST(length(text) * 2 DIV 3 AS INT) + 1)")
+    fim = F.concat(prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle)
+    return (d.select(
+                "doc_id",
+                F.length(prefix).cast("long").alias("prefix_len"),
+                F.length(middle).cast("long").alias("middle_len"),
+                F.length(suffix).cast("long").alias("suffix_len"),
+                F.md5(fim).alias("fim_md5"))
+             .orderBy("doc_id"))
+
+
+register(
+    "fim_split_manifest",
+    _fim_split_manifest,
+    """
+WITH s AS (
+  SELECT doc_id,
+         substr(text, 1, length(text) // 3) AS prefix,
+         substr(text, length(text) // 3 + 1,
+                length(text) * 2 // 3 - length(text) // 3) AS middle,
+         substr(text, length(text) * 2 // 3 + 1) AS suffix
+  FROM documents)
+SELECT doc_id,
+       CAST(length(prefix) AS BIGINT) AS prefix_len,
+       CAST(length(middle) AS BIGINT) AS middle_len,
+       CAST(length(suffix) AS BIGINT) AS suffix_len,
+       md5(prefix || '<SUF>' || suffix || '<MID>' || middle) AS fim_md5
+FROM s ORDER BY doc_id
+""",
+    doc="Fill-in-the-middle transform manifest: deterministic third "
+        "splits, [prefix][SUF][suffix][MID][middle] re-serialization "
+        "pinned by segment lengths and the transformed-text md5 — the "
+        "infilling-corpus construction pass.",
+)

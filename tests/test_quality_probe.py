@@ -74,3 +74,20 @@ def test_probe_learns_on_testdata(spark):
     n = ev["tp"] + ev["fp"] + ev["tn"] + ev["fn"]
     assert n == probe["n_docs"]
     assert ev["accuracy_milli"] == (ev["tp"] + ev["tn"]) * 1000 // n
+
+
+def test_ridge_shrinks_toward_zero():
+    import numpy as np
+    from precios_nexo_sperant_etl_spark.queries_ml import (_RIDGE_LAMBDA,
+                                                           _solve,
+                                                           _solve_ridge)
+    rng = np.random.RandomState(5)
+    X = rng.randint(0, 1000, size=(300, 2)).astype(np.int64)
+    y = (X[:, 0] + 2 * X[:, 1] > 1400).astype(np.int64)
+    m = _moments_from(X, y)
+    w0, w1, w2, _ = _solve(m)
+    r0, r1, r2, _ = _solve_ridge(m, _RIDGE_LAMBDA * 100)
+    # heavy lambda shrinks the penalized slopes in magnitude
+    assert abs(r1) < abs(w1) and abs(r2) < abs(w2)
+    # lambda=0 is exactly the unregularized solve
+    assert _solve_ridge(m, 0) == _solve(m)
