@@ -7646,3 +7646,123 @@ FROM s ORDER BY doc_id
         "pinned by segment lengths and the transformed-text md5 — the "
         "infilling-corpus construction pass.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Stratified Poisson bootstrap: the same one-scan replicate machinery,
+# grouped by source — per-stratum CIs are what a mixture datasheet
+# actually reports (is source A's mean length significantly above
+# source B's?). Replicate means group by (source, r); the per-source
+# CI folds the 64 replicate means through one sorted list per stratum.
+# Still one corpus scan, still bit-exact.
+# ---------------------------------------------------------------------------
+
+def _bootstrap_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import md5_hash, tokens
+    d = _t(spark, sf, "documents").select(
+        "source", "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("x"))
+    r = (d.select("source", "doc_id", "x",
+                  F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("_r"))
+          .select("source", "doc_id", "x",
+                  F.col("_r").cast("long").alias("r")))
+    h = md5_hash(F.concat(F.col("r").cast("string"), F.lit(":"),
+                          F.col("doc_id").cast("string")))
+    u = h.cast("double") / F.lit(float(2 ** 48))
+    w = _boot_weight(u).cast("long")
+    means = (r.select("source", "r", "x", w.alias("w"))
+              .groupBy("source", "r")
+              .agg(F.sum("w").alias("sw"),
+                   F.sum(F.col("w") * F.col("x")).alias("swx"))
+              .select("source", "r",
+                      (F.col("swx").cast("double")
+                       / F.col("sw").cast("double")).alias("m")))
+    point = (d.groupBy("source")
+              .agg((F.sum("x").cast("double")
+                    / F.count(F.lit(1)).cast("double"))
+                   .alias("point_mean")))
+    ci = (means.groupBy("source")
+           .agg(F.sort_array(F.collect_list("m")).alias("ms"),
+                F.count(F.lit(1)).alias("b")))
+    return (ci.join(point, "source")
+              .select("source", "b", "point_mean",
+                      F.col("ms").getItem(1).alias("ci_lo"),
+                      F.col("ms").getItem(_BOOT_B - 2).alias("ci_hi"))
+              .orderBy("source"))
+
+
+register(
+    "poisson_bootstrap_by_source",
+    _bootstrap_by_source,
+    f"""
+WITH d AS (SELECT source, doc_id,
+                  CAST(len(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS x
+           FROM documents),
+e AS (SELECT source, doc_id, x,
+             CAST(unnest(range(1, {_BOOT_B + 1})) AS BIGINT) AS r
+      FROM d),
+u AS (SELECT source, r, x,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 12))
+                  ::BIGINT AS DOUBLE) / 281474976710656.0 AS u
+      FROM e),
+w AS (SELECT source, r, x, CASE {_BOOT_W_SQL} ELSE 7 END AS w FROM u),
+means AS (
+  SELECT source, r,
+         CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+  FROM w GROUP BY source, r),
+ci AS (
+  SELECT source, list_sort(list(m)) AS ms,
+         CAST(COUNT(*) AS BIGINT) AS b
+  FROM means GROUP BY source),
+p AS (SELECT source,
+             CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS point_mean
+      FROM d GROUP BY source)
+SELECT source, b, point_mean, ms[2] AS ci_lo, ms[{_BOOT_B - 1}] AS ci_hi
+FROM ci JOIN p USING (source)
+ORDER BY source
+""",
+    doc="Per-source stratified Poisson-bootstrap CIs for mean token "
+        "count: one corpus scan, 64 replicates per stratum, sorted-"
+        "rank 2/63 bounds — the significance column of a mixture "
+        "datasheet, bit-exact.",
+)
+
+
+# ---------------------------------------------------------------------------
+# ORC format seam — Spark ships an ORC reader/writer in core, and a
+# lake migration pipeline needs the columnar-format roundtrip to be a
+# verified path, not an assumption. The query writes the documents
+# table to ORC (snappy), reads it back, and republishes a projection
+# the oracle computes from the parquet original — so a type-mapping or
+# encoding bug anywhere in the ORC path breaks the value hash.
+# ---------------------------------------------------------------------------
+
+def _orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    d = _t(spark, sf, "documents")
+    d.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (back.select("doc_id", "lang", "source",
+                        F.length("text").cast("long").alias("n_chars_rt"),
+                        F.md5(F.col("text")).alias("text_md5"))
+                .orderBy("doc_id"))
+
+
+register(
+    "orc_roundtrip",
+    _orc_roundtrip,
+    """
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="ORC columnar-format roundtrip: write documents to ORC, read "
+        "back, hash-verify ids/strings/lengths/md5 against the parquet "
+        "original — the lake-migration format seam, verified not "
+        "assumed.",
+)
