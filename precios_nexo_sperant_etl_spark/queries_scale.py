@@ -7766,3 +7766,128 @@ FROM documents ORDER BY doc_id
         "original — the lake-migration format seam, verified not "
         "assumed.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram training pairs — the data-generation pass of word2vec-
+# style embedding training: (center, context) pairs within a ±2 token
+# window, aggregated to counts. Spark shape: posexplode to (doc, pos,
+# token), self-join on doc with |Δpos| ∈ {1,2} (an equi-join on doc_id
+# with a tiny bounded range predicate — at corpus scale the join key
+# is doc_id so co-location is the document itself; fan-out is ≤4 per
+# token, corpus-linear). Top-50 pairs published with count/tie-break
+# ordering.
+# ---------------------------------------------------------------------------
+
+def _skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id",
+                   F.posexplode(tokens(F.col("text")))
+                    .alias("pos", "tok")).where(F.col("tok") != "")
+    a = tok.select("doc_id", F.col("pos").alias("pa"),
+                   F.col("tok").alias("center"))
+    b = tok.select("doc_id", F.col("pos").alias("pb"),
+                   F.col("tok").alias("context"))
+    pairs = (a.join(b, "doc_id")
+              .where((F.abs(F.col("pa") - F.col("pb")) <= 2)
+                     & (F.col("pa") != F.col("pb"))))
+    return (pairs.groupBy("center", "context")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy(F.desc("n_pairs"), F.asc("center"),
+                     F.asc("context"))
+            .limit(50))
+
+
+register(
+    "skipgram_pairs",
+    _skipgram_pairs,
+    f"""
+WITH tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[CAST(i AS INT)] AS t
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+       LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+  WHERE tk[CAST(i AS INT)] != ''),
+pairs AS (
+  SELECT a.t AS center, b.t AS context
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND abs(a.pos - b.pos) <= 2 AND a.pos != b.pos)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY center, context
+ORDER BY n_pairs DESC, center, context
+LIMIT 50
+""",
+    doc="Skip-gram (center, context) pair generation within a ±2 "
+        "window — word2vec training-data construction as a doc-local "
+        "self-join with bounded fan-out, top-50 pairs by count.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling table — word2vec's noise distribution: unigram
+# counts raised to the 3/4 power. The 0.75 exponent is normally a
+# libm pow() call, whose last ulp differs across engines; here it is
+# computed as sqrt(sqrt(c³)) — the cube is exact integer arithmetic
+# and IEEE sqrt is CORRECTLY ROUNDED in both engines, so the weights
+# are bit-identical without giving up the real exponent. The
+# normalizing sum folds over the count-desc/term-asc-sorted weight
+# list SEQUENTIALLY (F.aggregate / list_reduce) so float association
+# is pinned, and each probability is one division of bit-identical
+# doubles. Top-40 terms published.
+# ---------------------------------------------------------------------------
+
+_NEG_K = 40
+
+
+def _negative_sampling_table(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents")
+    counts = (d.select(F.explode(tokens(F.col("text"))).alias("t"))
+               .where(F.col("t") != "")
+               .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+               .orderBy(F.desc("c"), F.asc("t"))
+               .limit(_NEG_K))
+    w = F.sqrt(F.sqrt((F.col("c") * F.col("c") * F.col("c"))
+                      .cast("double")))
+    weighted = counts.select("t", "c", w.alias("w"))
+    # deterministic normalizer: fold the (count desc, term asc)-sorted
+    # weight list sequentially — one tiny collect_list over ≤K rows
+    total = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(
+                (-F.col("c")).alias("nc"), F.col("t").alias("t"),
+                F.col("w").alias("w")))),
+            F.lit(0.0), lambda acc, s: acc + s["w"]).alias("z"))
+    return (weighted.crossJoin(F.broadcast(total))
+            .select("t", "c", "w", (F.col("w") / F.col("z"))
+                    .alias("p_neg"))
+            .orderBy(F.desc("c"), F.asc("t")))
+
+
+register(
+    "negative_sampling_table",
+    _negative_sampling_table,
+    f"""
+WITH counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)
+  WHERE t != ''
+  GROUP BY t ORDER BY c DESC, t LIMIT {_NEG_K}),
+wt AS (SELECT t, c, sqrt(sqrt(CAST(c * c * c AS DOUBLE))) AS w
+       FROM counts),
+z AS (SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list_sort(list([-c, w] ORDER BY c DESC, t)),
+                   s -> s[2])),
+               (x, y) -> x + y) AS z
+      FROM wt)
+SELECT t, c, w, w / z AS p_neg
+FROM wt, z ORDER BY c DESC, t
+""",
+    doc="word2vec negative-sampling table: unigram^0.75 computed as "
+        "sqrt(sqrt(c^3)) — exact integer cube + correctly-rounded IEEE "
+        "sqrt, so the noise distribution is bit-identical across "
+        "engines, with a sequentially-folded normalizer.",
+)
