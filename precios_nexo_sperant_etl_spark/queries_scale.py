@@ -7891,3 +7891,64 @@ FROM wt, z ORDER BY c DESC, t
         "sqrt, so the noise distribution is bit-identical across "
         "engines, with a sequentially-folded normalizer.",
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish pretokenization counts — the GPT-2-style split pass that
+# precedes BPE merging (letters / digits / punctuation runs with an
+# optional leading space). The canonical GPT-2 pattern needs lookahead
+# (unsupported in RE2), so both engines share the same RE2-safe
+# approximation — Java regex and RE2 agree on this subset, which is
+# exactly why the pattern is pinned here by a value oracle. Counts per
+# class drive tokenizer-cost estimates (pretokens/word ratios) before
+# any merge table exists.
+# ---------------------------------------------------------------------------
+
+_PRETOK_RX = r"( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+|[ ]+)"
+
+
+def _pretoken_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_PRETOK_RX}', 1)")
+    is_word = "x -> x rlike '^ ?[A-Za-z]+$'"
+    is_num = "x -> x rlike '^ ?[0-9]+$'"
+    return (d.select(
+                "doc_id", toks.alias("pt"))
+             .select(
+                "doc_id",
+                F.size("pt").cast("long").alias("n_pretokens"),
+                F.expr(f"size(filter(pt, {is_word}))").cast("long")
+                 .alias("n_word"),
+                F.expr(f"size(filter(pt, {is_num}))").cast("long")
+                 .alias("n_num"))
+             .select("*",
+                     (F.col("n_pretokens") - F.col("n_word")
+                      - F.col("n_num")).alias("n_other"))
+             .orderBy("doc_id"))
+
+
+register(
+    "pretoken_stats",
+    _pretoken_stats,
+    f"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_PRETOK_RX}') AS pt
+  FROM documents)
+SELECT doc_id,
+       CAST(len(pt) AS BIGINT) AS n_pretokens,
+       CAST(len(list_filter(pt, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
+            AS BIGINT) AS n_word,
+       CAST(len(list_filter(pt, x -> regexp_matches(x, '^ ?[0-9]+$')))
+            AS BIGINT) AS n_num,
+       CAST(len(pt)
+            - len(list_filter(pt, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
+            - len(list_filter(pt, x -> regexp_matches(x, '^ ?[0-9]+$')))
+            AS BIGINT) AS n_other
+FROM p ORDER BY doc_id
+""",
+    doc="GPT-2-style BPE pretokenization counts (RE2-safe shared "
+        "pattern): letter/digit/punct-run pretokens per document — "
+        "the tokenizer-cost pass that runs before any merge table "
+        "exists.",
+)
