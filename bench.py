@@ -137,6 +137,8 @@ HEADLINE = [
     "webdataset_roundtrip",     # tar shard write + walk roundtrip
     "quality_linear_probe",     # exact normal-equation model training
     "curriculum_order_manifest",  # model-bucketed seeded global order
+    "poisson_bootstrap_means",  # one-scan 64-replicate bootstrap
+    "skipgram_pairs",           # windowed pair generation self-join
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

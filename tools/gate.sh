@@ -13,4 +13,5 @@ PY
 )
 python tools/check_parity.py /root/testdata/sf0.01 $WINDOW
 python -m pytest tests/ -q
+python tools/scale_stress_media.py /root/testdata/sf0.01
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python bench.py
