@@ -724,3 +724,36 @@ def temperature_mix(docs: DataFrame, group_col: str = "source") -> DataFrame:
                      target.alias("target_frac"),
                      (target / actual).alias("sample_weight"))
              .orderBy(group_col))
+
+
+#: HTML→text extraction passes, shared verbatim by the Spark engine and
+#: the DuckDB oracle (backreference-free, lazy-quantifier RE2-safe
+#: subset — Java regex agrees on all of it, which the value oracle
+#: pins). Order matters: script/style bodies must vanish BEFORE the
+#: generic tag strip (their content is not text), comments next, then
+#: tags; entities decode LAST (standard order — decoding '&amp;lt;'
+#: early would fabricate tags), with &amp; last among entities.
+HTML_STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<(script|style)[^>]*>.*?</(script|style)\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+)
+
+
+def html_to_text(c: Column) -> Column:
+    """Boilerplate-free text from an HTML column — the first step of
+    every web-corpus curation pipeline (trafilatura-class tools do the
+    same passes plus DOM heuristics; this is the deterministic core:
+    drop script/style bodies, drop comments, strip tags, decode the
+    common entities, collapse whitespace). Pure Column expressions, so
+    the extraction runs in whole-stage codegen on the scan."""
+    out = c
+    for pat, repl in HTML_STRIP_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

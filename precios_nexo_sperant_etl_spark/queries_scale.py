@@ -7952,3 +7952,85 @@ FROM p ORDER BY doc_id
         "the tokenizer-cost pass that runs before any merge table "
         "exists.",
 )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction — the first transform of every web-corpus
+# pipeline. Each document is wrapped JVM-side into a genuine page
+# (title, style and script blocks — the script body contains a fake
+# tag string so stripping ORDER is inside the hashed data: if tags
+# were stripped before script bodies, the leftover fragment would
+# change the hash — nav/footer boilerplate, an entity-bearing
+# paragraph), then the shared pattern chain (operators/text.
+# html_to_text) extracts the text. DuckDB replays the identical
+# patterns; title, extracted length and md5 are value-pinned.
+# Pure narrow map — the extraction runs in codegen on the scan.
+# ---------------------------------------------------------------------------
+
+def _html_extract_text(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import html_to_text
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>body{color:red}</style>'
+              '<script>var x="<b>not text</b>";</script></head>'
+              "<body><nav>Home | About</nav><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><!-- hidden comment --><p>Tom &amp; Jerry &lt;3 "
+              "&quot;quotes&quot;&nbsp;&#39;end&#39;</p>"
+              "<footer>(c) 2024</footer></body></html>"))
+    page = d.select("doc_id", html.alias("html"))
+    extracted = html_to_text(F.col("html"))
+    title = F.regexp_extract(F.col("html"),
+                             r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    return (page.select(
+                "doc_id", title.alias("title"),
+                F.length(extracted).cast("long").alias("extracted_len"),
+                F.md5(extracted).alias("extracted_md5"))
+            .orderBy("doc_id"))
+
+
+def _html_oracle_sql() -> str:
+    from .operators.text import HTML_ENTITIES, HTML_STRIP_PATTERNS
+    expr = "html"
+    for pat, repl in HTML_STRIP_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        c = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{c}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         '<!DOCTYPE html><html><head><title>Doc '
+         || CAST(doc_id AS VARCHAR)
+         || '</title><style>body{{color:red}}</style>'
+         || '<script>var x="<b>not text</b>";</script></head>'
+         || '<body><nav>Home | About</nav><h1>Doc '
+         || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text
+         || '</p><!-- hidden comment --><p>Tom &amp; Jerry &lt;3 '
+         || '&quot;quotes&quot;&nbsp;&#39;end&#39;</p>'
+         || '<footer>(c) 2024</footer></body></html>' AS html
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\\s*>', 1)
+         AS title,
+       CAST(length({expr}) AS BIGINT) AS extracted_len,
+       md5({expr}) AS extracted_md5
+FROM p ORDER BY doc_id
+"""
+
+
+register(
+    "html_extract_text",
+    _html_extract_text,
+    _html_oracle_sql(),
+    doc="HTML-to-text extraction with the shared RE2-safe pattern "
+        "chain (script/style bodies, comments, tags, entities, "
+        "whitespace — in pinned order), title/length/md5 hash-verified "
+        "— the first transform of a web-corpus pipeline, in codegen.",
+)

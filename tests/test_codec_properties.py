@@ -96,3 +96,18 @@ def test_mp3_frame_walk_exact(frames, ridx):
 @given(st.binary(max_size=5000))
 def test_gzip_wrap_unwrap_identity(raw):
     assert decode_gzip(gzip.compress(raw)) == raw
+
+
+def test_html_to_text_strip_order_and_entities(spark):
+    from pyspark.sql import functions as F
+    from precios_nexo_sperant_etl_spark.operators.text import html_to_text
+    html = ('<html><head><style>p{x:1}</style>'
+            '<script>var s="<b>fake</b>";</script></head>'
+            '<body><p>Tom &amp; Jerry &lt;3</p>'
+            '<!-- gone --><p>two  \n spaces</p></body></html>')
+    out = (spark.range(1)
+           .select(html_to_text(F.lit(html)).alias("t"))
+           .collect()[0]["t"])
+    assert out == 'Tom & Jerry <3 two spaces'
+    # script body (including its fake tag) vanished entirely
+    assert "fake" not in out and "x:1" not in out
