@@ -134,3 +134,73 @@ def build_shard(parts: list[tuple[str, bytes]]) -> bytes:
             info.uname = info.gname = ""
             tf.addfile(info, io.BytesIO(data))
     return buf.getvalue()
+
+
+# --- WARC (ISO 28500) record stream ------------------------------------------
+
+def parse_warc_records(payload: bytes) -> list[dict]:
+    """REAL WARC/1.0 record walk (public ISO 28500 framing): each
+    record is a ``WARC/1.0\\r\\n`` version line, ``Name: value`` header
+    lines up to a blank line, exactly ``Content-Length`` payload
+    octets, then the mandatory ``\\r\\n\\r\\n`` record separator.
+    Gzip-wrapped streams (the Common Crawl convention) are inflated
+    first via the verified gzip seam. Returns ``{"type", "record_id",
+    "content_length", "payload"}`` dicts in stream order; raises
+    ``ValueError`` on version/framing/length violations — a mis-framed
+    WARC silently truncates a crawl, so no warn-and-continue here.
+    """
+    from .multimodal import decode_gzip
+    if payload[:2] == b"\x1f\x8b":
+        payload = decode_gzip(payload)
+    records = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("unterminated WARC version line")
+        version = payload[pos:eol]
+        if version != b"WARC/1.0":
+            raise ValueError(f"bad WARC version line {version!r}")
+        hdr_end = payload.find(b"\r\n\r\n", eol)
+        if hdr_end < 0:
+            raise ValueError("unterminated WARC header block")
+        headers = {}
+        for line in payload[eol + 2:hdr_end].split(b"\r\n"):
+            name, sep, value = line.partition(b":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            headers[name.strip().lower()] = value.strip()
+        try:
+            clen = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing/invalid WARC Content-Length") from None
+        body = hdr_end + 4
+        if body + clen + 4 > n:
+            raise ValueError("WARC record overruns the stream")
+        if payload[body + clen:body + clen + 4] != b"\r\n\r\n":
+            raise ValueError("missing WARC record separator")
+        records.append({
+            "type": headers.get(b"warc-type", b"").decode("latin-1"),
+            "record_id": headers.get(b"warc-record-id",
+                                     b"").decode("latin-1"),
+            "content_length": clen,
+            "payload": payload[body:body + clen],
+        })
+        pos = body + clen + 4
+    return records
+
+
+def build_warc(records: list[tuple[str, str, bytes]]) -> bytes:
+    """Serialize ``(warc_type, record_id, payload)`` triples into a
+    spec-shaped WARC/1.0 stream (deterministic: no dates, fixed header
+    order) — the test/oracle-side twin of :func:`parse_warc_records`,
+    same posture as ``build_shard``."""
+    out = bytearray()
+    for wtype, rid, payload in records:
+        out += (b"WARC/1.0\r\n"
+                + b"WARC-Type: " + wtype.encode() + b"\r\n"
+                + b"WARC-Record-ID: " + rid.encode() + b"\r\n"
+                + b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload + b"\r\n\r\n")
+    return bytes(out)

@@ -8034,3 +8034,76 @@ register(
         "whitespace — in pinned order), title/length/md5 hash-verified "
         "— the first transform of a web-corpus pipeline, in codegen.",
 )
+
+
+# ---------------------------------------------------------------------------
+# WARC record extraction — the crawl-archive seam (ISO 28500, the
+# format Common Crawl ships). Each document becomes a genuine
+# two-record WARC stream (warcinfo + response whose body is the text
+# bytes); EVEN doc_ids gzip the stream — the Common Crawl carriage —
+# so both the plain and inflated paths sit inside the hashed data.
+# The real record walker (operators/webdataset.parse_warc_records:
+# version line, header block, Content-Length framing, mandatory
+# separators) reads the records back; counts, lengths and the
+# response-body md5 are value-pinned against the original text.
+# ---------------------------------------------------------------------------
+
+def _warc_record_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import gzip as _gzip
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.webdataset import build_warc, parse_warc_records
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"].astype("int64"),
+                                 pdf["text"]):
+                did = int(did)
+                body = str(text).encode("utf-8")
+                w = build_warc([
+                    ("warcinfo", f"<urn:uuid:{did}-info>",
+                     b"software: engine-test"),
+                    ("response", f"<urn:uuid:{did}-resp>", body)])
+                if did % 2 == 0:
+                    w = _gzip.compress(w)
+                recs = parse_warc_records(w)
+                resp = [r for r in recs if r["type"] == "response"][0]
+                rows.append({
+                    "doc_id": did,
+                    "carriage": "gzip" if did % 2 == 0 else "plain",
+                    "n_records": len(recs),
+                    "response_len": resp["content_length"],
+                    "response_md5": hashlib.md5(
+                        resp["payload"]).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(roundtrip,
+                            "doc_id long, carriage string,"
+                            " n_records long, response_len long,"
+                            " response_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "warc_record_extract",
+    _warc_record_extract,
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'plain' END AS carriage,
+       CAST(2 AS BIGINT) AS n_records,
+       CAST(octet_length(encode(text)) AS BIGINT) AS response_len,
+       md5(text) AS response_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="WARC (ISO 28500) record roundtrip: genuine two-record streams "
+        "per document, gzip carriage on even ids (the Common Crawl "
+        "convention), walked by the real Content-Length-framed parser, "
+        "response bodies hash-verified against the original text.",
+)

@@ -84,3 +84,38 @@ def test_directories_skipped_and_special_types_raise():
         tf.addfile(ln)
     with pytest.raises(ValueError):
         parse_tar_members(buf2.getvalue())
+
+
+# --- WARC records ------------------------------------------------------------
+
+def test_warc_roundtrip_plain_and_gzip():
+    import gzip
+    from precios_nexo_sperant_etl_spark.operators.webdataset import (
+        build_warc, parse_warc_records)
+    w = build_warc([("warcinfo", "<urn:uuid:1>", b"software: test"),
+                    ("response", "<urn:uuid:2>", b"hello crawl body")])
+    rs = parse_warc_records(w)
+    assert [r["type"] for r in rs] == ["warcinfo", "response"]
+    assert rs[1]["payload"] == b"hello crawl body"
+    assert rs[1]["record_id"] == "<urn:uuid:2>"
+    assert parse_warc_records(gzip.compress(w)) == rs
+
+
+def test_warc_framing_taxonomy():
+    from precios_nexo_sperant_etl_spark.operators.webdataset import (
+        build_warc, parse_warc_records)
+    w = build_warc([("response", "<urn:uuid:9>", b"abcdef")])
+    for bad in (w[:-4],                                       # lost tail
+                w.replace(b"WARC/1.0", b"WARC/9.9", 1),      # version
+                w.replace(b"Content-Length: 6",
+                          b"Content-Length: xx", 1),          # length
+                w.replace(b"Content-Length", b"X-NoColonLine"
+                          b"NoSep", 1)[:len(w)]):             # malformed
+        with pytest.raises(ValueError):
+            parse_warc_records(bad)
+    # payload bytes containing \r\n\r\n must not confuse the framing
+    tricky = build_warc([("response", "<a>", b"x\r\n\r\ny"),
+                         ("response", "<b>", b"tail")])
+    rs = parse_warc_records(tricky)
+    assert rs[0]["payload"] == b"x\r\n\r\ny"
+    assert rs[1]["payload"] == b"tail"
