@@ -8107,3 +8107,126 @@ FROM documents ORDER BY doc_id
         "convention), walked by the real Content-Length-framed parser, "
         "response bodies hash-verified against the original text.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Composed WEB-curation pipeline — the round's seams chained end to
+# end: WARC records (gzip carriage on even ids) carry HTML pages;
+# the real record walker unwraps them (one Arrow crossing); the
+# codegen pattern chain extracts text; a token-count gate drops thin
+# pages; exact dedup (md5 of the extracted text, keep-min-id) removes
+# the pages whose BODY text collides after boilerplate stripping; the
+# published artifact is the per-source datasheet. The oracle rebuilds
+# the same HTML from the raw text and replays extraction → gate →
+# dedup → rollup in SQL, so every seam's composition — not just each
+# seam alone — is value-pinned.
+#
+# Scale shape: narrow map through unwrap+extract, ONE shuffle for the
+# dedup groupBy, one combinable rollup. The WARC unwrap is the only
+# Python crossing.
+# ---------------------------------------------------------------------------
+
+_WEB_MIN_TOKENS = 30
+
+
+def _web_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from .operators.text import html_to_text, tokens
+    from .operators.webdataset import build_warc, parse_warc_records
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def wrap_unwrap(it):
+        # WARC-wrap the HTML page, then immediately unwrap through the
+        # REAL parser — the ingest seam exercised inside the pipeline.
+        for pdf in it:
+            rows = []
+            for did, source, text in zip(pdf["doc_id"].astype("int64"),
+                                         pdf["source"], pdf["text"]):
+                did = int(did)
+                page = (f"<html><head><title>Doc {did}</title>"
+                        f'<script>var x="<b>boiler</b>";</script></head>'
+                        f"<body><nav>Home | About</nav><p>{text}</p>"
+                        f"<!-- c --><footer>(c) 2024</footer>"
+                        f"</body></html>").encode("utf-8")
+                w = build_warc([("response", f"<urn:uuid:{did}>", page)])
+                if did % 2 == 0:
+                    w = _gzip.compress(w)
+                resp = [r for r in parse_warc_records(w)
+                        if r["type"] == "response"][0]
+                rows.append({"doc_id": did, "source": source,
+                             "html": resp["payload"].decode("utf-8")})
+            yield pd.DataFrame(rows)
+
+    pages = src.mapInPandas(wrap_unwrap,
+                            "doc_id long, source string, html string")
+    extracted = pages.select(
+        "doc_id", "source", html_to_text(F.col("html")).alias("body"))
+    gated = extracted.where(
+        F.size(tokens(F.col("body"))) >= _WEB_MIN_TOKENS)
+    from pyspark.sql import Window
+    deduped = (gated
+               .select("doc_id", "source", "body",
+                       F.md5(F.col("body")).alias("h"))
+               .withColumn("_keep",
+                           F.min("doc_id").over(Window.partitionBy("h")))
+               .where(F.col("doc_id") == F.col("_keep")))
+    return (deduped.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_unique_pages"),
+                 F.sum(F.size(tokens(F.col("body"))).cast("long"))
+                  .alias("total_tokens"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("source"))
+
+
+register(
+    "web_curation_pipeline",
+    _web_curation_pipeline,
+    f"""
+WITH page AS (
+  SELECT doc_id, source,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><script>var x="<b>boiler</b>";</script></head>'
+         || '<body><nav>Home | About</nav><p>' || text || '</p>'
+         || '<!-- c --><footer>(c) 2024</footer></body></html>' AS html
+  FROM documents),
+ext AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html,
+                   '(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>',
+                   ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS body
+  FROM page),
+gated AS (
+  SELECT doc_id, source, body
+  FROM ext
+  WHERE len(string_split_regex(trim(body), '\\s+')) >= {_WEB_MIN_TOKENS}),
+keep AS (
+  SELECT doc_id, source, body
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(body)) AS k
+        FROM gated)
+  WHERE doc_id = k)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_pages,
+       CAST(SUM(len(string_split_regex(trim(body), '\\s+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM keep GROUP BY source ORDER BY source
+""",
+    doc="Composed web-curation pipeline: WARC unwrap (gzip carriage) → "
+        "codegen HTML text extraction → token gate → exact dedup of "
+        "extracted bodies → per-source datasheet, the whole chain "
+        "value-pinned as one oracle.",
+)
