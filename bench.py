@@ -139,6 +139,8 @@ HEADLINE = [
     "curriculum_order_manifest",  # model-bucketed seeded global order
     "poisson_bootstrap_means",  # one-scan 64-replicate bootstrap
     "skipgram_pairs",           # windowed pair generation self-join
+    "html_extract_text",        # codegen boilerplate stripping
+    "web_curation_pipeline",    # WARC→extract→gate→dedup→datasheet
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and
