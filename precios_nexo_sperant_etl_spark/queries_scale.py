@@ -8230,3 +8230,98 @@ FROM keep GROUP BY source ORDER BY source
         "extracted bodies → per-source datasheet, the whole chain "
         "value-pinned as one oracle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Chat-template manifest — SFT data construction: turns are rendered
+# into one training string with role markers, and the ASSISTANT span's
+# (offset, length) is published as the loss-mask interval (the bug
+# class this pins: off-by-one mask boundaries silently train on the
+# prompt or skip the target). Turns derive from the document's thirds
+# (system/user/assistant) so the whole manifest is string arithmetic —
+# rendered md5 + exact span offsets, bit-checkable in SQL. Narrow map.
+# ---------------------------------------------------------------------------
+
+_CHAT_SYS = "<|im_start|>system\n"
+_CHAT_USR = "<|im_end|>\n<|im_start|>user\n"
+_CHAT_AST = "<|im_end|>\n<|im_start|>assistant\n"
+_CHAT_END = "<|im_end|>"
+
+
+def _chat_template_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    n = F.length("text")
+    sys_t = F.substring(F.col("text"), 1, F.floor(n / 3).cast("int"))
+    usr_t = F.expr("substring(text, CAST(length(text) DIV 3 AS INT) + 1,"
+                   " CAST(length(text) * 2 DIV 3 AS INT)"
+                   " - CAST(length(text) DIV 3 AS INT))")
+    ast_t = F.expr("substring(text,"
+                   " CAST(length(text) * 2 DIV 3 AS INT) + 1)")
+    rendered = F.concat(F.lit(_CHAT_SYS), sys_t, F.lit(_CHAT_USR), usr_t,
+                        F.lit(_CHAT_AST), ast_t, F.lit(_CHAT_END))
+    # loss-mask span: the assistant text itself (markers excluded)
+    mask_start = (F.length(F.lit(_CHAT_SYS)) + F.length(sys_t)
+                  + F.length(F.lit(_CHAT_USR)) + F.length(usr_t)
+                  + F.length(F.lit(_CHAT_AST)) + 1).cast("long")
+    return (d.select(
+                "doc_id",
+                F.length(rendered).cast("long").alias("rendered_len"),
+                mask_start.alias("mask_start"),
+                F.length(ast_t).cast("long").alias("mask_len"),
+                F.md5(rendered).alias("rendered_md5"),
+                F.expr("substring("
+                       f"concat('{_CHAT_SYS}', substring(text, 1,"
+                       " CAST(length(text) DIV 3 AS INT)),"
+                       f" '{_CHAT_USR}',"
+                       " substring(text, CAST(length(text) DIV 3 AS INT)"
+                       " + 1, CAST(length(text) * 2 DIV 3 AS INT)"
+                       " - CAST(length(text) DIV 3 AS INT)),"
+                       f" '{_CHAT_AST}',"
+                       " substring(text,"
+                       " CAST(length(text) * 2 DIV 3 AS INT) + 1),"
+                       f" '{_CHAT_END}'),"
+                       " CAST(length(text) DIV 3 AS INT)"
+                       f" + {len(_CHAT_SYS) + len(_CHAT_USR)}"
+                       " + (CAST(length(text) * 2 DIV 3 AS INT)"
+                       " - CAST(length(text) DIV 3 AS INT))"
+                       f" + {len(_CHAT_AST)} + 1,"
+                       " length(text)"
+                       " - CAST(length(text) * 2 DIV 3 AS INT))")
+                 .alias("mask_slice"))
+             .orderBy("doc_id"))
+
+
+register(
+    "chat_template_manifest",
+    _chat_template_manifest,
+    f"""
+WITH s AS (
+  SELECT doc_id, text,
+         substr(text, 1, length(text) // 3) AS sys_t,
+         substr(text, length(text) // 3 + 1,
+                length(text) * 2 // 3 - length(text) // 3) AS usr_t,
+         substr(text, length(text) * 2 // 3 + 1) AS ast_t
+  FROM documents),
+r AS (
+  SELECT doc_id, sys_t, usr_t, ast_t,
+         '{_CHAT_SYS}' || sys_t || '{_CHAT_USR}' || usr_t
+         || '{_CHAT_AST}' || ast_t || '{_CHAT_END}' AS rendered
+  FROM s)
+SELECT doc_id,
+       CAST(length(rendered) AS BIGINT) AS rendered_len,
+       CAST({len(_CHAT_SYS)} + length(sys_t) + {len(_CHAT_USR)}
+            + length(usr_t) + {len(_CHAT_AST)} + 1 AS BIGINT)
+         AS mask_start,
+       CAST(length(ast_t) AS BIGINT) AS mask_len,
+       md5(rendered) AS rendered_md5,
+       substr(rendered,
+              {len(_CHAT_SYS)} + length(sys_t) + {len(_CHAT_USR)}
+              + length(usr_t) + {len(_CHAT_AST)} + 1,
+              length(ast_t)) AS mask_slice
+FROM r ORDER BY doc_id
+""",
+    doc="Chat-template manifest for SFT data: role-marker rendering "
+        "with the assistant loss-mask span published as exact "
+        "(offset, length) — and the slice AT that span republished, so "
+        "an off-by-one mask boundary breaks the hash two ways.",
+)
