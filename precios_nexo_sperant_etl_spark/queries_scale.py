@@ -8325,3 +8325,98 @@ FROM r ORDER BY doc_id
         "(offset, length) — and the slice AT that span republished, so "
         "an off-by-one mask boundary breaks the hash two ways.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between sources — the significance test behind "is
+# source A's mean document length actually different from B's?", the
+# inferential companion of poisson_bootstrap_by_source. All sufficient
+# statistics (n, Σx, Σx²) fold exactly as BIGINTs in one combinable
+# pass; means, variances and the t statistic are a FIXED tree of
+# double operations over those exact integers (divisions, one
+# correctly-rounded sqrt) — bit-identical across engines, like the
+# Pearson/PSI/Cramér queries. Published per source pair (all C(k,2)
+# pairs of the ≤handful of sources), with Welch–Satterthwaite df.
+# ---------------------------------------------------------------------------
+
+def _welch_t_sources(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents").select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("x"))
+    stats = (d.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("s"),
+                   F.sum(F.col("x") * F.col("x")).alias("ss")))
+    a = stats.select(F.col("source").alias("src_a"),
+                     F.col("n").alias("na"), F.col("s").alias("sa"),
+                     F.col("ss").alias("ssa"))
+    b = stats.select(F.col("source").alias("src_b"),
+                     F.col("n").alias("nb"), F.col("s").alias("sb"),
+                     F.col("ss").alias("ssb"))
+    p = a.crossJoin(b).where(F.col("src_a") < F.col("src_b"))
+
+    def mean(s, n):
+        return s.cast("double") / n.cast("double")
+
+    def var(ss, s, n):
+        # unbiased: (Σx² - (Σx)²/n) / (n-1), numerator from exact ints
+        return ((ss.cast("double")
+                 - (s * s).cast("double") / n.cast("double"))
+                / (n - 1).cast("double"))
+
+    ma, mb = mean(F.col("sa"), F.col("na")), mean(F.col("sb"), F.col("nb"))
+    va = var(F.col("ssa"), F.col("sa"), F.col("na"))
+    vb = var(F.col("ssb"), F.col("sb"), F.col("nb"))
+    sea = va / F.col("na").cast("double")
+    seb = vb / F.col("nb").cast("double")
+    t = (ma - mb) / F.sqrt(sea + seb)
+    df = ((sea + seb) * (sea + seb)
+          / (sea * sea / (F.col("na") - 1).cast("double")
+             + seb * seb / (F.col("nb") - 1).cast("double")))
+    return (p.select("src_a", "src_b",
+                     F.col("na").cast("long").alias("na"),
+                     F.col("nb").cast("long").alias("nb"),
+                     ma.alias("mean_a"), mb.alias("mean_b"),
+                     t.alias("t_stat"), df.alias("welch_df"))
+            .orderBy("src_a", "src_b"))
+
+
+register(
+    "welch_t_sources",
+    _welch_t_sources,
+    f"""
+WITH d AS (SELECT source,
+                  CAST(len(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS x
+           FROM documents),
+st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS s,
+              CAST(SUM(x * x) AS BIGINT) AS ss
+       FROM d GROUP BY source),
+p AS (SELECT a.source AS src_a, b.source AS src_b,
+             a.n AS na, a.s AS sa, a.ss AS ssa,
+             b.n AS nb, b.s AS sb, b.ss AS ssb
+      FROM st a JOIN st b ON a.source < b.source),
+c AS (SELECT *,
+             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             ((CAST(ssa AS DOUBLE)
+               - CAST(sa * sa AS DOUBLE) / CAST(na AS DOUBLE))
+              / CAST(na - 1 AS DOUBLE)) / CAST(na AS DOUBLE) AS sea,
+             ((CAST(ssb AS DOUBLE)
+               - CAST(sb * sb AS DOUBLE) / CAST(nb AS DOUBLE))
+              / CAST(nb - 1 AS DOUBLE)) / CAST(nb AS DOUBLE) AS seb
+      FROM p)
+SELECT src_a, src_b, na, nb,
+       ma AS mean_a, mb AS mean_b,
+       (ma - mb) / sqrt(sea + seb) AS t_stat,
+       (sea + seb) * (sea + seb)
+         / (sea * sea / CAST(na - 1 AS DOUBLE)
+            + seb * seb / CAST(nb - 1 AS DOUBLE)) AS welch_df
+FROM c ORDER BY src_a, src_b
+""",
+    doc="Welch's t-test between every source pair on mean token count: "
+        "exact BIGINT sufficient statistics in one combinable pass, a "
+        "fixed double tree (divisions + one correctly-rounded sqrt) "
+        "for t and the Welch-Satterthwaite df — bit-exact inference.",
+)
