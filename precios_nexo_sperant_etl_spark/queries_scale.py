@@ -8420,3 +8420,112 @@ FROM c ORDER BY src_a, src_b
         "fixed double tree (divisions + one correctly-rounded sqrt) "
         "for t and the Welch-Satterthwaite df — bit-exact inference.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — the storage/dedup primitive behind
+# LBFS (Muthitacharoen et al. 2001, public) and every dedup filesystem:
+# chunk boundaries come from the CONTENT (cut after any position whose
+# 8-char window hash ≡ 0 mod 64), so an insertion shifts only the
+# chunks it touches — unlike fixed-size chunking, where one inserted
+# byte re-keys every later chunk and destroys cross-version dedup.
+# The stateless cut rule (no min/max clamps) keeps the whole pass
+# relational: cut detection is a linear explode with the codegen md5
+# window hash (the interpreted higher-order-function form would be
+# ~10x slower — same finding as text.word_set_hits), per-doc cut
+# lists are one bounded collect (avg n/64 cuts), and chunk
+# re-expansion is an array transform. Published artifact: the
+# per-source chunk-dedup datasheet (total vs distinct chunk mass —
+# the ratio CDC exists to improve).
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8
+_CDC_MOD = 64
+
+
+def _cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import md5_hash
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", "text",
+        F.length("text").cast("int").alias("n"))
+    wins = (d.where(F.col("n") >= _CDC_W)
+             .select("doc_id",
+                     F.explode(F.sequence(F.lit(_CDC_W), F.col("n")))
+                      .alias("i"))
+             .join(d.select("doc_id", "text"), "doc_id")
+             .select("doc_id", "i",
+                     md5_hash(F.expr(f"substring(text, i - {_CDC_W - 1},"
+                                     f" {_CDC_W})")).alias("h")))
+    cuts = (wins.where(F.col("h") % _CDC_MOD == 0)
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list("i")).alias("cuts")))
+    bounded = (d.join(cuts, "doc_id", "left")
+                .select("doc_id", "source", "text",
+                        F.concat(F.array(F.lit(0)),
+                                 F.coalesce("cuts",
+                                            F.array().cast("array<int>")),
+                                 F.array(F.col("n"))).alias("b")))
+    chunks = (bounded
+              .select("doc_id", "source", "text",
+                      F.explode(F.expr(
+                          "transform(sequence(0, size(b) - 2),"
+                          " j -> struct(b[j] AS start,"
+                          " b[j + 1] - b[j] AS len))")).alias("c"))
+              .where(F.col("c.len") > 0)
+              .select("source",
+                      F.col("c.len").cast("long").alias("len"),
+                      F.md5(F.expr("substring(text, c.start + 1, c.len)"))
+                       .alias("ch")))
+    return (chunks.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.countDistinct("ch").alias("n_distinct_chunks"),
+                 F.sum("len").alias("total_chars"),
+                 F.expr("CAST(sum(len) * 1000 DIV count(*) AS BIGINT)")
+                  .alias("mean_chunk_len_milli"))
+            .orderBy("source"))
+
+
+register(
+    "cdc_chunk_dedup",
+    _cdc_chunk_dedup,
+    f"""
+WITH d AS (SELECT doc_id, source, text,
+                  CAST(length(text) AS INT) AS n
+           FROM documents),
+cuts AS (
+  SELECT doc_id,
+         list_sort(list_filter(
+           list_transform(range({_CDC_W}, n + 1), i ->
+             CASE WHEN ('0x' || substr(md5(
+                          substr(text, CAST(i AS INT) - {_CDC_W - 1},
+                                 {_CDC_W})), 1, 12))::BIGINT
+                       % {_CDC_MOD} = 0
+                  THEN CAST(i AS INT) END),
+           x -> x IS NOT NULL)) AS cs
+  FROM d WHERE n >= {_CDC_W}),
+b AS (
+  SELECT d.doc_id, d.source, d.text,
+         list_concat(list_concat([0], COALESCE(cs, [])), [d.n]) AS bd
+  FROM d LEFT JOIN cuts ON d.doc_id = cuts.doc_id),
+ch AS (
+  SELECT source,
+         CAST(bd[CAST(j + 2 AS INT)] - bd[CAST(j + 1 AS INT)] AS BIGINT)
+           AS len,
+         md5(substr(text, CAST(bd[CAST(j + 1 AS INT)] + 1 AS INT),
+                    CAST(bd[CAST(j + 2 AS INT)]
+                         - bd[CAST(j + 1 AS INT)] AS INT))) AS h
+  FROM b, LATERAL (SELECT unnest(range(0, len(bd) - 1)) AS j)
+  WHERE bd[CAST(j + 2 AS INT)] - bd[CAST(j + 1 AS INT)] > 0)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(len) AS BIGINT) AS total_chars,
+       CAST(SUM(len) * 1000 // COUNT(*) AS BIGINT)
+         AS mean_chunk_len_milli
+FROM ch GROUP BY source ORDER BY source
+""",
+    doc="Content-defined chunking (LBFS Rabin cut points via the "
+        "codegen md5 window hash): insertion-stable chunk boundaries, "
+        "per-source chunk-dedup datasheet (total vs distinct chunk "
+        "mass) — the cross-version dedup primitive.",
+)

@@ -111,3 +111,32 @@ def test_html_to_text_strip_order_and_entities(spark):
     assert out == 'Tom & Jerry <3 two spaces'
     # script body (including its fake tag) vanished entirely
     assert "fake" not in out and "x:1" not in out
+
+
+def _cdc_chunks(text, w=8, mod=64):
+    """Pure-python twin of the cdc_chunk_dedup cut rule (md5 12-hex
+    window hash mod 64) — the oracle pins the Spark side to exactly
+    this; here it demonstrates the insertion-stability property."""
+    import hashlib
+    n = len(text)
+    cuts = [i for i in range(w, n + 1)
+            if int(hashlib.md5(text[i - w:i].encode()).hexdigest()[:12],
+                   16) % mod == 0]
+    bounds = [0] + cuts + [n]
+    return {text[a:b] for a, b in zip(bounds, bounds[1:]) if b > a}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1), st.integers(0, 400))
+def test_cdc_chunks_are_insertion_stable(seed, pos):
+    """Inserting one character invalidates only the chunks around the
+    edit: most chunk hashes survive — the property fixed-size chunking
+    lacks (one insertion would re-key every later chunk)."""
+    rng = np.random.RandomState(seed)
+    text = "".join(chr(97 + c) for c in rng.randint(0, 26, size=800))
+    pos = pos % len(text)
+    mutated = text[:pos] + "!" + text[pos:]
+    a, b = _cdc_chunks(text), _cdc_chunks(mutated)
+    # chunks are ~64 chars, so ~12 chunks total; the edit may destroy
+    # the one or two chunks containing it, never the far-away ones
+    assert len(a & b) >= len(a) - 3
