@@ -8529,3 +8529,172 @@ FROM ch GROUP BY source ORDER BY source
         "per-source chunk-dedup datasheet (total vs distinct chunk "
         "mass) — the cross-version dedup primitive.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing — the encoding-detection pass at the very front of
+# text ingest (crawl payloads lie about their encodings). Per doc_id
+# class, a payload is synthesized as (0) UTF-8 with real multibyte
+# sequences, (1) Latin-1 high bytes that are INVALID UTF-8, or (2)
+# UTF-16LE with BOM; the detector is real: BOM check, then a strict
+# UTF-8 decode (Python's validator — the reference decoder), falling
+# back to Latin-1 (never fails, the curation convention). Detected
+# charset, decoded char count and the decoded-text md5 are value-
+# pinned — a detector that mislabels class 1 as UTF-8 or drops the
+# BOM from class 2 breaks the hash.
+# ---------------------------------------------------------------------------
+
+def _charset_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def sniff(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"].astype("int64"),
+                                 pdf["text"]):
+                did = int(did)
+                s = str(text)
+                if did % 3 == 0:
+                    payload = (s + " café—fin").encode("utf-8")
+                elif did % 3 == 1:
+                    payload = s.encode("latin-1") + bytes([0xE9, 0x20,
+                                                           0xFC])
+                else:
+                    payload = "\ufeff".encode("utf-16-le") \
+                        + s.encode("utf-16-le")
+                # --- the real detector ---
+                if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                    enc = ("utf-16-le" if payload[:2] == b"\xff\xfe"
+                           else "utf-16-be")
+                    decoded = payload[2:].decode(enc)
+                    detected = enc
+                else:
+                    try:
+                        decoded = payload.decode("utf-8", "strict")
+                        detected = "utf-8"
+                    except UnicodeDecodeError:
+                        decoded = payload.decode("latin-1")
+                        detected = "latin-1"
+                rows.append({"doc_id": did, "detected": detected,
+                             "byte_len": len(payload),
+                             "n_chars": len(decoded),
+                             "text_md5": hashlib.md5(
+                                 decoded.encode("utf-8")).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(sniff, "doc_id long, detected string,"
+                                   " byte_len long, n_chars long,"
+                                   " text_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "charset_sniff",
+    _charset_sniff,
+    """
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS bl,
+         CAST(length(text) AS BIGINT) AS cl
+  FROM documents)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'latin-1'
+                       ELSE 'utf-16-le' END AS detected,
+       CASE doc_id % 3
+            -- ' café—fin': ' caf'(4B) + e-acute(2B) + em-dash(3B)
+            -- + 'fin'(3B) = 12 bytes appended to the UTF-8 text
+            WHEN 0 THEN bl + 12
+            -- latin-1 text bytes (ASCII corpus: = char count) + 3 raw
+            WHEN 1 THEN cl + 3
+            -- BOM + UTF-16LE code units (ASCII corpus: 2B per char)
+            ELSE 2 * cl + 2 END AS byte_len,
+       CASE doc_id % 3
+            WHEN 0 THEN cl + 9         -- 9 appended characters
+            WHEN 1 THEN cl + 3         -- 3 latin-1 chars
+            ELSE cl END AS n_chars,
+       CASE doc_id % 3
+            WHEN 0 THEN md5(text || ' caf' || chr(233) || chr(8212)
+                            || 'fin')
+            WHEN 1 THEN md5(text || chr(233) || chr(32) || chr(252))
+            ELSE md5(text) END AS text_md5
+FROM b ORDER BY doc_id
+""",
+    doc="Real charset detection at the ingest boundary: BOM check, "
+        "strict UTF-8 validation, Latin-1 fallback over synthesized "
+        "UTF-8/Latin-1/UTF-16LE payloads — detected encoding, char "
+        "count and decoded-text md5 all value-pinned.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — dataset versioning's core op: given two corpus
+# versions, classify every doc as kept / changed / removed / added and
+# publish the per-source churn datasheet (the audit a lake format
+# derives from its manifests, computed here content-level: md5 of the
+# text, not file identity). v2 is synthesized deterministically from
+# v1 — every 10th doc edited, every 17th dropped, 100 fresh ids added
+# — so the oracle knows the truth arithmetically. One full-outer join
+# on doc_id (the natural key); at 100 TB both sides bucket/co-locate
+# on that key.
+# ---------------------------------------------------------------------------
+
+def _snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    v2 = (d.where(F.col("doc_id") % 17 != 0)
+           .select("doc_id", "source",
+                   F.when(F.col("doc_id") % 10 == 0,
+                          F.concat(F.col("text"), F.lit(" [edited]")))
+                    .otherwise(F.col("text")).alias("text")))
+    added = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     "source", F.col("text").alias("text")) \
+             .orderBy("doc_id").limit(100)
+    v2 = v2.unionByName(added)
+    j = (d.select("doc_id", "source", F.md5("text").alias("h1"))
+          .join(v2.select("doc_id",
+                          F.col("source").alias("source2"),
+                          F.md5("text").alias("h2")),
+                "doc_id", "full_outer"))
+    status = (F.when(F.col("h1").isNull(), F.lit("added"))
+               .when(F.col("h2").isNull(), F.lit("removed"))
+               .when(F.col("h1") == F.col("h2"), F.lit("kept"))
+               .otherwise(F.lit("changed")))
+    return (j.select(F.coalesce("source", "source2").alias("source"),
+                     status.alias("status"))
+             .groupBy("source", "status")
+             .agg(F.count(F.lit(1)).alias("n_docs"))
+             .orderBy("source", "status"))
+
+
+register(
+    "snapshot_diff",
+    _snapshot_diff,
+    """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' [edited]'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)),
+j AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN md5(a.text) = md5(b.text) THEN 'kept'
+              ELSE 'changed' END AS status
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM j GROUP BY source, status ORDER BY source, status
+""",
+    doc="Dataset snapshot diff: content-level kept/changed/removed/"
+        "added classification via one full-outer join on the natural "
+        "key, per-source churn datasheet — lake versioning's audit "
+        "artifact.",
+)
