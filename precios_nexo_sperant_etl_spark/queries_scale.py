@@ -8698,3 +8698,91 @@ FROM j GROUP BY source, status ORDER BY source, status
         "key, per-source churn datasheet — lake versioning's audit "
         "artifact.",
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-configuration ablation — the tuning datasheet BEHIND the
+# (bands, rows) choice: the same 8-perm signature table banded three
+# ways (8x1, 4x2, 2x4), reporting per config the colliding-bucket
+# count, the largest bucket, the collision SLOTS (sum of C(size,2) —
+# the actual LSH join cost, which is what explodes on boilerplate
+# corpora) and the distinct candidate pairs. Moving along this table
+# trades recall (more bands -> catches lower Jaccard) against join
+# cost; dedup_threshold_curve picks the verify threshold AFTER a
+# config is chosen, this picks the config. One signature aggregation
+# shared by all three configs; each banding is a projection + one
+# grouped count over (band, bh).
+# ---------------------------------------------------------------------------
+
+_ABL_CONFIGS = (8, 4, 2)
+
+
+def _minhash_band_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup_fuzzy import _band_buckets, minhash_signatures
+    sigs = minhash_signatures(_t(spark, sf, "documents")).cache()
+    out = None
+    for n_bands in _ABL_CONFIGS:
+        bb = _band_buckets(sigs, "doc_id", n_bands)
+        buckets = (bb.groupBy("band", "bh")
+                     .agg(F.count(F.lit(1)).alias("sz")))
+        stats = buckets.agg(
+            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+             .cast("long").alias("colliding_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+             .cast("long").alias("collision_slots"))
+        pairs = (bb.alias("a")
+                 .join(bb.alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bh") == F.col("b.bh"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select("a.doc_id", "b.doc_id").distinct()
+                 .agg(F.count(F.lit(1)).cast("long")
+                       .alias("candidate_pairs")))
+        row = (stats.crossJoin(pairs)
+               .select(F.lit(n_bands).cast("long").alias("n_bands"),
+                       F.lit(8 // n_bands).cast("long")
+                        .alias("rows_per_band"),
+                       "colliding_buckets", "max_bucket",
+                       "collision_slots", "candidate_pairs"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands")
+
+
+def _ablation_config_sql(n_bands: int) -> str:
+    bands = _bands_sql(8, n_bands)
+    return f"""
+  SELECT CAST({n_bands} AS BIGINT) AS n_bands,
+         CAST({8 // n_bands} AS BIGINT) AS rows_per_band,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT band, bh FROM ({bands}) GROUP BY band, bh
+                HAVING COUNT(*) >= 2)) AS colliding_buckets,
+         (SELECT CAST(MAX(sz) AS BIGINT)
+          FROM (SELECT COUNT(*) AS sz FROM ({bands})
+                GROUP BY band, bh)) AS max_bucket,
+         (SELECT CAST(SUM(sz * (sz - 1) // 2) AS BIGINT)
+          FROM (SELECT COUNT(*) AS sz FROM ({bands})
+                GROUP BY band, bh)) AS collision_slots,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT a.doc_id, b.doc_id AS d2
+                FROM ({bands}) a JOIN ({bands}) b
+                  ON a.band = b.band AND a.bh = b.bh
+                 AND a.doc_id < b.doc_id)) AS candidate_pairs
+"""
+
+
+register(
+    "minhash_band_ablation",
+    lambda spark, sf: _minhash_band_ablation(spark, sf),
+    f"""
+WITH {_DUCK_HS},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id)
+{" UNION ALL ".join(_ablation_config_sql(b) for b in _ABL_CONFIGS)}
+ORDER BY n_bands
+""",
+    doc="MinHash (bands, rows) tuning ablation: the same 8-perm "
+        "signatures banded 8x1 / 4x2 / 2x4, with colliding buckets, "
+        "max bucket, collision slots (the LSH join cost) and distinct "
+        "candidate pairs per config — the recall-vs-cost table that "
+        "picks the production shape.",
+)
