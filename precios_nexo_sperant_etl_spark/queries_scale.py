@@ -8786,3 +8786,117 @@ ORDER BY n_bands
         "candidate pairs per config — the recall-vs-cost table that "
         "picks the production shape.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-quality audit — how well does a training order break up
+# same-source runs? Real loaders can't always afford the seeded FULL
+# shuffle (training_order_manifest); they shuffle shard blocks and
+# keep within-block order. This audit quantifies the difference: for
+# each candidate order, documents get dense positions (two-pass row
+# ids — no global window), adjacent pairs come from an equi-join on
+# position+1, and the published metric is the same-source adjacency
+# rate vs the EXACT independence expectation Σ c_s(c_s-1) / (n(n-1))
+# (integer arithmetic to one milli division). ratio≈1000 = well mixed;
+# >>1000 = source-clumped batches (correlated gradients). Orders
+# audited: raw doc_id, seeded full shuffle, 64-doc block shuffle
+# (blocks reordered by hash, within-block order kept).
+# ---------------------------------------------------------------------------
+
+_SHUF_BLOCK = 64
+
+
+def _shuffle_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import add_row_id
+    from .operators.text import md5_hash
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    full_key = md5_hash(F.concat(F.lit("epoch0:"),
+                                 F.col("doc_id").cast("string")))
+    block = (F.col("doc_id") / _SHUF_BLOCK).cast("long")
+    block_key = md5_hash(F.concat(F.lit("blk0:"), block.cast("string")))
+    orders = {
+        "raw_docid": [F.asc("doc_id")],
+        "full_shuffle": [F.asc(full_key.alias("_k")), F.asc("doc_id")],
+        "block_shuffle": [F.asc(block_key.alias("_k")), F.asc("doc_id")],
+    }
+    # exact independence expectation from per-source counts (shared)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    expected = counts.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("same_mass"),
+        F.sum("c").alias("n"))
+    out = None
+    for name, keys in orders.items():
+        pos = add_row_id(d, keys, name="pos")
+        adj = (pos.select(F.col("pos").alias("p"),
+                          F.col("source").alias("s1"))
+                  .join(pos.select((F.col("pos") - 1).alias("p"),
+                                   F.col("source").alias("s2")), "p"))
+        row = (adj.agg(
+                   F.count(F.lit(1)).alias("n_adjacent"),
+                   F.sum((F.col("s1") == F.col("s2")).cast("long"))
+                    .alias("same_source_adjacent"))
+               .crossJoin(F.broadcast(expected))
+               .select(
+                   F.lit(name).alias("order_name"),
+                   "n_adjacent", "same_source_adjacent",
+                   # observed and expected rates in milli, exact ints
+                   F.expr("CAST(same_source_adjacent * 1000"
+                          " DIV n_adjacent AS BIGINT)")
+                    .alias("observed_milli"),
+                   F.expr("CAST(same_mass * 1000 DIV (n * (n - 1))"
+                          " AS BIGINT)").alias("expected_milli")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("order_name")
+
+
+register(
+    "shuffle_quality_audit",
+    _shuffle_quality_audit,
+    f"""
+WITH d AS (SELECT doc_id, source FROM documents),
+e AS (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS same_mass,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM (SELECT COUNT(*) AS c FROM d GROUP BY source)),
+keyed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                         1, 12))::BIGINT AS fk,
+         ('0x' || substr(md5('blk0:' ||
+                             CAST(doc_id // {_SHUF_BLOCK} AS VARCHAR)),
+                         1, 12))::BIGINT AS bk
+  FROM d),
+p AS (
+  SELECT source,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS p_raw,
+         ROW_NUMBER() OVER (ORDER BY fk, doc_id) AS p_full,
+         ROW_NUMBER() OVER (ORDER BY bk, doc_id) AS p_block
+  FROM keyed),
+m AS (
+  SELECT 'raw_docid' AS order_name,
+         CAST(COUNT(*) AS BIGINT) AS n_adjacent,
+         CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+              AS BIGINT) AS same_source_adjacent
+  FROM p a JOIN p b ON b.p_raw = a.p_raw + 1
+  UNION ALL
+  SELECT 'full_shuffle', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM p a JOIN p b ON b.p_full = a.p_full + 1
+  UNION ALL
+  SELECT 'block_shuffle', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM p a JOIN p b ON b.p_block = a.p_block + 1)
+SELECT order_name, n_adjacent, same_source_adjacent,
+       CAST(same_source_adjacent * 1000 // n_adjacent AS BIGINT)
+         AS observed_milli,
+       (SELECT CAST(same_mass * 1000 // (n * (n - 1)) AS BIGINT) FROM e)
+         AS expected_milli
+FROM m ORDER BY order_name
+""",
+    doc="Shuffle-quality audit for training orders: same-source "
+        "adjacency rate of raw / seeded-full-shuffle / 64-block-"
+        "shuffle orders vs the exact independence expectation — dense "
+        "two-pass positions plus successor equi-joins, no global "
+        "window, all-integer metrics.",
+)
