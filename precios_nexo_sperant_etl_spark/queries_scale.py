@@ -8900,3 +8900,86 @@ FROM m ORDER BY order_name
         "two-pass positions plus successor equi-joins, no global "
         "window, all-integer metrics.",
 )
+
+
+# ---------------------------------------------------------------------------
+# FK-consistent pseudonymization audit — the privacy transform that has
+# to hold BEFORE a dataset ships: raw user ids are replaced by salted
+# hash pseudonyms (a pure Column expression, applied independently per
+# table — no lookup table to leak), and the audit proves the two
+# invariants that make pseudonymized data still usable: (1) no
+# collisions (distinct pseudonyms == distinct raw ids), and (2)
+# referential behavior is preserved (the events⋈customers match mass
+# on pseudonyms equals the match mass on raw keys). Both sides compute
+# the same salted md5, so the invariants are value-pinned, not assumed.
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SALT = "release-2024"
+
+
+def _pseudonymize_fk_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import md5_hash
+
+    def pseud(c):
+        return md5_hash(F.concat(F.lit(_PSEUDO_SALT + ":"),
+                                 c.cast("string")))
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("uid"),
+        pseud(F.col("user_id")).alias("puid"))
+    cu = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("cid"),
+        pseud(F.col("c_custkey")).alias("pcid"))
+    raw_matches = ev.join(cu, ev.uid == cu.cid).count()
+    pseudo_matches = ev.join(cu, ev.puid == cu.pcid).count()
+    stats = ev.agg(
+        F.countDistinct("uid").alias("distinct_users"),
+        F.countDistinct("puid").alias("distinct_pseudonyms"),
+        F.count(F.lit(1)).alias("n_events"))
+    return stats.select(
+        "n_events", "distinct_users", "distinct_pseudonyms",
+        (F.col("distinct_users") == F.col("distinct_pseudonyms"))
+         .alias("collision_free"),
+        F.lit(raw_matches).cast("long").alias("raw_join_matches"),
+        F.lit(pseudo_matches).cast("long").alias("pseudo_join_matches"),
+        F.lit(raw_matches == pseudo_matches).alias("fk_preserved"))
+
+
+register(
+    "pseudonymize_fk_audit",
+    _pseudonymize_fk_audit,
+    f"""
+WITH ev AS (
+  SELECT user_id AS uid,
+         ('0x' || substr(md5('{_PSEUDO_SALT}:'
+                             || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           AS puid
+  FROM events),
+cu AS (
+  SELECT c_custkey AS cid,
+         ('0x' || substr(md5('{_PSEUDO_SALT}:'
+                             || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+           AS pcid
+  FROM customer),
+m AS (SELECT
+        (SELECT COUNT(*) FROM ev JOIN cu ON ev.uid = cu.cid)
+          AS raw_join_matches,
+        (SELECT COUNT(*) FROM ev JOIN cu ON ev.puid = cu.pcid)
+          AS pseudo_join_matches)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT uid) AS BIGINT) AS distinct_users,
+       CAST(COUNT(DISTINCT puid) AS BIGINT) AS distinct_pseudonyms,
+       COUNT(DISTINCT uid) = COUNT(DISTINCT puid) AS collision_free,
+       (SELECT CAST(raw_join_matches AS BIGINT) FROM m)
+         AS raw_join_matches,
+       (SELECT CAST(pseudo_join_matches AS BIGINT) FROM m)
+         AS pseudo_join_matches,
+       (SELECT raw_join_matches = pseudo_join_matches FROM m)
+         AS fk_preserved
+FROM ev
+""",
+    doc="FK-consistent pseudonymization audit: salted-hash pseudonyms "
+        "applied independently per table, with collision-freeness and "
+        "preserved events-customers join mass value-pinned — the "
+        "privacy transform proven usable, not assumed.",
+)
