@@ -8983,3 +8983,120 @@ FROM ev
         "preserved events-customers join mass value-pinned — the "
         "privacy transform proven usable, not assumed.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Greedy longest-match (WordPiece-style) tokenization — the
+# inference-side tokenizer family next to BPE's merge-table encode: at
+# each cursor position take the LONGEST vocab entry matching the text
+# prefix, falling back to a single character (the unk path). Vocab is
+# the corpus's top-50 frequent words (vocab-sized collect, the same
+# posture as the BPE symbol table); segmentation runs over each doc's
+# first 64 chars (bounds the oracle's recursion depth). The oracle
+# replays the EXACT greedy walk as a recursive CTE with a correlated
+# longest-match subquery, so token counts, fallback counts and the
+# md5 of the full segmentation are all value-pinned. Only one vocab
+# term of a given length can match a given prefix, so the greedy
+# choice is unambiguous on both engines.
+# ---------------------------------------------------------------------------
+
+_MM_PREFIX = 64
+_MM_VOCAB = 50
+
+
+def _maxmatch_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents")
+    vocab_rows = (d.select(F.explode(tokens(F.col("text"))).alias("t"))
+                   .where(F.length("t") >= 2)
+                   .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+                   .orderBy(F.desc("c"), F.asc("t"))
+                   .limit(_MM_VOCAB).collect())
+    vocab = [r["t"] for r in vocab_rows]
+    by_len: dict[int, set] = {}
+    for t in vocab:
+        by_len.setdefault(len(t), set()).add(t)
+    lengths = sorted(by_len, reverse=True)
+
+    src = (d.select("doc_id",
+                    F.substring("text", 1, _MM_PREFIX).alias("stub"))
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def seg(it):
+        for pdf in it:
+            rows = []
+            for did, s in zip(pdf["doc_id"].astype("int64"),
+                              pdf["stub"]):
+                s = str(s)
+                pos, toks, nf = 0, [], 0
+                while pos < len(s):
+                    for ln in lengths:
+                        cand = s[pos:pos + ln]
+                        if len(cand) == ln and cand in by_len[ln]:
+                            toks.append(cand)
+                            pos += ln
+                            break
+                    else:
+                        toks.append(s[pos])
+                        nf += 1
+                        pos += 1
+                joined = "".join("|" + t for t in toks)
+                rows.append({"doc_id": int(did),
+                             "n_tok": len(toks), "n_fallback": nf,
+                             "toks_md5": hashlib.md5(
+                                 joined.encode("utf-8")).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(seg, "doc_id long, n_tok long,"
+                                 " n_fallback long, toks_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "maxmatch_tokenize",
+    _maxmatch_tokenize,
+    f"""
+WITH RECURSIVE vocab AS (
+  SELECT t AS term FROM (
+    SELECT t, COUNT(*) AS c
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)
+    WHERE length(t) >= 2
+    GROUP BY t ORDER BY c DESC, t LIMIT {_MM_VOCAB})),
+d AS (SELECT doc_id, substr(text, 1, {_MM_PREFIX}) AS stub
+      FROM documents),
+seg AS (
+  SELECT doc_id, stub, 1 AS pos, '' AS toks,
+         0 AS n_tok, 0 AS n_fallback
+  FROM d
+  UNION ALL
+  SELECT doc_id, stub,
+         pos + COALESCE(
+           (SELECT length(v.term) FROM vocab v
+            WHERE substr(stub, pos, length(v.term)) = v.term
+            ORDER BY length(v.term) DESC, v.term LIMIT 1), 1),
+         toks || '|' || COALESCE(
+           (SELECT v.term FROM vocab v
+            WHERE substr(stub, pos, length(v.term)) = v.term
+            ORDER BY length(v.term) DESC, v.term LIMIT 1),
+           substr(stub, pos, 1)),
+         n_tok + 1,
+         n_fallback + CASE WHEN EXISTS
+           (SELECT 1 FROM vocab v
+            WHERE substr(stub, pos, length(v.term)) = v.term)
+           THEN 0 ELSE 1 END
+  FROM seg WHERE pos <= length(stub))
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_fallback AS BIGINT) AS n_fallback,
+       md5(toks) AS toks_md5
+FROM seg WHERE pos > length(stub)
+ORDER BY doc_id
+""",
+    doc="Greedy longest-match (WordPiece-style) tokenization against "
+        "the corpus's top-50 word vocab with single-char fallback, "
+        "over 64-char prefixes — token/fallback counts and the full "
+        "segmentation md5 replayed by a recursive-CTE oracle.",
+)
