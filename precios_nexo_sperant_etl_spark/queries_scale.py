@@ -9068,27 +9068,31 @@ WITH RECURSIVE vocab AS (
     GROUP BY t ORDER BY c DESC, t LIMIT {_MM_VOCAB})),
 d AS (SELECT doc_id, substr(text, 1, {_MM_PREFIX}) AS stub
       FROM documents),
+-- Precompute the longest vocab match at EVERY (doc, pos) once, so the
+-- recursion below is a plain hash join per step instead of three
+-- correlated vocab scans per row per step (the r7 16s outlier).
+best AS (
+  SELECT d.doc_id, p.pos,
+         max_by(v.term, length(v.term)) AS term,
+         CAST(MAX(length(v.term)) AS INTEGER) AS len
+  FROM d
+  CROSS JOIN (SELECT CAST(g AS INTEGER) AS pos
+              FROM generate_series(1, {_MM_PREFIX}) s(g)) p
+  JOIN vocab v ON substr(d.stub, p.pos, length(v.term)) = v.term
+  GROUP BY d.doc_id, p.pos),
 seg AS (
   SELECT doc_id, stub, 1 AS pos, '' AS toks,
          0 AS n_tok, 0 AS n_fallback
   FROM d
   UNION ALL
-  SELECT doc_id, stub,
-         pos + COALESCE(
-           (SELECT length(v.term) FROM vocab v
-            WHERE substr(stub, pos, length(v.term)) = v.term
-            ORDER BY length(v.term) DESC, v.term LIMIT 1), 1),
-         toks || '|' || COALESCE(
-           (SELECT v.term FROM vocab v
-            WHERE substr(stub, pos, length(v.term)) = v.term
-            ORDER BY length(v.term) DESC, v.term LIMIT 1),
-           substr(stub, pos, 1)),
-         n_tok + 1,
-         n_fallback + CASE WHEN EXISTS
-           (SELECT 1 FROM vocab v
-            WHERE substr(stub, pos, length(v.term)) = v.term)
-           THEN 0 ELSE 1 END
-  FROM seg WHERE pos <= length(stub))
+  SELECT s.doc_id, s.stub,
+         s.pos + COALESCE(b.len, 1),
+         s.toks || '|' || COALESCE(b.term, substr(s.stub, s.pos, 1)),
+         s.n_tok + 1,
+         s.n_fallback + CASE WHEN b.term IS NULL THEN 1 ELSE 0 END
+  FROM seg s
+  LEFT JOIN best b ON b.doc_id = s.doc_id AND b.pos = s.pos
+  WHERE s.pos <= length(s.stub))
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(n_fallback AS BIGINT) AS n_fallback,
        md5(toks) AS toks_md5

@@ -42,80 +42,67 @@ _REGISTRY: dict[str, Query] = {}
 #: long-stable green queries rotate to the back (their old stamps stand).
 #: Update this list every round from the latest CORRECTNESS_r*.json.
 _CHECK_FIRST: list[str] = [
-    # ================= ROUND-7 WINDOW =================
-    # The window is exactly full: 15 fixed/new-in-early-r7 + rrf + the
-    # 35-query r02-stamp cohort (VERDICT r6 item 4: after this round no
-    # stamp predates r03). The 11 queries ADDED LATE in r7 (media
-    # probes/decoders, WebDataset, the quality-probe ML family,
-    # streaming Gram) therefore stay outside this window by design —
-    # STAMPS.md flags them loudly — and form the committed head of the
-    # ROUND-8 WINDOW: jpeg_decode_roundtrip, mp4_box_probe,
-    # mp3_frame_probe, exif_orientation_probe, wav_frame_energy,
-    # webdataset_roundtrip, quality_linear_probe, quality_linear_scores,
-    # quality_probe_eval, curriculum_order_manifest,
-    # streaming_gram_moments. All are parity-green locally
-    # (tools/check_parity.py, sf0.01) as of their registration commits.
-    # --- the r06 hash-reds, fixed: DECIMAL publication removed
-    # entirely (both r06 canaries came back red → the driver harness
-    # diverges on decimal output at any width; these now publish
-    # DOUBLE on both engines, accumulation stays exact internally).
-    # discount_band_revenue was green but published DECIMAL(18,4);
-    # converted too so the no-decimal policy is universal. ---
-    "customer_rfm",
-    "incremental_rollup_merge",
-    "winsorized_mean_by_status",
-    "discount_band_revenue",
-    # --- NEW in r7 (never stamped; uncommented as each is registered) ---
-    "png_decode_roundtrip",        # real zlib/Paeth PNG decode oracle
-    "domain_dedup_datasheet",      # URL/domain-keyed dedup + mix stats
-    "streaming_late_drop",         # watermark lateness value oracle
-    "url_host_extract",            # domain parsing primitive
-    "cc_largestar_equivalence",    # large/small-star CC vs hash-min
-    "jpeg_header_probe",           # real JPEG marker/SOF dimension probe
-    "streaming_kmv_minima",        # fifth streaming merge algebra (min)
-    "gzip_text_roundtrip",         # gzip ingestion seam value oracle
-    "training_order_manifest",     # seeded deterministic global shuffle
-    "bmp_resize_features",         # exact integer box-downsample resize
-    # --- changed in r7: plan diet (shared posting-list subtree) ---
-    "rrf_hybrid_retrieval",
-    # --- r02-cohort refresh (the oldest stamps in the ledger;
-    # fingerprints unrecorded in r02 so `changed` is unknowable —
-    # after this round no stamp predates r03) ---
-    "a5_value_counts",
-    "a6_kpi_by_group",
-    "a6_states_by_group",
-    "a8_pivot_counts",
-    "a9_pct_within_group",
-    "a10_distinct_counts",
-    "a11_topk_value_counts",
-    "rollup_status_priority",
-    "p8_p9_filter_search",
-    "p10_scatter_points",
-    "o2_o4_sort_page",
-    "o3_distinct_sorted",
-    "u1_union_by_name",
-    "u3_key_intersect",
-    "sql_text_interface",
-    "monthly_revenue_mom",
-    "price_histogram",
-    "cube_flag_status",
-    "grouping_sets_orders",
-    "approx_agg_bounds",
-    "serving_filtered_chart",
-    "events_props_json",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q22_global_sales_opportunity",
+    # ================= ROUND-8 WINDOW =================
+    # Slots 1-34: every query that has NEVER carried a driver stamp
+    # (the late-r7 additions — media decoders/probes, the quality-probe
+    # ML family, web ingest, stats; STAMPS.md's "never stamped" list).
+    # All 34 were parity-verified locally AND independently by the r7
+    # judge (type-strict, 0 failures); this window converts that local
+    # evidence into driver stamps — VERDICT r7 item 1.
+    "jpeg_decode_roundtrip",       # baseline JPEG Huffman+IDCT decode
+    "mp4_box_probe",               # ISO-BMFF box walker
+    "mp3_frame_probe",             # MPEG audio frame-header walk
+    "exif_orientation_probe",      # TIFF/EXIF IFD walker
+    "wav_frame_energy",            # PCM frame energy windows
+    "webdataset_roundtrip",        # tar-shard write + re-walk
+    "orc_roundtrip",               # ORC source/sink seam
+    "quality_linear_probe",        # exact normal-equation trainer
+    "quality_linear_scores",       # probe scoring pass
+    "quality_probe_eval",          # held-out probe eval
+    "quality_ridge_probe",         # ridge-regularized variant
+    "curriculum_order_manifest",   # probe-score curriculum ordering
+    "streaming_gram_moments",      # 6th streaming merge algebra (SUM)
+    "poisson_bootstrap_means",     # one-pass bootstrap replicates
+    "poisson_bootstrap_ci",        # percentile CI over replicates
+    "poisson_bootstrap_by_source", # per-source bootstrap
+    "welch_t_sources",             # Welch's t across sources
+    "snapshot_diff",               # content-hash snapshot diff
+    "cdc_chunk_dedup",             # Rabin content-defined chunking
+    "unicode_nfc_roundtrip",       # NFC canonicalization audit
+    "charset_sniff",               # byte-level charset detection
+    "html_extract_text",           # tag-strip + entity decode
+    "warc_record_extract",         # WARC record walker
+    "web_curation_pipeline",       # WARC → curated datasheet
+    "chat_template_manifest",      # chat template + loss masks
+    "fim_split_manifest",          # fill-in-middle splits
+    "skipgram_pairs",              # window-bounded skip-grams
+    "negative_sampling_table",     # unigram^0.75 sampling table
+    "pretoken_stats",              # BPE pre-tokenization counts
+    "maxmatch_tokenize",           # WordPiece greedy longest match
+    "matryoshka_topk_agreement",   # truncated-dim ANN agreement
+    "minhash_band_ablation",       # recall-vs-cost band sweep
+    "shuffle_quality_audit",       # seeded-shuffle independence
+    "pseudonymize_fk_audit",       # FK-consistent pseudonymization
+    # --- NEW in r8: names appended HERE as each is registered, so new
+    # queries enter the window ahead of the refresh cohort below ---
+    # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7;
+    # names past slot 50 simply wait for r9 — their stamps stand) ---
+    "core_update_audit",
+    "w4_row_id",
+    "f3_accent_fold",
+    "f8_to_datetime",
+    "null_safe_join",
+    "scd2_merge",
+    "tpch_q9_product_profit",
+    "tpch_q21_sole_late_supplier",
+    "mad_outlier_filter",
+    "skew_salted_join",
+    "table_profile_orders",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_diversity",
+    "tpch_q20_dominant_supplier",
+    "minhash_dedup_pairs_prod",
+    "minhash_dedup_pairs_capped",
 ]
 
 
