@@ -17,15 +17,16 @@ ITU-T T.81 baseline sequential DCT from the public spec:
   level shift and clamp,
 - JFIF YCbCr -> RGB for 3-component scans.
 
-Supported honestly: 8-bit baseline (SOF0), any number of components at
-1x1 sampling (4:4:4 / grayscale), optional restart intervals. NOT
-supported — and raising :class:`UnsupportedJpeg` so callers can fall
-back to the metadata probe rather than mislabel the payload corrupt —
-are progressive scans (SOF2), chroma subsampling, 12-bit precision and
-arithmetic coding. That boundary is deliberate: subsampled MCU
-interleave would roughly double this file for no new algorithmic
-content, and the curation pipeline's dimension/aspect pass never needs
-pixels anyway (``probe_jpeg``).
+Supported honestly: 8-bit baseline (SOF0), grayscale and 3-component
+interleaved scans at ANY integer sampling-factor combination — 4:4:4,
+4:2:2 (2x1), 4:2:0 (2x2), per T.81 A.2.3 MCU interleave with
+per-component block grids and chroma upsampled back by pixel
+replication — plus optional restart intervals. NOT supported — and
+raising :class:`UnsupportedJpeg` so callers can fall back to the
+metadata probe rather than mislabel the payload corrupt — are
+progressive scans (SOF2), 12-bit precision, arithmetic coding, and
+fractional sampling ratios (Hmax not divisible by Hi — pathological
+in practice).
 
 The matching encoder exists so value oracles and property tests can
 construct genuine entropy-coded streams without a codec library: it
@@ -48,6 +49,7 @@ import numpy as np
 __all__ = [
     "UnsupportedJpeg",
     "encode_baseline_gray",
+    "encode_baseline_ycbcr",
     "decode_baseline",
 ]
 
@@ -181,6 +183,121 @@ def _magnitude_bits(v: int) -> tuple[int, int]:
     return ssss, (v if v > 0 else v - 1) & ((1 << ssss) - 1)
 
 
+def _encode_block(wr: _BitWriter, block: np.ndarray, qmat: np.ndarray,
+                  dc_codes: dict, ac_codes: dict, pred: int) -> int:
+    """FDCT + quantize + zigzag + DC-diff/AC-run-length Huffman encode
+    one level-shifted 8x8 block; returns the new DC predictor."""
+    coef = _DCT_M @ block @ _DCT_M.T
+    q = np.round(coef / qmat).astype(np.int64)
+    zz = q.reshape(64)[ZIGZAG]
+    # DC: differential, category + amplitude
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    ssss, amp = _magnitude_bits(diff)
+    code, length = dc_codes[ssss]
+    wr.put(code, length)
+    wr.put(amp, ssss)
+    # AC: run-length of zeros + category, ZRL for 16 zeros, EOB
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]     # ZRL
+            wr.put(zc, zl)
+            run -= 16
+        ssss, amp = _magnitude_bits(v)
+        code, length = ac_codes[(run << 4) | ssss]
+        wr.put(code, length)
+        wr.put(amp, ssss)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]   # EOB
+        wr.put(code, length)
+    return pred
+
+
+def _encode_interleaved(planes: list[np.ndarray],
+                        sampling: list[tuple[int, int]],
+                        quant: np.ndarray,
+                        restart_interval: int) -> bytes:
+    """Shared entropy-coding core: interleave the (level-shiftable)
+    component planes MCU by MCU (T.81 A.2.3 block order), one DC
+    predictor per component, Annex-K luminance tables for everything,
+    genuine byte stuffing and restart markers; then wrap in the marker
+    segments. Plane ``i`` must already be at its natural (subsampled)
+    resolution, dims multiples of 8*sampling[i]."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    for p, (hi, vi) in zip(planes, sampling):
+        eh, ew = planes[0].shape[0] * vi // vmax, \
+            planes[0].shape[1] * hi // hmax
+        if p.shape != (eh, ew) or eh % 8 or ew % 8 or eh == 0:
+            raise ValueError("plane shape inconsistent with sampling")
+    h, w = int(planes[0].shape[0]), int(planes[0].shape[1])
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+
+    dc_codes = _encode_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _encode_codes(AC_LUM_BITS, AC_LUM_VALS)
+    qmat = quant[np.argsort(ZIGZAG)].reshape(8, 8)  # natural order
+
+    shifted = [p.astype(np.float64) - 128.0 for p in planes]
+    wr = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    entropy_chunks: list[bytes] = []
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wr.flush()
+            entropy_chunks.append(bytes(wr.out))
+            entropy_chunks.append(bytes((0xFF, 0xD0 + rst)))
+            rst = (rst + 1) % 8
+            wr = _BitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (hi, vi) in enumerate(sampling):
+            for byi in range(vi):
+                for bxi in range(hi):
+                    by = (my * vi + byi) * 8
+                    bx = (mx * hi + bxi) * 8
+                    block = shifted[ci][by:by + 8, bx:bx + 8]
+                    preds[ci] = _encode_block(wr, block, qmat,
+                                              dc_codes, ac_codes,
+                                              preds[ci])
+    wr.flush()
+    entropy_chunks.append(bytes(wr.out))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    ncomp = len(planes)
+    dqt = seg(0xDB, b"\x00" + bytes(int(q) for q in quant))
+    dht = (seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+           + seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)))
+    sof_comps = b"".join(
+        bytes((cid + 1, (hi << 4) | vi, 0))
+        for cid, (hi, vi) in enumerate(sampling))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sos_comps = b"".join(bytes((cid + 1, 0x00)) for cid in range(ncomp))
+    sos = seg(0xDA, bytes((ncomp,)) + sos_comps + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + dht + sof + dri + sos
+            + b"".join(entropy_chunks) + b"\xff\xd9")
+
+
+def _check_quant(quant: np.ndarray | None) -> np.ndarray:
+    if quant is None:
+        quant = np.ones(64, dtype=np.int64)
+    quant = np.asarray(quant, dtype=np.int64).reshape(64)
+    if np.any(quant < 1) or np.any(quant > 255):
+        raise ValueError("8-bit quant table entries must be in [1, 255]")
+    return quant
+
+
 def encode_baseline_gray(px: np.ndarray, quant: np.ndarray | None = None,
                          restart_interval: int = 0) -> bytes:
     """Encode an (h, w) uint8 grayscale image, h and w multiples of 8,
@@ -193,78 +310,27 @@ def encode_baseline_gray(px: np.ndarray, quant: np.ndarray | None = None,
     h, w = int(px.shape[0]), int(px.shape[1])
     if h % 8 or w % 8 or h == 0 or w == 0:
         raise ValueError("encode_baseline_gray needs multiple-of-8 dims")
-    if quant is None:
-        quant = np.ones(64, dtype=np.int64)
-    quant = np.asarray(quant, dtype=np.int64).reshape(64)
-    if np.any(quant < 1) or np.any(quant > 255):
-        raise ValueError("8-bit quant table entries must be in [1, 255]")
+    return _encode_interleaved([px], [(1, 1)], _check_quant(quant),
+                               restart_interval)
 
-    dc_codes = _encode_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_codes = _encode_codes(AC_LUM_BITS, AC_LUM_VALS)
-    qmat = quant[np.argsort(ZIGZAG)].reshape(8, 8)  # natural order
 
-    wr = _BitWriter()
-    pred = 0
-    mcu = 0
-    rst = 0
-    entropy_chunks: list[bytes] = []
-    shifted = px.astype(np.float64) - 128.0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                wr.flush()
-                entropy_chunks.append(bytes(wr.out))
-                entropy_chunks.append(bytes((0xFF, 0xD0 + rst)))
-                rst = (rst + 1) % 8
-                wr = _BitWriter()
-                pred = 0
-            block = shifted[by:by + 8, bx:bx + 8]
-            coef = _DCT_M @ block @ _DCT_M.T
-            q = np.round(coef / qmat).astype(np.int64)
-            zz = q.reshape(64)[ZIGZAG]
-            # DC: differential, category + amplitude
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            ssss, amp = _magnitude_bits(diff)
-            code, length = dc_codes[ssss]
-            wr.put(code, length)
-            wr.put(amp, ssss)
-            # AC: run-length of zeros + category, ZRL for 16 zeros, EOB
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]     # ZRL
-                    wr.put(zc, zl)
-                    run -= 16
-                ssss, amp = _magnitude_bits(v)
-                code, length = ac_codes[(run << 4) | ssss]
-                wr.put(code, length)
-                wr.put(amp, ssss)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]   # EOB
-                wr.put(code, length)
-            mcu += 1
-    wr.flush()
-    entropy_chunks.append(bytes(wr.out))
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    dqt = seg(0xDB, b"\x00" + bytes(int(q) for q in quant))
-    dht = (seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
-           + seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    dri = (seg(0xDD, struct.pack(">H", restart_interval))
-           if restart_interval else b"")
-    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
-    return (b"\xff\xd8" + dqt + dht + sof + dri + sos
-            + b"".join(entropy_chunks) + b"\xff\xd9")
+def encode_baseline_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                          sampling: tuple = ((2, 2), (1, 1), (1, 1)),
+                          quant: np.ndarray | None = None,
+                          restart_interval: int = 0) -> bytes:
+    """Encode a 3-component YCbCr image as genuine baseline JPEG with
+    chroma subsampling — ``sampling`` gives (Hi, Vi) per component in
+    SOF order, default 4:2:0. ``cb``/``cr`` are provided at their
+    SUBSAMPLED resolution (the caller owns the downsample filter); the
+    luma dims must be multiples of the MCU size (8*Hmax x 8*Vmax)."""
+    samp = [tuple(map(int, s)) for s in sampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    h, w = int(y.shape[0]), int(y.shape[1])
+    if h % (8 * vmax) or w % (8 * hmax) or h == 0 or w == 0:
+        raise ValueError("luma dims must be multiples of the MCU size")
+    return _encode_interleaved([y, cb, cr], samp, _check_quant(quant),
+                               restart_interval)
 
 
 # --- decoder -----------------------------------------------------------------
@@ -426,9 +492,10 @@ def decode_baseline(payload: bytes) -> dict:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if hv != 0x11:
-                    raise UnsupportedJpeg("chroma subsampling")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("sampling factor out of range")
+                comps.append((cid, hi, vi, tq))
             if h == 0 or w == 0:
                 raise ValueError("zero-dimension frame")
             frame = (h, w, comps)
@@ -448,13 +515,25 @@ def decode_baseline(payload: bytes) -> dict:
         cs, tdta = sos_body[1 + 2 * i], sos_body[2 + 2 * i]
         scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
-              for _ in comps]
+    if len(comps) == 1:
+        # Single-component scan: non-interleaved per T.81 A.2 — the
+        # data units raster over the component's own full-resolution
+        # block grid and the declared sampling factors are moot (they
+        # only matter relative to Hmax/Vmax, which the sole component
+        # defines). Normalizing to 1x1 reproduces that layout exactly.
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise UnsupportedJpeg("fractional subsampling ratio")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+              for (_, hi, vi, _) in comps]
     rd = _BitReader(payload, pos)
     preds = [0] * len(comps)
     mcu = 0
-    total_mcus = bh * bw
+    total_mcus = mcux * mcuy
     while mcu < total_mcus:
         if restart_interval and mcu and mcu % restart_interval == 0:
             rd.align()
@@ -464,42 +543,59 @@ def decode_baseline(payload: bytes) -> dict:
                 raise ValueError("missing restart marker")
             rd = _BitReader(payload, rd.pos + 2)
             preds = [0] * len(comps)
-        by, bx = divmod(mcu, bw)
+        my, mx = divmod(mcu, mcux)
         try:
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
                 dc_id, ac_id = scan_tables[cid]
                 dc_tab = htables.get((0, dc_id))
                 ac_tab = htables.get((1, ac_id))
                 qt = qtables.get(tq)
                 if dc_tab is None or ac_tab is None or qt is None:
                     raise ValueError("scan references undefined table")
-                zz = np.zeros(64, dtype=np.int64)
-                ssss = _huff_decode(rd, dc_tab)
-                preds[ci] += _extend(rd.bits(ssss), ssss)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(rd, ac_tab)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:             # ZRL
-                            k += 16
-                            continue
-                        break                   # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[k] = _extend(rd.bits(s), s)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = zz * qt
-                block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        ssss = _huff_decode(rd, dc_tab)
+                        preds[ci] += _extend(rd.bits(ssss), ssss)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(rd, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:             # ZRL
+                                    k += 16
+                                    continue
+                                break                   # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[k] = _extend(rd.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * qt
+                        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+                        by = (my * vi + byi) * 8
+                        bx = (mx * hi + bxi) * 8
+                        planes[ci][by:by + 8, bx:bx + 8] = block
         except _MarkerReached:
             raise ValueError("entropy segment ended mid-MCU") from None
         mcu += 1
 
-    out = [np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes]
+    # Crop each plane to its natural subsampled dims (A.1.1: ceil of the
+    # frame dims scaled by Hi/Hmax), then upsample back to frame size by
+    # pixel replication — exact for the flat-chroma streams the value
+    # oracles construct, and the standard nearest-neighbor choice
+    # otherwise (JFIF leaves the upsampling filter to the decoder).
+    out = []
+    for p, (_, hi, vi, _) in zip(planes, comps):
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        plane = np.clip(np.round(p[:ch, :cw] + 128.0), 0, 255)
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                              hmax // hi, axis=1)[:h, :w]
+        out.append(plane)
     if len(out) == 1:
         pixels = out[0].astype(np.uint8)
     else:
@@ -510,4 +606,7 @@ def decode_baseline(payload: bytes) -> dict:
         pixels = np.clip(np.round(np.stack([r, g, b], axis=-1)),
                          0, 255).astype(np.uint8)
     return {"width": int(w), "height": int(h),
-            "n_components": len(comps), "pixels": pixels}
+            "n_components": len(comps),
+            "sampling": [(hi, vi) for (_, hi, vi, _) in comps],
+            "planes": [o.astype(np.uint8) for o in out],
+            "pixels": pixels}

@@ -9104,3 +9104,120 @@ ORDER BY doc_id
         "over 64-char prefixes — token/fallback counts and the full "
         "segmentation md5 replayed by a recursive-CTE oracle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Chroma-subsampled baseline JPEG decode roundtrip — closes the
+# dominant real-world JPEG shape (4:2:0) left out of subset in r7
+# (VERDICT r7 item 3). Each document becomes a genuine 32x32
+# interleaved-MCU stream: even doc_ids 4:2:0 (Y 2x2 + restart markers,
+# so RSTn + all-three-DC-predictor resets run inside the hashed data),
+# odd doc_ids 4:2:2 (Y 2x1). Luma is 16 flat 8x8 blocks derived from
+# doc_id; chroma planes are flat at doc_id-derived values, so the box
+# subsample (flat -> flat), the FDCT/IDCT pair (DC basis constant), and
+# the replication upsample are all bit-exact and DuckDB recomputes
+# every published stat arithmetically. The decoded SOF sampling factors
+# are published too, pinning the A.2.3 MCU-interleave parse itself.
+#
+# Scale shape: identical to jpeg_decode_roundtrip — two Arrow
+# crossings, zero shuffles before the final sort, per-row work only.
+# ---------------------------------------------------------------------------
+
+def _jpeg420_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.jpegcodec import decode_baseline, encode_baseline_ycbcr
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                y = np.zeros((32, 32), dtype=np.uint8)
+                for k in range(16):
+                    by, bx = divmod(k, 4)
+                    y[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                        (did * 31 + 97 * k) % 256
+                cbv = (did * 53 + 11) % 256
+                crv = (did * 71 + 29) % 256
+                if did % 2 == 0:
+                    cb = np.full((16, 16), cbv, dtype=np.uint8)
+                    cr = np.full((16, 16), crv, dtype=np.uint8)
+                    p = encode_baseline_ycbcr(
+                        y, cb, cr, sampling=((2, 2), (1, 1), (1, 1)),
+                        restart_interval=2)
+                else:
+                    cb = np.full((32, 16), cbv, dtype=np.uint8)
+                    cr = np.full((32, 16), crv, dtype=np.uint8)
+                    p = encode_baseline_ycbcr(
+                        y, cb, cr, sampling=((2, 1), (1, 1), (1, 1)))
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_baseline(bytes(p))
+                sam = r["sampling"]
+                samp = ("420" if sam == [(2, 2), (1, 1), (1, 1)] else
+                        "422" if sam == [(2, 1), (1, 1), (1, 1)] else
+                        "other")
+                yp = r["planes"][0].astype("int64")
+                cbp = r["planes"][1].astype("int64")
+                crp = r["planes"][2].astype("int64")
+                rows.append({
+                    "doc_id": int(did), "samp": samp,
+                    "out_w": r["width"], "out_h": r["height"],
+                    "y_sum": int(yp.sum()),
+                    "y_min": int(yp.min()), "y_max": int(yp.max()),
+                    "cb_const": int(cbp.min()),
+                    "cr_const": int(crp.min()),
+                    "chroma_flat": bool(cbp.min() == cbp.max()
+                                        and crp.min() == crp.max()
+                                        and cbp.shape == (32, 32)),
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, samp string, out_w long,"
+                                 " out_h long, y_sum long, y_min long,"
+                                 " y_max long, cb_const long,"
+                                 " cr_const long, chroma_flat boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "jpeg420_decode_roundtrip",
+    _jpeg420_decode_roundtrip,
+    """
+WITH ks AS (SELECT CAST(g AS BIGINT) AS k FROM generate_series(0, 15) s(g)),
+v AS (SELECT d.doc_id,
+             SUM((d.doc_id * 31 + 97 * ks.k) % 256) AS sv,
+             MIN((d.doc_id * 31 + 97 * ks.k) % 256) AS mn,
+             MAX((d.doc_id * 31 + 97 * ks.k) % 256) AS mx
+      FROM documents d CROSS JOIN ks GROUP BY d.doc_id)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '422' END AS samp,
+       CAST(32 AS BIGINT) AS out_w,
+       CAST(32 AS BIGINT) AS out_h,
+       CAST(64 * sv AS BIGINT) AS y_sum,
+       CAST(mn AS BIGINT) AS y_min,
+       CAST(mx AS BIGINT) AS y_max,
+       CAST((doc_id * 53 + 11) % 256 AS BIGINT) AS cb_const,
+       CAST((doc_id * 71 + 29) % 256 AS BIGINT) AS cr_const,
+       TRUE AS chroma_flat
+FROM v ORDER BY doc_id
+""",
+    doc="4:2:0 / 4:2:2 chroma-subsampled baseline JPEG roundtrip: "
+        "genuine interleaved-MCU streams (restart markers on the 4:2:0 "
+        "half) encoded and entropy-decoded by the real T.81 codec, "
+        "with per-plane stats and the parsed SOF sampling factors "
+        "hash-verified against doc_id arithmetic.",
+)

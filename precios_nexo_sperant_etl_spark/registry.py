@@ -85,6 +85,7 @@ _CHECK_FIRST: list[str] = [
     "pseudonymize_fk_audit",       # FK-consistent pseudonymization
     # --- NEW in r8: names appended HERE as each is registered, so new
     # queries enter the window ahead of the refresh cohort below ---
+    "jpeg420_decode_roundtrip",    # 4:2:0/4:2:2 subsampled baseline
     # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7;
     # names past slot 50 simply wait for r9 — their stamps stand) ---
     "core_update_audit",

@@ -80,14 +80,74 @@ def test_nontrivial_quant_table_is_lossy_but_bounded():
     assert 0 < err <= 8 * 16  # quantization loss, bounded by table scale
 
 
-def test_progressive_and_subsampled_raise_unsupported():
+def test_progressive_raises_unsupported():
     px = _flat_image([50, 60, 70, 80])
     j = encode_baseline_gray(px)
     with pytest.raises(UnsupportedJpeg):
         decode_baseline(j.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_single_component_sampling_factors_are_moot():
+    # T.81 A.2: a single-component scan is non-interleaved and its
+    # sampling factors only matter relative to Hmax/Vmax — which the
+    # sole component defines. Declaring 2x2 must decode identically.
+    px = _flat_image([50, 60, 70, 80])
+    j = encode_baseline_gray(px)
     i = j.find(b"\xff\xc0")
+    d = decode_baseline(j[:i + 11] + b"\x22" + j[i + 12:])
+    assert np.array_equal(d["pixels"], px)
+
+
+def test_fractional_subsampling_ratio_raises_unsupported():
+    # 3-component frame where Hmax=3 is not divisible by H2=2: valid
+    # per spec but pathological; falls back to the probe, not corrupt.
+    from precios_nexo_sperant_etl_spark.operators.jpegcodec import (
+        encode_baseline_ycbcr)
+    y = np.full((24, 24), 100, dtype=np.uint8)
+    cb = np.full((24, 16), 90, dtype=np.uint8)
+    cr = np.full((24, 8), 110, dtype=np.uint8)
+    j = encode_baseline_ycbcr(y, cb, cr,
+                              sampling=((3, 1), (2, 1), (1, 1)))
     with pytest.raises(UnsupportedJpeg):
-        decode_baseline(j[:i + 11] + b"\x22" + j[i + 12:])  # 2x2 sampling
+        decode_baseline(j)
+
+
+def test_ycbcr_420_and_422_flat_roundtrip_bit_exact():
+    from precios_nexo_sperant_etl_spark.operators.jpegcodec import (
+        encode_baseline_ycbcr)
+    y = _flat_image([10, 60, 110, 160, 210, 250, 30, 80], bw=4)  # 16x32
+    cb = np.full((8, 16), 77, dtype=np.uint8)
+    cr = np.full((8, 16), 140, dtype=np.uint8)
+    d = decode_baseline(encode_baseline_ycbcr(y, cb, cr))
+    assert d["sampling"] == [(2, 2), (1, 1), (1, 1)]
+    assert np.array_equal(d["planes"][0], y)
+    assert np.all(d["planes"][1] == 77) and np.all(d["planes"][2] == 140)
+    assert d["planes"][1].shape == y.shape
+    # 4:2:2 with restart markers: chroma half-width, full height
+    cb2 = np.full((16, 16), 33, dtype=np.uint8)
+    cr2 = np.full((16, 16), 201, dtype=np.uint8)
+    d2 = decode_baseline(encode_baseline_ycbcr(
+        y, cb2, cr2, sampling=((2, 1), (1, 1), (1, 1)),
+        restart_interval=2))
+    assert d2["sampling"] == [(2, 1), (1, 1), (1, 1)]
+    assert np.array_equal(d2["planes"][0], y)
+    assert np.all(d2["planes"][1] == 33) and np.all(d2["planes"][2] == 201)
+
+
+def test_ycbcr_420_random_content_bounded_error():
+    # Non-flat content through the subsampled path: luma within ±1
+    # (quant=1); chroma flat per 2x2 so the box subsample is exact.
+    from precios_nexo_sperant_etl_spark.operators.jpegcodec import (
+        encode_baseline_ycbcr)
+    rng = np.random.RandomState(11)
+    y = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
+    cb = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    cr = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    d = decode_baseline(encode_baseline_ycbcr(y, cb, cr,
+                                              restart_interval=3))
+    assert np.abs(d["planes"][0].astype(int) - y.astype(int)).max() <= 1
+    up = np.repeat(np.repeat(cb, 2, 0), 2, 1)
+    assert np.abs(d["planes"][1].astype(int) - up.astype(int)).max() <= 1
 
 
 def test_metadata_only_stream_is_unsupported_not_corrupt():
