@@ -86,6 +86,12 @@ _CHECK_FIRST: list[str] = [
     # --- NEW in r8: names appended HERE as each is registered, so new
     # queries enter the window ahead of the refresh cohort below ---
     "jpeg420_decode_roundtrip",    # 4:2:0/4:2:2 subsampled baseline
+    "psl_registrable_domain",      # full-PSL edge cases (wildcards,
+                                   # exceptions) vs hand-derived truth
+    # changed since their r07 stamps (registrable_domain now runs the
+    # real PSL snapshot; oracle regenerated from the same rule tables)
+    "url_host_extract",
+    "domain_dedup_datasheet",
     # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7;
     # names past slot 50 simply wait for r9 — their stamps stand) ---
     "core_update_audit",
