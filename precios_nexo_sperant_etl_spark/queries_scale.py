@@ -4739,16 +4739,16 @@ FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
 # Skyline / Pareto frontier: the documents no other document dominates
 # (strictly better on one of {quality ↑, token cost ↓}, at least as
 # good on the other) — the multi-objective selection primitive behind
-# "best docs per budget" curation. Native-window formulation over the
-# INTEGER axis: sort by n_tokens, then a document is dominated iff the
-# running max quality over strictly-cheaper docs already reaches its
-# quality, or a same-cost doc strictly beats it. The oracle states
-# dominance directly (NOT EXISTS) — O(n²) is fine for DuckDB at sf0.01,
-# while the Spark side is O(n log n). Scale note: the frontier is
-# merge-closed (global frontier ⊆ union of partition-local frontiers),
-# so at 100 TB this runs as local-frontier → tiny global pass; the
-# registered query keeps the single-window form the oracle can mirror
-# and documents the two-pass gear here.
+# "best docs per budget" curation. A document is dominated iff the max
+# quality over strictly-cheaper docs already reaches its quality, or a
+# same-cost doc strictly beats it — and both tests only need the
+# PER-n_tokens max quality, so the global window runs over the
+# distinct-lengths aggregate (frame ≤ max tokens per document — a
+# document-shape constant, corpus-independent), never over doc rows;
+# the per-length bests then broadcast back onto the corpus. The oracle
+# states dominance directly (NOT EXISTS) — O(n²) is fine for DuckDB at
+# sf0.01. pareto_frontier_two_pass below is the alternative
+# merge-closure gear (pytest-pinned equivalent).
 # ---------------------------------------------------------------------------
 
 def _pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
@@ -4759,17 +4759,17 @@ def _pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
         quality_expr(F.col("text")).alias("quality"),
         F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
          .cast("long").alias("n_tokens"))
+    per_len = d.groupBy("n_tokens").agg(
+        F.max("quality").alias("_best_same"))
+    # one row per distinct length → rows-frame ≡ range-frame here
     w_lt = (Window.orderBy("n_tokens")
-            .rangeBetween(Window.unboundedPreceding, -1))
-    w_eq = Window.partitionBy("n_tokens")
-    scored = d.select(
-        "doc_id", "quality", "n_tokens",
-        F.max("quality").over(w_lt).alias("_best_cheaper"),
-        F.max("quality").over(w_eq).alias("_best_same"))
-    frontier = scored.where(
-        (F.col("_best_cheaper").isNull()
-         | (F.col("_best_cheaper") < F.col("quality")))
-        & (F.col("quality") == F.col("_best_same")))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    bests = per_len.withColumn("_best_cheaper",
+                               F.max("_best_same").over(w_lt))
+    frontier = (d.join(F.broadcast(bests), "n_tokens")
+                 .where((F.col("_best_cheaper").isNull()
+                         | (F.col("_best_cheaper") < F.col("quality")))
+                        & (F.col("quality") == F.col("_best_same"))))
     return (frontier.select("doc_id", "quality", "n_tokens")
                     .orderBy("doc_id"))
 

@@ -92,6 +92,7 @@ _CHECK_FIRST: list[str] = [
     # real PSL snapshot; oracle regenerated from the same rule tables)
     "url_host_extract",
     "domain_dedup_datasheet",
+    "pareto_frontier_docs",        # window now over distinct-lengths agg
     # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7;
     # names past slot 50 simply wait for r9 — their stamps stand) ---
     "core_update_audit",
