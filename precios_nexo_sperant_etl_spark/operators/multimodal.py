@@ -618,6 +618,100 @@ def parse_mp3_frames(payload: bytes) -> dict:
             "byte_len": n}
 
 
+class _SideBits:
+    """MSB-first bit reader over a side-info byte slice (bounded: at
+    most 32 bytes per frame, so no accumulator-growth hazard)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.bitpos = 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+
+def parse_mp3_sideinfo(payload: bytes) -> dict:
+    """Layer-III side-info walk + bit-reservoir consistency audit — the
+    corrupt-stream taxonomy layer between the header walk
+    (:func:`parse_mp3_frames`) and a real synthesis-filter decode
+    (honestly stubbed; needs a codec library). Per ISO/IEC 11172-3
+    §2.4.1.7, every MPEG-1 Layer III frame carries 17 (mono) / 32
+    (stereo) bytes of side info right after the header (+2 CRC bytes
+    when protection_bit is 0):
+
+    - ``main_data_begin`` (9 bits): how far back into the bit
+      reservoir this frame's main data starts. INVARIANT: it can never
+      exceed the bytes actually accumulated by previous frames, nor
+      the 511-byte reservoir cap the 9-bit field implies.
+    - per granule (2) per channel: ``part2_3_length`` (12 bits, the
+      scalefactor+Huffman bit count) and ``big_values`` (9 bits).
+      INVARIANTS: big_values ≤ 288 (2·big_values ≤ 576 spectral
+      lines); the frame's total part2_3 bits must fit in the main
+      data it can address (8·(main_data_begin + own main-data size)).
+
+    Violations raise ``ValueError`` (corrupt), mirroring the other
+    codecs' taxonomy; valid streams return exact-integer aggregates
+    (max main_data_begin, total part2_3 bits, max big_values) that an
+    arithmetic oracle can pin.
+    """
+    meta = parse_mp3_frames(payload)     # header walk + framing checks
+    pos = 0
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        size = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        pos = 10 + size
+    reservoir = 0                        # bytes accumulated, capped 511
+    max_mdb = 0
+    sum_part23 = 0
+    max_bigv = 0
+    while pos < n:
+        b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+        bitrate = _MP3_BITRATES[(b2 >> 4) & 0x0F]
+        srate = _MP3_RATES[(b2 >> 2) & 0x03]
+        padding = (b2 >> 1) & 0x01
+        frame_len = 144 * bitrate * 1000 // srate + padding
+        mono = (b3 >> 6) & 0x03 == 3
+        crc = 0 if (b1 & 0x01) else 2
+        side_len = 17 if mono else 32
+        side_off = pos + 4 + crc
+        if side_off + side_len > n:
+            raise ValueError("side info overruns the frame")
+        rd = _SideBits(payload[side_off:side_off + side_len])
+        mdb = rd.take(9)
+        if mdb > reservoir:
+            raise ValueError(
+                f"main_data_begin {mdb} exceeds reservoir {reservoir}")
+        rd.take(5 if mono else 3)        # private bits
+        nch = 1 if mono else 2
+        rd.take(4 * nch)                 # scfsi
+        frame_part23 = 0
+        for _gr in range(2):
+            for _ch in range(nch):
+                p23 = rd.take(12)
+                bigv = rd.take(9)
+                if bigv > 288:
+                    raise ValueError(f"big_values {bigv} > 288")
+                rd.take(38)              # rest of the 59-bit gr/ch block
+                frame_part23 += p23
+                max_bigv = max(max_bigv, bigv)
+        main_len = frame_len - 4 - crc - side_len
+        if frame_part23 > 8 * (mdb + main_len):
+            raise ValueError("part2_3_length overruns addressable "
+                             "main data (reservoir underflow)")
+        max_mdb = max(max_mdb, mdb)
+        sum_part23 += frame_part23
+        reservoir = min(511, reservoir + main_len)
+        pos += frame_len
+    return {**meta, "max_main_data_begin": max_mdb,
+            "sum_part23_bits": sum_part23, "max_big_values": max_bigv}
+
+
 #: TIFF/EXIF field types → byte widths (public TIFF 6.0 spec, table in
 #: section 2). Only the widths matter for offset-vs-inline decisions.
 _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,

@@ -9290,3 +9290,128 @@ FROM documents ORDER BY doc_id
         "suffix-only hosts, IP literals — generic expression chain vs "
         "hand-derived expected answers (not the generated mirror).",
 )
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer-III side-info / bit-reservoir audit (VERDICT r7 item 8):
+# the corruption-taxonomy layer between the frame walk and a real
+# synthesis-filter decode. Each document synthesizes a mono CBR stream
+# whose 17-byte side-info blocks carry REAL packed bits — a
+# main_data_begin that grows with the modeled reservoir (LEAST of the
+# 511-byte cap, the accumulated main-data bytes, and a doc-derived
+# ramp), plus per-granule part2_3_length / big_values within their
+# spec bounds — and the parser re-walks the bitstream, enforcing the
+# reservoir invariants (main_data_begin ≤ accumulated ∧ ≤ 511,
+# big_values ≤ 288, part2_3 bits addressable) and returning exact
+# integer aggregates DuckDB recomputes arithmetically. Because
+# main_data_begin's three LEAST terms are all increasing in the frame
+# index, the max is the last frame's value — the oracle needs no
+# per-frame scan for it.
+# ---------------------------------------------------------------------------
+
+def _mp3_sideinfo_audit(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import (_MP3_BITRATES, _MP3_RATES,
+                                       parse_mp3_sideinfo)
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                bidx = 2 + did % 12
+                ridx = did % 3
+                nf = 2 + did % 3
+                br, sr = _MP3_BITRATES[bidx], _MP3_RATES[ridx]
+                flen = 144 * br * 1000 // sr
+                main_len = flen - 21
+                chunks = [b"ID3\x04\x00\x00" + bytes([0, 0, 0, 11])
+                          + b"tag-payload"]
+                for k in range(nf):
+                    hdr = bytes([0xFF, 0xFB,
+                                 (bidx << 4) | (ridx << 2), 0xC0])
+                    bits: list[tuple[int, int]] = []  # (value, width)
+                    mdb = min(511, k * main_len, 37 * k + did % 101)
+                    bits.append((mdb, 9))
+                    bits.append((0, 5))          # private
+                    bits.append((0, 4))          # scfsi (mono)
+                    for g in range(2):
+                        bits.append(((did * 7 + k * 13 + g * 5) % 396,
+                                     12))        # part2_3_length
+                        bits.append(((did * 3 + k + g) % 289, 9))
+                        bits.append((0, 38))     # rest of gr block
+                    acc, nb = 0, 0
+                    for v, w in bits:
+                        acc = (acc << w) | v
+                        nb += w
+                    side = acc.to_bytes(nb // 8, "big")
+                    chunks.append(hdr + side
+                                  + b"\x00" * (flen - 4 - len(side)))
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def probe(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = parse_mp3_sideinfo(bytes(p))
+                rows.append({"doc_id": int(did),
+                             "n_frames": r["n_frames"],
+                             "max_mdb": r["max_main_data_begin"],
+                             "sum_part23": r["sum_part23_bits"],
+                             "max_bigv": r["max_big_values"]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(synth, "doc_id long, payload binary")
+               .mapInPandas(probe, "doc_id long, n_frames long,"
+                                   " max_mdb long, sum_part23 long,"
+                                   " max_bigv long")
+               .orderBy("doc_id"))
+
+
+_MP3_BR2_SQL = ("CASE 2 + doc_id % 12 "
+                + " ".join(f"WHEN {i} THEN {b}" for i, b in
+                           [(2, 40), (3, 48), (4, 56), (5, 64), (6, 80),
+                            (7, 96), (8, 112), (9, 128), (10, 160),
+                            (11, 192), (12, 224), (13, 256)])
+                + " END")
+
+register(
+    "mp3_sideinfo_audit",
+    _mp3_sideinfo_audit,
+    f"""
+WITH b AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS nf,
+         144 * ({_MP3_BR2_SQL}) * 1000 // ({_MP3_SR_SQL}) - 21
+           AS main_len
+  FROM documents),
+kg AS (SELECT CAST(g AS BIGINT) // 2 AS k, CAST(g AS BIGINT) % 2 AS gr
+       FROM generate_series(0, 7) s(g)),
+agg AS (
+  SELECT b.doc_id,
+         SUM((b.doc_id * 7 + kg.k * 13 + kg.gr * 5) % 396)
+           AS sum_part23,
+         MAX((b.doc_id * 3 + kg.k + kg.gr) % 289) AS max_bigv
+  FROM b JOIN kg ON kg.k < b.nf GROUP BY b.doc_id)
+SELECT b.doc_id,
+       CAST(b.nf AS BIGINT) AS n_frames,
+       CAST(LEAST(511, (b.nf - 1) * b.main_len,
+                  37 * (b.nf - 1) + b.doc_id % 101) AS BIGINT)
+         AS max_mdb,
+       CAST(agg.sum_part23 AS BIGINT) AS sum_part23,
+       CAST(agg.max_bigv AS BIGINT) AS max_bigv
+FROM b JOIN agg USING (doc_id) ORDER BY doc_id
+""",
+    doc="MP3 Layer-III side-info audit: genuine packed side-info bits "
+        "(reservoir-consistent main_data_begin ramp, in-bound "
+        "part2_3_length/big_values) re-walked by the real parser with "
+        "reservoir-invariant enforcement; integer aggregates pinned "
+        "by arithmetic SQL.",
+)

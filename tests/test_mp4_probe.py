@@ -270,3 +270,50 @@ def test_media_batch_dispatches_mp3():
     assert out.iloc[1]["channels"] == 2
     assert out.iloc[1]["sample_rate"] == 48000
     assert out.iloc[2]["mime_detected"] == "corrupt/mpeg"
+
+
+def _mp3_frame_with_side(bidx=2, ridx=1, mdb=0, p23=(100, 200),
+                         bigv=(50, 60)):
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        _MP3_BITRATES, _MP3_RATES)
+    br, sr = _MP3_BITRATES[bidx], _MP3_RATES[ridx]
+    flen = 144 * br * 1000 // sr
+    hdr = bytes([0xFF, 0xFB, (bidx << 4) | (ridx << 2), 0xC0])
+    bits = [(mdb, 9), (0, 5), (0, 4)]
+    for g in range(2):
+        bits += [(p23[g], 12), (bigv[g], 9), (0, 38)]
+    acc, nb = 0, 0
+    for v, w in bits:
+        acc = (acc << w) | v
+        nb += w
+    side = acc.to_bytes(nb // 8, "big")
+    return hdr + side + b"\x00" * (flen - 4 - len(side)), flen - 21
+
+
+def test_mp3_sideinfo_reservoir_invariants():
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        parse_mp3_sideinfo)
+    f0, main_len = _mp3_frame_with_side(mdb=0)
+    f1, _ = _mp3_frame_with_side(mdb=min(511, main_len))
+    d = parse_mp3_sideinfo(f0 + f1)
+    assert d["n_frames"] == 2
+    assert d["max_main_data_begin"] == min(511, main_len)
+    assert d["sum_part23_bits"] == 2 * (100 + 200)
+    assert d["max_big_values"] == 60
+
+    # frame 0 claiming reservoir bytes that don't exist yet: corrupt
+    bad0, _ = _mp3_frame_with_side(mdb=1)
+    with pytest.raises(ValueError, match="exceeds reservoir"):
+        parse_mp3_sideinfo(bad0)
+
+    # big_values over the 288 spectral-pair cap: corrupt
+    badbv, _ = _mp3_frame_with_side(bigv=(289, 0))
+    with pytest.raises(ValueError, match="big_values"):
+        parse_mp3_sideinfo(badbv)
+
+    # part2_3_length addressing more main data than reachable: corrupt
+    badp, ml = _mp3_frame_with_side(p23=(4095, 4095))
+    if 2 * 4095 > 8 * ml:
+        with pytest.raises(ValueError, match="reservoir underflow"):
+            parse_mp3_sideinfo(badp)
