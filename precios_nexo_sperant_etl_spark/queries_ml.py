@@ -30,8 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, LongType, StructField,
-                               StructType)
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 from .operators.text import LANG_PROFILES, tokens, word_set_hits
 from .registry import register
@@ -526,4 +526,150 @@ register(
         "(intercept unpenalized) before any float appears, so the "
         "ridge weights stay bit-exact vs the HUGEINT oracle — "
         "regularization without giving up exactness.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out influence — closed-form data attribution. "How
+# much does each SOURCE move the trained model?" is normally answered
+# by retraining once per source; with exact-integer normal equations
+# it's free: per-source moment vectors come out of the SAME single
+# corpus pass (groupBy source, map-side combinable, |sources| rows of
+# 9 BIGINTs), and retraining-without-source-s is Cramer's rule on
+# (total − source_s) — pure integer subtraction before any float, so
+# every LOO weight and every weight delta is bit-identical to the
+# HUGEINT oracle. This is the influence-style datasheet a curation
+# team reads before dropping or down-weighting a source, at any corpus
+# size: the shuffle carries 9·|sources| integers, nothing else.
+# ---------------------------------------------------------------------------
+
+_MKEYS = ("n_docs", "s1", "s2", "s11", "s12", "s22", "b0", "b1", "b2")
+
+
+def _moments_by_source(spark: SparkSession, sf: str) -> list[dict]:
+    d = _t(spark, sf, "documents").select(F.col("source"), *_features())
+    rows = (d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("b0"),
+        F.sum(F.col("x1") * F.col("y")).alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).alias("b2")).collect())
+    return [r.asDict() for r in rows]
+
+
+def _loo_source_influence(spark: SparkSession, sf: str) -> DataFrame:
+    per_src = _moments_by_source(spark, sf)
+    total = {k: sum(int(s[k]) for s in per_src) for k in _MKEYS}
+    w0f, w1f, w2f, _ = _solve(total)
+    out = []
+    for s in sorted(per_src, key=lambda r: r["source"]):
+        loo = {k: int(total[k]) - int(s[k]) for k in _MKEYS}
+        w0, w1, w2, _det = _solve(loo)
+        out.append({
+            "source": s["source"], "n_excl": int(s["n_docs"]),
+            "w0_loo": w0, "w1_loo": w1, "w2_loo": w2,
+            "dw0": None if w0 is None else w0 - w0f,
+            "dw1": None if w1 is None else w1 - w1f,
+            "dw2": None if w2 is None else w2 - w2f,
+        })
+    schema = StructType([
+        StructField("source", StringType()),
+        StructField("n_excl", LongType()),
+        StructField("w0_loo", DoubleType()),
+        StructField("w1_loo", DoubleType()),
+        StructField("w2_loo", DoubleType()),
+        StructField("dw0", DoubleType()),
+        StructField("dw1", DoubleType()),
+        StructField("dw2", DoubleType()),
+    ])
+    return spark.createDataFrame(out, schema=schema)
+
+
+_FEATURES_SRC_SQL = f"""
+  SELECT source,
+         LEAST(len(string_split_regex(trim(text), '\\s+')), 1000) AS x1,
+         LEAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               tk -> tk IN ({_EN_SQL}))), 1000) AS x2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+"""
+
+# Shared Sarrus fragments over HUGEINT aliases hn/h1/h2/h11/h12/h22/
+# hb0/hb1/hb2 — the same expansion the other probe oracles inline.
+_DET_SQL = ("hn * (h11 * h22 - h12 * h12)"
+            " - h1 * (h1 * h22 - h12 * h2)"
+            " + h2 * (h1 * h12 - h11 * h2)")
+_D0_SQL = ("hb0 * (h11 * h22 - h12 * h12)"
+           " - h1 * (hb1 * h22 - h12 * hb2)"
+           " + h2 * (hb1 * h12 - h11 * hb2)")
+_D1_SQL = ("hn * (hb1 * h22 - h12 * hb2)"
+           " - hb0 * (h1 * h22 - h12 * h2)"
+           " + h2 * (h1 * hb2 - hb1 * h2)")
+_D2_SQL = ("hn * (h11 * hb2 - hb1 * h12)"
+           " - h1 * (h1 * hb2 - hb1 * h2)"
+           " + hb0 * (h1 * h12 - h11 * h2)")
+
+_LOO_ORACLE = f"""
+WITH f AS ({_FEATURES_SRC_SQL}),
+ms AS (
+  SELECT source,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS a1, CAST(SUM(x2) AS HUGEINT) AS a2,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS a11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS a12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS a22,
+         CAST(SUM(y) AS HUGEINT) AS c0,
+         CAST(SUM(x1 * y) AS HUGEINT) AS c1,
+         CAST(SUM(x2 * y) AS HUGEINT) AS c2
+  FROM f GROUP BY source),
+mt AS (
+  SELECT SUM(n) AS n, SUM(a1) AS a1, SUM(a2) AS a2, SUM(a11) AS a11,
+         SUM(a12) AS a12, SUM(a22) AS a22, SUM(c0) AS c0,
+         SUM(c1) AS c1, SUM(c2) AS c2
+  FROM ms),
+wf AS (
+  SELECT CAST({_D0_SQL} AS DOUBLE) / CAST({_DET_SQL} AS DOUBLE) AS w0f,
+         CAST({_D1_SQL} AS DOUBLE) / CAST({_DET_SQL} AS DOUBLE) AS w1f,
+         CAST({_D2_SQL} AS DOUBLE) / CAST({_DET_SQL} AS DOUBLE) AS w2f
+  FROM (SELECT n AS hn, a1 AS h1, a2 AS h2, a11 AS h11, a12 AS h12,
+               a22 AS h22, c0 AS hb0, c1 AS hb1, c2 AS hb2 FROM mt)),
+l AS (
+  SELECT ms.source, ms.n AS n_excl,
+         mt.n - ms.n AS hn, mt.a1 - ms.a1 AS h1, mt.a2 - ms.a2 AS h2,
+         mt.a11 - ms.a11 AS h11, mt.a12 - ms.a12 AS h12,
+         mt.a22 - ms.a22 AS h22, mt.c0 - ms.c0 AS hb0,
+         mt.c1 - ms.c1 AS hb1, mt.c2 - ms.c2 AS hb2
+  FROM ms, mt),
+s AS (
+  SELECT source, n_excl, {_DET_SQL} AS dt,
+         {_D0_SQL} AS d0, {_D1_SQL} AS d1, {_D2_SQL} AS d2
+  FROM l)
+SELECT source, CAST(n_excl AS BIGINT) AS n_excl,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d0 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w0_loo,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d1 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w1_loo,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d2 AS DOUBLE) / CAST(dt AS DOUBLE) END AS w2_loo,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d0 AS DOUBLE) / CAST(dt AS DOUBLE) - w0f END AS dw0,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d1 AS DOUBLE) / CAST(dt AS DOUBLE) - w1f END AS dw1,
+       CASE WHEN dt = 0 THEN NULL
+            ELSE CAST(d2 AS DOUBLE) / CAST(dt AS DOUBLE) - w2f END AS dw2
+FROM s, wf ORDER BY source
+"""
+
+register(
+    "loo_source_influence",
+    _loo_source_influence,
+    _LOO_ORACLE,
+    doc="Leave-one-source-out influence: per-source integer moments "
+        "from ONE corpus pass, exact Cramer re-solve on (total - "
+        "source) per source, bit-exact LOO weights and weight deltas "
+        "vs the HUGEINT oracle — closed-form data attribution with a "
+        "9-integers-per-source shuffle.",
 )
