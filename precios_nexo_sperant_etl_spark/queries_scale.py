@@ -9415,3 +9415,88 @@ FROM b JOIN agg USING (doc_id) ORDER BY doc_id
         "reservoir-invariant enforcement; integer aggregates pinned "
         "by arithmetic SQL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield–Lund–Thorup) — ONE-PASS weighted sampling
+# without replacement, the scheme a curation pipeline uses to draw a
+# weight-proportional document panel (w = doc length here) with an
+# unbiased total estimator attached. Each row gets an integer priority
+# w·2⁴⁸ DIV h (h = the portable 48-bit md5 fold ≈ u·2⁴⁸, so the
+# priority is the classic w/u in weight units — integer arithmetic
+# end-to-end, no pow/ln cross-engine hazard). Keep the top k by
+# priority; the (k+1)-th priority τ yields the estimator
+# max(w, τ) per kept row (Σ over the sample unbiasedly estimates total
+# corpus weight).
+#
+# Scale shape: Catalyst compiles orderBy+limit to TakeOrderedAndProject
+# — per-partition top-(k+1) heaps merged at the driver, a reduction,
+# NOT a global sort shuffle; the only window runs over the (k+1)-row
+# candidate frame and τ rides back in as a broadcast 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+_PS_K = 64
+_PS_SEED = "psamp0"
+_PS_WCAP = 30000          # keeps w·2^48 far inside BIGINT headroom
+
+
+def _priority_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.text import md5_hash
+    d = _t(spark, sf, "documents")
+    h = F.greatest(md5_hash(F.concat(F.lit(_PS_SEED + ":"),
+                                     F.col("doc_id").cast("string"))),
+                   F.lit(1))
+    w = F.least(F.col("n_chars"), F.lit(_PS_WCAP)).cast("long")
+    cand = (d.select("doc_id", w.alias("weight"),
+                     (w * F.lit(281474976710656)).cast("long")
+                     .alias("_num"), h.alias("_h"))
+             .withColumn("priority",
+                         F.expr("CAST(_num DIV _h AS BIGINT)"))
+             .select("doc_id", "weight", "priority")
+             .orderBy(F.desc("priority"), F.asc("doc_id"))
+             .limit(_PS_K + 1))
+    rw = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    ranked = cand.withColumn("_rn", F.row_number().over(rw))
+    tau = ranked.agg(F.coalesce(
+        F.min(F.when(F.col("_rn") == _PS_K + 1, F.col("priority"))),
+        F.lit(0)).alias("_tau"))
+    return (ranked.where(F.col("_rn") <= _PS_K)
+                  .crossJoin(F.broadcast(tau))
+                  .select("doc_id", "weight", "priority",
+                          F.greatest(F.col("weight"), F.col("_tau"))
+                           .cast("long").alias("est_w"))
+                  .orderBy(F.desc("priority"), F.asc("doc_id")))
+
+
+register(
+    "priority_sample_docs",
+    _priority_sample_docs,
+    f"""
+WITH p AS (
+  SELECT doc_id,
+         LEAST(n_chars, {_PS_WCAP}) AS weight,
+         LEAST(n_chars, {_PS_WCAP}) * 281474976710656
+           // GREATEST(('0x' || substr(md5('{_PS_SEED}:'
+                || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, 1)
+           AS priority
+  FROM documents),
+r AS (SELECT doc_id, weight, priority,
+             ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+               AS rn
+      FROM p),
+t AS (SELECT COALESCE(MIN(CASE WHEN rn = {_PS_K + 1} THEN priority END),
+                      0) AS tau
+      FROM r)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+       CAST(priority AS BIGINT) AS priority,
+       CAST(GREATEST(weight, tau) AS BIGINT) AS est_w
+FROM r, t WHERE rn <= {_PS_K}
+ORDER BY priority DESC, doc_id
+""",
+    doc="Priority sampling (DLT): integer priorities w*2^48 DIV h48, "
+        "per-partition top-k heaps (TakeOrderedAndProject — no global "
+        "sort), (k+1)-th priority threshold estimator max(w, tau) — "
+        "one-pass weighted sampling without replacement with an "
+        "unbiased total estimator, exact integers end-to-end.",
+)
