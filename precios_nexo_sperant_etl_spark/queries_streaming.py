@@ -376,3 +376,50 @@ def _register_streaming_gram():
 
 
 _register_streaming_gram()
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-writer-wins snapshot — the SEVENTH bit-exact merge
+# algebra: keyed ARGMAX of (version, payload) pairs, i.e. CDC snapshot
+# / materialized-view maintenance. Each micro-batch lands only its own
+# per-source winners (≤ |sources| rows whatever the batch size);
+# argmax over a unique version key is associative + commutative +
+# IDEMPOTENT, so replay cannot corrupt state and merge-at-read erases
+# batch boundaries — the streamed snapshot equals the batch "latest
+# doc per source" SQL bit for bit.
+# ---------------------------------------------------------------------------
+
+def _streaming_lww_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_curation import stream_documents
+    from .streaming.stream_sketches import (read_lww_snapshot,
+                                            streaming_lww_to_lake)
+    out = tempfile.mkdtemp(prefix="stream_lww_q_")
+    q = streaming_lww_to_lake(stream_documents(spark, sf),
+                              os.path.join(out, "snap"),
+                              os.path.join(out, "ckpt"))
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming LWW drain exceeded 120s")
+    return (read_lww_snapshot(spark, os.path.join(out, "snap"))
+            .orderBy("source"))
+
+
+register(
+    "streaming_lww_snapshot",
+    _streaming_lww_snapshot,
+    """
+SELECT source,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS text_hash
+FROM (SELECT source, doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_id DESC) AS rn
+      FROM documents)
+WHERE rn = 1 ORDER BY source
+""",
+    doc="Structured-Streaming last-writer-wins snapshot (per-source "
+        "keyed ARGMAX landing, idempotent merge-at-read) pinned bit "
+        "for bit against the batch latest-per-key SQL — the seventh "
+        "streaming merge algebra, the CDC/materialized-view one.",
+)

@@ -242,3 +242,55 @@ def read_gram_moments(spark: SparkSession, out_dir: str) -> DataFrame:
     cols = ["n_docs", "s1", "s2", "s11", "s12", "s22", "b0", "b1", "b2"]
     return (spark.read.parquet(out_dir)
             .agg(*[F.sum(c).alias(c) for c in cols]))
+
+
+def streaming_lww_to_lake(docs: DataFrame, out_dir: str, checkpoint: str):
+    """Maintain a per-source LAST-WRITER-WINS snapshot over a document
+    stream — the SEVENTH streaming merge algebra: keyed ARGMAX. The
+    other algebras fold values (union/max/sum/OR/min/moment-sum); this
+    one folds (version, payload) PAIRS by version order, which is what
+    CDC snapshot maintenance and materialized-view upkeep reduce to.
+    ARGMAX over a unique version key is associative, commutative and
+    idempotent, so each batch lands only its own per-source winners in
+    a ``batch_id=N`` partition (dynamic overwrite — replay can only
+    overwrite itself) and the live snapshot is the argmax-at-read over
+    landed winners. State per batch is ≤ |sources| rows regardless of
+    stream volume."""
+    from ..operators.dedup_fuzzy import canonical_text
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            snap = (batch.select(
+                        "source", "doc_id",
+                        F.md5(canonical_text(F.col("text")))
+                         .alias("text_hash"))
+                    .groupBy("source")
+                    .agg(F.max_by(F.struct("doc_id", "text_hash"),
+                                  "doc_id").alias("_w"))
+                    .select("source",
+                            F.col("_w.doc_id").alias("doc_id"),
+                            F.col("_w.text_hash").alias("text_hash")))
+            (snap.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite").partitionBy("batch_id")
+                 .parquet(out_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (docs.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def read_lww_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-at-read: live snapshot = per-source argmax over landed
+    batch winners (same fold the landing used — the algebra closes)."""
+    return (spark.read.parquet(out_dir)
+            .groupBy("source")
+            .agg(F.max_by(F.struct("doc_id", "text_hash"), "doc_id")
+                  .alias("_w"))
+            .select("source", F.col("_w.doc_id").alias("doc_id"),
+                    F.col("_w.text_hash").alias("text_hash")))
