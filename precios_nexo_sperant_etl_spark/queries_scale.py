@@ -9500,3 +9500,155 @@ ORDER BY priority DESC, doc_id
         "one-pass weighted sampling without replacement with an "
         "unbiased total estimator, exact integers end-to-end.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap enforcement — the crawl-curation quota pass: no
+# registrable domain may contribute more than CAP documents, and which
+# documents survive must be a deterministic, seed-keyed choice (so the
+# cap is reproducible and auditable, not "first k by arrival"). Uses
+# the real PSL registrable-domain key from operators/urls. The rank
+# runs in a PARTITIONED window (per domain), so the frame is the
+# domain's own doc count — the quantity the cap is bounding in the
+# first place; no global window anywhere.
+# ---------------------------------------------------------------------------
+
+_DCAP = 8
+_DCAP_SEED = "domcap0"
+
+
+def _domain_cap_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.text import md5_hash
+    from .operators.urls import registrable_domain, url_host
+
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        registrable_domain(url_host(_synth_url_spark())).alias("domain"),
+        md5_hash(F.concat(F.lit(_DCAP_SEED + ":"),
+                          F.col("doc_id").cast("string"))).alias("_ok"))
+    w = Window.partitionBy("domain").orderBy(F.asc("_ok"), F.asc("doc_id"))
+    return (base.withColumn("rk", F.row_number().over(w).cast("long"))
+                .where(F.col("rk") <= _DCAP)
+                .select("doc_id", "domain", "rk")
+                .orderBy("domain", "rk"))
+
+
+register(
+    "domain_cap_manifest",
+    _domain_cap_manifest,
+    rf"""
+WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+b AS (SELECT doc_id,
+             {{dom}} AS domain,
+             ('0x' || substr(md5('{_DCAP_SEED}:'
+                 || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS ok
+      FROM u),
+r AS (SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain
+                                ORDER BY ok, doc_id) AS rk
+      FROM b)
+SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_DCAP}
+ORDER BY domain, rk
+""".replace("{dom}", _duck_domain(_DUCK_HOST)),
+    doc="Per-registrable-domain cap: seed-keyed deterministic survivor "
+        "choice, rank in a per-domain window (frame = the quantity "
+        "being capped), PSL domain keying — the crawl-mixing quota "
+        "pass, fully reproducible.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment of an evaluation panel —
+# allocate exactly K eval slots across (lang, source) strata
+# proportionally to their sizes, with the remainder seats going to the
+# largest fractional remainders. Everything is integer arithmetic:
+# base quota = floor(n_s*K/N); remainder = n_s*K - base*N (the
+# fraction scaled by N, exact); seats left = K - Σbase, handed to the
+# top strata by (remainder DESC, lang, source). The only windows run
+# over the |strata|-row aggregate. Then each stratum contributes its
+# quota of documents by seeded-hash rank — the deterministic panel a
+# model-eval team can re-derive from the seed alone.
+# ---------------------------------------------------------------------------
+
+_PANEL_K = 100
+_PANEL_SEED = "evalpanel0"
+
+
+def _eval_panel_quota(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.text import md5_hash
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    strata = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    tot = strata.agg(F.sum("n_docs").alias("_n"))
+    sized = strata.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "n_docs",
+        F.expr(f"CAST(n_docs * {_PANEL_K} DIV _n AS BIGINT)")
+         .alias("base"),
+        F.expr(f"CAST(n_docs * {_PANEL_K} - (n_docs * {_PANEL_K}"
+               f" DIV _n) * _n AS BIGINT)").alias("rem"))
+    spare = sized.agg(
+        (F.lit(_PANEL_K) - F.sum("base")).cast("long").alias("_spare"))
+    wr = Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
+    quota = (sized.crossJoin(F.broadcast(spare))
+             .withColumn("_rrk", F.row_number().over(wr))
+             .select("lang", "source", "n_docs",
+                     (F.col("base")
+                      + F.when(F.col("_rrk") <= F.col("_spare"), 1)
+                         .otherwise(0)).cast("long").alias("quota")))
+    wd = Window.partitionBy("lang", "source").orderBy(
+        F.asc("_ok"), F.asc("doc_id"))
+    picked = (d.withColumn(
+                  "_ok", md5_hash(F.concat(F.lit(_PANEL_SEED + ":"),
+                                           F.col("doc_id").cast("string"))))
+               .withColumn("rk", F.row_number().over(wd).cast("long"))
+               .join(F.broadcast(quota), ["lang", "source"])
+               .where(F.col("rk") <= F.col("quota")))
+    return (picked.select("doc_id", "lang", "source", "n_docs",
+                          "quota", "rk")
+                  .orderBy("lang", "source", "rk"))
+
+
+register(
+    "eval_panel_quota",
+    _eval_panel_quota,
+    f"""
+WITH s AS (SELECT lang, source, COUNT(*) AS n_docs
+           FROM documents GROUP BY lang, source),
+t AS (SELECT SUM(n_docs) AS n FROM s),
+sized AS (
+  SELECT lang, source, n_docs,
+         n_docs * {_PANEL_K} // n AS base,
+         n_docs * {_PANEL_K} - (n_docs * {_PANEL_K} // n) * n AS rem
+  FROM s, t),
+sp AS (SELECT {_PANEL_K} - SUM(base) AS spare FROM sized),
+q AS (
+  SELECT lang, source, n_docs,
+         base + CASE WHEN ROW_NUMBER() OVER
+                  (ORDER BY rem DESC, lang, source) <= spare
+                THEN 1 ELSE 0 END AS quota
+  FROM sized, sp),
+r AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+            ORDER BY ('0x' || substr(md5('{_PANEL_SEED}:'
+                || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id)
+           AS rk
+  FROM documents)
+SELECT r.doc_id, r.lang, r.source,
+       CAST(q.n_docs AS BIGINT) AS n_docs,
+       CAST(q.quota AS BIGINT) AS quota,
+       CAST(r.rk AS BIGINT) AS rk
+FROM r JOIN q ON q.lang = r.lang AND q.source = r.source
+WHERE r.rk <= q.quota
+ORDER BY r.lang, r.source, r.rk
+""",
+    doc="Largest-remainder (Hamilton) apportionment of a K-slot eval "
+        "panel across (lang, source) strata — exact integer quotas "
+        "and remainders, |strata|-row windows only, seeded-hash "
+        "member choice fully re-derivable from the seed.",
+)

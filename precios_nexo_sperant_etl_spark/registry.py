@@ -97,6 +97,8 @@ _CHECK_FIRST: list[str] = [
     "loo_source_influence",        # closed-form LOO data attribution
     "priority_sample_docs",        # DLT weighted sampling, integer pri
     "streaming_lww_snapshot",      # 7th merge algebra: keyed argmax
+    "domain_cap_manifest",         # PSL-keyed per-domain quota cap
+    "eval_panel_quota",            # Hamilton apportionment panel
     # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7;
     # names past slot 50 simply wait for r9 — their stamps stand) ---
     "core_update_audit",
