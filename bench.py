@@ -141,6 +141,16 @@ HEADLINE = [
     "skipgram_pairs",           # windowed pair generation self-join
     "html_extract_text",        # codegen boilerplate stripping
     "web_curation_pipeline",    # WARC→extract→gate→dedup→datasheet
+    # appended r8:
+    "jpeg420_decode_roundtrip",  # subsampled-MCU T.81 decode via Arrow
+    "psl_registrable_domain",   # full-PSL label logic, pure codegen
+    "mp3_sideinfo_audit",       # side-info bit walk + reservoir model
+    "loo_source_influence",     # per-source moments + LOO re-solves
+    "priority_sample_docs",     # TakeOrderedAndProject weighted top-k
+    "streaming_lww_snapshot",   # streaming keyed-argmax merge algebra
+    "domain_cap_manifest",      # per-domain seeded quota windows
+    "eval_panel_quota",         # Hamilton apportionment + panel pick
+    "maxmatch_tokenize",        # greedy longest-match segmentation
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and
