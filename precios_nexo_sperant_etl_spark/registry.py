@@ -99,24 +99,17 @@ _CHECK_FIRST: list[str] = [
     "streaming_lww_snapshot",      # 7th merge algebra: keyed argmax
     "domain_cap_manifest",         # PSL-keyed per-domain quota cap
     "eval_panel_quota",            # Hamilton apportionment panel
-    # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7;
-    # names past slot 50 simply wait for r9 — their stamps stand) ---
+    # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7).
+    # Exactly 5 fit after the 45 must-run slots above; the rest of the
+    # r03 cohort (scd2_merge, tpch_q9/q21, mad_outlier_filter,
+    # skew_salted_join, table_profile_orders, tpch_q11/q16/q20,
+    # minhash_dedup_pairs_prod/_capped) keeps its standing stamps and
+    # heads the r9 refresh queue. ---
     "core_update_audit",
     "w4_row_id",
     "f3_accent_fold",
     "f8_to_datetime",
     "null_safe_join",
-    "scd2_merge",
-    "tpch_q9_product_profit",
-    "tpch_q21_sole_late_supplier",
-    "mad_outlier_filter",
-    "skew_salted_join",
-    "table_profile_orders",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_diversity",
-    "tpch_q20_dominant_supplier",
-    "minhash_dedup_pairs_prod",
-    "minhash_dedup_pairs_capped",
 ]
 
 
