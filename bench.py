@@ -151,6 +151,7 @@ HEADLINE = [
     "domain_cap_manifest",      # per-domain seeded quota windows
     "eval_panel_quota",         # Hamilton apportionment + panel pick
     "maxmatch_tokenize",        # greedy longest-match segmentation
+    "jpeg_progressive_roundtrip",  # SOF2 multi-scan decode via Arrow
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

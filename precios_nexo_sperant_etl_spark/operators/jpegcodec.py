@@ -17,16 +17,19 @@ ITU-T T.81 baseline sequential DCT from the public spec:
   level shift and clamp,
 - JFIF YCbCr -> RGB for 3-component scans.
 
-Supported honestly: 8-bit baseline (SOF0), grayscale and 3-component
-interleaved scans at ANY integer sampling-factor combination — 4:4:4,
-4:2:2 (2x1), 4:2:0 (2x2), per T.81 A.2.3 MCU interleave with
-per-component block grids and chroma upsampled back by pixel
-replication — plus optional restart intervals. NOT supported — and
-raising :class:`UnsupportedJpeg` so callers can fall back to the
-metadata probe rather than mislabel the payload corrupt — are
-progressive scans (SOF2), 12-bit precision, arithmetic coding, and
-fractional sampling ratios (Hmax not divisible by Hi — pathological
-in practice).
+Supported honestly: 8-bit baseline (SOF0/SOF1), grayscale and
+3-component interleaved scans at ANY integer sampling-factor
+combination — 4:4:4, 4:2:2 (2x1), 4:2:0 (2x2), per T.81 A.2.3 MCU
+interleave with per-component block grids and chroma upsampled back
+by pixel replication — optional restart intervals, AND progressive
+DCT (SOF2, added r8): multi-scan coefficient accumulation with
+spectral selection, DC/AC successive approximation (the G.2
+refinement procedures incl. correction bits and cross-block EOB
+runs). NOT supported — and raising :class:`UnsupportedJpeg` so
+callers can fall back to the metadata probe rather than mislabel the
+payload corrupt — are 12-bit precision, arithmetic coding, lossless/
+hierarchical SOFs, and fractional sampling ratios (Hmax not divisible
+by Hi — pathological in practice).
 
 The matching encoder exists so value oracles and property tests can
 construct genuine entropy-coded streams without a codec library: it
@@ -50,15 +53,16 @@ __all__ = [
     "UnsupportedJpeg",
     "encode_baseline_gray",
     "encode_baseline_ycbcr",
+    "encode_progressive_gray",
     "decode_baseline",
 ]
 
 
 class UnsupportedJpeg(ValueError):
-    """Valid-looking JPEG using a feature outside the baseline subset
-    implemented here (progressive, subsampled, 12-bit, arithmetic).
-    Callers fall back to the header probe; plain ValueError still means
-    the payload is corrupt."""
+    """Valid-looking JPEG using a feature outside the subset
+    implemented here (12-bit, arithmetic coding, lossless/hierarchical,
+    fractional sampling ratios). Callers fall back to the header probe;
+    plain ValueError still means the payload is corrupt."""
 
 
 # --- Annex K reference tables (public spec constants) -----------------------
@@ -481,6 +485,9 @@ def decode_baseline(payload: bytes) -> dict:
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if marker == 0xC2:
+                # progressive DCT: real multi-scan decode (G.2)
+                return _decode_progressive(payload)
             if marker != 0xC0 and marker != 0xC1:
                 raise UnsupportedJpeg(
                     f"non-baseline frame (SOF{marker - 0xC0})")
@@ -582,11 +589,16 @@ def decode_baseline(payload: bytes) -> dict:
             raise ValueError("entropy segment ended mid-MCU") from None
         mcu += 1
 
-    # Crop each plane to its natural subsampled dims (A.1.1: ceil of the
-    # frame dims scaled by Hi/Hmax), then upsample back to frame size by
-    # pixel replication — exact for the flat-chroma streams the value
-    # oracles construct, and the standard nearest-neighbor choice
-    # otherwise (JFIF leaves the upsampling filter to the decoder).
+    return _finish_planes(planes, comps, h, w, hmax, vmax)
+
+
+def _finish_planes(planes, comps, h, w, hmax, vmax) -> dict:
+    """Crop each plane to its natural subsampled dims (A.1.1: ceil of
+    the frame dims scaled by Hi/Hmax), then upsample back to frame size
+    by pixel replication — exact for the flat-chroma streams the value
+    oracles construct, and the standard nearest-neighbor choice
+    otherwise (JFIF leaves the upsampling filter to the decoder) —
+    then level shift, clamp, and JFIF YCbCr→RGB for 3 components."""
     out = []
     for p, (_, hi, vi, _) in zip(planes, comps):
         cw = (w * hi + hmax - 1) // hmax
@@ -610,3 +622,513 @@ def decode_baseline(payload: bytes) -> dict:
             "sampling": [(hi, vi) for (_, hi, vi, _) in comps],
             "planes": [o.astype(np.uint8) for o in out],
             "pixels": pixels}
+
+
+# --- progressive decoder (T.81 G.2) ------------------------------------------
+
+def _decode_progressive(payload: bytes) -> dict:
+    """Decode a progressive-DCT JPEG (SOF2) for real: coefficient
+    arrays accumulate across scans — DC scans (interleaved, with
+    successive approximation: first scan ships pred<<Al, refinement
+    scans OR in one bit per block), AC scans (single-component per
+    G.1.1.1.1, spectral selection Ss..Se, EOB-run coding across
+    blocks, and the G.2 refinement procedure with correction bits for
+    nonzero-history coefficients) — then one dequantize + IDCT pass
+    assembles pixels exactly like the sequential path. Restart markers
+    reset DC predictors AND the EOB run. Raises plain ``ValueError``
+    for corrupt streams, :class:`UnsupportedJpeg` only for 12-bit
+    precision or fractional sampling ratios."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    coefs: list[np.ndarray] | None = None    # per comp: (bh, bw, 64) zigzag
+    geom = None                              # (hmax, vmax, mcux, mcuy)
+
+    def parse_tables(marker: int, body: bytes) -> None:
+        nonlocal restart_interval
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=i
+                    ).astype(np.int64)
+                    i += 64
+                elif pq == 1:
+                    qtables[tq] = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=i
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    raise ValueError("bad DQT precision")
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17:i + 17 + n])
+                htables[(tc, th)] = _canonical_codes(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:                  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack_from(">H", payload, pos)[0]
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("truncated segment")
+        body = payload[pos + 2:pos + seg_len]
+        if marker == 0xC2:                  # SOF2
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise UnsupportedJpeg("12-bit precision")
+            if ncomp not in (1, 3):
+                raise UnsupportedJpeg(f"{ncomp}-component frame")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("sampling factor out of range")
+                comps.append((cid, hi, vi, tq))
+            if ncomp == 1:
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise UnsupportedJpeg("fractional subsampling ratio")
+            if h == 0 or w == 0:
+                raise ValueError("zero-dimension frame")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            frame = (h, w, comps)
+            geom = (hmax, vmax, mcux, mcuy)
+            coefs = [np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                     for (_, hi, vi, _) in comps]
+        elif marker == 0xDA:                # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF2 frame header")
+            pos = _progressive_scan(payload, pos + seg_len, body,
+                                    frame, geom, coefs, htables,
+                                    restart_interval)
+            continue
+        else:
+            parse_tables(marker, body)
+        pos += seg_len
+    if frame is None or coefs is None:
+        raise ValueError("no SOF2 frame decoded")
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = geom
+    planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        qt = qtables.get(tq)
+        if qt is None:
+            raise ValueError("frame references undefined quant table")
+        bh, bw = coefs[ci].shape[0], coefs[ci].shape[1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[ci][by, bx]
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = zz * qt
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+        planes.append(plane)
+    return _finish_planes(planes, comps, h, w, hmax, vmax)
+
+
+def _progressive_scan(payload, pos, sos_body, frame, geom, coefs,
+                      htables, restart_interval) -> int:
+    """Decode one progressive scan starting at ``pos`` (first entropy
+    byte); returns the position just past the scan's entropy data."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = geom
+    ns = sos_body[0]
+    scan_comps = []            # (comp index, dc table id, ac table id)
+    for i in range(ns):
+        cs, tdta = sos_body[1 + 2 * i], sos_body[2 + 2 * i]
+        ci = next((j for j, c in enumerate(comps) if c[0] == cs), None)
+        if ci is None:
+            raise ValueError("scan references unknown component")
+        scan_comps.append((ci, tdta >> 4, tdta & 0x0F))
+    ss, se, ahal = sos_body[1 + 2 * ns], sos_body[2 + 2 * ns], \
+        sos_body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC scan with Se != 0")
+    if not is_dc and ns != 1:
+        raise ValueError("interleaved AC scan is illegal (G.1.1.1.1)")
+
+    rd = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def restart(unit: int) -> None:
+        nonlocal rd, preds, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            rd.align()
+            if (rd.pos + 2 > len(payload) or payload[rd.pos] != 0xFF
+                    or not 0xD0 <= payload[rd.pos + 1] <= 0xD7):
+                raise ValueError("missing restart marker")
+            rd = _BitReader(payload, rd.pos + 2)
+            preds = [0] * len(comps)
+            eobrun = 0
+
+    try:
+        if is_dc and ns > 1:
+            # interleaved DC scan over the MCU grid
+            for mcu in range(mcux * mcuy):
+                restart(mcu)
+                my, mx = divmod(mcu, mcux)
+                for ci, dc_id, _ac in scan_comps:
+                    _, hi, vi, _ = comps[ci]
+                    tab = htables.get((0, dc_id))
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            zz = coefs[ci][my * vi + byi, mx * hi + bxi]
+                            preds[ci] = _dc_band(rd, tab, zz, ah, al,
+                                                 preds[ci])
+        else:
+            # non-interleaved: raster over the component's own grid
+            ci, dc_id, ac_id = scan_comps[0]
+            _, hi, vi, _ = comps[ci]
+            cbw = ((w * hi + hmax - 1) // hmax + 7) // 8
+            cbh = ((h * vi + vmax - 1) // vmax + 7) // 8
+            tab = htables.get((0, dc_id) if is_dc else (1, ac_id))
+            for unit in range(cbh * cbw):
+                restart(unit)
+                by, bx = divmod(unit, cbw)
+                zz = coefs[ci][by, bx]
+                if is_dc:
+                    preds[ci] = _dc_band(rd, tab, zz, ah, al, preds[ci])
+                elif ah == 0:
+                    eobrun = _ac_first(rd, tab, zz, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(rd, tab, zz, ss, se, al, eobrun)
+    except _MarkerReached:
+        raise ValueError("entropy segment ended mid-band") from None
+    rd.align()
+    return rd.pos
+
+
+def _dc_band(rd, dc_tab, zz, ah, al, pred):
+    """DC band of one block: first scan (Ah=0) decodes a baseline-style
+    diff and ships pred<<Al; refinement scans OR one bit into bit Al
+    (two's-complement OR matches the encoder's arithmetic shift)."""
+    if ah == 0:
+        if dc_tab is None:
+            raise ValueError("DC scan references undefined table")
+        s = _huff_decode(rd, dc_tab)
+        pred += _extend(rd.bits(s), s)
+        zz[0] = pred << al
+    else:
+        if rd.bit():
+            zz[0] |= (1 << al)
+    return pred
+
+
+def _ac_first(rd, ac_tab, zz, ss, se, al, eobrun):
+    """AC band, first scan at this bit position (Ah=0): G.2.2 run/size
+    coding with EOBn end-of-band runs spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    if ac_tab is None:
+        raise ValueError("AC scan references undefined table")
+    k = ss
+    while k <= se:
+        rs = _huff_decode(rd, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows the band")
+            zz[k] = _extend(rd.bits(s), s) << al
+            k += 1
+        elif r == 15:
+            k += 16                      # ZRL
+        else:
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            break
+    return eobrun
+
+
+def _ac_refine(rd, ac_tab, zz, ss, se, al, eobrun):
+    """AC band refinement (Ah>0): newly-significant coefficients arrive
+    as ±1<<Al; every nonzero-history coefficient crossed on the way —
+    and the whole band once in EOB-run state — consumes one correction
+    bit (G.2.3)."""
+    if ac_tab is None:
+        raise ValueError("AC scan references undefined table")
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(rd, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if rd.bit() else m1
+            while k <= se:
+                if zz[k]:
+                    if rd.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k]:
+                if rd.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# --- progressive encoder ------------------------------------------------------
+
+#: Custom AC Huffman table for progressive scans. Annex K's baseline AC
+#: table has no EOBn symbols for n >= 1 (baseline never needs them), so
+#: progressive streams ship their own DHT: every symbol the G.2 coder
+#: can emit — EOBn (n 0..14), ZRL, and (run 0..15, size 1..11) — at a
+#: flat 8-bit code length (192 codes <= 256: a legal, if unoptimized,
+#: canonical table; compression is not what the oracle measures).
+PROG_AC_VALS = tuple(sorted(
+    [n << 4 for n in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 12)]))
+PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS),
+                0, 0, 0, 0, 0, 0, 0, 0)
+
+
+def encode_progressive_gray(px: np.ndarray,
+                            quant: np.ndarray | None = None,
+                            ac_successive: bool = False) -> bytes:
+    """Encode an (h, w) uint8 grayscale image (dims multiples of 8) as
+    a genuine PROGRESSIVE JPEG (SOF2) with a scan script that
+    exercises every G.2 decoding procedure:
+
+    1. DC first scan, Al=1 — diffs of (DC >> 1), successive
+       approximation's coarse pass;
+    2. DC refinement scan, Ah=1/Al=0 — one raw bit per block;
+    3. AC scan(s), Ss=1..Se=63 — run/size coding with real EOBn
+       end-of-band runs spanning blocks (the custom table above). With
+       ``ac_successive``, the AC band ships as TWO scans: a coarse
+       first scan at Al=1 (magnitudes arithmetically halved) and a
+       G.2.3 refinement scan (Ah=1/Al=0) emitting newly-significant
+       ±1 symbols plus correction bits for already-significant
+       coefficients — buffered across EOB runs exactly the way the
+       decoder consumes them (per-block, after the EOBn code).
+
+    Flat blocks quantize to DC-only, so they roundtrip bit-exactly
+    through shift+refine and the AC scan degenerates to one EOB run —
+    which is exactly what makes a hash-strict oracle possible, while
+    random-content tests drive the general run/size paths."""
+    h, w = int(px.shape[0]), int(px.shape[1])
+    if h % 8 or w % 8 or h == 0 or w == 0:
+        raise ValueError("encode_progressive_gray needs multiple-of-8 dims")
+    quant = _check_quant(quant)
+    qmat = quant[np.argsort(ZIGZAG)].reshape(8, 8)
+    dc_codes = _encode_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _encode_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    # quantize every block once, in raster order
+    shifted = px.astype(np.float64) - 128.0
+    blocks = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            coef = _DCT_M @ shifted[by:by + 8, bx:bx + 8] @ _DCT_M.T
+            blocks.append(np.round(coef / qmat).astype(np.int64)
+                          .reshape(64)[ZIGZAG])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int, wr: _BitWriter) -> bytes:
+        wr.flush()
+        return (seg(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
+                + bytes(wr.out))
+
+    # scan 1: DC first, Al=1 (arithmetic shift matches the decoder's
+    # pred<<Al + refinement-OR reconstruction)
+    wr = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> 1
+        s, amp = _magnitude_bits(v - pred)
+        code, length = dc_codes[s]
+        wr.put(code, length)
+        wr.put(amp, s)
+        pred = v
+    scan1 = sos(0, 0, 0, 1, wr)
+
+    # scan 2: DC refinement, Ah=1 Al=0 — the held-back low bit
+    wr = _BitWriter()
+    for zz in blocks:
+        wr.put(int(zz[0]) & 1, 1)
+    scan2 = sos(0, 0, 1, 0, wr)
+
+    def ac_first_scan(al: int) -> bytes:
+        """AC first scan at bit position ``al``: run/size over the
+        arithmetically-scaled magnitudes, EOBn runs across blocks."""
+        wr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            n = eobrun.bit_length() - 1
+            code, length = ac_codes[n << 4]
+            wr.put(code, length)
+            wr.put(eobrun - (1 << n), n)
+            eobrun = 0
+
+        for zz in blocks:
+            t = [0] * 64
+            for k in range(1, 64):
+                v = int(zz[k])
+                t[k] = (abs(v) >> al) * (1 if v > 0 else -1)
+            last_nz = max((i for i in range(1, 64) if t[i]), default=0)
+            if last_nz == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = t[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]
+                    wr.put(zc, zl)
+                    run -= 16
+                s, amp = _magnitude_bits(v)
+                code, length = ac_codes[(run << 4) | s]
+                wr.put(code, length)
+                wr.put(amp, s)
+                run = 0
+            if last_nz < 63:
+                eobrun = 1
+        flush_eob()
+        return sos(1, 63, 0, al, wr)
+
+    def ac_refine_scan(ah: int, al: int) -> bytes:
+        """G.2.3 AC refinement: newly-significant coefficients
+        (|v|>>al == 1) arrive as (run-of-zero-history, size 1) + sign;
+        already-significant ones contribute correction bits, buffered
+        across EOB runs and emitted per block right after the EOBn
+        code — the exact order the decoder consumes them."""
+        wr = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []      # correction bits owed after EOBn
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, length = ac_codes[n << 4]
+                wr.put(code, length)
+                wr.put(eobrun - (1 << n), n)
+                eobrun = 0
+            for b in pending:
+                wr.put(b, 1)
+            pending.clear()
+
+        for zz in blocks:
+            run = 0
+            held: list[int] = []     # correction bits since last symbol
+            emitted_any = False
+            # last newly-significant index: ZRLs may only be emitted
+            # while one is still ahead (otherwise the tail folds into
+            # the EOB run) — and each ZRL flushes exactly the
+            # correction bits gathered before its 16-zero window ends,
+            # which is the order the decoder's advance loop reads them.
+            eob_idx = max((k for k in range(1, 64)
+                           if (abs(int(zz[k])) >> al) == 1), default=0)
+
+            def zrl_flushes(r: int, limit_ok: bool) -> int:
+                while r > 15 and limit_ok:
+                    flush_eob()
+                    zc, zl = ac_codes[0xF0]
+                    wr.put(zc, zl)
+                    for b in held:
+                        wr.put(b, 1)
+                    held.clear()
+                    r -= 16
+                return r
+
+            for k in range(1, 64):
+                v = int(zz[k])
+                av = abs(v) >> al
+                if av == 0:
+                    run += 1
+                    continue
+                if av > 1:           # already significant at Ah
+                    run = zrl_flushes(run, k <= eob_idx)
+                    held.append(av & 1)
+                    continue
+                # newly significant
+                flush_eob()
+                run = zrl_flushes(run, True)
+                code, length = ac_codes[(run << 4) | 1]
+                wr.put(code, length)
+                wr.put(1 if v > 0 else 0, 1)
+                for b in held:
+                    wr.put(b, 1)
+                held.clear()
+                run = 0
+                emitted_any = True
+            if run > 0 or held or not emitted_any:
+                eobrun += 1
+                pending.extend(held)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return sos(1, 63, ah, al, wr)
+
+    if ac_successive:
+        ac_scans = ac_first_scan(1) + ac_refine_scan(1, 0)
+    else:
+        ac_scans = ac_first_scan(0)
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(q) for q in quant))
+    dht = (seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+           + seg(0xC4, b"\x10" + bytes(PROG_AC_BITS)
+                 + bytes(PROG_AC_VALS)))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    return (b"\xff\xd8" + dqt + dht + sof
+            + scan1 + scan2 + ac_scans + b"\xff\xd9")

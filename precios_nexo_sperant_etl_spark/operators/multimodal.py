@@ -82,21 +82,22 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
 
 def real_decode_placeholder(payload: bytes) -> None:
-    """Where the REMAINING stubbed codecs (MP3 audio, MP4/H.264 video,
-    progressive JPEG) would plug in. Kept explicit so the gap is
-    visible and tested as such — BMP, WAV/PCM, PNG (zlib-deflate) and
-    baseline-sequential JPEG including 4:2:2/4:2:0 chroma subsampling
-    (real Huffman + dequant + IDCT entropy decode with T.81 A.2.3 MCU
-    interleave, ``operators/jpegcodec.py``) are decoded for real;
-    out-of-subset JPEGs (progressive, 12-bit, arithmetic) fall back to
-    the header probe rather than pretending."""
+    """Where the REMAINING stubbed codecs (MP3 audio synthesis
+    filterbank, MP4/H.264 video) would plug in. Kept explicit so the
+    gap is visible and tested as such — BMP, WAV/PCM, PNG
+    (zlib-deflate), baseline-sequential JPEG including 4:2:2/4:2:0
+    chroma subsampling, AND progressive JPEG (SOF2 multi-scan with
+    successive approximation — r8) are decoded for real
+    (``operators/jpegcodec.py``); out-of-subset JPEGs (12-bit,
+    arithmetic) fall back to the header probe rather than
+    pretending."""
     raise NotImplementedError(
-        "transform-codec media beyond baseline JPEG (MP3/H.264, "
-        "progressive JPEG) needs libjpeg-turbo/ffmpeg, not available "
-        "in this environment; BMP, WAV, PNG and baseline JPEG decode "
-        "— subsampled included — is real (decode_bmp / decode_wav / "
-        "decode_png / jpegcodec.decode_baseline) — wire codec "
-        "libraries into decode_media_batch for the rest")
+        "transform-codec media beyond JPEG (MP3 synthesis filterbank, "
+        "H.264) needs ffmpeg-class libraries, not available in this "
+        "environment; BMP, WAV, PNG, baseline AND progressive JPEG "
+        "decode is real (decode_bmp / decode_wav / decode_png / "
+        "jpegcodec.decode_baseline) — wire codec libraries into "
+        "decode_media_batch for the rest")
 
 
 # ---------------------------------------------------------------------------

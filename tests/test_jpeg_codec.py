@@ -80,11 +80,39 @@ def test_nontrivial_quant_table_is_lossy_but_bounded():
     assert 0 < err <= 8 * 16  # quantization loss, bounded by table scale
 
 
-def test_progressive_raises_unsupported():
+def test_progressive_decodes_for_real():
+    from precios_nexo_sperant_etl_spark.operators.jpegcodec import (
+        encode_progressive_gray)
+    px = _flat_image([50, 60, 70, 80])
+    # flat blocks: bit-exact through DC shift+refine + EOB-run AC scan
+    d = decode_baseline(encode_progressive_gray(px))
+    assert np.array_equal(d["pixels"], px)
+    # AC successive approximation: coarse Al=1 scan + G.2.3 refinement
+    d2 = decode_baseline(encode_progressive_gray(px, ac_successive=True))
+    assert np.array_equal(d2["pixels"], px)
+    # random content: successive and single-pass AC scans reconstruct
+    # identical coefficients, so identical pixels
+    rng = np.random.RandomState(13)
+    for _ in range(4):
+        r = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+        a = decode_baseline(encode_progressive_gray(r))
+        b = decode_baseline(encode_progressive_gray(r,
+                                                    ac_successive=True))
+        assert np.array_equal(a["pixels"], b["pixels"])
+        assert np.abs(a["pixels"].astype(int) - r.astype(int)).max() <= 1
+    # a baseline stream relabeled SOF2 is a LIAR: its single scan
+    # declares Ss=0/Se=63, illegal for progressive DC — corrupt, not
+    # unsupported
+    j = encode_baseline_gray(px)
+    with pytest.raises(ValueError):
+        decode_baseline(j.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_arithmetic_sof_raises_unsupported():
     px = _flat_image([50, 60, 70, 80])
     j = encode_baseline_gray(px)
     with pytest.raises(UnsupportedJpeg):
-        decode_baseline(j.replace(b"\xff\xc0", b"\xff\xc2", 1))
+        decode_baseline(j.replace(b"\xff\xc0", b"\xff\xc9", 1))
 
 
 def test_single_component_sampling_factors_are_moot():
@@ -178,15 +206,22 @@ def test_truncation_and_garbage_raise_valueerror():
 
 def test_media_batch_dispatches_jpeg_pixels_and_fallback():
     import pandas as pd
+    from precios_nexo_sperant_etl_spark.operators.jpegcodec import (
+        encode_progressive_gray)
     px = _flat_image([10, 20, 30, 40])
     full = encode_baseline_gray(px)
-    progressive = full.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    out = decode_media_batch(pd.Series([full, progressive]))
-    real, probe = out.iloc[0], out.iloc[1]
+    progressive = encode_progressive_gray(px)
+    arithmetic = full.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    out = decode_media_batch(pd.Series([full, progressive, arithmetic]))
+    real, prog, probe = out.iloc[0], out.iloc[1], out.iloc[2]
     assert real["mime_detected"] == "image/jpeg"
     assert real["width"] == 16 and real["height"] == 16
     # luma mean of the four flat blocks: (10+20+30+40)/4 = 25
     assert real["mean_r_milli"] == 25_000
+    # progressive now decodes to the same real pixel means (r8)
+    assert prog["mime_detected"] == "image/jpeg"
+    assert prog["mean_r_milli"] == 25_000
+    # arithmetic-coded SOF stays honestly probed: dims, null means
     assert probe["mime_detected"] == "image/jpeg"
     assert probe["width"] == 16 and pd.isna(probe["mean_r_milli"])
 
