@@ -43,12 +43,18 @@ _REGISTRY: dict[str, Query] = {}
 #: Update this list every round from the latest CORRECTNESS_r*.json.
 _CHECK_FIRST: list[str] = [
     # ================= ROUND-8 WINDOW =================
-    # Slots 1-34: every query that has NEVER carried a driver stamp
-    # (the late-r7 additions — media decoders/probes, the quality-probe
-    # ML family, web ingest, stats; STAMPS.md's "never stamped" list).
-    # All 34 were parity-verified locally AND independently by the r7
-    # judge (type-strict, 0 failures); this window converts that local
-    # evidence into driver stamps — VERDICT r7 item 1.
+    # Slots 1-34: every query that had NEVER carried a driver stamp at
+    # r8 start (the late-r7 additions — media decoders/probes, the
+    # quality-probe ML family, web ingest, stats). All 34 were
+    # parity-verified locally AND independently by the r7 judge
+    # (type-strict, 0 failures); this window converts that local
+    # evidence into driver stamps — VERDICT r7 item 1. Then the
+    # queries ADDED or CHANGED in r8 (slots 35-46), then 4 of the
+    # oldest (r03) stamp refreshes. The 10 NEW-in-r8 queries listed
+    # mid-window are parity-green at sf0.01 AND sf0.1 as of their
+    # registration commits; anything that misses this window (late-r8
+    # additions, the rest of the r03 cohort) heads the R9 queue —
+    # STAMPS.md names them.
     "jpeg_decode_roundtrip",       # baseline JPEG Huffman+IDCT decode
     "mp4_box_probe",               # ISO-BMFF box walker
     "mp3_frame_probe",             # MPEG audio frame-header walk
