@@ -152,6 +152,7 @@ HEADLINE = [
     "eval_panel_quota",         # Hamilton apportionment + panel pick
     "maxmatch_tokenize",        # greedy longest-match segmentation
     "jpeg_progressive_roundtrip",  # SOF2 multi-scan decode via Arrow
+    "png_adam7_roundtrip",      # interlaced pass scatter via Arrow
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

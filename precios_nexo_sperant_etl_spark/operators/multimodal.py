@@ -298,20 +298,65 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("missing IHDR/IEND chunk")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("only 8-bit truecolor non-interlaced PNG "
+    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 \
+            or interlace not in (0, 1):
+        raise ValueError("only 8-bit truecolor PNG (interlace 0/1) "
                          "is decoded here")
     out = {"width": int(w), "height": int(h), "bits_per_pixel": 24}
     raw = zlib.decompress(b"".join(idat))  # inflate + Adler-32 check
-    bpp, stride = 3, 3 * w
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG scanline size mismatch")
     if h == 0 or w == 0:
         return out
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if interlace == 0:
+        if len(raw) != (3 * w + 1) * h:
+            raise ValueError("PNG scanline size mismatch")
+        rgb = _png_defilter(np.frombuffer(raw, dtype=np.uint8)
+                            .reshape(h, 3 * w + 1), 3 * w) \
+            .reshape(h, w, 3)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered
+        # back on the (x0, y0, dx, dy) pass lattices.
+        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (3 * pw + 1)
+            if off + need > len(raw):
+                raise ValueError("interlaced PNG pass size mismatch")
+            sub = _png_defilter(
+                np.frombuffer(raw, dtype=np.uint8,
+                              count=need, offset=off)
+                .reshape(ph, 3 * pw + 1), 3 * pw).reshape(ph, pw, 3)
+            rgb[y0::dy, x0::dx] = sub
+            off += need
+        if off != len(raw):
+            raise ValueError("trailing bytes after the Adam7 passes")
+    totals = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    n = w * h
+    out.update(mean_r_milli=int(totals[0] * 1000 // n),
+               mean_g_milli=int(totals[1] * 1000 // n),
+               mean_b_milli=int(totals[2] * 1000 // n),
+               rgb=rgb, interlaced=interlace == 1)
+    return out
+
+
+#: Adam7 pass lattices: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_defilter(arr, stride: int):
+    """Reverse the five method-0 scanline filters over one
+    independently-filtered region (the whole image, or one Adam7
+    pass). ``arr`` is (rows, stride+1) uint8 with the filter byte in
+    column 0; returns (rows, stride) uint8."""
+    import numpy as np
+    bpp = 3
     prior = np.zeros(stride, dtype=np.int64)
-    totals = np.zeros(3, dtype=np.int64)
-    for y in range(h):
+    rows = []
+    for y in range(arr.shape[0]):
         ft, cur = int(arr[y, 0]), arr[y, 1:].astype(np.int64)
         if ft == 0:
             rec = cur
@@ -341,41 +386,20 @@ def decode_png(payload: bytes) -> dict:
                 rec[x] = (int(cur[x]) + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-        totals += rec.reshape(-1, 3).sum(axis=0)
+        rows.append(rec.astype(np.uint8))
         prior = rec
-    n = w * h
-    out.update(mean_r_milli=int(totals[0] * 1000 // n),
-               mean_g_milli=int(totals[1] * 1000 // n),
-               mean_b_milli=int(totals[2] * 1000 // n))
-    return out
-
-
-def encode_png(rgb: bytes, width: int) -> bytes:
-    """Build a genuine 8-bit truecolor PNG from raw RGB bytes — the
-    encode half of the roundtrip oracle. Rows cycle through filter
-    types 0/1/2 (None/Sub/Up) so the decoder's de-filtering is
-    actually exercised, and the IDAT stream is real ``zlib.compress``
-    output (the decode path runs a real inflate; compressed bytes are
-    never hashed, so codec-level nondeterminism cannot leak into
-    oracle values). CRC-32s are computed per chunk per the spec."""
-    import struct
-    import zlib
-
-    import numpy as np
-    stride = 3 * width
-    if width <= 0 or len(rgb) % stride:
-        raise ValueError("rgb length must be a multiple of 3*width")
-    h = len(rgb) // stride
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
-
-    ihdr = struct.pack(">IIBBBBB", width, h, 8, 2, 0, 0, 0)
-    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, stride) if h else \
+    return np.stack(rows) if rows else \
         np.zeros((0, stride), dtype=np.uint8)
+
+
+def _png_filter_rows(px) -> bytearray:
+    """Forward-filter one independently-filtered region (whole image
+    or one Adam7 pass), cycling filter types 0/1/2 (None/Sub/Up) so
+    the decoder's de-filtering is actually exercised. ``px`` is
+    (rows, stride) uint8."""
+    import numpy as np
     lines = bytearray()
-    for y in range(h):
+    for y in range(px.shape[0]):
         row = px[y].astype(np.int16)
         ft = y % 3
         if ft == 0:
@@ -389,6 +413,47 @@ def encode_png(rgb: bytes, width: int) -> bytes:
             filtered = ((row - prior) & 0xFF).astype(np.uint8)
         lines.append(ft)
         lines += filtered.tobytes()
+    return lines
+
+
+def encode_png(rgb: bytes, width: int, interlace: bool = False) -> bytes:
+    """Build a genuine 8-bit truecolor PNG from raw RGB bytes — the
+    encode half of the roundtrip oracle. Rows cycle through filter
+    types 0/1/2 (None/Sub/Up), the IDAT stream is real
+    ``zlib.compress`` output (the decode path runs a real inflate;
+    compressed bytes are never hashed, so codec-level nondeterminism
+    cannot leak into oracle values), and CRC-32s are computed per
+    chunk per the spec. With ``interlace`` the image ships as the
+    seven Adam7 sub-images, each filtered independently — the layout
+    real "web-optimized" PNGs use."""
+    import struct
+    import zlib
+
+    import numpy as np
+    stride = 3 * width
+    if width <= 0 or len(rgb) % stride:
+        raise ValueError("rgb length must be a multiple of 3*width")
+    h = len(rgb) // stride
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, 2, 0, 0,
+                       1 if interlace else 0)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, stride) if h else \
+        np.zeros((0, stride), dtype=np.uint8)
+    if not interlace:
+        lines = _png_filter_rows(px)
+    else:
+        img = px.reshape(h, width, 3)
+        lines = bytearray()
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _png_filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * 3))
     idat = zlib.compress(bytes(lines))
     return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))

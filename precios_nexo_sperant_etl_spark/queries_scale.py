@@ -9739,3 +9739,105 @@ FROM v ORDER BY doc_id
         "machinery, pixel stats hash-verified against doc_id "
         "arithmetic — the progressive and baseline codecs must agree.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG roundtrip — the "web-optimized" PNG layout:
+# seven independently-filtered sub-images on the (x0,y0,dx,dy) pass
+# lattices, de-filtered per pass and scattered back. Each document
+# becomes a 16x16 RGB image whose channels are position-dependent
+# doc_id arithmetic; even ids ship interlaced, odd ids sequential, so
+# both layouts sit inside one hashed result and MUST agree. Channel
+# means alone would not catch a scatter-placement bug (they are
+# permutation-invariant), so the oracle also pins a position-weighted
+# first moment per channel: sum((1 + x + 16y) * V(x,y)).
+# ---------------------------------------------------------------------------
+
+def _png_adam7_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import decode_png, encode_png
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                y, x = np.mgrid[0:16, 0:16]
+                rgb = np.stack([
+                    (did + 3 * x + 5 * y) % 256,
+                    (2 * did + 7 * x + y) % 256,
+                    (3 * did + x + 11 * y) % 256,
+                ], axis=-1).astype(np.uint8)
+                payloads.append(encode_png(rgb.tobytes(), 16,
+                                           interlace=(did % 2 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_png(bytes(p))
+                rgb = r["rgb"].astype("int64")
+                y, x = np.mgrid[0:16, 0:16]
+                wgt = 1 + x + 16 * y
+                rows.append({
+                    "doc_id": int(did),
+                    "interlaced": bool(r["interlaced"]),
+                    "mean_r_milli": r["mean_r_milli"],
+                    "mean_g_milli": r["mean_g_milli"],
+                    "mean_b_milli": r["mean_b_milli"],
+                    "moment_r": int((wgt * rgb[:, :, 0]).sum()),
+                    "moment_g": int((wgt * rgb[:, :, 1]).sum()),
+                    "moment_b": int((wgt * rgb[:, :, 2]).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, interlaced boolean,"
+                                 " mean_r_milli long, mean_g_milli long,"
+                                 " mean_b_milli long, moment_r long,"
+                                 " moment_g long, moment_b long")
+               .orderBy("doc_id"))
+
+
+register(
+    "png_adam7_roundtrip",
+    _png_adam7_roundtrip,
+    """
+WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
+v AS (
+  SELECT d.doc_id,
+         SUM((d.doc_id + 3 * g.x + 5 * g.y) % 256) AS sr,
+         SUM((2 * d.doc_id + 7 * g.x + g.y) % 256) AS sg,
+         SUM((3 * d.doc_id + g.x + 11 * g.y) % 256) AS sb,
+         SUM((1 + g.x + 16 * g.y)
+             * ((d.doc_id + 3 * g.x + 5 * g.y) % 256)) AS mr,
+         SUM((1 + g.x + 16 * g.y)
+             * ((2 * d.doc_id + 7 * g.x + g.y) % 256)) AS mg,
+         SUM((1 + g.x + 16 * g.y)
+             * ((3 * d.doc_id + g.x + 11 * g.y) % 256)) AS mb
+  FROM documents d CROSS JOIN g GROUP BY d.doc_id)
+SELECT doc_id,
+       doc_id % 2 = 0 AS interlaced,
+       CAST(sr * 1000 // 256 AS BIGINT) AS mean_r_milli,
+       CAST(sg * 1000 // 256 AS BIGINT) AS mean_g_milli,
+       CAST(sb * 1000 // 256 AS BIGINT) AS mean_b_milli,
+       CAST(mr AS BIGINT) AS moment_r,
+       CAST(mg AS BIGINT) AS moment_g,
+       CAST(mb AS BIGINT) AS moment_b
+FROM v ORDER BY doc_id
+""",
+    doc="Adam7 interlaced PNG roundtrip: per-pass filtered sub-images "
+        "de-filtered and scattered back by the real decoder (even ids "
+        "interlaced, odd sequential), channel means AND position-"
+        "weighted first moments hash-verified — placement bugs cannot "
+        "hide behind permutation-invariant stats.",
+)

@@ -675,3 +675,43 @@ def test_downsample_box2_floor_and_orientation():
     assert img.shape == (2, 2, 3)
     assert img[0, 1].tolist() == [1, 0, 1]   # y=0, x=1: (b=1, g=0, r=1)
     assert img[1, 0].tolist() == [1, 1, 0]   # y=1, x=0: (b=1, g=1, r=0)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    import numpy as np
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_png, encode_png)
+    rng = np.random.RandomState(3)
+    # odd geometries exercise empty and partial Adam7 passes
+    for (w, h) in [(16, 16), (17, 13), (7, 5), (1, 1), (3, 9), (8, 1)]:
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d0 = decode_png(encode_png(rgb.tobytes(), w))
+        d1 = decode_png(encode_png(rgb.tobytes(), w, interlace=True))
+        assert np.array_equal(d0["rgb"], rgb)
+        assert np.array_equal(d1["rgb"], rgb)
+        assert d1["interlaced"] and not d0["interlaced"]
+    # a truncated interlaced stream is corrupt, not silently partial
+    import pytest
+    j = encode_png(rng.randint(0, 256, size=(16, 16, 3),
+                               dtype=np.uint8).tobytes(), 16,
+                   interlace=True)
+    import struct, zlib
+    # rebuild with one pass's bytes chopped from the inflated stream
+    pos = 8
+    chunks = {}
+    while pos + 12 <= len(j):
+        ln, typ = struct.unpack_from(">I4s", j, pos)
+        chunks.setdefault(typ, b"")
+        chunks[typ] += j[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(chunks[b"IDAT"])
+    bad_idat = zlib.compress(raw[:-5])
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    sig = j[:8]
+    bad = (sig + chunk(b"IHDR", chunks[b"IHDR"])
+           + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad)
