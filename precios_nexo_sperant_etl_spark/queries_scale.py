@@ -9841,3 +9841,109 @@ FROM v ORDER BY doc_id
         "weighted first moments hash-verified — placement bugs cannot "
         "hide behind permutation-invariant stats.",
 )
+
+
+# ---------------------------------------------------------------------------
+# GIF decode roundtrip — the palette-image format, with REAL LZW
+# underneath (variable-width LSB-first codes, CLEAR/EOI, KwKwK,
+# dictionary growth): each document becomes a genuine GIF89a (global
+# color table + GCE extension the walker must skip; even ids ship the
+# 4-pass row interlace) whose 16x16 index pattern and 16-color
+# palette are doc_id arithmetic, so DuckDB recomputes channel means
+# AND position-weighted moments (placement-sensitive: interlace
+# reordering bugs cannot hide) without ever touching bytes.
+# ---------------------------------------------------------------------------
+
+def _gif_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import decode_gif, encode_gif
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                y, x = np.mgrid[0:16, 0:16]
+                idx = ((did + 2 * x + 3 * y) % 16).astype(np.uint8)
+                i = np.arange(16)
+                pal = np.stack([(did * 5 + 17 * i) % 256,
+                                (did * 7 + 29 * i) % 256,
+                                (did * 11 + 41 * i) % 256],
+                               axis=-1).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal,
+                                           interlace=(did % 2 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_gif(bytes(p))
+                rgb = r["rgb"].astype("int64")
+                y, x = np.mgrid[0:16, 0:16]
+                wgt = 1 + x + 16 * y
+                rows.append({
+                    "doc_id": int(did),
+                    "interlaced": bool(r["interlaced"]),
+                    "palette_size": r["palette_size"],
+                    "mean_r_milli": r["mean_r_milli"],
+                    "mean_g_milli": r["mean_g_milli"],
+                    "mean_b_milli": r["mean_b_milli"],
+                    "moment_r": int((wgt * rgb[:, :, 0]).sum()),
+                    "moment_g": int((wgt * rgb[:, :, 1]).sum()),
+                    "moment_b": int((wgt * rgb[:, :, 2]).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, interlaced boolean,"
+                                 " palette_size long,"
+                                 " mean_r_milli long, mean_g_milli long,"
+                                 " mean_b_milli long, moment_r long,"
+                                 " moment_g long, moment_b long")
+               .orderBy("doc_id"))
+
+
+register(
+    "gif_decode_roundtrip",
+    _gif_decode_roundtrip,
+    """
+WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
+px AS (
+  SELECT d.doc_id, g.x, g.y,
+         (d.doc_id + 2 * g.x + 3 * g.y) % 16 AS i
+  FROM documents d CROSS JOIN g),
+v AS (
+  SELECT doc_id,
+         SUM((doc_id * 5 + 17 * i) % 256) AS sr,
+         SUM((doc_id * 7 + 29 * i) % 256) AS sg,
+         SUM((doc_id * 11 + 41 * i) % 256) AS sb,
+         SUM((1 + x + 16 * y) * ((doc_id * 5 + 17 * i) % 256)) AS mr,
+         SUM((1 + x + 16 * y) * ((doc_id * 7 + 29 * i) % 256)) AS mg,
+         SUM((1 + x + 16 * y) * ((doc_id * 11 + 41 * i) % 256)) AS mb
+  FROM px GROUP BY doc_id)
+SELECT doc_id,
+       doc_id % 2 = 0 AS interlaced,
+       CAST(16 AS BIGINT) AS palette_size,
+       CAST(sr * 1000 // 256 AS BIGINT) AS mean_r_milli,
+       CAST(sg * 1000 // 256 AS BIGINT) AS mean_g_milli,
+       CAST(sb * 1000 // 256 AS BIGINT) AS mean_b_milli,
+       CAST(mr AS BIGINT) AS moment_r,
+       CAST(mg AS BIGINT) AS moment_g,
+       CAST(mb AS BIGINT) AS moment_b
+FROM v ORDER BY doc_id
+""",
+    doc="GIF89a decode roundtrip: genuine LZW streams (variable-width "
+        "LSB codes, CLEAR/EOI, KwKwK, GCE skip; even ids 4-pass "
+        "interlaced) decoded for real, channel means + position-"
+        "weighted moments hash-verified against palette/index "
+        "arithmetic.",
+)

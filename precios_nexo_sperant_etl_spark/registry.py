@@ -107,6 +107,7 @@ _CHECK_FIRST: list[str] = [
     "eval_panel_quota",            # Hamilton apportionment panel
     "jpeg_progressive_roundtrip",  # SOF2 multi-scan G.2 decode
     "png_adam7_roundtrip",         # interlaced PNG pass lattices
+    "gif_decode_roundtrip",        # real LZW + palette + interlace
     # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7).
     # Exactly 5 fit after the 45 must-run slots above; the rest of the
     # r03 cohort (scd2_merge, tpch_q9/q21, mad_outlier_filter,
@@ -115,7 +116,6 @@ _CHECK_FIRST: list[str] = [
     # heads the r9 refresh queue. ---
     "core_update_audit",
     "w4_row_id",
-    "f3_accent_fold",
 ]
 
 

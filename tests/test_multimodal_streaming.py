@@ -715,3 +715,38 @@ def test_png_adam7_interlaced_roundtrip():
            + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+def test_gif_lzw_roundtrip_and_corruption():
+    import numpy as np
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_gif, encode_gif, _gif_lzw_decode, _gif_lzw_encode)
+    rng = np.random.RandomState(11)
+    # LZW layer alone: random + repetitive streams, all min code sizes
+    for mcs in range(2, 9):
+        n = 1 << mcs
+        for kind in range(3):
+            if kind == 0:
+                s = rng.randint(0, n, size=400, dtype=np.uint8).tobytes()
+            elif kind == 1:
+                s = bytes((i % n for i in range(4000)))   # dict growth
+            else:
+                s = bytes(200) + bytes((n - 1,)) * 200    # long runs
+            assert _gif_lzw_decode(_gif_lzw_encode(s, mcs), mcs) == s
+    # container roundtrip, both interlace modes
+    idx = (np.add.outer(np.arange(24), np.arange(17)) % 8).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    for inter in (False, True):
+        d = decode_gif(encode_gif(idx, pal, interlace=inter))
+        assert np.array_equal(d["rgb"], pal[idx])
+        assert d["interlaced"] == inter
+    # corruption taxonomy: truncated sub-blocks, bad index, non-GIF
+    j = encode_gif(idx, pal)
+    with pytest.raises(ValueError):
+        decode_gif(j[:len(j) // 2])
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + j)
+    # a chopped tail (lost sub-block terminator + trailer) is corrupt
+    with pytest.raises(ValueError):
+        decode_gif(j[:-10])
