@@ -154,6 +154,7 @@ HEADLINE = [
     "jpeg_progressive_roundtrip",  # SOF2 multi-scan decode via Arrow
     "png_adam7_roundtrip",      # interlaced pass scatter via Arrow
     "gif_decode_roundtrip",     # real LZW decode via Arrow seam
+    "g711_wav_roundtrip",       # G.711 expansion via Arrow seam
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -170,18 +170,59 @@ def decode_wav(payload: bytes) -> dict:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_fmt != 1:
-        raise ValueError("only integer PCM is decoded here")
+    if audio_fmt not in (1, 6, 7):
+        raise ValueError("only integer PCM / G.711 A-law / mu-law "
+                         "is decoded here")
+    if audio_fmt in (6, 7) and bits != 8:
+        raise ValueError("companded G.711 frames are 8-bit")
     bytes_per_frame = channels * bits // 8
     n_frames = len(data) // bytes_per_frame if bytes_per_frame else 0
     out = {"channels": int(channels), "sample_rate": int(rate),
-           "n_frames": int(n_frames),
+           "n_frames": int(n_frames), "audio_format": int(audio_fmt),
            "duration_ms": int(n_frames * 1000 // rate) if rate else 0}
-    if bits == 16 and n_frames:
+    if audio_fmt == 1 and bits == 16 and n_frames:
         x = np.frombuffer(data, dtype="<i2",
                           count=n_frames * channels).astype(np.int64)
         out["ms_amplitude"] = int((x * x).sum() // x.size)
+    elif audio_fmt in (6, 7) and n_frames:
+        u = np.frombuffer(data, dtype=np.uint8,
+                          count=n_frames * channels).astype(np.int64)
+        x = (_alaw_expand(u) if audio_fmt == 6 else _ulaw_expand(u))
+        out["ms_amplitude"] = int((x * x).sum() // x.size)
+        out["sample_sum"] = int(x.sum())
     return out
+
+
+def _ulaw_expand(u):
+    """ITU-T G.711 mu-law byte → linear 16-bit sample (the standard
+    segment/mantissa expansion — pure integer arithmetic, replicated
+    by the oracle SQL): complement, split sign/exponent/mantissa,
+    ((m<<3)+0x84)<<e − 0x84, re-sign."""
+    import numpy as np
+    c = (~u) & 0xFF
+    sign = (c & 0x80) != 0
+    e = (c >> 4) & 0x07
+    m = c & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag) if hasattr(u, "shape") else \
+        (-mag if sign else mag)
+
+
+def _alaw_expand(a):
+    """ITU-T G.711 A-law byte → linear sample: XOR 0x55, then segment
+    expansion ((m<<4)+8 for segment 0, ((m<<4)+0x108)<<(e-1) above)."""
+    import numpy as np
+    c = a ^ 0x55
+    sign = (c & 0x80) != 0
+    e = (c >> 4) & 0x07
+    m = c & 0x0F
+    mag0 = (m << 4) + 8
+    magn = ((m << 4) + 0x108) << np.maximum(e - 1, 0) \
+        if hasattr(a, "shape") else ((m << 4) + 0x108) << max(e - 1, 0)
+    mag = np.where(e == 0, mag0, magn) if hasattr(a, "shape") else \
+        (mag0 if e == 0 else magn)
+    return np.where(sign, -mag, mag) if hasattr(a, "shape") else \
+        (-mag if sign else mag)
 
 
 def wav_samples(payload: bytes):

@@ -9947,3 +9947,106 @@ FROM v ORDER BY doc_id
         "weighted moments hash-verified against palette/index "
         "arithmetic.",
 )
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded-audio roundtrip — telephony-grade mu-law/A-law WAV
+# (format tags 7/6), the companded byte streams a speech-data pipeline
+# meets before any neural codec. Each document synthesizes a genuine
+# RIFF container whose 8-bit payload derives from doc_id; the decoder
+# runs the real ITU-T G.711 segment/mantissa expansion to linear
+# 16-bit samples, and DuckDB replays the SAME integer expansion
+# ((m*8+132)<<e - 132 for mu, the xor-0x55 segment form for A) per
+# byte — sample sums and mean-square amplitude are value-pinned, so
+# any bit of the expansion (complement, segment shift, re-sign) is
+# inside the hash.
+# ---------------------------------------------------------------------------
+
+def _g711_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    from .operators.multimodal import decode_wav
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                n = 64 + did % 64
+                data = bytes((did * 13 + 7 * i) % 256 for i in range(n))
+                fmt = 7 if did % 2 == 0 else 6
+                fmtc = struct.pack("<HHIIHH", fmt, 1, 8000, 8000, 1, 8)
+                body = (b"WAVE" + b"fmt "
+                        + struct.pack("<I", len(fmtc)) + fmtc
+                        + b"data" + struct.pack("<I", len(data)) + data
+                        + (b"\0" if len(data) & 1 else b""))
+                payloads.append(b"RIFF" + struct.pack("<I", len(body))
+                                + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_wav(bytes(p))
+                rows.append({"doc_id": int(did),
+                             "audio_format": r["audio_format"],
+                             "n_frames": r["n_frames"],
+                             "duration_ms": r["duration_ms"],
+                             "sample_sum": r["sample_sum"],
+                             "ms_amplitude": r["ms_amplitude"]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(synth, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, audio_format long,"
+                                 " n_frames long, duration_ms long,"
+                                 " sample_sum long, ms_amplitude long")
+               .orderBy("doc_id"))
+
+
+register(
+    "g711_wav_roundtrip",
+    _g711_wav_roundtrip,
+    """
+WITH f AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+b AS (
+  SELECT f.doc_id, f.n,
+         (f.doc_id * 13 + 7 * s.i) % 256 AS byte
+  FROM f JOIN (SELECT CAST(g AS BIGINT) AS i
+               FROM generate_series(0, 127) t(g)) s ON s.i < f.n),
+x AS (
+  SELECT doc_id, n,
+         CASE WHEN doc_id % 2 = 0 THEN           -- mu-law
+           CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END
+           * ((((255 - byte) % 16) * 8 + 132)
+              * (1 << (((255 - byte) // 16) % 8)) - 132)
+         ELSE                                     -- A-law
+           CASE WHEN xor(byte, 85) >= 128 THEN -1 ELSE 1 END
+           * (CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
+                   THEN (xor(byte, 85) % 16) * 16 + 8
+                   ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                        * (1 << (((xor(byte, 85) // 16) % 8) - 1))
+              END)
+         END AS s
+  FROM b)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS BIGINT)
+         AS audio_format,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(SUM(s * s) // n AS BIGINT) AS ms_amplitude
+FROM x GROUP BY doc_id, n ORDER BY doc_id
+""",
+    doc="G.711 mu-law/A-law WAV roundtrip: genuine RIFF containers "
+        "with companded 8-bit payloads expanded by the real ITU-T "
+        "segment/mantissa arithmetic, sample sums and mean-square "
+        "amplitude replayed byte-for-byte by integer SQL.",
+)

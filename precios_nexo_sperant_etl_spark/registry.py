@@ -108,6 +108,7 @@ _CHECK_FIRST: list[str] = [
     "jpeg_progressive_roundtrip",  # SOF2 multi-scan G.2 decode
     "png_adam7_roundtrip",         # interlaced PNG pass lattices
     "gif_decode_roundtrip",        # real LZW + palette + interlace
+    "g711_wav_roundtrip",          # ITU-T mu/A-law expansion
     # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7).
     # Exactly 5 fit after the 45 must-run slots above; the rest of the
     # r03 cohort (scd2_merge, tpch_q9/q21, mad_outlier_filter,
@@ -115,7 +116,6 @@ _CHECK_FIRST: list[str] = [
     # minhash_dedup_pairs_prod/_capped) keeps its standing stamps and
     # heads the r9 refresh queue. ---
     "core_update_audit",
-    "w4_row_id",
 ]
 
 

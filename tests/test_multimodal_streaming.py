@@ -750,3 +750,47 @@ def test_gif_lzw_roundtrip_and_corruption():
     # a chopped tail (lost sub-block terminator + trailer) is corrupt
     with pytest.raises(ValueError):
         decode_gif(j[:-10])
+
+
+def test_g711_companded_wav_decode():
+    import numpy as np
+    import struct
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_wav, _ulaw_expand, _alaw_expand)
+
+    def wav(fmt, data, ch=1, rate=8000, bits=8):
+        fmtc = struct.pack("<HHIIHH", fmt, ch, rate,
+                           rate * ch * bits // 8, ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\0" if len(data) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    u = np.arange(256)
+    xu, xa = _ulaw_expand(u), _alaw_expand(u)
+    # classic 16-bit G.711 tables: mu-law +-32124, A-law +-32256;
+    # 0xFF / 0x7F are mu-law zero; sign bit negates exactly
+    assert (xu.max(), xu.min()) == (32124, -32124)
+    assert (xa.max(), xa.min()) == (32256, -32256)
+    assert xu[0xFF] == 0 and xu[0x7F] == 0
+    b = np.arange(128)
+    assert np.all(xu[b] == -xu[b | 0x80])
+    assert np.all(xa[b | 0x80] == -xa[b])
+    # A-law segment-0 quantization step is 16 (values 8, 24, 40, ...)
+    seg0 = np.sort(np.unique(np.abs(xa[xa != 0])))[:4]
+    assert list(seg0[:2]) == [8, 24]
+    # container decode carries exact integer stats
+    d = decode_wav(wav(7, bytes(range(256))))
+    assert d["audio_format"] == 7 and d["n_frames"] == 256
+    assert d["sample_sum"] == int(xu.sum())
+    assert d["ms_amplitude"] == int((xu * xu).sum() // 256)
+    d = decode_wav(wav(6, bytes(range(256))))
+    assert d["sample_sum"] == int(xa.sum())
+    # companded frames must be 8-bit; 16-bit mu-law is corrupt
+    with pytest.raises(ValueError):
+        decode_wav(wav(7, bytes(16), bits=16))
+    # PCM regression
+    d = decode_wav(wav(1, struct.pack("<4h", 100, -100, 200, -200),
+                       bits=16))
+    assert d["ms_amplitude"] == (2 * 100 * 100 + 2 * 200 * 200) // 4
