@@ -155,6 +155,7 @@ HEADLINE = [
     "png_adam7_roundtrip",      # interlaced pass scatter via Arrow
     "gif_decode_roundtrip",     # real LZW decode via Arrow seam
     "g711_wav_roundtrip",       # G.711 expansion via Arrow seam
+    "streaming_stateful_sessions",  # applyInPandasWithState drain
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -423,3 +423,118 @@ WHERE rn = 1 ORDER BY source
         "for bit against the batch latest-per-key SQL — the seventh "
         "streaming merge algebra, the CDC/materialized-view one.",
 )
+
+
+# ---------------------------------------------------------------------------
+# CUSTOM STATEFUL STREAMING OPERATOR — applyInPandasWithState, the API
+# tier below the built-in windowed aggregations: per-user gap
+# sessionization with an explicit state machine. Each micro-batch
+# merges its events into the user's buffered state, splits the buffer
+# on >=30min gaps, EMITS every chunk that has a successor (its closing
+# gap is proven), and keeps only the trailing open chunk in state. The
+# stage directory carries two files (events + a per-user __flush__
+# sentinel 2h past the global max) and maxFilesPerTrigger=1, so the
+# operator really runs across micro-batches — and because sentinels
+# advance the clock without being emitted, the final output is
+# IDENTICAL whichever order the two files are batched in. Oracle: the
+# same lag/cumsum SQL as events_sessionize — bit-exact totals via the
+# same Decimal(18,2) quantization dsum uses.
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+def _stateful_sessions_fn(key, pdfs, state):
+    from decimal import Decimal
+
+    import pandas as pd
+    new_ts: list[int] = []
+    new_val: list[float] = []
+    new_fl: list[bool] = []
+    for pdf in pdfs:
+        ts = pd.to_datetime(pdf["ts"]).astype("int64") // 1000  # micros
+        new_ts += [int(t) for t in ts]
+        new_val += [float(v) for v in pdf["value"]]
+        new_fl += [et == "__flush__" for et in pdf["event_type"]]
+    if state.exists:
+        ots, ovals, ofl = state.get
+        new_ts += list(ots)
+        new_val += list(ovals)
+        new_fl += list(ofl)
+    order = sorted(range(len(new_ts)), key=lambda i: new_ts[i])
+    ts_s = [new_ts[i] for i in order]
+    val_s = [new_val[i] for i in order]
+    fl_s = [new_fl[i] for i in order]
+    # split on >= gap
+    chunks: list[tuple[int, int]] = []
+    start = 0
+    for i in range(1, len(ts_s)):
+        if ts_s[i] - ts_s[i - 1] >= _SESS_GAP_US:
+            chunks.append((start, i))
+            start = i
+    chunks.append((start, len(ts_s)))
+    rows = []
+    for (a, b) in chunks[:-1]:             # closed: successor gap proven
+        if all(fl_s[a:b]):
+            continue                        # sentinel-only pseudo-chunk
+        tot = sum((Decimal(str(val_s[i])).quantize(Decimal("0.01"))
+                   for i in range(a, b) if not fl_s[i]),
+                  Decimal(0))
+        n = sum(1 for i in range(a, b) if not fl_s[i])
+        rows.append({"user_id": int(key[0]),
+                     "session_start": pd.Timestamp(
+                         min(ts_s[i] for i in range(a, b)
+                             if not fl_s[i]), unit="us"),
+                     "n_events": n, "total_value": float(tot)})
+    a, b = chunks[-1]
+    state.update((ts_s[a:b], val_s[a:b], fl_s[a:b]))
+    if rows:
+        yield pd.DataFrame(rows)
+
+
+def _streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .streaming.stream_curation import stream_events_with_flush
+    ev = stream_events_with_flush(spark, sf)
+    sessions = (ev.groupBy("user_id").applyInPandasWithState(
+        _stateful_sessions_fn,
+        outputStructType="user_id long, session_start timestamp_ntz,"
+                         " n_events long, total_value double",
+        stateStructType="ts array<long>, vals array<double>,"
+                        " fl array<boolean>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    out = tempfile.mkdtemp(prefix="stream_sess_q_")
+    q = (sessions.writeStream.format("parquet")
+         .option("path", os.path.join(out, "sessions"))
+         .option("checkpointLocation", os.path.join(out, "ckpt"))
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stateful session drain exceeded 300s")
+    return (spark.read.parquet(os.path.join(out, "sessions"))
+            .orderBy("user_id", "session_start"))
+
+
+register(
+    "streaming_stateful_sessions",
+    _streaming_stateful_sessions,
+    """
+WITH e AS (SELECT ts::TIMESTAMP AS ts, value, user_id FROM events),
+m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s FROM e),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, min(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+        "per-user gap sessionization with buffered state across "
+        "micro-batches, sentinel-advanced clock, batch-order-"
+        "independent emission — bit-exact against the batch lag/"
+        "cumsum sessionize SQL.",
+)

@@ -109,13 +109,15 @@ _CHECK_FIRST: list[str] = [
     "png_adam7_roundtrip",         # interlaced PNG pass lattices
     "gif_decode_roundtrip",        # real LZW + palette + interlace
     "g711_wav_roundtrip",          # ITU-T mu/A-law expansion
-    # --- r03-stamp cohort refresh (oldest stamps; VERDICT r7 item 7).
-    # Exactly 5 fit after the 45 must-run slots above; the rest of the
-    # r03 cohort (scd2_merge, tpch_q9/q21, mad_outlier_filter,
-    # skew_salted_join, table_profile_orders, tpch_q11/q16/q20,
-    # minhash_dedup_pairs_prod/_capped) keeps its standing stamps and
-    # heads the r9 refresh queue. ---
-    "core_update_audit",
+    "streaming_stateful_sessions",  # applyInPandasWithState machine
+    # --- r03-stamp cohort refresh (VERDICT r7 item 7): the r8 query
+    # additions ultimately filled every leftover slot, so the WHOLE
+    # r03 cohort (core_update_audit, w4_row_id, f3_accent_fold,
+    # f8_to_datetime, null_safe_join, scd2_merge, tpch_q9/q21,
+    # mad_outlier_filter, skew_salted_join, table_profile_orders,
+    # tpch_q11/q16/q20, minhash_dedup_pairs_prod/_capped) keeps its
+    # standing stamps and heads the r9 refresh queue — never-stamped
+    # evidence beats refreshing a valid old stamp. ---
 ]
 
 

@@ -166,3 +166,54 @@ def stream_neardup_ingest(spark: SparkSession, src_dir: str, out_dir: str,
         q.stop()
         raise TimeoutError(
             f"near-dup ingest drain exceeded {timeout_s}s before completing")
+
+
+def stream_events_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events table plus a FLUSH sentinel file:
+    real pipelines close gap-sessions when the event-time clock moves
+    past them; a drained (availableNow) run needs something to move
+    the clock past the last real event, so the stage directory carries
+    a second parquet file with one ``__flush__`` row per user at
+    (global max ts + 2h). The stateful operator advances its clock on
+    sentinels but never emits them, which makes the final output
+    INDEPENDENT of the order the two files are micro-batched in —
+    see ``streaming_stateful_sessions``."""
+    import tempfile as _tf
+
+    from ..sources.tables import load_tables
+    stage = os.path.join(_tf.gettempdir(),
+                         "stream_events_" + sf_dir.strip("/")
+                         .replace("/", "_"))
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        ev = load_tables(spark, sf_dir)["events"] \
+            .select("user_id", "ts", "value", "event_type")
+        (ev.coalesce(1).write.mode("overwrite")
+           .parquet(os.path.join(stage, "f0")))
+        flush = (ev.groupBy("user_id")
+                   .agg(F.max("ts").alias("_m"))
+                   .select("user_id",
+                           (F.col("_m") + F.expr("INTERVAL 2 HOURS"))
+                           .alias("ts"),
+                           F.lit(0.0).alias("value"),
+                           F.lit("__flush__").alias("event_type"))
+                   .crossJoin(F.broadcast(
+                       ev.agg(F.max("ts").alias("_g"))))
+                   .select("user_id",
+                           (F.col("_g") + F.expr("INTERVAL 2 HOURS"))
+                           .alias("ts"), "value", "event_type"))
+        (flush.coalesce(1).write.mode("overwrite")
+              .parquet(os.path.join(stage, "f1")))
+        # flatten: the file source watches one directory
+        import glob
+        import shutil
+        for i, sub in enumerate(("f0", "f1")):
+            src = glob.glob(os.path.join(stage, sub, "part-*.parquet"))[0]
+            shutil.copy(src, os.path.join(stage, f"data{i}.parquet"))
+            shutil.rmtree(os.path.join(stage, sub))
+        open(done, "w").close()
+    schema = spark.read.parquet(
+        os.path.join(stage, "data0.parquet")).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage))
