@@ -8987,11 +8987,13 @@ FROM ev
 # the corpus's top-50 frequent words (vocab-sized collect, the same
 # posture as the BPE symbol table); segmentation runs over each doc's
 # first 64 chars (bounds the oracle's recursion depth). The oracle
-# replays the EXACT greedy walk as a recursive CTE with a correlated
-# longest-match subquery, so token counts, fallback counts and the
-# md5 of the full segmentation are all value-pinned. Only one vocab
-# term of a given length can match a given prefix, so the greedy
-# choice is unambiguous on both engines.
+# replays the EXACT greedy walk as a recursive CTE over a PRECOMPUTED
+# (doc, pos) → longest-match table (r8: one hash join per step
+# instead of three correlated vocab scans — 13s → 2.6s), so token
+# counts, fallback counts and the md5 of the full segmentation are
+# all value-pinned. Only one vocab term of a given length can match
+# a given prefix, so the greedy choice is unambiguous on both
+# engines.
 # ---------------------------------------------------------------------------
 
 _MM_PREFIX = 64
