@@ -156,6 +156,7 @@ HEADLINE = [
     "gif_decode_roundtrip",     # real LZW decode via Arrow seam
     "g711_wav_roundtrip",       # G.711 expansion via Arrow seam
     "streaming_stateful_sessions",  # applyInPandasWithState drain
+    "quality_stump_probe",      # depth-1 tree, exact prefix sums
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

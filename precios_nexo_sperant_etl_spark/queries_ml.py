@@ -673,3 +673,111 @@ register(
         "vs the HUGEINT oracle — closed-form data attribution with a "
         "9-integers-per-source shuffle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump probe — the third in-engine model family (exact
+# linear, ridge, now depth-1 tree). Fit: over both integer features,
+# choose the (feature, threshold) split of y minimizing SSE — i.e.
+# maximizing sL²/nL + sR²/nR (y is 0/1 so Σy² = Σy and the constant
+# drops). Exactness posture: per-threshold (n, s) prefix sums are
+# exact BIGINTs from ONE grouped pass per feature; the gain is two
+# correctly-rounded IEEE divisions of exact <2⁵³ integers summed in a
+# fixed order — bit-identical across engines like the probe weights —
+# and the argmax tiebreak is (gain DESC, feature, threshold). The only
+# windows run over the ≤(cap+1)-row distinct-value aggregates (the
+# feature cap is a design constant, corpus-independent).
+# ---------------------------------------------------------------------------
+
+def _stump_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = _t(spark, sf, "documents").select(*_features())
+    cands = None
+    for feat in ("x1", "x2"):
+        per_v = d.groupBy(F.col(feat).alias("threshold")).agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("y").alias("_s"))
+        w = (Window.orderBy("threshold")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        tot = per_v.agg(F.sum("_n").alias("_tn"), F.sum("_s").alias("_ts"))
+        pref = (per_v
+                .withColumn("n_left", F.sum("_n").over(w))
+                .withColumn("s_left", F.sum("_s").over(w))
+                .crossJoin(F.broadcast(tot))
+                .withColumn("n_right", F.col("_tn") - F.col("n_left"))
+                .withColumn("s_right", F.col("_ts") - F.col("s_left"))
+                .where(F.col("n_right") > 0)
+                .select(F.lit(feat).alias("feature"), "threshold",
+                        "n_left", "n_right", "s_left", "s_right"))
+        cands = pref if cands is None else cands.unionByName(pref)
+    gain = (F.col("s_left").cast("double") * F.col("s_left").cast("double")
+            / F.col("n_left").cast("double")
+            + F.col("s_right").cast("double")
+            * F.col("s_right").cast("double")
+            / F.col("n_right").cast("double"))
+    return cands.withColumn("gain", gain)
+
+
+def _quality_stump_probe(spark: SparkSession, sf: str) -> DataFrame:
+    c = _stump_candidates(spark, sf)
+    best = (c.orderBy(F.desc("gain"), F.asc("feature"),
+                      F.asc("threshold")).limit(1))
+    return best.select(
+        "feature", F.col("threshold").cast("long").alias("threshold"),
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        (F.col("s_left").cast("double")
+         / F.col("n_left").cast("double")).alias("mean_left"),
+        (F.col("s_right").cast("double")
+         / F.col("n_right").cast("double")).alias("mean_right"),
+        "gain")
+
+
+_STUMP_ORACLE = """
+WITH f AS (%s),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+               CAST(SUM(y) AS BIGINT) AS ts FROM f),
+c AS (
+  SELECT 'x1' AS feature, CAST(x1 AS BIGINT) AS threshold,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM f GROUP BY x1
+  UNION ALL
+  SELECT 'x2', CAST(x2 AS BIGINT),
+         CAST(COUNT(*) AS BIGINT), CAST(SUM(y) AS BIGINT)
+  FROM f GROUP BY x2),
+p AS (
+  SELECT feature, threshold,
+         SUM(n) OVER (PARTITION BY feature ORDER BY threshold
+                      ROWS UNBOUNDED PRECEDING) AS n_left,
+         SUM(s) OVER (PARTITION BY feature ORDER BY threshold
+                      ROWS UNBOUNDED PRECEDING) AS s_left
+  FROM c),
+g AS (
+  SELECT feature, threshold,
+         CAST(n_left AS BIGINT) AS n_left,
+         CAST(tn - n_left AS BIGINT) AS n_right,
+         CAST(s_left AS BIGINT) AS s_left,
+         CAST(ts - s_left AS BIGINT) AS s_right
+  FROM p, tot WHERE tn - n_left > 0)
+SELECT feature, threshold,
+       n_left, n_right,
+       CAST(s_left AS DOUBLE) / CAST(n_left AS DOUBLE) AS mean_left,
+       CAST(s_right AS DOUBLE) / CAST(n_right AS DOUBLE) AS mean_right,
+       CAST(s_left AS DOUBLE) * CAST(s_left AS DOUBLE)
+         / CAST(n_left AS DOUBLE)
+       + CAST(s_right AS DOUBLE) * CAST(s_right AS DOUBLE)
+         / CAST(n_right AS DOUBLE) AS gain
+FROM g
+ORDER BY gain DESC, feature, threshold
+LIMIT 1
+""" % _FEATURES_SQL
+
+register(
+    "quality_stump_probe",
+    _quality_stump_probe,
+    _STUMP_ORACLE,
+    doc="Depth-1 decision stump fit in the engine: best (feature, "
+        "threshold) split by exact-integer prefix sums over the "
+        "capped distinct-value aggregates, gain as two correctly-"
+        "rounded divisions of exact integers — the third model "
+        "family, bit-exact vs DuckDB.",
+)

@@ -110,14 +110,18 @@ _CHECK_FIRST: list[str] = [
     "gif_decode_roundtrip",        # real LZW + palette + interlace
     "g711_wav_roundtrip",          # ITU-T mu/A-law expansion
     "streaming_stateful_sessions",  # applyInPandasWithState machine
-    # --- r03-stamp cohort refresh (VERDICT r7 item 7): the r8 query
-    # additions ultimately filled every leftover slot, so the WHOLE
-    # r03 cohort (core_update_audit, w4_row_id, f3_accent_fold,
-    # f8_to_datetime, null_safe_join, scd2_merge, tpch_q9/q21,
-    # mad_outlier_filter, skew_salted_join, table_profile_orders,
-    # tpch_q11/q16/q20, minhash_dedup_pairs_prod/_capped) keeps its
-    # standing stamps and heads the r9 refresh queue — never-stamped
-    # evidence beats refreshing a valid old stamp. ---
+    # --- ROUND-9 QUEUE (committed head, in priority order):
+    # 1. quality_stump_probe — registered after the r8 window filled
+    #    (never stamped; parity-green at sf0.01 AND sf0.1 this round),
+    #    plus any later never-stamped additions STAMPS.md flags.
+    # 2. The r03-stamp cohort refresh (VERDICT r7 item 7 — the r8
+    #    additions ultimately filled every leftover slot):
+    #    core_update_audit, w4_row_id, f3_accent_fold, f8_to_datetime,
+    #    null_safe_join, scd2_merge, tpch_q9/q21, mad_outlier_filter,
+    #    skew_salted_join, table_profile_orders, tpch_q11/q16/q20,
+    #    minhash_dedup_pairs_prod/_capped — standing stamps, refresh
+    #    when slots allow; never-stamped evidence beats refreshing a
+    #    valid old stamp. ---
 ]
 
 
