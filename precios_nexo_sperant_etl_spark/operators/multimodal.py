@@ -1403,3 +1403,129 @@ def encode_gif(indices, palette, interlace: bool = False) -> bytes:
         out += blk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI container + MJPEG frame extraction — the video-ingest half of
+# the media seam. MJPEG-in-AVI is the one video format a from-scratch
+# engine can decode end-to-end (every frame is a standalone baseline
+# JPEG, handled by operators/jpegcodec); H.264/H.265 sample decode stays
+# behind the documented library boundary (real_decode_placeholder).
+# Beyond-reference capability (SURVEY §2.8) — the reference repo has no
+# media surface.
+# ---------------------------------------------------------------------------
+
+def encode_avi_mjpeg(frames, width: int, height: int,
+                     us_per_frame: int = 40000) -> bytes:
+    """Pack pre-encoded MJPEG (baseline JPEG) frames into a genuine
+    RIFF/AVI container: LIST hdrl (avih + LIST strl with a
+    'vids'/'MJPG' strh and a BITMAPINFOHEADER strf), LIST movi with one
+    WORD-padded '00dc' chunk per frame, and a real idx1 whose offsets
+    point at each chunk's fourcc relative to the 'movi' fourcc — the
+    legacy index layout every AVI reader still walks."""
+    import struct
+    if not frames:
+        raise ValueError("need at least one frame")
+    rate, scale = 1_000_000, int(us_per_frame)
+    avih = struct.pack("<14I", scale, 0, 0, 0x10, len(frames), 0, 1, 0,
+                       width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<3I", 0, 0, 0)
+            + struct.pack("<2I", scale, rate)
+            + struct.pack("<4I", 0, len(frames), 0, 10000)
+            + struct.pack("<I", 0)
+            + struct.pack("<4h", 0, 0, width, height))
+    strf = struct.pack("<I2i2H", 40, width, height, 1, 24)
+    strf += b"MJPG" + struct.pack("<I4i", width * height * 3, 0, 0, 0, 0)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for fr in frames:
+        # idx1 offset convention: from the 'movi' fourcc to the chunk id
+        off = len(movi_body)
+        movi_body += chunk(b"00dc", bytes(fr))
+        idx += b"00dc" + struct.pack("<3I", 0x10, off, len(fr))
+    movi = chunk(b"LIST", bytes(movi_body))
+    idx1 = chunk(b"idx1", bytes(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi(payload: bytes) -> dict:
+    """REAL AVI walk: verify the RIFF/'AVI ' envelope, recurse LIST
+    chunks honoring WORD padding, pull dwMicroSecPerFrame + dims +
+    dwTotalFrames from avih and dwScale/dwRate from the video strh,
+    collect every '##dc' frame payload from LIST movi, then cross-check
+    the legacy idx1 index (entry count, offsets measured from the
+    'movi' fourcc, sizes) against the movi walk — mismatches set
+    idx_consistent=False instead of raising, the warn-and-keep posture
+    a crawl pipeline needs on mildly corrupt containers."""
+    import struct
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    riff_len = struct.unpack("<I", payload[4:8])[0]
+    if 8 + riff_len > len(payload):
+        raise ValueError("truncated RIFF payload")
+    meta = {"width": 0, "height": 0, "us_per_frame": 0, "total_frames": 0,
+            "scale": 0, "rate": 0}
+    frames: list[bytes] = []
+    frame_offsets: list[int] = []     # offset of chunk id from 'movi' fourcc
+    idx_entries: list[tuple[int, int]] = []
+
+    def walk(lo: int, hi: int, ctx: bytes) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = payload[pos:pos + 4]
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if body_hi > hi:
+                raise ValueError("chunk overruns container")
+            if fourcc == b"LIST":
+                kind = payload[body_lo:body_lo + 4]
+                if kind == b"movi":
+                    mpos = body_lo + 4
+                    while mpos + 8 <= body_hi:
+                        cid = payload[mpos:mpos + 4]
+                        csz = struct.unpack(
+                            "<I", payload[mpos + 4:mpos + 8])[0]
+                        if mpos + 8 + csz > body_hi:
+                            raise ValueError("movi chunk overruns list")
+                        if cid[2:4] in (b"dc", b"db"):
+                            frames.append(
+                                bytes(payload[mpos + 8:mpos + 8 + csz]))
+                            frame_offsets.append(mpos - body_lo)
+                        mpos += 8 + csz + (csz & 1)
+                else:
+                    walk(body_lo + 4, body_hi, kind)
+            elif fourcc == b"avih":
+                v = struct.unpack("<14I", payload[body_lo:body_lo + 56])
+                meta["us_per_frame"], meta["total_frames"] = v[0], v[4]
+                meta["width"], meta["height"] = v[8], v[9]
+            elif fourcc == b"strh" and payload[body_lo:body_lo + 4] == b"vids":
+                meta["scale"], meta["rate"] = struct.unpack(
+                    "<2I", payload[body_lo + 20:body_lo + 28])
+            elif fourcc == b"idx1":
+                for e in range(size // 16):
+                    ck, _fl, off, sz = struct.unpack(
+                        "<4s3I", payload[body_lo + 16 * e:body_lo + 16 * e + 16])
+                    if ck[2:4] in (b"dc", b"db"):
+                        idx_entries.append((off, sz))
+            pos = body_hi + (size & 1)
+
+    walk(12, 8 + riff_len, b"AVI ")
+    consistent = len(idx_entries) == len(frames) and all(
+        io == fo and isz == len(fr)
+        for (io, isz), fo, fr in zip(idx_entries, frame_offsets, frames))
+    fps_milli = (meta["rate"] * 1000 // meta["scale"]) if meta["scale"] else 0
+    return {"width": meta["width"], "height": meta["height"],
+            "us_per_frame": meta["us_per_frame"],
+            "total_frames": meta["total_frames"], "fps_milli": fps_milli,
+            "frames": frames, "idx_consistent": consistent}

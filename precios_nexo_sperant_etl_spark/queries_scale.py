@@ -10052,3 +10052,125 @@ FROM x GROUP BY doc_id, n ORDER BY doc_id
         "segment/mantissa arithmetic, sample sums and mean-square "
         "amplitude replayed byte-for-byte by integer SQL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG video frame sampling — the video-ingest path a multimodal
+# training pipeline runs on every clip: walk the RIFF container, read
+# the frame clock from the REAL stream header (not from filename
+# conventions), sample every k-th frame by wall-clock interval, and
+# entropy-decode only the sampled frames (each MJPEG frame is a
+# standalone baseline JPEG through operators/jpegcodec). Each document
+# synthesizes a genuine AVI (variable frame count AND variable frame
+# rate from doc_id; WORD-padded 00dc chunks; legacy idx1 cross-checked
+# against the movi walk), so the sampling stride is derived from parsed
+# container metadata and the luma sums replay the decoded pixels.
+#
+# Scale shape: two Arrow crossings (encode, parse+sample+decode), zero
+# shuffles before the final sort; decode cost is per-SAMPLED-frame, so
+# the interval knob bounds work per clip no matter how long the video —
+# exactly the property frame-sampling exists to provide at 100 TB.
+# ---------------------------------------------------------------------------
+
+def _avi_mjpeg_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.jpegcodec import decode_baseline, encode_baseline_gray
+    from .operators.multimodal import encode_avi_mjpeg, parse_avi
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+    interval_ms = 100
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                n = 4 + did % 5
+                uspf = 20000 * (1 + did % 3)
+                frames = []
+                for f in range(n):
+                    px = np.zeros((16, 16), dtype=np.uint8)
+                    for k in range(4):
+                        v = (did * 31 + 97 * k + 13 * f) % 256
+                        by, bx = divmod(k, 2)
+                        px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+                    frames.append(encode_baseline_gray(px))
+                payloads.append(
+                    encode_avi_mjpeg(frames, 16, 16, us_per_frame=uspf))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = parse_avi(bytes(p))
+                # stride from PARSED container metadata, not doc_id
+                stride = max(1, (interval_ms * 1000) // r["us_per_frame"])
+                sums, mins, maxs = [], [], []
+                for f in range(0, len(r["frames"]), stride):
+                    px = decode_baseline(
+                        r["frames"][f])["pixels"].astype("int64")
+                    sums.append(int(px.sum()))
+                    mins.append(int(px.min()))
+                    maxs.append(int(px.max()))
+                rows.append({"doc_id": int(did),
+                             "n_frames": len(r["frames"]),
+                             "fps_milli": r["fps_milli"],
+                             "idx_consistent": bool(r["idx_consistent"]),
+                             "sampled_frames": len(sums),
+                             "luma_sum": sum(sums),
+                             "luma_min": min(mins),
+                             "luma_max": max(maxs)})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, n_frames long,"
+                                 " fps_milli long, idx_consistent boolean,"
+                                 " sampled_frames long, luma_sum long,"
+                                 " luma_min long, luma_max long")
+               .orderBy("doc_id"))
+
+
+register(
+    "avi_mjpeg_frame_sample",
+    _avi_mjpeg_frame_sample,
+    """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS n,
+         20000 * (1 + doc_id % 3) AS uspf,
+         GREATEST(1, 100000 // (20000 * (1 + doc_id % 3))) AS stride
+  FROM documents),
+v AS (
+  SELECT p.doc_id, p.n, p.uspf, p.stride,
+         CAST(f.g AS BIGINT) AS f,
+         (p.doc_id * 31 + 97 * k.g + 13 * f.g) % 256 AS val
+  FROM p
+  JOIN generate_series(0, 8) f(g) ON f.g < p.n AND f.g % p.stride = 0
+  CROSS JOIN generate_series(0, 3) k(g)),
+a AS (
+  SELECT doc_id, n, uspf, f,
+         64 * SUM(val) AS fsum, MIN(val) AS fmin, MAX(val) AS fmax
+  FROM v GROUP BY doc_id, n, uspf, f)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(1000000000 // uspf AS BIGINT) AS fps_milli,
+       TRUE AS idx_consistent,
+       CAST(COUNT(*) AS BIGINT) AS sampled_frames,
+       CAST(SUM(fsum) AS BIGINT) AS luma_sum,
+       CAST(MIN(fmin) AS BIGINT) AS luma_min,
+       CAST(MAX(fmax) AS BIGINT) AS luma_max
+FROM a GROUP BY doc_id, n, uspf ORDER BY doc_id
+""",
+    doc="AVI/MJPEG frame sampling: genuine RIFF containers (variable "
+        "frame count and frame clock per document, WORD padding, idx1 "
+        "cross-check), wall-clock sampling stride derived from the "
+        "PARSED stream header, sampled frames entropy-decoded by the "
+        "real baseline-JPEG layer; frame counts, fps, and sampled "
+        "luma sums/extremes replayed arithmetically by the oracle.",
+)

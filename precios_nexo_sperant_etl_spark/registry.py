@@ -113,7 +113,9 @@ _CHECK_FIRST: list[str] = [
     # --- ROUND-9 QUEUE (committed head, in priority order):
     # 1. quality_stump_probe — registered after the r8 window filled
     #    (never stamped; parity-green at sf0.01 AND sf0.1 this round),
-    #    plus any later never-stamped additions STAMPS.md flags.
+    #    plus the later never-stamped additions STAMPS.md flags
+    #    (avi_mjpeg_frame_sample and any successors, in registration
+    #    order).
     # 2. The r03-stamp cohort refresh (VERDICT r7 item 7 — the r8
     #    additions ultimately filled every leftover slot):
     #    core_update_audit, w4_row_id, f3_accent_fold, f8_to_datetime,
