@@ -1529,3 +1529,135 @@ def parse_avi(payload: bytes) -> dict:
             "us_per_frame": meta["us_per_frame"],
             "total_frames": meta["total_frames"], "fps_milli": fps_milli,
             "frames": frames, "idx_consistent": consistent}
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAVE format tag 0x0011) — the classic 4-bit compressed
+# WAV shape between raw PCM and modern codecs. The decoder is the real
+# step-size automaton over genuine multi-block containers (per-block
+# predictor/index headers, low-nibble-first packing), so a speech
+# pipeline's "expand legacy telephony audio" pass is exercised for real.
+# Beyond-reference capability (SURVEY §2.8) — no media surface upstream.
+# ---------------------------------------------------------------------------
+
+#: IMA ADPCM step-size table (89 entries) and index-adjust table — the
+#: public constants from the IMA ADPCM reference algorithm.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_expand(nibbles, pred: int, index: int) -> list[int]:
+    """Run the genuine IMA ADPCM automaton: per nibble, diff =
+    step>>3 (+step if bit2, +step>>1 if bit1, +step>>2 if bit0),
+    sign from bit3, predictor clamped to int16, index adjusted by the
+    public table and clamped to [0, 88]. Returns the linear samples
+    (the seed predictor itself is NOT included)."""
+    out = []
+    for n in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if n & 4:
+            diff += step
+        if n & 2:
+            diff += step >> 1
+        if n & 1:
+            diff += step >> 2
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+        out.append(pred)
+    return out
+
+
+def encode_wav_ima(blocks, sample_rate: int = 8000) -> bytes:
+    """Pack (pred0, index0, nibbles) blocks into a genuine WAVE
+    format-0x11 container: fmt with the cbSize=2 wSamplesPerBlock
+    extension, a fact chunk (required for compressed WAVE), and one
+    data block per entry — int16 seed predictor + uint8 seed index +
+    reserved byte, then low-nibble-first packed 4-bit codes."""
+    import struct
+    if not blocks:
+        raise ValueError("need at least one block")
+    n_nib = len(blocks[0][2])
+    if n_nib % 2 or any(len(b[2]) != n_nib for b in blocks):
+        raise ValueError("blocks must share an even nibble count")
+    block_align = 4 + n_nib // 2
+    samples_per_block = 1 + n_nib
+    total = samples_per_block * len(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate,
+                      sample_rate * block_align // samples_per_block,
+                      block_align, 4, 2, samples_per_block)
+    data = bytearray()
+    for pred0, index0, nibbles in blocks:
+        data += struct.pack("<hBB", pred0, index0, 0)
+        for i in range(0, n_nib, 2):
+            data.append((nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4))
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, total)
+            + b"data" + struct.pack("<I", len(data)) + bytes(data))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima(payload: bytes) -> dict:
+    """REAL format-0x11 WAVE decode: RIFF walk, fmt (tag, block align,
+    samples-per-block extension), fact total, then per-block header
+    parse + ima_adpcm_expand. The seed predictor is emitted as the
+    block's first sample, per the WAVE ADPCM framing. Returns samples
+    and container metadata."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    if end > len(payload):
+        raise ValueError("truncated RIFF payload")
+    fmt = None
+    fact_total = None
+    samples: list[int] = []
+    n_blocks = 0
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        csz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + csz]
+        if cid == b"fmt ":
+            tag, ch, rate, _bps, balign, bits, cb, spb = struct.unpack(
+                "<HHIIHHHH", body[:20])
+            if tag != 0x11 or ch != 1 or bits != 4 or cb < 2:
+                raise ValueError("not mono IMA ADPCM")
+            fmt = (rate, balign, spb)
+        elif cid == b"fact":
+            fact_total = struct.unpack("<I", body[:4])[0]
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data before fmt")
+            _rate, balign, spb = fmt
+            if len(body) % balign:
+                raise ValueError("data not block-aligned")
+            for off in range(0, len(body), balign):
+                pred0, index0, _rsv = struct.unpack(
+                    "<hBB", body[off:off + 4])
+                if index0 > 88:
+                    raise ValueError("seed index out of range")
+                nibbles = []
+                for byte in body[off + 4:off + balign]:
+                    nibbles.append(byte & 0xF)
+                    nibbles.append(byte >> 4)
+                block = [pred0] + ima_adpcm_expand(
+                    nibbles[:spb - 1], pred0, index0)
+                samples.extend(block)
+                n_blocks += 1
+        pos += 8 + csz + (csz & 1)
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    if fact_total is not None and fact_total != len(samples):
+        raise ValueError("fact total disagrees with decoded samples")
+    return {"sample_rate": fmt[0], "n_blocks": n_blocks,
+            "samples_per_block": fmt[2], "samples": samples}

@@ -10174,3 +10174,146 @@ FROM a GROUP BY doc_id, n, uspf ORDER BY doc_id
         "real baseline-JPEG layer; frame counts, fps, and sampled "
         "luma sums/extremes replayed arithmetically by the oracle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV roundtrip — the 4-bit compressed telephony-audio shape
+# (WAVE format tag 0x0011) between G.711 bytes and modern codecs. Each
+# document synthesizes a genuine two-block container (per-block int16
+# seed predictor + index header, low-nibble-first packing, fact chunk);
+# the decoder walks fmt/fact/data for real and runs the true IMA
+# step-size automaton. The oracle is a recursive CTE that carries the
+# (predictor, step-index) state per (doc, block) through all 64 nibbles
+# against the embedded 89-entry step table — every clamp, shift, and
+# table adjust is inside the value hash, which no closed form could pin.
+#
+# Scale shape: two Arrow crossings, zero shuffles before the final
+# sort; state is per-block so blocks decode independently — the same
+# property that makes ADPCM splittable across executors at 100 TB.
+# ---------------------------------------------------------------------------
+
+def _adpcm_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import decode_wav_ima, encode_wav_ima
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                blocks = []
+                for b in range(2):
+                    pred0 = ((did + b) * 997) % 4001 - 2000
+                    idx0 = (did + 3 * b) % 89
+                    nibs = [(did * 7 + (b * 64 + i) * 13) % 16
+                            for i in range(64)]
+                    blocks.append((pred0, idx0, nibs))
+                payloads.append(encode_wav_ima(blocks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_wav_ima(bytes(p))
+                s = r["samples"]
+                spb = r["samples_per_block"]
+                rows.append({"doc_id": int(did),
+                             "n_blocks": r["n_blocks"],
+                             "samples_per_block": spb,
+                             "n_samples": len(s),
+                             "duration_ms": len(s) * 1000
+                             // r["sample_rate"],
+                             "sample_sum": sum(s),
+                             "max_abs": max(abs(v) for v in s),
+                             "last_b0": s[spb - 1],
+                             "last_b1": s[2 * spb - 1]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, n_blocks long,"
+                                 " samples_per_block long,"
+                                 " n_samples long, duration_ms long,"
+                                 " sample_sum long, max_abs long,"
+                                 " last_b0 long, last_b1 long")
+               .orderBy("doc_id"))
+
+
+def _ima_steps_sql() -> str:
+    from .operators.multimodal import _IMA_STEPS
+    return ", ".join(f"({i}, {s})" for i, s in enumerate(_IMA_STEPS))
+
+
+register(
+    "adpcm_wav_roundtrip",
+    _adpcm_wav_roundtrip,
+    f"""
+WITH RECURSIVE
+steps(si, st) AS (VALUES {_ima_steps_sql()}),
+itab(tn, di) AS (VALUES (0,-1),(1,-1),(2,-1),(3,-1),(4,2),(5,4),(6,6),(7,8)),
+init AS (
+  SELECT d.doc_id, CAST(b.g AS BIGINT) AS b,
+         ((d.doc_id + b.g) * 997) % 4001 - 2000 AS pred0,
+         (d.doc_id + 3 * b.g) % 89 AS idx0
+  FROM documents d CROSS JOIN generate_series(0, 1) b(g)),
+r AS (
+  SELECT doc_id, b, CAST(0 AS BIGINT) AS i,
+         CAST(pred0 AS BIGINT) AS pred, idx0 AS idx,
+         CAST(pred0 AS BIGINT) AS ssum, abs(pred0) AS smax
+  FROM init
+  UNION ALL
+  SELECT r.doc_id, r.b, r.i + 1,
+         GREATEST(-32768, LEAST(32767,
+           r.pred
+           + CASE WHEN (r.doc_id*7 + (r.b*64 + r.i)*13) % 16 >= 8
+                  THEN -1 ELSE 1 END
+             * (s.st // 8
+                + CASE WHEN t.tn >= 4 THEN s.st ELSE 0 END
+                + CASE WHEN (t.tn // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
+                + CASE WHEN t.tn % 2 = 1 THEN s.st // 4 ELSE 0 END))),
+         GREATEST(0, LEAST(88, r.idx + t.di)),
+         r.ssum + GREATEST(-32768, LEAST(32767,
+           r.pred
+           + CASE WHEN (r.doc_id*7 + (r.b*64 + r.i)*13) % 16 >= 8
+                  THEN -1 ELSE 1 END
+             * (s.st // 8
+                + CASE WHEN t.tn >= 4 THEN s.st ELSE 0 END
+                + CASE WHEN (t.tn // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
+                + CASE WHEN t.tn % 2 = 1 THEN s.st // 4 ELSE 0 END))),
+         GREATEST(r.smax, abs(GREATEST(-32768, LEAST(32767,
+           r.pred
+           + CASE WHEN (r.doc_id*7 + (r.b*64 + r.i)*13) % 16 >= 8
+                  THEN -1 ELSE 1 END
+             * (s.st // 8
+                + CASE WHEN t.tn >= 4 THEN s.st ELSE 0 END
+                + CASE WHEN (t.tn // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
+                + CASE WHEN t.tn % 2 = 1 THEN s.st // 4 ELSE 0 END)))))
+  FROM r
+  JOIN steps s ON s.si = r.idx
+  JOIN itab t ON t.tn = ((r.doc_id*7 + (r.b*64 + r.i)*13) % 16) % 8
+  WHERE r.i < 64)
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_blocks,
+       CAST(65 AS BIGINT) AS samples_per_block,
+       CAST(130 AS BIGINT) AS n_samples,
+       CAST(130 * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(ssum) AS BIGINT) AS sample_sum,
+       CAST(MAX(smax) AS BIGINT) AS max_abs,
+       CAST(MAX(CASE WHEN b = 0 THEN pred END) AS BIGINT) AS last_b0,
+       CAST(MAX(CASE WHEN b = 1 THEN pred END) AS BIGINT) AS last_b1
+FROM r WHERE i = 64
+GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="IMA ADPCM (WAVE tag 0x11) roundtrip: genuine two-block "
+        "containers decoded by the real step-size automaton; a "
+        "recursive-CTE oracle replays all 64 state transitions per "
+        "block against the embedded 89-entry step table, pinning "
+        "sample sums, the max amplitude, and each block's final "
+        "predictor.",
+)
