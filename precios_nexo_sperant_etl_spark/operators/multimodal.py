@@ -1661,3 +1661,263 @@ def decode_wav_ima(payload: bytes) -> dict:
         raise ValueError("fact total disagrees with decoded samples")
     return {"sample_rate": fmt[0], "n_blocks": n_blocks,
             "samples_per_block": fmt[2], "samples": samples}
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 pixel decode — strips, both byte orders, Compression 1
+# (none) and 5 (the TIFF variant of LZW: MSB-first bit packing, 9->12
+# bit codes with the spec's "early change" off-by-one, CLEAR/EOI),
+# plus Predictor 2 (horizontal differencing). Completes the image-
+# codec family next to PNG/JPEG/GIF/BMP; probe_tiff_exif above handles
+# the metadata side. Beyond-reference capability (SURVEY §2.8).
+# ---------------------------------------------------------------------------
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Greedy TIFF-LZW: codes are written MSB-first; the code width
+    bumps when the NEXT code to assign equals (1<<width)-1 (the spec's
+    early-change rule, one earlier than GIF); table reset at 4094."""
+    out = bytearray()
+    acc = nb = 0
+
+    def put(v: int, w: int) -> None:
+        nonlocal acc, nb
+        acc = (acc << w) | v
+        nb += w
+        while nb >= 8:
+            nb -= 8
+            out.append((acc >> nb) & 0xFF)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, nxt, width = fresh()
+    put(256, width)                          # leading CLEAR
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt >= 4094:
+            put(256, width)                  # CLEAR: table is full
+            table, nxt, width = fresh()
+        w = bytes([ch])
+    if w:
+        put(table[w], width)
+        # the decoder adds a table entry after EVERY data code — it
+        # cannot know this one was the flush — so mirror that phantom
+        # add before sizing the EOI code, or widths diverge exactly
+        # when the early-change threshold lands on the final code
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+    put(257, width)                          # EOI
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """Mirror of :func:`_tiff_lzw_encode`: MSB-first reads, early-change
+    width bumps, CLEAR resets, KwKwK handling, EOI termination."""
+    out = bytearray()
+    pos = nb = acc = 0
+
+    def take(wd: int) -> int:
+        nonlocal pos, nb, acc
+        while nb < wd:
+            if pos >= len(data):
+                raise ValueError("LZW stream ran out before EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nb += 8
+        nb -= wd
+        v = (acc >> nb) & ((1 << wd) - 1)
+        return v
+
+    table: list[bytes] = []
+    width = 9
+    old_s: bytes | None = None
+
+    def reset():
+        nonlocal table, width, old_s
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width, old_s = 9, None
+
+    reset()
+    while True:
+        code = take(width)
+        if code == 257:                      # EOI
+            break
+        if code == 256:                      # CLEAR
+            reset()
+            continue
+        if old_s is None:
+            if code > 255:
+                raise ValueError("first code after CLEAR not a literal")
+            s = table[code]
+        elif code < len(table):
+            s = table[code]
+        elif code == len(table):
+            s = old_s + old_s[:1]            # KwKwK
+        else:
+            raise ValueError("LZW code beyond table")
+        out += s
+        if old_s is not None:
+            table.append(old_s + s[:1])
+            # the decoder's table add runs one code behind the
+            # encoder's, so it must widen one entry early (2^w - 2,
+            # libtiff's "maxcode - 1") for the streams to stay aligned
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        old_s = s
+    return bytes(out)
+
+
+def encode_tiff_gray(px, compression: int = 5, predictor: int = 2,
+                     rows_per_strip: int = 4, big_endian: bool = False) -> bytes:
+    """Build a genuine striped TIFF 6.0 grayscale file: header in
+    either byte order, pixel strips (optionally horizontally
+    differenced then TIFF-LZW compressed), and an IFD carrying the
+    baseline grayscale tag set (dims, bits, compression, photometric,
+    strip offsets/counts, rows-per-strip, predictor)."""
+    import struct
+
+    import numpy as np
+    a = np.asarray(px, dtype=np.uint8)
+    h, wd = a.shape
+    e = ">" if big_endian else "<"
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = a[y0:y0 + rows_per_strip]
+        if compression == 5:
+            if predictor == 2:
+                rows = np.concatenate(
+                    [rows[:, :1], np.diff(rows.astype(np.int16), axis=1)
+                     .astype(np.uint8)], axis=1)
+            strips.append(_tiff_lzw_encode(rows.tobytes()))
+        else:
+            strips.append(rows.tobytes())
+    n = len(strips)
+    header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+    # layout: header(8) | strip data | strip offset array | count array | IFD
+    data_off = 8
+    offsets = []
+    cur = data_off
+    for s in strips:
+        offsets.append(cur)
+        cur += len(s)
+    off_arr = cur
+    cnt_arr = off_arr + 4 * n
+    ifd_off = cnt_arr + 4 * n
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        if typ == 3 and cnt == 1:            # SHORT is left-justified
+            raw = struct.pack(e + "H", val) + b"\x00\x00"
+        else:                                # LONG value or an offset
+            raw = struct.pack(e + "I", val)
+        return struct.pack(e + "HHI", tag, typ, cnt) + raw
+
+    tags = [
+        (256, 3, 1, wd), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, compression), (262, 3, 1, 1),
+        (273, 4, n, off_arr if n > 1 else offsets[0]),
+        (277, 3, 1, 1), (278, 3, 1, rows_per_strip),
+        (279, 4, n, cnt_arr if n > 1 else len(strips[0])),
+    ]
+    if compression == 5:
+        tags.append((317, 3, 1, predictor))
+    tags.sort()
+    ifd = struct.pack(e + "H", len(tags))
+    for t in tags:
+        ifd += entry(*t)
+    ifd += struct.pack(e + "I", 0)
+    out = bytearray(header)
+    for s in strips:
+        out += s
+    for o in offsets:
+        out += struct.pack(e + "I", o)
+    for s in strips:
+        out += struct.pack(e + "I", len(s))
+    out += ifd
+    # patch the IFD pointer in the header (strips moved it past 8)
+    struct.pack_into(e + "I", out, 4, ifd_off)
+    return bytes(out)
+
+
+def decode_tiff_gray(payload: bytes) -> dict:
+    """REAL TIFF pixel decode: IFD walk (either byte order), strip
+    reassembly via StripOffsets/StripByteCounts/RowsPerStrip, LZW
+    expansion (Compression 5) and horizontal-differencing undo
+    (Predictor 2). Returns the (h, w) uint8 array + the tag facts."""
+    import struct
+
+    import numpy as np
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    magic, ifd0 = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    count = struct.unpack_from(e + "H", payload, ifd0)[0]
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for k in range(count):
+        base = ifd0 + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+        tags[tag] = (typ, cnt, payload[base + 8:base + 12])
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"missing required TIFF tag {tag}")
+            return [default]
+        typ, cnt, raw = tags[tag]
+        width = 2 if typ == 3 else 4
+        total = width * cnt
+        if total > 4:
+            off = struct.unpack_from(e + "I", raw, 0)[0]
+            raw = payload[off:off + total]
+        fmt = e + str(cnt) + ("H" if typ == 3 else "I")
+        return list(struct.unpack_from(fmt, raw, 0))
+
+    wd, h = values(256)[0], values(257)[0]
+    bits = values(258, 8)[0]
+    comp = values(259, 1)[0]
+    pred = values(317, 1)[0]
+    rps = values(278, h)[0]
+    offs, cnts = values(273), values(279)
+    if bits != 8 or values(277, 1)[0] != 1:
+        raise ValueError("only 8-bit grayscale supported")
+    if comp not in (1, 5):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if len(offs) != len(cnts):
+        raise ValueError("strip offset/count arity mismatch")
+    rows = []
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        raw = payload[o:o + c]
+        if len(raw) != c:
+            raise ValueError("strip leaves the payload")
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw)
+        n_rows = min(rps, h - i * rps)
+        if len(raw) != n_rows * wd:
+            raise ValueError("strip size disagrees with geometry")
+        strip = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, wd)
+        if comp == 5 and pred == 2:
+            strip = np.cumsum(strip.astype(np.int64), axis=1) \
+                      .astype(np.uint8)
+        rows.append(strip)
+    px = np.concatenate(rows, axis=0)
+    return {"width": wd, "height": h, "compression": comp,
+            "predictor": pred if comp == 5 else 1,
+            "n_strips": len(offs),
+            "byte_order": "little" if e == "<" else "big",
+            "pixels": px}

@@ -10317,3 +10317,101 @@ GROUP BY doc_id ORDER BY doc_id
         "sample sums, the max amplitude, and each block's final "
         "predictor.",
 )
+
+
+# ---------------------------------------------------------------------------
+# TIFF decode roundtrip — completes the image-codec family (PNG, JPEG,
+# GIF, BMP) with the scanned-document/archival format. Each document
+# synthesizes a genuine striped TIFF 6.0 file: even ids use Compression
+# 5 (the TIFF LZW variant: MSB-first codes, the spec's early-change
+# width rule) + Predictor 2 (horizontal differencing), odd ids are
+# uncompressed; ids % 3 == 0 are written big-endian (MM) so both byte
+# orders are inside the value hash. Four strips each, so strip
+# reassembly (StripOffsets/ByteCounts arrays stored out-of-line) is
+# exercised, and position-weighted moments pin pixel PLACEMENT, not
+# just sums — a predictor or strip-order bug cannot hide in a mean.
+#
+# Scale shape: two Arrow crossings, zero shuffles before the final
+# sort; strips decode independently (the same property that lets a
+# real deployment split huge TIFFs across executors).
+# ---------------------------------------------------------------------------
+
+def _tiff_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import decode_tiff_gray, encode_tiff_gray
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                y, x = np.mgrid[0:16, 0:16]
+                px = ((did + 2 * x + 3 * y) % 256).astype(np.uint8)
+                payloads.append(encode_tiff_gray(
+                    px, compression=5 if did % 2 == 0 else 1,
+                    big_endian=(did % 3 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_tiff_gray(bytes(p))
+                px = r["pixels"].astype("int64")
+                y, x = np.mgrid[0:16, 0:16]
+                rows.append({"doc_id": int(did),
+                             "compression": r["compression"],
+                             "predictor": r["predictor"],
+                             "big_endian": r["byte_order"] == "big",
+                             "n_strips": r["n_strips"],
+                             "pix_sum": int(px.sum()),
+                             "moment": int(((1 + x + 16 * y) * px).sum()),
+                             "pix_min": int(px.min()),
+                             "pix_max": int(px.max())})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, compression long,"
+                                 " predictor long, big_endian boolean,"
+                                 " n_strips long, pix_sum long,"
+                                 " moment long, pix_min long,"
+                                 " pix_max long")
+               .orderBy("doc_id"))
+
+
+register(
+    "tiff_decode_roundtrip",
+    _tiff_decode_roundtrip,
+    """
+WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
+px AS (
+  SELECT d.doc_id, g.x, g.y,
+         (d.doc_id + 2 * g.x + 3 * g.y) % 256 AS v
+  FROM documents d CROSS JOIN g)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 1 END AS BIGINT)
+         AS compression,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS predictor,
+       doc_id % 3 = 0 AS big_endian,
+       CAST(4 AS BIGINT) AS n_strips,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM((1 + x + 16 * y) * v) AS BIGINT) AS moment,
+       CAST(MIN(v) AS BIGINT) AS pix_min,
+       CAST(MAX(v) AS BIGINT) AS pix_max
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="TIFF 6.0 decode roundtrip: genuine striped files (LZW with "
+        "early-change widths + horizontal-differencing predictor on "
+        "even ids, uncompressed odd, big-endian every third) decoded "
+        "by the real IFD/strip/LZW layers; sums, position-weighted "
+        "moments, and extremes replayed from index arithmetic.",
+)

@@ -1,0 +1,70 @@
+"""TIFF 6.0 codec: strip/LZW/predictor roundtrips in both byte orders,
+the early-change width boundary, and corruption postures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from precios_nexo_sperant_etl_spark.operators.multimodal import (
+    _tiff_lzw_decode, _tiff_lzw_encode, decode_tiff_gray,
+    encode_tiff_gray)
+
+
+def test_lzw_early_change_boundary():
+    # ~253 distinct bytes lands the width bump exactly on the flush
+    # code — the phantom-add EOI case that diverges without the
+    # early-change mirror in the encoder
+    for n in range(245, 262):
+        data = bytes([i % 251 for i in range(n)])
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+
+
+def test_lzw_table_reset():
+    # enough low-entropy data to drive the dictionary past 4094
+    data = bytes([i % 3 for i in range(30000)])
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+
+
+def test_lzw_kwkwk():
+    data = b"aaaaaaaaaaaaaaaa"
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=1, max_size=3000))
+def test_lzw_property_roundtrip(data):
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1), st.booleans(), st.booleans())
+def test_tiff_property_roundtrip(seed, lzw, big):
+    rng = np.random.RandomState(seed % 2 ** 31)
+    px = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    t = encode_tiff_gray(px, compression=5 if lzw else 1,
+                         big_endian=big)
+    r = decode_tiff_gray(t)
+    assert np.array_equal(r["pixels"], px)
+    assert r["n_strips"] == 4
+    assert r["byte_order"] == ("big" if big else "little")
+    assert r["compression"] == (5 if lzw else 1)
+
+
+def test_single_strip_inline_offsets():
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    r = decode_tiff_gray(encode_tiff_gray(px, rows_per_strip=16))
+    assert r["n_strips"] == 1 and np.array_equal(r["pixels"], px)
+
+
+def test_bad_inputs_raise():
+    px = np.zeros((16, 16), dtype=np.uint8)
+    t = bytearray(encode_tiff_gray(px))
+    with pytest.raises(ValueError):
+        decode_tiff_gray(b"XX" + bytes(t[2:]))
+    bad = bytearray(t)
+    bad[2] = 43                                    # wrong magic
+    with pytest.raises(ValueError):
+        decode_tiff_gray(bytes(bad))
