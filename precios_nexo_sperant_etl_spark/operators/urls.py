@@ -240,3 +240,80 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
         "query_string": url_query(u),
         "domain": registrable_domain(host),
     })
+
+
+# ---------------------------------------------------------------------------
+# robots.txt gate (RFC 9309) — the crawl-permission pass a web-curation
+# pipeline runs before fetching or before admitting a fetched page.
+# Fully declarative: rule patterns are translated to anchored regexes
+# with Column expressions, the small rules table broadcasts to the URL
+# side, and the most-specific-match argmax is one map-side-combinable
+# aggregate — no Python crossing anywhere.
+# ---------------------------------------------------------------------------
+
+def robots_pattern_regex(pattern: Column) -> Column:
+    """Translate an RFC 9309 path pattern to an anchored Java regex:
+    ``*`` is a wildcard, a trailing ``$`` anchors the end, everything
+    else is literal (regex metacharacters escaped). The result matches
+    iff the pattern matches a PREFIX of the path (or the whole path
+    when anchored), per the RFC's matching rules."""
+    anchored = pattern.endswith("$")
+    body = (F.when(anchored,
+                   pattern.substr(F.lit(1), F.length(pattern) - 1))
+            .otherwise(pattern))
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), wild,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame,
+                agent: str = "trainingbot") -> DataFrame:
+    """RFC 9309 allow/deny for every (domain, path) URL row.
+
+    ``rules`` columns: domain, agent, allow (boolean), pattern.
+    Group selection is exclusive per the RFC: when a domain has any
+    rules for ``agent``, ONLY that group applies; otherwise the ``*``
+    group. Within the group the most specific match wins — longest
+    pattern in octets, ties broken toward Allow — and a URL matched by
+    no rule is allowed. Returns one row per input URL with the chosen
+    group, the winning pattern (null if none), its length, and the
+    verdict.
+
+    Scale shape: rules are a per-site dimension (tiny next to the URL
+    fact side) and broadcast; the argmax is ``max_by`` over one hash
+    aggregate keyed by the URL row — one shuffle of the fact side, no
+    window, no Python.
+    """
+    specific = (rules.filter(F.col("agent") == agent)
+                .select("domain").distinct())
+    chosen = (rules.join(F.broadcast(specific), "domain", "left_semi")
+              .filter(F.col("agent") == agent)
+              .unionByName(
+                  rules.join(F.broadcast(specific), "domain", "left_anti")
+                  .filter(F.col("agent") == F.lit("*"))))
+    rx = (chosen.withColumn("rule_regex",
+                            robots_pattern_regex(F.col("pattern")))
+          .withColumn("spec_len", F.length("pattern").cast("long")))
+    j = (urls.join(F.broadcast(rx), "domain", "left")
+         .withColumn("hit", F.regexp_like(F.col("path"),
+                                          F.col("rule_regex"))))
+    key_cols = [c for c in urls.columns]
+    best = (j.groupBy(*key_cols)
+            .agg(F.any_value(F.col("agent"), True).alias("matched_agent"),
+                 F.max_by(
+                     F.when(F.col("hit"),
+                            F.struct(F.col("pattern").alias("p"),
+                                     F.col("spec_len").alias("s"),
+                                     F.col("allow").alias("a"))),
+                     F.when(F.col("hit"),
+                            F.struct(F.col("spec_len"),
+                                     F.col("allow").cast("int"),
+                                     F.col("pattern")))).alias("w")))
+    return (best
+            .withColumn("matched_agent",
+                        F.coalesce(F.col("matched_agent"), F.lit("none")))
+            .withColumn("matched_rule", F.col("w.p"))
+            .withColumn("spec_len", F.coalesce(F.col("w.s"), F.lit(-1)))
+            .withColumn("allowed", F.coalesce(F.col("w.a"), F.lit(True)))
+            .drop("w"))

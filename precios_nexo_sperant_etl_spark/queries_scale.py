@@ -10415,3 +10415,137 @@ FROM px GROUP BY doc_id ORDER BY doc_id
         "by the real IFD/strip/LZW layers; sums, position-weighted "
         "moments, and extremes replayed from index arithmetic.",
 )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl gate (RFC 9309) — before a crawl-derived document
+# enters a training corpus, the curator must honor the site's robots
+# rules: exclusive user-agent group selection, most-specific-match
+# (longest pattern in octets), Allow on ties, allow by default, with
+# '*' wildcards and '$' end anchors. The engine side is the GENERIC
+# matcher (operators/urls.robots_gate: pattern -> anchored regex as
+# Column expressions, broadcast rules, one max_by aggregate); the
+# fixture derives domains, rule sets, and request paths from doc_id so
+# DuckDB can replay group selection + specificity argmax exactly.
+#
+# Scale shape: rules are a per-site dimension and broadcast; the fact
+# side shuffles once for the argmax aggregate. No window, no Python.
+# ---------------------------------------------------------------------------
+
+def _robots_txt_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.urls import robots_gate
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    urls = (d.withColumn("k", (F.col("doc_id") % 20).cast("long"))
+            .withColumn("domain",
+                        F.concat(F.lit("d"), F.col("k"),
+                                 F.lit(".example.com")))
+            .withColumn("path",
+                        F.element_at(
+                            F.array(F.lit("/admin/secret"),
+                                    F.lit("/admin/public/page"),
+                                    F.lit("/files/report.bak"),
+                                    F.lit("/blog/post"),
+                                    F.lit("/")),
+                            (F.col("doc_id") % 5 + 1).cast("int")))
+            .select("doc_id", "domain", "path"))
+
+    ks = spark.range(20).select(F.col("id").cast("long").alias("k"))
+    dom = F.concat(F.lit("d"), F.col("k"), F.lit(".example.com"))
+
+    def grp(agent, allow, pattern, cond=None):
+        r = ks.select(dom.alias("domain"), F.lit(agent).alias("agent"),
+                      F.lit(allow).alias("allow"),
+                      F.lit(pattern).alias("pattern"), F.col("k"))
+        if cond is not None:
+            r = r.filter(cond)
+        return r.drop("k")
+
+    rules = (grp("*", False, "/admin")
+             .unionByName(grp("*", True, "/admin/public"))
+             .unionByName(grp("*", False, "/*.bak$",
+                              F.col("k") % 2 == 0))
+             .unionByName(grp("*", False, "/blog",
+                              F.col("k") % 5 == 0))
+             .unionByName(grp("*", True, "", F.col("k") % 7 == 0))
+             .unionByName(grp("trainingbot", False, "/blog",
+                              F.col("k") % 3 == 0))
+             .unionByName(grp("trainingbot", True, "/admin",
+                              F.col("k") % 3 == 0)))
+
+    return (robots_gate(urls, rules, agent="trainingbot")
+            .select("doc_id", "domain", "path", "matched_agent",
+                    "matched_rule", "spec_len", "allowed")
+            .orderBy("doc_id"))
+
+
+register(
+    "robots_txt_gate",
+    _robots_txt_gate,
+    """
+WITH u AS (
+  SELECT doc_id, doc_id % 20 AS k,
+         'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,
+         CASE doc_id % 5
+           WHEN 0 THEN '/admin/secret'
+           WHEN 1 THEN '/admin/public/page'
+           WHEN 2 THEN '/files/report.bak'
+           WHEN 3 THEN '/blog/post'
+           ELSE '/' END AS path
+  FROM documents),
+r AS (
+  SELECT k.g AS k, '*' AS agent, FALSE AS allow, '/admin' AS pattern
+  FROM generate_series(0, 19) k(g)
+  UNION ALL
+  SELECT k.g, '*', TRUE, '/admin/public' FROM generate_series(0, 19) k(g)
+  UNION ALL
+  SELECT k.g, '*', FALSE, '/*.bak$' FROM generate_series(0, 19) k(g)
+  WHERE k.g % 2 = 0
+  UNION ALL
+  SELECT k.g, '*', FALSE, '/blog' FROM generate_series(0, 19) k(g)
+  WHERE k.g % 5 = 0
+  UNION ALL
+  SELECT k.g, '*', TRUE, '' FROM generate_series(0, 19) k(g)
+  WHERE k.g % 7 = 0
+  UNION ALL
+  SELECT k.g, 'trainingbot', FALSE, '/blog'
+  FROM generate_series(0, 19) k(g) WHERE k.g % 3 = 0
+  UNION ALL
+  SELECT k.g, 'trainingbot', TRUE, '/admin'
+  FROM generate_series(0, 19) k(g) WHERE k.g % 3 = 0),
+chosen AS (                       -- RFC group selection is exclusive
+  SELECT * FROM r
+  WHERE (agent = 'trainingbot')
+     OR (agent = '*' AND NOT EXISTS (
+           SELECT 1 FROM r s
+           WHERE s.k = r.k AND s.agent = 'trainingbot'))),
+m AS (
+  SELECT u.doc_id, u.domain, u.path, c.agent, c.allow, c.pattern,
+         LENGTH(c.pattern) AS spec_len
+  FROM u JOIN chosen c ON c.k = u.k
+  WHERE CASE WHEN c.pattern = '' THEN TRUE
+             WHEN c.pattern = '/*.bak$' THEN u.path LIKE '/%.bak'
+             ELSE starts_with(u.path, c.pattern) END),
+best AS (
+  SELECT doc_id, domain, path, agent, allow, pattern, spec_len,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY spec_len DESC, allow DESC, pattern DESC) AS rn
+  FROM m)
+SELECT u.doc_id, u.domain, u.path,
+       COALESCE(b.agent,
+                CASE WHEN u.k % 3 = 0 THEN 'trainingbot' ELSE '*' END)
+         AS matched_agent,
+       b.pattern AS matched_rule,
+       CAST(COALESCE(b.spec_len, -1) AS BIGINT) AS spec_len,
+       COALESCE(b.allow, TRUE) AS allowed
+FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.doc_id = u.doc_id
+ORDER BY u.doc_id
+""",
+    doc="RFC 9309 robots.txt gate: exclusive user-agent group "
+        "selection, longest-octet most-specific match with Allow "
+        "tie-break, wildcard and end-anchor patterns translated to "
+        "regexes declaratively, default-allow for unmatched paths — "
+        "group choice, winning rule, and verdict all value-pinned.",
+)
