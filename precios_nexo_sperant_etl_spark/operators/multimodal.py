@@ -1921,3 +1921,46 @@ def decode_tiff_gray(payload: bytes) -> dict:
             "n_strips": len(offs),
             "byte_order": "little" if e == "<" else "big",
             "pixels": px}
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) — the image analogue of MinHash for
+# near-duplicate detection: gradient-sign bits over a box-downsampled
+# grid are robust to re-encoding and small edits, and Hamming distance
+# over the 64-bit hash is the similarity metric. All integer (box SUMS
+# are compared, not float means), so engine and oracle agree bit-exactly.
+# Beyond-reference capability (SURVEY §2.8).
+# ---------------------------------------------------------------------------
+
+def encode_bmp24(px) -> bytes:
+    """Pack an (h, w, 3) uint8 B,G,R array into a genuine uncompressed
+    24-bpp bottom-up BMP (rows padded to 4-byte boundaries) — the
+    fixture-side inverse of :func:`bmp_pixels`."""
+    import struct
+
+    import numpy as np
+    a = np.asarray(px, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = a[::-1].reshape(h, w * 3)   # bottom-up
+    data = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(data), 0, 0, 0, 0))
+    return header + data
+
+
+def dhash64(box) -> tuple[int, int]:
+    """Difference hash over an (8, 9) integer grid of box sums: bit
+    i = 8*y + x is set iff box[y, x+1] > box[y, x] (x in 0..7). Returns
+    the 64 bits as two non-negative 32-bit halves (lo = bits 0..31) so
+    they fit signed BIGINTs on both engines without sign games."""
+    import numpy as np
+    b = np.asarray(box, dtype=np.int64)
+    if b.shape != (8, 9):
+        raise ValueError("dhash64 wants an (8, 9) grid")
+    bits = (b[:, 1:] > b[:, :-1]).astype(np.int64).reshape(64)
+    lo = int((bits[:32] << np.arange(32)).sum())
+    hi = int((bits[32:] << np.arange(32)).sum())
+    return lo, hi

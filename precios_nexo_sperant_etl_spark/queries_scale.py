@@ -10549,3 +10549,144 @@ ORDER BY u.doc_id
         "regexes declaratively, default-allow for unmatched paths — "
         "group choice, winning rule, and verdict all value-pinned.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection via perceptual dHash — the visual
+# analogue of MinHash dedup, run by every multimodal curation pipeline
+# (re-encoded/lightly-edited images share gradient structure even when
+# bytes differ). Each document synthesizes a genuine 18x16 BMP whose
+# gray field derives from (doc_id % 200) base classes plus a per-doc
+# single-pixel tweak; the REAL path is decode (bmp_pixels) -> 2x2 box
+# sums -> 64 gradient-sign bits (dhash64) -> 4x16-bit LSH banding ->
+# band-bucket equi-join -> Hamming<=6 verify via bit_count(xor). All
+# integer, so DuckDB replays pixels, boxes, bits, bands, and distances.
+#
+# Scale shape: the pair search is BANDED like minhash_dedup_pairs —
+# never all-pairs; candidates are one equi-join on (band_idx, band_val)
+# and verification is two bit_count ops. At 100 TB the band join is the
+# only shuffle and buckets stay bounded by visual-class sizes.
+# ---------------------------------------------------------------------------
+
+def _image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import bmp_pixels, dhash64, encode_bmp24
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                b, t = did % 200, did % 7
+                y, x = np.mgrid[0:16, 0:18]
+                g = ((b + 1) * (7 * x + 13 * y + x * y + 1)) % 256
+                if t > 0:
+                    g[t, t] = (g[t, t] + 40 * t) % 256
+                px = np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+                payloads.append(encode_bmp24(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def hsh(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                g = bmp_pixels(bytes(p))[:, :, 0].astype(np.int64)
+                box = g.reshape(8, 2, 9, 2).sum(axis=(1, 3))
+                lo, hi = dhash64(box)
+                rows.append({"doc_id": int(did), "lo": lo, "hi": hi,
+                             "base": int(did) % 200})
+            yield pd.DataFrame(rows)
+
+    hashes = (src.mapInPandas(enc, "doc_id long, payload binary")
+              .mapInPandas(hsh, "doc_id long, lo long, hi long,"
+                                " base long"))
+    bands = hashes.select(
+        "doc_id", "lo", "hi", "base",
+        F.posexplode(F.array(
+            F.col("lo") % 65536, (F.col("lo") / 65536).cast("long"),
+            F.col("hi") % 65536, (F.col("hi") / 65536).cast("long")))
+        .alias("band_idx", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.lo").alias("lo_a"), F.col("a.hi").alias("hi_a"),
+                    F.col("b.lo").alias("lo_b"), F.col("b.hi").alias("hi_b"),
+                    (F.col("a.base") == F.col("b.base")).alias("same_base"))
+            .distinct())
+    return (cand.withColumn(
+                "hamming",
+                (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                 + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
+                .cast("long"))
+            .filter(F.col("hamming") <= 6)
+            .select("doc_a", "doc_b", "hamming", "same_base")
+            .orderBy("doc_a", "doc_b"))
+
+
+register(
+    "image_dhash_neardup",
+    _image_dhash_neardup,
+    """
+WITH grid AS (
+  SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+  FROM generate_series(0, 17) a(g), generate_series(0, 15) b(g)),
+px AS (
+  SELECT d.doc_id, d.doc_id % 200 AS base, grid.x, grid.y,
+         CASE WHEN d.doc_id % 7 > 0 AND grid.y = d.doc_id % 7
+                   AND grid.x = d.doc_id % 7
+              THEN (((d.doc_id % 200 + 1) * (7 * grid.x + 13 * grid.y
+                     + grid.x * grid.y + 1)) % 256
+                    + 40 * (d.doc_id % 7)) % 256
+              ELSE ((d.doc_id % 200 + 1) * (7 * grid.x + 13 * grid.y
+                    + grid.x * grid.y + 1)) % 256 END AS v
+  FROM documents d CROSS JOIN grid),
+box AS (
+  SELECT doc_id, base, y // 2 AS by, x // 2 AS bx, SUM(v) AS s
+  FROM px GROUP BY doc_id, base, y // 2, x // 2),
+bits AS (
+  SELECT l.doc_id, l.base, l.by * 8 + l.bx AS i,
+         CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS bit
+  FROM box l JOIN box r
+    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1),
+h AS (
+  SELECT doc_id, base,
+         SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS lo,
+         SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+                  ELSE 0 END) AS hi
+  FROM bits GROUP BY doc_id, base),
+bands AS (
+  SELECT doc_id, base, lo, hi, t.g AS band_idx,
+         CASE t.g WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+  FROM h CROSS JOIN generate_series(0, 3) t(g)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
+         a.base = b.base AS same_base
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS BIGINT) AS hamming,
+       same_base
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
+ORDER BY doc_a, doc_b
+""",
+    doc="Perceptual dHash image near-dup: real BMP decode -> integer "
+        "2x2 box sums -> 64 gradient-sign bits -> 4x16-bit LSH bands "
+        "-> bucket equi-join -> Hamming<=6 verify via bit_count(xor); "
+        "pixels, hashes, bands, candidates, and distances all replayed "
+        "by integer SQL. Banded like minhash — never all-pairs.",
+)

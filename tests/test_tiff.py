@@ -68,3 +68,31 @@ def test_bad_inputs_raise():
     bad[2] = 43                                    # wrong magic
     with pytest.raises(ValueError):
         decode_tiff_gray(bytes(bad))
+
+
+def test_bmp24_encoder_roundtrip_odd_width():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        bmp_pixels, dhash64, encode_bmp24)
+    rng = np.random.RandomState(7)
+    for w in (5, 18, 20):                      # strides with/without pad
+        px = rng.randint(0, 256, size=(6, w, 3), dtype=np.uint8)
+        assert np.array_equal(bmp_pixels(encode_bmp24(px)), px)
+    with pytest.raises(ValueError):
+        dhash64(np.zeros((8, 8)))              # wants 9 columns
+
+
+def test_dhash_bit_layout():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import dhash64
+    box = np.zeros((8, 9), dtype=np.int64)
+    box[0, 1] = 5        # bit 0 (y=0, x=0): col1 > col0
+    lo, hi = dhash64(box)
+    assert (lo, hi) == (1, 0)
+    box[:] = 0
+    box[4, 3] = 9        # y=4, x=2 -> bit 34 -> hi bit 2
+    lo, hi = dhash64(box)
+    # x=3 > x=2 sets bit 34; x=4 < x=3 clears bit 35 (already 0)
+    assert lo == 0 and hi == 1 << 2
+    box[:] = 0
+    box[7, 8] = 1        # y=7, x=7 -> bit 63 -> hi bit 31
+    lo, hi = dhash64(box)
+    assert lo == 0 and hi == 1 << 31
