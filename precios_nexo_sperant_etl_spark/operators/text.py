@@ -757,3 +757,72 @@ def html_to_text(c: Column) -> Column:
     for ent, ch in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern blocklist matching (Aho-Corasick) — banned-phrase /
+# contamination-marker screening runs over every document with pattern
+# lists in the hundreds-to-thousands, where per-pattern regex passes
+# are O(patterns x text) and a trie automaton is O(text + matches).
+# The automaton is built once driver-side (blocklists are dimension
+# data), captured by the Arrow batch closure, and every occurrence is
+# counted — including overlapping ones, which replace()-style counting
+# misses. Beyond-reference capability (SURVEY §2.8).
+# ---------------------------------------------------------------------------
+
+def build_aho_corasick(patterns: list[str]) -> dict:
+    """Build the classic Aho-Corasick automaton: goto trie, BFS fail
+    links, and output links (fail-chain shortcut to the nearest node
+    that ends a pattern) so every match is reported exactly once even
+    when patterns overlap or nest."""
+    from collections import deque
+    if not patterns or any(not p for p in patterns):
+        raise ValueError("patterns must be non-empty strings")
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for pid, pat in enumerate(patterns):
+        node = 0
+        for ch in pat:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                nxt = len(goto)
+                goto[node][ch] = nxt
+                goto.append({})
+                out.append([])
+            node = nxt
+        out[node].append(pid)
+    fail = [0] * len(goto)
+    olink = [0] * len(goto)                  # 0 = no pattern ancestor
+    q = deque(goto[0].values())
+    while q:
+        node = q.popleft()
+        for ch, child in goto[node].items():
+            f = fail[node]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            nf = goto[f].get(ch, 0)
+            fail[child] = 0 if nf == child else nf
+            olink[child] = (fail[child] if out[fail[child]]
+                            else olink[fail[child]])
+            q.append(child)
+    return {"goto": goto, "fail": fail, "out": out, "olink": olink,
+            "n": len(patterns)}
+
+
+def ac_count_all(ac: dict, text: str) -> list[int]:
+    """Walk the automaton over ``text`` and return per-pattern
+    occurrence counts, counting EVERY occurrence (overlapping and
+    nested included) via the output-link chains."""
+    goto, fail, out, olink = ac["goto"], ac["fail"], ac["out"], ac["olink"]
+    counts = [0] * ac["n"]
+    node = 0
+    for ch in text:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        v = node if out[node] else olink[node]
+        while v:
+            for pid in out[v]:
+                counts[pid] += 1
+            v = olink[v]
+    return counts

@@ -10690,3 +10690,87 @@ ORDER BY doc_a, doc_b
         "pixels, hashes, bands, candidates, and distances all replayed "
         "by integer SQL. Banded like minhash — never all-pairs.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist screening via Aho-Corasick — the banned-phrase /
+# contamination-marker pass every corpus runs before training. One
+# automaton walk per document counts EVERY occurrence of every pattern
+# (overlapping 'a a' hits, 'fast' nested inside 'fast table', matches
+# crossing token boundaries) — the cases per-pattern replace() counting
+# and tokenized lookups both miss. The oracle rescans every character
+# position with substring compares, so the automaton's goto/fail/output
+# machinery is value-pinned against the naive O(n*k) definition.
+#
+# Scale shape: the blocklist is dimension data compiled driver-side and
+# captured by the Arrow closure (broadcast semantics); the scan is one
+# narrow mapInPandas pass, no shuffle before the final sort. At 100 TB
+# the automaton cost is O(text), independent of pattern count.
+# Oracle bound: the position series is capped at 4096 >> the 577-char
+# max of the synthetic documents (TESTDATA.md); the engine side has no
+# such cap.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("value", "fast", "fast table", "a a",
+              "scan", "table", "le va", "row")
+
+
+def _blocklist_screen(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.text import ac_count_all, build_aho_corasick
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+    pats = _BLOCKLIST
+
+    def scan(it):
+        ac = build_aho_corasick(list(pats))
+        for pdf in it:
+            rows = []
+            for did, txt in zip(pdf["doc_id"].astype("int64"),
+                                pdf["text"]):
+                c = ac_count_all(ac, txt or "")
+                rows.append({"doc_id": int(did),
+                             **{f"n_{i}": c[i] for i in range(len(pats))},
+                             "total": sum(c),
+                             "n_patterns": sum(1 for v in c if v),
+                             "blocked": any(c)})
+            yield pd.DataFrame(rows)
+
+    cols = ", ".join(f"n_{i} long" for i in range(len(pats)))
+    return (src.mapInPandas(scan, f"doc_id long, {cols}, total long,"
+                                  " n_patterns long, blocked boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "blocklist_screen",
+    _blocklist_screen,
+    f"""
+WITH pos AS (
+  SELECT d.doc_id, d.text, i.g AS i
+  FROM documents d
+  JOIN generate_series(1, 4096) i(g) ON i.g <= LENGTH(d.text)),
+c AS (
+  SELECT doc_id,
+{chr(10).join(f"         SUM(CASE WHEN substr(text, i, {len(p)}) = '{p}'"
+              f" THEN 1 ELSE 0 END) AS n_{i},"
+              for i, p in enumerate(_BLOCKLIST))}
+         0 AS _pad
+  FROM pos GROUP BY doc_id)
+SELECT doc_id,
+{chr(10).join(f"       CAST(n_{i} AS BIGINT) AS n_{i}," for i in range(len(_BLOCKLIST)))}
+       CAST({" + ".join(f"n_{i}" for i in range(len(_BLOCKLIST)))} AS BIGINT)
+         AS total,
+       CAST({" + ".join(f"CASE WHEN n_{i} > 0 THEN 1 ELSE 0 END"
+                        for i in range(len(_BLOCKLIST)))} AS BIGINT)
+         AS n_patterns,
+       {" OR ".join(f"n_{i} > 0" for i in range(len(_BLOCKLIST)))} AS blocked
+FROM c ORDER BY doc_id
+""",
+    doc="Aho-Corasick blocklist screening: one automaton walk counts "
+        "all overlapping/nested/boundary-crossing occurrences of an "
+        "8-pattern blocklist per document; the oracle rescans every "
+        "character position with substring compares.",
+)
