@@ -157,6 +157,12 @@ HEADLINE = [
     "g711_wav_roundtrip",       # G.711 expansion via Arrow seam
     "streaming_stateful_sessions",  # applyInPandasWithState drain
     "quality_stump_probe",      # depth-1 tree, exact prefix sums
+    "avi_mjpeg_frame_sample",   # RIFF walk + sampled MJPEG decode
+    "adpcm_wav_roundtrip",      # IMA step automaton via Arrow seam
+    "tiff_decode_roundtrip",    # strip LZW + predictor via Arrow
+    "robots_txt_gate",          # broadcast rules + max_by argmax
+    "image_dhash_neardup",      # banded perceptual-hash pair join
+    "blocklist_screen",         # Aho-Corasick narrow scan
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and
