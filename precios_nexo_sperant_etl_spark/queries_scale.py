@@ -10774,3 +10774,178 @@ FROM c ORDER BY doc_id
         "8-pattern blocklist per document; the oracle rescans every "
         "character position with substring compares.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Randomized-response privacy audit — the classic local-DP mechanism
+# (Warner 1965): each holder of a sensitive bit reports the truth with
+# probability p = 3/4 and the flipped bit otherwise, giving plausible
+# deniability (epsilon = ln(p/(1-p)) = ln 3); the aggregator debiases
+# the noisy count as (obs - (1-p)n) / (2p-1). With p = 3/4 the
+# estimator is exactly 2*obs - n/2, so est*1000 = 2000*obs - 500*n is
+# an INTEGER — the whole mechanism, including the coin, the noisy
+# counts, and the debiased estimate, is value-pinned with zero float
+# hazard. The coin is a seeded hash of the row key (deterministic,
+# replayable — the property an auditable DP pipeline needs anyway).
+#
+# Scale shape: one scan, one map-side-combinable agg per source; the
+# coin and the flip are codegen Column arithmetic. No Python, no
+# window, no second pass.
+# ---------------------------------------------------------------------------
+
+def _dp_randomized_response(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    truth = (F.col("n_chars") % 3 == 0).cast("long")
+    coin = (F.col("doc_id") * 48271 + 11) % 100          # truth iff < 75
+    reported = F.when(coin < 75, truth).otherwise(1 - truth)
+    agg = (d.select("source", truth.alias("t"), reported.alias("r"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("t").alias("true_count"),
+                F.sum("r").alias("reported_count")))
+    est_milli = 2000 * F.col("reported_count") - 500 * F.col("n")
+    return (agg.withColumn("est_milli", est_milli)
+            .withColumn("abs_err_milli",
+                        F.abs(est_milli - 1000 * F.col("true_count")))
+            .orderBy("source"))
+
+
+register(
+    "dp_randomized_response",
+    _dp_randomized_response,
+    """
+WITH d AS (
+  SELECT source,
+         CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS t,
+         CASE WHEN (doc_id * 48271 + 11) % 100 < 75
+              THEN CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END
+              ELSE CASE WHEN n_chars % 3 = 0 THEN 0 ELSE 1 END
+         END AS r
+  FROM documents),
+a AS (
+  SELECT source, COUNT(*) AS n, SUM(t) AS true_count,
+         SUM(r) AS reported_count
+  FROM d GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(reported_count AS BIGINT) AS reported_count,
+       CAST(2000 * reported_count - 500 * n AS BIGINT) AS est_milli,
+       CAST(ABS(2000 * reported_count - 500 * n - 1000 * true_count)
+            AS BIGINT) AS abs_err_milli
+FROM a ORDER BY source
+""",
+    doc="Warner randomized response (local DP, p=3/4, eps=ln 3): "
+        "seeded deterministic coin, per-source noisy counts, and the "
+        "exact-integer debiased estimate 2*obs - n/2 published in "
+        "milli units — mechanism and estimator both value-pinned.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Unicode script-mix audit — multilingual curation needs per-document
+# script composition: lang-id disagreement, mixed-script spoofing
+# (Cyrillic 'а' inside Latin words), and CJK/Arabic segmentation
+# routing all key off it. The fixture synthesizes genuinely mixed text
+# per document (chr() runs from five non-Latin ranges appended to the
+# real Latin text, counts derived from doc_id); counting is PURE Column
+# regex over explicit codepoint ranges (identical semantics in Java
+# regex and RE2, unlike \\p{Script=...} names), so the whole audit
+# stays inside whole-stage codegen — no Python, no shuffle before the
+# final sort.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RANGES = (
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+    ("hangul", "[가-힯]"),
+)
+
+
+def _unicode_script_mix(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+
+    def pick(base: int, span: int) -> Column:
+        # Spark's chr() is mod-256 Latin-1, so non-Latin codepoints
+        # come from a literal-array lookup — still pure codegen
+        return F.element_at(
+            F.array(*[F.lit(chr(base + i)) for i in range(span)]),
+            (did % span + 1).cast("int"))
+
+    mixed = F.concat(
+        F.substring("text", 1, 20),
+        F.repeat(pick(1040, 32), (did % 5).cast("int")),
+        F.repeat(pick(913, 24), (did % 4).cast("int")),
+        F.repeat(pick(19968, 100), (did % 3).cast("int")),
+        F.repeat(pick(1575, 10), (did % 4).cast("int")),
+        F.repeat(pick(44032, 50), (did % 2).cast("int")))
+    t = d.select("doc_id", mixed.alias("u"))
+    counts = [F.regexp_count("u", F.lit(rx)).cast("long").alias(name)
+              for name, rx in _SCRIPT_RANGES]
+    t = t.select("doc_id", F.length("u").cast("long").alias("n_chars_u"),
+                 *counts)
+    names = [n for n, _ in _SCRIPT_RANGES]
+    n_scripts = sum((F.col(n) > 0).cast("long") for n in names)
+    top = F.greatest(*[F.col(n) for n in names])
+    dominant = F.when(F.lit(False), F.lit(""))
+    for n in names:                      # first-in-order wins ties
+        dominant = dominant.when(F.col(n) == top, F.lit(n))
+    return (t.withColumn("n_scripts", n_scripts.cast("long"))
+            .withColumn("dominant", dominant)
+            .withColumn("mixed_script", n_scripts >= 3)
+            .orderBy("doc_id"))
+
+
+register(
+    "unicode_script_mix",
+    _unicode_script_mix,
+    """
+WITH t AS (
+  SELECT doc_id,
+         substr(text, 1, 20)
+         || repeat(chr(CAST(1040 + doc_id % 32 AS INT)),
+                   CAST(doc_id % 5 AS INT))
+         || repeat(chr(CAST(913 + doc_id % 24 AS INT)),
+                   CAST(doc_id % 4 AS INT))
+         || repeat(chr(CAST(19968 + doc_id % 100 AS INT)),
+                   CAST(doc_id % 3 AS INT))
+         || repeat(chr(CAST(1575 + doc_id % 10 AS INT)),
+                   CAST(doc_id % 4 AS INT))
+         || repeat(chr(CAST(44032 + doc_id % 50 AS INT)),
+                   CAST(doc_id % 2 AS INT)) AS u
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(LENGTH(u) AS BIGINT) AS n_chars_u,
+         CAST(len(regexp_extract_all(u, '[A-Za-z]')) AS BIGINT) AS latin,
+         CAST(len(regexp_extract_all(u, '[Ѐ-ӿ]')) AS BIGINT)
+           AS cyrillic,
+         CAST(len(regexp_extract_all(u, '[Ͱ-Ͽ]')) AS BIGINT)
+           AS greek,
+         CAST(len(regexp_extract_all(u, '[一-鿿]')) AS BIGINT)
+           AS cjk,
+         CAST(len(regexp_extract_all(u, '[؀-ۿ]')) AS BIGINT)
+           AS arabic,
+         CAST(len(regexp_extract_all(u, '[가-힯]')) AS BIGINT)
+           AS hangul
+  FROM t)
+SELECT doc_id, n_chars_u, latin, cyrillic, greek, cjk, arabic, hangul,
+       CAST((latin > 0)::INT + (cyrillic > 0)::INT + (greek > 0)::INT
+            + (cjk > 0)::INT + (arabic > 0)::INT + (hangul > 0)::INT
+            AS BIGINT) AS n_scripts,
+       CASE GREATEST(latin, cyrillic, greek, cjk, arabic, hangul)
+         WHEN latin THEN 'latin' WHEN cyrillic THEN 'cyrillic'
+         WHEN greek THEN 'greek' WHEN cjk THEN 'cjk'
+         WHEN arabic THEN 'arabic' ELSE 'hangul' END AS dominant,
+       (latin > 0)::INT + (cyrillic > 0)::INT + (greek > 0)::INT
+         + (cjk > 0)::INT + (arabic > 0)::INT + (hangul > 0)::INT >= 3
+         AS mixed_script
+FROM c ORDER BY doc_id
+""",
+    doc="Unicode script-mix audit over synthesized mixed-script text: "
+        "per-script codepoint-range counts (explicit ranges, engine-"
+        "portable), script cardinality, tie-ordered dominant script, "
+        "and a mixed-script spoofing flag — all codegen Column regex.",
+)
