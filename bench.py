@@ -163,6 +163,9 @@ HEADLINE = [
     "robots_txt_gate",          # broadcast rules + max_by argmax
     "image_dhash_neardup",      # banded perceptual-hash pair join
     "blocklist_screen",         # Aho-Corasick narrow scan
+    "dp_randomized_response",   # codegen coin + one agg
+    "unicode_script_mix",       # codegen regex range counts
+    "pq_quantization_codes",    # 4 subspace fits + argmin encode
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

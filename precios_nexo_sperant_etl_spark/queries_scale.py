@@ -10949,3 +10949,129 @@ FROM c ORDER BY doc_id
         "portable), script cardinality, tie-ordered dominant script, "
         "and a mixed-script spoofing flag — all codegen Column regex.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN workhorse next to
+# IVF and SQ8 (embedding_quantization_audit): the 64-dim embedding is
+# split into 4 x 16-dim subspaces, each fitted with its own tiny
+# k-means codebook (k=8, 2 Lloyd rounds, id-ordered init — the same
+# exact-fold fit as the IVF coarse quantizer), and every vector is
+# encoded as 4 code bytes. Published output is the INTEGER code per
+# subspace per vector plus the per-code populations, so the entire
+# fit+encode chain is value-pinned with no float publication; the
+# oracle unrolls all four subspace fits CTE-by-CTE like the IVF/
+# SemDeDup oracles.
+#
+# Scale shape: fits collect k x subdim doubles per round from a
+# sample-sized table (memoized per sf); the encode pass is one scan
+# with 4 argmin fold expressions — no shuffle before the final sort.
+# At 100 TB the codes are what ships to the ANN serving tier (16 bytes
+# per vector instead of 256).
+# ---------------------------------------------------------------------------
+
+_PQ_FIT_CACHE: dict[tuple, list] = {}
+_PQ_M, _PQ_DIMS, _PQ_K, _PQ_ITER = 4, 16, 8, 2
+
+
+def _pq_fit(spark: SparkSession, sf: str, j: int) -> list:
+    from .operators.similarity import kmeans_fit
+    key = (sf, "pq", j)
+    if key not in _PQ_FIT_CACHE:
+        sub = (_t(spark, sf, "embeddings")
+               .select("vec_id",
+                       F.slice("embedding", j * _PQ_DIMS + 1,
+                               _PQ_DIMS).alias("embedding")))
+        _PQ_FIT_CACHE[key] = kmeans_fit(sub, n_cells=_PQ_K,
+                                        n_iter=_PQ_ITER)
+    return _PQ_FIT_CACHE[key]
+
+
+def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import assign_cells_fold
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    out = emb
+    for j in range(_PQ_M):
+        cents = _pq_fit(spark, sf, j)
+        out = (assign_cells_fold(
+                   out.withColumn("_sub", F.slice("embedding",
+                                                  j * _PQ_DIMS + 1,
+                                                  _PQ_DIMS)),
+                   cents, vec_col="_sub", cell_col=f"code{j}")
+               .drop("_sub"))
+    codes = [F.col(f"code{j}").cast("long").alias(f"code{j}")
+             for j in range(_PQ_M)]
+    return (out.select("vec_id", *codes)
+            .withColumn("packed",
+                        sum(F.col(f"code{j}") * (8 ** j)
+                            for j in range(_PQ_M)).cast("long"))
+            .orderBy("vec_id"))
+
+
+def _pq_sub_ctes(j: int) -> list[str]:
+    a = j * _PQ_DIMS + 1
+    ctes = [f"""sub{j} AS (
+  SELECT vec_id, list_transform(range({a}, {a + _PQ_DIMS}),
+                                i -> CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings)"""]
+    ctes.append(f"""c{j}_0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         v AS centroid
+  FROM (SELECT vec_id, v FROM sub{j} ORDER BY vec_id LIMIT {_PQ_K}))""")
+
+    def d2(v: str, c: str) -> str:
+        return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
+                f" + {_duck_dot(c, c)}")
+
+    for i in range(_PQ_ITER + 1):
+        ctes.append(f"""a{j}_{i + 1} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {d2('e.v', 'c.centroid')} ASC, c.cell ASC) AS rn
+    FROM sub{j} e CROSS JOIN c{j}_{i} c) t WHERE rn = 1)""")
+        if i < _PQ_ITER:
+            ctes.append(f"""c{j}_{i + 1} AS (
+  SELECT c.cell, COALESCE(n.centroid, c.centroid) AS centroid
+  FROM c{j}_{i} c LEFT JOIN (
+    SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+      SELECT cell, dim,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                         (x, y) -> x + y) / len(vs) AS m
+      FROM (SELECT cell, dim, list(val ORDER BY vec_id) AS vs
+            FROM (SELECT cell, vec_id, unnest(v) AS val,
+                         CAST(unnest(range(len(v))) AS INT) AS dim
+                  FROM a{j}_{i + 1})
+            GROUP BY cell, dim))
+    GROUP BY cell) n ON n.cell = c.cell)""")
+    return ctes
+
+
+def _pq_oracle() -> str:
+    ctes: list[str] = []
+    for j in range(_PQ_M):
+        ctes.extend(_pq_sub_ctes(j))
+    final = [f"a{j}_{_PQ_ITER + 1}" for j in range(_PQ_M)]
+    joins = " ".join(
+        f"JOIN {final[j]} f{j} ON f{j}.vec_id = f0.vec_id"
+        for j in range(1, _PQ_M))
+    codes = ", ".join(f"CAST(f{j}.cell AS BIGINT) AS code{j}"
+                      for j in range(_PQ_M))
+    packed = " + ".join(f"f{j}.cell * {8 ** j}" for j in range(_PQ_M))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT f0.vec_id, {codes}, CAST({packed} AS BIGINT) AS packed
+FROM {final[0]} f0 {joins}
+ORDER BY f0.vec_id
+""")
+
+
+register(
+    "pq_quantization_codes",
+    _pq_codes,
+    _pq_oracle(),
+    doc="Product quantization over 4x16-dim subspaces: per-subspace "
+        "k=8 Lloyd fits (id-ordered init, exact double folds, "
+        "empty-cell carry) and argmin encoding, published as integer "
+        "codes + the packed 12-bit word per vector; the oracle unrolls "
+        "all four subspace fits iteration by iteration.",
+)

@@ -381,3 +381,16 @@ def test_heaps_vocab_growth_monotone_and_exact_at_full(spark):
            .where(F.col("t") != ""))
     assert voc[-1] == ex.select("t").distinct().count()
     assert toks[-1] == ex.count()
+
+
+def test_pq_codes_pack_and_range(spark):
+    from precios_nexo_sperant_etl_spark.queries_scale import _pq_codes
+    rows = _pq_codes(spark, SF_DIR).collect()
+    assert rows, "pq produced no codes"
+    for r in rows:
+        codes = [r[f"code{j}"] for j in range(4)]
+        assert all(0 <= c < 8 for c in codes)
+        assert r["packed"] == sum(c * (8 ** j) for j, c in enumerate(codes))
+    # every subspace should use more than one code on real data
+    for j in range(4):
+        assert len({r[f"code{j}"] for r in rows}) > 1
