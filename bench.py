@@ -166,6 +166,7 @@ HEADLINE = [
     "dp_randomized_response",   # codegen coin + one agg
     "unicode_script_mix",       # codegen regex range counts
     "pq_quantization_codes",    # 4 subspace fits + argmin encode
+    "pq_adc_topk",              # LUT-literal ADC scan + per-query topk
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

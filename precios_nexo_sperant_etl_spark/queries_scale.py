@@ -11075,3 +11075,131 @@ register(
         "codes + the packed 12-bit word per vector; the oracle unrolls "
         "all four subspace fits iteration by iteration.",
 )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC) — how PQ codes are actually
+# queried: per query vector, an 8-entry lookup table of exact
+# (query-subvector -> centroid) squared distances per subspace, then
+# every database vector is scored as the SUM OF 4 TABLE LOOKUPS on its
+# code word — no decode, no per-vector float math beyond 4 adds. The
+# LUT doubles are the same id-ordered exact folds as the fit, and the
+# 4-term sum has a fixed association order, so the approximate
+# distances (and therefore the ADC top-k ranking) are bit-reproducible
+# and the oracle replays them from the unrolled subspace fits.
+#
+# Scale shape: LUTs are built driver-side from the memoized fits
+# (k x m doubles per query — constant) and enter the plan as literals;
+# scoring is 4 element_at lookups + adds per row, one scan, one
+# per-query top-k. At 100 TB this is the serving-tier scan shape.
+# ---------------------------------------------------------------------------
+
+def _pyfold_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.similarity import assign_cells_fold
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    coded = emb
+    fits = []
+    for j in range(_PQ_M):
+        cents = _pq_fit(spark, sf, j)
+        fits.append(cents)
+        coded = (assign_cells_fold(
+                     coded.withColumn("_sub", F.slice("embedding",
+                                                      j * _PQ_DIMS + 1,
+                                                      _PQ_DIMS)),
+                     cents, vec_col="_sub", cell_col=f"code{j}")
+                 .drop("_sub"))
+    coded = coded.select(
+        "vec_id", *[F.col(f"code{j}") for j in range(_PQ_M)])
+
+    qrows = {int(r["vec_id"]): list(r["embedding"])
+             for r in emb.filter(F.col("vec_id")
+                                 .isin(_ANN_QUERY_IDS)).collect()}
+    parts = []
+    for qid in _ANN_QUERY_IDS:
+        qv = qrows[qid]
+        luts = []
+        for j in range(_PQ_M):
+            sub = qv[j * _PQ_DIMS:(j + 1) * _PQ_DIMS]
+            lut = []
+            for c in fits[j]:
+                dvv = _pyfold_dot(sub, sub)
+                dvc = _pyfold_dot(sub, c)
+                dcc = _pyfold_dot(c, c)
+                lut.append((dvv - 2.0 * dvc) + dcc)
+            luts.append(lut)
+        adc = sum(F.element_at(
+                      F.array(*[F.lit(v) for v in luts[j]]),
+                      (F.col(f"code{j}") + 1).cast("int"))
+                  for j in range(_PQ_M))
+        parts.append(coded
+                     .filter(F.col("vec_id") != qid)
+                     .select(F.lit(qid).cast("long").alias("query_id"),
+                             F.col("vec_id").alias("neighbor_id"),
+                             adc.alias("adc_d2")))
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .orderBy("query_id", "rank"))
+
+
+def _pq_adc_oracle(k: int = 10) -> str:
+    ctes: list[str] = []
+    for j in range(_PQ_M):
+        ctes.extend(_pq_sub_ctes(j))
+    ids = ", ".join(map(str, _ANN_QUERY_IDS))
+
+    def d2(v: str, c: str) -> str:
+        return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
+                f" + {_duck_dot(c, c)}")
+
+    for j in range(_PQ_M):
+        ctes.append(f"""lut{j} AS (
+  SELECT q.vec_id AS query_id, c.cell, {d2('q.v', 'c.centroid')} AS d
+  FROM (SELECT vec_id, v FROM sub{j} WHERE vec_id IN ({ids})) q
+  CROSS JOIN c{j}_{_PQ_ITER} c)""")
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = q.g"
+        f" AND l{j}.cell = f{j}.cell" for j in range(_PQ_M))
+    code_joins = " ".join(
+        f"JOIN a{j}_{_PQ_ITER + 1} f{j} ON f{j}.vec_id = f0.vec_id"
+        for j in range(1, _PQ_M))
+    adc = " + ".join(f"l{j}.d" for j in range(_PQ_M))
+    ctes.append(f"""scored AS (
+  SELECT q.g AS query_id, f0.vec_id AS neighbor_id,
+         0 + {adc} AS adc_d2
+  FROM (SELECT unnest([{ids}]) AS g) q
+  CROSS JOIN a0_{_PQ_ITER + 1} f0 {code_joins} {lut_joins}
+  WHERE f0.vec_id != q.g)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id, adc_d2,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn FROM scored) t
+WHERE rn <= {k} ORDER BY query_id, rn
+""")
+
+
+register(
+    "pq_adc_topk",
+    _pq_adc_topk,
+    _pq_adc_oracle(),
+    doc="PQ asymmetric-distance top-10: per-query 8-entry LUTs of "
+        "exact-fold squared distances per subspace, database vectors "
+        "scored as 4 table lookups + a fixed-order sum on their code "
+        "words; approximate distances and ranking bit-replayed by the "
+        "oracle from the unrolled subspace fits.",
+)
