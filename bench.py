@@ -167,6 +167,7 @@ HEADLINE = [
     "unicode_script_mix",       # codegen regex range counts
     "pq_quantization_codes",    # 4 subspace fits + argmin encode
     "pq_adc_topk",              # LUT-literal ADC scan + per-query topk
+    "tfrecord_roundtrip",       # proto wire codec + CRC32C framing
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

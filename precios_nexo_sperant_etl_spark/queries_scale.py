@@ -11203,3 +11203,112 @@ register(
         "words; approximate distances and ranking bit-replayed by the "
         "oracle from the unrolled subspace fits.",
 )
+
+
+# ---------------------------------------------------------------------------
+# TFRecord shard roundtrip — the de-facto ML training-data container:
+# documents are grouped into genuine TFRecord shards (one real shuffle
+# keyed by shard id, like webdataset_roundtrip), each record a true
+# protobuf tf.train.Example (varint wire format with NEGATIVE int64s'
+# ten-byte encoding, packed fixed32 floats, bytes features) framed with
+# the masked-CRC32C TFRecord layout; the reader walks frames with CRC
+# verification ON and re-decodes every Example with the real
+# wire-format walker. Every published value comes from the DECODED
+# bytes and is replayed arithmetically by DuckDB; floats are chosen
+# exactly representable in float32 so the double publication is
+# hazard-free. operators/tfrecord.py holds the codec (public CRC32C
+# test vectors + hypothesis roundtrips in tests/test_tfrecord.py).
+#
+# Scale shape: one groupBy-shard shuffle + two Arrow crossings; shards
+# are independent so the layout splits across executors exactly like
+# production TFRecord pipelines expect.
+# ---------------------------------------------------------------------------
+
+def _tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.tfrecord import (decode_example, encode_example,
+                                     frame_records, read_records)
+
+    d = (_t(spark, sf, "documents").select("doc_id")
+         .withColumn("shard", (F.col("doc_id") % 32).cast("long")))
+
+    def build(key, pdf):
+        records = []
+        for did in sorted(pdf["doc_id"].astype("int64")):
+            did = int(did)
+            n = 5 + did % 4
+            toks = [(did * 7 + 3 * i) % 1000 - 400 for i in range(n)]
+            records.append(encode_example({
+                "doc_id": [did],
+                "tokens": toks,
+                "score": [(did % 512) / 256.0, (did % 7) / 4.0],
+                "text": f"doc{did}".encode()}))
+        return pd.DataFrame({"shard": [int(key[0])],
+                             "payload": [frame_records(records)]})
+
+    shards = d.groupBy("shard").applyInPandas(
+        build, "shard long, payload binary")
+
+    def unpack(it):
+        for pdf in it:
+            rows = []
+            for s, p in zip(pdf["shard"].astype("int64"), pdf["payload"]):
+                recs = read_records(bytes(p), verify=True)
+                for r in recs:
+                    ex = decode_example(r)
+                    toks = ex["tokens"]
+                    rows.append({
+                        "doc_id": ex["doc_id"][0],
+                        "shard": int(s),
+                        "shard_size": len(recs),
+                        "n_tokens": len(toks),
+                        "token_sum": sum(toks),
+                        "neg_tokens": sum(1 for t in toks if t < 0),
+                        "score0": float(ex["score"][0]),
+                        "score1": float(ex["score"][1]),
+                        "text_len": len(ex["text"]),
+                        "crc_ok": True})
+            yield pd.DataFrame(rows)
+
+    return (shards.mapInPandas(
+                unpack, "doc_id long, shard long, shard_size long,"
+                        " n_tokens long, token_sum long, neg_tokens long,"
+                        " score0 double, score1 double, text_len long,"
+                        " crc_ok boolean")
+            .orderBy("doc_id"))
+
+
+register(
+    "tfrecord_roundtrip",
+    _tfrecord_roundtrip,
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 32 AS shard, 5 + doc_id % 4 AS n
+  FROM documents),
+s AS (SELECT shard, COUNT(*) AS shard_size FROM d GROUP BY shard),
+t AS (
+  SELECT d.doc_id, d.shard, d.n,
+         (d.doc_id * 7 + 3 * i.g) % 1000 - 400 AS tok
+  FROM d JOIN generate_series(0, 8) i(g) ON i.g < d.n)
+SELECT d.doc_id, d.shard, CAST(s.shard_size AS BIGINT) AS shard_size,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(SUM(t.tok) AS BIGINT) AS token_sum,
+       CAST(SUM(CASE WHEN t.tok < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS neg_tokens,
+       CAST(d.doc_id % 512 AS DOUBLE) / 256.0 AS score0,
+       CAST(d.doc_id % 7 AS DOUBLE) / 4.0 AS score1,
+       CAST(LENGTH('doc' || CAST(d.doc_id AS VARCHAR)) AS BIGINT)
+         AS text_len,
+       TRUE AS crc_ok
+FROM d JOIN s ON s.shard = d.shard
+JOIN t ON t.doc_id = d.doc_id
+GROUP BY d.doc_id, d.shard, s.shard_size, d.n
+ORDER BY d.doc_id
+""",
+    doc="TFRecord shard roundtrip: real protobuf Example encoding "
+        "(ten-byte negative varints, packed fixed32 floats), masked-"
+        "CRC32C framing verified on read, one shard-keyed shuffle; "
+        "decoded token sums, float32-exact scores, and shard sizes "
+        "replayed arithmetically.",
+)
