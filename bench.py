@@ -168,6 +168,7 @@ HEADLINE = [
     "pq_quantization_codes",    # 4 subspace fits + argmin encode
     "pq_adc_topk",              # LUT-literal ADC scan + per-query topk
     "tfrecord_roundtrip",       # proto wire codec + CRC32C framing
+    "avro_container_roundtrip", # zigzag OCF codec, schema-driven
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

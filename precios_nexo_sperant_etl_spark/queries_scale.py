@@ -11312,3 +11312,115 @@ ORDER BY d.doc_id
         "decoded token sums, float32-exact scores, and shard sizes "
         "replayed arithmetically.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF shard roundtrip — Spark's Avro module is an external jar
+# that is absent here, so the engine carries its own byte-level Object
+# Container File codec (operators/avro_ocf.py: ZIGZAG varints — the
+# spec's own examples pinned in tests — block-encoded arrays, embedded
+# JSON schema driving field order, per-block sync-marker verification).
+# Same shard shape as tfrecord_roundtrip: one groupBy-shard shuffle,
+# genuine multi-block files (block_records=8), every published value
+# read back out of the container bytes and replayed arithmetically;
+# the double score is float-exact by construction ((id%512)/256).
+# ---------------------------------------------------------------------------
+
+_AVRO_DOC_SCHEMA = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "tokens", "type": {"type": "array", "items": "long"}},
+        {"name": "score", "type": "double"},
+        {"name": "text", "type": "string"}]}
+
+
+def _avro_container_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.avro_ocf import read_ocf, write_ocf
+
+    d = (_t(spark, sf, "documents").select("doc_id")
+         .withColumn("shard", (F.col("doc_id") % 32).cast("long")))
+
+    def build(key, pdf):
+        s = int(key[0])
+        sync = bytes((s * 31 + i * 7) % 256 for i in range(16))
+        recs = []
+        for did in sorted(pdf["doc_id"].astype("int64")):
+            did = int(did)
+            n = 5 + did % 4
+            recs.append({
+                "doc_id": did,
+                "tokens": [(did * 7 + 3 * i) % 1000 - 400
+                           for i in range(n)],
+                "score": (did % 512) / 256.0,
+                "text": f"doc{did}"})
+        return pd.DataFrame({"shard": [s],
+                             "payload": [write_ocf(_AVRO_DOC_SCHEMA,
+                                                   recs, sync,
+                                                   block_records=8)]})
+
+    shards = d.groupBy("shard").applyInPandas(
+        build, "shard long, payload binary")
+
+    def unpack(it):
+        for pdf in it:
+            rows = []
+            for s, p in zip(pdf["shard"].astype("int64"), pdf["payload"]):
+                r = read_ocf(bytes(p))
+                want = bytes((int(s) * 31 + i * 7) % 256
+                             for i in range(16))
+                for rec in r["records"]:
+                    toks = rec["tokens"]
+                    rows.append({
+                        "doc_id": rec["doc_id"],
+                        "shard": int(s),
+                        "shard_size": len(r["records"]),
+                        "n_blocks": r["n_blocks"],
+                        "n_tokens": len(toks),
+                        "token_sum": sum(toks),
+                        "score": float(rec["score"]),
+                        "text_len": len(rec["text"]),
+                        "sync_ok": r["sync"] == want})
+            yield pd.DataFrame(rows)
+
+    return (shards.mapInPandas(
+                unpack, "doc_id long, shard long, shard_size long,"
+                        " n_blocks long, n_tokens long, token_sum long,"
+                        " score double, text_len long, sync_ok boolean")
+            .orderBy("doc_id"))
+
+
+register(
+    "avro_container_roundtrip",
+    _avro_container_roundtrip,
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 32 AS shard, 5 + doc_id % 4 AS n
+  FROM documents),
+s AS (SELECT shard, COUNT(*) AS shard_size,
+             (COUNT(*) + 7) // 8 AS n_blocks
+      FROM d GROUP BY shard),
+t AS (
+  SELECT d.doc_id, (d.doc_id * 7 + 3 * i.g) % 1000 - 400 AS tok
+  FROM d JOIN generate_series(0, 8) i(g) ON i.g < d.n)
+SELECT d.doc_id, d.shard,
+       CAST(s.shard_size AS BIGINT) AS shard_size,
+       CAST(s.n_blocks AS BIGINT) AS n_blocks,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(SUM(t.tok) AS BIGINT) AS token_sum,
+       CAST(d.doc_id % 512 AS DOUBLE) / 256.0 AS score,
+       CAST(LENGTH('doc' || CAST(d.doc_id AS VARCHAR)) AS BIGINT)
+         AS text_len,
+       TRUE AS sync_ok
+FROM d JOIN s ON s.shard = d.shard
+JOIN t ON t.doc_id = d.doc_id
+GROUP BY d.doc_id, d.shard, s.shard_size, s.n_blocks, d.n
+ORDER BY d.doc_id
+""",
+    doc="Avro OCF roundtrip without the avro jar: zigzag varints, "
+        "block-encoded arrays, embedded-schema-driven decode, "
+        "per-block sync verification over genuine multi-block shard "
+        "files; token sums, scores, and block counts replayed "
+        "arithmetically.",
+)
