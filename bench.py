@@ -169,6 +169,7 @@ HEADLINE = [
     "pq_adc_topk",              # LUT-literal ADC scan + per-query topk
     "tfrecord_roundtrip",       # proto wire codec + CRC32C framing
     "avro_container_roundtrip", # zigzag OCF codec, schema-driven
+    "avro_snappy_roundtrip",    # snappy blocks + CRC32 verification
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -102,15 +102,20 @@ def _dec_value(buf: bytes, pos: int, typ):
 
 
 def write_ocf(schema: dict, records: list[dict], sync: bytes,
-              block_records: int = 8) -> bytes:
+              block_records: int = 8, codec: str = "null") -> bytes:
     """Serialize records to a genuine Avro OCF: magic, metadata map
-    (embedded schema JSON, null codec), sync marker, multi-record data
-    blocks each closed by the sync marker."""
+    (embedded schema JSON + codec), sync marker, multi-record data
+    blocks each closed by the sync marker. ``codec="snappy"`` runs
+    each block through the from-scratch Snappy encoder below and
+    appends the spec's 4-byte big-endian CRC32 of the UNCOMPRESSED
+    block."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
+    if codec not in ("null", "snappy"):
+        raise ValueError("codec must be null or snappy")
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     meta = {"avro.schema": json.dumps(schema, sort_keys=True),
-            "avro.codec": "null"}
+            "avro.codec": codec}
     out = bytearray(b"Obj\x01")
     out += zigzag(len(meta))
     for k in sorted(meta):
@@ -123,6 +128,10 @@ def write_ocf(schema: dict, records: list[dict], sync: bytes,
         body = b"".join(
             b"".join(_enc_value(r[name], typ) for name, typ in fields)
             for r in chunk)
+        if codec == "snappy":
+            import zlib
+            body = (snappy_compress(body)
+                    + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
         out += zigzag(len(chunk)) + zigzag(len(body)) + body + sync
     return bytes(out)
 
@@ -149,8 +158,9 @@ def read_ocf(payload: bytes) -> dict:
             vl, pos = read_zigzag(payload, pos)
             meta[k] = payload[pos:pos + vl]
             pos += vl
-    if meta.get("avro.codec", b"null") != b"null":
-        raise ValueError("only the null codec is supported")
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "snappy"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"].decode())
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     sync = payload[pos:pos + 16]
@@ -164,12 +174,20 @@ def read_ocf(payload: bytes) -> dict:
         if pos + size + 16 > len(payload):
             raise ValueError("data block overruns file")
         body, bpos = payload[pos:pos + size], 0
+        if codec == "snappy":
+            import zlib
+            if size < 4:
+                raise ValueError("snappy block too short for its CRC")
+            (want_crc,) = struct.unpack(">I", body[-4:])
+            body = snappy_decompress(body[:-4])
+            if zlib.crc32(body) & 0xFFFFFFFF != want_crc:
+                raise ValueError("snappy block CRC mismatch")
         for _ in range(cnt):
             rec = {}
             for name, typ in fields:
                 rec[name], bpos = _dec_value(body, bpos, typ)
             records.append(rec)
-        if bpos != size:
+        if bpos != len(body):
             raise ValueError("block size disagrees with record bytes")
         pos += size
         if payload[pos:pos + 16] != sync:
@@ -177,4 +195,120 @@ def read_ocf(payload: bytes) -> dict:
         pos += 16
         n_blocks += 1
     return {"schema": schema, "records": records, "n_blocks": n_blocks,
-            "sync": sync}
+            "sync": sync, "codec": codec}
+
+
+# ---------------------------------------------------------------------------
+# Snappy block format (github.com/google/snappy format_description.txt)
+# from scratch — the compression the lake stack (parquet/orc/avro)
+# leans on. Decoder handles all four tag kinds (literal with extended
+# lengths, 1/2/4-byte-offset copies, overlapping copies); the encoder
+# is a greedy 4-byte hash matcher, enough to produce genuine
+# copy-bearing streams for the decoder and the Avro snappy codec below.
+# ---------------------------------------------------------------------------
+
+def snappy_compress(data: bytes) -> bytes:
+    """Greedy Snappy encoder: varint uncompressed length, then
+    literal / 2-byte-offset copy elements found by a 4-byte hash
+    table (matches 4..64 bytes, window <= 65535 — the common emit
+    shapes; the decoder handles every shape regardless)."""
+    out = bytearray()
+    n = len(data)
+    v = n
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        ln = hi - lo
+        while ln > 0:
+            chunk = min(ln, 0x10000)
+            if chunk <= 60:
+                out.append((chunk - 1) << 2)
+            elif chunk <= 0x100:
+                out.append(60 << 2)
+                out.append(chunk - 1)
+            else:
+                out.append(61 << 2)
+                out.extend((chunk - 1).to_bytes(2, "little"))
+            out.extend(data[lo:lo + chunk])
+            lo += chunk
+            ln -= chunk
+
+    table: dict[bytes, int] = {}
+    i = lit = 0
+    while i + 4 <= n:
+        key = data[i:i + 4]
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and i - j <= 0xFFFF and data[j:j + 4] == key:
+            emit_literal(lit, i)
+            m = 4
+            while i + m < n and data[j + m] == data[i + m] and m < 64:
+                m += 1
+            # 2-byte-offset copy: length 1..64 in the tag's high 6 bits
+            out.append(((m - 1) << 2) | 2)
+            out.extend((i - j).to_bytes(2, "little"))
+            i += m
+            lit = i
+        else:
+            i += 1
+    emit_literal(lit, n)
+    return bytes(out)
+
+
+def snappy_decompress(payload: bytes) -> bytes:
+    """Full Snappy block decoder: preamble varint, literal tags with
+    1/2/3/4-byte extended lengths, copy tags with 1/2/4-byte offsets,
+    overlapping copies byte-by-byte, exact output-length check."""
+    pos = shift = want = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("snappy preamble overruns")
+        b = payload[pos]
+        pos += 1
+        want |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy length varint too long")
+    out = bytearray()
+    while pos < len(payload):
+        tag = payload[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:                                # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(payload[pos:pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > len(payload):
+                raise ValueError("literal overruns input")
+            out += payload[pos:pos + ln]
+            pos += ln
+            continue
+        if kind == 1:                                # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | payload[pos]
+            pos += 1
+        elif kind == 2:                              # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(payload[pos:pos + 2], "little")
+            pos += 2
+        else:                                        # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(payload[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("copy offset outside window")
+        for _ in range(ln):                          # may self-overlap
+            out.append(out[-off])
+    if len(out) != want:
+        raise ValueError("snappy output length mismatch")
+    return bytes(out)

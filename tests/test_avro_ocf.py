@@ -75,3 +75,52 @@ def test_foreign_schema_order_drives_decode():
         {"name": "doc_id", "type": "long"}]}
     recs = [{"text": "zz", "doc_id": 9}]
     assert read_ocf(write_ocf(schema2, recs, SYNC))["records"] == recs
+
+
+# --- Snappy codec + snappy-coded OCF ---------------------------------------
+
+def test_snappy_roundtrip_shapes():
+    from precios_nexo_sperant_etl_spark.operators.avro_ocf import (
+        snappy_compress, snappy_decompress)
+    for d in (b"", b"a", b"abcd" * 2000, bytes(range(256)) * 8,
+              b"aaaaaaa", b"the quick brown fox " * 100):
+        assert snappy_decompress(snappy_compress(d)) == d
+    # repetitive data must actually produce copy elements
+    assert len(snappy_compress(b"abcd" * 1000)) < 400
+
+
+def test_snappy_overlapping_copy_and_all_offsets():
+    from precios_nexo_sperant_etl_spark.operators.avro_ocf import (
+        snappy_decompress)
+    # hand-built stream: literal 'ab', then a 1-byte-offset overlapping
+    # copy of length 6 at offset 2 -> 'abababab'
+    raw = bytes([8]) + bytes([(2 - 1) << 2]) + b"ab" \
+        + bytes([((6 - 4) << 2) | 1, 2])
+    assert snappy_decompress(raw) == b"abababab"
+    # 4-byte-offset copy kind
+    raw = bytes([8]) + bytes([(2 - 1) << 2]) + b"ab" \
+        + bytes([((6 - 1) << 2) | 3]) + (2).to_bytes(4, "little")
+    assert snappy_decompress(raw) == b"abababab"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=4000))
+def test_snappy_property(data):
+    from precios_nexo_sperant_etl_spark.operators.avro_ocf import (
+        snappy_compress, snappy_decompress)
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+def test_snappy_ocf_roundtrip_and_crc():
+    from precios_nexo_sperant_etl_spark.operators.avro_ocf import (
+        read_ocf, write_ocf)
+    recs = [{"doc_id": i, "tokens": [i, -i], "score": i / 4.0,
+             "text": f"doc{i} " * 8} for i in range(20)]
+    ocf = write_ocf(SCHEMA, recs, SYNC, codec="snappy")
+    r = read_ocf(ocf)
+    assert r["records"] == recs and r["codec"] == "snappy"
+    assert len(ocf) < len(write_ocf(SCHEMA, recs, SYNC))  # it compresses
+    bad = bytearray(ocf)
+    bad[ocf.index(SYNC) + 26] ^= 1          # inside the first block
+    with pytest.raises(ValueError):
+        read_ocf(bytes(bad))
