@@ -170,6 +170,8 @@ HEADLINE = [
     "tfrecord_roundtrip",       # proto wire codec + CRC32C framing
     "avro_container_roundtrip", # zigzag OCF codec, schema-driven
     "avro_snappy_roundtrip",    # snappy blocks + CRC32 verification
+    "longest_repeated_substring",  # suffix array + Kasai per doc
+    "mp4_sample_table_probe",   # stbl expansion + offset readback
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

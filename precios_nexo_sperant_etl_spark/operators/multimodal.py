@@ -1964,3 +1964,160 @@ def dhash64(box) -> tuple[int, int]:
     lo = int((bits[:32] << np.arange(32)).sum())
     hi = int((bits[32:] << np.arange(32)).sum())
     return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF sample tables (stts/stsc/stsz/stco) — the part of an MP4 a
+# frame sampler actually needs: probe_mp4 above reads clip-level
+# metadata; these tables map every SAMPLE to its timestamp, size, and
+# file offset, which is what "decode every k-th frame" resolves through
+# before any codec runs. The builder packs genuine tables (run-length
+# stts, sample-to-chunk stsc with its first_chunk run encoding, stsz,
+# stco offsets pointing into a real mdat); the walker expands them and
+# reads the addressed bytes back OUT OF THE CONTAINER, so offset/size
+# arithmetic is verified against actual payload content, not echoed.
+# ---------------------------------------------------------------------------
+
+def build_mp4_sample_table(samples: list[bytes], stts: list[tuple[int, int]],
+                           chunk_sizes: list[int],
+                           timescale: int = 1000) -> bytes:
+    """Pack samples into a genuine minimal MP4: ftyp, then mdat holding
+    the sample bytes grouped into chunks of ``chunk_sizes`` (their sum
+    must equal len(samples)), then moov/trak/mdia with mdhd(timescale)
+    and an stbl carrying stts (run-length (count, delta) pairs covering
+    every sample), stsc (compressed first-chunk runs), stsz, stco."""
+    import struct
+    if sum(chunk_sizes) != len(samples):
+        raise ValueError("chunk sizes must cover every sample")
+    if sum(c for c, _ in stts) != len(samples):
+        raise ValueError("stts runs must cover every sample")
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat_body = b"".join(samples)
+    mdat_off = len(ftyp) + 8                 # file offset of mdat body
+    # chunk offsets into the file
+    stco_vals, pos, si = [], mdat_off, 0
+    for ck in chunk_sizes:
+        stco_vals.append(pos)
+        pos += sum(len(samples[si + j]) for j in range(ck))
+        si += ck
+    stts_b = struct.pack(">II", 0, len(stts)) + b"".join(
+        struct.pack(">II", c, d) for c, d in stts)
+    # stsc: compress equal-samples-per-chunk runs
+    runs = []
+    for i, ck in enumerate(chunk_sizes, start=1):
+        if not runs or runs[-1][1] != ck:
+            runs.append((i, ck))
+    stsc_b = struct.pack(">II", 0, len(runs)) + b"".join(
+        struct.pack(">III", first, spc, 1) for first, spc in runs)
+    stsz_b = struct.pack(">III", 0, 0, len(samples)) + b"".join(
+        struct.pack(">I", len(s)) for s in samples)
+    stco_b = struct.pack(">II", 0, len(stco_vals)) + b"".join(
+        struct.pack(">I", o) for o in stco_vals)
+    stbl = box(b"stbl", box(b"stts", stts_b) + box(b"stsc", stsc_b)
+               + box(b"stsz", stsz_b) + box(b"stco", stco_b))
+    total_dur = sum(c * d for c, d in stts)
+    # mdhd v0: version/flags, creation, modification, timescale,
+    # duration, language (und) + pre_defined
+    mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                    total_dur)
+               + struct.pack(">HH", 0x55C4, 0))
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                    total_dur) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + box(b"mdat", mdat_body) + moov
+
+
+def parse_mp4_samples(payload: bytes) -> dict:
+    """REAL sample-table walk: find moov > trak > mdia > (mdhd, minf >
+    stbl), expand stts runs into per-sample decode times, expand the
+    stsc first-chunk run encoding into per-chunk sample counts, then
+    resolve every sample's file offset from stco + cumulative stsz and
+    READ ITS BYTES from the container. Returns per-sample (dts, size,
+    offset, first_byte) plus timescale/duration facts."""
+    import struct
+
+    def children(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size, typ = struct.unpack_from(">I4s", payload, pos)
+            body_lo = pos + 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body_lo = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if pos + size > hi:
+                raise ValueError("box overruns container")
+            yield typ, body_lo, pos + size
+            pos += size
+
+    def find(lo: int, hi: int, path: list[bytes]):
+        for typ, blo, bhi in children(lo, hi):
+            if typ == path[0]:
+                if len(path) == 1:
+                    return blo, bhi
+                return find(blo, bhi, path[1:])
+        raise ValueError(f"missing box {path[0]!r}")
+
+    moov = find(0, len(payload), [b"moov"])
+    mdia = find(moov[0], moov[1], [b"trak", b"mdia"])
+    mdhd = find(mdia[0], mdia[1], [b"mdhd"])
+    timescale, duration = struct.unpack_from(">II", payload,
+                                             mdhd[0] + 12)
+    stbl = find(mdia[0], mdia[1], [b"minf", b"stbl"])
+    tables = {}
+    for typ, blo, bhi in children(stbl[0], stbl[1]):
+        tables[typ] = (blo, bhi)
+    for need in (b"stts", b"stsc", b"stsz", b"stco"):
+        if need not in tables:
+            raise ValueError(f"missing sample table {need!r}")
+
+    lo, _ = tables[b"stts"]
+    (n_runs,) = struct.unpack_from(">I", payload, lo + 4)
+    dts, t = [], 0
+    for r in range(n_runs):
+        c, d = struct.unpack_from(">II", payload, lo + 8 + 8 * r)
+        for _ in range(c):
+            dts.append(t)
+            t += d
+    lo, _ = tables[b"stsz"]
+    fixed, n_samples = struct.unpack_from(">II", payload, lo + 4)
+    if n_samples != len(dts):
+        raise ValueError("stsz/stts sample-count mismatch")
+    sizes = ([fixed] * n_samples if fixed else
+             list(struct.unpack_from(f">{n_samples}I", payload, lo + 12)))
+    lo, _ = tables[b"stco"]
+    (n_chunks,) = struct.unpack_from(">I", payload, lo + 4)
+    offsets = list(struct.unpack_from(f">{n_chunks}I", payload, lo + 8))
+    lo, _ = tables[b"stsc"]
+    (n_sc,) = struct.unpack_from(">I", payload, lo + 4)
+    sc = [struct.unpack_from(">III", payload, lo + 8 + 12 * e)
+          for e in range(n_sc)]
+    per_chunk = []
+    for e, (first, spc, _desc) in enumerate(sc):
+        last = sc[e + 1][0] - 1 if e + 1 < n_sc else n_chunks
+        per_chunk.extend(spc for _ in range(first, last + 1))
+    if sum(per_chunk) != n_samples:
+        raise ValueError("stsc expansion disagrees with sample count")
+
+    out = []
+    si = 0
+    for ci, cnt in enumerate(per_chunk):
+        off = offsets[ci]
+        for _ in range(cnt):
+            if off + sizes[si] > len(payload):
+                raise ValueError("sample leaves the file")
+            out.append({"dts": dts[si], "size": sizes[si], "offset": off,
+                        "first_byte": payload[off]})
+            off += sizes[si]
+            si += 1
+    return {"timescale": timescale, "duration": duration,
+            "n_samples": n_samples, "n_chunks": n_chunks,
+            "samples": out}

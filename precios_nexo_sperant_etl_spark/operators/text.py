@@ -826,3 +826,74 @@ def ac_count_all(ac: dict, text: str) -> list[int]:
                 counts[pid] += 1
             v = olink[v]
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Suffix array + Kasai LCP — the classic exact-repetition machinery
+# (the data structure behind "Deduplicating Training Data Makes
+# Language Models Better"-style suffix dedup). exact_substring_coverage
+# above replaces the suffix array with a relational window join for
+# span coverage; this is the real structure for per-document queries
+# the relational form can't express cheaply, e.g. the longest repeated
+# substring. Pure per-document work behind the Arrow seam.
+# ---------------------------------------------------------------------------
+
+def suffix_array(s: str) -> list[int]:
+    """O(n log^2 n) prefix-doubling suffix array: rank pairs sorted per
+    round, fully deterministic (no comparator or hashing tricks)."""
+    n = len(s)
+    if n == 0:
+        return []
+    sa = list(range(n))
+    rank = [ord(c) for c in s]
+    tmp = [0] * n
+    k = 1
+    while True:
+        def key(i: int) -> tuple[int, int]:
+            return (rank[i], rank[i + k] if i + k < n else -1)
+        sa.sort(key=key)
+        tmp[sa[0]] = 0
+        for j in range(1, n):
+            tmp[sa[j]] = tmp[sa[j - 1]] + (key(sa[j]) != key(sa[j - 1]))
+        rank = tmp[:]
+        if rank[sa[-1]] == n - 1 or k >= n:
+            return sa
+        k <<= 1
+
+
+def lcp_kasai(s: str, sa: list[int]) -> list[int]:
+    """Kasai's O(n) LCP: lcp[j] = longest common prefix of the suffixes
+    at sa[j] and sa[j-1] (lcp[0] = 0)."""
+    n = len(s)
+    rank = [0] * n
+    for j, i in enumerate(sa):
+        rank[i] = j
+    lcp = [0] * n
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_repeated_substring(s: str) -> tuple[int, str]:
+    """(length, substring) of the longest substring occurring >= 2
+    times (overlaps allowed); ties resolve to the lexicographically
+    smallest, which falls out of suffix-array order for free. Empty
+    answer for strings with no repeated character."""
+    if len(s) < 2:
+        return 0, ""
+    sa = suffix_array(s)
+    lcp = lcp_kasai(s, sa)
+    best = max(lcp)
+    if best == 0:
+        return 0, ""
+    j = lcp.index(best)          # first in SA order = smallest substring
+    return best, s[sa[j]:sa[j] + best]

@@ -11526,3 +11526,174 @@ ORDER BY d.doc_id
         "arithmetically, with a pinned boolean that compression "
         "genuinely shrank every shard.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Longest repeated substring per document — the per-document exact-
+# repetition primitive behind suffix-array dedup (Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better"): built on
+# a REAL suffix array + Kasai LCP (operators/text.py, verified against
+# brute force by hypothesis), not the relational window join the
+# span-coverage query uses. Bounded to the 64-char document prefix so
+# the oracle can pin the same answer by counting duplicate fixed-length
+# windows at every length (1M tiny rows at sf0.01) — the engine side
+# has no such bound and runs O(n log^2 n) per document.
+#
+# Scale shape: narrow per-document Arrow work, no shuffle before the
+# final sort. Ties at the max length resolve to the lexicographically
+# smallest substring (free from suffix-array order; GROUP BY + MIN in
+# the oracle).
+# ---------------------------------------------------------------------------
+
+def _longest_repeated(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.text import longest_repeated_substring
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def scan(it):
+        for pdf in it:
+            rows = []
+            for did, txt in zip(pdf["doc_id"].astype("int64"),
+                                pdf["text"]):
+                s = (txt or "")[:64]
+                ln, w = longest_repeated_substring(s)
+                occ = (sum(1 for i in range(len(s) - ln + 1)
+                           if s[i:i + ln] == w) if ln else 0)
+                rows.append({"doc_id": int(did), "lrs_len": ln,
+                             "lrs": w, "occurrences": occ})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(scan, "doc_id long, lrs_len long,"
+                                  " lrs string, occurrences long")
+               .orderBy("doc_id"))
+
+
+register(
+    "longest_repeated_substring",
+    _longest_repeated,
+    """
+WITH p AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+w AS (
+  SELECT p.doc_id, L.g AS L, substr(p.s, CAST(i.g AS INT),
+                                    CAST(L.g AS INT)) AS w
+  FROM p
+  JOIN generate_series(1, 63) L(g) ON L.g <= LENGTH(p.s) - 1
+  JOIN generate_series(1, 64) i(g) ON i.g + L.g - 1 <= LENGTH(p.s)),
+dup AS (
+  SELECT doc_id, L, w, COUNT(*) AS c
+  FROM w GROUP BY doc_id, L, w HAVING COUNT(*) >= 2),
+best AS (SELECT doc_id, MAX(L) AS lrs_len FROM dup GROUP BY doc_id),
+pick AS (
+  SELECT d.doc_id, b.lrs_len, d.w, d.c,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY d.w) AS rn
+  FROM dup d JOIN best b ON b.doc_id = d.doc_id AND d.L = b.lrs_len)
+SELECT p.doc_id,
+       CAST(COALESCE(k.lrs_len, 0) AS BIGINT) AS lrs_len,
+       COALESCE(k.w, '') AS lrs,
+       CAST(COALESCE(k.c, 0) AS BIGINT) AS occurrences
+FROM p LEFT JOIN (SELECT * FROM pick WHERE rn = 1) k
+  ON k.doc_id = p.doc_id
+ORDER BY p.doc_id
+""",
+    doc="Longest repeated substring via a real suffix array + Kasai "
+        "LCP per document (hypothesis-verified vs brute force); the "
+        "oracle re-derives length, lexicographically-smallest winner, "
+        "and overlap-counted occurrences by duplicate-window counting "
+        "over every length.",
+)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample-table probe — the stbl walk (stts run-length decode
+# times, stsc first-chunk-run expansion, stsz sizes, stco offsets) that
+# maps every sample to (timestamp, size, file offset) BEFORE any codec
+# touches bytes: this is how "decode every k-th frame" finds its
+# frames in a real MP4, and the part probe_mp4's clip-level metadata
+# pass doesn't cover. The walker reads each addressed sample's first
+# byte back out of the container, so the offset arithmetic is verified
+# against actual mdat content; the fixture's ftyp is constant-size, so
+# the oracle replays absolute file offsets with a running-sum window.
+# Codec decode of the samples stays behind the documented library
+# boundary — the TABLES are the Spark-side plumbing that must be real.
+# ---------------------------------------------------------------------------
+
+def _mp4_sample_table_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import (build_mp4_sample_table,
+                                       parse_mp4_samples)
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                n = 8 + did % 5
+                samples = [bytes([(did * 13 + i * 7) % 256])
+                           * (4 + (did + i) % 3) for i in range(n)]
+                d1 = 100 + (did % 3) * 20
+                stts = [(4, d1), (n - 4, 200)]
+                chunks = [3] * (n // 3) + ([n % 3] if n % 3 else [])
+                mp4 = build_mp4_sample_table(samples, stts, chunks)
+                r = parse_mp4_samples(mp4)
+                ss = r["samples"]
+                rows.append({
+                    "doc_id": did,
+                    "n_samples": r["n_samples"],
+                    "n_chunks": r["n_chunks"],
+                    "duration": r["duration"],
+                    "total_bytes": sum(s["size"] for s in ss),
+                    "sum_offsets": sum(s["offset"] for s in ss),
+                    "sum_dts": sum(s["dts"] for s in ss),
+                    "sum_first_bytes": sum(s["first_byte"]
+                                           for s in ss)})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, n_samples long,"
+                                 " n_chunks long, duration long,"
+                                 " total_bytes long, sum_offsets long,"
+                                 " sum_dts long, sum_first_bytes long")
+               .orderBy("doc_id"))
+
+
+register(
+    "mp4_sample_table_probe",
+    _mp4_sample_table_probe,
+    """
+WITH p AS (
+  SELECT doc_id, 8 + doc_id % 5 AS n, 100 + (doc_id % 3) * 20 AS d1
+  FROM documents),
+s AS (
+  SELECT p.doc_id, p.n, p.d1, CAST(i.g AS BIGINT) AS i,
+         4 + (p.doc_id + i.g) % 3 AS sz,
+         (p.doc_id * 13 + i.g * 7) % 256 AS fb,
+         CASE WHEN i.g < 4 THEN i.g * p.d1
+              ELSE 4 * p.d1 + (i.g - 4) * 200 END AS dts
+  FROM p JOIN generate_series(0, 12) i(g) ON i.g < p.n),
+o AS (
+  SELECT *, 32 + SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS UNBOUNDED PRECEDING) - sz AS off
+  FROM s)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n + 2) // 3 AS BIGINT) AS n_chunks,
+       CAST(4 * d1 + (n - 4) * 200 AS BIGINT) AS duration,
+       CAST(SUM(sz) AS BIGINT) AS total_bytes,
+       CAST(SUM(off) AS BIGINT) AS sum_offsets,
+       CAST(SUM(dts) AS BIGINT) AS sum_dts,
+       CAST(SUM(fb) AS BIGINT) AS sum_first_bytes
+FROM o GROUP BY doc_id, n, d1 ORDER BY doc_id
+""",
+    doc="MP4 stbl walk: stts run expansion to decode times, stsc "
+        "first-chunk-run expansion, stsz/stco offset resolution, each "
+        "addressed sample's first byte read back out of mdat; "
+        "timestamps, sizes, absolute offsets, and content bytes all "
+        "replayed arithmetically (running-sum window on the oracle "
+        "side only).",
+)

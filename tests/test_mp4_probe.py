@@ -317,3 +317,52 @@ def test_mp3_sideinfo_reservoir_invariants():
     if 2 * 4095 > 8 * ml:
         with pytest.raises(ValueError, match="reservoir underflow"):
             parse_mp3_sideinfo(badp)
+
+
+# --- sample tables (stts/stsc/stsz/stco) ------------------------------------
+
+def test_sample_table_roundtrip_and_offsets():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        build_mp4_sample_table, parse_mp4_samples)
+    samples = [bytes([(i * 37) % 256]) * (5 + i % 3) for i in range(11)]
+    mp4 = build_mp4_sample_table(samples, stts=[(4, 100), (7, 200)],
+                                 chunk_sizes=[3, 3, 3, 2])
+    r = parse_mp4_samples(mp4)
+    assert r["n_samples"] == 11 and r["n_chunks"] == 4
+    assert r["duration"] == 4 * 100 + 7 * 200
+    assert [s["dts"] for s in r["samples"]][:6] == [0, 100, 200, 300,
+                                                    400, 600]
+    for i, s in enumerate(r["samples"]):
+        assert s["size"] == len(samples[i])
+        assert s["first_byte"] == samples[i][0]
+
+
+def test_sample_table_validation():
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        build_mp4_sample_table, parse_mp4_samples)
+    samples = [b"ab"] * 4
+    with pytest.raises(ValueError):
+        build_mp4_sample_table(samples, stts=[(3, 10)], chunk_sizes=[4])
+    with pytest.raises(ValueError):
+        build_mp4_sample_table(samples, stts=[(4, 10)], chunk_sizes=[3])
+    mp4 = bytearray(build_mp4_sample_table(samples, stts=[(4, 10)],
+                                           chunk_sizes=[2, 2]))
+    # corrupt the stco chunk offset so a sample leaves the file
+    i = bytes(mp4).rfind(b"stco")
+    mp4[i + 12:i + 16] = (len(mp4) - 1).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        parse_mp4_samples(bytes(mp4))
+
+
+def test_sample_table_stsc_run_expansion():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        build_mp4_sample_table, parse_mp4_samples)
+    # 7 chunks: 2,2,2,1,1,3,3 -> stsc compresses to 4 runs
+    sizes = [2, 2, 2, 1, 1, 3, 3]
+    samples = [bytes([i]) for i in range(sum(sizes))]
+    r = parse_mp4_samples(build_mp4_sample_table(
+        samples, stts=[(sum(sizes), 40)], chunk_sizes=sizes))
+    assert r["n_chunks"] == 7
+    assert [s["first_byte"] for s in r["samples"]] == list(
+        range(sum(sizes)))
