@@ -172,6 +172,7 @@ HEADLINE = [
     "avro_snappy_roundtrip",    # snappy blocks + CRC32 verification
     "longest_repeated_substring",  # suffix array + Kasai per doc
     "mp4_sample_table_probe",   # stbl expansion + offset readback
+    "manifest_prune_audit",     # zone-map skip/scan accounting
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -11697,3 +11697,106 @@ FROM o GROUP BY doc_id, n, d1 ORDER BY doc_id
         "replayed arithmetically (running-sum window on the oracle "
         "side only).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning audit — THE 100 TB lever: a lake scan skips a file
+# whenever the predicate interval misses the file's [min, max] zone
+# map, and the ratio rows_scanned / rows_matched says how much the
+# layout amplifies each query. The manifest here is built from the
+# fact table itself (one month = one file, min/max/count of the price
+# in integer cents via an exact DECIMAL(18,2) bridge — the repo's
+# standard double->cents pattern), then a broadcast predicate table is
+# audited against it: skipped files, surviving rows, exact selectivity
+# from the base table, and the integer amplification factor. The same
+# arithmetic a table-format reader (parquet row groups, Iceberg/Delta
+# manifests) runs before any I/O happens.
+#
+# Scale shape: manifest = one grouped agg (80 rows); predicates
+# broadcast; exact counts are a second grouped agg over one scan. No
+# window, no Python.
+# ---------------------------------------------------------------------------
+
+def _manifest_prune_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("file_id"))
+    manifest = (o.groupBy("file_id")
+                .agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"),
+                     F.count(F.lit(1)).alias("rows")))
+    preds = (spark.range(9).select(
+        F.col("id").cast("long").alias("pid"),
+        (F.col("id") * 7_000_000).alias("lo"),
+        (F.col("id") * 7_000_000 + 2_500_000).alias("hi")))
+    hit = ~((F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi")))
+    audited = (manifest.crossJoin(F.broadcast(preds))
+               .groupBy("pid", "lo", "hi")
+               .agg(F.count(F.lit(1)).alias("files_total"),
+                    F.sum((~hit).cast("long")).alias("files_skipped"),
+                    F.sum(F.when(hit, F.col("rows")).otherwise(0))
+                    .alias("rows_scanned")))
+    exact = (o.crossJoin(F.broadcast(preds))
+             .filter((F.col("cents") >= F.col("lo"))
+                     & (F.col("cents") <= F.col("hi")))
+             .groupBy("pid").agg(F.count(F.lit(1)).alias("exact_rows")))
+    return (audited.join(exact, "pid", "left")
+            .withColumn("exact_rows",
+                        F.coalesce(F.col("exact_rows"), F.lit(0)))
+            # integer `div`, not double `/` + cast: floor semantics
+            # must match the oracle's `//` bit-for-bit
+            .withColumn("amp_milli",
+                        F.expr("(rows_scanned * 1000)"
+                               " div greatest(exact_rows, 1)"))
+            .select("pid", "lo", "hi", "files_total", "files_skipped",
+                    "rows_scanned", "exact_rows", "amp_milli")
+            .orderBy("pid"))
+
+
+register(
+    "manifest_prune_audit",
+    _manifest_prune_audit,
+    """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS file_id
+  FROM orders),
+m AS (
+  SELECT file_id, MIN(cents) AS mn, MAX(cents) AS mx,
+         COUNT(*) AS rows FROM o GROUP BY file_id),
+p AS (
+  SELECT CAST(g AS BIGINT) AS pid,
+         CAST(g * 7000000 AS BIGINT) AS lo,
+         CAST(g * 7000000 + 2500000 AS BIGINT) AS hi
+  FROM generate_series(0, 8) t(g)),
+a AS (
+  SELECT p.pid, p.lo, p.hi,
+         COUNT(*) AS files_total,
+         SUM(CASE WHEN m.mx < p.lo OR m.mn > p.hi THEN 1 ELSE 0 END)
+           AS files_skipped,
+         SUM(CASE WHEN m.mx < p.lo OR m.mn > p.hi THEN 0 ELSE m.rows END)
+           AS rows_scanned
+  FROM m CROSS JOIN p GROUP BY p.pid, p.lo, p.hi),
+e AS (
+  SELECT p.pid, COUNT(*) AS exact_rows
+  FROM o JOIN p ON o.cents BETWEEN p.lo AND p.hi
+  GROUP BY p.pid)
+SELECT a.pid, a.lo, a.hi,
+       CAST(a.files_total AS BIGINT) AS files_total,
+       CAST(a.files_skipped AS BIGINT) AS files_skipped,
+       CAST(a.rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(COALESCE(e.exact_rows, 0) AS BIGINT) AS exact_rows,
+       CAST(a.rows_scanned * 1000 // GREATEST(COALESCE(e.exact_rows, 0), 1)
+            AS BIGINT) AS amp_milli
+FROM a LEFT JOIN e ON e.pid = a.pid
+ORDER BY a.pid
+""",
+    doc="Zone-map pruning audit: month-file manifest (min/max/count in "
+        "exact integer cents), broadcast predicate table, skip/scan "
+        "accounting, exact selectivity from the base table, and the "
+        "integer scan-amplification factor — the pre-I/O math of "
+        "parquet row groups and lakehouse manifests.",
+)
