@@ -173,6 +173,7 @@ HEADLINE = [
     "longest_repeated_substring",  # suffix array + Kasai per doc
     "mp4_sample_table_probe",   # stbl expansion + offset readback
     "manifest_prune_audit",     # zone-map skip/scan accounting
+    "confusable_skeleton",      # UTS39 homoglyph translate audit
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

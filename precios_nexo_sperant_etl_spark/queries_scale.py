@@ -11800,3 +11800,75 @@ ORDER BY a.pid
         "integer scan-amplification factor — the pre-I/O math of "
         "parquet row groups and lakehouse manifests.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Confusable-skeleton audit (UTS #39 subset) — the homoglyph-spoofing
+# companion to unicode_script_mix: Cyrillic 'а' inside Latin words
+# defeats exact dedup, blocklists, and URL matching unless text is
+# first mapped to its confusable skeleton. The map here is a
+# documented 12-pair subset of Unicode confusables.txt (public data;
+# same expression shape extends to the full table), applied with
+# translate() so the whole audit is codegen Column work on both
+# engines. The fixture injects real homoglyphs per doc_id class and
+# the oracle replays injection, counting, and skeleton equality.
+# ---------------------------------------------------------------------------
+
+#: (confusable, ascii) pairs — subset of Unicode confusables.txt:
+#: Cyrillic а е о с р х і ѕ ј у + Greek ο ν.
+_CONFUSABLES = "аеосрхіѕјуον"
+_CONF_ASCII = "aeocpxisjyov"
+
+
+def _confusable_skeleton(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = F.substring("text", 1, 16)
+    kind = (F.col("doc_id") % 4).cast("long")
+    # kind 1: Cyrillic а for a; kind 2: Cyrillic е/о; kind 3: Greek
+    # omicron + Cyrillic с (mixed-script injection). The published
+    # columns (counts + skeleton equality) are identical whichever
+    # homoglyph of the same letter is injected — both map to ASCII.
+    spoofed = (F.when(kind == 1, F.translate(base, "a", "а"))
+               .when(kind == 2, F.translate(base, "eo", "ео"))
+               .when(kind == 3, F.translate(base, "oc", "ο" + "с"))
+               .otherwise(base))
+    t = d.select("doc_id", kind.alias("spoof_kind"), base.alias("base"),
+                 spoofed.alias("spoofed"))
+    skeleton = F.translate(F.col("spoofed"), _CONFUSABLES, _CONF_ASCII)
+    n_conf = (F.length("spoofed")
+              - F.length(F.translate(F.col("spoofed"), _CONFUSABLES, "")))
+    return (t.withColumn("n_confusables", n_conf.cast("long"))
+            .withColumn("skeleton_eq_base", skeleton == F.col("base"))
+            .withColumn("changed", F.col("spoofed") != F.col("base"))
+            .select("doc_id", "spoof_kind", "n_confusables",
+                    "skeleton_eq_base", "changed")
+            .orderBy("doc_id"))
+
+
+register(
+    "confusable_skeleton",
+    _confusable_skeleton,
+    """
+WITH t AS (
+  SELECT doc_id, doc_id % 4 AS spoof_kind,
+         substr(text, 1, 16) AS base,
+         CASE doc_id % 4
+           WHEN 1 THEN translate(substr(text, 1, 16), 'a', 'а')
+           WHEN 2 THEN translate(substr(text, 1, 16), 'eo', 'ео')
+           WHEN 3 THEN translate(substr(text, 1, 16), 'oc', 'ос')
+           ELSE substr(text, 1, 16) END AS spoofed
+  FROM documents)
+SELECT doc_id, CAST(spoof_kind AS BIGINT) AS spoof_kind,
+       CAST(LENGTH(spoofed)
+            - LENGTH(translate(spoofed, 'аеосрхіѕјуον', ''))
+            AS BIGINT) AS n_confusables,
+       translate(spoofed, 'аеосрхіѕјуον', 'aeocpxisjyov') = base
+         AS skeleton_eq_base,
+       spoofed != base AS changed
+FROM t ORDER BY doc_id
+""",
+    doc="UTS #39 confusable skeleton: homoglyphs injected per doc_id "
+        "class, confusable counting and skeleton-vs-original equality "
+        "via translate() — all codegen, engine-portable; the 12-pair "
+        "map is a documented subset of the public confusables table.",
+)
