@@ -174,6 +174,7 @@ HEADLINE = [
     "mp4_sample_table_probe",   # stbl expansion + offset readback
     "manifest_prune_audit",     # zone-map skip/scan accounting
     "confusable_skeleton",      # UTS39 homoglyph translate audit
+    "streaming_static_enrich",  # stream-static broadcast join
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

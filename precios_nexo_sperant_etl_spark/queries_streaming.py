@@ -538,3 +538,49 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
         "independent emission — bit-exact against the batch lag/"
         "cumsum sessionize SQL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_static_enrich: STREAM-STATIC JOIN — the third join/state
+# class in the streaming family (windowed aggs; stream-stream interval
+# join in tests; applyInPandasWithState sessions). The static customer
+# dimension broadcast-joins into every micro-batch INSIDE the streaming
+# plan; integer per-batch partials land per batch_id and merge at read,
+# so the final relation is bit-equal to the one-shot batch SQL. The
+# deliberate user->custkey gap keeps the LEFT-outer path in the hash.
+# ---------------------------------------------------------------------------
+
+def _streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.tables import load_tables
+    from .streaming.stream_kpis import (read_static_enrich,
+                                        streaming_static_enrich_to_lake)
+    out = tempfile.mkdtemp(prefix="stream_enrich_q_")
+    cust = load_tables(spark, sf)["customer"]
+    q = streaming_static_enrich_to_lake(
+        spark, sf, os.path.join(out, "agg"), os.path.join(out, "ckpt"),
+        cust)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming enrich drain exceeded 120s")
+    return (read_static_enrich(spark, os.path.join(out, "agg"))
+            .orderBy("segment", "event_type"))
+
+
+register(
+    "streaming_static_enrich",
+    _streaming_static_enrich,
+    """
+SELECT COALESCE(c.c_mktsegment, 'UNMATCHED') AS segment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(e.event_id) AS BIGINT) AS sum_event_id,
+       CAST(MIN(e.event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(e.event_id) AS BIGINT) AS max_event_id
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id * 11
+GROUP BY 1, 2 ORDER BY segment, event_type
+""",
+    doc="Stream-static broadcast join inside the streaming plan "
+        "(micro-batch enrichment against the customer dimension, "
+        "LEFT-outer misses included), integer partials landed per "
+        "batch and merged at read — bit-equal to the batch join SQL.",
+)

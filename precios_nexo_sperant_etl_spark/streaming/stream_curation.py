@@ -185,6 +185,19 @@ def stream_events_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "stream_events_" + sf_dir.strip("/")
                          .replace("/", "_"))
     done = os.path.join(stage, "_STAGED")
+    # The stage must hold EXACTLY data0/data1/_STAGED: any foreign file
+    # (e.g. a raw-events symlink left by an older stream_events that
+    # once shared this directory name) becomes an extra micro-batch and
+    # double-counts every session. Sweep strays before streaming.
+    if os.path.isdir(stage):
+        for name in os.listdir(stage):
+            if name not in ("data0.parquet", "data1.parquet", "_STAGED"):
+                path = os.path.join(stage, name)
+                if os.path.islink(path) or os.path.isfile(path):
+                    os.unlink(path)
+                else:
+                    import shutil as _sh
+                    _sh.rmtree(path)
     if not os.path.exists(done):
         ev = load_tables(spark, sf_dir)["events"] \
             .select("user_id", "ts", "value", "event_type")

@@ -47,9 +47,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file streaming source requires a *directory* to monitor; stage a
     # symlink dir (new files appearing there would be picked up as they
-    # arrive — exactly the production file-drop pattern).
+    # arrive — exactly the production file-drop pattern). The name is
+    # namespaced with "raw" — stream_events_with_flush stages a
+    # DIFFERENT file set (events copy + sentinel rows) and the two
+    # watchers must never share a directory, or each reads the other's
+    # files as extra micro-batches (double counts).
     stage = os.path.join(tempfile.gettempdir(),
-                         "stream_events_" + sf_dir.strip("/").replace("/", "_"))
+                         "stream_events_raw_"
+                         + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
@@ -324,3 +329,59 @@ def streaming_late_window_counts(spark: SparkSession, sf_dir: str,
     return (spark.read.parquet(sink)
             .select(F.col("win_start").cast("timestamp_ntz"), "n_events")
             .orderBy("win_start"))
+
+
+def streaming_static_enrich_to_lake(spark: SparkSession, sf_dir: str,
+                                    out_dir: str, checkpoint: str,
+                                    cust: DataFrame):
+    """STREAM-STATIC JOIN — the remaining Structured Streaming join
+    class next to the stream-stream attribution join above: each
+    micro-batch of the event stream is enriched against the static
+    customer dimension INSIDE the streaming plan (broadcast hash join,
+    re-planned per batch), then a per-batch integer partial aggregate
+    lands in its own ``batch_id`` partition; the live result is the
+    SUM/MIN/MAX merge at read. The mapping ``user_id * 11 ->
+    c_custkey`` deliberately leaves the tail of the user space
+    unmatched so the LEFT-outer null path is inside the landed values.
+
+    All landed values are integers (counts, event-id folds), so the
+    merged result is bit-equal to the batch SQL with no float
+    machinery."""
+    ev = stream_events(spark, sf_dir)
+    joined = (ev.withColumn("join_key", F.col("user_id") * 11)
+              .join(F.broadcast(cust),
+                    F.col("join_key") == F.col("c_custkey"), "left")
+              .withColumn("segment",
+                          F.coalesce(F.col("c_mktsegment"),
+                                     F.lit("UNMATCHED"))))
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode",
+                           "static")
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            part = (batch.groupBy("segment", "event_type")
+                    .agg(F.count(F.lit(1)).alias("n_events"),
+                         F.sum("event_id").alias("sum_event_id"),
+                         F.min("event_id").alias("min_event_id"),
+                         F.max("event_id").alias("max_event_id")))
+            (part.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite").partitionBy("batch_id")
+                 .parquet(out_dir))
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (joined.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def read_static_enrich(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-at-read for the stream-static enrichment partials."""
+    return (spark.read.parquet(out_dir)
+            .groupBy("segment", "event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_event_id").alias("sum_event_id"),
+                 F.min("min_event_id").alias("min_event_id"),
+                 F.max("max_event_id").alias("max_event_id")))
