@@ -175,6 +175,7 @@ HEADLINE = [
     "manifest_prune_audit",     # zone-map skip/scan accounting
     "confusable_skeleton",      # UTS39 homoglyph translate audit
     "streaming_static_enrich",  # stream-static broadcast join
+    "arrow_ipc_roundtrip",      # Feather v2 shard interchange seam
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -11872,3 +11872,96 @@ FROM t ORDER BY doc_id
         "via translate() — all codegen, engine-portable; the 12-pair "
         "map is a documented subset of the public confusables table.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC (Feather v2) roundtrip — the zero-copy interchange format
+# between the JVM engine and the Python/ML side of a training pipeline
+# (dataloaders, feature stores, pandas/polars consumers). Spark has no
+# native IPC-file source, so the seam is honest engine work: each
+# partition is written as a genuine Arrow IPC stream file via
+# mapInPandas (pyarrow, already the engine's Arrow bridge), then a
+# second pass re-opens every file with the IPC reader and re-derives
+# the values — the same two-crossing shard shape as the tar/TFRecord/
+# Avro seams, one shuffle keyed by shard id.
+# ---------------------------------------------------------------------------
+
+def _arrow_ipc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    out = _tf.mkdtemp(prefix="arrow_ipc_rt_")
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", "text", "lang", "source")
+         .withColumn("shard", (F.col("doc_id") % 16).cast("long")))
+
+    def write_shards(key, pdf):
+        s = int(key[0])
+        path = _os.path.join(out, f"shard-{s:05d}.arrow")
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        table = pa.Table.from_pandas(pdf[["doc_id", "text", "lang",
+                                          "source"]],
+                                     preserve_index=False)
+        with ipc.new_file(path, table.schema) as w:
+            # several record batches per file so the reader's batch
+            # walk is real, not a single-batch special case
+            for lo in range(0, table.num_rows, 8):
+                w.write_batch(table.slice(lo, 8).combine_chunks()
+                              .to_batches()[0])
+        return pd.DataFrame({"shard": [s], "path": [path],
+                             "n_rows": [table.num_rows]})
+
+    shards = d.groupBy("shard").applyInPandas(
+        write_shards, "shard long, path string, n_rows long")
+
+    def read_back(it):
+        for pdf in it:
+            for s, path, n in zip(pdf["shard"].astype("int64"),
+                                  pdf["path"],
+                                  pdf["n_rows"].astype("int64")):
+                with ipc.open_file(path) as r:
+                    nb = r.num_record_batches
+                    t = r.read_all()
+                tp = t.to_pandas()
+                tp["shard"] = int(s)
+                tp["n_batches"] = nb
+                tp["shard_rows"] = int(n)
+                yield tp
+
+    back = shards.mapInPandas(
+        read_back, "doc_id long, text string, lang string,"
+                   " source string, shard long, n_batches long,"
+                   " shard_rows long")
+    return (back.select("doc_id", "lang", "source", "shard",
+                        "n_batches", "shard_rows",
+                        F.length("text").cast("long").alias("n_chars_rt"),
+                        F.md5(F.col("text")).alias("text_md5"))
+            .orderBy("doc_id"))
+
+
+register(
+    "arrow_ipc_roundtrip",
+    _arrow_ipc_roundtrip,
+    """
+WITH d AS (SELECT doc_id, text, lang, source, doc_id % 16 AS shard
+           FROM documents),
+s AS (SELECT shard, COUNT(*) AS shard_rows,
+             (COUNT(*) + 7) // 8 AS n_batches
+      FROM d GROUP BY shard)
+SELECT d.doc_id, d.lang, d.source, d.shard,
+       CAST(s.n_batches AS BIGINT) AS n_batches,
+       CAST(s.shard_rows AS BIGINT) AS shard_rows,
+       CAST(length(d.text) AS BIGINT) AS n_chars_rt,
+       md5(d.text) AS text_md5
+FROM d JOIN s ON s.shard = d.shard
+ORDER BY d.doc_id
+""",
+    doc="Arrow IPC (Feather v2) shard roundtrip: genuine multi-batch "
+        "IPC files written per shard and re-read with the IPC file "
+        "reader; ids, strings, md5s, batch counts, and shard sizes "
+        "all value-pinned — the ML-side interchange seam.",
+)
