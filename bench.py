@@ -176,6 +176,8 @@ HEADLINE = [
     "confusable_skeleton",      # UTS39 homoglyph translate audit
     "streaming_static_enrich",  # stream-static broadcast join
     "arrow_ipc_roundtrip",      # Feather v2 shard interchange seam
+    "png_palette_roundtrip",    # PLTE lookup after bpp=1 defilter
+    "tiff_multipage_roundtrip", # chained-IFD page walk
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

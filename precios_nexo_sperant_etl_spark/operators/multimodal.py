@@ -319,6 +319,7 @@ def decode_png(payload: bytes) -> dict:
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, end_seen = 8, None, [], False
+    plte = None
     while pos + 12 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
         data = payload[pos + 8:pos + 8 + ln]
@@ -329,6 +330,8 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -339,41 +342,54 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("missing IHDR/IEND chunk")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 \
+    if depth != 8 or ctype not in (2, 3) or comp != 0 or filt != 0 \
             or interlace not in (0, 1):
-        raise ValueError("only 8-bit truecolor PNG (interlace 0/1) "
-                         "is decoded here")
-    out = {"width": int(w), "height": int(h), "bits_per_pixel": 24}
+        raise ValueError("only 8-bit truecolor/palette PNG "
+                         "(interlace 0/1) is decoded here")
+    if ctype == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    ch = 3 if ctype == 2 else 1
+    out = {"width": int(w), "height": int(h),
+           "bits_per_pixel": 8 * ch,
+           "palette_size": (len(plte) // 3 if ctype == 3 else 0)}
     raw = zlib.decompress(b"".join(idat))  # inflate + Adler-32 check
     if h == 0 or w == 0:
         return out
     if interlace == 0:
-        if len(raw) != (3 * w + 1) * h:
+        if len(raw) != (ch * w + 1) * h:
             raise ValueError("PNG scanline size mismatch")
         rgb = _png_defilter(np.frombuffer(raw, dtype=np.uint8)
-                            .reshape(h, 3 * w + 1), 3 * w) \
-            .reshape(h, w, 3)
+                            .reshape(h, ch * w + 1), ch * w, bpp=ch) \
+            .reshape(h, w, ch)
     else:
         # Adam7: seven independently-filtered sub-images scattered
         # back on the (x0, y0, dx, dy) pass lattices.
-        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        rgb = np.zeros((h, w, ch), dtype=np.uint8)
         off = 0
         for (x0, y0, dx, dy) in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (3 * pw + 1)
+            need = ph * (ch * pw + 1)
             if off + need > len(raw):
                 raise ValueError("interlaced PNG pass size mismatch")
             sub = _png_defilter(
                 np.frombuffer(raw, dtype=np.uint8,
                               count=need, offset=off)
-                .reshape(ph, 3 * pw + 1), 3 * pw).reshape(ph, pw, 3)
+                .reshape(ph, ch * pw + 1), ch * pw,
+                bpp=ch).reshape(ph, pw, ch)
             rgb[y0::dy, x0::dx] = sub
             off += need
         if off != len(raw):
             raise ValueError("trailing bytes after the Adam7 passes")
+    if ctype == 3:
+        idx = rgb.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index beyond PLTE")
+        rgb = pal[idx]
     totals = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
     n = w * h
     out.update(mean_r_milli=int(totals[0] * 1000 // n),
@@ -388,13 +404,13 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _png_defilter(arr, stride: int):
+def _png_defilter(arr, stride: int, bpp: int = 3):
     """Reverse the five method-0 scanline filters over one
     independently-filtered region (the whole image, or one Adam7
     pass). ``arr`` is (rows, stride+1) uint8 with the filter byte in
-    column 0; returns (rows, stride) uint8."""
+    column 0; returns (rows, stride) uint8. ``bpp`` is the filter
+    delta distance — 3 for truecolor, 1 for palette indices."""
     import numpy as np
-    bpp = 3
     prior = np.zeros(stride, dtype=np.int64)
     rows = []
     for y in range(arr.shape[0]):
@@ -433,7 +449,7 @@ def _png_defilter(arr, stride: int):
         np.zeros((0, stride), dtype=np.uint8)
 
 
-def _png_filter_rows(px) -> bytearray:
+def _png_filter_rows(px, bpp: int = 3) -> bytearray:
     """Forward-filter one independently-filtered region (whole image
     or one Adam7 pass), cycling filter types 0/1/2 (None/Sub/Up) so
     the decoder's de-filtering is actually exercised. ``px`` is
@@ -446,8 +462,8 @@ def _png_filter_rows(px) -> bytearray:
         if ft == 0:
             filtered = px[y]
         elif ft == 1:                      # Sub
-            left = np.concatenate([np.zeros(3, dtype=np.int16),
-                                   row[:-3]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16),
+                                   row[:-bpp]])
             filtered = ((row - left) & 0xFF).astype(np.uint8)
         else:                              # Up
             prior = px[y - 1].astype(np.int16)
@@ -1850,29 +1866,54 @@ def encode_tiff_gray(px, compression: int = 5, predictor: int = 2,
     return bytes(out)
 
 
-def decode_tiff_gray(payload: bytes) -> dict:
-    """REAL TIFF pixel decode: IFD walk (either byte order), strip
-    reassembly via StripOffsets/StripByteCounts/RowsPerStrip, LZW
-    expansion (Compression 5) and horizontal-differencing undo
-    (Predictor 2). Returns the (h, w) uint8 array + the tag facts."""
+def decode_tiff_pages(payload: bytes) -> list[dict]:
+    """REAL multi-page TIFF decode: follow the next-IFD chain (the
+    scanned-document/fax layout — one IFD per page) and decode every
+    page with the same strip/LZW/predictor machinery as
+    :func:`decode_tiff_gray`. Returns one dict per page."""
     import struct
-
-    import numpy as np
     if payload[:2] == b"II":
         e = "<"
     elif payload[:2] == b"MM":
         e = ">"
     else:
         raise ValueError("bad TIFF byte-order mark")
-    magic, ifd0 = struct.unpack_from(e + "HI", payload, 2)
+    magic, ifd = struct.unpack_from(e + "HI", payload, 2)
     if magic != 42:
         raise ValueError("bad TIFF magic")
+    pages = []
+    seen = set()
+    while ifd:
+        if ifd in seen:
+            raise ValueError("IFD chain loops")
+        seen.add(ifd)
+        page, ifd = _decode_tiff_ifd(payload, e, ifd)
+        pages.append(page)
+    if not pages:
+        raise ValueError("TIFF with no IFDs")
+    return pages
+
+
+def decode_tiff_gray(payload: bytes) -> dict:
+    """First page of :func:`decode_tiff_pages` — the single-image
+    entry point (IFD walk in either byte order, strip reassembly,
+    LZW expansion, horizontal-differencing undo)."""
+    return decode_tiff_pages(payload)[0]
+
+
+def _decode_tiff_ifd(payload: bytes, e: str,
+                     ifd0: int) -> tuple[dict, int]:
+    import struct
+
+    import numpy as np
     count = struct.unpack_from(e + "H", payload, ifd0)[0]
     tags: dict[int, tuple[int, int, bytes]] = {}
     for k in range(count):
         base = ifd0 + 2 + 12 * k
         tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
         tags[tag] = (typ, cnt, payload[base + 8:base + 12])
+    (next_ifd,) = struct.unpack_from(e + "I", payload,
+                                     ifd0 + 2 + 12 * count)
 
     def values(tag: int, default=None) -> list[int]:
         if tag not in tags:
@@ -1916,11 +1957,11 @@ def decode_tiff_gray(payload: bytes) -> dict:
                       .astype(np.uint8)
         rows.append(strip)
     px = np.concatenate(rows, axis=0)
-    return {"width": wd, "height": h, "compression": comp,
-            "predictor": pred if comp == 5 else 1,
-            "n_strips": len(offs),
-            "byte_order": "little" if e == "<" else "big",
-            "pixels": px}
+    return ({"width": wd, "height": h, "compression": comp,
+             "predictor": pred if comp == 5 else 1,
+             "n_strips": len(offs),
+             "byte_order": "little" if e == "<" else "big",
+             "pixels": px}, next_ifd)
 
 
 # ---------------------------------------------------------------------------
@@ -2121,3 +2162,108 @@ def parse_mp4_samples(payload: bytes) -> dict:
     return {"timescale": timescale, "duration": duration,
             "n_samples": n_samples, "n_chunks": n_chunks,
             "samples": out}
+
+
+def encode_png_palette(indices, palette, interlace: bool = False) -> bytes:
+    """Build a genuine 8-bit PALETTE PNG (color type 3): PLTE chunk,
+    1-byte-per-pixel scanlines filtered with the same 0/1/2 cycle
+    (Sub at bpp=1), real zlib IDAT, CRC-32 per chunk, optional Adam7.
+    The indexed form every favicon/sprite pipeline meets."""
+    import struct
+    import zlib
+
+    import numpy as np
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must be (n<=256, 3)")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index beyond palette")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0,
+                       1 if interlace else 0)
+    if not interlace:
+        lines = _png_filter_rows(idx, bpp=1)
+    else:
+        lines = bytearray()
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _png_filter_rows(sub, bpp=1)
+    idat = zlib.compress(bytes(lines))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def encode_tiff_multipage(pages, compression: int = 5,
+                          predictor: int = 2, rows_per_strip: int = 4,
+                          big_endian: bool = False) -> bytes:
+    """Chain several grayscale pages into one genuine multi-page TIFF
+    (the scanned-document/fax layout): each page carries its own strip
+    data, offset arrays, and IFD; every IFD's trailing pointer links
+    the next one and the last points to 0."""
+    import struct
+
+    import numpy as np
+    e = ">" if big_endian else "<"
+    out = bytearray(struct.pack(e + "2sHI",
+                                b"MM" if big_endian else b"II", 42, 0))
+    next_ptr_pos = 4                         # header's IFD pointer
+    for page in pages:
+        a = np.asarray(page, dtype=np.uint8)
+        h, wd = a.shape
+        strips = []
+        for y0 in range(0, h, rows_per_strip):
+            rows = a[y0:y0 + rows_per_strip]
+            if compression == 5:
+                if predictor == 2:
+                    rows = np.concatenate(
+                        [rows[:, :1], np.diff(rows.astype(np.int16),
+                                              axis=1).astype(np.uint8)],
+                        axis=1)
+                strips.append(_tiff_lzw_encode(rows.tobytes()))
+            else:
+                strips.append(rows.tobytes())
+        n = len(strips)
+        offsets, cur = [], len(out)
+        for st in strips:
+            offsets.append(cur)
+            cur += len(st)
+        off_arr, cnt_arr = cur, cur + 4 * n
+        ifd_off = cnt_arr + 4 * n
+
+        def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+            if typ == 3 and cnt == 1:
+                raw = struct.pack(e + "H", val) + b"\x00\x00"
+            else:
+                raw = struct.pack(e + "I", val)
+            return struct.pack(e + "HHI", tag, typ, cnt) + raw
+
+        tags = [(256, 3, 1, wd), (257, 3, 1, h), (258, 3, 1, 8),
+                (259, 3, 1, compression), (262, 3, 1, 1),
+                (273, 4, n, off_arr if n > 1 else offsets[0]),
+                (277, 3, 1, 1), (278, 3, 1, rows_per_strip),
+                (279, 4, n, cnt_arr if n > 1 else len(strips[0]))]
+        if compression == 5:
+            tags.append((317, 3, 1, predictor))
+        tags.sort()
+        for st in strips:
+            out += st
+        for o in offsets:
+            out += struct.pack(e + "I", o)
+        for st in strips:
+            out += struct.pack(e + "I", len(st))
+        out += struct.pack(e + "H", len(tags))
+        for t in tags:
+            out += entry(*t)
+        # patch the previous next-IFD pointer at this page's IFD
+        struct.pack_into(e + "I", out, next_ptr_pos, ifd_off)
+        next_ptr_pos = len(out)
+        out += struct.pack(e + "I", 0)       # this page's next pointer
+    return bytes(out)

@@ -11965,3 +11965,186 @@ ORDER BY d.doc_id
         "reader; ids, strings, md5s, batch counts, and shard sizes "
         "all value-pinned — the ML-side interchange seam.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Palette (indexed) PNG roundtrip — color type 3, the favicon/sprite
+# shape next to the truecolor and Adam7 paths already pinned: PLTE
+# lookup after de-filtering at bpp=1 (the Sub/Paeth left-neighbor
+# distance CHANGES for indexed scanlines — a classic decoder bug this
+# oracle would catch), odd ids interlaced so the palette x Adam7
+# combination is inside the hash. Same fixture arithmetic as the GIF
+# roundtrip, so the oracle is shared shape: palette/index sums plus
+# position-weighted moments.
+# ---------------------------------------------------------------------------
+
+def _png_palette_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import decode_png, encode_png_palette
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                y, x = np.mgrid[0:16, 0:16]
+                idx = ((did + 2 * x + 3 * y) % 16).astype(np.uint8)
+                i = np.arange(16)
+                pal = np.stack([(did * 5 + 17 * i) % 256,
+                                (did * 7 + 29 * i) % 256,
+                                (did * 11 + 41 * i) % 256],
+                               axis=-1).astype(np.uint8)
+                payloads.append(encode_png_palette(
+                    idx, pal, interlace=(did % 2 == 1)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_png(bytes(p))
+                rgb = r["rgb"].astype("int64")
+                y, x = np.mgrid[0:16, 0:16]
+                wgt = 1 + x + 16 * y
+                rows.append({
+                    "doc_id": int(did),
+                    "interlaced": bool(r["interlaced"]),
+                    "palette_size": r["palette_size"],
+                    "bits_per_pixel": r["bits_per_pixel"],
+                    "moment_r": int((wgt * rgb[:, :, 0]).sum()),
+                    "moment_g": int((wgt * rgb[:, :, 1]).sum()),
+                    "moment_b": int((wgt * rgb[:, :, 2]).sum())})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, interlaced boolean,"
+                                 " palette_size long,"
+                                 " bits_per_pixel long, moment_r long,"
+                                 " moment_g long, moment_b long")
+               .orderBy("doc_id"))
+
+
+register(
+    "png_palette_roundtrip",
+    _png_palette_roundtrip,
+    """
+WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
+px AS (
+  SELECT d.doc_id, g.x, g.y,
+         (d.doc_id + 2 * g.x + 3 * g.y) % 16 AS i
+  FROM documents d CROSS JOIN g)
+SELECT doc_id,
+       doc_id % 2 = 1 AS interlaced,
+       CAST(16 AS BIGINT) AS palette_size,
+       CAST(8 AS BIGINT) AS bits_per_pixel,
+       CAST(SUM((1 + x + 16 * y) * ((doc_id * 5 + 17 * i) % 256))
+            AS BIGINT) AS moment_r,
+       CAST(SUM((1 + x + 16 * y) * ((doc_id * 7 + 29 * i) % 256))
+            AS BIGINT) AS moment_g,
+       CAST(SUM((1 + x + 16 * y) * ((doc_id * 11 + 41 * i) % 256))
+            AS BIGINT) AS moment_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Palette PNG (color type 3) roundtrip: PLTE lookup after "
+        "bpp=1 de-filtering, odd ids Adam7-interlaced; palette/index "
+        "arithmetic and position-weighted moments replayed by SQL.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multi-page TIFF roundtrip — the scanned-document/fax layout: one IFD
+# per page chained by next-pointers (loop-guarded), each page with its
+# own strips/compression. Page content is weighted into the moments by
+# page ordinal so a page-order or chain-walk bug cannot hide in sums.
+# ---------------------------------------------------------------------------
+
+def _tiff_multipage_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import (decode_tiff_pages,
+                                       encode_tiff_multipage)
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                y, x = np.mgrid[0:16, 0:16]
+                pages = [((did + 5 * p + 2 * x + 3 * y) % 256)
+                         .astype(np.uint8)
+                         for p in range(2 + did % 2)]
+                payloads.append(encode_tiff_multipage(
+                    pages, compression=5 if did % 2 == 0 else 1,
+                    big_endian=(did % 3 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                ps = decode_tiff_pages(bytes(p))
+                tot = mom = 0
+                mn, mx = 255, 0
+                for pi, pg in enumerate(ps):
+                    px = pg["pixels"].astype("int64")
+                    tot += int(px.sum())
+                    mom += (pi + 1) * int(px.sum())
+                    mn = min(mn, int(px.min()))
+                    mx = max(mx, int(px.max()))
+                rows.append({"doc_id": int(did), "n_pages": len(ps),
+                             "big_endian": ps[0]["byte_order"] == "big",
+                             "compression": ps[0]["compression"],
+                             "pix_sum": tot, "page_moment": mom,
+                             "pix_min": mn, "pix_max": mx})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, n_pages long,"
+                                 " big_endian boolean, compression long,"
+                                 " pix_sum long, page_moment long,"
+                                 " pix_min long, pix_max long")
+               .orderBy("doc_id"))
+
+
+register(
+    "tiff_multipage_roundtrip",
+    _tiff_multipage_roundtrip,
+    """
+WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
+d AS (SELECT doc_id, 2 + doc_id % 2 AS n FROM documents),
+px AS (
+  SELECT d.doc_id, d.n, p.g AS p,
+         (d.doc_id + 5 * p.g + 2 * g.x + 3 * g.y) % 256 AS v
+  FROM d JOIN generate_series(0, 2) p(g) ON p.g < d.n
+  CROSS JOIN g)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_pages,
+       doc_id % 3 = 0 AS big_endian,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 1 END AS BIGINT)
+         AS compression,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM((p + 1) * v) AS BIGINT) AS page_moment,
+       CAST(MIN(v) AS BIGINT) AS pix_min,
+       CAST(MAX(v) AS BIGINT) AS pix_max
+FROM px GROUP BY doc_id, n ORDER BY doc_id
+""",
+    doc="Multi-page TIFF roundtrip: chained IFDs decoded page by page "
+        "(loop-guarded next pointers, per-page strips/LZW/predictor), "
+        "page-ordinal-weighted moments so chain-order bugs cannot "
+        "cancel in sums.",
+)

@@ -140,3 +140,39 @@ def test_cdc_chunks_are_insertion_stable(seed, pos):
     # chunks are ~64 chars, so ~12 chunks total; the edit may destroy
     # the one or two chunks containing it, never the far-away ones
     assert len(a & b) >= len(a) - 3
+
+
+# --- palette PNG (color type 3) ---------------------------------------------
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 2 ** 31 - 1), st.booleans(),
+       st.sampled_from([2, 5, 16, 256]))
+def test_png_palette_roundtrip_property(seed, interlace, ncolors):
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_png, encode_png_palette)
+    rng = np.random.RandomState(seed % 2 ** 31)
+    idx = rng.randint(0, ncolors, size=(16, 16)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(ncolors, 3)).astype(np.uint8)
+    r = decode_png(encode_png_palette(idx, pal, interlace=interlace))
+    assert r["palette_size"] == ncolors
+    assert r["bits_per_pixel"] == 8
+    assert np.array_equal(r["rgb"], pal[idx])
+
+
+def test_png_palette_rejects_bad_index_and_missing_plte():
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_png, encode_png_palette)
+    idx = np.full((4, 4), 3, dtype=np.uint8)
+    pal = np.zeros((3, 3), dtype=np.uint8)       # only indices 0..2
+    with pytest.raises(ValueError):
+        encode_png_palette(idx, pal)
+    # strip the PLTE chunk -> decoder must refuse, not misread
+    png = bytearray(encode_png_palette(np.zeros((4, 4), dtype=np.uint8),
+                                       np.zeros((2, 3), dtype=np.uint8)))
+    i = bytes(png).index(b"PLTE") - 4
+    import struct
+    (ln,) = struct.unpack_from(">I", png, i)
+    del png[i:i + 12 + ln]
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))

@@ -96,3 +96,28 @@ def test_dhash_bit_layout():
     box[7, 8] = 1        # y=7, x=7 -> bit 63 -> hi bit 31
     lo, hi = dhash64(box)
     assert lo == 0 and hi == 1 << 31
+
+
+def test_multipage_chain_and_loop_guard():
+    import struct
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_tiff_pages, encode_tiff_multipage)
+    pages = [np.full((8, 8), v, dtype=np.uint8) for v in (10, 20, 30)]
+    t = encode_tiff_multipage(pages, compression=1, rows_per_strip=8)
+    ps = decode_tiff_pages(t)
+    assert [int(p["pixels"][0, 0]) for p in ps] == [10, 20, 30]
+    # loop the last next-pointer back to IFD0 -> must raise, not spin
+    bad = bytearray(t)
+    (ifd0,) = struct.unpack_from("<I", bad, 4)
+    struct.pack_into("<I", bad, len(bad) - 4, ifd0)
+    with pytest.raises(ValueError):
+        decode_tiff_pages(bytes(bad))
+
+
+def test_multipage_single_page_equals_gray():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_tiff_gray, encode_tiff_multipage)
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    r = decode_tiff_gray(encode_tiff_multipage([px]))
+    assert np.array_equal(r["pixels"], px)
