@@ -178,6 +178,7 @@ HEADLINE = [
     "arrow_ipc_roundtrip",      # Feather v2 shard interchange seam
     "png_palette_roundtrip",    # PLTE lookup after bpp=1 defilter
     "tiff_multipage_roundtrip", # chained-IFD page walk
+    "webm_block_probe",         # EBML vint walk + block timestamps
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -2267,3 +2267,170 @@ def encode_tiff_multipage(pages, compression: int = 5,
         next_ptr_pos = len(out)
         out += struct.pack(e + "I", 0)       # this page's next pointer
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EBML / Matroska (WebM) — the third video container next to AVI and
+# ISO-BMFF: variable-length element IDs and sizes (EBML vints), a
+# Segment tree (Info timestamp scale, Tracks, Clusters), and
+# SimpleBlocks carrying per-frame track vints, SIGNED 16-bit relative
+# timestamps, and keyframe flags. The walker resolves every block's
+# absolute timestamp the way a frame sampler must (cluster base +
+# relative). Codec payload decode (VP9 etc.) stays behind the
+# documented library boundary; the CONTAINER math is the Spark-side
+# work. Public spec: RFC 8794 (EBML) + the Matroska element registry.
+# ---------------------------------------------------------------------------
+
+def ebml_vint(value: int, id_form: bool = False) -> bytes:
+    """Encode an EBML vint: the length descriptor is the leading-1 bit
+    in the first byte. ``id_form=False`` encodes a SIZE (marker bit is
+    not part of the value); IDs are written verbatim elsewhere."""
+    if value < 0:
+        raise ValueError("vint must be non-negative")
+    for n in range(1, 9):
+        if value < (1 << (7 * n)) - 1:       # all-ones is reserved
+            b = value | (1 << (7 * n))
+            return b.to_bytes(n, "big")
+    raise ValueError("vint too large")
+
+
+def read_ebml_vint(buf: bytes, pos: int,
+                   keep_marker: bool = False) -> tuple[int, int]:
+    """Decode an EBML vint at ``pos``; ``keep_marker=True`` returns the
+    raw bytes value including the length marker (how element IDs are
+    conventionally compared)."""
+    if pos >= len(buf):
+        raise ValueError("vint overruns buffer")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("invalid vint leading byte 0")
+    n = 8 - first.bit_length() + 1
+    if pos + n > len(buf):
+        raise ValueError("vint overruns buffer")
+    raw = int.from_bytes(buf[pos:pos + n], "big")
+    return (raw if keep_marker else raw - (1 << (7 * n))), pos + n
+
+
+def _ebml_elem(eid: bytes, body: bytes) -> bytes:
+    return eid + ebml_vint(len(body)) + body
+
+
+def _ebml_uint(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(n, "big")
+
+
+def encode_webm_blocks(clusters, timestamp_scale: int = 1_000_000,
+                       duration_ts: int = 0) -> bytes:
+    """Pack a genuine minimal Matroska/WebM stream: EBML header,
+    Segment > Info (TimestampScale, Duration) + Tracks (one video
+    TrackEntry) + one Cluster element per (cluster_ts, blocks) entry,
+    each block a SimpleBlock with track vint 1, signed 16-bit relative
+    timestamp, keyframe flag, and the payload bytes."""
+    import struct
+    ebml_hdr = _ebml_elem(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_elem(b"\x42\x86", _ebml_uint(1))        # EBMLVersion
+        + _ebml_elem(b"\x42\xf7", _ebml_uint(1))      # EBMLReadVersion
+        + _ebml_elem(b"\x42\x82", b"webm")            # DocType
+        + _ebml_elem(b"\x42\x87", _ebml_uint(2)))     # DocTypeVersion
+    info = _ebml_elem(
+        b"\x15\x49\xa9\x66",
+        _ebml_elem(b"\x2a\xd7\xb1", _ebml_uint(timestamp_scale))
+        + _ebml_elem(b"\x44\x89",
+                     struct.pack(">d", float(duration_ts))))
+    tracks = _ebml_elem(
+        b"\x16\x54\xae\x6b",
+        _ebml_elem(b"\xae",                            # TrackEntry
+                   _ebml_elem(b"\xd7", _ebml_uint(1))  # TrackNumber
+                   + _ebml_elem(b"\x83", _ebml_uint(1))  # video
+                   + _ebml_elem(b"\x86", b"V_VP9")))   # CodecID
+    body = info + tracks
+    for cts, blocks in clusters:
+        cbody = _ebml_elem(b"\xe7", _ebml_uint(cts))   # Timestamp
+        for rel_ts, key, payload in blocks:
+            # track-1 vint is 0x81 (1-byte form, marker bit set)
+            sb = b"\x81" + struct.pack(">h", rel_ts) \
+                + bytes([0x80 if key else 0x00]) + bytes(payload)
+            cbody += _ebml_elem(b"\xa3", sb)           # SimpleBlock
+        body += _ebml_elem(b"\x1f\x43\xb6\x75", cbody)
+    return ebml_hdr + _ebml_elem(b"\x18\x53\x80\x67", body)
+
+
+def parse_webm(payload: bytes) -> dict:
+    """REAL EBML walk: vint IDs/sizes, DocType check, Segment recurse,
+    TimestampScale + Duration from Info, SimpleBlock track/relative-ts/
+    keyframe parsing with ABSOLUTE timestamps resolved per cluster.
+    Returns container facts + per-block (abs_ts, size, key,
+    first_byte)."""
+    import struct
+
+    def elements(lo: int, hi: int):
+        pos = lo
+        while pos < hi:
+            eid, p2 = read_ebml_vint(payload, pos, keep_marker=True)
+            size, p3 = read_ebml_vint(payload, p2)
+            if p3 + size > hi:
+                raise ValueError("EBML element overruns parent")
+            yield eid, p3, p3 + size
+            pos = p3 + size
+
+    doc_type = None
+    segment = None
+    for eid, lo, hi in elements(0, len(payload)):
+        if eid == 0x1A45DFA3:                # EBML header
+            for e2, l2, h2 in elements(lo, hi):
+                if e2 == 0x4282:
+                    doc_type = payload[l2:h2].decode()
+        elif eid == 0x18538067:              # Segment
+            segment = (lo, hi)
+    if doc_type not in ("webm", "matroska"):
+        raise ValueError(f"unsupported EBML DocType {doc_type!r}")
+    if segment is None:
+        raise ValueError("missing Segment element")
+    scale = 1_000_000
+    duration = 0.0
+    track_no = None
+    codec = None
+    blocks = []
+    n_clusters = 0
+    for eid, lo, hi in elements(*segment):
+        if eid == 0x1549A966:                # Info
+            for e2, l2, h2 in elements(lo, hi):
+                if e2 == 0x2AD7B1:
+                    scale = int.from_bytes(payload[l2:h2], "big")
+                elif e2 == 0x4489:
+                    duration = struct.unpack(
+                        ">d" if h2 - l2 == 8 else ">f",
+                        payload[l2:h2])[0]
+        elif eid == 0x1654AE6B:              # Tracks
+            for e2, l2, h2 in elements(lo, hi):
+                if e2 == 0xAE:
+                    for e3, l3, h3 in elements(l2, h2):
+                        if e3 == 0xD7:
+                            track_no = int.from_bytes(
+                                payload[l3:h3], "big")
+                        elif e3 == 0x86:
+                            codec = payload[l3:h3].decode()
+        elif eid == 0x1F43B675:              # Cluster
+            n_clusters += 1
+            cts = None
+            for e2, l2, h2 in elements(lo, hi):
+                if e2 == 0xE7:
+                    cts = int.from_bytes(payload[l2:h2], "big")
+                elif e2 == 0xA3:             # SimpleBlock
+                    if cts is None:
+                        raise ValueError("SimpleBlock before cluster ts")
+                    trk, p = read_ebml_vint(payload, l2)
+                    (rel,) = struct.unpack_from(">h", payload, p)
+                    flags = payload[p + 2]
+                    data = payload[p + 3:h2]
+                    blocks.append({"track": trk,
+                                   "abs_ts": cts + rel,
+                                   "size": len(data),
+                                   "key": bool(flags & 0x80),
+                                   "first_byte": data[0] if data
+                                   else -1})
+    return {"doc_type": doc_type, "timestamp_scale": scale,
+            "duration_ts": duration, "track": track_no, "codec": codec,
+            "n_clusters": n_clusters, "blocks": blocks}

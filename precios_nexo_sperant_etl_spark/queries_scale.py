@@ -12148,3 +12148,91 @@ FROM px GROUP BY doc_id, n ORDER BY doc_id
         "page-ordinal-weighted moments so chain-order bugs cannot "
         "cancel in sums.",
 )
+
+
+# ---------------------------------------------------------------------------
+# WebM/Matroska block probe — the EBML container walk (RFC 8794 vints,
+# Segment/Info/Tracks/Cluster tree, SimpleBlock track vint + SIGNED
+# 16-bit relative timestamps + keyframe flags) that a frame sampler
+# runs to resolve absolute block timestamps before any VP9 bytes are
+# touched. Completes the container trio next to AVI (RIFF) and MP4
+# (ISO-BMFF). Fixture: genuine multi-cluster streams with negative
+# relative timestamps in the hash; the oracle replays cluster-base
+# + relative arithmetic, keyframe counts, and payload byte sums.
+# ---------------------------------------------------------------------------
+
+def _webm_block_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import encode_webm_blocks, parse_webm
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                nc = 2 + did % 2
+                clusters = []
+                for c in range(nc):
+                    nb = 2 + (did + c) % 2
+                    blocks = []
+                    for b in range(nb):
+                        rel = 40 * b + (did % 7) - 3
+                        payload = bytes([(did * 13 + 5 * c + 7 * b)
+                                         % 256]) * (3 + b)
+                        blocks.append((rel, b == 0, payload))
+                    clusters.append((500 * c, blocks))
+                w = encode_webm_blocks(clusters,
+                                       duration_ts=500 * nc)
+                r = parse_webm(w)
+                bl = r["blocks"]
+                rows.append({
+                    "doc_id": did,
+                    "n_clusters": r["n_clusters"],
+                    "n_blocks": len(bl),
+                    "keyframes": sum(1 for x in bl if x["key"]),
+                    "ts_sum": sum(x["abs_ts"] for x in bl),
+                    "payload_bytes": sum(x["size"] for x in bl),
+                    "first_byte_sum": sum(x["first_byte"] for x in bl),
+                    "timestamp_scale": r["timestamp_scale"]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, n_clusters long,"
+                                 " n_blocks long, keyframes long,"
+                                 " ts_sum long, payload_bytes long,"
+                                 " first_byte_sum long,"
+                                 " timestamp_scale long")
+               .orderBy("doc_id"))
+
+
+register(
+    "webm_block_probe",
+    _webm_block_probe,
+    """
+WITH d AS (SELECT doc_id, 2 + doc_id % 2 AS nc FROM documents),
+cb AS (
+  SELECT d.doc_id, d.nc, c.g AS c, 2 + (d.doc_id + c.g) % 2 AS nb
+  FROM d JOIN generate_series(0, 2) c(g) ON c.g < d.nc),
+b AS (
+  SELECT cb.doc_id, cb.nc, cb.c, CAST(i.g AS BIGINT) AS b
+  FROM cb JOIN generate_series(0, 2) i(g) ON i.g < cb.nb)
+SELECT doc_id,
+       CAST(nc AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS keyframes,
+       CAST(SUM(500 * c + 40 * b + doc_id % 7 - 3) AS BIGINT) AS ts_sum,
+       CAST(SUM(3 + b) AS BIGINT) AS payload_bytes,
+       CAST(SUM((doc_id * 13 + 5 * c + 7 * b) % 256) AS BIGINT)
+         AS first_byte_sum,
+       CAST(1000000 AS BIGINT) AS timestamp_scale
+FROM b GROUP BY doc_id, nc ORDER BY doc_id
+""",
+    doc="EBML/WebM block probe: real vint walk, Info/Tracks parse, "
+        "per-cluster SimpleBlock resolution with signed relative "
+        "timestamps and keyframe flags; absolute-timestamp sums, "
+        "payload bytes, and keyframe counts replayed arithmetically.",
+)
