@@ -179,6 +179,7 @@ HEADLINE = [
     "png_palette_roundtrip",    # PLTE lookup after bpp=1 defilter
     "tiff_multipage_roundtrip", # chained-IFD page walk
     "webm_block_probe",         # EBML vint walk + block timestamps
+    "h264_sps_probe",           # Annex-B walk + exp-Golomb SPS
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

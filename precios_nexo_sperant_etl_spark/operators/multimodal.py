@@ -2434,3 +2434,226 @@ def parse_webm(payload: bytes) -> dict:
     return {"doc_type": doc_type, "timestamp_scale": scale,
             "duration_ts": duration, "track": track_no, "codec": codec,
             "n_clusters": n_clusters, "blocks": blocks}
+
+
+# ---------------------------------------------------------------------------
+# H.264/AVC Annex-B NAL walk + SPS parse — the honest slice of H.264 a
+# from-scratch engine can (and must) own: start-code scanning, the
+# emulation-prevention unescape, a NAL-type census, and the
+# exp-Golomb-coded Sequence Parameter Set that carries the REAL coded
+# dimensions (macroblock counts minus cropping). Slice/macroblock
+# decode stays behind real_decode_placeholder — but every video
+# curation filter (resolution gates, profile/level allowlists, IDR
+# density) reads exactly the fields parsed here. Spec: ITU-T H.264
+# §7.3.2.1 (public).
+# ---------------------------------------------------------------------------
+
+class _BitWriterMSB:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, value: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = self.n = 0
+
+    def ue(self, value: int) -> None:          # exp-Golomb unsigned
+        code = value + 1
+        nbits = code.bit_length()
+        self.u(0, nbits - 1)
+        self.u(code, nbits)
+
+    def trailing(self) -> bytes:               # rbsp_stop_one_bit + pad
+        self.u(1, 1)
+        if self.n:
+            self.u(0, 8 - self.n)
+        return bytes(self.out)
+
+
+class _BitReaderMSB:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+
+    def u(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb run too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+
+def _ep_escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention 0x03 after any 00 00 before 00-03."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ep_unescape(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2 and b == 3 and i + 1 < len(ebsp) and ebsp[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def encode_h264_annexb(width: int, height: int, n_idr: int = 1,
+                       n_nonidr: int = 2, profile: int = 66,
+                       level: int = 30) -> bytes:
+    """Build a genuine Annex-B H.264 stream skeleton: SPS (type 7)
+    with real exp-Golomb fields deriving ``width``/``height`` from
+    macroblock counts + frame cropping, a minimal PPS (type 8), an SEI
+    (type 6), then IDR (5) / non-IDR (1) slice NALs with stub payloads
+    — the emulation-prevention escape applied to every RBSP, mixed 3-
+    and 4-byte start codes. Only dimensions divisible by 2 supported
+    (crop units)."""
+    if width % 2 or height % 2:
+        raise ValueError("width/height must be even (crop units)")
+    w_mbs = (width + 15) // 16
+    h_mbs = (height + 15) // 16
+    crop_r = (w_mbs * 16 - width) // 2
+    crop_b = (h_mbs * 16 - height) // 2
+    w = _BitWriterMSB()
+    w.u(profile, 8)
+    w.u(0, 8)                                   # constraint flags
+    w.u(level, 8)
+    w.ue(0)                                     # sps id
+    w.ue(4)                                     # log2_max_frame_num-4
+    w.ue(2)                                     # pic_order_cnt_type
+    w.ue(1)                                     # max_num_ref_frames
+    w.u(0, 1)                                   # gaps allowed
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.u(1, 1)                                   # frame_mbs_only
+    w.u(1, 1)                                   # direct_8x8_inference
+    if crop_r or crop_b:
+        w.u(1, 1)                               # frame_cropping_flag
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)                                   # vui absent
+    sps = _ep_escape(w.trailing())
+    pw = _BitWriterMSB()
+    pw.ue(0)                                    # pps id
+    pw.ue(0)                                    # sps id
+    pps = _ep_escape(pw.trailing())
+
+    def nal(ref_idc: int, typ: int, body: bytes, long_sc: bool) -> bytes:
+        sc = b"\x00\x00\x00\x01" if long_sc else b"\x00\x00\x01"
+        return sc + bytes([(ref_idc << 5) | typ]) + body
+
+    out = bytearray()
+    out += nal(3, 7, sps, True)
+    out += nal(3, 8, pps, False)
+    out += nal(0, 6, _ep_escape(b"\x05\x02ok\x80"), False)   # SEI
+    for i in range(n_idr):
+        out += nal(3, 5, _ep_escape(bytes([0x88, i, 0, 0, 2])), i == 0)
+    for i in range(n_nonidr):
+        out += nal(2, 1, _ep_escape(bytes([0x9a, i, 0, 0, 3])), False)
+    return bytes(out)
+
+
+def parse_h264_annexb(payload: bytes) -> dict:
+    """REAL Annex-B walk: find 3/4-byte start codes, split NAL units,
+    census types, unescape emulation prevention, and exp-Golomb-parse
+    the SPS into profile/level and the true presentation dimensions
+    (macroblocks minus crop). Raises on missing SPS or corrupt
+    exp-Golomb structure."""
+    # start-code scan
+    nals = []
+    i = 0
+    n = len(payload)
+    while i + 3 <= n:
+        if payload[i:i + 3] == b"\x00\x00\x01":
+            start = i + 3
+        elif i + 4 <= n and payload[i:i + 4] == b"\x00\x00\x00\x01":
+            start = i + 4
+        else:
+            i += 1
+            continue
+        j = start
+        while j + 3 <= n and payload[j:j + 3] != b"\x00\x00\x01" \
+                and (j + 4 > n or payload[j:j + 4] != b"\x00\x00\x00\x01"):
+            j += 1
+        end = j if j + 3 <= n else n
+        # back off the trailing zero that belongs to a 4-byte start code
+        if end < n and payload[end - 1] == 0:
+            end -= 1
+        nals.append(payload[start:end])
+        i = end
+    if not nals:
+        raise ValueError("no Annex-B start codes found")
+    census: dict[int, int] = {}
+    sps_fields = None
+    for unit in nals:
+        if not unit:
+            raise ValueError("empty NAL unit")
+        hdr = unit[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        typ = hdr & 0x1F
+        census[typ] = census.get(typ, 0) + 1
+        if typ == 7 and sps_fields is None:
+            r = _BitReaderMSB(_ep_unescape(unit[1:]))
+            profile = r.u(8)
+            r.u(8)
+            level = r.u(8)
+            r.ue()                              # sps id
+            r.ue()                              # log2_max_frame_num-4
+            poc_type = r.ue()
+            if poc_type == 0:
+                r.ue()
+            elif poc_type == 1:
+                raise ValueError("poc_type 1 not supported here")
+            r.ue()                              # max_num_ref_frames
+            r.u(1)
+            w_mbs = r.ue() + 1
+            h_map = r.ue() + 1
+            frame_mbs_only = r.u(1)
+            if not frame_mbs_only:
+                r.u(1)                          # mb_adaptive flag
+            r.u(1)                              # direct_8x8
+            crop = r.u(1)
+            cl = cr = ct = cb = 0
+            if crop:
+                cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+            h_mbs = h_map * (1 if frame_mbs_only else 2)
+            sps_fields = {
+                "profile_idc": profile, "level_idc": level,
+                "width": w_mbs * 16 - 2 * (cl + cr),
+                "height": h_mbs * 16 - 2 * (ct + cb)}
+    if sps_fields is None:
+        raise ValueError("stream carries no SPS")
+    return {"n_nals": len(nals), "nal_census": census, **sps_fields}

@@ -12236,3 +12236,83 @@ FROM b GROUP BY doc_id, nc ORDER BY doc_id
         "timestamps and keyframe flags; absolute-timestamp sums, "
         "payload bytes, and keyframe counts replayed arithmetically.",
 )
+
+
+# ---------------------------------------------------------------------------
+# H.264 SPS probe — the resolution/profile gate a video curation
+# pipeline runs on every clip: Annex-B start-code walk (3- and 4-byte),
+# emulation-prevention unescape, NAL census, and the exp-Golomb SPS
+# parse that derives TRUE presentation dimensions from macroblock
+# counts minus frame cropping (1080 lives in 68 macroblocks with a
+# 4-unit bottom crop — the arithmetic this oracle pins). Slice decode
+# stays behind the documented codec-library boundary.
+# ---------------------------------------------------------------------------
+
+def _h264_sps_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import encode_h264_annexb, parse_h264_annexb
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+    dims = [(1920, 1080), (1280, 720), (640, 360), (354, 288),
+            (1918, 1078)]
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w, h = dims[did % 5]
+                n_idr, n_non = 1 + did % 3, 2 + did % 4
+                s = encode_h264_annexb(w, h, n_idr=n_idr,
+                                       n_nonidr=n_non,
+                                       profile=66 + (did % 2) * 11,
+                                       level=30 + (did % 3) * 10)
+                r = parse_h264_annexb(s)
+                rows.append({
+                    "doc_id": did,
+                    "width": r["width"], "height": r["height"],
+                    "profile_idc": r["profile_idc"],
+                    "level_idc": r["level_idc"],
+                    "n_nals": r["n_nals"],
+                    "idr_nals": r["nal_census"].get(5, 0),
+                    "nonidr_nals": r["nal_census"].get(1, 0),
+                    "hd_gate": r["width"] * r["height"] >= 1280 * 720})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, width long, height long,"
+                                 " profile_idc long, level_idc long,"
+                                 " n_nals long, idr_nals long,"
+                                 " nonidr_nals long, hd_gate boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "h264_sps_probe",
+    _h264_sps_probe,
+    """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 5 WHEN 0 THEN 1920 WHEN 1 THEN 1280
+              WHEN 2 THEN 640 WHEN 3 THEN 354 ELSE 1918 END AS w,
+         CASE doc_id % 5 WHEN 0 THEN 1080 WHEN 1 THEN 720
+              WHEN 2 THEN 360 WHEN 3 THEN 288 ELSE 1078 END AS h,
+         1 + doc_id % 3 AS n_idr, 2 + doc_id % 4 AS n_non
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(66 + (doc_id % 2) * 11 AS BIGINT) AS profile_idc,
+       CAST(30 + (doc_id % 3) * 10 AS BIGINT) AS level_idc,
+       CAST(3 + n_idr + n_non AS BIGINT) AS n_nals,
+       CAST(n_idr AS BIGINT) AS idr_nals,
+       CAST(n_non AS BIGINT) AS nonidr_nals,
+       w * h >= 921600 AS hd_gate
+FROM d ORDER BY doc_id
+""",
+    doc="H.264 Annex-B/SPS probe: start-code walk, emulation-"
+        "prevention unescape, NAL census, exp-Golomb SPS parse "
+        "deriving true dimensions from macroblock counts minus "
+        "cropping; profile/level and the HD resolution gate pinned "
+        "arithmetically.",
+)

@@ -62,3 +62,42 @@ def test_property_cluster_roundtrip(clusters):
     got = [(b["abs_ts"], b["key"], b["first_byte"]) for b in r["blocks"]]
     assert got == want
     assert r["n_clusters"] == len(clusters)
+
+
+# --- H.264 Annex-B / SPS ----------------------------------------------------
+
+def test_h264_sps_dims_and_census():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        encode_h264_annexb, parse_h264_annexb)
+    for (w, h) in [(1920, 1080), (1280, 720), (354, 288), (16, 16),
+                   (1918, 1078), (640, 360)]:
+        r = parse_h264_annexb(encode_h264_annexb(w, h, n_idr=2,
+                                                 n_nonidr=3))
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["nal_census"][7] == 1 and r["nal_census"][5] == 2
+        assert r["nal_census"][1] == 3 and r["profile_idc"] == 66
+
+
+def test_h264_emulation_prevention_protects_payload_start_codes():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        _ep_escape, _ep_unescape)
+    for raw in (b"\x00\x00\x01", b"\x00\x00\x00", b"\x00\x00\x02",
+                b"\x00\x00\x03", b"a\x00\x00\x00\x00\x01b",
+                b"\x00" * 8):
+        esc = _ep_escape(raw)
+        assert b"\x00\x00\x01" not in esc
+        assert b"\x00\x00\x00" not in esc
+        assert _ep_unescape(esc) == raw
+
+
+def test_h264_missing_sps_raises():
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        encode_h264_annexb, parse_h264_annexb)
+    s = bytearray(encode_h264_annexb(64, 64))
+    # overwrite the SPS NAL type (first NAL after the 4-byte start code)
+    s[4] = (3 << 5) | 9                      # AU delimiter instead
+    with pytest.raises(ValueError):
+        parse_h264_annexb(bytes(s))
+    with pytest.raises(ValueError):
+        parse_h264_annexb(b"no start codes here")
