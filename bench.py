@@ -180,6 +180,7 @@ HEADLINE = [
     "tiff_multipage_roundtrip", # chained-IFD page walk
     "webm_block_probe",         # EBML vint walk + block timestamps
     "h264_sps_probe",           # Annex-B walk + exp-Golomb SPS
+    "crawl_token_bucket",       # per-domain rate-limit state machine
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

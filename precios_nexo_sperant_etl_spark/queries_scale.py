@@ -12316,3 +12316,93 @@ FROM d ORDER BY doc_id
         "cropping; profile/level and the HD resolution gate pinned "
         "arithmetically.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-politeness token bucket — the rate-limit math a polite crawler
+# runs per domain before fetching (pairs with robots_txt_gate): a
+# bucket of 2000 millitokens refilling 1/ms, each request costing
+# 1000, deterministic sequential state over the domain's arrival
+# sequence. The engine runs the real per-domain state machine behind
+# applyInPandas (one shuffle keyed by domain — state never crosses
+# domains, which is exactly why this scales); the oracle replays every
+# transition with a recursive CTE, ADPCM-style. Arrivals derive from
+# doc_id with varying (always-positive) gaps so both refill-capped and
+# token-starved regimes are inside the hash.
+# ---------------------------------------------------------------------------
+
+def _crawl_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    d = (_t(spark, sf, "documents").select("doc_id")
+         .withColumn("domain", (F.col("doc_id") % 20).cast("long"))
+         .withColumn("q", (F.col("doc_id") / 20).cast("long"))
+         .withColumn("arrival_ms",
+                     (F.col("q") * 400
+                      + (F.col("q") * 37 + F.col("domain") * 11) % 390)
+                     .cast("long")))
+
+    def bucket(key, pdf):
+        pdf = pdf.sort_values("arrival_ms").reset_index(drop=True)
+        cap, cost = 2000, 1000
+        tokens, prev_t = cap, None
+        rows = []
+        for r in pdf.itertuples():
+            t = int(r.arrival_ms)
+            if prev_t is not None:
+                tokens = min(cap, tokens + (t - prev_t))
+            prev_t = t
+            allowed = tokens >= cost
+            if allowed:
+                tokens -= cost
+            rows.append({"doc_id": int(r.doc_id),
+                         "domain": int(key[0]),
+                         "arrival_ms": t,
+                         "allowed": allowed,
+                         "tokens_after": tokens})
+        return pd.DataFrame(rows)
+
+    return (d.groupBy("domain").applyInPandas(
+                bucket, "doc_id long, domain long, arrival_ms long,"
+                        " allowed boolean, tokens_after long")
+            .orderBy("doc_id"))
+
+
+register(
+    "crawl_token_bucket",
+    _crawl_token_bucket,
+    """
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, doc_id % 20 AS domain, doc_id // 20 AS q,
+         (doc_id // 20) * 400
+           + ((doc_id // 20) * 37 + (doc_id % 20) * 11) % 390
+           AS arrival_ms
+  FROM documents),
+n AS (SELECT domain, MAX(q) AS qmax FROM d GROUP BY domain),
+r AS (
+  SELECT d.doc_id, d.domain, CAST(d.q AS BIGINT) AS q, d.arrival_ms,
+         TRUE AS allowed, CAST(1000 AS BIGINT) AS tokens_after
+  FROM d WHERE d.q = 0
+  UNION ALL
+  SELECT d.doc_id, d.domain, d.q, d.arrival_ms,
+         LEAST(2000, r.tokens_after
+               + d.arrival_ms - r.arrival_ms) >= 1000 AS allowed,
+         CASE WHEN LEAST(2000, r.tokens_after
+                         + d.arrival_ms - r.arrival_ms) >= 1000
+              THEN LEAST(2000, r.tokens_after
+                         + d.arrival_ms - r.arrival_ms) - 1000
+              ELSE LEAST(2000, r.tokens_after
+                         + d.arrival_ms - r.arrival_ms) END
+           AS tokens_after
+  FROM r JOIN d ON d.domain = r.domain AND d.q = r.q + 1)
+SELECT doc_id, domain, arrival_ms, allowed,
+       CAST(tokens_after AS BIGINT) AS tokens_after
+FROM r ORDER BY doc_id
+""",
+    doc="Per-domain token-bucket rate limiting (2000 millitokens, "
+        "1/ms refill, 1000/request): real sequential state machine "
+        "behind one domain-keyed shuffle, every transition replayed "
+        "by a recursive-CTE oracle — the crawl-politeness scheduler "
+        "next to the robots gate.",
+)
