@@ -181,6 +181,8 @@ HEADLINE = [
     "webm_block_probe",         # EBML vint walk + block timestamps
     "h264_sps_probe",           # Annex-B walk + exp-Golomb SPS
     "crawl_token_bucket",       # per-domain rate-limit state machine
+    "preference_cycle_audit",   # exact cyclic-triad tournament audit
+    "annotator_kappa",          # integer-exact Cohen's kappa
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -12406,3 +12406,142 @@ FROM r ORDER BY doc_id
         "by a recursive-CTE oracle — the crawl-politeness scheduler "
         "next to the robots gate.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Preference-tournament cycle audit — RLHF preference data is only
+# trainable if the pairwise judgments are roughly transitive; the
+# standard integrity number is the count of CYCLIC TRIADS, exact by
+# Kendall's identity: cyclic = C(n,3) - sum_i C(wins_i, 2) for a
+# complete tournament. Judgments derive from arithmetic per eval
+# slice, wins are one hash aggregate, and the triad algebra is integer
+# — fully codegen, no Python.
+# ---------------------------------------------------------------------------
+
+_PREF_MODELS = 10
+
+
+def _preference_cycle_audit(spark: SparkSession, sf: str) -> DataFrame:
+    m = _PREF_MODELS
+    pairs = (spark.range(5).select(F.col("id").cast("long").alias("g"))
+             .crossJoin(spark.range(m).select(
+                 F.col("id").cast("long").alias("i")))
+             .crossJoin(spark.range(m).select(
+                 F.col("id").cast("long").alias("j")))
+             .filter(F.col("i") < F.col("j")))
+    winner = F.when((F.col("i") * 7 + F.col("j") * 13 + F.col("g") * 3)
+                    % 5 < 3, F.col("i")).otherwise(F.col("j"))
+    wins = (pairs.select("g", winner.alias("w"))
+            .groupBy("g", "w").agg(F.count(F.lit(1)).alias("wins")))
+    agg = (wins.groupBy("g")
+           .agg(F.sum(F.col("wins") * (F.col("wins") - 1) / 2)
+                .cast("long").alias("sum_c2"),
+                F.max("wins").alias("max_wins")))
+    total_triads = m * (m - 1) * (m - 2) // 6
+    return (agg.withColumn("n_pairs", F.lit(m * (m - 1) // 2)
+                           .cast("long"))
+            .withColumn("cyclic_triads",
+                        F.lit(total_triads) - F.col("sum_c2"))
+            .withColumn("transitive", F.col("cyclic_triads") == 0)
+            .select("g", "n_pairs", "max_wins", "cyclic_triads",
+                    "transitive")
+            .orderBy("g"))
+
+
+register(
+    "preference_cycle_audit",
+    _preference_cycle_audit,
+    f"""
+WITH p AS (
+  SELECT g.g AS g, i.g AS i, j.g AS j,
+         CASE WHEN (i.g * 7 + j.g * 13 + g.g * 3) % 5 < 3
+              THEN i.g ELSE j.g END AS w
+  FROM generate_series(0, 4) g(g)
+  CROSS JOIN generate_series(0, {_PREF_MODELS - 1}) i(g)
+  CROSS JOIN generate_series(0, {_PREF_MODELS - 1}) j(g)
+  WHERE i.g < j.g),
+wins AS (SELECT g, w, COUNT(*) AS wins FROM p GROUP BY g, w)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST({_PREF_MODELS * (_PREF_MODELS - 1) // 2} AS BIGINT)
+         AS n_pairs,
+       CAST(MAX(wins) AS BIGINT) AS max_wins,
+       CAST({_PREF_MODELS * (_PREF_MODELS - 1) * (_PREF_MODELS - 2) // 6}
+            - SUM(wins * (wins - 1) // 2) AS BIGINT) AS cyclic_triads,
+       {_PREF_MODELS * (_PREF_MODELS - 1) * (_PREF_MODELS - 2) // 6}
+         - SUM(wins * (wins - 1) // 2) = 0 AS transitive
+FROM wins GROUP BY g ORDER BY g
+""",
+    doc="Pairwise-preference transitivity audit: cyclic-triad counts "
+        "per eval slice via Kendall's exact identity C(n,3) - sum "
+        "C(wins,2) over a complete tournament — one hash aggregate, "
+        "all integer.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement (Cohen's kappa) — label-quality triage for
+# annotation pipelines, published EXACTLY: kappa = (po - pe)/(1 - pe)
+# cross-multiplies to the integer form 1000*(n*agree - S) div
+# (n*n - S) with S = sum_k row_k * col_k, so both engines compute the
+# identical BIGINT with zero float hazard. Annotator labels derive
+# from document arithmetic with a seeded disagreement channel.
+# ---------------------------------------------------------------------------
+
+def _annotator_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    a = (F.col("doc_id") * 3 + F.col("n_chars")) % 4
+    b = (F.col("doc_id") * 3 + F.col("n_chars")
+         + (F.col("doc_id") % 7 == 0).cast("long")) % 4
+    t = d.select("source", a.alias("a"), b.alias("b"))
+    margins = (t.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("a") == F.col("b")).cast("long"))
+                    .alias("agree"),
+                    *[F.sum((F.col("a") == k).cast("long"))
+                      .alias(f"ra{k}") for k in range(4)],
+                    *[F.sum((F.col("b") == k).cast("long"))
+                      .alias(f"cb{k}") for k in range(4)]))
+    s_expr = sum(F.col(f"ra{k}") * F.col(f"cb{k}") for k in range(4))
+    return (margins.withColumn("chance_mass", s_expr.cast("long"))
+            .withColumn("kappa_milli",
+                        F.expr("(1000 * (n * agree - chance_mass))"
+                               " div (n * n - chance_mass)"))
+            .select("source", "n", "agree", "chance_mass", "kappa_milli")
+            .orderBy("source"))
+
+
+register(
+    "annotator_kappa",
+    _annotator_kappa,
+    """
+WITH t AS (
+  SELECT source,
+         (doc_id * 3 + n_chars) % 4 AS a,
+         (doc_id * 3 + n_chars
+          + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 4 AS b
+  FROM documents),
+m AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+         SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS ra0,
+         SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS ra1,
+         SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS ra2,
+         SUM(CASE WHEN a = 3 THEN 1 ELSE 0 END) AS ra3,
+         SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS cb0,
+         SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS cb1,
+         SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS cb2,
+         SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS cb3
+  FROM t GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+       CAST(ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3 AS BIGINT)
+         AS chance_mass,
+       CAST((1000 * (n * agree - (ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3)))
+            // (n * n - (ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3))
+            AS BIGINT) AS kappa_milli
+FROM m ORDER BY source
+""",
+    doc="Cohen's kappa per source in exact integer milli form "
+        "(cross-multiplied (po-pe)/(1-pe), floor div matched on both "
+        "engines) over arithmetically-derived annotator labels with a "
+        "seeded disagreement channel.",
+)
