@@ -183,6 +183,7 @@ HEADLINE = [
     "crawl_token_bucket",       # per-domain rate-limit state machine
     "preference_cycle_audit",   # exact cyclic-triad tournament audit
     "annotator_kappa",          # integer-exact Cohen's kappa
+    "media_curation_pipeline",  # AVI->decode->visual dedup datasheet
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -12545,3 +12545,102 @@ FROM m ORDER BY source
         "engines) over arithmetically-derived annotator labels with a "
         "seeded disagreement channel.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Composed multimodal curation pipeline — the video analogue of
+# web_curation_pipeline, chaining this round's media operators
+# end-to-end THROUGH THE REAL CODECS: synthesize genuine AVI/MJPEG
+# clips (40 visual base classes x 3 tweak variants from doc_id), walk
+# the RIFF container, entropy-decode the first frame as the thumbnail,
+# key exact visual dedup on the DECODED block values (not on doc
+# arithmetic — a decoder bug would corrupt the dedup keys and break
+# the hash), keep the min-doc survivor per visual key, and roll a
+# per-class datasheet. Two shuffles total (key agg, class rollup);
+# decode work is per-clip and partition-local.
+# ---------------------------------------------------------------------------
+
+def _media_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.jpegcodec import decode_baseline, encode_baseline_gray
+    from .operators.multimodal import encode_avi_mjpeg, parse_avi
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                b, t = did % 40, did % 3
+                frames = []
+                for f in range(3):
+                    px = np.zeros((16, 16), dtype=np.uint8)
+                    for k in range(4):
+                        v = (b * 31 + 97 * k + 13 * f) % 256
+                        if t > 0 and f == 0 and k == 0:
+                            v = (v + 40 * t) % 256
+                        by, bx = divmod(k, 2)
+                        px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+                    frames.append(encode_baseline_gray(px))
+                payloads.append(encode_avi_mjpeg(frames, 16, 16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def thumb(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = parse_avi(bytes(p))
+                px = decode_baseline(r["frames"][0])["pixels"]
+                rows.append({"doc_id": int(did),
+                             "base": int(did) % 40,
+                             "k0": int(px[0, 0]), "k1": int(px[0, 8]),
+                             "k2": int(px[8, 0]), "k3": int(px[8, 8])})
+            yield pd.DataFrame(rows)
+
+    thumbs = (src.mapInPandas(enc, "doc_id long, payload binary")
+              .mapInPandas(thumb, "doc_id long, base long, k0 long,"
+                                  " k1 long, k2 long, k3 long"))
+    keys = (thumbs.groupBy("base", "k0", "k1", "k2", "k3")
+            .agg(F.min("doc_id").alias("survivor"),
+                 F.count(F.lit(1)).alias("members")))
+    return (keys.groupBy("base")
+            .agg(F.count(F.lit(1)).alias("n_thumb_keys"),
+                 F.sum("members").alias("n_docs"),
+                 F.sum("survivor").alias("survivor_id_sum"),
+                 F.max("members").alias("largest_group"))
+            .withColumn("dropped",
+                        F.col("n_docs") - F.col("n_thumb_keys"))
+            .select("base", "n_docs", "n_thumb_keys", "dropped",
+                    "largest_group", "survivor_id_sum")
+            .orderBy("base"))
+
+
+register(
+    "media_curation_pipeline",
+    _media_curation_pipeline,
+    """
+WITH g AS (
+  SELECT doc_id, doc_id % 40 AS base, doc_id % 3 AS t FROM documents),
+k AS (
+  SELECT base, t, MIN(doc_id) AS survivor, COUNT(*) AS members
+  FROM g GROUP BY base, t)
+SELECT CAST(base AS BIGINT) AS base,
+       CAST(SUM(members) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_thumb_keys,
+       CAST(SUM(members) - COUNT(*) AS BIGINT) AS dropped,
+       CAST(MAX(members) AS BIGINT) AS largest_group,
+       CAST(SUM(survivor) AS BIGINT) AS survivor_id_sum
+FROM k GROUP BY base ORDER BY base
+""",
+    doc="Composed multimodal curation: genuine AVI/MJPEG clips, RIFF "
+        "walk, real thumbnail entropy decode, exact visual dedup "
+        "KEYED ON DECODED PIXELS, min-doc survivors, per-class "
+        "datasheet — the oracle replays the (base, tweak) class "
+        "structure the decoded keys must reproduce.",
+)
