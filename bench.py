@@ -184,6 +184,7 @@ HEADLINE = [
     "preference_cycle_audit",   # exact cyclic-triad tournament audit
     "annotator_kappa",          # integer-exact Cohen's kappa
     "media_curation_pipeline",  # AVI->decode->visual dedup datasheet
+    "idn_label_roundtrip",      # RFC 3492 adaptive-bias codec
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -317,3 +317,109 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
             .withColumn("spec_len", F.coalesce(F.col("w.s"), F.lit(-1)))
             .withColumn("allowed", F.coalesce(F.col("w.a"), F.lit(True)))
             .drop("w"))
+
+
+# ---------------------------------------------------------------------------
+# Punycode (RFC 3492) — internationalized domain labels (xn--) are the
+# form IDN hostnames take on the wire; registrable-domain keying and
+# domain blocklists over a real crawl must decode them before any
+# unicode-aware comparison (confusable skeletons, script mixing). Both
+# directions implemented from the RFC's adaptive-bias algorithm;
+# tests cross-validate against Python's stdlib punycode codec.
+# ---------------------------------------------------------------------------
+
+_PUNY_BASE, _PUNY_TMIN, _PUNY_TMAX = 36, 1, 26
+_PUNY_SKEW, _PUNY_DAMP, _PUNY_BIAS0, _PUNY_N0 = 38, 700, 72, 128
+
+
+def _puny_adapt(delta: int, numpoints: int, first: bool) -> int:
+    delta = delta // _PUNY_DAMP if first else delta // 2
+    delta += delta // numpoints
+    k = 0
+    while delta > ((_PUNY_BASE - _PUNY_TMIN) * _PUNY_TMAX) // 2:
+        delta //= _PUNY_BASE - _PUNY_TMIN
+        k += _PUNY_BASE
+    return k + (((_PUNY_BASE - _PUNY_TMIN + 1) * delta)
+                // (delta + _PUNY_SKEW))
+
+
+def punycode_encode(label: str) -> str:
+    """RFC 3492 encode of one label (no xn-- prefix handling here)."""
+    basic = [c for c in label if ord(c) < 128]
+    out = basic[:]
+    if basic:
+        out.append("-")
+    n, delta, bias = _PUNY_N0, 0, _PUNY_BIAS0
+    h = b = len(basic)
+    codepoints = sorted({ord(c) for c in label if ord(c) >= 128})
+    total = len(label)
+    first = True
+    for m in codepoints:
+        delta += (m - n) * (h + 1)
+        n = m
+        for c in label:
+            cp = ord(c)
+            if cp < n:
+                delta += 1
+            elif cp == n:
+                q = delta
+                k = _PUNY_BASE
+                while True:
+                    t = (_PUNY_TMIN if k <= bias
+                         else _PUNY_TMAX if k >= bias + _PUNY_TMAX
+                         else k - bias)
+                    if q < t:
+                        break
+                    d = t + (q - t) % (_PUNY_BASE - t)
+                    out.append("abcdefghijklmnopqrstuvwxyz0123456789"[d])
+                    q = (q - t) // (_PUNY_BASE - t)
+                    k += _PUNY_BASE
+                out.append("abcdefghijklmnopqrstuvwxyz0123456789"[q])
+                bias = _puny_adapt(delta, h + 1, first)
+                first = False
+                delta = 0
+                h += 1
+        delta += 1
+        n += 1
+    if h != total:
+        raise ValueError("unencodable label")
+    return "".join(out)
+
+
+def punycode_decode(encoded: str) -> str:
+    """RFC 3492 decode of one label (inverse of punycode_encode)."""
+    digits = "abcdefghijklmnopqrstuvwxyz0123456789"
+    pos = encoded.rfind("-")
+    output = list(encoded[:pos]) if pos > 0 else []
+    if any(ord(c) >= 128 for c in output):
+        raise ValueError("non-basic code point before delimiter")
+    rest = encoded[pos + 1:] if pos >= 0 else encoded
+    i, n, bias = 0, _PUNY_N0, _PUNY_BIAS0
+    p = 0
+    first = True
+    while p < len(rest):
+        oldi, w, k = i, 1, _PUNY_BASE
+        while True:
+            if p >= len(rest):
+                raise ValueError("truncated punycode integer")
+            d = digits.find(rest[p].lower())
+            if d < 0:
+                raise ValueError(f"bad punycode digit {rest[p]!r}")
+            p += 1
+            i += d * w
+            t = (_PUNY_TMIN if k <= bias
+                 else _PUNY_TMAX if k >= bias + _PUNY_TMAX
+                 else k - bias)
+            if d < t:
+                break
+            w *= _PUNY_BASE - t
+            k += _PUNY_BASE
+        bias = _puny_adapt(i - oldi, len(output) + 1, first)
+        first = False
+        n += i // (len(output) + 1)
+        i %= len(output) + 1
+        if n > 0x10FFFF:
+            raise ValueError("code point overflow")
+        output.insert(i, chr(n))
+        i += 1
+    return "".join(output)

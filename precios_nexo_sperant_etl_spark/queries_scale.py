@@ -12644,3 +12644,74 @@ FROM k GROUP BY base ORDER BY base
         "datasheet — the oracle replays the (base, tweak) class "
         "structure the decoded keys must reproduce.",
 )
+
+
+# ---------------------------------------------------------------------------
+# IDN label roundtrip — internationalized domains reach a crawl as
+# xn-- Punycode labels; domain keying, blocklists, and confusable
+# screening must decode them first. Each document synthesizes a
+# mixed-script label from doc_id, runs the REAL RFC 3492 adaptive-bias
+# encoder to its wire form and the real decoder back; published values
+# are the decoded-label facts the oracle replays arithmetically (a
+# broken encoder OR decoder breaks the roundtrip and the hash; the
+# pair is independently pinned against Python's stdlib punycode codec
+# in tests/test_robots.py).
+# ---------------------------------------------------------------------------
+
+def _idn_label_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.urls import punycode_decode, punycode_encode
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                label = ("h" + str(did % 10)
+                         + chr(1040 + did % 32)
+                         + chr(19968 + did % 100))
+                wire = "xn--" + punycode_encode(label)
+                back = punycode_decode(wire[4:])
+                rows.append({
+                    "doc_id": did,
+                    "is_idn": wire.startswith("xn--"),
+                    "decoded_len": len(back),
+                    "cp_sum": sum(ord(c) for c in back),
+                    "ascii_prefix": back[:2],
+                    "roundtrip_ok": back == label,
+                    "wire_is_ascii": all(ord(c) < 128 for c in wire)})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, is_idn boolean,"
+                                 " decoded_len long, cp_sum long,"
+                                 " ascii_prefix string,"
+                                 " roundtrip_ok boolean,"
+                                 " wire_is_ascii boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "idn_label_roundtrip",
+    _idn_label_roundtrip,
+    """
+SELECT doc_id,
+       TRUE AS is_idn,
+       CAST(4 AS BIGINT) AS decoded_len,
+       CAST(104 + 48 + doc_id % 10
+            + 1040 + doc_id % 32
+            + 19968 + doc_id % 100 AS BIGINT) AS cp_sum,
+       'h' || CAST(doc_id % 10 AS VARCHAR) AS ascii_prefix,
+       TRUE AS roundtrip_ok,
+       TRUE AS wire_is_ascii
+FROM documents ORDER BY doc_id
+""",
+    doc="RFC 3492 Punycode roundtrip over mixed-script IDN labels: "
+        "real adaptive-bias encode to the xn-- wire form and decode "
+        "back; decoded length/codepoint sums/prefix replayed "
+        "arithmetically, the codec pair cross-pinned against the "
+        "stdlib punycode codec in tests.",
+)

@@ -67,3 +67,41 @@ def test_empty_pattern_and_no_rules_domain(spark):
     assert out[1]["allowed"] is True and out[1]["matched_rule"] == ""
     assert out[1]["spec_len"] == 0
     assert out[2]["allowed"] is True and out[2]["matched_agent"] == "none"
+
+
+# --- punycode (RFC 3492) -----------------------------------------------------
+
+def test_punycode_matches_stdlib_samples():
+    from precios_nexo_sperant_etl_spark.operators.urls import (
+        punycode_decode, punycode_encode)
+    for label in ["münchen", "bücher", "mañana", "北京", "ドメイン",
+                  "пример", "ελλάδα", "עברית", "한국", "abc", "a-b-c"]:
+        enc = punycode_encode(label)
+        assert enc == label.encode("punycode").decode("ascii")
+        assert punycode_decode(enc) == label
+
+
+def test_punycode_property_vs_stdlib():
+    import random
+    from precios_nexo_sperant_etl_spark.operators.urls import (
+        punycode_decode, punycode_encode)
+    rng = random.Random(7)
+    pools = [range(97, 123), range(0x410, 0x450), range(0x4E00, 0x4E60),
+             range(0x3B1, 0x3C9)]
+    for _ in range(300):
+        n = rng.randint(1, 12)
+        label = "".join(chr(rng.choice(list(rng.choice(pools))))
+                        for _ in range(n))
+        enc = punycode_encode(label)
+        assert enc == label.encode("punycode").decode("ascii"), label
+        assert punycode_decode(enc) == label
+
+
+def test_punycode_bad_inputs():
+    import pytest
+    from precios_nexo_sperant_etl_spark.operators.urls import (
+        punycode_decode)
+    with pytest.raises(ValueError):
+        punycode_decode("abc-ü")       # non-basic before delimiter
+    with pytest.raises(ValueError):
+        punycode_decode("abc-!!")      # bad digit
