@@ -95,6 +95,8 @@ def _dec_value(buf: bytes, pos: int, typ):
             if cnt < 0:                     # spec: negative count, then
                 cnt = -cnt                  # a byte size to allow skipping
                 _, pos = read_zigzag(buf, pos)
+            if cnt > len(buf) - pos + 1:    # each item costs >= 1 byte
+                raise ValueError("array block count exceeds buffer")
             for _ in range(cnt):
                 v, pos = _dec_value(buf, pos, typ["items"])
                 out.append(v)
@@ -151,18 +153,33 @@ def read_ocf(payload: bytes) -> dict:
         if cnt < 0:
             cnt = -cnt
             _, pos = read_zigzag(payload, pos)
+        if cnt > len(payload):          # corrupt count: fail, don't spin
+            raise ValueError("metadata map count exceeds file size")
         for _ in range(cnt):
             kl, pos = read_zigzag(payload, pos)
-            k = payload[pos:pos + kl].decode()
+            if kl < 0 or pos + kl > len(payload):
+                raise ValueError("metadata key leaves the file")
+            try:
+                k = payload[pos:pos + kl].decode()
+            except UnicodeDecodeError as ex:
+                raise ValueError(f"metadata key not UTF-8: {ex}") from ex
             pos += kl
             vl, pos = read_zigzag(payload, pos)
+            if vl < 0 or pos + vl > len(payload):
+                raise ValueError("metadata value leaves the file")
             meta[k] = payload[pos:pos + vl]
             pos += vl
-    codec = meta.get("avro.codec", b"null").decode()
+    codec = meta.get("avro.codec", b"null").decode("latin-1")
     if codec not in ("null", "snappy"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
-    schema = json.loads(meta["avro.schema"].decode())
-    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    if "avro.schema" not in meta:
+        raise ValueError("container carries no avro.schema")
+    try:
+        schema = json.loads(meta["avro.schema"].decode())
+        fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    except (KeyError, TypeError, UnicodeDecodeError,
+            json.JSONDecodeError) as ex:
+        raise ValueError(f"malformed embedded schema: {ex}") from ex
     sync = payload[pos:pos + 16]
     if len(sync) != 16:
         raise ValueError("truncated sync marker")
@@ -171,6 +188,10 @@ def read_ocf(payload: bytes) -> dict:
     while pos < len(payload):
         cnt, pos = read_zigzag(payload, pos)
         size, pos = read_zigzag(payload, pos)
+        if cnt < 0 or size < 0:
+            raise ValueError("negative block count/size")
+        if cnt > len(payload):          # every record costs >= 1 byte
+            raise ValueError("block record count exceeds file size")
         if pos + size + 16 > len(payload):
             raise ValueError("data block overruns file")
         body, bpos = payload[pos:pos + size], 0

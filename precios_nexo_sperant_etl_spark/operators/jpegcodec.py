@@ -420,8 +420,17 @@ def decode_baseline(payload: bytes) -> dict:
 
     Raises :class:`UnsupportedJpeg` for valid-but-out-of-subset streams
     (progressive, subsampled, 12-bit, arithmetic, 4-component) and
-    plain ``ValueError`` for corrupt ones.
+    plain ``ValueError`` for corrupt ones — including bit corruption
+    that surfaces as missing table ids or short reads deep in the
+    entropy layer (normalized here so wild data fails uniformly).
     """
+    try:
+        return _decode_baseline_inner(payload)
+    except (KeyError, IndexError, OverflowError, struct.error) as ex:
+        raise ValueError(f"corrupt JPEG stream: {ex!r}") from ex
+
+
+def _decode_baseline_inner(payload: bytes) -> dict:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2

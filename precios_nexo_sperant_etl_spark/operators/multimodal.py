@@ -1298,6 +1298,14 @@ def decode_gif(payload: bytes) -> dict:
     genuine LZW layer above. Returns dims, palette size, and the
     decoded RGB array + exact channel means like the other image
     decoders."""
+    import struct
+    try:
+        return _decode_gif_inner(payload)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"truncated or corrupt GIF: {ex}") from ex
+
+
+def _decode_gif_inner(payload: bytes) -> dict:
     import numpy as np
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -1878,6 +1886,8 @@ def decode_tiff_pages(payload: bytes) -> list[dict]:
         e = ">"
     else:
         raise ValueError("bad TIFF byte-order mark")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
     magic, ifd = struct.unpack_from(e + "HI", payload, 2)
     if magic != 42:
         raise ValueError("bad TIFF magic")
@@ -1887,7 +1897,12 @@ def decode_tiff_pages(payload: bytes) -> list[dict]:
         if ifd in seen:
             raise ValueError("IFD chain loops")
         seen.add(ifd)
-        page, ifd = _decode_tiff_ifd(payload, e, ifd)
+        try:
+            page, ifd = _decode_tiff_ifd(payload, e, ifd)
+        except (struct.error, IndexError) as ex:
+            # short buffers surface as struct/index errors deep in the
+            # tag walk — corrupt files must fail uniformly
+            raise ValueError(f"truncated or corrupt IFD: {ex}") from ex
         pages.append(page)
     if not pages:
         raise ValueError("TIFF with no IFDs")
@@ -2120,30 +2135,43 @@ def parse_mp4_samples(payload: bytes) -> dict:
         if need not in tables:
             raise ValueError(f"missing sample table {need!r}")
 
-    lo, _ = tables[b"stts"]
+    lo, hi = tables[b"stts"]
     (n_runs,) = struct.unpack_from(">I", payload, lo + 4)
+    if lo + 8 + 8 * n_runs > hi:
+        raise ValueError("stts run table leaves its box")
     dts, t = [], 0
     for r in range(n_runs):
         c, d = struct.unpack_from(">II", payload, lo + 8 + 8 * r)
+        # a corrupt run count must fail, not expand gigabytes
+        if c > len(payload):
+            raise ValueError("stts run count exceeds any sane sample count")
         for _ in range(c):
             dts.append(t)
             t += d
-    lo, _ = tables[b"stsz"]
+    lo, hi = tables[b"stsz"]
     fixed, n_samples = struct.unpack_from(">II", payload, lo + 4)
     if n_samples != len(dts):
         raise ValueError("stsz/stts sample-count mismatch")
+    if not fixed and lo + 12 + 4 * n_samples > hi:
+        raise ValueError("stsz size table leaves its box")
     sizes = ([fixed] * n_samples if fixed else
              list(struct.unpack_from(f">{n_samples}I", payload, lo + 12)))
-    lo, _ = tables[b"stco"]
+    lo, hi = tables[b"stco"]
     (n_chunks,) = struct.unpack_from(">I", payload, lo + 4)
+    if lo + 8 + 4 * n_chunks > hi:
+        raise ValueError("stco offset table leaves its box")
     offsets = list(struct.unpack_from(f">{n_chunks}I", payload, lo + 8))
-    lo, _ = tables[b"stsc"]
+    lo, hi = tables[b"stsc"]
     (n_sc,) = struct.unpack_from(">I", payload, lo + 4)
+    if lo + 8 + 12 * n_sc > hi:
+        raise ValueError("stsc entry table leaves its box")
     sc = [struct.unpack_from(">III", payload, lo + 8 + 12 * e)
           for e in range(n_sc)]
     per_chunk = []
     for e, (first, spc, _desc) in enumerate(sc):
         last = sc[e + 1][0] - 1 if e + 1 < n_sc else n_chunks
+        if first < 1 or last > n_chunks or last - first + 1 > n_chunks:
+            raise ValueError("stsc chunk run outside the chunk table")
         per_chunk.extend(spc for _ in range(first, last + 1))
     if sum(per_chunk) != n_samples:
         raise ValueError("stsc expansion disagrees with sample count")
@@ -2481,6 +2509,8 @@ class _BitReaderMSB:
         self.pos = 0
 
     def u(self, bits: int) -> int:
+        if self.pos + bits > 8 * len(self.d):
+            raise ValueError("SPS bit read past the RBSP end")
         v = 0
         for _ in range(bits):
             byte = self.d[self.pos >> 3]
