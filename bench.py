@@ -185,6 +185,7 @@ HEADLINE = [
     "annotator_kappa",          # integer-exact Cohen's kappa
     "media_curation_pipeline",  # AVI->decode->visual dedup datasheet
     "idn_label_roundtrip",      # RFC 3492 adaptive-bias codec
+    "schema_evolution_audit",   # catalog diff + upcast classification
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -12715,3 +12715,121 @@ FROM documents ORDER BY doc_id
         "arithmetically, the codec pair cross-pinned against the "
         "stdlib punycode codec in tests.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution compatibility audit — the governance gate a
+# lakehouse runs before accepting a new table version: full-outer-join
+# the old and new column sets, classify every difference (added
+# nullable column = compatible; dropped column = breaking; int->bigint
+# or float->double widening = compatible; narrowing = breaking), and
+# roll a per-table verdict. Schemas derive from arithmetic so the
+# oracle replays the whole classification; the engine shape is the
+# real one (two catalogs full-outer-joined on (table, column), one
+# aggregate).
+# ---------------------------------------------------------------------------
+
+_SE_TYPES = ["int", "bigint", "float", "double", "string"]
+#: widenings considered compatible (Spark's upcast set, simplified)
+_SE_WIDEN = [("int", "bigint"), ("float", "double"), ("int", "double")]
+
+
+def _schema_evolution_audit(spark: SparkSession, sf: str) -> DataFrame:
+    tables = spark.range(12).select(F.col("id").cast("long").alias("t"))
+    cols = spark.range(9).select(F.col("id").cast("long").alias("c"))
+    type_arr = F.array(*[F.lit(x) for x in _SE_TYPES])
+
+    def typ(expr):
+        return F.element_at(type_arr, (expr % 5 + 1).cast("int"))
+
+    old = (tables.crossJoin(cols)
+           .filter(~((F.col("c") == 8)))                 # c8 is new-only
+           .select("t", "c", typ(F.col("t") * 3 + F.col("c"))
+                   .alias("old_type")))
+    new = (tables.crossJoin(cols)
+           .filter(~((F.col("c") == 7) & (F.col("t") % 4 == 0)))
+           .filter(~((F.col("c") == 8) & (F.col("t") % 3 != 0)))
+           .select("t", "c",
+                   F.when((F.col("c") == 2) & (F.col("t") % 2 == 0),
+                          F.lit("bigint"))               # int-family widen
+                   .when((F.col("c") == 3) & (F.col("t") % 5 == 0),
+                         F.lit("int"))                   # narrow attempt
+                   .otherwise(typ(F.col("t") * 3 + F.col("c")))
+                   .alias("new_type")))
+    j = old.join(new, ["t", "c"], "full_outer")
+    widen = F.array(*[F.struct(F.lit(a).alias("f"), F.lit(b).alias("o"))
+                      for a, b in _SE_WIDEN])
+    cls = (F.when(F.col("old_type").isNull(), F.lit("added"))
+           .when(F.col("new_type").isNull(), F.lit("dropped"))
+           .when(F.col("old_type") == F.col("new_type"),
+                 F.lit("unchanged"))
+           .when(F.array_contains(
+               widen, F.struct(F.col("old_type").alias("f"),
+                               F.col("new_type").alias("o"))),
+               F.lit("widened"))
+           .otherwise(F.lit("narrowed")))
+    audited = j.withColumn("cls", cls)
+    return (audited.groupBy("t")
+            .agg(*[F.sum((F.col("cls") == k).cast("long")).alias(k)
+                   for k in ("unchanged", "added", "dropped",
+                             "widened", "narrowed")])
+            .withColumn("breaking",
+                        (F.col("dropped") + F.col("narrowed")) > 0)
+            .orderBy("t"))
+
+
+register(
+    "schema_evolution_audit",
+    _schema_evolution_audit,
+    """
+WITH types(i, name) AS (VALUES (0,'int'),(1,'bigint'),(2,'float'),
+                               (3,'double'),(4,'string')),
+old AS (
+  SELECT t.g AS t, c.g AS c, ty.name AS old_type
+  FROM generate_series(0, 11) t(g)
+  CROSS JOIN generate_series(0, 7) c(g)
+  JOIN types ty ON ty.i = (t.g * 3 + c.g) % 5),
+new AS (
+  SELECT t.g AS t, c.g AS c,
+         CASE WHEN c.g = 2 AND t.g % 2 = 0 THEN 'bigint'
+              WHEN c.g = 3 AND t.g % 5 = 0 THEN 'int'
+              ELSE ty.name END AS new_type
+  FROM generate_series(0, 11) t(g)
+  CROSS JOIN generate_series(0, 8) c(g)
+  JOIN types ty ON ty.i = (t.g * 3 + c.g) % 5
+  WHERE NOT (c.g = 7 AND t.g % 4 = 0)
+    AND NOT (c.g = 8 AND t.g % 3 != 0)),
+j AS (
+  SELECT COALESCE(o.t, n.t) AS t, COALESCE(o.c, n.c) AS c,
+         o.old_type, n.new_type
+  FROM old o FULL OUTER JOIN new n ON n.t = o.t AND n.c = o.c),
+cls AS (
+  SELECT t,
+         CASE WHEN old_type IS NULL THEN 'added'
+              WHEN new_type IS NULL THEN 'dropped'
+              WHEN old_type = new_type THEN 'unchanged'
+              WHEN (old_type, new_type) IN (('int','bigint'),
+                   ('float','double'), ('int','double'))
+                THEN 'widened'
+              ELSE 'narrowed' END AS k
+  FROM j)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(SUM(CASE WHEN k='unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS unchanged,
+       CAST(SUM(CASE WHEN k='added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS added,
+       CAST(SUM(CASE WHEN k='dropped' THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped,
+       CAST(SUM(CASE WHEN k='widened' THEN 1 ELSE 0 END) AS BIGINT)
+         AS widened,
+       CAST(SUM(CASE WHEN k='narrowed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS narrowed,
+       SUM(CASE WHEN k IN ('dropped','narrowed') THEN 1 ELSE 0 END) > 0
+         AS breaking
+FROM cls GROUP BY t ORDER BY t
+""",
+    doc="Schema-evolution gate: old/new column catalogs full-outer-"
+        "joined, every column classified (added/dropped/widened/"
+        "narrowed/unchanged per the upcast rules), per-table breaking "
+        "verdict — all replayed arithmetically.",
+)
