@@ -186,6 +186,7 @@ HEADLINE = [
     "media_curation_pipeline",  # AVI->decode->visual dedup datasheet
     "idn_label_roundtrip",      # RFC 3492 adaptive-bias codec
     "schema_evolution_audit",   # catalog diff + upcast classification
+    "streaming_session_builtin",  # native session_window append drain
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

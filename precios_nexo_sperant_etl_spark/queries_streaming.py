@@ -584,3 +584,56 @@ GROUP BY 1, 2 ORDER BY segment, event_type
         "LEFT-outer misses included), integer partials landed per "
         "batch and merged at read — bit-equal to the batch join SQL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_session_builtin: the NATIVE F.session_window tier under
+# append mode — complements streaming_stateful_sessions (the
+# applyInPandasWithState machine) by evidencing Spark's built-in
+# session-merge state store. The flush-staged two-file stream drives
+# the clock: batch 1 (real events) establishes watermark w1 = max_ts −
+# delay, batch 2 (sentinels, filtered after withWatermark so they never
+# enter state) triggers eviction of every session whose window end
+# (last event + gap) ≤ w1. That landed set is the pure batch
+# expression the oracle replays: sessions with last_ts + gap + delay
+# ≤ max_ts, with the standard lag/cumsum island machinery.
+# ---------------------------------------------------------------------------
+
+def _streaming_session_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_kpis import streaming_session_landing
+    out = tempfile.mkdtemp(prefix="stream_sess_q_")
+    q = streaming_session_landing(spark, sf, os.path.join(out, "agg"),
+                                  os.path.join(out, "ckpt"))
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming session drain exceeded 120s")
+    return (spark.read.parquet(os.path.join(out, "agg"))
+            .orderBy("user_id", "session_start"))
+
+
+register(
+    "streaming_session_builtin",
+    _streaming_session_builtin,
+    """
+WITH e AS (SELECT ts::TIMESTAMP AS ts, user_id, value FROM events),
+p AS (SELECT max(ts) AS mx FROM e),
+m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s FROM e),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+g AS (SELECT user_id, sid, min(ts) AS session_start,
+             max(ts) AS last_ts, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+      FROM s GROUP BY user_id, sid)
+SELECT user_id, session_start, n_events, total_value
+FROM g, p WHERE last_ts + INTERVAL 60 MINUTE <= mx
+ORDER BY user_id, session_start
+""",
+    doc="Built-in F.session_window under append mode: sentinel-driven "
+        "watermark closes exactly the sessions whose window end passed "
+        "the batch-1 watermark; landed result bit-equal to the batch "
+        "lag/cumsum sessionization filtered to closed sessions.",
+)

@@ -385,3 +385,35 @@ def read_static_enrich(spark: SparkSession, out_dir: str) -> DataFrame:
                  F.sum("sum_event_id").alias("sum_event_id"),
                  F.min("min_event_id").alias("min_event_id"),
                  F.max("max_event_id").alias("max_event_id")))
+
+
+def streaming_session_landing(spark: SparkSession, sf_dir: str,
+                              out_dir: str, checkpoint: str,
+                              gap: str = "30 minutes",
+                              watermark: str = "30 minutes"):
+    """BUILT-IN session windows under append mode — the native
+    ``F.session_window`` tier next to the applyInPandasWithState
+    machine: the flush-staged two-file stream (real events, then
+    sentinel rows 2h past the global max) drives the watermark, the
+    sentinels are filtered out AFTER ``withWatermark`` so they advance
+    the clock without entering state, and append mode emits exactly the
+    sessions whose window end passed the batch-1 watermark — i.e.
+    sessions with last event <= max_ts - gap - delay. That closure set
+    is a pure batch expression, which is what the oracle replays."""
+    from .stream_curation import stream_events_with_flush
+    ev = stream_events_with_flush(spark, sf_dir)
+    sess = (ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .filter(F.col("event_type") != "__flush__")
+            .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total_value"))
+            .select("user_id",
+                    F.col("win.start").alias("session_start"),
+                    "n_events", "total_value"))
+    return (sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True).start())
