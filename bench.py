@@ -187,6 +187,7 @@ HEADLINE = [
     "idn_label_roundtrip",      # RFC 3492 adaptive-bias codec
     "schema_evolution_audit",   # catalog diff + upcast classification
     "streaming_session_builtin",  # native session_window append drain
+    "streaming_dedup_redelivery",  # dropDuplicatesWithinWatermark
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -637,3 +637,46 @@ ORDER BY user_id, session_start
         "the batch-1 watermark; landed result bit-equal to the batch "
         "lag/cumsum sessionization filtered to closed sessions.",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_redelivery: dropDuplicatesWithinWatermark — the
+# at-least-once ingestion guard. The stage re-delivers the odd-id half
+# of the events table as a second micro-batch; the state store must
+# drop every replayed row, so the landed relation aggregates to the
+# plain DISTINCT batch answer (counts + id/value masses per type).
+# ---------------------------------------------------------------------------
+
+def _streaming_dedup_redelivery(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_kpis import streaming_dedup_landing
+    out = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    q = streaming_dedup_landing(spark, sf, os.path.join(out, "rows"),
+                                os.path.join(out, "ckpt"))
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming dedup drain exceeded 120s")
+    rows = spark.read.parquet(os.path.join(out, "rows"))
+    return (rows.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("event_id").alias("id_mass"),
+                 F.sum((F.col("value").cast("decimal(18,2)") * 100)
+                       .cast("long")).alias("value_cents"))
+            .orderBy("event_type"))
+
+
+register(
+    "streaming_dedup_redelivery",
+    _streaming_dedup_redelivery,
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_mass,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="Streaming exact dedup under at-least-once redelivery: "
+        "dropDuplicatesWithinWatermark drops the replayed second "
+        "batch via state-store fingerprints; landed aggregates equal "
+        "the batch DISTINCT answer bit-for-bit.",
+)

@@ -417,3 +417,53 @@ def streaming_session_landing(spark: SparkSession, sf_dir: str,
             .option("checkpointLocation", checkpoint)
             .outputMode("append")
             .trigger(availableNow=True).start())
+
+
+def stream_events_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch at-least-once stream: batch 1 is the full events table,
+    batch 2 RE-DELIVERS the odd-event_id subset byte-identically (the
+    Kafka-retry / file-redrop shape). Own stage namespace — see the
+    stream_events note about never sharing watcher directories."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stage = os.path.join(tempfile.gettempdir(),
+                         "stream_events_redeliver_"
+                         + sf_dir.strip("/").replace("/", "_"))
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        from ..sources.tables import load_tables
+        ev = load_tables(spark, sf_dir)["events"] \
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        os.makedirs(stage, exist_ok=True)
+        (ev.coalesce(1).write.mode("overwrite")
+           .parquet(os.path.join(stage, "f0")))
+        (ev.filter(F.col("event_id") % 2 == 1).coalesce(1)
+           .write.mode("overwrite").parquet(os.path.join(stage, "f1")))
+        import glob
+        import shutil
+        for i, sub in enumerate(("f0", "f1")):
+            src = glob.glob(os.path.join(stage, sub, "part-*.parquet"))[0]
+            shutil.copy(src, os.path.join(stage, f"data{i}.parquet"))
+            shutil.rmtree(os.path.join(stage, sub))
+        open(done, "w").close()
+    schema = spark.read.parquet(os.path.join(stage, "data0.parquet")).schema
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(stage))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def streaming_dedup_landing(spark: SparkSession, sf_dir: str,
+                            out_dir: str, checkpoint: str):
+    """dropDuplicatesWithinWatermark over the re-delivering stream:
+    batch 2's replayed rows must hit the state-store fingerprints from
+    batch 1 and be dropped, so the landed rows are exactly the distinct
+    events — the streaming twin of batch hash-dedup, state bounded by
+    the watermark horizon."""
+    ev = stream_events_redelivered(spark, sf_dir)
+    deduped = (ev.withWatermark("ts", "30 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    return (deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True).start())
