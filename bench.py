@@ -188,6 +188,7 @@ HEADLINE = [
     "schema_evolution_audit",   # catalog diff + upcast classification
     "streaming_session_builtin",  # native session_window append drain
     "streaming_dedup_redelivery",  # dropDuplicatesWithinWatermark
+    "streaming_attribution_join",  # stream-stream interval join
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -680,3 +680,63 @@ FROM events GROUP BY event_type ORDER BY event_type
         "batch via state-store fingerprints; landed aggregates equal "
         "the batch DISTINCT answer bit-for-bit.",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_attribution_join: the STREAM-STREAM interval join
+# (clicks x purchases within 10 minutes after the click) registered as
+# a value-oracled query — with stream-static (streaming_static_enrich)
+# and the session/dedup state stores this completes the streaming join
+# triad as driver-checked evidence. Both sides are watermarked and the
+# predicate bounds event time in both directions, so join state
+# expires; the availableNow drain lands every matched pair, which
+# aggregates to the plain batch interval join per user.
+# ---------------------------------------------------------------------------
+
+def _streaming_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.stream_kpis import (stream_events,
+                                        streaming_click_purchase_join)
+    out = tempfile.mkdtemp(prefix="stream_attr_q_")
+    pairs = streaming_click_purchase_join(stream_events(spark, sf))
+    q = (pairs.writeStream.format("parquet")
+         .option("path", os.path.join(out, "pairs"))
+         .option("checkpointLocation", os.path.join(out, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming attribution drain exceeded 120s")
+    rows = spark.read.parquet(os.path.join(out, "pairs"))
+    return (rows.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("click_id").alias("n_clicks_matched"),
+                 F.sum((F.col("buy_value").cast("decimal(18,2)") * 100)
+                       .cast("long")).alias("buy_cents"))
+            .orderBy("user_id"))
+
+
+register(
+    "streaming_attribution_join",
+    _streaming_attribution_join,
+    """
+WITH e AS (SELECT ts::TIMESTAMP AS ts, event_id, user_id, event_type,
+                  value FROM events),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM e
+      WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS buy_ts, value FROM e
+      WHERE event_type = 'purchase'),
+j AS (SELECT c.user_id, c.click_id, p.value
+      FROM c JOIN p ON p.user_id = c.user_id
+       AND p.buy_ts >= c.click_ts
+       AND p.buy_ts <= c.click_ts + INTERVAL 10 MINUTE)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks_matched,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS buy_cents
+FROM j GROUP BY user_id ORDER BY user_id
+""",
+    doc="Stream-stream interval join (click->purchase attribution "
+        "within 10 minutes), both sides watermarked so join state "
+        "expires; landed pairs aggregate bit-equal to the batch "
+        "interval join.",
+)
