@@ -189,6 +189,8 @@ HEADLINE = [
     "streaming_session_builtin",  # native session_window append drain
     "streaming_dedup_redelivery",  # dropDuplicatesWithinWatermark
     "streaming_attribution_join",  # stream-stream interval join
+    "compaction_plan",          # next-fit manifest bin packing
+    "gini_domain_concentration",  # exact integer rank-formula Gini
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -12833,3 +12833,146 @@ FROM cls GROUP BY t ORDER BY t
         "narrowed/unchanged per the upcast rules), per-table breaking "
         "verdict — all replayed arithmetically.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning — the lakehouse maintenance op that matters at
+# 100 TB: group small files into target-size rewrite bins. The
+# manifest (one month-file per orders month, bytes derived from row
+# counts) is metadata — bounded by partition count, not data size — so
+# the sequential NEXT-FIT walk runs in one applyInPandas group exactly
+# like production planners run on the driver; the oracle replays every
+# (bin, fill) transition with a recursive CTE. The target is derived
+# from the total (total//12 + 1), so the plan is scale-free and the
+# same query pins both scale factors.
+# ---------------------------------------------------------------------------
+
+def _compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    o = _t(spark, sf, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("file_id"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    manifest = (o.groupBy("file_id")
+                .agg((F.count(F.lit(1)) * 100
+                      + F.min("cents") % 1000).alias("bytes")))
+
+    def plan(key, pdf):
+        pdf = pdf.sort_values("file_id").reset_index(drop=True)
+        target = int(pdf["bytes"].sum()) // 12 + 1
+        rows = []
+        bin_id, fill = 0, 0
+        for r in pdf.itertuples():
+            b = int(r.bytes)
+            if fill > 0 and fill + b > target:
+                bin_id += 1
+                fill = 0
+            fill += b
+            rows.append({"file_id": int(r.file_id), "bytes": b,
+                         "bin_id": bin_id, "bin_fill_after": fill,
+                         "target": target})
+        return pd.DataFrame(rows)
+
+    return (manifest.withColumn("_g", F.lit(0))
+            .groupBy("_g").applyInPandas(
+                plan, "file_id long, bytes long, bin_id long,"
+                      " bin_fill_after long, target long")
+            .orderBy("file_id"))
+
+
+register(
+    "compaction_plan",
+    _compaction_plan,
+    """
+WITH RECURSIVE
+m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+           AS file_id,
+         COUNT(*) * 100
+           + MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) % 1000 AS bytes
+  FROM orders GROUP BY 1),
+o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY file_id) AS rn FROM m),
+t AS (SELECT SUM(bytes) // 12 + 1 AS target FROM m),
+r AS (
+  SELECT o.file_id, o.bytes, o.rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         CAST(o.bytes AS BIGINT) AS fill
+  FROM o WHERE o.rn = 1
+  UNION ALL
+  SELECT o.file_id, o.bytes, o.rn,
+         CASE WHEN r.fill + o.bytes > t.target
+              THEN r.bin_id + 1 ELSE r.bin_id END,
+         CASE WHEN r.fill + o.bytes > t.target
+              THEN o.bytes ELSE r.fill + o.bytes END
+  FROM r JOIN o ON o.rn = r.rn + 1 CROSS JOIN t)
+SELECT file_id, CAST(bytes AS BIGINT) AS bytes, bin_id,
+       fill AS bin_fill_after,
+       CAST(t.target AS BIGINT) AS target
+FROM r CROSS JOIN t ORDER BY file_id
+""",
+    doc="Next-fit compaction planning over the month-file manifest "
+        "(metadata-sized sequential walk, scale-free total//12+1 "
+        "target); every (bin, fill) transition replayed by a "
+        "recursive-CTE oracle.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Domain-concentration Gini — the data-mixing health number next to
+# the per-domain caps: how concentrated is the corpus across
+# registrable domains, per source? Exact integer form of the rank
+# formula G = (2*sum(i*x_i) - (n+1)*S) / (n*S) over counts sorted
+# ascending, published as a floor-divided milli value so both engines
+# agree bit-for-bit. The rank window is bounded by the domain-key
+# cardinality (20 here), the repo's standard bounded-frame posture.
+# ---------------------------------------------------------------------------
+
+def _gini_domain_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (_t(spark, sf, "documents")
+         .select("source", (F.col("doc_id") % 20).alias("domain")))
+    counts = (d.groupBy("source", "domain")
+              .agg(F.count(F.lit(1)).alias("x")))
+    w = Window.partitionBy("source").orderBy("x", "domain")
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_domains"),
+                 F.sum("x").alias("n_docs"),
+                 F.sum(F.col("i") * F.col("x")).alias("rank_mass"))
+            .withColumn("gini_milli",
+                        F.expr("(1000 * (2 * rank_mass"
+                               " - (n_domains + 1) * n_docs))"
+                               " div (n_domains * n_docs)"))
+            .orderBy("source"))
+
+
+register(
+    "gini_domain_concentration",
+    _gini_domain_concentration,
+    """
+WITH c AS (
+  SELECT source, doc_id % 20 AS domain, COUNT(*) AS x
+  FROM documents GROUP BY source, doc_id % 20),
+r AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY x, domain) AS i
+  FROM c)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_domains,
+       CAST(SUM(x) AS BIGINT) AS n_docs,
+       CAST(SUM(i * x) AS BIGINT) AS rank_mass,
+       CAST((1000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
+            // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_milli
+FROM r GROUP BY source ORDER BY source
+""",
+    doc="Per-source domain-concentration Gini in exact integer milli "
+        "form (rank formula over counts sorted ascending, tie-broken "
+        "by domain, floor division matched both engines); rank window "
+        "bounded by the 20-key domain space.",
+)
