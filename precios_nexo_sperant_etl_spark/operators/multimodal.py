@@ -1651,13 +1651,21 @@ def decode_wav_ima(payload: bytes) -> dict:
         cid = payload[pos:pos + 4]
         csz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + csz]
+        if len(body) < csz:
+            raise ValueError("WAVE chunk body truncated")
         if cid == b"fmt ":
+            if len(body) < 20:
+                raise ValueError("fmt chunk too short for IMA ADPCM")
             tag, ch, rate, _bps, balign, bits, cb, spb = struct.unpack(
                 "<HHIIHHHH", body[:20])
             if tag != 0x11 or ch != 1 or bits != 4 or cb < 2:
                 raise ValueError("not mono IMA ADPCM")
+            if balign < 5:
+                raise ValueError("block align too small for a header")
             fmt = (rate, balign, spb)
         elif cid == b"fact":
+            if len(body) < 4:
+                raise ValueError("fact chunk too short")
             fact_total = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             if fmt is None:
@@ -2428,6 +2436,9 @@ def parse_webm(payload: bytes) -> dict:
                 if e2 == 0x2AD7B1:
                     scale = int.from_bytes(payload[l2:h2], "big")
                 elif e2 == 0x4489:
+                    if h2 - l2 not in (4, 8):
+                        raise ValueError("Duration must be a 4- or "
+                                         "8-byte float element")
                     duration = struct.unpack(
                         ">d" if h2 - l2 == 8 else ">f",
                         payload[l2:h2])[0]
@@ -2450,6 +2461,8 @@ def parse_webm(payload: bytes) -> dict:
                     if cts is None:
                         raise ValueError("SimpleBlock before cluster ts")
                     trk, p = read_ebml_vint(payload, l2)
+                    if p + 3 > h2:
+                        raise ValueError("SimpleBlock header truncated")
                     (rel,) = struct.unpack_from(">h", payload, p)
                     flags = payload[p + 2]
                     data = payload[p + 3:h2]

@@ -111,16 +111,14 @@ _CHECK_FIRST: list[str] = [
     "g711_wav_roundtrip",          # ITU-T mu/A-law expansion
     "streaming_stateful_sessions",  # applyInPandasWithState machine
     # --- ROUND-9 QUEUE (committed head, in priority order):
-    # 1. The never-stamped late-r8 additions, in registration order —
-    #    every one parity-green at sf0.01 AND sf0.1 in the session
-    #    that registered it: quality_stump_probe,
-    #    avi_mjpeg_frame_sample, adpcm_wav_roundtrip,
-    #    tiff_decode_roundtrip, robots_txt_gate, image_dhash_neardup,
-    #    blocklist_screen, dp_randomized_response, unicode_script_mix,
-    #    pq_quantization_codes, pq_adc_topk, tfrecord_roundtrip,
-    #    avro_container_roundtrip, avro_snappy_roundtrip,
-    #    longest_repeated_substring, mp4_sample_table_probe, plus any
-    #    later additions STAMPS.md flags.
+    # 1. The never-stamped late-r8 additions IN REGISTRATION ORDER —
+    #    34 queries from quality_stump_probe through
+    #    gini_domain_concentration; STAMPS.md's "never stamped" list is
+    #    the authoritative enumeration. Every one is parity-green at
+    #    sf0.01 AND sf0.1 in the session that registered it (plus full
+    #    0-failure sweeps at both scale factors mid-r8). 34 > the
+    #    leftover slots after any r8 reds, so r9 should fill its whole
+    #    window from this cohort before refreshing any standing stamp.
     # 2. The r03-stamp cohort refresh (VERDICT r7 item 7 — the r8
     #    additions ultimately filled every leftover slot):
     #    core_update_audit, w4_row_id, f3_accent_fold, f8_to_datetime,

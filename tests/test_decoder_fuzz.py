@@ -69,10 +69,11 @@ def _alarm(_sig, _frm):
 @pytest.mark.parametrize("name", sorted(FIXTURES))
 def test_corruption_fails_cleanly(name):
     payload, dec = FIXTURES[name]
-    rng = random.Random(hash(name) & 0xFFFF)
+    # deterministic seeds: str hash is salted per process
+    rng = random.Random(zlib.crc32(name.encode()))
     old = signal.signal(signal.SIGALRM, _alarm)
     try:
-        for trial in range(120):
+        for trial in range(360):
             b = bytearray(payload)
             kind = trial % 3
             if kind == 0 and len(b) > 1:
