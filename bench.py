@@ -191,6 +191,7 @@ HEADLINE = [
     "streaming_attribution_join",  # stream-stream interval join
     "compaction_plan",          # next-fit manifest bin packing
     "gini_domain_concentration",  # exact integer rank-formula Gini
+    "neardup_consensus",        # >=2-of-3 detector vote ensemble
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

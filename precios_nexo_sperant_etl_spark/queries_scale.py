@@ -12976,3 +12976,83 @@ FROM r GROUP BY source ORDER BY source
         "by domain, floor division matched both engines); rank window "
         "bounded by the 20-key domain space.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate CONSENSUS — the ensemble practice production dedup
+# actually ships: a pair is dropped only when at least two independent
+# detectors agree (MinHash lexical overlap, SimHash bit similarity,
+# embedding-LSH semantic closeness), which suppresses each method's
+# solo false positives. Built by COMPOSITION: the engine unions the
+# three registered pair relations and votes; the oracle embeds the
+# three REGISTERED oracle SQLs as CTEs and replays the same vote — so
+# this query also pins the ensemble's building blocks against each
+# other. Embedding votes exist only where vectors exist (vec ids are a
+# prefix of the doc-id space in the fixtures); consensus just needs
+# any two methods.
+# ---------------------------------------------------------------------------
+
+def _neardup_consensus(spark: SparkSession, sf: str) -> DataFrame:
+    from .registry import _REGISTRY
+    mh = (_REGISTRY["minhash_dedup_pairs"].fn(spark, sf)
+          .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+          .withColumn("mh", F.lit(1)).withColumn("sh", F.lit(0))
+          .withColumn("em", F.lit(0)))
+    sh = (_REGISTRY["simhash_near_pairs"].fn(spark, sf)
+          .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+          .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(1))
+          .withColumn("em", F.lit(0)))
+    em = (_REGISTRY["embedding_neardup_pairs"].fn(spark, sf)
+          .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+          .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(0))
+          .withColumn("em", F.lit(1)))
+    u = mh.unionByName(sh).unionByName(em)
+    v = (u.groupBy("a", "b")
+         .agg(F.max("mh").alias("mh"), F.max("sh").alias("sh"),
+              F.max("em").alias("em")))
+    return (v.withColumn("votes",
+                         (F.col("mh") + F.col("sh") + F.col("em"))
+                         .cast("long"))
+            .filter(F.col("votes") >= 2)
+            .select(F.col("a").alias("doc_a"),
+                    F.col("b").alias("doc_b"), "votes",
+                    (F.col("mh") == 1).alias("via_minhash"),
+                    (F.col("sh") == 1).alias("via_simhash"),
+                    (F.col("em") == 1).alias("via_embedding"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _neardup_consensus_oracle() -> str:
+    from .registry import _REGISTRY
+    mh = _REGISTRY["minhash_dedup_pairs"].oracle
+    sh = _REGISTRY["simhash_near_pairs"].oracle
+    em = _REGISTRY["embedding_neardup_pairs"].oracle
+    return f"""
+WITH mh_pairs AS ({mh}),
+sh_pairs AS ({sh}),
+em_pairs AS ({em}),
+u AS (
+  SELECT doc_a AS a, doc_b AS b, 1 AS mh, 0 AS sh, 0 AS em FROM mh_pairs
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 1, 0 FROM sh_pairs
+  UNION ALL
+  SELECT vec_a, vec_b, 0, 0, 1 FROM em_pairs),
+v AS (SELECT a, b, MAX(mh) AS mh, MAX(sh) AS sh, MAX(em) AS em
+      FROM u GROUP BY a, b)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(mh + sh + em AS BIGINT) AS votes,
+       mh = 1 AS via_minhash, sh = 1 AS via_simhash,
+       em = 1 AS via_embedding
+FROM v WHERE mh + sh + em >= 2 ORDER BY doc_a, doc_b
+"""
+
+
+register(
+    "neardup_consensus",
+    _neardup_consensus,
+    _neardup_consensus_oracle(),
+    doc="Near-dup consensus ensemble: pairs confirmed by >=2 of "
+        "MinHash/SimHash/embedding-LSH, built by composing the three "
+        "registered operators; the oracle embeds their three "
+        "registered SQLs as CTEs and replays the vote.",
+)
