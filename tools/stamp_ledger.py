@@ -58,7 +58,30 @@ OUT_MD = os.path.join(ROOT, "STAMPS.md")
 #: still the newest — once a later round lands, a still-unstamped
 #: deferred query is a rotation bug again (exit 1), not an info line.
 DEFERRED_TO_NEXT: dict[str, int] = {
-    # (the nine r5 deferrals were all stamped in r06 — none outstanding)
+    # The late-r7 additions that arrived AFTER the r8 window's 50 slots
+    # were committed (the registry's ROUND-9 QUEUE comment names the
+    # same cohort). Granted against r08: each is parity-green at sf0.01
+    # and sf0.1 in its registration session plus the mid-r8 full sweeps;
+    # all head the r9 window. Once CORRECTNESS_r09 lands, any of these
+    # still unstamped flips back to a rotation bug (exit 1).
+    **{name: 8 for name in [
+        "adpcm_wav_roundtrip", "annotator_kappa", "arrow_ipc_roundtrip",
+        "avi_mjpeg_frame_sample", "avro_container_roundtrip",
+        "avro_snappy_roundtrip", "blocklist_screen", "compaction_plan",
+        "confusable_skeleton", "crawl_token_bucket",
+        "dp_randomized_response", "gini_domain_concentration",
+        "h264_sps_probe", "idn_label_roundtrip", "image_dhash_neardup",
+        "longest_repeated_substring", "manifest_prune_audit",
+        "media_curation_pipeline", "mp4_sample_table_probe",
+        "neardup_consensus", "png_palette_roundtrip", "pq_adc_topk",
+        "pq_quantization_codes", "preference_cycle_audit",
+        "quality_stump_probe", "robots_txt_gate",
+        "schema_evolution_audit", "streaming_attribution_join",
+        "streaming_dedup_redelivery", "streaming_session_builtin",
+        "streaming_static_enrich", "tfrecord_roundtrip",
+        "tiff_decode_roundtrip", "tiff_multipage_roundtrip",
+        "unicode_script_mix", "webm_block_probe",
+    ]},
 }
 
 
