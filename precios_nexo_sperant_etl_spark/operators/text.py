@@ -897,3 +897,67 @@ def longest_repeated_substring(s: str) -> tuple[int, str]:
         return 0, ""
     j = lcp.index(best)          # first in SA order = smallest substring
     return best, s[sa[j]:sa[j] + best]
+
+
+def kneser_ney_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram quality signal (Kneser & Ney 1995;
+    Chen & Goodman 1998 — the smoothing behind real LM-perplexity
+    filters such as CCNet's): per-document MEAN and MIN of
+
+        P_kn(w2 | w1) = (max(c(w1,w2) - D, 0)
+                         + D * N1+(w1,*) * (N1+(*,w2) / B)) / c(w1, *)
+
+    where ``N1+(w1,*)`` counts distinct continuations of ``w1``,
+    ``N1+(*,w2)`` distinct histories of ``w2`` (the continuation
+    probability — the part add-1 smoothing gets wrong), and ``B`` the
+    number of distinct bigram types. Same no-log policy as
+    :func:`bigram_lm_scores`: every probability is a fixed tree of
+    integer-count IEEE divisions, the per-doc mean folds in
+    token-position order, and MIN is order-free — bit-identical
+    cross-engine.
+
+    Scale: c12/history/continuation stats are three combinable count
+    aggs over the bigram stream (vocabulary-bounded output); scoring is
+    equi-joins on w1/w2 plus a 1-row broadcast for B; the sorted fold
+    is per-DOCUMENT, so task memory is one doc's bigram list.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w1"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (toks.select(id_col, "pos", "w1",
+                      F.lead("w1").over(w).alias("w2"))
+          .filter(F.col("w2").isNotNull()))
+
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                 F.count(F.lit(1)).alias("n_after"))
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_before"))
+    btypes = c12.agg(F.count(F.lit(1)).alias("bt"))
+
+    d = F.lit(discount)
+    p = (bg.join(c12, ["w1", "w2"])
+           .join(hist, "w1")
+           .join(cont, "w2")
+           .crossJoin(F.broadcast(btypes))
+           .select(id_col, "pos",
+                   ((F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+                     + d * F.col("n_after").cast("double")
+                     * (F.col("n_before").cast("double")
+                        / F.col("bt").cast("double")))
+                    / F.col("c1").cast("double")).alias("p")))
+    agg = (p.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "p")))
+                .alias("ps"),
+                F.min("p").alias("min_kn_p")))
+    vals = F.transform(F.col("ps"), lambda x: x["p"])
+    fold = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    return (agg.select(F.col(id_col),
+                       F.size("ps").cast("long").alias("n_bigrams"),
+                       (fold / F.size("ps")).alias("mean_kn_p"),
+                       "min_kn_p")
+            .orderBy(id_col))

@@ -781,3 +781,146 @@ register(
         "rounded divisions of exact integers — the third model "
         "family, bit-exact vs DuckDB.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference strengths — the model behind RLHF/DPO reward
+# data audits and chatbot-arena leaderboards (Bradley & Terry 1952;
+# Zermelo 1929). Pairwise preference outcomes are corpus-sized; the
+# sufficient statistics are NOT: per-item win counts and the per-pair
+# game-count matrix shuffle at most items² numbers regardless of how
+# many comparisons exist — the same aggregates-only posture as the
+# linear probe's Gram matrix. The constant-size MM fixed-point
+# (Zermelo's update  p_i ← w_i / Σ_j n_ij/(p_i+p_j), 20 iterations)
+# runs driver-side in IEEE doubles with a pinned j-ascending fold, and
+# the oracle replays the identical iteration as a recursive CTE over
+# LIST(DOUBLE) state — bit-identical strengths, an exact value oracle
+# for an iterative MLE.
+# ---------------------------------------------------------------------------
+
+_BT_ITEMS = 8
+_BT_ITERS = 20
+
+
+def _bt_games(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic preference fixture: every doc stages one game
+    between items i = doc_id%8 and j = (doc_id//8)%8 (i≠j); the winner
+    is hash-thresholded with a +6(i-j) skill bias, so true strength is
+    ordered in item id and both upsets and sweeps occur."""
+    from .operators.text import md5_hash
+    d = _t(spark, sf, "documents").select("doc_id")
+    g = d.select(
+        (F.col("doc_id") % 8).alias("i"),
+        ((F.col("doc_id") / 8).cast("long") % 8).alias("j"),
+        (md5_hash(F.concat(F.lit("bt:"), F.col("doc_id"))) % 100)
+        .alias("r"))
+    g = g.where(F.col("i") != F.col("j"))
+    return g.select(
+        "i", "j",
+        F.when(F.col("r") < 50 + 6 * (F.col("i") - F.col("j")),
+               F.col("i")).otherwise(F.col("j")).alias("winner"))
+
+
+def _bradley_terry(spark: SparkSession, sf: str) -> DataFrame:
+    g = _bt_games(spark, sf)
+    wins_rows = (g.groupBy("winner").agg(F.count(F.lit(1)).alias("w"))
+                 .collect())
+    pair_rows = (g.select(F.least("i", "j").alias("a"),
+                          F.greatest("i", "j").alias("b"))
+                 .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+                 .collect())
+    k = _BT_ITEMS
+    w = [0] * k
+    for r in wins_rows:
+        w[int(r["winner"])] = int(r["w"])
+    n = [[0] * k for _ in range(k)]
+    for r in pair_rows:
+        a, b, c = int(r["a"]), int(r["b"]), int(r["c"])
+        n[a][b] = c
+        n[b][a] = c
+    p = [1.0] * k
+    for _ in range(_BT_ITERS):
+        nxt = []
+        for i in range(k):
+            s = 0.0
+            for j in range(k):  # j-ascending fold; n_ii=0 adds exact 0.0
+                s = s + n[i][j] / (p[i] + p[j])
+            nxt.append(w[i] / s)
+        p = nxt
+    games = [sum(n[i]) for i in range(k)]
+    order = sorted(range(k), key=lambda i: (-p[i], i))
+    rank = {i: r + 1 for r, i in enumerate(order)}
+    rows = [(i, w[i], games[i], p[i], rank[i]) for i in range(k)]
+    schema = StructType([
+        StructField("item", LongType()), StructField("wins", LongType()),
+        StructField("games", LongType()),
+        StructField("strength", DoubleType()),
+        StructField("rank", LongType())])
+    return spark.createDataFrame(rows, schema).orderBy("item")
+
+
+_BT_ORACLE = f"""
+WITH RECURSIVE
+g AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS i,
+         CAST((doc_id // 8) % 8 AS BIGINT) AS j,
+         ('0x' || substr(md5('bt:' || CAST(doc_id AS VARCHAR)), 1, 12))
+           ::BIGINT % 100 AS r
+  FROM documents
+  WHERE doc_id % 8 <> (doc_id // 8) % 8),
+res AS (SELECT i, j,
+               CASE WHEN r < 50 + 6 * (i - j) THEN i ELSE j END AS winner
+        FROM g),
+items AS (SELECT CAST(x.g AS BIGINT) AS item FROM generate_series(0, 7) x(g)),
+w AS (SELECT it.item, CAST(COUNT(r.winner) AS BIGINT) AS wins
+      FROM items it LEFT JOIN res r ON r.winner = it.item
+      GROUP BY it.item),
+np AS (SELECT LEAST(i, j) AS a, GREATEST(i, j) AS b,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM res GROUP BY 1, 2),
+cell AS (
+  SELECT ia.item AS i, ib.item AS j,
+         CASE WHEN ia.item = ib.item THEN 0
+              ELSE COALESCE(p.c, 0) END AS c
+  FROM items ia CROSS JOIN items ib
+  LEFT JOIN np p ON p.a = LEAST(ia.item, ib.item)
+                AND p.b = GREATEST(ia.item, ib.item)),
+nrow AS (SELECT i, list(c ORDER BY j) AS ns,
+                CAST(SUM(c) AS BIGINT) AS games
+         FROM cell GROUP BY i),
+nmat AS (SELECT list(ns ORDER BY i) AS nm FROM nrow),
+wl AS (SELECT list(wins ORDER BY item) AS wv FROM w),
+iter(k, ps) AS (
+  SELECT 0, list_transform(range(8), x -> CAST(1.0 AS DOUBLE))
+  UNION ALL
+  SELECT k + 1,
+         list_transform(range(1, 9), i ->
+             CAST(wv[i] AS DOUBLE)
+             / list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 9), j ->
+                           CAST(nm[i][j] AS DOUBLE)
+                           / (ps[i] + ps[j]))),
+                   (a, x) -> a + x))
+  FROM iter, nmat, wl WHERE k < {_BT_ITERS}),
+fin AS (SELECT ps FROM iter WHERE k = {_BT_ITERS})
+SELECT w.item, w.wins, nr.games,
+       ps[CAST(w.item + 1 AS INT)] AS strength,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY ps[CAST(w.item + 1 AS INT)] DESC, w.item)
+         AS BIGINT) AS rank
+FROM w JOIN nrow nr ON nr.i = w.item CROSS JOIN fin
+ORDER BY w.item
+"""
+
+register(
+    "bradley_terry_strengths",
+    _bradley_terry,
+    _BT_ORACLE,
+    doc="Bradley-Terry MLE via Zermelo's MM updates: corpus-sized "
+        "preference outcomes reduce to items²-bounded sufficient "
+        "stats (one win-count agg + one pair-count agg), a 20-step "
+        "constant-size fixed point with a pinned summation order, and "
+        "a recursive-CTE oracle replaying the identical iteration — "
+        "bit-exact strengths and ranks.",
+)

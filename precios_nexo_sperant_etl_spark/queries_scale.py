@@ -13056,3 +13056,663 @@ register(
         "registered operators; the oracle embeds their three "
         "registered SQLs as CTEs and replays the vote.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring — the smoothing real perplexity
+# filters use (CCNet trains KN 5-grams via KenLM; this is the same
+# estimator at bigram order, exactly). Distinct from lm_bigram_quality's
+# add-1 baseline: KN backs off to the CONTINUATION count N1+(*,w2) —
+# "how many contexts does w2 complete" — which is what separates
+# high-frequency-but-context-bound tokens from genuinely productive
+# ones. Same no-log discipline: probabilities are fixed trees of
+# integer-count IEEE divisions, the per-doc mean folds in position
+# order, MIN is order-free.
+# ---------------------------------------------------------------------------
+
+def _kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import kneser_ney_scores
+    return kneser_ney_scores(_t(spark, sf, "documents"))
+
+
+register(
+    "kneser_ney_perplexity",
+    _kneser_ney,
+    f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS w1,
+               generate_subscripts(tk, 1) AS pos FROM toks),
+big AS (SELECT doc_id, pos, w1,
+               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM pos),
+bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+h AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_after FROM c12 GROUP BY w1),
+f AS (SELECT w2, COUNT(*) AS n_before FROM c12 GROUP BY w2),
+b AS (SELECT COUNT(*) AS bt FROM c12),
+p AS (SELECT bg.doc_id, bg.pos,
+             (GREATEST(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+              + 0.75 * CAST(h.n_after AS DOUBLE)
+                * (CAST(f.n_before AS DOUBLE) / CAST(b.bt AS DOUBLE)))
+             / CAST(h.c1 AS DOUBLE) AS p
+      FROM bg
+      JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+      JOIN h ON h.w1 = bg.w1
+      JOIN f ON f.w2 = bg.w2
+      CROSS JOIN b)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                list(p ORDER BY pos)),
+                   (a, x) -> a + x) / COUNT(*) AS mean_kn_p,
+       MIN(p) AS min_kn_p
+FROM p GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Interpolated Kneser-Ney bigram quality signal (Kneser & Ney "
+        "1995; Chen & Goodman 1998): absolute discounting plus the "
+        "continuation-count backoff real perplexity filters use — "
+        "per-doc mean (position-ordered fold) and min of exact "
+        "integer-count probability trees, bit-identical cross-engine.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination by bounded edit distance — the fuzzy tier
+# below exact-substring / n-gram decontam: a benchmark prompt that
+# appears in training data with one typo or dropped word still leaks
+# the answer. Fixture: every 13th document donates its 5-token prefix
+# as an "eval prompt", corrupted by dropping its 3rd character (so the
+# planted true match sits at distance 1). Both engines score with
+# their native levenshtein; the join key is an ANCHOR TOKEN (the last
+# token — prefix corruptions never touch it; real decontam blocks on a
+# rare-token anchor the same way) plus a LENGTH BAND (bucket width 4,
+# prompts fan out to the 3 buckets any string within distance 3 can
+# occupy — |len(a)-len(b)| <= lev(a,b)), so the candidate set is
+# block-local, never all-pairs: the same pigeonhole discipline as the
+# SimHash chunk bands. Blocking defines the (documented) recall bound,
+# exactly as in production fuzzy decontam. Scale: prompts are eval-set-sized (broadcast);
+# candidates shuffle once on the band key.
+# ---------------------------------------------------------------------------
+
+def _levenshtein_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    cand = (tk.where(F.size("tk") >= 5)
+            .select("doc_id",
+                    F.array_join(F.slice("tk", 1, 5), " ").alias("s")))
+    prompts = (cand.where(F.col("doc_id") % 13 == 0)
+               .select(F.col("doc_id").alias("eval_id"),
+                       F.concat(F.substring("s", 1, 2),
+                                F.expr("substring(s, 4)")).alias("q")))
+
+    def band(length, off):
+        return F.floor((length + F.lit(off)).cast("double") / 4.0)
+
+    anchor = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    pb = prompts.select(
+        "eval_id", "q", anchor(F.col("q")).alias("anch"),
+        F.explode(F.array_distinct(F.array(
+            band(F.length("q"), -3), band(F.length("q"), 0),
+            band(F.length("q"), 3)))).alias("band"))
+    cb = cand.select("doc_id", "s", anchor(F.col("s")).alias("anch"),
+                     band(F.length("s"), 0).alias("band"))
+    pairs = (F.broadcast(pb).join(cb, ["anch", "band"])
+             .where(F.abs(F.length("q") - F.length("s")) <= 3)
+             .select("eval_id", "doc_id",
+                     F.levenshtein("q", "s").alias("dist")))
+    best = pairs.groupBy("eval_id").agg(
+        F.min("dist").alias("best_dist"),
+        F.count(F.lit(1)).alias("n_cand"))
+    bdoc = (pairs.join(best, "eval_id")
+            .where(F.col("dist") == F.col("best_dist"))
+            .groupBy("eval_id").agg(F.min("doc_id").alias("best_doc")))
+    return (best.join(bdoc, "eval_id")
+            .select("eval_id", "n_cand", "best_dist", "best_doc",
+                    (F.col("best_dist") <= 3).alias("contaminated"))
+            .orderBy("eval_id"))
+
+
+register(
+    "levenshtein_decontam",
+    _levenshtein_decontam,
+    """
+WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+            FROM documents),
+cand AS (SELECT doc_id, array_to_string(tk[1:5], ' ') AS s
+         FROM tk WHERE len(tk) >= 5),
+prompts AS (SELECT doc_id AS eval_id,
+                   substr(s, 1, 2) || substr(s, 4) AS q
+            FROM cand WHERE doc_id % 13 = 0),
+pb AS (SELECT eval_id, q,
+              (string_split(q, ' '))[-1] AS anch,
+              unnest(list_distinct([
+            CAST(floor((length(q) - 3) / 4.0) AS BIGINT),
+            CAST(floor(length(q) / 4.0) AS BIGINT),
+            CAST(floor((length(q) + 3) / 4.0) AS BIGINT)])) AS band
+       FROM prompts),
+cb AS (SELECT doc_id, s, (string_split(s, ' '))[-1] AS anch,
+              CAST(floor(length(s) / 4.0) AS BIGINT) AS band
+       FROM cand),
+pairs AS (SELECT p.eval_id, c.doc_id,
+                 CAST(levenshtein(p.q, c.s) AS INT) AS dist
+          FROM pb p JOIN cb c ON c.anch = p.anch AND c.band = p.band
+          WHERE abs(length(p.q) - length(c.s)) <= 3),
+best AS (SELECT eval_id, MIN(dist) AS best_dist,
+                CAST(COUNT(*) AS BIGINT) AS n_cand
+         FROM pairs GROUP BY eval_id),
+bdoc AS (SELECT p.eval_id, MIN(p.doc_id) AS best_doc
+         FROM pairs p JOIN best b
+           ON b.eval_id = p.eval_id AND p.dist = b.best_dist
+         GROUP BY p.eval_id)
+SELECT b.eval_id, b.n_cand, b.best_dist, d.best_doc,
+       b.best_dist <= 3 AS contaminated
+FROM best b JOIN bdoc d ON d.eval_id = b.eval_id
+ORDER BY b.eval_id
+""",
+    doc="Fuzzy eval-set decontamination: native levenshtein over an "
+        "anchor-token + length-band candidate block (|len diff| "
+        "bounds edit distance; the anchor token survives prefix "
+        "corruption) — planted typo'd prompts resolve to their source "
+        "doc at distance 1; never all-pairs.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Length-matched sampling — the distribution-matching cousin of the
+# temperature mix: thin a candidate pool so its LENGTH histogram matches
+# a reference slice (here: match non-English docs to the English length
+# profile), the standard control when ablating a data source so length
+# confounds don't masquerade as quality effects. Accept/reject is a
+# deterministic per-doc hash threshold against the per-bucket ratio
+# target_share/pool_share: h/2^48 is an EXACT power-of-two division and
+# the ratio is one correctly-rounded division of exact integer products
+# (< 2^53), so the verdict is bit-stable under any partitioning — same
+# discipline as stratified_sample_docs. One count agg per side, one
+# broadcast-sized bucket join; never a global sort.
+# ---------------------------------------------------------------------------
+
+def _length_matched_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import md5_hash
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars").cast("double") / 64.0).alias("bucket"))
+    tgt = (d.where(F.col("lang") == "en")
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("tn")))
+    tt = d.where(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("tt"))
+    pool = d.where(F.col("lang") != "en")
+    pc = pool.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn"))
+    pt = pool.agg(F.count(F.lit(1)).alias("pt"))
+    ratio = ((F.coalesce(F.col("tn"), F.lit(0)) * F.col("pt"))
+             .cast("double")
+             / (F.col("pn") * F.col("tt")).cast("double"))
+    h = md5_hash(F.concat(F.lit("lms:"), F.col("doc_id")))
+    scored = (pool.join(F.broadcast(pc), "bucket")
+              .join(F.broadcast(tgt), "bucket", "left")
+              .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(pt))
+              .select("bucket", "doc_id",
+                      ratio.alias("ratio"),
+                      (h.cast("double") / F.lit(281474976710656.0)
+                       < ratio).alias("accept")))
+    return (scored.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("pool_n"),
+                 F.sum(F.when(F.col("accept"), 1).otherwise(0))
+                  .cast("long").alias("accepted_n"),
+                 F.min("ratio").alias("accept_ratio"))
+            .orderBy("bucket"))
+
+
+register(
+    "length_matched_sample",
+    _length_matched_sample,
+    """
+WITH d AS (SELECT doc_id, lang,
+                  CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket
+           FROM documents),
+tgt AS (SELECT bucket, COUNT(*) AS tn FROM d WHERE lang = 'en'
+        GROUP BY bucket),
+tt AS (SELECT COUNT(*) AS tt FROM d WHERE lang = 'en'),
+pool AS (SELECT * FROM d WHERE lang <> 'en'),
+pc AS (SELECT bucket, COUNT(*) AS pn FROM pool GROUP BY bucket),
+pt AS (SELECT COUNT(*) AS pt FROM pool),
+scored AS (
+  SELECT p.bucket, p.doc_id,
+         CAST(COALESCE(t.tn, 0) * pt.pt AS DOUBLE)
+           / CAST(c.pn * tt.tt AS DOUBLE) AS ratio,
+         CAST(('0x' || substr(md5('lms:' || CAST(p.doc_id AS VARCHAR)),
+                              1, 12))::BIGINT AS DOUBLE)
+           / 281474976710656.0
+           < CAST(COALESCE(t.tn, 0) * pt.pt AS DOUBLE)
+             / CAST(c.pn * tt.tt AS DOUBLE) AS accept
+  FROM pool p
+  JOIN pc c ON c.bucket = p.bucket
+  LEFT JOIN tgt t ON t.bucket = p.bucket
+  CROSS JOIN tt CROSS JOIN pt)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS pool_n,
+       CAST(SUM(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT)
+         AS accepted_n,
+       MIN(ratio) AS accept_ratio
+FROM scored GROUP BY bucket ORDER BY bucket
+""",
+    doc="Length-matched source ablation sampling: per-bucket "
+        "accept/reject hash thresholds reshape the non-English pool "
+        "to the English length histogram — exact integer-product "
+        "ratios, power-of-two-exact hash normalization, one broadcast "
+        "bucket join.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML extraction — the crawl-seeding counterpart of
+# robots_txt_gate: sitemaps.org XML is how sites publish their URL
+# inventory (loc/lastmod/priority per <url> entry), and a crawler's
+# frontier starts from exactly this parse. Each of 20 domains builds a
+# genuine <urlset> document from its docs (ordered string_agg), and the
+# OPERATOR is the parse back out: non-greedy <url> block extraction,
+# per-field regex, date + priority typing. Spec note: the sitemap
+# protocol caps one file at 50k URLs / 50 MB, so the per-domain string
+# agg is bounded by the format itself — at crawl scale each fetched
+# sitemap file is one row and the explode is partition-local.
+# ---------------------------------------------------------------------------
+
+def _sitemap_url_extract(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") % 20).alias("k"))
+    entry = F.concat(
+        F.lit("<url><loc>https://d"), F.col("k"),
+        F.lit(".example.com/doc/"), F.col("doc_id"),
+        F.lit("</loc><lastmod>2024-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), F.col("doc_id") % 10,
+        F.lit("</priority></url>"))
+    xml = (d.select("k", F.struct("doc_id", entry.alias("e")).alias("s"))
+           .groupBy("k")
+           .agg(F.concat(
+               F.lit('<?xml version="1.0"?><urlset>'),
+               F.concat_ws("", F.transform(
+                   F.array_sort(F.collect_list("s")),
+                   lambda x: x["e"])),
+               F.lit("</urlset>")).alias("xml")))
+    blocks = xml.select(
+        "k", F.explode(F.expr(
+            r"regexp_extract_all(xml, '<url>(.*?)</url>', 1)"))
+        .alias("u"))
+    return (blocks.select(
+        F.concat(F.lit("d"), F.col("k"), F.lit(".example.com"))
+         .alias("domain"),
+        F.regexp_extract("u", "<loc>(.*?)</loc>", 1).alias("loc"),
+        F.to_date(F.regexp_extract("u", "<lastmod>(.*?)</lastmod>", 1),
+                  "yyyy-MM-dd").alias("lastmod"),
+        F.regexp_extract("u", "<priority>(.*?)</priority>", 1)
+         .cast("double").alias("priority"))
+        .orderBy("loc"))
+
+
+register(
+    "sitemap_url_extract",
+    _sitemap_url_extract,
+    """
+WITH d AS (SELECT doc_id, doc_id % 20 AS k FROM documents),
+e AS (SELECT k, doc_id,
+             '<url><loc>https://d' || CAST(k AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             || '</loc><lastmod>2024-'
+             || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || '</lastmod><priority>0.'
+             || CAST(doc_id % 10 AS VARCHAR)
+             || '</priority></url>' AS entry
+      FROM d),
+x AS (SELECT k, '<?xml version="1.0"?><urlset>'
+             || string_agg(entry, '' ORDER BY doc_id)
+             || '</urlset>' AS xml
+      FROM e GROUP BY k),
+b AS (SELECT k, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1))
+             AS u
+      FROM x)
+SELECT 'd' || CAST(k AS VARCHAR) || '.example.com' AS domain,
+       regexp_extract(u, '<loc>(.*?)</loc>', 1) AS loc,
+       CAST(regexp_extract(u, '<lastmod>(.*?)</lastmod>', 1) AS DATE)
+         AS lastmod,
+       CAST(regexp_extract(u, '<priority>(.*?)</priority>', 1)
+            AS DOUBLE) AS priority
+FROM b ORDER BY loc
+""",
+    doc="sitemaps.org <urlset> build + parse: per-domain ordered XML "
+        "assembly, non-greedy block extraction, typed loc/lastmod/"
+        "priority fields — the crawl-frontier seeding parse, bounded "
+        "per file by the protocol's own 50k-URL cap.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (entity resolution): Soundex-key candidate blocks —
+# the classic cheap blocking function for person/org name dedup
+# (Fellegi-Sunter pipelines block on phonetic keys before scoring).
+# Both sides compute the SAME simplified American Soundex: letter→digit
+# map via translate, adjacent-duplicate collapse over the full code
+# sequence (so 'pf' folds like the standard), zero-drop, first letter +
+# 3 digits. Simplification, documented: H/W are coded 0 like vowels
+# (they separate equal codes; standard Soundex merges across them) —
+# deterministic and identical cross-engine, which is what a blocking
+# key must be. Names: a 40-surname universe keyed by custkey, with a
+# planted char-swap typo every 7th customer — swaps inside a code run
+# keep the key, cross-class swaps break it, both visible in the block
+# roster. Scale: one groupBy on the key; block sizes are bounded by
+# the name-universe, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_SURNAMES = [
+    "smith", "smyth", "johnson", "jonson", "williams", "brown", "braun",
+    "jones", "garcia", "miller", "mueller", "davis", "rodriguez",
+    "martinez", "hernandez", "lopez", "gonzalez", "wilson", "anderson",
+    "thomas", "taylor", "moore", "jackson", "martin", "lee", "perez",
+    "thompson", "white", "harris", "sanchez", "clark", "clarke",
+    "ramirez", "lewis", "robinson", "walker", "young", "allen",
+    "wright", "schmidt",
+]
+
+_SOUNDEX_FROM = "abcdefghijklmnopqrstuvwxyz"
+_SOUNDEX_TO = "01230120022455012623010202"
+
+
+def _phonetic_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select("c_custkey")
+    base = F.element_at(
+        F.array(*[F.lit(s) for s in _SURNAMES]),
+        (F.col("c_custkey") % 40 + 1).cast("int"))
+    name = F.when(
+        F.col("c_custkey") % 7 == 0,
+        F.concat(F.substring(base, 1, 1), F.substring(base, 3, 1),
+                 F.substring(base, 2, 1), F.expr(
+                     "substring(element_at(array("
+                     + ",".join(f"'{s}'" for s in _SURNAMES)
+                     + "), cast(c_custkey % 40 + 1 as int)), 4)"))
+    ).otherwise(base)
+    d = c.select("c_custkey", name.alias("name"))
+    d = d.withColumn(
+        "codes", F.translate(F.col("name"), _SOUNDEX_FROM, _SOUNDEX_TO))
+    d = d.withColumn("arr", F.expr(
+        "transform(sequence(1, length(codes)), i -> substr(codes, i, 1))"))
+    # Spark lambda index and arr[] are both 0-based; DuckDB's are 1-based
+    # — each side reads "previous element" in its own convention.
+    d = d.withColumn("dedup", F.expr(
+        "filter(arr, (x, i) -> i = 0 OR x != arr[i - 1])"))
+    d = d.withColumn("tail3", F.expr(
+        "rpad(concat_ws('', slice(filter("
+        "slice(dedup, 2, size(dedup)), x -> x != '0'), 1, 3)), 3, '0')"))
+    d = d.select(
+        "c_custkey", "name",
+        F.concat(F.upper(F.substring("name", 1, 1)), F.col("tail3"))
+         .alias("skey"))
+    return (d.groupBy("skey")
+            .agg(F.count(F.lit(1)).alias("block_size"),
+                 F.countDistinct("name").alias("distinct_names"),
+                 F.concat_ws("|", F.array_sort(
+                     F.collect_set("name"))).alias("roster"))
+            .withColumn("est_pairs",
+                        (F.col("block_size") * (F.col("block_size") - 1)
+                         / 2).cast("long"))
+            .orderBy("skey"))
+
+
+register(
+    "phonetic_blocking",
+    _phonetic_blocking,
+    f"""
+WITH names AS (
+  SELECT c_custkey,
+         (['{"','".join(_SURNAMES)}'])[
+             CAST(c_custkey % 40 + 1 AS INT)] AS base
+  FROM customer),
+n AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0
+              THEN substr(base, 1, 1) || substr(base, 3, 1)
+                   || substr(base, 2, 1) || substr(base, 4)
+              ELSE base END AS name
+  FROM names),
+coded AS (
+  SELECT c_custkey, name,
+         list_transform(range(1, length(name) + 1),
+             i -> substr(translate(name, '{_SOUNDEX_FROM}',
+                                   '{_SOUNDEX_TO}'), i, 1)) AS arr
+  FROM n),
+keyed AS (
+  SELECT c_custkey, name,
+         upper(substr(name, 1, 1))
+         -- COALESCE: DuckDB's array_to_string([]) is NULL, not ''
+         || rpad(COALESCE(array_to_string(
+                list_filter(
+                    (list_filter(arr,
+                                 (x, i) -> i = 1 OR x <> arr[i - 1]))[2:],
+                    x -> x <> '0'), ''), ''), 3, '0') AS skey
+  FROM coded)
+SELECT skey,
+       CAST(COUNT(*) AS BIGINT) AS block_size,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS distinct_names,
+       array_to_string(list_sort(list(DISTINCT name)), '|') AS roster,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS est_pairs
+FROM keyed GROUP BY skey ORDER BY skey
+""",
+    doc="Soundex phonetic blocking for entity resolution: shared "
+        "simplified code spec (translate map, index-lambda adjacent "
+        "collapse, zero drop, letter+3 key), planted char-swap typos, "
+        "per-block roster + candidate-pair mass — the step before "
+        "pairwise match scoring.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection audit — the dimensionality-
+# reduction step real ANN systems run before indexing (Achlioptas 2003:
+# +-1 entries preserve inner products in expectation; JL gives the
+# distance-distortion bound). The projection matrix is a deterministic
+# md5-parity sign pattern (no RNG — same no-randomness rule as the
+# whole repo), inlined identically into both engines, and the audit
+# compares original 64-d cosine vs projected 16-d cosine over a
+# probe x candidate panel: per-probe mean |distortion| (candidate-
+# ordered fold) and max. Scale: projections are computed per-row
+# before the join (narrow map), the probe side is an itemized
+# broadcast, and the panel is probe-bounded — the same BNLJ shape as
+# ann_cosine_topk.
+# ---------------------------------------------------------------------------
+
+def _jl_matrix() -> list[list[float]]:
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"jl:{j}:{i}".encode())
+                        .hexdigest()[:2], 16) % 2 == 0 else -1.0
+             for i in range(64)] for j in range(16)]
+
+
+def _jl_projection_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.exact import ddot
+    R = _jl_matrix()
+    rlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in R])
+
+    def proj(v):
+        return F.transform(rlit, lambda row: F.aggregate(
+            F.zip_with(row, v,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda a, x: a + x))
+
+    emb = _t(spark, sf, "embeddings")
+
+    def side(pred, idn):
+        d = emb.where(pred).select(
+            F.col("vec_id").alias(idn),
+            F.col("embedding").alias(f"{idn}_v"),
+            proj(F.col("embedding")).alias(f"{idn}_p"))
+        return d.select(
+            idn, f"{idn}_v", f"{idn}_p",
+            ddot(F.col(f"{idn}_v"), F.col(f"{idn}_v")).alias(f"{idn}_n2"),
+            ddot(F.col(f"{idn}_p"), F.col(f"{idn}_p")).alias(f"{idn}_pn2"))
+
+    p = side(F.col("vec_id") % 40 == 0, "pid")
+    c = side(F.col("vec_id") % 3 == 0, "cid")
+    pairs = (F.broadcast(p).crossJoin(c)
+             .where(F.col("pid") != F.col("cid"))
+             .select("pid", "cid",
+                     (ddot(F.col("pid_v"), F.col("cid_v"))
+                      / (F.sqrt("pid_n2") * F.sqrt("cid_n2")))
+                     .alias("cos_o"),
+                     (ddot(F.col("pid_p"), F.col("cid_p"))
+                      / (F.sqrt("pid_pn2") * F.sqrt("cid_pn2")))
+                     .alias("cos_p")))
+    e = pairs.select("pid", "cid",
+                     F.abs(F.col("cos_p") - F.col("cos_o")).alias("err"))
+    agg = (e.groupBy("pid")
+           .agg(F.array_sort(F.collect_list(F.struct("cid", "err")))
+                .alias("es"),
+                F.max("err").alias("max_abs_err")))
+    vals = F.transform(F.col("es"), lambda x: x["err"])
+    fold = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    return (agg.select(F.col("pid").alias("probe_id"),
+                       F.size("es").cast("long").alias("n_pairs"),
+                       (fold / F.size("es")).alias("mean_abs_err"),
+                       "max_abs_err")
+            .orderBy("probe_id"))
+
+
+def _jl_oracle() -> str:
+    R = _jl_matrix()
+    rlit = "[" + ", ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in R) + "]"
+    proj = (f"list_transform({rlit}, row -> "
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, 65), "
+            "i -> CAST(row[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), "
+            "(a, x) -> a + x))")
+    return f"""
+WITH sides AS (
+  SELECT vec_id, embedding, {proj} AS pr,
+         {_duck_dot('embedding', 'embedding')} AS n2
+  FROM embeddings),
+s2 AS (SELECT vec_id, embedding, pr, n2,
+              {_duck_dot('pr', 'pr')} AS pn2
+       FROM sides),
+p AS (SELECT vec_id AS pid, embedding AS pv, pr AS pp,
+             n2 AS pn2, pn2 AS ppn2
+      FROM s2 WHERE vec_id % 40 = 0),
+c AS (SELECT vec_id AS cid, embedding AS cv, pr AS cp,
+             n2 AS cn2, pn2 AS cpn2
+      FROM s2 WHERE vec_id % 3 = 0),
+pairs AS (
+  SELECT pid, cid,
+         {_duck_dot('pv', 'cv')} / (sqrt(pn2) * sqrt(cn2)) AS cos_o,
+         {_duck_dot('pp', 'cp')} / (sqrt(ppn2) * sqrt(cpn2)) AS cos_p
+  FROM p CROSS JOIN c WHERE pid <> cid),
+e AS (SELECT pid, cid, abs(cos_p - cos_o) AS err FROM pairs)
+SELECT pid AS probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(err ORDER BY cid)),
+                   (a, x) -> a + x) / COUNT(*) AS mean_abs_err,
+       MAX(err) AS max_abs_err
+FROM e GROUP BY pid ORDER BY probe_id
+"""
+
+
+register(
+    "jl_projection_audit",
+    _jl_projection_audit,
+    _jl_oracle(),
+    doc="JL sign-random-projection audit (Achlioptas 2003): "
+        "deterministic md5-parity +-1 matrix, 64d -> 16d, per-probe "
+        "mean/max cosine distortion over a broadcast probe panel — "
+        "ordered folds keep every double bit-identical cross-engine.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend smoothing (double exponential smoothing — the
+# trend tier above ewma_user_activity's simple EWMA; Holt 1957): the
+# operational-forecasting primitive for capacity planning over daily
+# monthly revenue. State is the coupled (level, trend) pair, so the Spark fold
+# carries a STRUCT accumulator over the date-sorted series (α = 1/2
+# exact binary; β = 0.3/0.7 same literals both engines), and the
+# oracle replays the identical recurrence as a recursive CTE. The
+# nested l_new expression is deliberately duplicated inside b_new —
+# identical IEEE trees, identical values. Scale: series are per-GROUP
+# (priority) and bounded by the date span, never order volume — state
+# is one (date, revenue) list per group, the same per-key-bounded
+# shape as sessionization; groups smooth in parallel.
+# ---------------------------------------------------------------------------
+
+def _holt_winters_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.exact import dsum
+    o = _t(spark, sf, "orders")
+    daily = (o.select(F.col("o_orderpriority").alias("pr"),
+                      F.trunc("o_orderdate", "month").alias("d"),
+                      F.col("o_totalprice"))
+             .groupBy("pr", "d")
+             .agg(dsum(F.col("o_totalprice")).alias("y")))
+    arr = F.array_sort(F.collect_list(F.struct("d", "y")))
+    g = daily.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.max("d").alias("last_month"),
+        arr.alias("sv"))
+    e1 = F.element_at(F.col("sv"), 1)["y"]
+    e2 = F.element_at(F.col("sv"), 2)["y"]
+    init = F.struct(e1.alias("l"), (e2 - e1).alias("b"))
+
+    def step(acc, x):
+        l_new = 0.5 * x["y"] + 0.5 * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (0.3 * (l_new - acc["l"]) + 0.7 * acc["b"]).alias("b"))
+
+    state = F.aggregate(
+        F.slice(F.col("sv"), 2, F.greatest(F.size("sv") - 1, F.lit(0))),
+        init, step)
+    return (g.select(
+        "pr", "n_months", "last_month",
+        state["l"].alias("level"), state["b"].alias("trend"),
+        (state["l"] + F.lit(3.0) * state["b"]).alias("forecast_3m"))
+        .orderBy("pr"))
+
+
+register(
+    "holt_winters_forecast",
+    _holt_winters_forecast,
+    """
+WITH RECURSIVE
+daily AS (SELECT o_orderpriority AS pr,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS d,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) AS y
+          FROM orders GROUP BY 1, 2),
+seq AS (SELECT pr, d, y,
+               ROW_NUMBER() OVER (PARTITION BY pr ORDER BY d) AS rn
+        FROM daily),
+n AS (SELECT pr, MAX(rn) AS n, CAST(MAX(d) AS DATE) AS last_month
+      FROM seq GROUP BY pr),
+r AS (
+  SELECT s1.pr, CAST(1 AS BIGINT) AS rn,
+         s1.y AS l, s2.y - s1.y AS b
+  FROM seq s1 JOIN seq s2 ON s2.pr = s1.pr AND s2.rn = 2
+  WHERE s1.rn = 1
+  UNION ALL
+  SELECT r.pr, r.rn + 1,
+         0.5 * s.y + 0.5 * (r.l + r.b),
+         0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+  FROM r
+  JOIN seq s ON s.pr = r.pr AND s.rn = r.rn + 1
+  JOIN n ON n.pr = r.pr
+  WHERE r.rn < n.n)
+SELECT r.pr, CAST(n.n AS BIGINT) AS n_months, n.last_month,
+       r.l AS level, r.b AS trend,
+       r.l + 3.0 * r.b AS forecast_3m
+FROM r JOIN n ON n.pr = r.pr AND r.rn = n.n
+ORDER BY r.pr
+""",
+    doc="Holt double exponential smoothing per order priority: struct-"
+        "state fold over the month-sorted revenue series (exact-decimal "
+        "monthly sums), recursive-CTE oracle replaying the identical "
+        "(level, trend) recurrence, 3-month-ahead linear forecast — "
+        "bit-exact across engines.",
+)

@@ -112,8 +112,13 @@ _CHECK_FIRST: list[str] = [
     "streaming_stateful_sessions",  # applyInPandasWithState machine
     # --- ROUND-9 QUEUE (committed head, in priority order):
     # 1. The never-stamped late-r8 additions IN REGISTRATION ORDER —
-    #    34 queries from quality_stump_probe through
-    #    gini_domain_concentration; STAMPS.md's "never stamped" list is
+    #    the cohort from quality_stump_probe through
+    #    gini_domain_concentration, plus the r8-session additions
+    #    (kneser_ney_perplexity, levenshtein_decontam,
+    #    length_matched_sample, sitemap_url_extract, phonetic_blocking,
+    #    jl_projection_audit, bradley_terry_strengths,
+    #    holt_winters_forecast, flac_subframe_decode, zstd_frame_probe);
+    #    STAMPS.md's "never stamped" list is
     #    the authoritative enumeration. Every one is parity-green at
     #    sf0.01 AND sf0.1 in the session that registered it (plus full
     #    0-failure sweeps at both scale factors mid-r8). 34 > the

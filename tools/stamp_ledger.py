@@ -82,6 +82,14 @@ DEFERRED_TO_NEXT: dict[str, int] = {
         "tiff_decode_roundtrip", "tiff_multipage_roundtrip",
         "unicode_script_mix", "webm_block_probe",
     ]},
+    # r8-session additions (registered after the committed r8 window;
+    # same parity discipline, head the r9 queue with the cohort above):
+    **{name: 8 for name in [
+        "kneser_ney_perplexity", "levenshtein_decontam",
+        "length_matched_sample", "sitemap_url_extract",
+        "phonetic_blocking", "jl_projection_audit",
+        "bradley_terry_strengths", "holt_winters_forecast",
+    ]},
 }
 
 
