@@ -13716,3 +13716,205 @@ ORDER BY r.pr
         "(level, trend) recurrence, 3-month-ahead linear forecast — "
         "bit-exact across engines.",
 )
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode roundtrip — the lossless compressed format audio corpora
+# actually ship in, closing the audio family the way jpeg/gif/tiff
+# closed images: genuine RFC 9639 bitstreams (fLaC marker, STREAMINFO
+# with the real sample-MD5, sync-coded frame header with CRC-8,
+# CONSTANT / VERBATIM / FIXED-predictor subframes with Rice-coded
+# zigzag residuals, whole-frame CRC-16) encoded and decoded by
+# operators/flaccodec.py, from scratch per the public spec. Fixture
+# signals are CLOSED-FORM per doc (constant, linear-mod, quadratic-mod,
+# cubic-mod), so the decode exercises the real unary/remainder bit
+# walk and predictor reconstruction while the oracle replays the
+# signal formula as a list expression — no recursion needed. Scale
+# shape: two Arrow crossings, zero shuffles before the final sort;
+# frames decode independently (multi-frame streams split at sync
+# boundaries across executors — same argument as TIFF strips).
+# ---------------------------------------------------------------------------
+
+def _flac_subframe_decode(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.flaccodec import decode_flac, encode_flac
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def signal(did: int) -> tuple[list[int], str, int, int]:
+        t = did % 4
+        if t == 0:
+            return [(did * 37) % 4001 - 2000] * 64, "constant", 0, 0
+        if t == 1:
+            return ([(did * 31 + i * 97) % 4001 - 2000
+                     for i in range(64)], "verbatim", 0, 0)
+        if t == 2:
+            return ([(did * 13 + i * i * 5 + i * 29) % 3001 - 1500
+                     for i in range(64)], "fixed", 2, 9)
+        return ([(did * 7 + i * i * i + i * 53) % 3001 - 1500
+                 for i in range(64)], "fixed", 4, 12)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                s, kind, order, rice = signal(int(did))
+                payloads.append(encode_flac(s, kind, order=order,
+                                            rice=rice))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_flac(bytes(p))
+                s = r["samples"]
+                rows.append({"doc_id": int(did),
+                             "subframe_type": r["subframe_type"],
+                             "pred_order": r["order"],
+                             "n_samples": r["n_samples"],
+                             "sample_sum": sum(s),
+                             "max_abs": max(abs(v) for v in s),
+                             "last_sample": s[-1],
+                             "crc_ok": r["crc_ok"],
+                             "md5_ok": r["md5_ok"]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, subframe_type string,"
+                                 " pred_order long, n_samples long,"
+                                 " sample_sum long, max_abs long,"
+                                 " last_sample long, crc_ok boolean,"
+                                 " md5_ok boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "flac_subframe_decode",
+    _flac_subframe_decode,
+    """
+WITH s AS (
+  SELECT doc_id, doc_id % 4 AS t,
+         list_transform(range(0, 64), i ->
+           CASE doc_id % 4
+             WHEN 0 THEN (doc_id * 37) % 4001 - 2000
+             WHEN 1 THEN (doc_id * 31 + i * 97) % 4001 - 2000
+             WHEN 2 THEN (doc_id * 13 + i * i * 5 + i * 29) % 3001 - 1500
+             ELSE (doc_id * 7 + i * i * i + i * 53) % 3001 - 1500
+           END) AS sv
+  FROM documents)
+SELECT doc_id,
+       CASE t WHEN 0 THEN 'constant' WHEN 1 THEN 'verbatim'
+              ELSE 'fixed' END AS subframe_type,
+       CAST(CASE t WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 0 END AS BIGINT)
+         AS pred_order,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(list_sum(sv) AS BIGINT) AS sample_sum,
+       CAST(list_max(list_transform(sv, x -> abs(x))) AS BIGINT)
+         AS max_abs,
+       CAST(sv[64] AS BIGINT) AS last_sample,
+       TRUE AS crc_ok, TRUE AS md5_ok
+FROM s ORDER BY doc_id
+""",
+    doc="FLAC subset roundtrip (RFC 9639): real Rice-coded fixed-"
+        "predictor bitstreams with CRC-8/CRC-16 and STREAMINFO sample-"
+        "MD5 all verified in decode; closed-form fixture signals make "
+        "the oracle a pure list expression while the bit walk and "
+        "predictor reconstruction stay genuine.",
+)
+
+
+# ---------------------------------------------------------------------------
+# zstd frame walk + entropy-free decode — Common Crawl ships WET/WARC
+# as .zst since 2023, so the ingest seam needs the RFC 8878 frame
+# grammar next to gzip members and tar shards. The fixture frames each
+# doc's text plus a 128-byte run (so both Raw and RLE block types
+# occur) through operators/zstdframe.py's real encoder; the operator
+# decodes the frame back — magic, FHD fields, 3-byte block headers,
+# RLE expansion, FCS verification — and publishes the reassembled
+# content's md5 plus the full structural census. The oracle replays
+# the chunking rule arithmetically (a chunk is RLE iff it equals its
+# first byte repeated), never touching the binary. Compressed_Block
+# is the documented entropy boundary (UnsupportedZstd, libzstd slots
+# behind the same seam). Scale: two Arrow crossings, frames decode
+# independently, one final sort.
+# ---------------------------------------------------------------------------
+
+def _zstd_frame_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.zstdframe import decode_zstd_frame, encode_zstd_raw
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = [encode_zstd_raw(t.encode("utf-8") + b"z" * 128, 64)
+                        for t in pdf["text"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_zstd_frame(bytes(p))
+                rows.append({
+                    "doc_id": int(did),
+                    "content_len": r["content_len"],
+                    "n_blocks": r["n_blocks"],
+                    "n_raw": r["n_raw"], "n_rle": r["n_rle"],
+                    "frame_bytes": r["frame_bytes"],
+                    "fcs_ok": r["content_len"] == r["fcs"],
+                    "content_md5":
+                        hashlib.md5(r["content"]).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, content_len long,"
+                                 " n_blocks long, n_raw long,"
+                                 " n_rle long, frame_bytes long,"
+                                 " fcs_ok boolean, content_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "zstd_frame_probe",
+    _zstd_frame_probe,
+    """
+WITH d AS (SELECT doc_id, text || repeat('z', 128) AS c FROM documents),
+ch AS (SELECT doc_id, c, length(c) AS n,
+              unnest(range(0, (length(c) + 63) // 64)) AS j
+       FROM d),
+blk AS (SELECT doc_id, n,
+               LEAST(64, n - j * 64) AS clen,
+               substr(c, CAST(j * 64 + 1 AS INT), CAST(LEAST(64, n - j * 64) AS INT))
+                 = repeat(substr(c, CAST(j * 64 + 1 AS INT), 1),
+                          LEAST(64, n - j * 64)) AS rle
+        FROM ch)
+SELECT b.doc_id,
+       CAST(MAX(b.n) AS BIGINT) AS content_len,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN b.rle THEN 0 ELSE 1 END) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN b.rle THEN 1 ELSE 0 END) AS BIGINT) AS n_rle,
+       CAST(9 + SUM(3 + CASE WHEN b.rle THEN 1 ELSE b.clen END)
+            AS BIGINT) AS frame_bytes,
+       TRUE AS fcs_ok,
+       MAX(md5(d.c)) AS content_md5
+FROM blk b JOIN d ON d.doc_id = b.doc_id
+GROUP BY b.doc_id ORDER BY b.doc_id
+""",
+    doc="RFC 8878 zstd frame roundtrip: real magic/FHD/block-header "
+        "grammar with Raw + RLE blocks decoded and FCS verified; the "
+        "oracle replays the chunk census arithmetically and pins the "
+        "reassembled content md5. Compressed_Block is the documented "
+        "entropy-library boundary.",
+)

@@ -16,9 +16,11 @@ import numpy as np
 import pytest
 
 from precios_nexo_sperant_etl_spark.operators import avro_ocf as av
+from precios_nexo_sperant_etl_spark.operators import flaccodec as fl
 from precios_nexo_sperant_etl_spark.operators import jpegcodec as jc
 from precios_nexo_sperant_etl_spark.operators import multimodal as mm
 from precios_nexo_sperant_etl_spark.operators import tfrecord as tfr
+from precios_nexo_sperant_etl_spark.operators import zstdframe as zs
 
 _Y, _X = np.mgrid[0:16, 0:16]
 _GRAY = ((7 + 2 * _X + 3 * _Y) % 256).astype(np.uint8)
@@ -55,6 +57,11 @@ FIXTURES = {
                av.snappy_decompress),
     "lzw": (mm._tiff_lzw_encode(bytes(range(100))), mm._tiff_lzw_decode),
     "gzip": (gzip.compress(b"data" * 50), mm.decode_gzip),
+    "flac": (fl.encode_flac([(i * i * 5 + 29 * i) % 3001 - 1500
+                             for i in range(64)], "fixed",
+                            order=2, rice=9), fl.decode_flac),
+    "zstd": (zs.encode_zstd_raw(b"frame walk " * 12 + b"z" * 130, 64),
+             zs.decode_zstd_frame),
 }
 
 

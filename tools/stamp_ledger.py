@@ -89,6 +89,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
         "length_matched_sample", "sitemap_url_extract",
         "phonetic_blocking", "jl_projection_audit",
         "bradley_terry_strengths", "holt_winters_forecast",
+        "flac_subframe_decode", "zstd_frame_probe",
     ]},
 }
 
