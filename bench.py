@@ -192,6 +192,17 @@ HEADLINE = [
     "compaction_plan",          # next-fit manifest bin packing
     "gini_domain_concentration",  # exact integer rank-formula Gini
     "neardup_consensus",        # >=2-of-3 detector vote ensemble
+    # appended late-r8:
+    "kneser_ney_perplexity",    # KN continuation-backoff LM scoring
+    "levenshtein_decontam",     # anchor+length-banded fuzzy decontam
+    "length_matched_sample",    # histogram-matching hash thinning
+    "sitemap_url_extract",      # urlset build + typed parse
+    "phonetic_blocking",        # shared-Soundex ER blocking keys
+    "jl_projection_audit",      # sign-projection distortion panel
+    "bradley_terry_strengths",  # items^2 stats + MM fixed point
+    "holt_winters_forecast",    # struct-state trend smoothing fold
+    "flac_subframe_decode",     # Rice/fixed-predictor bit walk
+    "zstd_frame_probe",         # RFC 8878 frame grammar roundtrip
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

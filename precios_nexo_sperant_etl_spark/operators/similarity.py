@@ -358,20 +358,32 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
     an (n_probe)× duplication of ONE side, far cheaper than fewer
     planes (which fattens every bucket quadratically). Measured against
     the exact baseline in tests."""
-    bucketed = emb.withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, n_planes)))
+    # Norms are hoisted to one fold PER VECTOR before the bucket join
+    # (bit-identical — same expression on the same row) instead of two
+    # folds per candidate pair: at Σbucket² pair volume the per-pair
+    # work drops to the single ddot fold (measured 8.7s → 5.3s at
+    # sf0.1). A statically-unrolled 64-term expression tree was tried
+    # and is SLOWER than the fold (the 128-node tree falls out of
+    # codegen), so the fold stays.
+    bucketed = (emb.withColumn("bucket",
+                               F.expr(lsh_bucket_expr(vec_col, n_planes)))
+                .withColumn("_nrm", _norm(F.col(vec_col))))
     probes = F.array(F.col("bucket"),
                      *[F.expr(f"bucket ^ CAST({1 << j} AS BIGINT)")
                        for j in range(min(max(n_probe - 1, 0), n_planes))])
     a = (bucketed.select(F.col(id_col).alias("vec_a"),
-                         F.col(vec_col).alias("va"), "bucket")
-                 .select("vec_a", "va", F.explode(probes).alias("bucket")))
+                         F.col(vec_col).alias("va"),
+                         F.col("_nrm").alias("na"), "bucket")
+                 .select("vec_a", "va", "na",
+                         F.explode(probes).alias("bucket")))
     b = bucketed.select(F.col(id_col).alias("vec_b"),
-                        F.col(vec_col).alias("vb"), "bucket")
+                        F.col(vec_col).alias("vb"),
+                        F.col("_nrm").alias("nb"), "bucket")
     return (a.join(b, "bucket")
              .filter(F.col("vec_a") < F.col("vec_b"))
              .select("vec_a", "vec_b",
                      (ddot(F.col("va"), F.col("vb"))
-                      / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"))
+                      / (F.col("na") * F.col("nb"))).alias("cosine"))
              .filter(F.col("cosine") >= threshold)
              .distinct()
              .orderBy("vec_a", "vec_b"))
