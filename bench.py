@@ -203,6 +203,8 @@ HEADLINE = [
     "holt_winters_forecast",    # struct-state trend smoothing fold
     "flac_subframe_decode",     # Rice/fixed-predictor bit walk
     "zstd_frame_probe",         # RFC 8878 frame grammar roundtrip
+    "elo_ratings",              # pooled online-Elo state machine
+    "probe_auc_rank",           # exact Mann-Whitney AUC in integers
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

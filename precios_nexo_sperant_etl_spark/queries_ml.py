@@ -924,3 +924,264 @@ register(
         "a recursive-CTE oracle replaying the identical iteration — "
         "bit-exact strengths and ranks.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Elo ratings — the ONLINE counterpart of bradley_terry_strengths
+# (arena leaderboards update after every comparison; BT refits in
+# batch). Entirely in integers: ratings in whole points, a quantized
+# 81-bucket expectation table in milli-score (the same shape as FIDE's
+# printed conversion table — both engines inline the identical
+# literals), zero-sum updates ra += D, rb -= D with D =
+# trunc(K*(score-expected)/1000), truncating division matched on both
+# engines (Spark `div` / DuckDB `//`; Python mirrors with a sign-aware
+# helper because its `//` floors). Sequential by construction, so the
+# distributed shape is the crawl_token_bucket one: independent rating
+# POOLS (leagues) shuffle once on the pool key and each pool's chain
+# folds inside one task with O(items) state; the oracle replays every
+# transition as a recursive CTE over LIST(BIGINT) state.
+# ---------------------------------------------------------------------------
+
+_ELO_K = 32
+_ELO_START = 1000
+
+
+def _elo_table() -> list[int]:
+    """expected-score milli for rating-diff buckets -40..40 (25 pts
+    per bucket): E = 1000 / (1 + 10^(-d/400)), truncated to int."""
+    return [int(1000.0 / (1.0 + 10.0 ** (-(b * 25) / 400.0)))
+            for b in range(-40, 41)]
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Spark's `div` and
+    DuckDB's `//`; Python's `//` floors, hence this helper."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _elo_games(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import md5_hash
+    d = _t(spark, sf, "documents").select("doc_id")
+    g = d.select(
+        "doc_id",
+        ((F.col("doc_id") / 64).cast("long") % 4).alias("pool"),
+        (F.col("doc_id") % 8).alias("i"),
+        ((F.col("doc_id") / 8).cast("long") % 8).alias("j"),
+        (md5_hash(F.concat(F.lit("elo:"), F.col("doc_id"))) % 100)
+        .alias("r"))
+    g = g.where(F.col("i") != F.col("j"))
+    return g.select(
+        "doc_id", "pool", "i", "j",
+        F.when(F.col("r") < 50 + 6 * (F.col("i") - F.col("j")),
+               F.col("i")).otherwise(F.col("j")).alias("w"))
+
+
+def _elo_ratings(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    table = _elo_table()
+
+    def fold(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        rat = [_ELO_START] * 8
+        games = [0] * 8
+        wins = [0] * 8
+        for i, j, w in zip(pdf["i"].astype("int64"),
+                           pdf["j"].astype("int64"),
+                           pdf["w"].astype("int64")):
+            i, j, w = int(i), int(j), int(w)
+            b = max(-40, min(40, _tdiv(rat[i] - rat[j], 25)))
+            e = table[b + 40]
+            sa = 1000 if w == i else 0
+            delta = _tdiv(_ELO_K * (sa - e), 1000)
+            rat[i] += delta
+            rat[j] -= delta
+            games[i] += 1
+            games[j] += 1
+            wins[w] += 1
+        return pd.DataFrame(
+            {"pool": [int(key[0])] * 8, "item": list(range(8)),
+             "rating": rat, "games": games, "wins": wins})
+
+    g = _elo_games(spark, sf)
+    out = g.groupBy("pool").applyInPandas(
+        fold, "pool long, item long, rating long, games long, wins long")
+    return out.orderBy("pool", "item")
+
+
+def _elo_oracle() -> str:
+    tab = ", ".join(f"({b}, {e})"
+                    for b, e in zip(range(-40, 41), _elo_table()))
+    # Δ inlined twice (i and j branches), exactly like the ADPCM oracle
+    # inlines its step expression.
+    delta = ("(32 * ((CASE WHEN g.w = g.i THEN 1000 ELSE 0 END) - t.e))"
+             " // 1000")
+    return f"""
+WITH RECURSIVE
+tab(b, e) AS (VALUES {tab}),
+g0 AS (
+  SELECT doc_id, (doc_id // 64) % 4 AS pool,
+         doc_id % 8 AS i, (doc_id // 8) % 8 AS j,
+         ('0x' || substr(md5('elo:' || CAST(doc_id AS VARCHAR)), 1, 12))
+           ::BIGINT % 100 AS r
+  FROM documents WHERE doc_id % 8 <> (doc_id // 8) % 8),
+g AS (
+  SELECT pool, doc_id, i, j,
+         CASE WHEN r < 50 + 6 * (i - j) THEN i ELSE j END AS w,
+         ROW_NUMBER() OVER (PARTITION BY pool ORDER BY doc_id) AS rn
+  FROM g0),
+np AS (SELECT pool, MAX(rn) AS n FROM g GROUP BY pool),
+r(pool, rn, rt) AS (
+  SELECT pool, CAST(0 AS BIGINT),
+         list_transform(range(8), x -> CAST({_ELO_START} AS BIGINT))
+  FROM np
+  UNION ALL
+  SELECT r.pool, r.rn + 1,
+         list_transform(range(1, 9), x ->
+             CASE WHEN x - 1 = g.i THEN rt[x] + {delta}
+                  WHEN x - 1 = g.j THEN rt[x] - {delta}
+                  ELSE rt[x] END)
+  FROM r
+  JOIN g ON g.pool = r.pool AND g.rn = r.rn + 1
+  JOIN tab t ON t.b = GREATEST(-40, LEAST(40,
+      (rt[CAST(g.i + 1 AS INT)] - rt[CAST(g.j + 1 AS INT)]) // 25))),
+fin AS (SELECT r.pool, rt FROM r JOIN np ON np.pool = r.pool
+        WHERE r.rn = np.n),
+items AS (SELECT CAST(x.g AS BIGINT) AS item
+          FROM generate_series(0, 7) x(g)),
+stats AS (
+  SELECT u.pool, it.item,
+         CAST(COUNT(*) FILTER (g2.i = it.item OR g2.j = it.item)
+              AS BIGINT) AS games,
+         CAST(COUNT(*) FILTER (g2.w = it.item) AS BIGINT) AS wins
+  FROM (SELECT DISTINCT pool FROM g) u
+  CROSS JOIN items it
+  LEFT JOIN g g2 ON g2.pool = u.pool
+  GROUP BY u.pool, it.item)
+SELECT s.pool, s.item,
+       CAST(f.rt[CAST(s.item + 1 AS INT)] AS BIGINT) AS rating,
+       s.games, s.wins
+FROM stats s JOIN fin f ON f.pool = s.pool
+ORDER BY s.pool, s.item
+"""
+
+
+register(
+    "elo_ratings",
+    _elo_ratings,
+    _elo_oracle(),
+    doc="Online Elo over pooled leagues: integer zero-sum updates with "
+        "a quantized 81-bucket expectation table (FIDE-style), "
+        "truncating division matched across Spark div / DuckDB // / a "
+        "sign-aware Python helper; per-pool sequential fold behind one "
+        "pool-keyed shuffle; recursive-CTE oracle replays every "
+        "transition.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC for the linear probe — the ranking-quality metric next to
+# quality_probe_eval's thresholded confusion matrix: AUC is the
+# probability a random positive outscores a random negative, computed
+# EXACTLY by the rank-sum (Mann-Whitney U) identity with the standard
+# half-credit tie handling, all in integers: 2U = Σ_s np_s·(2·N<_s +
+# nn_s) over DISTINCT scores, auc_micro = 10⁶·2U div (2·P·N). Scores
+# collapse to distinct (x1, x2) feature pairs (caps make this a design
+# constant, the same bound class as quality_stump's prefix sums), so
+# the one global prefix-sum window runs over a capped aggregate, never
+# corpus rows. BIGINT headroom: 10⁶·2U < 2⁶³ through sf10-scale
+# corpora; a 100 TB deployment lifts the multiplier into DECIMAL the
+# same way the diversity index does.
+# ---------------------------------------------------------------------------
+
+def _probe_auc_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    m = _moments(spark, sf)
+    w0, w1, w2, _det = _solve(m)
+    d = _t(spark, sf, "documents")
+    x1c, x2c, yc = _features()
+    feats = d.select(x1c, x2c, yc)
+    score = (F.lit(w0) + F.lit(w1) * F.col("x1").cast("double")
+             + F.lit(w2) * F.col("x2").cast("double"))
+    g = (feats.select(score.alias("s"), "y")
+         .groupBy("s")
+         .agg(F.sum("y").alias("np"),
+              F.sum(1 - F.col("y")).alias("nn")))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    per = (g.withColumn("cum_nn", F.sum("nn").over(w))
+           .withColumn("u2_s",
+                       F.col("np") * (2 * (F.col("cum_nn") - F.col("nn"))
+                                      + F.col("nn"))))
+    return per.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.sum("u2_s").cast("long").alias("u2"),
+        F.expr("(1000000 * sum(u2_s)) div (2 * sum(np) * sum(nn))")
+        .cast("long").alias("auc_micro"))
+
+
+_AUC_ORACLE = """
+WITH f AS (%s),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS hn,
+         CAST(SUM(x1) AS HUGEINT) AS h1, CAST(SUM(x2) AS HUGEINT) AS h2,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS h11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS h12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS h22,
+         CAST(SUM(y) AS HUGEINT) AS hb0,
+         CAST(SUM(x1 * y) AS HUGEINT) AS hb1,
+         CAST(SUM(x2 * y) AS HUGEINT) AS hb2
+  FROM f),
+w AS (
+  SELECT
+    CAST(hb0 * (h11 * h22 - h12 * h12)
+       - h1 * (hb1 * h22 - h12 * hb2)
+       + h2 * (hb1 * h12 - h11 * hb2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w0,
+    CAST(hn * (hb1 * h22 - h12 * hb2)
+       - hb0 * (h1 * h22 - h12 * h2)
+       + h2 * (h1 * hb2 - hb1 * h2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w1,
+    CAST(hn * (h11 * hb2 - hb1 * h12)
+       - h1 * (h1 * hb2 - hb1 * h2)
+       + hb0 * (h1 * h12 - h11 * h2) AS DOUBLE)
+      / CAST(hn * (h11 * h22 - h12 * h12)
+           - h1 * (h1 * h22 - h12 * h2)
+           + h2 * (h1 * h12 - h11 * h2) AS DOUBLE) AS w2
+  FROM m),
+sc AS (
+  SELECT w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) AS s, y
+  FROM f, w),
+g AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+         CAST(SUM(1 - y) AS BIGINT) AS nn
+  FROM sc GROUP BY s),
+per AS (
+  SELECT np, nn,
+         SUM(nn) OVER (ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS cum_nn
+  FROM g)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(COUNT(*) AS BIGINT) AS n_scores,
+       CAST(SUM(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS u2,
+       CAST((1000000 * SUM(np * (2 * (cum_nn - nn) + nn)))
+            // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_micro
+FROM per
+""" % _FEATURES_SQL
+
+register(
+    "probe_auc_rank",
+    _probe_auc_rank,
+    _AUC_ORACLE,
+    doc="Exact AUC of the linear probe via the Mann-Whitney rank-sum "
+        "identity with half-credit ties — integer 2U over distinct "
+        "capped-feature scores, one prefix-sum window over the score "
+        "aggregate (design-bounded), truncating-division micro units.",
+)

@@ -91,3 +91,27 @@ def test_ridge_shrinks_toward_zero():
     assert abs(r1) < abs(w1) and abs(r2) < abs(w2)
     # lambda=0 is exactly the unregularized solve
     assert _solve_ridge(m, 0) == _solve(m)
+
+
+def test_elo_tdiv_matches_engines():
+    """_tdiv must truncate toward zero — Spark `div` and DuckDB `//`
+    semantics — where Python's `//` floors."""
+    import duckdb
+
+    from precios_nexo_sperant_etl_spark.queries_ml import _tdiv
+
+    for a in (-1307, -25, -1, 0, 1, 24, 25, 1307):
+        for b in (25, 1000, -25):
+            got = _tdiv(a, b)
+            want = duckdb.sql(f"SELECT ({a}) // ({b})").fetchone()[0]
+            assert got == want, (a, b, got, want)
+
+
+def test_elo_expectation_table_shape():
+    from precios_nexo_sperant_etl_spark.queries_ml import _elo_table
+
+    t = _elo_table()
+    assert len(t) == 81
+    assert t[40] == 500                      # equal ratings -> 1/2
+    assert t[0] + t[80] == 999 or t[0] + t[80] == 1000  # symmetry (trunc)
+    assert all(t[i] <= t[i + 1] for i in range(80))     # monotone
