@@ -205,6 +205,7 @@ HEADLINE = [
     "zstd_frame_probe",         # RFC 8878 frame grammar roundtrip
     "elo_ratings",              # pooled online-Elo state machine
     "probe_auc_rank",           # exact Mann-Whitney AUC in integers
+    "winnowing_fingerprints",   # MOSS rightmost-min window selection
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

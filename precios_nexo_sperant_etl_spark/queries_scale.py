@@ -13925,3 +13925,106 @@ GROUP BY b.doc_id ORDER BY b.doc_id
         "reassembled content md5. Compressed_Block is the documented "
         "entropy-library boundary.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): the guarantee-bearing document-fingerprint scheme next to
+# CDC chunking and full-text minhash — any shared substring of length
+# >= w+k-1 is guaranteed to share a selected fingerprint, and expected
+# density is 2/(w+1). Per doc: 48-bit md5 hashes of all char k-grams
+# (k=8), then each w=4 window selects its minimal hash with the
+# RIGHTMOST tie rule — expressed as a struct-min of (h, -pos) over a
+# bounded per-doc window frame (both engines order structs
+# lexicographically), then DISTINCT selected positions. Scale: the
+# window is per-DOCUMENT (partitioned by doc_id, 4-row frame), k-gram
+# explode is corpus-linear, one final per-doc agg.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 8
+_WIN_W = 4
+
+
+def _winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.text import md5_hash
+
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", F.trim("text").alias("t"))
+         .where(F.length("t") >= _WIN_K + _WIN_W - 1))
+    grams = (d.select(
+        "doc_id", F.length("t").alias("n"),
+        F.explode(F.sequence(F.lit(1),
+                             F.length("t") - (_WIN_K - 1))).alias("pos"),
+        F.col("t"))
+        .select("doc_id", "n", "pos",
+                md5_hash(F.expr(f"substring(t, pos, {_WIN_K})"))
+                .alias("h")))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, _WIN_W - 1))
+    sel = (grams
+           .withColumn("nk", F.col("n") - (_WIN_K - 1))
+           .withColumn("s", F.min(F.struct(
+               F.col("h"), (-F.col("pos")).alias("np"))).over(win))
+           .where(F.col("pos") <= F.col("nk") - (_WIN_W - 1))
+           .select("doc_id", "nk",
+                   (-F.col("s.np")).alias("fpos"),
+                   F.col("s.h").alias("fh")))
+    fps = sel.select("doc_id", "nk", "fpos", "fh").distinct()
+    return (fps.groupBy("doc_id")
+            .agg(F.max("nk").cast("long").alias("n_kgrams"),
+                 (F.max("nk") - (_WIN_W - 1)).cast("long")
+                 .alias("n_windows"),
+                 F.count(F.lit(1)).alias("n_fps"),
+                 F.min("fh").alias("min_fp"),
+                 F.max("fh").alias("max_fp"))
+            .withColumn("density_micro",
+                        F.expr("(1000000 * n_fps) div n_windows")
+                        .cast("long"))
+            .select("doc_id", "n_kgrams", "n_windows", "n_fps",
+                    "density_micro", "min_fp", "max_fp")
+            .orderBy("doc_id"))
+
+
+register(
+    "winnowing_fingerprints",
+    _winnowing_fingerprints,
+    f"""
+WITH d AS (SELECT doc_id, trim(text) AS t FROM documents
+           WHERE length(trim(text)) >= {_WIN_K + _WIN_W - 1}),
+grams AS (
+  SELECT doc_id, length(t) - {_WIN_K - 1} AS nk,
+         unnest(range(1, length(t) - {_WIN_K - 2})) AS pos, t
+  FROM d),
+h AS (
+  SELECT doc_id, nk, pos,
+         ('0x' || substr(md5(substr(t, CAST(pos AS INT), {_WIN_K})),
+                         1, 12))::BIGINT AS h
+  FROM grams),
+sel AS (
+  SELECT doc_id, nk,
+         MIN({{'h': h, 'np': -pos}}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS s,
+         pos
+  FROM h),
+fp AS (
+  SELECT DISTINCT doc_id, nk, -(s.np) AS fpos, s.h AS fh
+  FROM sel WHERE pos <= nk - {_WIN_W - 1})
+SELECT doc_id,
+       CAST(MAX(nk) AS BIGINT) AS n_kgrams,
+       CAST(MAX(nk) - {_WIN_W - 1} AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST((1000000 * COUNT(*)) // (MAX(nk) - {_WIN_W - 1}) AS BIGINT)
+         AS density_micro,
+       CAST(MIN(fh) AS BIGINT) AS min_fp,
+       CAST(MAX(fh) AS BIGINT) AS max_fp
+FROM fp GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="MOSS winnowing (Schleimer et al. 2003): rightmost-min "
+        "fingerprint selection over 4-gram-hash windows via struct-min "
+        "with a bounded per-doc frame — shared substrings of length "
+        ">= w+k-1 share a fingerprint by construction; density pinned "
+        "in integer micro units.",
+)

@@ -118,7 +118,7 @@ _CHECK_FIRST: list[str] = [
     #    length_matched_sample, sitemap_url_extract, phonetic_blocking,
     #    jl_projection_audit, bradley_terry_strengths,
     #    holt_winters_forecast, flac_subframe_decode, zstd_frame_probe,
-    #    elo_ratings, probe_auc_rank);
+    #    elo_ratings, probe_auc_rank, winnowing_fingerprints);
     #    STAMPS.md's "never stamped" list is
     #    the authoritative enumeration. Every one is parity-green at
     #    sf0.01 AND sf0.1 in the session that registered it (plus full

@@ -90,7 +90,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
         "phonetic_blocking", "jl_projection_audit",
         "bradley_terry_strengths", "holt_winters_forecast",
         "flac_subframe_decode", "zstd_frame_probe",
-        "elo_ratings", "probe_auc_rank",
+        "elo_ratings", "probe_auc_rank", "winnowing_fingerprints",
     ]},
 }
 
