@@ -152,3 +152,62 @@ class TestZstd:
         for cut in (3, 5, 8, 11, len(p) - 1):
             with pytest.raises(ValueError):
                 decode_zstd_frame(p[:cut])
+
+
+# --- property-based roundtrips (hypothesis, same conventions as
+# test_codec_properties) -------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = dict(max_examples=25, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(-32768, 32767), min_size=64, max_size=64))
+def test_flac_verbatim_roundtrips_any_block(samples):
+    d = decode_flac(encode_flac(samples, "verbatim"))
+    assert d["samples"] == samples and d["md5_ok"]
+
+
+@settings(**_SETTINGS)
+@given(st.integers(-32768, 32767))
+def test_flac_constant_roundtrips_any_value(v):
+    d = decode_flac(encode_flac([v] * 64, "constant"))
+    assert d["samples"] == [v] * 64
+
+
+@settings(**_SETTINGS)
+@given(st.integers(1, 4), st.integers(0, 2 ** 32 - 1))
+def test_flac_fixed_roundtrips_bounded_signals(order, seed):
+    # Bounded pseudo-random signal: residuals of order-k predictors over
+    # a +-1500 signal always fit the escape-free Rice range at param 14.
+    s = [((seed >> (i % 16)) * 31 + i * i * 7 + i * 13) % 3001 - 1500
+         for i in range(64)]
+    d = decode_flac(encode_flac(s, "fixed", order=order, rice=14))
+    assert d["samples"] == s and d["order"] == order
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=1, max_size=600), st.integers(1, 128))
+def test_zstd_roundtrips_any_bytes_any_blocksize(data, bs):
+    d = decode_zstd_frame(encode_zstd_raw(data, bs))
+    assert d["content"] == data
+    assert d["fcs"] == len(data)
+    assert d["n_blocks"] == (len(data) + bs - 1) // bs
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=0, max_size=64), st.integers(1, 255),
+       st.integers(1, 300))
+def test_zstd_rle_detection_exact(prefix, byte, run):
+    # The block census must equal the chunk rule exactly: a chunk is
+    # RLE iff it is one repeated byte.
+    data = prefix + bytes([byte]) * run
+    d = decode_zstd_frame(encode_zstd_raw(data, 64))
+    assert d["content"] == data
+    chunks = [data[o:o + 64] for o in range(0, len(data), 64)]
+    want_rle = sum(1 for c in chunks if c == bytes([c[0]]) * len(c))
+    assert d["n_rle"] == want_rle
+    assert d["n_raw"] == len(chunks) - want_rle
+    assert d["n_raw"] + d["n_rle"] == d["n_blocks"] == len(chunks)
