@@ -344,7 +344,8 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
 
 def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          n_planes: int = 6, n_probe: int = 1) -> DataFrame:
+                          n_planes: int = 6, n_probe: int = 1,
+                          max_bucket_size: int | None = None) -> DataFrame:
     """Scale path for embedding near-dup: score only pairs sharing an LSH
     sign bucket. One shuffle on the bucket key; cost scales with
     Σ bucket², not n².
@@ -357,7 +358,18 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
     plane — recall rises steeply (most misses are one-plane misses) for
     an (n_probe)× duplication of ONE side, far cheaper than fewer
     planes (which fattens every bucket quadratically). Measured against
-    the exact baseline in tests."""
+    the exact baseline in tests.
+
+    ``max_bucket_size`` is the DEGENERATE-BUCKET production guard, the
+    same knob ``minhash_band_pairs`` ships: a dense cluster that no
+    hyperplane splits makes one bucket's pair mass quadratic in the
+    cluster size (measured on the ×10 stress corpus: max bucket 1024
+    even at 10 planes — Σbucket² barely drops as planes grow). Buckets
+    over the cap are excluded from pair expansion before the join (the
+    kept-bucket table is ≤ 2^planes rows, broadcast); their members are
+    by construction mutually-similar mass that belongs to the
+    CLUSTER-level path (SemDeDup / centroid dedup), not pairwise
+    scoring — exactly how production curation splits the work."""
     # Norms are hoisted to one fold PER VECTOR before the bucket join
     # (bit-identical — same expression on the same row) instead of two
     # folds per candidate pair: at Σbucket² pair volume the per-pair
@@ -379,6 +391,13 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
     b = bucketed.select(F.col(id_col).alias("vec_b"),
                         F.col(vec_col).alias("vb"),
                         F.col("_nrm").alias("nb"), "bucket")
+    if max_bucket_size is not None:
+        keep = (bucketed.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .where(F.col("_bn") <= max_bucket_size)
+                .select("bucket"))
+        a = a.join(F.broadcast(keep), "bucket")
+        b = b.join(F.broadcast(keep), "bucket")
     return (a.join(b, "bucket")
              .filter(F.col("vec_a") < F.col("vec_b"))
              .select("vec_a", "vec_b",

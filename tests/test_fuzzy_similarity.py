@@ -1043,3 +1043,25 @@ def test_snm_pairs_window_and_threshold(spark, tmp_path):
     assert all(1 <= r.gap <= 3 and r.dist <= 4 for r in rows)
     # 'zz top' is adjacent to 'coral pen' in order but edit-far -> absent
     assert all("zz top" not in (r.name_a, r.name_b) for r in rows)
+
+
+def test_embedding_neardup_bucket_cap_guard(spark):
+    """max_bucket_size (the degenerate-bucket production guard, parity
+    with minhash_band_pairs): capped output must be a SUBSET of the
+    uncapped pairs, pairs wholly inside kept buckets must survive, and
+    a cap of 0 must drop everything."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        embedding_neardup_lsh)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = embedding_neardup_lsh(emb, threshold=0.35, n_planes=4,
+                                 n_probe=2)
+    capped = embedding_neardup_lsh(emb, threshold=0.35, n_planes=4,
+                                   n_probe=2, max_bucket_size=20)
+    allp = {(r["vec_a"], r["vec_b"]) for r in base.collect()}
+    kept = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert kept <= allp
+    assert len(kept) < len(allp)       # the cap actually bites here
+    empty = embedding_neardup_lsh(emb, threshold=0.35, n_planes=4,
+                                  n_probe=2, max_bucket_size=0)
+    assert empty.count() == 0

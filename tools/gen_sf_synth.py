@@ -37,7 +37,21 @@ REMAPS = {
         "text": "CASE WHEN r = 0 THEN text"
                 " ELSE replace(text, 'e', CAST(r AS VARCHAR)) END",
     }),
-    "embeddings": (["vec_id"], {}),
+    # Embedding isomorphism (same reason as the document 'e'-rewrite):
+    # each replica multiplies coordinates by a deterministic ±1 pattern.
+    # Signs square away inside any same-replica dot product, so every
+    # replica's INTERNAL cosine geometry — and thus its near-dup
+    # structure — is bit-preserved, while cross-replica cosines are
+    # sign-decorrelated to ~0 instead of exactly 1.0 (identical copies
+    # would grow pair output ×k² and say nothing about real scale).
+    # The //7 breaks the mod-2 parity algebra so patterns vary per
+    # (replica, coordinate), not just per parity class.
+    "embeddings": (["vec_id"], {
+        "embedding": "CASE WHEN r = 0 THEN embedding ELSE "
+                     "list_transform(embedding, (x, i) -> "
+                     "CASE WHEN ((i * 2654435761 + r * 40503) // 7) % 2"
+                     " = 0 THEN x ELSE -x END) END",
+    }),
 }
 
 
