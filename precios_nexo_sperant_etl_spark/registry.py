@@ -42,97 +42,83 @@ _REGISTRY: dict[str, Query] = {}
 #: long-stable green queries rotate to the back (their old stamps stand).
 #: Update this list every round from the latest CORRECTNESS_r*.json.
 _CHECK_FIRST: list[str] = [
-    # ================= ROUND-8 WINDOW =================
-    # Slots 1-34: every query that had NEVER carried a driver stamp at
-    # r8 start (the late-r7 additions — media decoders/probes, the
-    # quality-probe ML family, web ingest, stats). All 34 were
-    # parity-verified locally AND independently by the r7 judge
-    # (type-strict, 0 failures); this window converts that local
-    # evidence into driver stamps — VERDICT r7 item 1. Then the
-    # queries ADDED or CHANGED in r8 (slots 35-46), then 4 of the
-    # oldest (r03) stamp refreshes. The 10 NEW-in-r8 queries listed
-    # mid-window are parity-green at sf0.01 AND sf0.1 as of their
-    # registration commits; anything that misses this window (late-r8
-    # additions, the rest of the r03 cohort) heads the R9 queue —
-    # STAMPS.md names them.
-    "jpeg_decode_roundtrip",       # baseline JPEG Huffman+IDCT decode
-    "mp4_box_probe",               # ISO-BMFF box walker
-    "mp3_frame_probe",             # MPEG audio frame-header walk
-    "exif_orientation_probe",      # TIFF/EXIF IFD walker
-    "wav_frame_energy",            # PCM frame energy windows
-    "webdataset_roundtrip",        # tar-shard write + re-walk
-    "orc_roundtrip",               # ORC source/sink seam
-    "quality_linear_probe",        # exact normal-equation trainer
-    "quality_linear_scores",       # probe scoring pass
-    "quality_probe_eval",          # held-out probe eval
-    "quality_ridge_probe",         # ridge-regularized variant
-    "curriculum_order_manifest",   # probe-score curriculum ordering
-    "streaming_gram_moments",      # 6th streaming merge algebra (SUM)
-    "poisson_bootstrap_means",     # one-pass bootstrap replicates
-    "poisson_bootstrap_ci",        # percentile CI over replicates
-    "poisson_bootstrap_by_source", # per-source bootstrap
-    "welch_t_sources",             # Welch's t across sources
-    "snapshot_diff",               # content-hash snapshot diff
-    "cdc_chunk_dedup",             # Rabin content-defined chunking
-    "unicode_nfc_roundtrip",       # NFC canonicalization audit
-    "charset_sniff",               # byte-level charset detection
-    "html_extract_text",           # tag-strip + entity decode
-    "warc_record_extract",         # WARC record walker
-    "web_curation_pipeline",       # WARC → curated datasheet
-    "chat_template_manifest",      # chat template + loss masks
-    "fim_split_manifest",          # fill-in-middle splits
-    "skipgram_pairs",              # window-bounded skip-grams
-    "negative_sampling_table",     # unigram^0.75 sampling table
-    "pretoken_stats",              # BPE pre-tokenization counts
-    "maxmatch_tokenize",           # WordPiece greedy longest match
-    "matryoshka_topk_agreement",   # truncated-dim ANN agreement
-    "minhash_band_ablation",       # recall-vs-cost band sweep
-    "shuffle_quality_audit",       # seeded-shuffle independence
-    "pseudonymize_fk_audit",       # FK-consistent pseudonymization
-    # --- NEW in r8: names appended HERE as each is registered, so new
-    # queries enter the window ahead of the refresh cohort below ---
-    "jpeg420_decode_roundtrip",    # 4:2:0/4:2:2 subsampled baseline
-    "psl_registrable_domain",      # full-PSL edge cases (wildcards,
-                                   # exceptions) vs hand-derived truth
-    # changed since their r07 stamps (registrable_domain now runs the
-    # real PSL snapshot; oracle regenerated from the same rule tables)
-    "url_host_extract",
-    "domain_dedup_datasheet",
-    "pareto_frontier_docs",        # window now over distinct-lengths agg
-    "mp3_sideinfo_audit",          # Layer-III reservoir invariants
-    "loo_source_influence",        # closed-form LOO data attribution
-    "priority_sample_docs",        # DLT weighted sampling, integer pri
-    "streaming_lww_snapshot",      # 7th merge algebra: keyed argmax
-    "domain_cap_manifest",         # PSL-keyed per-domain quota cap
-    "eval_panel_quota",            # Hamilton apportionment panel
-    "jpeg_progressive_roundtrip",  # SOF2 multi-scan G.2 decode
-    "png_adam7_roundtrip",         # interlaced PNG pass lattices
-    "gif_decode_roundtrip",        # real LZW + palette + interlace
-    "g711_wav_roundtrip",          # ITU-T mu/A-law expansion
-    "streaming_stateful_sessions",  # applyInPandasWithState machine
-    # --- ROUND-9 QUEUE (committed head, in priority order):
-    # 1. The never-stamped late-r8 additions IN REGISTRATION ORDER —
-    #    the cohort from quality_stump_probe through
-    #    gini_domain_concentration, plus the r8-session additions
-    #    (kneser_ney_perplexity, levenshtein_decontam,
-    #    length_matched_sample, sitemap_url_extract, phonetic_blocking,
-    #    jl_projection_audit, bradley_terry_strengths,
-    #    holt_winters_forecast, flac_subframe_decode, zstd_frame_probe,
-    #    elo_ratings, probe_auc_rank, winnowing_fingerprints);
-    #    STAMPS.md's "never stamped" list is
-    #    the authoritative enumeration. Every one is parity-green at
-    #    sf0.01 AND sf0.1 in the session that registered it (plus full
-    #    0-failure sweeps at both scale factors mid-r8). 34 > the
-    #    leftover slots after any r8 reds, so r9 should fill its whole
-    #    window from this cohort before refreshing any standing stamp.
-    # 2. The r03-stamp cohort refresh (VERDICT r7 item 7 — the r8
-    #    additions ultimately filled every leftover slot):
+    # ================= ROUND-9 WINDOW =================
+    # VERDICT r8 item 1, executed verbatim: the 49 queries that have
+    # NEVER carried a driver stamp (every late-r8 addition, in their
+    # original registration order — STAMPS.md's "never stamped" list),
+    # plus the `pareto_frontier_docs` re-stamp (its r08 stamp predates
+    # the distinct-lengths-window rewrite, the ledger's one stale
+    # entry). 49 + 1 = exactly the 50-slot window; NO new queries are
+    # admitted this round so the stamp backlog drains to zero. All 49
+    # were parity-green (type-strict, sf0.01 + sf0.1) in the sessions
+    # that registered them and were independently re-verified by the
+    # r8 judge (0 failures); this window converts that local evidence
+    # into driver stamps.
+    "quality_stump_probe",         # exact decision-stump probe
+    "bradley_terry_strengths",     # MM-iteration pairwise strengths
+    "elo_ratings",                 # sequential Elo pool ratings
+    "probe_auc_rank",              # exact Mann-Whitney AUC
+    "avi_mjpeg_frame_sample",      # RIFF/AVI MJPEG frame sampler
+    "adpcm_wav_roundtrip",         # IMA ADPCM codec roundtrip
+    "tiff_decode_roundtrip",       # baseline TIFF strip decode
+    "robots_txt_gate",             # robots.txt allow/deny gate
+    "image_dhash_neardup",         # dHash near-duplicate images
+    "blocklist_screen",            # domain blocklist screen
+    "dp_randomized_response",      # DP randomized-response audit
+    "unicode_script_mix",          # per-doc Unicode script census
+    "pq_quantization_codes",       # product-quantization codebooks
+    "pq_adc_topk",                 # asymmetric-distance top-k
+    "tfrecord_roundtrip",          # TFRecord write + re-walk
+    "avro_container_roundtrip",    # Avro OCF null-codec roundtrip
+    "avro_snappy_roundtrip",       # Avro OCF snappy blocks
+    "longest_repeated_substring",  # suffix-ranking LRS per doc
+    "mp4_sample_table_probe",      # stbl/stsz/stco sample tables
+    "manifest_prune_audit",        # lake manifest prune audit
+    "confusable_skeleton",         # UTS-39 confusable skeleton
+    "arrow_ipc_roundtrip",         # Arrow IPC stream roundtrip
+    "png_palette_roundtrip",       # PLTE/indexed-color PNG
+    "tiff_multipage_roundtrip",    # multi-IFD TIFF walk
+    "webm_block_probe",            # WebM/EBML element walk
+    "h264_sps_probe",              # H.264 SPS exp-Golomb parse
+    "crawl_token_bucket",          # politeness token-bucket sim
+    "preference_cycle_audit",      # preference-graph cycle audit
+    "annotator_kappa",             # Cohen/Fleiss agreement
+    "media_curation_pipeline",     # decode→filter→datasheet chain
+    "idn_label_roundtrip",         # IDN punycode label roundtrip
+    "schema_evolution_audit",      # upcast-aware catalog diff
+    "compaction_plan",             # small-file compaction planner
+    "gini_domain_concentration",   # Gini/Lorenz domain mass
+    "neardup_consensus",           # ≥2-vote multi-detector dedup
+    "kneser_ney_perplexity",       # interpolated KN bigram PPL
+    "levenshtein_decontam",        # banded edit-distance decontam
+    "length_matched_sample",       # length-stratified pair sample
+    "sitemap_url_extract",         # sitemap XML URL extraction
+    "phonetic_blocking",           # Soundex/metaphone blocking
+    "jl_projection_audit",         # JL random-projection audit
+    "holt_winters_forecast",       # additive HW level/trend/seasonal
+    "flac_subframe_decode",        # FLAC Rice-residual subframes
+    "zstd_frame_probe",            # RFC 8878 frame/block walk
+    "winnowing_fingerprints",      # MOSS winnowing fingerprints
+    "streaming_static_enrich",     # stream×static broadcast enrich
+    "streaming_session_builtin",   # session_window() aggregation
+    "streaming_dedup_redelivery",  # dropDuplicates under redelivery
+    "streaming_attribution_join",  # watermarked stream-stream join
+    "pareto_frontier_docs",        # re-stamp: r08 stamp predates the
+                                   # distinct-lengths window rewrite
+    # --- ROUND-10 QUEUE (committed head, in priority order):
+    # 1. Any query registered NEW in r9 (zstd_compressed_roundtrip is
+    #    the planned one — deliberately registered BEHIND the window so
+    #    it never displaces backlog-draining stamps; it heads r10).
+    # 2. The r03/r04-stamp cohort refresh, oldest first
+    #    (VERDICT r7 item 7, carried through r8 item 5):
     #    core_update_audit, w4_row_id, f3_accent_fold, f8_to_datetime,
-    #    null_safe_join, scd2_merge, tpch_q9/q21, mad_outlier_filter,
-    #    skew_salted_join, table_profile_orders, tpch_q11/q16/q20,
-    #    minhash_dedup_pairs_prod/_capped — standing stamps, refresh
-    #    when slots allow; never-stamped evidence beats refreshing a
-    #    valid old stamp. ---
+    #    null_safe_join, scd2_merge, tpch_q21_sole_late_supplier,
+    #    mad_outlier_filter, skew_salted_join, table_profile_orders,
+    #    tpch_q9_product_profit, tpch_q11_important_stock,
+    #    tpch_q16_supplier_diversity, tpch_q20_dominant_supplier,
+    #    w1_dedup_latest, w2_dedup_keep_last — 16 oldest standing
+    #    stamps; refresh when slots allow. Never-stamped evidence
+    #    always beats refreshing a valid old stamp. ---
 ]
 
 
