@@ -14,6 +14,15 @@ Mechanics
   (``--update``, run once after each driver round). The next run then
   flags any query whose current fingerprint differs from its recorded
   one — those belong at the front of the next window.
+- ``--update`` computes each absorbed fingerprint FROM THE GIT COMMIT
+  that introduced that round's ``CORRECTNESS_r{N}.json`` (the driver
+  commits the working tree, then runs verify, so that commit is exactly
+  the code it tested): a throwaway ``git worktree`` of that commit is
+  imported in a subprocess and fingerprinted there. This makes
+  absorption truthful no matter when it runs — the r8 lesson was a
+  query (``pareto_frontier_docs``) rewritten mid-round whose fresh
+  stamp then read "changed since stamp" against an r6-era fingerprint
+  because the working tree had moved on before ``--update`` ran.
 - Fingerprints cover the registered callable's own source (via
   ``inspect.getsource``; for lambdas that is the whole ``register(...)``
   statement) plus the oracle string. A rewrite of a HELPER the fn calls
@@ -104,6 +113,68 @@ def _fingerprint(q: registry.Query) -> str:
         (src + "\x00" + (q.oracle or "")).encode()).hexdigest()[:16]
 
 
+#: Subprocess body run inside a historical git worktree: prints the
+#: {query: fingerprint} map for the registry AS OF that commit. Must
+#: mirror ``_fingerprint`` exactly (same hash recipe, same truncation).
+_FP_SCRIPT = r"""
+import hashlib, inspect, json, os, sys
+sys.path.insert(0, os.getcwd())
+from precios_nexo_sperant_etl_spark import registry
+registry._load_all()
+out = {}
+for name, q in registry._REGISTRY.items():
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = repr(q.fn)
+    out[name] = hashlib.sha256(
+        (src + "\x00" + (q.oracle or "")).encode()).hexdigest()[:16]
+print(json.dumps(out))
+"""
+
+
+def _commit_of(path: str) -> str | None:
+    """Newest commit touching *path* (the driver's round-end commit)."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", path],
+            cwd=ROOT, capture_output=True, text=True, check=True).stdout.strip()
+        return out or None
+    except subprocess.CalledProcessError:
+        return None
+
+
+def _fingerprints_at_commit(commit: str) -> dict[str, str] | None:
+    """Fingerprint every registered query as of *commit* via a throwaway
+    git worktree + subprocess import. Returns None if anything fails
+    (caller falls back to current-tree fingerprints with a warning)."""
+    import subprocess
+    import tempfile
+    wt = tempfile.mkdtemp(prefix="stamp_fp_")
+    try:
+        subprocess.run(["git", "worktree", "add", "--detach", "--force",
+                        wt, commit],
+                       cwd=ROOT, capture_output=True, check=True)
+        env = dict(os.environ, PYTHONPATH=wt)
+        r = subprocess.run([sys.executable, "-c", _FP_SCRIPT], cwd=wt,
+                           env=env, capture_output=True, text=True,
+                           timeout=300)
+        if r.returncode != 0:
+            print(f"WARNING: fingerprint subprocess at {commit[:12]} "
+                  f"failed:\n{r.stderr[-2000:]}")
+            return None
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 — absorb-and-warn, never crash
+        print(f"WARNING: could not fingerprint at {commit[:12]}: {e}")
+        return None
+    finally:
+        import shutil
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=ROOT, capture_output=True)
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 def _correctness_rounds() -> list[tuple[int, dict]]:
     out = []
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
@@ -133,14 +204,32 @@ def main(update: bool = False) -> int:
                 last[name] = (rnd, "rows")
 
     if update and rounds:
-        newest_rnd, newest = rounds[-1]
-        for name, row in newest.items():
-            if isinstance(row, dict) and row.get("hash_match") \
-                    and name in registry._REGISTRY:
-                ledger[name] = {
-                    "round": newest_rnd,
-                    "fp": _fingerprint(registry._REGISTRY[name]),
-                }
+        # Absorb every round newer than a query's recorded one (not just
+        # the newest file), fingerprinting AT THE ROUND'S COMMIT so the
+        # record matches the code the driver actually tested — running
+        # --update late in a round can no longer poison the ledger.
+        at_commit_cache: dict[str, dict[str, str] | None] = {}
+        for rnd, data in rounds:
+            fresh = [n for n, row in data.items()
+                     if isinstance(row, dict) and row.get("hash_match")
+                     and n in registry._REGISTRY
+                     and ledger.get(n, {}).get("round", -1) < rnd]
+            if not fresh:
+                continue
+            path = os.path.join(ROOT, f"CORRECTNESS_r{rnd:02d}.json")
+            commit = _commit_of(os.path.relpath(path, ROOT))
+            if commit not in at_commit_cache:
+                at_commit_cache[commit] = (
+                    _fingerprints_at_commit(commit) if commit else None)
+            fps = at_commit_cache[commit]
+            for name in fresh:
+                fp = (fps or {}).get(name) \
+                    or _fingerprint(registry._REGISTRY[name])
+                ledger[name] = {"round": rnd, "fp": fp}
+            if fps is None:
+                print(f"WARNING: r{rnd:02d} fingerprints taken from the "
+                      "CURRENT tree (git lookup failed) — truthful only "
+                      "if query code is unchanged since that round.")
         with open(LEDGER, "w") as f:
             json.dump(ledger, f, indent=1, sort_keys=True)
 
