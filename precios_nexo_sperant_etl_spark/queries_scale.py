@@ -12990,7 +12990,20 @@ FROM r GROUP BY source ORDER BY source
 # other. Embedding votes exist only where vectors exist (vec ids are a
 # prefix of the doc-id space in the fixtures); consensus just needs
 # any two methods.
+#
+# The embedding branch composes the CAPPED LSH config
+# (max_bucket_size=_ENP_CAP) — the scale-safe production shape, not the
+# uncapped registered baseline: SCALING.md measured the uncapped branch
+# at sf1 exponent 1.48 (243.7s — a dense cluster no hyperplane splits
+# makes one bucket's pair mass quadratic) vs 57.7s with the cap. Capped
+# buckets are mutually-similar mass that the CLUSTER-level path
+# (SemDeDup) owns; pairwise consensus votes only on the pairwise-sized
+# remainder. The oracle mirrors the cap bit-exactly (bucket census +
+# HAVING <= cap on the join bucket).
 # ---------------------------------------------------------------------------
+
+_ENP_CAP = 256
+
 
 def _neardup_consensus(spark: SparkSession, sf: str) -> DataFrame:
     from .registry import _REGISTRY
@@ -13002,7 +13015,10 @@ def _neardup_consensus(spark: SparkSession, sf: str) -> DataFrame:
           .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
           .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(1))
           .withColumn("em", F.lit(0)))
-    em = (_REGISTRY["embedding_neardup_pairs"].fn(spark, sf)
+    em = (embedding_neardup_lsh(_t(spark, sf, "embeddings"),
+                                threshold=_ENP_THRESHOLD,
+                                n_planes=_ENP_PLANES, n_probe=2,
+                                max_bucket_size=_ENP_CAP)
           .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
           .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(0))
           .withColumn("em", F.lit(1)))
@@ -13022,11 +13038,41 @@ def _neardup_consensus(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+def _enp_capped_oracle() -> str:
+    """DuckDB twin of the CAPPED embedding-LSH detector: identical to
+    the registered `embedding_neardup_pairs` oracle (same bucket
+    expression, same 2-probe explode, same fold cosine) plus the bucket
+    census + `HAVING COUNT(*) <= cap` semi-join. The Spark side filters
+    BOTH join inputs to kept buckets, but since the candidate join
+    requires bucket equality, one keep-join on the shared bucket is the
+    same relation."""
+    return f"""
+WITH bkt AS (
+  SELECT vec_id, embedding,
+         {duck_lsh_bucket_expr('embedding', _ENP_PLANES)} AS bucket
+  FROM embeddings),
+keep AS (SELECT bucket FROM bkt GROUP BY bucket
+         HAVING COUNT(*) <= {_ENP_CAP}),
+a AS (SELECT vec_id, embedding,
+             unnest([bucket, xor(bucket, 1)]) AS bucket FROM bkt),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_duck_dot('a.embedding', 'b.embedding')}
+           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cosine
+  FROM a JOIN bkt b USING (bucket) JOIN keep USING (bucket)
+  WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cosine FROM cand
+WHERE cosine >= {_ENP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 def _neardup_consensus_oracle() -> str:
     from .registry import _REGISTRY
     mh = _REGISTRY["minhash_dedup_pairs"].oracle
     sh = _REGISTRY["simhash_near_pairs"].oracle
-    em = _REGISTRY["embedding_neardup_pairs"].oracle
+    em = _enp_capped_oracle()
     return f"""
 WITH mh_pairs AS ({mh}),
 sh_pairs AS ({sh}),
@@ -13052,9 +13098,11 @@ register(
     _neardup_consensus,
     _neardup_consensus_oracle(),
     doc="Near-dup consensus ensemble: pairs confirmed by >=2 of "
-        "MinHash/SimHash/embedding-LSH, built by composing the three "
-        "registered operators; the oracle embeds their three "
-        "registered SQLs as CTEs and replays the vote.",
+        "MinHash/SimHash/embedding-LSH, composing the CAPPED embedding "
+        "detector (max_bucket_size=256, the scale-safe config — "
+        "SCALING.md: sf1 243.7s/exp 1.48 uncapped vs 57.7s capped); "
+        "the oracle embeds the same three detector SQLs as CTEs, cap "
+        "mirrored via bucket census + HAVING, and replays the vote.",
 )
 
 
