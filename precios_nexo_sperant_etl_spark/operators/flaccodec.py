@@ -158,6 +158,12 @@ def encode_flac(samples: list[int], subframe: str, order: int = 0,
     n = len(samples)
     if n != _BLOCKSIZE:
         raise ValueError("fixture frames are exactly one 64-sample block")
+    # Validate up front so out-of-range input fails with the module's
+    # named-reason taxonomy instead of an opaque struct.error from
+    # _samples_md5 (or a silent & 0xFFFF mask downstream) — ADVICE r8.
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise ValueError("flac: sample out of 16-bit range")
 
     out = bytearray(b"fLaC")
     si = _BitWriter()

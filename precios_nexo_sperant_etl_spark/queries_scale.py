@@ -13724,7 +13724,12 @@ def _holt_winters_forecast(spark: SparkSession, sf: str) -> DataFrame:
     state = F.aggregate(
         F.slice(F.col("sv"), 2, F.greatest(F.size("sv") - 1, F.lit(0))),
         init, step)
-    return (g.select(
+    # Holt's init needs two observations (b0 = y2 - y1): a one-month
+    # group has no defined trend, so it is EXCLUDED rather than emitted
+    # with NULLs — this also matches the oracle, whose recursive base
+    # inner-joins s2.rn = 2 and therefore drops such groups (ADVICE r8).
+    return (g.filter(F.col("n_months") >= 2)
+        .select(
         "pr", "n_months", "last_month",
         state["l"].alias("level"), state["b"].alias("trend"),
         (state["l"] + F.lit(3.0) * state["b"]).alias("forecast_3m"))
@@ -13945,14 +13950,20 @@ register(
     "zstd_frame_probe",
     _zstd_frame_probe,
     """
+-- Chunking runs over UTF-8 BYTES (matching Spark's text.encode('utf-8')):
+-- this DuckDB build has no BLOB substring, so the byte walk uses the hex
+-- transcription (2 hex chars per byte; offsets/lengths doubled). md5() on
+-- VARCHAR already hashes the UTF-8 encoding, so content_md5 needs no trick.
 WITH d AS (SELECT doc_id, text || repeat('z', 128) AS c FROM documents),
-ch AS (SELECT doc_id, c, length(c) AS n,
-              unnest(range(0, (length(c) + 63) // 64)) AS j
-       FROM d),
+dh AS (SELECT doc_id, c, hex(encode(c)) AS hx,
+              octet_length(encode(c)) AS n FROM d),
+ch AS (SELECT doc_id, c, hx, n,
+              unnest(range(0, (n + 63) // 64)) AS j
+       FROM dh),
 blk AS (SELECT doc_id, n,
                LEAST(64, n - j * 64) AS clen,
-               substr(c, CAST(j * 64 + 1 AS INT), CAST(LEAST(64, n - j * 64) AS INT))
-                 = repeat(substr(c, CAST(j * 64 + 1 AS INT), 1),
+               substr(hx, CAST(j * 128 + 1 AS INT), CAST(2 * LEAST(64, n - j * 64) AS INT))
+                 = repeat(substr(hx, CAST(j * 128 + 1 AS INT), 2),
                           LEAST(64, n - j * 64)) AS rle
         FROM ch)
 SELECT b.doc_id,

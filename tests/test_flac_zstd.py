@@ -211,3 +211,46 @@ def test_zstd_rle_detection_exact(prefix, byte, run):
     assert d["n_rle"] == want_rle
     assert d["n_raw"] == len(chunks) - want_rle
     assert d["n_raw"] + d["n_rle"] == d["n_blocks"] == len(chunks)
+
+
+def test_flac_rejects_out_of_range_samples():
+    # ADVICE r8: out-of-int16 input must fail with the module's named
+    # ValueError, not an opaque struct.error from the MD5 pass.
+    s = _sig("linear")
+    for bad in (32768, -32769, 10**6):
+        with pytest.raises(ValueError, match="16-bit range"):
+            encode_flac([bad] + s[1:], "verbatim")
+    # Boundary values are legal.
+    decode_flac(encode_flac([32767, -32768] + s[2:], "verbatim"))
+
+
+def test_zstd_oracle_chunks_bytes_not_chars():
+    # ADVICE r8: the zstd_frame_probe oracle must census UTF-8 BYTES
+    # (matching Spark's text.encode('utf-8')), not characters. Replay
+    # the registered SQL in DuckDB over non-ASCII text and compare to
+    # the real encoder/decoder walk.
+    import duckdb
+
+    from precios_nexo_sperant_etl_spark.registry import _load_all, _REGISTRY
+
+    _load_all()
+    sql = _REGISTRY["zstd_frame_probe"].oracle
+    texts = ["caña señal über 0 " * 9,          # 2-byte chars straddle chunks
+             "ñ" * 70,                           # 64-byte chunks split a char
+             "日本語テキスト" * 13 + "tail"]     # 3-byte chars
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+            + ") t(doc_id, text)", params=texts)
+    got = {r[0]: r[1:] for r in con.sql(sql).fetchall()}
+
+    import hashlib
+
+    from precios_nexo_sperant_etl_spark.operators.zstdframe import (
+        decode_zstd_frame, encode_zstd_raw)
+    for i, t in enumerate(texts):
+        r = decode_zstd_frame(encode_zstd_raw(t.encode("utf-8") + b"z" * 128, 64))
+        want = (r["content_len"], r["n_blocks"], r["n_raw"], r["n_rle"],
+                r["frame_bytes"], r["content_len"] == r["fcs"],
+                hashlib.md5(r["content"]).hexdigest())
+        assert got[i] == want, f"doc {i}: oracle {got[i]} != walk {want}"
