@@ -9,27 +9,33 @@ single-segment, checksum, dictionary-ID fields), window descriptor,
 and the 3-byte block headers (last-block bit, 2-bit type, 21-bit
 size).
 
-Raw_Block and RLE_Block are decoded COMPLETELY — they are literal
-layers with no entropy coding, and an encoder is provided so
-roundtrips construct genuine frames. Compressed_Block requires the
-FSE/Huffman entropy stack; that is the same honest codec-library
-boundary as progressive-JPEG-without-libjpeg used to be — the decoder
-raises :class:`UnsupportedZstd` (NOT corrupt) so callers fall back to
-a structural probe, and a real deployment binds libzstd behind this
-exact seam. Reserved block type 3 and every framing violation raise
-``ValueError`` with a named reason — same unclean-path taxonomy as
-the other decoders.
+All three block types decode COMPLETELY: Raw and RLE are literal
+layers, and Compressed_Block runs the full RFC 8878 entropy stack
+from :mod:`.zstdentropy` — Huffman literals (Raw / RLE / Compressed /
+Treeless, 1- and 4-stream, direct or FSE-compressed weights) and
+FSE-coded sequences (Predefined / RLE / FSE_Compressed / Repeat
+modes, 3-slot repeat-offset history, cross-block window matches).
+Encoders are provided for both the Raw/RLE framing and a
+compressed-block path (Huffman literals + predefined-table
+sequences) so roundtrips construct genuine entropy-coded frames.
+Dictionary frames (Dictionary_ID != 0 content) remain the one
+:class:`UnsupportedZstd` boundary. Reserved block type 3 and every
+framing violation raise ``ValueError`` with a named reason — same
+unclean-path taxonomy as the other decoders.
 """
 
 from __future__ import annotations
+
+from . import zstdentropy as _ze
 
 _MAGIC = 0xFD2FB528
 
 
 class UnsupportedZstd(ValueError):
-    """Valid zstd, outside the implemented (entropy-free) subset
-    (ValueError subclass so the uniform fail-cleanly fuzz contract
-    covers it, same as UnsupportedJpeg)."""
+    """Valid zstd, outside the implemented subset (ValueError subclass
+    so the uniform fail-cleanly fuzz contract covers it, same as
+    UnsupportedJpeg). Since the r9 entropy stack landed this is only
+    dictionary-compressed frames."""
 
 
 def encode_zstd_raw(data: bytes, block_size: int = 64) -> bytes:
@@ -51,6 +57,198 @@ def encode_zstd_raw(data: bytes, block_size: int = 64) -> bytes:
         header = last | (btype << 1) | (len(chunk) << 3)
         out += header.to_bytes(3, "little")
         out += chunk[:1] if rle else chunk
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Compressed_Block: literals section + sequences section (§4.2)
+# ---------------------------------------------------------------------------
+
+
+def _parse_literals(data: bytes, fstate: dict) -> tuple[bytes, int, str]:
+    """Parse a Literals_Section (§4.2.1). Returns (literals, bytes
+    consumed, type name). Updates ``fstate['huf']`` for Treeless reuse."""
+    if not data:
+        raise ValueError("zstd: empty literals section")
+    b0 = data[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):                          # Raw / RLE
+        if sf in (0, 2):
+            regen, hdr = b0 >> 3, 1
+        elif sf == 1:
+            regen, hdr = (b0 >> 4) | (data[1] << 4), 2
+        else:
+            regen = (b0 >> 4) | (data[1] << 4) | (data[2] << 12)
+            hdr = 3
+        if ltype == 0:
+            if hdr + regen > len(data):
+                raise ValueError("zstd: truncated raw literals")
+            return data[hdr:hdr + regen], hdr + regen, "raw"
+        if hdr + 1 > len(data):
+            raise ValueError("zstd: truncated RLE literals")
+        return data[hdr:hdr + 1] * regen, hdr + 1, "rle"
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        v = int.from_bytes(data[:3], "little")
+        regen, csize, hdr, nstreams = (v >> 4) & 0x3FF, (v >> 14) & 0x3FF, 3, 1
+    elif sf == 1:
+        v = int.from_bytes(data[:3], "little")
+        regen, csize, hdr, nstreams = (v >> 4) & 0x3FF, (v >> 14) & 0x3FF, 3, 4
+    elif sf == 2:
+        v = int.from_bytes(data[:4], "little")
+        regen, csize, hdr, nstreams = (v >> 4) & 0x3FFF, (v >> 18) & 0x3FFF, 4, 4
+    else:
+        v = int.from_bytes(data[:5], "little")
+        regen, csize, hdr, nstreams = (v >> 4) & 0x3FFFF, (v >> 22) & 0x3FFFF, 5, 4
+    blob = data[hdr:hdr + csize]
+    if len(blob) != csize:
+        raise ValueError("zstd: truncated compressed literals")
+    if ltype == 2:
+        weights, tree_n = _ze.huf_read_weights(blob)
+        fstate["huf"] = _ze.huf_build_dtable(weights)
+    else:
+        if fstate.get("huf") is None:
+            raise ValueError("zstd: treeless literals without a table")
+        tree_n = 0
+    dtable, max_bits = fstate["huf"]
+    if nstreams == 1:
+        lits = _ze.huf_decode_stream(blob[tree_n:], dtable, max_bits, regen)
+    else:
+        if tree_n + 6 > csize:
+            raise ValueError("zstd: truncated literals jump table")
+        s1 = int.from_bytes(blob[tree_n:tree_n + 2], "little")
+        s2 = int.from_bytes(blob[tree_n + 2:tree_n + 4], "little")
+        s3 = int.from_bytes(blob[tree_n + 4:tree_n + 6], "little")
+        s4 = csize - tree_n - 6 - s1 - s2 - s3
+        if s4 <= 0:
+            raise ValueError("zstd: bad literals stream sizes")
+        r123 = (regen + 3) // 4
+        r4 = regen - 3 * r123
+        if r4 < 0:
+            raise ValueError("zstd: bad 4-stream regenerated size")
+        p = tree_n + 6
+        parts = []
+        for sz, rg in ((s1, r123), (s2, r123), (s3, r123), (s4, r4)):
+            parts.append(_ze.huf_decode_stream(blob[p:p + sz], dtable,
+                                               max_bits, rg))
+            p += sz
+        lits = b"".join(parts)
+    return lits, hdr + csize, "compressed" if ltype == 2 else "treeless"
+
+
+def _decode_compressed_block(data: bytes, window: bytearray,
+                             fstate: dict) -> dict:
+    lits, consumed, lit_type = _parse_literals(data, fstate)
+    seqs = _ze.decode_sequences(data[consumed:], fstate["seq"])
+    content, fstate["reps"] = _ze.execute_sequences(
+        lits, seqs, window, fstate["reps"])
+    return {"lit_type": lit_type, "n_seq": len(seqs),
+            "lit_len": len(lits),
+            "match_len": sum(ml for _, _, ml in seqs)}
+
+
+def _build_literals_section(lits: bytes) -> bytes:
+    """Encode a literals section: RLE for a single repeated byte,
+    Huffman-compressed when it helps (direct or FSE weights, 1 or 4
+    streams), Raw otherwise — every choice deterministic in the data."""
+    regen = len(lits)
+    distinct = set(lits)
+
+    def raw() -> bytes:
+        if regen < 32:
+            return bytes([0 | (regen << 3)]) + lits
+        if regen < 4096:
+            v = 0 | (1 << 2) | (regen << 4)
+            return v.to_bytes(2, "little") + lits
+        v = 0 | (3 << 2) | (regen << 4)
+        return v.to_bytes(3, "little") + lits
+
+    if regen == 0:
+        return raw()
+    if len(distinct) == 1:
+        if regen < 32:
+            return bytes([1 | (regen << 3), lits[0]])
+        if regen < 4096:
+            v = 1 | (1 << 2) | (regen << 4)
+            return v.to_bytes(2, "little") + bytes([lits[0]])
+        v = 1 | (3 << 2) | (regen << 4)
+        return v.to_bytes(3, "little") + bytes([lits[0]])
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    try:
+        weights = _ze.huf_weights_from_lengths(_ze.huf_lengths(freqs))
+        tree = _ze.huf_write_weights(weights)
+        ctable, max_bits = _ze.huf_build_ctable(weights)
+    except ValueError:
+        return raw()
+    if regen < 256:
+        stream = _ze.huf_encode_stream(lits, ctable)
+        csize = len(tree) + len(stream)
+        if csize >= regen or csize > 0x3FF or regen > 0x3FF:
+            return raw()
+        v = 2 | (0 << 2) | (regen << 4) | (csize << 14)
+        return v.to_bytes(3, "little") + tree + stream
+    r123 = (regen + 3) // 4
+    parts = [lits[0:r123], lits[r123:2 * r123],
+             lits[2 * r123:3 * r123], lits[3 * r123:]]
+    streams = [_ze.huf_encode_stream(p, ctable) for p in parts]
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return raw()
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    csize = len(tree) + 6 + sum(len(s) for s in streams)
+    if csize >= regen:
+        return raw()
+    if regen <= 0x3FF and csize <= 0x3FF:
+        v = 2 | (1 << 2) | (regen << 4) | (csize << 14)
+        hdr = v.to_bytes(3, "little")
+    elif regen <= 0x3FFF and csize <= 0x3FFF:
+        v = 2 | (2 << 2) | (regen << 4) | (csize << 18)
+        hdr = v.to_bytes(4, "little")
+    elif regen <= 0x3FFFF and csize <= 0x3FFFF:
+        v = 2 | (3 << 2) | (regen << 4) | (csize << 22)
+        hdr = v.to_bytes(5, "little")
+    else:
+        return raw()
+    return hdr + tree + jump + b"".join(streams)
+
+
+def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]],
+                           ) -> bytes:
+    """One zstd frame of Compressed_Blocks. Each block is
+    ``(literals, sequences)`` with sequences as (literals_length,
+    RAW match offset, match_length >= 3) — offsets are converted to
+    offset_values against the live 3-slot repeat history exactly as a
+    real encoder would (so repeat codes are exercised). Single-segment
+    frame, 4-byte FCS, no checksum — same framing as
+    :func:`encode_zstd_raw`."""
+    reps = [1, 4, 8]
+    content_len = 0
+    payloads = []
+    enc_seq_state = _ze._SeqTables()
+    for lits, seqs in blocks:
+        lit_used = sum(s[0] for s in seqs)
+        if lit_used > len(lits):
+            raise ValueError("zstd: plan literals overrun")
+        content_len += len(lits) + sum(s[2] for s in seqs)
+        triples = []
+        for ll, off, ml in seqs:
+            ov = _ze.offset_value_for(off, ll, reps)
+            _, reps = _ze.apply_offset_history(ov, ll, reps)
+            triples.append((ll, ov, ml))
+        body = _build_literals_section(lits) \
+            + _ze.encode_sequences(triples, enc_seq_state)
+        payloads.append(body)
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    out.append((2 << 6) | (1 << 5))
+    out += content_len.to_bytes(4, "little")
+    for i, body in enumerate(payloads):
+        last = 1 if i == len(payloads) - 1 else 0
+        if len(body) >= 1 << 21:
+            raise ValueError("zstd: block too large")
+        out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+        out += body
     return bytes(out)
 
 
@@ -79,6 +277,10 @@ def decode_zstd_frame(payload: bytes) -> dict:
         window_log = 10 + (wd >> 3)  # exponent part; mantissa adds /8ths
         pos += 1
     if did_size:
+        if int.from_bytes(payload[pos:pos + did_size], "little"):
+            raise UnsupportedZstd(
+                "dictionary-compressed frames need the dictionary "
+                "registry (libzstd + dict store slot behind this seam)")
         pos += did_size
     fcs_size = (0, 2, 4, 8)[fcs_flag]
     if fcs_flag == 0 and single_segment:
@@ -93,7 +295,9 @@ def decode_zstd_frame(payload: bytes) -> dict:
         pos += fcs_size
 
     content = bytearray()
-    n_raw = n_rle = 0
+    n_raw = n_rle = n_compressed = 0
+    n_seq = lit_len = match_len = 0
+    fstate = {"huf": None, "seq": _ze._SeqTables(), "reps": [1, 4, 8]}
     while True:
         if pos + 3 > len(payload):
             raise ValueError("zstd: truncated block header")
@@ -113,9 +317,15 @@ def decode_zstd_frame(payload: bytes) -> dict:
             pos += 1
             n_rle += 1
         elif btype == 2:
-            raise UnsupportedZstd(
-                "Compressed_Block needs the FSE/Huffman entropy stack "
-                "(libzstd slots behind this seam)")
+            if pos + bsize > len(payload):
+                raise ValueError("zstd: truncated compressed block")
+            info = _decode_compressed_block(
+                payload[pos:pos + bsize], content, fstate)
+            pos += bsize
+            n_compressed += 1
+            n_seq += info["n_seq"]
+            lit_len += info["lit_len"]
+            match_len += info["match_len"]
         else:
             raise ValueError("zstd: reserved block type")
         if last:
@@ -127,7 +337,8 @@ def decode_zstd_frame(payload: bytes) -> dict:
     if fcs is not None and len(content) != fcs:
         raise ValueError("zstd: content size mismatch vs FCS")
     return {"content": bytes(content), "content_len": len(content),
-            "n_raw": n_raw, "n_rle": n_rle,
-            "n_blocks": n_raw + n_rle, "fcs": fcs,
+            "n_raw": n_raw, "n_rle": n_rle, "n_compressed": n_compressed,
+            "n_blocks": n_raw + n_rle + n_compressed, "fcs": fcs,
+            "n_seq": n_seq, "lit_len": lit_len, "match_len": match_len,
             "single_segment": single_segment, "window_log": window_log,
             "frame_bytes": pos}

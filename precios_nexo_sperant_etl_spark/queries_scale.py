@@ -13981,8 +13981,99 @@ GROUP BY b.doc_id ORDER BY b.doc_id
     doc="RFC 8878 zstd frame roundtrip: real magic/FHD/block-header "
         "grammar with Raw + RLE blocks decoded and FCS verified; the "
         "oracle replays the chunk census arithmetically and pins the "
-        "reassembled content md5. Compressed_Block is the documented "
-        "entropy-library boundary.",
+        "reassembled content md5. Compressed_Block decode ships too — "
+        "zstd_compressed_roundtrip exercises it.",
+)
+
+
+# ---------------------------------------------------------------------------
+# zstd COMPRESSED_BLOCK roundtrip — the entropy stack (VERDICT r8 item
+# 4): real-world .zst payloads are ~all Compressed_Blocks, so the walk
+# above is a probe until FSE + Huffman decode. operators/zstdentropy.py
+# implements the full RFC 8878 §4.1-4.2 stack from scratch (NCount
+# table descriptions, reversed bitstreams, Huffman literals with direct
+# AND FSE-compressed weights over 1 or 4 streams, predefined-table
+# sequences, 3-slot repeat-offset history) with hypothesis roundtrips
+# in tests/test_zstd_entropy.py. The fixture frames each doc's text as
+# ONE compressed block: Huffman-coded literals = utf8(text) + one 'z',
+# then a single sequence (LL = literals, offset 1 — a REPEAT-OFFSET
+# code, rep0's initial value — match length 199) whose overlapped copy
+# regenerates a 200-byte z-run. The oracle pins every content-derived
+# field (length, md5, section census) in plain SQL, so a stale bit
+# anywhere in the Huffman/FSE/sequence pipeline breaks the md5 match.
+# Scale: two Arrow crossings, frames decode independently, one sort.
+# Registered BEHIND the driver's 50-slot window by design (r9 drains
+# the stamp backlog; this heads the r10 queue).
+# ---------------------------------------------------------------------------
+
+def _zstd_compressed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.zstdframe import decode_zstd_frame, encode_zstd_compressed
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                lits = t.encode("utf-8") + b"z"
+                payloads.append(encode_zstd_compressed(
+                    [(lits, [(len(lits), 1, 199)])]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_zstd_frame(bytes(p))
+                rows.append({
+                    "doc_id": int(did),
+                    "content_len": r["content_len"],
+                    "n_blocks": r["n_blocks"],
+                    "n_compressed": r["n_compressed"],
+                    "n_seq": r["n_seq"],
+                    "lit_len": r["lit_len"],
+                    "match_len": r["match_len"],
+                    "fcs_ok": r["content_len"] == r["fcs"],
+                    "content_md5":
+                        hashlib.md5(r["content"]).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, content_len long,"
+                                 " n_blocks long, n_compressed long,"
+                                 " n_seq long, lit_len long,"
+                                 " match_len long, fcs_ok boolean,"
+                                 " content_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "zstd_compressed_roundtrip",
+    _zstd_compressed_roundtrip,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) + 200 AS BIGINT) AS content_len,
+       CAST(1 AS BIGINT) AS n_blocks,
+       CAST(1 AS BIGINT) AS n_compressed,
+       CAST(1 AS BIGINT) AS n_seq,
+       CAST(octet_length(encode(text)) + 1 AS BIGINT) AS lit_len,
+       CAST(199 AS BIGINT) AS match_len,
+       TRUE AS fcs_ok,
+       md5(text || repeat('z', 200)) AS content_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="RFC 8878 Compressed_Block roundtrip: Huffman literals (direct "
+        "or FSE-compressed weights, 1/4 streams) + predefined-table FSE "
+        "sequences with a repeat-offset match, encoded and decoded from "
+        "scratch; the oracle pins content length, md5 and the section "
+        "census, so the md5 match verifies the whole entropy stack.",
 )
 
 

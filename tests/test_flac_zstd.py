@@ -132,11 +132,15 @@ class TestZstd:
         with pytest.raises(ValueError, match="content size"):
             decode_zstd_frame(bytes(p))
 
-    def test_compressed_block_is_unsupported(self):
+    def test_compressed_block_decodes_since_r9(self):
+        # Raw bytes reinterpreted as a Compressed_Block are CORRUPT
+        # (ValueError), not unsupported — the r9 entropy stack decodes
+        # real compressed blocks (tests/test_zstd_entropy.py); only
+        # dictionary frames remain the UnsupportedZstd boundary.
         p = bytearray(encode_zstd_raw(b"payload bytes here", 64))
         hdr = int.from_bytes(p[9:12], "little")
         p[9:12] = ((hdr & ~0b110) | (2 << 1)).to_bytes(3, "little")
-        with pytest.raises(UnsupportedZstd):
+        with pytest.raises(ValueError):
             decode_zstd_frame(bytes(p))
         assert issubclass(UnsupportedZstd, ValueError)
 

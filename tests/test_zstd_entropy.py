@@ -1,0 +1,324 @@
+"""RFC 8878 entropy stack (FSE + Huffman) semantics: NCount
+descriptions, table expansion, Huffman weights (direct and
+FSE-compressed), literal streams (1 and 4), predefined-table
+sequences, repeat-offset history, and full compressed-frame
+roundtrips against an independent reference executor."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from precios_nexo_sperant_etl_spark.operators import zstdentropy as ze
+from precios_nexo_sperant_etl_spark.operators.zstdframe import (
+    UnsupportedZstd, decode_zstd_frame, encode_zstd_compressed,
+    encode_zstd_raw)
+
+_SETTINGS = dict(max_examples=60, deadline=None)
+
+
+def ref_execute(blocks):
+    """Independent (loop-only) reference for sequence execution."""
+    out = bytearray()
+    for lits, seqs in blocks:
+        p = 0
+        for ll, off, ml in seqs:
+            out += lits[p:p + ll]
+            p += ll
+            for _ in range(ml):
+                out.append(out[-off])
+        out += lits[p:]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# bit IO
+# ---------------------------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 16)),
+                min_size=0, max_size=40))
+def test_rev_bitstream_roundtrip(fields):
+    fields = [(v & ((1 << n) - 1) if n else 0, n) for v, n in fields]
+    w = ze.RevBitWriter()
+    for v, n in reversed(fields):
+        w.append(v, n)
+    r = ze.RevBitReader(w.finish())
+    for v, n in fields:
+        assert r.read(n) == v
+    assert r.pos == 0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(1, 8)),
+                min_size=1, max_size=40))
+def test_fwd_bitstream_roundtrip(fields):
+    fields = [(v & ((1 << n) - 1), n) for v, n in fields]
+    w = ze.FwdBitWriter()
+    for v, n in fields:
+        w.append(v, n)
+    r = ze.FwdBitReader(w.finish())
+    for v, n in fields:
+        assert r.read(n) == v
+
+
+# ---------------------------------------------------------------------------
+# FSE: NCount + table
+# ---------------------------------------------------------------------------
+
+def _random_ncount(draw, acc):
+    """A valid normalized-count vector summing (with -1 as 1) to 2^acc."""
+    size = 1 << acc
+    counts = []
+    remaining = size
+    while remaining > 0:
+        c = draw(st.sampled_from(
+            [-1, 0, 1, 1, 2, 3, remaining] if remaining > 3
+            else [-1, 0, 1, remaining]))
+        if c == -1 or c == 0:
+            counts.append(c)
+            remaining -= 1 if c == -1 else 0
+        else:
+            c = min(c, remaining)
+            counts.append(c)
+            remaining -= c
+    # at least 2 live symbols so the table is a real code
+    if sum(1 for c in counts if c != 0) < 2:
+        counts = [size - 1, 1]
+    while counts and counts[-1] == 0:          # trailing zeros are implicit
+        counts.pop()
+    return counts
+
+
+@settings(**_SETTINGS)
+@given(st.data(), st.integers(5, 9))
+def test_ncount_roundtrip(data, acc):
+    counts = _random_ncount(data.draw, acc)
+    blob = ze.fse_write_ncount(counts, acc)
+    got, got_acc, consumed = ze.fse_read_ncount(blob, 9)
+    assert got_acc == acc and consumed == len(blob)
+    assert got == counts
+
+
+@settings(**_SETTINGS)
+@given(st.data(), st.integers(5, 8))
+def test_fse_dtable_is_a_bijection(data, acc):
+    counts = _random_ncount(data.draw, acc)
+    table = ze.fse_build_dtable(counts, acc)
+    size = 1 << acc
+    assert len(table) == size
+    # per symbol, the (base, base+2^nb) update ranges tile [0, size)
+    per = {}
+    for s, nb, base in table:
+        per.setdefault(s, []).append((base, base + (1 << nb)))
+    for s, ranges in per.items():
+        ranges.sort()
+        assert ranges[0][0] == 0 and ranges[-1][1] == size
+        for (a, b), (c, d) in zip(ranges, ranges[1:]):
+            assert b == c, f"symbol {s} ranges not contiguous"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 52), min_size=1, max_size=200))
+def test_fse_predefined_chain_roundtrip(symbols):
+    """Encode a symbol chain against the predefined ML table and walk
+    it back with the decode-table update rule."""
+    dt = ze.fse_build_dtable(ze.ML_DEFAULT, ze.ML_DEFAULT_ACC)
+    enc = ze.FseEncoder(dt, ze.ML_DEFAULT_ACC)
+    init, reads = enc.chain(symbols)
+    st_ = init
+    for i, sym in enumerate(symbols):
+        got, nb, base = dt[st_]
+        assert got == sym
+        if i < len(symbols) - 1:
+            bits, nb_r = reads[i]
+            assert nb_r == nb
+            st_ = base + bits
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(st.dictionaries(st.integers(0, 255), st.integers(1, 10**6),
+                       min_size=2, max_size=80))
+def test_huf_lengths_kraft_tight(freqs):
+    lengths = ze.huf_lengths(freqs)
+    assert max(lengths.values()) <= 11
+    assert sum(2 ** -l for l in lengths.values()) == 1.0
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=2, max_size=1500))
+def test_huf_stream_roundtrip(data):
+    if len(set(data)) < 2:
+        data = data + bytes([data[0] ^ 0xFF])
+    freqs = {}
+    for b in data:
+        freqs[b] = freqs.get(b, 0) + 1
+    weights = ze.huf_weights_from_lengths(ze.huf_lengths(freqs))
+    ct, mb = ze.huf_build_ctable(weights)
+    dt, mb2 = ze.huf_build_dtable(weights)
+    assert mb == mb2
+    stream = ze.huf_encode_stream(data, ct)
+    assert ze.huf_decode_stream(stream, dt, mb, len(data)) == data
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=2, max_size=400))
+def test_huf_weights_roundtrip_direct_and_fse(data):
+    if len(set(data)) < 2:
+        data = data + bytes([data[0] ^ 0xFF])
+    freqs = {}
+    for b in data:
+        freqs[b] = freqs.get(b, 0) + 1
+    weights = ze.huf_weights_from_lengths(ze.huf_lengths(freqs))
+    blob = ze.huf_write_weights(weights)
+    got, consumed = ze.huf_read_weights(blob)
+    assert consumed == len(blob)
+    assert {s: w for s, w in got.items() if w > 0} == weights
+
+
+def test_huf_weights_fse_path_is_taken_for_high_symbols():
+    # last present symbol > 127 forces the FSE-compressed representation
+    weights = {10: 1, 200: 2, 201: 2, 202: 2, 203: 1, 204: 2, 205: 3}
+    total = sum(1 << (w - 1) for w in weights.values())
+    # pad to a power of two with one more symbol
+    nxt = 1 << total.bit_length()
+    weights[206] = (nxt - total).bit_length()
+    blob = ze.huf_write_weights(weights)
+    assert blob[0] < 128                      # FSE header byte = size
+    got, _ = ze.huf_read_weights(blob)
+    assert {s: w for s, w in got.items() if w > 0} == weights
+
+
+# ---------------------------------------------------------------------------
+# sequences: code tables + offset history
+# ---------------------------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 100000))
+def test_ll_code_inverse(v):
+    code, nb, extra = ze.ll_code(v)
+    assert ze.ll_value(code, extra) == v
+    assert ze.ll_bits(code) == nb
+
+
+@settings(**_SETTINGS)
+@given(st.integers(3, 100000))
+def test_ml_code_inverse(v):
+    code, nb, extra = ze.ml_code(v)
+    assert ze.ml_value(code, extra) == v
+    assert ze.ml_bits(code) == nb
+
+
+def test_predefined_distributions_fill_their_tables():
+    for counts, acc in ((ze.LL_DEFAULT, 6), (ze.OF_DEFAULT, 5),
+                        (ze.ML_DEFAULT, 6)):
+        assert sum(max(c, 1) if c != 0 else 0 for c in counts) == 1 << acc
+        ze.fse_build_dtable(counts, acc)      # must not raise
+
+
+def test_offset_history_rules():
+    reps = [1, 4, 8]
+    # literal offset > 3 pushes history
+    off, r2 = ze.apply_offset_history(10, 5, reps)
+    assert off == 7 and r2 == [7, 1, 4]
+    # ov=1 with ll>0 -> rep0, history unchanged
+    off, r3 = ze.apply_offset_history(1, 5, r2)
+    assert off == 7 and r3 == [7, 1, 4]
+    # ov=2 -> rep1 swaps to front
+    off, r4 = ze.apply_offset_history(2, 5, r3)
+    assert off == 1 and r4 == [1, 7, 4]
+    # ll == 0 shifts: ov=1 means rep1
+    off, r5 = ze.apply_offset_history(1, 0, r4)
+    assert off == 7 and r5 == [7, 1, 4]
+    # ll == 0, ov=3 means rep0 - 1
+    off, r6 = ze.apply_offset_history(3, 0, r5)
+    assert off == 6 and r6 == [6, 7, 1]
+
+
+# ---------------------------------------------------------------------------
+# full frames
+# ---------------------------------------------------------------------------
+
+@st.composite
+def block_plans(draw):
+    n_blocks = draw(st.integers(1, 3))
+    plans = []
+    produced = 0
+    for _ in range(n_blocks):
+        lits = draw(st.binary(min_size=0, max_size=700))
+        seqs = []
+        lit_budget = len(lits)
+        pos_in_block = 0
+        for _ in range(draw(st.integers(0, 4))):
+            ll = draw(st.integers(0, lit_budget))
+            avail = produced + pos_in_block + ll
+            if avail < 1:
+                continue
+            off = draw(st.integers(1, min(avail, 1 << 20)))
+            ml = draw(st.integers(3, 80))
+            seqs.append((ll, off, ml))
+            lit_budget -= ll
+            pos_in_block += ll + ml
+        plans.append((lits, seqs))
+        produced += len(lits) + sum(s[2] for s in seqs)
+    return plans
+
+
+@settings(max_examples=80, deadline=None)
+@given(block_plans())
+def test_compressed_frame_roundtrip(plans):
+    frame = encode_zstd_compressed(plans)
+    d = decode_zstd_frame(frame)
+    assert d["content"] == ref_execute(plans)
+    assert d["content_len"] == d["fcs"]
+    assert d["n_compressed"] == len(plans) == d["n_blocks"]
+    assert d["n_seq"] == sum(len(s) for _, s in plans)
+    assert d["lit_len"] == sum(len(l) for l, _ in plans)
+    assert d["match_len"] == sum(ml for _, s in plans for _, _, ml in s)
+
+
+@settings(**_SETTINGS)
+@given(st.text(min_size=1, max_size=800))
+def test_structured_text_frame(text):
+    """The registered-query shape: literals = utf8(text) + one 'z',
+    one repeat-offset sequence extending the run to 200 z's."""
+    lits = text.encode("utf-8") + b"z"
+    plans = [(lits, [(len(lits), 1, 199)])]
+    d = decode_zstd_frame(encode_zstd_compressed(plans))
+    assert d["content"] == text.encode("utf-8") + b"z" * 200
+    assert d["n_seq"] == 1 and d["match_len"] == 199
+    assert d["lit_len"] == len(lits)
+
+
+def test_mixed_raw_and_compressed_frames_coexist():
+    data = b"plain raw frame content" * 3
+    d = decode_zstd_frame(encode_zstd_raw(data, 64))
+    assert d["content"] == data and d["n_compressed"] == 0
+
+
+def test_dictionary_frame_is_unsupported_not_corrupt():
+    frame = bytearray(encode_zstd_raw(b"x" * 10, 64))
+    frame[4] |= 0x01                          # DID field = 1 byte
+    frame.insert(5, 0x07)                     # non-zero dictionary id
+    with pytest.raises(UnsupportedZstd):
+        decode_zstd_frame(bytes(frame))
+
+
+def test_corrupt_compressed_block_raises_named_valueerror():
+    lits = b"some literals to compress, repeated words words" + b"z"
+    plans = [(lits, [(len(lits), 1, 30)])]
+    frame = bytearray(encode_zstd_compressed(plans))
+    frame[-1] = 0        # kill the sequence bitstream's sentinel byte
+    with pytest.raises(ValueError):
+        decode_zstd_frame(bytes(frame))
+
+
+def test_reserved_sequence_mode_bits_raise():
+    st_ = ze._SeqTables()
+    with pytest.raises(ValueError, match="reserved"):
+        ze.decode_sequences(bytes([1, 0b00000001, 0x01]), st_)
