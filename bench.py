@@ -206,6 +206,8 @@ HEADLINE = [
     "elo_ratings",              # pooled online-Elo state machine
     "probe_auc_rank",           # exact Mann-Whitney AUC in integers
     "winnowing_fingerprints",   # MOSS rightmost-min window selection
+    # appended r9:
+    "zstd_compressed_roundtrip",  # FSE+Huffman Compressed_Block decode
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

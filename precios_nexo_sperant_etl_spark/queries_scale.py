@@ -2,14179 +2,31 @@
 dedup, similarity search, text analysis, multimodal plumbing, event-time
 windows — each with a DuckDB oracle built on the same portable hash folds.
 
-The DuckDB snippets below mirror the Spark expressions *structurally*
-(same fold order, same modulus, same slicing) so double/hash results are
+The DuckDB snippets mirror the Spark expressions *structurally* (same
+fold order, same modulus, same slicing) so double/hash results are
 bit-identical — see functions/exact.py for why order matters.
+
+This module is the ORDER-PRESERVING LOADER for the family: the
+implementation lives in queries_scale_part1..4 (split in r9 when the
+single file passed 14k lines — VERDICT r8 item 6), and importing the
+parts in this exact sequence reproduces the original registration
+order byte-for-byte (pinned by the golden-order test). Shared helpers
+are in queries_scale_common.py.
 """
 
-from __future__ import annotations
-
-from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from .operators.dedup_fuzzy import (exact_dedup, exact_dedup_survivors,
-                                    minhash_dedup_pairs, minhash_signatures,
-                                    ngram_jaccard_pairs, simhash,
-                                    simhash_near_pairs)
-from .operators.multimodal import attach_binary, extract_features
-from .operators.similarity import (cosine_topk, duck_lsh_bucket_expr,
-                                   embedding_neardup_lsh, ivf_cosine_topk)
-from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
-                             lang_id, paragraph_dedup, quality_score, redact_pii,
-                             repetition_stats, text_stats, token_counts,
-                             top_terms)
-from .operators.windows import sessionize, sliding_agg, tumbling_agg
-from .oracle_util import duck_bround
-from .registry import register
-from .sources.tables import load_tables
-
-
-def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
-    return load_tables(spark, sf)[name]
-
-
-# ---- portable SQL snippets (DuckDB side of the shared hash folds) ---------
-
-def _duck_char_hash(s: str) -> str:
-    """DuckDB twin of text.char_hash_expr: identical left fold."""
-    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range(1, length({s}) + 1), "
-            f"i -> CAST(ascii(substr({s}, i, 1)) AS BIGINT))), "
-            f"(a, c) -> (a * 31 + c) % {HASH_P})")
-
-
-def _duck_md5_hash(s: str) -> str:
-    """DuckDB twin of text.md5_hash: 48-bit int from the md5 hex prefix."""
-    return f"('0x' || substr(md5({s}), 1, 12))::BIGINT"
-
-
-_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
-
-_DUCK_SHINGLES = (
-    "CASE WHEN len(tk) >= 3 THEN "
-    "list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) "
-    "ELSE CAST([] AS VARCHAR[]) END"
-)
-
-
-def _duck_dot(a: str, b: str) -> str:
-    """DuckDB twin of functions.exact.ddot: sequential double fold."""
-    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(range(1, len({a}) + 1), "
-            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-            f"(x, y) -> x + y)")
-
-
-_DUCK_HS = f"""
-toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
-hs AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs)
-"""
-
-# ---------------------------------------------------------------------------
-# Exact dedup (hash-groupBy)
-# ---------------------------------------------------------------------------
-
-register(
-    "dedup_exact",
-    lambda spark, sf: exact_dedup(_t(spark, sf, "documents")),
-    """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
-       min(doc_id) AS keeper_id, COUNT(*) AS n_copies
-FROM documents GROUP BY 1
-""",
-    doc="Exact dedup: md5 of canonicalized text, min-id survivor per group.",
-)
-
-register(
-    "dedup_exact_survivors",
-    lambda spark, sf: exact_dedup_survivors(_t(spark, sf, "documents")),
-    """
-SELECT doc_id, text, lang, source, n_chars FROM (
-  SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-      ORDER BY doc_id ASC) AS rn
-  FROM documents) t WHERE rn = 1
-""",
-    doc="The deduplicated corpus: full surviving rows (min-id per text hash).",
-)
-
-# ---------------------------------------------------------------------------
-# MinHash signatures + LSH near-dup pipeline
-# ---------------------------------------------------------------------------
-
-def _sig_sql(n_perms: int = 8) -> str:
-    from .operators.dedup_fuzzy import minhash_params
-    return ", ".join(
-        f"min(({a} * h + {b}) % {HASH_P}) AS mh_{i}"
-        for i, (a, b) in enumerate(minhash_params(n_perms)))
-
-
-def _band_fold(cols: list[str]) -> str:
-    expr = "CAST(0 AS BIGINT)"
-    for c in cols:
-        expr = f"(({expr}) * 131 + {c}) % {HASH_P}"
-    return expr
-
-
-def _bands_sql(n_perms: int = 8, n_bands: int = 2, src: str = "sig") -> str:
-    npb = n_perms // n_bands
-    return " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"{_band_fold([f'mh_{b * npb + j}' for j in range(npb)])} AS bh "
-        f"FROM {src}"
-        for b in range(n_bands))
-
-
-_SIG_SQL = _sig_sql(8)
-_BANDS_SQL = _bands_sql(8, 2)
-
-register(
-    "minhash_signatures",
-    lambda spark, sf: minhash_signatures(_t(spark, sf, "documents")),
-    f"""
-WITH {_DUCK_HS}
-SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id
-""",
-    doc="8-permutation MinHash signatures over 3-token shingles.",
-)
-
-register(
-    "minhash_dedup_pairs",
-    lambda spark, sf: minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.2),
-    f"""
-WITH {_DUCK_HS},
-sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
-bands AS ({_BANDS_SQL}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM pairs p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
-ORDER BY doc_a, doc_b
-""",
-    doc="MinHash+LSH: shingle → sign → band-bucket join → Jaccard verify.",
-)
-
-register(
-    "minhash_dedup_pairs_prod",
-    lambda spark, sf: minhash_dedup_pairs(_t(spark, sf, "documents"),
-                                          threshold=0.2, n_perms=128,
-                                          n_bands=16),
-    f"""
-WITH {_DUCK_HS},
-sig AS (SELECT doc_id, {_sig_sql(128)} FROM hs GROUP BY doc_id),
-bands AS ({_bands_sql(128, 16)}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM pairs p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
-ORDER BY doc_a, doc_b
-""",
-    doc="Production-shape MinHash+LSH (128 perms, 16 bands of 8): the real "
-        "near-dup S-curve; identical plan to the toy config, wider agg row.",
-)
-
-
-# Degenerate-bucket guard exercised as a registered query: buckets above
-# the cap are dropped before pair expansion (boilerplate-dominated
-# corpora otherwise explode quadratically inside one bucket). Cap chosen
-# at 2 so it provably engages on this corpus (the organic distribution
-# has size-3 buckets); the oracle mirrors the cap with a HAVING filter.
-register(
-    "minhash_dedup_pairs_capped",
-    lambda spark, sf: minhash_dedup_pairs(_t(spark, sf, "documents"),
-                                          threshold=0.2, max_bucket_size=2),
-    f"""
-WITH {_DUCK_HS},
-sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
-bands AS ({_BANDS_SQL}),
-ok AS (SELECT band, bh FROM bands GROUP BY band, bh
-       HAVING COUNT(*) BETWEEN 2 AND 2),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN ok ON a.band = ok.band AND a.bh = ok.bh
-  JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM pairs p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
-ORDER BY doc_a, doc_b
-""",
-    doc="MinHash+LSH with the max_bucket_size production guard engaged: "
-        "degenerate buckets are dropped before bucket-local pair "
-        "expansion; oracle mirrors the cap via HAVING.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Cross-corpus near-dup JOIN: the incremental-ingest primitive — dedup a
-# new batch against the existing corpus (or decontaminate against a
-# large curated set) with BOTH sides big: banded equi-join between the
-# two sides' bucket frames, never a broadcast. Fixture split: even
-# doc_ids are the "existing" corpus, odd the "incoming" batch.
-# ---------------------------------------------------------------------------
-
-def _cross_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import minhash_join
-    docs = _t(spark, sf, "documents")
-    return minhash_join(docs.filter(F.col("doc_id") % 2 == 0),
-                        docs.filter(F.col("doc_id") % 2 == 1),
-                        threshold=0.2)
-
-
-register(
-    "cross_corpus_neardup",
-    _cross_corpus,
-    f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
-hs AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs),
-hl AS (SELECT * FROM hs WHERE doc_id % 2 = 0),
-hr AS (SELECT * FROM hs WHERE doc_id % 2 = 1),
-sl AS (SELECT doc_id, {_SIG_SQL} FROM hl GROUP BY doc_id),
-sr AS (SELECT doc_id, {_SIG_SQL} FROM hr GROUP BY doc_id),
-bl AS ({_bands_sql(8, 2, src="sl")}),
-br AS ({_bands_sql(8, 2, src="sr")}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bl a JOIN br b ON a.band = b.band AND a.bh = b.bh),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM pairs p
-  JOIN hl ha ON ha.doc_id = p.doc_a
-  JOIN hr hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2),
-sza AS (SELECT doc_id, COUNT(*) AS n FROM hl GROUP BY doc_id),
-szb AS (SELECT doc_id, COUNT(*) AS n FROM hr GROUP BY doc_id)
-SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
-FROM common c
-JOIN sza sa ON sa.doc_id = c.doc_a
-JOIN szb sb ON sb.doc_id = c.doc_b
-WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
-ORDER BY doc_a, doc_b
-""",
-    doc="Cross-corpus near-dup join (incremental ingest / decontam with "
-        "two big sides): banded equi-join between per-side bucket "
-        "frames, exact cross-side Jaccard verify.",
-)
-
-
-# ---------------------------------------------------------------------------
-# LM-based quality signal (CCNet-style filtering) without the log:
-# per-doc mean bigram probability under an add-1 bigram model. Every
-# probability is one integer-count IEEE division and the per-doc mean is
-# a position-ordered fold, so the value is bit-identical cross-engine.
-# ---------------------------------------------------------------------------
-
-def _lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import bigram_lm_scores
-    return bigram_lm_scores(_t(spark, sf, "documents"))
-
-
-register(
-    "lm_bigram_quality",
-    _lm_bigram,
-    f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-pos AS (SELECT doc_id, unnest(tk) AS w1,
-               generate_subscripts(tk, 1) AS pos FROM toks),
-big AS (SELECT doc_id, pos, w1,
-               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        FROM pos),
-bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
-c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
-c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
-v AS (SELECT COUNT(DISTINCT w1) AS v FROM pos),
-p AS (SELECT bg.doc_id, bg.pos,
-             CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v) AS p
-      FROM bg
-      JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
-      JOIN c1 ON c1.w1 = bg.w1
-      CROSS JOIN v)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                list(p ORDER BY pos)),
-                   (a, b) -> a + b) / COUNT(*) AS mean_bigram_p
-FROM p GROUP BY doc_id ORDER BY doc_id
-""",
-    doc="Bigram-LM quality signal (CCNet-style): add-1 smoothed mean "
-        "bigram probability per doc — integer-count divisions and a "
-        "position-ordered fold keep it exact cross-engine.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Near-dup clustering: LSH pairs → connected components → one cluster id
-# per document (the step between pair generation and "keep one per
-# cluster" in a real dedup run). Spark side is iterative hash-min label
-# propagation (operators/graph.py); the oracle expresses the same closure
-# with a recursive CTE — a full value-checked oracle for an iterative
-# algorithm.
-# ---------------------------------------------------------------------------
-
-def _neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import cluster_assignment
-    docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.2)
-    return cluster_assignment(docs, pairs).orderBy("doc_id")
-
-
-# Shared closure: LSH candidates → Jaccard verify → recursive transitive
-# closure → cluster assignment over an arbitrary corpus CTE/table (used
-# by neardup_clusters, neardup_survivors, and the composed prep
-# pipeline, which runs it over the exact-deduped corpus).
-def _neardup_assigned_from(src: str) -> str:
-    # AS MATERIALIZED: DuckDB inlines CTEs by default, which would
-    # re-derive the shingle/sign/verify chain on every recursion step of
-    # the closure (216s -> seconds on the prep pipeline oracle).
-    return f"""toks AS MATERIALIZED (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM {src}),
-shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
-hs AS MATERIALIZED (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs),
-sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
-bands AS ({_BANDS_SQL}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM cand p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2),
-verified AS (
-  SELECT c.doc_a, c.doc_b
-  FROM common c
-  JOIN sizes sa ON sa.doc_id = c.doc_a
-  JOIN sizes sb ON sb.doc_id = c.doc_b
-  WHERE c.c / (sa.n + sb.n - c.c) >= 0.2),
-edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM verified
-          UNION ALL
-          SELECT doc_b AS u, doc_a AS v FROM verified),
-reach(u, r) AS (
-  SELECT u, v FROM edges
-  UNION
-  SELECT reach.u, e.v FROM reach JOIN edges e ON reach.r = e.u),
-comp AS (SELECT u AS node, LEAST(u, MIN(r)) AS cluster_id
-         FROM reach GROUP BY u),
-assigned AS (
-  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-  FROM {src} d LEFT JOIN comp c ON c.node = d.doc_id)"""
-
-
-_NEARDUP_CLOSURE_SQL = "WITH RECURSIVE " + _neardup_assigned_from("documents")
-
-
-register(
-    "neardup_clusters",
-    _neardup_clusters,
-    f"""{_NEARDUP_CLOSURE_SQL},
-csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
-           FROM assigned GROUP BY 1)
-SELECT a.doc_id, a.cluster_id, s.cluster_size
-FROM assigned a JOIN csizes s ON s.cluster_id = a.cluster_id
-ORDER BY a.doc_id
-""",
-    doc="Near-dup clustering: MinHash+LSH verified pairs → connected "
-        "components (hash-min label propagation) → full-corpus cluster "
-        "assignment with sizes; oracle is the same closure as a "
-        "recursive CTE.",
-)
-
-
-def _cc_largestar(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import cluster_assignment
-    docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.2)
-    return cluster_assignment(docs, pairs, algo="star").orderBy("doc_id")
-
-
-register(
-    "cc_largestar_equivalence",
-    _cc_largestar,
-    f"""{_NEARDUP_CLOSURE_SQL},
-csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
-           FROM assigned GROUP BY 1)
-SELECT a.doc_id, a.cluster_id, s.cluster_size
-FROM assigned a JOIN csizes s ON s.cluster_id = a.cluster_id
-ORDER BY a.doc_id
-""",
-    doc="Large-star/small-star connected components (Kiveris et al. "
-        "2014) over the same verified near-dup graph, hash-checked "
-        "against the identical recursive-closure oracle as the "
-        "hash-min path — driver-level proof the two component gears "
-        "agree; the star gear contracts adversarial long chains in "
-        "O(log^2 n) rounds where hash-min needs diameter rounds "
-        "(property-tested).",
-)
-
-
-def _neardup_survivors(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import cluster_assignment
-    docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.2)
-    keepers = (cluster_assignment(docs, pairs)
-               .filter(F.col("doc_id") == F.col("cluster_id"))
-               .select("doc_id"))
-    return docs.join(keepers, "doc_id").orderBy("doc_id")
-
-
-register(
-    "neardup_survivors",
-    _neardup_survivors,
-    f"""{_NEARDUP_CLOSURE_SQL}
-SELECT d.* FROM documents d
-JOIN assigned a ON a.doc_id = d.doc_id AND a.cluster_id = d.doc_id
-ORDER BY d.doc_id
-""",
-    doc="The near-dup-deduplicated corpus: one representative (minimum "
-        "id) per cluster, full rows — the action the clustering exists "
-        "for. Keeper join is broadcast-sized (cluster table is tiny).",
-)
-
-
-def _cluster_split(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import cluster_assignment
-    from .operators.serve import hash_split
-    docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.2)
-    assigned = cluster_assignment(docs, pairs).select("doc_id", "cluster_id")
-    return (hash_split(assigned, id_col="cluster_id")
-            .select("doc_id", "cluster_id", "bucket", "split")
-            .orderBy("doc_id"))
-
-
-register(
-    "cluster_aware_split",
-    _cluster_split,
-    f"""{_NEARDUP_CLOSURE_SQL}
-SELECT doc_id, cluster_id, bucket,
-       CASE WHEN bucket < 9000 THEN 'train'
-            WHEN bucket < 9500 THEN 'val'
-            ELSE 'test' END AS split
-FROM (SELECT doc_id, cluster_id,
-             {_duck_md5_hash("CAST(cluster_id AS VARCHAR)")} % 10000
-               AS bucket
-      FROM assigned)
-ORDER BY doc_id
-""",
-    doc="Leakage-safe split: the deterministic 90/5/5 hash split keyed "
-        "on the near-dup CLUSTER id, so every member of a duplicate "
-        "cluster lands in the same split — a doc-id split can leak a "
-        "train near-dup into test, which split_leakage_screen detects "
-        "and this prevents by construction.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Domain-mix reweighting: per-source sampling weights that move the
-# corpus from its ACTUAL source mix to a TARGET mix (uniform here) —
-# the data-mixing knob a training pipeline turns (DoReMi-style domain
-# weights, applied as per-source sampling rates). Tiny agg + one-row
-# broadcast; every output is an IEEE division of integer counts.
-# ---------------------------------------------------------------------------
-
-def _source_mix(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    totals = counts.agg(F.sum("n_docs").alias("n_total"),
-                        F.count(F.lit(1)).alias("n_sources"))
-    return (counts.crossJoin(F.broadcast(totals))
-            .select("source", "n_docs",
-                    (F.col("n_docs") / F.col("n_total"))
-                    .alias("actual_frac"),
-                    (F.lit(1.0) / F.col("n_sources")).alias("target_frac"),
-                    ((F.col("n_total") / F.col("n_sources"))
-                     / F.col("n_docs")).alias("sample_weight"))
-            .orderBy("source"))
-
-
-register(
-    "source_mix_weights",
-    _source_mix,
-    """
-WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
-             COUNT(*) AS n_sources FROM c)
-SELECT source, n_docs,
-       n_docs / n_total AS actual_frac,
-       1.0 / n_sources AS target_frac,
-       (n_total / n_sources) / n_docs AS sample_weight
-FROM c CROSS JOIN t ORDER BY source
-""",
-    doc="Per-source sampling weights to hit a uniform target mix "
-        "(DoReMi-style domain reweighting): weight > 1 = upsample, "
-        "< 1 = downsample; integer-count divisions only.",
-)
-
-
-# ---------------------------------------------------------------------------
-# TF-IDF keywords + vocabulary OOV coverage
-# ---------------------------------------------------------------------------
-
-def _tfidf(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import tfidf_top_terms
-    return (tfidf_top_terms(_t(spark, sf, "documents"), k=5)
-            .orderBy("doc_id", "term"))
-
-
-register(
-    "tfidf_top_terms",
-    _tfidf,
-    f"""
-WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
-tf AS (SELECT doc_id, term, COUNT(*) AS n_td FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, CAST(SUM(n_td) AS BIGINT) AS len_d FROM tf GROUP BY 1),
-dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
-nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-scored AS (
-  SELECT tf.doc_id, tf.term, tf.n_td, dfq.df_t,
-         (tf.n_td / dl.len_d) * ((nd.n_docs + 1.0) / (dfq.df_t + 1.0))
-           AS tfidf
-  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
-  JOIN dfq ON dfq.term = tf.term
-  CROSS JOIN nd),
-rk AS (SELECT *, ROW_NUMBER() OVER (
-         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
-       FROM scored)
-SELECT doc_id, term, n_td, df_t, tfidf FROM rk WHERE rn <= 5
-ORDER BY doc_id, term
-""",
-    doc="Top-5 TF-IDF terms per document with a rational (log-free) idf "
-        "so both engines compute bit-identical doubles.",
-)
-
-
-def _oov(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import top_terms, vocab_oov_rate
-    docs = _t(spark, sf, "documents")
-    vocab = top_terms(docs, k=50).select("term")
-    return vocab_oov_rate(docs, vocab).orderBy("doc_id")
-
-
-register(
-    "vocab_oov_rate",
-    _oov,
-    f"""
-WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
-vocab AS (SELECT term FROM (
-    SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1
-    ORDER BY freq DESC, term ASC LIMIT 50))
-SELECT t.doc_id,
-       COUNT(*) AS n_tokens,
-       COUNT(*) FILTER (WHERE v.term IS NULL) AS n_oov,
-       COUNT(*) FILTER (WHERE v.term IS NULL) / COUNT(*) AS oov_rate
-FROM toks t LEFT JOIN vocab v ON v.term = t.term
-GROUP BY t.doc_id
-ORDER BY t.doc_id
-""",
-    doc="Per-document out-of-vocabulary rate against the corpus top-50 "
-        "vocabulary (broadcast membership join).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-label embedding centroids (class prototypes / cluster summaries)
-# ---------------------------------------------------------------------------
-
-def _centroids(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.similarity import label_centroids
-    return (label_centroids(_t(spark, sf, "embeddings"))
-            .orderBy("label", "dim"))
-
-
-register(
-    "embedding_label_centroids",
-    _centroids,
-    """
-WITH ex AS (
-  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-         CAST(unnest(range(len(embedding))) AS INT) AS dim
-  FROM embeddings),
-agg AS (
-  SELECT label, dim,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                  list(v ORDER BY vec_id)),
-                     (a, b) -> a + b) AS s,
-         COUNT(*) AS n_vectors
-  FROM ex GROUP BY 1, 2)
-SELECT label, dim, s / n_vectors AS centroid, n_vectors
-FROM agg ORDER BY label, dim
-""",
-    doc="Per-label embedding centroids via id-ordered sequential fold — "
-        "partition-independent double arithmetic, bit-identical to the "
-        "DuckDB list_reduce oracle.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Deterministic train/val/test split (reproducible-forever corpus split)
-# ---------------------------------------------------------------------------
-
-def _split(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.serve import hash_split
-    return (hash_split(_t(spark, sf, "documents"))
-            .select("doc_id", "bucket", "split").orderBy("doc_id"))
-
-
-register(
-    "train_val_test_split",
-    _split,
-    f"""
-SELECT doc_id, bucket,
-       CASE WHEN bucket < 9000 THEN 'train'
-            WHEN bucket < 9500 THEN 'val'
-            ELSE 'test' END AS split
-FROM (SELECT doc_id,
-             {_duck_md5_hash("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
-      FROM documents)
-ORDER BY doc_id
-""",
-    doc="Deterministic 90/5/5 split by portable id-hash bucket — "
-        "reproducible from raw ids alone, independent of partitioning "
-        "and engine (randomSplit is layout-dependent; this is not).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Greedy sequence packing (fixed token-budget training sequences)
-# ---------------------------------------------------------------------------
-
-def _packing(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.packing import pack_sequences
-    from .operators.text import BPE_ISH_PATTERN
-    docs = _t(spark, sf, "documents").select(
-        "lang", "doc_id",
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("n_tokens"))
-    return (pack_sequences(docs, budget=512)
-            .orderBy("lang", "doc_id"))
-
-
-#: Shared recursive-CTE prefix replaying the greedy packer (also the
-#: base of the pack-efficiency rollup below).
-_PACK_RECURSIVE_SQL = """
-WITH RECURSIVE toks AS (
-  SELECT lang, doc_id,
-         len(regexp_extract_all(text,
-             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))
-           AS n_tokens
-  FROM documents),
-ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
-          AS rn FROM toks),
-packed(lang, doc_id, n_tokens, rn, seq_id, seq_fill) AS (
-  SELECT lang, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
-  FROM ord WHERE rn = 1
-  UNION ALL
-  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
-         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
-              THEN p.seq_id + 1 ELSE p.seq_id END,
-         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
-              THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
-  FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
-"""
-
-register(
-    "pack_sequences_by_lang",
-    _packing,
-    _PACK_RECURSIVE_SQL + """
-SELECT lang, doc_id, n_tokens, seq_id, seq_fill
-FROM packed ORDER BY lang, doc_id
-""",
-    doc="Greedy first-fit-in-order packing into 512-token sequences per "
-        "language — sequential semantics via applyInPandas (numeric "
-        "columns only cross the Arrow boundary); oracle replays the same "
-        "recursion as a recursive CTE.",
-)
-
-
-def _pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
-    packed = _packing(spark, sf)
-    return (packed.groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 (F.max("seq_id") + 1).alias("n_seqs"),
-                 F.sum("n_tokens").alias("total_tokens"),
-                 (F.sum("n_tokens").cast("double")
-                  / ((F.max("seq_id") + 1) * 512)).alias("fill_rate"))
-            .orderBy("lang"))
-
-
-register(
-    "pack_efficiency_report",
-    _pack_efficiency,
-    _PACK_RECURSIVE_SQL + """
-SELECT lang, COUNT(*) AS n_docs,
-       MAX(seq_id) + 1 AS n_seqs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(seq_id) + 1) * 512)
-         AS fill_rate
-FROM packed GROUP BY lang ORDER BY lang
-""",
-    doc="Packing efficiency per language shard: sequences produced and "
-        "token fill rate against the 512 budget — the waste metric that "
-        "tunes budget and sharding.",
-)
-
-
-
-register(
-    "ngram_jaccard_pairs",
-    lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2),
-    f"""
-WITH {_DUCK_HS},
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM hs a JOIN hs b ON a.h = b.h WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM pairs p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
-ORDER BY doc_a, doc_b
-""",
-    doc="Exhaustive n-gram Jaccard baseline over shared-shingle pairs.",
-)
-
-register(
-    "ngram_jaccard_pairs_capped",
-    lambda spark, sf: ngram_jaccard_pairs(_t(spark, sf, "documents"),
-                                          threshold=0.2, max_shingle_df=5),
-    f"""
-WITH {_DUCK_HS},
-rare AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) <= 5),
-cs AS (SELECT hs.doc_id, hs.h FROM hs JOIN rare ON rare.h = hs.h),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM cs a JOIN cs b ON a.h = b.h WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM pairs p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
-ORDER BY doc_a, doc_b
-""",
-    doc="n-gram Jaccard with the hot-shingle doc-frequency cap: "
-        "boilerplate shingles (df > 5 — each contributes df² candidates "
-        "and no signal) are dropped from candidate generation only; "
-        "verification scores full shingle sets so surviving Jaccard "
-        "values are exact. Bounds the baseline's quadratic fan-out.",
-)
-
-# ---------------------------------------------------------------------------
-# SimHash + near-pairs
-# ---------------------------------------------------------------------------
-
-_DUCK_TOKHASH = f"""
-tkh AS (
-  SELECT doc_id, {_duck_md5_hash('tok')} AS h
-  FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents))
-"""
-
-_SIMHASH_SUMS = ", ".join(
-    f"SUM(2 * ((h >> {b}) & 1) - 1) AS s_{b}" for b in range(16))
-_SIMHASH_COMBINE = " + ".join(
-    f"CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(16))
-
-register(
-    "simhash_signatures",
-    lambda spark, sf: simhash(_t(spark, sf, "documents")),
-    f"""
-WITH {_DUCK_TOKHASH},
-sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tkh GROUP BY doc_id)
-SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM sums
-""",
-    doc="16-bit SimHash from token-hash bit votes.",
-)
-
-register(
-    "simhash_near_pairs",
-    lambda spark, sf: simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3),
-    f"""
-WITH {_DUCK_TOKHASH},
-sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tkh GROUP BY doc_id),
-sig AS (SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM sums)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sig a, sig b
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
-ORDER BY doc_a, doc_b
-""",
-    doc="SimHash near-dup pairs by Hamming distance (banding = scale path).",
-)
-
-# ---------------------------------------------------------------------------
-# Embedding similarity: brute-force cosine top-k
-# ---------------------------------------------------------------------------
-
-_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
-
-register(
-    "ann_cosine_topk",
-    lambda spark, sf: cosine_topk(_t(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=3),
-    f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
-scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         {_duck_dot('q.qv', 'e.embedding')}
-           / (sqrt({_duck_dot('q.qv', 'q.qv')})
-              * sqrt({_duck_dot('e.embedding', 'e.embedding')})) AS cosine
-  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, neighbor_id) AS rn
-           FROM scored)
-SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
-FROM ranked WHERE rn <= 3 ORDER BY query_id, rn
-""",
-    doc="Brute-force cosine top-k (broadcast queries × streaming corpus).",
-)
-
-# ---------------------------------------------------------------------------
-# Text analysis
-# ---------------------------------------------------------------------------
-
-_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
-
-register(
-    "text_stats",
-    lambda spark, sf: text_stats(_t(spark, sf, "documents")),
-    f"""
-WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents)
-SELECT doc_id,
-  length(text) AS n_chars,
-  len(tk) AS n_tokens,
-  len(list_distinct(tk)) AS n_distinct_tokens,
-  (length(trim(text)) - (len(tk) - 1)) / len(tk) AS avg_token_len,
-  len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk) AS stopword_ratio
-FROM t
-""",
-    doc="Per-document char/token/diversity/stopword statistics.",
-)
-
-register(
-    "text_quality_score",
-    lambda spark, sf: quality_score(_t(spark, sf, "documents")),
-    f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
-SELECT doc_id,
-  (0.4 * least(len(tk) / 50.0, 1.0)
-             + 0.4 * (len(list_distinct(tk)) / len(tk))
-             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))) AS quality
-FROM t
-""",
-    doc="Composite quality score: length, diversity, stopword rate.",
-)
-
-_LANGS = list(LANG_PROFILES)
-_HIT_SQL = ", ".join(
-    "len(list_filter(tk, x -> x IN ({}))) AS hits_{}".format(
-        ", ".join(f"'{w}'" for w in ws), lang)
-    for lang, ws in LANG_PROFILES.items())
-_BEST_SQL = "greatest({})".format(", ".join(f"hits_{lang}" for lang in _LANGS))
-_PRED_SQL = ("CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' "
-             + " ".join(f"WHEN hits_{lang} = {_BEST_SQL} THEN '{lang}'" for lang in _LANGS)
-             + " ELSE 'und' END")
-
-register(
-    "text_lang_id",
-    lambda spark, sf: lang_id(_t(spark, sf, "documents")),
-    f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-h AS (SELECT doc_id, {_HIT_SQL} FROM t)
-SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _LANGS)},
-       {_PRED_SQL} AS lang_pred
-FROM h
-""",
-    doc="Stopword-profile language ID with deterministic argmax.",
-)
-
-register(
-    "text_top_terms",
-    lambda spark, sf: top_terms(_t(spark, sf, "documents")),
-    f"""
-SELECT term, COUNT(*) AS freq
-FROM (SELECT unnest({_DUCK_TOKENS}) AS term FROM documents)
-GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20
-""",
-    doc="Corpus top-k term frequencies (one-shuffle word count).",
-)
-
-#: Trained coarse-quantizer centroids per (sf_dir, n_cells, n_iter).
-#: The Lloyd fit is the only driver-side round in the IVF chain (one
-#: k×dim collect per iteration) and is identical for every consumer
-#: (ann_ivf_topk, ann_mrr_eval), so it runs once per fixture; the
-#: testdata parquet is immutable within a round, which is what makes
-#: the path-keyed memo sound.
-_KMEANS_FIT_CACHE: dict[tuple, list] = {}
-
-
-def _ivf_centroids(spark: SparkSession, sf: str, n_cells: int = 10,
-                   n_iter: int = 3) -> list:
-    from .operators.similarity import kmeans_fit
-    key = (sf, n_cells, n_iter)
-    if key not in _KMEANS_FIT_CACHE:
-        _KMEANS_FIT_CACHE[key] = kmeans_fit(
-            _t(spark, sf, "embeddings"), n_cells=n_cells, n_iter=n_iter,
-            arrow_iters=True)
-    return _KMEANS_FIT_CACHE[key]
-
-
-def _ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.similarity import assign_cells_fold
-    cells = assign_cells_fold(_t(spark, sf, "embeddings"),
-                              _ivf_centroids(spark, sf))
-    return ivf_cosine_topk(cells, _ANN_QUERY_IDS, k=3, cell_col="cell")
-
-
-def _duck_cent_from(assign: str) -> str:
-    # per-(cell, dim) fold mean over an assignment CTE → centroid list
-    return f"""(
-  SELECT cell, list(m ORDER BY dim) AS centroid FROM (
-    SELECT cell, dim,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
-                       (a, b) -> a + b) / len(vs) AS m
-    FROM (SELECT cell, dim, list(v ORDER BY vec_id) AS vs
-          FROM (SELECT cell, vec_id,
-                       CAST(unnest(embedding) AS DOUBLE) AS v,
-                       CAST(unnest(range(len(embedding))) AS INT) AS dim
-                FROM {assign})
-          GROUP BY cell, dim))
-  GROUP BY cell)"""
-
-
-def _duck_lloyd_ctes(n_cells: int = 10,
-                     n_iter: int = 3) -> tuple[list[str], str]:
-    """Unrolled-Lloyd CTE prefix shared by every oracle that consumes
-    ``assign_kmeans_cells`` (IVF ANN, SemDeDup).
-
-    Every float in the Spark path is an id-ordered sequential fold
-    (assign_kmeans_cells / label_centroids / ddot), so each Lloyd
-    iteration — init from the n_cells smallest ids, argmin assignment
-    against centroid literals, fold-mean recompute with empty-cell
-    carry-over — can be replayed verbatim as SQL CTEs, iteration by
-    iteration. Returns ``(ctes, final_assignment_cte_name)``; the final
-    CTE has columns ``(vec_id, embedding, cell)``.
-    """
-    def d2(v: str, c: str) -> str:
-        return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
-                f" + {_duck_dot(c, c)}")
-
-    ctes = [f"""cents0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM (SELECT vec_id, embedding FROM embeddings
-        ORDER BY vec_id LIMIT {n_cells}))"""]
-    for i in range(n_iter + 1):
-        ctes.append(f"""assign{i + 1} AS (
-  SELECT vec_id, embedding, cell FROM (
-    SELECT e.vec_id, e.embedding, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             {d2('e.embedding', 'c.centroid')} ASC, c.cell ASC) AS rn
-    FROM embeddings e CROSS JOIN cents{i} c) t WHERE rn = 1)""")
-        if i < n_iter:
-            # fold-mean recompute; empty cells keep their old centroid
-            ctes.append(f"""cents{i + 1} AS (
-  SELECT c.cell, COALESCE(n.centroid, c.centroid) AS centroid
-  FROM cents{i} c LEFT JOIN {_duck_cent_from(f'assign{i + 1}')} n
-    ON n.cell = c.cell)""")
-    return ctes, f"assign{n_iter + 1}"
-
-
-def _ivf_kmeans_oracle(n_cells: int = 10, n_iter: int = 3,
-                       k: int = 3, n_probe: int = 2) -> str:
-    """Oracle for the full k-means IVF chain: the shared Lloyd prefix
-    (:func:`_duck_lloyd_ctes`) plus centroid-probe selection and
-    within-cell scoring. A full value hash, not a rows-only check."""
-    cent_from = _duck_cent_from
-    ctes, final = _duck_lloyd_ctes(n_cells, n_iter)
-    ids = ", ".join(map(str, _ANN_QUERY_IDS))
-    cos = (f"{_duck_dot('p.qv', 'a.embedding')} / "
-           f"(sqrt({_duck_dot('p.qv', 'p.qv')}) * "
-           f"sqrt({_duck_dot('a.embedding', 'a.embedding')}))")
-    ctes.append(f"""centf AS (SELECT * FROM {cent_from(final)})""")
-    ctes.append(f"""q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id IN ({ids}))""")
-    ctes.append(f"""qc AS (
-  SELECT q.query_id, q.qv, c.cell,
-         {_duck_dot('q.qv', 'c.centroid')} /
-           (sqrt({_duck_dot('q.qv', 'q.qv')}) *
-            sqrt({_duck_dot('c.centroid', 'c.centroid')})) AS csim
-  FROM q CROSS JOIN centf c)""")
-    ctes.append(f"""probes AS (
-  SELECT query_id, qv, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY csim DESC, cell ASC) AS r
-    FROM qc) t WHERE r <= {n_probe})""")
-    ctes.append(f"""scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cosine
-  FROM probes p JOIN {final} a ON a.cell = p.cell
-  WHERE a.vec_id != p.query_id)""")
-    return ("WITH " + ",\n".join(ctes) + f"""
-SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rn
-      FROM scored) t
-WHERE rn <= {k} ORDER BY query_id, rn
-""")
-
-
-register(
-    "ann_ivf_topk",
-    _ivf_kmeans,
-    _ivf_kmeans_oracle(),
-    doc="IVF ANN over deterministic k-means coarse cells (3 Lloyd "
-        "iterations), probing the 2 nearest cells only; recall vs the "
-        "exact baseline is pinned in tests. All centroid arithmetic is "
-        "id-ordered folds, so the oracle unrolls the Lloyd iterations "
-        "as CTEs and the whole chain is value-hash-checked.",
-)
-
-register(
-    "text_fingerprint",
-    lambda spark, sf: fingerprint(_t(spark, sf, "documents")),
-    f"""
-SELECT doc_id, {_duck_char_hash('text')} AS fingerprint FROM documents
-""",
-    doc="Rolling-hash document fingerprint (engine-portable fold).",
-)
-
-# ---------------------------------------------------------------------------
-# Event-time windows (batch twins of the streaming plans)
-# ---------------------------------------------------------------------------
-
-_DUCK_EVENTS = "SELECT ts::TIMESTAMP AS ts, event_type, value, user_id FROM events"
-_WIN = ("TIMESTAMP '1970-01-01' + (CAST(floor(epoch(ts) / {w}) AS BIGINT) * {w})"
-        " * INTERVAL 1 SECOND")
-
-register(
-    "events_tumbling_agg",
-    lambda spark, sf: tumbling_agg(_t(spark, sf, "events")),
-    f"""
-WITH e AS ({_DUCK_EVENTS})
-SELECT {_WIN.format(w=600)} AS win_start, event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM e GROUP BY 1, 2
-""",
-    doc="10-minute tumbling windows per event type (F.window).",
-)
-
-register(
-    "events_sliding_agg",
-    lambda spark, sf: sliding_agg(_t(spark, sf, "events")),
-    f"""
-WITH e AS ({_DUCK_EVENTS}),
-assigned AS (
-  SELECT unnest([CAST(floor(epoch(ts) / 300) AS BIGINT) * 300,
-                 CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS s,
-         value
-  FROM e)
-SELECT TIMESTAMP '1970-01-01' + s * INTERVAL 1 SECOND AS win_start,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM assigned GROUP BY 1
-""",
-    doc="10-minute windows sliding by 5 (each event in two windows).",
-)
-
-register(
-    "events_sessionize",
-    lambda spark, sf: sessionize(_t(spark, sf, "events")),
-    f"""
-WITH e AS ({_DUCK_EVENTS}),
-m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                          >= INTERVAL 30 MINUTE
-                     THEN 1 ELSE 0 END AS new_s FROM e),
-s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
-""",
-    doc="Gap-based sessionization (F.session_window ≡ lag/cumsum oracle).",
-)
-
-# ---------------------------------------------------------------------------
-# Temporal joins Spark lacks natively: as-of and banded range join —
-# DuckDB's native ASOF JOIN / inequality join are the oracles.
-# ---------------------------------------------------------------------------
-
-def _asof(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.temporal import asof_join
-    e = _t(spark, sf, "events")
-    clicks = e.filter(F.col("event_type") == "click") \
-              .select("event_id", "user_id", "ts")
-    # The right side is deduped to ONE row per (key, ts) with an explicit
-    # rule (max value) BEFORE the as-of join: DuckDB's native ASOF JOIN
-    # does not specify which duplicate-timestamp row wins, so parity must
-    # not rest on its tie behavior (ADVICE r1). Same GROUP BY in the
-    # oracle below.
-    purchases = (e.filter(F.col("event_type") == "purchase")
-                  .groupBy("user_id", F.col("ts").alias("p_ts"))
-                  .agg(F.max("value").alias("p_value")))
-    return asof_join(clicks, purchases, on=["user_id"], left_ts="ts",
-                     right_ts="p_ts", right_vals=["p_value", "p_ts"])
-
-
-register(
-    "asof_join_click_purchase",
-    _asof,
-    """
-WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value
-           FROM events),
-clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
-purch AS (SELECT user_id, ts AS p_ts, MAX(value) AS p_value
-          FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
-SELECT c.user_id, c.ts, c.event_id,
-       p.p_value AS asof_p_value, p.p_ts AS asof_p_ts
-FROM clicks c ASOF LEFT JOIN purch p
-  ON c.user_id = p.user_id AND p.p_ts <= c.ts
-""",
-    doc="As-of join via union + carry-forward window vs DuckDB native ASOF.",
-)
-
-
-def _range_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.temporal import range_join_within
-    e = _t(spark, sf, "events")
-    views = e.filter(F.col("event_type") == "view") \
-             .select("user_id", F.col("ts").alias("ts_view"))
-    buys = e.filter(F.col("event_type") == "purchase") \
-            .select("user_id", F.col("ts").alias("ts_buy"))
-    return range_join_within(views, buys, on=["user_id"],
-                             a_ts="ts_view", b_ts="ts_buy", max_gap_s=600)
-
-
-register(
-    "range_join_view_purchase",
-    _range_pairs,
-    """
-WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events)
-SELECT DISTINCT a.user_id, a.ts AS ts_view, b.ts AS ts_buy
-FROM (SELECT user_id, ts FROM e WHERE event_type = 'view') a
-JOIN (SELECT user_id, ts FROM e WHERE event_type = 'purchase') b
-  ON a.user_id = b.user_id
- AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600 * 1000000
-""",
-    doc="Banded range join (bucket equi-join + exact filter) vs inequality join.",
-)
-
-# ---------------------------------------------------------------------------
-# Multimodal: binary payload plumbing (metadata JVM-side; features via
-# Arrow-batched mapInPandas — still oracle-checkable because the stub
-# decode is deterministic)
-# ---------------------------------------------------------------------------
-
-register(
-    "multimodal_metadata",
-    lambda spark, sf: attach_binary(_t(spark, sf, "documents"))
-        .select("doc_id", F.col("meta.byte_len").alias("byte_len"),
-                F.col("meta.mime").alias("mime")),
-    """
-SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
-       'application/octet-stream' AS mime
-FROM documents
-""",
-    doc="Binary payload column + typed metadata struct.",
-)
-
-register(
-    "multimodal_features",
-    lambda spark, sf: extract_features(attach_binary(_t(spark, sf, "documents"))),
-    """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
-       md5(text) AS content_md5
-FROM documents
-""",
-    doc="Arrow-batched mapInPandas feature extraction over binary payloads.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs (exact baseline; LSH variant in tests)
-# ---------------------------------------------------------------------------
-
-# The REGISTERED near-dup operator is the LSH bucket join — the plan a
-# 100 TB corpus actually runs (one shuffle on the bucket key, cost
-# Σ bucket², never n²). The oracle reproduces the bucket assignment
-# bit-exactly via duck_lsh_bucket_expr, so the lossy candidate set is
-# itself oracle-checked; the O(n²) exact baseline stays available as
-# embedding_neardup_pairs() for pytest recall measurement only.
-_ENP_PLANES = 6
-_ENP_THRESHOLD = 0.35
-
-register(
-    "embedding_neardup_pairs",
-    lambda spark, sf: embedding_neardup_lsh(
-        _t(spark, sf, "embeddings"), threshold=_ENP_THRESHOLD,
-        n_planes=_ENP_PLANES, n_probe=2),
-    f"""
-WITH bkt AS (
-  SELECT vec_id, embedding,
-         {duck_lsh_bucket_expr('embedding', _ENP_PLANES)} AS bucket
-  FROM embeddings),
-a AS (SELECT vec_id, embedding,
-             unnest([bucket, xor(bucket, 1)]) AS bucket FROM bkt),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_duck_dot('a.embedding', 'b.embedding')}
-           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
-              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cosine
-  FROM a JOIN bkt b USING (bucket)
-  WHERE a.vec_id < b.vec_id)
-SELECT vec_a, vec_b, cosine FROM cand
-WHERE cosine >= {_ENP_THRESHOLD}
-ORDER BY vec_a, vec_b
-""",
-    doc="Embedding-cosine near-dup pairs via multi-probe sign-bucket LSH "
-        "(bucket equi-join; oracle mirrors the bucket expression "
-        "bit-exactly, recall vs the exact baseline pinned in pytest).",
-)
-
-
-register(
-    "text_token_counts",
-    lambda spark, sf: token_counts(_t(spark, sf, "documents")),
-    r"""
-SELECT doc_id,
-       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
-       len(regexp_extract_all(text,
-           '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))
-         AS bpe_ish_tokens
-FROM documents
-""",
-    doc="Token budgets: whitespace count + BPE-ish pre-tokenizer count "
-        "(lookaround-free pattern, identical in Java regex and RE2).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Deterministic stratified sampling — the reproducible training-data
-# downsampler: rank within stratum by a portable hash of the id and keep
-# n per stratum. Unlike Bernoulli sampleBy, the selected SET is a pure
-# function of the data (stable across engines, partitionings, and runs),
-# which is what dataset curation actually needs for auditability.
-# ---------------------------------------------------------------------------
-
-def _strat_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.serve import top_k_per_group
-    from .operators.text import md5_hash
-    docs = _t(spark, sf, "documents")
-    sampled = top_k_per_group(
-        docs, ["lang"],
-        [md5_hash(F.col("doc_id").cast("string")), F.col("doc_id")], 50)
-    return (sampled.select("doc_id", "lang", "source", "n_chars")
-                   .orderBy("lang", "doc_id"))
-
-
-register(
-    "stratified_sample_docs",
-    _strat_sample,
-    f"""
-SELECT doc_id, lang, source, n_chars FROM (
-  SELECT doc_id, lang, source, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY {_duck_md5_hash("CAST(doc_id AS VARCHAR)")},
-                                     doc_id) AS rn
-  FROM documents) t
-WHERE rn <= 50 ORDER BY lang, doc_id
-""",
-    doc="Deterministic stratified sample: 50 docs per language, ranked by "
-        "portable id hash — reproducible across engines and partitionings.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-group quantiles — exact distribution summary per stratum
-# ---------------------------------------------------------------------------
-
-register(
-    "quantiles_by_status",
-    lambda spark, sf: _t(spark, sf, "orders")
-        .groupBy("o_orderstatus")
-        .agg(F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
-             F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-             F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
-             F.expr("percentile(o_totalprice, 0.9)").alias("p90"))
-        .orderBy("o_orderstatus"),
-    """
-SELECT o_orderstatus,
-       quantile_cont(o_totalprice, 0.25) AS p25,
-       quantile_cont(o_totalprice, 0.5)  AS p50,
-       quantile_cont(o_totalprice, 0.75) AS p75,
-       quantile_cont(o_totalprice, 0.9)  AS p90
-FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-""",
-    doc="Exact per-group quantiles (interpolated), one shuffle.",
-)
-
-
-# ---------------------------------------------------------------------------
-# PII redaction (pre-training scrub pass)
-# ---------------------------------------------------------------------------
-
-register(
-    "text_redact_pii",
-    lambda spark, sf: redact_pii(_t(spark, sf, "documents")),
-    r"""
-WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
-s1 AS (SELECT doc_id, t0,
-              regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1
-       FROM s0),
-s2 AS (SELECT doc_id, t0, t1,
-              regexp_replace(t1,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                  '<EMAIL>', 'g') AS t2
-       FROM s1)
-SELECT doc_id,
-       regexp_replace(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g')
-         AS redacted,
-       len(regexp_extract_all(t0, 'https?://[^\s]+')) AS n_url,
-       len(regexp_extract_all(t1,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-       len(regexp_extract_all(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phone
-FROM s2
-""",
-    doc="PII scrub: URL/email/phone masking with per-rule hit counts; "
-        "staged rule order is part of the contract.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Benchmark-contamination screen (eval-set leakage check)
-# ---------------------------------------------------------------------------
-
-def _contamination(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import contamination_screen
-    docs = _t(spark, sf, "documents")
-    benchmark = docs.filter(F.col("doc_id") < 3).select("text")
-    return contamination_screen(docs, benchmark)
-
-
-register(
-    "contamination_screen",
-    _contamination,
-    f"""
-WITH {_DUCK_HS},
-bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 3),
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hs GROUP BY 1),
-ov AS (SELECT hs.doc_id, COUNT(*) AS c
-       FROM hs JOIN bench ON hs.h = bench.h GROUP BY 1)
-SELECT s.doc_id, s.n_shingles,
-       COALESCE(ov.c, 0) AS n_overlap,
-       COALESCE(ov.c, 0) / s.n_shingles AS contamination
-FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
-ORDER BY s.doc_id
-""",
-    doc="Benchmark-contamination screen: per-doc fraction of shingles "
-        "found in the (broadcast) benchmark shingle set; zeros kept.",
-)
-
-
-# ---------------------------------------------------------------------------
-# End-to-end curation pipeline: dedup survivors → quality gate → language
-# gate → token budget. The composed flow a training-data run executes —
-# one registered query so the WHOLE chain is oracle-checked, not just the
-# pieces.
-# ---------------------------------------------------------------------------
-
-def _curation(spark: SparkSession, sf: str) -> DataFrame:
-    # Quality, language, and token budget are all row-local functions of
-    # text, so after the dedup window they compose into ONE projection —
-    # no self-joins, no recomputing the survivors plan per branch. The
-    # whole pipeline is: scan → dedup shuffle → projection → filter → sort.
-    from .operators.text import BPE_ISH_PATTERN, lang_pred_expr, quality_expr
-    docs = _t(spark, sf, "documents")
-    survivors = exact_dedup_survivors(docs)
-    return (survivors.select(
-                "doc_id",
-                lang_pred_expr(F.col("text")).alias("lang_pred"),
-                quality_expr(F.col("text")).alias("quality"),
-                F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-                 .cast("long").alias("bpe_ish_tokens"))
-            .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
-            .orderBy("doc_id"))
-
-
-register(
-    "curation_pipeline",
-    _curation,
-    f"""
-WITH surv AS (
-  SELECT doc_id, text FROM (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-        ORDER BY doc_id ASC) AS rn
-    FROM documents) x WHERE rn = 1),
-t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM surv),
-q AS (SELECT doc_id,
-  (0.4 * least(len(tk) / 50.0, 1.0)
-             + 0.4 * (len(list_distinct(tk)) / len(tk))
-             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))) AS quality
-  FROM t),
-h AS (SELECT doc_id, {_HIT_SQL} FROM t),
-l AS (SELECT doc_id, {_PRED_SQL} AS lang_pred FROM h),
-tok AS (SELECT doc_id,
-  len(regexp_extract_all(text,
-      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
-    AS bpe_ish_tokens
-  FROM surv)
-SELECT s.doc_id, l.lang_pred, q.quality, tok.bpe_ish_tokens
-FROM surv s
-JOIN q   ON q.doc_id = s.doc_id
-JOIN l   ON l.doc_id = s.doc_id
-JOIN tok ON tok.doc_id = s.doc_id
-WHERE q.quality >= 0.5 AND l.lang_pred != 'und'
-ORDER BY s.doc_id
-""",
-    doc="The composed curation flow (dedup → quality gate → language gate "
-        "→ token budget) oracle-checked end-to-end.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Ordered funnel over events (view → click → purchase)
-# ---------------------------------------------------------------------------
-
-def _funnel(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.windows import funnel_counts
-    return funnel_counts(_t(spark, sf, "events"))
-
-
-register(
-    "events_funnel",
-    _funnel,
-    f"""
-WITH e AS ({_DUCK_EVENTS}),
-s0 AS (SELECT user_id, MIN(ts) FILTER (event_type = 'view') AS t0
-       FROM e GROUP BY user_id),
-s1 AS (SELECT e.user_id, MIN(e.ts) AS t1
-       FROM e JOIN s0 ON e.user_id = s0.user_id
-       WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY e.user_id),
-s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
-       FROM e JOIN s1 ON e.user_id = s1.user_id
-       WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY e.user_id)
-SELECT COUNT(s0.t0) AS n_view,
-       COUNT(s1.t1) AS n_click,
-       COUNT(s2.t2) AS n_purchase,
-       COUNT(s1.t1) / COUNT(s0.t0) AS pct_click,
-       COUNT(s2.t2) / COUNT(s0.t0) AS pct_purchase
-FROM s0
-LEFT JOIN s1 ON s0.user_id = s1.user_id
-LEFT JOIN s2 ON s0.user_id = s2.user_id
-""",
-    doc="Ordered conversion funnel: per-user first-times via chained "
-        "conditional window mins, one shuffle total.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Semi-structured: from_json struct extraction + per-field aggregation
-# ---------------------------------------------------------------------------
-
-register(
-    "events_props_struct",
-    lambda spark, sf: _t(spark, sf, "events")
-        .select(F.from_json(F.col("props"), "k BIGINT").alias("p"))
-        .select(F.col("p.k").alias("k"))
-        .filter(F.col("k").isNotNull())
-        .groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("k"),
-    """
-SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-       COUNT(*) AS n_events
-FROM events
-WHERE json_extract_string(props, '$.k') IS NOT NULL
-GROUP BY k ORDER BY k
-""",
-    doc="from_json schema-on-read struct extraction feeding an "
-        "aggregation (vs get_json_object's per-path scan).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Rolling 7-day distinct users (exact): daily distinct sets are small
-# relative to the event stream, so the rolling union runs as a banded
-# self-join over the REDUCED (day, user) table — never over raw events
-# ---------------------------------------------------------------------------
-
-def _rolling_dau(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
-    daily = (e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
-              .distinct())
-    # Each (day, user) row EMITS its 7 anchor days (explode of a
-    # sequence) instead of inequality-joining against the day list —
-    # an inequality join would plan as a nested-loop over
-    # |daily| x |days|; the explode is linear with constant fan-out and
-    # the only join left is a broadcast semi against the real day set
-    # (anchors past the last observed day must not appear).
-    days = daily.select(F.col("day").alias("anchor")).distinct()
-    fanned = daily.select(
-        F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)"))
-         .alias("anchor"),
-        "user_id")
-    return (fanned.join(F.broadcast(days), "anchor", "left_semi")
-                  .groupBy("anchor")
-                  .agg(F.countDistinct("user_id").alias("rolling_users"))
-                  .orderBy("anchor"))
-
-
-register(
-    "rolling_7d_distinct_users",
-    _rolling_dau,
-    f"""
-WITH e AS ({_DUCK_EVENTS}),
-daily AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                 user_id FROM e),
-days AS (SELECT DISTINCT day AS anchor FROM daily)
-SELECT anchor, COUNT(DISTINCT user_id) AS rolling_users
-FROM daily JOIN days
-  ON daily.day <= days.anchor AND daily.day > days.anchor - INTERVAL 7 DAY
-GROUP BY anchor ORDER BY anchor
-""",
-    doc="Exact rolling 7-day distinct users over the reduced (day, user) "
-        "table — the self-join never touches raw events.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Cohort retention: users grouped by first-activity week; per (cohort,
-# weeks-since) distinct retained users
-# ---------------------------------------------------------------------------
-
-def _cohorts(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
-    weekly = (e.select(F.date_trunc("week", F.col("ts")).alias("week"),
-                       "user_id").distinct())
-    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort"))
-    return (weekly.join(first, "user_id")
-            .select("cohort",
-                    F.floor(F.unix_timestamp("week") / (7 * 86400)
-                            - F.unix_timestamp("cohort") / (7 * 86400))
-                     .cast("long").alias("weeks_since"),
-                    "user_id")
-            .groupBy("cohort", "weeks_since")
-            .agg(F.countDistinct("user_id").alias("retained"))
-            .orderBy("cohort", "weeks_since"))
-
-
-register(
-    "cohort_retention",
-    _cohorts,
-    f"""
-WITH e AS ({_DUCK_EVENTS}),
-weekly AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
-                  user_id FROM e),
-first AS (SELECT user_id, MIN(week) AS cohort FROM weekly GROUP BY user_id)
-SELECT f.cohort,
-       CAST(floor(epoch(w.week) / 604800 - epoch(f.cohort) / 604800)
-            AS BIGINT) AS weeks_since,
-       COUNT(DISTINCT w.user_id) AS retained
-FROM weekly w JOIN first f ON w.user_id = f.user_id
-GROUP BY f.cohort, weeks_since
-ORDER BY f.cohort, weeks_since
-""",
-    doc="Cohort retention: first-week cohorts × weeks-since, distinct "
-        "retained users per cell; all aggs on the reduced weekly table.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Paragraph-level dedup (CCNet/RefinedWeb boilerplate removal). The test
-# corpus is single-line bags of words, so the registered query splits on a
-# separator that actually occurs (' the ') — the keep-first window, vanishing
-# docs, and reassembly paths all fire on real repeats; newline-paragraph
-# semantics are pinned by pytest fixtures.
-# ---------------------------------------------------------------------------
-
-register(
-    "paragraph_dedup",
-    lambda spark, sf: paragraph_dedup(
-        _t(spark, sf, "documents").select("doc_id", "text"), sep=" the "),
-    f"""
-WITH raw AS (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
-ex AS (SELECT doc_id,
-              unnest(list_transform(ps,
-                  (p, i) -> struct_pack(pos := i, para := trim(p)))) AS u
-       FROM raw),
-paras AS (SELECT doc_id, u.pos AS pos, u.para AS para,
-                 {_duck_md5_hash("u.para")} AS h
-          FROM ex WHERE u.para != ''),
-flagged AS (SELECT doc_id, pos, para,
-                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
-                     AS kept
-            FROM paras)
-SELECT doc_id,
-       COUNT(*) AS n_paras,
-       COUNT(*) FILTER (WHERE kept) AS n_kept,
-       string_agg(CASE WHEN kept THEN para END, ' the ' ORDER BY pos)
-         AS text_dedup
-FROM flagged GROUP BY doc_id
-HAVING COUNT(*) FILTER (WHERE kept) > 0
-ORDER BY doc_id
-""",
-    doc="Corpus-wide keep-first paragraph dedup with in-order document "
-        "reassembly; one hash-keyed shuffle carrying (doc_id, pos, hash).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Gopher-style repetition filters (dup-token fraction + top-n-gram char
-# coverage). The per-doc argmax ties break (count DESC, gram DESC) on
-# both engines — max(struct) in Spark, ROW_NUMBER in DuckDB.
-# ---------------------------------------------------------------------------
-
-def _duck_ngrams(n: int) -> str:
-    return (f"CASE WHEN len(tk) >= {n} THEN "
-            f"list_transform(range(1, len(tk) - {n} + 2), "
-            f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) "
-            f"ELSE CAST([] AS VARCHAR[]) END")
-
-
-register(
-    "text_repetition_stats",
-    lambda spark, sf: repetition_stats(_t(spark, sf, "documents")),
-    f"""
-WITH base AS (
-  SELECT doc_id, length(text) AS n_chars, {_DUCK_TOKENS} AS tk
-  FROM documents),
-stats AS (
-  SELECT doc_id, n_chars, len(tk) AS n_tokens,
-         len(list_distinct(tk)) AS n_distinct, tk
-  FROM base),
-g2 AS (SELECT doc_id, unnest({_duck_ngrams(2)}) AS g FROM stats),
-c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
-t2 AS (SELECT doc_id, c, g FROM (
-         SELECT doc_id, c, g, ROW_NUMBER() OVER (
-             PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
-         FROM c2) WHERE rn = 1),
-g3 AS (SELECT doc_id, unnest({_duck_ngrams(3)}) AS g FROM stats),
-c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
-t3 AS (SELECT doc_id, c, g FROM (
-         SELECT doc_id, c, g, ROW_NUMBER() OVER (
-             PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
-         FROM c3) WHERE rn = 1)
-SELECT s.doc_id,
-       (s.n_tokens - s.n_distinct) / s.n_tokens AS dup_token_frac,
-       COALESCE(t2.c * length(t2.g) / s.n_chars, 0.0) AS top2gram_char_frac,
-       COALESCE(t3.c * length(t3.g) / s.n_chars, 0.0) AS top3gram_char_frac
-FROM stats s
-LEFT JOIN t2 ON s.doc_id = t2.doc_id
-LEFT JOIN t3 ON s.doc_id = t3.doc_id
-ORDER BY s.doc_id
-""",
-    doc="Gopher-style repetition signals: duplicate-token fraction and "
-        "the character share of the most frequent 2-/3-gram; explode → "
-        "combinable hash-aggs, no corpus-wide windows.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-language calibrated quality gate: a single global threshold biases
-# against whole languages (stopword profiles differ), so the cut is each
-# language's own p25 — per-group quantile agg (tiny) broadcast back to
-# the corpus, the same scale-safe shape as the MAD outlier gate (never a
-# percentile window over the fact table).
-# ---------------------------------------------------------------------------
-
-def _quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import quality_expr
-    docs = _t(spark, sf, "documents")
-    q = docs.select("doc_id", "lang",
-                    quality_expr(F.col("text")).alias("quality"))
-    # Explicit order-statistic p25, NOT the builtin percentile():
-    # Spark interpolates (1-f)*lo + f*hi while DuckDB's quantile_cont
-    # does lo + f*(hi-lo) — up to 1 ulp apart on dirty doubles, and
-    # lang_q25 is both an output column and the gate boundary. Writing
-    # ONE lerp formula on both engines over the same sorted list makes
-    # the threshold bit-identical by construction. (Memory shape is the
-    # same as percentile(): one buffered value list per lang — fine for
-    # a handful of languages; a 100 TB corpus with huge groups would
-    # switch to approx_percentile and give up the exact oracle.)
-    thr = (q.groupBy("lang")
-           .agg(F.sort_array(F.collect_list("quality")).alias("arr"))
-           .select(
-               "lang",
-               F.expr("""
-                 element_at(arr, CAST(floor(0.25 * (size(arr) - 1)) AS INT) + 1)
-                 + (0.25 * (size(arr) - 1)
-                    - floor(0.25 * (size(arr) - 1)))
-                   * (element_at(arr, least(
-                          CAST(floor(0.25 * (size(arr) - 1)) AS INT) + 2,
-                          size(arr)))
-                      - element_at(arr,
-                          CAST(floor(0.25 * (size(arr) - 1)) AS INT) + 1))
-               """).alias("lang_q25")))
-    return (q.join(F.broadcast(thr), "lang")
-            .filter(F.col("quality") >= F.col("lang_q25"))
-            .select("doc_id", "lang", "quality", "lang_q25")
-            .orderBy("doc_id"))
-
-
-register(
-    "quality_calibrated_filter",
-    _quality_calibrated,
-    f"""
-WITH t AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents),
-q AS (SELECT doc_id, lang,
-  (0.4 * least(len(tk) / 50.0, 1.0)
-             + 0.4 * (len(list_distinct(tk)) / len(tk))
-             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk))) AS quality
-  FROM t),
-thr0 AS (SELECT lang, list_sort(list(quality)) AS arr
-         FROM q GROUP BY lang),
-thr AS (SELECT lang,
-  arr[CAST(floor(0.25 * (len(arr) - 1)) AS INT) + 1]
-  + (0.25 * (len(arr) - 1) - floor(0.25 * (len(arr) - 1)))
-    * (arr[least(CAST(floor(0.25 * (len(arr) - 1)) AS INT) + 2, len(arr))]
-       - arr[CAST(floor(0.25 * (len(arr) - 1)) AS INT) + 1]) AS lang_q25
-  FROM thr0)
-SELECT q.doc_id, q.lang, q.quality, thr.lang_q25
-FROM q JOIN thr ON thr.lang = q.lang
-WHERE q.quality >= thr.lang_q25
-ORDER BY q.doc_id
-""",
-    doc="Per-language p25 quality gate: per-group quantile agg broadcast "
-        "back to the corpus — no percentile window over the fact table.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Corpus card: the one-row datasheet a pipeline publishes with a corpus —
-# volume, token budget, language mix, exact-dup rate. One scan + tiny
-# combinable aggs (the lang distribution pivots through a map built from
-# a GROUP BY, never a collect).
-# ---------------------------------------------------------------------------
-
-def _corpus_card(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import BPE_ISH_PATTERN
-    from .operators.dedup_fuzzy import canonical_text
-    docs = _t(spark, sf, "documents")
-    base = docs.select(
-        "doc_id", "lang",
-        F.length("text").cast("long").alias("n_chars"),
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("n_tokens"),
-        F.md5(canonical_text(F.col("text"))).alias("h"))
-    return base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("h").alias("n_unique_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.max("n_tokens").alias("max_doc_tokens"),
-        (F.sum("n_tokens") / F.count(F.lit(1))).alias("mean_doc_tokens"))
-
-
-register(
-    "corpus_card",
-    _corpus_card,
-    """
-WITH base AS (
-  SELECT doc_id, lang,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(regexp_extract_all(text,
-             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))
-           AS BIGINT) AS n_tokens,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
-  FROM documents)
-SELECT COUNT(*) AS n_docs,
-       COUNT(DISTINCT h) AS n_unique_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       COUNT(DISTINCT lang) AS n_langs,
-       MAX(n_tokens) AS max_doc_tokens,
-       CAST(SUM(n_tokens) AS BIGINT) / COUNT(*) AS mean_doc_tokens
-FROM base
-""",
-    doc="One-row corpus datasheet: volume, token budget, language count, "
-        "exact-dup rate inputs — single scan, combinable aggs.",
-)
-
-
-# ---------------------------------------------------------------------------
-# The COMPOSED training-data prep pipeline — the full run a corpus goes
-# through before tokenization, as ONE oracle-checked query:
-#   exact dedup → near-dup dedup (MinHash+LSH → connected components,
-#   keep min-id per cluster) → quality gate → language gate →
-#   deterministic train split → greedy 512-token sequence packing.
-# Every stage is a proven piece (each has its own registered query);
-# this registers the composition so stage INTERACTIONS are value-checked
-# end to end, not just the parts.
-# ---------------------------------------------------------------------------
-
-def _prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import cluster_assignment
-    from .operators.packing import pack_sequences
-    from .operators.serve import hash_split
-    from .operators.text import (BPE_ISH_PATTERN, lang_pred_expr,
-                                 quality_expr)
-    docs = _t(spark, sf, "documents")
-    surv = exact_dedup_survivors(docs)
-    pairs = minhash_dedup_pairs(surv, threshold=0.2)
-    keepers = (cluster_assignment(surv, pairs)
-               .filter(F.col("doc_id") == F.col("cluster_id"))
-               .select("doc_id"))
-    clean = surv.join(keepers, "doc_id")
-    gated = (clean.select(
-                "doc_id", "lang",
-                quality_expr(F.col("text")).alias("quality"),
-                lang_pred_expr(F.col("text")).alias("lang_pred"),
-                F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-                 .cast("long").alias("n_tokens"))
-             .filter((F.col("quality") >= 0.5)
-                     & (F.col("lang_pred") != "und")))
-    train = (hash_split(gated).filter(F.col("split") == "train")
-             .select("lang", "doc_id", "n_tokens"))
-    return pack_sequences(train, budget=512).orderBy("lang", "doc_id")
-
-
-_PREP_QUALITY_SQL = f"""(0.4 * least(len(tk) / 50.0, 1.0)
-    + 0.4 * (len(list_distinct(tk)) / len(tk))
-    + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk)))"""
-
-register(
-    "prep_pipeline",
-    _prep_pipeline,
-    f"""
-WITH RECURSIVE surv AS MATERIALIZED (
-  SELECT doc_id, lang, text FROM (
-    SELECT doc_id, lang, text, ROW_NUMBER() OVER (
-        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-        ORDER BY doc_id ASC) AS rn
-    FROM documents) x WHERE rn = 1),
-{_neardup_assigned_from('surv')},
-keepers AS (SELECT doc_id FROM assigned WHERE cluster_id = doc_id),
-clean AS (SELECT s.* FROM surv s JOIN keepers k ON k.doc_id = s.doc_id),
-ct AS (SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tk FROM clean),
-hits AS (SELECT doc_id, {_HIT_SQL} FROM ct),
-gated AS (
-  SELECT ct.doc_id, ct.lang,
-         len(regexp_extract_all(ct.text,
-             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
-           AS n_tokens
-  FROM ct JOIN hits ON hits.doc_id = ct.doc_id
-  WHERE {_PREP_QUALITY_SQL} >= 0.5 AND ({_PRED_SQL}) != 'und'),
-train AS (
-  SELECT lang, doc_id, n_tokens FROM gated
-  WHERE ({_duck_md5_hash("CAST(doc_id AS VARCHAR)")} % 10000) < 9000),
-ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
-          AS rn FROM train),
-packed(lang, doc_id, n_tokens, rn, seq_id, seq_fill) AS (
-  SELECT lang, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
-  FROM ord WHERE rn = 1
-  UNION ALL
-  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
-         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
-              THEN p.seq_id + 1 ELSE p.seq_id END,
-         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
-              THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
-  FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
-SELECT lang, doc_id, n_tokens, seq_id, seq_fill
-FROM packed ORDER BY lang, doc_id
-""",
-    doc="The composed prep run: exact dedup → near-dup cluster dedup → "
-        "quality/language gates → deterministic train split → greedy "
-        "sequence packing, value-checked end to end (two recursive CTEs "
-        "in one oracle: transitive closure + packing recursion).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Cross-split leakage screen: after the deterministic split, does any
-# TRAIN document share shingles with the TEST split? The check that
-# catches near-duplicate pairs straddling a split boundary (exact dups
-# land in the same split by construction — same text can still differ in
-# id — but near-dups and quotations do not).
-# ---------------------------------------------------------------------------
-
-def _split_leakage(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import contamination_screen
-    from .operators.serve import hash_split
-    docs = _t(spark, sf, "documents")
-    split = hash_split(docs)
-    train = split.filter(F.col("split") == "train").select("doc_id", "text")
-    test = split.filter(F.col("split") == "test").select("text")
-    return contamination_screen(train, test)
-
-
-register(
-    "split_leakage_screen",
-    _split_leakage,
-    f"""
-WITH split AS (
-  SELECT doc_id, text,
-         {_duck_md5_hash("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
-  FROM documents),
-train AS (SELECT doc_id, text FROM split WHERE bucket < 9000),
-test AS (SELECT text FROM split WHERE bucket >= 9500),
-ttoks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM train),
-tshs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM ttoks),
-ths AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM tshs),
-btoks AS (SELECT {_DUCK_TOKENS} AS tk FROM test),
-bshs AS (SELECT unnest({_DUCK_SHINGLES}) AS s FROM btoks),
-bench AS (SELECT DISTINCT {_duck_md5_hash('s')} AS h FROM bshs),
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ths GROUP BY 1),
-ov AS (SELECT ths.doc_id, COUNT(*) AS c
-       FROM ths JOIN bench ON ths.h = bench.h GROUP BY 1)
-SELECT s.doc_id, s.n_shingles,
-       COALESCE(ov.c, 0) AS n_overlap,
-       COALESCE(ov.c, 0) / s.n_shingles AS contamination
-FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
-ORDER BY s.doc_id
-""",
-    doc="Train-vs-test shingle-overlap screen over the deterministic "
-        "split — catches near-dup pairs straddling the split boundary; "
-        "test-side shingle set broadcasts, train side scans once.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Packed-sequence manifest: the roster a trainer consumes — one row per
-# (group, sequence) with the ordered member list. One combinable agg
-# over the packing output.
-# ---------------------------------------------------------------------------
-
-def _seq_manifest(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.packing import pack_sequences
-    from .operators.text import BPE_ISH_PATTERN
-    docs = _t(spark, sf, "documents").select(
-        "lang", "doc_id",
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("n_tokens"))
-    packed = pack_sequences(docs, budget=512)
-    return (packed.groupBy("lang", "seq_id")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tokens").alias("total_tokens"),
-                 F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(F.struct("doc_id"))),
-                         lambda x: x["doc_id"].cast("string")),
-                     ",").alias("doc_ids"))
-            .orderBy("lang", "seq_id"))
-
-
-register(
-    "seq_manifest",
-    _seq_manifest,
-    """
-WITH RECURSIVE toks AS (
-  SELECT lang, doc_id,
-         len(regexp_extract_all(text,
-             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))
-           AS n_tokens
-  FROM documents),
-ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
-          AS rn FROM toks),
-packed(lang, doc_id, n_tokens, rn, seq_id, seq_fill) AS (
-  SELECT lang, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
-  FROM ord WHERE rn = 1
-  UNION ALL
-  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
-         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
-              THEN p.seq_id + 1 ELSE p.seq_id END,
-         CASE WHEN p.seq_fill > 0 AND p.seq_fill + o.n_tokens > 512
-              THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
-  FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
-SELECT lang, seq_id, COUNT(*) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
-FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id
-""",
-    doc="Per-sequence roster (member docs in order, token totals) over "
-        "the greedy packing — the manifest a trainer consumes.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-source rollup (C4-style domain stats): volume, token budget, and
-# mean quality per source. quality_expr is a dirty double (deliberately
-# unrounded — see its docstring), and double→DECIMAL casts tie-break
-# differently across engines, so an explicit bround(q, 4) lands the
-# value ON a 4dp decimal first (via oracle_util.duck_bround on the
-# DuckDB side, which matches Spark's BigDecimal half-even exactly);
-# the DECIMAL(18,6) cast is then exact on both engines and the sum is
-# order-independent (functions/exact.py policy).
-# ---------------------------------------------------------------------------
-
-def _source_stats(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import BPE_ISH_PATTERN, quality_expr
-    docs = _t(spark, sf, "documents")
-    base = docs.select(
-        "source",
-        F.bround(quality_expr(F.col("text")), 4).alias("q"),
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("n_tokens"))
-    return (base.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tokens").alias("total_tokens"),
-                 (F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
-                  / F.count(F.lit(1))).alias("mean_quality"))
-            .orderBy("source"))
-
-
-register(
-    "source_stats",
-    _source_stats,
-    f"""
-WITH t AS (SELECT source, {_DUCK_TOKENS} AS tk, text FROM documents),
-q AS (SELECT source,
-  {duck_bround(_PREP_QUALITY_SQL, 4)} AS q,
-  CAST(len(regexp_extract_all(text,
-      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
-    AS BIGINT) AS n_tokens
-  FROM t)
-SELECT source, COUNT(*) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-         AS mean_quality
-FROM q GROUP BY source ORDER BY source
-""",
-    doc="Per-source volume/token/quality rollup (domain stats); exact "
-        "decimal quality sum keeps the mean order-independent.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-user behavioral feature vector (feature-store extraction): one row
-# per user with typed activity counts and value stats — single shuffle
-# on user_id, FILTER-style conditional aggs, exact decimal sums.
-# ---------------------------------------------------------------------------
-
-def _user_features(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _t(spark, sf, "events")
-    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
-    return (ev.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 cnt("view").alias("n_view"),
-                 cnt("click").alias("n_click"),
-                 cnt("purchase").alias("n_purchase"),
-                 F.sum(F.when(F.col("event_type") == "purchase",
-                              F.col("value")).cast("decimal(18,2)"))
-                  .cast("double").alias("purchase_value"),
-                 F.min("ts").alias("first_ts"),
-                 F.max("ts").alias("last_ts"))
-            .orderBy("user_id"))
-
-
-register(
-    "user_feature_vectors",
-    _user_features,
-    """
-SELECT user_id,
-       COUNT(*) AS n_events,
-       COUNT(*) FILTER (event_type = 'view') AS n_view,
-       COUNT(*) FILTER (event_type = 'click') AS n_click,
-       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
-       CAST(SUM(CAST(value AS DECIMAL(18,2)))
-            FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_value,
-       MIN(ts) AS first_ts,
-       MAX(ts) AS last_ts
-FROM events GROUP BY user_id ORDER BY user_id
-""",
-    doc="Per-user behavioral feature vector: typed counts + exact-"
-        "decimal value sums + activity span, one shuffle on user_id.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Language-ID confusion matrix: predicted vs labeled language over the
-# corpus — the heuristic's evaluation artifact (precision per cell falls
-# out of the counts).
-# ---------------------------------------------------------------------------
-
-def _langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import lang_pred_expr
-    docs = _t(spark, sf, "documents")
-    return (docs.select("lang",
-                        lang_pred_expr(F.col("text")).alias("lang_pred"))
-            .groupBy("lang", "lang_pred")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("lang", "lang_pred"))
-
-
-register(
-    "langid_confusion",
-    _langid_confusion,
-    f"""
-WITH t AS (SELECT lang, {_DUCK_TOKENS} AS tk FROM documents),
-h AS (SELECT lang, {_HIT_SQL} FROM t)
-SELECT lang, {_PRED_SQL} AS lang_pred, COUNT(*) AS n
-FROM h GROUP BY lang, lang_pred ORDER BY lang, lang_pred
-""",
-    doc="Language-ID confusion matrix (labeled vs predicted) — the "
-        "evaluation artifact for the stopword-profile heuristic.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Containment near-dup pairs: asymmetric |A∩B| / min(|A|,|B|) — catches
-# doc-inside-doc duplication (quotes, wrappers) that symmetric Jaccard
-# dilutes. Same MinHash bucket candidates, one extra projection.
-# ---------------------------------------------------------------------------
-
-def _containment(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import containment_pairs
-    return containment_pairs(_t(spark, sf, "documents"), threshold=0.5)
-
-
-register(
-    "containment_pairs",
-    _containment,
-    f"""
-WITH {_DUCK_HS},
-sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
-bands AS ({_BANDS_SQL}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM cand p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b,
-       c.c / least(sa.n, sb.n) AS containment,
-       c.c / sa.n AS containment_a,
-       c.c / sb.n AS containment_b
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE c.c / least(sa.n, sb.n) >= 0.5
-ORDER BY doc_a, doc_b
-""",
-    doc="Asymmetric containment pairs over MinHash bucket candidates — "
-        "doc-inside-doc duplication that Jaccard dilutes.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-source dedup rate: which sources contribute the duplicate mass —
-# the datasheet row that decides where to tighten crawling. One scan,
-# two combinable aggs (distinct hashes counted per source).
-# ---------------------------------------------------------------------------
-
-def _source_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import canonical_text
-    docs = _t(spark, sf, "documents")
-    base = docs.select("source",
-                       F.md5(canonical_text(F.col("text"))).alias("h"))
-    return (base.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.countDistinct("h").alias("n_unique"),
-                 ((F.count(F.lit(1)) - F.countDistinct("h"))
-                  / F.count(F.lit(1))).alias("dup_rate"))
-            .orderBy("source"))
-
-
-register(
-    "source_dup_rate",
-    _source_dup_rate,
-    """
-SELECT source,
-       COUNT(*) AS n_docs,
-       COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
-         AS n_unique,
-       (COUNT(*) - COUNT(DISTINCT
-            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))))
-         / COUNT(*) AS dup_rate
-FROM documents GROUP BY source ORDER BY source
-""",
-    doc="Per-source duplicate mass (exact-hash dup rate) — the "
-        "datasheet row that targets crawl cleanup.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Context-window chunking: fixed-size token windows with overlap — the
-# chunker that turns curated documents into training/RAG passages. Pure
-# narrow map (tokenize → sequence → slice → posexplode), zero shuffles.
-# ---------------------------------------------------------------------------
-
-_CHUNK_SIZE = 32
-_CHUNK_STEP = 24  # 8-token overlap between consecutive chunks
-
-
-def _doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import chunk_documents
-    return chunk_documents(_t(spark, sf, "documents"),
-                           chunk_size=_CHUNK_SIZE, step=_CHUNK_STEP)
-
-
-register(
-    "doc_chunks",
-    _doc_chunks,
-    f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-s AS (SELECT doc_id, tk, len(tk) AS n,
-             unnest(range(0, ((len(tk) - 1) // {_CHUNK_STEP}) + 1)) AS c
-      FROM t WHERE len(list_filter(tk, x -> x <> '')) > 0)
-SELECT doc_id,
-       CAST(c AS INT) AS chunk_id,
-       CAST(c * {_CHUNK_STEP} AS INT) AS chunk_start,
-       array_to_string(tk[c * {_CHUNK_STEP} + 1 : c * {_CHUNK_STEP} + {_CHUNK_SIZE}], ' ')
-         AS chunk_text,
-       CAST(least({_CHUNK_SIZE}, n - c * {_CHUNK_STEP}) AS INT) AS n_chunk_tokens
-FROM s
-""",
-    doc="Fixed-size token-window chunking with overlap (32-token chunks, "
-        "24-token stride) — narrow map, no shuffle, codegen-only.",
-)
-
-
-# ---------------------------------------------------------------------------
-# SemDeDup: semantic dedup bounded by k-means clusters (Abbas et al.
-# 2023). Reuses the deterministic Lloyd quantizer, so the oracle replays
-# the full chain — clustering AND survivor selection — as unrolled CTEs.
-# ---------------------------------------------------------------------------
-
-_SEMDEDUP_TAU = 0.35
-
-
-def _semdedup(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.similarity import semdedup_survivors
-    # arrow_assign: Lloyd assignment passes run the Arrow matmul gear;
-    # the oracle below still unrolls the fold-path CTEs (fold≡arrow on
-    # this data is pinned in tests/test_fuzzy_similarity.py).
-    return semdedup_survivors(_t(spark, sf, "embeddings"),
-                              threshold=_SEMDEDUP_TAU, n_cells=10, n_iter=3,
-                              arrow_assign=True, arrow_pairs=True)
-
-
-def _semdedup_oracle(threshold: float, n_cells: int = 10,
-                     n_iter: int = 3) -> str:
-    ctes, final = _duck_lloyd_ctes(n_cells, n_iter)
-    cos = (f"{_duck_dot('a.embedding', 'b.embedding')} / "
-           f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "
-           f"sqrt({_duck_dot('b.embedding', 'b.embedding')}))")
-    return ("WITH " + ",\n".join(ctes) + f""",
-drops AS (
-  SELECT DISTINCT b.vec_id AS drop_id
-  FROM {final} a JOIN {final} b
-    ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {cos} >= {threshold})
-SELECT f.vec_id, f.cell FROM {final} f
-WHERE f.vec_id NOT IN (SELECT drop_id FROM drops)
-ORDER BY f.vec_id
-""")
-
-
-register(
-    "semdedup_survivors",
-    _semdedup,
-    _semdedup_oracle(_SEMDEDUP_TAU),
-    doc="SemDeDup semantic dedup: within each deterministic k-means "
-        "cluster, drop vectors with a lower-id neighbor above cosine "
-        "0.35 — pair generation bounded by Σ cell², one cell-key "
-        "shuffle, never n²; the oracle unrolls Lloyd + survivor "
-        "selection as CTEs for a full value hash.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Z-order layout manifest: Morton-interleave (custkey, order-day) and
-# roll up per-file-bucket min/max ranges — the data-skipping index a
-# lake write would persist. Narrow bit arithmetic + one agg shuffle.
-# ---------------------------------------------------------------------------
-
-def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.layout import minmax_scaled, zorder_key
-    o = _t(spark, sf, "orders")
-    x = F.col("o_custkey")
-    y = F.datediff(F.col("o_orderdate"),
-                   F.lit("1995-01-01").cast("date")).cast("int")
-    # column stats for equal-width scaling — the same 1-row collect an
-    # OPTIMIZE ZORDER pass does; the oracle derives identical values
-    # via scalar subqueries.
-    st = o.agg(F.min(x), F.max(x), F.min(y), F.max(y)).collect()[0]
-    z = zorder_key(minmax_scaled(x, st[0], st[1], 16),
-                   minmax_scaled(y, st[2], st[3], 16), bits=16)
-    return (o.select(z.alias("zkey"), x.alias("ck"), y.alias("dy"))
-             .groupBy(F.shiftright(F.col("zkey"), 26).alias("file_bucket"))
-             .agg(F.count(F.lit(1)).alias("n_rows"),
-                  F.min("ck").alias("custkey_min"),
-                  F.max("ck").alias("custkey_max"),
-                  F.min("dy").alias("day_min"),
-                  F.max("dy").alias("day_max"))
-             .orderBy("file_bucket"))
-
-
-def _zorder_oracle() -> str:
-    from .operators.layout import duck_minmax_scaled, duck_zorder_key
-    y = "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)"
-    xs = duck_minmax_scaled(
-        "o_custkey",
-        "(SELECT MIN(o_custkey) FROM orders)",
-        "(SELECT MAX(o_custkey) FROM orders)", 16)
-    ys = duck_minmax_scaled(
-        y,
-        f"(SELECT MIN({y}) FROM orders)",
-        f"(SELECT MAX({y}) FROM orders)", 16)
-    z = duck_zorder_key(xs, ys, bits=16)
-    return f"""
-SELECT ({z} >> 26) AS file_bucket,
-       COUNT(*) AS n_rows,
-       MIN(o_custkey) AS custkey_min,
-       MAX(o_custkey) AS custkey_max,
-       MIN({y}) AS day_min,
-       MAX({y}) AS day_max
-FROM orders
-GROUP BY 1 ORDER BY 1
-"""
-
-
-register(
-    "zorder_layout",
-    _zorder_layout,
-    _zorder_oracle(),
-    doc="Z-order (Morton) clustering manifest over (o_custkey, "
-        "order-day): per-bucket min/max ranges stay narrow in BOTH "
-        "dimensions, which is exactly the file-skipping property a "
-        "lakehouse write on repartitionByRange(zkey) buys. Bit-exact "
-        "key twin on both engines.",
-)
-
-
-# ---------------------------------------------------------------------------
-# BPE vocabulary learning (Sennrich et al. 2016): corpus → word-frequency
-# table (one shuffle, the only corpus touch) → n merge rounds on the
-# vocab-sized table. Oracle unrolls every round as CTEs.
-# ---------------------------------------------------------------------------
-
-_BPE_MERGES = 6
-
-
-def _bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.bpe import bpe_learn
-    return bpe_learn(_t(spark, sf, "documents"), n_merges=_BPE_MERGES)
-
-
-def _bpe_oracle() -> str:
-    from .operators.bpe import duck_bpe_sql
-    return duck_bpe_sql(_BPE_MERGES, duck_tokens=_DUCK_TOKENS)
-
-
-register(
-    "bpe_merges",
-    _bpe_merges,
-    _bpe_oracle(),
-    doc="Distributed BPE tokenizer training: 6 merge rounds over the "
-        "word-frequency table (corpus scanned once; rounds are "
-        "vocab-sized). Deterministic argmax tie-break and two-pass "
-        "replace merge give bit-identical merge tables on both engines.",
-)
-
-
-# ---------------------------------------------------------------------------
-# DSIR importance weights: rate every document by target-vs-raw unigram
-# likelihood (target = English subcorpus). Log-free exact arithmetic —
-# see operators.text.dsir_importance_weights.
-# ---------------------------------------------------------------------------
-
-_DSIR_K = 32
-
-
-def _dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import dsir_importance_weights
-    return dsir_importance_weights(_t(spark, sf, "documents"),
-                                   target=F.col("lang") == "en", k=_DSIR_K)
-
-
-register(
-    "dsir_weights",
-    _dsir_weights,
-    f"""
-WITH base AS (
-  SELECT doc_id, {_DUCK_TOKENS} AS tk, (lang = 'en') AS is_t
-  FROM documents WHERE len({_DUCK_TOKENS}) > 0),
-alltok AS (SELECT unnest(tk) AS w, is_t FROM base),
-cr AS (SELECT w, COUNT(*) AS cr FROM alltok GROUP BY w),
-ct AS (SELECT w, COUNT(*) AS ct FROM alltok WHERE is_t GROUP BY w),
-scal AS (SELECT COUNT(*) AS nr,
-                SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
-                COUNT(DISTINCT w) AS v
-         FROM alltok),
-tok AS (SELECT doc_id,
-               unnest(range(1, least(len(tk), {_DSIR_K}) + 1)) AS pos,
-               unnest(tk[1 : {_DSIR_K}]) AS w
-        FROM base),
-rat AS (
-  SELECT t.doc_id, t.pos,
-         (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
-          * CAST(s.nr + s.v AS DOUBLE))
-         / (CAST(s.nt + s.v AS DOUBLE) * CAST(cr.cr + 1 AS DOUBLE)) AS r
-  FROM tok t JOIN cr ON cr.w = t.w
-  LEFT JOIN ct ON ct.w = t.w
-  CROSS JOIN scal s)
-SELECT doc_id,
-       CAST(COUNT(*) AS INT) AS n_scored,
-       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
-                                list(r ORDER BY pos)),
-                   (a, b) -> a * b) AS dsir_weight
-FROM rat GROUP BY doc_id ORDER BY doc_id
-""",
-    doc="DSIR data-selection importance weights (unigram, add-1 "
-        "smoothed, target = lang='en'): position-ordered exact product "
-        "over the first 32 tokens — log-free, so bit-identical across "
-        "engines.",
-)
-
-
-def _bpe_token_budget(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.bpe import bpe_encode_counts
-    return bpe_encode_counts(_t(spark, sf, "documents"),
-                             n_merges=_BPE_MERGES)
-
-
-def _bpe_encode_oracle() -> str:
-    from .operators.bpe import duck_bpe_encode_sql
-    return duck_bpe_encode_sql(_BPE_MERGES, duck_tokens=_DUCK_TOKENS)
-
-
-register(
-    "bpe_token_budget",
-    _bpe_token_budget,
-    _bpe_encode_oracle(),
-    doc="BPE encode side: apply the corpus's learned merges back to it "
-        "— per-document whitespace vs BPE token budgets via a "
-        "vocab-sized symbol table (broadcast join), one corpus explode, "
-        "one combinable agg.",
-)
-
-
-def _frame_schedule(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.multimodal import frame_sample_schedule
-    return frame_sample_schedule(attach_binary(_t(spark, sf, "documents")))
-
-
-register(
-    "multimodal_frame_schedule",
-    _frame_schedule,
-    """
-WITH b AS (SELECT doc_id,
-                  CAST(octet_length(encode(text)) * 10 AS INT)
-                    AS duration_ms
-           FROM documents),
-s AS (SELECT doc_id, duration_ms,
-             least(8, CAST(ceil(CAST(duration_ms AS DOUBLE) / 1000)
-                           AS BIGINT)) AS n
-      FROM b)
-SELECT doc_id, duration_ms,
-       CAST(n AS INT) AS n_frames,
-       CAST(unnest(range(0, n)) AS INT) AS frame_idx,
-       unnest(range(0, n)) * 1000 AS sample_ms
-FROM s WHERE n > 0
-""",
-    doc="Deterministic frame-sampling schedule (1 frame/s, cap 8) from "
-        "typed media metadata — the planning half of frame extraction; "
-        "decode stays behind the mapInPandas seam.",
-)
-
-
-def _semdedup_diverse(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.similarity import semdedup_survivors_diverse
-    return semdedup_survivors_diverse(_t(spark, sf, "embeddings"),
-                                      threshold=_SEMDEDUP_TAU,
-                                      n_cells=10, n_iter=3,
-                                      arrow_assign=True, arrow_pairs=True)
-
-
-def _semdedup_diverse_oracle(threshold: float, n_cells: int = 10,
-                             n_iter: int = 3) -> str:
-    ctes, final = _duck_lloyd_ctes(n_cells, n_iter)
-    ccos = (f"{_duck_dot('a.embedding', 'c.centroid')} / "
-            f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "
-            f"sqrt({_duck_dot('c.centroid', 'c.centroid')}))")
-    cos_ab = (f"{_duck_dot('a.embedding', 'b.embedding')} / "
-              f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "
-              f"sqrt({_duck_dot('b.embedding', 'b.embedding')}))")
-    return ("WITH " + ",\n".join(ctes) + f""",
-centf AS (SELECT * FROM {_duck_cent_from(final)}),
-cc AS (
-  SELECT a.vec_id, a.embedding, a.cell, {ccos} AS ccos
-  FROM {final} a JOIN centf c ON c.cell = a.cell),
-rk AS (
-  SELECT vec_id, embedding, cell,
-         ROW_NUMBER() OVER (PARTITION BY cell
-                            ORDER BY ccos ASC, vec_id ASC) AS rnk
-  FROM cc),
-drops AS (
-  SELECT DISTINCT b.vec_id AS d
-  FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk
-  WHERE {cos_ab} >= {threshold})
-SELECT vec_id, cell FROM rk
-WHERE vec_id NOT IN (SELECT d FROM drops)
-ORDER BY vec_id
-""")
-
-
-register(
-    "semdedup_diverse",
-    _semdedup_diverse,
-    _semdedup_diverse_oracle(_SEMDEDUP_TAU),
-    doc="SemDeDup with the paper's keep policy: within each duplicate "
-        "neighborhood the member FARTHEST from its cluster centroid "
-        "survives (diversity-preserving), via a per-cell (centroid "
-        "cosine, id) rank. Full unrolled-CTE oracle over Lloyd + "
-        "centroids + ranking + drops.",
-)
-
-
-def _zorder_layout3(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.layout import minmax_scaled, zorder_key_n
-    o = _t(spark, sf, "orders")
-    x = F.col("o_custkey")
-    y = F.datediff(F.col("o_orderdate"),
-                   F.lit("1995-01-01").cast("date")).cast("int")
-    # integer cents via floor (NOT a bare cast: Spark casts truncate
-    # where DuckDB casts round — floor first is identical on both)
-    p = F.floor(F.col("o_totalprice") * 100).cast("long")
-    st = o.agg(F.min(x), F.max(x), F.min(y), F.max(y),
-               F.min(p), F.max(p)).collect()[0]
-    z = zorder_key_n([minmax_scaled(x, st[0], st[1], 16),
-                      minmax_scaled(y, st[2], st[3], 16),
-                      minmax_scaled(p, st[4], st[5], 16)], bits=16)
-    return (o.select(z.alias("zkey"), x.alias("ck"), y.alias("dy"),
-                     p.alias("cents"))
-             .groupBy(F.shiftright(F.col("zkey"), 42).alias("file_bucket"))
-             .agg(F.count(F.lit(1)).alias("n_rows"),
-                  F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
-                  F.min("dy").alias("day_min"), F.max("dy").alias("day_max"),
-                  F.min("cents").alias("cents_min"),
-                  F.max("cents").alias("cents_max"))
-             .orderBy("file_bucket"))
-
-
-def _zorder3_oracle() -> str:
-    from .operators.layout import duck_minmax_scaled
-    y = "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)"
-    p = "CAST(floor(o_totalprice * 100) AS BIGINT)"
-    xs = duck_minmax_scaled("o_custkey",
-                            "(SELECT MIN(o_custkey) FROM orders)",
-                            "(SELECT MAX(o_custkey) FROM orders)", 16)
-    ys = duck_minmax_scaled(y, f"(SELECT MIN({y}) FROM orders)",
-                            f"(SELECT MAX({y}) FROM orders)", 16)
-    ps = duck_minmax_scaled(p, f"(SELECT MIN({p}) FROM orders)",
-                            f"(SELECT MAX({p}) FROM orders)", 16)
-    terms = []
-    for j, s in enumerate((xs, ys, ps)):
-        for i in range(16):
-            terms.append(f"(((({s}) >> {i}) & 1) << {3 * i + j})")
-    z = "(" + " | ".join(terms) + ")"
-    return f"""
-SELECT ({z} >> 42) AS file_bucket,
-       COUNT(*) AS n_rows,
-       MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
-       MIN({y}) AS day_min, MAX({y}) AS day_max,
-       MIN({p}) AS cents_min, MAX({p}) AS cents_max
-FROM orders
-GROUP BY 1 ORDER BY 1
-"""
-
-
-register(
-    "zorder_layout3",
-    _zorder_layout3,
-    _zorder3_oracle(),
-    doc="Three-dimensional Morton layout manifest over (custkey, "
-        "order-day, price-cents): key bits cycle through all three "
-        "dims, so coarse buckets rectangle every dimension — min/max "
-        "pruning works for predicates on any of the three.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-user anomaly screen: z-score outliers over event values. Variance
-# comes from exact DECIMAL sums (count / sum / sum-of-squares are
-# partition-independent), then one fixed double formula — so the flagged
-# SET is bit-reproducible, unlike a naive stddev_samp whose float
-# reduction order varies with partitioning.
-# ---------------------------------------------------------------------------
-
-def _events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _t(spark, sf, "events")
-    d = F.col("value").cast("decimal(18,2)")
-    stats = (ev.groupBy("user_id")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.sum(d).alias("s1"),
-                    F.sum(d * d).alias("s2")))
-    j = ev.join(stats, "user_id")
-    s1d = F.col("s1").cast("double")
-    s2d = F.col("s2").cast("double")
-    mean = s1d / F.col("n")
-    var = (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
-    z = (F.col("value") - mean) / F.sqrt(var)
-    return (j.filter((F.col("n") >= 2) & (var > 0))
-             .select("event_id", "user_id", "value", z.alias("z"))
-             .filter(F.abs(F.col("z")) > 3)
-             .orderBy("event_id"))
-
-
-register(
-    "events_anomaly_zscore",
-    _events_anomaly,
-    """
-WITH st AS (
-  SELECT user_id, COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,2))) AS s1,
-         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
-           AS s2
-  FROM events GROUP BY user_id)
-SELECT event_id, user_id, value,
-       (value - CAST(s1 AS DOUBLE) / n)
-         / sqrt((CAST(s2 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
-         AS z
-FROM events JOIN st USING (user_id)
-WHERE n >= 2
-  AND (CAST(s2 AS DOUBLE)
-       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0
-  AND abs((value - CAST(s1 AS DOUBLE) / n)
-          / sqrt((CAST(s2 AS DOUBLE)
-                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                 / (n - 1))) > 3
-ORDER BY event_id
-""",
-    doc="Per-user z-score anomaly screen over event values; variance "
-        "from exact DECIMAL count/sum/sum-of-squares then one fixed "
-        "double formula, so the flagged set is partition-independent.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Join-key skew diagnostics: the report an engineer reads BEFORE
-# choosing broadcast / AQE skew-join / manual salting. One combinable
-# count per key column, then tiny per-key-column stats.
-# ---------------------------------------------------------------------------
-
-_SKEW_KEYS = [
-    ("lineitem", "l_orderkey"),
-    ("lineitem", "l_partkey"),
-    ("lineitem", "l_suppkey"),
-    ("orders", "o_custkey"),
-    ("events", "user_id"),
-]
-
-
-def _join_skew_report(spark: SparkSession, sf: str) -> DataFrame:
-    out = None
-    for table, key in _SKEW_KEYS:
-        t = _t(spark, sf, table)
-        per_key = t.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("c"))
-        row = per_key.agg(
-            F.lit(f"{table}.{key}").alias("join_key"),
-            F.sum("c").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_keys"),
-            F.max("c").alias("max_key_rows"),
-            # hot-key share and skew factor from exact integer counts;
-            # single double division each → deterministic
-            (F.max("c").cast("double") / F.sum("c")).alias("hot_share"),
-            (F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"))
-             .alias("skew_factor"))
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("join_key")
-
-
-_SKEW_SQL = "\nUNION ALL\n".join(f"""
-SELECT '{table}.{key}' AS join_key,
-       CAST(SUM(c) AS BIGINT) AS n_rows,
-       COUNT(*) AS n_keys,
-       CAST(MAX(c) AS BIGINT) AS max_key_rows,
-       CAST(MAX(c) AS DOUBLE) / SUM(c) AS hot_share,
-       CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_factor
-FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY {key})"""
-                                 for table, key in _SKEW_KEYS)
-
-register(
-    "join_skew_report",
-    _join_skew_report,
-    _SKEW_SQL + "\nORDER BY join_key",
-    doc="Per-join-key skew report (rows, keys, hottest key, skew "
-        "factor = max/avg) — the numbers that pick broadcast vs AQE "
-        "skew-join vs manual salting.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Dedup threshold-selection curve: pairs and affected docs at each
-# candidate Jaccard cut — the plot a curator reads to pick the dedup
-# threshold. One banded candidate pass, then tiny per-threshold counts.
-# ---------------------------------------------------------------------------
-
-_CURVE_THRESHOLDS = (0.2, 0.35, 0.5, 0.65, 0.8)
-
-
-def _dedup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
-    # all banded candidates with exact Jaccard (threshold 0 keeps every
-    # candidate; the LSH banding already bounds the set)
-    pairs = minhash_dedup_pairs(_t(spark, sf, "documents"),
-                                threshold=0.0).localCheckpoint(eager=True)
-    out = None
-    for t in _CURVE_THRESHOLDS:
-        hit = pairs.filter(F.col("jaccard") >= t)
-        row = hit.agg(
-            F.lit(t).alias("threshold"),
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct(F.col("doc_a")).alias("n_docs_a"))
-        docs = (hit.select(F.col("doc_a").alias("d"))
-                   .unionAll(hit.select(F.col("doc_b").alias("d")))
-                   .agg(F.countDistinct("d").alias("n_docs_affected")))
-        row = row.crossJoin(docs)
-        out = row if out is None else out.unionByName(row)
-    return out.select("threshold", "n_pairs", "n_docs_affected") \
-              .orderBy("threshold")
-
-
-_CURVE_BASE = f"""
-WITH {_DUCK_HS},
-sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
-bands AS ({_BANDS_SQL}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM cand p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2),
-jac AS (
-  SELECT c.doc_a, c.doc_b, c.c / (sa.n + sb.n - c.c) AS jaccard
-  FROM common c
-  JOIN sizes sa ON sa.doc_id = c.doc_a
-  JOIN sizes sb ON sb.doc_id = c.doc_b)
-"""
-
-_CURVE_ROWS = "\nUNION ALL\n".join(f"""
-SELECT CAST({t} AS DOUBLE) AS threshold,
-       COUNT(*) AS n_pairs,
-       (SELECT COUNT(DISTINCT d) FROM (
-          SELECT doc_a AS d FROM jac WHERE jaccard >= {t}
-          UNION ALL SELECT doc_b FROM jac WHERE jaccard >= {t}))
-         AS n_docs_affected
-FROM jac WHERE jaccard >= {t}""" for t in _CURVE_THRESHOLDS)
-
-register(
-    "dedup_threshold_curve",
-    _dedup_threshold_curve,
-    _CURVE_BASE + _CURVE_ROWS + "\nORDER BY threshold",
-    doc="Dedup threshold-selection curve over LSH candidates: pairs and "
-        "affected docs at each Jaccard cut — one banded candidate pass, "
-        "per-threshold counts are tiny aggregates.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-doc label/prediction language mismatches — the actionable worklist
-# behind langid_confusion's aggregate matrix.
-# ---------------------------------------------------------------------------
-
-def _lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import lang_pred_expr
-    docs = _t(spark, sf, "documents")
-    return (docs.select("doc_id", "lang", "source",
-                        lang_pred_expr(F.col("text")).alias("lang_pred"))
-                .filter(F.col("lang_pred") != F.col("lang"))
-                .orderBy("doc_id"))
-
-
-register(
-    "doc_lang_mismatch",
-    _lang_mismatch,
-    f"""
-WITH t AS (SELECT doc_id, lang, source, {_DUCK_TOKENS} AS tk
-           FROM documents),
-h AS (SELECT doc_id, lang, source, {_HIT_SQL} FROM t)
-SELECT doc_id, lang, source, {_PRED_SQL} AS lang_pred
-FROM h
-WHERE {_PRED_SQL} != lang
-ORDER BY doc_id
-""",
-    doc="Per-document language label/prediction mismatches with source "
-        "attribution — the relabeling worklist behind langid_confusion.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Token-balanced output sharding: round-robin docs (longest first) over
-# N shards so per-shard token totals stay within a few percent — the
-# deterministic writer layout for even training files.
-# ---------------------------------------------------------------------------
-
-_N_SHARDS = 8
-
-
-def _shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup import add_row_id
-    from .operators.text import BPE_ISH_PATTERN
-    docs = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("n_tokens"))
-    # Global rank via the two-pass range-partitioned row id (W4's
-    # machinery) instead of a single-task global window — same
-    # deterministic (n_tokens DESC, doc_id ASC) order, corpus-scalable.
-    ranked = (add_row_id(docs, [F.col("n_tokens").desc(),
-                                F.col("doc_id").asc()], name="_r0")
-              .withColumn("rn", (F.col("_r0") + 1).cast("int"))
-              .drop("_r0"))
-    # boustrophedon (snake) round-robin: longest docs spread first, each
-    # pass reverses direction so early shards don't accumulate the heavy
-    # head of every pass
-    pass_no = ((F.col("rn") - 1) / _N_SHARDS).cast("long")
-    pos = (F.col("rn") - 1) % _N_SHARDS
-    shard = F.when(pass_no % 2 == 0, pos).otherwise(_N_SHARDS - 1 - pos)
-    return (ranked.select("doc_id", "n_tokens",
-                          shard.cast("int").alias("shard"))
-                  .orderBy("doc_id"))
-
-
-register(
-    "shard_assignment",
-    _shard_assignment,
-    f"""
-WITH t AS (
-  SELECT doc_id,
-         len(regexp_extract_all(text,
-             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
-           AS n_tokens
-  FROM documents),
-r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
-      FROM t)
-SELECT doc_id, n_tokens,
-       CAST(CASE WHEN ((rn - 1) // {_N_SHARDS}) % 2 = 0
-                 THEN (rn - 1) % {_N_SHARDS}
-                 ELSE {_N_SHARDS} - 1 - ((rn - 1) % {_N_SHARDS}) END
-            AS INT) AS shard
-FROM r ORDER BY doc_id
-""",
-    doc="Token-balanced snake round-robin shard assignment (8 shards, "
-        "longest-first) — deterministic near-equal shard token totals "
-        "for even training files. The global rank is the only wide op; "
-        "at real scale assign within hash-partitioned substreams.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Repeat high-spenders: customers above the yearly average in two
-# CONSECUTIVE years — the TPC-DS-style retention/value pattern (yearly
-# agg, per-year benchmark join, adjacent-year self-join).
-# ---------------------------------------------------------------------------
-
-def _repeat_high_spenders(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    yearly = (o.groupBy(F.col("o_custkey").alias("custkey"),
-                        F.year("o_orderdate").alias("yr"))
-               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                     .alias("spend")))
-    bench = (yearly.groupBy("yr")
-                   .agg(F.sum("spend").alias("total_spend"),
-                        F.count(F.lit(1)).alias("n_customers")))
-    # "above the yearly average" via cross-multiplication — spend *
-    # n_customers > total_spend — so the predicate is exact decimal ×
-    # integer arithmetic. A division here would be DECIMAL in Spark but
-    # DOUBLE in DuckDB, and a customer within rounding distance of the
-    # average could flip membership between engines.
-    hi = (yearly.join(bench, "yr")
-                .filter(F.col("spend")
-                        * F.col("n_customers").cast("decimal(10,0)")
-                        > F.col("total_spend"))
-                .select("custkey", "yr"))
-    a = hi.alias("a")
-    b = hi.alias("b")
-    return (a.join(b, (F.col("a.custkey") == F.col("b.custkey"))
-                   & (F.col("b.yr") == F.col("a.yr") + 1))
-             .select(F.col("a.custkey").alias("custkey"),
-                     F.col("a.yr").alias("first_year"))
-             .orderBy("custkey", "first_year"))
-
-
-register(
-    "repeat_high_spenders",
-    _repeat_high_spenders,
-    """
-WITH yearly AS (
-  SELECT o_custkey AS custkey, EXTRACT(year FROM o_orderdate) AS yr,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-  FROM orders GROUP BY 1, 2),
-bench AS (SELECT yr, SUM(spend) AS total_spend,
-                 COUNT(*) AS n_customers
-          FROM yearly GROUP BY yr),
-hi AS (SELECT custkey, yr FROM yearly JOIN bench USING (yr)
-       WHERE spend * CAST(n_customers AS DECIMAL(10,0)) > total_spend)
-SELECT a.custkey AS custkey, CAST(a.yr AS INT) AS first_year
-FROM hi a JOIN hi b ON b.custkey = a.custkey AND b.yr = a.yr + 1
-ORDER BY a.custkey, first_year
-""",
-    doc="Customers above the yearly average spend in two consecutive "
-        "years (yearly agg -> benchmark join -> adjacent-year self-join).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Order fulfillment lag: days from order date to FIRST line shipment,
-# rolled up per priority — min-agg join + exact integer-day averages.
-# ---------------------------------------------------------------------------
-
-def _fulfillment_lag(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    first_ship = (li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
-                    .agg(F.min("l_shipdate").alias("first_ship")))
-    lag = (o.join(first_ship, "o_orderkey")
-             .select("o_orderpriority",
-                     F.datediff(F.col("first_ship"),
-                                F.col("o_orderdate")).alias("lag_days")))
-    return (lag.groupBy("o_orderpriority")
-               .agg(F.count(F.lit(1)).alias("n_orders"),
-                    F.min("lag_days").alias("min_days"),
-                    F.max("lag_days").alias("max_days"),
-                    (F.sum("lag_days").cast("double")
-                     / F.count(F.lit(1))).alias("avg_days"))
-               .orderBy("o_orderpriority"))
-
-
-register(
-    "order_fulfillment_lag",
-    _fulfillment_lag,
-    """
-WITH fs AS (
-  SELECT l_orderkey AS o_orderkey, MIN(l_shipdate) AS first_ship
-  FROM lineitem GROUP BY 1)
-SELECT o_orderpriority,
-       COUNT(*) AS n_orders,
-       CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
-                          CAST(first_ship AS DATE))) AS INT) AS min_days,
-       CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
-                          CAST(first_ship AS DATE))) AS INT) AS max_days,
-       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
-                          CAST(first_ship AS DATE))) AS DOUBLE) / COUNT(*)
-         AS avg_days
-FROM orders JOIN fs USING (o_orderkey)
-GROUP BY o_orderpriority ORDER BY o_orderpriority
-""",
-    doc="Days from order to first shipment per priority — min-agg join "
-        "plus exact integer-day averages (one double division).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Discount-band revenue: disjoint CASE banding + exact decimal revenue —
-# the pricing-analytics rollup (a Q6 generalization over all bands).
-# ---------------------------------------------------------------------------
-
-def _discount_band_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    li = _t(spark, sf, "lineitem")
-    band = (F.when(F.col("l_discount") < 0.03, "00-02")
-             .when(F.col("l_discount") < 0.06, "03-05")
-             .when(F.col("l_discount") < 0.09, "06-08")
-             .otherwise("09+"))
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1).cast("decimal(18,2)")
-              - F.col("l_discount").cast("decimal(18,2)")))
-    return (li.groupBy(band.alias("discount_band"))
-              .agg(F.count(F.lit(1)).alias("n_items"),
-                   # Accumulate exact decimal, publish DOUBLE: the r06
-                   # canary pair proved even int64-backed DECIMAL
-                   # publication hash-diverges in the driver harness, so
-                   # published schemas carry no DECIMAL at all
-                   # (decimal→double is a correctly-rounded, deterministic
-                   # cast on both engines).
-                   F.sum(rev).cast("double").alias("revenue"),
-                   (F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                     .cast("double") / F.count(F.lit(1))).alias("avg_qty"))
-              .orderBy("discount_band"))
-
-
-register(
-    "discount_band_revenue",
-    _discount_band_revenue,
-    """
-SELECT CASE WHEN l_discount < 0.03 THEN '00-02'
-            WHEN l_discount < 0.06 THEN '03-05'
-            WHEN l_discount < 0.09 THEN '06-08'
-            ELSE '09+' END AS discount_band,
-       COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2))
-                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-         AS avg_qty
-FROM lineitem
-GROUP BY 1 ORDER BY 1
-""",
-    doc="Revenue and volume per discount band — disjoint CASE banding, "
-        "exact decimal accumulation (a Q6 generalization).",
-)
-
-
-# ---------------------------------------------------------------------------
-# RFM customer segmentation: recency / frequency / monetary with
-# deterministic rank-based quintiles (id tie-break, so NTILE agrees
-# across engines and partitionings).
-# ---------------------------------------------------------------------------
-
-def _ntile5_expr(rank: str, n: int) -> str:
-    """NTILE(5) bucket of 1-based ``rank`` over ``n`` rows, as integer
-    arithmetic: the first n%5 buckets take ceil(n/5) rows, the rest
-    floor(n/5) — exactly SQL NTILE semantics, no window required."""
-    q, rem = n // 5, n % 5
-    big = rem * (q + 1)
-    safe_q = max(q, 1)  # q=0 → every row lands in the WHEN branch
-    return (f"CAST(CASE WHEN {rank} <= {big} "
-            f"THEN ({rank} + {q}) div {q + 1} "
-            f"ELSE {rem} + (({rank} - {big} + {safe_q - 1}) div {safe_q}) "
-            f"END AS INT)")
-
-
-def _customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup import add_row_id
-
-    o = _t(spark, sf, "orders")
-    asof = o.agg(F.max("o_orderdate").alias("asof")).collect()[0]["asof"]
-    base = (o.groupBy(F.col("o_custkey").alias("custkey"))
-             .agg(F.datediff(F.lit(asof).cast("date"),
-                             F.max(F.col("o_orderdate")).cast("date"))
-                   .alias("recency_days"),
-                  F.count(F.lit(1)).alias("frequency"),
-                  # Accumulate exact decimal, publish DOUBLE: the r06
-                  # canary pair showed BOTH decimal widths hash-red in
-                  # the driver harness, so published schemas carry no
-                  # DECIMAL anywhere (tests/test_registry_types.py
-                  # enforces this). decimal(18,2)→double is the nearest
-                  # double to the exact 2-dp value on both engines —
-                  # deterministic, so the hash still certifies equality.
-                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                   .cast("double").alias("monetary")))
-    # Quintiles need three GLOBAL ranks; a plain NTILE window moves the
-    # whole customer table to one task (WindowExec warns exactly that).
-    # Instead: the two-pass range-partitioned row id (W4 machinery, same
-    # as shard_assignment) per dimension, then NTILE arithmetic from the
-    # rank — identical buckets, no single-partition stage. The customer
-    # count is one scalar collect (same class as the asof date above).
-    base = base.localCheckpoint(eager=True)  # feeds 3 rank passes + join
-    n = base.count()
-    dims = {
-        "r_quintile": [F.asc("recency_days"), F.asc("custkey")],
-        "f_quintile": [F.desc("frequency"), F.asc("custkey")],
-        "m_quintile": [F.desc("monetary"), F.asc("custkey")],
-    }
-    out = base
-    for col, order in dims.items():
-        ranked = (add_row_id(base, order, name="_rk")
-                  .select("custkey", F.expr(_ntile5_expr("(_rk + 1)", n))
-                          .alias(col)))
-        out = out.join(ranked, "custkey")
-    return (out.select("custkey", "recency_days", "frequency", "monetary",
-                       "r_quintile", "f_quintile", "m_quintile",
-                       F.concat_ws("-", "r_quintile", "f_quintile",
-                                   "m_quintile").alias("rfm_segment"))
-               .orderBy("custkey"))
-
-
-register(
-    "customer_rfm",
-    _customer_rfm,
-    """
-WITH base AS (
-  SELECT o_custkey AS custkey,
-         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
-                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
-           AS recency_days,
-         COUNT(*) AS frequency,
-         -- exact decimal accumulation, DOUBLE publication (no DECIMAL
-         -- in any published schema — r06 canary evidence)
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-              AS DOUBLE) AS monetary
-  FROM orders GROUP BY o_custkey)
-SELECT custkey, CAST(recency_days AS INT) AS recency_days, frequency,
-       monetary,
-       CAST(NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS INT)
-         AS r_quintile,
-       CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS INT)
-         AS f_quintile,
-       CAST(NTILE(5) OVER (ORDER BY monetary DESC, custkey ASC) AS INT)
-         AS m_quintile,
-       CAST(NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC)
-            AS VARCHAR)
-         || '-' ||
-       CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC)
-            AS VARCHAR)
-         || '-' ||
-       CAST(NTILE(5) OVER (ORDER BY monetary DESC, custkey ASC)
-            AS VARCHAR) AS rfm_segment
-FROM base ORDER BY custkey
-""",
-    doc="RFM segmentation with deterministic rank-based quintiles (id "
-        "tie-break) — recency vs the corpus max date, exact decimal "
-        "monetary. The global NTILEs run over the |customers| aggregate, "
-        "not the fact table; at extreme scale swap in percent_rank over "
-        "range-partitioned sorts.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Decimal-publication canary post-mortem (r06, canaries since retired).
-#
-# The r06 canary pair published IDENTICAL per-status order totals at
-# DECIMAL(18,2) (int64-backed) and DECIMAL(28,2) (int128-backed). BOTH
-# came back hash-red with rows/schema green and locally bit-exact values
-# (tools/check_parity.py, type-strict) — falsifying the earlier "int128
-# only" theory: the driver harness's value hash diverges on DECIMAL
-# publication at ANY width, at least over `o_totalprice` aggregates.
-# Engine arithmetic was never wrong in any mode.
-#
-# Standing policy (enforced by tests/test_registry_types.py): published
-# schemas carry NO DECIMAL columns. Money/total columns accumulate in
-# exact decimal internally and publish as DOUBLE (the correctly-rounded
-# decimal→double cast is deterministic and identical on Spark and
-# DuckDB, so the hash still certifies value equality) or as BIGINT
-# cents. The canary queries themselves are retired — their question is
-# answered and an expected-red query would waste a driver window slot.
-# ---------------------------------------------------------------------------
-
-
-# ---------------------------------------------------------------------------
-# Near-dup cluster-size distribution: the dup-structure datasheet row —
-# how many singletons vs pairs vs larger cliques, and the heaviest
-# cluster. Tiny aggregate on top of the shared closure.
-# ---------------------------------------------------------------------------
-
-def _cluster_size_distribution(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import cluster_assignment
-    docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.2)
-    sizes = (cluster_assignment(docs, pairs)
-             .groupBy("cluster_id")
-             .agg(F.count(F.lit(1)).alias("cluster_size")))
-    return (sizes.groupBy("cluster_size")
-                 .agg(F.count(F.lit(1)).alias("n_clusters"),
-                      (F.count(F.lit(1)) * F.col("cluster_size"))
-                       .alias("n_docs"))
-                 .orderBy("cluster_size"))
-
-
-register(
-    "neardup_cluster_sizes",
-    _cluster_size_distribution,
-    f"""{_NEARDUP_CLOSURE_SQL},
-csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
-           FROM assigned GROUP BY 1)
-SELECT cluster_size,
-       COUNT(*) AS n_clusters,
-       COUNT(*) * cluster_size AS n_docs
-FROM csizes GROUP BY cluster_size ORDER BY cluster_size
-""",
-    doc="Distribution of near-dup cluster sizes (singletons, pairs, "
-        "larger cliques, with doc mass per size) — the dup-structure "
-        "datasheet; same closure oracle as neardup_clusters.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Duplicate n-gram exposure (Lee et al. 2022): per-doc fraction of
-# distinct 3-gram shingles occurring in >= 2 documents — the
-# memorization-risk datasheet column that pairwise near-dup misses for
-# boilerplate spread thinly across many partners.
-# ---------------------------------------------------------------------------
-
-def _dup_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import duplicate_ngram_stats
-    return duplicate_ngram_stats(_t(spark, sf, "documents"))
-
-
-register(
-    "dup_ngram_rate",
-    _dup_ngram_stats,
-    f"""
-WITH {_DUCK_HS},
-dfq AS (SELECT h, COUNT(*) AS _df FROM hs GROUP BY h)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-       CAST(SUM(CASE WHEN _df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dup_ngrams,
-       CAST(SUM(CASE WHEN _df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         / CAST(COUNT(*) AS BIGINT) AS dup_ngram_rate
-FROM hs JOIN dfq USING (h)
-GROUP BY doc_id ORDER BY doc_id
-""",
-    doc="Per-document duplicate n-gram rate (share of distinct 3-grams "
-        "present in other docs) — shingle document-frequency join, two "
-        "combinable shuffles, corpus-linear (never a pair join).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Gopher-style rule-based quality flags (Rae et al. 2021, Table A1):
-# hard per-rule booleans + conjunction, auditable rule by rule.
-# ---------------------------------------------------------------------------
-
-def _gopher_flags(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import gopher_quality_flags
-    return gopher_quality_flags(_t(spark, sf, "documents"))
-
-
-def _duck_gopher_ctes(src: str = "documents") -> tuple[str, str]:
-    """Shared Gopher-rule CTE pair ``(sql, pass_condition)`` over table
-    ``src`` — used by both the flags oracle and the composed release
-    manifest so the rule arithmetic can never drift between them."""
-    from .operators.text import (GOPHER_MAX_MEAN_WORD_LEN,
-                                 GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
-                                 GOPHER_MIN_ALPHA_WORD_RATIO,
-                                 GOPHER_MIN_MEAN_WORD_LEN,
-                                 GOPHER_MIN_STOPWORD_HITS, GOPHER_MIN_WORDS)
-    sql = f"""t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM {src}),
-b AS (SELECT doc_id,
-             CAST(len(tk) AS BIGINT) AS n_words,
-             (length(trim(text)) - (len(tk) - 1)) / len(tk)
-               AS mean_word_len,
-             len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
-               / CAST(len(tk) AS BIGINT) AS symbol_ratio,
-             len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
-               / CAST(len(tk) AS BIGINT) AS alpha_word_ratio,
-             CAST(len(list_filter(tk, x -> x IN ({_STOP_SQL}))) AS BIGINT)
-               AS n_stopword_hits
-      FROM t)"""
-    cond = (f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})"
-            f" AND (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}"
-            f" AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN})"
-            f" AND (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO})"
-            f" AND (alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO})"
-            f" AND (n_stopword_hits >= {GOPHER_MIN_STOPWORD_HITS})")
-    return sql, cond
-
-
-def _gopher_oracle() -> str:
-    from .operators.text import (GOPHER_MAX_MEAN_WORD_LEN,
-                                 GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
-                                 GOPHER_MIN_ALPHA_WORD_RATIO,
-                                 GOPHER_MIN_MEAN_WORD_LEN,
-                                 GOPHER_MIN_STOPWORD_HITS, GOPHER_MIN_WORDS)
-    ctes, _ = _duck_gopher_ctes()
-    return f"""
-WITH {ctes}
-SELECT *,
-       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
-         AS ok_word_count,
-       (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
-        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}) AS ok_word_len,
-       (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
-       (alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO})
-         AS ok_alpha_words,
-       (n_stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS ok_stopwords,
-       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
-        AND (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
-             AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN})
-        AND (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO})
-        AND (alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO})
-        AND (n_stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}))
-         AS passes_gopher
-FROM b ORDER BY doc_id
-"""
-
-
-register(
-    "gopher_quality_flags",
-    _gopher_flags,
-    _gopher_oracle(),
-    doc="Gopher-style rule table: word-count/word-length bounds, symbol "
-        "ratio, alpha-word share, stopword evidence — one boolean per "
-        "rule plus the conjunction, all in one narrow scan pass.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Stratified deterministic sampling: apply a per-source mix decision as
-# hash-threshold Bernoulli thinning (the executable counterpart of
-# source_mix_weights), audited per stratum.
-# ---------------------------------------------------------------------------
-
-_STRAT_RATES = {f"src{i}": round(0.2 + 0.04 * i, 2) for i in range(20)}
-_STRAT_BUCKETS = 10_000
-
-
-def _stratified_audit(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.serve import stratified_hash_sample
-    docs = _t(spark, sf, "documents")
-    kept = (stratified_hash_sample(docs, _STRAT_RATES,
-                                   n_buckets=_STRAT_BUCKETS)
-            .groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")))
-    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    rtab = spark.createDataFrame(sorted(_STRAT_RATES.items()),
-                                 "source string, target_rate double")
-    return (tot.join(kept, "source", "left")
-               .join(F.broadcast(rtab), "source", "left")
-               .select("source", "n_docs",
-                       F.coalesce("n_kept", F.lit(0)).cast("bigint")
-                        .alias("n_kept"),
-                       "target_rate",
-                       (F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"))
-                        .alias("realized_rate"))
-               .orderBy("source"))
-
-
-def _stratified_oracle() -> str:
-    vals = ",\n    ".join(
-        f"('{s}', {r!r}, {int(round(r * _STRAT_BUCKETS))})"
-        for s, r in sorted(_STRAT_RATES.items()))
-    bucket = (f"('0x' || substr(md5(source || ':' || "
-              f"CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
-              f"% {_STRAT_BUCKETS}")
-    return f"""
-WITH r AS (SELECT * FROM (VALUES
-    {vals}) t(source, target_rate, _thr)),
-tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-k AS (SELECT d.source, COUNT(*) AS n_kept
-      FROM documents d JOIN r USING (source)
-      WHERE {bucket} < _thr
-      GROUP BY d.source)
-SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(target_rate AS DOUBLE) AS target_rate,
-       CAST(COALESCE(n_kept, 0) AS BIGINT) / CAST(n_docs AS BIGINT)
-         AS realized_rate
-FROM tot LEFT JOIN k USING (source) LEFT JOIN r USING (source)
-ORDER BY source
-"""
-
-
-register(
-    "stratified_sample_audit",
-    _stratified_audit,
-    _stratified_oracle(),
-    doc="Per-source deterministic Bernoulli thinning (hash threshold on "
-        "(source, id), integer thresholds, broadcast rate table) with a "
-        "per-stratum realized-vs-target audit. Partitioning- and "
-        "engine-independent keep decisions; no shuffle of the fact side.",
-)
-
-
-# ---------------------------------------------------------------------------
-# int8 scalar-quantization audit: per-dim reconstruction error if the
-# embedding corpus were SQ8-compressed (the 4x ANN memory saver).
-# ---------------------------------------------------------------------------
-
-def _quant_audit(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.similarity import quantization_audit
-    return quantization_audit(_t(spark, sf, "embeddings"))
-
-
-register(
-    "embedding_quantization_audit",
-    _quant_audit,
-    """
-WITH ex AS (
-  SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings),
-st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
-coded AS (
-  SELECT vec_id, dim, mn, mx, v,
-         CASE WHEN mx = mn THEN mn
-              ELSE mn + (CAST(CASE WHEN mx = mn THEN 0
-                              ELSE least(255, CAST(floor(((v - mn) / (mx - mn)) * 255)
-                                              AS BIGINT)) END AS DOUBLE)
-                         + 0.5) * ((mx - mn) / 255.0) END AS deq
-  FROM ex JOIN st USING (dim)),
-e AS (SELECT vec_id, dim, mn, mx, v - deq AS err,
-             (v - deq) * (v - deq) AS e2
-      FROM coded)
-SELECT dim, MIN(mn) AS mn, MIN(mx) AS mx,
-       CAST(COUNT(*) AS BIGINT) AS n_values,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list(e2 ORDER BY vec_id)),
-                   (a, b) -> a + b) / COUNT(*) AS mse,
-       MAX(abs(err)) AS max_abs_err
-FROM e GROUP BY dim ORDER BY dim
-""",
-    doc="Per-dimension int8 scalar-quantization audit (SQ8): corpus "
-        "min/max scale, midpoint-dequant MSE (id-ordered exact fold) "
-        "and max abs error — the enable-compression go/no-go table.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Tokenizer pressure by language: whitespace vs BPE-ish pre-tokenizer
-# counts per language — the fertility-style datasheet row that decides
-# which languages a shared vocabulary is under-serving.
-# ---------------------------------------------------------------------------
-
-def _token_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import BPE_ISH_PATTERN, tokens
-    docs = _t(spark, sf, "documents")
-    per_doc = docs.select(
-        "lang",
-        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("bp"))
-    return (per_doc.groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("ws").alias("ws_tokens"),
-                 F.sum("bp").alias("bpe_ish_tokens"))
-            .select("lang", "n_docs", "ws_tokens", "bpe_ish_tokens",
-                    (F.col("bpe_ish_tokens") / F.col("ws_tokens"))
-                     .alias("fertility"))
-            .orderBy("lang"))
-
-
-register(
-    "token_fertility_by_lang",
-    _token_fertility_by_lang,
-    r"""
-WITH d AS (
-  SELECT lang,
-         len(string_split_regex(trim(text), '\s+')) AS ws,
-         len(regexp_extract_all(text,
-             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))
-           AS bp
-  FROM documents)
-SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
-       CAST(SUM(bp) AS BIGINT) AS bpe_ish_tokens,
-       CAST(SUM(bp) AS BIGINT) / CAST(SUM(ws) AS BIGINT) AS fertility
-FROM d GROUP BY lang ORDER BY lang
-""",
-    doc="Per-language tokenizer pressure: BPE-ish tokens per whitespace "
-        "token (fertility) — one scan, one combinable agg; integer sums "
-        "then one exact IEEE division.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Token-budget waterfill: allocate a global training-token budget across
-# sources without oversampling any — each source is funded up to a
-# common water level L, capped at its own supply, with L chosen so the
-# total allocation is EXACTLY the budget (remainder tokens go one each
-# to the smallest unfunded sources). The closed form needs no
-# iteration: sort sources by supply ascending; source k is fully funded
-# iff prefix(k-1) + supply_k · (n-k+1) <= B (fullness is a prefix of
-# the sort order), the tail level is (B - Σ full supply) div n_tail.
-# Integer arithmetic end-to-end → engine-exact. All windows run over
-# the per-SOURCE aggregate (|sources| rows — small by definition), so
-# the single-partition window is a non-issue at any corpus scale; the
-# one data-sized pass is the combinable per-source token sum.
-# ---------------------------------------------------------------------------
-
-def _token_budget_waterfill(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.packing import waterfill
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents")
-    sup = (d.select("source",
-                    F.size(tokens(F.col("text"))).cast("long").alias("nt"))
-            .groupBy("source").agg(F.sum("nt").alias("supply_tokens")))
-    return (waterfill(sup, key_col="source", supply_col="supply_tokens",
-                      budget_num=6, budget_den=10)
-            .select("source", "supply_tokens", "fully_funded",
-                    "allocated_tokens",
-                    (F.col("allocated_tokens").cast("double")
-                     / F.col("supply_tokens").cast("double"))
-                     .alias("fill_ratio"))
-            .orderBy("source"))
-
-
-register(
-    "token_budget_waterfill",
-    _token_budget_waterfill,
-    r"""
-WITH sup AS (
-  SELECT source,
-         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-           AS supply_tokens
-  FROM documents GROUP BY source),
-g AS (
-  SELECT source, supply_tokens,
-         ROW_NUMBER() OVER (ORDER BY supply_tokens, source) AS k,
-         COUNT(*) OVER () AS n,
-         CAST(SUM(supply_tokens) OVER () AS BIGINT) AS total,
-         CAST(COALESCE(SUM(supply_tokens) OVER (
-              ORDER BY supply_tokens, source
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS prefix
-  FROM sup),
-f AS (
-  SELECT *, total * 6 // 10 AS budget,
-         (prefix + supply_tokens * (n - k + 1)) <= (total * 6 // 10)
-           AS fully_funded
-  FROM g),
-a AS (
-  SELECT *,
-         CAST(SUM(CASE WHEN fully_funded THEN supply_tokens ELSE 0 END)
-              OVER () AS BIGINT) AS prefix_full,
-         CAST(SUM(CASE WHEN fully_funded THEN 1 ELSE 0 END) OVER ()
-           AS BIGINT) AS n_full,
-         n - SUM(CASE WHEN fully_funded THEN 1 ELSE 0 END) OVER () AS n_tail
-  FROM f),
-r AS (
-  SELECT source, supply_tokens, fully_funded,
-         CAST(CASE WHEN fully_funded THEN supply_tokens
-                   WHEN n_tail = 0 THEN supply_tokens
-                   ELSE (budget - prefix_full) // n_tail
-                        + (CASE WHEN (k - n_full)
-                                     <= (budget - prefix_full) % n_tail
-                           THEN 1 ELSE 0 END)
-              END AS BIGINT) AS allocated_tokens
-  FROM a)
-SELECT source, supply_tokens, fully_funded, allocated_tokens,
-       CAST(allocated_tokens AS DOUBLE) / CAST(supply_tokens AS DOUBLE)
-         AS fill_ratio
-FROM r ORDER BY source
-""",
-    doc="Deterministic token-budget waterfill across sources (budget = "
-        "60% of total supply): fund each source up to a common water "
-        "level capped at its supply, remainder one-token grants to the "
-        "smallest unfunded sources — Σ allocated == budget exactly, "
-        "closed form, integer arithmetic end-to-end.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Training-data RELEASE manifest: the round-5 operators composed into
-# one release chain — Gopher gate → exact dedup → stratified mix
-# thinning → deterministic split — summarized per (split, lang). Every
-# stage is hash-threshold/rule-deterministic, so the whole chain has a
-# single mirrored oracle.
-# ---------------------------------------------------------------------------
-
-def _release_manifest(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import exact_dedup_survivors
-    from .operators.serve import hash_split, stratified_hash_sample
-    from .operators.text import BPE_ISH_PATTERN, gopher_quality_flags
-    docs = _t(spark, sf, "documents")
-    good_ids = (gopher_quality_flags(docs)
-                .filter(F.col("passes_gopher")).select("doc_id"))
-    good = docs.join(good_ids, "doc_id")
-    deduped = exact_dedup_survivors(good)
-    sampled = stratified_hash_sample(deduped, _STRAT_RATES,
-                                     n_buckets=_STRAT_BUCKETS)
-    split = hash_split(sampled)
-    per_doc = split.select(
-        "split", "lang", "source",
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("n_tok"))
-    return (per_doc.groupBy("split", "lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tok").alias("n_tokens"),
-                 F.countDistinct("source").alias("n_sources"))
-            .orderBy("split", "lang"))
-
-
-def _release_oracle() -> str:
-    gopher_ctes, gopher_cond = _duck_gopher_ctes()
-    rate_vals = ",\n    ".join(
-        f"('{s}', {int(round(r * _STRAT_BUCKETS))})"
-        for s, r in sorted(_STRAT_RATES.items()))
-    samp_bucket = (f"('0x' || substr(md5(source || ':' || "
-                   f"CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
-                   f"% {_STRAT_BUCKETS}")
-    split_bucket = _duck_md5_hash("CAST(doc_id AS VARCHAR)") + " % 10000"
-    return f"""
-WITH {gopher_ctes},
-good AS (
-  SELECT d.* FROM documents d
-  JOIN (SELECT doc_id FROM b WHERE {gopher_cond}) g USING (doc_id)),
-ded AS (
-  SELECT doc_id, text, lang, source FROM (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-        ORDER BY doc_id ASC) AS rn
-    FROM good) x WHERE rn = 1),
-r AS (SELECT * FROM (VALUES
-    {rate_vals}) rt(source, _thr)),
-samp AS (
-  SELECT ded.* FROM ded LEFT JOIN r USING (source)
-  WHERE {samp_bucket} < COALESCE(_thr, {_STRAT_BUCKETS})),
-sp AS (
-  SELECT lang, source,
-         CASE WHEN {split_bucket} < 9000 THEN 'train'
-              WHEN {split_bucket} < 9500 THEN 'val'
-              ELSE 'test' END AS split,
-         len(regexp_extract_all(text,
-             '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
-           AS n_tok
-  FROM samp)
-SELECT split, lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-FROM sp GROUP BY split, lang ORDER BY split, lang
-"""
-
-
-register(
-    "release_manifest",
-    _release_manifest,
-    _release_oracle(),
-    doc="Composed training-data release chain: Gopher rule gate → "
-        "exact-dedup survivors → per-source hash thinning → "
-        "deterministic 90/5/5 split, summarized per (split, lang). "
-        "Every stage is a pure function of the data, so the manifest "
-        "is reproducible from the raw corpus alone.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr):
-# positional W-token window hashing → cross-doc collision → per-doc
-# island merge. Positional, unlike the set-based MinHash/containment
-# family: it localizes WHICH token runs are shared verbatim.
-# ---------------------------------------------------------------------------
-
-_XS_W = 8
-
-
-def _exact_substring(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import exact_substring_coverage
-    return exact_substring_coverage(_t(spark, sf, "documents"),
-                                    window=_XS_W)
-
-
-register(
-    "exact_substring_coverage",
-    _exact_substring,
-    f"""
-WITH base AS (
-  SELECT doc_id, list_filter({_DUCK_TOKENS}, t -> t <> '') AS tk
-  FROM documents),
-sized AS (SELECT doc_id, tk, len(tk) AS n FROM base),
-w AS (
-  SELECT doc_id, i AS start,
-         md5(array_to_string(tk[i : i + {_XS_W - 1}], ' ')) AS h
-  FROM (SELECT doc_id, tk,
-               unnest(CASE WHEN n >= {_XS_W}
-                      THEN range(1, n - {_XS_W} + 2)
-                      ELSE CAST([] AS BIGINT[]) END) AS i
-        FROM sized)),
-dup AS (SELECT h FROM w GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
-dw AS (SELECT w.doc_id, w.start, w.start + {_XS_W - 1} AS e
-       FROM w JOIN dup USING (h)),
-isl AS (
-  SELECT doc_id, start, e,
-         CASE WHEN start > COALESCE(MAX(e) OVER (
-                  PARTITION BY doc_id ORDER BY start
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              -2) + 1 THEN 1 ELSE 0 END AS ni
-  FROM dw),
-g AS (SELECT doc_id, start, e,
-             SUM(ni) OVER (PARTITION BY doc_id ORDER BY start
-                           ROWS UNBOUNDED PRECEDING) AS isl_id
-      FROM isl),
-cov AS (SELECT doc_id, isl_id, MIN(start) AS s, MAX(e) AS e2,
-               COUNT(*) AS nw
-        FROM g GROUP BY 1, 2),
-per AS (SELECT doc_id,
-               CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
-               CAST(COUNT(*) AS BIGINT) AS n_spans,
-               CAST(SUM(e2 - s + 1) AS BIGINT) AS covered_tokens
-        FROM cov GROUP BY doc_id)
-SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
-       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
-       COALESCE(p.n_spans, 0) AS n_spans,
-       COALESCE(p.covered_tokens, 0) AS covered_tokens,
-       CASE WHEN s.n > 0
-            THEN CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE)
-                 / CAST(s.n AS DOUBLE)
-            ELSE 0.0 END AS dup_frac
-FROM sized s LEFT JOIN per p USING (doc_id) ORDER BY s.doc_id
-""",
-    doc="Exact-substring duplication coverage (ExactSubstr, Lee et al. "
-        "2022): 8-token sliding-window hashes, cross-doc collisions, "
-        "per-doc maximal-span merge (gaps-and-islands over duplicated "
-        "windows only). Linear explode + combinable hash agg; the only "
-        "window functions run per-doc over the duplicated subset.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Blocked fuzzy entity matching (record linkage): levenshtein over
-# within-block candidate pairs of the DISTINCT part-name dictionary.
-# ---------------------------------------------------------------------------
-
-def _fuzzy_part_match(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.join import blocked_fuzzy_pairs
-    names = _t(spark, sf, "part").select("p_name").distinct()
-    return blocked_fuzzy_pairs(names, "p_name",
-                               "split_part(p_name, ' ', 2)", max_dist=4)
-
-
-register(
-    "fuzzy_part_match",
-    _fuzzy_part_match,
-    """
-WITH n AS (SELECT DISTINCT p_name FROM part),
-s AS (SELECT p_name AS nm, split_part(p_name, ' ', 2) AS blk FROM n)
-SELECT a.nm AS name_a, b.nm AS name_b,
-       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
-FROM s a JOIN s b ON a.blk = b.blk AND a.nm < b.nm
-WHERE levenshtein(a.nm, b.nm) <= 4
-ORDER BY name_a, name_b
-""",
-    doc="Blocked fuzzy entity matching over the distinct part-name "
-        "dictionary: block on the noun, Levenshtein <= 4 within blocks "
-        "— Σ block² candidates, never n²; unit edit distance agrees "
-        "exactly between Spark and DuckDB.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Temperature-scaled source mixing (XLM-R/mT5 α-smoothing, α = 1/2):
-# target_frac_i ∝ n_i^α flattens the source distribution without going
-# fully uniform. α = 1/2 is computed as IEEE sqrt (correctly rounded in
-# both engines) and the denominator is folded in SORTED source order on
-# both sides — Spark aggregate() over an array_sort'ed collect_list,
-# DuckDB SUM(... ORDER BY source) — so the double sum is order-pinned
-# and the whole result stays hash-exact.
-# ---------------------------------------------------------------------------
-
-def _source_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import temperature_mix
-    return temperature_mix(_t(spark, sf, "documents"))
-
-
-register(
-    "source_temperature_mix",
-    _source_temperature_mix,
-    """
-WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
-             SUM(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source) AS denom
-      FROM c)
-SELECT source, n_docs,
-       n_docs / n_total AS actual_frac,
-       sqrt(CAST(n_docs AS DOUBLE)) / denom AS target_frac,
-       (sqrt(CAST(n_docs AS DOUBLE)) / denom) / (n_docs / n_total)
-         AS sample_weight
-FROM c CROSS JOIN t ORDER BY source
-""",
-    doc="Temperature-scaled source mixing (α = 1/2, XLM-R-style): "
-        "flattens the domain distribution via per-source sqrt weights; "
-        "the only inexact op is IEEE sqrt (correctly rounded in both "
-        "engines) and the denominator fold is order-pinned by source.",
-)
-
-
-# ---------------------------------------------------------------------------
-# CCNet-style LM buckets: per-language head/middle/tail split of the
-# bigram-LM quality score at the exact p25/p75 order statistics (same
-# one-lerp-formula-on-both-engines device as quality_calibrated_filter;
-# 0.25/0.75 are exact binary doubles, so the thresholds are bit-stable).
-# CCNet buckets by wikipedia-LM perplexity; the add-1 bigram mean
-# probability is this repo's exact-arithmetic stand-in for it.
-# ---------------------------------------------------------------------------
-
-def _lerp_spark(frac: str, arr: str = "arr") -> str:
-    lo = f"CAST(floor({frac} * (size({arr}) - 1)) AS INT) + 1"
-    return (f"element_at({arr}, {lo})"
-            f" + ({frac} * (size({arr}) - 1)"
-            f"    - floor({frac} * (size({arr}) - 1)))"
-            f"   * (element_at({arr}, least({lo} + 1, size({arr})))"
-            f"      - element_at({arr}, {lo}))")
-
-
-def _lerp_duck(frac: str, arr: str = "arr") -> str:
-    lo = f"CAST(floor({frac} * (len({arr}) - 1)) AS INT) + 1"
-    return (f"{arr}[{lo}]"
-            f" + ({frac} * (len({arr}) - 1)"
-            f"    - floor({frac} * (len({arr}) - 1)))"
-            f"   * ({arr}[least({lo} + 1, len({arr}))] - {arr}[{lo}])")
-
-
-def _ccnet_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import bigram_lm_scores
-    docs = _t(spark, sf, "documents")
-    scored = (docs.select("doc_id", "lang")
-                  .join(bigram_lm_scores(docs), "doc_id"))
-    # Consumed twice (threshold build + bucket join): materialize the
-    # NARROW score table once — 4 columns per doc, not the corpus — so
-    # the bigram-LM chain doesn't recompute per consumer (same
-    # convention as the CC rounds' per-iteration checkpoint).
-    scored = scored.localCheckpoint(eager=True)
-    thr = (scored.groupBy("lang")
-           .agg(F.sort_array(F.collect_list("mean_bigram_p")).alias("arr"))
-           .select("lang",
-                   F.expr(_lerp_spark("0.25")).alias("p25"),
-                   F.expr(_lerp_spark("0.75")).alias("p75")))
-    b = (scored.join(F.broadcast(thr), "lang")
-         .withColumn("bucket",
-                     F.when(F.col("mean_bigram_p") >= F.col("p75"), "head")
-                      .when(F.col("mean_bigram_p") >= F.col("p25"), "middle")
-                      .otherwise(F.lit("tail"))))
-    return (b.groupBy("lang", "bucket")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_bigrams").alias("total_bigrams"),
-                 F.min("mean_bigram_p").alias("min_score"),
-                 F.max("mean_bigram_p").alias("max_score"))
-            .orderBy("lang", "bucket"))
-
-
-register(
-    "ccnet_lm_buckets",
-    _ccnet_lm_buckets,
-    f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-pos AS (SELECT doc_id, unnest(tk) AS w1,
-               generate_subscripts(tk, 1) AS pos FROM toks),
-big AS (SELECT doc_id, pos, w1,
-               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        FROM pos),
-bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
-c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
-c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
-v AS (SELECT COUNT(DISTINCT w1) AS v FROM pos),
-p AS (SELECT bg.doc_id, bg.pos,
-             CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v) AS p
-      FROM bg
-      JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
-      JOIN c1 ON c1.w1 = bg.w1
-      CROSS JOIN v),
-sc0 AS (SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                        list(p ORDER BY pos)),
-                           (a, b) -> a + b) / COUNT(*) AS s
-        FROM p GROUP BY doc_id),
-sc AS (SELECT d.lang, sc0.* FROM sc0 JOIN documents d USING (doc_id)),
-thr0 AS (SELECT lang, list_sort(list(s)) AS arr FROM sc GROUP BY lang),
-thr AS (SELECT lang, {_lerp_duck("0.25")} AS p25,
-                     {_lerp_duck("0.75")} AS p75
-        FROM thr0),
-b AS (SELECT sc.lang, sc.n_bigrams, sc.s,
-             CASE WHEN sc.s >= thr.p75 THEN 'head'
-                  WHEN sc.s >= thr.p25 THEN 'middle'
-                  ELSE 'tail' END AS bucket
-      FROM sc JOIN thr ON thr.lang = sc.lang)
-SELECT lang, bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
-       MIN(s) AS min_score,
-       MAX(s) AS max_score
-FROM b GROUP BY lang, bucket ORDER BY lang, bucket
-""",
-    doc="CCNet-style head/middle/tail LM-quality buckets per language "
-        "at exact p25/p75 order statistics; per-group sorted-list lerp "
-        "broadcast back — no percentile window over the corpus.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Filter funnel datasheet (FineWeb-style ablation reporting): how many
-# documents each curation stage removes, marginally, in pipeline order —
-# the artifact that justifies every rule's existence before a run drops
-# data. Counts only (plus one exact integer-ratio division), so the
-# whole funnel is one scan + tiny combinable aggs.
-# ---------------------------------------------------------------------------
-
-def _filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import canonical_text
-    from .operators.text import gopher_quality_flags, lang_pred_expr
-    docs = _t(spark, sf, "documents")
-    g = gopher_quality_flags(docs).select("doc_id", "passes_gopher")
-    base = (docs.select("doc_id",
-                        lang_pred_expr(F.col("text")).alias("lp"),
-                        F.md5(canonical_text(F.col("text"))).alias("h"))
-                .join(g, "doc_id"))
-    pass2 = F.col("passes_gopher") & (F.col("lp") != "und")
-    a = base.agg(
-        F.count(F.lit(1)).alias("n0"),
-        F.sum(F.col("passes_gopher").cast("long")).alias("n1"),
-        F.sum(pass2.cast("long")).alias("n2"),
-        # keep-first exact dedup of stage-2 survivors ≡ distinct hashes
-        F.countDistinct(F.when(pass2, F.col("h"))).alias("n3"))
-    stages = F.explode(F.array(
-        F.struct(F.lit(1).alias("stage"),
-                 F.lit("gopher_rules").alias("rule"),
-                 F.col("n0").alias("n_in"), F.col("n1").alias("n_out")),
-        F.struct(F.lit(2).alias("stage"),
-                 F.lit("lang_known").alias("rule"),
-                 F.col("n1").alias("n_in"), F.col("n2").alias("n_out")),
-        F.struct(F.lit(3).alias("stage"),
-                 F.lit("exact_dedup").alias("rule"),
-                 F.col("n2").alias("n_in"), F.col("n3").alias("n_out"))))
-    return (a.select(stages.alias("s")).select("s.*")
-             .withColumn("n_removed", F.col("n_in") - F.col("n_out"))
-             .withColumn("removed_frac", F.col("n_removed") / F.col("n_in"))
-             .orderBy("stage"))
-
-
-def _funnel_oracle() -> str:
-    ctes, cond = _duck_gopher_ctes()
-    return f"""
-WITH {ctes},
-lp AS (SELECT doc_id, {_PRED_SQL} AS lp
-       FROM (SELECT doc_id, {_HIT_SQL} FROM t) x),
-flags AS (SELECT b.doc_id, ({cond}) AS pg, lp.lp,
-                 md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g'))
-                   AS h
-          FROM b JOIN lp USING (doc_id) JOIN t USING (doc_id)),
-a AS (SELECT COUNT(*) AS n0,
-             COUNT(*) FILTER (WHERE pg) AS n1,
-             COUNT(*) FILTER (WHERE pg AND lp <> 'und') AS n2,
-             COUNT(DISTINCT h) FILTER (WHERE pg AND lp <> 'und') AS n3
-      FROM flags)
-SELECT stage, rule, n_in, n_out,
-       n_in - n_out AS n_removed,
-       (n_in - n_out) / n_in AS removed_frac
-FROM (
-  SELECT 1 AS stage, 'gopher_rules' AS rule, n0 AS n_in, n1 AS n_out FROM a
-  UNION ALL
-  SELECT 2, 'lang_known', n1, n2 FROM a
-  UNION ALL
-  SELECT 3, 'exact_dedup', n2, n3 FROM a) s
-ORDER BY stage
-"""
-
-
-register(
-    "filter_funnel",
-    _filter_funnel,
-    _funnel_oracle(),
-    doc="Curation filter funnel: marginal document removal per stage "
-        "(Gopher rules → known language → exact dedup) in pipeline "
-        "order — one scan, combinable aggs, the ablation datasheet "
-        "published with a curation run.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Incremental rollup merge: the monthly orders rollup computed as two
-# disjoint partials (history < 1997, increment >= 1997) MERGED via the
-# mergeable-aggregate algebra, against a single-pass oracle — hash
-# equality certifies the merge is lossless, i.e. the incremental
-# pipeline can maintain the rollup without ever re-reading history.
-# ---------------------------------------------------------------------------
-
-def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.incremental import merge_rollups, partial_rollup
-    o = _t(spark, sf, "orders").select(
-        F.trunc("o_orderdate", "month").alias("month"),
-        F.year("o_orderdate").alias("yr"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
-    hist = partial_rollup(o.filter(F.col("yr") < 1997).drop("yr"),
-                          ["month"], "price")
-    inc = partial_rollup(o.filter(F.col("yr") >= 1997).drop("yr"),
-                         ["month"], "price")
-    merged = merge_rollups(hist, inc, ["month"])
-    return (merged.select(
-                "month", "cnt",
-                # Accumulation stays exact decimal inside the merge
-                # algebra; publication is DOUBLE-only (no DECIMAL in any
-                # published schema — the r06 canary pair showed the
-                # driver harness hash-diverges on decimal publication at
-                # every width; decimal→double is deterministic).
-                F.col("total").cast("double").alias("total"),
-                F.col("min_v").cast("double").alias("min_v"),
-                F.col("max_v").cast("double").alias("max_v"),
-                (F.col("total").cast("double")
-                 / F.col("cnt")).alias("avg_price"))
-            .orderBy("month"))
-
-
-register(
-    "incremental_rollup_merge",
-    _incremental_rollup,
-    """
-SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-       COUNT(*) AS cnt,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            AS DOUBLE) AS total,
-       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
-       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            AS DOUBLE) / COUNT(*) AS avg_price
-FROM orders
-GROUP BY month ORDER BY month
-""",
-    doc="Monthly orders rollup maintained incrementally: two disjoint "
-        "partials merged via the count/sum/min/max algebra, oracle is "
-        "the single-pass aggregation — hash equality certifies the "
-        "merge is lossless and history never needs re-reading.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-user EWMA of daily activity (α = 1/2): the exponential-smoothing
-# signal behind engagement scoring / anomaly baselines. The smoothing is
-# an ORDER-SENSITIVE fold, so both engines fold the date-sorted daily
-# counts sequentially (Spark: aggregate over array_sort; DuckDB:
-# list_reduce over list(... ORDER BY d)) — α = 1/2 is a power of two,
-# and identical IEEE ops in identical order make the value hash-exact.
-# State per user is one (date, count) list bounded by the day span, not
-# the event volume — the same per-key-bounded shape as sessionization.
-# ---------------------------------------------------------------------------
-
-def _ewma_user_activity(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
-    daily = (e.select(F.col("user_id"), F.to_date("ts").alias("d"))
-              .groupBy("user_id", "d")
-              .agg(F.count(F.lit(1)).alias("c")))
-    arr = F.array_sort(F.collect_list(F.struct(
-        F.col("d"), F.col("c").cast("double").alias("c"))))
-    return (daily.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n_days"),
-                 F.sum("c").alias("total_events"),
-                 F.aggregate(
-                     F.slice(arr, 2,
-                             F.greatest(F.size(arr) - 1, F.lit(0))),
-                     F.element_at(arr, 1)["c"],
-                     lambda acc, x: 0.5 * x["c"] + 0.5 * acc).alias("ewma"))
-            .orderBy("user_id"))
-
-
-register(
-    "ewma_user_activity",
-    _ewma_user_activity,
-    f"""
-WITH e AS ({_DUCK_EVENTS}),
-daily AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
-          FROM e GROUP BY 1, 2)
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_days,
-       CAST(SUM(c) AS BIGINT) AS total_events,
-       list_reduce(list(CAST(c AS DOUBLE) ORDER BY d),
-                   (a, b) -> 0.5 * b + 0.5 * a) AS ewma
-FROM daily GROUP BY user_id ORDER BY user_id
-""",
-    doc="Per-user EWMA (α = 1/2) of daily event counts — order-pinned "
-        "sequential fold on both engines; per-key state bounded by day "
-        "span, never event volume.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Near-dup graph triangle census: cliques vs chains in the verified
-# LSH pair graph — the QA signal CC can't give (a 100-doc chain and a
-# 100-doc clique are one component each, but only the clique closes
-# triangles).
-# ---------------------------------------------------------------------------
-
-def _neardup_triangles(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import triangle_stats
-    pairs = minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.2)
-    return triangle_stats(pairs)
-
-
-register(
-    "neardup_triangles",
-    _neardup_triangles,
-    f"""
-WITH {_DUCK_HS},
-sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id),
-bands AS ({_BANDS_SQL}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-common AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
-  FROM cand p
-  JOIN hs ha ON ha.doc_id = p.doc_a
-  JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
-  GROUP BY 1, 2),
-e AS (SELECT c.doc_a AS a, c.doc_b AS b
-      FROM common c
-      JOIN sizes sa ON sa.doc_id = c.doc_a
-      JOIN sizes sb ON sb.doc_id = c.doc_b
-      WHERE c.c / (sa.n + sb.n - c.c) >= 0.2),
-deg AS (SELECT node, COUNT(*) AS deg FROM (
-          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-        GROUP BY node),
-base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-                CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
-         FROM deg),
-ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
-tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-        FROM e e1
-        JOIN e e2 ON e2.a = e1.b
-        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
-SELECT n_nodes, n_edges, n_wedges, n_triangles,
-       CASE WHEN n_wedges > 0
-            THEN CAST(n_triangles * 3 AS DOUBLE)
-                 / CAST(n_wedges AS DOUBLE)
-            ELSE 0.0 END AS global_clustering
-FROM base CROSS JOIN ec CROSS JOIN tri
-""",
-    doc="Triangle census of the verified near-dup graph (nodes, edges, "
-        "wedges, triangles, global clustering coefficient) — ordered "
-        "two-join triangle enumeration, each triangle counted once; "
-        "distinguishes copy-farm cliques from borderline-match chains.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Benford leading-digit audit: the classic anomaly screen for amount
-# columns (synthetic or fabricated figures flunk it). The expected
-# fractions log10(1 + 1/d) are computed ONCE in Python and embedded as
-# identical double literals in both engines, so no cross-engine log()
-# is ever evaluated; the leading digit comes from the integer part's
-# decimal string, which is exact in both engines (never from a
-# double's string repr, which is not portable).
-# ---------------------------------------------------------------------------
-
-def _benford_rows() -> list[tuple[int, float]]:
-    import math
-    return [(d, math.log10(1 + 1 / d)) for d in range(1, 10)]
-
-
-def _benford_audit(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") >= 1)
-    counts = (o.select(F.substring(
-                  F.floor("o_totalprice").cast("long").cast("string"),
-                  1, 1).cast("int").alias("digit"))
-               .groupBy("digit")
-               .agg(F.count(F.lit(1)).alias("n")))
-    total = counts.agg(F.sum("n").alias("n_total"))
-    bf = spark.createDataFrame(_benford_rows(),
-                               "digit int, benford_frac double")
-    # Broadcast the aggregated side: counts is ≤9 rows after the groupBy,
-    # and a left-outer join can only build its RIGHT side (broadcasting
-    # the preserved side is unsupported — the hint would be dropped).
-    return (bf.join(F.broadcast(counts), "digit", "left")
-            .crossJoin(F.broadcast(total))
-            .select("digit",
-                    F.coalesce("n", F.lit(0)).alias("n"),
-                    (F.coalesce("n", F.lit(0)) / F.col("n_total"))
-                     .alias("obs_frac"),
-                    "benford_frac",
-                    F.abs(F.coalesce("n", F.lit(0)) / F.col("n_total")
-                          - F.col("benford_frac")).alias("abs_dev"))
-            .orderBy("digit"))
-
-
-def _benford_oracle() -> str:
-    vals = ", ".join(f"({d}, {p!r})" for d, p in _benford_rows())
-    return f"""
-WITH c AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
-                     1, 1) AS INT) AS digit,
-         COUNT(*) AS n
-  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
-t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
-bf AS (SELECT digit, CAST(benford_frac AS DOUBLE) AS benford_frac
-       FROM (VALUES {vals}) v(digit, benford_frac))
-SELECT bf.digit,
-       COALESCE(c.n, 0) AS n,
-       COALESCE(c.n, 0) / n_total AS obs_frac,
-       bf.benford_frac,
-       abs(COALESCE(c.n, 0) / n_total - bf.benford_frac) AS abs_dev
-FROM bf LEFT JOIN c ON c.digit = bf.digit CROSS JOIN t
-ORDER BY bf.digit
-"""
-
-
-register(
-    "benford_digit_audit",
-    _benford_audit,
-    _benford_oracle(),
-    doc="Benford leading-digit screen over order totals: observed vs "
-        "expected log10(1+1/d) fractions and absolute deviation per "
-        "digit — expectations embedded as identical literals in both "
-        "engines, leading digit from the integer part's decimal string.",
-)
-
-
-# ---------------------------------------------------------------------------
-# BPE compression curve: corpus symbol count after each merge round —
-# the vocab-size ablation artifact (the curve's knee is where merges
-# stop paying). All rounds computed in one pass over the distinct-word
-# table; corpus touched once.
-# ---------------------------------------------------------------------------
-
-def _bpe_curve(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.bpe import bpe_compression_curve
-    return bpe_compression_curve(_t(spark, sf, "documents"), n_merges=6)
-
-
-def _bpe_curve_oracle() -> str:
-    from .operators.bpe import duck_bpe_curve_sql
-    return duck_bpe_curve_sql(6)
-
-
-register(
-    "bpe_compression_curve",
-    _bpe_curve,
-    _bpe_curve_oracle(),
-    doc="Total corpus symbols after each BPE merge round (0 = raw "
-        "chars): the vocab-size ablation curve, every round a weighted "
-        "sum over the distinct-word table in one pass.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Near-dup survivor policy: keep the HIGHEST-QUALITY doc per cluster
-# (ties → min id) — the curation alternative to keep-min-id when dup
-# clusters mix clean and boilerplate-ridden copies. Same closure, one
-# quality join, one per-cluster argmax window.
-# ---------------------------------------------------------------------------
-
-def _neardup_best_quality(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from .operators.graph import cluster_assignment
-    from .operators.text import quality_expr
-    docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.2)
-    assigned = (cluster_assignment(docs, pairs)
-                .select("doc_id", "cluster_id"))
-    q = docs.select("doc_id", quality_expr(F.col("text")).alias("quality"))
-    w = Window.partitionBy("cluster_id")
-    ranked = (assigned.join(q, "doc_id")
-              .withColumn("cluster_size",
-                          F.count(F.lit(1)).over(w))
-              .withColumn("rn", F.row_number().over(
-                  w.orderBy(F.desc("quality"), F.asc("doc_id")))))
-    return (ranked.filter(F.col("rn") == 1)
-            .select("doc_id", "cluster_id", "quality", "cluster_size")
-            .orderBy("doc_id"))
-
-
-register(
-    "neardup_keep_best_quality",
-    _neardup_best_quality,
-    f"""{_NEARDUP_CLOSURE_SQL},
-q AS (SELECT doc_id,
-             (0.4 * least(len(tk) / 50.0, 1.0)
-              + 0.4 * (len(list_distinct(tk)) / len(tk))
-              + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL})))
-                       / len(tk))) AS quality
-      FROM toks),
-r AS (SELECT a.doc_id, a.cluster_id, q.quality,
-             ROW_NUMBER() OVER (PARTITION BY a.cluster_id
-                                ORDER BY q.quality DESC, a.doc_id ASC)
-               AS rn,
-             CAST(COUNT(*) OVER (PARTITION BY a.cluster_id) AS BIGINT)
-               AS cluster_size
-      FROM assigned a JOIN q USING (doc_id))
-SELECT doc_id, cluster_id, quality, cluster_size
-FROM r WHERE rn = 1 ORDER BY doc_id
-""",
-    doc="Quality-keep near-dup survivor policy: per-cluster argmax of "
-        "the composite quality score (ties to min id) instead of "
-        "keep-min-id — same closure, one broadcast-sized keeper table.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Fixed-point PageRank over the verified near-dup graph: the centrality
-# signal that picks a component's "canonical" document (the node most
-# duplicates point at). Both engines run the SAME integer micro-unit
-# recurrence (BIGINT, integer div), so five iterations are bit-identical
-# under any partitioning — float PageRank could never hash-match across
-# engines (non-associative sums). See operators/graph.py:pagerank_fixed_point.
-# ---------------------------------------------------------------------------
-
-def _pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import pagerank_fixed_point
-    pairs = minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.2)
-    return (pagerank_fixed_point(pairs, n_rounds=5)
-            .withColumnRenamed("node", "doc_id")
-            .orderBy("doc_id"))
-
-
-def _pagerank_oracle(n_rounds: int = 5, scale: int = 10 ** 12,
-                     damping_pct: int = 85) -> str:
-    # Reuses the shared LSH→verify chain's `edges` CTE (both directions),
-    # then unrolls the rounds like duck_bpe_ctes does — DuckDB evaluates
-    # only the CTEs the final SELECT reaches, so the closure's unused
-    # recursive `reach` costs nothing.
-    tele_pct = 100 - damping_pct
-    ctes = [f"""deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
-       FROM edges GROUP BY u)""",
-            f"""nn AS (SELECT ({scale} // COUNT(*)) AS init,
-              ((({scale} // COUNT(*)) * {tele_pct}) // 100) AS tele
-       FROM deg)""",
-            """r0 AS (SELECT node, deg, init AS r FROM deg CROSS JOIN nn)"""]
-    for k in range(n_rounds):
-        ctes.append(f"""r{k + 1} AS (
-  SELECT d.node, d.deg,
-         nn.tele + ({damping_pct} * COALESCE(i.s, 0)) // 100 AS r
-  FROM deg d CROSS JOIN nn
-  LEFT JOIN (SELECT e.v AS node,
-                    CAST(SUM(p.r // p.deg) AS BIGINT) AS s
-             FROM edges e JOIN r{k} p ON p.node = e.u
-             GROUP BY e.v) i ON i.node = d.node)""")
-    return (",\n".join(ctes) + f"""
-SELECT node AS doc_id, deg, r AS pr_units,
-       CAST(r AS DOUBLE) / {float(scale)} AS pagerank
-FROM r{n_rounds} ORDER BY doc_id""")
-
-
-register(
-    "pagerank_neardup",
-    _pagerank_neardup,
-    f"""{_NEARDUP_CLOSURE_SQL},
-{_pagerank_oracle(5)}
-""",
-    doc="Fixed-point integer PageRank (5 rounds, d=0.85, 1e12 micro-"
-        "units) over the verified near-dup graph — exact BIGINT "
-        "arithmetic makes the iterative dataflow hash-identical across "
-        "engines and partitionings.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Hypertable-style gap-fill + LOCF: per-user daily grid over the corpus
-# span, each day carrying the user's last observed closing value forward
-# (classic time-series rollup Spark lacks as a built-in — composed from
-# sequence/explode + a bounded per-key window, never a driver loop).
-# ---------------------------------------------------------------------------
-
-def _events_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.windows import gapfill_locf
-    return (gapfill_locf(_t(spark, sf, "events"))
-            .orderBy("user_id", "d"))
-
-
-register(
-    "events_gapfill_locf",
-    _events_gapfill_locf,
-    """
-WITH e AS (SELECT ts::TIMESTAMP AS ts, event_id, user_id, value
-           FROM events),
-span AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
-         FROM e),
-days AS (SELECT CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
-                                            INTERVAL 1 DAY)) AS DATE) AS d
-         FROM span),
-users AS (SELECT DISTINCT user_id FROM e),
-grid AS (SELECT user_id, d FROM users CROSS JOIN days),
-ranked AS (SELECT user_id, CAST(ts AS DATE) AS d, value,
-                  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                     ORDER BY ts DESC, event_id DESC) AS rn
-           FROM e),
-daily AS (SELECT user_id, d, value AS close_value FROM ranked WHERE rn = 1)
-SELECT g.user_id, g.d,
-       dl.close_value IS NOT NULL AS observed,
-       LAST_VALUE(dl.close_value IGNORE NULLS) OVER (
-         PARTITION BY g.user_id ORDER BY g.d
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
-FROM grid g LEFT JOIN daily dl ON dl.user_id = g.user_id AND dl.d = g.d
-ORDER BY g.user_id, g.d
-""",
-    doc="Hypertable-style daily gap-fill with last-observation-carried-"
-        "forward per user — grid = users × corpus day span, LOCF via a "
-        "bounded per-key window; days before a user's first event stay "
-        "NULL (honest LOCF).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Systematic weight-proportional sampling: lay every document on a line
-# segment of length = its n_chars (in doc_id order) and take one tick
-# every `total/_SYS_N` characters — inclusion probability exactly
-# proportional to weight, zero randomness, integer-only arithmetic
-# (the ln()-based A-ES/A-ExpJ weighted reservoirs need floats; this is
-# the engine-portable deterministic alternative). A doc longer than the
-# step crosses several ticks: multiplicity is reported, not silently
-# capped.
-#
-# Scale shape: the global cumulative sum does NOT use a single-task
-# global window — doc_ids are blocked (div 1024), the within-block
-# cumsum is a window partitioned by block, the block offsets are a
-# prefix over the (tiny) block-sums table broadcast back. Same two-pass
-# design as add_row_id, but key-derived (no repartitionByRange sampling,
-# so no persist pin needed). The corpus total is the documented 1-row
-# broadcast.
-# ---------------------------------------------------------------------------
-
-_SYS_N = 100          # target tick count
-_SYS_BLOCK = 1024     # doc_id block width for the two-pass cumsum
-
-
-def _systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    d = _t(spark, sf, "documents").select(
-        "doc_id", "source", "n_chars",
-        F.floor(F.col("doc_id") / _SYS_BLOCK).alias("_blk"))
-    win = (Window.partitionBy("_blk").orderBy("doc_id")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    within = d.withColumn("_cum_in", F.sum("n_chars").over(win))
-    bsums = d.groupBy("_blk").agg(F.sum("n_chars").alias("_bsum"))
-    owin = (Window.orderBy("_blk")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = bsums.select(
-        "_blk", F.coalesce(F.sum("_bsum").over(owin), F.lit(0)).alias("_off"))
-    total = d.agg(F.sum("n_chars").cast("long").alias("_total"))
-    # True integer division (div) end-to-end, matching the oracle's `//`:
-    # double-division + floor is only integer-exact below ~2^53, which
-    # would make engine parity scale-dependent instead of by-construction.
-    return (within
-            .join(F.broadcast(offsets), "_blk")
-            .crossJoin(F.broadcast(total))
-            .withColumn("cum_chars",
-                        (F.col("_off") + F.col("_cum_in")).cast("long"))
-            .withColumn("_step", F.expr(f"_total div {_SYS_N}"))
-            .withColumn("n_ticks",
-                        F.expr("cum_chars div _step"
-                               " - (cum_chars - n_chars) div _step")
-                         .cast("int"))
-            .select("doc_id", "source", "n_chars", "cum_chars", "n_ticks")
-            .where(F.col("n_ticks") >= 1)
-            .orderBy("doc_id"))
-
-
-register(
-    "systematic_weighted_sample",
-    _systematic_sample,
-    f"""
-WITH c AS (
-  SELECT doc_id, source, n_chars,
-         CAST(SUM(n_chars) OVER (ORDER BY doc_id
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-  FROM documents),
-t AS (SELECT CAST(SUM(n_chars) AS BIGINT) // {_SYS_N} AS step
-      FROM documents)
-SELECT doc_id, source, n_chars, cum AS cum_chars,
-       CAST(cum // step - (cum - n_chars) // step AS INT) AS n_ticks
-FROM c, t
-WHERE cum // step - (cum - n_chars) // step >= 1
-ORDER BY doc_id
-""",
-    doc="Deterministic systematic sampling proportional to n_chars: one "
-        "tick per total/100 characters along the doc_id-ordered line; "
-        "blocked two-pass cumsum, no global single-task window.",
-)
-
-
-# ---------------------------------------------------------------------------
-# BPE round-trip audit: the tokenizer-integrity invariant — decoding
-# every word's learned symbol sequence (concatenate, drop separators)
-# must reproduce the word exactly, for EVERY distinct word in the
-# corpus. One vocab-sized check behind the same single corpus explode
-# the encode side uses; the result is a 1-row datasheet the release
-# pipeline can gate on. A lossy merge chain (the classic detokenization
-# bug class) flips all_ok to false and the oracle hash with it.
-# ---------------------------------------------------------------------------
-
-def _bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.bpe import _apply_merge, bpe_learn
-    from .operators.text import tokens
-    docs = _t(spark, sf, "documents")
-    merges = bpe_learn(docs, n_merges=_BPE_MERGES).collect()
-    words = (docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-                 .filter(F.col("w") != "").distinct())
-    sym = "array_join(regexp_extract_all(w, '.', 0), ' ')"
-    for m in merges:
-        sym = _apply_merge(sym, m["p1"], m["p2"])
-    ok = F.expr(f"replace({sym}, ' ', '') = w")
-    return (words.agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(ok.cast("long")).alias("n_roundtrip_ok"))
-        .select("n_words", "n_roundtrip_ok",
-                (F.col("n_words") == F.col("n_roundtrip_ok"))
-                .alias("all_ok")))
-
-
-def _bpe_roundtrip_oracle() -> str:
-    from .operators.bpe import duck_bpe_ctes
-    ctes, final = duck_bpe_ctes(_BPE_MERGES, _DUCK_TOKENS)
-    return ("WITH " + ",\n".join(ctes) + f"""
-SELECT COUNT(*) AS n_words,
-       CAST(SUM(CASE WHEN replace(s, ' ', '') = w THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_roundtrip_ok,
-       COUNT(*) = CAST(SUM(CASE WHEN replace(s, ' ', '') = w
-                           THEN 1 ELSE 0 END) AS BIGINT) AS all_ok
-FROM {final}
-""")
-
-
-register(
-    "bpe_roundtrip_audit",
-    _bpe_roundtrip,
-    _bpe_roundtrip_oracle(),
-    doc="Tokenizer integrity: decode(encode(w)) == w for every distinct "
-        "corpus word — 1-row release gate over the vocab-sized symbol "
-        "table.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Market-basket association rules over event types (A-Priori at k=2):
-# support / confidence / lift for every co-occurring pair of event
-# types across users. Counts are exact integers; each metric is ONE
-# final double division over integer operands (lift's numerator and
-# denominator are pre-multiplied in BIGINT so there is exactly one
-# float op, not a quotient of quotients). Scale shape: the self-join is
-# per-user and bounded by the event-type cardinality (constant), the
-# pair agg is combinable, and the per-type counts arrive by broadcast —
-# the classic frequent-itemset shape where the shuffle key space is
-# |types|², not |events|.
-# ---------------------------------------------------------------------------
-
-def _event_rules(spark: SparkSession, sf: str) -> DataFrame:
-    ev = (_t(spark, sf, "events")
-          .select("user_id", "event_type").distinct())
-    users = ev.agg(F.count_distinct("user_id").alias("n_users"))
-    per_type = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_type"))
-    a = ev.select("user_id", F.col("event_type").alias("type_a"))
-    b = ev.select("user_id", F.col("event_type").alias("type_b"))
-    pairs = (a.join(b, "user_id")
-              .where(F.col("type_a") < F.col("type_b"))
-              .groupBy("type_a", "type_b")
-              .agg(F.count(F.lit(1)).alias("n_both")))
-    na = per_type.select(F.col("event_type").alias("type_a"),
-                         F.col("n_type").alias("n_a"))
-    nb = per_type.select(F.col("event_type").alias("type_b"),
-                         F.col("n_type").alias("n_b"))
-    return (pairs.join(F.broadcast(na), "type_a")
-                 .join(F.broadcast(nb), "type_b")
-                 .crossJoin(F.broadcast(users))
-                 .select("type_a", "type_b", "n_both", "n_a", "n_b",
-                         "n_users",
-                         (F.col("n_both").cast("double")
-                          / F.col("n_users").cast("double"))
-                         .alias("support"),
-                         (F.col("n_both").cast("double")
-                          / F.col("n_a").cast("double"))
-                         .alias("confidence_a_to_b"),
-                         ((F.col("n_both") * F.col("n_users"))
-                          .cast("double")
-                          / (F.col("n_a") * F.col("n_b")).cast("double"))
-                         .alias("lift"))
-                 .orderBy("type_a", "type_b"))
-
-
-register(
-    "event_cooccurrence_rules",
-    _event_rules,
-    """
-WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
-u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ev),
-t AS (SELECT event_type, COUNT(*) AS n_type FROM ev GROUP BY event_type),
-p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-             COUNT(*) AS n_both
-      FROM ev a JOIN ev b ON a.user_id = b.user_id
-      WHERE a.event_type < b.event_type
-      GROUP BY 1, 2)
-SELECT p.type_a, p.type_b, p.n_both,
-       ta.n_type AS n_a, tb.n_type AS n_b, u.n_users,
-       CAST(p.n_both AS DOUBLE) / CAST(u.n_users AS DOUBLE) AS support,
-       CAST(p.n_both AS DOUBLE) / CAST(ta.n_type AS DOUBLE)
-         AS confidence_a_to_b,
-       CAST(p.n_both * u.n_users AS DOUBLE)
-         / CAST(ta.n_type * tb.n_type AS DOUBLE) AS lift
-FROM p JOIN t ta ON ta.event_type = p.type_a
-       JOIN t tb ON tb.event_type = p.type_b, u
-ORDER BY type_a, type_b
-""",
-    doc="Association rules (A-Priori k=2) over per-user event-type "
-        "baskets: exact co-occurrence counts with support, confidence, "
-        "and lift as single double divisions.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Robust statistics per group: Pearson correlation from exact sufficient
-# statistics (same machinery as the OLS trend: integer/decimal sums,
-# sqrt/divide only at the very end), and a winsorized mean — values
-# clipped at the group's exact [p5, p95] before a DECIMAL re-accumulate,
-# the standard heavy-tail guard for metric pipelines.
-# ---------------------------------------------------------------------------
-
-def _discount_price_corr(spark: SparkSession, sf: str) -> DataFrame:
-    li = _t(spark, sf, "lineitem")
-    x = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
-    agg = (li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(x).alias("_sx"),
-        F.sum(x * x).alias("_sxx"),
-        F.sum(y).cast("decimal(38,2)").alias("_sy"),
-        F.sum(y * y).cast("decimal(38,4)").alias("_syy"),
-        F.sum(x * y).cast("decimal(38,2)").alias("_sxy")))
-    n = F.col("n_rows").cast("double")
-    sx = F.col("_sx").cast("double")
-    sxx = F.col("_sxx").cast("double")
-    sy = F.col("_sy").cast("double")
-    syy = F.col("_syy").cast("double")
-    sxy = F.col("_sxy").cast("double")
-    r = ((n * sxy - sx * sy)
-         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
-    return (agg.select("l_returnflag", "n_rows", r.alias("pearson_r"))
-               .orderBy("l_returnflag"))
-
-
-register(
-    "discount_price_corr",
-    _discount_price_corr,
-    """
-WITH s AS (
-  SELECT l_returnflag, COUNT(*) AS n_rows,
-         CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
-         CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy,
-         CAST(SUM(x * y) AS DECIMAL(38,2)) AS sxy
-  FROM (SELECT l_returnflag,
-               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
-        FROM lineitem)
-  GROUP BY l_returnflag)
-SELECT l_returnflag, n_rows,
-       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
-                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         AS pearson_r
-FROM s ORDER BY l_returnflag
-""",
-    doc="Per-returnflag Pearson correlation of discount vs extended "
-        "price from six exact sufficient statistics; sqrt/divide only "
-        "in the final scalar.",
-)
-
-
-def _winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    pct = (o.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.05)").alias("p5"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("p95")))
-    clipped = (o.join(F.broadcast(pct), "o_orderstatus")
-                .select("o_orderstatus",
-                        F.least(F.greatest(F.col("o_totalprice"),
-                                           F.col("p5")), F.col("p95"))
-                        .cast("decimal(18,2)").alias("w")))
-    return (clipped.groupBy("o_orderstatus")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 # exact decimal accumulation, DOUBLE publication — no
-                 # DECIMAL in published schemas (r06 canary evidence:
-                 # the driver harness hash-diverges on decimal output
-                 # at every width)
-                 F.sum("w").cast("double").alias("w_total"))
-            .select("o_orderstatus", "n_orders", "w_total",
-                    (F.col("w_total")
-                     / F.col("n_orders").cast("double"))
-                    .alias("winsorized_mean"))
-            .orderBy("o_orderstatus"))
-
-
-register(
-    "winsorized_mean_by_status",
-    _winsorized_mean,
-    """
-WITH pct AS (
-  SELECT o_orderstatus,
-         quantile_cont(o_totalprice, 0.05) AS p5,
-         quantile_cont(o_totalprice, 0.95) AS p95
-  FROM orders GROUP BY o_orderstatus),
-c AS (SELECT o.o_orderstatus,
-             CAST(least(greatest(o.o_totalprice, p.p5), p.p95)
-                  AS DECIMAL(18,2)) AS w
-      FROM orders o JOIN pct p USING (o_orderstatus))
-SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(w) AS DOUBLE) AS w_total,
-       CAST(SUM(w) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean
-FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
-""",
-    doc="Winsorized mean per status: values clipped at the group's "
-        "exact [p5, p95], then exact DECIMAL re-accumulation — the "
-        "heavy-tail-robust location estimate.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Skyline / Pareto frontier: the documents no other document dominates
-# (strictly better on one of {quality ↑, token cost ↓}, at least as
-# good on the other) — the multi-objective selection primitive behind
-# "best docs per budget" curation. A document is dominated iff the max
-# quality over strictly-cheaper docs already reaches its quality, or a
-# same-cost doc strictly beats it — and both tests only need the
-# PER-n_tokens max quality, so the global window runs over the
-# distinct-lengths aggregate (frame ≤ max tokens per document — a
-# document-shape constant, corpus-independent), never over doc rows;
-# the per-length bests then broadcast back onto the corpus. The oracle
-# states dominance directly (NOT EXISTS) — O(n²) is fine for DuckDB at
-# sf0.01. pareto_frontier_two_pass below is the alternative
-# merge-closure gear (pytest-pinned equivalent).
-# ---------------------------------------------------------------------------
-
-def _pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from .operators.text import BPE_ISH_PATTERN, quality_expr
-    d = _t(spark, sf, "documents").select(
-        "doc_id",
-        quality_expr(F.col("text")).alias("quality"),
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("n_tokens"))
-    per_len = d.groupBy("n_tokens").agg(
-        F.max("quality").alias("_best_same"))
-    # one row per distinct length → rows-frame ≡ range-frame here
-    w_lt = (Window.orderBy("n_tokens")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    bests = per_len.withColumn("_best_cheaper",
-                               F.max("_best_same").over(w_lt))
-    frontier = (d.join(F.broadcast(bests), "n_tokens")
-                 .where((F.col("_best_cheaper").isNull()
-                         | (F.col("_best_cheaper") < F.col("quality")))
-                        & (F.col("quality") == F.col("_best_same"))))
-    return (frontier.select("doc_id", "quality", "n_tokens")
-                    .orderBy("doc_id"))
-
-
-register(
-    "pareto_frontier_docs",
-    _pareto_frontier,
-    f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk, text FROM documents),
-s AS (SELECT doc_id,
-  (0.4 * least(len(tk) / 50.0, 1.0)
-             + 0.4 * (len(list_distinct(tk)) / len(tk))
-             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk)))
-    AS quality,
-  CAST(len(regexp_extract_all(text,
-      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
-    AS BIGINT) AS n_tokens
-  FROM t)
-SELECT doc_id, quality, n_tokens
-FROM s a
-WHERE NOT EXISTS (
-  SELECT 1 FROM s b
-  WHERE b.quality >= a.quality AND b.n_tokens <= a.n_tokens
-    AND (b.quality > a.quality OR b.n_tokens < a.n_tokens))
-ORDER BY doc_id
-""",
-    doc="Pareto frontier over (quality ↑, token cost ↓): window "
-        "formulation vs the oracle's direct NOT-EXISTS dominance test.",
-)
-
-
-def pareto_frontier_two_pass(d: DataFrame, n_blocks: int = 32) -> DataFrame:
-    """The 100 TB gear for :func:`_pareto_frontier`: the frontier is
-    merge-closed (global frontier ⊆ union of block-local frontiers), so
-    pass 1 computes a local frontier per hash-block of the input — the
-    global window runs only PER BLOCK — and pass 2 re-runs the same
-    dominance filter over the union of survivors, which is frontier-
-    sized, not corpus-sized. No single task ever sees the full corpus.
-    Input: (doc_id, quality, n_tokens). Equivalence to the one-window
-    form is pytest-pinned.
-    """
-    from pyspark.sql import Window
-
-    def _frontier(df: DataFrame, part_cols: list[str]) -> DataFrame:
-        w_lt = (Window.partitionBy(*part_cols).orderBy("n_tokens")
-                .rangeBetween(Window.unboundedPreceding, -1)
-                if part_cols else
-                Window.orderBy("n_tokens")
-                .rangeBetween(Window.unboundedPreceding, -1))
-        w_eq = Window.partitionBy(*(part_cols + ["n_tokens"]))
-        scored = df.select(
-            "doc_id", "quality", "n_tokens",
-            F.max("quality").over(w_lt).alias("_bc"),
-            F.max("quality").over(w_eq).alias("_bs"))
-        return (scored.where(
-            (F.col("_bc").isNull() | (F.col("_bc") < F.col("quality")))
-            & (F.col("quality") == F.col("_bs")))
-            .select("doc_id", "quality", "n_tokens"))
-
-    blocked = d.withColumn(
-        "_blk", F.pmod(F.hash(F.col("doc_id")), F.lit(n_blocks)))
-    local = _frontier(blocked, ["_blk"])
-    return _frontier(local, [])
-
-
-# ---------------------------------------------------------------------------
-# Distribution drift between two periods (population-stability check):
-# chi-square distance over 10 fixed integer bins of order value,
-# early-half vs late-half of the order history. PSI's ln() is a
-# cross-engine hazard, so the chi-square form is used: all bin counts
-# are exact integers; the per-bin contributions are single double ops;
-# and the final Σ over ≤10 bins is an ORDER-PINNED fold (sorted list →
-# sequential aggregate), the repo's standard pattern for summing a
-# handful of doubles deterministically. Scale: two grouped counts and a
-# 10-row fold — one fact scan, constant-size reduce.
-# ---------------------------------------------------------------------------
-
-_DRIFT_BINS = 10
-
-
-def _order_value_drift(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders").select(
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long").alias("cents"),
-        F.col("o_orderdate").cast("date").alias("d"))
-    rng = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"),
-                F.min("d").alias("d0"), F.max("d").alias("d1"))
-    binned = (o.crossJoin(F.broadcast(rng))
-              .select(F.expr(f"((cents - lo) * {_DRIFT_BINS}) "
-                             "div (hi - lo + 1)").alias("bin"),
-                      (F.datediff("d", "d0") * 2
-                       <= F.datediff("d1", "d0")).alias("early")))
-    counts = (binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(~F.col("early"), 1).otherwise(0)).alias("n_b")))
-    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
-    contrib = (counts.crossJoin(F.broadcast(tot))
-               .select("bin", "n_a", "n_b",
-                       ((F.col("n_a").cast("double")
-                         / F.col("ta").cast("double")
-                         - F.col("n_b").cast("double")
-                         / F.col("tb").cast("double"))
-                        * (F.col("n_a").cast("double")
-                           / F.col("ta").cast("double")
-                           - F.col("n_b").cast("double")
-                           / F.col("tb").cast("double"))
-                        / (F.col("n_a").cast("double")
-                           / F.col("ta").cast("double")
-                           + F.col("n_b").cast("double")
-                           / F.col("tb").cast("double")))
-                       .alias("c")))
-    return (contrib.agg(
-        F.sum("n_a").cast("bigint").alias("n_early"),
-        F.sum("n_b").cast("bigint").alias("n_late"),
-        F.expr("aggregate(array_sort(collect_list(struct(bin, c))), "
-               "cast(0.0 as double), (acc, x) -> acc + x.c)")
-        .alias("chi2_distance")))
-
-
-register(
-    "order_value_drift",
-    _order_value_drift,
-    f"""
-WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS cents,
-                  CAST(o_orderdate AS DATE) AS d
-           FROM orders),
-rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi,
-               MIN(d) AS d0, MAX(d) AS d1 FROM c),
-b AS (SELECT ((cents - lo) * {_DRIFT_BINS}) // (hi - lo + 1) AS bin,
-             datediff('day', d0, d) * 2 <= datediff('day', d0, d1) AS early
-      FROM c, rng),
-cnt AS (SELECT bin,
-               CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-               CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_b
-        FROM b GROUP BY bin),
-tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
-               CAST(SUM(n_b) AS BIGINT) AS tb FROM cnt),
-ctr AS (SELECT bin, n_a, n_b,
-               (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
-                  - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
-               * (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
-                  - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
-               / (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
-                  + CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS c
-        FROM cnt, tot)
-SELECT CAST(SUM(n_a) AS BIGINT) AS n_early,
-       CAST(SUM(n_b) AS BIGINT) AS n_late,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list(c ORDER BY bin)),
-                   (acc, x) -> acc + x) AS chi2_distance
-FROM ctr
-""",
-    doc="Order-value distribution drift (early vs late half): chi-square "
-        "distance over 10 integer bins, summed by an order-pinned fold.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Cramér's V between lang and source: categorical-association strength
-# from the exact contingency table. Chi-square over ≤ |langs|·|sources|
-# cells (expected counts from the exact margins — one double division
-# per cell), summed with the order-pinned fold; V = sqrt(χ²/(n·(k−1)))
-# as the final scalar. The ln-free cousin of mutual information, same
-# reason as the drift screen.
-# ---------------------------------------------------------------------------
-
-def _cramers_v(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
-    cells = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_ls"))
-    rows = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    cols = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    tot = d.agg(F.count(F.lit(1)).alias("n"),
-                F.count_distinct("lang").alias("kl"),
-                F.count_distinct("source").alias("ks"))
-    contrib = (cells.join(F.broadcast(rows), "lang")
-                    .join(F.broadcast(cols), "source")
-                    .crossJoin(F.broadcast(tot))
-                    .select(
-        "lang", "source",
-        ((F.col("n_ls").cast("double")
-          - F.col("n_l").cast("double") * F.col("n_s").cast("double")
-            / F.col("n").cast("double"))
-         * (F.col("n_ls").cast("double")
-            - F.col("n_l").cast("double") * F.col("n_s").cast("double")
-              / F.col("n").cast("double"))
-         / (F.col("n_l").cast("double") * F.col("n_s").cast("double")
-            / F.col("n").cast("double"))).alias("c"),
-        "n", "kl", "ks"))
-    return (contrib.groupBy("n", "kl", "ks")
-            .agg(F.expr(
-                "aggregate(array_sort(collect_list(struct(lang, source, c))), "
-                "cast(0.0 as double), (acc, x) -> acc + x.c)")
-                .alias("chi2"))
-            .select(F.col("n").alias("n_docs"),
-                    F.col("kl").cast("int").alias("n_langs"),
-                    F.col("ks").cast("int").alias("n_sources"),
-                    "chi2",
-                    F.sqrt(F.col("chi2")
-                           / (F.col("n").cast("double")
-                              * (F.least("kl", "ks").cast("double") - 1)))
-                    .alias("cramers_v")))
-
-
-register(
-    "cramers_v_lang_source",
-    _cramers_v,
-    """
-WITH cells AS (SELECT lang, source, COUNT(*) AS n_ls
-               FROM documents GROUP BY lang, source),
-r AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
-s AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
-t AS (SELECT COUNT(*) AS n, COUNT(DISTINCT lang) AS kl,
-             COUNT(DISTINCT source) AS ks FROM documents),
-ctr AS (SELECT c.lang, c.source,
-               (CAST(c.n_ls AS DOUBLE)
-                  - CAST(r.n_l AS DOUBLE) * CAST(s.n_s AS DOUBLE)
-                    / CAST(t.n AS DOUBLE))
-               * (CAST(c.n_ls AS DOUBLE)
-                  - CAST(r.n_l AS DOUBLE) * CAST(s.n_s AS DOUBLE)
-                    / CAST(t.n AS DOUBLE))
-               / (CAST(r.n_l AS DOUBLE) * CAST(s.n_s AS DOUBLE)
-                  / CAST(t.n AS DOUBLE)) AS c,
-               t.n, t.kl, t.ks
-        FROM cells c JOIN r USING (lang) JOIN s USING (source), t)
-SELECT n AS n_docs, CAST(kl AS INT) AS n_langs, CAST(ks AS INT) AS n_sources,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list(c ORDER BY lang, source)),
-                   (acc, x) -> acc + x) AS chi2,
-       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                     list(c ORDER BY lang, source)),
-                        (acc, x) -> acc + x)
-            / (CAST(n AS DOUBLE) * (CAST(least(kl, ks) AS DOUBLE) - 1)))
-         AS cramers_v
-FROM ctr GROUP BY n, kl, ks
-""",
-    doc="Cramér's V association between lang and source from the exact "
-        "contingency table; χ² summed by an order-pinned fold.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Markov transition matrix over per-user event sequences: counts of
-# (event_type → next event_type) under the explicit (ts, event_id)
-# ordering, row-normalized to transition probabilities. One window
-# (lead) partitioned by user — the fact shuffles once on user_id — and
-# one combinable pair count; the probability is a single division by
-# the broadcast row margin.
-# ---------------------------------------------------------------------------
-
-def _event_transitions(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    ev = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (ev.select("user_id", F.col("event_type").alias("from_type"),
-                       F.lead("event_type").over(w).alias("to_type"))
-               .where(F.col("to_type").isNotNull())
-               .groupBy("from_type", "to_type")
-               .agg(F.count(F.lit(1)).alias("n_trans")))
-    margin = pairs.groupBy("from_type").agg(
-        F.sum("n_trans").alias("n_from"))
-    return (pairs.join(F.broadcast(margin), "from_type")
-            .select("from_type", "to_type", "n_trans",
-                    F.col("n_from").cast("bigint").alias("n_from"),
-                    (F.col("n_trans").cast("double")
-                     / F.col("n_from").cast("double")).alias("p_trans"))
-            .orderBy("from_type", "to_type"))
-
-
-register(
-    "event_transition_matrix",
-    _event_transitions,
-    """
-WITH seq AS (
-  SELECT event_type AS from_type,
-         LEAD(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS to_type
-  FROM events),
-p AS (SELECT from_type, to_type, COUNT(*) AS n_trans
-      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
-m AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
-      FROM p GROUP BY from_type)
-SELECT p.from_type, p.to_type, p.n_trans, m.n_from,
-       CAST(p.n_trans AS DOUBLE) / CAST(m.n_from AS DOUBLE) AS p_trans
-FROM p JOIN m USING (from_type)
-ORDER BY from_type, to_type
-""",
-    doc="First-order Markov transition matrix over per-user event "
-        "sequences (explicit (ts, event_id) ordering), row-normalized.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Survival analysis: Kaplan–Meier estimate of "still unconverted" at
-# fixed horizons, over per-user time from first event to first
-# purchase, right-censored at corpus end for users who never convert.
-# The KM product Π (1 − dₜ/nₜ) runs as an order-pinned fold over the
-# day-grained event-time table (≤ observation-window days long —
-# bounded state, so the fold is constant-size however big the corpus);
-# everything upstream is one groupBy(user) + one tiny desc-cumsum.
-# ln-free by construction (the hazard factors multiply directly).
-# ---------------------------------------------------------------------------
-
-_KM_HORIZONS = (1, 7, 14)
-
-
-def _survival_km(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    ev = _t(spark, sf, "events")
-    end = ev.agg(F.max("ts").alias("t_end"))
-    per_user = (ev.groupBy("user_id").agg(
-        F.min("ts").alias("t0"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
-         .alias("tp")))
-    dur = (per_user.crossJoin(F.broadcast(end))
-           .select(F.when(F.col("tp").isNotNull(),
-                          F.datediff(F.col("tp").cast("date"),
-                                     F.col("t0").cast("date")))
-                    .otherwise(F.datediff(F.col("t_end").cast("date"),
-                                          F.col("t0").cast("date")))
-                    .cast("long").alias("dur"),
-                   F.col("tp").isNotNull().alias("converted")))
-    counts = dur.groupBy("dur").agg(
-        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
-        F.count(F.lit(1)).alias("n_at"))
-    w = (Window.orderBy(F.desc("dur"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    factors = (counts.withColumn("n_risk", F.sum("n_at").over(w))
-               .where(F.col("d") > 0)
-               .select("dur",
-                       (F.lit(1.0) - F.col("d").cast("double")
-                        / F.col("n_risk").cast("double")).alias("f")))
-    surv = [F.expr(
-        "aggregate(array_sort(collect_list(struct(dur, f))), "
-        f"cast(1.0 as double), (acc, x) -> "
-        f"case when x.dur <= {h} then acc * x.f else acc end)")
-        .alias(f"s_unconverted_d{h}") for h in _KM_HORIZONS]
-    totals = dur.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum(F.when(F.col("converted"), 1).otherwise(0))
-         .cast("bigint").alias("n_converted"))
-    return factors.agg(*surv).crossJoin(F.broadcast(totals)).select(
-        "n_users", "n_converted",
-        *[f"s_unconverted_d{h}" for h in _KM_HORIZONS])
-
-
-register(
-    "survival_time_to_purchase",
-    _survival_km,
-    f"""
-WITH e AS (SELECT user_id, ts, event_type FROM events),
-endt AS (SELECT MAX(ts) AS t_end FROM e),
-pu AS (SELECT user_id, MIN(ts) AS t0,
-              MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
-       FROM e GROUP BY user_id),
-dur AS (SELECT CASE WHEN tp IS NOT NULL
-                    THEN datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
-                    ELSE datediff('day', CAST(t0 AS DATE),
-                                  CAST(t_end AS DATE)) END AS dur,
-               tp IS NOT NULL AS converted
-        FROM pu, endt),
-cnt AS (SELECT dur, CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END)
-                         AS BIGINT) AS d,
-               COUNT(*) AS n_at
-        FROM dur GROUP BY dur),
-fct AS (SELECT dur,
-               1.0 - CAST(d AS DOUBLE) / CAST(
-                 SUM(n_at) OVER (ORDER BY dur DESC
-                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS f
-        FROM cnt QUALIFY d > 0),
-tot AS (SELECT COUNT(*) AS n_users,
-               CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_converted
-        FROM dur)
-SELECT tot.n_users, tot.n_converted,
-{",".join(f'''       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
-         (SELECT list(CASE WHEN dur <= {h} THEN f ELSE 1.0 END
-                 ORDER BY dur) FROM fct)),
-         (acc, x) -> acc * x) AS s_unconverted_d{h}''' for h in _KM_HORIZONS)}
-FROM tot
-""",
-    doc="Kaplan–Meier survival of the unconverted state at 1/7/14-day "
-        "horizons (first event → first purchase, right-censored), with "
-        "the KM product as an order-pinned fold over day-grained "
-        "factors.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Item–item collaborative filtering over purchase baskets: cosine
-# similarity between parts from their order-co-occurrence counts — the
-# classic "bought together" recommender primitive. The self-join is
-# per-order (basket width ≤ ~7 lines, so fan-out is Σ width², linear
-# in orders); pair counts and per-item counts are exact integers; the
-# cosine n_ab / sqrt(n_a·n_b) is the single final double op per pair.
-# Top-20 by (count desc, pair) keeps the output deterministic.
-# ---------------------------------------------------------------------------
-
-def _item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
-    li = (_t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (a.join(b, "l_orderkey")
-              .where(F.col("part_a") < F.col("part_b"))
-              .groupBy("part_a", "part_b")
-              .agg(F.count(F.lit(1)).alias("n_both")))
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    na = item.select(F.col("l_partkey").alias("part_a"),
-                     F.col("n_item").alias("n_a"))
-    nb = item.select(F.col("l_partkey").alias("part_b"),
-                     F.col("n_item").alias("n_b"))
-    return (pairs.join(F.broadcast(na), "part_a")
-                 .join(F.broadcast(nb), "part_b")
-                 .select("part_a", "part_b", "n_both", "n_a", "n_b",
-                         (F.col("n_both").cast("double")
-                          / F.sqrt(F.col("n_a").cast("double")
-                                   * F.col("n_b").cast("double")))
-                         .alias("cosine"))
-                 .orderBy(F.desc("n_both"), "part_a", "part_b")
-                 .limit(20))
-
-
-register(
-    "item_item_copurchase",
-    _item_item_cf,
-    """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-             COUNT(*) AS n_both
-      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey < b.l_partkey
-      GROUP BY 1, 2),
-it AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey)
-SELECT p.part_a, p.part_b, p.n_both,
-       ia.n_item AS n_a, ib.n_item AS n_b,
-       CAST(p.n_both AS DOUBLE)
-         / sqrt(CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
-         AS cosine
-FROM p JOIN it ia ON ia.l_partkey = p.part_a
-       JOIN it ib ON ib.l_partkey = p.part_b
-ORDER BY n_both DESC, part_a, part_b LIMIT 20
-""",
-    doc="Item-item 'bought together' cosine from order-basket "
-        "co-occurrence: per-order self-join (bounded fan-out), exact "
-        "counts, one final double op per pair.",
-)
-
-
-
-
-
-
-# ---------------------------------------------------------------------------
-# CUSUM change-point screen over the daily event volume, in CLOSED FORM:
-# the one-sided statistic Sₜ = max(0, Sₜ₋₁ + xₜ − μ − k) equals
-# Cₜ − min(0, min_{j≤t} C_j) with Cₜ = Pₜ − t·(μ+k) — so instead of a
-# sequential fold it is two tiny windows over the DAY-GRAINED series
-# (≤ observation-window rows): an INTEGER prefix sum Pₜ (exact) and a
-# running min of per-row scalars. A fold version was tried first and
-# exposed a genuine cross-engine hazard, recorded here on purpose:
-# DuckDB's list_reduce mutates a struct accumulator field-by-field
-# (later fields see already-updated earlier fields) while Spark's
-# aggregate() evaluates every lambda field from the same immutable
-# accumulator — multi-field recurrences silently diverge. Closed forms
-# over exact prefix sums sidestep the whole class. k = σ/2 from exact
-# integer moments; change_day tie-breaks to the FIRST day reaching the
-# max via struct-max on (S, −t).
-# ---------------------------------------------------------------------------
-
-def _event_volume_cusum(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    daily = (_t(spark, sf, "events")
-             .groupBy(F.col("ts").cast("date").alias("d"))
-             .agg(F.count(F.lit(1)).alias("x")))
-    stats = daily.agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"))
-    mu = F.col("sx").cast("double") / F.col("n_days").cast("double")
-    kk = (F.sqrt(F.col("sxx").cast("double")
-                 / F.col("n_days").cast("double") - mu * mu) / 2.0)
-    w = (Window.orderBy("d")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cur = (daily.crossJoin(F.broadcast(stats))
-           .withColumn("t", F.row_number().over(Window.orderBy("d")))
-           .withColumn("p", F.sum("x").over(w))
-           .withColumn("c", F.col("p").cast("double")
-                       - F.col("t").cast("double") * (mu + kk))
-           .withColumn("runmin", F.least(F.lit(0.0), F.min("c").over(w)))
-           .withColumn("s_t", F.col("c") - F.col("runmin")))
-    best = F.max(F.struct(F.col("s_t"), (-F.col("t")).alias("nt"),
-                          F.col("d"))).alias("m")
-    return (cur.groupBy(F.col("n_days").cast("int").alias("n_days"),
-                        mu.alias("mu"))
-            .agg(best)
-            .select("n_days", "mu",
-                    F.col("m.s_t").alias("cusum_max"),
-                    F.col("m.d").alias("change_day")))
-
-
-register(
-    "event_volume_cusum",
-    _event_volume_cusum,
-    """
-WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
-               FROM events GROUP BY 1),
-st AS (SELECT COUNT(*) AS n_days,
-              CAST(SUM(x) AS BIGINT) AS sx,
-              CAST(SUM(x * x) AS BIGINT) AS sxx
-       FROM daily),
-g AS (SELECT CAST(n_days AS INT) AS n_days,
-             CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
-             sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
-                  - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
-                    * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
-               / 2.0 AS kk
-      FROM st),
-cur AS (SELECT d,
-               ROW_NUMBER() OVER (ORDER BY d) AS t,
-               CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-                    AS BIGINT) AS p,
-               g.n_days, g.mu, g.kk
-        FROM daily, g),
-sc AS (SELECT d, t, n_days, mu,
-              CAST(p AS DOUBLE) - CAST(t AS DOUBLE) * (mu + kk) AS c
-       FROM cur),
-run AS (SELECT d, t, n_days, mu, c,
-               least(CAST(0.0 AS DOUBLE),
-                     MIN(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
-                 AS runmin
-        FROM sc)
-SELECT n_days, mu,
-       MAX(struct_pack(s_t := c - runmin, nt := -t, d := d)).s_t
-         AS cusum_max,
-       MAX(struct_pack(s_t := c - runmin, nt := -t, d := d)).d
-         AS change_day
-FROM run GROUP BY n_days, mu
-""",
-    doc="One-sided CUSUM change-point over daily event volume in closed "
-        "form: exact integer prefix sums, two bounded windows, "
-        "first-day tie-break.",
-)
-
-
-# ---------------------------------------------------------------------------
-# ANN evaluation metrics: reciprocal rank of the exact top-1 neighbor
-# within the IVF top-k, per query point — the standard index-quality
-# datasheet (MRR), with rr = 0 when the IVF probe misses the true
-# neighbor entirely. ln-free (log2-gain NDCG is a cross-engine libm
-# hazard; reciprocal rank is a single exact division). The oracle
-# COMPOSES the two already-pinned chains (brute-force top-k and the
-# unrolled-Lloyd IVF) as subqueries, so this query also pins their
-# agreement with each other, not just each with its own oracle.
-# ---------------------------------------------------------------------------
-
-def _ann_mrr(spark: SparkSession, sf: str) -> DataFrame:
-    exact = (cosine_topk(_t(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=3)
-             .where(F.col("rank") == 1)
-             .select("query_id", F.col("neighbor_id").alias("exact_top1")))
-    ivf = _ivf_kmeans(spark, sf).select(
-        "query_id", "neighbor_id", F.col("rank").alias("ivf_rank"))
-    return (exact.join(ivf,
-                       (exact.query_id == ivf.query_id)
-                       & (exact.exact_top1 == ivf.neighbor_id), "left")
-            .select(exact.query_id, "exact_top1",
-                    F.col("ivf_rank").cast("int").alias("ivf_rank"),
-                    F.coalesce(F.lit(1.0)
-                               / F.col("ivf_rank").cast("double"),
-                               F.lit(0.0)).alias("rr"))
-            .orderBy("query_id"))
-
-
-def _ann_mrr_oracle() -> str:
-    from .registry import _REGISTRY
-    exact = _REGISTRY["ann_cosine_topk"].oracle
-    ivf = _ivf_kmeans_oracle()
-    return f"""
-SELECT ex.query_id, ex.exact_top1,
-       CAST(iv.rank AS INT) AS ivf_rank,
-       COALESCE(1.0 / CAST(iv.rank AS DOUBLE), 0.0) AS rr
-FROM (SELECT query_id, neighbor_id AS exact_top1
-      FROM ({exact}) WHERE rank = 1) ex
-LEFT JOIN (SELECT query_id, neighbor_id, rank FROM ({ivf})) iv
-  ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.exact_top1
-ORDER BY ex.query_id
-"""
-
-
-register(
-    "ann_mrr_eval",
-    _ann_mrr,
-    _ann_mrr_oracle(),
-    doc="ANN index quality: reciprocal rank of the exact top-1 within "
-        "the IVF top-k per query point (0 on probe miss); the oracle "
-        "composes the two independently-pinned chains.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Cross-source score calibration (quantile normalization): a quality
-# threshold tuned on one source transfers badly to another when their
-# score DISTRIBUTIONS differ, so mixing pipelines normalize each doc's
-# score to its within-source quantile rank first. q = (rank − 1)/(n − 1)
-# with rank by (quality, doc_id) inside the source — integer window
-# arithmetic + one final division, so the oracle replays it exactly.
-# The datasheet aggregates per source: raw-score mean vs the (by
-# construction ~uniform) calibrated mean, and the share of docs each
-# source would contribute to a global top-25% cut BEFORE calibration —
-# the number that exposes the distribution mismatch. Per-source windows
-# shuffle on source; for skewed sources the two-pass row-id gear
-# (add_row_id) is the documented escape hatch.
-# ---------------------------------------------------------------------------
-
-def _quantile_normalized_quality(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from .operators.text import quality_expr
-    d = _t(spark, sf, "documents").select(
-        "doc_id", "source", quality_expr(F.col("text")).alias("q"))
-    w = Window.partitionBy("source").orderBy("q", "doc_id")
-    scored = (d.withColumn("rnk", F.row_number().over(w))
-               .withColumn("n_src", F.count(F.lit(1))
-                           .over(Window.partitionBy("source")))
-               .withColumn("q_cal",
-                           (F.col("rnk") - 1).cast("double")
-                           / (F.col("n_src") - 1).cast("double")))
-    cut = d.agg(F.expr("percentile(q, 0.75)").alias("q75"))
-    return (scored.crossJoin(F.broadcast(cut))
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.expr("percentile(q, 0.5)").alias("raw_p50"),
-                 F.sum("rnk").alias("_rnksum"),
-                 F.sum(F.when(F.col("q") > F.col("q75"), 1).otherwise(0))
-                  .cast("bigint").alias("n_above_global_cut"))
-            .select("source", "n_docs", "raw_p50",
-                    # Σ q_cal = Σ(rnk−1)/(n−1) = (Σrnk − n)/(n−1); the
-                    # mean divides by n — integer arithmetic until ONE
-                    # double division (float q_cal sums would be
-                    # shuffle-order-dependent)
-                    ((F.col("_rnksum") - F.col("n_docs")).cast("double")
-                     / ((F.col("n_docs") - 1) * F.col("n_docs"))
-                       .cast("double")).alias("cal_mean"),
-                    "n_above_global_cut")
-            .orderBy("source"))
-
-
-register(
-    "quantile_normalized_quality",
-    _quantile_normalized_quality,
-    f"""
-WITH t AS (SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents),
-s AS (SELECT doc_id, source,
-  (0.4 * least(len(tk) / 50.0, 1.0)
-             + 0.4 * (len(list_distinct(tk)) / len(tk))
-             + 0.2 * (len(list_filter(tk, x -> x IN ({_STOP_SQL}))) / len(tk)))
-    AS q
-  FROM t),
-r AS (SELECT source, q,
-             ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY q, doc_id) AS rnk
-      FROM s),
-cut AS (SELECT quantile_cont(q, 0.75) AS q75 FROM s)
-SELECT source, COUNT(*) AS n_docs,
-       quantile_cont(q, 0.5) AS raw_p50,
-       CAST(CAST(SUM(rnk) AS BIGINT) - COUNT(*) AS DOUBLE)
-         / CAST((COUNT(*) - 1) * COUNT(*) AS DOUBLE) AS cal_mean,
-       CAST(SUM(CASE WHEN q > q75 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_above_global_cut
-FROM r, cut GROUP BY source ORDER BY source
-""",
-    doc="Cross-source quality-score calibration: within-source quantile "
-        "rank (integer window + one division), per-source raw median vs "
-        "calibrated mean, and each source's share above the global "
-        "top-25% raw cut.",
-)
-
-
-# ---------------------------------------------------------------------------
-# PMI collocation mining: the phrase-discovery table (AutoPhrase /
-# collocation-extraction style) — adjacent-bigram pointwise mutual
-# information as an exact RATIONAL ratio, log-free so it is cross-engine
-# bit-exact: pmi_ratio = P(w1,w2) / (P(w1)·P(w2))
-#                      = (cb · tu · tu) / (cu1 · cu2 · tb)
-# computed as ONE explicitly-parenthesized double expression (identical
-# association order on both engines). Support floor cb ≥ 5 kills the
-# hapax noise that dominates raw PMI.
-#
-# Scale shape: consecutive pairs come from ARRAY SLICING on the token
-# array (adjacency is within-row structure — no posexplode+lead window,
-# which would shuffle the whole exploded corpus by doc just to look one
-# row ahead); unigram/bigram counts are combinable aggs (shuffle =
-# vocab, not corpus); the totals are array-length sums that never
-# explode at all and ride in as two 1-row broadcast frames (PLANS.md
-# reading guide); the final top-50 is a TakeOrdered over the vocab-
-# sized scored frame, never the corpus.
-# ---------------------------------------------------------------------------
-
-def _pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents").select(tokens(F.col("text")).alias("ts"))
-    n_pairs = F.greatest(F.size("ts") - 1, F.lit(0))
-    big = (d.select(F.slice("ts", 1, n_pairs).alias("a"),
-                    F.slice("ts", 2, n_pairs).alias("b"))
-            .select(F.explode(F.arrays_zip("a", "b")).alias("p"))
-            .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2")))
-    uni = (d.select(F.explode("ts").alias("tok"))
-            .groupBy("tok").agg(F.count(F.lit(1)).alias("cu")))
-    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    tu = d.agg(F.sum(F.size("ts")).alias("tu"))
-    tb = d.agg(F.sum(n_pairs.cast("long")).alias("tb"))
-    scored = (bi.filter(F.col("cb") >= 5)
-                .join(uni.select(F.col("tok").alias("w1"),
-                                 F.col("cu").alias("cu1")), "w1")
-                .join(uni.select(F.col("tok").alias("w2"),
-                                 F.col("cu").alias("cu2")), "w2")
-                .crossJoin(F.broadcast(tu))
-                .crossJoin(F.broadcast(tb)))
-    pmi = ((F.col("cb").cast("double") * F.col("tu") * F.col("tu"))
-           / (F.col("cu1").cast("double") * F.col("cu2") * F.col("tb")))
-    return (scored.select("w1", "w2",
-                          F.col("cb").alias("pair_count"),
-                          F.col("cu1").alias("w1_count"),
-                          F.col("cu2").alias("w2_count"),
-                          pmi.alias("pmi_ratio"))
-                  .orderBy(F.desc("pmi_ratio"), "w1", "w2")
-                  .limit(50))
-
-
-register(
-    "pmi_collocations",
-    _pmi_collocations,
-    f"""
-WITH toks AS (
-  SELECT doc_id, CAST(unnest(range(len(ts))) AS INT) AS pos,
-         unnest(ts) AS tok
-  FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents)),
-big AS (
-  SELECT doc_id, tok AS w1,
-         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-  FROM toks),
-bi AS (SELECT w1, w2, COUNT(*) AS cb FROM big
-       WHERE w2 IS NOT NULL GROUP BY 1, 2),
-uni AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY 1),
-tots AS (SELECT (SELECT COUNT(*) FROM toks) AS tu,
-                (SELECT COUNT(*) FROM big WHERE w2 IS NOT NULL) AS tb)
-SELECT b.w1, b.w2, b.cb AS pair_count,
-       u1.cu AS w1_count, u2.cu AS w2_count,
-       (CAST(b.cb AS DOUBLE) * t.tu * t.tu)
-         / (CAST(u1.cu AS DOUBLE) * u2.cu * t.tb) AS pmi_ratio
-FROM bi b
-JOIN uni u1 ON u1.tok = b.w1
-JOIN uni u2 ON u2.tok = b.w2, tots t
-WHERE b.cb >= 5
-ORDER BY pmi_ratio DESC, w1, w2
-LIMIT 50
-""",
-    doc="Adjacent-bigram PMI collocations (support >= 5): log-free "
-        "rational ratio, one pinned-association double expression on "
-        "both engines; top-50 phrase candidates.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Embedding-health diagnostics per label: the pre-indexing QA table that
-# catches collapsed / mis-scaled / broken embedding batches BEFORE they
-# poison an ANN index or SemDeDup run — per group: member count, norm
-# stats (fold-mean / min / max), the centroid's own norm (a collapsed
-# group has near-zero members-mean but a healthy centroid norm shows
-# anisotropy), and cohesion = fold-mean cosine of members to their
-# centroid (intra-cluster tightness; near 1.0 = degenerate duplicates,
-# near 0 = label is semantic soup).
-#
-# Engine-exact: centroids come from label_centroids' id-ordered fold
-# (its oversized-group guard protects this whole composition — the
-# per-label cosine/norm lists here are exactly as long as its per-
-# (label, dim) lists); member norms/cosines are ddot folds; the
-# per-label means fold the member values in vec_id order. Scale shape:
-# centroid table is |labels|×dim tiny → broadcast back; everything else
-# is one linear scan + label-keyed combinable aggs.
-# ---------------------------------------------------------------------------
-
-def _embedding_health(spark: SparkSession, sf: str) -> DataFrame:
-    from .functions.exact import ddot
-    from .operators.similarity import label_centroids
-    emb = _t(spark, sf, "embeddings")
-    cent = (label_centroids(emb)
-            .groupBy("label")
-            .agg(F.expr("transform(array_sort(collect_list("
-                        "struct(dim, centroid))), p -> p.centroid)")
-                  .alias("cvec")))
-    cent = cent.select(
-        "label", "cvec",
-        F.sqrt(ddot(F.col("cvec"), F.col("cvec"))).alias("centroid_norm"))
-    nrm = F.sqrt(ddot(F.col("embedding"), F.col("embedding")))
-    scored = (emb.join(F.broadcast(cent), "label")
-                 .select("label", "vec_id", nrm.alias("nrm"),
-                         (ddot(F.col("embedding"), F.col("cvec"))
-                          / (nrm * F.col("centroid_norm"))).alias("cs")))
-    per = (scored.groupBy("label")
-           .agg(F.count(F.lit(1)).alias("n_vectors"),
-                F.expr("transform(array_sort(collect_list("
-                       "struct(vec_id, nrm))), p -> p.nrm)").alias("_ns"),
-                F.expr("transform(array_sort(collect_list("
-                       "struct(vec_id, cs))), p -> p.cs)").alias("_cs"),
-                F.min("nrm").alias("min_norm"),
-                F.max("nrm").alias("max_norm")))
-
-    def fold_mean(c: str):
-        return (F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x)
-                / F.col("n_vectors"))
-
-    return (per.join(cent.select("label", "centroid_norm"), "label")
-               .select("label", "n_vectors",
-                       fold_mean("_ns").alias("mean_norm"),
-                       "min_norm", "max_norm", "centroid_norm",
-                       fold_mean("_cs").alias("cohesion"))
-               .orderBy("label"))
-
-
-register(
-    "embedding_health_by_label",
-    _embedding_health,
-    f"""
-WITH cents AS (
-  SELECT label, list(m ORDER BY dim) AS cvec FROM (
-    SELECT label, dim,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
-                       (a, b) -> a + b) / len(vs) AS m
-    FROM (SELECT label, dim, list(v ORDER BY vec_id) AS vs
-          FROM (SELECT label, vec_id,
-                       CAST(unnest(embedding) AS DOUBLE) AS v,
-                       CAST(unnest(range(len(embedding))) AS INT) AS dim
-                FROM embeddings)
-          GROUP BY label, dim))
-  GROUP BY label),
-scored AS (
-  SELECT e.label, e.vec_id,
-         sqrt({_duck_dot('e.embedding', 'e.embedding')}) AS nrm,
-         {_duck_dot('e.embedding', 'c.cvec')}
-           / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
-              * sqrt({_duck_dot('c.cvec', 'c.cvec')})) AS cs
-  FROM embeddings e JOIN cents c USING (label)),
-folds AS (
-  SELECT label, COUNT(*) AS n_vectors,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                  list(nrm ORDER BY vec_id)),
-                     (a, b) -> a + b) AS sn,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                  list(cs ORDER BY vec_id)),
-                     (a, b) -> a + b) AS sc,
-         MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
-  FROM scored GROUP BY label)
-SELECT f.label, f.n_vectors,
-       f.sn / f.n_vectors AS mean_norm,
-       f.min_norm, f.max_norm,
-       sqrt({_duck_dot('c.cvec', 'c.cvec')}) AS centroid_norm,
-       f.sc / f.n_vectors AS cohesion
-FROM folds f JOIN cents c USING (label)
-ORDER BY f.label
-""",
-    doc="Per-label embedding QA: member count, norm fold-mean/min/max, "
-        "centroid norm, and fold-mean cosine cohesion to the label "
-        "centroid — the pre-ANN/SemDeDup health table.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Data-constrained epoch scheduler: when the token BUDGET exceeds the
-# unique-token supply, the curator repeats sources — but repetition has
-# sharply diminishing returns past a few epochs ("Scaling Data-
-# Constrained Language Models", Muennighoff et al. 2023), so each
-# source is capped at MAX_EPOCHS x its unique supply and the budget
-# waterfills across the CAPS: small sources hit their repetition cap
-# (at_cap), large ones land at a common water level below it. Pure
-# composition over the waterfill closed form — cap column as the
-# "supply", budget re-expressed against the cap total ((3T) div 2 ==
-# floor(1.5T) for every integer T, so the 1/2-of-caps budget IS the
-# 1.5x-of-supply budget with MAX_EPOCHS=3) — hence integer-exact and
-# engine-identical for the allocation; epochs is the one double
-# division at the end. Same scale shape as token_budget_waterfill: one
-# combinable per-source sum, then |sources|-row windows.
-# ---------------------------------------------------------------------------
-
-def _epoch_schedule(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.packing import waterfill
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents")
-    sup = (d.select("source",
-                    F.size(tokens(F.col("text"))).cast("long").alias("nt"))
-            .groupBy("source").agg(F.sum("nt").alias("supply_tokens"))
-            .withColumn("cap_tokens", F.col("supply_tokens") * 3))
-    # budget = Σcap * 1 div 2 = (3·Σsupply) div 2 = floor(1.5 · Σsupply)
-    alloc = waterfill(sup.select("source", "cap_tokens"),
-                      key_col="source", supply_col="cap_tokens",
-                      budget_num=1, budget_den=2)
-    return (alloc.join(sup.select("source", "supply_tokens"), "source")
-                 .select("source", "supply_tokens", "cap_tokens",
-                         F.col("fully_funded").alias("at_cap"),
-                         "allocated_tokens",
-                         (F.col("allocated_tokens").cast("double")
-                          / F.col("supply_tokens").cast("double"))
-                          .alias("epochs"))
-                 .orderBy("source"))
-
-
-register(
-    "epoch_repetition_schedule",
-    _epoch_schedule,
-    r"""
-WITH sup AS (
-  SELECT source,
-         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-           AS supply_tokens
-  FROM documents GROUP BY source),
-capd AS (SELECT source, supply_tokens,
-                supply_tokens * 3 AS cap_tokens FROM sup),
-g AS (
-  SELECT source, supply_tokens, cap_tokens,
-         ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS k,
-         COUNT(*) OVER () AS n,
-         CAST(SUM(cap_tokens) OVER () AS BIGINT) AS total,
-         CAST(COALESCE(SUM(cap_tokens) OVER (
-              ORDER BY cap_tokens, source
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS prefix
-  FROM capd),
-f AS (
-  SELECT *, total * 1 // 2 AS budget,
-         (prefix + cap_tokens * (n - k + 1)) <= (total * 1 // 2)
-           AS at_cap
-  FROM g),
-a AS (
-  SELECT *,
-         CAST(SUM(CASE WHEN at_cap THEN cap_tokens ELSE 0 END)
-              OVER () AS BIGINT) AS prefix_full,
-         CAST(SUM(CASE WHEN at_cap THEN 1 ELSE 0 END) OVER ()
-           AS BIGINT) AS n_full,
-         n - SUM(CASE WHEN at_cap THEN 1 ELSE 0 END) OVER () AS n_tail
-  FROM f),
-r AS (
-  SELECT source, supply_tokens, cap_tokens, at_cap,
-         CAST(CASE WHEN at_cap THEN cap_tokens
-                   WHEN n_tail = 0 THEN cap_tokens
-                   ELSE (budget - prefix_full) // n_tail
-                        + (CASE WHEN (k - n_full)
-                                     <= (budget - prefix_full) % n_tail
-                           THEN 1 ELSE 0 END)
-              END AS BIGINT) AS allocated_tokens
-  FROM a)
-SELECT source, supply_tokens, cap_tokens, at_cap, allocated_tokens,
-       CAST(allocated_tokens AS DOUBLE) / CAST(supply_tokens AS DOUBLE)
-         AS epochs
-FROM r ORDER BY source
-""",
-    doc="Epoch-repetition schedule under a 1.5x-of-supply token budget "
-        "with a 3-epoch repetition cap per source (data-constrained "
-        "scaling): waterfill over caps, integer-exact allocation, "
-        "epochs as the one final double division.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Real-decode roundtrip oracle: the multimodal seam's first VALUE-
-# hashable driver query. Each document's UTF-8 bytes are wrapped into a
-# genuine RIFF/WAVE container JVM-side (header fields assembled as
-# little-endian bytes with hex/unhex — binary stays binary, no
-# stringification), decoded by the REAL WAV parser through the Arrow
-# mapInPandas seam (operators/multimodal.decode_wav: chunk walk +
-# exact-integer PCM energy), and the decoded features are hash-compared
-# against a DuckDB oracle that computes the same 16-bit little-endian
-# samples directly from the text bytes. Every output is integer
-# arithmetic — Σx², integer division — so the decode path is as
-# oracle-stable as any relational column.
-#
-# Scale shape: narrow map end-to-end (construct header + concat bytes,
-# one Arrow crossing per batch for the decode), zero shuffles before
-# the final doc_id sort; payload bytes dominate partition sizing, which
-# is exactly the multimodal partitioning note in operators/multimodal.
-# ---------------------------------------------------------------------------
-
-def _wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.multimodal import extract_media_features
-
-    def le32(c):
-        def pair(x):
-            return F.lpad(F.hex(x % 256), 2, "0")
-        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
-                                pair((c / 65536).cast("long")),
-                                pair((c / 16777216).cast("long"))))
-
-    d = _t(spark, sf, "documents")
-    raw = F.encode(F.col("text"), "UTF-8")
-    data = F.when(F.octet_length(raw) % 2 == 1,
-                  F.concat(raw, F.lit(b"\x00"))).otherwise(raw)
-    dlen = F.octet_length(data).cast("long")
-    # fmt chunk: PCM, mono, 8 kHz, 16 bps — static, one literal.
-    fmt = (b"fmt " + (16).to_bytes(4, "little")
-           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
-           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
-    payload = F.concat(F.lit(b"RIFF"), le32(dlen + 36), F.lit(b"WAVE"),
-                       F.lit(fmt), F.lit(b"data"), le32(dlen), data)
-    binary_df = d.select("doc_id", payload.alias("payload"))
-    return (extract_media_features(binary_df)
-            .select("doc_id", "mime_detected", "byte_len", "channels",
-                    "sample_rate", "duration_ms", "ms_amplitude")
-            .orderBy("doc_id"))
-
-
-register(
-    "wav_decode_roundtrip",
-    _wav_roundtrip,
-    r"""
-WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
-p AS (SELECT doc_id,
-             CASE WHEN length(hx0) % 4 = 0 THEN hx0
-                  ELSE hx0 || '00' END AS hx
-      FROM b),
-s AS (SELECT doc_id, CAST(length(hx) // 4 AS BIGINT) AS n,
-             list_transform(range(0, length(hx) // 4), i ->
-               ('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2))::BIGINT
-               + 256 * ('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2))::BIGINT)
-               AS raw
-      FROM p),
-v AS (SELECT doc_id, n,
-             list_transform(raw, x -> CASE WHEN x >= 32768
-                                           THEN x - 65536 ELSE x END) AS vals
-      FROM s)
-SELECT doc_id,
-       'audio/wav' AS mime_detected,
-       CAST(2 * n + 44 AS BIGINT) AS byte_len,
-       CAST(1 AS BIGINT) AS channels,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-       CASE WHEN n = 0 THEN NULL
-            ELSE CAST(list_sum(list_transform(vals, x -> x * x)) // n
-                      AS BIGINT) END AS ms_amplitude
-FROM v ORDER BY doc_id
-""",
-    doc="Real WAV decode roundtrip: text bytes wrapped in a genuine "
-        "RIFF/WAVE container JVM-side, decoded by the real PCM parser "
-        "through mapInPandas, hash-verified against sample-level SQL "
-        "over the same bytes — the multimodal seam's value oracle.",
-)
-
-
-# ---------------------------------------------------------------------------
-# BMP roundtrip oracle — the image half of the real-decode seam, same
-# design as wav_decode_roundtrip: text bytes (zero-padded to 12-byte
-# rows) become the pixel array of a genuine width-4 24-bpp BMP (stride
-# = 4px x 3B = 12 — divisible by 4, so the array is the raw bytes with
-# NO interleaved row padding), the real header parser + numpy channel
-# means decode it through the Arrow seam, and DuckDB recomputes the
-# exact integer per-channel means from the same bytes (byte i belongs
-# to channel i mod 3 because the stride is a multiple of 3). Narrow map
-# end-to-end, integer arithmetic only.
-# ---------------------------------------------------------------------------
-
-def _bmp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.multimodal import extract_media_features
-
-    def le32(c):
-        def pair(x):
-            return F.lpad(F.hex(x % 256), 2, "0")
-        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
-                                pair((c / 65536).cast("long")),
-                                pair((c / 16777216).cast("long"))))
-
-    d = _t(spark, sf, "documents")
-    raw = F.encode(F.col("text"), "UTF-8")
-    pad = (12 - F.octet_length(raw) % 12) % 12
-    data = F.concat(raw, F.substring(F.lit(b"\x00" * 11), 1, pad))
-    dlen = F.octet_length(data).cast("long")
-    h = (dlen / 12).cast("long")
-    header = F.concat(
-        F.lit(b"BM"), le32(dlen + 54), F.lit(b"\x00\x00\x00\x00"),
-        le32(F.lit(54)),                       # pixel-array offset
-        le32(F.lit(40)), le32(F.lit(4)), le32(h),  # info hdr, w=4, h
-        F.lit((1).to_bytes(2, "little") + (24).to_bytes(2, "little")),
-        le32(F.lit(0)), le32(dlen),            # BI_RGB, image size
-        F.lit(b"\x00" * 16))                   # resolution/palette zeros
-    binary_df = d.select("doc_id", F.concat(header, data).alias("payload"))
-    return (extract_media_features(binary_df)
-            .select("doc_id", "mime_detected", "byte_len", "width",
-                    "height", "mean_b_milli", "mean_g_milli",
-                    "mean_r_milli")
-            .orderBy("doc_id"))
-
-
-register(
-    "bmp_decode_roundtrip",
-    _bmp_roundtrip,
-    r"""
-WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
-p AS (SELECT doc_id,
-             hx0 || repeat('00', CAST((12 - (length(hx0) // 2) % 12) % 12
-                                      AS BIGINT)) AS hx
-      FROM b),
-s AS (SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS nb,
-             list_transform(range(0, length(hx) // 2), i ->
-               ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)
-               AS bytes
-      FROM p),
-m AS (SELECT doc_id, nb, nb // 3 AS npx,
-             list_sum(list_transform(range(0, nb // 3),
-                                     i -> bytes[CAST(3 * i + 1 AS INT)]))
-               AS sb,
-             list_sum(list_transform(range(0, nb // 3),
-                                     i -> bytes[CAST(3 * i + 2 AS INT)]))
-               AS sg,
-             list_sum(list_transform(range(0, nb // 3),
-                                     i -> bytes[CAST(3 * i + 3 AS INT)]))
-               AS sr
-      FROM s)
-SELECT doc_id,
-       'image/bmp' AS mime_detected,
-       CAST(nb + 54 AS BIGINT) AS byte_len,
-       CAST(4 AS BIGINT) AS width,
-       CAST(nb // 12 AS BIGINT) AS height,
-       CASE WHEN npx = 0 THEN NULL
-            ELSE CAST(sb * 1000 // npx AS BIGINT) END AS mean_b_milli,
-       CASE WHEN npx = 0 THEN NULL
-            ELSE CAST(sg * 1000 // npx AS BIGINT) END AS mean_g_milli,
-       CASE WHEN npx = 0 THEN NULL
-            ELSE CAST(sr * 1000 // npx AS BIGINT) END AS mean_r_milli
-FROM m ORDER BY doc_id
-""",
-    doc="Real BMP decode roundtrip: text bytes as the pixel array of a "
-        "genuine width-4 24-bpp BMP, decoded by the real header parser "
-        "+ integer channel means through mapInPandas, hash-verified "
-        "against byte-level SQL over the same bytes.",
-)
-
-
-# ---------------------------------------------------------------------------
-# PNG roundtrip oracle — the COMPRESSED half of the real-decode seam
-# (the r6 gap: BMP/WAV are uncompressed containers; a real corpus is
-# compressed formats). Text bytes (zero-padded to 12-byte rows) become
-# the RGB pixels of a genuine 8-bit truecolor PNG built by
-# operators/multimodal.encode_png — real zlib deflate in the IDAT
-# stream, per-chunk CRC-32s, scanline filters cycling None/Sub/Up — in
-# one Arrow-batched encode pass; decode_png then walks the chunks
-# (verifying CRCs), INFLATES the stream (Adler-32 checked), reverses
-# the filters and computes exact integer channel means through the
-# same mapInPandas seam as BMP/WAV. DuckDB recomputes the expected
-# means directly from the text bytes, so a bug anywhere in the codec
-# round trip (filter math, chunk framing, inflate plumbing) breaks the
-# value hash. Compressed bytes themselves are never hashed — zlib
-# version differences cannot leak into oracle values.
-#
-# Scale shape: two narrow Arrow crossings (encode, decode), zero
-# shuffles before the final doc_id sort; payload-byte partition sizing
-# per the multimodal module note.
-# ---------------------------------------------------------------------------
-
-def _png_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-    from .operators.multimodal import encode_png, extract_media_features
-
-    d = _t(spark, sf, "documents")
-    raw = F.encode(F.col("text"), "UTF-8")
-    pad = (12 - F.octet_length(raw) % 12) % 12
-    rgb = F.concat(raw, F.substring(F.lit(b"\x00" * 11), 1, pad))
-    # Explicit width before the Arrow crossings: the codec is CPU-dense
-    # per byte, and the single-file scan would otherwise serialize both
-    # mapInPandas stages onto one core (the exact_dedup_survivors
-    # rationale; measured ~2.5x on this query at sf0.1). Width = CORES,
-    # not shuffle.partitions: the target is one Python worker per core,
-    # and a vanilla session's 200 shuffle partitions would fragment the
-    # Arrow batches (measured 14s vs ~2s at sf0.01 vanilla).
-    src = (d.select("doc_id", rgb.alias("rgb"))
-            .repartition(spark.sparkContext.defaultParallelism))
-
-    def enc(it):
-        for pdf in it:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "payload": [encode_png(bytes(b), 4) for b in pdf["rgb"]],
-            })
-
-    binary_df = src.mapInPandas(enc, "doc_id long, payload binary")
-    return (extract_media_features(binary_df)
-            .select("doc_id", "mime_detected", "width", "height",
-                    "mean_r_milli", "mean_g_milli", "mean_b_milli")
-            .orderBy("doc_id"))
-
-
-register(
-    "png_decode_roundtrip",
-    _png_roundtrip,
-    r"""
-WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
-p AS (SELECT doc_id,
-             hx0 || repeat('00', CAST((12 - (length(hx0) // 2) % 12) % 12
-                                      AS BIGINT)) AS hx
-      FROM b),
-s AS (SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS nb,
-             list_transform(range(0, length(hx) // 2), i ->
-               ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)
-               AS bytes
-      FROM p),
-m AS (SELECT doc_id, nb, nb // 3 AS npx,
-             list_sum(list_transform(range(0, nb // 3),
-                                     i -> bytes[CAST(3 * i + 1 AS INT)]))
-               AS sr,
-             list_sum(list_transform(range(0, nb // 3),
-                                     i -> bytes[CAST(3 * i + 2 AS INT)]))
-               AS sg,
-             list_sum(list_transform(range(0, nb // 3),
-                                     i -> bytes[CAST(3 * i + 3 AS INT)]))
-               AS sb
-      FROM s)
-SELECT doc_id,
-       'image/png' AS mime_detected,
-       CAST(4 AS BIGINT) AS width,
-       CAST(nb // 12 AS BIGINT) AS height,
-       CASE WHEN npx = 0 THEN NULL
-            ELSE CAST(sr * 1000 // npx AS BIGINT) END AS mean_r_milli,
-       CASE WHEN npx = 0 THEN NULL
-            ELSE CAST(sg * 1000 // npx AS BIGINT) END AS mean_g_milli,
-       CASE WHEN npx = 0 THEN NULL
-            ELSE CAST(sb * 1000 // npx AS BIGINT) END AS mean_b_milli
-FROM m ORDER BY doc_id
-""",
-    doc="Real PNG decode roundtrip: text bytes as the RGB pixels of a "
-        "genuine zlib-deflate PNG (filters None/Sub/Up across rows, "
-        "CRC-checked chunks), encoded and decoded through two Arrow "
-        "crossings, hash-verified against byte-level SQL over the same "
-        "bytes — the compressed-codec half of the multimodal seam.",
-)
-
-
-# ---------------------------------------------------------------------------
-# BMP resize (exact 2x2 box downsample): the RESIZE half of the media
-# pipeline made real — decode → integer floor-mean downsample → per-
-# channel sums, all pinned by byte-level SQL over the original pixel
-# bytes. Text bytes pad to 24-byte blocks so the height is EVEN: with
-# whole 2x2 blocks the channel sums are storage-orientation-invariant
-# (bottom-up row pairing is the same set of pairs), keeping the oracle
-# free of orientation arithmetic; odd-size behavior (floor drop) is
-# pinned in pytest instead. Float bilinear would be library-specific —
-# integer box filtering is the deterministic choice.
-# ---------------------------------------------------------------------------
-
-def _bmp_resize_features(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-    from .operators.multimodal import bmp_pixels, downsample_box2
-
-    def le32(c):
-        def pair(x):
-            return F.lpad(F.hex(x % 256), 2, "0")
-        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
-                                pair((c / 65536).cast("long")),
-                                pair((c / 16777216).cast("long"))))
-
-    d = _t(spark, sf, "documents")
-    raw = F.encode(F.col("text"), "UTF-8")
-    pad = (24 - F.octet_length(raw) % 24) % 24
-    data = F.concat(raw, F.substring(F.lit(b"\x00" * 23), 1, pad))
-    dlen = F.octet_length(data).cast("long")
-    h = (dlen / 12).cast("long")
-    header = F.concat(
-        F.lit(b"BM"), le32(dlen + 54), F.lit(b"\x00\x00\x00\x00"),
-        le32(F.lit(54)), le32(F.lit(40)), le32(F.lit(4)), le32(h),
-        F.lit((1).to_bytes(2, "little") + (24).to_bytes(2, "little")),
-        le32(F.lit(0)), le32(dlen), F.lit(b"\x00" * 16))
-    src = (d.select("doc_id", F.concat(header, data).alias("payload"))
-            .repartition(spark.sparkContext.defaultParallelism))
-
-    def feats(it):
-        for pdf in it:
-            rows = []
-            for p in pdf["payload"]:
-                small = downsample_box2(bmp_pixels(bytes(p)))
-                s = small.sum(axis=(0, 1)) if small.size else [0, 0, 0]
-                rows.append({"out_w": small.shape[1],
-                             "out_h": small.shape[0],
-                             "sum_b": int(s[0]), "sum_g": int(s[1]),
-                             "sum_r": int(s[2])})
-            out = pd.DataFrame(rows)
-            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
-            yield out
-
-    return (src.mapInPandas(feats, "doc_id long, out_w long, out_h long,"
-                                   " sum_b long, sum_g long, sum_r long")
-               .orderBy("doc_id"))
-
-
-register(
-    "bmp_resize_features",
-    _bmp_resize_features,
-    r"""
-WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
-p AS (SELECT doc_id,
-             hx0 || repeat('00', CAST((24 - (length(hx0) // 2) % 24) % 24
-                                      AS BIGINT)) AS hx
-      FROM b),
-s AS (SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS nb,
-             list_transform(range(0, length(hx) // 2), i ->
-               ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)
-               AS bytes
-      FROM p),
-m AS (SELECT doc_id, nb, nb // 24 AS h2,
-             list_sum(list_transform(range(0, (nb // 24) * 2), k ->
-               (bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 1 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 4 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 13 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 16 AS INT)])
-               // 4)) AS sum_b,
-             list_sum(list_transform(range(0, (nb // 24) * 2), k ->
-               (bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 2 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 5 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 14 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 17 AS INT)])
-               // 4)) AS sum_g,
-             list_sum(list_transform(range(0, (nb // 24) * 2), k ->
-               (bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 3 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 6 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 15 AS INT)]
-                + bytes[CAST(24 * (k // 2) + 6 * (k % 2) + 18 AS INT)])
-               // 4)) AS sum_r
-      FROM s)
-SELECT doc_id,
-       CAST(2 AS BIGINT) AS out_w,
-       h2 AS out_h,
-       CAST(COALESCE(sum_b, 0) AS BIGINT) AS sum_b,
-       CAST(COALESCE(sum_g, 0) AS BIGINT) AS sum_g,
-       CAST(COALESCE(sum_r, 0) AS BIGINT) AS sum_r
-FROM m ORDER BY doc_id
-""",
-    doc="Real image RESIZE: decode a genuine width-4 24-bpp BMP and "
-        "2x2 integer box-downsample it (floor mean — deterministic, "
-        "unlike float bilinear), per-channel sums hash-verified "
-        "against byte-index SQL over the original pixel bytes.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Gzip ingestion roundtrip: documents gzip-wrapped in one Arrow
-# crossing (stdlib gzip — real DEFLATE, CRC-32 + ISIZE trailers), then
-# decompressed and fingerprinted through a second crossing; the oracle
-# recomputes length and md5 from the original text, so a bug anywhere
-# in the wrap/unwrap path (member framing, inflate, trailer checks)
-# breaks the value hash. Compressed bytes are never hashed — the gzip
-# header's mtime field and compressor level cannot leak into oracle
-# values. The .jsonl.gz / WARC ingestion seam, value-pinned.
-# ---------------------------------------------------------------------------
-
-def _gzip_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import gzip
-    import hashlib
-
-    import pandas as pd
-    from .operators.multimodal import decode_gzip
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "payload": [gzip.compress(t.encode("utf-8"))
-                            for t in pdf["text"]],
-            })
-
-    def dec(it):
-        for pdf in it:
-            raw = [decode_gzip(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "uncompressed_len": [len(b) for b in raw],
-                "text_md5": [hashlib.md5(b).hexdigest() for b in raw],
-            })
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, uncompressed_len long,"
-                                 " text_md5 string")
-               .orderBy("doc_id"))
-
-
-register(
-    "gzip_text_roundtrip",
-    _gzip_text_roundtrip,
-    """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS uncompressed_len,
-       md5(text) AS text_md5
-FROM documents ORDER BY doc_id
-""",
-    doc="Real gzip wrap/unwrap through two Arrow crossings (DEFLATE + "
-        "CRC-32/ISIZE trailer verification), value-pinned by "
-        "recomputing length and md5 from the original text — the "
-        ".jsonl.gz / WARC ingestion seam.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Deterministic training order: the LAST transform before data reaches
-# a trainer — a seeded global shuffle with reproducible positions. The
-# order key is md5(seed || doc_id) (portable, layout-independent — the
-# same property argument as serve.hash_split vs randomSplit), and the
-# dense global position comes from the W4 two-pass range-partitioned
-# row id, never a single-task window. Re-running with the same seed on
-# any cluster layout reproduces byte-identical order; changing the
-# seed reshuffles. Position also yields the per-shard (shard, offset)
-# pair a multi-host loader consumes.
-# ---------------------------------------------------------------------------
-
-_ORDER_SEED = "epoch0"
-_ORDER_SHARDS = 8
-
-
-def _training_order(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup import add_row_id
-    from .operators.text import md5_hash
-    d = _t(spark, sf, "documents").select(
-        "doc_id",
-        md5_hash(F.concat(F.lit(_ORDER_SEED + ":"),
-                          F.col("doc_id").cast("string"))).alias("_ok"))
-    ordered = add_row_id(d, [F.asc("_ok"), F.asc("doc_id")],
-                         name="position")
-    return (ordered.select(
-                "doc_id", "position",
-                (F.col("position") % _ORDER_SHARDS).cast("int")
-                 .alias("shard"),
-                F.expr(f"position div {_ORDER_SHARDS}").alias("offset"))
-            .orderBy("position"))
-
-
-register(
-    "training_order_manifest",
-    _training_order,
-    f"""
-WITH k AS (
-  SELECT doc_id,
-         ('0x' || substr(md5('{_ORDER_SEED}:' || CAST(doc_id AS VARCHAR)),
-                         1, 12))::BIGINT AS ok
-  FROM documents),
-r AS (SELECT doc_id,
-             CAST(ROW_NUMBER() OVER (ORDER BY ok, doc_id) - 1 AS BIGINT)
-               AS position
-      FROM k)
-SELECT doc_id, position,
-       CAST(position % {_ORDER_SHARDS} AS INT) AS shard,
-       position // {_ORDER_SHARDS} AS offset
-FROM r ORDER BY position
-""",
-    doc="Seeded deterministic global training order: md5(seed||id) "
-        "order key + two-pass range-partitioned dense positions (no "
-        "single-task window), with round-robin (shard, offset) for "
-        "multi-host loaders — reproducible under any cluster layout, "
-        "reshuffled by the seed.",
-)
-
-
-# ---------------------------------------------------------------------------
-# JPEG header probe — the metadata half of compressed-image handling.
-# Entropy decode stays honestly stubbed (no codec library in this
-# environment), but the container walk is real: the query builds a
-# genuine JPEG segment stream JVM-side (SOI, literal JFIF APP0, a
-# variable-length COM segment carrying the document text — so the
-# probe's skip-by-length logic is actually exercised — and an SOF0
-# frame header with computed big-endian dimensions), probes it through
-# the Arrow seam, and the oracle recomputes the expected dimensions
-# arithmetically. A real corpus's dimension/aspect filters run exactly
-# this pass before any pixel ever decodes.
-# ---------------------------------------------------------------------------
-
-def _jpeg_header_probe(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.multimodal import extract_media_features
-
-    def be16(c):
-        return F.unhex(F.lpad(F.hex(c), 4, "0"))
-
-    d = _t(spark, sf, "documents")
-    raw = F.encode(F.col("text"), "UTF-8")
-    ln = F.octet_length(raw).cast("long")
-    h = 1 + ln % 311
-    w = 1 + ln % 499
-    app0 = (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
-            b"\x00\x48\x00\x48\x00\x00")
-    sof0_tail = b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-    payload = F.concat(
-        F.lit(b"\xff\xd8"), F.lit(app0),
-        F.lit(b"\xff\xfe"), be16(ln + 2), raw,          # COM: skipped
-        F.lit(b"\xff\xc0\x00\x11\x08"), be16(h), be16(w),
-        F.lit(sof0_tail),
-        F.lit(b"\xff\xd9"))
-    binary_df = d.select("doc_id", payload.alias("payload"))
-    return (extract_media_features(binary_df)
-            .select("doc_id", "mime_detected", "byte_len", "width",
-                    "height", "channels")
-            .orderBy("doc_id"))
-
-
-register(
-    "jpeg_header_probe",
-    _jpeg_header_probe,
-    """
-WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS ln
-           FROM documents)
-SELECT doc_id,
-       'image/jpeg' AS mime_detected,
-       45 + ln AS byte_len,
-       1 + ln % 499 AS width,
-       1 + ln % 311 AS height,
-       CAST(3 AS BIGINT) AS channels
-FROM b ORDER BY doc_id
-""",
-    doc="Real JPEG marker-segment walk: dimensions/components probed "
-        "from the SOF0 frame header of a genuine JVM-built segment "
-        "stream (variable-length COM exercises skip-by-length), "
-        "verified against arithmetic SQL; entropy decode stays an "
-        "explicit stub.",
-)
-
-
-# ---------------------------------------------------------------------------
-# URL / domain keying (operators/urls.py). The fixture has no URL
-# column, so both queries synthesize one deterministically from
-# (source, doc_id) — five shapes covering subdomains, explicit ports,
-# query strings, uppercase hosts and multi-label public suffixes — and
-# then PARSE it back with the real machinery (Spark parse_url +
-# registrable-domain label logic), which the oracle re-derives with
-# portable regexes. The parsing is the operator under test; the
-# synthesis is just a deterministic stand-in for a crawl's url column.
-# ---------------------------------------------------------------------------
-
-def _synth_url_spark() -> Column:
-    sid = F.col("source")
-    did = F.col("doc_id").cast("string")
-    v = F.col("doc_id") % 5
-    return (F.when(v == 0, F.concat(F.lit("https://www."), sid,
-                                    F.lit(".com/articles/"), did))
-             .when(v == 1, F.concat(F.lit("http://blog."), sid,
-                                    F.lit(".co.uk/post?id="), did))
-             .when(v == 2, F.concat(F.lit("https://cdn."), sid,
-                                    F.lit(".org:8443/assets/"), did,
-                                    F.lit(".html")))
-             .when(v == 3, F.concat(F.lit("https://"), sid,
-                                    F.lit(".com.pe/x/"), did))
-             .otherwise(F.concat(F.lit("http://"), F.upper(sid),
-                                 F.lit(".net/p/"), did)))
-
-
-_SYNTH_URL_SQL = """
-CASE doc_id % 5
-  WHEN 0 THEN 'https://www.' || source || '.com/articles/'
-              || CAST(doc_id AS VARCHAR)
-  WHEN 1 THEN 'http://blog.' || source || '.co.uk/post?id='
-              || CAST(doc_id AS VARCHAR)
-  WHEN 2 THEN 'https://cdn.' || source || '.org:8443/assets/'
-              || CAST(doc_id AS VARCHAR) || '.html'
-  WHEN 3 THEN 'https://' || source || '.com.pe/x/'
-              || CAST(doc_id AS VARCHAR)
-  ELSE 'http://' || upper(source) || '.net/p/' || CAST(doc_id AS VARCHAR)
-END"""
-
-#: DuckDB mirror of urls.url_host / registrable_domain.
-_DUCK_HOST = (r"lower(regexp_extract(url,"
-              r" '://(?:[^/@?#]*@)?(\[[^\]]*\]|[^/:?#]+)', 1))")
-
-
-def _duck_domain(host: str) -> str:
-    # Generated from the same PSL rule tables as the Spark expression —
-    # oracle and engine cannot drift (operators/urls.duck_domain_sql).
-    from .operators.urls import duck_domain_sql
-    return duck_domain_sql(host)
-
-
-def _url_host_extract(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.urls import with_url_parts
-    d = _t(spark, sf, "documents")
-    base = d.select("doc_id", _synth_url_spark().alias("url"))
-    return (with_url_parts(base)
-            .select("doc_id", "url", "host", "port", "path",
-                    "query_string", "domain")
-            .orderBy("doc_id"))
-
-
-register(
-    "url_host_extract",
-    _url_host_extract,
-    rf"""
-WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
-SELECT doc_id, url,
-       {_DUCK_HOST} AS host,
-       CAST(nullif(regexp_extract(url,
-                '://(?:[^/@?#]*@)?(?:\[[^\]]*\]|[^/:?#]*):(\d+)', 1), '')
-            AS INT) AS port,
-       nullif(regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1), '') AS path,
-       nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query_string,
-       {_duck_domain(_DUCK_HOST)} AS domain
-FROM u ORDER BY doc_id
-""",
-    doc="URL parsing primitive: host (lowercased, port/userinfo "
-        "stripped), explicit port, path, query string and registrable "
-        "domain (multi-label public-suffix aware) — Spark parse_url + "
-        "label logic vs portable regex re-derivation, fully narrow.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-domain curation datasheet: the mixing/dedup summary a crawl
-# pipeline publishes per site — volume, exact-dup structure within the
-# domain, cross-domain contamination (texts that also appear under
-# another domain), and token share against the corpus total.
-#
-# Scale shape: one fact-fact shuffle join keyed by text hash (the
-# per-hash domain-spread table is corpus-sized in the worst case and
-# therefore NOT broadcast — AQE may still elect broadcast at small sf),
-# group-bys with map-side combine everywhere else, and the corpus token
-# total rides in as a broadcast 1-row frame.
-# ---------------------------------------------------------------------------
-
-def _domain_dedup_datasheet(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import canonical_text
-    from .operators.text import BPE_ISH_PATTERN
-    from .operators.urls import registrable_domain, url_host
-
-    d = _t(spark, sf, "documents")
-    base = d.select(
-        registrable_domain(url_host(_synth_url_spark())).alias("domain"),
-        F.md5(canonical_text(F.col("text"))).alias("h"),
-        F.regexp_count(F.col("text"),
-                       F.lit(BPE_ISH_PATTERN)).cast("long")
-         .alias("n_tokens"))
-    spread = (base.groupBy("h")
-                  .agg(F.count_distinct("domain").alias("n_domains")))
-    totals = base.agg(F.sum("n_tokens").alias("_total"))
-    return (base.join(spread, "h")
-                .groupBy("domain")
-                .agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.count_distinct("h").alias("n_unique"),
-                     F.sum("n_tokens").alias("n_tokens"),
-                     F.sum(F.when(F.col("n_domains") > 1, 1)
-                            .otherwise(0)).alias("n_cross_domain_dup"))
-                .crossJoin(F.broadcast(totals))
-                .select("domain", "n_docs", "n_unique",
-                        ((F.col("n_docs") - F.col("n_unique"))
-                         / F.col("n_docs")).alias("within_dup_rate"),
-                        "n_tokens",
-                        (F.col("n_tokens") / F.col("_total"))
-                         .alias("token_share"),
-                        "n_cross_domain_dup")
-                .orderBy("domain"))
-
-
-register(
-    "domain_dedup_datasheet",
-    _domain_dedup_datasheet,
-    rf"""
-WITH u AS (SELECT doc_id, text, {_SYNTH_URL_SQL} AS url FROM documents),
-b AS (SELECT {_duck_domain(_DUCK_HOST)} AS domain,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
-             CAST(len(regexp_extract_all(text,
-                 '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\s]'))
-               AS BIGINT) AS n_tokens
-      FROM u),
-spread AS (SELECT h, COUNT(DISTINCT domain) AS n_domains
-           FROM b GROUP BY h)
-SELECT domain, COUNT(*) AS n_docs,
-       COUNT(DISTINCT b.h) AS n_unique,
-       (COUNT(*) - COUNT(DISTINCT b.h)) / COUNT(*) AS within_dup_rate,
-       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       SUM(n_tokens) / (SELECT SUM(n_tokens) FROM b) AS token_share,
-       CAST(SUM(CASE WHEN n_domains > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_cross_domain_dup
-FROM b JOIN spread USING (h)
-GROUP BY domain ORDER BY domain
-""",
-    doc="Per-domain curation datasheet over URL-keyed documents: "
-        "volume, within-domain exact-dup rate, cross-domain duplicate "
-        "count, token share of corpus — the per-site mixing/blocklist "
-        "evidence a crawl pipeline publishes.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Vocabulary coverage curve: the tokenizer-design datasheet row — what
-# share of all corpus tokens the top-k most frequent terms cover, at
-# k ∈ {100, 1000, 10000} (clamped to the actual vocabulary size). The
-# Zipf reality this measures decides vocab budgets: if 10k terms cover
-# 99%, a bigger vocab buys almost nothing. Exact integer counts; the
-# one unpartitioned window runs over the VOCAB-sized frame (bounded by
-# distinct terms, not corpus — same rationale as waterfill), and the
-# ratio is a single final double division.
-# ---------------------------------------------------------------------------
-
-def _vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents")
-    tc = (d.select(F.explode(tokens(F.col("text"))).alias("term"))
-           .filter(F.col("term") != "")
-           .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
-    w = (Window.orderBy(F.desc("cnt"), F.asc("term"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = tc.select(
-        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
-         .alias("rnk"),
-        F.sum("cnt").over(w).alias("cum"))
-    tot = tc.agg(F.sum("cnt").alias("total_tokens"),
-                 F.count(F.lit(1)).alias("n_vocab"))
-    ks = spark.range(0, 3).select(
-        F.element_at(F.array(F.lit(100), F.lit(1000), F.lit(10000)),
-                     (F.col("id") + 1).cast("int")).alias("k"))
-    return (ks.crossJoin(F.broadcast(tot))
-              .withColumn("rnk", F.least(F.col("k"),
-                                         F.col("n_vocab")).cast("int"))
-              .join(ranked, "rnk")
-              .select("k", "n_vocab", "total_tokens",
-                      F.col("cum").alias("covered_tokens"),
-                      (F.col("cum").cast("double")
-                       / F.col("total_tokens").cast("double"))
-                       .alias("coverage_ratio"))
-              .orderBy("k"))
-
-
-register(
-    "vocab_coverage_curve",
-    _vocab_coverage,
-    r"""
-WITH tc AS (
-  SELECT term, COUNT(*) AS cnt
-  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
-        FROM documents)
-  WHERE term <> '' GROUP BY term),
-ranked AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk,
-         SUM(cnt) OVER (ORDER BY cnt DESC, term
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS cum
-  FROM tc),
-tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
-               COUNT(*) AS n_vocab FROM tc),
-ks AS (SELECT unnest([100, 1000, 10000]) AS k)
-SELECT CAST(ks.k AS INT) AS k, t.n_vocab, t.total_tokens,
-       CAST(r.cum AS BIGINT) AS covered_tokens,
-       CAST(r.cum AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
-         AS coverage_ratio
-FROM ks, tot t
-JOIN ranked r ON r.rnk = least(ks.k, t.n_vocab)
-ORDER BY k
-""",
-    doc="Vocabulary coverage at top-k (100/1k/10k, clamped to vocab "
-        "size): exact cumulative token share of the most frequent "
-        "terms — the Zipf datasheet that sizes tokenizer vocabularies.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Heaps-law vocabulary growth: cumulative distinct-vocabulary size at
-# decile checkpoints of the doc_id-ordered token stream — the companion
-# datasheet to vocab_coverage_curve (which fixes the corpus and varies
-# vocab rank; this fixes the vocab rule and varies corpus size). The
-# practical read: where the curve flattens, more same-distribution data
-# stops buying new vocabulary (data-constrained scaling's raw signal).
-#
-# Scale shape: a term contributes vocabulary exactly once, at its FIRST
-# document — min(doc_id) per term is one combinable agg, no per-prefix
-# recount. Both running sums (tokens, new terms) use the same blocked
-# two-pass cumsum as systematic_weighted_sample (block window + tiny
-# offset broadcast, no global single-task window); the decile selector
-# is a 10-row broadcast inequality join. Integer arithmetic throughout.
-# ---------------------------------------------------------------------------
-
-_HEAPS_BLOCK = 1024
-
-
-def _heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from .operators.text import tokens as _tok
-    d = _t(spark, sf, "documents")
-    per_doc = d.select(
-        "doc_id",
-        F.size(F.filter(_tok(F.col("text")), lambda t: t != ""))
-         .cast("long").alias("n_tok"),
-        F.floor(F.col("doc_id") / _HEAPS_BLOCK).alias("_blk"))
-    terms = (d.select("doc_id", F.explode(_tok(F.col("text"))).alias("term"))
-              .where(F.col("term") != ""))
-    first = terms.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
-    new_terms = (first.groupBy("first_doc")
-                      .agg(F.count(F.lit(1)).alias("n_new"))
-                      .withColumnRenamed("first_doc", "doc_id"))
-    docs = (per_doc.join(new_terms, "doc_id", "left")
-                   .select("doc_id", "_blk", "n_tok",
-                           F.coalesce("n_new", F.lit(0)).alias("n_new")))
-    win = (Window.partitionBy("_blk").orderBy("doc_id")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    within = (docs.withColumn("_ct_in", F.sum("n_tok").over(win))
-                  .withColumn("_cv_in", F.sum("n_new").over(win)))
-    bsums = docs.groupBy("_blk").agg(F.sum("n_tok").alias("_bt"),
-                                     F.sum("n_new").alias("_bv"))
-    owin = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bsums.select(
-        "_blk",
-        F.coalesce(F.sum("_bt").over(owin), F.lit(0)).alias("_ot"),
-        F.coalesce(F.sum("_bv").over(owin), F.lit(0)).alias("_ov"))
-    total = docs.agg(F.sum("n_tok").cast("long").alias("_total"))
-    cum = (within.join(F.broadcast(offsets), "_blk")
-                 .select("doc_id",
-                         (F.col("_ot") + F.col("_ct_in")).cast("long")
-                         .alias("cum_tokens"),
-                         (F.col("_ov") + F.col("_cv_in")).cast("long")
-                         .alias("cum_vocab")))
-    deciles = (spark.range(1, 11)
-                    .select(F.col("id").cast("int").alias("decile"))
-                    .crossJoin(F.broadcast(total))
-                    .select("decile",
-                            F.expr("(_total * decile) div 10")
-                             .alias("checkpoint_tokens")))
-    last = (cum.join(F.broadcast(deciles),
-                     F.col("cum_tokens") <= F.col("checkpoint_tokens"))
-               .groupBy("decile", "checkpoint_tokens")
-               .agg(F.max("doc_id").alias("_last_doc")))
-    return (last.join(cum, last["_last_doc"] == cum["doc_id"])
-                .select("decile", "checkpoint_tokens",
-                        F.col("cum_tokens").alias("tokens_at"),
-                        F.col("cum_vocab").alias("vocab_size"),
-                        (F.col("cum_vocab") * F.lit(1000.0)
-                         / F.col("cum_tokens")).alias("vocab_per_kilotoken"))
-                .orderBy("decile"))
-
-
-register(
-    "heaps_vocab_growth",
-    _heaps_vocab_growth,
-    f"""
-WITH pd AS (
-  SELECT doc_id,
-         CAST(len(list_filter({_DUCK_TOKENS}, x -> x <> '')) AS BIGINT)
-           AS n_tok
-  FROM documents),
-tm AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
-fst AS (SELECT term, MIN(doc_id) AS first_doc FROM tm
-        WHERE term <> '' GROUP BY term),
-nw AS (SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM fst GROUP BY 1),
-c AS (
-  SELECT pd.doc_id,
-         CAST(SUM(pd.n_tok) OVER (ORDER BY pd.doc_id
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-         CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY pd.doc_id
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
-  FROM pd LEFT JOIN nw USING (doc_id)),
-t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM pd),
-dc AS (SELECT CAST(d.range AS INT) AS decile,
-              (t.total * d.range) // 10 AS checkpoint_tokens
-       FROM range(1, 11) d, t),
-sel AS (SELECT dc.decile, dc.checkpoint_tokens, MAX(c.doc_id) AS last_doc
-        FROM dc JOIN c ON c.cum_tokens <= dc.checkpoint_tokens
-        GROUP BY 1, 2)
-SELECT s.decile, s.checkpoint_tokens, c.cum_tokens AS tokens_at,
-       c.cum_vocab AS vocab_size,
-       c.cum_vocab * 1000.0 / c.cum_tokens AS vocab_per_kilotoken
-FROM sel s JOIN c ON c.doc_id = s.last_doc
-ORDER BY s.decile
-""",
-    doc="Heaps-law vocabulary growth at token-stream deciles: "
-        "first-occurrence agg per term + blocked two-pass cumsums; the "
-        "decile selector is a 10-row broadcast inequality join.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Sorted-neighborhood record linkage (SNM, Hernández & Stolfo 1995):
-# the third blocking family next to LSH banding (minhash_dedup_pairs)
-# and key blocking (fuzzy_part_match). Sort the dictionary by the match
-# key, compare only records within a fixed window w of the sort order —
-# candidates are N*(w-1) by construction, robust to the key-blocking
-# failure mode (a typo in the blocking key exiles the record from its
-# block; in sort order it usually stays adjacent). same_block flags
-# whether key blocking would have surfaced each SNM pair — the recall
-# comparison between the two methods, as a datasheet.
-#
-# Scale shape: the total order comes from add_row_id (range-partitioned
-# two-pass id, no global window); the window join is an EQUI-join on
-# rn_b = rn_a + off over the exploded offsets 1..w-1, so it shuffles on
-# an integer key instead of an inequality. Levenshtein runs on the
-# N*(w-1) candidates only.
-# ---------------------------------------------------------------------------
-
-_SNM_W = 4        # window width: pair with the next w-1 names in order
-_SNM_MAXD = 4     # adjudication threshold (same as fuzzy_part_match)
-
-
-def _snm_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup import add_row_id
-    names = _t(spark, sf, "part").select("p_name").distinct()
-    seq = add_row_id(names, ["p_name"], name="rn")
-    offs = spark.range(1, _SNM_W).select(F.col("id").alias("_off"))
-    a = seq.select(F.col("p_name").alias("name_a"), F.col("rn").alias("_ra"))
-    b = seq.select(F.col("p_name").alias("name_b"), F.col("rn").alias("_rb"))
-    cand = (a.crossJoin(F.broadcast(offs))
-             .withColumn("_rb", F.col("_ra") + F.col("_off"))
-             .join(b, "_rb"))
-    return (cand.select(
-                "name_a", "name_b", F.col("_off").cast("int").alias("gap"),
-                F.levenshtein("name_a", "name_b").alias("dist"),
-                (F.expr("split_part(name_a, ' ', 2)")
-                 == F.expr("split_part(name_b, ' ', 2)")).alias("same_block"))
-                .where(F.col("dist") <= _SNM_MAXD)
-                .orderBy("name_a", "name_b"))
-
-
-register(
-    "snm_part_pairs",
-    _snm_part_pairs,
-    f"""
-WITH n AS (SELECT DISTINCT p_name FROM part),
-s AS (SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS rn FROM n),
-cand AS (
-  SELECT a.p_name AS name_a, b.p_name AS name_b,
-         CAST(b.rn - a.rn AS INT) AS gap
-  FROM s a JOIN s b ON b.rn > a.rn AND b.rn < a.rn + {_SNM_W})
-SELECT name_a, name_b, gap,
-       CAST(levenshtein(name_a, name_b) AS INT) AS dist,
-       split_part(name_a, ' ', 2) = split_part(name_b, ' ', 2) AS same_block
-FROM cand WHERE levenshtein(name_a, name_b) <= {_SNM_MAXD}
-ORDER BY name_a, name_b
-""",
-    doc="Sorted-neighborhood record linkage over the part-name "
-        "dictionary: two-pass global sort ids, equi-join on rank "
-        "offsets 1..w-1, Levenshtein adjudication, with a same-block "
-        "flag comparing SNM recall against key blocking.",
-)
-
-
-# ---------------------------------------------------------------------------
-# REAL JPEG entropy decode roundtrip — the compressed-image half of the
-# media seam, value-pinned. Each document becomes a genuine baseline-
-# sequential JPEG (operators/jpegcodec.encode_baseline_gray: real FDCT,
-# quantization, Annex-K Huffman coding, byte stuffing; even doc_ids add
-# a restart interval so the RSTn + DC-predictor-reset path is inside the
-# hashed data, not just pytest): a 16x16 grayscale image of four flat
-# 8x8 blocks whose values derive from doc_id. The real decoder
-# (marker walk -> DHT canonical Huffman -> bit unstuffing -> DC-diff +
-# AC run-length decode -> dequant -> IDCT -> level shift) recovers the
-# pixels EXACTLY — the DC basis is constant, so flat blocks survive the
-# float transform pair bit-exactly — and DuckDB recomputes sum/min/max
-# arithmetically from doc_id. Any bug anywhere in the entropy layer
-# (table reconstruction, stuffing, predictor chains, EOB handling)
-# breaks the value hash.
-#
-# Scale shape: two Arrow crossings (encode, decode), zero shuffles
-# before the final doc_id sort; pure per-row work, embarrassingly
-# parallel — the partition-sizing note in operators/multimodal applies.
-# ---------------------------------------------------------------------------
-
-def _jpeg_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.jpegcodec import decode_baseline, encode_baseline_gray
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                px = np.zeros((16, 16), dtype=np.uint8)
-                for k in range(4):
-                    v = (did * 31 + 97 * k) % 256
-                    by, bx = divmod(k, 2)
-                    px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
-                payloads.append(encode_baseline_gray(
-                    px, restart_interval=2 if did % 2 == 0 else 0))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_baseline(bytes(p))
-                px = r["pixels"].astype("int64")
-                rows.append({"doc_id": int(did),
-                             "out_w": r["width"], "out_h": r["height"],
-                             "pix_sum": int(px.sum()),
-                             "pix_min": int(px.min()),
-                             "pix_max": int(px.max())})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, out_w long, out_h long,"
-                                 " pix_sum long, pix_min long,"
-                                 " pix_max long")
-               .orderBy("doc_id"))
-
-
-register(
-    "jpeg_decode_roundtrip",
-    _jpeg_decode_roundtrip,
-    """
-WITH v AS (
-  SELECT doc_id,
-         (doc_id * 31 +   0) % 256 AS v0,
-         (doc_id * 31 +  97) % 256 AS v1,
-         (doc_id * 31 + 194) % 256 AS v2,
-         (doc_id * 31 + 291) % 256 AS v3
-  FROM documents)
-SELECT doc_id,
-       CAST(16 AS BIGINT) AS out_w,
-       CAST(16 AS BIGINT) AS out_h,
-       CAST(64 * (v0 + v1 + v2 + v3) AS BIGINT) AS pix_sum,
-       CAST(LEAST(v0, v1, v2, v3) AS BIGINT) AS pix_min,
-       CAST(GREATEST(v0, v1, v2, v3) AS BIGINT) AS pix_max
-FROM v ORDER BY doc_id
-""",
-    doc="Real baseline-JPEG entropy decode roundtrip: genuine "
-        "FDCT/Huffman/stuffed streams (restart markers on even ids) "
-        "built per document, decoded by the real T.81 entropy layer "
-        "(jpegcodec.decode_baseline), pixel sum/min/max hash-verified "
-        "against doc_id arithmetic — flat blocks survive the "
-        "transform pair bit-exactly.",
-)
-
-
-# ---------------------------------------------------------------------------
-# ISO-BMFF (MP4) container probe — the video half of the media-metadata
-# seam, value-pinned like jpeg_header_probe. Each document's bytes are
-# framed JVM-side into a GENUINE box tree (ftyp; a variable-length mdat
-# carrying the text FIRST, so the probe's skip-by-size logic is
-# exercised over real payload bytes before moov is found — the common
-# non-faststart layout; then moov > mvhd + trak > tkhd with computed
-# big-endian timescale/duration and 16.16 fixed-point dimensions), the
-# real box walker (operators/multimodal.probe_mp4: 32/64-bit sizes,
-# container recursion, v0/v1 headers) probes it through the Arrow seam,
-# and DuckDB recomputes every field arithmetically from the text
-# length. Sample-data decode (H.264) stays honestly stubbed — this is
-# the duration/aspect filter pass a video pipeline runs on every clip.
-# ---------------------------------------------------------------------------
-
-def _mp4_box_probe(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.multimodal import probe_mp4
-
-    import pandas as pd
-
-    def be32(c):
-        def pair(x):
-            return F.lpad(F.hex(x % 256), 2, "0")
-        return F.unhex(F.concat(pair((c / 16777216).cast("long")),
-                                pair((c / 65536).cast("long")),
-                                pair((c / 256).cast("long")), pair(c)))
-
-    d = _t(spark, sf, "documents")
-    raw = F.encode(F.col("text"), "UTF-8")
-    ln = F.octet_length(raw).cast("long")
-    dur = ln * 3
-    w = 1 + ln % 640
-    h = 1 + ln % 480
-    ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
-    mdat = F.concat(be32(ln + 8), F.lit(b"mdat"), raw)
-    mvhd = F.concat(
-        F.lit(b"\x00\x00\x00\x6cmvhd" + b"\x00" * 12),   # ver/flags,times
-        be32(F.lit(600)), be32(dur),                      # timescale, dur
-        F.lit(b"\x00\x01\x00\x00\x01\x00" + b"\x00" * 10  # rate, volume
-              + b"\x00" * 36 + b"\x00" * 24               # matrix, predef
-              + b"\x00\x00\x00\x02"))                     # next track id
-    tkhd = F.concat(
-        F.lit(b"\x00\x00\x00\x5ctkhd" + b"\x00\x00\x00\x07"
-              + b"\x00" * 8 + b"\x00\x00\x00\x01" + b"\x00" * 4),
-        be32(dur),
-        F.lit(b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36),  # layer..matrix
-        be32(w * 65536), be32(h * 65536))
-    moov = F.concat(F.lit(b"\x00\x00\x00\xd8moov"), mvhd,
-                    F.lit(b"\x00\x00\x00\x64trak"), tkhd)
-    payload = F.concat(F.lit(ftyp), mdat, moov)
-    src = (d.select("doc_id", payload.alias("payload"))
-            .repartition(spark.sparkContext.defaultParallelism))
-
-    def probe(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = probe_mp4(bytes(p))
-                rows.append({"doc_id": int(did), "brand": r["brand"],
-                             "timescale": r["timescale"],
-                             "duration_ms": r["duration_ms"],
-                             "n_tracks": r["n_tracks"],
-                             "width": r["width"], "height": r["height"],
-                             "byte_len": r["byte_len"]})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(probe, "doc_id long, brand string,"
-                                   " timescale long, duration_ms long,"
-                                   " n_tracks long, width long,"
-                                   " height long, byte_len long")
-               .orderBy("doc_id"))
-
-
-register(
-    "mp4_box_probe",
-    _mp4_box_probe,
-    """
-WITH b AS (SELECT doc_id,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS ln
-           FROM documents)
-SELECT doc_id,
-       'isom' AS brand,
-       CAST(600 AS BIGINT) AS timescale,
-       CAST(ln * 3 * 1000 // 600 AS BIGINT) AS duration_ms,
-       CAST(1 AS BIGINT) AS n_tracks,
-       CAST(1 + ln % 640 AS BIGINT) AS width,
-       CAST(1 + ln % 480 AS BIGINT) AS height,
-       CAST(16 + (ln + 8) + 216 AS BIGINT) AS byte_len
-FROM b ORDER BY doc_id
-""",
-    doc="Real ISO-BMFF box-tree probe: genuine ftyp/mdat/moov "
-        "structures (mdat-first layout, computed 16.16 dimensions) "
-        "built JVM-side per document, walked by the real container "
-        "parser through the Arrow seam, every field hash-verified "
-        "against text-length arithmetic.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Frame-level audio features — the step AFTER decode in an audio
-# curation pipeline (energy contour, VAD-style voiced-frame gating,
-# zero-crossing noisiness), value-pinned at the sample level. Same
-# container construction as wav_decode_roundtrip (text bytes as 16-bit
-# mono PCM in a genuine RIFF/WAVE), but the crossing decodes to RAW
-# SAMPLES (multimodal.wav_samples) and runs the integer frame math
-# (pcm_frame_features: Σx²//frame per 64-sample window, first-peak
-# index, energy-gate count, sign-transition crossings). DuckDB
-# recomputes every feature from the same little-endian sample list, so
-# a bug in framing, the tail-drop rule, argmax tie-breaking, or the
-# signedness decode breaks the value hash.
-# ---------------------------------------------------------------------------
-
-def _wav_frame_energy(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.multimodal import pcm_frame_features, wav_samples
-
-    def le32(c):
-        def pair(x):
-            return F.lpad(F.hex(x % 256), 2, "0")
-        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
-                                pair((c / 65536).cast("long")),
-                                pair((c / 16777216).cast("long"))))
-
-    d = _t(spark, sf, "documents")
-    raw = F.encode(F.col("text"), "UTF-8")
-    data = F.when(F.octet_length(raw) % 2 == 1,
-                  F.concat(raw, F.lit(b"\x00"))).otherwise(raw)
-    dlen = F.octet_length(data).cast("long")
-    fmt = (b"fmt " + (16).to_bytes(4, "little")
-           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
-           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
-    payload = F.concat(F.lit(b"RIFF"), le32(dlen + 36), F.lit(b"WAVE"),
-                       F.lit(fmt), F.lit(b"data"), le32(dlen), data)
-    src = (d.select("doc_id", payload.alias("payload"))
-            .repartition(spark.sparkContext.defaultParallelism))
-
-    def feats(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                x = wav_samples(bytes(p))[:, 0]
-                r = pcm_frame_features(x, frame=64,
-                                       voiced_threshold=1_000_000)
-                r["doc_id"] = int(did)
-                rows.append(r)
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(feats, "n_samples long, n_frames long,"
-                                   " zero_crossings long,"
-                                   " max_energy long, peak_frame long,"
-                                   " voiced_frames long, doc_id long")
-               .select("doc_id", "n_samples", "n_frames", "max_energy",
-                       "peak_frame", "voiced_frames", "zero_crossings")
-               .orderBy("doc_id"))
-
-
-register(
-    "wav_frame_energy",
-    _wav_frame_energy,
-    r"""
-WITH b AS (SELECT doc_id, hex(encode(text)) AS hx0 FROM documents),
-p AS (SELECT doc_id,
-             CASE WHEN length(hx0) % 4 = 0 THEN hx0
-                  ELSE hx0 || '00' END AS hx
-      FROM b),
-s AS (SELECT doc_id, CAST(length(hx) // 4 AS BIGINT) AS n,
-             list_transform(range(0, length(hx) // 4), i ->
-               ('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2))::BIGINT
-               + 256 * ('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2))::BIGINT)
-               AS raw
-      FROM p),
-v AS (SELECT doc_id, n,
-             list_transform(raw, x -> CASE WHEN x >= 32768
-                                           THEN x - 65536 ELSE x END) AS x
-      FROM s),
-e AS (SELECT doc_id, n, x, n // 64 AS nf,
-             list_transform(range(0, n // 64), f ->
-               list_sum(list_transform(range(0, 64), j ->
-                 x[CAST(64 * f + j + 1 AS INT)]
-                 * x[CAST(64 * f + j + 1 AS INT)])) // 64) AS en
-      FROM v)
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(nf AS BIGINT) AS n_frames,
-       CASE WHEN nf = 0 THEN NULL
-            ELSE CAST(list_max(en) AS BIGINT) END AS max_energy,
-       CASE WHEN nf = 0 THEN NULL
-            ELSE CAST(list_position(en, list_max(en)) - 1 AS BIGINT)
-            END AS peak_frame,
-       CAST(COALESCE(list_sum(list_transform(en, q ->
-              CASE WHEN q > 1000000 THEN 1 ELSE 0 END)), 0) AS BIGINT)
-         AS voiced_frames,
-       CAST(COALESCE(list_sum(list_transform(range(1, n), i ->
-              CASE WHEN (x[CAST(i AS INT)] < 0)
-                        != (x[CAST(i + 1 AS INT)] < 0)
-                   THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
-FROM e ORDER BY doc_id
-""",
-    doc="Frame-level PCM features through the real WAV sample decoder: "
-        "64-sample mean-square energy windows (tail dropped), first-"
-        "peak frame, energy-gate voiced-frame count and sign-transition "
-        "zero crossings — every value integer-exact against sample-"
-        "level SQL over the same bytes.",
-)
-
-
-# ---------------------------------------------------------------------------
-# WebDataset shard roundtrip — the tar-of-samples container that
-# large-scale multimodal training corpora actually ship in. Documents
-# are sharded (doc_id div 32), each shard task writes ONE deterministic
-# ustar archive holding two members per sample (<key>.txt payload +
-# <key>.cls label — the WebDataset naming convention), and the
-# from-scratch walker (operators/webdataset.py: octal fields, header
-# checksums, 512-block alignment, terminator check) reads every sample
-# back out through a second Arrow crossing. The oracle recomputes the
-# expected (shard, length, label) triple per document, so a bug in
-# octal encoding, checksum math, member framing, or sample keying
-# breaks the value hash.
-#
-# Scale shape: ONE shuffle keyed by shard id (applyInPandas — exactly
-# how a real shard writer lays out output files), then narrow maps.
-# Rows-per-shard is the partition-sizing knob; payload bytes dominate.
-# ---------------------------------------------------------------------------
-
-_WDS_SHARD_DIV = 32
-
-
-def _webdataset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.webdataset import (build_shard, group_samples,
-                                       parse_tar_members)
-
-    d = (_t(spark, sf, "documents")
-         .select("doc_id", "text",
-                 F.coalesce(F.col("lang"), F.lit("")).alias("cls"),
-                 (F.col("doc_id") / _WDS_SHARD_DIV).cast("long")
-                  .alias("shard_id")))
-
-    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        parts = []
-        for did, text, cls in zip(pdf["doc_id"].astype("int64"),
-                                  pdf["text"], pdf["cls"]):
-            key = f"{int(did):012d}"
-            parts.append((f"{key}.txt", str(text).encode("utf-8")))
-            parts.append((f"{key}.cls", str(cls).encode("utf-8")))
-        return pd.DataFrame({
-            "shard_id": [int(pdf["shard_id"].iloc[0])],
-            "payload": [build_shard(parts)],
-        })
-
-    shards = (d.groupBy("shard_id")
-               .applyInPandas(write_shard, "shard_id long, payload binary"))
-
-    def read_shard(it):
-        for pdf in it:
-            rows = []
-            for sid, p in zip(pdf["shard_id"].astype("int64"),
-                              pdf["payload"]):
-                samples = group_samples(parse_tar_members(bytes(p)))
-                for key, parts in samples.items():
-                    rows.append({
-                        "doc_id": int(key),
-                        "shard_id": int(sid),
-                        "txt_len": len(parts["txt"]),
-                        "cls": parts["cls"].decode("utf-8"),
-                    })
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "shard_id", "txt_len", "cls"])
-
-    return (shards.mapInPandas(read_shard,
-                               "doc_id long, shard_id long,"
-                               " txt_len long, cls string")
-            .orderBy("doc_id"))
-
-
-register(
-    "webdataset_roundtrip",
-    _webdataset_roundtrip,
-    f"""
-SELECT doc_id,
-       doc_id // {_WDS_SHARD_DIV} AS shard_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS txt_len,
-       COALESCE(lang, '') AS cls
-FROM documents ORDER BY doc_id
-""",
-    doc="WebDataset tar-shard roundtrip: one applyInPandas shuffle "
-        "writes deterministic ustar shards (two members per sample, "
-        "WebDataset key.ext naming), the from-scratch walker verifies "
-        "checksums/framing and regroups samples, and every "
-        "(shard, length, label) is hash-verified against arithmetic.",
-)
-
-
-# ---------------------------------------------------------------------------
-# EXIF orientation/dimension probe — the metadata pass that keeps
-# training images from being silently rotated or mis-sized. Each
-# document becomes a genuine little-endian TIFF (header + IFD0 with
-# LONG width/height and SHORT orientation entries, assembled JVM-side
-# byte-for-byte from the public TIFF 6.0 layout); ODD doc_ids ship the
-# same TIFF inside a real JPEG APP1 "Exif\0\0" segment, so both
-# carriages the wild serves (bare TIFF, EXIF-in-JPEG) are inside the
-# hashed data. The real IFD walker (operators/multimodal.
-# probe_tiff_exif: byte-order marks, 12-byte entries, inline-vs-offset
-# value rule) extracts the fields and the oracle recomputes them
-# arithmetically. Narrow map end-to-end, one Arrow crossing.
-# ---------------------------------------------------------------------------
-
-def _exif_orientation_probe(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.multimodal import probe_tiff_exif
-
-    def le32(c):
-        def pair(x):
-            return F.lpad(F.hex(x % 256), 2, "0")
-        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long")),
-                                pair((c / 65536).cast("long")),
-                                pair((c / 16777216).cast("long"))))
-
-    def le16(c):
-        def pair(x):
-            return F.lpad(F.hex(x % 256), 2, "0")
-        return F.unhex(F.concat(pair(c), pair((c / 256).cast("long"))))
-
-    d = _t(spark, sf, "documents")
-    ln = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
-    w = 1 + ln % 640
-    h = 1 + ln % 480
-    orient = (1 + F.col("doc_id") % 8).cast("long")
-    tiff = F.concat(
-        F.lit(b"II*\x00\x08\x00\x00\x00\x03\x00"),      # hdr + count=3
-        F.lit(b"\x00\x01\x04\x00\x01\x00\x00\x00"), le32(w),
-        F.lit(b"\x01\x01\x04\x00\x01\x00\x00\x00"), le32(h),
-        F.lit(b"\x12\x01\x03\x00\x01\x00\x00\x00"), le16(orient),
-        F.lit(b"\x00\x00" + b"\x00\x00\x00\x00"))       # pad + next=0
-    # fixed TIFF length (50) → fixed APP1 segment length (58)
-    jpeg = F.concat(F.lit(b"\xff\xd8\xff\xe1\x00\x3aExif\x00\x00"),
-                    tiff, F.lit(b"\xff\xd9"))
-    payload = F.when(F.col("doc_id") % 2 == 1, jpeg).otherwise(tiff)
-    carriage = F.when(F.col("doc_id") % 2 == 1,
-                      F.lit("jpeg")).otherwise(F.lit("tiff"))
-    src = (d.select("doc_id", carriage.alias("carriage"),
-                    payload.alias("payload"))
-            .repartition(spark.sparkContext.defaultParallelism))
-
-    def probe(it):
-        for pdf in it:
-            rows = []
-            for did, car, p in zip(pdf["doc_id"].astype("int64"),
-                                   pdf["carriage"], pdf["payload"]):
-                r = probe_tiff_exif(bytes(p))
-                rows.append({"doc_id": int(did), "carriage": car,
-                             "byte_order": r["byte_order"],
-                             "width": r["width"], "height": r["height"],
-                             "orientation": r["orientation"]})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(probe, "doc_id long, carriage string,"
-                                   " byte_order string, width long,"
-                                   " height long, orientation long")
-               .orderBy("doc_id"))
-
-
-register(
-    "exif_orientation_probe",
-    _exif_orientation_probe,
-    """
-WITH b AS (SELECT doc_id,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS ln
-           FROM documents)
-SELECT doc_id,
-       CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'tiff' END AS carriage,
-       'little' AS byte_order,
-       CAST(1 + ln % 640 AS BIGINT) AS width,
-       CAST(1 + ln % 480 AS BIGINT) AS height,
-       CAST(1 + doc_id % 8 AS BIGINT) AS orientation
-FROM b ORDER BY doc_id
-""",
-    doc="Real EXIF/TIFF IFD probe: byte-exact TIFF streams (and, for "
-        "odd ids, the JPEG APP1 Exif carriage) built JVM-side, walked "
-        "by the real IFD parser through the Arrow seam, orientation "
-        "and dimensions hash-verified against arithmetic.",
-)
-
-
-# ---------------------------------------------------------------------------
-# MP3 frame-header probe — the compressed-audio half of the media-
-# metadata seam. Each document synthesizes a genuine MPEG-1 Layer III
-# CBR stream (1 + doc_id%4 frames; bitrate index 1 + doc_id%14 and
-# sample-rate index doc_id%3 cycle the public ISO 11172-3 tables;
-# per-frame padding bits alternate so the 144·bitrate/rate + padding
-# length formula is exercised on both values), prefixed with an ID3v2
-# tag whose syncsafe length the walker must skip. The real frame walk
-# (operators/multimodal.parse_mp3_frames) recovers frame count /
-# bitrate / sample rate / exact-integer duration, and DuckDB recomputes
-# them from the same index arithmetic via CASE tables. Synthesis-filter
-# decode stays honestly stubbed; this is the duration/bitrate gate an
-# audio pipeline runs on every clip.
-# ---------------------------------------------------------------------------
-
-def _mp3_frame_probe(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.multimodal import (_MP3_BITRATES, _MP3_RATES,
-                                       parse_mp3_frames)
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def synth(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                bidx = 1 + did % 14
-                ridx = did % 3
-                nf = 1 + did % 4
-                chunks = [b"ID3\x04\x00\x00" + bytes([0, 0, 0, 11])
-                          + b"tag-payload"]
-                for k in range(nf):
-                    pad = (did + k) % 2
-                    hdr = bytes([0xFF, 0xFB,
-                                 (bidx << 4) | (ridx << 2) | (pad << 1),
-                                 0x00])
-                    flen = (144 * _MP3_BITRATES[bidx] * 1000
-                            // _MP3_RATES[ridx] + pad)
-                    chunks.append(hdr + b"\x00" * (flen - 4))
-                payloads.append(b"".join(chunks))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def probe(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = parse_mp3_frames(bytes(p))
-                rows.append({"doc_id": int(did),
-                             "n_frames": r["n_frames"],
-                             "bitrate_kbps": r["bitrate_kbps"],
-                             "sample_rate": r["sample_rate"],
-                             "duration_ms": r["duration_ms"],
-                             "byte_len": r["byte_len"]})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(synth, "doc_id long, payload binary")
-               .mapInPandas(probe, "n_frames long, bitrate_kbps long,"
-                                   " sample_rate long, duration_ms long,"
-                                   " byte_len long, doc_id long")
-               .select("doc_id", "n_frames", "bitrate_kbps",
-                       "sample_rate", "duration_ms", "byte_len")
-               .orderBy("doc_id"))
-
-
-_MP3_BR_SQL = ("CASE 1 + doc_id % 14 "
-               + " ".join(f"WHEN {i} THEN {b}" for i, b in
-                          [(1, 32), (2, 40), (3, 48), (4, 56), (5, 64),
-                           (6, 80), (7, 96), (8, 112), (9, 128),
-                           (10, 160), (11, 192), (12, 224), (13, 256),
-                           (14, 320)])
-               + " END")
-_MP3_SR_SQL = ("CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000"
-               " ELSE 32000 END")
-
-register(
-    "mp3_frame_probe",
-    _mp3_frame_probe,
-    f"""
-WITH b AS (
-  SELECT doc_id,
-         1 + doc_id % 4 AS nf,
-         {_MP3_BR_SQL} AS br,
-         {_MP3_SR_SQL} AS sr
-  FROM documents)
-SELECT doc_id,
-       CAST(nf AS BIGINT) AS n_frames,
-       CAST(br AS BIGINT) AS bitrate_kbps,
-       CAST(sr AS BIGINT) AS sample_rate,
-       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
-       CAST(21 + nf * (144 * br * 1000 // sr)
-            + (nf + doc_id % 2) // 2 AS BIGINT) AS byte_len
-FROM b ORDER BY doc_id
-""",
-    doc="Real MPEG-1 Layer III frame walk: genuine CBR streams (table-"
-        "cycled bitrate/rate indices, alternating padding, ID3v2 "
-        "prefix) synthesized per document, walked by the real header "
-        "parser, frame count / bitrate / duration hash-verified "
-        "against the public-table arithmetic.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Poisson bootstrap — the bootstrap that actually works at 100 TB.
-# Classic bootstrap resampling needs n index draws per replicate (a
-# corpus-sized shuffle per replicate); the Poisson approximation gives
-# every row an independent Poisson(1) multiplicity per replicate, so
-# ALL B replicates come out of ONE corpus scan (explode over replicate
-# ids, map-side-combinable agg). Determinism: the multiplicity is the
-# inverse-CDF of Poisson(1) applied to a 48-bit-hash uniform — the
-# hash is the engine-portable md5 fold, 48 bits < 53 so h/2^48 is an
-# EXACT double, the CDF thresholds are shared literals, and each
-# replicate mean is one BIGINT/BIGINT double division: every value is
-# bit-identical across engines and partitionings.
-# ---------------------------------------------------------------------------
-
-_BOOT_B = 64
-#: Cumulative Poisson(1) pmf: P(X<=k) for k = 0..6; u past the last
-#: entry draws multiplicity 7 (P ≈ 8e-5; exact tail truncation shared
-#: by both engines).
-_POIS_CDF = ("0.36787944117144233", "0.7357588823428847",
-             "0.9196986029286058", "0.9810118431238463",
-             "0.9963401531726563", "0.9994058151824183",
-             "0.999916758850712")
-
-
-def _boot_weight(u):
-    w = F.lit(7)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(w)
-    return w
-
-
-def _boot_means_df(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import md5_hash, tokens
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("x"))
-    r = (d.select("doc_id", "x",
-                  F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("_r"))
-          .select("doc_id", "x", F.col("_r").cast("long").alias("r")))
-    h = md5_hash(F.concat(F.col("r").cast("string"), F.lit(":"),
-                          F.col("doc_id").cast("string")))
-    u = h.cast("double") / F.lit(float(2 ** 48))
-    w = _boot_weight(u).cast("long")
-    return (r.select("r", "x", w.alias("w"))
-             .groupBy("r")
-             .agg(F.sum("w").alias("sw"),
-                  F.sum(F.col("w") * F.col("x")).alias("swx"))
-             .select("r", "sw", "swx",
-                     (F.col("swx").cast("double")
-                      / F.col("sw").cast("double")).alias("mean_tokens")))
-
-
-_BOOT_W_SQL = " ".join(
-    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))
-
-_BOOT_MEANS_SQL = f"""
-WITH d AS (SELECT doc_id,
-                  CAST(len(string_split_regex(trim(text), '\\s+'))
-                       AS BIGINT) AS x
-           FROM documents),
-e AS (SELECT doc_id, x, CAST(unnest(range(1, {_BOOT_B + 1})) AS BIGINT)
-               AS r
-      FROM d),
-u AS (SELECT r, x,
-             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
-                                      CAST(doc_id AS VARCHAR)), 1, 12))
-                  ::BIGINT AS DOUBLE) / 281474976710656.0 AS u
-      FROM e),
-w AS (SELECT r, x, CASE {_BOOT_W_SQL} ELSE 7 END AS w FROM u)
-SELECT r, CAST(SUM(w) AS BIGINT) AS sw,
-       CAST(SUM(w * x) AS BIGINT) AS swx,
-       CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_tokens
-FROM w GROUP BY r
-"""
-
-register(
-    "poisson_bootstrap_means",
-    lambda spark, sf: _boot_means_df(spark, sf).orderBy("r"),
-    _BOOT_MEANS_SQL + "ORDER BY r",
-    doc="Poisson-bootstrap replicate table: 64 replicates of the mean "
-        "token count from ONE corpus scan (Poisson(1) multiplicities "
-        "from exact 48-bit-hash uniforms), every weight and mean "
-        "bit-identical across engines.",
-)
-
-
-def _poisson_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import tokens
-    means = _boot_means_df(spark, sf)
-    d = _t(spark, sf, "documents").select(
-        F.size(tokens(F.col("text"))).cast("long").alias("x"))
-    point = d.agg(
-        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double"))
-        .alias("point_mean"))
-    # 64 replicate means -> one sorted array; ranks 2 and 63 (1-based)
-    # are the shared 2.5% / 97.5% convention. The collect_list feeds a
-    # 64-element array — driver-free, single tiny agg.
-    ci = means.agg(
-        F.count(F.lit(1)).alias("b"),
-        F.sort_array(F.collect_list("mean_tokens")).alias("ms"))
-    return (ci.crossJoin(point)
-              .select("b", "point_mean",
-                      F.col("ms").getItem(1).alias("ci_lo"),
-                      F.col("ms").getItem(62).alias("ci_hi")))
-
-
-register(
-    "poisson_bootstrap_ci",
-    _poisson_bootstrap_ci,
-    f"""
-WITH means AS ({_BOOT_MEANS_SQL}),
-s AS (SELECT list_sort(list(mean_tokens)) AS ms,
-             CAST(COUNT(*) AS BIGINT) AS b
-      FROM means),
-p AS (SELECT CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
-                  AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS point_mean
-      FROM documents)
-SELECT b, point_mean, ms[2] AS ci_lo, ms[63] AS ci_hi
-FROM s, p
-""",
-    doc="95% Poisson-bootstrap CI for the mean token count: sorted "
-        "replicate means, ranks 2/63 of 64 — the one-scan uncertainty "
-        "quantification a corpus-stat dashboard needs at scale.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Unicode NFC normalization — the canonicalization pass every text
-# curation pipeline runs before hashing/dedup (decomposed sequences
-# like e + COMBINING ACUTE hash differently from their composed forms,
-# silently splitting duplicate groups). Spark has no built-in NFC, so
-# the normalize runs in the Arrow crossing via unicodedata; DuckDB's
-# nfc_normalize (verified char-identical to Python's) recomputes every
-# output. Even doc_ids get a DECOMPOSED suffix (changes under NFC),
-# odd ones the precomposed equivalent (already normal) — both the
-# changed and unchanged paths sit inside the hashed data, pinned by
-# character counts and the md5 of the normalized UTF-8.
-# ---------------------------------------------------------------------------
-
-def _unicode_nfc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-    import unicodedata
-
-    import pandas as pd
-
-    d = _t(spark, sf, "documents")
-    dec = " e\u0301A\u030a"   # e+COMBINING ACUTE, A+COMBINING RING
-    comp = " \u00e9\u00c5"     # the precomposed forms
-    t2 = F.concat(F.col("text"),
-                  F.when(F.col("doc_id") % 2 == 0, F.lit(dec))
-                   .otherwise(F.lit(comp)))
-    src = (d.select("doc_id", t2.alias("t"))
-            .repartition(spark.sparkContext.defaultParallelism))
-
-    def norm(it):
-        for pdf in it:
-            rows = []
-            for did, s in zip(pdf["doc_id"].astype("int64"), pdf["t"]):
-                n = unicodedata.normalize("NFC", s)
-                rows.append({"doc_id": int(did),
-                             "orig_chars": len(s),
-                             "nfc_chars": len(n),
-                             "changed": n != s,
-                             "nfc_md5": hashlib.md5(
-                                 n.encode("utf-8")).hexdigest()})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(norm, "doc_id long, orig_chars long,"
-                                  " nfc_chars long, changed boolean,"
-                                  " nfc_md5 string")
-               .orderBy("doc_id"))
-
-
-register(
-    "unicode_nfc_roundtrip",
-    _unicode_nfc_roundtrip,
-    """
-WITH t AS (
-  SELECT doc_id,
-         text || CASE WHEN doc_id % 2 = 0
-                      THEN ' ' || chr(101) || chr(769)
-                           || chr(65) || chr(778)
-                      ELSE ' ' || chr(233) || chr(197) END AS s
-  FROM documents)
-SELECT doc_id,
-       CAST(length(s) AS BIGINT) AS orig_chars,
-       CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_chars,
-       nfc_normalize(s) != s AS changed,
-       md5(nfc_normalize(s)) AS nfc_md5
-FROM t ORDER BY doc_id
-""",
-    doc="Unicode NFC canonicalization through the Arrow seam "
-        "(unicodedata), hash-verified against DuckDB's nfc_normalize: "
-        "decomposed suffixes compose (changed=true, shorter), "
-        "precomposed ones pass through — the pre-dedup text "
-        "canonicalization pass.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Matryoshka truncation audit — the retrieval-quality check behind
-# MRL-style embedding truncation (serve the first d dims of a 64-dim
-# vector to cut index cost d/64x; Kusupati et al. 2022, public). For
-# each probe, exact top-k under the FULL vectors is compared with
-# top-k under prefixes (d = 8, 16): top-1 agreement and overlap@k per
-# (probe, d). Both rankings use the deterministic sequential-fold dot
-# (functions/exact.ddot), so ranks — and therefore the audit verdict —
-# are bit-stable and oracle-checkable. Scale shape: the probe set
-# broadcasts, the corpus streams once per dim tier (each tier reads a
-# PREFIX of the same column — no second embedding table), ranks come
-# from a per-probe window over ≤|corpus| scored rows.
-# ---------------------------------------------------------------------------
-
-_MATRY_DIMS = (8, 16)
-_MATRY_K = 5
-
-
-def _matryoshka_topk_agreement(spark: SparkSession, sf: str) -> DataFrame:
-    emb = _t(spark, sf, "embeddings")
-    full = (cosine_topk(emb, _ANN_QUERY_IDS, k=_MATRY_K)
-            .select("query_id", "neighbor_id", "rank"))
-    out = None
-    for d in _MATRY_DIMS:
-        sliced = emb.select(
-            "vec_id", F.slice(F.col("embedding"), 1, d).alias("embedding"))
-        trunc = (cosine_topk(sliced, _ANN_QUERY_IDS, k=_MATRY_K)
-                 .select("query_id", "neighbor_id", "rank"))
-        top1 = (full.where(F.col("rank") == 1)
-                .select("query_id",
-                        F.col("neighbor_id").alias("top1_full"))
-                .join(trunc.where(F.col("rank") == 1)
-                      .select("query_id",
-                              F.col("neighbor_id").alias("top1_trunc")),
-                      "query_id"))
-        overlap = (trunc.join(full, ["query_id", "neighbor_id"], "semi")
-                   .groupBy("query_id")
-                   .agg(F.count(F.lit(1)).alias("overlap_at_k")))
-        tier = (top1.join(overlap, "query_id", "left")
-                .select("query_id", F.lit(d).cast("long").alias("dim"),
-                        "top1_full", "top1_trunc",
-                        (F.col("top1_full") == F.col("top1_trunc"))
-                         .alias("top1_agree"),
-                        F.coalesce("overlap_at_k", F.lit(0))
-                         .cast("long").alias("overlap_at_k")))
-        out = tier if out is None else out.unionByName(tier)
-    return out.orderBy("query_id", "dim")
-
-
-def _matry_rank_sql(vec: str) -> str:
-    return f"""
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY q.query_id
-           ORDER BY {_duck_dot(f'q.qv{vec}', f'e.embedding{vec}')}
-             / (sqrt({_duck_dot(f'q.qv{vec}', f'q.qv{vec}')})
-                * sqrt({_duck_dot(f'e.embedding{vec}',
-                                  f'e.embedding{vec}')})) DESC,
-             e.vec_id) AS rn
-  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})) q,
-       embeddings e
-  WHERE e.vec_id != q.query_id
-"""
-
-
-register(
-    "matryoshka_topk_agreement",
-    _matryoshka_topk_agreement,
-    f"""
-WITH fullr AS ({_matry_rank_sql("")}),
-fk AS (SELECT query_id, neighbor_id, rn FROM fullr WHERE rn <= {_MATRY_K}),
-{", ".join(f'''
-r{d} AS ({_matry_rank_sql(f"[1:{d}]")}),
-k{d} AS (SELECT query_id, neighbor_id, rn FROM r{d} WHERE rn <= {_MATRY_K}),
-t{d} AS (
-  SELECT f1.query_id, CAST({d} AS BIGINT) AS dim,
-         f1.neighbor_id AS top1_full, t1.neighbor_id AS top1_trunc,
-         f1.neighbor_id = t1.neighbor_id AS top1_agree,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM k{d} t
-          JOIN fk f ON f.query_id = t.query_id
-                   AND f.neighbor_id = t.neighbor_id
-          WHERE t.query_id = f1.query_id) AS overlap_at_k
-  FROM (SELECT * FROM fk WHERE rn = 1) f1
-  JOIN (SELECT * FROM k{d} WHERE rn = 1) t1 USING (query_id))'''
-           for d in _MATRY_DIMS)}
-SELECT * FROM t8 UNION ALL SELECT * FROM t16
-ORDER BY query_id, dim
-""",
-    doc="Matryoshka (MRL) truncation audit: exact top-k under full "
-        "64-dim vectors vs 8/16-dim prefixes — top-1 agreement and "
-        "overlap@k per probe, bit-stable via the deterministic "
-        "sequential-fold dot product.",
-)
-
-
-# ---------------------------------------------------------------------------
-# FIM (fill-in-the-middle) transformation manifest — the data-side half
-# of infilling training (Bavarian et al. 2022, public): each document
-# splits at deterministic thirds into prefix/middle/suffix and is
-# re-serialized [prefix][SUF][suffix][MID][middle] so the model learns
-# to fill the gap. The manifest pins the split arithmetic and the md5
-# of the transformed text, so the oracle catches off-by-one split
-# points, wrong segment order, or separator drift — the bugs that
-# silently corrupt an infilling corpus. Pure narrow map.
-# ---------------------------------------------------------------------------
-
-def _fim_split_manifest(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
-    n = F.length("text")
-    prefix = F.substring(F.col("text"), 1, F.floor(n / 3).cast("int"))
-    middle = F.expr("substring(text, CAST(length(text) DIV 3 AS INT) + 1,"
-                    " CAST(length(text) * 2 DIV 3 AS INT)"
-                    " - CAST(length(text) DIV 3 AS INT))")
-    suffix = F.expr("substring(text,"
-                    " CAST(length(text) * 2 DIV 3 AS INT) + 1)")
-    fim = F.concat(prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle)
-    return (d.select(
-                "doc_id",
-                F.length(prefix).cast("long").alias("prefix_len"),
-                F.length(middle).cast("long").alias("middle_len"),
-                F.length(suffix).cast("long").alias("suffix_len"),
-                F.md5(fim).alias("fim_md5"))
-             .orderBy("doc_id"))
-
-
-register(
-    "fim_split_manifest",
-    _fim_split_manifest,
-    """
-WITH s AS (
-  SELECT doc_id,
-         substr(text, 1, length(text) // 3) AS prefix,
-         substr(text, length(text) // 3 + 1,
-                length(text) * 2 // 3 - length(text) // 3) AS middle,
-         substr(text, length(text) * 2 // 3 + 1) AS suffix
-  FROM documents)
-SELECT doc_id,
-       CAST(length(prefix) AS BIGINT) AS prefix_len,
-       CAST(length(middle) AS BIGINT) AS middle_len,
-       CAST(length(suffix) AS BIGINT) AS suffix_len,
-       md5(prefix || '<SUF>' || suffix || '<MID>' || middle) AS fim_md5
-FROM s ORDER BY doc_id
-""",
-    doc="Fill-in-the-middle transform manifest: deterministic third "
-        "splits, [prefix][SUF][suffix][MID][middle] re-serialization "
-        "pinned by segment lengths and the transformed-text md5 — the "
-        "infilling-corpus construction pass.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Stratified Poisson bootstrap: the same one-scan replicate machinery,
-# grouped by source — per-stratum CIs are what a mixture datasheet
-# actually reports (is source A's mean length significantly above
-# source B's?). Replicate means group by (source, r); the per-source
-# CI folds the 64 replicate means through one sorted list per stratum.
-# Still one corpus scan, still bit-exact.
-# ---------------------------------------------------------------------------
-
-def _bootstrap_by_source(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import md5_hash, tokens
-    d = _t(spark, sf, "documents").select(
-        "source", "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("x"))
-    r = (d.select("source", "doc_id", "x",
-                  F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("_r"))
-          .select("source", "doc_id", "x",
-                  F.col("_r").cast("long").alias("r")))
-    h = md5_hash(F.concat(F.col("r").cast("string"), F.lit(":"),
-                          F.col("doc_id").cast("string")))
-    u = h.cast("double") / F.lit(float(2 ** 48))
-    w = _boot_weight(u).cast("long")
-    means = (r.select("source", "r", "x", w.alias("w"))
-              .groupBy("source", "r")
-              .agg(F.sum("w").alias("sw"),
-                   F.sum(F.col("w") * F.col("x")).alias("swx"))
-              .select("source", "r",
-                      (F.col("swx").cast("double")
-                       / F.col("sw").cast("double")).alias("m")))
-    point = (d.groupBy("source")
-              .agg((F.sum("x").cast("double")
-                    / F.count(F.lit(1)).cast("double"))
-                   .alias("point_mean")))
-    ci = (means.groupBy("source")
-           .agg(F.sort_array(F.collect_list("m")).alias("ms"),
-                F.count(F.lit(1)).alias("b")))
-    return (ci.join(point, "source")
-              .select("source", "b", "point_mean",
-                      F.col("ms").getItem(1).alias("ci_lo"),
-                      F.col("ms").getItem(_BOOT_B - 2).alias("ci_hi"))
-              .orderBy("source"))
-
-
-register(
-    "poisson_bootstrap_by_source",
-    _bootstrap_by_source,
-    f"""
-WITH d AS (SELECT source, doc_id,
-                  CAST(len(string_split_regex(trim(text), '\\s+'))
-                       AS BIGINT) AS x
-           FROM documents),
-e AS (SELECT source, doc_id, x,
-             CAST(unnest(range(1, {_BOOT_B + 1})) AS BIGINT) AS r
-      FROM d),
-u AS (SELECT source, r, x,
-             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
-                                      CAST(doc_id AS VARCHAR)), 1, 12))
-                  ::BIGINT AS DOUBLE) / 281474976710656.0 AS u
-      FROM e),
-w AS (SELECT source, r, x, CASE {_BOOT_W_SQL} ELSE 7 END AS w FROM u),
-means AS (
-  SELECT source, r,
-         CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
-  FROM w GROUP BY source, r),
-ci AS (
-  SELECT source, list_sort(list(m)) AS ms,
-         CAST(COUNT(*) AS BIGINT) AS b
-  FROM means GROUP BY source),
-p AS (SELECT source,
-             CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-               AS point_mean
-      FROM d GROUP BY source)
-SELECT source, b, point_mean, ms[2] AS ci_lo, ms[{_BOOT_B - 1}] AS ci_hi
-FROM ci JOIN p USING (source)
-ORDER BY source
-""",
-    doc="Per-source stratified Poisson-bootstrap CIs for mean token "
-        "count: one corpus scan, 64 replicates per stratum, sorted-"
-        "rank 2/63 bounds — the significance column of a mixture "
-        "datasheet, bit-exact.",
-)
-
-
-# ---------------------------------------------------------------------------
-# ORC format seam — Spark ships an ORC reader/writer in core, and a
-# lake migration pipeline needs the columnar-format roundtrip to be a
-# verified path, not an assumption. The query writes the documents
-# table to ORC (snappy), reads it back, and republishes a projection
-# the oracle computes from the parquet original — so a type-mapping or
-# encoding bug anywhere in the ORC path breaks the value hash.
-# ---------------------------------------------------------------------------
-
-def _orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
-    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
-    d = _t(spark, sf, "documents")
-    d.write.mode("overwrite").orc(out)
-    back = spark.read.orc(out)
-    return (back.select("doc_id", "lang", "source",
-                        F.length("text").cast("long").alias("n_chars_rt"),
-                        F.md5(F.col("text")).alias("text_md5"))
-                .orderBy("doc_id"))
-
-
-register(
-    "orc_roundtrip",
-    _orc_roundtrip,
-    """
-SELECT doc_id, lang, source,
-       CAST(length(text) AS BIGINT) AS n_chars_rt,
-       md5(text) AS text_md5
-FROM documents ORDER BY doc_id
-""",
-    doc="ORC columnar-format roundtrip: write documents to ORC, read "
-        "back, hash-verify ids/strings/lengths/md5 against the parquet "
-        "original — the lake-migration format seam, verified not "
-        "assumed.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Skip-gram training pairs — the data-generation pass of word2vec-
-# style embedding training: (center, context) pairs within a ±2 token
-# window, aggregated to counts. Spark shape: posexplode to (doc, pos,
-# token), self-join on doc with |Δpos| ∈ {1,2} (an equi-join on doc_id
-# with a tiny bounded range predicate — at corpus scale the join key
-# is doc_id so co-location is the document itself; fan-out is ≤4 per
-# token, corpus-linear). Top-50 pairs published with count/tie-break
-# ordering.
-# ---------------------------------------------------------------------------
-
-def _skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents")
-    tok = d.select("doc_id",
-                   F.posexplode(tokens(F.col("text")))
-                    .alias("pos", "tok")).where(F.col("tok") != "")
-    a = tok.select("doc_id", F.col("pos").alias("pa"),
-                   F.col("tok").alias("center"))
-    b = tok.select("doc_id", F.col("pos").alias("pb"),
-                   F.col("tok").alias("context"))
-    pairs = (a.join(b, "doc_id")
-              .where((F.abs(F.col("pa") - F.col("pb")) <= 2)
-                     & (F.col("pa") != F.col("pb"))))
-    return (pairs.groupBy("center", "context")
-            .agg(F.count(F.lit(1)).alias("n_pairs"))
-            .orderBy(F.desc("n_pairs"), F.asc("center"),
-                     F.asc("context"))
-            .limit(50))
-
-
-register(
-    "skipgram_pairs",
-    _skipgram_pairs,
-    f"""
-WITH tok AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[CAST(i AS INT)] AS t
-  FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-       LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
-  WHERE tk[CAST(i AS INT)] != ''),
-pairs AS (
-  SELECT a.t AS center, b.t AS context
-  FROM tok a JOIN tok b
-    ON a.doc_id = b.doc_id
-   AND abs(a.pos - b.pos) <= 2 AND a.pos != b.pos)
-SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
-FROM pairs GROUP BY center, context
-ORDER BY n_pairs DESC, center, context
-LIMIT 50
-""",
-    doc="Skip-gram (center, context) pair generation within a ±2 "
-        "window — word2vec training-data construction as a doc-local "
-        "self-join with bounded fan-out, top-50 pairs by count.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Negative-sampling table — word2vec's noise distribution: unigram
-# counts raised to the 3/4 power. The 0.75 exponent is normally a
-# libm pow() call, whose last ulp differs across engines; here it is
-# computed as sqrt(sqrt(c³)) — the cube is exact integer arithmetic
-# and IEEE sqrt is CORRECTLY ROUNDED in both engines, so the weights
-# are bit-identical without giving up the real exponent. The
-# normalizing sum folds over the count-desc/term-asc-sorted weight
-# list SEQUENTIALLY (F.aggregate / list_reduce) so float association
-# is pinned, and each probability is one division of bit-identical
-# doubles. Top-40 terms published.
-# ---------------------------------------------------------------------------
-
-_NEG_K = 40
-
-
-def _negative_sampling_table(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents")
-    counts = (d.select(F.explode(tokens(F.col("text"))).alias("t"))
-               .where(F.col("t") != "")
-               .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-               .orderBy(F.desc("c"), F.asc("t"))
-               .limit(_NEG_K))
-    w = F.sqrt(F.sqrt((F.col("c") * F.col("c") * F.col("c"))
-                      .cast("double")))
-    weighted = counts.select("t", "c", w.alias("w"))
-    # deterministic normalizer: fold the (count desc, term asc)-sorted
-    # weight list sequentially — one tiny collect_list over ≤K rows
-    total = weighted.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct(
-                (-F.col("c")).alias("nc"), F.col("t").alias("t"),
-                F.col("w").alias("w")))),
-            F.lit(0.0), lambda acc, s: acc + s["w"]).alias("z"))
-    return (weighted.crossJoin(F.broadcast(total))
-            .select("t", "c", "w", (F.col("w") / F.col("z"))
-                    .alias("p_neg"))
-            .orderBy(F.desc("c"), F.asc("t")))
-
-
-register(
-    "negative_sampling_table",
-    _negative_sampling_table,
-    f"""
-WITH counts AS (
-  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
-  FROM (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)
-  WHERE t != ''
-  GROUP BY t ORDER BY c DESC, t LIMIT {_NEG_K}),
-wt AS (SELECT t, c, sqrt(sqrt(CAST(c * c * c AS DOUBLE))) AS w
-       FROM counts),
-z AS (SELECT list_reduce(
-               list_prepend(CAST(0.0 AS DOUBLE),
-                 list_transform(
-                   list_sort(list([-c, w] ORDER BY c DESC, t)),
-                   s -> s[2])),
-               (x, y) -> x + y) AS z
-      FROM wt)
-SELECT t, c, w, w / z AS p_neg
-FROM wt, z ORDER BY c DESC, t
-""",
-    doc="word2vec negative-sampling table: unigram^0.75 computed as "
-        "sqrt(sqrt(c^3)) — exact integer cube + correctly-rounded IEEE "
-        "sqrt, so the noise distribution is bit-identical across "
-        "engines, with a sequentially-folded normalizer.",
-)
-
-
-# ---------------------------------------------------------------------------
-# BPE-ish pretokenization counts — the GPT-2-style split pass that
-# precedes BPE merging (letters / digits / punctuation runs with an
-# optional leading space). The canonical GPT-2 pattern needs lookahead
-# (unsupported in RE2), so both engines share the same RE2-safe
-# approximation — Java regex and RE2 agree on this subset, which is
-# exactly why the pattern is pinned here by a value oracle. Counts per
-# class drive tokenizer-cost estimates (pretokens/word ratios) before
-# any merge table exists.
-# ---------------------------------------------------------------------------
-
-_PRETOK_RX = r"( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+|[ ]+)"
-
-
-def _pretoken_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
-    toks = F.expr(f"regexp_extract_all(text, '{_PRETOK_RX}', 1)")
-    is_word = "x -> x rlike '^ ?[A-Za-z]+$'"
-    is_num = "x -> x rlike '^ ?[0-9]+$'"
-    return (d.select(
-                "doc_id", toks.alias("pt"))
-             .select(
-                "doc_id",
-                F.size("pt").cast("long").alias("n_pretokens"),
-                F.expr(f"size(filter(pt, {is_word}))").cast("long")
-                 .alias("n_word"),
-                F.expr(f"size(filter(pt, {is_num}))").cast("long")
-                 .alias("n_num"))
-             .select("*",
-                     (F.col("n_pretokens") - F.col("n_word")
-                      - F.col("n_num")).alias("n_other"))
-             .orderBy("doc_id"))
-
-
-register(
-    "pretoken_stats",
-    _pretoken_stats,
-    f"""
-WITH p AS (
-  SELECT doc_id,
-         regexp_extract_all(text, '{_PRETOK_RX}') AS pt
-  FROM documents)
-SELECT doc_id,
-       CAST(len(pt) AS BIGINT) AS n_pretokens,
-       CAST(len(list_filter(pt, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
-            AS BIGINT) AS n_word,
-       CAST(len(list_filter(pt, x -> regexp_matches(x, '^ ?[0-9]+$')))
-            AS BIGINT) AS n_num,
-       CAST(len(pt)
-            - len(list_filter(pt, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
-            - len(list_filter(pt, x -> regexp_matches(x, '^ ?[0-9]+$')))
-            AS BIGINT) AS n_other
-FROM p ORDER BY doc_id
-""",
-    doc="GPT-2-style BPE pretokenization counts (RE2-safe shared "
-        "pattern): letter/digit/punct-run pretokens per document — "
-        "the tokenizer-cost pass that runs before any merge table "
-        "exists.",
-)
-
-
-# ---------------------------------------------------------------------------
-# HTML → text extraction — the first transform of every web-corpus
-# pipeline. Each document is wrapped JVM-side into a genuine page
-# (title, style and script blocks — the script body contains a fake
-# tag string so stripping ORDER is inside the hashed data: if tags
-# were stripped before script bodies, the leftover fragment would
-# change the hash — nav/footer boilerplate, an entity-bearing
-# paragraph), then the shared pattern chain (operators/text.
-# html_to_text) extracts the text. DuckDB replays the identical
-# patterns; title, extracted length and md5 are value-pinned.
-# Pure narrow map — the extraction runs in codegen on the scan.
-# ---------------------------------------------------------------------------
-
-def _html_extract_text(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import html_to_text
-    d = _t(spark, sf, "documents")
-    html = F.concat(
-        F.lit("<!DOCTYPE html><html><head><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit('</title><style>body{color:red}</style>'
-              '<script>var x="<b>not text</b>";</script></head>'
-              "<body><nav>Home | About</nav><h1>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1><p>"), F.col("text"),
-        F.lit("</p><!-- hidden comment --><p>Tom &amp; Jerry &lt;3 "
-              "&quot;quotes&quot;&nbsp;&#39;end&#39;</p>"
-              "<footer>(c) 2024</footer></body></html>"))
-    page = d.select("doc_id", html.alias("html"))
-    extracted = html_to_text(F.col("html"))
-    title = F.regexp_extract(F.col("html"),
-                             r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
-    return (page.select(
-                "doc_id", title.alias("title"),
-                F.length(extracted).cast("long").alias("extracted_len"),
-                F.md5(extracted).alias("extracted_md5"))
-            .orderBy("doc_id"))
-
-
-def _html_oracle_sql() -> str:
-    from .operators.text import HTML_ENTITIES, HTML_STRIP_PATTERNS
-    expr = "html"
-    for pat, repl in HTML_STRIP_PATTERNS:
-        p = pat.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
-    for ent, ch in HTML_ENTITIES:
-        c = ch.replace("'", "''")
-        expr = f"replace({expr}, '{ent}', '{c}')"
-    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
-    return f"""
-WITH p AS (
-  SELECT doc_id,
-         '<!DOCTYPE html><html><head><title>Doc '
-         || CAST(doc_id AS VARCHAR)
-         || '</title><style>body{{color:red}}</style>'
-         || '<script>var x="<b>not text</b>";</script></head>'
-         || '<body><nav>Home | About</nav><h1>Doc '
-         || CAST(doc_id AS VARCHAR)
-         || '</h1><p>' || text
-         || '</p><!-- hidden comment --><p>Tom &amp; Jerry &lt;3 '
-         || '&quot;quotes&quot;&nbsp;&#39;end&#39;</p>'
-         || '<footer>(c) 2024</footer></body></html>' AS html
-  FROM documents)
-SELECT doc_id,
-       regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\\s*>', 1)
-         AS title,
-       CAST(length({expr}) AS BIGINT) AS extracted_len,
-       md5({expr}) AS extracted_md5
-FROM p ORDER BY doc_id
-"""
-
-
-register(
-    "html_extract_text",
-    _html_extract_text,
-    _html_oracle_sql(),
-    doc="HTML-to-text extraction with the shared RE2-safe pattern "
-        "chain (script/style bodies, comments, tags, entities, "
-        "whitespace — in pinned order), title/length/md5 hash-verified "
-        "— the first transform of a web-corpus pipeline, in codegen.",
-)
-
-
-# ---------------------------------------------------------------------------
-# WARC record extraction — the crawl-archive seam (ISO 28500, the
-# format Common Crawl ships). Each document becomes a genuine
-# two-record WARC stream (warcinfo + response whose body is the text
-# bytes); EVEN doc_ids gzip the stream — the Common Crawl carriage —
-# so both the plain and inflated paths sit inside the hashed data.
-# The real record walker (operators/webdataset.parse_warc_records:
-# version line, header block, Content-Length framing, mandatory
-# separators) reads the records back; counts, lengths and the
-# response-body md5 are value-pinned against the original text.
-# ---------------------------------------------------------------------------
-
-def _warc_record_extract(spark: SparkSession, sf: str) -> DataFrame:
-    import gzip as _gzip
-    import hashlib
-
-    import pandas as pd
-
-    from .operators.webdataset import build_warc, parse_warc_records
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def roundtrip(it):
-        for pdf in it:
-            rows = []
-            for did, text in zip(pdf["doc_id"].astype("int64"),
-                                 pdf["text"]):
-                did = int(did)
-                body = str(text).encode("utf-8")
-                w = build_warc([
-                    ("warcinfo", f"<urn:uuid:{did}-info>",
-                     b"software: engine-test"),
-                    ("response", f"<urn:uuid:{did}-resp>", body)])
-                if did % 2 == 0:
-                    w = _gzip.compress(w)
-                recs = parse_warc_records(w)
-                resp = [r for r in recs if r["type"] == "response"][0]
-                rows.append({
-                    "doc_id": did,
-                    "carriage": "gzip" if did % 2 == 0 else "plain",
-                    "n_records": len(recs),
-                    "response_len": resp["content_length"],
-                    "response_md5": hashlib.md5(
-                        resp["payload"]).hexdigest(),
-                })
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(roundtrip,
-                            "doc_id long, carriage string,"
-                            " n_records long, response_len long,"
-                            " response_md5 string")
-               .orderBy("doc_id"))
-
-
-register(
-    "warc_record_extract",
-    _warc_record_extract,
-    """
-SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'plain' END AS carriage,
-       CAST(2 AS BIGINT) AS n_records,
-       CAST(octet_length(encode(text)) AS BIGINT) AS response_len,
-       md5(text) AS response_md5
-FROM documents ORDER BY doc_id
-""",
-    doc="WARC (ISO 28500) record roundtrip: genuine two-record streams "
-        "per document, gzip carriage on even ids (the Common Crawl "
-        "convention), walked by the real Content-Length-framed parser, "
-        "response bodies hash-verified against the original text.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Composed WEB-curation pipeline — the round's seams chained end to
-# end: WARC records (gzip carriage on even ids) carry HTML pages;
-# the real record walker unwraps them (one Arrow crossing); the
-# codegen pattern chain extracts text; a token-count gate drops thin
-# pages; exact dedup (md5 of the extracted text, keep-min-id) removes
-# the pages whose BODY text collides after boilerplate stripping; the
-# published artifact is the per-source datasheet. The oracle rebuilds
-# the same HTML from the raw text and replays extraction → gate →
-# dedup → rollup in SQL, so every seam's composition — not just each
-# seam alone — is value-pinned.
-#
-# Scale shape: narrow map through unwrap+extract, ONE shuffle for the
-# dedup groupBy, one combinable rollup. The WARC unwrap is the only
-# Python crossing.
-# ---------------------------------------------------------------------------
-
-_WEB_MIN_TOKENS = 30
-
-
-def _web_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    import gzip as _gzip
-
-    import pandas as pd
-
-    from .operators.text import html_to_text, tokens
-    from .operators.webdataset import build_warc, parse_warc_records
-
-    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def wrap_unwrap(it):
-        # WARC-wrap the HTML page, then immediately unwrap through the
-        # REAL parser — the ingest seam exercised inside the pipeline.
-        for pdf in it:
-            rows = []
-            for did, source, text in zip(pdf["doc_id"].astype("int64"),
-                                         pdf["source"], pdf["text"]):
-                did = int(did)
-                page = (f"<html><head><title>Doc {did}</title>"
-                        f'<script>var x="<b>boiler</b>";</script></head>'
-                        f"<body><nav>Home | About</nav><p>{text}</p>"
-                        f"<!-- c --><footer>(c) 2024</footer>"
-                        f"</body></html>").encode("utf-8")
-                w = build_warc([("response", f"<urn:uuid:{did}>", page)])
-                if did % 2 == 0:
-                    w = _gzip.compress(w)
-                resp = [r for r in parse_warc_records(w)
-                        if r["type"] == "response"][0]
-                rows.append({"doc_id": did, "source": source,
-                             "html": resp["payload"].decode("utf-8")})
-            yield pd.DataFrame(rows)
-
-    pages = src.mapInPandas(wrap_unwrap,
-                            "doc_id long, source string, html string")
-    extracted = pages.select(
-        "doc_id", "source", html_to_text(F.col("html")).alias("body"))
-    gated = extracted.where(
-        F.size(tokens(F.col("body"))) >= _WEB_MIN_TOKENS)
-    from pyspark.sql import Window
-    deduped = (gated
-               .select("doc_id", "source", "body",
-                       F.md5(F.col("body")).alias("h"))
-               .withColumn("_keep",
-                           F.min("doc_id").over(Window.partitionBy("h")))
-               .where(F.col("doc_id") == F.col("_keep")))
-    return (deduped.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_unique_pages"),
-                 F.sum(F.size(tokens(F.col("body"))).cast("long"))
-                  .alias("total_tokens"),
-                 F.min("doc_id").alias("min_doc_id"))
-            .orderBy("source"))
-
-
-register(
-    "web_curation_pipeline",
-    _web_curation_pipeline,
-    f"""
-WITH page AS (
-  SELECT doc_id, source,
-         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-         || '</title><script>var x="<b>boiler</b>";</script></head>'
-         || '<body><nav>Home | About</nav><p>' || text || '</p>'
-         || '<!-- c --><footer>(c) 2024</footer></body></html>' AS html
-  FROM documents),
-ext AS (
-  SELECT doc_id, source,
-         trim(regexp_replace(
-           replace(replace(replace(replace(replace(replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(html,
-                   '(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>',
-                   ' ', 'g'),
-                 '(?s)<!--.*?-->', ' ', 'g'),
-               '<[^>]+>', ' ', 'g'),
-             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-           '\\s+', ' ', 'g')) AS body
-  FROM page),
-gated AS (
-  SELECT doc_id, source, body
-  FROM ext
-  WHERE len(string_split_regex(trim(body), '\\s+')) >= {_WEB_MIN_TOKENS}),
-keep AS (
-  SELECT doc_id, source, body
-  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(body)) AS k
-        FROM gated)
-  WHERE doc_id = k)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_unique_pages,
-       CAST(SUM(len(string_split_regex(trim(body), '\\s+'))) AS BIGINT)
-         AS total_tokens,
-       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
-FROM keep GROUP BY source ORDER BY source
-""",
-    doc="Composed web-curation pipeline: WARC unwrap (gzip carriage) → "
-        "codegen HTML text extraction → token gate → exact dedup of "
-        "extracted bodies → per-source datasheet, the whole chain "
-        "value-pinned as one oracle.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Chat-template manifest — SFT data construction: turns are rendered
-# into one training string with role markers, and the ASSISTANT span's
-# (offset, length) is published as the loss-mask interval (the bug
-# class this pins: off-by-one mask boundaries silently train on the
-# prompt or skip the target). Turns derive from the document's thirds
-# (system/user/assistant) so the whole manifest is string arithmetic —
-# rendered md5 + exact span offsets, bit-checkable in SQL. Narrow map.
-# ---------------------------------------------------------------------------
-
-_CHAT_SYS = "<|im_start|>system\n"
-_CHAT_USR = "<|im_end|>\n<|im_start|>user\n"
-_CHAT_AST = "<|im_end|>\n<|im_start|>assistant\n"
-_CHAT_END = "<|im_end|>"
-
-
-def _chat_template_manifest(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
-    n = F.length("text")
-    sys_t = F.substring(F.col("text"), 1, F.floor(n / 3).cast("int"))
-    usr_t = F.expr("substring(text, CAST(length(text) DIV 3 AS INT) + 1,"
-                   " CAST(length(text) * 2 DIV 3 AS INT)"
-                   " - CAST(length(text) DIV 3 AS INT))")
-    ast_t = F.expr("substring(text,"
-                   " CAST(length(text) * 2 DIV 3 AS INT) + 1)")
-    rendered = F.concat(F.lit(_CHAT_SYS), sys_t, F.lit(_CHAT_USR), usr_t,
-                        F.lit(_CHAT_AST), ast_t, F.lit(_CHAT_END))
-    # loss-mask span: the assistant text itself (markers excluded)
-    mask_start = (F.length(F.lit(_CHAT_SYS)) + F.length(sys_t)
-                  + F.length(F.lit(_CHAT_USR)) + F.length(usr_t)
-                  + F.length(F.lit(_CHAT_AST)) + 1).cast("long")
-    return (d.select(
-                "doc_id",
-                F.length(rendered).cast("long").alias("rendered_len"),
-                mask_start.alias("mask_start"),
-                F.length(ast_t).cast("long").alias("mask_len"),
-                F.md5(rendered).alias("rendered_md5"),
-                F.expr("substring("
-                       f"concat('{_CHAT_SYS}', substring(text, 1,"
-                       " CAST(length(text) DIV 3 AS INT)),"
-                       f" '{_CHAT_USR}',"
-                       " substring(text, CAST(length(text) DIV 3 AS INT)"
-                       " + 1, CAST(length(text) * 2 DIV 3 AS INT)"
-                       " - CAST(length(text) DIV 3 AS INT)),"
-                       f" '{_CHAT_AST}',"
-                       " substring(text,"
-                       " CAST(length(text) * 2 DIV 3 AS INT) + 1),"
-                       f" '{_CHAT_END}'),"
-                       " CAST(length(text) DIV 3 AS INT)"
-                       f" + {len(_CHAT_SYS) + len(_CHAT_USR)}"
-                       " + (CAST(length(text) * 2 DIV 3 AS INT)"
-                       " - CAST(length(text) DIV 3 AS INT))"
-                       f" + {len(_CHAT_AST)} + 1,"
-                       " length(text)"
-                       " - CAST(length(text) * 2 DIV 3 AS INT))")
-                 .alias("mask_slice"))
-             .orderBy("doc_id"))
-
-
-register(
-    "chat_template_manifest",
-    _chat_template_manifest,
-    f"""
-WITH s AS (
-  SELECT doc_id, text,
-         substr(text, 1, length(text) // 3) AS sys_t,
-         substr(text, length(text) // 3 + 1,
-                length(text) * 2 // 3 - length(text) // 3) AS usr_t,
-         substr(text, length(text) * 2 // 3 + 1) AS ast_t
-  FROM documents),
-r AS (
-  SELECT doc_id, sys_t, usr_t, ast_t,
-         '{_CHAT_SYS}' || sys_t || '{_CHAT_USR}' || usr_t
-         || '{_CHAT_AST}' || ast_t || '{_CHAT_END}' AS rendered
-  FROM s)
-SELECT doc_id,
-       CAST(length(rendered) AS BIGINT) AS rendered_len,
-       CAST({len(_CHAT_SYS)} + length(sys_t) + {len(_CHAT_USR)}
-            + length(usr_t) + {len(_CHAT_AST)} + 1 AS BIGINT)
-         AS mask_start,
-       CAST(length(ast_t) AS BIGINT) AS mask_len,
-       md5(rendered) AS rendered_md5,
-       substr(rendered,
-              {len(_CHAT_SYS)} + length(sys_t) + {len(_CHAT_USR)}
-              + length(usr_t) + {len(_CHAT_AST)} + 1,
-              length(ast_t)) AS mask_slice
-FROM r ORDER BY doc_id
-""",
-    doc="Chat-template manifest for SFT data: role-marker rendering "
-        "with the assistant loss-mask span published as exact "
-        "(offset, length) — and the slice AT that span republished, so "
-        "an off-by-one mask boundary breaks the hash two ways.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Welch's t-test between sources — the significance test behind "is
-# source A's mean document length actually different from B's?", the
-# inferential companion of poisson_bootstrap_by_source. All sufficient
-# statistics (n, Σx, Σx²) fold exactly as BIGINTs in one combinable
-# pass; means, variances and the t statistic are a FIXED tree of
-# double operations over those exact integers (divisions, one
-# correctly-rounded sqrt) — bit-identical across engines, like the
-# Pearson/PSI/Cramér queries. Published per source pair (all C(k,2)
-# pairs of the ≤handful of sources), with Welch–Satterthwaite df.
-# ---------------------------------------------------------------------------
-
-def _welch_t_sources(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents").select(
-        "source", F.size(tokens(F.col("text"))).cast("long").alias("x"))
-    stats = (d.groupBy("source")
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("x").alias("s"),
-                   F.sum(F.col("x") * F.col("x")).alias("ss")))
-    a = stats.select(F.col("source").alias("src_a"),
-                     F.col("n").alias("na"), F.col("s").alias("sa"),
-                     F.col("ss").alias("ssa"))
-    b = stats.select(F.col("source").alias("src_b"),
-                     F.col("n").alias("nb"), F.col("s").alias("sb"),
-                     F.col("ss").alias("ssb"))
-    p = a.crossJoin(b).where(F.col("src_a") < F.col("src_b"))
-
-    def mean(s, n):
-        return s.cast("double") / n.cast("double")
-
-    def var(ss, s, n):
-        # unbiased: (Σx² - (Σx)²/n) / (n-1), numerator from exact ints
-        return ((ss.cast("double")
-                 - (s * s).cast("double") / n.cast("double"))
-                / (n - 1).cast("double"))
-
-    ma, mb = mean(F.col("sa"), F.col("na")), mean(F.col("sb"), F.col("nb"))
-    va = var(F.col("ssa"), F.col("sa"), F.col("na"))
-    vb = var(F.col("ssb"), F.col("sb"), F.col("nb"))
-    sea = va / F.col("na").cast("double")
-    seb = vb / F.col("nb").cast("double")
-    t = (ma - mb) / F.sqrt(sea + seb)
-    df = ((sea + seb) * (sea + seb)
-          / (sea * sea / (F.col("na") - 1).cast("double")
-             + seb * seb / (F.col("nb") - 1).cast("double")))
-    return (p.select("src_a", "src_b",
-                     F.col("na").cast("long").alias("na"),
-                     F.col("nb").cast("long").alias("nb"),
-                     ma.alias("mean_a"), mb.alias("mean_b"),
-                     t.alias("t_stat"), df.alias("welch_df"))
-            .orderBy("src_a", "src_b"))
-
-
-register(
-    "welch_t_sources",
-    _welch_t_sources,
-    f"""
-WITH d AS (SELECT source,
-                  CAST(len(string_split_regex(trim(text), '\\s+'))
-                       AS BIGINT) AS x
-           FROM documents),
-st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(x) AS BIGINT) AS s,
-              CAST(SUM(x * x) AS BIGINT) AS ss
-       FROM d GROUP BY source),
-p AS (SELECT a.source AS src_a, b.source AS src_b,
-             a.n AS na, a.s AS sa, a.ss AS ssa,
-             b.n AS nb, b.s AS sb, b.ss AS ssb
-      FROM st a JOIN st b ON a.source < b.source),
-c AS (SELECT *,
-             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
-             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
-             ((CAST(ssa AS DOUBLE)
-               - CAST(sa * sa AS DOUBLE) / CAST(na AS DOUBLE))
-              / CAST(na - 1 AS DOUBLE)) / CAST(na AS DOUBLE) AS sea,
-             ((CAST(ssb AS DOUBLE)
-               - CAST(sb * sb AS DOUBLE) / CAST(nb AS DOUBLE))
-              / CAST(nb - 1 AS DOUBLE)) / CAST(nb AS DOUBLE) AS seb
-      FROM p)
-SELECT src_a, src_b, na, nb,
-       ma AS mean_a, mb AS mean_b,
-       (ma - mb) / sqrt(sea + seb) AS t_stat,
-       (sea + seb) * (sea + seb)
-         / (sea * sea / CAST(na - 1 AS DOUBLE)
-            + seb * seb / CAST(nb - 1 AS DOUBLE)) AS welch_df
-FROM c ORDER BY src_a, src_b
-""",
-    doc="Welch's t-test between every source pair on mean token count: "
-        "exact BIGINT sufficient statistics in one combinable pass, a "
-        "fixed double tree (divisions + one correctly-rounded sqrt) "
-        "for t and the Welch-Satterthwaite df — bit-exact inference.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Content-defined chunking (CDC) — the storage/dedup primitive behind
-# LBFS (Muthitacharoen et al. 2001, public) and every dedup filesystem:
-# chunk boundaries come from the CONTENT (cut after any position whose
-# 8-char window hash ≡ 0 mod 64), so an insertion shifts only the
-# chunks it touches — unlike fixed-size chunking, where one inserted
-# byte re-keys every later chunk and destroys cross-version dedup.
-# The stateless cut rule (no min/max clamps) keeps the whole pass
-# relational: cut detection is a linear explode with the codegen md5
-# window hash (the interpreted higher-order-function form would be
-# ~10x slower — same finding as text.word_set_hits), per-doc cut
-# lists are one bounded collect (avg n/64 cuts), and chunk
-# re-expansion is an array transform. Published artifact: the
-# per-source chunk-dedup datasheet (total vs distinct chunk mass —
-# the ratio CDC exists to improve).
-# ---------------------------------------------------------------------------
-
-_CDC_W = 8
-_CDC_MOD = 64
-
-
-def _cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import md5_hash
-    d = _t(spark, sf, "documents").select(
-        "doc_id", "source", "text",
-        F.length("text").cast("int").alias("n"))
-    wins = (d.where(F.col("n") >= _CDC_W)
-             .select("doc_id",
-                     F.explode(F.sequence(F.lit(_CDC_W), F.col("n")))
-                      .alias("i"))
-             .join(d.select("doc_id", "text"), "doc_id")
-             .select("doc_id", "i",
-                     md5_hash(F.expr(f"substring(text, i - {_CDC_W - 1},"
-                                     f" {_CDC_W})")).alias("h")))
-    cuts = (wins.where(F.col("h") % _CDC_MOD == 0)
-                .groupBy("doc_id")
-                .agg(F.sort_array(F.collect_list("i")).alias("cuts")))
-    bounded = (d.join(cuts, "doc_id", "left")
-                .select("doc_id", "source", "text",
-                        F.concat(F.array(F.lit(0)),
-                                 F.coalesce("cuts",
-                                            F.array().cast("array<int>")),
-                                 F.array(F.col("n"))).alias("b")))
-    chunks = (bounded
-              .select("doc_id", "source", "text",
-                      F.explode(F.expr(
-                          "transform(sequence(0, size(b) - 2),"
-                          " j -> struct(b[j] AS start,"
-                          " b[j + 1] - b[j] AS len))")).alias("c"))
-              .where(F.col("c.len") > 0)
-              .select("source",
-                      F.col("c.len").cast("long").alias("len"),
-                      F.md5(F.expr("substring(text, c.start + 1, c.len)"))
-                       .alias("ch")))
-    return (chunks.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_chunks"),
-                 F.countDistinct("ch").alias("n_distinct_chunks"),
-                 F.sum("len").alias("total_chars"),
-                 F.expr("CAST(sum(len) * 1000 DIV count(*) AS BIGINT)")
-                  .alias("mean_chunk_len_milli"))
-            .orderBy("source"))
-
-
-register(
-    "cdc_chunk_dedup",
-    _cdc_chunk_dedup,
-    f"""
-WITH d AS (SELECT doc_id, source, text,
-                  CAST(length(text) AS INT) AS n
-           FROM documents),
-cuts AS (
-  SELECT doc_id,
-         list_sort(list_filter(
-           list_transform(range({_CDC_W}, n + 1), i ->
-             CASE WHEN ('0x' || substr(md5(
-                          substr(text, CAST(i AS INT) - {_CDC_W - 1},
-                                 {_CDC_W})), 1, 12))::BIGINT
-                       % {_CDC_MOD} = 0
-                  THEN CAST(i AS INT) END),
-           x -> x IS NOT NULL)) AS cs
-  FROM d WHERE n >= {_CDC_W}),
-b AS (
-  SELECT d.doc_id, d.source, d.text,
-         list_concat(list_concat([0], COALESCE(cs, [])), [d.n]) AS bd
-  FROM d LEFT JOIN cuts ON d.doc_id = cuts.doc_id),
-ch AS (
-  SELECT source,
-         CAST(bd[CAST(j + 2 AS INT)] - bd[CAST(j + 1 AS INT)] AS BIGINT)
-           AS len,
-         md5(substr(text, CAST(bd[CAST(j + 1 AS INT)] + 1 AS INT),
-                    CAST(bd[CAST(j + 2 AS INT)]
-                         - bd[CAST(j + 1 AS INT)] AS INT))) AS h
-  FROM b, LATERAL (SELECT unnest(range(0, len(bd) - 1)) AS j)
-  WHERE bd[CAST(j + 2 AS INT)] - bd[CAST(j + 1 AS INT)] > 0)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_chunks,
-       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
-       CAST(SUM(len) AS BIGINT) AS total_chars,
-       CAST(SUM(len) * 1000 // COUNT(*) AS BIGINT)
-         AS mean_chunk_len_milli
-FROM ch GROUP BY source ORDER BY source
-""",
-    doc="Content-defined chunking (LBFS Rabin cut points via the "
-        "codegen md5 window hash): insertion-stable chunk boundaries, "
-        "per-source chunk-dedup datasheet (total vs distinct chunk "
-        "mass) — the cross-version dedup primitive.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Charset sniffing — the encoding-detection pass at the very front of
-# text ingest (crawl payloads lie about their encodings). Per doc_id
-# class, a payload is synthesized as (0) UTF-8 with real multibyte
-# sequences, (1) Latin-1 high bytes that are INVALID UTF-8, or (2)
-# UTF-16LE with BOM; the detector is real: BOM check, then a strict
-# UTF-8 decode (Python's validator — the reference decoder), falling
-# back to Latin-1 (never fails, the curation convention). Detected
-# charset, decoded char count and the decoded-text md5 are value-
-# pinned — a detector that mislabels class 1 as UTF-8 or drops the
-# BOM from class 2 breaks the hash.
-# ---------------------------------------------------------------------------
-
-def _charset_sniff(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-
-    import pandas as pd
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def sniff(it):
-        for pdf in it:
-            rows = []
-            for did, text in zip(pdf["doc_id"].astype("int64"),
-                                 pdf["text"]):
-                did = int(did)
-                s = str(text)
-                if did % 3 == 0:
-                    payload = (s + " café—fin").encode("utf-8")
-                elif did % 3 == 1:
-                    payload = s.encode("latin-1") + bytes([0xE9, 0x20,
-                                                           0xFC])
-                else:
-                    payload = "\ufeff".encode("utf-16-le") \
-                        + s.encode("utf-16-le")
-                # --- the real detector ---
-                if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
-                    enc = ("utf-16-le" if payload[:2] == b"\xff\xfe"
-                           else "utf-16-be")
-                    decoded = payload[2:].decode(enc)
-                    detected = enc
-                else:
-                    try:
-                        decoded = payload.decode("utf-8", "strict")
-                        detected = "utf-8"
-                    except UnicodeDecodeError:
-                        decoded = payload.decode("latin-1")
-                        detected = "latin-1"
-                rows.append({"doc_id": did, "detected": detected,
-                             "byte_len": len(payload),
-                             "n_chars": len(decoded),
-                             "text_md5": hashlib.md5(
-                                 decoded.encode("utf-8")).hexdigest()})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(sniff, "doc_id long, detected string,"
-                                   " byte_len long, n_chars long,"
-                                   " text_md5 string")
-               .orderBy("doc_id"))
-
-
-register(
-    "charset_sniff",
-    _charset_sniff,
-    """
-WITH b AS (
-  SELECT doc_id, text,
-         CAST(octet_length(encode(text)) AS BIGINT) AS bl,
-         CAST(length(text) AS BIGINT) AS cl
-  FROM documents)
-SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'utf-8'
-                       WHEN 1 THEN 'latin-1'
-                       ELSE 'utf-16-le' END AS detected,
-       CASE doc_id % 3
-            -- ' café—fin': ' caf'(4B) + e-acute(2B) + em-dash(3B)
-            -- + 'fin'(3B) = 12 bytes appended to the UTF-8 text
-            WHEN 0 THEN bl + 12
-            -- latin-1 text bytes (ASCII corpus: = char count) + 3 raw
-            WHEN 1 THEN cl + 3
-            -- BOM + UTF-16LE code units (ASCII corpus: 2B per char)
-            ELSE 2 * cl + 2 END AS byte_len,
-       CASE doc_id % 3
-            WHEN 0 THEN cl + 9         -- 9 appended characters
-            WHEN 1 THEN cl + 3         -- 3 latin-1 chars
-            ELSE cl END AS n_chars,
-       CASE doc_id % 3
-            WHEN 0 THEN md5(text || ' caf' || chr(233) || chr(8212)
-                            || 'fin')
-            WHEN 1 THEN md5(text || chr(233) || chr(32) || chr(252))
-            ELSE md5(text) END AS text_md5
-FROM b ORDER BY doc_id
-""",
-    doc="Real charset detection at the ingest boundary: BOM check, "
-        "strict UTF-8 validation, Latin-1 fallback over synthesized "
-        "UTF-8/Latin-1/UTF-16LE payloads — detected encoding, char "
-        "count and decoded-text md5 all value-pinned.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Snapshot diff — dataset versioning's core op: given two corpus
-# versions, classify every doc as kept / changed / removed / added and
-# publish the per-source churn datasheet (the audit a lake format
-# derives from its manifests, computed here content-level: md5 of the
-# text, not file identity). v2 is synthesized deterministically from
-# v1 — every 10th doc edited, every 17th dropped, 100 fresh ids added
-# — so the oracle knows the truth arithmetically. One full-outer join
-# on doc_id (the natural key); at 100 TB both sides bucket/co-locate
-# on that key.
-# ---------------------------------------------------------------------------
-
-def _snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
-    v2 = (d.where(F.col("doc_id") % 17 != 0)
-           .select("doc_id", "source",
-                   F.when(F.col("doc_id") % 10 == 0,
-                          F.concat(F.col("text"), F.lit(" [edited]")))
-                    .otherwise(F.col("text")).alias("text")))
-    added = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
-                     "source", F.col("text").alias("text")) \
-             .orderBy("doc_id").limit(100)
-    v2 = v2.unionByName(added)
-    j = (d.select("doc_id", "source", F.md5("text").alias("h1"))
-          .join(v2.select("doc_id",
-                          F.col("source").alias("source2"),
-                          F.md5("text").alias("h2")),
-                "doc_id", "full_outer"))
-    status = (F.when(F.col("h1").isNull(), F.lit("added"))
-               .when(F.col("h2").isNull(), F.lit("removed"))
-               .when(F.col("h1") == F.col("h2"), F.lit("kept"))
-               .otherwise(F.lit("changed")))
-    return (j.select(F.coalesce("source", "source2").alias("source"),
-                     status.alias("status"))
-             .groupBy("source", "status")
-             .agg(F.count(F.lit(1)).alias("n_docs"))
-             .orderBy("source", "status"))
-
-
-register(
-    "snapshot_diff",
-    _snapshot_diff,
-    """
-WITH v2 AS (
-  SELECT doc_id, source,
-         CASE WHEN doc_id % 10 = 0 THEN text || ' [edited]'
-              ELSE text END AS text
-  FROM documents WHERE doc_id % 17 != 0
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, source, text
-  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)),
-j AS (
-  SELECT COALESCE(a.source, b.source) AS source,
-         CASE WHEN a.doc_id IS NULL THEN 'added'
-              WHEN b.doc_id IS NULL THEN 'removed'
-              WHEN md5(a.text) = md5(b.text) THEN 'kept'
-              ELSE 'changed' END AS status
-  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
-SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM j GROUP BY source, status ORDER BY source, status
-""",
-    doc="Dataset snapshot diff: content-level kept/changed/removed/"
-        "added classification via one full-outer join on the natural "
-        "key, per-source churn datasheet — lake versioning's audit "
-        "artifact.",
-)
-
-
-# ---------------------------------------------------------------------------
-# MinHash band-configuration ablation — the tuning datasheet BEHIND the
-# (bands, rows) choice: the same 8-perm signature table banded three
-# ways (8x1, 4x2, 2x4), reporting per config the colliding-bucket
-# count, the largest bucket, the collision SLOTS (sum of C(size,2) —
-# the actual LSH join cost, which is what explodes on boilerplate
-# corpora) and the distinct candidate pairs. Moving along this table
-# trades recall (more bands -> catches lower Jaccard) against join
-# cost; dedup_threshold_curve picks the verify threshold AFTER a
-# config is chosen, this picks the config. One signature aggregation
-# shared by all three configs; each banding is a projection + one
-# grouped count over (band, bh).
-# ---------------------------------------------------------------------------
-
-_ABL_CONFIGS = (8, 4, 2)
-
-
-def _minhash_band_ablation(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup_fuzzy import _band_buckets, minhash_signatures
-    sigs = minhash_signatures(_t(spark, sf, "documents")).cache()
-    out = None
-    for n_bands in _ABL_CONFIGS:
-        bb = _band_buckets(sigs, "doc_id", n_bands)
-        buckets = (bb.groupBy("band", "bh")
-                     .agg(F.count(F.lit(1)).alias("sz")))
-        stats = buckets.agg(
-            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
-             .cast("long").alias("colliding_buckets"),
-            F.max("sz").cast("long").alias("max_bucket"),
-            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
-             .cast("long").alias("collision_slots"))
-        pairs = (bb.alias("a")
-                 .join(bb.alias("b"),
-                       (F.col("a.band") == F.col("b.band"))
-                       & (F.col("a.bh") == F.col("b.bh"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id")))
-                 .select("a.doc_id", "b.doc_id").distinct()
-                 .agg(F.count(F.lit(1)).cast("long")
-                       .alias("candidate_pairs")))
-        row = (stats.crossJoin(pairs)
-               .select(F.lit(n_bands).cast("long").alias("n_bands"),
-                       F.lit(8 // n_bands).cast("long")
-                        .alias("rows_per_band"),
-                       "colliding_buckets", "max_bucket",
-                       "collision_slots", "candidate_pairs"))
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("n_bands")
-
-
-def _ablation_config_sql(n_bands: int) -> str:
-    bands = _bands_sql(8, n_bands)
-    return f"""
-  SELECT CAST({n_bands} AS BIGINT) AS n_bands,
-         CAST({8 // n_bands} AS BIGINT) AS rows_per_band,
-         (SELECT CAST(COUNT(*) AS BIGINT)
-          FROM (SELECT band, bh FROM ({bands}) GROUP BY band, bh
-                HAVING COUNT(*) >= 2)) AS colliding_buckets,
-         (SELECT CAST(MAX(sz) AS BIGINT)
-          FROM (SELECT COUNT(*) AS sz FROM ({bands})
-                GROUP BY band, bh)) AS max_bucket,
-         (SELECT CAST(SUM(sz * (sz - 1) // 2) AS BIGINT)
-          FROM (SELECT COUNT(*) AS sz FROM ({bands})
-                GROUP BY band, bh)) AS collision_slots,
-         (SELECT CAST(COUNT(*) AS BIGINT)
-          FROM (SELECT DISTINCT a.doc_id, b.doc_id AS d2
-                FROM ({bands}) a JOIN ({bands}) b
-                  ON a.band = b.band AND a.bh = b.bh
-                 AND a.doc_id < b.doc_id)) AS candidate_pairs
-"""
-
-
-register(
-    "minhash_band_ablation",
-    lambda spark, sf: _minhash_band_ablation(spark, sf),
-    f"""
-WITH {_DUCK_HS},
-sig AS (SELECT doc_id, {_SIG_SQL} FROM hs GROUP BY doc_id)
-{" UNION ALL ".join(_ablation_config_sql(b) for b in _ABL_CONFIGS)}
-ORDER BY n_bands
-""",
-    doc="MinHash (bands, rows) tuning ablation: the same 8-perm "
-        "signatures banded 8x1 / 4x2 / 2x4, with colliding buckets, "
-        "max bucket, collision slots (the LSH join cost) and distinct "
-        "candidate pairs per config — the recall-vs-cost table that "
-        "picks the production shape.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Shuffle-quality audit — how well does a training order break up
-# same-source runs? Real loaders can't always afford the seeded FULL
-# shuffle (training_order_manifest); they shuffle shard blocks and
-# keep within-block order. This audit quantifies the difference: for
-# each candidate order, documents get dense positions (two-pass row
-# ids — no global window), adjacent pairs come from an equi-join on
-# position+1, and the published metric is the same-source adjacency
-# rate vs the EXACT independence expectation Σ c_s(c_s-1) / (n(n-1))
-# (integer arithmetic to one milli division). ratio≈1000 = well mixed;
-# >>1000 = source-clumped batches (correlated gradients). Orders
-# audited: raw doc_id, seeded full shuffle, 64-doc block shuffle
-# (blocks reordered by hash, within-block order kept).
-# ---------------------------------------------------------------------------
-
-_SHUF_BLOCK = 64
-
-
-def _shuffle_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup import add_row_id
-    from .operators.text import md5_hash
-    d = _t(spark, sf, "documents").select("doc_id", "source")
-    full_key = md5_hash(F.concat(F.lit("epoch0:"),
-                                 F.col("doc_id").cast("string")))
-    block = (F.col("doc_id") / _SHUF_BLOCK).cast("long")
-    block_key = md5_hash(F.concat(F.lit("blk0:"), block.cast("string")))
-    orders = {
-        "raw_docid": [F.asc("doc_id")],
-        "full_shuffle": [F.asc(full_key.alias("_k")), F.asc("doc_id")],
-        "block_shuffle": [F.asc(block_key.alias("_k")), F.asc("doc_id")],
-    }
-    # exact independence expectation from per-source counts (shared)
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    expected = counts.agg(
-        F.sum(F.col("c") * (F.col("c") - 1)).alias("same_mass"),
-        F.sum("c").alias("n"))
-    out = None
-    for name, keys in orders.items():
-        pos = add_row_id(d, keys, name="pos")
-        adj = (pos.select(F.col("pos").alias("p"),
-                          F.col("source").alias("s1"))
-                  .join(pos.select((F.col("pos") - 1).alias("p"),
-                                   F.col("source").alias("s2")), "p"))
-        row = (adj.agg(
-                   F.count(F.lit(1)).alias("n_adjacent"),
-                   F.sum((F.col("s1") == F.col("s2")).cast("long"))
-                    .alias("same_source_adjacent"))
-               .crossJoin(F.broadcast(expected))
-               .select(
-                   F.lit(name).alias("order_name"),
-                   "n_adjacent", "same_source_adjacent",
-                   # observed and expected rates in milli, exact ints
-                   F.expr("CAST(same_source_adjacent * 1000"
-                          " DIV n_adjacent AS BIGINT)")
-                    .alias("observed_milli"),
-                   F.expr("CAST(same_mass * 1000 DIV (n * (n - 1))"
-                          " AS BIGINT)").alias("expected_milli")))
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("order_name")
-
-
-register(
-    "shuffle_quality_audit",
-    _shuffle_quality_audit,
-    f"""
-WITH d AS (SELECT doc_id, source FROM documents),
-e AS (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS same_mass,
-             CAST(SUM(c) AS BIGINT) AS n
-      FROM (SELECT COUNT(*) AS c FROM d GROUP BY source)),
-keyed AS (
-  SELECT doc_id, source,
-         ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
-                         1, 12))::BIGINT AS fk,
-         ('0x' || substr(md5('blk0:' ||
-                             CAST(doc_id // {_SHUF_BLOCK} AS VARCHAR)),
-                         1, 12))::BIGINT AS bk
-  FROM d),
-p AS (
-  SELECT source,
-         ROW_NUMBER() OVER (ORDER BY doc_id) AS p_raw,
-         ROW_NUMBER() OVER (ORDER BY fk, doc_id) AS p_full,
-         ROW_NUMBER() OVER (ORDER BY bk, doc_id) AS p_block
-  FROM keyed),
-m AS (
-  SELECT 'raw_docid' AS order_name,
-         CAST(COUNT(*) AS BIGINT) AS n_adjacent,
-         CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
-              AS BIGINT) AS same_source_adjacent
-  FROM p a JOIN p b ON b.p_raw = a.p_raw + 1
-  UNION ALL
-  SELECT 'full_shuffle', CAST(COUNT(*) AS BIGINT),
-         CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
-              AS BIGINT)
-  FROM p a JOIN p b ON b.p_full = a.p_full + 1
-  UNION ALL
-  SELECT 'block_shuffle', CAST(COUNT(*) AS BIGINT),
-         CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
-              AS BIGINT)
-  FROM p a JOIN p b ON b.p_block = a.p_block + 1)
-SELECT order_name, n_adjacent, same_source_adjacent,
-       CAST(same_source_adjacent * 1000 // n_adjacent AS BIGINT)
-         AS observed_milli,
-       (SELECT CAST(same_mass * 1000 // (n * (n - 1)) AS BIGINT) FROM e)
-         AS expected_milli
-FROM m ORDER BY order_name
-""",
-    doc="Shuffle-quality audit for training orders: same-source "
-        "adjacency rate of raw / seeded-full-shuffle / 64-block-"
-        "shuffle orders vs the exact independence expectation — dense "
-        "two-pass positions plus successor equi-joins, no global "
-        "window, all-integer metrics.",
-)
-
-
-# ---------------------------------------------------------------------------
-# FK-consistent pseudonymization audit — the privacy transform that has
-# to hold BEFORE a dataset ships: raw user ids are replaced by salted
-# hash pseudonyms (a pure Column expression, applied independently per
-# table — no lookup table to leak), and the audit proves the two
-# invariants that make pseudonymized data still usable: (1) no
-# collisions (distinct pseudonyms == distinct raw ids), and (2)
-# referential behavior is preserved (the events⋈customers match mass
-# on pseudonyms equals the match mass on raw keys). Both sides compute
-# the same salted md5, so the invariants are value-pinned, not assumed.
-# ---------------------------------------------------------------------------
-
-_PSEUDO_SALT = "release-2024"
-
-
-def _pseudonymize_fk_audit(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import md5_hash
-
-    def pseud(c):
-        return md5_hash(F.concat(F.lit(_PSEUDO_SALT + ":"),
-                                 c.cast("string")))
-
-    ev = _t(spark, sf, "events").select(
-        F.col("user_id").alias("uid"),
-        pseud(F.col("user_id")).alias("puid"))
-    cu = _t(spark, sf, "customer").select(
-        F.col("c_custkey").alias("cid"),
-        pseud(F.col("c_custkey")).alias("pcid"))
-    raw_matches = ev.join(cu, ev.uid == cu.cid).count()
-    pseudo_matches = ev.join(cu, ev.puid == cu.pcid).count()
-    stats = ev.agg(
-        F.countDistinct("uid").alias("distinct_users"),
-        F.countDistinct("puid").alias("distinct_pseudonyms"),
-        F.count(F.lit(1)).alias("n_events"))
-    return stats.select(
-        "n_events", "distinct_users", "distinct_pseudonyms",
-        (F.col("distinct_users") == F.col("distinct_pseudonyms"))
-         .alias("collision_free"),
-        F.lit(raw_matches).cast("long").alias("raw_join_matches"),
-        F.lit(pseudo_matches).cast("long").alias("pseudo_join_matches"),
-        F.lit(raw_matches == pseudo_matches).alias("fk_preserved"))
-
-
-register(
-    "pseudonymize_fk_audit",
-    _pseudonymize_fk_audit,
-    f"""
-WITH ev AS (
-  SELECT user_id AS uid,
-         ('0x' || substr(md5('{_PSEUDO_SALT}:'
-                             || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
-           AS puid
-  FROM events),
-cu AS (
-  SELECT c_custkey AS cid,
-         ('0x' || substr(md5('{_PSEUDO_SALT}:'
-                             || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
-           AS pcid
-  FROM customer),
-m AS (SELECT
-        (SELECT COUNT(*) FROM ev JOIN cu ON ev.uid = cu.cid)
-          AS raw_join_matches,
-        (SELECT COUNT(*) FROM ev JOIN cu ON ev.puid = cu.pcid)
-          AS pseudo_join_matches)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(COUNT(DISTINCT uid) AS BIGINT) AS distinct_users,
-       CAST(COUNT(DISTINCT puid) AS BIGINT) AS distinct_pseudonyms,
-       COUNT(DISTINCT uid) = COUNT(DISTINCT puid) AS collision_free,
-       (SELECT CAST(raw_join_matches AS BIGINT) FROM m)
-         AS raw_join_matches,
-       (SELECT CAST(pseudo_join_matches AS BIGINT) FROM m)
-         AS pseudo_join_matches,
-       (SELECT raw_join_matches = pseudo_join_matches FROM m)
-         AS fk_preserved
-FROM ev
-""",
-    doc="FK-consistent pseudonymization audit: salted-hash pseudonyms "
-        "applied independently per table, with collision-freeness and "
-        "preserved events-customers join mass value-pinned — the "
-        "privacy transform proven usable, not assumed.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Greedy longest-match (WordPiece-style) tokenization — the
-# inference-side tokenizer family next to BPE's merge-table encode: at
-# each cursor position take the LONGEST vocab entry matching the text
-# prefix, falling back to a single character (the unk path). Vocab is
-# the corpus's top-50 frequent words (vocab-sized collect, the same
-# posture as the BPE symbol table); segmentation runs over each doc's
-# first 64 chars (bounds the oracle's recursion depth). The oracle
-# replays the EXACT greedy walk as a recursive CTE over a PRECOMPUTED
-# (doc, pos) → longest-match table (r8: one hash join per step
-# instead of three correlated vocab scans — 13s → 2.6s), so token
-# counts, fallback counts and the md5 of the full segmentation are
-# all value-pinned. Only one vocab term of a given length can match
-# a given prefix, so the greedy choice is unambiguous on both
-# engines.
-# ---------------------------------------------------------------------------
-
-_MM_PREFIX = 64
-_MM_VOCAB = 50
-
-
-def _maxmatch_tokenize(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-
-    import pandas as pd
-
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents")
-    vocab_rows = (d.select(F.explode(tokens(F.col("text"))).alias("t"))
-                   .where(F.length("t") >= 2)
-                   .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-                   .orderBy(F.desc("c"), F.asc("t"))
-                   .limit(_MM_VOCAB).collect())
-    vocab = [r["t"] for r in vocab_rows]
-    by_len: dict[int, set] = {}
-    for t in vocab:
-        by_len.setdefault(len(t), set()).add(t)
-    lengths = sorted(by_len, reverse=True)
-
-    src = (d.select("doc_id",
-                    F.substring("text", 1, _MM_PREFIX).alias("stub"))
-            .repartition(spark.sparkContext.defaultParallelism))
-
-    def seg(it):
-        for pdf in it:
-            rows = []
-            for did, s in zip(pdf["doc_id"].astype("int64"),
-                              pdf["stub"]):
-                s = str(s)
-                pos, toks, nf = 0, [], 0
-                while pos < len(s):
-                    for ln in lengths:
-                        cand = s[pos:pos + ln]
-                        if len(cand) == ln and cand in by_len[ln]:
-                            toks.append(cand)
-                            pos += ln
-                            break
-                    else:
-                        toks.append(s[pos])
-                        nf += 1
-                        pos += 1
-                joined = "".join("|" + t for t in toks)
-                rows.append({"doc_id": int(did),
-                             "n_tok": len(toks), "n_fallback": nf,
-                             "toks_md5": hashlib.md5(
-                                 joined.encode("utf-8")).hexdigest()})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(seg, "doc_id long, n_tok long,"
-                                 " n_fallback long, toks_md5 string")
-               .orderBy("doc_id"))
-
-
-register(
-    "maxmatch_tokenize",
-    _maxmatch_tokenize,
-    f"""
-WITH RECURSIVE vocab AS (
-  SELECT t AS term FROM (
-    SELECT t, COUNT(*) AS c
-    FROM (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)
-    WHERE length(t) >= 2
-    GROUP BY t ORDER BY c DESC, t LIMIT {_MM_VOCAB})),
-d AS (SELECT doc_id, substr(text, 1, {_MM_PREFIX}) AS stub
-      FROM documents),
--- Precompute the longest vocab match at EVERY (doc, pos) once, so the
--- recursion below is a plain hash join per step instead of three
--- correlated vocab scans per row per step (the r7 16s outlier).
-best AS (
-  SELECT d.doc_id, p.pos,
-         max_by(v.term, length(v.term)) AS term,
-         CAST(MAX(length(v.term)) AS INTEGER) AS len
-  FROM d
-  CROSS JOIN (SELECT CAST(g AS INTEGER) AS pos
-              FROM generate_series(1, {_MM_PREFIX}) s(g)) p
-  JOIN vocab v ON substr(d.stub, p.pos, length(v.term)) = v.term
-  GROUP BY d.doc_id, p.pos),
-seg AS (
-  SELECT doc_id, stub, 1 AS pos, '' AS toks,
-         0 AS n_tok, 0 AS n_fallback
-  FROM d
-  UNION ALL
-  SELECT s.doc_id, s.stub,
-         s.pos + COALESCE(b.len, 1),
-         s.toks || '|' || COALESCE(b.term, substr(s.stub, s.pos, 1)),
-         s.n_tok + 1,
-         s.n_fallback + CASE WHEN b.term IS NULL THEN 1 ELSE 0 END
-  FROM seg s
-  LEFT JOIN best b ON b.doc_id = s.doc_id AND b.pos = s.pos
-  WHERE s.pos <= length(s.stub))
-SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-       CAST(n_fallback AS BIGINT) AS n_fallback,
-       md5(toks) AS toks_md5
-FROM seg WHERE pos > length(stub)
-ORDER BY doc_id
-""",
-    doc="Greedy longest-match (WordPiece-style) tokenization against "
-        "the corpus's top-50 word vocab with single-char fallback, "
-        "over 64-char prefixes — token/fallback counts and the full "
-        "segmentation md5 replayed by a recursive-CTE oracle.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Chroma-subsampled baseline JPEG decode roundtrip — closes the
-# dominant real-world JPEG shape (4:2:0) left out of subset in r7
-# (VERDICT r7 item 3). Each document becomes a genuine 32x32
-# interleaved-MCU stream: even doc_ids 4:2:0 (Y 2x2 + restart markers,
-# so RSTn + all-three-DC-predictor resets run inside the hashed data),
-# odd doc_ids 4:2:2 (Y 2x1). Luma is 16 flat 8x8 blocks derived from
-# doc_id; chroma planes are flat at doc_id-derived values, so the box
-# subsample (flat -> flat), the FDCT/IDCT pair (DC basis constant), and
-# the replication upsample are all bit-exact and DuckDB recomputes
-# every published stat arithmetically. The decoded SOF sampling factors
-# are published too, pinning the A.2.3 MCU-interleave parse itself.
-#
-# Scale shape: identical to jpeg_decode_roundtrip — two Arrow
-# crossings, zero shuffles before the final sort, per-row work only.
-# ---------------------------------------------------------------------------
-
-def _jpeg420_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.jpegcodec import decode_baseline, encode_baseline_ycbcr
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                y = np.zeros((32, 32), dtype=np.uint8)
-                for k in range(16):
-                    by, bx = divmod(k, 4)
-                    y[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                        (did * 31 + 97 * k) % 256
-                cbv = (did * 53 + 11) % 256
-                crv = (did * 71 + 29) % 256
-                if did % 2 == 0:
-                    cb = np.full((16, 16), cbv, dtype=np.uint8)
-                    cr = np.full((16, 16), crv, dtype=np.uint8)
-                    p = encode_baseline_ycbcr(
-                        y, cb, cr, sampling=((2, 2), (1, 1), (1, 1)),
-                        restart_interval=2)
-                else:
-                    cb = np.full((32, 16), cbv, dtype=np.uint8)
-                    cr = np.full((32, 16), crv, dtype=np.uint8)
-                    p = encode_baseline_ycbcr(
-                        y, cb, cr, sampling=((2, 1), (1, 1), (1, 1)))
-                payloads.append(p)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_baseline(bytes(p))
-                sam = r["sampling"]
-                samp = ("420" if sam == [(2, 2), (1, 1), (1, 1)] else
-                        "422" if sam == [(2, 1), (1, 1), (1, 1)] else
-                        "other")
-                yp = r["planes"][0].astype("int64")
-                cbp = r["planes"][1].astype("int64")
-                crp = r["planes"][2].astype("int64")
-                rows.append({
-                    "doc_id": int(did), "samp": samp,
-                    "out_w": r["width"], "out_h": r["height"],
-                    "y_sum": int(yp.sum()),
-                    "y_min": int(yp.min()), "y_max": int(yp.max()),
-                    "cb_const": int(cbp.min()),
-                    "cr_const": int(crp.min()),
-                    "chroma_flat": bool(cbp.min() == cbp.max()
-                                        and crp.min() == crp.max()
-                                        and cbp.shape == (32, 32)),
-                })
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, samp string, out_w long,"
-                                 " out_h long, y_sum long, y_min long,"
-                                 " y_max long, cb_const long,"
-                                 " cr_const long, chroma_flat boolean")
-               .orderBy("doc_id"))
-
-
-register(
-    "jpeg420_decode_roundtrip",
-    _jpeg420_decode_roundtrip,
-    """
-WITH ks AS (SELECT CAST(g AS BIGINT) AS k FROM generate_series(0, 15) s(g)),
-v AS (SELECT d.doc_id,
-             SUM((d.doc_id * 31 + 97 * ks.k) % 256) AS sv,
-             MIN((d.doc_id * 31 + 97 * ks.k) % 256) AS mn,
-             MAX((d.doc_id * 31 + 97 * ks.k) % 256) AS mx
-      FROM documents d CROSS JOIN ks GROUP BY d.doc_id)
-SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '422' END AS samp,
-       CAST(32 AS BIGINT) AS out_w,
-       CAST(32 AS BIGINT) AS out_h,
-       CAST(64 * sv AS BIGINT) AS y_sum,
-       CAST(mn AS BIGINT) AS y_min,
-       CAST(mx AS BIGINT) AS y_max,
-       CAST((doc_id * 53 + 11) % 256 AS BIGINT) AS cb_const,
-       CAST((doc_id * 71 + 29) % 256 AS BIGINT) AS cr_const,
-       TRUE AS chroma_flat
-FROM v ORDER BY doc_id
-""",
-    doc="4:2:0 / 4:2:2 chroma-subsampled baseline JPEG roundtrip: "
-        "genuine interleaved-MCU streams (restart markers on the 4:2:0 "
-        "half) encoded and entropy-decoded by the real T.81 codec, "
-        "with per-plane stats and the parsed SOF sampling factors "
-        "hash-verified against doc_id arithmetic.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Public-Suffix-List edge-case suite (VERDICT r7 item 6): registrable-
-# domain extraction over the hosts that distinguish a real PSL
-# implementation from the two-label heuristic — uk/jp/au multi-label
-# suffixes, the *.kawasaki.jp city wildcards, the !city.kawasaki.jp /
-# !www.ck exception rules, wildcard-only TLDs (*.ck, *.np), IP
-# literals and suffix-only hosts. The Spark side runs the generic
-# expression chain (operators/urls.registrable_domain); the oracle
-# hardcodes the HUMAN-derived expected answer per template (not the
-# generated SQL mirror), so a shared bug in the rule tables cannot
-# self-confirm. Fully narrow, codegen, zero Python crossings.
-# ---------------------------------------------------------------------------
-
-_PSL_CASES = [
-    # (host, expected registrable domain per publicsuffix.org rules)
-    ("example.com", "example.com"),
-    ("www.example.com", "example.com"),
-    ("blog.x.co.uk", "x.co.uk"),
-    ("co.uk", "co.uk"),                      # host IS a public suffix
-    ("www.gov.uk", "www.gov.uk"),
-    ("example.tokyo.jp", "example.tokyo.jp"),
-    ("sub.example.tokyo.jp", "example.tokyo.jp"),
-    ("example.kawasaki.jp", "example.kawasaki.jp"),   # *.kawasaki.jp
-    ("foo.example.kawasaki.jp", "foo.example.kawasaki.jp"),
-    ("a.b.example.kawasaki.jp", "b.example.kawasaki.jp"),
-    ("city.kawasaki.jp", "city.kawasaki.jp"),         # !city.kawasaki.jp
-    ("www.city.kawasaki.jp", "city.kawasaki.jp"),
-    ("www.ck", "www.ck"),                             # !www.ck
-    ("shop.www.ck", "www.ck"),
-    ("foo.bar.ck", "foo.bar.ck"),                     # *.ck
-    ("bar.ck", "bar.ck"),                    # host IS a wildcard suffix
-    ("example.com.au", "example.com.au"),
-    ("deep.sub.example.com.au", "example.com.au"),
-    ("example.gob.pe", "example.gob.pe"),
-    ("10.1.2.3", "10.1.2.3"),                         # IPv4 literal
-    ("localhost", "localhost"),                       # single label
-    ("example.co", "example.co"),            # flat ccTLD, default rule
-    ("b.example.np", "b.example.np"),                 # *.np
-    ("x.k12.tr", "x.k12.tr"),
-]
-
-
-def _psl_registrable_domain(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.urls import registrable_domain
-    d = _t(spark, sf, "documents").select("doc_id")
-    hosts = F.array(*[F.lit(h) for h, _ in _PSL_CASES])
-    host = F.element_at(hosts, (F.col("doc_id") % len(_PSL_CASES) + 1)
-                        .cast("int"))
-    return (d.select("doc_id", host.alias("host"))
-             .withColumn("domain", registrable_domain(F.col("host")))
-             .orderBy("doc_id"))
-
-
-register(
-    "psl_registrable_domain",
-    _psl_registrable_domain,
-    f"""
-SELECT doc_id,
-       CASE doc_id % {len(_PSL_CASES)}
-         {" ".join(f"WHEN {i} THEN '{h}'"
-                   for i, (h, _) in enumerate(_PSL_CASES))}
-       END AS host,
-       CASE doc_id % {len(_PSL_CASES)}
-         {" ".join(f"WHEN {i} THEN '{e}'"
-                   for i, (_, e) in enumerate(_PSL_CASES))}
-       END AS domain
-FROM documents ORDER BY doc_id
-""",
-    doc="PSL registrable-domain edge cases: multi-label suffixes, "
-        "*.kawasaki.jp/*.ck wildcards, !city/!www exception rules, "
-        "suffix-only hosts, IP literals — generic expression chain vs "
-        "hand-derived expected answers (not the generated mirror).",
-)
-
-
-# ---------------------------------------------------------------------------
-# MP3 Layer-III side-info / bit-reservoir audit (VERDICT r7 item 8):
-# the corruption-taxonomy layer between the frame walk and a real
-# synthesis-filter decode. Each document synthesizes a mono CBR stream
-# whose 17-byte side-info blocks carry REAL packed bits — a
-# main_data_begin that grows with the modeled reservoir (LEAST of the
-# 511-byte cap, the accumulated main-data bytes, and a doc-derived
-# ramp), plus per-granule part2_3_length / big_values within their
-# spec bounds — and the parser re-walks the bitstream, enforcing the
-# reservoir invariants (main_data_begin ≤ accumulated ∧ ≤ 511,
-# big_values ≤ 288, part2_3 bits addressable) and returning exact
-# integer aggregates DuckDB recomputes arithmetically. Because
-# main_data_begin's three LEAST terms are all increasing in the frame
-# index, the max is the last frame's value — the oracle needs no
-# per-frame scan for it.
-# ---------------------------------------------------------------------------
-
-def _mp3_sideinfo_audit(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.multimodal import (_MP3_BITRATES, _MP3_RATES,
-                                       parse_mp3_sideinfo)
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def synth(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                bidx = 2 + did % 12
-                ridx = did % 3
-                nf = 2 + did % 3
-                br, sr = _MP3_BITRATES[bidx], _MP3_RATES[ridx]
-                flen = 144 * br * 1000 // sr
-                main_len = flen - 21
-                chunks = [b"ID3\x04\x00\x00" + bytes([0, 0, 0, 11])
-                          + b"tag-payload"]
-                for k in range(nf):
-                    hdr = bytes([0xFF, 0xFB,
-                                 (bidx << 4) | (ridx << 2), 0xC0])
-                    bits: list[tuple[int, int]] = []  # (value, width)
-                    mdb = min(511, k * main_len, 37 * k + did % 101)
-                    bits.append((mdb, 9))
-                    bits.append((0, 5))          # private
-                    bits.append((0, 4))          # scfsi (mono)
-                    for g in range(2):
-                        bits.append(((did * 7 + k * 13 + g * 5) % 396,
-                                     12))        # part2_3_length
-                        bits.append(((did * 3 + k + g) % 289, 9))
-                        bits.append((0, 38))     # rest of gr block
-                    acc, nb = 0, 0
-                    for v, w in bits:
-                        acc = (acc << w) | v
-                        nb += w
-                    side = acc.to_bytes(nb // 8, "big")
-                    chunks.append(hdr + side
-                                  + b"\x00" * (flen - 4 - len(side)))
-                payloads.append(b"".join(chunks))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def probe(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = parse_mp3_sideinfo(bytes(p))
-                rows.append({"doc_id": int(did),
-                             "n_frames": r["n_frames"],
-                             "max_mdb": r["max_main_data_begin"],
-                             "sum_part23": r["sum_part23_bits"],
-                             "max_bigv": r["max_big_values"]})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(synth, "doc_id long, payload binary")
-               .mapInPandas(probe, "doc_id long, n_frames long,"
-                                   " max_mdb long, sum_part23 long,"
-                                   " max_bigv long")
-               .orderBy("doc_id"))
-
-
-_MP3_BR2_SQL = ("CASE 2 + doc_id % 12 "
-                + " ".join(f"WHEN {i} THEN {b}" for i, b in
-                           [(2, 40), (3, 48), (4, 56), (5, 64), (6, 80),
-                            (7, 96), (8, 112), (9, 128), (10, 160),
-                            (11, 192), (12, 224), (13, 256)])
-                + " END")
-
-register(
-    "mp3_sideinfo_audit",
-    _mp3_sideinfo_audit,
-    f"""
-WITH b AS (
-  SELECT doc_id,
-         2 + doc_id % 3 AS nf,
-         144 * ({_MP3_BR2_SQL}) * 1000 // ({_MP3_SR_SQL}) - 21
-           AS main_len
-  FROM documents),
-kg AS (SELECT CAST(g AS BIGINT) // 2 AS k, CAST(g AS BIGINT) % 2 AS gr
-       FROM generate_series(0, 7) s(g)),
-agg AS (
-  SELECT b.doc_id,
-         SUM((b.doc_id * 7 + kg.k * 13 + kg.gr * 5) % 396)
-           AS sum_part23,
-         MAX((b.doc_id * 3 + kg.k + kg.gr) % 289) AS max_bigv
-  FROM b JOIN kg ON kg.k < b.nf GROUP BY b.doc_id)
-SELECT b.doc_id,
-       CAST(b.nf AS BIGINT) AS n_frames,
-       CAST(LEAST(511, (b.nf - 1) * b.main_len,
-                  37 * (b.nf - 1) + b.doc_id % 101) AS BIGINT)
-         AS max_mdb,
-       CAST(agg.sum_part23 AS BIGINT) AS sum_part23,
-       CAST(agg.max_bigv AS BIGINT) AS max_bigv
-FROM b JOIN agg USING (doc_id) ORDER BY doc_id
-""",
-    doc="MP3 Layer-III side-info audit: genuine packed side-info bits "
-        "(reservoir-consistent main_data_begin ramp, in-bound "
-        "part2_3_length/big_values) re-walked by the real parser with "
-        "reservoir-invariant enforcement; integer aggregates pinned "
-        "by arithmetic SQL.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Priority sampling (Duffield–Lund–Thorup) — ONE-PASS weighted sampling
-# without replacement, the scheme a curation pipeline uses to draw a
-# weight-proportional document panel (w = doc length here) with an
-# unbiased total estimator attached. Each row gets an integer priority
-# w·2⁴⁸ DIV h (h = the portable 48-bit md5 fold ≈ u·2⁴⁸, so the
-# priority is the classic w/u in weight units — integer arithmetic
-# end-to-end, no pow/ln cross-engine hazard). Keep the top k by
-# priority; the (k+1)-th priority τ yields the estimator
-# max(w, τ) per kept row (Σ over the sample unbiasedly estimates total
-# corpus weight).
-#
-# Scale shape: Catalyst compiles orderBy+limit to TakeOrderedAndProject
-# — per-partition top-(k+1) heaps merged at the driver, a reduction,
-# NOT a global sort shuffle; the only window runs over the (k+1)-row
-# candidate frame and τ rides back in as a broadcast 1-row aggregate.
-# ---------------------------------------------------------------------------
-
-_PS_K = 64
-_PS_SEED = "psamp0"
-_PS_WCAP = 30000          # keeps w·2^48 far inside BIGINT headroom
-
-
-def _priority_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from .operators.text import md5_hash
-    d = _t(spark, sf, "documents")
-    h = F.greatest(md5_hash(F.concat(F.lit(_PS_SEED + ":"),
-                                     F.col("doc_id").cast("string"))),
-                   F.lit(1))
-    w = F.least(F.col("n_chars"), F.lit(_PS_WCAP)).cast("long")
-    cand = (d.select("doc_id", w.alias("weight"),
-                     (w * F.lit(281474976710656)).cast("long")
-                     .alias("_num"), h.alias("_h"))
-             .withColumn("priority",
-                         F.expr("CAST(_num DIV _h AS BIGINT)"))
-             .select("doc_id", "weight", "priority")
-             .orderBy(F.desc("priority"), F.asc("doc_id"))
-             .limit(_PS_K + 1))
-    rw = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
-    ranked = cand.withColumn("_rn", F.row_number().over(rw))
-    tau = ranked.agg(F.coalesce(
-        F.min(F.when(F.col("_rn") == _PS_K + 1, F.col("priority"))),
-        F.lit(0)).alias("_tau"))
-    return (ranked.where(F.col("_rn") <= _PS_K)
-                  .crossJoin(F.broadcast(tau))
-                  .select("doc_id", "weight", "priority",
-                          F.greatest(F.col("weight"), F.col("_tau"))
-                           .cast("long").alias("est_w"))
-                  .orderBy(F.desc("priority"), F.asc("doc_id")))
-
-
-register(
-    "priority_sample_docs",
-    _priority_sample_docs,
-    f"""
-WITH p AS (
-  SELECT doc_id,
-         LEAST(n_chars, {_PS_WCAP}) AS weight,
-         LEAST(n_chars, {_PS_WCAP}) * 281474976710656
-           // GREATEST(('0x' || substr(md5('{_PS_SEED}:'
-                || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, 1)
-           AS priority
-  FROM documents),
-r AS (SELECT doc_id, weight, priority,
-             ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
-               AS rn
-      FROM p),
-t AS (SELECT COALESCE(MIN(CASE WHEN rn = {_PS_K + 1} THEN priority END),
-                      0) AS tau
-      FROM r)
-SELECT doc_id, CAST(weight AS BIGINT) AS weight,
-       CAST(priority AS BIGINT) AS priority,
-       CAST(GREATEST(weight, tau) AS BIGINT) AS est_w
-FROM r, t WHERE rn <= {_PS_K}
-ORDER BY priority DESC, doc_id
-""",
-    doc="Priority sampling (DLT): integer priorities w*2^48 DIV h48, "
-        "per-partition top-k heaps (TakeOrderedAndProject — no global "
-        "sort), (k+1)-th priority threshold estimator max(w, tau) — "
-        "one-pass weighted sampling without replacement with an "
-        "unbiased total estimator, exact integers end-to-end.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Per-domain cap enforcement — the crawl-curation quota pass: no
-# registrable domain may contribute more than CAP documents, and which
-# documents survive must be a deterministic, seed-keyed choice (so the
-# cap is reproducible and auditable, not "first k by arrival"). Uses
-# the real PSL registrable-domain key from operators/urls. The rank
-# runs in a PARTITIONED window (per domain), so the frame is the
-# domain's own doc count — the quantity the cap is bounding in the
-# first place; no global window anywhere.
-# ---------------------------------------------------------------------------
-
-_DCAP = 8
-_DCAP_SEED = "domcap0"
-
-
-def _domain_cap_manifest(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from .operators.text import md5_hash
-    from .operators.urls import registrable_domain, url_host
-
-    d = _t(spark, sf, "documents")
-    base = d.select(
-        "doc_id",
-        registrable_domain(url_host(_synth_url_spark())).alias("domain"),
-        md5_hash(F.concat(F.lit(_DCAP_SEED + ":"),
-                          F.col("doc_id").cast("string"))).alias("_ok"))
-    w = Window.partitionBy("domain").orderBy(F.asc("_ok"), F.asc("doc_id"))
-    return (base.withColumn("rk", F.row_number().over(w).cast("long"))
-                .where(F.col("rk") <= _DCAP)
-                .select("doc_id", "domain", "rk")
-                .orderBy("domain", "rk"))
-
-
-register(
-    "domain_cap_manifest",
-    _domain_cap_manifest,
-    rf"""
-WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
-b AS (SELECT doc_id,
-             {{dom}} AS domain,
-             ('0x' || substr(md5('{_DCAP_SEED}:'
-                 || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS ok
-      FROM u),
-r AS (SELECT doc_id, domain,
-             ROW_NUMBER() OVER (PARTITION BY domain
-                                ORDER BY ok, doc_id) AS rk
-      FROM b)
-SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
-FROM r WHERE rk <= {_DCAP}
-ORDER BY domain, rk
-""".replace("{dom}", _duck_domain(_DUCK_HOST)),
-    doc="Per-registrable-domain cap: seed-keyed deterministic survivor "
-        "choice, rank in a per-domain window (frame = the quantity "
-        "being capped), PSL domain keying — the crawl-mixing quota "
-        "pass, fully reproducible.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Largest-remainder (Hamilton) apportionment of an evaluation panel —
-# allocate exactly K eval slots across (lang, source) strata
-# proportionally to their sizes, with the remainder seats going to the
-# largest fractional remainders. Everything is integer arithmetic:
-# base quota = floor(n_s*K/N); remainder = n_s*K - base*N (the
-# fraction scaled by N, exact); seats left = K - Σbase, handed to the
-# top strata by (remainder DESC, lang, source). The only windows run
-# over the |strata|-row aggregate. Then each stratum contributes its
-# quota of documents by seeded-hash rank — the deterministic panel a
-# model-eval team can re-derive from the seed alone.
-# ---------------------------------------------------------------------------
-
-_PANEL_K = 100
-_PANEL_SEED = "evalpanel0"
-
-
-def _eval_panel_quota(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from .operators.text import md5_hash
-
-    d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
-    strata = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"))
-    tot = strata.agg(F.sum("n_docs").alias("_n"))
-    sized = strata.crossJoin(F.broadcast(tot)).select(
-        "lang", "source", "n_docs",
-        F.expr(f"CAST(n_docs * {_PANEL_K} DIV _n AS BIGINT)")
-         .alias("base"),
-        F.expr(f"CAST(n_docs * {_PANEL_K} - (n_docs * {_PANEL_K}"
-               f" DIV _n) * _n AS BIGINT)").alias("rem"))
-    spare = sized.agg(
-        (F.lit(_PANEL_K) - F.sum("base")).cast("long").alias("_spare"))
-    wr = Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
-    quota = (sized.crossJoin(F.broadcast(spare))
-             .withColumn("_rrk", F.row_number().over(wr))
-             .select("lang", "source", "n_docs",
-                     (F.col("base")
-                      + F.when(F.col("_rrk") <= F.col("_spare"), 1)
-                         .otherwise(0)).cast("long").alias("quota")))
-    wd = Window.partitionBy("lang", "source").orderBy(
-        F.asc("_ok"), F.asc("doc_id"))
-    picked = (d.withColumn(
-                  "_ok", md5_hash(F.concat(F.lit(_PANEL_SEED + ":"),
-                                           F.col("doc_id").cast("string"))))
-               .withColumn("rk", F.row_number().over(wd).cast("long"))
-               .join(F.broadcast(quota), ["lang", "source"])
-               .where(F.col("rk") <= F.col("quota")))
-    return (picked.select("doc_id", "lang", "source", "n_docs",
-                          "quota", "rk")
-                  .orderBy("lang", "source", "rk"))
-
-
-register(
-    "eval_panel_quota",
-    _eval_panel_quota,
-    f"""
-WITH s AS (SELECT lang, source, COUNT(*) AS n_docs
-           FROM documents GROUP BY lang, source),
-t AS (SELECT SUM(n_docs) AS n FROM s),
-sized AS (
-  SELECT lang, source, n_docs,
-         n_docs * {_PANEL_K} // n AS base,
-         n_docs * {_PANEL_K} - (n_docs * {_PANEL_K} // n) * n AS rem
-  FROM s, t),
-sp AS (SELECT {_PANEL_K} - SUM(base) AS spare FROM sized),
-q AS (
-  SELECT lang, source, n_docs,
-         base + CASE WHEN ROW_NUMBER() OVER
-                  (ORDER BY rem DESC, lang, source) <= spare
-                THEN 1 ELSE 0 END AS quota
-  FROM sized, sp),
-r AS (
-  SELECT doc_id, lang, source,
-         ROW_NUMBER() OVER (PARTITION BY lang, source
-            ORDER BY ('0x' || substr(md5('{_PANEL_SEED}:'
-                || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id)
-           AS rk
-  FROM documents)
-SELECT r.doc_id, r.lang, r.source,
-       CAST(q.n_docs AS BIGINT) AS n_docs,
-       CAST(q.quota AS BIGINT) AS quota,
-       CAST(r.rk AS BIGINT) AS rk
-FROM r JOIN q ON q.lang = r.lang AND q.source = r.source
-WHERE r.rk <= q.quota
-ORDER BY r.lang, r.source, r.rk
-""",
-    doc="Largest-remainder (Hamilton) apportionment of a K-slot eval "
-        "panel across (lang, source) strata — exact integer quotas "
-        "and remainders, |strata|-row windows only, seeded-hash "
-        "member choice fully re-derivable from the seed.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Progressive JPEG decode roundtrip — closes "What's missing" item 2
-# of the r7 verdict: SOF2 was an honest header-probe fallback; now the
-# real multi-scan decoder (coefficient accumulation, DC successive
-# approximation, G.2 AC band coding with cross-block EOB runs and the
-# refinement correction-bit procedure) runs behind the same Arrow
-# seam. Each document becomes a genuine 3-or-4-scan progressive
-# stream of four flat doc_id-derived blocks — odd doc_ids use the
-# two-scan AC successive-approximation script, so BOTH AC coding
-# models sit inside the hashed data — and flat blocks survive the
-# whole shift/refine/EOB pipeline bit-exactly, so DuckDB recomputes
-# every stat arithmetically (the same numbers as the baseline
-# roundtrip: the two codecs must agree).
-# ---------------------------------------------------------------------------
-
-def _jpeg_progressive_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.jpegcodec import decode_baseline, encode_progressive_gray
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                px = np.zeros((16, 16), dtype=np.uint8)
-                for k in range(4):
-                    by, bx = divmod(k, 2)
-                    px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                        (did * 31 + 97 * k) % 256
-                payloads.append(encode_progressive_gray(
-                    px, ac_successive=(did % 2 == 1)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_baseline(bytes(p))
-                px = r["pixels"].astype("int64")
-                rows.append({"doc_id": int(did),
-                             "out_w": r["width"], "out_h": r["height"],
-                             "pix_sum": int(px.sum()),
-                             "pix_min": int(px.min()),
-                             "pix_max": int(px.max())})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, out_w long, out_h long,"
-                                 " pix_sum long, pix_min long,"
-                                 " pix_max long")
-               .orderBy("doc_id"))
-
-
-register(
-    "jpeg_progressive_roundtrip",
-    _jpeg_progressive_roundtrip,
-    """
-WITH v AS (
-  SELECT doc_id,
-         (doc_id * 31 +   0) % 256 AS v0,
-         (doc_id * 31 +  97) % 256 AS v1,
-         (doc_id * 31 + 194) % 256 AS v2,
-         (doc_id * 31 + 291) % 256 AS v3
-  FROM documents)
-SELECT doc_id,
-       CAST(16 AS BIGINT) AS out_w,
-       CAST(16 AS BIGINT) AS out_h,
-       CAST(64 * (v0 + v1 + v2 + v3) AS BIGINT) AS pix_sum,
-       CAST(LEAST(v0, v1, v2, v3) AS BIGINT) AS pix_min,
-       CAST(GREATEST(v0, v1, v2, v3) AS BIGINT) AS pix_max
-FROM v ORDER BY doc_id
-""",
-    doc="Progressive JPEG (SOF2) decode roundtrip: genuine multi-scan "
-        "streams (DC successive approximation + EOB-run AC scans; odd "
-        "ids add the AC refinement script) decoded by the real G.2 "
-        "machinery, pixel stats hash-verified against doc_id "
-        "arithmetic — the progressive and baseline codecs must agree.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Adam7 interlaced PNG roundtrip — the "web-optimized" PNG layout:
-# seven independently-filtered sub-images on the (x0,y0,dx,dy) pass
-# lattices, de-filtered per pass and scattered back. Each document
-# becomes a 16x16 RGB image whose channels are position-dependent
-# doc_id arithmetic; even ids ship interlaced, odd ids sequential, so
-# both layouts sit inside one hashed result and MUST agree. Channel
-# means alone would not catch a scatter-placement bug (they are
-# permutation-invariant), so the oracle also pins a position-weighted
-# first moment per channel: sum((1 + x + 16y) * V(x,y)).
-# ---------------------------------------------------------------------------
-
-def _png_adam7_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.multimodal import decode_png, encode_png
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                y, x = np.mgrid[0:16, 0:16]
-                rgb = np.stack([
-                    (did + 3 * x + 5 * y) % 256,
-                    (2 * did + 7 * x + y) % 256,
-                    (3 * did + x + 11 * y) % 256,
-                ], axis=-1).astype(np.uint8)
-                payloads.append(encode_png(rgb.tobytes(), 16,
-                                           interlace=(did % 2 == 0)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_png(bytes(p))
-                rgb = r["rgb"].astype("int64")
-                y, x = np.mgrid[0:16, 0:16]
-                wgt = 1 + x + 16 * y
-                rows.append({
-                    "doc_id": int(did),
-                    "interlaced": bool(r["interlaced"]),
-                    "mean_r_milli": r["mean_r_milli"],
-                    "mean_g_milli": r["mean_g_milli"],
-                    "mean_b_milli": r["mean_b_milli"],
-                    "moment_r": int((wgt * rgb[:, :, 0]).sum()),
-                    "moment_g": int((wgt * rgb[:, :, 1]).sum()),
-                    "moment_b": int((wgt * rgb[:, :, 2]).sum()),
-                })
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, interlaced boolean,"
-                                 " mean_r_milli long, mean_g_milli long,"
-                                 " mean_b_milli long, moment_r long,"
-                                 " moment_g long, moment_b long")
-               .orderBy("doc_id"))
-
-
-register(
-    "png_adam7_roundtrip",
-    _png_adam7_roundtrip,
-    """
-WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
-           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
-v AS (
-  SELECT d.doc_id,
-         SUM((d.doc_id + 3 * g.x + 5 * g.y) % 256) AS sr,
-         SUM((2 * d.doc_id + 7 * g.x + g.y) % 256) AS sg,
-         SUM((3 * d.doc_id + g.x + 11 * g.y) % 256) AS sb,
-         SUM((1 + g.x + 16 * g.y)
-             * ((d.doc_id + 3 * g.x + 5 * g.y) % 256)) AS mr,
-         SUM((1 + g.x + 16 * g.y)
-             * ((2 * d.doc_id + 7 * g.x + g.y) % 256)) AS mg,
-         SUM((1 + g.x + 16 * g.y)
-             * ((3 * d.doc_id + g.x + 11 * g.y) % 256)) AS mb
-  FROM documents d CROSS JOIN g GROUP BY d.doc_id)
-SELECT doc_id,
-       doc_id % 2 = 0 AS interlaced,
-       CAST(sr * 1000 // 256 AS BIGINT) AS mean_r_milli,
-       CAST(sg * 1000 // 256 AS BIGINT) AS mean_g_milli,
-       CAST(sb * 1000 // 256 AS BIGINT) AS mean_b_milli,
-       CAST(mr AS BIGINT) AS moment_r,
-       CAST(mg AS BIGINT) AS moment_g,
-       CAST(mb AS BIGINT) AS moment_b
-FROM v ORDER BY doc_id
-""",
-    doc="Adam7 interlaced PNG roundtrip: per-pass filtered sub-images "
-        "de-filtered and scattered back by the real decoder (even ids "
-        "interlaced, odd sequential), channel means AND position-"
-        "weighted first moments hash-verified — placement bugs cannot "
-        "hide behind permutation-invariant stats.",
-)
-
-
-# ---------------------------------------------------------------------------
-# GIF decode roundtrip — the palette-image format, with REAL LZW
-# underneath (variable-width LSB-first codes, CLEAR/EOI, KwKwK,
-# dictionary growth): each document becomes a genuine GIF89a (global
-# color table + GCE extension the walker must skip; even ids ship the
-# 4-pass row interlace) whose 16x16 index pattern and 16-color
-# palette are doc_id arithmetic, so DuckDB recomputes channel means
-# AND position-weighted moments (placement-sensitive: interlace
-# reordering bugs cannot hide) without ever touching bytes.
-# ---------------------------------------------------------------------------
-
-def _gif_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.multimodal import decode_gif, encode_gif
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                y, x = np.mgrid[0:16, 0:16]
-                idx = ((did + 2 * x + 3 * y) % 16).astype(np.uint8)
-                i = np.arange(16)
-                pal = np.stack([(did * 5 + 17 * i) % 256,
-                                (did * 7 + 29 * i) % 256,
-                                (did * 11 + 41 * i) % 256],
-                               axis=-1).astype(np.uint8)
-                payloads.append(encode_gif(idx, pal,
-                                           interlace=(did % 2 == 0)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_gif(bytes(p))
-                rgb = r["rgb"].astype("int64")
-                y, x = np.mgrid[0:16, 0:16]
-                wgt = 1 + x + 16 * y
-                rows.append({
-                    "doc_id": int(did),
-                    "interlaced": bool(r["interlaced"]),
-                    "palette_size": r["palette_size"],
-                    "mean_r_milli": r["mean_r_milli"],
-                    "mean_g_milli": r["mean_g_milli"],
-                    "mean_b_milli": r["mean_b_milli"],
-                    "moment_r": int((wgt * rgb[:, :, 0]).sum()),
-                    "moment_g": int((wgt * rgb[:, :, 1]).sum()),
-                    "moment_b": int((wgt * rgb[:, :, 2]).sum()),
-                })
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, interlaced boolean,"
-                                 " palette_size long,"
-                                 " mean_r_milli long, mean_g_milli long,"
-                                 " mean_b_milli long, moment_r long,"
-                                 " moment_g long, moment_b long")
-               .orderBy("doc_id"))
-
-
-register(
-    "gif_decode_roundtrip",
-    _gif_decode_roundtrip,
-    """
-WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
-           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
-px AS (
-  SELECT d.doc_id, g.x, g.y,
-         (d.doc_id + 2 * g.x + 3 * g.y) % 16 AS i
-  FROM documents d CROSS JOIN g),
-v AS (
-  SELECT doc_id,
-         SUM((doc_id * 5 + 17 * i) % 256) AS sr,
-         SUM((doc_id * 7 + 29 * i) % 256) AS sg,
-         SUM((doc_id * 11 + 41 * i) % 256) AS sb,
-         SUM((1 + x + 16 * y) * ((doc_id * 5 + 17 * i) % 256)) AS mr,
-         SUM((1 + x + 16 * y) * ((doc_id * 7 + 29 * i) % 256)) AS mg,
-         SUM((1 + x + 16 * y) * ((doc_id * 11 + 41 * i) % 256)) AS mb
-  FROM px GROUP BY doc_id)
-SELECT doc_id,
-       doc_id % 2 = 0 AS interlaced,
-       CAST(16 AS BIGINT) AS palette_size,
-       CAST(sr * 1000 // 256 AS BIGINT) AS mean_r_milli,
-       CAST(sg * 1000 // 256 AS BIGINT) AS mean_g_milli,
-       CAST(sb * 1000 // 256 AS BIGINT) AS mean_b_milli,
-       CAST(mr AS BIGINT) AS moment_r,
-       CAST(mg AS BIGINT) AS moment_g,
-       CAST(mb AS BIGINT) AS moment_b
-FROM v ORDER BY doc_id
-""",
-    doc="GIF89a decode roundtrip: genuine LZW streams (variable-width "
-        "LSB codes, CLEAR/EOI, KwKwK, GCE skip; even ids 4-pass "
-        "interlaced) decoded for real, channel means + position-"
-        "weighted moments hash-verified against palette/index "
-        "arithmetic.",
-)
-
-
-# ---------------------------------------------------------------------------
-# G.711 companded-audio roundtrip — telephony-grade mu-law/A-law WAV
-# (format tags 7/6), the companded byte streams a speech-data pipeline
-# meets before any neural codec. Each document synthesizes a genuine
-# RIFF container whose 8-bit payload derives from doc_id; the decoder
-# runs the real ITU-T G.711 segment/mantissa expansion to linear
-# 16-bit samples, and DuckDB replays the SAME integer expansion
-# ((m*8+132)<<e - 132 for mu, the xor-0x55 segment form for A) per
-# byte — sample sums and mean-square amplitude are value-pinned, so
-# any bit of the expansion (complement, segment shift, re-sign) is
-# inside the hash.
-# ---------------------------------------------------------------------------
-
-def _g711_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import struct
-
-    import pandas as pd
-
-    from .operators.multimodal import decode_wav
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def synth(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                n = 64 + did % 64
-                data = bytes((did * 13 + 7 * i) % 256 for i in range(n))
-                fmt = 7 if did % 2 == 0 else 6
-                fmtc = struct.pack("<HHIIHH", fmt, 1, 8000, 8000, 1, 8)
-                body = (b"WAVE" + b"fmt "
-                        + struct.pack("<I", len(fmtc)) + fmtc
-                        + b"data" + struct.pack("<I", len(data)) + data
-                        + (b"\0" if len(data) & 1 else b""))
-                payloads.append(b"RIFF" + struct.pack("<I", len(body))
-                                + body)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_wav(bytes(p))
-                rows.append({"doc_id": int(did),
-                             "audio_format": r["audio_format"],
-                             "n_frames": r["n_frames"],
-                             "duration_ms": r["duration_ms"],
-                             "sample_sum": r["sample_sum"],
-                             "ms_amplitude": r["ms_amplitude"]})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(synth, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, audio_format long,"
-                                 " n_frames long, duration_ms long,"
-                                 " sample_sum long, ms_amplitude long")
-               .orderBy("doc_id"))
-
-
-register(
-    "g711_wav_roundtrip",
-    _g711_wav_roundtrip,
-    """
-WITH f AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
-b AS (
-  SELECT f.doc_id, f.n,
-         (f.doc_id * 13 + 7 * s.i) % 256 AS byte
-  FROM f JOIN (SELECT CAST(g AS BIGINT) AS i
-               FROM generate_series(0, 127) t(g)) s ON s.i < f.n),
-x AS (
-  SELECT doc_id, n,
-         CASE WHEN doc_id % 2 = 0 THEN           -- mu-law
-           CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END
-           * ((((255 - byte) % 16) * 8 + 132)
-              * (1 << (((255 - byte) // 16) % 8)) - 132)
-         ELSE                                     -- A-law
-           CASE WHEN xor(byte, 85) >= 128 THEN -1 ELSE 1 END
-           * (CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
-                   THEN (xor(byte, 85) % 16) * 16 + 8
-                   ELSE ((xor(byte, 85) % 16) * 16 + 264)
-                        * (1 << (((xor(byte, 85) // 16) % 8) - 1))
-              END)
-         END AS s
-  FROM b)
-SELECT doc_id,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS BIGINT)
-         AS audio_format,
-       CAST(n AS BIGINT) AS n_frames,
-       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-       CAST(SUM(s) AS BIGINT) AS sample_sum,
-       CAST(SUM(s * s) // n AS BIGINT) AS ms_amplitude
-FROM x GROUP BY doc_id, n ORDER BY doc_id
-""",
-    doc="G.711 mu-law/A-law WAV roundtrip: genuine RIFF containers "
-        "with companded 8-bit payloads expanded by the real ITU-T "
-        "segment/mantissa arithmetic, sample sums and mean-square "
-        "amplitude replayed byte-for-byte by integer SQL.",
-)
-
-
-# ---------------------------------------------------------------------------
-# AVI/MJPEG video frame sampling — the video-ingest path a multimodal
-# training pipeline runs on every clip: walk the RIFF container, read
-# the frame clock from the REAL stream header (not from filename
-# conventions), sample every k-th frame by wall-clock interval, and
-# entropy-decode only the sampled frames (each MJPEG frame is a
-# standalone baseline JPEG through operators/jpegcodec). Each document
-# synthesizes a genuine AVI (variable frame count AND variable frame
-# rate from doc_id; WORD-padded 00dc chunks; legacy idx1 cross-checked
-# against the movi walk), so the sampling stride is derived from parsed
-# container metadata and the luma sums replay the decoded pixels.
-#
-# Scale shape: two Arrow crossings (encode, parse+sample+decode), zero
-# shuffles before the final sort; decode cost is per-SAMPLED-frame, so
-# the interval knob bounds work per clip no matter how long the video —
-# exactly the property frame-sampling exists to provide at 100 TB.
-# ---------------------------------------------------------------------------
-
-def _avi_mjpeg_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.jpegcodec import decode_baseline, encode_baseline_gray
-    from .operators.multimodal import encode_avi_mjpeg, parse_avi
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-    interval_ms = 100
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                n = 4 + did % 5
-                uspf = 20000 * (1 + did % 3)
-                frames = []
-                for f in range(n):
-                    px = np.zeros((16, 16), dtype=np.uint8)
-                    for k in range(4):
-                        v = (did * 31 + 97 * k + 13 * f) % 256
-                        by, bx = divmod(k, 2)
-                        px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
-                    frames.append(encode_baseline_gray(px))
-                payloads.append(
-                    encode_avi_mjpeg(frames, 16, 16, us_per_frame=uspf))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = parse_avi(bytes(p))
-                # stride from PARSED container metadata, not doc_id
-                stride = max(1, (interval_ms * 1000) // r["us_per_frame"])
-                sums, mins, maxs = [], [], []
-                for f in range(0, len(r["frames"]), stride):
-                    px = decode_baseline(
-                        r["frames"][f])["pixels"].astype("int64")
-                    sums.append(int(px.sum()))
-                    mins.append(int(px.min()))
-                    maxs.append(int(px.max()))
-                rows.append({"doc_id": int(did),
-                             "n_frames": len(r["frames"]),
-                             "fps_milli": r["fps_milli"],
-                             "idx_consistent": bool(r["idx_consistent"]),
-                             "sampled_frames": len(sums),
-                             "luma_sum": sum(sums),
-                             "luma_min": min(mins),
-                             "luma_max": max(maxs)})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, n_frames long,"
-                                 " fps_milli long, idx_consistent boolean,"
-                                 " sampled_frames long, luma_sum long,"
-                                 " luma_min long, luma_max long")
-               .orderBy("doc_id"))
-
-
-register(
-    "avi_mjpeg_frame_sample",
-    _avi_mjpeg_frame_sample,
-    """
-WITH p AS (
-  SELECT doc_id,
-         4 + doc_id % 5 AS n,
-         20000 * (1 + doc_id % 3) AS uspf,
-         GREATEST(1, 100000 // (20000 * (1 + doc_id % 3))) AS stride
-  FROM documents),
-v AS (
-  SELECT p.doc_id, p.n, p.uspf, p.stride,
-         CAST(f.g AS BIGINT) AS f,
-         (p.doc_id * 31 + 97 * k.g + 13 * f.g) % 256 AS val
-  FROM p
-  JOIN generate_series(0, 8) f(g) ON f.g < p.n AND f.g % p.stride = 0
-  CROSS JOIN generate_series(0, 3) k(g)),
-a AS (
-  SELECT doc_id, n, uspf, f,
-         64 * SUM(val) AS fsum, MIN(val) AS fmin, MAX(val) AS fmax
-  FROM v GROUP BY doc_id, n, uspf, f)
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_frames,
-       CAST(1000000000 // uspf AS BIGINT) AS fps_milli,
-       TRUE AS idx_consistent,
-       CAST(COUNT(*) AS BIGINT) AS sampled_frames,
-       CAST(SUM(fsum) AS BIGINT) AS luma_sum,
-       CAST(MIN(fmin) AS BIGINT) AS luma_min,
-       CAST(MAX(fmax) AS BIGINT) AS luma_max
-FROM a GROUP BY doc_id, n, uspf ORDER BY doc_id
-""",
-    doc="AVI/MJPEG frame sampling: genuine RIFF containers (variable "
-        "frame count and frame clock per document, WORD padding, idx1 "
-        "cross-check), wall-clock sampling stride derived from the "
-        "PARSED stream header, sampled frames entropy-decoded by the "
-        "real baseline-JPEG layer; frame counts, fps, and sampled "
-        "luma sums/extremes replayed arithmetically by the oracle.",
-)
-
-
-# ---------------------------------------------------------------------------
-# IMA ADPCM WAV roundtrip — the 4-bit compressed telephony-audio shape
-# (WAVE format tag 0x0011) between G.711 bytes and modern codecs. Each
-# document synthesizes a genuine two-block container (per-block int16
-# seed predictor + index header, low-nibble-first packing, fact chunk);
-# the decoder walks fmt/fact/data for real and runs the true IMA
-# step-size automaton. The oracle is a recursive CTE that carries the
-# (predictor, step-index) state per (doc, block) through all 64 nibbles
-# against the embedded 89-entry step table — every clamp, shift, and
-# table adjust is inside the value hash, which no closed form could pin.
-#
-# Scale shape: two Arrow crossings, zero shuffles before the final
-# sort; state is per-block so blocks decode independently — the same
-# property that makes ADPCM splittable across executors at 100 TB.
-# ---------------------------------------------------------------------------
-
-def _adpcm_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.multimodal import decode_wav_ima, encode_wav_ima
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                blocks = []
-                for b in range(2):
-                    pred0 = ((did + b) * 997) % 4001 - 2000
-                    idx0 = (did + 3 * b) % 89
-                    nibs = [(did * 7 + (b * 64 + i) * 13) % 16
-                            for i in range(64)]
-                    blocks.append((pred0, idx0, nibs))
-                payloads.append(encode_wav_ima(blocks))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_wav_ima(bytes(p))
-                s = r["samples"]
-                spb = r["samples_per_block"]
-                rows.append({"doc_id": int(did),
-                             "n_blocks": r["n_blocks"],
-                             "samples_per_block": spb,
-                             "n_samples": len(s),
-                             "duration_ms": len(s) * 1000
-                             // r["sample_rate"],
-                             "sample_sum": sum(s),
-                             "max_abs": max(abs(v) for v in s),
-                             "last_b0": s[spb - 1],
-                             "last_b1": s[2 * spb - 1]})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, n_blocks long,"
-                                 " samples_per_block long,"
-                                 " n_samples long, duration_ms long,"
-                                 " sample_sum long, max_abs long,"
-                                 " last_b0 long, last_b1 long")
-               .orderBy("doc_id"))
-
-
-def _ima_steps_sql() -> str:
-    from .operators.multimodal import _IMA_STEPS
-    return ", ".join(f"({i}, {s})" for i, s in enumerate(_IMA_STEPS))
-
-
-register(
-    "adpcm_wav_roundtrip",
-    _adpcm_wav_roundtrip,
-    f"""
-WITH RECURSIVE
-steps(si, st) AS (VALUES {_ima_steps_sql()}),
-itab(tn, di) AS (VALUES (0,-1),(1,-1),(2,-1),(3,-1),(4,2),(5,4),(6,6),(7,8)),
-init AS (
-  SELECT d.doc_id, CAST(b.g AS BIGINT) AS b,
-         ((d.doc_id + b.g) * 997) % 4001 - 2000 AS pred0,
-         (d.doc_id + 3 * b.g) % 89 AS idx0
-  FROM documents d CROSS JOIN generate_series(0, 1) b(g)),
-r AS (
-  SELECT doc_id, b, CAST(0 AS BIGINT) AS i,
-         CAST(pred0 AS BIGINT) AS pred, idx0 AS idx,
-         CAST(pred0 AS BIGINT) AS ssum, abs(pred0) AS smax
-  FROM init
-  UNION ALL
-  SELECT r.doc_id, r.b, r.i + 1,
-         GREATEST(-32768, LEAST(32767,
-           r.pred
-           + CASE WHEN (r.doc_id*7 + (r.b*64 + r.i)*13) % 16 >= 8
-                  THEN -1 ELSE 1 END
-             * (s.st // 8
-                + CASE WHEN t.tn >= 4 THEN s.st ELSE 0 END
-                + CASE WHEN (t.tn // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
-                + CASE WHEN t.tn % 2 = 1 THEN s.st // 4 ELSE 0 END))),
-         GREATEST(0, LEAST(88, r.idx + t.di)),
-         r.ssum + GREATEST(-32768, LEAST(32767,
-           r.pred
-           + CASE WHEN (r.doc_id*7 + (r.b*64 + r.i)*13) % 16 >= 8
-                  THEN -1 ELSE 1 END
-             * (s.st // 8
-                + CASE WHEN t.tn >= 4 THEN s.st ELSE 0 END
-                + CASE WHEN (t.tn // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
-                + CASE WHEN t.tn % 2 = 1 THEN s.st // 4 ELSE 0 END))),
-         GREATEST(r.smax, abs(GREATEST(-32768, LEAST(32767,
-           r.pred
-           + CASE WHEN (r.doc_id*7 + (r.b*64 + r.i)*13) % 16 >= 8
-                  THEN -1 ELSE 1 END
-             * (s.st // 8
-                + CASE WHEN t.tn >= 4 THEN s.st ELSE 0 END
-                + CASE WHEN (t.tn // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
-                + CASE WHEN t.tn % 2 = 1 THEN s.st // 4 ELSE 0 END)))))
-  FROM r
-  JOIN steps s ON s.si = r.idx
-  JOIN itab t ON t.tn = ((r.doc_id*7 + (r.b*64 + r.i)*13) % 16) % 8
-  WHERE r.i < 64)
-SELECT doc_id,
-       CAST(2 AS BIGINT) AS n_blocks,
-       CAST(65 AS BIGINT) AS samples_per_block,
-       CAST(130 AS BIGINT) AS n_samples,
-       CAST(130 * 1000 // 8000 AS BIGINT) AS duration_ms,
-       CAST(SUM(ssum) AS BIGINT) AS sample_sum,
-       CAST(MAX(smax) AS BIGINT) AS max_abs,
-       CAST(MAX(CASE WHEN b = 0 THEN pred END) AS BIGINT) AS last_b0,
-       CAST(MAX(CASE WHEN b = 1 THEN pred END) AS BIGINT) AS last_b1
-FROM r WHERE i = 64
-GROUP BY doc_id ORDER BY doc_id
-""",
-    doc="IMA ADPCM (WAVE tag 0x11) roundtrip: genuine two-block "
-        "containers decoded by the real step-size automaton; a "
-        "recursive-CTE oracle replays all 64 state transitions per "
-        "block against the embedded 89-entry step table, pinning "
-        "sample sums, the max amplitude, and each block's final "
-        "predictor.",
-)
-
-
-# ---------------------------------------------------------------------------
-# TIFF decode roundtrip — completes the image-codec family (PNG, JPEG,
-# GIF, BMP) with the scanned-document/archival format. Each document
-# synthesizes a genuine striped TIFF 6.0 file: even ids use Compression
-# 5 (the TIFF LZW variant: MSB-first codes, the spec's early-change
-# width rule) + Predictor 2 (horizontal differencing), odd ids are
-# uncompressed; ids % 3 == 0 are written big-endian (MM) so both byte
-# orders are inside the value hash. Four strips each, so strip
-# reassembly (StripOffsets/ByteCounts arrays stored out-of-line) is
-# exercised, and position-weighted moments pin pixel PLACEMENT, not
-# just sums — a predictor or strip-order bug cannot hide in a mean.
-#
-# Scale shape: two Arrow crossings, zero shuffles before the final
-# sort; strips decode independently (the same property that lets a
-# real deployment split huge TIFFs across executors).
-# ---------------------------------------------------------------------------
-
-def _tiff_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.multimodal import decode_tiff_gray, encode_tiff_gray
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                y, x = np.mgrid[0:16, 0:16]
-                px = ((did + 2 * x + 3 * y) % 256).astype(np.uint8)
-                payloads.append(encode_tiff_gray(
-                    px, compression=5 if did % 2 == 0 else 1,
-                    big_endian=(did % 3 == 0)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_tiff_gray(bytes(p))
-                px = r["pixels"].astype("int64")
-                y, x = np.mgrid[0:16, 0:16]
-                rows.append({"doc_id": int(did),
-                             "compression": r["compression"],
-                             "predictor": r["predictor"],
-                             "big_endian": r["byte_order"] == "big",
-                             "n_strips": r["n_strips"],
-                             "pix_sum": int(px.sum()),
-                             "moment": int(((1 + x + 16 * y) * px).sum()),
-                             "pix_min": int(px.min()),
-                             "pix_max": int(px.max())})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, compression long,"
-                                 " predictor long, big_endian boolean,"
-                                 " n_strips long, pix_sum long,"
-                                 " moment long, pix_min long,"
-                                 " pix_max long")
-               .orderBy("doc_id"))
-
-
-register(
-    "tiff_decode_roundtrip",
-    _tiff_decode_roundtrip,
-    """
-WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
-           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
-px AS (
-  SELECT d.doc_id, g.x, g.y,
-         (d.doc_id + 2 * g.x + 3 * g.y) % 256 AS v
-  FROM documents d CROSS JOIN g)
-SELECT doc_id,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 1 END AS BIGINT)
-         AS compression,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
-         AS predictor,
-       doc_id % 3 = 0 AS big_endian,
-       CAST(4 AS BIGINT) AS n_strips,
-       CAST(SUM(v) AS BIGINT) AS pix_sum,
-       CAST(SUM((1 + x + 16 * y) * v) AS BIGINT) AS moment,
-       CAST(MIN(v) AS BIGINT) AS pix_min,
-       CAST(MAX(v) AS BIGINT) AS pix_max
-FROM px GROUP BY doc_id ORDER BY doc_id
-""",
-    doc="TIFF 6.0 decode roundtrip: genuine striped files (LZW with "
-        "early-change widths + horizontal-differencing predictor on "
-        "even ids, uncompressed odd, big-endian every third) decoded "
-        "by the real IFD/strip/LZW layers; sums, position-weighted "
-        "moments, and extremes replayed from index arithmetic.",
-)
-
-
-# ---------------------------------------------------------------------------
-# robots.txt crawl gate (RFC 9309) — before a crawl-derived document
-# enters a training corpus, the curator must honor the site's robots
-# rules: exclusive user-agent group selection, most-specific-match
-# (longest pattern in octets), Allow on ties, allow by default, with
-# '*' wildcards and '$' end anchors. The engine side is the GENERIC
-# matcher (operators/urls.robots_gate: pattern -> anchored regex as
-# Column expressions, broadcast rules, one max_by aggregate); the
-# fixture derives domains, rule sets, and request paths from doc_id so
-# DuckDB can replay group selection + specificity argmax exactly.
-#
-# Scale shape: rules are a per-site dimension and broadcast; the fact
-# side shuffles once for the argmax aggregate. No window, no Python.
-# ---------------------------------------------------------------------------
-
-def _robots_txt_gate(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.urls import robots_gate
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    urls = (d.withColumn("k", (F.col("doc_id") % 20).cast("long"))
-            .withColumn("domain",
-                        F.concat(F.lit("d"), F.col("k"),
-                                 F.lit(".example.com")))
-            .withColumn("path",
-                        F.element_at(
-                            F.array(F.lit("/admin/secret"),
-                                    F.lit("/admin/public/page"),
-                                    F.lit("/files/report.bak"),
-                                    F.lit("/blog/post"),
-                                    F.lit("/")),
-                            (F.col("doc_id") % 5 + 1).cast("int")))
-            .select("doc_id", "domain", "path"))
-
-    ks = spark.range(20).select(F.col("id").cast("long").alias("k"))
-    dom = F.concat(F.lit("d"), F.col("k"), F.lit(".example.com"))
-
-    def grp(agent, allow, pattern, cond=None):
-        r = ks.select(dom.alias("domain"), F.lit(agent).alias("agent"),
-                      F.lit(allow).alias("allow"),
-                      F.lit(pattern).alias("pattern"), F.col("k"))
-        if cond is not None:
-            r = r.filter(cond)
-        return r.drop("k")
-
-    rules = (grp("*", False, "/admin")
-             .unionByName(grp("*", True, "/admin/public"))
-             .unionByName(grp("*", False, "/*.bak$",
-                              F.col("k") % 2 == 0))
-             .unionByName(grp("*", False, "/blog",
-                              F.col("k") % 5 == 0))
-             .unionByName(grp("*", True, "", F.col("k") % 7 == 0))
-             .unionByName(grp("trainingbot", False, "/blog",
-                              F.col("k") % 3 == 0))
-             .unionByName(grp("trainingbot", True, "/admin",
-                              F.col("k") % 3 == 0)))
-
-    return (robots_gate(urls, rules, agent="trainingbot")
-            .select("doc_id", "domain", "path", "matched_agent",
-                    "matched_rule", "spec_len", "allowed")
-            .orderBy("doc_id"))
-
-
-register(
-    "robots_txt_gate",
-    _robots_txt_gate,
-    """
-WITH u AS (
-  SELECT doc_id, doc_id % 20 AS k,
-         'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,
-         CASE doc_id % 5
-           WHEN 0 THEN '/admin/secret'
-           WHEN 1 THEN '/admin/public/page'
-           WHEN 2 THEN '/files/report.bak'
-           WHEN 3 THEN '/blog/post'
-           ELSE '/' END AS path
-  FROM documents),
-r AS (
-  SELECT k.g AS k, '*' AS agent, FALSE AS allow, '/admin' AS pattern
-  FROM generate_series(0, 19) k(g)
-  UNION ALL
-  SELECT k.g, '*', TRUE, '/admin/public' FROM generate_series(0, 19) k(g)
-  UNION ALL
-  SELECT k.g, '*', FALSE, '/*.bak$' FROM generate_series(0, 19) k(g)
-  WHERE k.g % 2 = 0
-  UNION ALL
-  SELECT k.g, '*', FALSE, '/blog' FROM generate_series(0, 19) k(g)
-  WHERE k.g % 5 = 0
-  UNION ALL
-  SELECT k.g, '*', TRUE, '' FROM generate_series(0, 19) k(g)
-  WHERE k.g % 7 = 0
-  UNION ALL
-  SELECT k.g, 'trainingbot', FALSE, '/blog'
-  FROM generate_series(0, 19) k(g) WHERE k.g % 3 = 0
-  UNION ALL
-  SELECT k.g, 'trainingbot', TRUE, '/admin'
-  FROM generate_series(0, 19) k(g) WHERE k.g % 3 = 0),
-chosen AS (                       -- RFC group selection is exclusive
-  SELECT * FROM r
-  WHERE (agent = 'trainingbot')
-     OR (agent = '*' AND NOT EXISTS (
-           SELECT 1 FROM r s
-           WHERE s.k = r.k AND s.agent = 'trainingbot'))),
-m AS (
-  SELECT u.doc_id, u.domain, u.path, c.agent, c.allow, c.pattern,
-         LENGTH(c.pattern) AS spec_len
-  FROM u JOIN chosen c ON c.k = u.k
-  WHERE CASE WHEN c.pattern = '' THEN TRUE
-             WHEN c.pattern = '/*.bak$' THEN u.path LIKE '/%.bak'
-             ELSE starts_with(u.path, c.pattern) END),
-best AS (
-  SELECT doc_id, domain, path, agent, allow, pattern, spec_len,
-         ROW_NUMBER() OVER (
-           PARTITION BY doc_id
-           ORDER BY spec_len DESC, allow DESC, pattern DESC) AS rn
-  FROM m)
-SELECT u.doc_id, u.domain, u.path,
-       COALESCE(b.agent,
-                CASE WHEN u.k % 3 = 0 THEN 'trainingbot' ELSE '*' END)
-         AS matched_agent,
-       b.pattern AS matched_rule,
-       CAST(COALESCE(b.spec_len, -1) AS BIGINT) AS spec_len,
-       COALESCE(b.allow, TRUE) AS allowed
-FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-  ON b.doc_id = u.doc_id
-ORDER BY u.doc_id
-""",
-    doc="RFC 9309 robots.txt gate: exclusive user-agent group "
-        "selection, longest-octet most-specific match with Allow "
-        "tie-break, wildcard and end-anchor patterns translated to "
-        "regexes declaratively, default-allow for unmatched paths — "
-        "group choice, winning rule, and verdict all value-pinned.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Image near-duplicate detection via perceptual dHash — the visual
-# analogue of MinHash dedup, run by every multimodal curation pipeline
-# (re-encoded/lightly-edited images share gradient structure even when
-# bytes differ). Each document synthesizes a genuine 18x16 BMP whose
-# gray field derives from (doc_id % 200) base classes plus a per-doc
-# single-pixel tweak; the REAL path is decode (bmp_pixels) -> 2x2 box
-# sums -> 64 gradient-sign bits (dhash64) -> 4x16-bit LSH banding ->
-# band-bucket equi-join -> Hamming<=6 verify via bit_count(xor). All
-# integer, so DuckDB replays pixels, boxes, bits, bands, and distances.
-#
-# Scale shape: the pair search is BANDED like minhash_dedup_pairs —
-# never all-pairs; candidates are one equi-join on (band_idx, band_val)
-# and verification is two bit_count ops. At 100 TB the band join is the
-# only shuffle and buckets stay bounded by visual-class sizes.
-# ---------------------------------------------------------------------------
-
-def _image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.multimodal import bmp_pixels, dhash64, encode_bmp24
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                b, t = did % 200, did % 7
-                y, x = np.mgrid[0:16, 0:18]
-                g = ((b + 1) * (7 * x + 13 * y + x * y + 1)) % 256
-                if t > 0:
-                    g[t, t] = (g[t, t] + 40 * t) % 256
-                px = np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
-                payloads.append(encode_bmp24(px))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def hsh(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                g = bmp_pixels(bytes(p))[:, :, 0].astype(np.int64)
-                box = g.reshape(8, 2, 9, 2).sum(axis=(1, 3))
-                lo, hi = dhash64(box)
-                rows.append({"doc_id": int(did), "lo": lo, "hi": hi,
-                             "base": int(did) % 200})
-            yield pd.DataFrame(rows)
-
-    hashes = (src.mapInPandas(enc, "doc_id long, payload binary")
-              .mapInPandas(hsh, "doc_id long, lo long, hi long,"
-                                " base long"))
-    bands = hashes.select(
-        "doc_id", "lo", "hi", "base",
-        F.posexplode(F.array(
-            F.col("lo") % 65536, (F.col("lo") / 65536).cast("long"),
-            F.col("hi") % 65536, (F.col("hi") / 65536).cast("long")))
-        .alias("band_idx", "band_val"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                   & (F.col("a.band_val") == F.col("b.band_val"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.lo").alias("lo_a"), F.col("a.hi").alias("hi_a"),
-                    F.col("b.lo").alias("lo_b"), F.col("b.hi").alias("hi_b"),
-                    (F.col("a.base") == F.col("b.base")).alias("same_base"))
-            .distinct())
-    return (cand.withColumn(
-                "hamming",
-                (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-                 + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
-                .cast("long"))
-            .filter(F.col("hamming") <= 6)
-            .select("doc_a", "doc_b", "hamming", "same_base")
-            .orderBy("doc_a", "doc_b"))
-
-
-register(
-    "image_dhash_neardup",
-    _image_dhash_neardup,
-    """
-WITH grid AS (
-  SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
-  FROM generate_series(0, 17) a(g), generate_series(0, 15) b(g)),
-px AS (
-  SELECT d.doc_id, d.doc_id % 200 AS base, grid.x, grid.y,
-         CASE WHEN d.doc_id % 7 > 0 AND grid.y = d.doc_id % 7
-                   AND grid.x = d.doc_id % 7
-              THEN (((d.doc_id % 200 + 1) * (7 * grid.x + 13 * grid.y
-                     + grid.x * grid.y + 1)) % 256
-                    + 40 * (d.doc_id % 7)) % 256
-              ELSE ((d.doc_id % 200 + 1) * (7 * grid.x + 13 * grid.y
-                    + grid.x * grid.y + 1)) % 256 END AS v
-  FROM documents d CROSS JOIN grid),
-box AS (
-  SELECT doc_id, base, y // 2 AS by, x // 2 AS bx, SUM(v) AS s
-  FROM px GROUP BY doc_id, base, y // 2, x // 2),
-bits AS (
-  SELECT l.doc_id, l.base, l.by * 8 + l.bx AS i,
-         CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS bit
-  FROM box l JOIN box r
-    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1),
-h AS (
-  SELECT doc_id, base,
-         SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS lo,
-         SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
-                  ELSE 0 END) AS hi
-  FROM bits GROUP BY doc_id, base),
-bands AS (
-  SELECT doc_id, base, lo, hi, t.g AS band_idx,
-         CASE t.g WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
-                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
-  FROM h CROSS JOIN generate_series(0, 3) t(g)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
-         a.base = b.base AS same_base
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-   AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
-            AS BIGINT) AS hamming,
-       same_base
-FROM cand
-WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
-ORDER BY doc_a, doc_b
-""",
-    doc="Perceptual dHash image near-dup: real BMP decode -> integer "
-        "2x2 box sums -> 64 gradient-sign bits -> 4x16-bit LSH bands "
-        "-> bucket equi-join -> Hamming<=6 verify via bit_count(xor); "
-        "pixels, hashes, bands, candidates, and distances all replayed "
-        "by integer SQL. Banded like minhash — never all-pairs.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Blocklist screening via Aho-Corasick — the banned-phrase /
-# contamination-marker pass every corpus runs before training. One
-# automaton walk per document counts EVERY occurrence of every pattern
-# (overlapping 'a a' hits, 'fast' nested inside 'fast table', matches
-# crossing token boundaries) — the cases per-pattern replace() counting
-# and tokenized lookups both miss. The oracle rescans every character
-# position with substring compares, so the automaton's goto/fail/output
-# machinery is value-pinned against the naive O(n*k) definition.
-#
-# Scale shape: the blocklist is dimension data compiled driver-side and
-# captured by the Arrow closure (broadcast semantics); the scan is one
-# narrow mapInPandas pass, no shuffle before the final sort. At 100 TB
-# the automaton cost is O(text), independent of pattern count.
-# Oracle bound: the position series is capped at 4096 >> the 577-char
-# max of the synthetic documents (TESTDATA.md); the engine side has no
-# such cap.
-# ---------------------------------------------------------------------------
-
-_BLOCKLIST = ("value", "fast", "fast table", "a a",
-              "scan", "table", "le va", "row")
-
-
-def _blocklist_screen(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.text import ac_count_all, build_aho_corasick
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-    pats = _BLOCKLIST
-
-    def scan(it):
-        ac = build_aho_corasick(list(pats))
-        for pdf in it:
-            rows = []
-            for did, txt in zip(pdf["doc_id"].astype("int64"),
-                                pdf["text"]):
-                c = ac_count_all(ac, txt or "")
-                rows.append({"doc_id": int(did),
-                             **{f"n_{i}": c[i] for i in range(len(pats))},
-                             "total": sum(c),
-                             "n_patterns": sum(1 for v in c if v),
-                             "blocked": any(c)})
-            yield pd.DataFrame(rows)
-
-    cols = ", ".join(f"n_{i} long" for i in range(len(pats)))
-    return (src.mapInPandas(scan, f"doc_id long, {cols}, total long,"
-                                  " n_patterns long, blocked boolean")
-               .orderBy("doc_id"))
-
-
-register(
-    "blocklist_screen",
-    _blocklist_screen,
-    f"""
-WITH pos AS (
-  SELECT d.doc_id, d.text, i.g AS i
-  FROM documents d
-  JOIN generate_series(1, 4096) i(g) ON i.g <= LENGTH(d.text)),
-c AS (
-  SELECT doc_id,
-{chr(10).join(f"         SUM(CASE WHEN substr(text, i, {len(p)}) = '{p}'"
-              f" THEN 1 ELSE 0 END) AS n_{i},"
-              for i, p in enumerate(_BLOCKLIST))}
-         0 AS _pad
-  FROM pos GROUP BY doc_id)
-SELECT doc_id,
-{chr(10).join(f"       CAST(n_{i} AS BIGINT) AS n_{i}," for i in range(len(_BLOCKLIST)))}
-       CAST({" + ".join(f"n_{i}" for i in range(len(_BLOCKLIST)))} AS BIGINT)
-         AS total,
-       CAST({" + ".join(f"CASE WHEN n_{i} > 0 THEN 1 ELSE 0 END"
-                        for i in range(len(_BLOCKLIST)))} AS BIGINT)
-         AS n_patterns,
-       {" OR ".join(f"n_{i} > 0" for i in range(len(_BLOCKLIST)))} AS blocked
-FROM c ORDER BY doc_id
-""",
-    doc="Aho-Corasick blocklist screening: one automaton walk counts "
-        "all overlapping/nested/boundary-crossing occurrences of an "
-        "8-pattern blocklist per document; the oracle rescans every "
-        "character position with substring compares.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Randomized-response privacy audit — the classic local-DP mechanism
-# (Warner 1965): each holder of a sensitive bit reports the truth with
-# probability p = 3/4 and the flipped bit otherwise, giving plausible
-# deniability (epsilon = ln(p/(1-p)) = ln 3); the aggregator debiases
-# the noisy count as (obs - (1-p)n) / (2p-1). With p = 3/4 the
-# estimator is exactly 2*obs - n/2, so est*1000 = 2000*obs - 500*n is
-# an INTEGER — the whole mechanism, including the coin, the noisy
-# counts, and the debiased estimate, is value-pinned with zero float
-# hazard. The coin is a seeded hash of the row key (deterministic,
-# replayable — the property an auditable DP pipeline needs anyway).
-#
-# Scale shape: one scan, one map-side-combinable agg per source; the
-# coin and the flip are codegen Column arithmetic. No Python, no
-# window, no second pass.
-# ---------------------------------------------------------------------------
-
-def _dp_randomized_response(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
-    truth = (F.col("n_chars") % 3 == 0).cast("long")
-    coin = (F.col("doc_id") * 48271 + 11) % 100          # truth iff < 75
-    reported = F.when(coin < 75, truth).otherwise(1 - truth)
-    agg = (d.select("source", truth.alias("t"), reported.alias("r"))
-           .groupBy("source")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum("t").alias("true_count"),
-                F.sum("r").alias("reported_count")))
-    est_milli = 2000 * F.col("reported_count") - 500 * F.col("n")
-    return (agg.withColumn("est_milli", est_milli)
-            .withColumn("abs_err_milli",
-                        F.abs(est_milli - 1000 * F.col("true_count")))
-            .orderBy("source"))
-
-
-register(
-    "dp_randomized_response",
-    _dp_randomized_response,
-    """
-WITH d AS (
-  SELECT source,
-         CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS t,
-         CASE WHEN (doc_id * 48271 + 11) % 100 < 75
-              THEN CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END
-              ELSE CASE WHEN n_chars % 3 = 0 THEN 0 ELSE 1 END
-         END AS r
-  FROM documents),
-a AS (
-  SELECT source, COUNT(*) AS n, SUM(t) AS true_count,
-         SUM(r) AS reported_count
-  FROM d GROUP BY source)
-SELECT source, CAST(n AS BIGINT) AS n,
-       CAST(true_count AS BIGINT) AS true_count,
-       CAST(reported_count AS BIGINT) AS reported_count,
-       CAST(2000 * reported_count - 500 * n AS BIGINT) AS est_milli,
-       CAST(ABS(2000 * reported_count - 500 * n - 1000 * true_count)
-            AS BIGINT) AS abs_err_milli
-FROM a ORDER BY source
-""",
-    doc="Warner randomized response (local DP, p=3/4, eps=ln 3): "
-        "seeded deterministic coin, per-source noisy counts, and the "
-        "exact-integer debiased estimate 2*obs - n/2 published in "
-        "milli units — mechanism and estimator both value-pinned.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Unicode script-mix audit — multilingual curation needs per-document
-# script composition: lang-id disagreement, mixed-script spoofing
-# (Cyrillic 'а' inside Latin words), and CJK/Arabic segmentation
-# routing all key off it. The fixture synthesizes genuinely mixed text
-# per document (chr() runs from five non-Latin ranges appended to the
-# real Latin text, counts derived from doc_id); counting is PURE Column
-# regex over explicit codepoint ranges (identical semantics in Java
-# regex and RE2, unlike \\p{Script=...} names), so the whole audit
-# stays inside whole-stage codegen — no Python, no shuffle before the
-# final sort.
-# ---------------------------------------------------------------------------
-
-_SCRIPT_RANGES = (
-    ("latin", "[A-Za-z]"),
-    ("cyrillic", "[Ѐ-ӿ]"),
-    ("greek", "[Ͱ-Ͽ]"),
-    ("cjk", "[一-鿿]"),
-    ("arabic", "[؀-ۿ]"),
-    ("hangul", "[가-힯]"),
-)
-
-
-def _unicode_script_mix(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    did = F.col("doc_id")
-
-    def pick(base: int, span: int) -> Column:
-        # Spark's chr() is mod-256 Latin-1, so non-Latin codepoints
-        # come from a literal-array lookup — still pure codegen
-        return F.element_at(
-            F.array(*[F.lit(chr(base + i)) for i in range(span)]),
-            (did % span + 1).cast("int"))
-
-    mixed = F.concat(
-        F.substring("text", 1, 20),
-        F.repeat(pick(1040, 32), (did % 5).cast("int")),
-        F.repeat(pick(913, 24), (did % 4).cast("int")),
-        F.repeat(pick(19968, 100), (did % 3).cast("int")),
-        F.repeat(pick(1575, 10), (did % 4).cast("int")),
-        F.repeat(pick(44032, 50), (did % 2).cast("int")))
-    t = d.select("doc_id", mixed.alias("u"))
-    counts = [F.regexp_count("u", F.lit(rx)).cast("long").alias(name)
-              for name, rx in _SCRIPT_RANGES]
-    t = t.select("doc_id", F.length("u").cast("long").alias("n_chars_u"),
-                 *counts)
-    names = [n for n, _ in _SCRIPT_RANGES]
-    n_scripts = sum((F.col(n) > 0).cast("long") for n in names)
-    top = F.greatest(*[F.col(n) for n in names])
-    dominant = F.when(F.lit(False), F.lit(""))
-    for n in names:                      # first-in-order wins ties
-        dominant = dominant.when(F.col(n) == top, F.lit(n))
-    return (t.withColumn("n_scripts", n_scripts.cast("long"))
-            .withColumn("dominant", dominant)
-            .withColumn("mixed_script", n_scripts >= 3)
-            .orderBy("doc_id"))
-
-
-register(
-    "unicode_script_mix",
-    _unicode_script_mix,
-    """
-WITH t AS (
-  SELECT doc_id,
-         substr(text, 1, 20)
-         || repeat(chr(CAST(1040 + doc_id % 32 AS INT)),
-                   CAST(doc_id % 5 AS INT))
-         || repeat(chr(CAST(913 + doc_id % 24 AS INT)),
-                   CAST(doc_id % 4 AS INT))
-         || repeat(chr(CAST(19968 + doc_id % 100 AS INT)),
-                   CAST(doc_id % 3 AS INT))
-         || repeat(chr(CAST(1575 + doc_id % 10 AS INT)),
-                   CAST(doc_id % 4 AS INT))
-         || repeat(chr(CAST(44032 + doc_id % 50 AS INT)),
-                   CAST(doc_id % 2 AS INT)) AS u
-  FROM documents),
-c AS (
-  SELECT doc_id, CAST(LENGTH(u) AS BIGINT) AS n_chars_u,
-         CAST(len(regexp_extract_all(u, '[A-Za-z]')) AS BIGINT) AS latin,
-         CAST(len(regexp_extract_all(u, '[Ѐ-ӿ]')) AS BIGINT)
-           AS cyrillic,
-         CAST(len(regexp_extract_all(u, '[Ͱ-Ͽ]')) AS BIGINT)
-           AS greek,
-         CAST(len(regexp_extract_all(u, '[一-鿿]')) AS BIGINT)
-           AS cjk,
-         CAST(len(regexp_extract_all(u, '[؀-ۿ]')) AS BIGINT)
-           AS arabic,
-         CAST(len(regexp_extract_all(u, '[가-힯]')) AS BIGINT)
-           AS hangul
-  FROM t)
-SELECT doc_id, n_chars_u, latin, cyrillic, greek, cjk, arabic, hangul,
-       CAST((latin > 0)::INT + (cyrillic > 0)::INT + (greek > 0)::INT
-            + (cjk > 0)::INT + (arabic > 0)::INT + (hangul > 0)::INT
-            AS BIGINT) AS n_scripts,
-       CASE GREATEST(latin, cyrillic, greek, cjk, arabic, hangul)
-         WHEN latin THEN 'latin' WHEN cyrillic THEN 'cyrillic'
-         WHEN greek THEN 'greek' WHEN cjk THEN 'cjk'
-         WHEN arabic THEN 'arabic' ELSE 'hangul' END AS dominant,
-       (latin > 0)::INT + (cyrillic > 0)::INT + (greek > 0)::INT
-         + (cjk > 0)::INT + (arabic > 0)::INT + (hangul > 0)::INT >= 3
-         AS mixed_script
-FROM c ORDER BY doc_id
-""",
-    doc="Unicode script-mix audit over synthesized mixed-script text: "
-        "per-script codepoint-range counts (explicit ranges, engine-"
-        "portable), script cardinality, tie-ordered dominant script, "
-        "and a mixed-script spoofing flag — all codegen Column regex.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Product quantization (PQ) — the memory-bound ANN workhorse next to
-# IVF and SQ8 (embedding_quantization_audit): the 64-dim embedding is
-# split into 4 x 16-dim subspaces, each fitted with its own tiny
-# k-means codebook (k=8, 2 Lloyd rounds, id-ordered init — the same
-# exact-fold fit as the IVF coarse quantizer), and every vector is
-# encoded as 4 code bytes. Published output is the INTEGER code per
-# subspace per vector plus the per-code populations, so the entire
-# fit+encode chain is value-pinned with no float publication; the
-# oracle unrolls all four subspace fits CTE-by-CTE like the IVF/
-# SemDeDup oracles.
-#
-# Scale shape: fits collect k x subdim doubles per round from a
-# sample-sized table (memoized per sf); the encode pass is one scan
-# with 4 argmin fold expressions — no shuffle before the final sort.
-# At 100 TB the codes are what ships to the ANN serving tier (16 bytes
-# per vector instead of 256).
-# ---------------------------------------------------------------------------
-
-_PQ_FIT_CACHE: dict[tuple, list] = {}
-_PQ_M, _PQ_DIMS, _PQ_K, _PQ_ITER = 4, 16, 8, 2
-
-
-def _pq_fit(spark: SparkSession, sf: str, j: int) -> list:
-    from .operators.similarity import kmeans_fit
-    key = (sf, "pq", j)
-    if key not in _PQ_FIT_CACHE:
-        sub = (_t(spark, sf, "embeddings")
-               .select("vec_id",
-                       F.slice("embedding", j * _PQ_DIMS + 1,
-                               _PQ_DIMS).alias("embedding")))
-        _PQ_FIT_CACHE[key] = kmeans_fit(sub, n_cells=_PQ_K,
-                                        n_iter=_PQ_ITER)
-    return _PQ_FIT_CACHE[key]
-
-
-def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.similarity import assign_cells_fold
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    out = emb
-    for j in range(_PQ_M):
-        cents = _pq_fit(spark, sf, j)
-        out = (assign_cells_fold(
-                   out.withColumn("_sub", F.slice("embedding",
-                                                  j * _PQ_DIMS + 1,
-                                                  _PQ_DIMS)),
-                   cents, vec_col="_sub", cell_col=f"code{j}")
-               .drop("_sub"))
-    codes = [F.col(f"code{j}").cast("long").alias(f"code{j}")
-             for j in range(_PQ_M)]
-    return (out.select("vec_id", *codes)
-            .withColumn("packed",
-                        sum(F.col(f"code{j}") * (8 ** j)
-                            for j in range(_PQ_M)).cast("long"))
-            .orderBy("vec_id"))
-
-
-def _pq_sub_ctes(j: int) -> list[str]:
-    a = j * _PQ_DIMS + 1
-    ctes = [f"""sub{j} AS (
-  SELECT vec_id, list_transform(range({a}, {a + _PQ_DIMS}),
-                                i -> CAST(embedding[i] AS DOUBLE)) AS v
-  FROM embeddings)"""]
-    ctes.append(f"""c{j}_0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-         v AS centroid
-  FROM (SELECT vec_id, v FROM sub{j} ORDER BY vec_id LIMIT {_PQ_K}))""")
-
-    def d2(v: str, c: str) -> str:
-        return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
-                f" + {_duck_dot(c, c)}")
-
-    for i in range(_PQ_ITER + 1):
-        ctes.append(f"""a{j}_{i + 1} AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             {d2('e.v', 'c.centroid')} ASC, c.cell ASC) AS rn
-    FROM sub{j} e CROSS JOIN c{j}_{i} c) t WHERE rn = 1)""")
-        if i < _PQ_ITER:
-            ctes.append(f"""c{j}_{i + 1} AS (
-  SELECT c.cell, COALESCE(n.centroid, c.centroid) AS centroid
-  FROM c{j}_{i} c LEFT JOIN (
-    SELECT cell, list(m ORDER BY dim) AS centroid FROM (
-      SELECT cell, dim,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
-                         (x, y) -> x + y) / len(vs) AS m
-      FROM (SELECT cell, dim, list(val ORDER BY vec_id) AS vs
-            FROM (SELECT cell, vec_id, unnest(v) AS val,
-                         CAST(unnest(range(len(v))) AS INT) AS dim
-                  FROM a{j}_{i + 1})
-            GROUP BY cell, dim))
-    GROUP BY cell) n ON n.cell = c.cell)""")
-    return ctes
-
-
-def _pq_oracle() -> str:
-    ctes: list[str] = []
-    for j in range(_PQ_M):
-        ctes.extend(_pq_sub_ctes(j))
-    final = [f"a{j}_{_PQ_ITER + 1}" for j in range(_PQ_M)]
-    joins = " ".join(
-        f"JOIN {final[j]} f{j} ON f{j}.vec_id = f0.vec_id"
-        for j in range(1, _PQ_M))
-    codes = ", ".join(f"CAST(f{j}.cell AS BIGINT) AS code{j}"
-                      for j in range(_PQ_M))
-    packed = " + ".join(f"f{j}.cell * {8 ** j}" for j in range(_PQ_M))
-    return ("WITH " + ",\n".join(ctes) + f"""
-SELECT f0.vec_id, {codes}, CAST({packed} AS BIGINT) AS packed
-FROM {final[0]} f0 {joins}
-ORDER BY f0.vec_id
-""")
-
-
-register(
-    "pq_quantization_codes",
-    _pq_codes,
-    _pq_oracle(),
-    doc="Product quantization over 4x16-dim subspaces: per-subspace "
-        "k=8 Lloyd fits (id-ordered init, exact double folds, "
-        "empty-cell carry) and argmin encoding, published as integer "
-        "codes + the packed 12-bit word per vector; the oracle unrolls "
-        "all four subspace fits iteration by iteration.",
-)
-
-
-# ---------------------------------------------------------------------------
-# PQ asymmetric-distance search (ADC) — how PQ codes are actually
-# queried: per query vector, an 8-entry lookup table of exact
-# (query-subvector -> centroid) squared distances per subspace, then
-# every database vector is scored as the SUM OF 4 TABLE LOOKUPS on its
-# code word — no decode, no per-vector float math beyond 4 adds. The
-# LUT doubles are the same id-ordered exact folds as the fit, and the
-# 4-term sum has a fixed association order, so the approximate
-# distances (and therefore the ADC top-k ranking) are bit-reproducible
-# and the oracle replays them from the unrolled subspace fits.
-#
-# Scale shape: LUTs are built driver-side from the memoized fits
-# (k x m doubles per query — constant) and enter the plan as literals;
-# scoring is 4 element_at lookups + adds per row, one scan, one
-# per-query top-k. At 100 TB this is the serving-tier scan shape.
-# ---------------------------------------------------------------------------
-
-def _pyfold_dot(a, b) -> float:
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc = acc + float(x) * float(y)
-    return acc
-
-
-def _pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from .operators.similarity import assign_cells_fold
-
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    coded = emb
-    fits = []
-    for j in range(_PQ_M):
-        cents = _pq_fit(spark, sf, j)
-        fits.append(cents)
-        coded = (assign_cells_fold(
-                     coded.withColumn("_sub", F.slice("embedding",
-                                                      j * _PQ_DIMS + 1,
-                                                      _PQ_DIMS)),
-                     cents, vec_col="_sub", cell_col=f"code{j}")
-                 .drop("_sub"))
-    coded = coded.select(
-        "vec_id", *[F.col(f"code{j}") for j in range(_PQ_M)])
-
-    qrows = {int(r["vec_id"]): list(r["embedding"])
-             for r in emb.filter(F.col("vec_id")
-                                 .isin(_ANN_QUERY_IDS)).collect()}
-    parts = []
-    for qid in _ANN_QUERY_IDS:
-        qv = qrows[qid]
-        luts = []
-        for j in range(_PQ_M):
-            sub = qv[j * _PQ_DIMS:(j + 1) * _PQ_DIMS]
-            lut = []
-            for c in fits[j]:
-                dvv = _pyfold_dot(sub, sub)
-                dvc = _pyfold_dot(sub, c)
-                dcc = _pyfold_dot(c, c)
-                lut.append((dvv - 2.0 * dvc) + dcc)
-            luts.append(lut)
-        adc = sum(F.element_at(
-                      F.array(*[F.lit(v) for v in luts[j]]),
-                      (F.col(f"code{j}") + 1).cast("int"))
-                  for j in range(_PQ_M))
-        parts.append(coded
-                     .filter(F.col("vec_id") != qid)
-                     .select(F.lit(qid).cast("long").alias("query_id"),
-                             F.col("vec_id").alias("neighbor_id"),
-                             adc.alias("adc_d2")))
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionByName(p)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2").asc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 10)
-            .orderBy("query_id", "rank"))
-
-
-def _pq_adc_oracle(k: int = 10) -> str:
-    ctes: list[str] = []
-    for j in range(_PQ_M):
-        ctes.extend(_pq_sub_ctes(j))
-    ids = ", ".join(map(str, _ANN_QUERY_IDS))
-
-    def d2(v: str, c: str) -> str:
-        return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
-                f" + {_duck_dot(c, c)}")
-
-    for j in range(_PQ_M):
-        ctes.append(f"""lut{j} AS (
-  SELECT q.vec_id AS query_id, c.cell, {d2('q.v', 'c.centroid')} AS d
-  FROM (SELECT vec_id, v FROM sub{j} WHERE vec_id IN ({ids})) q
-  CROSS JOIN c{j}_{_PQ_ITER} c)""")
-    lut_joins = " ".join(
-        f"JOIN lut{j} l{j} ON l{j}.query_id = q.g"
-        f" AND l{j}.cell = f{j}.cell" for j in range(_PQ_M))
-    code_joins = " ".join(
-        f"JOIN a{j}_{_PQ_ITER + 1} f{j} ON f{j}.vec_id = f0.vec_id"
-        for j in range(1, _PQ_M))
-    adc = " + ".join(f"l{j}.d" for j in range(_PQ_M))
-    ctes.append(f"""scored AS (
-  SELECT q.g AS query_id, f0.vec_id AS neighbor_id,
-         0 + {adc} AS adc_d2
-  FROM (SELECT unnest([{ids}]) AS g) q
-  CROSS JOIN a0_{_PQ_ITER + 1} f0 {code_joins} {lut_joins}
-  WHERE f0.vec_id != q.g)""")
-    return ("WITH " + ",\n".join(ctes) + f"""
-SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id, adc_d2,
-       CAST(rn AS BIGINT) AS rank
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn FROM scored) t
-WHERE rn <= {k} ORDER BY query_id, rn
-""")
-
-
-register(
-    "pq_adc_topk",
-    _pq_adc_topk,
-    _pq_adc_oracle(),
-    doc="PQ asymmetric-distance top-10: per-query 8-entry LUTs of "
-        "exact-fold squared distances per subspace, database vectors "
-        "scored as 4 table lookups + a fixed-order sum on their code "
-        "words; approximate distances and ranking bit-replayed by the "
-        "oracle from the unrolled subspace fits.",
-)
-
-
-# ---------------------------------------------------------------------------
-# TFRecord shard roundtrip — the de-facto ML training-data container:
-# documents are grouped into genuine TFRecord shards (one real shuffle
-# keyed by shard id, like webdataset_roundtrip), each record a true
-# protobuf tf.train.Example (varint wire format with NEGATIVE int64s'
-# ten-byte encoding, packed fixed32 floats, bytes features) framed with
-# the masked-CRC32C TFRecord layout; the reader walks frames with CRC
-# verification ON and re-decodes every Example with the real
-# wire-format walker. Every published value comes from the DECODED
-# bytes and is replayed arithmetically by DuckDB; floats are chosen
-# exactly representable in float32 so the double publication is
-# hazard-free. operators/tfrecord.py holds the codec (public CRC32C
-# test vectors + hypothesis roundtrips in tests/test_tfrecord.py).
-#
-# Scale shape: one groupBy-shard shuffle + two Arrow crossings; shards
-# are independent so the layout splits across executors exactly like
-# production TFRecord pipelines expect.
-# ---------------------------------------------------------------------------
-
-def _tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.tfrecord import (decode_example, encode_example,
-                                     frame_records, read_records)
-
-    d = (_t(spark, sf, "documents").select("doc_id")
-         .withColumn("shard", (F.col("doc_id") % 32).cast("long")))
-
-    def build(key, pdf):
-        records = []
-        for did in sorted(pdf["doc_id"].astype("int64")):
-            did = int(did)
-            n = 5 + did % 4
-            toks = [(did * 7 + 3 * i) % 1000 - 400 for i in range(n)]
-            records.append(encode_example({
-                "doc_id": [did],
-                "tokens": toks,
-                "score": [(did % 512) / 256.0, (did % 7) / 4.0],
-                "text": f"doc{did}".encode()}))
-        return pd.DataFrame({"shard": [int(key[0])],
-                             "payload": [frame_records(records)]})
-
-    shards = d.groupBy("shard").applyInPandas(
-        build, "shard long, payload binary")
-
-    def unpack(it):
-        for pdf in it:
-            rows = []
-            for s, p in zip(pdf["shard"].astype("int64"), pdf["payload"]):
-                recs = read_records(bytes(p), verify=True)
-                for r in recs:
-                    ex = decode_example(r)
-                    toks = ex["tokens"]
-                    rows.append({
-                        "doc_id": ex["doc_id"][0],
-                        "shard": int(s),
-                        "shard_size": len(recs),
-                        "n_tokens": len(toks),
-                        "token_sum": sum(toks),
-                        "neg_tokens": sum(1 for t in toks if t < 0),
-                        "score0": float(ex["score"][0]),
-                        "score1": float(ex["score"][1]),
-                        "text_len": len(ex["text"]),
-                        "crc_ok": True})
-            yield pd.DataFrame(rows)
-
-    return (shards.mapInPandas(
-                unpack, "doc_id long, shard long, shard_size long,"
-                        " n_tokens long, token_sum long, neg_tokens long,"
-                        " score0 double, score1 double, text_len long,"
-                        " crc_ok boolean")
-            .orderBy("doc_id"))
-
-
-register(
-    "tfrecord_roundtrip",
-    _tfrecord_roundtrip,
-    """
-WITH d AS (
-  SELECT doc_id, doc_id % 32 AS shard, 5 + doc_id % 4 AS n
-  FROM documents),
-s AS (SELECT shard, COUNT(*) AS shard_size FROM d GROUP BY shard),
-t AS (
-  SELECT d.doc_id, d.shard, d.n,
-         (d.doc_id * 7 + 3 * i.g) % 1000 - 400 AS tok
-  FROM d JOIN generate_series(0, 8) i(g) ON i.g < d.n)
-SELECT d.doc_id, d.shard, CAST(s.shard_size AS BIGINT) AS shard_size,
-       CAST(d.n AS BIGINT) AS n_tokens,
-       CAST(SUM(t.tok) AS BIGINT) AS token_sum,
-       CAST(SUM(CASE WHEN t.tok < 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS neg_tokens,
-       CAST(d.doc_id % 512 AS DOUBLE) / 256.0 AS score0,
-       CAST(d.doc_id % 7 AS DOUBLE) / 4.0 AS score1,
-       CAST(LENGTH('doc' || CAST(d.doc_id AS VARCHAR)) AS BIGINT)
-         AS text_len,
-       TRUE AS crc_ok
-FROM d JOIN s ON s.shard = d.shard
-JOIN t ON t.doc_id = d.doc_id
-GROUP BY d.doc_id, d.shard, s.shard_size, d.n
-ORDER BY d.doc_id
-""",
-    doc="TFRecord shard roundtrip: real protobuf Example encoding "
-        "(ten-byte negative varints, packed fixed32 floats), masked-"
-        "CRC32C framing verified on read, one shard-keyed shuffle; "
-        "decoded token sums, float32-exact scores, and shard sizes "
-        "replayed arithmetically.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Avro OCF shard roundtrip — Spark's Avro module is an external jar
-# that is absent here, so the engine carries its own byte-level Object
-# Container File codec (operators/avro_ocf.py: ZIGZAG varints — the
-# spec's own examples pinned in tests — block-encoded arrays, embedded
-# JSON schema driving field order, per-block sync-marker verification).
-# Same shard shape as tfrecord_roundtrip: one groupBy-shard shuffle,
-# genuine multi-block files (block_records=8), every published value
-# read back out of the container bytes and replayed arithmetically;
-# the double score is float-exact by construction ((id%512)/256).
-# ---------------------------------------------------------------------------
-
-_AVRO_DOC_SCHEMA = {
-    "type": "record", "name": "Doc", "fields": [
-        {"name": "doc_id", "type": "long"},
-        {"name": "tokens", "type": {"type": "array", "items": "long"}},
-        {"name": "score", "type": "double"},
-        {"name": "text", "type": "string"}]}
-
-
-def _avro_container_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.avro_ocf import read_ocf, write_ocf
-
-    d = (_t(spark, sf, "documents").select("doc_id")
-         .withColumn("shard", (F.col("doc_id") % 32).cast("long")))
-
-    def build(key, pdf):
-        s = int(key[0])
-        sync = bytes((s * 31 + i * 7) % 256 for i in range(16))
-        recs = []
-        for did in sorted(pdf["doc_id"].astype("int64")):
-            did = int(did)
-            n = 5 + did % 4
-            recs.append({
-                "doc_id": did,
-                "tokens": [(did * 7 + 3 * i) % 1000 - 400
-                           for i in range(n)],
-                "score": (did % 512) / 256.0,
-                "text": f"doc{did}"})
-        return pd.DataFrame({"shard": [s],
-                             "payload": [write_ocf(_AVRO_DOC_SCHEMA,
-                                                   recs, sync,
-                                                   block_records=8)]})
-
-    shards = d.groupBy("shard").applyInPandas(
-        build, "shard long, payload binary")
-
-    def unpack(it):
-        for pdf in it:
-            rows = []
-            for s, p in zip(pdf["shard"].astype("int64"), pdf["payload"]):
-                r = read_ocf(bytes(p))
-                want = bytes((int(s) * 31 + i * 7) % 256
-                             for i in range(16))
-                for rec in r["records"]:
-                    toks = rec["tokens"]
-                    rows.append({
-                        "doc_id": rec["doc_id"],
-                        "shard": int(s),
-                        "shard_size": len(r["records"]),
-                        "n_blocks": r["n_blocks"],
-                        "n_tokens": len(toks),
-                        "token_sum": sum(toks),
-                        "score": float(rec["score"]),
-                        "text_len": len(rec["text"]),
-                        "sync_ok": r["sync"] == want})
-            yield pd.DataFrame(rows)
-
-    return (shards.mapInPandas(
-                unpack, "doc_id long, shard long, shard_size long,"
-                        " n_blocks long, n_tokens long, token_sum long,"
-                        " score double, text_len long, sync_ok boolean")
-            .orderBy("doc_id"))
-
-
-register(
-    "avro_container_roundtrip",
-    _avro_container_roundtrip,
-    """
-WITH d AS (
-  SELECT doc_id, doc_id % 32 AS shard, 5 + doc_id % 4 AS n
-  FROM documents),
-s AS (SELECT shard, COUNT(*) AS shard_size,
-             (COUNT(*) + 7) // 8 AS n_blocks
-      FROM d GROUP BY shard),
-t AS (
-  SELECT d.doc_id, (d.doc_id * 7 + 3 * i.g) % 1000 - 400 AS tok
-  FROM d JOIN generate_series(0, 8) i(g) ON i.g < d.n)
-SELECT d.doc_id, d.shard,
-       CAST(s.shard_size AS BIGINT) AS shard_size,
-       CAST(s.n_blocks AS BIGINT) AS n_blocks,
-       CAST(d.n AS BIGINT) AS n_tokens,
-       CAST(SUM(t.tok) AS BIGINT) AS token_sum,
-       CAST(d.doc_id % 512 AS DOUBLE) / 256.0 AS score,
-       CAST(LENGTH('doc' || CAST(d.doc_id AS VARCHAR)) AS BIGINT)
-         AS text_len,
-       TRUE AS sync_ok
-FROM d JOIN s ON s.shard = d.shard
-JOIN t ON t.doc_id = d.doc_id
-GROUP BY d.doc_id, d.shard, s.shard_size, s.n_blocks, d.n
-ORDER BY d.doc_id
-""",
-    doc="Avro OCF roundtrip without the avro jar: zigzag varints, "
-        "block-encoded arrays, embedded-schema-driven decode, "
-        "per-block sync verification over genuine multi-block shard "
-        "files; token sums, scores, and block counts replayed "
-        "arithmetically.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Snappy-coded Avro OCF — same container walk as
-# avro_container_roundtrip but with avro.codec=snappy: every block runs
-# through the from-scratch Snappy decoder (operators/avro_ocf.py,
-# hypothesis-tested vs the public format description) and the spec's
-# big-endian CRC32-of-uncompressed check before records decode. A
-# compression_saved column (null-codec bytes minus snappy bytes,
-# summed per shard) proves real copy-bearing streams were produced —
-# it is strictly positive for every shard because the record bodies
-# share structure. That byte delta depends on the exact encoder
-# emits, so it is deliberately NOT published; the published values are
-# the decoded-record facts the oracle can replay arithmetically plus
-# the boolean that compression actually happened.
-# ---------------------------------------------------------------------------
-
-def _avro_snappy_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.avro_ocf import read_ocf, write_ocf
-
-    d = (_t(spark, sf, "documents").select("doc_id")
-         .withColumn("shard", (F.col("doc_id") % 32).cast("long")))
-
-    def build(key, pdf):
-        s = int(key[0])
-        sync = bytes((s * 31 + i * 7) % 256 for i in range(16))
-        recs = []
-        for did in sorted(pdf["doc_id"].astype("int64")):
-            did = int(did)
-            n = 5 + did % 4
-            recs.append({
-                "doc_id": did,
-                "tokens": [(did * 7 + 3 * i) % 1000 - 400
-                           for i in range(n)],
-                "score": (did % 512) / 256.0,
-                "text": f"doc{did}"})
-        snappy = write_ocf(_AVRO_DOC_SCHEMA, recs, sync,
-                           block_records=8, codec="snappy")
-        null = write_ocf(_AVRO_DOC_SCHEMA, recs, sync, block_records=8)
-        return pd.DataFrame({"shard": [s], "payload": [snappy],
-                             "saved": [len(null) - len(snappy)]})
-
-    shards = d.groupBy("shard").applyInPandas(
-        build, "shard long, payload binary, saved long")
-
-    def unpack(it):
-        for pdf in it:
-            rows = []
-            for s, p, sv in zip(pdf["shard"].astype("int64"),
-                                pdf["payload"],
-                                pdf["saved"].astype("int64")):
-                r = read_ocf(bytes(p))
-                for rec in r["records"]:
-                    toks = rec["tokens"]
-                    rows.append({
-                        "doc_id": rec["doc_id"],
-                        "shard": int(s),
-                        "codec": r["codec"],
-                        "n_blocks": r["n_blocks"],
-                        "n_tokens": len(toks),
-                        "token_sum": sum(toks),
-                        "score": float(rec["score"]),
-                        "compressed": int(sv) > 0})
-            yield pd.DataFrame(rows)
-
-    return (shards.mapInPandas(
-                unpack, "doc_id long, shard long, codec string,"
-                        " n_blocks long, n_tokens long, token_sum long,"
-                        " score double, compressed boolean")
-            .orderBy("doc_id"))
-
-
-register(
-    "avro_snappy_roundtrip",
-    _avro_snappy_roundtrip,
-    """
-WITH d AS (
-  SELECT doc_id, doc_id % 32 AS shard, 5 + doc_id % 4 AS n
-  FROM documents),
-s AS (SELECT shard, (COUNT(*) + 7) // 8 AS n_blocks FROM d GROUP BY shard),
-t AS (
-  SELECT d.doc_id, (d.doc_id * 7 + 3 * i.g) % 1000 - 400 AS tok
-  FROM d JOIN generate_series(0, 8) i(g) ON i.g < d.n)
-SELECT d.doc_id, d.shard, 'snappy' AS codec,
-       CAST(s.n_blocks AS BIGINT) AS n_blocks,
-       CAST(d.n AS BIGINT) AS n_tokens,
-       CAST(SUM(t.tok) AS BIGINT) AS token_sum,
-       CAST(d.doc_id % 512 AS DOUBLE) / 256.0 AS score,
-       TRUE AS compressed
-FROM d JOIN s ON s.shard = d.shard
-JOIN t ON t.doc_id = d.doc_id
-GROUP BY d.doc_id, d.shard, s.n_blocks, d.n
-ORDER BY d.doc_id
-""",
-    doc="Snappy-coded Avro OCF: from-scratch Snappy block decode + "
-        "the spec's CRC32-of-uncompressed verification per block, "
-        "then the schema-driven record walk; decoded values replayed "
-        "arithmetically, with a pinned boolean that compression "
-        "genuinely shrank every shard.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Longest repeated substring per document — the per-document exact-
-# repetition primitive behind suffix-array dedup (Lee et al.,
-# "Deduplicating Training Data Makes Language Models Better"): built on
-# a REAL suffix array + Kasai LCP (operators/text.py, verified against
-# brute force by hypothesis), not the relational window join the
-# span-coverage query uses. Bounded to the 64-char document prefix so
-# the oracle can pin the same answer by counting duplicate fixed-length
-# windows at every length (1M tiny rows at sf0.01) — the engine side
-# has no such bound and runs O(n log^2 n) per document.
-#
-# Scale shape: narrow per-document Arrow work, no shuffle before the
-# final sort. Ties at the max length resolve to the lexicographically
-# smallest substring (free from suffix-array order; GROUP BY + MIN in
-# the oracle).
-# ---------------------------------------------------------------------------
-
-def _longest_repeated(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.text import longest_repeated_substring
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def scan(it):
-        for pdf in it:
-            rows = []
-            for did, txt in zip(pdf["doc_id"].astype("int64"),
-                                pdf["text"]):
-                s = (txt or "")[:64]
-                ln, w = longest_repeated_substring(s)
-                occ = (sum(1 for i in range(len(s) - ln + 1)
-                           if s[i:i + ln] == w) if ln else 0)
-                rows.append({"doc_id": int(did), "lrs_len": ln,
-                             "lrs": w, "occurrences": occ})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(scan, "doc_id long, lrs_len long,"
-                                  " lrs string, occurrences long")
-               .orderBy("doc_id"))
-
-
-register(
-    "longest_repeated_substring",
-    _longest_repeated,
-    """
-WITH p AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
-w AS (
-  SELECT p.doc_id, L.g AS L, substr(p.s, CAST(i.g AS INT),
-                                    CAST(L.g AS INT)) AS w
-  FROM p
-  JOIN generate_series(1, 63) L(g) ON L.g <= LENGTH(p.s) - 1
-  JOIN generate_series(1, 64) i(g) ON i.g + L.g - 1 <= LENGTH(p.s)),
-dup AS (
-  SELECT doc_id, L, w, COUNT(*) AS c
-  FROM w GROUP BY doc_id, L, w HAVING COUNT(*) >= 2),
-best AS (SELECT doc_id, MAX(L) AS lrs_len FROM dup GROUP BY doc_id),
-pick AS (
-  SELECT d.doc_id, b.lrs_len, d.w, d.c,
-         ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY d.w) AS rn
-  FROM dup d JOIN best b ON b.doc_id = d.doc_id AND d.L = b.lrs_len)
-SELECT p.doc_id,
-       CAST(COALESCE(k.lrs_len, 0) AS BIGINT) AS lrs_len,
-       COALESCE(k.w, '') AS lrs,
-       CAST(COALESCE(k.c, 0) AS BIGINT) AS occurrences
-FROM p LEFT JOIN (SELECT * FROM pick WHERE rn = 1) k
-  ON k.doc_id = p.doc_id
-ORDER BY p.doc_id
-""",
-    doc="Longest repeated substring via a real suffix array + Kasai "
-        "LCP per document (hypothesis-verified vs brute force); the "
-        "oracle re-derives length, lexicographically-smallest winner, "
-        "and overlap-counted occurrences by duplicate-window counting "
-        "over every length.",
-)
-
-
-# ---------------------------------------------------------------------------
-# MP4 sample-table probe — the stbl walk (stts run-length decode
-# times, stsc first-chunk-run expansion, stsz sizes, stco offsets) that
-# maps every sample to (timestamp, size, file offset) BEFORE any codec
-# touches bytes: this is how "decode every k-th frame" finds its
-# frames in a real MP4, and the part probe_mp4's clip-level metadata
-# pass doesn't cover. The walker reads each addressed sample's first
-# byte back out of the container, so the offset arithmetic is verified
-# against actual mdat content; the fixture's ftyp is constant-size, so
-# the oracle replays absolute file offsets with a running-sum window.
-# Codec decode of the samples stays behind the documented library
-# boundary — the TABLES are the Spark-side plumbing that must be real.
-# ---------------------------------------------------------------------------
-
-def _mp4_sample_table_probe(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.multimodal import (build_mp4_sample_table,
-                                       parse_mp4_samples)
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def run(it):
-        for pdf in it:
-            rows = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                n = 8 + did % 5
-                samples = [bytes([(did * 13 + i * 7) % 256])
-                           * (4 + (did + i) % 3) for i in range(n)]
-                d1 = 100 + (did % 3) * 20
-                stts = [(4, d1), (n - 4, 200)]
-                chunks = [3] * (n // 3) + ([n % 3] if n % 3 else [])
-                mp4 = build_mp4_sample_table(samples, stts, chunks)
-                r = parse_mp4_samples(mp4)
-                ss = r["samples"]
-                rows.append({
-                    "doc_id": did,
-                    "n_samples": r["n_samples"],
-                    "n_chunks": r["n_chunks"],
-                    "duration": r["duration"],
-                    "total_bytes": sum(s["size"] for s in ss),
-                    "sum_offsets": sum(s["offset"] for s in ss),
-                    "sum_dts": sum(s["dts"] for s in ss),
-                    "sum_first_bytes": sum(s["first_byte"]
-                                           for s in ss)})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(run, "doc_id long, n_samples long,"
-                                 " n_chunks long, duration long,"
-                                 " total_bytes long, sum_offsets long,"
-                                 " sum_dts long, sum_first_bytes long")
-               .orderBy("doc_id"))
-
-
-register(
-    "mp4_sample_table_probe",
-    _mp4_sample_table_probe,
-    """
-WITH p AS (
-  SELECT doc_id, 8 + doc_id % 5 AS n, 100 + (doc_id % 3) * 20 AS d1
-  FROM documents),
-s AS (
-  SELECT p.doc_id, p.n, p.d1, CAST(i.g AS BIGINT) AS i,
-         4 + (p.doc_id + i.g) % 3 AS sz,
-         (p.doc_id * 13 + i.g * 7) % 256 AS fb,
-         CASE WHEN i.g < 4 THEN i.g * p.d1
-              ELSE 4 * p.d1 + (i.g - 4) * 200 END AS dts
-  FROM p JOIN generate_series(0, 12) i(g) ON i.g < p.n),
-o AS (
-  SELECT *, 32 + SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
-            ROWS UNBOUNDED PRECEDING) - sz AS off
-  FROM s)
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST((n + 2) // 3 AS BIGINT) AS n_chunks,
-       CAST(4 * d1 + (n - 4) * 200 AS BIGINT) AS duration,
-       CAST(SUM(sz) AS BIGINT) AS total_bytes,
-       CAST(SUM(off) AS BIGINT) AS sum_offsets,
-       CAST(SUM(dts) AS BIGINT) AS sum_dts,
-       CAST(SUM(fb) AS BIGINT) AS sum_first_bytes
-FROM o GROUP BY doc_id, n, d1 ORDER BY doc_id
-""",
-    doc="MP4 stbl walk: stts run expansion to decode times, stsc "
-        "first-chunk-run expansion, stsz/stco offset resolution, each "
-        "addressed sample's first byte read back out of mdat; "
-        "timestamps, sizes, absolute offsets, and content bytes all "
-        "replayed arithmetically (running-sum window on the oracle "
-        "side only).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Zone-map pruning audit — THE 100 TB lever: a lake scan skips a file
-# whenever the predicate interval misses the file's [min, max] zone
-# map, and the ratio rows_scanned / rows_matched says how much the
-# layout amplifies each query. The manifest here is built from the
-# fact table itself (one month = one file, min/max/count of the price
-# in integer cents via an exact DECIMAL(18,2) bridge — the repo's
-# standard double->cents pattern), then a broadcast predicate table is
-# audited against it: skipped files, surviving rows, exact selectivity
-# from the base table, and the integer amplification factor. The same
-# arithmetic a table-format reader (parquet row groups, Iceberg/Delta
-# manifests) runs before any I/O happens.
-#
-# Scale shape: manifest = one grouped agg (80 rows); predicates
-# broadcast; exact counts are a second grouped agg over one scan. No
-# window, no Python.
-# ---------------------------------------------------------------------------
-
-def _manifest_prune_audit(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders").select(
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long").alias("cents"),
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
-        .cast("long").alias("file_id"))
-    manifest = (o.groupBy("file_id")
-                .agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"),
-                     F.count(F.lit(1)).alias("rows")))
-    preds = (spark.range(9).select(
-        F.col("id").cast("long").alias("pid"),
-        (F.col("id") * 7_000_000).alias("lo"),
-        (F.col("id") * 7_000_000 + 2_500_000).alias("hi")))
-    hit = ~((F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi")))
-    audited = (manifest.crossJoin(F.broadcast(preds))
-               .groupBy("pid", "lo", "hi")
-               .agg(F.count(F.lit(1)).alias("files_total"),
-                    F.sum((~hit).cast("long")).alias("files_skipped"),
-                    F.sum(F.when(hit, F.col("rows")).otherwise(0))
-                    .alias("rows_scanned")))
-    exact = (o.crossJoin(F.broadcast(preds))
-             .filter((F.col("cents") >= F.col("lo"))
-                     & (F.col("cents") <= F.col("hi")))
-             .groupBy("pid").agg(F.count(F.lit(1)).alias("exact_rows")))
-    return (audited.join(exact, "pid", "left")
-            .withColumn("exact_rows",
-                        F.coalesce(F.col("exact_rows"), F.lit(0)))
-            # integer `div`, not double `/` + cast: floor semantics
-            # must match the oracle's `//` bit-for-bit
-            .withColumn("amp_milli",
-                        F.expr("(rows_scanned * 1000)"
-                               " div greatest(exact_rows, 1)"))
-            .select("pid", "lo", "hi", "files_total", "files_skipped",
-                    "rows_scanned", "exact_rows", "amp_milli")
-            .orderBy("pid"))
-
-
-register(
-    "manifest_prune_audit",
-    _manifest_prune_audit,
-    """
-WITH o AS (
-  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-           AS cents,
-         CAST(EXTRACT(year FROM o_orderdate) * 12
-              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS file_id
-  FROM orders),
-m AS (
-  SELECT file_id, MIN(cents) AS mn, MAX(cents) AS mx,
-         COUNT(*) AS rows FROM o GROUP BY file_id),
-p AS (
-  SELECT CAST(g AS BIGINT) AS pid,
-         CAST(g * 7000000 AS BIGINT) AS lo,
-         CAST(g * 7000000 + 2500000 AS BIGINT) AS hi
-  FROM generate_series(0, 8) t(g)),
-a AS (
-  SELECT p.pid, p.lo, p.hi,
-         COUNT(*) AS files_total,
-         SUM(CASE WHEN m.mx < p.lo OR m.mn > p.hi THEN 1 ELSE 0 END)
-           AS files_skipped,
-         SUM(CASE WHEN m.mx < p.lo OR m.mn > p.hi THEN 0 ELSE m.rows END)
-           AS rows_scanned
-  FROM m CROSS JOIN p GROUP BY p.pid, p.lo, p.hi),
-e AS (
-  SELECT p.pid, COUNT(*) AS exact_rows
-  FROM o JOIN p ON o.cents BETWEEN p.lo AND p.hi
-  GROUP BY p.pid)
-SELECT a.pid, a.lo, a.hi,
-       CAST(a.files_total AS BIGINT) AS files_total,
-       CAST(a.files_skipped AS BIGINT) AS files_skipped,
-       CAST(a.rows_scanned AS BIGINT) AS rows_scanned,
-       CAST(COALESCE(e.exact_rows, 0) AS BIGINT) AS exact_rows,
-       CAST(a.rows_scanned * 1000 // GREATEST(COALESCE(e.exact_rows, 0), 1)
-            AS BIGINT) AS amp_milli
-FROM a LEFT JOIN e ON e.pid = a.pid
-ORDER BY a.pid
-""",
-    doc="Zone-map pruning audit: month-file manifest (min/max/count in "
-        "exact integer cents), broadcast predicate table, skip/scan "
-        "accounting, exact selectivity from the base table, and the "
-        "integer scan-amplification factor — the pre-I/O math of "
-        "parquet row groups and lakehouse manifests.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Confusable-skeleton audit (UTS #39 subset) — the homoglyph-spoofing
-# companion to unicode_script_mix: Cyrillic 'а' inside Latin words
-# defeats exact dedup, blocklists, and URL matching unless text is
-# first mapped to its confusable skeleton. The map here is a
-# documented 12-pair subset of Unicode confusables.txt (public data;
-# same expression shape extends to the full table), applied with
-# translate() so the whole audit is codegen Column work on both
-# engines. The fixture injects real homoglyphs per doc_id class and
-# the oracle replays injection, counting, and skeleton equality.
-# ---------------------------------------------------------------------------
-
-#: (confusable, ascii) pairs — subset of Unicode confusables.txt:
-#: Cyrillic а е о с р х і ѕ ј у + Greek ο ν.
-_CONFUSABLES = "аеосрхіѕјуον"
-_CONF_ASCII = "aeocpxisjyov"
-
-
-def _confusable_skeleton(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    base = F.substring("text", 1, 16)
-    kind = (F.col("doc_id") % 4).cast("long")
-    # kind 1: Cyrillic а for a; kind 2: Cyrillic е/о; kind 3: Greek
-    # omicron + Cyrillic с (mixed-script injection). The published
-    # columns (counts + skeleton equality) are identical whichever
-    # homoglyph of the same letter is injected — both map to ASCII.
-    spoofed = (F.when(kind == 1, F.translate(base, "a", "а"))
-               .when(kind == 2, F.translate(base, "eo", "ео"))
-               .when(kind == 3, F.translate(base, "oc", "ο" + "с"))
-               .otherwise(base))
-    t = d.select("doc_id", kind.alias("spoof_kind"), base.alias("base"),
-                 spoofed.alias("spoofed"))
-    skeleton = F.translate(F.col("spoofed"), _CONFUSABLES, _CONF_ASCII)
-    n_conf = (F.length("spoofed")
-              - F.length(F.translate(F.col("spoofed"), _CONFUSABLES, "")))
-    return (t.withColumn("n_confusables", n_conf.cast("long"))
-            .withColumn("skeleton_eq_base", skeleton == F.col("base"))
-            .withColumn("changed", F.col("spoofed") != F.col("base"))
-            .select("doc_id", "spoof_kind", "n_confusables",
-                    "skeleton_eq_base", "changed")
-            .orderBy("doc_id"))
-
-
-register(
-    "confusable_skeleton",
-    _confusable_skeleton,
-    """
-WITH t AS (
-  SELECT doc_id, doc_id % 4 AS spoof_kind,
-         substr(text, 1, 16) AS base,
-         CASE doc_id % 4
-           WHEN 1 THEN translate(substr(text, 1, 16), 'a', 'а')
-           WHEN 2 THEN translate(substr(text, 1, 16), 'eo', 'ео')
-           WHEN 3 THEN translate(substr(text, 1, 16), 'oc', 'ос')
-           ELSE substr(text, 1, 16) END AS spoofed
-  FROM documents)
-SELECT doc_id, CAST(spoof_kind AS BIGINT) AS spoof_kind,
-       CAST(LENGTH(spoofed)
-            - LENGTH(translate(spoofed, 'аеосрхіѕјуον', ''))
-            AS BIGINT) AS n_confusables,
-       translate(spoofed, 'аеосрхіѕјуον', 'aeocpxisjyov') = base
-         AS skeleton_eq_base,
-       spoofed != base AS changed
-FROM t ORDER BY doc_id
-""",
-    doc="UTS #39 confusable skeleton: homoglyphs injected per doc_id "
-        "class, confusable counting and skeleton-vs-original equality "
-        "via translate() — all codegen, engine-portable; the 12-pair "
-        "map is a documented subset of the public confusables table.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Arrow IPC (Feather v2) roundtrip — the zero-copy interchange format
-# between the JVM engine and the Python/ML side of a training pipeline
-# (dataloaders, feature stores, pandas/polars consumers). Spark has no
-# native IPC-file source, so the seam is honest engine work: each
-# partition is written as a genuine Arrow IPC stream file via
-# mapInPandas (pyarrow, already the engine's Arrow bridge), then a
-# second pass re-opens every file with the IPC reader and re-derives
-# the values — the same two-crossing shard shape as the tar/TFRecord/
-# Avro seams, one shuffle keyed by shard id.
-# ---------------------------------------------------------------------------
-
-def _arrow_ipc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tf
-
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.ipc as ipc
-
-    out = _tf.mkdtemp(prefix="arrow_ipc_rt_")
-    d = (_t(spark, sf, "documents")
-         .select("doc_id", "text", "lang", "source")
-         .withColumn("shard", (F.col("doc_id") % 16).cast("long")))
-
-    def write_shards(key, pdf):
-        s = int(key[0])
-        path = _os.path.join(out, f"shard-{s:05d}.arrow")
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        table = pa.Table.from_pandas(pdf[["doc_id", "text", "lang",
-                                          "source"]],
-                                     preserve_index=False)
-        with ipc.new_file(path, table.schema) as w:
-            # several record batches per file so the reader's batch
-            # walk is real, not a single-batch special case
-            for lo in range(0, table.num_rows, 8):
-                w.write_batch(table.slice(lo, 8).combine_chunks()
-                              .to_batches()[0])
-        return pd.DataFrame({"shard": [s], "path": [path],
-                             "n_rows": [table.num_rows]})
-
-    shards = d.groupBy("shard").applyInPandas(
-        write_shards, "shard long, path string, n_rows long")
-
-    def read_back(it):
-        for pdf in it:
-            for s, path, n in zip(pdf["shard"].astype("int64"),
-                                  pdf["path"],
-                                  pdf["n_rows"].astype("int64")):
-                with ipc.open_file(path) as r:
-                    nb = r.num_record_batches
-                    t = r.read_all()
-                tp = t.to_pandas()
-                tp["shard"] = int(s)
-                tp["n_batches"] = nb
-                tp["shard_rows"] = int(n)
-                yield tp
-
-    back = shards.mapInPandas(
-        read_back, "doc_id long, text string, lang string,"
-                   " source string, shard long, n_batches long,"
-                   " shard_rows long")
-    return (back.select("doc_id", "lang", "source", "shard",
-                        "n_batches", "shard_rows",
-                        F.length("text").cast("long").alias("n_chars_rt"),
-                        F.md5(F.col("text")).alias("text_md5"))
-            .orderBy("doc_id"))
-
-
-register(
-    "arrow_ipc_roundtrip",
-    _arrow_ipc_roundtrip,
-    """
-WITH d AS (SELECT doc_id, text, lang, source, doc_id % 16 AS shard
-           FROM documents),
-s AS (SELECT shard, COUNT(*) AS shard_rows,
-             (COUNT(*) + 7) // 8 AS n_batches
-      FROM d GROUP BY shard)
-SELECT d.doc_id, d.lang, d.source, d.shard,
-       CAST(s.n_batches AS BIGINT) AS n_batches,
-       CAST(s.shard_rows AS BIGINT) AS shard_rows,
-       CAST(length(d.text) AS BIGINT) AS n_chars_rt,
-       md5(d.text) AS text_md5
-FROM d JOIN s ON s.shard = d.shard
-ORDER BY d.doc_id
-""",
-    doc="Arrow IPC (Feather v2) shard roundtrip: genuine multi-batch "
-        "IPC files written per shard and re-read with the IPC file "
-        "reader; ids, strings, md5s, batch counts, and shard sizes "
-        "all value-pinned — the ML-side interchange seam.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Palette (indexed) PNG roundtrip — color type 3, the favicon/sprite
-# shape next to the truecolor and Adam7 paths already pinned: PLTE
-# lookup after de-filtering at bpp=1 (the Sub/Paeth left-neighbor
-# distance CHANGES for indexed scanlines — a classic decoder bug this
-# oracle would catch), odd ids interlaced so the palette x Adam7
-# combination is inside the hash. Same fixture arithmetic as the GIF
-# roundtrip, so the oracle is shared shape: palette/index sums plus
-# position-weighted moments.
-# ---------------------------------------------------------------------------
-
-def _png_palette_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.multimodal import decode_png, encode_png_palette
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                y, x = np.mgrid[0:16, 0:16]
-                idx = ((did + 2 * x + 3 * y) % 16).astype(np.uint8)
-                i = np.arange(16)
-                pal = np.stack([(did * 5 + 17 * i) % 256,
-                                (did * 7 + 29 * i) % 256,
-                                (did * 11 + 41 * i) % 256],
-                               axis=-1).astype(np.uint8)
-                payloads.append(encode_png_palette(
-                    idx, pal, interlace=(did % 2 == 1)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_png(bytes(p))
-                rgb = r["rgb"].astype("int64")
-                y, x = np.mgrid[0:16, 0:16]
-                wgt = 1 + x + 16 * y
-                rows.append({
-                    "doc_id": int(did),
-                    "interlaced": bool(r["interlaced"]),
-                    "palette_size": r["palette_size"],
-                    "bits_per_pixel": r["bits_per_pixel"],
-                    "moment_r": int((wgt * rgb[:, :, 0]).sum()),
-                    "moment_g": int((wgt * rgb[:, :, 1]).sum()),
-                    "moment_b": int((wgt * rgb[:, :, 2]).sum())})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, interlaced boolean,"
-                                 " palette_size long,"
-                                 " bits_per_pixel long, moment_r long,"
-                                 " moment_g long, moment_b long")
-               .orderBy("doc_id"))
-
-
-register(
-    "png_palette_roundtrip",
-    _png_palette_roundtrip,
-    """
-WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
-           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
-px AS (
-  SELECT d.doc_id, g.x, g.y,
-         (d.doc_id + 2 * g.x + 3 * g.y) % 16 AS i
-  FROM documents d CROSS JOIN g)
-SELECT doc_id,
-       doc_id % 2 = 1 AS interlaced,
-       CAST(16 AS BIGINT) AS palette_size,
-       CAST(8 AS BIGINT) AS bits_per_pixel,
-       CAST(SUM((1 + x + 16 * y) * ((doc_id * 5 + 17 * i) % 256))
-            AS BIGINT) AS moment_r,
-       CAST(SUM((1 + x + 16 * y) * ((doc_id * 7 + 29 * i) % 256))
-            AS BIGINT) AS moment_g,
-       CAST(SUM((1 + x + 16 * y) * ((doc_id * 11 + 41 * i) % 256))
-            AS BIGINT) AS moment_b
-FROM px GROUP BY doc_id ORDER BY doc_id
-""",
-    doc="Palette PNG (color type 3) roundtrip: PLTE lookup after "
-        "bpp=1 de-filtering, odd ids Adam7-interlaced; palette/index "
-        "arithmetic and position-weighted moments replayed by SQL.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Multi-page TIFF roundtrip — the scanned-document/fax layout: one IFD
-# per page chained by next-pointers (loop-guarded), each page with its
-# own strips/compression. Page content is weighted into the moments by
-# page ordinal so a page-order or chain-walk bug cannot hide in sums.
-# ---------------------------------------------------------------------------
-
-def _tiff_multipage_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.multimodal import (decode_tiff_pages,
-                                       encode_tiff_multipage)
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                y, x = np.mgrid[0:16, 0:16]
-                pages = [((did + 5 * p + 2 * x + 3 * y) % 256)
-                         .astype(np.uint8)
-                         for p in range(2 + did % 2)]
-                payloads.append(encode_tiff_multipage(
-                    pages, compression=5 if did % 2 == 0 else 1,
-                    big_endian=(did % 3 == 0)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                ps = decode_tiff_pages(bytes(p))
-                tot = mom = 0
-                mn, mx = 255, 0
-                for pi, pg in enumerate(ps):
-                    px = pg["pixels"].astype("int64")
-                    tot += int(px.sum())
-                    mom += (pi + 1) * int(px.sum())
-                    mn = min(mn, int(px.min()))
-                    mx = max(mx, int(px.max()))
-                rows.append({"doc_id": int(did), "n_pages": len(ps),
-                             "big_endian": ps[0]["byte_order"] == "big",
-                             "compression": ps[0]["compression"],
-                             "pix_sum": tot, "page_moment": mom,
-                             "pix_min": mn, "pix_max": mx})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, n_pages long,"
-                                 " big_endian boolean, compression long,"
-                                 " pix_sum long, page_moment long,"
-                                 " pix_min long, pix_max long")
-               .orderBy("doc_id"))
-
-
-register(
-    "tiff_multipage_roundtrip",
-    _tiff_multipage_roundtrip,
-    """
-WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
-           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
-d AS (SELECT doc_id, 2 + doc_id % 2 AS n FROM documents),
-px AS (
-  SELECT d.doc_id, d.n, p.g AS p,
-         (d.doc_id + 5 * p.g + 2 * g.x + 3 * g.y) % 256 AS v
-  FROM d JOIN generate_series(0, 2) p(g) ON p.g < d.n
-  CROSS JOIN g)
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_pages,
-       doc_id % 3 = 0 AS big_endian,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 1 END AS BIGINT)
-         AS compression,
-       CAST(SUM(v) AS BIGINT) AS pix_sum,
-       CAST(SUM((p + 1) * v) AS BIGINT) AS page_moment,
-       CAST(MIN(v) AS BIGINT) AS pix_min,
-       CAST(MAX(v) AS BIGINT) AS pix_max
-FROM px GROUP BY doc_id, n ORDER BY doc_id
-""",
-    doc="Multi-page TIFF roundtrip: chained IFDs decoded page by page "
-        "(loop-guarded next pointers, per-page strips/LZW/predictor), "
-        "page-ordinal-weighted moments so chain-order bugs cannot "
-        "cancel in sums.",
-)
-
-
-# ---------------------------------------------------------------------------
-# WebM/Matroska block probe — the EBML container walk (RFC 8794 vints,
-# Segment/Info/Tracks/Cluster tree, SimpleBlock track vint + SIGNED
-# 16-bit relative timestamps + keyframe flags) that a frame sampler
-# runs to resolve absolute block timestamps before any VP9 bytes are
-# touched. Completes the container trio next to AVI (RIFF) and MP4
-# (ISO-BMFF). Fixture: genuine multi-cluster streams with negative
-# relative timestamps in the hash; the oracle replays cluster-base
-# + relative arithmetic, keyframe counts, and payload byte sums.
-# ---------------------------------------------------------------------------
-
-def _webm_block_probe(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.multimodal import encode_webm_blocks, parse_webm
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def run(it):
-        for pdf in it:
-            rows = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                nc = 2 + did % 2
-                clusters = []
-                for c in range(nc):
-                    nb = 2 + (did + c) % 2
-                    blocks = []
-                    for b in range(nb):
-                        rel = 40 * b + (did % 7) - 3
-                        payload = bytes([(did * 13 + 5 * c + 7 * b)
-                                         % 256]) * (3 + b)
-                        blocks.append((rel, b == 0, payload))
-                    clusters.append((500 * c, blocks))
-                w = encode_webm_blocks(clusters,
-                                       duration_ts=500 * nc)
-                r = parse_webm(w)
-                bl = r["blocks"]
-                rows.append({
-                    "doc_id": did,
-                    "n_clusters": r["n_clusters"],
-                    "n_blocks": len(bl),
-                    "keyframes": sum(1 for x in bl if x["key"]),
-                    "ts_sum": sum(x["abs_ts"] for x in bl),
-                    "payload_bytes": sum(x["size"] for x in bl),
-                    "first_byte_sum": sum(x["first_byte"] for x in bl),
-                    "timestamp_scale": r["timestamp_scale"]})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(run, "doc_id long, n_clusters long,"
-                                 " n_blocks long, keyframes long,"
-                                 " ts_sum long, payload_bytes long,"
-                                 " first_byte_sum long,"
-                                 " timestamp_scale long")
-               .orderBy("doc_id"))
-
-
-register(
-    "webm_block_probe",
-    _webm_block_probe,
-    """
-WITH d AS (SELECT doc_id, 2 + doc_id % 2 AS nc FROM documents),
-cb AS (
-  SELECT d.doc_id, d.nc, c.g AS c, 2 + (d.doc_id + c.g) % 2 AS nb
-  FROM d JOIN generate_series(0, 2) c(g) ON c.g < d.nc),
-b AS (
-  SELECT cb.doc_id, cb.nc, cb.c, CAST(i.g AS BIGINT) AS b
-  FROM cb JOIN generate_series(0, 2) i(g) ON i.g < cb.nb)
-SELECT doc_id,
-       CAST(nc AS BIGINT) AS n_clusters,
-       CAST(COUNT(*) AS BIGINT) AS n_blocks,
-       CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS keyframes,
-       CAST(SUM(500 * c + 40 * b + doc_id % 7 - 3) AS BIGINT) AS ts_sum,
-       CAST(SUM(3 + b) AS BIGINT) AS payload_bytes,
-       CAST(SUM((doc_id * 13 + 5 * c + 7 * b) % 256) AS BIGINT)
-         AS first_byte_sum,
-       CAST(1000000 AS BIGINT) AS timestamp_scale
-FROM b GROUP BY doc_id, nc ORDER BY doc_id
-""",
-    doc="EBML/WebM block probe: real vint walk, Info/Tracks parse, "
-        "per-cluster SimpleBlock resolution with signed relative "
-        "timestamps and keyframe flags; absolute-timestamp sums, "
-        "payload bytes, and keyframe counts replayed arithmetically.",
-)
-
-
-# ---------------------------------------------------------------------------
-# H.264 SPS probe — the resolution/profile gate a video curation
-# pipeline runs on every clip: Annex-B start-code walk (3- and 4-byte),
-# emulation-prevention unescape, NAL census, and the exp-Golomb SPS
-# parse that derives TRUE presentation dimensions from macroblock
-# counts minus frame cropping (1080 lives in 68 macroblocks with a
-# 4-unit bottom crop — the arithmetic this oracle pins). Slice decode
-# stays behind the documented codec-library boundary.
-# ---------------------------------------------------------------------------
-
-def _h264_sps_probe(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.multimodal import encode_h264_annexb, parse_h264_annexb
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-    dims = [(1920, 1080), (1280, 720), (640, 360), (354, 288),
-            (1918, 1078)]
-
-    def run(it):
-        for pdf in it:
-            rows = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                w, h = dims[did % 5]
-                n_idr, n_non = 1 + did % 3, 2 + did % 4
-                s = encode_h264_annexb(w, h, n_idr=n_idr,
-                                       n_nonidr=n_non,
-                                       profile=66 + (did % 2) * 11,
-                                       level=30 + (did % 3) * 10)
-                r = parse_h264_annexb(s)
-                rows.append({
-                    "doc_id": did,
-                    "width": r["width"], "height": r["height"],
-                    "profile_idc": r["profile_idc"],
-                    "level_idc": r["level_idc"],
-                    "n_nals": r["n_nals"],
-                    "idr_nals": r["nal_census"].get(5, 0),
-                    "nonidr_nals": r["nal_census"].get(1, 0),
-                    "hd_gate": r["width"] * r["height"] >= 1280 * 720})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(run, "doc_id long, width long, height long,"
-                                 " profile_idc long, level_idc long,"
-                                 " n_nals long, idr_nals long,"
-                                 " nonidr_nals long, hd_gate boolean")
-               .orderBy("doc_id"))
-
-
-register(
-    "h264_sps_probe",
-    _h264_sps_probe,
-    """
-WITH d AS (
-  SELECT doc_id,
-         CASE doc_id % 5 WHEN 0 THEN 1920 WHEN 1 THEN 1280
-              WHEN 2 THEN 640 WHEN 3 THEN 354 ELSE 1918 END AS w,
-         CASE doc_id % 5 WHEN 0 THEN 1080 WHEN 1 THEN 720
-              WHEN 2 THEN 360 WHEN 3 THEN 288 ELSE 1078 END AS h,
-         1 + doc_id % 3 AS n_idr, 2 + doc_id % 4 AS n_non
-  FROM documents)
-SELECT doc_id,
-       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-       CAST(66 + (doc_id % 2) * 11 AS BIGINT) AS profile_idc,
-       CAST(30 + (doc_id % 3) * 10 AS BIGINT) AS level_idc,
-       CAST(3 + n_idr + n_non AS BIGINT) AS n_nals,
-       CAST(n_idr AS BIGINT) AS idr_nals,
-       CAST(n_non AS BIGINT) AS nonidr_nals,
-       w * h >= 921600 AS hd_gate
-FROM d ORDER BY doc_id
-""",
-    doc="H.264 Annex-B/SPS probe: start-code walk, emulation-"
-        "prevention unescape, NAL census, exp-Golomb SPS parse "
-        "deriving true dimensions from macroblock counts minus "
-        "cropping; profile/level and the HD resolution gate pinned "
-        "arithmetically.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Crawl-politeness token bucket — the rate-limit math a polite crawler
-# runs per domain before fetching (pairs with robots_txt_gate): a
-# bucket of 2000 millitokens refilling 1/ms, each request costing
-# 1000, deterministic sequential state over the domain's arrival
-# sequence. The engine runs the real per-domain state machine behind
-# applyInPandas (one shuffle keyed by domain — state never crosses
-# domains, which is exactly why this scales); the oracle replays every
-# transition with a recursive CTE, ADPCM-style. Arrivals derive from
-# doc_id with varying (always-positive) gaps so both refill-capped and
-# token-starved regimes are inside the hash.
-# ---------------------------------------------------------------------------
-
-def _crawl_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    d = (_t(spark, sf, "documents").select("doc_id")
-         .withColumn("domain", (F.col("doc_id") % 20).cast("long"))
-         .withColumn("q", (F.col("doc_id") / 20).cast("long"))
-         .withColumn("arrival_ms",
-                     (F.col("q") * 400
-                      + (F.col("q") * 37 + F.col("domain") * 11) % 390)
-                     .cast("long")))
-
-    def bucket(key, pdf):
-        pdf = pdf.sort_values("arrival_ms").reset_index(drop=True)
-        cap, cost = 2000, 1000
-        tokens, prev_t = cap, None
-        rows = []
-        for r in pdf.itertuples():
-            t = int(r.arrival_ms)
-            if prev_t is not None:
-                tokens = min(cap, tokens + (t - prev_t))
-            prev_t = t
-            allowed = tokens >= cost
-            if allowed:
-                tokens -= cost
-            rows.append({"doc_id": int(r.doc_id),
-                         "domain": int(key[0]),
-                         "arrival_ms": t,
-                         "allowed": allowed,
-                         "tokens_after": tokens})
-        return pd.DataFrame(rows)
-
-    return (d.groupBy("domain").applyInPandas(
-                bucket, "doc_id long, domain long, arrival_ms long,"
-                        " allowed boolean, tokens_after long")
-            .orderBy("doc_id"))
-
-
-register(
-    "crawl_token_bucket",
-    _crawl_token_bucket,
-    """
-WITH RECURSIVE
-d AS (
-  SELECT doc_id, doc_id % 20 AS domain, doc_id // 20 AS q,
-         (doc_id // 20) * 400
-           + ((doc_id // 20) * 37 + (doc_id % 20) * 11) % 390
-           AS arrival_ms
-  FROM documents),
-n AS (SELECT domain, MAX(q) AS qmax FROM d GROUP BY domain),
-r AS (
-  SELECT d.doc_id, d.domain, CAST(d.q AS BIGINT) AS q, d.arrival_ms,
-         TRUE AS allowed, CAST(1000 AS BIGINT) AS tokens_after
-  FROM d WHERE d.q = 0
-  UNION ALL
-  SELECT d.doc_id, d.domain, d.q, d.arrival_ms,
-         LEAST(2000, r.tokens_after
-               + d.arrival_ms - r.arrival_ms) >= 1000 AS allowed,
-         CASE WHEN LEAST(2000, r.tokens_after
-                         + d.arrival_ms - r.arrival_ms) >= 1000
-              THEN LEAST(2000, r.tokens_after
-                         + d.arrival_ms - r.arrival_ms) - 1000
-              ELSE LEAST(2000, r.tokens_after
-                         + d.arrival_ms - r.arrival_ms) END
-           AS tokens_after
-  FROM r JOIN d ON d.domain = r.domain AND d.q = r.q + 1)
-SELECT doc_id, domain, arrival_ms, allowed,
-       CAST(tokens_after AS BIGINT) AS tokens_after
-FROM r ORDER BY doc_id
-""",
-    doc="Per-domain token-bucket rate limiting (2000 millitokens, "
-        "1/ms refill, 1000/request): real sequential state machine "
-        "behind one domain-keyed shuffle, every transition replayed "
-        "by a recursive-CTE oracle — the crawl-politeness scheduler "
-        "next to the robots gate.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Preference-tournament cycle audit — RLHF preference data is only
-# trainable if the pairwise judgments are roughly transitive; the
-# standard integrity number is the count of CYCLIC TRIADS, exact by
-# Kendall's identity: cyclic = C(n,3) - sum_i C(wins_i, 2) for a
-# complete tournament. Judgments derive from arithmetic per eval
-# slice, wins are one hash aggregate, and the triad algebra is integer
-# — fully codegen, no Python.
-# ---------------------------------------------------------------------------
-
-_PREF_MODELS = 10
-
-
-def _preference_cycle_audit(spark: SparkSession, sf: str) -> DataFrame:
-    m = _PREF_MODELS
-    pairs = (spark.range(5).select(F.col("id").cast("long").alias("g"))
-             .crossJoin(spark.range(m).select(
-                 F.col("id").cast("long").alias("i")))
-             .crossJoin(spark.range(m).select(
-                 F.col("id").cast("long").alias("j")))
-             .filter(F.col("i") < F.col("j")))
-    winner = F.when((F.col("i") * 7 + F.col("j") * 13 + F.col("g") * 3)
-                    % 5 < 3, F.col("i")).otherwise(F.col("j"))
-    wins = (pairs.select("g", winner.alias("w"))
-            .groupBy("g", "w").agg(F.count(F.lit(1)).alias("wins")))
-    agg = (wins.groupBy("g")
-           .agg(F.sum(F.col("wins") * (F.col("wins") - 1) / 2)
-                .cast("long").alias("sum_c2"),
-                F.max("wins").alias("max_wins")))
-    total_triads = m * (m - 1) * (m - 2) // 6
-    return (agg.withColumn("n_pairs", F.lit(m * (m - 1) // 2)
-                           .cast("long"))
-            .withColumn("cyclic_triads",
-                        F.lit(total_triads) - F.col("sum_c2"))
-            .withColumn("transitive", F.col("cyclic_triads") == 0)
-            .select("g", "n_pairs", "max_wins", "cyclic_triads",
-                    "transitive")
-            .orderBy("g"))
-
-
-register(
-    "preference_cycle_audit",
-    _preference_cycle_audit,
-    f"""
-WITH p AS (
-  SELECT g.g AS g, i.g AS i, j.g AS j,
-         CASE WHEN (i.g * 7 + j.g * 13 + g.g * 3) % 5 < 3
-              THEN i.g ELSE j.g END AS w
-  FROM generate_series(0, 4) g(g)
-  CROSS JOIN generate_series(0, {_PREF_MODELS - 1}) i(g)
-  CROSS JOIN generate_series(0, {_PREF_MODELS - 1}) j(g)
-  WHERE i.g < j.g),
-wins AS (SELECT g, w, COUNT(*) AS wins FROM p GROUP BY g, w)
-SELECT CAST(g AS BIGINT) AS g,
-       CAST({_PREF_MODELS * (_PREF_MODELS - 1) // 2} AS BIGINT)
-         AS n_pairs,
-       CAST(MAX(wins) AS BIGINT) AS max_wins,
-       CAST({_PREF_MODELS * (_PREF_MODELS - 1) * (_PREF_MODELS - 2) // 6}
-            - SUM(wins * (wins - 1) // 2) AS BIGINT) AS cyclic_triads,
-       {_PREF_MODELS * (_PREF_MODELS - 1) * (_PREF_MODELS - 2) // 6}
-         - SUM(wins * (wins - 1) // 2) = 0 AS transitive
-FROM wins GROUP BY g ORDER BY g
-""",
-    doc="Pairwise-preference transitivity audit: cyclic-triad counts "
-        "per eval slice via Kendall's exact identity C(n,3) - sum "
-        "C(wins,2) over a complete tournament — one hash aggregate, "
-        "all integer.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Inter-annotator agreement (Cohen's kappa) — label-quality triage for
-# annotation pipelines, published EXACTLY: kappa = (po - pe)/(1 - pe)
-# cross-multiplies to the integer form 1000*(n*agree - S) div
-# (n*n - S) with S = sum_k row_k * col_k, so both engines compute the
-# identical BIGINT with zero float hazard. Annotator labels derive
-# from document arithmetic with a seeded disagreement channel.
-# ---------------------------------------------------------------------------
-
-def _annotator_kappa(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
-    a = (F.col("doc_id") * 3 + F.col("n_chars")) % 4
-    b = (F.col("doc_id") * 3 + F.col("n_chars")
-         + (F.col("doc_id") % 7 == 0).cast("long")) % 4
-    t = d.select("source", a.alias("a"), b.alias("b"))
-    margins = (t.groupBy("source")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.sum((F.col("a") == F.col("b")).cast("long"))
-                    .alias("agree"),
-                    *[F.sum((F.col("a") == k).cast("long"))
-                      .alias(f"ra{k}") for k in range(4)],
-                    *[F.sum((F.col("b") == k).cast("long"))
-                      .alias(f"cb{k}") for k in range(4)]))
-    s_expr = sum(F.col(f"ra{k}") * F.col(f"cb{k}") for k in range(4))
-    return (margins.withColumn("chance_mass", s_expr.cast("long"))
-            .withColumn("kappa_milli",
-                        F.expr("(1000 * (n * agree - chance_mass))"
-                               " div (n * n - chance_mass)"))
-            .select("source", "n", "agree", "chance_mass", "kappa_milli")
-            .orderBy("source"))
-
-
-register(
-    "annotator_kappa",
-    _annotator_kappa,
-    """
-WITH t AS (
-  SELECT source,
-         (doc_id * 3 + n_chars) % 4 AS a,
-         (doc_id * 3 + n_chars
-          + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 4 AS b
-  FROM documents),
-m AS (
-  SELECT source, COUNT(*) AS n,
-         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
-         SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS ra0,
-         SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS ra1,
-         SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS ra2,
-         SUM(CASE WHEN a = 3 THEN 1 ELSE 0 END) AS ra3,
-         SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS cb0,
-         SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS cb1,
-         SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS cb2,
-         SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS cb3
-  FROM t GROUP BY source)
-SELECT source, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
-       CAST(ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3 AS BIGINT)
-         AS chance_mass,
-       CAST((1000 * (n * agree - (ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3)))
-            // (n * n - (ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3))
-            AS BIGINT) AS kappa_milli
-FROM m ORDER BY source
-""",
-    doc="Cohen's kappa per source in exact integer milli form "
-        "(cross-multiplied (po-pe)/(1-pe), floor div matched on both "
-        "engines) over arithmetically-derived annotator labels with a "
-        "seeded disagreement channel.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Composed multimodal curation pipeline — the video analogue of
-# web_curation_pipeline, chaining this round's media operators
-# end-to-end THROUGH THE REAL CODECS: synthesize genuine AVI/MJPEG
-# clips (40 visual base classes x 3 tweak variants from doc_id), walk
-# the RIFF container, entropy-decode the first frame as the thumbnail,
-# key exact visual dedup on the DECODED block values (not on doc
-# arithmetic — a decoder bug would corrupt the dedup keys and break
-# the hash), keep the min-doc survivor per visual key, and roll a
-# per-class datasheet. Two shuffles total (key agg, class rollup);
-# decode work is per-clip and partition-local.
-# ---------------------------------------------------------------------------
-
-def _media_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from .operators.jpegcodec import decode_baseline, encode_baseline_gray
-    from .operators.multimodal import encode_avi_mjpeg, parse_avi
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                b, t = did % 40, did % 3
-                frames = []
-                for f in range(3):
-                    px = np.zeros((16, 16), dtype=np.uint8)
-                    for k in range(4):
-                        v = (b * 31 + 97 * k + 13 * f) % 256
-                        if t > 0 and f == 0 and k == 0:
-                            v = (v + 40 * t) % 256
-                        by, bx = divmod(k, 2)
-                        px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
-                    frames.append(encode_baseline_gray(px))
-                payloads.append(encode_avi_mjpeg(frames, 16, 16))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def thumb(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = parse_avi(bytes(p))
-                px = decode_baseline(r["frames"][0])["pixels"]
-                rows.append({"doc_id": int(did),
-                             "base": int(did) % 40,
-                             "k0": int(px[0, 0]), "k1": int(px[0, 8]),
-                             "k2": int(px[8, 0]), "k3": int(px[8, 8])})
-            yield pd.DataFrame(rows)
-
-    thumbs = (src.mapInPandas(enc, "doc_id long, payload binary")
-              .mapInPandas(thumb, "doc_id long, base long, k0 long,"
-                                  " k1 long, k2 long, k3 long"))
-    keys = (thumbs.groupBy("base", "k0", "k1", "k2", "k3")
-            .agg(F.min("doc_id").alias("survivor"),
-                 F.count(F.lit(1)).alias("members")))
-    return (keys.groupBy("base")
-            .agg(F.count(F.lit(1)).alias("n_thumb_keys"),
-                 F.sum("members").alias("n_docs"),
-                 F.sum("survivor").alias("survivor_id_sum"),
-                 F.max("members").alias("largest_group"))
-            .withColumn("dropped",
-                        F.col("n_docs") - F.col("n_thumb_keys"))
-            .select("base", "n_docs", "n_thumb_keys", "dropped",
-                    "largest_group", "survivor_id_sum")
-            .orderBy("base"))
-
-
-register(
-    "media_curation_pipeline",
-    _media_curation_pipeline,
-    """
-WITH g AS (
-  SELECT doc_id, doc_id % 40 AS base, doc_id % 3 AS t FROM documents),
-k AS (
-  SELECT base, t, MIN(doc_id) AS survivor, COUNT(*) AS members
-  FROM g GROUP BY base, t)
-SELECT CAST(base AS BIGINT) AS base,
-       CAST(SUM(members) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_thumb_keys,
-       CAST(SUM(members) - COUNT(*) AS BIGINT) AS dropped,
-       CAST(MAX(members) AS BIGINT) AS largest_group,
-       CAST(SUM(survivor) AS BIGINT) AS survivor_id_sum
-FROM k GROUP BY base ORDER BY base
-""",
-    doc="Composed multimodal curation: genuine AVI/MJPEG clips, RIFF "
-        "walk, real thumbnail entropy decode, exact visual dedup "
-        "KEYED ON DECODED PIXELS, min-doc survivors, per-class "
-        "datasheet — the oracle replays the (base, tweak) class "
-        "structure the decoded keys must reproduce.",
-)
-
-
-# ---------------------------------------------------------------------------
-# IDN label roundtrip — internationalized domains reach a crawl as
-# xn-- Punycode labels; domain keying, blocklists, and confusable
-# screening must decode them first. Each document synthesizes a
-# mixed-script label from doc_id, runs the REAL RFC 3492 adaptive-bias
-# encoder to its wire form and the real decoder back; published values
-# are the decoded-label facts the oracle replays arithmetically (a
-# broken encoder OR decoder breaks the roundtrip and the hash; the
-# pair is independently pinned against Python's stdlib punycode codec
-# in tests/test_robots.py).
-# ---------------------------------------------------------------------------
-
-def _idn_label_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.urls import punycode_decode, punycode_encode
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def run(it):
-        for pdf in it:
-            rows = []
-            for did in pdf["doc_id"].astype("int64"):
-                did = int(did)
-                label = ("h" + str(did % 10)
-                         + chr(1040 + did % 32)
-                         + chr(19968 + did % 100))
-                wire = "xn--" + punycode_encode(label)
-                back = punycode_decode(wire[4:])
-                rows.append({
-                    "doc_id": did,
-                    "is_idn": wire.startswith("xn--"),
-                    "decoded_len": len(back),
-                    "cp_sum": sum(ord(c) for c in back),
-                    "ascii_prefix": back[:2],
-                    "roundtrip_ok": back == label,
-                    "wire_is_ascii": all(ord(c) < 128 for c in wire)})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(run, "doc_id long, is_idn boolean,"
-                                 " decoded_len long, cp_sum long,"
-                                 " ascii_prefix string,"
-                                 " roundtrip_ok boolean,"
-                                 " wire_is_ascii boolean")
-               .orderBy("doc_id"))
-
-
-register(
-    "idn_label_roundtrip",
-    _idn_label_roundtrip,
-    """
-SELECT doc_id,
-       TRUE AS is_idn,
-       CAST(4 AS BIGINT) AS decoded_len,
-       CAST(104 + 48 + doc_id % 10
-            + 1040 + doc_id % 32
-            + 19968 + doc_id % 100 AS BIGINT) AS cp_sum,
-       'h' || CAST(doc_id % 10 AS VARCHAR) AS ascii_prefix,
-       TRUE AS roundtrip_ok,
-       TRUE AS wire_is_ascii
-FROM documents ORDER BY doc_id
-""",
-    doc="RFC 3492 Punycode roundtrip over mixed-script IDN labels: "
-        "real adaptive-bias encode to the xn-- wire form and decode "
-        "back; decoded length/codepoint sums/prefix replayed "
-        "arithmetically, the codec pair cross-pinned against the "
-        "stdlib punycode codec in tests.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Schema-evolution compatibility audit — the governance gate a
-# lakehouse runs before accepting a new table version: full-outer-join
-# the old and new column sets, classify every difference (added
-# nullable column = compatible; dropped column = breaking; int->bigint
-# or float->double widening = compatible; narrowing = breaking), and
-# roll a per-table verdict. Schemas derive from arithmetic so the
-# oracle replays the whole classification; the engine shape is the
-# real one (two catalogs full-outer-joined on (table, column), one
-# aggregate).
-# ---------------------------------------------------------------------------
-
-_SE_TYPES = ["int", "bigint", "float", "double", "string"]
-#: widenings considered compatible (Spark's upcast set, simplified)
-_SE_WIDEN = [("int", "bigint"), ("float", "double"), ("int", "double")]
-
-
-def _schema_evolution_audit(spark: SparkSession, sf: str) -> DataFrame:
-    tables = spark.range(12).select(F.col("id").cast("long").alias("t"))
-    cols = spark.range(9).select(F.col("id").cast("long").alias("c"))
-    type_arr = F.array(*[F.lit(x) for x in _SE_TYPES])
-
-    def typ(expr):
-        return F.element_at(type_arr, (expr % 5 + 1).cast("int"))
-
-    old = (tables.crossJoin(cols)
-           .filter(~((F.col("c") == 8)))                 # c8 is new-only
-           .select("t", "c", typ(F.col("t") * 3 + F.col("c"))
-                   .alias("old_type")))
-    new = (tables.crossJoin(cols)
-           .filter(~((F.col("c") == 7) & (F.col("t") % 4 == 0)))
-           .filter(~((F.col("c") == 8) & (F.col("t") % 3 != 0)))
-           .select("t", "c",
-                   F.when((F.col("c") == 2) & (F.col("t") % 2 == 0),
-                          F.lit("bigint"))               # int-family widen
-                   .when((F.col("c") == 3) & (F.col("t") % 5 == 0),
-                         F.lit("int"))                   # narrow attempt
-                   .otherwise(typ(F.col("t") * 3 + F.col("c")))
-                   .alias("new_type")))
-    j = old.join(new, ["t", "c"], "full_outer")
-    widen = F.array(*[F.struct(F.lit(a).alias("f"), F.lit(b).alias("o"))
-                      for a, b in _SE_WIDEN])
-    cls = (F.when(F.col("old_type").isNull(), F.lit("added"))
-           .when(F.col("new_type").isNull(), F.lit("dropped"))
-           .when(F.col("old_type") == F.col("new_type"),
-                 F.lit("unchanged"))
-           .when(F.array_contains(
-               widen, F.struct(F.col("old_type").alias("f"),
-                               F.col("new_type").alias("o"))),
-               F.lit("widened"))
-           .otherwise(F.lit("narrowed")))
-    audited = j.withColumn("cls", cls)
-    return (audited.groupBy("t")
-            .agg(*[F.sum((F.col("cls") == k).cast("long")).alias(k)
-                   for k in ("unchanged", "added", "dropped",
-                             "widened", "narrowed")])
-            .withColumn("breaking",
-                        (F.col("dropped") + F.col("narrowed")) > 0)
-            .orderBy("t"))
-
-
-register(
-    "schema_evolution_audit",
-    _schema_evolution_audit,
-    """
-WITH types(i, name) AS (VALUES (0,'int'),(1,'bigint'),(2,'float'),
-                               (3,'double'),(4,'string')),
-old AS (
-  SELECT t.g AS t, c.g AS c, ty.name AS old_type
-  FROM generate_series(0, 11) t(g)
-  CROSS JOIN generate_series(0, 7) c(g)
-  JOIN types ty ON ty.i = (t.g * 3 + c.g) % 5),
-new AS (
-  SELECT t.g AS t, c.g AS c,
-         CASE WHEN c.g = 2 AND t.g % 2 = 0 THEN 'bigint'
-              WHEN c.g = 3 AND t.g % 5 = 0 THEN 'int'
-              ELSE ty.name END AS new_type
-  FROM generate_series(0, 11) t(g)
-  CROSS JOIN generate_series(0, 8) c(g)
-  JOIN types ty ON ty.i = (t.g * 3 + c.g) % 5
-  WHERE NOT (c.g = 7 AND t.g % 4 = 0)
-    AND NOT (c.g = 8 AND t.g % 3 != 0)),
-j AS (
-  SELECT COALESCE(o.t, n.t) AS t, COALESCE(o.c, n.c) AS c,
-         o.old_type, n.new_type
-  FROM old o FULL OUTER JOIN new n ON n.t = o.t AND n.c = o.c),
-cls AS (
-  SELECT t,
-         CASE WHEN old_type IS NULL THEN 'added'
-              WHEN new_type IS NULL THEN 'dropped'
-              WHEN old_type = new_type THEN 'unchanged'
-              WHEN (old_type, new_type) IN (('int','bigint'),
-                   ('float','double'), ('int','double'))
-                THEN 'widened'
-              ELSE 'narrowed' END AS k
-  FROM j)
-SELECT CAST(t AS BIGINT) AS t,
-       CAST(SUM(CASE WHEN k='unchanged' THEN 1 ELSE 0 END) AS BIGINT)
-         AS unchanged,
-       CAST(SUM(CASE WHEN k='added' THEN 1 ELSE 0 END) AS BIGINT)
-         AS added,
-       CAST(SUM(CASE WHEN k='dropped' THEN 1 ELSE 0 END) AS BIGINT)
-         AS dropped,
-       CAST(SUM(CASE WHEN k='widened' THEN 1 ELSE 0 END) AS BIGINT)
-         AS widened,
-       CAST(SUM(CASE WHEN k='narrowed' THEN 1 ELSE 0 END) AS BIGINT)
-         AS narrowed,
-       SUM(CASE WHEN k IN ('dropped','narrowed') THEN 1 ELSE 0 END) > 0
-         AS breaking
-FROM cls GROUP BY t ORDER BY t
-""",
-    doc="Schema-evolution gate: old/new column catalogs full-outer-"
-        "joined, every column classified (added/dropped/widened/"
-        "narrowed/unchanged per the upcast rules), per-table breaking "
-        "verdict — all replayed arithmetically.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Compaction planning — the lakehouse maintenance op that matters at
-# 100 TB: group small files into target-size rewrite bins. The
-# manifest (one month-file per orders month, bytes derived from row
-# counts) is metadata — bounded by partition count, not data size — so
-# the sequential NEXT-FIT walk runs in one applyInPandas group exactly
-# like production planners run on the driver; the oracle replays every
-# (bin, fill) transition with a recursive CTE. The target is derived
-# from the total (total//12 + 1), so the plan is scale-free and the
-# same query pins both scale factors.
-# ---------------------------------------------------------------------------
-
-def _compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    o = _t(spark, sf, "orders").select(
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
-        .cast("long").alias("file_id"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long").alias("cents"))
-    manifest = (o.groupBy("file_id")
-                .agg((F.count(F.lit(1)) * 100
-                      + F.min("cents") % 1000).alias("bytes")))
-
-    def plan(key, pdf):
-        pdf = pdf.sort_values("file_id").reset_index(drop=True)
-        target = int(pdf["bytes"].sum()) // 12 + 1
-        rows = []
-        bin_id, fill = 0, 0
-        for r in pdf.itertuples():
-            b = int(r.bytes)
-            if fill > 0 and fill + b > target:
-                bin_id += 1
-                fill = 0
-            fill += b
-            rows.append({"file_id": int(r.file_id), "bytes": b,
-                         "bin_id": bin_id, "bin_fill_after": fill,
-                         "target": target})
-        return pd.DataFrame(rows)
-
-    return (manifest.withColumn("_g", F.lit(0))
-            .groupBy("_g").applyInPandas(
-                plan, "file_id long, bytes long, bin_id long,"
-                      " bin_fill_after long, target long")
-            .orderBy("file_id"))
-
-
-register(
-    "compaction_plan",
-    _compaction_plan,
-    """
-WITH RECURSIVE
-m AS (
-  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
-              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
-           AS file_id,
-         COUNT(*) * 100
-           + MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                      AS BIGINT)) % 1000 AS bytes
-  FROM orders GROUP BY 1),
-o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY file_id) AS rn FROM m),
-t AS (SELECT SUM(bytes) // 12 + 1 AS target FROM m),
-r AS (
-  SELECT o.file_id, o.bytes, o.rn,
-         CAST(0 AS BIGINT) AS bin_id,
-         CAST(o.bytes AS BIGINT) AS fill
-  FROM o WHERE o.rn = 1
-  UNION ALL
-  SELECT o.file_id, o.bytes, o.rn,
-         CASE WHEN r.fill + o.bytes > t.target
-              THEN r.bin_id + 1 ELSE r.bin_id END,
-         CASE WHEN r.fill + o.bytes > t.target
-              THEN o.bytes ELSE r.fill + o.bytes END
-  FROM r JOIN o ON o.rn = r.rn + 1 CROSS JOIN t)
-SELECT file_id, CAST(bytes AS BIGINT) AS bytes, bin_id,
-       fill AS bin_fill_after,
-       CAST(t.target AS BIGINT) AS target
-FROM r CROSS JOIN t ORDER BY file_id
-""",
-    doc="Next-fit compaction planning over the month-file manifest "
-        "(metadata-sized sequential walk, scale-free total//12+1 "
-        "target); every (bin, fill) transition replayed by a "
-        "recursive-CTE oracle.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Domain-concentration Gini — the data-mixing health number next to
-# the per-domain caps: how concentrated is the corpus across
-# registrable domains, per source? Exact integer form of the rank
-# formula G = (2*sum(i*x_i) - (n+1)*S) / (n*S) over counts sorted
-# ascending, published as a floor-divided milli value so both engines
-# agree bit-for-bit. The rank window is bounded by the domain-key
-# cardinality (20 here), the repo's standard bounded-frame posture.
-# ---------------------------------------------------------------------------
-
-def _gini_domain_concentration(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = (_t(spark, sf, "documents")
-         .select("source", (F.col("doc_id") % 20).alias("domain")))
-    counts = (d.groupBy("source", "domain")
-              .agg(F.count(F.lit(1)).alias("x")))
-    w = Window.partitionBy("source").orderBy("x", "domain")
-    ranked = counts.withColumn("i", F.row_number().over(w))
-    return (ranked.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_domains"),
-                 F.sum("x").alias("n_docs"),
-                 F.sum(F.col("i") * F.col("x")).alias("rank_mass"))
-            .withColumn("gini_milli",
-                        F.expr("(1000 * (2 * rank_mass"
-                               " - (n_domains + 1) * n_docs))"
-                               " div (n_domains * n_docs)"))
-            .orderBy("source"))
-
-
-register(
-    "gini_domain_concentration",
-    _gini_domain_concentration,
-    """
-WITH c AS (
-  SELECT source, doc_id % 20 AS domain, COUNT(*) AS x
-  FROM documents GROUP BY source, doc_id % 20),
-r AS (
-  SELECT source, x,
-         ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY x, domain) AS i
-  FROM c)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_domains,
-       CAST(SUM(x) AS BIGINT) AS n_docs,
-       CAST(SUM(i * x) AS BIGINT) AS rank_mass,
-       CAST((1000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
-            // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_milli
-FROM r GROUP BY source ORDER BY source
-""",
-    doc="Per-source domain-concentration Gini in exact integer milli "
-        "form (rank formula over counts sorted ascending, tie-broken "
-        "by domain, floor division matched both engines); rank window "
-        "bounded by the 20-key domain space.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Near-duplicate CONSENSUS — the ensemble practice production dedup
-# actually ships: a pair is dropped only when at least two independent
-# detectors agree (MinHash lexical overlap, SimHash bit similarity,
-# embedding-LSH semantic closeness), which suppresses each method's
-# solo false positives. Built by COMPOSITION: the engine unions the
-# three registered pair relations and votes; the oracle embeds the
-# three REGISTERED oracle SQLs as CTEs and replays the same vote — so
-# this query also pins the ensemble's building blocks against each
-# other. Embedding votes exist only where vectors exist (vec ids are a
-# prefix of the doc-id space in the fixtures); consensus just needs
-# any two methods.
-#
-# The embedding branch composes the CAPPED LSH config
-# (max_bucket_size=_ENP_CAP) — the scale-safe production shape, not the
-# uncapped registered baseline: SCALING.md measured the uncapped branch
-# at sf1 exponent 1.48 (243.7s — a dense cluster no hyperplane splits
-# makes one bucket's pair mass quadratic) vs 57.7s with the cap. Capped
-# buckets are mutually-similar mass that the CLUSTER-level path
-# (SemDeDup) owns; pairwise consensus votes only on the pairwise-sized
-# remainder. The oracle mirrors the cap bit-exactly (bucket census +
-# HAVING <= cap on the join bucket).
-# ---------------------------------------------------------------------------
-
-_ENP_CAP = 256
-
-
-def _neardup_consensus(spark: SparkSession, sf: str) -> DataFrame:
-    from .registry import _REGISTRY
-    mh = (_REGISTRY["minhash_dedup_pairs"].fn(spark, sf)
-          .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-          .withColumn("mh", F.lit(1)).withColumn("sh", F.lit(0))
-          .withColumn("em", F.lit(0)))
-    sh = (_REGISTRY["simhash_near_pairs"].fn(spark, sf)
-          .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-          .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(1))
-          .withColumn("em", F.lit(0)))
-    em = (embedding_neardup_lsh(_t(spark, sf, "embeddings"),
-                                threshold=_ENP_THRESHOLD,
-                                n_planes=_ENP_PLANES, n_probe=2,
-                                max_bucket_size=_ENP_CAP)
-          .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
-          .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(0))
-          .withColumn("em", F.lit(1)))
-    u = mh.unionByName(sh).unionByName(em)
-    v = (u.groupBy("a", "b")
-         .agg(F.max("mh").alias("mh"), F.max("sh").alias("sh"),
-              F.max("em").alias("em")))
-    return (v.withColumn("votes",
-                         (F.col("mh") + F.col("sh") + F.col("em"))
-                         .cast("long"))
-            .filter(F.col("votes") >= 2)
-            .select(F.col("a").alias("doc_a"),
-                    F.col("b").alias("doc_b"), "votes",
-                    (F.col("mh") == 1).alias("via_minhash"),
-                    (F.col("sh") == 1).alias("via_simhash"),
-                    (F.col("em") == 1).alias("via_embedding"))
-            .orderBy("doc_a", "doc_b"))
-
-
-def _enp_capped_oracle() -> str:
-    """DuckDB twin of the CAPPED embedding-LSH detector: identical to
-    the registered `embedding_neardup_pairs` oracle (same bucket
-    expression, same 2-probe explode, same fold cosine) plus the bucket
-    census + `HAVING COUNT(*) <= cap` semi-join. The Spark side filters
-    BOTH join inputs to kept buckets, but since the candidate join
-    requires bucket equality, one keep-join on the shared bucket is the
-    same relation."""
-    return f"""
-WITH bkt AS (
-  SELECT vec_id, embedding,
-         {duck_lsh_bucket_expr('embedding', _ENP_PLANES)} AS bucket
-  FROM embeddings),
-keep AS (SELECT bucket FROM bkt GROUP BY bucket
-         HAVING COUNT(*) <= {_ENP_CAP}),
-a AS (SELECT vec_id, embedding,
-             unnest([bucket, xor(bucket, 1)]) AS bucket FROM bkt),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_duck_dot('a.embedding', 'b.embedding')}
-           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
-              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cosine
-  FROM a JOIN bkt b USING (bucket) JOIN keep USING (bucket)
-  WHERE a.vec_id < b.vec_id)
-SELECT vec_a, vec_b, cosine FROM cand
-WHERE cosine >= {_ENP_THRESHOLD}
-ORDER BY vec_a, vec_b
-"""
-
-
-def _neardup_consensus_oracle() -> str:
-    from .registry import _REGISTRY
-    mh = _REGISTRY["minhash_dedup_pairs"].oracle
-    sh = _REGISTRY["simhash_near_pairs"].oracle
-    em = _enp_capped_oracle()
-    return f"""
-WITH mh_pairs AS ({mh}),
-sh_pairs AS ({sh}),
-em_pairs AS ({em}),
-u AS (
-  SELECT doc_a AS a, doc_b AS b, 1 AS mh, 0 AS sh, 0 AS em FROM mh_pairs
-  UNION ALL
-  SELECT doc_a, doc_b, 0, 1, 0 FROM sh_pairs
-  UNION ALL
-  SELECT vec_a, vec_b, 0, 0, 1 FROM em_pairs),
-v AS (SELECT a, b, MAX(mh) AS mh, MAX(sh) AS sh, MAX(em) AS em
-      FROM u GROUP BY a, b)
-SELECT a AS doc_a, b AS doc_b,
-       CAST(mh + sh + em AS BIGINT) AS votes,
-       mh = 1 AS via_minhash, sh = 1 AS via_simhash,
-       em = 1 AS via_embedding
-FROM v WHERE mh + sh + em >= 2 ORDER BY doc_a, doc_b
-"""
-
-
-register(
-    "neardup_consensus",
-    _neardup_consensus,
-    _neardup_consensus_oracle(),
-    doc="Near-dup consensus ensemble: pairs confirmed by >=2 of "
-        "MinHash/SimHash/embedding-LSH, composing the CAPPED embedding "
-        "detector (max_bucket_size=256, the scale-safe config — "
-        "SCALING.md: sf1 243.7s/exp 1.48 uncapped vs 57.7s capped); "
-        "the oracle embeds the same three detector SQLs as CTEs, cap "
-        "mirrored via bucket census + HAVING, and replays the vote.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Interpolated Kneser-Ney bigram scoring — the smoothing real perplexity
-# filters use (CCNet trains KN 5-grams via KenLM; this is the same
-# estimator at bigram order, exactly). Distinct from lm_bigram_quality's
-# add-1 baseline: KN backs off to the CONTINUATION count N1+(*,w2) —
-# "how many contexts does w2 complete" — which is what separates
-# high-frequency-but-context-bound tokens from genuinely productive
-# ones. Same no-log discipline: probabilities are fixed trees of
-# integer-count IEEE divisions, the per-doc mean folds in position
-# order, MIN is order-free.
-# ---------------------------------------------------------------------------
-
-def _kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import kneser_ney_scores
-    return kneser_ney_scores(_t(spark, sf, "documents"))
-
-
-register(
-    "kneser_ney_perplexity",
-    _kneser_ney,
-    f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-pos AS (SELECT doc_id, unnest(tk) AS w1,
-               generate_subscripts(tk, 1) AS pos FROM toks),
-big AS (SELECT doc_id, pos, w1,
-               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        FROM pos),
-bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
-c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
-h AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_after FROM c12 GROUP BY w1),
-f AS (SELECT w2, COUNT(*) AS n_before FROM c12 GROUP BY w2),
-b AS (SELECT COUNT(*) AS bt FROM c12),
-p AS (SELECT bg.doc_id, bg.pos,
-             (GREATEST(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
-              + 0.75 * CAST(h.n_after AS DOUBLE)
-                * (CAST(f.n_before AS DOUBLE) / CAST(b.bt AS DOUBLE)))
-             / CAST(h.c1 AS DOUBLE) AS p
-      FROM bg
-      JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
-      JOIN h ON h.w1 = bg.w1
-      JOIN f ON f.w2 = bg.w2
-      CROSS JOIN b)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                list(p ORDER BY pos)),
-                   (a, x) -> a + x) / COUNT(*) AS mean_kn_p,
-       MIN(p) AS min_kn_p
-FROM p GROUP BY doc_id ORDER BY doc_id
-""",
-    doc="Interpolated Kneser-Ney bigram quality signal (Kneser & Ney "
-        "1995; Chen & Goodman 1998): absolute discounting plus the "
-        "continuation-count backoff real perplexity filters use — "
-        "per-doc mean (position-ordered fold) and min of exact "
-        "integer-count probability trees, bit-identical cross-engine.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Eval-set decontamination by bounded edit distance — the fuzzy tier
-# below exact-substring / n-gram decontam: a benchmark prompt that
-# appears in training data with one typo or dropped word still leaks
-# the answer. Fixture: every 13th document donates its 5-token prefix
-# as an "eval prompt", corrupted by dropping its 3rd character (so the
-# planted true match sits at distance 1). Both engines score with
-# their native levenshtein; the join key is an ANCHOR TOKEN (the last
-# token — prefix corruptions never touch it; real decontam blocks on a
-# rare-token anchor the same way) plus a LENGTH BAND (bucket width 4,
-# prompts fan out to the 3 buckets any string within distance 3 can
-# occupy — |len(a)-len(b)| <= lev(a,b)), so the candidate set is
-# block-local, never all-pairs: the same pigeonhole discipline as the
-# SimHash chunk bands. Blocking defines the (documented) recall bound,
-# exactly as in production fuzzy decontam. Scale: prompts are eval-set-sized (broadcast);
-# candidates shuffle once on the band key.
-# ---------------------------------------------------------------------------
-
-def _levenshtein_decontam(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import tokens
-    d = _t(spark, sf, "documents")
-    tk = d.select("doc_id", tokens(F.col("text")).alias("tk"))
-    cand = (tk.where(F.size("tk") >= 5)
-            .select("doc_id",
-                    F.array_join(F.slice("tk", 1, 5), " ").alias("s")))
-    # The eval set is a FIXED benchmark, not a corpus-growing slice:
-    # capped at 400 prompts (deterministic id order), so block-local
-    # pair volume grows linearly with the corpus — uncapped, prompts
-    # x candidates both scale and the join is quadratic (measured
-    # exponent 1.39 at the sf0.1->sf1 decade; 1.0 with the cap).
-    prompts = (cand.where(F.col("doc_id") % 13 == 0)
-               .orderBy("doc_id").limit(400)
-               .select(F.col("doc_id").alias("eval_id"),
-                       F.concat(F.substring("s", 1, 2),
-                                F.expr("substring(s, 4)")).alias("q")))
-
-    def band(length, off):
-        return F.floor((length + F.lit(off)).cast("double") / 4.0)
-
-    anchor = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
-    pb = prompts.select(
-        "eval_id", "q", anchor(F.col("q")).alias("anch"),
-        F.explode(F.array_distinct(F.array(
-            band(F.length("q"), -3), band(F.length("q"), 0),
-            band(F.length("q"), 3)))).alias("band"))
-    cb = cand.select("doc_id", "s", anchor(F.col("s")).alias("anch"),
-                     band(F.length("s"), 0).alias("band"))
-    pairs = (F.broadcast(pb).join(cb, ["anch", "band"])
-             .where(F.abs(F.length("q") - F.length("s")) <= 3)
-             .select("eval_id", "doc_id",
-                     F.levenshtein("q", "s").alias("dist")))
-    best = pairs.groupBy("eval_id").agg(
-        F.min("dist").alias("best_dist"),
-        F.count(F.lit(1)).alias("n_cand"))
-    bdoc = (pairs.join(best, "eval_id")
-            .where(F.col("dist") == F.col("best_dist"))
-            .groupBy("eval_id").agg(F.min("doc_id").alias("best_doc")))
-    return (best.join(bdoc, "eval_id")
-            .select("eval_id", "n_cand", "best_dist", "best_doc",
-                    (F.col("best_dist") <= 3).alias("contaminated"))
-            .orderBy("eval_id"))
-
-
-register(
-    "levenshtein_decontam",
-    _levenshtein_decontam,
-    """
-WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
-            FROM documents),
-cand AS (SELECT doc_id, array_to_string(tk[1:5], ' ') AS s
-         FROM tk WHERE len(tk) >= 5),
-prompts AS (SELECT doc_id AS eval_id,
-                   substr(s, 1, 2) || substr(s, 4) AS q
-            FROM cand WHERE doc_id % 13 = 0
-            ORDER BY doc_id LIMIT 400),
-pb AS (SELECT eval_id, q,
-              (string_split(q, ' '))[-1] AS anch,
-              unnest(list_distinct([
-            CAST(floor((length(q) - 3) / 4.0) AS BIGINT),
-            CAST(floor(length(q) / 4.0) AS BIGINT),
-            CAST(floor((length(q) + 3) / 4.0) AS BIGINT)])) AS band
-       FROM prompts),
-cb AS (SELECT doc_id, s, (string_split(s, ' '))[-1] AS anch,
-              CAST(floor(length(s) / 4.0) AS BIGINT) AS band
-       FROM cand),
-pairs AS (SELECT p.eval_id, c.doc_id,
-                 CAST(levenshtein(p.q, c.s) AS INT) AS dist
-          FROM pb p JOIN cb c ON c.anch = p.anch AND c.band = p.band
-          WHERE abs(length(p.q) - length(c.s)) <= 3),
-best AS (SELECT eval_id, MIN(dist) AS best_dist,
-                CAST(COUNT(*) AS BIGINT) AS n_cand
-         FROM pairs GROUP BY eval_id),
-bdoc AS (SELECT p.eval_id, MIN(p.doc_id) AS best_doc
-         FROM pairs p JOIN best b
-           ON b.eval_id = p.eval_id AND p.dist = b.best_dist
-         GROUP BY p.eval_id)
-SELECT b.eval_id, b.n_cand, b.best_dist, d.best_doc,
-       b.best_dist <= 3 AS contaminated
-FROM best b JOIN bdoc d ON d.eval_id = b.eval_id
-ORDER BY b.eval_id
-""",
-    doc="Fuzzy eval-set decontamination: native levenshtein over an "
-        "anchor-token + length-band candidate block (|len diff| "
-        "bounds edit distance; the anchor token survives prefix "
-        "corruption) — planted typo'd prompts resolve to their source "
-        "doc at distance 1; never all-pairs.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Length-matched sampling — the distribution-matching cousin of the
-# temperature mix: thin a candidate pool so its LENGTH histogram matches
-# a reference slice (here: match non-English docs to the English length
-# profile), the standard control when ablating a data source so length
-# confounds don't masquerade as quality effects. Accept/reject is a
-# deterministic per-doc hash threshold against the per-bucket ratio
-# target_share/pool_share: h/2^48 is an EXACT power-of-two division and
-# the ratio is one correctly-rounded division of exact integer products
-# (< 2^53), so the verdict is bit-stable under any partitioning — same
-# discipline as stratified_sample_docs. One count agg per side, one
-# broadcast-sized bucket join; never a global sort.
-# ---------------------------------------------------------------------------
-
-def _length_matched_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.text import md5_hash
-    d = _t(spark, sf, "documents").select(
-        "doc_id", "lang",
-        F.floor(F.col("n_chars").cast("double") / 64.0).alias("bucket"))
-    tgt = (d.where(F.col("lang") == "en")
-           .groupBy("bucket").agg(F.count(F.lit(1)).alias("tn")))
-    tt = d.where(F.col("lang") == "en").agg(
-        F.count(F.lit(1)).alias("tt"))
-    pool = d.where(F.col("lang") != "en")
-    pc = pool.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn"))
-    pt = pool.agg(F.count(F.lit(1)).alias("pt"))
-    ratio = ((F.coalesce(F.col("tn"), F.lit(0)) * F.col("pt"))
-             .cast("double")
-             / (F.col("pn") * F.col("tt")).cast("double"))
-    h = md5_hash(F.concat(F.lit("lms:"), F.col("doc_id")))
-    scored = (pool.join(F.broadcast(pc), "bucket")
-              .join(F.broadcast(tgt), "bucket", "left")
-              .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(pt))
-              .select("bucket", "doc_id",
-                      ratio.alias("ratio"),
-                      (h.cast("double") / F.lit(281474976710656.0)
-                       < ratio).alias("accept")))
-    return (scored.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("pool_n"),
-                 F.sum(F.when(F.col("accept"), 1).otherwise(0))
-                  .cast("long").alias("accepted_n"),
-                 F.min("ratio").alias("accept_ratio"))
-            .orderBy("bucket"))
-
-
-register(
-    "length_matched_sample",
-    _length_matched_sample,
-    """
-WITH d AS (SELECT doc_id, lang,
-                  CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket
-           FROM documents),
-tgt AS (SELECT bucket, COUNT(*) AS tn FROM d WHERE lang = 'en'
-        GROUP BY bucket),
-tt AS (SELECT COUNT(*) AS tt FROM d WHERE lang = 'en'),
-pool AS (SELECT * FROM d WHERE lang <> 'en'),
-pc AS (SELECT bucket, COUNT(*) AS pn FROM pool GROUP BY bucket),
-pt AS (SELECT COUNT(*) AS pt FROM pool),
-scored AS (
-  SELECT p.bucket, p.doc_id,
-         CAST(COALESCE(t.tn, 0) * pt.pt AS DOUBLE)
-           / CAST(c.pn * tt.tt AS DOUBLE) AS ratio,
-         CAST(('0x' || substr(md5('lms:' || CAST(p.doc_id AS VARCHAR)),
-                              1, 12))::BIGINT AS DOUBLE)
-           / 281474976710656.0
-           < CAST(COALESCE(t.tn, 0) * pt.pt AS DOUBLE)
-             / CAST(c.pn * tt.tt AS DOUBLE) AS accept
-  FROM pool p
-  JOIN pc c ON c.bucket = p.bucket
-  LEFT JOIN tgt t ON t.bucket = p.bucket
-  CROSS JOIN tt CROSS JOIN pt)
-SELECT bucket,
-       CAST(COUNT(*) AS BIGINT) AS pool_n,
-       CAST(SUM(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT)
-         AS accepted_n,
-       MIN(ratio) AS accept_ratio
-FROM scored GROUP BY bucket ORDER BY bucket
-""",
-    doc="Length-matched source ablation sampling: per-bucket "
-        "accept/reject hash thresholds reshape the non-English pool "
-        "to the English length histogram — exact integer-product "
-        "ratios, power-of-two-exact hash normalization, one broadcast "
-        "bucket join.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Sitemap XML extraction — the crawl-seeding counterpart of
-# robots_txt_gate: sitemaps.org XML is how sites publish their URL
-# inventory (loc/lastmod/priority per <url> entry), and a crawler's
-# frontier starts from exactly this parse. Each of 20 domains builds a
-# genuine <urlset> document from its docs (ordered string_agg), and the
-# OPERATOR is the parse back out: non-greedy <url> block extraction,
-# per-field regex, date + priority typing. Spec note: the sitemap
-# protocol caps one file at 50k URLs / 50 MB, so the per-domain string
-# agg is bounded by the format itself — at crawl scale each fetched
-# sitemap file is one row and the explode is partition-local.
-# ---------------------------------------------------------------------------
-
-def _sitemap_url_extract(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents").select(
-        "doc_id", (F.col("doc_id") % 20).alias("k"))
-    entry = F.concat(
-        F.lit("<url><loc>https://d"), F.col("k"),
-        F.lit(".example.com/doc/"), F.col("doc_id"),
-        F.lit("</loc><lastmod>2024-"),
-        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
-        F.lit("-"),
-        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
-        F.lit("</lastmod><priority>0."), F.col("doc_id") % 10,
-        F.lit("</priority></url>"))
-    xml = (d.select("k", F.struct("doc_id", entry.alias("e")).alias("s"))
-           .groupBy("k")
-           .agg(F.concat(
-               F.lit('<?xml version="1.0"?><urlset>'),
-               F.concat_ws("", F.transform(
-                   F.array_sort(F.collect_list("s")),
-                   lambda x: x["e"])),
-               F.lit("</urlset>")).alias("xml")))
-    blocks = xml.select(
-        "k", F.explode(F.expr(
-            r"regexp_extract_all(xml, '<url>(.*?)</url>', 1)"))
-        .alias("u"))
-    return (blocks.select(
-        F.concat(F.lit("d"), F.col("k"), F.lit(".example.com"))
-         .alias("domain"),
-        F.regexp_extract("u", "<loc>(.*?)</loc>", 1).alias("loc"),
-        F.to_date(F.regexp_extract("u", "<lastmod>(.*?)</lastmod>", 1),
-                  "yyyy-MM-dd").alias("lastmod"),
-        F.regexp_extract("u", "<priority>(.*?)</priority>", 1)
-         .cast("double").alias("priority"))
-        .orderBy("loc"))
-
-
-register(
-    "sitemap_url_extract",
-    _sitemap_url_extract,
-    """
-WITH d AS (SELECT doc_id, doc_id % 20 AS k FROM documents),
-e AS (SELECT k, doc_id,
-             '<url><loc>https://d' || CAST(k AS VARCHAR)
-             || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
-             || '</loc><lastmod>2024-'
-             || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
-             || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
-             || '</lastmod><priority>0.'
-             || CAST(doc_id % 10 AS VARCHAR)
-             || '</priority></url>' AS entry
-      FROM d),
-x AS (SELECT k, '<?xml version="1.0"?><urlset>'
-             || string_agg(entry, '' ORDER BY doc_id)
-             || '</urlset>' AS xml
-      FROM e GROUP BY k),
-b AS (SELECT k, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1))
-             AS u
-      FROM x)
-SELECT 'd' || CAST(k AS VARCHAR) || '.example.com' AS domain,
-       regexp_extract(u, '<loc>(.*?)</loc>', 1) AS loc,
-       CAST(regexp_extract(u, '<lastmod>(.*?)</lastmod>', 1) AS DATE)
-         AS lastmod,
-       CAST(regexp_extract(u, '<priority>(.*?)</priority>', 1)
-            AS DOUBLE) AS priority
-FROM b ORDER BY loc
-""",
-    doc="sitemaps.org <urlset> build + parse: per-domain ordered XML "
-        "assembly, non-greedy block extraction, typed loc/lastmod/"
-        "priority fields — the crawl-frontier seeding parse, bounded "
-        "per file by the protocol's own 50k-URL cap.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Phonetic blocking (entity resolution): Soundex-key candidate blocks —
-# the classic cheap blocking function for person/org name dedup
-# (Fellegi-Sunter pipelines block on phonetic keys before scoring).
-# Both sides compute the SAME simplified American Soundex: letter→digit
-# map via translate, adjacent-duplicate collapse over the full code
-# sequence (so 'pf' folds like the standard), zero-drop, first letter +
-# 3 digits. Simplification, documented: H/W are coded 0 like vowels
-# (they separate equal codes; standard Soundex merges across them) —
-# deterministic and identical cross-engine, which is what a blocking
-# key must be. Names: a 40-surname universe keyed by custkey, with a
-# planted char-swap typo every 7th customer — swaps inside a code run
-# keep the key, cross-class swaps break it, both visible in the block
-# roster. Scale: one groupBy on the key; block sizes are bounded by
-# the name-universe, never corpus-sized.
-# ---------------------------------------------------------------------------
-
-_SURNAMES = [
-    "smith", "smyth", "johnson", "jonson", "williams", "brown", "braun",
-    "jones", "garcia", "miller", "mueller", "davis", "rodriguez",
-    "martinez", "hernandez", "lopez", "gonzalez", "wilson", "anderson",
-    "thomas", "taylor", "moore", "jackson", "martin", "lee", "perez",
-    "thompson", "white", "harris", "sanchez", "clark", "clarke",
-    "ramirez", "lewis", "robinson", "walker", "young", "allen",
-    "wright", "schmidt",
-]
-
-_SOUNDEX_FROM = "abcdefghijklmnopqrstuvwxyz"
-_SOUNDEX_TO = "01230120022455012623010202"
-
-
-def _phonetic_blocking(spark: SparkSession, sf: str) -> DataFrame:
-    c = _t(spark, sf, "customer").select("c_custkey")
-    base = F.element_at(
-        F.array(*[F.lit(s) for s in _SURNAMES]),
-        (F.col("c_custkey") % 40 + 1).cast("int"))
-    name = F.when(
-        F.col("c_custkey") % 7 == 0,
-        F.concat(F.substring(base, 1, 1), F.substring(base, 3, 1),
-                 F.substring(base, 2, 1), F.expr(
-                     "substring(element_at(array("
-                     + ",".join(f"'{s}'" for s in _SURNAMES)
-                     + "), cast(c_custkey % 40 + 1 as int)), 4)"))
-    ).otherwise(base)
-    d = c.select("c_custkey", name.alias("name"))
-    d = d.withColumn(
-        "codes", F.translate(F.col("name"), _SOUNDEX_FROM, _SOUNDEX_TO))
-    d = d.withColumn("arr", F.expr(
-        "transform(sequence(1, length(codes)), i -> substr(codes, i, 1))"))
-    # Spark lambda index and arr[] are both 0-based; DuckDB's are 1-based
-    # — each side reads "previous element" in its own convention.
-    d = d.withColumn("dedup", F.expr(
-        "filter(arr, (x, i) -> i = 0 OR x != arr[i - 1])"))
-    d = d.withColumn("tail3", F.expr(
-        "rpad(concat_ws('', slice(filter("
-        "slice(dedup, 2, size(dedup)), x -> x != '0'), 1, 3)), 3, '0')"))
-    d = d.select(
-        "c_custkey", "name",
-        F.concat(F.upper(F.substring("name", 1, 1)), F.col("tail3"))
-         .alias("skey"))
-    return (d.groupBy("skey")
-            .agg(F.count(F.lit(1)).alias("block_size"),
-                 F.countDistinct("name").alias("distinct_names"),
-                 F.concat_ws("|", F.array_sort(
-                     F.collect_set("name"))).alias("roster"))
-            .withColumn("est_pairs",
-                        (F.col("block_size") * (F.col("block_size") - 1)
-                         / 2).cast("long"))
-            .orderBy("skey"))
-
-
-register(
-    "phonetic_blocking",
-    _phonetic_blocking,
-    f"""
-WITH names AS (
-  SELECT c_custkey,
-         (['{"','".join(_SURNAMES)}'])[
-             CAST(c_custkey % 40 + 1 AS INT)] AS base
-  FROM customer),
-n AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 7 = 0
-              THEN substr(base, 1, 1) || substr(base, 3, 1)
-                   || substr(base, 2, 1) || substr(base, 4)
-              ELSE base END AS name
-  FROM names),
-coded AS (
-  SELECT c_custkey, name,
-         list_transform(range(1, length(name) + 1),
-             i -> substr(translate(name, '{_SOUNDEX_FROM}',
-                                   '{_SOUNDEX_TO}'), i, 1)) AS arr
-  FROM n),
-keyed AS (
-  SELECT c_custkey, name,
-         upper(substr(name, 1, 1))
-         -- COALESCE: DuckDB's array_to_string([]) is NULL, not ''
-         || rpad(COALESCE(array_to_string(
-                list_filter(
-                    (list_filter(arr,
-                                 (x, i) -> i = 1 OR x <> arr[i - 1]))[2:],
-                    x -> x <> '0'), ''), ''), 3, '0') AS skey
-  FROM coded)
-SELECT skey,
-       CAST(COUNT(*) AS BIGINT) AS block_size,
-       CAST(COUNT(DISTINCT name) AS BIGINT) AS distinct_names,
-       array_to_string(list_sort(list(DISTINCT name)), '|') AS roster,
-       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS est_pairs
-FROM keyed GROUP BY skey ORDER BY skey
-""",
-    doc="Soundex phonetic blocking for entity resolution: shared "
-        "simplified code spec (translate map, index-lambda adjacent "
-        "collapse, zero drop, letter+3 key), planted char-swap typos, "
-        "per-block roster + candidate-pair mass — the step before "
-        "pairwise match scoring.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Johnson-Lindenstrauss sign-projection audit — the dimensionality-
-# reduction step real ANN systems run before indexing (Achlioptas 2003:
-# +-1 entries preserve inner products in expectation; JL gives the
-# distance-distortion bound). The projection matrix is a deterministic
-# md5-parity sign pattern (no RNG — same no-randomness rule as the
-# whole repo), inlined identically into both engines, and the audit
-# compares original 64-d cosine vs projected 16-d cosine over a
-# probe x candidate panel: per-probe mean |distortion| (candidate-
-# ordered fold) and max. Scale: projections are computed per-row
-# before the join (narrow map), the probe side is an itemized
-# broadcast, and the panel is probe-bounded — the same BNLJ shape as
-# ann_cosine_topk.
-# ---------------------------------------------------------------------------
-
-def _jl_matrix() -> list[list[float]]:
-    import hashlib
-    return [[1.0 if int(hashlib.md5(f"jl:{j}:{i}".encode())
-                        .hexdigest()[:2], 16) % 2 == 0 else -1.0
-             for i in range(64)] for j in range(16)]
-
-
-def _jl_projection_audit(spark: SparkSession, sf: str) -> DataFrame:
-    from .functions.exact import ddot
-    R = _jl_matrix()
-    rlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in R])
-
-    def proj(v):
-        return F.transform(rlit, lambda row: F.aggregate(
-            F.zip_with(row, v,
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda a, x: a + x))
-
-    emb = _t(spark, sf, "embeddings")
-
-    def side(pred, idn):
-        d = emb.where(pred).select(
-            F.col("vec_id").alias(idn),
-            F.col("embedding").alias(f"{idn}_v"),
-            proj(F.col("embedding")).alias(f"{idn}_p"))
-        return d.select(
-            idn, f"{idn}_v", f"{idn}_p",
-            ddot(F.col(f"{idn}_v"), F.col(f"{idn}_v")).alias(f"{idn}_n2"),
-            ddot(F.col(f"{idn}_p"), F.col(f"{idn}_p")).alias(f"{idn}_pn2"))
-
-    p = side(F.col("vec_id") % 40 == 0, "pid")
-    c = side(F.col("vec_id") % 3 == 0, "cid")
-    pairs = (F.broadcast(p).crossJoin(c)
-             .where(F.col("pid") != F.col("cid"))
-             .select("pid", "cid",
-                     (ddot(F.col("pid_v"), F.col("cid_v"))
-                      / (F.sqrt("pid_n2") * F.sqrt("cid_n2")))
-                     .alias("cos_o"),
-                     (ddot(F.col("pid_p"), F.col("cid_p"))
-                      / (F.sqrt("pid_pn2") * F.sqrt("cid_pn2")))
-                     .alias("cos_p")))
-    e = pairs.select("pid", "cid",
-                     F.abs(F.col("cos_p") - F.col("cos_o")).alias("err"))
-    agg = (e.groupBy("pid")
-           .agg(F.array_sort(F.collect_list(F.struct("cid", "err")))
-                .alias("es"),
-                F.max("err").alias("max_abs_err")))
-    vals = F.transform(F.col("es"), lambda x: x["err"])
-    fold = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
-    return (agg.select(F.col("pid").alias("probe_id"),
-                       F.size("es").cast("long").alias("n_pairs"),
-                       (fold / F.size("es")).alias("mean_abs_err"),
-                       "max_abs_err")
-            .orderBy("probe_id"))
-
-
-def _jl_oracle() -> str:
-    R = _jl_matrix()
-    rlit = "[" + ", ".join(
-        "[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in R) + "]"
-    proj = (f"list_transform({rlit}, row -> "
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            "list_transform(range(1, 65), "
-            "i -> CAST(row[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), "
-            "(a, x) -> a + x))")
-    return f"""
-WITH sides AS (
-  SELECT vec_id, embedding, {proj} AS pr,
-         {_duck_dot('embedding', 'embedding')} AS n2
-  FROM embeddings),
-s2 AS (SELECT vec_id, embedding, pr, n2,
-              {_duck_dot('pr', 'pr')} AS pn2
-       FROM sides),
-p AS (SELECT vec_id AS pid, embedding AS pv, pr AS pp,
-             n2 AS pn2, pn2 AS ppn2
-      FROM s2 WHERE vec_id % 40 = 0),
-c AS (SELECT vec_id AS cid, embedding AS cv, pr AS cp,
-             n2 AS cn2, pn2 AS cpn2
-      FROM s2 WHERE vec_id % 3 = 0),
-pairs AS (
-  SELECT pid, cid,
-         {_duck_dot('pv', 'cv')} / (sqrt(pn2) * sqrt(cn2)) AS cos_o,
-         {_duck_dot('pp', 'cp')} / (sqrt(ppn2) * sqrt(cpn2)) AS cos_p
-  FROM p CROSS JOIN c WHERE pid <> cid),
-e AS (SELECT pid, cid, abs(cos_p - cos_o) AS err FROM pairs)
-SELECT pid AS probe_id,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list(err ORDER BY cid)),
-                   (a, x) -> a + x) / COUNT(*) AS mean_abs_err,
-       MAX(err) AS max_abs_err
-FROM e GROUP BY pid ORDER BY probe_id
-"""
-
-
-register(
-    "jl_projection_audit",
-    _jl_projection_audit,
-    _jl_oracle(),
-    doc="JL sign-random-projection audit (Achlioptas 2003): "
-        "deterministic md5-parity +-1 matrix, 64d -> 16d, per-probe "
-        "mean/max cosine distortion over a broadcast probe panel — "
-        "ordered folds keep every double bit-identical cross-engine.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Holt's linear-trend smoothing (double exponential smoothing — the
-# trend tier above ewma_user_activity's simple EWMA; Holt 1957): the
-# operational-forecasting primitive for capacity planning over daily
-# monthly revenue. State is the coupled (level, trend) pair, so the Spark fold
-# carries a STRUCT accumulator over the date-sorted series (α = 1/2
-# exact binary; β = 0.3/0.7 same literals both engines), and the
-# oracle replays the identical recurrence as a recursive CTE. The
-# nested l_new expression is deliberately duplicated inside b_new —
-# identical IEEE trees, identical values. Scale: series are per-GROUP
-# (priority) and bounded by the date span, never order volume — state
-# is one (date, revenue) list per group, the same per-key-bounded
-# shape as sessionization; groups smooth in parallel.
-# ---------------------------------------------------------------------------
-
-def _holt_winters_forecast(spark: SparkSession, sf: str) -> DataFrame:
-    from .functions.exact import dsum
-    o = _t(spark, sf, "orders")
-    daily = (o.select(F.col("o_orderpriority").alias("pr"),
-                      F.trunc("o_orderdate", "month").alias("d"),
-                      F.col("o_totalprice"))
-             .groupBy("pr", "d")
-             .agg(dsum(F.col("o_totalprice")).alias("y")))
-    arr = F.array_sort(F.collect_list(F.struct("d", "y")))
-    g = daily.groupBy("pr").agg(
-        F.count(F.lit(1)).alias("n_months"),
-        F.max("d").alias("last_month"),
-        arr.alias("sv"))
-    e1 = F.element_at(F.col("sv"), 1)["y"]
-    e2 = F.element_at(F.col("sv"), 2)["y"]
-    init = F.struct(e1.alias("l"), (e2 - e1).alias("b"))
-
-    def step(acc, x):
-        l_new = 0.5 * x["y"] + 0.5 * (acc["l"] + acc["b"])
-        return F.struct(
-            l_new.alias("l"),
-            (0.3 * (l_new - acc["l"]) + 0.7 * acc["b"]).alias("b"))
-
-    state = F.aggregate(
-        F.slice(F.col("sv"), 2, F.greatest(F.size("sv") - 1, F.lit(0))),
-        init, step)
-    # Holt's init needs two observations (b0 = y2 - y1): a one-month
-    # group has no defined trend, so it is EXCLUDED rather than emitted
-    # with NULLs — this also matches the oracle, whose recursive base
-    # inner-joins s2.rn = 2 and therefore drops such groups (ADVICE r8).
-    return (g.filter(F.col("n_months") >= 2)
-        .select(
-        "pr", "n_months", "last_month",
-        state["l"].alias("level"), state["b"].alias("trend"),
-        (state["l"] + F.lit(3.0) * state["b"]).alias("forecast_3m"))
-        .orderBy("pr"))
-
-
-register(
-    "holt_winters_forecast",
-    _holt_winters_forecast,
-    """
-WITH RECURSIVE
-daily AS (SELECT o_orderpriority AS pr,
-                 CAST(date_trunc('month', o_orderdate) AS DATE) AS d,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                      AS DOUBLE) AS y
-          FROM orders GROUP BY 1, 2),
-seq AS (SELECT pr, d, y,
-               ROW_NUMBER() OVER (PARTITION BY pr ORDER BY d) AS rn
-        FROM daily),
-n AS (SELECT pr, MAX(rn) AS n, CAST(MAX(d) AS DATE) AS last_month
-      FROM seq GROUP BY pr),
-r AS (
-  SELECT s1.pr, CAST(1 AS BIGINT) AS rn,
-         s1.y AS l, s2.y - s1.y AS b
-  FROM seq s1 JOIN seq s2 ON s2.pr = s1.pr AND s2.rn = 2
-  WHERE s1.rn = 1
-  UNION ALL
-  SELECT r.pr, r.rn + 1,
-         0.5 * s.y + 0.5 * (r.l + r.b),
-         0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
-  FROM r
-  JOIN seq s ON s.pr = r.pr AND s.rn = r.rn + 1
-  JOIN n ON n.pr = r.pr
-  WHERE r.rn < n.n)
-SELECT r.pr, CAST(n.n AS BIGINT) AS n_months, n.last_month,
-       r.l AS level, r.b AS trend,
-       r.l + 3.0 * r.b AS forecast_3m
-FROM r JOIN n ON n.pr = r.pr AND r.rn = n.n
-ORDER BY r.pr
-""",
-    doc="Holt double exponential smoothing per order priority: struct-"
-        "state fold over the month-sorted revenue series (exact-decimal "
-        "monthly sums), recursive-CTE oracle replaying the identical "
-        "(level, trend) recurrence, 3-month-ahead linear forecast — "
-        "bit-exact across engines.",
-)
-
-
-# ---------------------------------------------------------------------------
-# FLAC decode roundtrip — the lossless compressed format audio corpora
-# actually ship in, closing the audio family the way jpeg/gif/tiff
-# closed images: genuine RFC 9639 bitstreams (fLaC marker, STREAMINFO
-# with the real sample-MD5, sync-coded frame header with CRC-8,
-# CONSTANT / VERBATIM / FIXED-predictor subframes with Rice-coded
-# zigzag residuals, whole-frame CRC-16) encoded and decoded by
-# operators/flaccodec.py, from scratch per the public spec. Fixture
-# signals are CLOSED-FORM per doc (constant, linear-mod, quadratic-mod,
-# cubic-mod), so the decode exercises the real unary/remainder bit
-# walk and predictor reconstruction while the oracle replays the
-# signal formula as a list expression — no recursion needed. Scale
-# shape: two Arrow crossings, zero shuffles before the final sort;
-# frames decode independently (multi-frame streams split at sync
-# boundaries across executors — same argument as TIFF strips).
-# ---------------------------------------------------------------------------
-
-def _flac_subframe_decode(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
-
-    from .operators.flaccodec import decode_flac, encode_flac
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def signal(did: int) -> tuple[list[int], str, int, int]:
-        t = did % 4
-        if t == 0:
-            return [(did * 37) % 4001 - 2000] * 64, "constant", 0, 0
-        if t == 1:
-            return ([(did * 31 + i * 97) % 4001 - 2000
-                     for i in range(64)], "verbatim", 0, 0)
-        if t == 2:
-            return ([(did * 13 + i * i * 5 + i * 29) % 3001 - 1500
-                     for i in range(64)], "fixed", 2, 9)
-        return ([(did * 7 + i * i * i + i * 53) % 3001 - 1500
-                 for i in range(64)], "fixed", 4, 12)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for did in pdf["doc_id"].astype("int64"):
-                s, kind, order, rice = signal(int(did))
-                payloads.append(encode_flac(s, kind, order=order,
-                                            rice=rice))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_flac(bytes(p))
-                s = r["samples"]
-                rows.append({"doc_id": int(did),
-                             "subframe_type": r["subframe_type"],
-                             "pred_order": r["order"],
-                             "n_samples": r["n_samples"],
-                             "sample_sum": sum(s),
-                             "max_abs": max(abs(v) for v in s),
-                             "last_sample": s[-1],
-                             "crc_ok": r["crc_ok"],
-                             "md5_ok": r["md5_ok"]})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, subframe_type string,"
-                                 " pred_order long, n_samples long,"
-                                 " sample_sum long, max_abs long,"
-                                 " last_sample long, crc_ok boolean,"
-                                 " md5_ok boolean")
-               .orderBy("doc_id"))
-
-
-register(
-    "flac_subframe_decode",
-    _flac_subframe_decode,
-    """
-WITH s AS (
-  SELECT doc_id, doc_id % 4 AS t,
-         list_transform(range(0, 64), i ->
-           CASE doc_id % 4
-             WHEN 0 THEN (doc_id * 37) % 4001 - 2000
-             WHEN 1 THEN (doc_id * 31 + i * 97) % 4001 - 2000
-             WHEN 2 THEN (doc_id * 13 + i * i * 5 + i * 29) % 3001 - 1500
-             ELSE (doc_id * 7 + i * i * i + i * 53) % 3001 - 1500
-           END) AS sv
-  FROM documents)
-SELECT doc_id,
-       CASE t WHEN 0 THEN 'constant' WHEN 1 THEN 'verbatim'
-              ELSE 'fixed' END AS subframe_type,
-       CAST(CASE t WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 0 END AS BIGINT)
-         AS pred_order,
-       CAST(64 AS BIGINT) AS n_samples,
-       CAST(list_sum(sv) AS BIGINT) AS sample_sum,
-       CAST(list_max(list_transform(sv, x -> abs(x))) AS BIGINT)
-         AS max_abs,
-       CAST(sv[64] AS BIGINT) AS last_sample,
-       TRUE AS crc_ok, TRUE AS md5_ok
-FROM s ORDER BY doc_id
-""",
-    doc="FLAC subset roundtrip (RFC 9639): real Rice-coded fixed-"
-        "predictor bitstreams with CRC-8/CRC-16 and STREAMINFO sample-"
-        "MD5 all verified in decode; closed-form fixture signals make "
-        "the oracle a pure list expression while the bit walk and "
-        "predictor reconstruction stay genuine.",
-)
-
-
-# ---------------------------------------------------------------------------
-# zstd frame walk + entropy-free decode — Common Crawl ships WET/WARC
-# as .zst since 2023, so the ingest seam needs the RFC 8878 frame
-# grammar next to gzip members and tar shards. The fixture frames each
-# doc's text plus a 128-byte run (so both Raw and RLE block types
-# occur) through operators/zstdframe.py's real encoder; the operator
-# decodes the frame back — magic, FHD fields, 3-byte block headers,
-# RLE expansion, FCS verification — and publishes the reassembled
-# content's md5 plus the full structural census. The oracle replays
-# the chunking rule arithmetically (a chunk is RLE iff it equals its
-# first byte repeated), never touching the binary. Compressed_Block
-# is the documented entropy boundary (UnsupportedZstd, libzstd slots
-# behind the same seam). Scale: two Arrow crossings, frames decode
-# independently, one final sort.
-# ---------------------------------------------------------------------------
-
-def _zstd_frame_probe(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-
-    import pandas as pd
-
-    from .operators.zstdframe import decode_zstd_frame, encode_zstd_raw
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = [encode_zstd_raw(t.encode("utf-8") + b"z" * 128, 64)
-                        for t in pdf["text"]]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_zstd_frame(bytes(p))
-                rows.append({
-                    "doc_id": int(did),
-                    "content_len": r["content_len"],
-                    "n_blocks": r["n_blocks"],
-                    "n_raw": r["n_raw"], "n_rle": r["n_rle"],
-                    "frame_bytes": r["frame_bytes"],
-                    "fcs_ok": r["content_len"] == r["fcs"],
-                    "content_md5":
-                        hashlib.md5(r["content"]).hexdigest()})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, content_len long,"
-                                 " n_blocks long, n_raw long,"
-                                 " n_rle long, frame_bytes long,"
-                                 " fcs_ok boolean, content_md5 string")
-               .orderBy("doc_id"))
-
-
-register(
-    "zstd_frame_probe",
-    _zstd_frame_probe,
-    """
--- Chunking runs over UTF-8 BYTES (matching Spark's text.encode('utf-8')):
--- this DuckDB build has no BLOB substring, so the byte walk uses the hex
--- transcription (2 hex chars per byte; offsets/lengths doubled). md5() on
--- VARCHAR already hashes the UTF-8 encoding, so content_md5 needs no trick.
-WITH d AS (SELECT doc_id, text || repeat('z', 128) AS c FROM documents),
-dh AS (SELECT doc_id, c, hex(encode(c)) AS hx,
-              octet_length(encode(c)) AS n FROM d),
-ch AS (SELECT doc_id, c, hx, n,
-              unnest(range(0, (n + 63) // 64)) AS j
-       FROM dh),
-blk AS (SELECT doc_id, n,
-               LEAST(64, n - j * 64) AS clen,
-               substr(hx, CAST(j * 128 + 1 AS INT), CAST(2 * LEAST(64, n - j * 64) AS INT))
-                 = repeat(substr(hx, CAST(j * 128 + 1 AS INT), 2),
-                          LEAST(64, n - j * 64)) AS rle
-        FROM ch)
-SELECT b.doc_id,
-       CAST(MAX(b.n) AS BIGINT) AS content_len,
-       CAST(COUNT(*) AS BIGINT) AS n_blocks,
-       CAST(SUM(CASE WHEN b.rle THEN 0 ELSE 1 END) AS BIGINT) AS n_raw,
-       CAST(SUM(CASE WHEN b.rle THEN 1 ELSE 0 END) AS BIGINT) AS n_rle,
-       CAST(9 + SUM(3 + CASE WHEN b.rle THEN 1 ELSE b.clen END)
-            AS BIGINT) AS frame_bytes,
-       TRUE AS fcs_ok,
-       MAX(md5(d.c)) AS content_md5
-FROM blk b JOIN d ON d.doc_id = b.doc_id
-GROUP BY b.doc_id ORDER BY b.doc_id
-""",
-    doc="RFC 8878 zstd frame roundtrip: real magic/FHD/block-header "
-        "grammar with Raw + RLE blocks decoded and FCS verified; the "
-        "oracle replays the chunk census arithmetically and pins the "
-        "reassembled content md5. Compressed_Block decode ships too — "
-        "zstd_compressed_roundtrip exercises it.",
-)
-
-
-# ---------------------------------------------------------------------------
-# zstd COMPRESSED_BLOCK roundtrip — the entropy stack (VERDICT r8 item
-# 4): real-world .zst payloads are ~all Compressed_Blocks, so the walk
-# above is a probe until FSE + Huffman decode. operators/zstdentropy.py
-# implements the full RFC 8878 §4.1-4.2 stack from scratch (NCount
-# table descriptions, reversed bitstreams, Huffman literals with direct
-# AND FSE-compressed weights over 1 or 4 streams, predefined-table
-# sequences, 3-slot repeat-offset history) with hypothesis roundtrips
-# in tests/test_zstd_entropy.py. The fixture frames each doc's text as
-# ONE compressed block: Huffman-coded literals = utf8(text) + one 'z',
-# then a single sequence (LL = literals, offset 1 — a REPEAT-OFFSET
-# code, rep0's initial value — match length 199) whose overlapped copy
-# regenerates a 200-byte z-run. The oracle pins every content-derived
-# field (length, md5, section census) in plain SQL, so a stale bit
-# anywhere in the Huffman/FSE/sequence pipeline breaks the md5 match.
-# Scale: two Arrow crossings, frames decode independently, one sort.
-# Registered BEHIND the driver's 50-slot window by design (r9 drains
-# the stamp backlog; this heads the r10 queue).
-# ---------------------------------------------------------------------------
-
-def _zstd_compressed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-
-    import pandas as pd
-
-    from .operators.zstdframe import decode_zstd_frame, encode_zstd_compressed
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    src = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def enc(it):
-        for pdf in it:
-            payloads = []
-            for t in pdf["text"]:
-                lits = t.encode("utf-8") + b"z"
-                payloads.append(encode_zstd_compressed(
-                    [(lits, [(len(lits), 1, 199)])]))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                "payload": payloads})
-
-    def dec(it):
-        for pdf in it:
-            rows = []
-            for did, p in zip(pdf["doc_id"].astype("int64"),
-                              pdf["payload"]):
-                r = decode_zstd_frame(bytes(p))
-                rows.append({
-                    "doc_id": int(did),
-                    "content_len": r["content_len"],
-                    "n_blocks": r["n_blocks"],
-                    "n_compressed": r["n_compressed"],
-                    "n_seq": r["n_seq"],
-                    "lit_len": r["lit_len"],
-                    "match_len": r["match_len"],
-                    "fcs_ok": r["content_len"] == r["fcs"],
-                    "content_md5":
-                        hashlib.md5(r["content"]).hexdigest()})
-            yield pd.DataFrame(rows)
-
-    return (src.mapInPandas(enc, "doc_id long, payload binary")
-               .mapInPandas(dec, "doc_id long, content_len long,"
-                                 " n_blocks long, n_compressed long,"
-                                 " n_seq long, lit_len long,"
-                                 " match_len long, fcs_ok boolean,"
-                                 " content_md5 string")
-               .orderBy("doc_id"))
-
-
-register(
-    "zstd_compressed_roundtrip",
-    _zstd_compressed_roundtrip,
-    """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) + 200 AS BIGINT) AS content_len,
-       CAST(1 AS BIGINT) AS n_blocks,
-       CAST(1 AS BIGINT) AS n_compressed,
-       CAST(1 AS BIGINT) AS n_seq,
-       CAST(octet_length(encode(text)) + 1 AS BIGINT) AS lit_len,
-       CAST(199 AS BIGINT) AS match_len,
-       TRUE AS fcs_ok,
-       md5(text || repeat('z', 200)) AS content_md5
-FROM documents ORDER BY doc_id
-""",
-    doc="RFC 8878 Compressed_Block roundtrip: Huffman literals (direct "
-        "or FSE-compressed weights, 1/4 streams) + predefined-table FSE "
-        "sequences with a repeat-offset match, encoded and decoded from "
-        "scratch; the oracle pins content length, md5 and the section "
-        "census, so the md5 match verifies the whole entropy stack.",
-)
-
-
-# ---------------------------------------------------------------------------
-# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
-# algorithm): the guarantee-bearing document-fingerprint scheme next to
-# CDC chunking and full-text minhash — any shared substring of length
-# >= w+k-1 is guaranteed to share a selected fingerprint, and expected
-# density is 2/(w+1). Per doc: 48-bit md5 hashes of all char k-grams
-# (k=8), then each w=4 window selects its minimal hash with the
-# RIGHTMOST tie rule — expressed as a struct-min of (h, -pos) over a
-# bounded per-doc window frame (both engines order structs
-# lexicographically), then DISTINCT selected positions. Scale: the
-# window is per-DOCUMENT (partitioned by doc_id, 4-row frame), k-gram
-# explode is corpus-linear, one final per-doc agg.
-# ---------------------------------------------------------------------------
-
-_WIN_K = 8
-_WIN_W = 4
-
-
-def _winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from .operators.text import md5_hash
-
-    d = (_t(spark, sf, "documents")
-         .select("doc_id", F.trim("text").alias("t"))
-         .where(F.length("t") >= _WIN_K + _WIN_W - 1))
-    grams = (d.select(
-        "doc_id", F.length("t").alias("n"),
-        F.explode(F.sequence(F.lit(1),
-                             F.length("t") - (_WIN_K - 1))).alias("pos"),
-        F.col("t"))
-        .select("doc_id", "n", "pos",
-                md5_hash(F.expr(f"substring(t, pos, {_WIN_K})"))
-                .alias("h")))
-    win = (Window.partitionBy("doc_id").orderBy("pos")
-           .rowsBetween(0, _WIN_W - 1))
-    sel = (grams
-           .withColumn("nk", F.col("n") - (_WIN_K - 1))
-           .withColumn("s", F.min(F.struct(
-               F.col("h"), (-F.col("pos")).alias("np"))).over(win))
-           .where(F.col("pos") <= F.col("nk") - (_WIN_W - 1))
-           .select("doc_id", "nk",
-                   (-F.col("s.np")).alias("fpos"),
-                   F.col("s.h").alias("fh")))
-    fps = sel.select("doc_id", "nk", "fpos", "fh").distinct()
-    return (fps.groupBy("doc_id")
-            .agg(F.max("nk").cast("long").alias("n_kgrams"),
-                 (F.max("nk") - (_WIN_W - 1)).cast("long")
-                 .alias("n_windows"),
-                 F.count(F.lit(1)).alias("n_fps"),
-                 F.min("fh").alias("min_fp"),
-                 F.max("fh").alias("max_fp"))
-            .withColumn("density_micro",
-                        F.expr("(1000000 * n_fps) div n_windows")
-                        .cast("long"))
-            .select("doc_id", "n_kgrams", "n_windows", "n_fps",
-                    "density_micro", "min_fp", "max_fp")
-            .orderBy("doc_id"))
-
-
-register(
-    "winnowing_fingerprints",
-    _winnowing_fingerprints,
-    f"""
-WITH d AS (SELECT doc_id, trim(text) AS t FROM documents
-           WHERE length(trim(text)) >= {_WIN_K + _WIN_W - 1}),
-grams AS (
-  SELECT doc_id, length(t) - {_WIN_K - 1} AS nk,
-         unnest(range(1, length(t) - {_WIN_K - 2})) AS pos, t
-  FROM d),
-h AS (
-  SELECT doc_id, nk, pos,
-         ('0x' || substr(md5(substr(t, CAST(pos AS INT), {_WIN_K})),
-                         1, 12))::BIGINT AS h
-  FROM grams),
-sel AS (
-  SELECT doc_id, nk,
-         MIN({{'h': h, 'np': -pos}}) OVER (
-             PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS s,
-         pos
-  FROM h),
-fp AS (
-  SELECT DISTINCT doc_id, nk, -(s.np) AS fpos, s.h AS fh
-  FROM sel WHERE pos <= nk - {_WIN_W - 1})
-SELECT doc_id,
-       CAST(MAX(nk) AS BIGINT) AS n_kgrams,
-       CAST(MAX(nk) - {_WIN_W - 1} AS BIGINT) AS n_windows,
-       CAST(COUNT(*) AS BIGINT) AS n_fps,
-       CAST((1000000 * COUNT(*)) // (MAX(nk) - {_WIN_W - 1}) AS BIGINT)
-         AS density_micro,
-       CAST(MIN(fh) AS BIGINT) AS min_fp,
-       CAST(MAX(fh) AS BIGINT) AS max_fp
-FROM fp GROUP BY doc_id ORDER BY doc_id
-""",
-    doc="MOSS winnowing (Schleimer et al. 2003): rightmost-min "
-        "fingerprint selection over 4-gram-hash windows via struct-min "
-        "with a bounded per-doc frame — shared substrings of length "
-        ">= w+k-1 share a fingerprint by construction; density pinned "
-        "in integer micro units.",
-)
+from . import queries_scale_part1  # noqa: F401,E402
+from . import queries_scale_part2  # noqa: F401,E402
+from . import queries_scale_part3  # noqa: F401,E402
+from . import queries_scale_part4  # noqa: F401,E402
+
+# Back-compat namespace: the pre-split module exposed every top-level
+# helper/constant; tests and sibling modules import them from here.
+# Later parts override earlier ones, mirroring single-file semantics.
+from . import queries_scale_common as _qs_common  # noqa: E402
+
+for _m in (_qs_common, queries_scale_part1, queries_scale_part2,
+           queries_scale_part3, queries_scale_part4):
+    for _k, _v in vars(_m).items():
+        if not _k.startswith("__"):
+            globals()[_k] = _v
+del _m, _k, _v

@@ -1,0 +1,123 @@
+"""Shared plumbing for the queries_scale_* family modules: the
+original queries_scale.py header — session/table access, the portable
+DuckDB hash-fold snippets that keep Spark/DuckDB doubles and hashes
+bit-identical, and the operator imports every part uses.
+
+queries_scale.py grew to 14k lines by r8; r9 split it into four parts
+AT REGISTRATION BOUNDARIES (VERDICT r8 item 6). The split is by
+contiguous position, not by theme, because the registration order is
+load-bearing (the driver's 50-slot stamp window keys off queries()
+order) and the file grew chronologically with families interleaved —
+a thematic regroup would have reordered the registry. The golden-order
+test (tests/test_registry_types.py::test_registry_order_is_frozen)
+pins the exact key sequence.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "Column",
+    "DataFrame",
+    "F",
+    "HASH_P",
+    "LANG_PROFILES",
+    "STOPWORDS",
+    "SparkSession",
+    "_DUCK_HS",
+    "_DUCK_SHINGLES",
+    "_DUCK_TOKENS",
+    "_duck_char_hash",
+    "_duck_dot",
+    "_duck_md5_hash",
+    "_t",
+    "attach_binary",
+    "cosine_topk",
+    "duck_bround",
+    "duck_lsh_bucket_expr",
+    "embedding_neardup_lsh",
+    "exact_dedup",
+    "exact_dedup_survivors",
+    "extract_features",
+    "fingerprint",
+    "ivf_cosine_topk",
+    "lang_id",
+    "load_tables",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup",
+    "quality_score",
+    "redact_pii",
+    "register",
+    "repetition_stats",
+    "sessionize",
+    "simhash",
+    "simhash_near_pairs",
+    "sliding_agg",
+    "text_stats",
+    "token_counts",
+    "top_terms",
+    "tumbling_agg",
+]
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup_fuzzy import (exact_dedup, exact_dedup_survivors,
+                                    minhash_dedup_pairs, minhash_signatures,
+                                    ngram_jaccard_pairs, simhash,
+                                    simhash_near_pairs)
+from .operators.multimodal import attach_binary, extract_features
+from .operators.similarity import (cosine_topk, duck_lsh_bucket_expr,
+                                   embedding_neardup_lsh, ivf_cosine_topk)
+from .operators.text import (HASH_P, LANG_PROFILES, STOPWORDS, fingerprint,
+                             lang_id, paragraph_dedup, quality_score, redact_pii,
+                             repetition_stats, text_stats, token_counts,
+                             top_terms)
+from .operators.windows import sessionize, sliding_agg, tumbling_agg
+from .oracle_util import duck_bround
+from .registry import register
+from .sources.tables import load_tables
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_tables(spark, sf)[name]
+
+
+# ---- portable SQL snippets (DuckDB side of the shared hash folds) ---------
+
+def _duck_char_hash(s: str) -> str:
+    """DuckDB twin of text.char_hash_expr: identical left fold."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, length({s}) + 1), "
+            f"i -> CAST(ascii(substr({s}, i, 1)) AS BIGINT))), "
+            f"(a, c) -> (a * 31 + c) % {HASH_P})")
+
+
+def _duck_md5_hash(s: str) -> str:
+    """DuckDB twin of text.md5_hash: 48-bit int from the md5 hex prefix."""
+    return f"('0x' || substr(md5({s}), 1, 12))::BIGINT"
+
+
+_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+_DUCK_SHINGLES = (
+    "CASE WHEN len(tk) >= 3 THEN "
+    "list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """DuckDB twin of functions.exact.ddot: sequential double fold."""
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+            f"(x, y) -> x + y)")
+
+
+_DUCK_HS = f"""
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
+hs AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs)
+"""

@@ -1,0 +1,3639 @@
+"""Scale-family queries, part file: media probes (MP4/MP3/H.264/WebM), preference/eval audits, lake ops, near-dup consensus, KN perplexity, FLAC/zstd, winnowing (registrations ~210-end).
+
+Split from queries_scale.py at registration boundaries — see
+queries_scale_common.py for why the split is positional. Import order
+(queries_scale.py) IS the registration order; do not reorder.
+"""
+
+from .queries_scale_common import *  # noqa: F401,F403
+from .queries_scale_part1 import (  # noqa: F401 — earlier-part helpers
+    _ANN_QUERY_IDS, _ENP_PLANES, _ENP_THRESHOLD,
+)
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection via perceptual dHash — the visual
+# analogue of MinHash dedup, run by every multimodal curation pipeline
+# (re-encoded/lightly-edited images share gradient structure even when
+# bytes differ). Each document synthesizes a genuine 18x16 BMP whose
+# gray field derives from (doc_id % 200) base classes plus a per-doc
+# single-pixel tweak; the REAL path is decode (bmp_pixels) -> 2x2 box
+# sums -> 64 gradient-sign bits (dhash64) -> 4x16-bit LSH banding ->
+# band-bucket equi-join -> Hamming<=6 verify via bit_count(xor). All
+# integer, so DuckDB replays pixels, boxes, bits, bands, and distances.
+#
+# Scale shape: the pair search is BANDED like minhash_dedup_pairs —
+# never all-pairs; candidates are one equi-join on (band_idx, band_val)
+# and verification is two bit_count ops. At 100 TB the band join is the
+# only shuffle and buckets stay bounded by visual-class sizes.
+# ---------------------------------------------------------------------------
+
+def _image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import bmp_pixels, dhash64, encode_bmp24
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                b, t = did % 200, did % 7
+                y, x = np.mgrid[0:16, 0:18]
+                g = ((b + 1) * (7 * x + 13 * y + x * y + 1)) % 256
+                if t > 0:
+                    g[t, t] = (g[t, t] + 40 * t) % 256
+                px = np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+                payloads.append(encode_bmp24(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def hsh(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                g = bmp_pixels(bytes(p))[:, :, 0].astype(np.int64)
+                box = g.reshape(8, 2, 9, 2).sum(axis=(1, 3))
+                lo, hi = dhash64(box)
+                rows.append({"doc_id": int(did), "lo": lo, "hi": hi,
+                             "base": int(did) % 200})
+            yield pd.DataFrame(rows)
+
+    hashes = (src.mapInPandas(enc, "doc_id long, payload binary")
+              .mapInPandas(hsh, "doc_id long, lo long, hi long,"
+                                " base long"))
+    bands = hashes.select(
+        "doc_id", "lo", "hi", "base",
+        F.posexplode(F.array(
+            F.col("lo") % 65536, (F.col("lo") / 65536).cast("long"),
+            F.col("hi") % 65536, (F.col("hi") / 65536).cast("long")))
+        .alias("band_idx", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.lo").alias("lo_a"), F.col("a.hi").alias("hi_a"),
+                    F.col("b.lo").alias("lo_b"), F.col("b.hi").alias("hi_b"),
+                    (F.col("a.base") == F.col("b.base")).alias("same_base"))
+            .distinct())
+    return (cand.withColumn(
+                "hamming",
+                (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                 + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
+                .cast("long"))
+            .filter(F.col("hamming") <= 6)
+            .select("doc_a", "doc_b", "hamming", "same_base")
+            .orderBy("doc_a", "doc_b"))
+
+
+register(
+    "image_dhash_neardup",
+    _image_dhash_neardup,
+    """
+WITH grid AS (
+  SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+  FROM generate_series(0, 17) a(g), generate_series(0, 15) b(g)),
+px AS (
+  SELECT d.doc_id, d.doc_id % 200 AS base, grid.x, grid.y,
+         CASE WHEN d.doc_id % 7 > 0 AND grid.y = d.doc_id % 7
+                   AND grid.x = d.doc_id % 7
+              THEN (((d.doc_id % 200 + 1) * (7 * grid.x + 13 * grid.y
+                     + grid.x * grid.y + 1)) % 256
+                    + 40 * (d.doc_id % 7)) % 256
+              ELSE ((d.doc_id % 200 + 1) * (7 * grid.x + 13 * grid.y
+                    + grid.x * grid.y + 1)) % 256 END AS v
+  FROM documents d CROSS JOIN grid),
+box AS (
+  SELECT doc_id, base, y // 2 AS by, x // 2 AS bx, SUM(v) AS s
+  FROM px GROUP BY doc_id, base, y // 2, x // 2),
+bits AS (
+  SELECT l.doc_id, l.base, l.by * 8 + l.bx AS i,
+         CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS bit
+  FROM box l JOIN box r
+    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1),
+h AS (
+  SELECT doc_id, base,
+         SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS lo,
+         SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+                  ELSE 0 END) AS hi
+  FROM bits GROUP BY doc_id, base),
+bands AS (
+  SELECT doc_id, base, lo, hi, t.g AS band_idx,
+         CASE t.g WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+  FROM h CROSS JOIN generate_series(0, 3) t(g)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
+         a.base = b.base AS same_base
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS BIGINT) AS hamming,
+       same_base
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
+ORDER BY doc_a, doc_b
+""",
+    doc="Perceptual dHash image near-dup: real BMP decode -> integer "
+        "2x2 box sums -> 64 gradient-sign bits -> 4x16-bit LSH bands "
+        "-> bucket equi-join -> Hamming<=6 verify via bit_count(xor); "
+        "pixels, hashes, bands, candidates, and distances all replayed "
+        "by integer SQL. Banded like minhash — never all-pairs.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Blocklist screening via Aho-Corasick — the banned-phrase /
+# contamination-marker pass every corpus runs before training. One
+# automaton walk per document counts EVERY occurrence of every pattern
+# (overlapping 'a a' hits, 'fast' nested inside 'fast table', matches
+# crossing token boundaries) — the cases per-pattern replace() counting
+# and tokenized lookups both miss. The oracle rescans every character
+# position with substring compares, so the automaton's goto/fail/output
+# machinery is value-pinned against the naive O(n*k) definition.
+#
+# Scale shape: the blocklist is dimension data compiled driver-side and
+# captured by the Arrow closure (broadcast semantics); the scan is one
+# narrow mapInPandas pass, no shuffle before the final sort. At 100 TB
+# the automaton cost is O(text), independent of pattern count.
+# Oracle bound: the position series is capped at 4096 >> the 577-char
+# max of the synthetic documents (TESTDATA.md); the engine side has no
+# such cap.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("value", "fast", "fast table", "a a",
+              "scan", "table", "le va", "row")
+
+
+def _blocklist_screen(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.text import ac_count_all, build_aho_corasick
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+    pats = _BLOCKLIST
+
+    def scan(it):
+        ac = build_aho_corasick(list(pats))
+        for pdf in it:
+            rows = []
+            for did, txt in zip(pdf["doc_id"].astype("int64"),
+                                pdf["text"]):
+                c = ac_count_all(ac, txt or "")
+                rows.append({"doc_id": int(did),
+                             **{f"n_{i}": c[i] for i in range(len(pats))},
+                             "total": sum(c),
+                             "n_patterns": sum(1 for v in c if v),
+                             "blocked": any(c)})
+            yield pd.DataFrame(rows)
+
+    cols = ", ".join(f"n_{i} long" for i in range(len(pats)))
+    return (src.mapInPandas(scan, f"doc_id long, {cols}, total long,"
+                                  " n_patterns long, blocked boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "blocklist_screen",
+    _blocklist_screen,
+    f"""
+WITH pos AS (
+  SELECT d.doc_id, d.text, i.g AS i
+  FROM documents d
+  JOIN generate_series(1, 4096) i(g) ON i.g <= LENGTH(d.text)),
+c AS (
+  SELECT doc_id,
+{chr(10).join(f"         SUM(CASE WHEN substr(text, i, {len(p)}) = '{p}'"
+              f" THEN 1 ELSE 0 END) AS n_{i},"
+              for i, p in enumerate(_BLOCKLIST))}
+         0 AS _pad
+  FROM pos GROUP BY doc_id)
+SELECT doc_id,
+{chr(10).join(f"       CAST(n_{i} AS BIGINT) AS n_{i}," for i in range(len(_BLOCKLIST)))}
+       CAST({" + ".join(f"n_{i}" for i in range(len(_BLOCKLIST)))} AS BIGINT)
+         AS total,
+       CAST({" + ".join(f"CASE WHEN n_{i} > 0 THEN 1 ELSE 0 END"
+                        for i in range(len(_BLOCKLIST)))} AS BIGINT)
+         AS n_patterns,
+       {" OR ".join(f"n_{i} > 0" for i in range(len(_BLOCKLIST)))} AS blocked
+FROM c ORDER BY doc_id
+""",
+    doc="Aho-Corasick blocklist screening: one automaton walk counts "
+        "all overlapping/nested/boundary-crossing occurrences of an "
+        "8-pattern blocklist per document; the oracle rescans every "
+        "character position with substring compares.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Randomized-response privacy audit — the classic local-DP mechanism
+# (Warner 1965): each holder of a sensitive bit reports the truth with
+# probability p = 3/4 and the flipped bit otherwise, giving plausible
+# deniability (epsilon = ln(p/(1-p)) = ln 3); the aggregator debiases
+# the noisy count as (obs - (1-p)n) / (2p-1). With p = 3/4 the
+# estimator is exactly 2*obs - n/2, so est*1000 = 2000*obs - 500*n is
+# an INTEGER — the whole mechanism, including the coin, the noisy
+# counts, and the debiased estimate, is value-pinned with zero float
+# hazard. The coin is a seeded hash of the row key (deterministic,
+# replayable — the property an auditable DP pipeline needs anyway).
+#
+# Scale shape: one scan, one map-side-combinable agg per source; the
+# coin and the flip are codegen Column arithmetic. No Python, no
+# window, no second pass.
+# ---------------------------------------------------------------------------
+
+def _dp_randomized_response(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    truth = (F.col("n_chars") % 3 == 0).cast("long")
+    coin = (F.col("doc_id") * 48271 + 11) % 100          # truth iff < 75
+    reported = F.when(coin < 75, truth).otherwise(1 - truth)
+    agg = (d.select("source", truth.alias("t"), reported.alias("r"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("t").alias("true_count"),
+                F.sum("r").alias("reported_count")))
+    est_milli = 2000 * F.col("reported_count") - 500 * F.col("n")
+    return (agg.withColumn("est_milli", est_milli)
+            .withColumn("abs_err_milli",
+                        F.abs(est_milli - 1000 * F.col("true_count")))
+            .orderBy("source"))
+
+
+register(
+    "dp_randomized_response",
+    _dp_randomized_response,
+    """
+WITH d AS (
+  SELECT source,
+         CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS t,
+         CASE WHEN (doc_id * 48271 + 11) % 100 < 75
+              THEN CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END
+              ELSE CASE WHEN n_chars % 3 = 0 THEN 0 ELSE 1 END
+         END AS r
+  FROM documents),
+a AS (
+  SELECT source, COUNT(*) AS n, SUM(t) AS true_count,
+         SUM(r) AS reported_count
+  FROM d GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(reported_count AS BIGINT) AS reported_count,
+       CAST(2000 * reported_count - 500 * n AS BIGINT) AS est_milli,
+       CAST(ABS(2000 * reported_count - 500 * n - 1000 * true_count)
+            AS BIGINT) AS abs_err_milli
+FROM a ORDER BY source
+""",
+    doc="Warner randomized response (local DP, p=3/4, eps=ln 3): "
+        "seeded deterministic coin, per-source noisy counts, and the "
+        "exact-integer debiased estimate 2*obs - n/2 published in "
+        "milli units — mechanism and estimator both value-pinned.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Unicode script-mix audit — multilingual curation needs per-document
+# script composition: lang-id disagreement, mixed-script spoofing
+# (Cyrillic 'а' inside Latin words), and CJK/Arabic segmentation
+# routing all key off it. The fixture synthesizes genuinely mixed text
+# per document (chr() runs from five non-Latin ranges appended to the
+# real Latin text, counts derived from doc_id); counting is PURE Column
+# regex over explicit codepoint ranges (identical semantics in Java
+# regex and RE2, unlike \\p{Script=...} names), so the whole audit
+# stays inside whole-stage codegen — no Python, no shuffle before the
+# final sort.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RANGES = (
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+    ("hangul", "[가-힯]"),
+)
+
+
+def _unicode_script_mix(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+
+    def pick(base: int, span: int) -> Column:
+        # Spark's chr() is mod-256 Latin-1, so non-Latin codepoints
+        # come from a literal-array lookup — still pure codegen
+        return F.element_at(
+            F.array(*[F.lit(chr(base + i)) for i in range(span)]),
+            (did % span + 1).cast("int"))
+
+    mixed = F.concat(
+        F.substring("text", 1, 20),
+        F.repeat(pick(1040, 32), (did % 5).cast("int")),
+        F.repeat(pick(913, 24), (did % 4).cast("int")),
+        F.repeat(pick(19968, 100), (did % 3).cast("int")),
+        F.repeat(pick(1575, 10), (did % 4).cast("int")),
+        F.repeat(pick(44032, 50), (did % 2).cast("int")))
+    t = d.select("doc_id", mixed.alias("u"))
+    counts = [F.regexp_count("u", F.lit(rx)).cast("long").alias(name)
+              for name, rx in _SCRIPT_RANGES]
+    t = t.select("doc_id", F.length("u").cast("long").alias("n_chars_u"),
+                 *counts)
+    names = [n for n, _ in _SCRIPT_RANGES]
+    n_scripts = sum((F.col(n) > 0).cast("long") for n in names)
+    top = F.greatest(*[F.col(n) for n in names])
+    dominant = F.when(F.lit(False), F.lit(""))
+    for n in names:                      # first-in-order wins ties
+        dominant = dominant.when(F.col(n) == top, F.lit(n))
+    return (t.withColumn("n_scripts", n_scripts.cast("long"))
+            .withColumn("dominant", dominant)
+            .withColumn("mixed_script", n_scripts >= 3)
+            .orderBy("doc_id"))
+
+
+register(
+    "unicode_script_mix",
+    _unicode_script_mix,
+    """
+WITH t AS (
+  SELECT doc_id,
+         substr(text, 1, 20)
+         || repeat(chr(CAST(1040 + doc_id % 32 AS INT)),
+                   CAST(doc_id % 5 AS INT))
+         || repeat(chr(CAST(913 + doc_id % 24 AS INT)),
+                   CAST(doc_id % 4 AS INT))
+         || repeat(chr(CAST(19968 + doc_id % 100 AS INT)),
+                   CAST(doc_id % 3 AS INT))
+         || repeat(chr(CAST(1575 + doc_id % 10 AS INT)),
+                   CAST(doc_id % 4 AS INT))
+         || repeat(chr(CAST(44032 + doc_id % 50 AS INT)),
+                   CAST(doc_id % 2 AS INT)) AS u
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(LENGTH(u) AS BIGINT) AS n_chars_u,
+         CAST(len(regexp_extract_all(u, '[A-Za-z]')) AS BIGINT) AS latin,
+         CAST(len(regexp_extract_all(u, '[Ѐ-ӿ]')) AS BIGINT)
+           AS cyrillic,
+         CAST(len(regexp_extract_all(u, '[Ͱ-Ͽ]')) AS BIGINT)
+           AS greek,
+         CAST(len(regexp_extract_all(u, '[一-鿿]')) AS BIGINT)
+           AS cjk,
+         CAST(len(regexp_extract_all(u, '[؀-ۿ]')) AS BIGINT)
+           AS arabic,
+         CAST(len(regexp_extract_all(u, '[가-힯]')) AS BIGINT)
+           AS hangul
+  FROM t)
+SELECT doc_id, n_chars_u, latin, cyrillic, greek, cjk, arabic, hangul,
+       CAST((latin > 0)::INT + (cyrillic > 0)::INT + (greek > 0)::INT
+            + (cjk > 0)::INT + (arabic > 0)::INT + (hangul > 0)::INT
+            AS BIGINT) AS n_scripts,
+       CASE GREATEST(latin, cyrillic, greek, cjk, arabic, hangul)
+         WHEN latin THEN 'latin' WHEN cyrillic THEN 'cyrillic'
+         WHEN greek THEN 'greek' WHEN cjk THEN 'cjk'
+         WHEN arabic THEN 'arabic' ELSE 'hangul' END AS dominant,
+       (latin > 0)::INT + (cyrillic > 0)::INT + (greek > 0)::INT
+         + (cjk > 0)::INT + (arabic > 0)::INT + (hangul > 0)::INT >= 3
+         AS mixed_script
+FROM c ORDER BY doc_id
+""",
+    doc="Unicode script-mix audit over synthesized mixed-script text: "
+        "per-script codepoint-range counts (explicit ranges, engine-"
+        "portable), script cardinality, tie-ordered dominant script, "
+        "and a mixed-script spoofing flag — all codegen Column regex.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN workhorse next to
+# IVF and SQ8 (embedding_quantization_audit): the 64-dim embedding is
+# split into 4 x 16-dim subspaces, each fitted with its own tiny
+# k-means codebook (k=8, 2 Lloyd rounds, id-ordered init — the same
+# exact-fold fit as the IVF coarse quantizer), and every vector is
+# encoded as 4 code bytes. Published output is the INTEGER code per
+# subspace per vector plus the per-code populations, so the entire
+# fit+encode chain is value-pinned with no float publication; the
+# oracle unrolls all four subspace fits CTE-by-CTE like the IVF/
+# SemDeDup oracles.
+#
+# Scale shape: fits collect k x subdim doubles per round from a
+# sample-sized table (memoized per sf); the encode pass is one scan
+# with 4 argmin fold expressions — no shuffle before the final sort.
+# At 100 TB the codes are what ships to the ANN serving tier (16 bytes
+# per vector instead of 256).
+# ---------------------------------------------------------------------------
+
+_PQ_FIT_CACHE: dict[tuple, list] = {}
+_PQ_M, _PQ_DIMS, _PQ_K, _PQ_ITER = 4, 16, 8, 2
+
+
+def _pq_fit(spark: SparkSession, sf: str, j: int) -> list:
+    from .operators.similarity import kmeans_fit
+    key = (sf, "pq", j)
+    if key not in _PQ_FIT_CACHE:
+        sub = (_t(spark, sf, "embeddings")
+               .select("vec_id",
+                       F.slice("embedding", j * _PQ_DIMS + 1,
+                               _PQ_DIMS).alias("embedding")))
+        _PQ_FIT_CACHE[key] = kmeans_fit(sub, n_cells=_PQ_K,
+                                        n_iter=_PQ_ITER)
+    return _PQ_FIT_CACHE[key]
+
+
+def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import assign_cells_fold
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    out = emb
+    for j in range(_PQ_M):
+        cents = _pq_fit(spark, sf, j)
+        out = (assign_cells_fold(
+                   out.withColumn("_sub", F.slice("embedding",
+                                                  j * _PQ_DIMS + 1,
+                                                  _PQ_DIMS)),
+                   cents, vec_col="_sub", cell_col=f"code{j}")
+               .drop("_sub"))
+    codes = [F.col(f"code{j}").cast("long").alias(f"code{j}")
+             for j in range(_PQ_M)]
+    return (out.select("vec_id", *codes)
+            .withColumn("packed",
+                        sum(F.col(f"code{j}") * (8 ** j)
+                            for j in range(_PQ_M)).cast("long"))
+            .orderBy("vec_id"))
+
+
+def _pq_sub_ctes(j: int) -> list[str]:
+    a = j * _PQ_DIMS + 1
+    ctes = [f"""sub{j} AS (
+  SELECT vec_id, list_transform(range({a}, {a + _PQ_DIMS}),
+                                i -> CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings)"""]
+    ctes.append(f"""c{j}_0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         v AS centroid
+  FROM (SELECT vec_id, v FROM sub{j} ORDER BY vec_id LIMIT {_PQ_K}))""")
+
+    def d2(v: str, c: str) -> str:
+        return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
+                f" + {_duck_dot(c, c)}")
+
+    for i in range(_PQ_ITER + 1):
+        ctes.append(f"""a{j}_{i + 1} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {d2('e.v', 'c.centroid')} ASC, c.cell ASC) AS rn
+    FROM sub{j} e CROSS JOIN c{j}_{i} c) t WHERE rn = 1)""")
+        if i < _PQ_ITER:
+            ctes.append(f"""c{j}_{i + 1} AS (
+  SELECT c.cell, COALESCE(n.centroid, c.centroid) AS centroid
+  FROM c{j}_{i} c LEFT JOIN (
+    SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+      SELECT cell, dim,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                         (x, y) -> x + y) / len(vs) AS m
+      FROM (SELECT cell, dim, list(val ORDER BY vec_id) AS vs
+            FROM (SELECT cell, vec_id, unnest(v) AS val,
+                         CAST(unnest(range(len(v))) AS INT) AS dim
+                  FROM a{j}_{i + 1})
+            GROUP BY cell, dim))
+    GROUP BY cell) n ON n.cell = c.cell)""")
+    return ctes
+
+
+def _pq_oracle() -> str:
+    ctes: list[str] = []
+    for j in range(_PQ_M):
+        ctes.extend(_pq_sub_ctes(j))
+    final = [f"a{j}_{_PQ_ITER + 1}" for j in range(_PQ_M)]
+    joins = " ".join(
+        f"JOIN {final[j]} f{j} ON f{j}.vec_id = f0.vec_id"
+        for j in range(1, _PQ_M))
+    codes = ", ".join(f"CAST(f{j}.cell AS BIGINT) AS code{j}"
+                      for j in range(_PQ_M))
+    packed = " + ".join(f"f{j}.cell * {8 ** j}" for j in range(_PQ_M))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT f0.vec_id, {codes}, CAST({packed} AS BIGINT) AS packed
+FROM {final[0]} f0 {joins}
+ORDER BY f0.vec_id
+""")
+
+
+register(
+    "pq_quantization_codes",
+    _pq_codes,
+    _pq_oracle(),
+    doc="Product quantization over 4x16-dim subspaces: per-subspace "
+        "k=8 Lloyd fits (id-ordered init, exact double folds, "
+        "empty-cell carry) and argmin encoding, published as integer "
+        "codes + the packed 12-bit word per vector; the oracle unrolls "
+        "all four subspace fits iteration by iteration.",
+)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC) — how PQ codes are actually
+# queried: per query vector, an 8-entry lookup table of exact
+# (query-subvector -> centroid) squared distances per subspace, then
+# every database vector is scored as the SUM OF 4 TABLE LOOKUPS on its
+# code word — no decode, no per-vector float math beyond 4 adds. The
+# LUT doubles are the same id-ordered exact folds as the fit, and the
+# 4-term sum has a fixed association order, so the approximate
+# distances (and therefore the ADC top-k ranking) are bit-reproducible
+# and the oracle replays them from the unrolled subspace fits.
+#
+# Scale shape: LUTs are built driver-side from the memoized fits
+# (k x m doubles per query — constant) and enter the plan as literals;
+# scoring is 4 element_at lookups + adds per row, one scan, one
+# per-query top-k. At 100 TB this is the serving-tier scan shape.
+# ---------------------------------------------------------------------------
+
+def _pyfold_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.similarity import assign_cells_fold
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    coded = emb
+    fits = []
+    for j in range(_PQ_M):
+        cents = _pq_fit(spark, sf, j)
+        fits.append(cents)
+        coded = (assign_cells_fold(
+                     coded.withColumn("_sub", F.slice("embedding",
+                                                      j * _PQ_DIMS + 1,
+                                                      _PQ_DIMS)),
+                     cents, vec_col="_sub", cell_col=f"code{j}")
+                 .drop("_sub"))
+    coded = coded.select(
+        "vec_id", *[F.col(f"code{j}") for j in range(_PQ_M)])
+
+    qrows = {int(r["vec_id"]): list(r["embedding"])
+             for r in emb.filter(F.col("vec_id")
+                                 .isin(_ANN_QUERY_IDS)).collect()}
+    parts = []
+    for qid in _ANN_QUERY_IDS:
+        qv = qrows[qid]
+        luts = []
+        for j in range(_PQ_M):
+            sub = qv[j * _PQ_DIMS:(j + 1) * _PQ_DIMS]
+            lut = []
+            for c in fits[j]:
+                dvv = _pyfold_dot(sub, sub)
+                dvc = _pyfold_dot(sub, c)
+                dcc = _pyfold_dot(c, c)
+                lut.append((dvv - 2.0 * dvc) + dcc)
+            luts.append(lut)
+        adc = sum(F.element_at(
+                      F.array(*[F.lit(v) for v in luts[j]]),
+                      (F.col(f"code{j}") + 1).cast("int"))
+                  for j in range(_PQ_M))
+        parts.append(coded
+                     .filter(F.col("vec_id") != qid)
+                     .select(F.lit(qid).cast("long").alias("query_id"),
+                             F.col("vec_id").alias("neighbor_id"),
+                             adc.alias("adc_d2")))
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .orderBy("query_id", "rank"))
+
+
+def _pq_adc_oracle(k: int = 10) -> str:
+    ctes: list[str] = []
+    for j in range(_PQ_M):
+        ctes.extend(_pq_sub_ctes(j))
+    ids = ", ".join(map(str, _ANN_QUERY_IDS))
+
+    def d2(v: str, c: str) -> str:
+        return (f"{_duck_dot(v, v)} - 2.0 * {_duck_dot(v, c)}"
+                f" + {_duck_dot(c, c)}")
+
+    for j in range(_PQ_M):
+        ctes.append(f"""lut{j} AS (
+  SELECT q.vec_id AS query_id, c.cell, {d2('q.v', 'c.centroid')} AS d
+  FROM (SELECT vec_id, v FROM sub{j} WHERE vec_id IN ({ids})) q
+  CROSS JOIN c{j}_{_PQ_ITER} c)""")
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = q.g"
+        f" AND l{j}.cell = f{j}.cell" for j in range(_PQ_M))
+    code_joins = " ".join(
+        f"JOIN a{j}_{_PQ_ITER + 1} f{j} ON f{j}.vec_id = f0.vec_id"
+        for j in range(1, _PQ_M))
+    adc = " + ".join(f"l{j}.d" for j in range(_PQ_M))
+    ctes.append(f"""scored AS (
+  SELECT q.g AS query_id, f0.vec_id AS neighbor_id,
+         0 + {adc} AS adc_d2
+  FROM (SELECT unnest([{ids}]) AS g) q
+  CROSS JOIN a0_{_PQ_ITER + 1} f0 {code_joins} {lut_joins}
+  WHERE f0.vec_id != q.g)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id, adc_d2,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn FROM scored) t
+WHERE rn <= {k} ORDER BY query_id, rn
+""")
+
+
+register(
+    "pq_adc_topk",
+    _pq_adc_topk,
+    _pq_adc_oracle(),
+    doc="PQ asymmetric-distance top-10: per-query 8-entry LUTs of "
+        "exact-fold squared distances per subspace, database vectors "
+        "scored as 4 table lookups + a fixed-order sum on their code "
+        "words; approximate distances and ranking bit-replayed by the "
+        "oracle from the unrolled subspace fits.",
+)
+
+
+# ---------------------------------------------------------------------------
+# TFRecord shard roundtrip — the de-facto ML training-data container:
+# documents are grouped into genuine TFRecord shards (one real shuffle
+# keyed by shard id, like webdataset_roundtrip), each record a true
+# protobuf tf.train.Example (varint wire format with NEGATIVE int64s'
+# ten-byte encoding, packed fixed32 floats, bytes features) framed with
+# the masked-CRC32C TFRecord layout; the reader walks frames with CRC
+# verification ON and re-decodes every Example with the real
+# wire-format walker. Every published value comes from the DECODED
+# bytes and is replayed arithmetically by DuckDB; floats are chosen
+# exactly representable in float32 so the double publication is
+# hazard-free. operators/tfrecord.py holds the codec (public CRC32C
+# test vectors + hypothesis roundtrips in tests/test_tfrecord.py).
+#
+# Scale shape: one groupBy-shard shuffle + two Arrow crossings; shards
+# are independent so the layout splits across executors exactly like
+# production TFRecord pipelines expect.
+# ---------------------------------------------------------------------------
+
+def _tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.tfrecord import (decode_example, encode_example,
+                                     frame_records, read_records)
+
+    d = (_t(spark, sf, "documents").select("doc_id")
+         .withColumn("shard", (F.col("doc_id") % 32).cast("long")))
+
+    def build(key, pdf):
+        records = []
+        for did in sorted(pdf["doc_id"].astype("int64")):
+            did = int(did)
+            n = 5 + did % 4
+            toks = [(did * 7 + 3 * i) % 1000 - 400 for i in range(n)]
+            records.append(encode_example({
+                "doc_id": [did],
+                "tokens": toks,
+                "score": [(did % 512) / 256.0, (did % 7) / 4.0],
+                "text": f"doc{did}".encode()}))
+        return pd.DataFrame({"shard": [int(key[0])],
+                             "payload": [frame_records(records)]})
+
+    shards = d.groupBy("shard").applyInPandas(
+        build, "shard long, payload binary")
+
+    def unpack(it):
+        for pdf in it:
+            rows = []
+            for s, p in zip(pdf["shard"].astype("int64"), pdf["payload"]):
+                recs = read_records(bytes(p), verify=True)
+                for r in recs:
+                    ex = decode_example(r)
+                    toks = ex["tokens"]
+                    rows.append({
+                        "doc_id": ex["doc_id"][0],
+                        "shard": int(s),
+                        "shard_size": len(recs),
+                        "n_tokens": len(toks),
+                        "token_sum": sum(toks),
+                        "neg_tokens": sum(1 for t in toks if t < 0),
+                        "score0": float(ex["score"][0]),
+                        "score1": float(ex["score"][1]),
+                        "text_len": len(ex["text"]),
+                        "crc_ok": True})
+            yield pd.DataFrame(rows)
+
+    return (shards.mapInPandas(
+                unpack, "doc_id long, shard long, shard_size long,"
+                        " n_tokens long, token_sum long, neg_tokens long,"
+                        " score0 double, score1 double, text_len long,"
+                        " crc_ok boolean")
+            .orderBy("doc_id"))
+
+
+register(
+    "tfrecord_roundtrip",
+    _tfrecord_roundtrip,
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 32 AS shard, 5 + doc_id % 4 AS n
+  FROM documents),
+s AS (SELECT shard, COUNT(*) AS shard_size FROM d GROUP BY shard),
+t AS (
+  SELECT d.doc_id, d.shard, d.n,
+         (d.doc_id * 7 + 3 * i.g) % 1000 - 400 AS tok
+  FROM d JOIN generate_series(0, 8) i(g) ON i.g < d.n)
+SELECT d.doc_id, d.shard, CAST(s.shard_size AS BIGINT) AS shard_size,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(SUM(t.tok) AS BIGINT) AS token_sum,
+       CAST(SUM(CASE WHEN t.tok < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS neg_tokens,
+       CAST(d.doc_id % 512 AS DOUBLE) / 256.0 AS score0,
+       CAST(d.doc_id % 7 AS DOUBLE) / 4.0 AS score1,
+       CAST(LENGTH('doc' || CAST(d.doc_id AS VARCHAR)) AS BIGINT)
+         AS text_len,
+       TRUE AS crc_ok
+FROM d JOIN s ON s.shard = d.shard
+JOIN t ON t.doc_id = d.doc_id
+GROUP BY d.doc_id, d.shard, s.shard_size, d.n
+ORDER BY d.doc_id
+""",
+    doc="TFRecord shard roundtrip: real protobuf Example encoding "
+        "(ten-byte negative varints, packed fixed32 floats), masked-"
+        "CRC32C framing verified on read, one shard-keyed shuffle; "
+        "decoded token sums, float32-exact scores, and shard sizes "
+        "replayed arithmetically.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF shard roundtrip — Spark's Avro module is an external jar
+# that is absent here, so the engine carries its own byte-level Object
+# Container File codec (operators/avro_ocf.py: ZIGZAG varints — the
+# spec's own examples pinned in tests — block-encoded arrays, embedded
+# JSON schema driving field order, per-block sync-marker verification).
+# Same shard shape as tfrecord_roundtrip: one groupBy-shard shuffle,
+# genuine multi-block files (block_records=8), every published value
+# read back out of the container bytes and replayed arithmetically;
+# the double score is float-exact by construction ((id%512)/256).
+# ---------------------------------------------------------------------------
+
+_AVRO_DOC_SCHEMA = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "tokens", "type": {"type": "array", "items": "long"}},
+        {"name": "score", "type": "double"},
+        {"name": "text", "type": "string"}]}
+
+
+def _avro_container_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.avro_ocf import read_ocf, write_ocf
+
+    d = (_t(spark, sf, "documents").select("doc_id")
+         .withColumn("shard", (F.col("doc_id") % 32).cast("long")))
+
+    def build(key, pdf):
+        s = int(key[0])
+        sync = bytes((s * 31 + i * 7) % 256 for i in range(16))
+        recs = []
+        for did in sorted(pdf["doc_id"].astype("int64")):
+            did = int(did)
+            n = 5 + did % 4
+            recs.append({
+                "doc_id": did,
+                "tokens": [(did * 7 + 3 * i) % 1000 - 400
+                           for i in range(n)],
+                "score": (did % 512) / 256.0,
+                "text": f"doc{did}"})
+        return pd.DataFrame({"shard": [s],
+                             "payload": [write_ocf(_AVRO_DOC_SCHEMA,
+                                                   recs, sync,
+                                                   block_records=8)]})
+
+    shards = d.groupBy("shard").applyInPandas(
+        build, "shard long, payload binary")
+
+    def unpack(it):
+        for pdf in it:
+            rows = []
+            for s, p in zip(pdf["shard"].astype("int64"), pdf["payload"]):
+                r = read_ocf(bytes(p))
+                want = bytes((int(s) * 31 + i * 7) % 256
+                             for i in range(16))
+                for rec in r["records"]:
+                    toks = rec["tokens"]
+                    rows.append({
+                        "doc_id": rec["doc_id"],
+                        "shard": int(s),
+                        "shard_size": len(r["records"]),
+                        "n_blocks": r["n_blocks"],
+                        "n_tokens": len(toks),
+                        "token_sum": sum(toks),
+                        "score": float(rec["score"]),
+                        "text_len": len(rec["text"]),
+                        "sync_ok": r["sync"] == want})
+            yield pd.DataFrame(rows)
+
+    return (shards.mapInPandas(
+                unpack, "doc_id long, shard long, shard_size long,"
+                        " n_blocks long, n_tokens long, token_sum long,"
+                        " score double, text_len long, sync_ok boolean")
+            .orderBy("doc_id"))
+
+
+register(
+    "avro_container_roundtrip",
+    _avro_container_roundtrip,
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 32 AS shard, 5 + doc_id % 4 AS n
+  FROM documents),
+s AS (SELECT shard, COUNT(*) AS shard_size,
+             (COUNT(*) + 7) // 8 AS n_blocks
+      FROM d GROUP BY shard),
+t AS (
+  SELECT d.doc_id, (d.doc_id * 7 + 3 * i.g) % 1000 - 400 AS tok
+  FROM d JOIN generate_series(0, 8) i(g) ON i.g < d.n)
+SELECT d.doc_id, d.shard,
+       CAST(s.shard_size AS BIGINT) AS shard_size,
+       CAST(s.n_blocks AS BIGINT) AS n_blocks,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(SUM(t.tok) AS BIGINT) AS token_sum,
+       CAST(d.doc_id % 512 AS DOUBLE) / 256.0 AS score,
+       CAST(LENGTH('doc' || CAST(d.doc_id AS VARCHAR)) AS BIGINT)
+         AS text_len,
+       TRUE AS sync_ok
+FROM d JOIN s ON s.shard = d.shard
+JOIN t ON t.doc_id = d.doc_id
+GROUP BY d.doc_id, d.shard, s.shard_size, s.n_blocks, d.n
+ORDER BY d.doc_id
+""",
+    doc="Avro OCF roundtrip without the avro jar: zigzag varints, "
+        "block-encoded arrays, embedded-schema-driven decode, "
+        "per-block sync verification over genuine multi-block shard "
+        "files; token sums, scores, and block counts replayed "
+        "arithmetically.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Snappy-coded Avro OCF — same container walk as
+# avro_container_roundtrip but with avro.codec=snappy: every block runs
+# through the from-scratch Snappy decoder (operators/avro_ocf.py,
+# hypothesis-tested vs the public format description) and the spec's
+# big-endian CRC32-of-uncompressed check before records decode. A
+# compression_saved column (null-codec bytes minus snappy bytes,
+# summed per shard) proves real copy-bearing streams were produced —
+# it is strictly positive for every shard because the record bodies
+# share structure. That byte delta depends on the exact encoder
+# emits, so it is deliberately NOT published; the published values are
+# the decoded-record facts the oracle can replay arithmetically plus
+# the boolean that compression actually happened.
+# ---------------------------------------------------------------------------
+
+def _avro_snappy_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.avro_ocf import read_ocf, write_ocf
+
+    d = (_t(spark, sf, "documents").select("doc_id")
+         .withColumn("shard", (F.col("doc_id") % 32).cast("long")))
+
+    def build(key, pdf):
+        s = int(key[0])
+        sync = bytes((s * 31 + i * 7) % 256 for i in range(16))
+        recs = []
+        for did in sorted(pdf["doc_id"].astype("int64")):
+            did = int(did)
+            n = 5 + did % 4
+            recs.append({
+                "doc_id": did,
+                "tokens": [(did * 7 + 3 * i) % 1000 - 400
+                           for i in range(n)],
+                "score": (did % 512) / 256.0,
+                "text": f"doc{did}"})
+        snappy = write_ocf(_AVRO_DOC_SCHEMA, recs, sync,
+                           block_records=8, codec="snappy")
+        null = write_ocf(_AVRO_DOC_SCHEMA, recs, sync, block_records=8)
+        return pd.DataFrame({"shard": [s], "payload": [snappy],
+                             "saved": [len(null) - len(snappy)]})
+
+    shards = d.groupBy("shard").applyInPandas(
+        build, "shard long, payload binary, saved long")
+
+    def unpack(it):
+        for pdf in it:
+            rows = []
+            for s, p, sv in zip(pdf["shard"].astype("int64"),
+                                pdf["payload"],
+                                pdf["saved"].astype("int64")):
+                r = read_ocf(bytes(p))
+                for rec in r["records"]:
+                    toks = rec["tokens"]
+                    rows.append({
+                        "doc_id": rec["doc_id"],
+                        "shard": int(s),
+                        "codec": r["codec"],
+                        "n_blocks": r["n_blocks"],
+                        "n_tokens": len(toks),
+                        "token_sum": sum(toks),
+                        "score": float(rec["score"]),
+                        "compressed": int(sv) > 0})
+            yield pd.DataFrame(rows)
+
+    return (shards.mapInPandas(
+                unpack, "doc_id long, shard long, codec string,"
+                        " n_blocks long, n_tokens long, token_sum long,"
+                        " score double, compressed boolean")
+            .orderBy("doc_id"))
+
+
+register(
+    "avro_snappy_roundtrip",
+    _avro_snappy_roundtrip,
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 32 AS shard, 5 + doc_id % 4 AS n
+  FROM documents),
+s AS (SELECT shard, (COUNT(*) + 7) // 8 AS n_blocks FROM d GROUP BY shard),
+t AS (
+  SELECT d.doc_id, (d.doc_id * 7 + 3 * i.g) % 1000 - 400 AS tok
+  FROM d JOIN generate_series(0, 8) i(g) ON i.g < d.n)
+SELECT d.doc_id, d.shard, 'snappy' AS codec,
+       CAST(s.n_blocks AS BIGINT) AS n_blocks,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(SUM(t.tok) AS BIGINT) AS token_sum,
+       CAST(d.doc_id % 512 AS DOUBLE) / 256.0 AS score,
+       TRUE AS compressed
+FROM d JOIN s ON s.shard = d.shard
+JOIN t ON t.doc_id = d.doc_id
+GROUP BY d.doc_id, d.shard, s.n_blocks, d.n
+ORDER BY d.doc_id
+""",
+    doc="Snappy-coded Avro OCF: from-scratch Snappy block decode + "
+        "the spec's CRC32-of-uncompressed verification per block, "
+        "then the schema-driven record walk; decoded values replayed "
+        "arithmetically, with a pinned boolean that compression "
+        "genuinely shrank every shard.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Longest repeated substring per document — the per-document exact-
+# repetition primitive behind suffix-array dedup (Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better"): built on
+# a REAL suffix array + Kasai LCP (operators/text.py, verified against
+# brute force by hypothesis), not the relational window join the
+# span-coverage query uses. Bounded to the 64-char document prefix so
+# the oracle can pin the same answer by counting duplicate fixed-length
+# windows at every length (1M tiny rows at sf0.01) — the engine side
+# has no such bound and runs O(n log^2 n) per document.
+#
+# Scale shape: narrow per-document Arrow work, no shuffle before the
+# final sort. Ties at the max length resolve to the lexicographically
+# smallest substring (free from suffix-array order; GROUP BY + MIN in
+# the oracle).
+# ---------------------------------------------------------------------------
+
+def _longest_repeated(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.text import longest_repeated_substring
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def scan(it):
+        for pdf in it:
+            rows = []
+            for did, txt in zip(pdf["doc_id"].astype("int64"),
+                                pdf["text"]):
+                s = (txt or "")[:64]
+                ln, w = longest_repeated_substring(s)
+                occ = (sum(1 for i in range(len(s) - ln + 1)
+                           if s[i:i + ln] == w) if ln else 0)
+                rows.append({"doc_id": int(did), "lrs_len": ln,
+                             "lrs": w, "occurrences": occ})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(scan, "doc_id long, lrs_len long,"
+                                  " lrs string, occurrences long")
+               .orderBy("doc_id"))
+
+
+register(
+    "longest_repeated_substring",
+    _longest_repeated,
+    """
+WITH p AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+w AS (
+  SELECT p.doc_id, L.g AS L, substr(p.s, CAST(i.g AS INT),
+                                    CAST(L.g AS INT)) AS w
+  FROM p
+  JOIN generate_series(1, 63) L(g) ON L.g <= LENGTH(p.s) - 1
+  JOIN generate_series(1, 64) i(g) ON i.g + L.g - 1 <= LENGTH(p.s)),
+dup AS (
+  SELECT doc_id, L, w, COUNT(*) AS c
+  FROM w GROUP BY doc_id, L, w HAVING COUNT(*) >= 2),
+best AS (SELECT doc_id, MAX(L) AS lrs_len FROM dup GROUP BY doc_id),
+pick AS (
+  SELECT d.doc_id, b.lrs_len, d.w, d.c,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY d.w) AS rn
+  FROM dup d JOIN best b ON b.doc_id = d.doc_id AND d.L = b.lrs_len)
+SELECT p.doc_id,
+       CAST(COALESCE(k.lrs_len, 0) AS BIGINT) AS lrs_len,
+       COALESCE(k.w, '') AS lrs,
+       CAST(COALESCE(k.c, 0) AS BIGINT) AS occurrences
+FROM p LEFT JOIN (SELECT * FROM pick WHERE rn = 1) k
+  ON k.doc_id = p.doc_id
+ORDER BY p.doc_id
+""",
+    doc="Longest repeated substring via a real suffix array + Kasai "
+        "LCP per document (hypothesis-verified vs brute force); the "
+        "oracle re-derives length, lexicographically-smallest winner, "
+        "and overlap-counted occurrences by duplicate-window counting "
+        "over every length.",
+)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample-table probe — the stbl walk (stts run-length decode
+# times, stsc first-chunk-run expansion, stsz sizes, stco offsets) that
+# maps every sample to (timestamp, size, file offset) BEFORE any codec
+# touches bytes: this is how "decode every k-th frame" finds its
+# frames in a real MP4, and the part probe_mp4's clip-level metadata
+# pass doesn't cover. The walker reads each addressed sample's first
+# byte back out of the container, so the offset arithmetic is verified
+# against actual mdat content; the fixture's ftyp is constant-size, so
+# the oracle replays absolute file offsets with a running-sum window.
+# Codec decode of the samples stays behind the documented library
+# boundary — the TABLES are the Spark-side plumbing that must be real.
+# ---------------------------------------------------------------------------
+
+def _mp4_sample_table_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import (build_mp4_sample_table,
+                                       parse_mp4_samples)
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                n = 8 + did % 5
+                samples = [bytes([(did * 13 + i * 7) % 256])
+                           * (4 + (did + i) % 3) for i in range(n)]
+                d1 = 100 + (did % 3) * 20
+                stts = [(4, d1), (n - 4, 200)]
+                chunks = [3] * (n // 3) + ([n % 3] if n % 3 else [])
+                mp4 = build_mp4_sample_table(samples, stts, chunks)
+                r = parse_mp4_samples(mp4)
+                ss = r["samples"]
+                rows.append({
+                    "doc_id": did,
+                    "n_samples": r["n_samples"],
+                    "n_chunks": r["n_chunks"],
+                    "duration": r["duration"],
+                    "total_bytes": sum(s["size"] for s in ss),
+                    "sum_offsets": sum(s["offset"] for s in ss),
+                    "sum_dts": sum(s["dts"] for s in ss),
+                    "sum_first_bytes": sum(s["first_byte"]
+                                           for s in ss)})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, n_samples long,"
+                                 " n_chunks long, duration long,"
+                                 " total_bytes long, sum_offsets long,"
+                                 " sum_dts long, sum_first_bytes long")
+               .orderBy("doc_id"))
+
+
+register(
+    "mp4_sample_table_probe",
+    _mp4_sample_table_probe,
+    """
+WITH p AS (
+  SELECT doc_id, 8 + doc_id % 5 AS n, 100 + (doc_id % 3) * 20 AS d1
+  FROM documents),
+s AS (
+  SELECT p.doc_id, p.n, p.d1, CAST(i.g AS BIGINT) AS i,
+         4 + (p.doc_id + i.g) % 3 AS sz,
+         (p.doc_id * 13 + i.g * 7) % 256 AS fb,
+         CASE WHEN i.g < 4 THEN i.g * p.d1
+              ELSE 4 * p.d1 + (i.g - 4) * 200 END AS dts
+  FROM p JOIN generate_series(0, 12) i(g) ON i.g < p.n),
+o AS (
+  SELECT *, 32 + SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS UNBOUNDED PRECEDING) - sz AS off
+  FROM s)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n + 2) // 3 AS BIGINT) AS n_chunks,
+       CAST(4 * d1 + (n - 4) * 200 AS BIGINT) AS duration,
+       CAST(SUM(sz) AS BIGINT) AS total_bytes,
+       CAST(SUM(off) AS BIGINT) AS sum_offsets,
+       CAST(SUM(dts) AS BIGINT) AS sum_dts,
+       CAST(SUM(fb) AS BIGINT) AS sum_first_bytes
+FROM o GROUP BY doc_id, n, d1 ORDER BY doc_id
+""",
+    doc="MP4 stbl walk: stts run expansion to decode times, stsc "
+        "first-chunk-run expansion, stsz/stco offset resolution, each "
+        "addressed sample's first byte read back out of mdat; "
+        "timestamps, sizes, absolute offsets, and content bytes all "
+        "replayed arithmetically (running-sum window on the oracle "
+        "side only).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning audit — THE 100 TB lever: a lake scan skips a file
+# whenever the predicate interval misses the file's [min, max] zone
+# map, and the ratio rows_scanned / rows_matched says how much the
+# layout amplifies each query. The manifest here is built from the
+# fact table itself (one month = one file, min/max/count of the price
+# in integer cents via an exact DECIMAL(18,2) bridge — the repo's
+# standard double->cents pattern), then a broadcast predicate table is
+# audited against it: skipped files, surviving rows, exact selectivity
+# from the base table, and the integer amplification factor. The same
+# arithmetic a table-format reader (parquet row groups, Iceberg/Delta
+# manifests) runs before any I/O happens.
+#
+# Scale shape: manifest = one grouped agg (80 rows); predicates
+# broadcast; exact counts are a second grouped agg over one scan. No
+# window, no Python.
+# ---------------------------------------------------------------------------
+
+def _manifest_prune_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("file_id"))
+    manifest = (o.groupBy("file_id")
+                .agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"),
+                     F.count(F.lit(1)).alias("rows")))
+    preds = (spark.range(9).select(
+        F.col("id").cast("long").alias("pid"),
+        (F.col("id") * 7_000_000).alias("lo"),
+        (F.col("id") * 7_000_000 + 2_500_000).alias("hi")))
+    hit = ~((F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi")))
+    audited = (manifest.crossJoin(F.broadcast(preds))
+               .groupBy("pid", "lo", "hi")
+               .agg(F.count(F.lit(1)).alias("files_total"),
+                    F.sum((~hit).cast("long")).alias("files_skipped"),
+                    F.sum(F.when(hit, F.col("rows")).otherwise(0))
+                    .alias("rows_scanned")))
+    exact = (o.crossJoin(F.broadcast(preds))
+             .filter((F.col("cents") >= F.col("lo"))
+                     & (F.col("cents") <= F.col("hi")))
+             .groupBy("pid").agg(F.count(F.lit(1)).alias("exact_rows")))
+    return (audited.join(exact, "pid", "left")
+            .withColumn("exact_rows",
+                        F.coalesce(F.col("exact_rows"), F.lit(0)))
+            # integer `div`, not double `/` + cast: floor semantics
+            # must match the oracle's `//` bit-for-bit
+            .withColumn("amp_milli",
+                        F.expr("(rows_scanned * 1000)"
+                               " div greatest(exact_rows, 1)"))
+            .select("pid", "lo", "hi", "files_total", "files_skipped",
+                    "rows_scanned", "exact_rows", "amp_milli")
+            .orderBy("pid"))
+
+
+register(
+    "manifest_prune_audit",
+    _manifest_prune_audit,
+    """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS file_id
+  FROM orders),
+m AS (
+  SELECT file_id, MIN(cents) AS mn, MAX(cents) AS mx,
+         COUNT(*) AS rows FROM o GROUP BY file_id),
+p AS (
+  SELECT CAST(g AS BIGINT) AS pid,
+         CAST(g * 7000000 AS BIGINT) AS lo,
+         CAST(g * 7000000 + 2500000 AS BIGINT) AS hi
+  FROM generate_series(0, 8) t(g)),
+a AS (
+  SELECT p.pid, p.lo, p.hi,
+         COUNT(*) AS files_total,
+         SUM(CASE WHEN m.mx < p.lo OR m.mn > p.hi THEN 1 ELSE 0 END)
+           AS files_skipped,
+         SUM(CASE WHEN m.mx < p.lo OR m.mn > p.hi THEN 0 ELSE m.rows END)
+           AS rows_scanned
+  FROM m CROSS JOIN p GROUP BY p.pid, p.lo, p.hi),
+e AS (
+  SELECT p.pid, COUNT(*) AS exact_rows
+  FROM o JOIN p ON o.cents BETWEEN p.lo AND p.hi
+  GROUP BY p.pid)
+SELECT a.pid, a.lo, a.hi,
+       CAST(a.files_total AS BIGINT) AS files_total,
+       CAST(a.files_skipped AS BIGINT) AS files_skipped,
+       CAST(a.rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(COALESCE(e.exact_rows, 0) AS BIGINT) AS exact_rows,
+       CAST(a.rows_scanned * 1000 // GREATEST(COALESCE(e.exact_rows, 0), 1)
+            AS BIGINT) AS amp_milli
+FROM a LEFT JOIN e ON e.pid = a.pid
+ORDER BY a.pid
+""",
+    doc="Zone-map pruning audit: month-file manifest (min/max/count in "
+        "exact integer cents), broadcast predicate table, skip/scan "
+        "accounting, exact selectivity from the base table, and the "
+        "integer scan-amplification factor — the pre-I/O math of "
+        "parquet row groups and lakehouse manifests.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Confusable-skeleton audit (UTS #39 subset) — the homoglyph-spoofing
+# companion to unicode_script_mix: Cyrillic 'а' inside Latin words
+# defeats exact dedup, blocklists, and URL matching unless text is
+# first mapped to its confusable skeleton. The map here is a
+# documented 12-pair subset of Unicode confusables.txt (public data;
+# same expression shape extends to the full table), applied with
+# translate() so the whole audit is codegen Column work on both
+# engines. The fixture injects real homoglyphs per doc_id class and
+# the oracle replays injection, counting, and skeleton equality.
+# ---------------------------------------------------------------------------
+
+#: (confusable, ascii) pairs — subset of Unicode confusables.txt:
+#: Cyrillic а е о с р х і ѕ ј у + Greek ο ν.
+_CONFUSABLES = "аеосрхіѕјуον"
+_CONF_ASCII = "aeocpxisjyov"
+
+
+def _confusable_skeleton(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = F.substring("text", 1, 16)
+    kind = (F.col("doc_id") % 4).cast("long")
+    # kind 1: Cyrillic а for a; kind 2: Cyrillic е/о; kind 3: Greek
+    # omicron + Cyrillic с (mixed-script injection). The published
+    # columns (counts + skeleton equality) are identical whichever
+    # homoglyph of the same letter is injected — both map to ASCII.
+    spoofed = (F.when(kind == 1, F.translate(base, "a", "а"))
+               .when(kind == 2, F.translate(base, "eo", "ео"))
+               .when(kind == 3, F.translate(base, "oc", "ο" + "с"))
+               .otherwise(base))
+    t = d.select("doc_id", kind.alias("spoof_kind"), base.alias("base"),
+                 spoofed.alias("spoofed"))
+    skeleton = F.translate(F.col("spoofed"), _CONFUSABLES, _CONF_ASCII)
+    n_conf = (F.length("spoofed")
+              - F.length(F.translate(F.col("spoofed"), _CONFUSABLES, "")))
+    return (t.withColumn("n_confusables", n_conf.cast("long"))
+            .withColumn("skeleton_eq_base", skeleton == F.col("base"))
+            .withColumn("changed", F.col("spoofed") != F.col("base"))
+            .select("doc_id", "spoof_kind", "n_confusables",
+                    "skeleton_eq_base", "changed")
+            .orderBy("doc_id"))
+
+
+register(
+    "confusable_skeleton",
+    _confusable_skeleton,
+    """
+WITH t AS (
+  SELECT doc_id, doc_id % 4 AS spoof_kind,
+         substr(text, 1, 16) AS base,
+         CASE doc_id % 4
+           WHEN 1 THEN translate(substr(text, 1, 16), 'a', 'а')
+           WHEN 2 THEN translate(substr(text, 1, 16), 'eo', 'ео')
+           WHEN 3 THEN translate(substr(text, 1, 16), 'oc', 'ос')
+           ELSE substr(text, 1, 16) END AS spoofed
+  FROM documents)
+SELECT doc_id, CAST(spoof_kind AS BIGINT) AS spoof_kind,
+       CAST(LENGTH(spoofed)
+            - LENGTH(translate(spoofed, 'аеосрхіѕјуον', ''))
+            AS BIGINT) AS n_confusables,
+       translate(spoofed, 'аеосрхіѕјуον', 'aeocpxisjyov') = base
+         AS skeleton_eq_base,
+       spoofed != base AS changed
+FROM t ORDER BY doc_id
+""",
+    doc="UTS #39 confusable skeleton: homoglyphs injected per doc_id "
+        "class, confusable counting and skeleton-vs-original equality "
+        "via translate() — all codegen, engine-portable; the 12-pair "
+        "map is a documented subset of the public confusables table.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC (Feather v2) roundtrip — the zero-copy interchange format
+# between the JVM engine and the Python/ML side of a training pipeline
+# (dataloaders, feature stores, pandas/polars consumers). Spark has no
+# native IPC-file source, so the seam is honest engine work: each
+# partition is written as a genuine Arrow IPC stream file via
+# mapInPandas (pyarrow, already the engine's Arrow bridge), then a
+# second pass re-opens every file with the IPC reader and re-derives
+# the values — the same two-crossing shard shape as the tar/TFRecord/
+# Avro seams, one shuffle keyed by shard id.
+# ---------------------------------------------------------------------------
+
+def _arrow_ipc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    out = _tf.mkdtemp(prefix="arrow_ipc_rt_")
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", "text", "lang", "source")
+         .withColumn("shard", (F.col("doc_id") % 16).cast("long")))
+
+    def write_shards(key, pdf):
+        s = int(key[0])
+        path = _os.path.join(out, f"shard-{s:05d}.arrow")
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        table = pa.Table.from_pandas(pdf[["doc_id", "text", "lang",
+                                          "source"]],
+                                     preserve_index=False)
+        with ipc.new_file(path, table.schema) as w:
+            # several record batches per file so the reader's batch
+            # walk is real, not a single-batch special case
+            for lo in range(0, table.num_rows, 8):
+                w.write_batch(table.slice(lo, 8).combine_chunks()
+                              .to_batches()[0])
+        return pd.DataFrame({"shard": [s], "path": [path],
+                             "n_rows": [table.num_rows]})
+
+    shards = d.groupBy("shard").applyInPandas(
+        write_shards, "shard long, path string, n_rows long")
+
+    def read_back(it):
+        for pdf in it:
+            for s, path, n in zip(pdf["shard"].astype("int64"),
+                                  pdf["path"],
+                                  pdf["n_rows"].astype("int64")):
+                with ipc.open_file(path) as r:
+                    nb = r.num_record_batches
+                    t = r.read_all()
+                tp = t.to_pandas()
+                tp["shard"] = int(s)
+                tp["n_batches"] = nb
+                tp["shard_rows"] = int(n)
+                yield tp
+
+    back = shards.mapInPandas(
+        read_back, "doc_id long, text string, lang string,"
+                   " source string, shard long, n_batches long,"
+                   " shard_rows long")
+    return (back.select("doc_id", "lang", "source", "shard",
+                        "n_batches", "shard_rows",
+                        F.length("text").cast("long").alias("n_chars_rt"),
+                        F.md5(F.col("text")).alias("text_md5"))
+            .orderBy("doc_id"))
+
+
+register(
+    "arrow_ipc_roundtrip",
+    _arrow_ipc_roundtrip,
+    """
+WITH d AS (SELECT doc_id, text, lang, source, doc_id % 16 AS shard
+           FROM documents),
+s AS (SELECT shard, COUNT(*) AS shard_rows,
+             (COUNT(*) + 7) // 8 AS n_batches
+      FROM d GROUP BY shard)
+SELECT d.doc_id, d.lang, d.source, d.shard,
+       CAST(s.n_batches AS BIGINT) AS n_batches,
+       CAST(s.shard_rows AS BIGINT) AS shard_rows,
+       CAST(length(d.text) AS BIGINT) AS n_chars_rt,
+       md5(d.text) AS text_md5
+FROM d JOIN s ON s.shard = d.shard
+ORDER BY d.doc_id
+""",
+    doc="Arrow IPC (Feather v2) shard roundtrip: genuine multi-batch "
+        "IPC files written per shard and re-read with the IPC file "
+        "reader; ids, strings, md5s, batch counts, and shard sizes "
+        "all value-pinned — the ML-side interchange seam.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Palette (indexed) PNG roundtrip — color type 3, the favicon/sprite
+# shape next to the truecolor and Adam7 paths already pinned: PLTE
+# lookup after de-filtering at bpp=1 (the Sub/Paeth left-neighbor
+# distance CHANGES for indexed scanlines — a classic decoder bug this
+# oracle would catch), odd ids interlaced so the palette x Adam7
+# combination is inside the hash. Same fixture arithmetic as the GIF
+# roundtrip, so the oracle is shared shape: palette/index sums plus
+# position-weighted moments.
+# ---------------------------------------------------------------------------
+
+def _png_palette_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import decode_png, encode_png_palette
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                y, x = np.mgrid[0:16, 0:16]
+                idx = ((did + 2 * x + 3 * y) % 16).astype(np.uint8)
+                i = np.arange(16)
+                pal = np.stack([(did * 5 + 17 * i) % 256,
+                                (did * 7 + 29 * i) % 256,
+                                (did * 11 + 41 * i) % 256],
+                               axis=-1).astype(np.uint8)
+                payloads.append(encode_png_palette(
+                    idx, pal, interlace=(did % 2 == 1)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_png(bytes(p))
+                rgb = r["rgb"].astype("int64")
+                y, x = np.mgrid[0:16, 0:16]
+                wgt = 1 + x + 16 * y
+                rows.append({
+                    "doc_id": int(did),
+                    "interlaced": bool(r["interlaced"]),
+                    "palette_size": r["palette_size"],
+                    "bits_per_pixel": r["bits_per_pixel"],
+                    "moment_r": int((wgt * rgb[:, :, 0]).sum()),
+                    "moment_g": int((wgt * rgb[:, :, 1]).sum()),
+                    "moment_b": int((wgt * rgb[:, :, 2]).sum())})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, interlaced boolean,"
+                                 " palette_size long,"
+                                 " bits_per_pixel long, moment_r long,"
+                                 " moment_g long, moment_b long")
+               .orderBy("doc_id"))
+
+
+register(
+    "png_palette_roundtrip",
+    _png_palette_roundtrip,
+    """
+WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
+px AS (
+  SELECT d.doc_id, g.x, g.y,
+         (d.doc_id + 2 * g.x + 3 * g.y) % 16 AS i
+  FROM documents d CROSS JOIN g)
+SELECT doc_id,
+       doc_id % 2 = 1 AS interlaced,
+       CAST(16 AS BIGINT) AS palette_size,
+       CAST(8 AS BIGINT) AS bits_per_pixel,
+       CAST(SUM((1 + x + 16 * y) * ((doc_id * 5 + 17 * i) % 256))
+            AS BIGINT) AS moment_r,
+       CAST(SUM((1 + x + 16 * y) * ((doc_id * 7 + 29 * i) % 256))
+            AS BIGINT) AS moment_g,
+       CAST(SUM((1 + x + 16 * y) * ((doc_id * 11 + 41 * i) % 256))
+            AS BIGINT) AS moment_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Palette PNG (color type 3) roundtrip: PLTE lookup after "
+        "bpp=1 de-filtering, odd ids Adam7-interlaced; palette/index "
+        "arithmetic and position-weighted moments replayed by SQL.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multi-page TIFF roundtrip — the scanned-document/fax layout: one IFD
+# per page chained by next-pointers (loop-guarded), each page with its
+# own strips/compression. Page content is weighted into the moments by
+# page ordinal so a page-order or chain-walk bug cannot hide in sums.
+# ---------------------------------------------------------------------------
+
+def _tiff_multipage_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import (decode_tiff_pages,
+                                       encode_tiff_multipage)
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                y, x = np.mgrid[0:16, 0:16]
+                pages = [((did + 5 * p + 2 * x + 3 * y) % 256)
+                         .astype(np.uint8)
+                         for p in range(2 + did % 2)]
+                payloads.append(encode_tiff_multipage(
+                    pages, compression=5 if did % 2 == 0 else 1,
+                    big_endian=(did % 3 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                ps = decode_tiff_pages(bytes(p))
+                tot = mom = 0
+                mn, mx = 255, 0
+                for pi, pg in enumerate(ps):
+                    px = pg["pixels"].astype("int64")
+                    tot += int(px.sum())
+                    mom += (pi + 1) * int(px.sum())
+                    mn = min(mn, int(px.min()))
+                    mx = max(mx, int(px.max()))
+                rows.append({"doc_id": int(did), "n_pages": len(ps),
+                             "big_endian": ps[0]["byte_order"] == "big",
+                             "compression": ps[0]["compression"],
+                             "pix_sum": tot, "page_moment": mom,
+                             "pix_min": mn, "pix_max": mx})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, n_pages long,"
+                                 " big_endian boolean, compression long,"
+                                 " pix_sum long, page_moment long,"
+                                 " pix_min long, pix_max long")
+               .orderBy("doc_id"))
+
+
+register(
+    "tiff_multipage_roundtrip",
+    _tiff_multipage_roundtrip,
+    """
+WITH g AS (SELECT CAST(a.g AS BIGINT) AS x, CAST(b.g AS BIGINT) AS y
+           FROM generate_series(0, 15) a(g), generate_series(0, 15) b(g)),
+d AS (SELECT doc_id, 2 + doc_id % 2 AS n FROM documents),
+px AS (
+  SELECT d.doc_id, d.n, p.g AS p,
+         (d.doc_id + 5 * p.g + 2 * g.x + 3 * g.y) % 256 AS v
+  FROM d JOIN generate_series(0, 2) p(g) ON p.g < d.n
+  CROSS JOIN g)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_pages,
+       doc_id % 3 = 0 AS big_endian,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 1 END AS BIGINT)
+         AS compression,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM((p + 1) * v) AS BIGINT) AS page_moment,
+       CAST(MIN(v) AS BIGINT) AS pix_min,
+       CAST(MAX(v) AS BIGINT) AS pix_max
+FROM px GROUP BY doc_id, n ORDER BY doc_id
+""",
+    doc="Multi-page TIFF roundtrip: chained IFDs decoded page by page "
+        "(loop-guarded next pointers, per-page strips/LZW/predictor), "
+        "page-ordinal-weighted moments so chain-order bugs cannot "
+        "cancel in sums.",
+)
+
+
+# ---------------------------------------------------------------------------
+# WebM/Matroska block probe — the EBML container walk (RFC 8794 vints,
+# Segment/Info/Tracks/Cluster tree, SimpleBlock track vint + SIGNED
+# 16-bit relative timestamps + keyframe flags) that a frame sampler
+# runs to resolve absolute block timestamps before any VP9 bytes are
+# touched. Completes the container trio next to AVI (RIFF) and MP4
+# (ISO-BMFF). Fixture: genuine multi-cluster streams with negative
+# relative timestamps in the hash; the oracle replays cluster-base
+# + relative arithmetic, keyframe counts, and payload byte sums.
+# ---------------------------------------------------------------------------
+
+def _webm_block_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import encode_webm_blocks, parse_webm
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                nc = 2 + did % 2
+                clusters = []
+                for c in range(nc):
+                    nb = 2 + (did + c) % 2
+                    blocks = []
+                    for b in range(nb):
+                        rel = 40 * b + (did % 7) - 3
+                        payload = bytes([(did * 13 + 5 * c + 7 * b)
+                                         % 256]) * (3 + b)
+                        blocks.append((rel, b == 0, payload))
+                    clusters.append((500 * c, blocks))
+                w = encode_webm_blocks(clusters,
+                                       duration_ts=500 * nc)
+                r = parse_webm(w)
+                bl = r["blocks"]
+                rows.append({
+                    "doc_id": did,
+                    "n_clusters": r["n_clusters"],
+                    "n_blocks": len(bl),
+                    "keyframes": sum(1 for x in bl if x["key"]),
+                    "ts_sum": sum(x["abs_ts"] for x in bl),
+                    "payload_bytes": sum(x["size"] for x in bl),
+                    "first_byte_sum": sum(x["first_byte"] for x in bl),
+                    "timestamp_scale": r["timestamp_scale"]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, n_clusters long,"
+                                 " n_blocks long, keyframes long,"
+                                 " ts_sum long, payload_bytes long,"
+                                 " first_byte_sum long,"
+                                 " timestamp_scale long")
+               .orderBy("doc_id"))
+
+
+register(
+    "webm_block_probe",
+    _webm_block_probe,
+    """
+WITH d AS (SELECT doc_id, 2 + doc_id % 2 AS nc FROM documents),
+cb AS (
+  SELECT d.doc_id, d.nc, c.g AS c, 2 + (d.doc_id + c.g) % 2 AS nb
+  FROM d JOIN generate_series(0, 2) c(g) ON c.g < d.nc),
+b AS (
+  SELECT cb.doc_id, cb.nc, cb.c, CAST(i.g AS BIGINT) AS b
+  FROM cb JOIN generate_series(0, 2) i(g) ON i.g < cb.nb)
+SELECT doc_id,
+       CAST(nc AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS keyframes,
+       CAST(SUM(500 * c + 40 * b + doc_id % 7 - 3) AS BIGINT) AS ts_sum,
+       CAST(SUM(3 + b) AS BIGINT) AS payload_bytes,
+       CAST(SUM((doc_id * 13 + 5 * c + 7 * b) % 256) AS BIGINT)
+         AS first_byte_sum,
+       CAST(1000000 AS BIGINT) AS timestamp_scale
+FROM b GROUP BY doc_id, nc ORDER BY doc_id
+""",
+    doc="EBML/WebM block probe: real vint walk, Info/Tracks parse, "
+        "per-cluster SimpleBlock resolution with signed relative "
+        "timestamps and keyframe flags; absolute-timestamp sums, "
+        "payload bytes, and keyframe counts replayed arithmetically.",
+)
+
+
+# ---------------------------------------------------------------------------
+# H.264 SPS probe — the resolution/profile gate a video curation
+# pipeline runs on every clip: Annex-B start-code walk (3- and 4-byte),
+# emulation-prevention unescape, NAL census, and the exp-Golomb SPS
+# parse that derives TRUE presentation dimensions from macroblock
+# counts minus frame cropping (1080 lives in 68 macroblocks with a
+# 4-unit bottom crop — the arithmetic this oracle pins). Slice decode
+# stays behind the documented codec-library boundary.
+# ---------------------------------------------------------------------------
+
+def _h264_sps_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import encode_h264_annexb, parse_h264_annexb
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+    dims = [(1920, 1080), (1280, 720), (640, 360), (354, 288),
+            (1918, 1078)]
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w, h = dims[did % 5]
+                n_idr, n_non = 1 + did % 3, 2 + did % 4
+                s = encode_h264_annexb(w, h, n_idr=n_idr,
+                                       n_nonidr=n_non,
+                                       profile=66 + (did % 2) * 11,
+                                       level=30 + (did % 3) * 10)
+                r = parse_h264_annexb(s)
+                rows.append({
+                    "doc_id": did,
+                    "width": r["width"], "height": r["height"],
+                    "profile_idc": r["profile_idc"],
+                    "level_idc": r["level_idc"],
+                    "n_nals": r["n_nals"],
+                    "idr_nals": r["nal_census"].get(5, 0),
+                    "nonidr_nals": r["nal_census"].get(1, 0),
+                    "hd_gate": r["width"] * r["height"] >= 1280 * 720})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, width long, height long,"
+                                 " profile_idc long, level_idc long,"
+                                 " n_nals long, idr_nals long,"
+                                 " nonidr_nals long, hd_gate boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "h264_sps_probe",
+    _h264_sps_probe,
+    """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 5 WHEN 0 THEN 1920 WHEN 1 THEN 1280
+              WHEN 2 THEN 640 WHEN 3 THEN 354 ELSE 1918 END AS w,
+         CASE doc_id % 5 WHEN 0 THEN 1080 WHEN 1 THEN 720
+              WHEN 2 THEN 360 WHEN 3 THEN 288 ELSE 1078 END AS h,
+         1 + doc_id % 3 AS n_idr, 2 + doc_id % 4 AS n_non
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(66 + (doc_id % 2) * 11 AS BIGINT) AS profile_idc,
+       CAST(30 + (doc_id % 3) * 10 AS BIGINT) AS level_idc,
+       CAST(3 + n_idr + n_non AS BIGINT) AS n_nals,
+       CAST(n_idr AS BIGINT) AS idr_nals,
+       CAST(n_non AS BIGINT) AS nonidr_nals,
+       w * h >= 921600 AS hd_gate
+FROM d ORDER BY doc_id
+""",
+    doc="H.264 Annex-B/SPS probe: start-code walk, emulation-"
+        "prevention unescape, NAL census, exp-Golomb SPS parse "
+        "deriving true dimensions from macroblock counts minus "
+        "cropping; profile/level and the HD resolution gate pinned "
+        "arithmetically.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-politeness token bucket — the rate-limit math a polite crawler
+# runs per domain before fetching (pairs with robots_txt_gate): a
+# bucket of 2000 millitokens refilling 1/ms, each request costing
+# 1000, deterministic sequential state over the domain's arrival
+# sequence. The engine runs the real per-domain state machine behind
+# applyInPandas (one shuffle keyed by domain — state never crosses
+# domains, which is exactly why this scales); the oracle replays every
+# transition with a recursive CTE, ADPCM-style. Arrivals derive from
+# doc_id with varying (always-positive) gaps so both refill-capped and
+# token-starved regimes are inside the hash.
+# ---------------------------------------------------------------------------
+
+def _crawl_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    d = (_t(spark, sf, "documents").select("doc_id")
+         .withColumn("domain", (F.col("doc_id") % 20).cast("long"))
+         .withColumn("q", (F.col("doc_id") / 20).cast("long"))
+         .withColumn("arrival_ms",
+                     (F.col("q") * 400
+                      + (F.col("q") * 37 + F.col("domain") * 11) % 390)
+                     .cast("long")))
+
+    def bucket(key, pdf):
+        pdf = pdf.sort_values("arrival_ms").reset_index(drop=True)
+        cap, cost = 2000, 1000
+        tokens, prev_t = cap, None
+        rows = []
+        for r in pdf.itertuples():
+            t = int(r.arrival_ms)
+            if prev_t is not None:
+                tokens = min(cap, tokens + (t - prev_t))
+            prev_t = t
+            allowed = tokens >= cost
+            if allowed:
+                tokens -= cost
+            rows.append({"doc_id": int(r.doc_id),
+                         "domain": int(key[0]),
+                         "arrival_ms": t,
+                         "allowed": allowed,
+                         "tokens_after": tokens})
+        return pd.DataFrame(rows)
+
+    return (d.groupBy("domain").applyInPandas(
+                bucket, "doc_id long, domain long, arrival_ms long,"
+                        " allowed boolean, tokens_after long")
+            .orderBy("doc_id"))
+
+
+register(
+    "crawl_token_bucket",
+    _crawl_token_bucket,
+    """
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, doc_id % 20 AS domain, doc_id // 20 AS q,
+         (doc_id // 20) * 400
+           + ((doc_id // 20) * 37 + (doc_id % 20) * 11) % 390
+           AS arrival_ms
+  FROM documents),
+n AS (SELECT domain, MAX(q) AS qmax FROM d GROUP BY domain),
+r AS (
+  SELECT d.doc_id, d.domain, CAST(d.q AS BIGINT) AS q, d.arrival_ms,
+         TRUE AS allowed, CAST(1000 AS BIGINT) AS tokens_after
+  FROM d WHERE d.q = 0
+  UNION ALL
+  SELECT d.doc_id, d.domain, d.q, d.arrival_ms,
+         LEAST(2000, r.tokens_after
+               + d.arrival_ms - r.arrival_ms) >= 1000 AS allowed,
+         CASE WHEN LEAST(2000, r.tokens_after
+                         + d.arrival_ms - r.arrival_ms) >= 1000
+              THEN LEAST(2000, r.tokens_after
+                         + d.arrival_ms - r.arrival_ms) - 1000
+              ELSE LEAST(2000, r.tokens_after
+                         + d.arrival_ms - r.arrival_ms) END
+           AS tokens_after
+  FROM r JOIN d ON d.domain = r.domain AND d.q = r.q + 1)
+SELECT doc_id, domain, arrival_ms, allowed,
+       CAST(tokens_after AS BIGINT) AS tokens_after
+FROM r ORDER BY doc_id
+""",
+    doc="Per-domain token-bucket rate limiting (2000 millitokens, "
+        "1/ms refill, 1000/request): real sequential state machine "
+        "behind one domain-keyed shuffle, every transition replayed "
+        "by a recursive-CTE oracle — the crawl-politeness scheduler "
+        "next to the robots gate.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Preference-tournament cycle audit — RLHF preference data is only
+# trainable if the pairwise judgments are roughly transitive; the
+# standard integrity number is the count of CYCLIC TRIADS, exact by
+# Kendall's identity: cyclic = C(n,3) - sum_i C(wins_i, 2) for a
+# complete tournament. Judgments derive from arithmetic per eval
+# slice, wins are one hash aggregate, and the triad algebra is integer
+# — fully codegen, no Python.
+# ---------------------------------------------------------------------------
+
+_PREF_MODELS = 10
+
+
+def _preference_cycle_audit(spark: SparkSession, sf: str) -> DataFrame:
+    m = _PREF_MODELS
+    pairs = (spark.range(5).select(F.col("id").cast("long").alias("g"))
+             .crossJoin(spark.range(m).select(
+                 F.col("id").cast("long").alias("i")))
+             .crossJoin(spark.range(m).select(
+                 F.col("id").cast("long").alias("j")))
+             .filter(F.col("i") < F.col("j")))
+    winner = F.when((F.col("i") * 7 + F.col("j") * 13 + F.col("g") * 3)
+                    % 5 < 3, F.col("i")).otherwise(F.col("j"))
+    wins = (pairs.select("g", winner.alias("w"))
+            .groupBy("g", "w").agg(F.count(F.lit(1)).alias("wins")))
+    agg = (wins.groupBy("g")
+           .agg(F.sum(F.col("wins") * (F.col("wins") - 1) / 2)
+                .cast("long").alias("sum_c2"),
+                F.max("wins").alias("max_wins")))
+    total_triads = m * (m - 1) * (m - 2) // 6
+    return (agg.withColumn("n_pairs", F.lit(m * (m - 1) // 2)
+                           .cast("long"))
+            .withColumn("cyclic_triads",
+                        F.lit(total_triads) - F.col("sum_c2"))
+            .withColumn("transitive", F.col("cyclic_triads") == 0)
+            .select("g", "n_pairs", "max_wins", "cyclic_triads",
+                    "transitive")
+            .orderBy("g"))
+
+
+register(
+    "preference_cycle_audit",
+    _preference_cycle_audit,
+    f"""
+WITH p AS (
+  SELECT g.g AS g, i.g AS i, j.g AS j,
+         CASE WHEN (i.g * 7 + j.g * 13 + g.g * 3) % 5 < 3
+              THEN i.g ELSE j.g END AS w
+  FROM generate_series(0, 4) g(g)
+  CROSS JOIN generate_series(0, {_PREF_MODELS - 1}) i(g)
+  CROSS JOIN generate_series(0, {_PREF_MODELS - 1}) j(g)
+  WHERE i.g < j.g),
+wins AS (SELECT g, w, COUNT(*) AS wins FROM p GROUP BY g, w)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST({_PREF_MODELS * (_PREF_MODELS - 1) // 2} AS BIGINT)
+         AS n_pairs,
+       CAST(MAX(wins) AS BIGINT) AS max_wins,
+       CAST({_PREF_MODELS * (_PREF_MODELS - 1) * (_PREF_MODELS - 2) // 6}
+            - SUM(wins * (wins - 1) // 2) AS BIGINT) AS cyclic_triads,
+       {_PREF_MODELS * (_PREF_MODELS - 1) * (_PREF_MODELS - 2) // 6}
+         - SUM(wins * (wins - 1) // 2) = 0 AS transitive
+FROM wins GROUP BY g ORDER BY g
+""",
+    doc="Pairwise-preference transitivity audit: cyclic-triad counts "
+        "per eval slice via Kendall's exact identity C(n,3) - sum "
+        "C(wins,2) over a complete tournament — one hash aggregate, "
+        "all integer.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement (Cohen's kappa) — label-quality triage for
+# annotation pipelines, published EXACTLY: kappa = (po - pe)/(1 - pe)
+# cross-multiplies to the integer form 1000*(n*agree - S) div
+# (n*n - S) with S = sum_k row_k * col_k, so both engines compute the
+# identical BIGINT with zero float hazard. Annotator labels derive
+# from document arithmetic with a seeded disagreement channel.
+# ---------------------------------------------------------------------------
+
+def _annotator_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    a = (F.col("doc_id") * 3 + F.col("n_chars")) % 4
+    b = (F.col("doc_id") * 3 + F.col("n_chars")
+         + (F.col("doc_id") % 7 == 0).cast("long")) % 4
+    t = d.select("source", a.alias("a"), b.alias("b"))
+    margins = (t.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("a") == F.col("b")).cast("long"))
+                    .alias("agree"),
+                    *[F.sum((F.col("a") == k).cast("long"))
+                      .alias(f"ra{k}") for k in range(4)],
+                    *[F.sum((F.col("b") == k).cast("long"))
+                      .alias(f"cb{k}") for k in range(4)]))
+    s_expr = sum(F.col(f"ra{k}") * F.col(f"cb{k}") for k in range(4))
+    return (margins.withColumn("chance_mass", s_expr.cast("long"))
+            .withColumn("kappa_milli",
+                        F.expr("(1000 * (n * agree - chance_mass))"
+                               " div (n * n - chance_mass)"))
+            .select("source", "n", "agree", "chance_mass", "kappa_milli")
+            .orderBy("source"))
+
+
+register(
+    "annotator_kappa",
+    _annotator_kappa,
+    """
+WITH t AS (
+  SELECT source,
+         (doc_id * 3 + n_chars) % 4 AS a,
+         (doc_id * 3 + n_chars
+          + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 4 AS b
+  FROM documents),
+m AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+         SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS ra0,
+         SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS ra1,
+         SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS ra2,
+         SUM(CASE WHEN a = 3 THEN 1 ELSE 0 END) AS ra3,
+         SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS cb0,
+         SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS cb1,
+         SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS cb2,
+         SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS cb3
+  FROM t GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+       CAST(ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3 AS BIGINT)
+         AS chance_mass,
+       CAST((1000 * (n * agree - (ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3)))
+            // (n * n - (ra0*cb0 + ra1*cb1 + ra2*cb2 + ra3*cb3))
+            AS BIGINT) AS kappa_milli
+FROM m ORDER BY source
+""",
+    doc="Cohen's kappa per source in exact integer milli form "
+        "(cross-multiplied (po-pe)/(1-pe), floor div matched on both "
+        "engines) over arithmetically-derived annotator labels with a "
+        "seeded disagreement channel.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Composed multimodal curation pipeline — the video analogue of
+# web_curation_pipeline, chaining this round's media operators
+# end-to-end THROUGH THE REAL CODECS: synthesize genuine AVI/MJPEG
+# clips (40 visual base classes x 3 tweak variants from doc_id), walk
+# the RIFF container, entropy-decode the first frame as the thumbnail,
+# key exact visual dedup on the DECODED block values (not on doc
+# arithmetic — a decoder bug would corrupt the dedup keys and break
+# the hash), keep the min-doc survivor per visual key, and roll a
+# per-class datasheet. Two shuffles total (key agg, class rollup);
+# decode work is per-clip and partition-local.
+# ---------------------------------------------------------------------------
+
+def _media_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.jpegcodec import decode_baseline, encode_baseline_gray
+    from .operators.multimodal import encode_avi_mjpeg, parse_avi
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                b, t = did % 40, did % 3
+                frames = []
+                for f in range(3):
+                    px = np.zeros((16, 16), dtype=np.uint8)
+                    for k in range(4):
+                        v = (b * 31 + 97 * k + 13 * f) % 256
+                        if t > 0 and f == 0 and k == 0:
+                            v = (v + 40 * t) % 256
+                        by, bx = divmod(k, 2)
+                        px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+                    frames.append(encode_baseline_gray(px))
+                payloads.append(encode_avi_mjpeg(frames, 16, 16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def thumb(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = parse_avi(bytes(p))
+                px = decode_baseline(r["frames"][0])["pixels"]
+                rows.append({"doc_id": int(did),
+                             "base": int(did) % 40,
+                             "k0": int(px[0, 0]), "k1": int(px[0, 8]),
+                             "k2": int(px[8, 0]), "k3": int(px[8, 8])})
+            yield pd.DataFrame(rows)
+
+    thumbs = (src.mapInPandas(enc, "doc_id long, payload binary")
+              .mapInPandas(thumb, "doc_id long, base long, k0 long,"
+                                  " k1 long, k2 long, k3 long"))
+    keys = (thumbs.groupBy("base", "k0", "k1", "k2", "k3")
+            .agg(F.min("doc_id").alias("survivor"),
+                 F.count(F.lit(1)).alias("members")))
+    return (keys.groupBy("base")
+            .agg(F.count(F.lit(1)).alias("n_thumb_keys"),
+                 F.sum("members").alias("n_docs"),
+                 F.sum("survivor").alias("survivor_id_sum"),
+                 F.max("members").alias("largest_group"))
+            .withColumn("dropped",
+                        F.col("n_docs") - F.col("n_thumb_keys"))
+            .select("base", "n_docs", "n_thumb_keys", "dropped",
+                    "largest_group", "survivor_id_sum")
+            .orderBy("base"))
+
+
+register(
+    "media_curation_pipeline",
+    _media_curation_pipeline,
+    """
+WITH g AS (
+  SELECT doc_id, doc_id % 40 AS base, doc_id % 3 AS t FROM documents),
+k AS (
+  SELECT base, t, MIN(doc_id) AS survivor, COUNT(*) AS members
+  FROM g GROUP BY base, t)
+SELECT CAST(base AS BIGINT) AS base,
+       CAST(SUM(members) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_thumb_keys,
+       CAST(SUM(members) - COUNT(*) AS BIGINT) AS dropped,
+       CAST(MAX(members) AS BIGINT) AS largest_group,
+       CAST(SUM(survivor) AS BIGINT) AS survivor_id_sum
+FROM k GROUP BY base ORDER BY base
+""",
+    doc="Composed multimodal curation: genuine AVI/MJPEG clips, RIFF "
+        "walk, real thumbnail entropy decode, exact visual dedup "
+        "KEYED ON DECODED PIXELS, min-doc survivors, per-class "
+        "datasheet — the oracle replays the (base, tweak) class "
+        "structure the decoded keys must reproduce.",
+)
+
+
+# ---------------------------------------------------------------------------
+# IDN label roundtrip — internationalized domains reach a crawl as
+# xn-- Punycode labels; domain keying, blocklists, and confusable
+# screening must decode them first. Each document synthesizes a
+# mixed-script label from doc_id, runs the REAL RFC 3492 adaptive-bias
+# encoder to its wire form and the real decoder back; published values
+# are the decoded-label facts the oracle replays arithmetically (a
+# broken encoder OR decoder breaks the roundtrip and the hash; the
+# pair is independently pinned against Python's stdlib punycode codec
+# in tests/test_robots.py).
+# ---------------------------------------------------------------------------
+
+def _idn_label_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.urls import punycode_decode, punycode_encode
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                label = ("h" + str(did % 10)
+                         + chr(1040 + did % 32)
+                         + chr(19968 + did % 100))
+                wire = "xn--" + punycode_encode(label)
+                back = punycode_decode(wire[4:])
+                rows.append({
+                    "doc_id": did,
+                    "is_idn": wire.startswith("xn--"),
+                    "decoded_len": len(back),
+                    "cp_sum": sum(ord(c) for c in back),
+                    "ascii_prefix": back[:2],
+                    "roundtrip_ok": back == label,
+                    "wire_is_ascii": all(ord(c) < 128 for c in wire)})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, is_idn boolean,"
+                                 " decoded_len long, cp_sum long,"
+                                 " ascii_prefix string,"
+                                 " roundtrip_ok boolean,"
+                                 " wire_is_ascii boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "idn_label_roundtrip",
+    _idn_label_roundtrip,
+    """
+SELECT doc_id,
+       TRUE AS is_idn,
+       CAST(4 AS BIGINT) AS decoded_len,
+       CAST(104 + 48 + doc_id % 10
+            + 1040 + doc_id % 32
+            + 19968 + doc_id % 100 AS BIGINT) AS cp_sum,
+       'h' || CAST(doc_id % 10 AS VARCHAR) AS ascii_prefix,
+       TRUE AS roundtrip_ok,
+       TRUE AS wire_is_ascii
+FROM documents ORDER BY doc_id
+""",
+    doc="RFC 3492 Punycode roundtrip over mixed-script IDN labels: "
+        "real adaptive-bias encode to the xn-- wire form and decode "
+        "back; decoded length/codepoint sums/prefix replayed "
+        "arithmetically, the codec pair cross-pinned against the "
+        "stdlib punycode codec in tests.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution compatibility audit — the governance gate a
+# lakehouse runs before accepting a new table version: full-outer-join
+# the old and new column sets, classify every difference (added
+# nullable column = compatible; dropped column = breaking; int->bigint
+# or float->double widening = compatible; narrowing = breaking), and
+# roll a per-table verdict. Schemas derive from arithmetic so the
+# oracle replays the whole classification; the engine shape is the
+# real one (two catalogs full-outer-joined on (table, column), one
+# aggregate).
+# ---------------------------------------------------------------------------
+
+_SE_TYPES = ["int", "bigint", "float", "double", "string"]
+#: widenings considered compatible (Spark's upcast set, simplified)
+_SE_WIDEN = [("int", "bigint"), ("float", "double"), ("int", "double")]
+
+
+def _schema_evolution_audit(spark: SparkSession, sf: str) -> DataFrame:
+    tables = spark.range(12).select(F.col("id").cast("long").alias("t"))
+    cols = spark.range(9).select(F.col("id").cast("long").alias("c"))
+    type_arr = F.array(*[F.lit(x) for x in _SE_TYPES])
+
+    def typ(expr):
+        return F.element_at(type_arr, (expr % 5 + 1).cast("int"))
+
+    old = (tables.crossJoin(cols)
+           .filter(~((F.col("c") == 8)))                 # c8 is new-only
+           .select("t", "c", typ(F.col("t") * 3 + F.col("c"))
+                   .alias("old_type")))
+    new = (tables.crossJoin(cols)
+           .filter(~((F.col("c") == 7) & (F.col("t") % 4 == 0)))
+           .filter(~((F.col("c") == 8) & (F.col("t") % 3 != 0)))
+           .select("t", "c",
+                   F.when((F.col("c") == 2) & (F.col("t") % 2 == 0),
+                          F.lit("bigint"))               # int-family widen
+                   .when((F.col("c") == 3) & (F.col("t") % 5 == 0),
+                         F.lit("int"))                   # narrow attempt
+                   .otherwise(typ(F.col("t") * 3 + F.col("c")))
+                   .alias("new_type")))
+    j = old.join(new, ["t", "c"], "full_outer")
+    widen = F.array(*[F.struct(F.lit(a).alias("f"), F.lit(b).alias("o"))
+                      for a, b in _SE_WIDEN])
+    cls = (F.when(F.col("old_type").isNull(), F.lit("added"))
+           .when(F.col("new_type").isNull(), F.lit("dropped"))
+           .when(F.col("old_type") == F.col("new_type"),
+                 F.lit("unchanged"))
+           .when(F.array_contains(
+               widen, F.struct(F.col("old_type").alias("f"),
+                               F.col("new_type").alias("o"))),
+               F.lit("widened"))
+           .otherwise(F.lit("narrowed")))
+    audited = j.withColumn("cls", cls)
+    return (audited.groupBy("t")
+            .agg(*[F.sum((F.col("cls") == k).cast("long")).alias(k)
+                   for k in ("unchanged", "added", "dropped",
+                             "widened", "narrowed")])
+            .withColumn("breaking",
+                        (F.col("dropped") + F.col("narrowed")) > 0)
+            .orderBy("t"))
+
+
+register(
+    "schema_evolution_audit",
+    _schema_evolution_audit,
+    """
+WITH types(i, name) AS (VALUES (0,'int'),(1,'bigint'),(2,'float'),
+                               (3,'double'),(4,'string')),
+old AS (
+  SELECT t.g AS t, c.g AS c, ty.name AS old_type
+  FROM generate_series(0, 11) t(g)
+  CROSS JOIN generate_series(0, 7) c(g)
+  JOIN types ty ON ty.i = (t.g * 3 + c.g) % 5),
+new AS (
+  SELECT t.g AS t, c.g AS c,
+         CASE WHEN c.g = 2 AND t.g % 2 = 0 THEN 'bigint'
+              WHEN c.g = 3 AND t.g % 5 = 0 THEN 'int'
+              ELSE ty.name END AS new_type
+  FROM generate_series(0, 11) t(g)
+  CROSS JOIN generate_series(0, 8) c(g)
+  JOIN types ty ON ty.i = (t.g * 3 + c.g) % 5
+  WHERE NOT (c.g = 7 AND t.g % 4 = 0)
+    AND NOT (c.g = 8 AND t.g % 3 != 0)),
+j AS (
+  SELECT COALESCE(o.t, n.t) AS t, COALESCE(o.c, n.c) AS c,
+         o.old_type, n.new_type
+  FROM old o FULL OUTER JOIN new n ON n.t = o.t AND n.c = o.c),
+cls AS (
+  SELECT t,
+         CASE WHEN old_type IS NULL THEN 'added'
+              WHEN new_type IS NULL THEN 'dropped'
+              WHEN old_type = new_type THEN 'unchanged'
+              WHEN (old_type, new_type) IN (('int','bigint'),
+                   ('float','double'), ('int','double'))
+                THEN 'widened'
+              ELSE 'narrowed' END AS k
+  FROM j)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(SUM(CASE WHEN k='unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS unchanged,
+       CAST(SUM(CASE WHEN k='added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS added,
+       CAST(SUM(CASE WHEN k='dropped' THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped,
+       CAST(SUM(CASE WHEN k='widened' THEN 1 ELSE 0 END) AS BIGINT)
+         AS widened,
+       CAST(SUM(CASE WHEN k='narrowed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS narrowed,
+       SUM(CASE WHEN k IN ('dropped','narrowed') THEN 1 ELSE 0 END) > 0
+         AS breaking
+FROM cls GROUP BY t ORDER BY t
+""",
+    doc="Schema-evolution gate: old/new column catalogs full-outer-"
+        "joined, every column classified (added/dropped/widened/"
+        "narrowed/unchanged per the upcast rules), per-table breaking "
+        "verdict — all replayed arithmetically.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning — the lakehouse maintenance op that matters at
+# 100 TB: group small files into target-size rewrite bins. The
+# manifest (one month-file per orders month, bytes derived from row
+# counts) is metadata — bounded by partition count, not data size — so
+# the sequential NEXT-FIT walk runs in one applyInPandas group exactly
+# like production planners run on the driver; the oracle replays every
+# (bin, fill) transition with a recursive CTE. The target is derived
+# from the total (total//12 + 1), so the plan is scale-free and the
+# same query pins both scale factors.
+# ---------------------------------------------------------------------------
+
+def _compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    o = _t(spark, sf, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("file_id"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    manifest = (o.groupBy("file_id")
+                .agg((F.count(F.lit(1)) * 100
+                      + F.min("cents") % 1000).alias("bytes")))
+
+    def plan(key, pdf):
+        pdf = pdf.sort_values("file_id").reset_index(drop=True)
+        target = int(pdf["bytes"].sum()) // 12 + 1
+        rows = []
+        bin_id, fill = 0, 0
+        for r in pdf.itertuples():
+            b = int(r.bytes)
+            if fill > 0 and fill + b > target:
+                bin_id += 1
+                fill = 0
+            fill += b
+            rows.append({"file_id": int(r.file_id), "bytes": b,
+                         "bin_id": bin_id, "bin_fill_after": fill,
+                         "target": target})
+        return pd.DataFrame(rows)
+
+    return (manifest.withColumn("_g", F.lit(0))
+            .groupBy("_g").applyInPandas(
+                plan, "file_id long, bytes long, bin_id long,"
+                      " bin_fill_after long, target long")
+            .orderBy("file_id"))
+
+
+register(
+    "compaction_plan",
+    _compaction_plan,
+    """
+WITH RECURSIVE
+m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+           AS file_id,
+         COUNT(*) * 100
+           + MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) % 1000 AS bytes
+  FROM orders GROUP BY 1),
+o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY file_id) AS rn FROM m),
+t AS (SELECT SUM(bytes) // 12 + 1 AS target FROM m),
+r AS (
+  SELECT o.file_id, o.bytes, o.rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         CAST(o.bytes AS BIGINT) AS fill
+  FROM o WHERE o.rn = 1
+  UNION ALL
+  SELECT o.file_id, o.bytes, o.rn,
+         CASE WHEN r.fill + o.bytes > t.target
+              THEN r.bin_id + 1 ELSE r.bin_id END,
+         CASE WHEN r.fill + o.bytes > t.target
+              THEN o.bytes ELSE r.fill + o.bytes END
+  FROM r JOIN o ON o.rn = r.rn + 1 CROSS JOIN t)
+SELECT file_id, CAST(bytes AS BIGINT) AS bytes, bin_id,
+       fill AS bin_fill_after,
+       CAST(t.target AS BIGINT) AS target
+FROM r CROSS JOIN t ORDER BY file_id
+""",
+    doc="Next-fit compaction planning over the month-file manifest "
+        "(metadata-sized sequential walk, scale-free total//12+1 "
+        "target); every (bin, fill) transition replayed by a "
+        "recursive-CTE oracle.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Domain-concentration Gini — the data-mixing health number next to
+# the per-domain caps: how concentrated is the corpus across
+# registrable domains, per source? Exact integer form of the rank
+# formula G = (2*sum(i*x_i) - (n+1)*S) / (n*S) over counts sorted
+# ascending, published as a floor-divided milli value so both engines
+# agree bit-for-bit. The rank window is bounded by the domain-key
+# cardinality (20 here), the repo's standard bounded-frame posture.
+# ---------------------------------------------------------------------------
+
+def _gini_domain_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (_t(spark, sf, "documents")
+         .select("source", (F.col("doc_id") % 20).alias("domain")))
+    counts = (d.groupBy("source", "domain")
+              .agg(F.count(F.lit(1)).alias("x")))
+    w = Window.partitionBy("source").orderBy("x", "domain")
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_domains"),
+                 F.sum("x").alias("n_docs"),
+                 F.sum(F.col("i") * F.col("x")).alias("rank_mass"))
+            .withColumn("gini_milli",
+                        F.expr("(1000 * (2 * rank_mass"
+                               " - (n_domains + 1) * n_docs))"
+                               " div (n_domains * n_docs)"))
+            .orderBy("source"))
+
+
+register(
+    "gini_domain_concentration",
+    _gini_domain_concentration,
+    """
+WITH c AS (
+  SELECT source, doc_id % 20 AS domain, COUNT(*) AS x
+  FROM documents GROUP BY source, doc_id % 20),
+r AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY x, domain) AS i
+  FROM c)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_domains,
+       CAST(SUM(x) AS BIGINT) AS n_docs,
+       CAST(SUM(i * x) AS BIGINT) AS rank_mass,
+       CAST((1000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
+            // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_milli
+FROM r GROUP BY source ORDER BY source
+""",
+    doc="Per-source domain-concentration Gini in exact integer milli "
+        "form (rank formula over counts sorted ascending, tie-broken "
+        "by domain, floor division matched both engines); rank window "
+        "bounded by the 20-key domain space.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate CONSENSUS — the ensemble practice production dedup
+# actually ships: a pair is dropped only when at least two independent
+# detectors agree (MinHash lexical overlap, SimHash bit similarity,
+# embedding-LSH semantic closeness), which suppresses each method's
+# solo false positives. Built by COMPOSITION: the engine unions the
+# three registered pair relations and votes; the oracle embeds the
+# three REGISTERED oracle SQLs as CTEs and replays the same vote — so
+# this query also pins the ensemble's building blocks against each
+# other. Embedding votes exist only where vectors exist (vec ids are a
+# prefix of the doc-id space in the fixtures); consensus just needs
+# any two methods.
+#
+# The embedding branch composes the CAPPED LSH config
+# (max_bucket_size=_ENP_CAP) — the scale-safe production shape, not the
+# uncapped registered baseline: SCALING.md measured the uncapped branch
+# at sf1 exponent 1.48 (243.7s — a dense cluster no hyperplane splits
+# makes one bucket's pair mass quadratic) vs 57.7s with the cap. Capped
+# buckets are mutually-similar mass that the CLUSTER-level path
+# (SemDeDup) owns; pairwise consensus votes only on the pairwise-sized
+# remainder. The oracle mirrors the cap bit-exactly (bucket census +
+# HAVING <= cap on the join bucket).
+# ---------------------------------------------------------------------------
+
+_ENP_CAP = 256
+
+
+def _neardup_consensus(spark: SparkSession, sf: str) -> DataFrame:
+    from .registry import _REGISTRY
+    mh = (_REGISTRY["minhash_dedup_pairs"].fn(spark, sf)
+          .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+          .withColumn("mh", F.lit(1)).withColumn("sh", F.lit(0))
+          .withColumn("em", F.lit(0)))
+    sh = (_REGISTRY["simhash_near_pairs"].fn(spark, sf)
+          .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+          .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(1))
+          .withColumn("em", F.lit(0)))
+    em = (embedding_neardup_lsh(_t(spark, sf, "embeddings"),
+                                threshold=_ENP_THRESHOLD,
+                                n_planes=_ENP_PLANES, n_probe=2,
+                                max_bucket_size=_ENP_CAP)
+          .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+          .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(0))
+          .withColumn("em", F.lit(1)))
+    u = mh.unionByName(sh).unionByName(em)
+    v = (u.groupBy("a", "b")
+         .agg(F.max("mh").alias("mh"), F.max("sh").alias("sh"),
+              F.max("em").alias("em")))
+    return (v.withColumn("votes",
+                         (F.col("mh") + F.col("sh") + F.col("em"))
+                         .cast("long"))
+            .filter(F.col("votes") >= 2)
+            .select(F.col("a").alias("doc_a"),
+                    F.col("b").alias("doc_b"), "votes",
+                    (F.col("mh") == 1).alias("via_minhash"),
+                    (F.col("sh") == 1).alias("via_simhash"),
+                    (F.col("em") == 1).alias("via_embedding"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _enp_capped_oracle() -> str:
+    """DuckDB twin of the CAPPED embedding-LSH detector: identical to
+    the registered `embedding_neardup_pairs` oracle (same bucket
+    expression, same 2-probe explode, same fold cosine) plus the bucket
+    census + `HAVING COUNT(*) <= cap` semi-join. The Spark side filters
+    BOTH join inputs to kept buckets, but since the candidate join
+    requires bucket equality, one keep-join on the shared bucket is the
+    same relation."""
+    return f"""
+WITH bkt AS (
+  SELECT vec_id, embedding,
+         {duck_lsh_bucket_expr('embedding', _ENP_PLANES)} AS bucket
+  FROM embeddings),
+keep AS (SELECT bucket FROM bkt GROUP BY bucket
+         HAVING COUNT(*) <= {_ENP_CAP}),
+a AS (SELECT vec_id, embedding,
+             unnest([bucket, xor(bucket, 1)]) AS bucket FROM bkt),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_duck_dot('a.embedding', 'b.embedding')}
+           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cosine
+  FROM a JOIN bkt b USING (bucket) JOIN keep USING (bucket)
+  WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cosine FROM cand
+WHERE cosine >= {_ENP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+def _neardup_consensus_oracle() -> str:
+    from .registry import _REGISTRY
+    mh = _REGISTRY["minhash_dedup_pairs"].oracle
+    sh = _REGISTRY["simhash_near_pairs"].oracle
+    em = _enp_capped_oracle()
+    return f"""
+WITH mh_pairs AS ({mh}),
+sh_pairs AS ({sh}),
+em_pairs AS ({em}),
+u AS (
+  SELECT doc_a AS a, doc_b AS b, 1 AS mh, 0 AS sh, 0 AS em FROM mh_pairs
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 1, 0 FROM sh_pairs
+  UNION ALL
+  SELECT vec_a, vec_b, 0, 0, 1 FROM em_pairs),
+v AS (SELECT a, b, MAX(mh) AS mh, MAX(sh) AS sh, MAX(em) AS em
+      FROM u GROUP BY a, b)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(mh + sh + em AS BIGINT) AS votes,
+       mh = 1 AS via_minhash, sh = 1 AS via_simhash,
+       em = 1 AS via_embedding
+FROM v WHERE mh + sh + em >= 2 ORDER BY doc_a, doc_b
+"""
+
+
+register(
+    "neardup_consensus",
+    _neardup_consensus,
+    _neardup_consensus_oracle(),
+    doc="Near-dup consensus ensemble: pairs confirmed by >=2 of "
+        "MinHash/SimHash/embedding-LSH, composing the CAPPED embedding "
+        "detector (max_bucket_size=256, the scale-safe config — "
+        "SCALING.md: sf1 243.7s/exp 1.48 uncapped vs 57.7s capped); "
+        "the oracle embeds the same three detector SQLs as CTEs, cap "
+        "mirrored via bucket census + HAVING, and replays the vote.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring — the smoothing real perplexity
+# filters use (CCNet trains KN 5-grams via KenLM; this is the same
+# estimator at bigram order, exactly). Distinct from lm_bigram_quality's
+# add-1 baseline: KN backs off to the CONTINUATION count N1+(*,w2) —
+# "how many contexts does w2 complete" — which is what separates
+# high-frequency-but-context-bound tokens from genuinely productive
+# ones. Same no-log discipline: probabilities are fixed trees of
+# integer-count IEEE divisions, the per-doc mean folds in position
+# order, MIN is order-free.
+# ---------------------------------------------------------------------------
+
+def _kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import kneser_ney_scores
+    return kneser_ney_scores(_t(spark, sf, "documents"))
+
+
+register(
+    "kneser_ney_perplexity",
+    _kneser_ney,
+    f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS w1,
+               generate_subscripts(tk, 1) AS pos FROM toks),
+big AS (SELECT doc_id, pos, w1,
+               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM pos),
+bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+h AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_after FROM c12 GROUP BY w1),
+f AS (SELECT w2, COUNT(*) AS n_before FROM c12 GROUP BY w2),
+b AS (SELECT COUNT(*) AS bt FROM c12),
+p AS (SELECT bg.doc_id, bg.pos,
+             (GREATEST(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+              + 0.75 * CAST(h.n_after AS DOUBLE)
+                * (CAST(f.n_before AS DOUBLE) / CAST(b.bt AS DOUBLE)))
+             / CAST(h.c1 AS DOUBLE) AS p
+      FROM bg
+      JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+      JOIN h ON h.w1 = bg.w1
+      JOIN f ON f.w2 = bg.w2
+      CROSS JOIN b)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                list(p ORDER BY pos)),
+                   (a, x) -> a + x) / COUNT(*) AS mean_kn_p,
+       MIN(p) AS min_kn_p
+FROM p GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Interpolated Kneser-Ney bigram quality signal (Kneser & Ney "
+        "1995; Chen & Goodman 1998): absolute discounting plus the "
+        "continuation-count backoff real perplexity filters use — "
+        "per-doc mean (position-ordered fold) and min of exact "
+        "integer-count probability trees, bit-identical cross-engine.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination by bounded edit distance — the fuzzy tier
+# below exact-substring / n-gram decontam: a benchmark prompt that
+# appears in training data with one typo or dropped word still leaks
+# the answer. Fixture: every 13th document donates its 5-token prefix
+# as an "eval prompt", corrupted by dropping its 3rd character (so the
+# planted true match sits at distance 1). Both engines score with
+# their native levenshtein; the join key is an ANCHOR TOKEN (the last
+# token — prefix corruptions never touch it; real decontam blocks on a
+# rare-token anchor the same way) plus a LENGTH BAND (bucket width 4,
+# prompts fan out to the 3 buckets any string within distance 3 can
+# occupy — |len(a)-len(b)| <= lev(a,b)), so the candidate set is
+# block-local, never all-pairs: the same pigeonhole discipline as the
+# SimHash chunk bands. Blocking defines the (documented) recall bound,
+# exactly as in production fuzzy decontam. Scale: prompts are eval-set-sized (broadcast);
+# candidates shuffle once on the band key.
+# ---------------------------------------------------------------------------
+
+def _levenshtein_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens
+    d = _t(spark, sf, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    cand = (tk.where(F.size("tk") >= 5)
+            .select("doc_id",
+                    F.array_join(F.slice("tk", 1, 5), " ").alias("s")))
+    # The eval set is a FIXED benchmark, not a corpus-growing slice:
+    # capped at 400 prompts (deterministic id order), so block-local
+    # pair volume grows linearly with the corpus — uncapped, prompts
+    # x candidates both scale and the join is quadratic (measured
+    # exponent 1.39 at the sf0.1->sf1 decade; 1.0 with the cap).
+    prompts = (cand.where(F.col("doc_id") % 13 == 0)
+               .orderBy("doc_id").limit(400)
+               .select(F.col("doc_id").alias("eval_id"),
+                       F.concat(F.substring("s", 1, 2),
+                                F.expr("substring(s, 4)")).alias("q")))
+
+    def band(length, off):
+        return F.floor((length + F.lit(off)).cast("double") / 4.0)
+
+    anchor = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    pb = prompts.select(
+        "eval_id", "q", anchor(F.col("q")).alias("anch"),
+        F.explode(F.array_distinct(F.array(
+            band(F.length("q"), -3), band(F.length("q"), 0),
+            band(F.length("q"), 3)))).alias("band"))
+    cb = cand.select("doc_id", "s", anchor(F.col("s")).alias("anch"),
+                     band(F.length("s"), 0).alias("band"))
+    pairs = (F.broadcast(pb).join(cb, ["anch", "band"])
+             .where(F.abs(F.length("q") - F.length("s")) <= 3)
+             .select("eval_id", "doc_id",
+                     F.levenshtein("q", "s").alias("dist")))
+    best = pairs.groupBy("eval_id").agg(
+        F.min("dist").alias("best_dist"),
+        F.count(F.lit(1)).alias("n_cand"))
+    bdoc = (pairs.join(best, "eval_id")
+            .where(F.col("dist") == F.col("best_dist"))
+            .groupBy("eval_id").agg(F.min("doc_id").alias("best_doc")))
+    return (best.join(bdoc, "eval_id")
+            .select("eval_id", "n_cand", "best_dist", "best_doc",
+                    (F.col("best_dist") <= 3).alias("contaminated"))
+            .orderBy("eval_id"))
+
+
+register(
+    "levenshtein_decontam",
+    _levenshtein_decontam,
+    """
+WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+            FROM documents),
+cand AS (SELECT doc_id, array_to_string(tk[1:5], ' ') AS s
+         FROM tk WHERE len(tk) >= 5),
+prompts AS (SELECT doc_id AS eval_id,
+                   substr(s, 1, 2) || substr(s, 4) AS q
+            FROM cand WHERE doc_id % 13 = 0
+            ORDER BY doc_id LIMIT 400),
+pb AS (SELECT eval_id, q,
+              (string_split(q, ' '))[-1] AS anch,
+              unnest(list_distinct([
+            CAST(floor((length(q) - 3) / 4.0) AS BIGINT),
+            CAST(floor(length(q) / 4.0) AS BIGINT),
+            CAST(floor((length(q) + 3) / 4.0) AS BIGINT)])) AS band
+       FROM prompts),
+cb AS (SELECT doc_id, s, (string_split(s, ' '))[-1] AS anch,
+              CAST(floor(length(s) / 4.0) AS BIGINT) AS band
+       FROM cand),
+pairs AS (SELECT p.eval_id, c.doc_id,
+                 CAST(levenshtein(p.q, c.s) AS INT) AS dist
+          FROM pb p JOIN cb c ON c.anch = p.anch AND c.band = p.band
+          WHERE abs(length(p.q) - length(c.s)) <= 3),
+best AS (SELECT eval_id, MIN(dist) AS best_dist,
+                CAST(COUNT(*) AS BIGINT) AS n_cand
+         FROM pairs GROUP BY eval_id),
+bdoc AS (SELECT p.eval_id, MIN(p.doc_id) AS best_doc
+         FROM pairs p JOIN best b
+           ON b.eval_id = p.eval_id AND p.dist = b.best_dist
+         GROUP BY p.eval_id)
+SELECT b.eval_id, b.n_cand, b.best_dist, d.best_doc,
+       b.best_dist <= 3 AS contaminated
+FROM best b JOIN bdoc d ON d.eval_id = b.eval_id
+ORDER BY b.eval_id
+""",
+    doc="Fuzzy eval-set decontamination: native levenshtein over an "
+        "anchor-token + length-band candidate block (|len diff| "
+        "bounds edit distance; the anchor token survives prefix "
+        "corruption) — planted typo'd prompts resolve to their source "
+        "doc at distance 1; never all-pairs.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Length-matched sampling — the distribution-matching cousin of the
+# temperature mix: thin a candidate pool so its LENGTH histogram matches
+# a reference slice (here: match non-English docs to the English length
+# profile), the standard control when ablating a data source so length
+# confounds don't masquerade as quality effects. Accept/reject is a
+# deterministic per-doc hash threshold against the per-bucket ratio
+# target_share/pool_share: h/2^48 is an EXACT power-of-two division and
+# the ratio is one correctly-rounded division of exact integer products
+# (< 2^53), so the verdict is bit-stable under any partitioning — same
+# discipline as stratified_sample_docs. One count agg per side, one
+# broadcast-sized bucket join; never a global sort.
+# ---------------------------------------------------------------------------
+
+def _length_matched_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import md5_hash
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars").cast("double") / 64.0).alias("bucket"))
+    tgt = (d.where(F.col("lang") == "en")
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("tn")))
+    tt = d.where(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("tt"))
+    pool = d.where(F.col("lang") != "en")
+    pc = pool.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn"))
+    pt = pool.agg(F.count(F.lit(1)).alias("pt"))
+    ratio = ((F.coalesce(F.col("tn"), F.lit(0)) * F.col("pt"))
+             .cast("double")
+             / (F.col("pn") * F.col("tt")).cast("double"))
+    h = md5_hash(F.concat(F.lit("lms:"), F.col("doc_id")))
+    scored = (pool.join(F.broadcast(pc), "bucket")
+              .join(F.broadcast(tgt), "bucket", "left")
+              .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(pt))
+              .select("bucket", "doc_id",
+                      ratio.alias("ratio"),
+                      (h.cast("double") / F.lit(281474976710656.0)
+                       < ratio).alias("accept")))
+    return (scored.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("pool_n"),
+                 F.sum(F.when(F.col("accept"), 1).otherwise(0))
+                  .cast("long").alias("accepted_n"),
+                 F.min("ratio").alias("accept_ratio"))
+            .orderBy("bucket"))
+
+
+register(
+    "length_matched_sample",
+    _length_matched_sample,
+    """
+WITH d AS (SELECT doc_id, lang,
+                  CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket
+           FROM documents),
+tgt AS (SELECT bucket, COUNT(*) AS tn FROM d WHERE lang = 'en'
+        GROUP BY bucket),
+tt AS (SELECT COUNT(*) AS tt FROM d WHERE lang = 'en'),
+pool AS (SELECT * FROM d WHERE lang <> 'en'),
+pc AS (SELECT bucket, COUNT(*) AS pn FROM pool GROUP BY bucket),
+pt AS (SELECT COUNT(*) AS pt FROM pool),
+scored AS (
+  SELECT p.bucket, p.doc_id,
+         CAST(COALESCE(t.tn, 0) * pt.pt AS DOUBLE)
+           / CAST(c.pn * tt.tt AS DOUBLE) AS ratio,
+         CAST(('0x' || substr(md5('lms:' || CAST(p.doc_id AS VARCHAR)),
+                              1, 12))::BIGINT AS DOUBLE)
+           / 281474976710656.0
+           < CAST(COALESCE(t.tn, 0) * pt.pt AS DOUBLE)
+             / CAST(c.pn * tt.tt AS DOUBLE) AS accept
+  FROM pool p
+  JOIN pc c ON c.bucket = p.bucket
+  LEFT JOIN tgt t ON t.bucket = p.bucket
+  CROSS JOIN tt CROSS JOIN pt)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS pool_n,
+       CAST(SUM(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT)
+         AS accepted_n,
+       MIN(ratio) AS accept_ratio
+FROM scored GROUP BY bucket ORDER BY bucket
+""",
+    doc="Length-matched source ablation sampling: per-bucket "
+        "accept/reject hash thresholds reshape the non-English pool "
+        "to the English length histogram — exact integer-product "
+        "ratios, power-of-two-exact hash normalization, one broadcast "
+        "bucket join.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML extraction — the crawl-seeding counterpart of
+# robots_txt_gate: sitemaps.org XML is how sites publish their URL
+# inventory (loc/lastmod/priority per <url> entry), and a crawler's
+# frontier starts from exactly this parse. Each of 20 domains builds a
+# genuine <urlset> document from its docs (ordered string_agg), and the
+# OPERATOR is the parse back out: non-greedy <url> block extraction,
+# per-field regex, date + priority typing. Spec note: the sitemap
+# protocol caps one file at 50k URLs / 50 MB, so the per-domain string
+# agg is bounded by the format itself — at crawl scale each fetched
+# sitemap file is one row and the explode is partition-local.
+# ---------------------------------------------------------------------------
+
+def _sitemap_url_extract(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") % 20).alias("k"))
+    entry = F.concat(
+        F.lit("<url><loc>https://d"), F.col("k"),
+        F.lit(".example.com/doc/"), F.col("doc_id"),
+        F.lit("</loc><lastmod>2024-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), F.col("doc_id") % 10,
+        F.lit("</priority></url>"))
+    xml = (d.select("k", F.struct("doc_id", entry.alias("e")).alias("s"))
+           .groupBy("k")
+           .agg(F.concat(
+               F.lit('<?xml version="1.0"?><urlset>'),
+               F.concat_ws("", F.transform(
+                   F.array_sort(F.collect_list("s")),
+                   lambda x: x["e"])),
+               F.lit("</urlset>")).alias("xml")))
+    blocks = xml.select(
+        "k", F.explode(F.expr(
+            r"regexp_extract_all(xml, '<url>(.*?)</url>', 1)"))
+        .alias("u"))
+    return (blocks.select(
+        F.concat(F.lit("d"), F.col("k"), F.lit(".example.com"))
+         .alias("domain"),
+        F.regexp_extract("u", "<loc>(.*?)</loc>", 1).alias("loc"),
+        F.to_date(F.regexp_extract("u", "<lastmod>(.*?)</lastmod>", 1),
+                  "yyyy-MM-dd").alias("lastmod"),
+        F.regexp_extract("u", "<priority>(.*?)</priority>", 1)
+         .cast("double").alias("priority"))
+        .orderBy("loc"))
+
+
+register(
+    "sitemap_url_extract",
+    _sitemap_url_extract,
+    """
+WITH d AS (SELECT doc_id, doc_id % 20 AS k FROM documents),
+e AS (SELECT k, doc_id,
+             '<url><loc>https://d' || CAST(k AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             || '</loc><lastmod>2024-'
+             || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || '</lastmod><priority>0.'
+             || CAST(doc_id % 10 AS VARCHAR)
+             || '</priority></url>' AS entry
+      FROM d),
+x AS (SELECT k, '<?xml version="1.0"?><urlset>'
+             || string_agg(entry, '' ORDER BY doc_id)
+             || '</urlset>' AS xml
+      FROM e GROUP BY k),
+b AS (SELECT k, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1))
+             AS u
+      FROM x)
+SELECT 'd' || CAST(k AS VARCHAR) || '.example.com' AS domain,
+       regexp_extract(u, '<loc>(.*?)</loc>', 1) AS loc,
+       CAST(regexp_extract(u, '<lastmod>(.*?)</lastmod>', 1) AS DATE)
+         AS lastmod,
+       CAST(regexp_extract(u, '<priority>(.*?)</priority>', 1)
+            AS DOUBLE) AS priority
+FROM b ORDER BY loc
+""",
+    doc="sitemaps.org <urlset> build + parse: per-domain ordered XML "
+        "assembly, non-greedy block extraction, typed loc/lastmod/"
+        "priority fields — the crawl-frontier seeding parse, bounded "
+        "per file by the protocol's own 50k-URL cap.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (entity resolution): Soundex-key candidate blocks —
+# the classic cheap blocking function for person/org name dedup
+# (Fellegi-Sunter pipelines block on phonetic keys before scoring).
+# Both sides compute the SAME simplified American Soundex: letter→digit
+# map via translate, adjacent-duplicate collapse over the full code
+# sequence (so 'pf' folds like the standard), zero-drop, first letter +
+# 3 digits. Simplification, documented: H/W are coded 0 like vowels
+# (they separate equal codes; standard Soundex merges across them) —
+# deterministic and identical cross-engine, which is what a blocking
+# key must be. Names: a 40-surname universe keyed by custkey, with a
+# planted char-swap typo every 7th customer — swaps inside a code run
+# keep the key, cross-class swaps break it, both visible in the block
+# roster. Scale: one groupBy on the key; block sizes are bounded by
+# the name-universe, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_SURNAMES = [
+    "smith", "smyth", "johnson", "jonson", "williams", "brown", "braun",
+    "jones", "garcia", "miller", "mueller", "davis", "rodriguez",
+    "martinez", "hernandez", "lopez", "gonzalez", "wilson", "anderson",
+    "thomas", "taylor", "moore", "jackson", "martin", "lee", "perez",
+    "thompson", "white", "harris", "sanchez", "clark", "clarke",
+    "ramirez", "lewis", "robinson", "walker", "young", "allen",
+    "wright", "schmidt",
+]
+
+_SOUNDEX_FROM = "abcdefghijklmnopqrstuvwxyz"
+_SOUNDEX_TO = "01230120022455012623010202"
+
+
+def _phonetic_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select("c_custkey")
+    base = F.element_at(
+        F.array(*[F.lit(s) for s in _SURNAMES]),
+        (F.col("c_custkey") % 40 + 1).cast("int"))
+    name = F.when(
+        F.col("c_custkey") % 7 == 0,
+        F.concat(F.substring(base, 1, 1), F.substring(base, 3, 1),
+                 F.substring(base, 2, 1), F.expr(
+                     "substring(element_at(array("
+                     + ",".join(f"'{s}'" for s in _SURNAMES)
+                     + "), cast(c_custkey % 40 + 1 as int)), 4)"))
+    ).otherwise(base)
+    d = c.select("c_custkey", name.alias("name"))
+    d = d.withColumn(
+        "codes", F.translate(F.col("name"), _SOUNDEX_FROM, _SOUNDEX_TO))
+    d = d.withColumn("arr", F.expr(
+        "transform(sequence(1, length(codes)), i -> substr(codes, i, 1))"))
+    # Spark lambda index and arr[] are both 0-based; DuckDB's are 1-based
+    # — each side reads "previous element" in its own convention.
+    d = d.withColumn("dedup", F.expr(
+        "filter(arr, (x, i) -> i = 0 OR x != arr[i - 1])"))
+    d = d.withColumn("tail3", F.expr(
+        "rpad(concat_ws('', slice(filter("
+        "slice(dedup, 2, size(dedup)), x -> x != '0'), 1, 3)), 3, '0')"))
+    d = d.select(
+        "c_custkey", "name",
+        F.concat(F.upper(F.substring("name", 1, 1)), F.col("tail3"))
+         .alias("skey"))
+    return (d.groupBy("skey")
+            .agg(F.count(F.lit(1)).alias("block_size"),
+                 F.countDistinct("name").alias("distinct_names"),
+                 F.concat_ws("|", F.array_sort(
+                     F.collect_set("name"))).alias("roster"))
+            .withColumn("est_pairs",
+                        (F.col("block_size") * (F.col("block_size") - 1)
+                         / 2).cast("long"))
+            .orderBy("skey"))
+
+
+register(
+    "phonetic_blocking",
+    _phonetic_blocking,
+    f"""
+WITH names AS (
+  SELECT c_custkey,
+         (['{"','".join(_SURNAMES)}'])[
+             CAST(c_custkey % 40 + 1 AS INT)] AS base
+  FROM customer),
+n AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0
+              THEN substr(base, 1, 1) || substr(base, 3, 1)
+                   || substr(base, 2, 1) || substr(base, 4)
+              ELSE base END AS name
+  FROM names),
+coded AS (
+  SELECT c_custkey, name,
+         list_transform(range(1, length(name) + 1),
+             i -> substr(translate(name, '{_SOUNDEX_FROM}',
+                                   '{_SOUNDEX_TO}'), i, 1)) AS arr
+  FROM n),
+keyed AS (
+  SELECT c_custkey, name,
+         upper(substr(name, 1, 1))
+         -- COALESCE: DuckDB's array_to_string([]) is NULL, not ''
+         || rpad(COALESCE(array_to_string(
+                list_filter(
+                    (list_filter(arr,
+                                 (x, i) -> i = 1 OR x <> arr[i - 1]))[2:],
+                    x -> x <> '0'), ''), ''), 3, '0') AS skey
+  FROM coded)
+SELECT skey,
+       CAST(COUNT(*) AS BIGINT) AS block_size,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS distinct_names,
+       array_to_string(list_sort(list(DISTINCT name)), '|') AS roster,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS est_pairs
+FROM keyed GROUP BY skey ORDER BY skey
+""",
+    doc="Soundex phonetic blocking for entity resolution: shared "
+        "simplified code spec (translate map, index-lambda adjacent "
+        "collapse, zero drop, letter+3 key), planted char-swap typos, "
+        "per-block roster + candidate-pair mass — the step before "
+        "pairwise match scoring.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection audit — the dimensionality-
+# reduction step real ANN systems run before indexing (Achlioptas 2003:
+# +-1 entries preserve inner products in expectation; JL gives the
+# distance-distortion bound). The projection matrix is a deterministic
+# md5-parity sign pattern (no RNG — same no-randomness rule as the
+# whole repo), inlined identically into both engines, and the audit
+# compares original 64-d cosine vs projected 16-d cosine over a
+# probe x candidate panel: per-probe mean |distortion| (candidate-
+# ordered fold) and max. Scale: projections are computed per-row
+# before the join (narrow map), the probe side is an itemized
+# broadcast, and the panel is probe-bounded — the same BNLJ shape as
+# ann_cosine_topk.
+# ---------------------------------------------------------------------------
+
+def _jl_matrix() -> list[list[float]]:
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"jl:{j}:{i}".encode())
+                        .hexdigest()[:2], 16) % 2 == 0 else -1.0
+             for i in range(64)] for j in range(16)]
+
+
+def _jl_projection_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.exact import ddot
+    R = _jl_matrix()
+    rlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in R])
+
+    def proj(v):
+        return F.transform(rlit, lambda row: F.aggregate(
+            F.zip_with(row, v,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda a, x: a + x))
+
+    emb = _t(spark, sf, "embeddings")
+
+    def side(pred, idn):
+        d = emb.where(pred).select(
+            F.col("vec_id").alias(idn),
+            F.col("embedding").alias(f"{idn}_v"),
+            proj(F.col("embedding")).alias(f"{idn}_p"))
+        return d.select(
+            idn, f"{idn}_v", f"{idn}_p",
+            ddot(F.col(f"{idn}_v"), F.col(f"{idn}_v")).alias(f"{idn}_n2"),
+            ddot(F.col(f"{idn}_p"), F.col(f"{idn}_p")).alias(f"{idn}_pn2"))
+
+    p = side(F.col("vec_id") % 40 == 0, "pid")
+    c = side(F.col("vec_id") % 3 == 0, "cid")
+    pairs = (F.broadcast(p).crossJoin(c)
+             .where(F.col("pid") != F.col("cid"))
+             .select("pid", "cid",
+                     (ddot(F.col("pid_v"), F.col("cid_v"))
+                      / (F.sqrt("pid_n2") * F.sqrt("cid_n2")))
+                     .alias("cos_o"),
+                     (ddot(F.col("pid_p"), F.col("cid_p"))
+                      / (F.sqrt("pid_pn2") * F.sqrt("cid_pn2")))
+                     .alias("cos_p")))
+    e = pairs.select("pid", "cid",
+                     F.abs(F.col("cos_p") - F.col("cos_o")).alias("err"))
+    agg = (e.groupBy("pid")
+           .agg(F.array_sort(F.collect_list(F.struct("cid", "err")))
+                .alias("es"),
+                F.max("err").alias("max_abs_err")))
+    vals = F.transform(F.col("es"), lambda x: x["err"])
+    fold = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    return (agg.select(F.col("pid").alias("probe_id"),
+                       F.size("es").cast("long").alias("n_pairs"),
+                       (fold / F.size("es")).alias("mean_abs_err"),
+                       "max_abs_err")
+            .orderBy("probe_id"))
+
+
+def _jl_oracle() -> str:
+    R = _jl_matrix()
+    rlit = "[" + ", ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in R) + "]"
+    proj = (f"list_transform({rlit}, row -> "
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, 65), "
+            "i -> CAST(row[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), "
+            "(a, x) -> a + x))")
+    return f"""
+WITH sides AS (
+  SELECT vec_id, embedding, {proj} AS pr,
+         {_duck_dot('embedding', 'embedding')} AS n2
+  FROM embeddings),
+s2 AS (SELECT vec_id, embedding, pr, n2,
+              {_duck_dot('pr', 'pr')} AS pn2
+       FROM sides),
+p AS (SELECT vec_id AS pid, embedding AS pv, pr AS pp,
+             n2 AS pn2, pn2 AS ppn2
+      FROM s2 WHERE vec_id % 40 = 0),
+c AS (SELECT vec_id AS cid, embedding AS cv, pr AS cp,
+             n2 AS cn2, pn2 AS cpn2
+      FROM s2 WHERE vec_id % 3 = 0),
+pairs AS (
+  SELECT pid, cid,
+         {_duck_dot('pv', 'cv')} / (sqrt(pn2) * sqrt(cn2)) AS cos_o,
+         {_duck_dot('pp', 'cp')} / (sqrt(ppn2) * sqrt(cpn2)) AS cos_p
+  FROM p CROSS JOIN c WHERE pid <> cid),
+e AS (SELECT pid, cid, abs(cos_p - cos_o) AS err FROM pairs)
+SELECT pid AS probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(err ORDER BY cid)),
+                   (a, x) -> a + x) / COUNT(*) AS mean_abs_err,
+       MAX(err) AS max_abs_err
+FROM e GROUP BY pid ORDER BY probe_id
+"""
+
+
+register(
+    "jl_projection_audit",
+    _jl_projection_audit,
+    _jl_oracle(),
+    doc="JL sign-random-projection audit (Achlioptas 2003): "
+        "deterministic md5-parity +-1 matrix, 64d -> 16d, per-probe "
+        "mean/max cosine distortion over a broadcast probe panel — "
+        "ordered folds keep every double bit-identical cross-engine.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend smoothing (double exponential smoothing — the
+# trend tier above ewma_user_activity's simple EWMA; Holt 1957): the
+# operational-forecasting primitive for capacity planning over daily
+# monthly revenue. State is the coupled (level, trend) pair, so the Spark fold
+# carries a STRUCT accumulator over the date-sorted series (α = 1/2
+# exact binary; β = 0.3/0.7 same literals both engines), and the
+# oracle replays the identical recurrence as a recursive CTE. The
+# nested l_new expression is deliberately duplicated inside b_new —
+# identical IEEE trees, identical values. Scale: series are per-GROUP
+# (priority) and bounded by the date span, never order volume — state
+# is one (date, revenue) list per group, the same per-key-bounded
+# shape as sessionization; groups smooth in parallel.
+# ---------------------------------------------------------------------------
+
+def _holt_winters_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.exact import dsum
+    o = _t(spark, sf, "orders")
+    daily = (o.select(F.col("o_orderpriority").alias("pr"),
+                      F.trunc("o_orderdate", "month").alias("d"),
+                      F.col("o_totalprice"))
+             .groupBy("pr", "d")
+             .agg(dsum(F.col("o_totalprice")).alias("y")))
+    arr = F.array_sort(F.collect_list(F.struct("d", "y")))
+    g = daily.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.max("d").alias("last_month"),
+        arr.alias("sv"))
+    e1 = F.element_at(F.col("sv"), 1)["y"]
+    e2 = F.element_at(F.col("sv"), 2)["y"]
+    init = F.struct(e1.alias("l"), (e2 - e1).alias("b"))
+
+    def step(acc, x):
+        l_new = 0.5 * x["y"] + 0.5 * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (0.3 * (l_new - acc["l"]) + 0.7 * acc["b"]).alias("b"))
+
+    state = F.aggregate(
+        F.slice(F.col("sv"), 2, F.greatest(F.size("sv") - 1, F.lit(0))),
+        init, step)
+    # Holt's init needs two observations (b0 = y2 - y1): a one-month
+    # group has no defined trend, so it is EXCLUDED rather than emitted
+    # with NULLs — this also matches the oracle, whose recursive base
+    # inner-joins s2.rn = 2 and therefore drops such groups (ADVICE r8).
+    return (g.filter(F.col("n_months") >= 2)
+        .select(
+        "pr", "n_months", "last_month",
+        state["l"].alias("level"), state["b"].alias("trend"),
+        (state["l"] + F.lit(3.0) * state["b"]).alias("forecast_3m"))
+        .orderBy("pr"))
+
+
+register(
+    "holt_winters_forecast",
+    _holt_winters_forecast,
+    """
+WITH RECURSIVE
+daily AS (SELECT o_orderpriority AS pr,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS d,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) AS y
+          FROM orders GROUP BY 1, 2),
+seq AS (SELECT pr, d, y,
+               ROW_NUMBER() OVER (PARTITION BY pr ORDER BY d) AS rn
+        FROM daily),
+n AS (SELECT pr, MAX(rn) AS n, CAST(MAX(d) AS DATE) AS last_month
+      FROM seq GROUP BY pr),
+r AS (
+  SELECT s1.pr, CAST(1 AS BIGINT) AS rn,
+         s1.y AS l, s2.y - s1.y AS b
+  FROM seq s1 JOIN seq s2 ON s2.pr = s1.pr AND s2.rn = 2
+  WHERE s1.rn = 1
+  UNION ALL
+  SELECT r.pr, r.rn + 1,
+         0.5 * s.y + 0.5 * (r.l + r.b),
+         0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+  FROM r
+  JOIN seq s ON s.pr = r.pr AND s.rn = r.rn + 1
+  JOIN n ON n.pr = r.pr
+  WHERE r.rn < n.n)
+SELECT r.pr, CAST(n.n AS BIGINT) AS n_months, n.last_month,
+       r.l AS level, r.b AS trend,
+       r.l + 3.0 * r.b AS forecast_3m
+FROM r JOIN n ON n.pr = r.pr AND r.rn = n.n
+ORDER BY r.pr
+""",
+    doc="Holt double exponential smoothing per order priority: struct-"
+        "state fold over the month-sorted revenue series (exact-decimal "
+        "monthly sums), recursive-CTE oracle replaying the identical "
+        "(level, trend) recurrence, 3-month-ahead linear forecast — "
+        "bit-exact across engines.",
+)
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode roundtrip — the lossless compressed format audio corpora
+# actually ship in, closing the audio family the way jpeg/gif/tiff
+# closed images: genuine RFC 9639 bitstreams (fLaC marker, STREAMINFO
+# with the real sample-MD5, sync-coded frame header with CRC-8,
+# CONSTANT / VERBATIM / FIXED-predictor subframes with Rice-coded
+# zigzag residuals, whole-frame CRC-16) encoded and decoded by
+# operators/flaccodec.py, from scratch per the public spec. Fixture
+# signals are CLOSED-FORM per doc (constant, linear-mod, quadratic-mod,
+# cubic-mod), so the decode exercises the real unary/remainder bit
+# walk and predictor reconstruction while the oracle replays the
+# signal formula as a list expression — no recursion needed. Scale
+# shape: two Arrow crossings, zero shuffles before the final sort;
+# frames decode independently (multi-frame streams split at sync
+# boundaries across executors — same argument as TIFF strips).
+# ---------------------------------------------------------------------------
+
+def _flac_subframe_decode(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.flaccodec import decode_flac, encode_flac
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def signal(did: int) -> tuple[list[int], str, int, int]:
+        t = did % 4
+        if t == 0:
+            return [(did * 37) % 4001 - 2000] * 64, "constant", 0, 0
+        if t == 1:
+            return ([(did * 31 + i * 97) % 4001 - 2000
+                     for i in range(64)], "verbatim", 0, 0)
+        if t == 2:
+            return ([(did * 13 + i * i * 5 + i * 29) % 3001 - 1500
+                     for i in range(64)], "fixed", 2, 9)
+        return ([(did * 7 + i * i * i + i * 53) % 3001 - 1500
+                 for i in range(64)], "fixed", 4, 12)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                s, kind, order, rice = signal(int(did))
+                payloads.append(encode_flac(s, kind, order=order,
+                                            rice=rice))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_flac(bytes(p))
+                s = r["samples"]
+                rows.append({"doc_id": int(did),
+                             "subframe_type": r["subframe_type"],
+                             "pred_order": r["order"],
+                             "n_samples": r["n_samples"],
+                             "sample_sum": sum(s),
+                             "max_abs": max(abs(v) for v in s),
+                             "last_sample": s[-1],
+                             "crc_ok": r["crc_ok"],
+                             "md5_ok": r["md5_ok"]})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, subframe_type string,"
+                                 " pred_order long, n_samples long,"
+                                 " sample_sum long, max_abs long,"
+                                 " last_sample long, crc_ok boolean,"
+                                 " md5_ok boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "flac_subframe_decode",
+    _flac_subframe_decode,
+    """
+WITH s AS (
+  SELECT doc_id, doc_id % 4 AS t,
+         list_transform(range(0, 64), i ->
+           CASE doc_id % 4
+             WHEN 0 THEN (doc_id * 37) % 4001 - 2000
+             WHEN 1 THEN (doc_id * 31 + i * 97) % 4001 - 2000
+             WHEN 2 THEN (doc_id * 13 + i * i * 5 + i * 29) % 3001 - 1500
+             ELSE (doc_id * 7 + i * i * i + i * 53) % 3001 - 1500
+           END) AS sv
+  FROM documents)
+SELECT doc_id,
+       CASE t WHEN 0 THEN 'constant' WHEN 1 THEN 'verbatim'
+              ELSE 'fixed' END AS subframe_type,
+       CAST(CASE t WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 0 END AS BIGINT)
+         AS pred_order,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(list_sum(sv) AS BIGINT) AS sample_sum,
+       CAST(list_max(list_transform(sv, x -> abs(x))) AS BIGINT)
+         AS max_abs,
+       CAST(sv[64] AS BIGINT) AS last_sample,
+       TRUE AS crc_ok, TRUE AS md5_ok
+FROM s ORDER BY doc_id
+""",
+    doc="FLAC subset roundtrip (RFC 9639): real Rice-coded fixed-"
+        "predictor bitstreams with CRC-8/CRC-16 and STREAMINFO sample-"
+        "MD5 all verified in decode; closed-form fixture signals make "
+        "the oracle a pure list expression while the bit walk and "
+        "predictor reconstruction stay genuine.",
+)
+
+
+# ---------------------------------------------------------------------------
+# zstd frame walk + entropy-free decode — Common Crawl ships WET/WARC
+# as .zst since 2023, so the ingest seam needs the RFC 8878 frame
+# grammar next to gzip members and tar shards. The fixture frames each
+# doc's text plus a 128-byte run (so both Raw and RLE block types
+# occur) through operators/zstdframe.py's real encoder; the operator
+# decodes the frame back — magic, FHD fields, 3-byte block headers,
+# RLE expansion, FCS verification — and publishes the reassembled
+# content's md5 plus the full structural census. The oracle replays
+# the chunking rule arithmetically (a chunk is RLE iff it equals its
+# first byte repeated), never touching the binary. Compressed_Block
+# is the documented entropy boundary (UnsupportedZstd, libzstd slots
+# behind the same seam). Scale: two Arrow crossings, frames decode
+# independently, one final sort.
+# ---------------------------------------------------------------------------
+
+def _zstd_frame_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.zstdframe import decode_zstd_frame, encode_zstd_raw
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = [encode_zstd_raw(t.encode("utf-8") + b"z" * 128, 64)
+                        for t in pdf["text"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_zstd_frame(bytes(p))
+                rows.append({
+                    "doc_id": int(did),
+                    "content_len": r["content_len"],
+                    "n_blocks": r["n_blocks"],
+                    "n_raw": r["n_raw"], "n_rle": r["n_rle"],
+                    "frame_bytes": r["frame_bytes"],
+                    "fcs_ok": r["content_len"] == r["fcs"],
+                    "content_md5":
+                        hashlib.md5(r["content"]).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, content_len long,"
+                                 " n_blocks long, n_raw long,"
+                                 " n_rle long, frame_bytes long,"
+                                 " fcs_ok boolean, content_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "zstd_frame_probe",
+    _zstd_frame_probe,
+    """
+-- Chunking runs over UTF-8 BYTES (matching Spark's text.encode('utf-8')):
+-- this DuckDB build has no BLOB substring, so the byte walk uses the hex
+-- transcription (2 hex chars per byte; offsets/lengths doubled). md5() on
+-- VARCHAR already hashes the UTF-8 encoding, so content_md5 needs no trick.
+WITH d AS (SELECT doc_id, text || repeat('z', 128) AS c FROM documents),
+dh AS (SELECT doc_id, c, hex(encode(c)) AS hx,
+              octet_length(encode(c)) AS n FROM d),
+ch AS (SELECT doc_id, c, hx, n,
+              unnest(range(0, (n + 63) // 64)) AS j
+       FROM dh),
+blk AS (SELECT doc_id, n,
+               LEAST(64, n - j * 64) AS clen,
+               substr(hx, CAST(j * 128 + 1 AS INT), CAST(2 * LEAST(64, n - j * 64) AS INT))
+                 = repeat(substr(hx, CAST(j * 128 + 1 AS INT), 2),
+                          LEAST(64, n - j * 64)) AS rle
+        FROM ch)
+SELECT b.doc_id,
+       CAST(MAX(b.n) AS BIGINT) AS content_len,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN b.rle THEN 0 ELSE 1 END) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN b.rle THEN 1 ELSE 0 END) AS BIGINT) AS n_rle,
+       CAST(9 + SUM(3 + CASE WHEN b.rle THEN 1 ELSE b.clen END)
+            AS BIGINT) AS frame_bytes,
+       TRUE AS fcs_ok,
+       MAX(md5(d.c)) AS content_md5
+FROM blk b JOIN d ON d.doc_id = b.doc_id
+GROUP BY b.doc_id ORDER BY b.doc_id
+""",
+    doc="RFC 8878 zstd frame roundtrip: real magic/FHD/block-header "
+        "grammar with Raw + RLE blocks decoded and FCS verified; the "
+        "oracle replays the chunk census arithmetically and pins the "
+        "reassembled content md5. Compressed_Block decode ships too — "
+        "zstd_compressed_roundtrip exercises it.",
+)
+
+
+# ---------------------------------------------------------------------------
+# zstd COMPRESSED_BLOCK roundtrip — the entropy stack (VERDICT r8 item
+# 4): real-world .zst payloads are ~all Compressed_Blocks, so the walk
+# above is a probe until FSE + Huffman decode. operators/zstdentropy.py
+# implements the full RFC 8878 §4.1-4.2 stack from scratch (NCount
+# table descriptions, reversed bitstreams, Huffman literals with direct
+# AND FSE-compressed weights over 1 or 4 streams, predefined-table
+# sequences, 3-slot repeat-offset history) with hypothesis roundtrips
+# in tests/test_zstd_entropy.py. The fixture frames each doc's text as
+# ONE compressed block: Huffman-coded literals = utf8(text) + one 'z',
+# then a single sequence (LL = literals, offset 1 — a REPEAT-OFFSET
+# code, rep0's initial value — match length 199) whose overlapped copy
+# regenerates a 200-byte z-run. The oracle pins every content-derived
+# field (length, md5, section census) in plain SQL, so a stale bit
+# anywhere in the Huffman/FSE/sequence pipeline breaks the md5 match.
+# Scale: two Arrow crossings, frames decode independently, one sort.
+# Registered BEHIND the driver's 50-slot window by design (r9 drains
+# the stamp backlog; this heads the r10 queue).
+# ---------------------------------------------------------------------------
+
+def _zstd_compressed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.zstdframe import decode_zstd_frame, encode_zstd_compressed
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                lits = t.encode("utf-8") + b"z"
+                payloads.append(encode_zstd_compressed(
+                    [(lits, [(len(lits), 1, 199)])]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                r = decode_zstd_frame(bytes(p))
+                rows.append({
+                    "doc_id": int(did),
+                    "content_len": r["content_len"],
+                    "n_blocks": r["n_blocks"],
+                    "n_compressed": r["n_compressed"],
+                    "n_seq": r["n_seq"],
+                    "lit_len": r["lit_len"],
+                    "match_len": r["match_len"],
+                    "fcs_ok": r["content_len"] == r["fcs"],
+                    "content_md5":
+                        hashlib.md5(r["content"]).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, content_len long,"
+                                 " n_blocks long, n_compressed long,"
+                                 " n_seq long, lit_len long,"
+                                 " match_len long, fcs_ok boolean,"
+                                 " content_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "zstd_compressed_roundtrip",
+    _zstd_compressed_roundtrip,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) + 200 AS BIGINT) AS content_len,
+       CAST(1 AS BIGINT) AS n_blocks,
+       CAST(1 AS BIGINT) AS n_compressed,
+       CAST(1 AS BIGINT) AS n_seq,
+       CAST(octet_length(encode(text)) + 1 AS BIGINT) AS lit_len,
+       CAST(199 AS BIGINT) AS match_len,
+       TRUE AS fcs_ok,
+       md5(text || repeat('z', 200)) AS content_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="RFC 8878 Compressed_Block roundtrip: Huffman literals (direct "
+        "or FSE-compressed weights, 1/4 streams) + predefined-table FSE "
+        "sequences with a repeat-offset match, encoded and decoded from "
+        "scratch; the oracle pins content length, md5 and the section "
+        "census, so the md5 match verifies the whole entropy stack.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): the guarantee-bearing document-fingerprint scheme next to
+# CDC chunking and full-text minhash — any shared substring of length
+# >= w+k-1 is guaranteed to share a selected fingerprint, and expected
+# density is 2/(w+1). Per doc: 48-bit md5 hashes of all char k-grams
+# (k=8), then each w=4 window selects its minimal hash with the
+# RIGHTMOST tie rule — expressed as a struct-min of (h, -pos) over a
+# bounded per-doc window frame (both engines order structs
+# lexicographically), then DISTINCT selected positions. Scale: the
+# window is per-DOCUMENT (partitioned by doc_id, 4-row frame), k-gram
+# explode is corpus-linear, one final per-doc agg.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 8
+_WIN_W = 4
+
+
+def _winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.text import md5_hash
+
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", F.trim("text").alias("t"))
+         .where(F.length("t") >= _WIN_K + _WIN_W - 1))
+    grams = (d.select(
+        "doc_id", F.length("t").alias("n"),
+        F.explode(F.sequence(F.lit(1),
+                             F.length("t") - (_WIN_K - 1))).alias("pos"),
+        F.col("t"))
+        .select("doc_id", "n", "pos",
+                md5_hash(F.expr(f"substring(t, pos, {_WIN_K})"))
+                .alias("h")))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, _WIN_W - 1))
+    sel = (grams
+           .withColumn("nk", F.col("n") - (_WIN_K - 1))
+           .withColumn("s", F.min(F.struct(
+               F.col("h"), (-F.col("pos")).alias("np"))).over(win))
+           .where(F.col("pos") <= F.col("nk") - (_WIN_W - 1))
+           .select("doc_id", "nk",
+                   (-F.col("s.np")).alias("fpos"),
+                   F.col("s.h").alias("fh")))
+    fps = sel.select("doc_id", "nk", "fpos", "fh").distinct()
+    return (fps.groupBy("doc_id")
+            .agg(F.max("nk").cast("long").alias("n_kgrams"),
+                 (F.max("nk") - (_WIN_W - 1)).cast("long")
+                 .alias("n_windows"),
+                 F.count(F.lit(1)).alias("n_fps"),
+                 F.min("fh").alias("min_fp"),
+                 F.max("fh").alias("max_fp"))
+            .withColumn("density_micro",
+                        F.expr("(1000000 * n_fps) div n_windows")
+                        .cast("long"))
+            .select("doc_id", "n_kgrams", "n_windows", "n_fps",
+                    "density_micro", "min_fp", "max_fp")
+            .orderBy("doc_id"))
+
+
+register(
+    "winnowing_fingerprints",
+    _winnowing_fingerprints,
+    f"""
+WITH d AS (SELECT doc_id, trim(text) AS t FROM documents
+           WHERE length(trim(text)) >= {_WIN_K + _WIN_W - 1}),
+grams AS (
+  SELECT doc_id, length(t) - {_WIN_K - 1} AS nk,
+         unnest(range(1, length(t) - {_WIN_K - 2})) AS pos, t
+  FROM d),
+h AS (
+  SELECT doc_id, nk, pos,
+         ('0x' || substr(md5(substr(t, CAST(pos AS INT), {_WIN_K})),
+                         1, 12))::BIGINT AS h
+  FROM grams),
+sel AS (
+  SELECT doc_id, nk,
+         MIN({{'h': h, 'np': -pos}}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS s,
+         pos
+  FROM h),
+fp AS (
+  SELECT DISTINCT doc_id, nk, -(s.np) AS fpos, s.h AS fh
+  FROM sel WHERE pos <= nk - {_WIN_W - 1})
+SELECT doc_id,
+       CAST(MAX(nk) AS BIGINT) AS n_kgrams,
+       CAST(MAX(nk) - {_WIN_W - 1} AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST((1000000 * COUNT(*)) // (MAX(nk) - {_WIN_W - 1}) AS BIGINT)
+         AS density_micro,
+       CAST(MIN(fh) AS BIGINT) AS min_fp,
+       CAST(MAX(fh) AS BIGINT) AS max_fp
+FROM fp GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="MOSS winnowing (Schleimer et al. 2003): rightmost-min "
+        "fingerprint selection over 4-gram-hash windows via struct-min "
+        "with a bounded per-doc frame — shared substrings of length "
+        ">= w+k-1 share a fingerprint by construction; density pinned "
+        "in integer micro units.",
+)

@@ -71,3 +71,39 @@ def test_every_registered_query_carries_a_doc():
         f"_CHECK_FIRST has {len(registry._CHECK_FIRST)} entries; the "
         "driver stamps exactly the first 50 queries() entries, so the "
         "list should be maintained at that budget")
+
+
+def test_registry_order_is_frozen():
+    """The registration order IS the driver's stamp-window order, so
+    the r9 queries_scale.py split (4 part files behind an ordered
+    loader) must reproduce the pre-split sequence byte-for-byte. The
+    golden file pins it; appending NEW queries at the END is the only
+    allowed change (update the golden in the same commit).
+
+    Runs in a SUBPROCESS: in-process the order depends on whatever
+    query modules earlier tests happened to import first, but the
+    driver always loads the registry in a fresh interpreter where
+    _load_all's import sequence is the only order."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    golden_path = os.path.join(os.path.dirname(__file__),
+                               "golden_registry_order.json")
+    with open(golden_path) as f:
+        golden = json.load(f)
+    script = ("import json\n"
+              "from precios_nexo_sperant_etl_spark import registry\n"
+              "registry._load_all()\n"
+              "print(json.dumps(list(registry._REGISTRY)))\n")
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    order = json.loads(out.stdout.strip().splitlines()[-1])
+    assert order[:len(golden)] == golden, (
+        "registration order diverged from the golden sequence — "
+        "this reorders the driver's stamp window; if the change is a "
+        "deliberate append, regenerate tests/golden_registry_order.json"
+    )
