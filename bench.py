@@ -208,6 +208,7 @@ HEADLINE = [
     "winnowing_fingerprints",   # MOSS rightmost-min window selection
     # appended r9:
     "zstd_compressed_roundtrip",  # FSE+Huffman Compressed_Block decode
+    "h264_slice_header_walk",   # baseline PPS + slice-header exp-Golomb
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

