@@ -953,3 +953,66 @@ def execute_sequences(literals: bytes, seqs: list[tuple[int, int, int]],
             window += pattern * reps_n + pattern[:rem]
     window += literals[lit_pos:]
     return bytes(window[start:]), reps
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (public spec, Collet) — zstd's Content_Checksum is the low 32
+# bits of XXH64(content, seed=0) (RFC 8878 §3.1.1). Implemented here so
+# the frame walk VERIFIES checksums instead of skipping them.
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        a1 = (seed + _XXP1 + _XXP2) & _M64
+        a2 = (seed + _XXP2) & _M64
+        a3 = seed & _M64
+        a4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            a1 = _xx_round(a1, int.from_bytes(data[i:i + 8], "little"))
+            a2 = _xx_round(a2, int.from_bytes(data[i + 8:i + 16], "little"))
+            a3 = _xx_round(a3, int.from_bytes(data[i + 16:i + 24], "little"))
+            a4 = _xx_round(a4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl64(a1, 1) + _rotl64(a2, 7)
+             + _rotl64(a3, 12) + _rotl64(a4, 18)) & _M64
+        for acc in (a1, a2, a3, a4):
+            h = ((h ^ _xx_round(0, acc)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xx_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h

@@ -38,16 +38,18 @@ class UnsupportedZstd(ValueError):
     dictionary-compressed frames."""
 
 
-def encode_zstd_raw(data: bytes, block_size: int = 64) -> bytes:
+def encode_zstd_raw(data: bytes, block_size: int = 64,
+                    checksum: bool = False) -> bytes:
     """Frame ``data`` as one zstd frame of Raw/RLE blocks: a chunk
     that is a single repeated byte becomes an RLE block (type 1,
     1-byte payload), anything else a Raw block (type 0). Single-
-    segment frame, 4-byte frame-content-size, no checksum."""
+    segment frame, 4-byte frame-content-size; ``checksum`` appends the
+    XXH64-low-32 Content_Checksum (verified in decode)."""
     if not data:
         raise ValueError("zstd: empty content needs a last zero block")
     out = bytearray(_MAGIC.to_bytes(4, "little"))
-    # FHD: FCS-flag=2 (4-byte), single-segment=1, no checksum, no dict.
-    out.append((2 << 6) | (1 << 5))
+    # FHD: FCS-flag=2 (4-byte), single-segment=1, optional checksum.
+    out.append((2 << 6) | (1 << 5) | (4 if checksum else 0))
     out += len(data).to_bytes(4, "little")
     for off in range(0, len(data), block_size):
         chunk = data[off:off + block_size]
@@ -57,6 +59,8 @@ def encode_zstd_raw(data: bytes, block_size: int = 64) -> bytes:
         header = last | (btype << 1) | (len(chunk) << 3)
         out += header.to_bytes(3, "little")
         out += chunk[:1] if rle else chunk
+    if checksum:
+        out += (_ze.xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
 
 
@@ -215,7 +219,7 @@ def _build_literals_section(lits: bytes) -> bytes:
 
 
 def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]],
-                           ) -> bytes:
+                           checksum: bool = False) -> bytes:
     """One zstd frame of Compressed_Blocks. Each block is
     ``(literals, sequences)`` with sequences as (literals_length,
     RAW match offset, match_length >= 3) — offsets are converted to
@@ -241,14 +245,27 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
             + _ze.encode_sequences(triples, enc_seq_state)
         payloads.append(body)
     out = bytearray(_MAGIC.to_bytes(4, "little"))
-    out.append((2 << 6) | (1 << 5))
+    out.append((2 << 6) | (1 << 5) | (4 if checksum else 0))
     out += content_len.to_bytes(4, "little")
+    content_acc = bytearray()
     for i, body in enumerate(payloads):
         last = 1 if i == len(payloads) - 1 else 0
         if len(body) >= 1 << 21:
             raise ValueError("zstd: block too large")
         out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
         out += body
+    if checksum:
+        st = _ze._SeqTables()
+        window = bytearray()
+        reps = [1, 4, 8]
+        for lits, seqs in blocks:
+            triples = []
+            for ll, off, ml in seqs:
+                ov = _ze.offset_value_for(off, ll, reps)
+                _, reps = _ze.apply_offset_history(ov, ll, reps)
+                triples.append((ll, ov, ml))
+            _ze.execute_sequences(lits, triples, window, [1, 4, 8])
+        out += (_ze.xxh64(bytes(window)) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
 
 
@@ -333,7 +350,11 @@ def decode_zstd_frame(payload: bytes) -> dict:
     if has_checksum:
         if pos + 4 > len(payload):
             raise ValueError("zstd: truncated content checksum")
-        pos += 4  # xxhash64 low half — not recomputed in the subset
+        want = int.from_bytes(payload[pos:pos + 4], "little")
+        got = _ze.xxh64(bytes(content)) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError("zstd: content checksum mismatch")
+        pos += 4
     if fcs is not None and len(content) != fcs:
         raise ValueError("zstd: content size mismatch vs FCS")
     return {"content": bytes(content), "content_len": len(content),

@@ -322,3 +322,39 @@ def test_reserved_sequence_mode_bits_raise():
     st_ = ze._SeqTables()
     with pytest.raises(ValueError, match="reserved"):
         ze.decode_sequences(bytes([1, 0b00000001, 0x01]), st_)
+
+
+# ---------------------------------------------------------------------------
+# XXH64 content checksum
+# ---------------------------------------------------------------------------
+
+def test_xxh64_known_vectors():
+    # Public reference vectors for XXH64 seed 0.
+    assert ze.xxh64(b"") == 0xEF46DB3751D8E999
+    assert ze.xxh64(b"abc") == 0x44BC2CF5AD770999
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=1, max_size=300), st.booleans())
+def test_zstd_checksum_roundtrip(data, compressed):
+    if compressed:
+        frame = encode_zstd_compressed([(data, [])], checksum=True)
+    else:
+        frame = encode_zstd_raw(data, 64, checksum=True)
+    d = decode_zstd_frame(frame)
+    assert d["content"] == data
+
+
+def test_zstd_checksum_mismatch_is_named():
+    frame = bytearray(encode_zstd_raw(b"payload" * 10, 64, checksum=True))
+    frame[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        decode_zstd_frame(bytes(frame))
+
+
+def test_zstd_checksum_covers_sequence_output():
+    lits = b"base text for the match source" + b"q"
+    frame = encode_zstd_compressed([(lits, [(len(lits), 1, 50)])],
+                                   checksum=True)
+    d = decode_zstd_frame(frame)
+    assert d["content"].endswith(b"q" * 51)
