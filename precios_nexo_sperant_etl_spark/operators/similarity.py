@@ -380,6 +380,12 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
     bucketed = (emb.withColumn("bucket",
                                F.expr(lsh_bucket_expr(vec_col, n_planes)))
                 .withColumn("_nrm", _norm(F.col(vec_col))))
+    if max_bucket_size is not None:
+        # Three consumers below (census, a, b): persist so the plane
+        # folds + norm run once, not thrice — same cache-lifetime
+        # contract as the shingle frames in dedup_fuzzy (callers /
+        # the parity harness clearCache() between queries).
+        bucketed = bucketed.persist()
     probes = F.array(F.col("bucket"),
                      *[F.expr(f"bucket ^ CAST({1 << j} AS BIGINT)")
                        for j in range(min(max(n_probe - 1, 0), n_planes))])
