@@ -872,13 +872,61 @@ def decode_sequences(data: bytes, state: _SeqTables) -> list[tuple[int, int, int
     return out
 
 
+#: (predefined counts, acc, acc ceiling, max symbol) per channel.
+_SEQ_CHANNELS = {
+    "ll": (LL_DEFAULT, LL_DEFAULT_ACC, _LL_ACC_MAX, 35),
+    "of": (OF_DEFAULT, OF_DEFAULT_ACC, _OF_ACC_MAX, 31),
+    "ml": (ML_DEFAULT, ML_DEFAULT_ACC, _ML_ACC_MAX, 52),
+}
+
+
+def _plan_channel(which: str, codes: list[int], state: _SeqTables,
+                  mode: str) -> tuple[int, bytes]:
+    """Pick + install one channel's compression mode. Returns
+    (mode bits, table-description bytes) and sets the state's table /
+    RLE symbol the way the decoder will."""
+    default, default_acc, acc_max, max_sym = _SEQ_CHANNELS[which]
+    if mode == "repeat":
+        if getattr(state, which) is None and \
+                getattr(state, which + "_rle") is None:
+            raise ValueError("zstd: repeat mode without a previous table")
+        return 3, b""
+    if mode == "auto" and len(set(codes)) == 1:
+        setattr(state, which + "_rle", codes[0])
+        setattr(state, which, None)
+        return 1, bytes([codes[0]])
+    if mode == "auto":
+        hist: dict[int, int] = {}
+        for c in codes:
+            hist[c] = hist.get(c, 0) + 1
+        counts, acc = fse_normalize(hist, max(codes), acc_max)
+        setattr(state, which, (fse_build_dtable(counts, acc), acc))
+        setattr(state, which + "_rle", None)
+        return 2, fse_write_ncount(counts, acc)
+    # predefined
+    setattr(state, which, (fse_build_dtable(default, default_acc),
+                           default_acc))
+    setattr(state, which + "_rle", None)
+    return 0, b""
+
+
 def encode_sequences(seqs: list[tuple[int, int, int]],
-                     state: _SeqTables) -> bytes:
-    """Encode (ll, offset_value, ml) triples with the PREDEFINED tables
-    (Predefined_Mode for all three), bit-exact inverse of
-    :func:`decode_sequences`."""
+                     state: _SeqTables, mode: str = "predefined") -> bytes:
+    """Encode (ll, offset_value, ml) triples, bit-exact inverse of
+    :func:`decode_sequences`. ``mode``:
+
+    - ``"predefined"``: Predefined_Mode for all three channels (the
+      registered-query shape — stable bytes).
+    - ``"auto"``: per channel, RLE_Mode when the code list is constant,
+      else FSE_Compressed with a table normalized from the actual code
+      histogram (NCount written inline) — exercises decoder modes 1-2.
+    - ``"repeat"``: Repeat_Mode for all three (reuses whatever tables
+      the previous block installed in ``state``) — decoder mode 3.
+    """
     if not seqs:
         return b"\x00"
+    if mode not in ("predefined", "auto", "repeat"):
+        raise ValueError("zstd: unknown sequence mode")
     nseq = len(seqs)
     if nseq < 128:
         head = bytes([nseq])
@@ -886,42 +934,52 @@ def encode_sequences(seqs: list[tuple[int, int, int]],
         head = bytes([128 + (nseq >> 8), nseq & 0xFF])
     else:
         head = b"\xff" + (nseq - 0x7F00).to_bytes(2, "little")
-    head += bytes([0])                          # all Predefined_Mode
-    ll_dt = fse_build_dtable(LL_DEFAULT, LL_DEFAULT_ACC)
-    of_dt = fse_build_dtable(OF_DEFAULT, OF_DEFAULT_ACC)
-    ml_dt = fse_build_dtable(ML_DEFAULT, ML_DEFAULT_ACC)
-    state.ll, state.of, state.ml = (ll_dt, LL_DEFAULT_ACC), \
-        (of_dt, OF_DEFAULT_ACC), (ml_dt, ML_DEFAULT_ACC)
-    state.ll_rle = state.of_rle = state.ml_rle = None
-    enc_ll = FseEncoder(ll_dt, LL_DEFAULT_ACC)
-    enc_of = FseEncoder(of_dt, OF_DEFAULT_ACC)
-    enc_ml = FseEncoder(ml_dt, ML_DEFAULT_ACC)
 
     triples = []
     for ll, ov, ml in seqs:
         llc, llb, llx = ll_code(ll)
         ofc, ofb, ofx = of_code(ov)
         mlc, mlb, mlx = ml_code(ml)
-        if ofc > 28:
-            raise ValueError("zstd: offset too large for the predefined "
-                             "table (code > 28)")
         triples.append(((llc, llb, llx), (ofc, ofb, ofx), (mlc, mlb, mlx)))
 
-    ll_init, ll_reads = enc_ll.chain([t[0][0] for t in triples])
-    of_init, of_reads = enc_of.chain([t[1][0] for t in triples])
-    ml_init, ml_reads = enc_ml.chain([t[2][0] for t in triples])
+    codes = {"ll": [t[0][0] for t in triples],
+             "of": [t[1][0] for t in triples],
+             "ml": [t[2][0] for t in triples]}
+    if mode == "predefined" and max(codes["of"]) > 28:
+        raise ValueError("zstd: offset too large for the predefined "
+                         "table (code > 28)")
+    descs = {}
+    mode_bits = {}
+    for which in ("ll", "of", "ml"):
+        mode_bits[which], descs[which] = _plan_channel(
+            which, codes[which], state, mode)
+    head += bytes([(mode_bits["ll"] << 6) | (mode_bits["of"] << 4)
+                   | (mode_bits["ml"] << 2)])
+    head += descs["ll"] + descs["of"] + descs["ml"]
 
-    fields = [(ll_init, LL_DEFAULT_ACC), (of_init, OF_DEFAULT_ACC),
-              (ml_init, ML_DEFAULT_ACC)]
+    inits = []
+    reads = {}
+    for which in ("ll", "of", "ml"):
+        tab = getattr(state, which)
+        if tab is None:                         # RLE channel: no states
+            reads[which] = None
+            continue
+        dt, acc = tab
+        enc = FseEncoder(dt, acc)
+        init, rds = enc.chain(codes[which])
+        inits.append((which, init, acc))
+        reads[which] = rds
+    fields = [(init, acc) for _, init, acc in
+              sorted(inits, key=lambda t: ("ll", "of", "ml").index(t[0]))]
     for i, ((llc, llb, llx), (ofc, ofb, ofx), (mlc, mlb, mlx)) \
             in enumerate(triples):
         fields.append((ofx, ofb))
         fields.append((mlx, mlb))
         fields.append((llx, llb))
         if i < nseq - 1:
-            fields.append(ll_reads[i])
-            fields.append(ml_reads[i])
-            fields.append(of_reads[i])
+            for which in ("ll", "ml", "of"):
+                if reads[which] is not None:
+                    fields.append(reads[which][i])
     w = RevBitWriter()
     for v, n in reversed(fields):
         w.append(v, n)

@@ -219,7 +219,8 @@ def _build_literals_section(lits: bytes) -> bytes:
 
 
 def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]],
-                           checksum: bool = False) -> bytes:
+                           checksum: bool = False,
+                           seq_mode: str = "predefined") -> bytes:
     """One zstd frame of Compressed_Blocks. Each block is
     ``(literals, sequences)`` with sequences as (literals_length,
     RAW match offset, match_length >= 3) — offsets are converted to
@@ -231,6 +232,7 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
     content_len = 0
     payloads = []
     enc_seq_state = _ze._SeqTables()
+    first_seq_block = True
     for lits, seqs in blocks:
         lit_used = sum(s[0] for s in seqs)
         if lit_used > len(lits):
@@ -241,8 +243,16 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
             ov = _ze.offset_value_for(off, ll, reps)
             _, reps = _ze.apply_offset_history(ov, ll, reps)
             triples.append((ll, ov, ml))
+        if seq_mode == "repeat":
+            # first sequence-carrying block installs tables (predefined),
+            # later ones reuse them via Repeat_Mode (decoder mode 3)
+            m = "predefined" if first_seq_block else "repeat"
+        else:
+            m = seq_mode
         body = _build_literals_section(lits) \
-            + _ze.encode_sequences(triples, enc_seq_state)
+            + _ze.encode_sequences(triples, enc_seq_state, mode=m)
+        if seqs:
+            first_seq_block = False
         payloads.append(body)
     out = bytearray(_MAGIC.to_bytes(4, "little"))
     out.append((2 << 6) | (1 << 5) | (4 if checksum else 0))

@@ -358,3 +358,47 @@ def test_zstd_checksum_covers_sequence_output():
                                    checksum=True)
     d = decode_zstd_frame(frame)
     assert d["content"].endswith(b"q" * 51)
+
+
+# ---------------------------------------------------------------------------
+# sequence compression modes 1-3 (RLE / FSE_Compressed / Repeat)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(block_plans(), st.sampled_from(["auto", "repeat"]))
+def test_sequence_modes_roundtrip(plans, seq_mode):
+    frame = encode_zstd_compressed(plans, seq_mode=seq_mode)
+    d = decode_zstd_frame(frame)
+    assert d["content"] == ref_execute(plans)
+    assert d["n_seq"] == sum(len(s) for _, s in plans)
+
+
+def test_auto_mode_emits_rle_and_fse_tables():
+    # constant ML codes -> RLE channel; varied LL codes -> FSE table
+    st_ = ze._SeqTables()
+    seqs = [(3, 5, 4), (9, 5, 4), (27, 5, 4), (80, 5, 4)]
+    blob = ze.encode_sequences(seqs, st_, mode="auto")
+    modes = blob[1]
+    assert (modes >> 4) & 3 == 1               # OF constant -> RLE
+    assert (modes >> 2) & 3 == 1               # ML constant -> RLE
+    assert modes >> 6 == 2                     # LL varied -> FSE_Compressed
+    got = ze.decode_sequences(blob, ze._SeqTables())
+    assert got == seqs
+
+
+def test_repeat_mode_reuses_previous_tables():
+    st_ = ze._SeqTables()
+    first = ze.encode_sequences([(4, 7, 5), (1, 2, 8)], st_,
+                                mode="predefined")
+    second = ze.encode_sequences([(2, 4, 6)], st_, mode="repeat")
+    assert second[1] == 0b11111100             # all three Repeat_Mode
+    dec_state = ze._SeqTables()
+    assert ze.decode_sequences(first, dec_state) == [(4, 7, 5), (1, 2, 8)]
+    assert ze.decode_sequences(second, dec_state) == [(2, 4, 6)]
+
+
+def test_repeat_mode_without_tables_raises():
+    with pytest.raises(ValueError, match="without a previous table"):
+        ze.encode_sequences([(1, 4, 3)], ze._SeqTables(), mode="repeat")
+    with pytest.raises(ValueError, match="Repeat_Mode without"):
+        ze.decode_sequences(bytes([1, 0b11111100, 0x01]), ze._SeqTables())
