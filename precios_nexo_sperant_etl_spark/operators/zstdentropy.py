@@ -466,29 +466,40 @@ _WEIGHT_ACC_MAX = 6
 
 
 def huf_write_weights(weights: dict[int, int]) -> bytes:
-    """Serialize Huffman weights: direct 4-bit representation when the
-    last present symbol is <= 127, else FSE-compressed (§4.2.1.2). The
-    FSE path is self-checked by decoding; on any pathology the caller
-    should fall back to raw literals."""
+    """Serialize Huffman weights (§4.2.1.2): build BOTH the direct
+    4-bit representation (when the last present symbol is <= 127) and
+    the FSE-compressed one (a sparse byte alphabet means a long run of
+    zero weights, which the NCount zero-repeat flags crush — exactly
+    why real zstd compresses weights) and emit the shorter. The FSE
+    path is self-checked by decoding; on any pathology the direct form
+    (or the caller's raw-literals fallback) wins."""
     last = max(s for s, w in weights.items() if w > 0)
     seq = [weights.get(s, 0) for s in range(last)]   # last one implied
+    direct = None
     if last <= 127:
-        head = bytes([127 + last])
         nibbles = bytearray()
         for i in range(0, len(seq), 2):
             hi = seq[i]
             lo = seq[i + 1] if i + 1 < len(seq) else 0
             nibbles.append((hi << 4) | lo)
-        return head + bytes(nibbles)
-    blob = _fse_compress_weights(seq)
-    if len(blob) > 127:
+        direct = bytes([127 + last]) + bytes(nibbles)
+    fse = None
+    if len(seq) >= 2:
+        try:
+            blob = _fse_compress_weights(seq)
+            if len(blob) <= 127:
+                got, n = huf_read_weights(bytes([len(blob)]) + blob)
+                if {s: w for s, w in got.items() if w > 0} == \
+                        {s: w for s, w in weights.items() if w > 0} \
+                        and n == len(blob) + 1:
+                    fse = bytes([len(blob)]) + blob
+        except ValueError:
+            fse = None
+    if direct is not None and (fse is None or len(direct) <= len(fse)):
+        return direct
+    if fse is None:
         raise ValueError("zstd: weight stream too large")
-    got, n = huf_read_weights(bytes([len(blob)]) + blob)
-    if {s: w for s, w in got.items() if w > 0} != \
-            {s: w for s, w in weights.items() if w > 0} \
-            or n != len(blob) + 1:
-        raise ValueError("zstd: weight stream failed self-check")
-    return bytes([len(blob)]) + blob
+    return fse
 
 
 def _fse_compress_weights(seq: list[int]) -> bytes:

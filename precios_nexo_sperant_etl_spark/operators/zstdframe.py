@@ -152,10 +152,18 @@ def _decode_compressed_block(data: bytes, window: bytearray,
             "match_len": sum(ml for _, _, ml in seqs)}
 
 
-def _build_literals_section(lits: bytes) -> bytes:
+def _build_literals_section(lits: bytes, fstate_enc: dict | None = None,
+                            lit_mode: str = "fresh") -> bytes:
     """Encode a literals section: RLE for a single repeated byte,
     Huffman-compressed when it helps (direct or FSE weights, 1 or 4
-    streams), Raw otherwise — every choice deterministic in the data."""
+    streams), Raw otherwise — every choice deterministic in the data.
+
+    ``lit_mode="treeless"`` re-uses the Huffman table the previous
+    Compressed-literals block installed in ``fstate_enc`` (Treeless
+    type 3 — no tree description bytes) when every byte of this block
+    is covered by that table; otherwise it falls back to a fresh
+    Compressed block. Raw/RLE blocks leave the installed table alone,
+    matching decoder state semantics."""
     regen = len(lits)
     distinct = set(lits)
 
@@ -178,49 +186,69 @@ def _build_literals_section(lits: bytes) -> bytes:
             return v.to_bytes(2, "little") + bytes([lits[0]])
         v = 1 | (3 << 2) | (regen << 4)
         return v.to_bytes(3, "little") + bytes([lits[0]])
-    freqs: dict[int, int] = {}
-    for b in lits:
-        freqs[b] = freqs.get(b, 0) + 1
-    try:
-        weights = _ze.huf_weights_from_lengths(_ze.huf_lengths(freqs))
-        tree = _ze.huf_write_weights(weights)
-        ctable, max_bits = _ze.huf_build_ctable(weights)
-    except ValueError:
-        return raw()
-    if regen < 256:
-        stream = _ze.huf_encode_stream(lits, ctable)
-        csize = len(tree) + len(stream)
-        if csize >= regen or csize > 0x3FF or regen > 0x3FF:
-            return raw()
-        v = 2 | (0 << 2) | (regen << 4) | (csize << 14)
-        return v.to_bytes(3, "little") + tree + stream
-    r123 = (regen + 3) // 4
-    parts = [lits[0:r123], lits[r123:2 * r123],
-             lits[2 * r123:3 * r123], lits[3 * r123:]]
-    streams = [_ze.huf_encode_stream(p, ctable) for p in parts]
-    if any(len(s) > 0xFFFF for s in streams[:3]):
-        return raw()
-    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
-    csize = len(tree) + 6 + sum(len(s) for s in streams)
-    if csize >= regen:
-        return raw()
-    if regen <= 0x3FF and csize <= 0x3FF:
-        v = 2 | (1 << 2) | (regen << 4) | (csize << 14)
-        hdr = v.to_bytes(3, "little")
-    elif regen <= 0x3FFF and csize <= 0x3FFF:
-        v = 2 | (2 << 2) | (regen << 4) | (csize << 18)
-        hdr = v.to_bytes(4, "little")
-    elif regen <= 0x3FFFF and csize <= 0x3FFFF:
-        v = 2 | (3 << 2) | (regen << 4) | (csize << 22)
-        hdr = v.to_bytes(5, "little")
+
+    ltype = 2
+    tree = b""
+    ctable = max_bits = None
+    if lit_mode == "treeless" and fstate_enc and "ctable" in fstate_enc \
+            and distinct <= set(fstate_enc["ctable"]):
+        ltype = 3
+        ctable, max_bits = fstate_enc["ctable"], fstate_enc["max_bits"]
     else:
+        freqs: dict[int, int] = {}
+        for b in lits:
+            freqs[b] = freqs.get(b, 0) + 1
+        try:
+            weights = _ze.huf_weights_from_lengths(_ze.huf_lengths(freqs))
+            tree = _ze.huf_write_weights(weights)
+            ctable, max_bits = _ze.huf_build_ctable(weights)
+        except ValueError:
+            return raw()
+
+    def emit(ltype: int) -> bytes | None:
+        if regen < 256:
+            stream = _ze.huf_encode_stream(lits, ctable)
+            csize = len(tree) + len(stream)
+            if csize >= regen or csize > 0x3FF or regen > 0x3FF:
+                return None
+            v = ltype | (0 << 2) | (regen << 4) | (csize << 14)
+            return v.to_bytes(3, "little") + tree + stream
+        r123 = (regen + 3) // 4
+        parts = [lits[0:r123], lits[r123:2 * r123],
+                 lits[2 * r123:3 * r123], lits[3 * r123:]]
+        streams = [_ze.huf_encode_stream(pt, ctable) for pt in parts]
+        if any(len(st) > 0xFFFF for st in streams[:3]):
+            return None
+        jump = b"".join(len(st).to_bytes(2, "little")
+                        for st in streams[:3])
+        csize = len(tree) + 6 + sum(len(st) for st in streams)
+        if csize >= regen:
+            return None
+        if regen <= 0x3FF and csize <= 0x3FF:
+            v = ltype | (1 << 2) | (regen << 4) | (csize << 14)
+            hdr = v.to_bytes(3, "little")
+        elif regen <= 0x3FFF and csize <= 0x3FFF:
+            v = ltype | (2 << 2) | (regen << 4) | (csize << 18)
+            hdr = v.to_bytes(4, "little")
+        elif regen <= 0x3FFFF and csize <= 0x3FFFF:
+            v = ltype | (3 << 2) | (regen << 4) | (csize << 22)
+            hdr = v.to_bytes(5, "little")
+        else:
+            return None
+        return hdr + tree + jump + b"".join(streams)
+
+    out = emit(ltype)
+    if out is None:
         return raw()
-    return hdr + tree + jump + b"".join(streams)
+    if ltype == 2 and fstate_enc is not None:
+        fstate_enc["ctable"], fstate_enc["max_bits"] = ctable, max_bits
+    return out
 
 
 def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]],
                            checksum: bool = False,
-                           seq_mode: str = "predefined") -> bytes:
+                           seq_mode: str = "predefined",
+                           lit_mode: str = "fresh") -> bytes:
     """One zstd frame of Compressed_Blocks. Each block is
     ``(literals, sequences)`` with sequences as (literals_length,
     RAW match offset, match_length >= 3) — offsets are converted to
@@ -232,7 +260,9 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
     content_len = 0
     payloads = []
     enc_seq_state = _ze._SeqTables()
+    enc_lit_state: dict = {}
     first_seq_block = True
+    first_lit_block = True
     for lits, seqs in blocks:
         lit_used = sum(s[0] for s in seqs)
         if lit_used > len(lits):
@@ -249,8 +279,12 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
             m = "predefined" if first_seq_block else "repeat"
         else:
             m = seq_mode
-        body = _build_literals_section(lits) \
+        lm = "fresh" if lit_mode == "fresh" or first_lit_block \
+            else "treeless"
+        body = _build_literals_section(lits, enc_lit_state, lm) \
             + _ze.encode_sequences(triples, enc_seq_state, mode=m)
+        if len(set(lits)) > 1:
+            first_lit_block = False
         if seqs:
             first_seq_block = False
         payloads.append(body)
@@ -265,16 +299,17 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
         out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
         out += body
     if checksum:
-        st = _ze._SeqTables()
+        # reconstruct content straight from the RAW offsets (no repeat-
+        # history round trip — the plan is the ground truth)
         window = bytearray()
-        reps = [1, 4, 8]
         for lits, seqs in blocks:
-            triples = []
+            p = 0
             for ll, off, ml in seqs:
-                ov = _ze.offset_value_for(off, ll, reps)
-                _, reps = _ze.apply_offset_history(ov, ll, reps)
-                triples.append((ll, ov, ml))
-            _ze.execute_sequences(lits, triples, window, [1, 4, 8])
+                window += lits[p:p + ll]
+                p += ll
+                for _ in range(ml):
+                    window.append(window[-off])
+            window += lits[p:]
         out += (_ze.xxh64(bytes(window)) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
 

@@ -402,3 +402,30 @@ def test_repeat_mode_without_tables_raises():
         ze.encode_sequences([(1, 4, 3)], ze._SeqTables(), mode="repeat")
     with pytest.raises(ValueError, match="Repeat_Mode without"):
         ze.decode_sequences(bytes([1, 0b11111100, 0x01]), ze._SeqTables())
+
+
+@settings(max_examples=50, deadline=None)
+@given(block_plans(), st.sampled_from(["fresh", "treeless"]))
+def test_literal_modes_roundtrip(plans, lit_mode):
+    frame = encode_zstd_compressed(plans, lit_mode=lit_mode,
+                                   seq_mode="auto", checksum=True)
+    d = decode_zstd_frame(frame)
+    assert d["content"] == ref_execute(plans)
+
+
+def test_treeless_blocks_actually_reuse_the_table():
+    # second block's alphabet is a subset of the first -> Treeless
+    # (literal-type bits 0b11 in its section header)
+    plan = [(b"the quick brown fox jumps over the dog" * 2, []),
+            (b"quick fox over dog " * 2, [])]
+    frame = encode_zstd_compressed(plan, lit_mode="treeless")
+    # walk block headers to the second block's literals section
+    pos = 9                                   # magic + FHD + FCS
+    hdr = int.from_bytes(frame[pos:pos + 3], "little")
+    pos += 3 + (hdr >> 3)
+    hdr2 = int.from_bytes(frame[pos:pos + 3], "little")
+    assert (hdr2 >> 1) & 3 == 2               # compressed block
+    lit_byte = frame[pos + 3]
+    assert lit_byte & 3 == 3                  # Treeless_Literals_Block
+    d = decode_zstd_frame(frame)
+    assert d["content"] == plan[0][0] + plan[1][0]
