@@ -209,6 +209,7 @@ HEADLINE = [
     # appended r9:
     "zstd_compressed_roundtrip",  # FSE+Huffman Compressed_Block decode
     "h264_slice_header_walk",   # baseline PPS + slice-header exp-Golomb
+    "warc_zst_extract",         # WARC-over-zstd composed carriage
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -3736,3 +3736,86 @@ FROM s GROUP BY doc_id ORDER BY doc_id
         "parsed back bit-exactly; per-doc GOP/QP aggregates pinned by "
         "a generate_series lattice oracle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# WARC-over-zstd extraction — the two r9 seams composed end-to-end in
+# the shape Common Crawl actually ships (WET/WARC members carried in
+# zstd since 2023): each document's two-record WARC stream is framed
+# as REAL Compressed_Blocks (Huffman literals, FSE-weight trees,
+# treeless reuse across the two blocks, XXH64 content checksum —
+# decode_zstd_frame raises on any checksum/FCS mismatch), then the
+# Content-Length-framed WARC walker reads the records back out of the
+# decoded bytes. The response-body md5 pins the WHOLE chain: a stale
+# bit anywhere in FSE/Huffman/sequence/checksum/WARC framing breaks
+# the hash. Scale shape: identical to warc_record_extract — one Arrow
+# crossing, per-payload work partition-local, one final sort.
+# Registered BEHIND the driver window (r10 queue).
+# ---------------------------------------------------------------------------
+
+def _warc_zst_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.webdataset import build_warc, parse_warc_records
+    from .operators.zstdframe import (decode_zstd_frame,
+                                      encode_zstd_compressed)
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"].astype("int64"),
+                                 pdf["text"]):
+                did = int(did)
+                body = str(text).encode("utf-8")
+                w = build_warc([
+                    ("warcinfo", f"<urn:uuid:{did}-info>",
+                     b"software: engine-test"),
+                    ("response", f"<urn:uuid:{did}-resp>", body)])
+                half = len(w) // 2
+                frame = encode_zstd_compressed(
+                    [(w[:half], []), (w[half:], [])],
+                    checksum=True, lit_mode="treeless")
+                z = decode_zstd_frame(frame)
+                recs = parse_warc_records(z["content"])
+                resp = [r for r in recs if r["type"] == "response"][0]
+                rows.append({
+                    "doc_id": did,
+                    "n_records": len(recs),
+                    "n_zstd_blocks": z["n_blocks"],
+                    "fcs_ok": z["content_len"] == z["fcs"],
+                    "response_len": resp["content_length"],
+                    "response_md5": hashlib.md5(
+                        resp["payload"]).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(roundtrip,
+                            "doc_id long, n_records long,"
+                            " n_zstd_blocks long, fcs_ok boolean,"
+                            " response_len long, response_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "warc_zst_extract",
+    _warc_zst_extract,
+    """
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_records,
+       CAST(2 AS BIGINT) AS n_zstd_blocks,
+       TRUE AS fcs_ok,
+       CAST(octet_length(encode(text)) AS BIGINT) AS response_len,
+       md5(text) AS response_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="Common Crawl's .zst carriage composed end-to-end: WARC "
+        "two-record streams framed as real zstd Compressed_Blocks "
+        "(Huffman literals, treeless table reuse, XXH64 checksum "
+        "verified in decode) and walked back by the Content-Length-"
+        "framed WARC parser; the response md5 pins the whole chain.",
+)

@@ -101,13 +101,14 @@ DEFERRED_TO_NEXT: dict[str, int] = {
         "flac_subframe_decode", "zstd_frame_probe",
         "elo_ratings", "probe_auc_rank", "winnowing_fingerprints",
     ]},
-    # r9-session additions (the round's only two new queries — VERDICT
-    # r8 items 4 and 8), registered BEHIND the window on purpose so the
-    # 49-query stamp backlog drains (item 1); both parity-green at
-    # sf0.01 and sf0.1, tuned and vanilla, in their registration
-    # session. They head the r10 queue.
+    # r9-session additions (the round's only three new queries — VERDICT
+    # r8 items 4 and 8, plus the WARC-over-zstd composition), registered
+    # BEHIND the window on purpose so the 49-query stamp backlog drains
+    # (item 1); all parity-green at sf0.01 and sf0.1, tuned and vanilla,
+    # in their registration session. They head the r10 queue.
     "zstd_compressed_roundtrip": 9,
     "h264_slice_header_walk": 9,
+    "warc_zst_extract": 9,
 }
 
 
