@@ -798,6 +798,8 @@ def _read_seq_table(mode: int, data: bytes, pos: int, which: str,
                                default_acc))
         setattr(state, which + "_rle", None)
     elif mode == 1:                             # RLE: one byte symbol
+        if pos >= len(data):
+            raise ValueError("zstd: truncated RLE sequence table")
         sym = data[pos]
         if sym > max_sym:
             raise ValueError("zstd: RLE sequence symbol out of range")
@@ -830,9 +832,15 @@ def decode_sequences(data: bytes, state: _SeqTables) -> list[tuple[int, int, int
     if b0 < 128:
         nseq, pos = b0, 1
     elif b0 < 255:
+        if len(data) < 2:
+            raise ValueError("zstd: truncated sequence count")
         nseq, pos = ((b0 - 128) << 8) + data[1], 2
     else:
+        if len(data) < 3:
+            raise ValueError("zstd: truncated sequence count")
         nseq, pos = int.from_bytes(data[1:3], "little") + 0x7F00, 3
+    if pos >= len(data):
+        raise ValueError("zstd: truncated sequence modes byte")
     modes = data[pos]
     pos += 1
     if modes & 0x03:
@@ -1013,6 +1021,11 @@ def execute_sequences(literals: bytes, seqs: list[tuple[int, int, int]],
         off, reps = apply_offset_history(ov, ll, reps)
         if off > len(window):
             raise ValueError("zstd: match offset beyond window")
+        if len(window) - start + ml > (1 << 22):
+            # corrupt nseq/match_length must fail loudly, not balloon
+            # memory before the FCS check (spec block max is 128 KiB;
+            # 4 MiB keeps generous headroom for synthetic fixtures)
+            raise ValueError("zstd: block output over limit")
         if off >= ml:                           # disjoint: one slice copy
             src = len(window) - off
             window += window[src:src + ml]

@@ -62,6 +62,12 @@ FIXTURES = {
                             order=2, rice=9), fl.decode_flac),
     "zstd": (zs.encode_zstd_raw(b"frame walk " * 12 + b"z" * 130, 64),
              zs.decode_zstd_frame),
+    "zstd_comp": (zs.encode_zstd_compressed(
+        [(b"entropy coded literals, with repeats repeats " * 4 + b"q",
+          [(60, 7, 19), (50, 1, 40)]),
+         (b"second block reusing the table " * 3, [(10, 2, 8)])],
+        checksum=True, seq_mode="auto", lit_mode="treeless"),
+        zs.decode_zstd_frame),
 }
 
 
