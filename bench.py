@@ -210,6 +210,7 @@ HEADLINE = [
     "zstd_compressed_roundtrip",  # FSE+Huffman Compressed_Block decode
     "h264_slice_header_walk",   # baseline PPS + slice-header exp-Golomb
     "warc_zst_extract",         # WARC-over-zstd composed carriage
+    "av1_obu_probe",            # leb128 OBU walk + sequence header
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -2858,3 +2858,195 @@ def parse_h264_slice_headers(payload: bytes) -> list[dict]:
     if not out:
         raise ValueError("stream carries no slices")
     return out
+
+
+# ---------------------------------------------------------------------------
+# AV1 OBU walk — the open-codec sibling of the H.264 probes (AV1
+# Bitstream & Decoding Process Specification §5, public): the
+# low-overhead bitstream format every .ivf/.webm AV1 track carries.
+# Implemented: OBU headers (type, extension, has-size), leb128 sizes,
+# and the full §5.5.1 sequence-header parse through color_config for
+# 8-bit profiles 0/1/2 — profile, level+tier, true max frame size,
+# chroma subsampling mode. Tile-group/frame payload decode stays the
+# codec-library boundary; resolution/profile/GOP-shape curation gates
+# read exactly the fields parsed here.
+# ---------------------------------------------------------------------------
+
+def _leb128(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_leb128(data: bytes, pos: int) -> tuple[int, int]:
+    value = 0
+    for i in range(8):
+        if pos >= len(data):
+            raise ValueError("av1: truncated leb128")
+        b = data[pos]
+        pos += 1
+        value |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            return value, pos
+    raise ValueError("av1: leb128 over 8 bytes")
+
+
+def _av1_seq_header_rbsp(profile: int, level: int, width: int,
+                         height: int) -> bytes:
+    """§5.5.1 sequence_header_obu for 8-bit streams, minimal flags
+    (no timing info, one operating point, order hints off, screen
+    content tools forced off)."""
+    if profile not in (0, 1, 2):
+        raise ValueError("av1: profile must be 0/1/2")
+    if not 8 <= level <= 23:
+        raise ValueError("av1: fixture levels are 8..23")
+    w = _BitWriterMSB()
+    w.u(profile, 3)
+    w.u(0, 1)                                   # still_picture
+    w.u(0, 1)                                   # reduced_still_picture
+    w.u(0, 1)                                   # timing_info_present
+    w.u(0, 1)                                   # initial_display_delay
+    w.u(0, 5)                                   # operating_points_cnt-1
+    w.u(0, 12)                                  # operating_point_idc[0]
+    w.u(level, 5)                               # seq_level_idx[0]
+    w.u(0, 1)                                   # seq_tier (level > 7)
+    wb = max((width - 1).bit_length(), 1)
+    hb = max((height - 1).bit_length(), 1)
+    w.u(wb - 1, 4)
+    w.u(hb - 1, 4)
+    w.u(width - 1, wb)
+    w.u(height - 1, hb)
+    w.u(0, 1)                                   # frame_id_numbers_present
+    w.u(1, 1)                                   # use_128x128_superblock
+    w.u(0, 1)                                   # enable_filter_intra
+    w.u(0, 1)                                   # enable_intra_edge_filter
+    w.u(0, 1)                                   # enable_interintra_compound
+    w.u(0, 1)                                   # enable_masked_compound
+    w.u(0, 1)                                   # enable_warped_motion
+    w.u(0, 1)                                   # enable_dual_filter
+    w.u(0, 1)                                   # enable_order_hint
+    w.u(0, 1)                                   # seq_choose_screen_content
+    w.u(0, 1)                                   # seq_force_screen_content=0
+    w.u(0, 1)                                   # enable_superres
+    w.u(1, 1)                                   # enable_cdef
+    w.u(0, 1)                                   # enable_restoration
+    # color_config, 8-bit:
+    w.u(0, 1)                                   # high_bitdepth
+    if profile != 1:
+        w.u(0, 1)                               # mono_chrome (profile 1: =0)
+    w.u(0, 1)                                   # color_description_present
+    if profile == 0:
+        sx = sy = 1
+    elif profile == 1:
+        sx = sy = 0
+    else:
+        sx, sy = 1, 0
+    if sx and sy:
+        w.u(0, 2)                               # chroma_sample_position
+    w.u(0, 1)                                   # separate_uv_delta_q
+    w.u(0, 1)                                   # film_grain_params_present
+    return w.trailing()
+
+
+def encode_av1_obu_stream(profile: int, level: int, width: int,
+                          height: int,
+                          frame_sizes: list[int]) -> bytes:
+    """Low-overhead OBU stream: temporal delimiter, sequence header,
+    then one frame OBU per entry of ``frame_sizes`` (stub payloads of
+    that many bytes — tile decode is the codec-library boundary)."""
+    def obu(typ: int, payload: bytes) -> bytes:
+        return bytes([(typ << 3) | 0b010]) + _leb128(len(payload)) + payload
+
+    out = bytearray(obu(2, b""))                # temporal delimiter
+    out += obu(1, _av1_seq_header_rbsp(profile, level, width, height))
+    for i, n in enumerate(frame_sizes):
+        out += obu(6, bytes((7 * i + j) % 256 for j in range(n)))
+    return bytes(out)
+
+
+def parse_av1_obu_stream(payload: bytes) -> dict:
+    """Walk OBUs (header bits, extension, leb128 size), census types,
+    and parse the first sequence header per §5.5.1 (8-bit profiles)."""
+    pos = 0
+    census: dict[int, int] = {}
+    frame_bytes = 0
+    seq = None
+    while pos < len(payload):
+        hdr = payload[pos]
+        pos += 1
+        if hdr & 0x80:
+            raise ValueError("av1: obu_forbidden_bit set")
+        typ = (hdr >> 3) & 0x0F
+        if hdr & 1:
+            raise ValueError("av1: obu reserved bit set")
+        if hdr & 0x04:                          # extension present
+            if pos >= len(payload):
+                raise ValueError("av1: truncated obu extension")
+            pos += 1
+        if not hdr & 0x02:
+            raise ValueError("av1: size field required in low-overhead "
+                             "bitstreams")
+        size, pos = _read_leb128(payload, pos)
+        if pos + size > len(payload):
+            raise ValueError("av1: truncated obu payload")
+        body = payload[pos:pos + size]
+        pos += size
+        census[typ] = census.get(typ, 0) + 1
+        if typ == 6:
+            frame_bytes += size
+        if typ == 1 and seq is None:
+            r = _BitReaderMSB(body)
+            profile = r.u(3)
+            r.u(1)                              # still_picture
+            if r.u(1):
+                raise ValueError("av1: reduced header not in the subset")
+            if r.u(1) or r.u(1):
+                raise ValueError("av1: timing/display-delay not in subset")
+            if r.u(5) != 0:
+                raise ValueError("av1: multi-operating-point not in subset")
+            r.u(12)                             # operating_point_idc
+            level = r.u(5)
+            if level > 7:
+                r.u(1)                          # seq_tier
+            wb = r.u(4) + 1
+            hb = r.u(4) + 1
+            width = r.u(wb) + 1
+            height = r.u(hb) + 1
+            r.u(1)                              # frame_id_numbers
+            use_128 = r.u(1)
+            r.u(6)                              # enable_* block
+            if r.u(1):                          # enable_order_hint
+                raise ValueError("av1: order hints not in the subset")
+            if r.u(1) == 0:                     # seq_choose_screen_content
+                r.u(1)                          # seq_force_screen_content
+            r.u(1)                              # enable_superres
+            r.u(1)                              # enable_cdef
+            r.u(1)                              # enable_restoration
+            if r.u(1):                          # high_bitdepth
+                raise ValueError("av1: >8-bit not in the subset")
+            mono = r.u(1) if profile != 1 else 0
+            if mono:
+                raise ValueError("av1: monochrome not in the subset")
+            r.u(1)                              # color_description_present
+            if profile == 0:
+                sx = sy = 1
+            elif profile == 1:
+                sx = sy = 0
+            else:
+                sx, sy = 1, 0
+            if sx and sy:
+                r.u(2)                          # chroma_sample_position
+            seq = {"profile": profile, "level": level,
+                   "max_width": width, "max_height": height,
+                   "subsampling_x": sx, "subsampling_y": sy,
+                   "use_128x128_superblock": use_128}
+    if seq is None:
+        raise ValueError("av1: stream carries no sequence header")
+    return {"n_obus": sum(census.values()), "obu_census": census,
+            "frame_bytes": frame_bytes, **seq}

@@ -106,10 +106,10 @@ _CHECK_FIRST: list[str] = [
     "pareto_frontier_docs",        # re-stamp: r08 stamp predates the
                                    # distinct-lengths window rewrite
     # --- ROUND-10 QUEUE (committed head, in priority order):
-    # 1. The three queries registered NEW in r9 (zstd_compressed_roundtrip,
-    #    h264_slice_header_walk, warc_zst_extract) — deliberately
-    #    registered BEHIND the window so they never displace the
-    #    backlog-draining stamps; they head r10.
+    # 1. The four queries registered NEW in r9 (zstd_compressed_roundtrip,
+    #    h264_slice_header_walk, warc_zst_extract, av1_obu_probe) —
+    #    deliberately registered BEHIND the window so they never
+    #    displace the backlog-draining stamps; they head r10.
     # 2. The r03/r04-stamp cohort refresh, oldest first
     #    (VERDICT r7 item 7, carried through r8 item 5):
     #    core_update_audit, w4_row_id, f3_accent_fold, f8_to_datetime,

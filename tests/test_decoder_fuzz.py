@@ -46,6 +46,10 @@ FIXTURES = {
     "webm": (mm.encode_webm_blocks([(0, [(0, True, b"abc")])]),
              mm.parse_webm),
     "h264": (mm.encode_h264_annexb(64, 64), mm.parse_h264_annexb),
+    "h264_slices": (mm.encode_h264_annexb(64, 64, n_idr=2, n_nonidr=3),
+                    mm.parse_h264_slice_headers),
+    "av1": (mm.encode_av1_obu_stream(0, 8, 640, 360, [40, 9]),
+            mm.parse_av1_obu_stream),
     "mp4st": (mm.build_mp4_sample_table([b"ab"] * 4, [(4, 10)], [2, 2]),
               mm.parse_mp4_samples),
     "tfrecord": (tfr.frame_records([tfr.encode_example({"a": [1, 2]})]),

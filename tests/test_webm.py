@@ -147,3 +147,38 @@ def test_h264_se_golomb_roundtrip():
         w.se(v)
     r = _BitReaderMSB(w.trailing())
     assert [r.se() for _ in vals] == vals
+
+
+def test_av1_obu_roundtrip_all_profiles():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        encode_av1_obu_stream, parse_av1_obu_stream)
+    for prof, (sx, sy) in ((0, (1, 1)), (1, (0, 0)), (2, (1, 0))):
+        r = parse_av1_obu_stream(
+            encode_av1_obu_stream(prof, 12, 354, 288, [10, 77]))
+        assert (r["profile"], r["level"]) == (prof, 12)
+        assert (r["max_width"], r["max_height"]) == (354, 288)
+        assert (r["subsampling_x"], r["subsampling_y"]) == (sx, sy)
+        assert r["obu_census"] == {2: 1, 1: 1, 6: 2}
+        assert r["frame_bytes"] == 87
+
+
+def test_av1_leb128_multibyte_sizes():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        encode_av1_obu_stream, parse_av1_obu_stream)
+    # a frame payload over 127 bytes forces a 2-byte leb128 size
+    r = parse_av1_obu_stream(
+        encode_av1_obu_stream(0, 8, 64, 64, [300]))
+    assert r["frame_bytes"] == 300 and r["n_obus"] == 3
+
+
+def test_av1_corruption_is_named():
+    import pytest
+
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        encode_av1_obu_stream, parse_av1_obu_stream)
+    s = bytearray(encode_av1_obu_stream(0, 8, 64, 64, [10]))
+    s[0] |= 0x80                              # forbidden bit
+    with pytest.raises(ValueError, match="forbidden"):
+        parse_av1_obu_stream(bytes(s))
+    with pytest.raises(ValueError, match="no sequence header"):
+        parse_av1_obu_stream(b"")

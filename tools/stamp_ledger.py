@@ -101,7 +101,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
         "flac_subframe_decode", "zstd_frame_probe",
         "elo_ratings", "probe_auc_rank", "winnowing_fingerprints",
     ]},
-    # r9-session additions (the round's only three new queries — VERDICT
+    # r9-session additions (the round's only four new queries — VERDICT
     # r8 items 4 and 8, plus the WARC-over-zstd composition), registered
     # BEHIND the window on purpose so the 49-query stamp backlog drains
     # (item 1); all parity-green at sf0.01 and sf0.1, tuned and vanilla,
@@ -109,6 +109,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "zstd_compressed_roundtrip": 9,
     "h264_slice_header_walk": 9,
     "warc_zst_extract": 9,
+    "av1_obu_probe": 9,
 }
 
 
