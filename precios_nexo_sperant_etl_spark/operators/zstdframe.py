@@ -408,3 +408,61 @@ def decode_zstd_frame(payload: bytes) -> dict:
             "n_seq": n_seq, "lit_len": lit_len, "match_len": match_len,
             "single_segment": single_segment, "window_log": window_log,
             "frame_bytes": pos}
+
+
+# ---------------------------------------------------------------------------
+# Stream layer: real .zst FILES are sequences of frames — zstd frames
+# interleaved with SKIPPABLE frames (magic 0x184D2A50..5F + u32 size;
+# RFC 8878 §3.1.2), which crawl tooling uses for index/dictionary side
+# data. decode_zstd_stream walks them all.
+# ---------------------------------------------------------------------------
+
+_SKIP_MAGIC_LO = 0x184D2A50
+_SKIP_MAGIC_HI = 0x184D2A5F
+
+
+def encode_zstd_skippable(data: bytes, nibble: int = 0) -> bytes:
+    """One skippable frame (magic 0x184D2A5<nibble>, u32 size, raw
+    user data)."""
+    if not 0 <= nibble <= 0xF:
+        raise ValueError("zstd: skippable magic nibble out of range")
+    return (_SKIP_MAGIC_LO + nibble).to_bytes(4, "little") \
+        + len(data).to_bytes(4, "little") + data
+
+
+def decode_zstd_stream(payload: bytes) -> dict:
+    """Walk a whole .zst stream: every data frame is fully decoded
+    (Raw/RLE/Compressed blocks, checksum verified when present),
+    skippable frames are framed-and-skipped with their payloads
+    surfaced. Returns concatenated content plus per-frame summaries."""
+    pos = 0
+    content = bytearray()
+    frames = []
+    skippable = []
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(payload[pos:pos + 4], "little")
+        if _SKIP_MAGIC_LO <= magic <= _SKIP_MAGIC_HI:
+            if pos + 8 > len(payload):
+                raise ValueError("zstd: truncated skippable header")
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            if pos + 8 + size > len(payload):
+                raise ValueError("zstd: truncated skippable frame")
+            skippable.append(payload[pos + 8:pos + 8 + size])
+            pos += 8 + size
+            continue
+        if magic != _MAGIC:
+            raise ValueError("zstd: bad magic number")
+        f = decode_zstd_frame(payload[pos:])
+        content += f["content"]
+        frames.append({k: f[k] for k in
+                       ("content_len", "n_blocks", "n_raw", "n_rle",
+                        "n_compressed", "frame_bytes")})
+        pos += f["frame_bytes"]
+    if not frames:
+        raise ValueError("zstd: stream carries no data frames")
+    return {"content": bytes(content), "content_len": len(content),
+            "n_frames": len(frames), "n_skippable": len(skippable),
+            "skippable_payloads": skippable, "frames": frames,
+            "stream_bytes": pos}

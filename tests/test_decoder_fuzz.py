@@ -66,6 +66,12 @@ FIXTURES = {
                             order=2, rice=9), fl.decode_flac),
     "zstd": (zs.encode_zstd_raw(b"frame walk " * 12 + b"z" * 130, 64),
              zs.decode_zstd_frame),
+    "zstd_stream": (zs.encode_zstd_skippable(b"idx", 7)
+                    + zs.encode_zstd_raw(b"frame one " * 6, 32)
+                    + zs.encode_zstd_compressed([(b"frame two lits " * 3,
+                                                  [(10, 4, 6)])],
+                                                checksum=True),
+                    zs.decode_zstd_stream),
     "zstd_comp": (zs.encode_zstd_compressed(
         [(b"entropy coded literals, with repeats repeats " * 4 + b"q",
           [(60, 7, 19), (50, 1, 40)]),

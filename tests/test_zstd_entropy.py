@@ -429,3 +429,47 @@ def test_treeless_blocks_actually_reuse_the_table():
     assert lit_byte & 3 == 3                  # Treeless_Literals_Block
     d = decode_zstd_frame(frame)
     assert d["content"] == plan[0][0] + plan[1][0]
+
+
+# ---------------------------------------------------------------------------
+# stream layer: multi-frame .zst with skippable frames
+# ---------------------------------------------------------------------------
+
+def test_zstd_stream_walk_mixed_frames():
+    from precios_nexo_sperant_etl_spark.operators.zstdframe import (
+        decode_zstd_stream, encode_zstd_skippable)
+    s = (encode_zstd_skippable(b"dict-or-index", 0xA)
+         + encode_zstd_raw(b"first frame " * 4, 64, checksum=True)
+         + encode_zstd_compressed(
+             [(b"second frame literals " * 3 + b"w", [(20, 4, 9)])],
+             checksum=True)
+         + encode_zstd_skippable(b""))
+    d = decode_zstd_stream(s)
+    assert d["n_frames"] == 2 and d["n_skippable"] == 2
+    assert d["skippable_payloads"] == [b"dict-or-index", b""]
+    assert d["content"].startswith(b"first frame ")
+    assert d["stream_bytes"] == len(s)
+
+
+def test_zstd_stream_rejects_garbage_and_empty():
+    from precios_nexo_sperant_etl_spark.operators.zstdframe import (
+        decode_zstd_stream, encode_zstd_skippable)
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_zstd_stream(b"\x00\x01\x02\x03\x04")
+    # skippable-only streams carry no data
+    with pytest.raises(ValueError, match="no data frames"):
+        decode_zstd_stream(encode_zstd_skippable(b"x"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=1, max_size=120), min_size=1,
+                max_size=4), st.binary(min_size=0, max_size=40))
+def test_zstd_stream_concatenation_roundtrip(chunks, side):
+    from precios_nexo_sperant_etl_spark.operators.zstdframe import (
+        decode_zstd_stream, encode_zstd_skippable)
+    s = encode_zstd_skippable(side, 3)
+    for c in chunks:
+        s += encode_zstd_raw(c, 32, checksum=True)
+    d = decode_zstd_stream(s)
+    assert d["content"] == b"".join(chunks)
+    assert d["n_frames"] == len(chunks)
