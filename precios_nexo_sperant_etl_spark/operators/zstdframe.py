@@ -88,10 +88,10 @@ def _parse_literals(data: bytes, fstate: dict) -> tuple[bytes, int, str]:
         if ltype == 0:
             if hdr + regen > len(data):
                 raise ValueError("zstd: truncated raw literals")
-            return data[hdr:hdr + regen], hdr + regen, "raw"
+            return bytes(data[hdr:hdr + regen]), hdr + regen, "raw"
         if hdr + 1 > len(data):
             raise ValueError("zstd: truncated RLE literals")
-        return data[hdr:hdr + 1] * regen, hdr + 1, "rle"
+        return bytes(data[hdr:hdr + 1]) * regen, hdr + 1, "rle"
     # Compressed (2) / Treeless (3)
     if sf == 0:
         v = int.from_bytes(data[:3], "little")
@@ -375,7 +375,7 @@ def decode_zstd_frame(payload: bytes) -> dict:
         elif btype == 1:
             if pos + 1 > len(payload):
                 raise ValueError("zstd: truncated RLE block")
-            content += payload[pos:pos + 1] * bsize
+            content += bytes(payload[pos:pos + 1]) * bsize
             pos += 1
             n_rle += 1
         elif btype == 2:
@@ -454,7 +454,9 @@ def decode_zstd_stream(payload: bytes) -> dict:
             continue
         if magic != _MAGIC:
             raise ValueError("zstd: bad magic number")
-        f = decode_zstd_frame(payload[pos:])
+        # memoryview slice: O(1) per frame — a many-frame WET stream
+        # must not pay a quadratic re-copy of the tail
+        f = decode_zstd_frame(memoryview(payload)[pos:])
         content += f["content"]
         frames.append({k: f[k] for k in
                        ("content_len", "n_blocks", "n_raw", "n_rle",
