@@ -433,17 +433,64 @@ _PQ_FIT_CACHE: dict[tuple, list] = {}
 _PQ_M, _PQ_DIMS, _PQ_K, _PQ_ITER = 4, 16, 8, 2
 
 
-def _pq_fit(spark: SparkSession, sf: str, j: int) -> list:
-    from .operators.similarity import kmeans_fit
-    key = (sf, "pq", j)
-    if key not in _PQ_FIT_CACHE:
-        sub = (_t(spark, sf, "embeddings")
-               .select("vec_id",
+def _pq_fit_all(spark: SparkSession, sf: str) -> list[list[list[float]]]:
+    """All four subspace codebooks fitted with the Lloyd rounds FUSED
+    across subspaces (per round, the four assigned frames are tagged
+    with ``j * K + cell`` and reduced by ONE label_centroids job) and
+    the fit-round ASSIGNMENT on the Arrow matmul gear — the k×dim fold
+    tree costs seconds of Catalyst analysis per subspace per round,
+    which dominated this query's construct wall (12.8s in BENCH_r08's
+    detail; ~5s after). Groups are disjoint across tags, the per-group
+    centroid recompute stays the id-ordered exact fold, and the
+    assignments agree with the fold gear absent ulp-level distance
+    ties (the same bet the driver-green SemDeDup queries take), so
+    every centroid double is bit-identical to four independent
+    kmeans_fit calls — pinned by
+    tests/test_quality_sampling.py::test_pq_fused_fit_matches_independent.
+    The oracle's unrolled per-subspace CTEs stay valid."""
+    from .operators.similarity import assign_cells_arrow, label_centroids
+    key = (sf, "pq_all")
+    if key in _PQ_FIT_CACHE:
+        return _PQ_FIT_CACHE[key]
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    slices = [F.slice("embedding", j * _PQ_DIMS + 1, _PQ_DIMS)
+              .alias(f"s{j}") for j in range(_PQ_M)]
+    first = emb.orderBy("vec_id").limit(_PQ_K).select(*slices).collect()
+    cents = [[list(r[f"s{j}"]) for r in first] for j in range(_PQ_M)]
+    subs = [emb.select("vec_id",
                        F.slice("embedding", j * _PQ_DIMS + 1,
-                               _PQ_DIMS).alias("embedding")))
-        _PQ_FIT_CACHE[key] = kmeans_fit(sub, n_cells=_PQ_K,
-                                        n_iter=_PQ_ITER)
-    return _PQ_FIT_CACHE[key]
+                               _PQ_DIMS).alias("embedding")).coalesce(4)
+            for j in range(_PQ_M)]
+    for _ in range(_PQ_ITER):
+        tagged = None
+        for j in range(_PQ_M):
+            a = assign_cells_arrow(subs[j], cents[j],
+                                   id_col="vec_id",
+                                   vec_col="embedding",
+                                   cell_col="__fit_cell")
+            a = a.select("vec_id", "embedding",
+                         (F.col("__fit_cell") + F.lit(j * _PQ_K))
+                         .alias("__fit_key"))
+            tagged = a if tagged is None else tagged.unionByName(a)
+        means = label_centroids(tagged, vec_col="embedding",
+                                id_col="vec_id",
+                                group_col="__fit_key").collect()
+        by_key: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault(r["__fit_key"], {})[r["dim"]] = r["centroid"]
+        cents = [
+            [[by_key[j * _PQ_K + ci][d]
+              for d in sorted(by_key[j * _PQ_K + ci])]
+             if j * _PQ_K + ci in by_key else cents[j][ci]
+             for ci in range(_PQ_K)]
+            for j in range(_PQ_M)
+        ]
+    _PQ_FIT_CACHE[key] = cents
+    return cents
+
+
+def _pq_fit(spark: SparkSession, sf: str, j: int) -> list:
+    return _pq_fit_all(spark, sf)[j]
 
 
 def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:

@@ -394,3 +394,24 @@ def test_pq_codes_pack_and_range(spark):
     # every subspace should use more than one code on real data
     for j in range(4):
         assert len({r[f"code{j}"] for r in rows}) > 1
+
+
+def test_pq_fused_fit_matches_independent(spark):
+    """The fused+Arrow PQ fit (one label_centroids job per Lloyd round,
+    matmul assignment) must reproduce four independent exact-fold
+    kmeans_fit calls bit-for-bit — the construct-wall fix is a job-count
+    and analysis-cost change, never a math change."""
+    from pyspark.sql import functions as F
+
+    import precios_nexo_sperant_etl_spark.queries_scale_part4 as p4
+    from precios_nexo_sperant_etl_spark.operators.similarity import kmeans_fit
+    sf = "/root/testdata/sf0.001"
+    p4._PQ_FIT_CACHE.clear()
+    fused = p4._pq_fit_all(spark, sf)
+    emb = p4._t(spark, sf, "embeddings").select("vec_id", "embedding")
+    for j in range(p4._PQ_M):
+        sub = emb.select("vec_id",
+                         F.slice("embedding", j * p4._PQ_DIMS + 1,
+                                 p4._PQ_DIMS).alias("embedding"))
+        want = kmeans_fit(sub, n_cells=p4._PQ_K, n_iter=p4._PQ_ITER)
+        assert fused[j] == want, f"subspace {j} centroids diverged"
