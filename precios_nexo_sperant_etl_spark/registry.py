@@ -42,84 +42,91 @@ _REGISTRY: dict[str, Query] = {}
 #: long-stable green queries rotate to the back (their old stamps stand).
 #: Update this list every round from the latest CORRECTNESS_r*.json.
 _CHECK_FIRST: list[str] = [
-    # ================= ROUND-9 WINDOW =================
-    # VERDICT r8 item 1, executed verbatim: the 49 queries that have
-    # NEVER carried a driver stamp (every late-r8 addition, in their
-    # original registration order — STAMPS.md's "never stamped" list),
-    # plus the `pareto_frontier_docs` re-stamp (its r08 stamp predates
-    # the distinct-lengths-window rewrite, the ledger's one stale
-    # entry). 49 + 1 = exactly the 50-slot window; NO new queries are
-    # admitted this round so the stamp backlog drains to zero. All 49
-    # were parity-green (type-strict, sf0.01 + sf0.1) in the sessions
-    # that registered them and were independently re-verified by the
-    # r8 judge (0 failures); this window converts that local evidence
-    # into driver stamps.
-    "quality_stump_probe",         # exact decision-stump probe
-    "bradley_terry_strengths",     # MM-iteration pairwise strengths
-    "elo_ratings",                 # sequential Elo pool ratings
-    "probe_auc_rank",              # exact Mann-Whitney AUC
-    "avi_mjpeg_frame_sample",      # RIFF/AVI MJPEG frame sampler
-    "adpcm_wav_roundtrip",         # IMA ADPCM codec roundtrip
-    "tiff_decode_roundtrip",       # baseline TIFF strip decode
-    "robots_txt_gate",             # robots.txt allow/deny gate
-    "image_dhash_neardup",         # dHash near-duplicate images
-    "blocklist_screen",            # domain blocklist screen
-    "dp_randomized_response",      # DP randomized-response audit
-    "unicode_script_mix",          # per-doc Unicode script census
-    "pq_quantization_codes",       # product-quantization codebooks
-    "pq_adc_topk",                 # asymmetric-distance top-k
-    "tfrecord_roundtrip",          # TFRecord write + re-walk
-    "avro_container_roundtrip",    # Avro OCF null-codec roundtrip
-    "avro_snappy_roundtrip",       # Avro OCF snappy blocks
-    "longest_repeated_substring",  # suffix-ranking LRS per doc
-    "mp4_sample_table_probe",      # stbl/stsz/stco sample tables
-    "manifest_prune_audit",        # lake manifest prune audit
-    "confusable_skeleton",         # UTS-39 confusable skeleton
-    "arrow_ipc_roundtrip",         # Arrow IPC stream roundtrip
-    "png_palette_roundtrip",       # PLTE/indexed-color PNG
-    "tiff_multipage_roundtrip",    # multi-IFD TIFF walk
-    "webm_block_probe",            # WebM/EBML element walk
-    "h264_sps_probe",              # H.264 SPS exp-Golomb parse
-    "crawl_token_bucket",          # politeness token-bucket sim
-    "preference_cycle_audit",      # preference-graph cycle audit
-    "annotator_kappa",             # Cohen/Fleiss agreement
-    "media_curation_pipeline",     # decode→filter→datasheet chain
-    "idn_label_roundtrip",         # IDN punycode label roundtrip
-    "schema_evolution_audit",      # upcast-aware catalog diff
-    "compaction_plan",             # small-file compaction planner
-    "gini_domain_concentration",   # Gini/Lorenz domain mass
-    "neardup_consensus",           # ≥2-vote multi-detector dedup
-    "kneser_ney_perplexity",       # interpolated KN bigram PPL
-    "levenshtein_decontam",        # banded edit-distance decontam
-    "length_matched_sample",       # length-stratified pair sample
-    "sitemap_url_extract",         # sitemap XML URL extraction
-    "phonetic_blocking",           # Soundex/metaphone blocking
-    "jl_projection_audit",         # JL random-projection audit
-    "holt_winters_forecast",       # additive HW level/trend/seasonal
-    "flac_subframe_decode",        # FLAC Rice-residual subframes
-    "zstd_frame_probe",            # RFC 8878 frame/block walk
-    "winnowing_fingerprints",      # MOSS winnowing fingerprints
-    "streaming_static_enrich",     # stream×static broadcast enrich
-    "streaming_session_builtin",   # session_window() aggregation
-    "streaming_dedup_redelivery",  # dropDuplicates under redelivery
-    "streaming_attribution_join",  # watermarked stream-stream join
-    "pareto_frontier_docs",        # re-stamp: r08 stamp predates the
-                                   # distinct-lengths window rewrite
-    # --- ROUND-10 QUEUE (committed head, in priority order):
-    # 1. The four queries registered NEW in r9 (zstd_compressed_roundtrip,
-    #    h264_slice_header_walk, warc_zst_extract, av1_obu_probe) —
-    #    deliberately registered BEHIND the window so they never
-    #    displace the backlog-draining stamps; they head r10.
-    # 2. The r03/r04-stamp cohort refresh, oldest first
-    #    (VERDICT r7 item 7, carried through r8 item 5):
-    #    core_update_audit, w4_row_id, f3_accent_fold, f8_to_datetime,
-    #    null_safe_join, scd2_merge, tpch_q21_sole_late_supplier,
-    #    mad_outlier_filter, skew_salted_join, table_profile_orders,
-    #    tpch_q9_product_profit, tpch_q11_important_stock,
-    #    tpch_q16_supplier_diversity, tpch_q20_dominant_supplier,
-    #    w1_dedup_latest, w2_dedup_keep_last — 16 oldest standing
-    #    stamps; refresh when slots allow. Never-stamped evidence
-    #    always beats refreshing a valid old stamp. ---
+    # ================= ROUND-10 WINDOW =================
+    # VERDICT r9 item 1, executed with one improvement: the committed
+    # queue head (the 4 queries registered NEW in r9, never stamped)
+    # plus the ENTIRE r03-stamp cohort — the ledger shows 44 standing
+    # r03 stamps, not just the 16 §2-core ones the queue named — plus
+    # the 2 oldest r04 stamps from the committed queue (w1/w2).
+    # 4 + 44 + 2 = exactly the 50-slot window. After this round the
+    # oldest standing stamp is r04 (38 queries), queued for r11.
+    # NO new r10 queries are admitted to the window (registration-pause
+    # discipline, VERDICT r9 item 2): anything registered this round
+    # lands BEHIND the window.
+    #
+    # -- 1. never-stamped (new in r9; all re-verified locally this
+    #       round AFTER the ADVICE.md zstd/AV1/H.264 fixes) --
+    "zstd_compressed_roundtrip",   # RFC 8878 FSE/Huffman blocks
+    "h264_slice_header_walk",      # H.264 slice-header walk
+    "warc_zst_extract",            # WARC-over-zstd composition
+    "av1_obu_probe",               # AV1 OBU sequence-header walk
+    # -- 2. the 44-query r03 cohort, oldest standing stamps --
+    "core_update_audit",           # flagship §3.1 audit pipeline
+    "w4_row_id",                   # two-pass deterministic row-id
+    "f3_accent_fold",              # accent fold + header dedup
+    "f8_to_datetime",              # to_datetime coercion
+    "null_safe_join",              # null-safe equality join
+    "scd2_merge",                  # SCD2 history merge
+    "tpch_q21_sole_late_supplier", # TPC-H Q21
+    "mad_outlier_filter",          # median/MAD outlier screen
+    "skew_salted_join",            # salted fact-fact SMJ demo
+    "table_profile_orders",        # per-column profile
+    "tpch_q9_product_profit",      # TPC-H Q9
+    "tpch_q11_important_stock",    # TPC-H Q11
+    "tpch_q16_supplier_diversity", # TPC-H Q16
+    "tpch_q20_dominant_supplier",  # TPC-H Q20
+    "minhash_dedup_pairs_prod",    # 128x16 banded MinHash
+    "minhash_dedup_pairs_capped",  # capped-band MinHash
+    "tfidf_top_terms",             # TF-IDF top terms
+    "vocab_oov_rate",              # vocab OOV rate
+    "train_val_test_split",        # seeded split manifest
+    "simhash_near_pairs",          # SimHash near-dup pairs
+    "text_stats",                  # doc length/punct stats
+    "text_lang_id",                # n-gram language id
+    "text_top_terms",              # per-doc top terms
+    "text_fingerprint",            # rolling-hash fingerprint
+    "events_tumbling_agg",         # tumbling-window agg
+    "events_sliding_agg",          # sliding-window agg
+    "events_sessionize",           # gap sessionization
+    "asof_join_click_purchase",    # as-of join
+    "range_join_view_purchase",    # range join
+    "multimodal_metadata",         # binary-payload metadata
+    "multimodal_features",         # stubbed decode features
+    "embedding_neardup_pairs",     # embedding-cosine near-dup
+    "text_token_counts",           # whitespace+BPE-ish tokens
+    "stratified_sample_docs",      # stratified sample
+    "quantiles_by_status",         # exact quantiles by group
+    "text_redact_pii",             # PII redaction
+    "contamination_screen",        # eval-contamination screen
+    "curation_pipeline",           # end-to-end curation chain
+    "events_funnel",               # ordered funnel
+    "events_props_struct",         # struct property pivot
+    "rolling_7d_distinct_users",   # rolling distinct users
+    "cohort_retention",            # cohort retention matrix
+    "paragraph_dedup",             # paragraph-level dedup
+    "text_repetition_stats",       # repetition/dup-ngram stats
+    # -- 3. the 2 oldest r04 stamps (committed r10-queue tail) --
+    "w1_dedup_latest",             # dedup keep-latest (NaT quirk)
+    "w2_dedup_keep_last",          # dedup keep-last ordinal
+    # --- ROUND-11 QUEUE (committed head, in priority order):
+    # 1. Any query registered new in r10 (registered BEHIND this
+    #    window): zstd_dict_roundtrip, mp3_synthesis_roundtrip, ...
+    # 2. The 38-query r04-stamp cohort (oldest first; see STAMPS.md):
+    #    j3_p6_change_detail, tpch_q1_pricing_summary,
+    #    referential_integrity, j1_left_enrich_coalesce,
+    #    j4_key_set_difference, tpch_q3/q5/q6, o2_es_collation,
+    #    cross_corpus_neardup, lm_bigram_quality, neardup_clusters,
+    #    neardup_survivors, cluster_aware_split, source_mix_weights,
+    #    embedding_label_centroids, pack_efficiency_report,
+    #    ngram_jaccard_pairs_capped, quality_calibrated_filter,
+    #    corpus_card, split_leakage_screen, seq_manifest, source_stats,
+    #    user_feature_vectors, langid_confusion, containment_pairs,
+    #    source_dup_rate, zorder_layout, dsir_weights, zorder_layout3,
+    #    events_anomaly_zscore, join_skew_report, dedup_threshold_curve,
+    #    doc_lang_mismatch, order_fulfillment_lag, neardup_cluster_sizes.
+    #    38 + new-in-r10 ≈ the full r11 window; r05 cohort follows in
+    #    r12. Never-stamped evidence always beats refreshing a valid
+    #    old stamp. ---
 ]
 
 

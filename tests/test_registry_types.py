@@ -113,3 +113,14 @@ def test_registry_order_is_frozen():
         "anywhere is fine (they are ignored here); moving or "
         "swapping EXISTING ones is not."
     )
+    # VERDICT r9 item 4: the golden must cover EVERY registered query,
+    # not just a prefix — otherwise reorders among names registered
+    # after the golden was cut slip through the "append-only" escape
+    # hatch. Any registration forces a golden regeneration in the same
+    # commit (python -c snippet in this test's docstring history).
+    extra = [n for n in order if n not in known]
+    assert not extra, (
+        f"{len(extra)} queries registered but absent from the golden "
+        f"({extra[:5]}...): regenerate tests/golden_registry_order.json "
+        "in the same commit as the registration"
+    )
