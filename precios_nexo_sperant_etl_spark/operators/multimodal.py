@@ -2823,6 +2823,13 @@ def parse_h264_slice_headers(payload: bytes) -> list[dict]:
             if idr:
                 row["idr_pic_id"] = r.ue()
             st5 = slice_type % 5
+            if st5 in (3, 4):
+                # SP slices carry num_ref_idx override + ref-list
+                # modification per §7.3.3 (and SP/SI add
+                # sp_for_switch_flag / slice_qs_delta) — parsing past
+                # them with the P/I layout would yield garbage qp /
+                # deblock values instead of an honest error
+                raise ValueError("h264: SP/SI slices unsupported")
             if st5 in (0, 1):                  # P / B
                 if st5 == 1:
                     r.u(1)                     # direct_spatial_mv_pred
@@ -2941,6 +2948,10 @@ def _av1_seq_header_rbsp(profile: int, level: int, width: int,
     if profile != 1:
         w.u(0, 1)                               # mono_chrome (profile 1: =0)
     w.u(0, 1)                                   # color_description_present
+    # §5.5.2: with color_description_present_flag=0 the stream is
+    # neither monochrome nor sRGB, so color_range f(1) comes next,
+    # BEFORE the profile-implied subsampling / chroma position
+    w.u(0, 1)                                   # color_range (studio swing)
     if profile == 0:
         sx = sy = 1
     elif profile == 1:
@@ -3033,15 +3044,25 @@ def parse_av1_obu_stream(payload: bytes) -> dict:
             mono = r.u(1) if profile != 1 else 0
             if mono:
                 raise ValueError("av1: monochrome not in the subset")
-            r.u(1)                              # color_description_present
-            if profile == 0:
-                sx = sy = 1
-            elif profile == 1:
-                sx = sy = 0
+            if r.u(1):                          # color_description_present
+                cp = r.u(8)                     # color_primaries
+                tc = r.u(8)                     # transfer_characteristics
+                mc = r.u(8)                     # matrix_coefficients
+                is_srgb = cp == 1 and tc == 13 and mc == 0
             else:
-                sx, sy = 1, 0
-            if sx and sy:
-                r.u(2)                          # chroma_sample_position
+                is_srgb = False
+            if is_srgb:                         # §5.5.2: implied full range,
+                color_range, sx, sy = 1, 0, 0   # 4:4:4, no chroma position
+            else:
+                color_range = r.u(1)
+                if profile == 0:
+                    sx = sy = 1
+                elif profile == 1:
+                    sx = sy = 0
+                else:
+                    sx, sy = 1, 0
+                if sx and sy:
+                    r.u(2)                      # chroma_sample_position
             seq = {"profile": profile, "level": level,
                    "max_width": width, "max_height": height,
                    "subsampling_x": sx, "subsampling_y": sy,

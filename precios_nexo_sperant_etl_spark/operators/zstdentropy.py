@@ -661,7 +661,7 @@ OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
 OF_DEFAULT_ACC = 5
 ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-              1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1,
+              1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
               -1, -1, -1, -1, -1]
 ML_DEFAULT_ACC = 6
 
@@ -906,9 +906,15 @@ def _plan_channel(which: str, codes: list[int], state: _SeqTables,
     RLE symbol the way the decoder will."""
     default, default_acc, acc_max, max_sym = _SEQ_CHANNELS[which]
     if mode == "repeat":
-        if getattr(state, which) is None and \
-                getattr(state, which + "_rle") is None:
+        rle = getattr(state, which + "_rle")
+        if getattr(state, which) is None and rle is None:
             raise ValueError("zstd: repeat mode without a previous table")
+        if rle is not None and any(c != rle for c in codes):
+            # a repeated RLE channel emits NO state bits at all, so a
+            # code differing from the installed symbol would silently
+            # decode to different ll/of/ml values
+            raise ValueError("zstd: repeat of an RLE channel with "
+                             "non-matching codes")
         return 3, b""
     if mode == "auto" and len(set(codes)) == 1:
         setattr(state, which + "_rle", codes[0])

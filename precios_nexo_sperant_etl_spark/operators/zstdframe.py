@@ -255,24 +255,52 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
     offset_values against the live 3-slot repeat history exactly as a
     real encoder would (so repeat codes are exercised). Single-segment
     frame, 4-byte FCS, no checksum — same framing as
-    :func:`encode_zstd_raw`."""
+    :func:`encode_zstd_raw`.
+
+    RFC 8878 §3.1.1.2.2 caps every block's SIZE (and decoded size) at
+    Block_Maximum_Size = min(Window_Size, 128 KiB); with single-segment
+    framing the window is the total content, so a block whose encoded
+    body outgrows that cap (literals-only blocks always do) is emitted
+    as a Raw_Block instead — the same fallback a real encoder applies.
+    A raw fallback installs no FSE/Huffman tables and leaves the repeat
+    -offset history untouched, so the encoder state is snapshot-restored
+    and the next block in ``repeat``/``treeless`` chains re-installs."""
+    total_content = sum(len(lits) + sum(s[2] for s in seqs)
+                        for lits, seqs in blocks)
+    block_max = min(max(total_content, 1), 1 << 17)
     reps = [1, 4, 8]
-    content_len = 0
-    payloads = []
+    payloads: list[tuple[int, bytes]] = []      # (block_type, body)
     enc_seq_state = _ze._SeqTables()
     enc_lit_state: dict = {}
     first_seq_block = True
     first_lit_block = True
+    window = bytearray()
     for lits, seqs in blocks:
         lit_used = sum(s[0] for s in seqs)
         if lit_used > len(lits):
             raise ValueError("zstd: plan literals overrun")
-        content_len += len(lits) + sum(s[2] for s in seqs)
+        blk_start = len(window)
+        snap_reps = list(reps)
+        snap_seq = (enc_seq_state.ll, enc_seq_state.of, enc_seq_state.ml,
+                    enc_seq_state.ll_rle, enc_seq_state.of_rle,
+                    enc_seq_state.ml_rle)
+        snap_lit = dict(enc_lit_state)
+        p = 0
         triples = []
         for ll, off, ml in seqs:
+            window += lits[p:p + ll]
+            p += ll
+            if not 1 <= off <= len(window):
+                raise ValueError("zstd: match offset outside the window")
+            for _ in range(ml):
+                window.append(window[-off])
             ov = _ze.offset_value_for(off, ll, reps)
             _, reps = _ze.apply_offset_history(ov, ll, reps)
             triples.append((ll, ov, ml))
+        window += lits[p:]
+        blk_content = bytes(window[blk_start:])
+        if len(blk_content) > block_max:
+            raise ValueError("zstd: block content over Block_Maximum_Size")
         if seq_mode == "repeat":
             # first sequence-carrying block installs tables (predefined),
             # later ones reuse them via Repeat_Mode (decoder mode 3)
@@ -283,33 +311,32 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
             else "treeless"
         body = _build_literals_section(lits, enc_lit_state, lm) \
             + _ze.encode_sequences(triples, enc_seq_state, mode=m)
+        if len(body) > block_max:
+            # Raw_Block fallback: restore the state the decoder will
+            # actually be in (no tables installed, repeats unchanged)
+            reps = snap_reps
+            (enc_seq_state.ll, enc_seq_state.of, enc_seq_state.ml,
+             enc_seq_state.ll_rle, enc_seq_state.of_rle,
+             enc_seq_state.ml_rle) = snap_seq
+            enc_lit_state.clear()
+            enc_lit_state.update(snap_lit)
+            payloads.append((0, blk_content))
+            continue
         if len(set(lits)) > 1:
             first_lit_block = False
         if seqs:
             first_seq_block = False
-        payloads.append(body)
+        payloads.append((2, body))
     out = bytearray(_MAGIC.to_bytes(4, "little"))
     out.append((2 << 6) | (1 << 5) | (4 if checksum else 0))
-    out += content_len.to_bytes(4, "little")
-    content_acc = bytearray()
-    for i, body in enumerate(payloads):
+    out += total_content.to_bytes(4, "little")
+    for i, (btype, body) in enumerate(payloads):
         last = 1 if i == len(payloads) - 1 else 0
         if len(body) >= 1 << 21:
             raise ValueError("zstd: block too large")
-        out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+        out += (last | (btype << 1) | (len(body) << 3)).to_bytes(3, "little")
         out += body
     if checksum:
-        # reconstruct content straight from the RAW offsets (no repeat-
-        # history round trip — the plan is the ground truth)
-        window = bytearray()
-        for lits, seqs in blocks:
-            p = 0
-            for ll, off, ml in seqs:
-                window += lits[p:p + ll]
-                p += ll
-                for _ in range(ml):
-                    window.append(window[-off])
-            window += lits[p:]
         out += (_ze.xxh64(bytes(window)) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
 

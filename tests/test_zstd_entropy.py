@@ -276,10 +276,15 @@ def test_compressed_frame_roundtrip(plans):
     d = decode_zstd_frame(frame)
     assert d["content"] == ref_execute(plans)
     assert d["content_len"] == d["fcs"]
-    assert d["n_compressed"] == len(plans) == d["n_blocks"]
-    assert d["n_seq"] == sum(len(s) for _, s in plans)
-    assert d["lit_len"] == sum(len(l) for l, _ in plans)
-    assert d["match_len"] == sum(ml for _, s in plans for _, _, ml in s)
+    # blocks whose encoded body would outgrow Block_Maximum_Size
+    # (RFC 8878 §3.1.1.2.2) legitimately fall back to Raw_Blocks
+    assert d["n_blocks"] == len(plans)
+    assert d["n_compressed"] + d["n_raw"] == d["n_blocks"]
+    if d["n_raw"] == 0:
+        assert d["n_seq"] == sum(len(s) for _, s in plans)
+        assert d["lit_len"] == sum(len(l) for l, _ in plans)
+        assert d["match_len"] == sum(ml for _, s in plans
+                                     for _, _, ml in s)
 
 
 @settings(**_SETTINGS)
@@ -370,7 +375,8 @@ def test_sequence_modes_roundtrip(plans, seq_mode):
     frame = encode_zstd_compressed(plans, seq_mode=seq_mode)
     d = decode_zstd_frame(frame)
     assert d["content"] == ref_execute(plans)
-    assert d["n_seq"] == sum(len(s) for _, s in plans)
+    if d["n_raw"] == 0:                        # no Block_Maximum_Size fallback
+        assert d["n_seq"] == sum(len(s) for _, s in plans)
 
 
 def test_auto_mode_emits_rle_and_fse_tables():
@@ -473,3 +479,99 @@ def test_zstd_stream_concatenation_roundtrip(chunks, side):
     d = decode_zstd_stream(s)
     assert d["content"] == b"".join(chunks)
     assert d["n_frames"] == len(chunks)
+
+
+# ---------------------------------------------------------------------------
+# Interop against the REAL zstd binary (skipped when it isn't on PATH).
+# Round-9 lesson: encoder/decoder-shared tables can hide a wrong
+# Predefined_Mode distribution from every pure roundtrip test — the repo's
+# ML_DEFAULT marked symbols 42..52 as less-than-one where RFC 8878
+# §3.1.1.3.2.2 has positive counts through symbol 45, so every frame
+# either side touched in predefined mode disagreed with real zstd. The
+# correct layouts below were extracted from zstd v1.5.7 by pinning each
+# FSE init state in crafted one-sequence frames and reading the decoded
+# (ll, offset, ml) back.
+# ---------------------------------------------------------------------------
+
+import shutil as _shutil
+import subprocess as _subprocess
+
+_ZSTD_BIN = _shutil.which("zstd")
+
+
+def test_predefined_table_layout_pins():
+    """Spot-pin states extracted from the real binary (no binary needed)."""
+    ll = ze.fse_build_dtable(ze.LL_DEFAULT, ze.LL_DEFAULT_ACC)
+    of = ze.fse_build_dtable(ze.OF_DEFAULT, ze.OF_DEFAULT_ACC)
+    ml = ze.fse_build_dtable(ze.ML_DEFAULT, ze.ML_DEFAULT_ACC)
+    assert [ll[s][0] for s in (0, 1, 2, 3, 19, 20, 21)] == [0, 0, 1, 3, 27, 29, 31]
+    assert [ll[s][0] for s in (60, 61, 62, 63)] == [35, 34, 33, 32]
+    assert [of[s][0] for s in (0, 1, 2, 3, 5, 14, 23)] == [0, 6, 9, 15, 3, 2, 1]
+    # the round-9 bug lived here: states 16..21 and 36..42 carry the
+    # symbols 32..45 the old ML_DEFAULT wrongly marked less-than-one
+    assert [ml[s][0] for s in (16, 17, 18, 19, 20, 21)] == [35, 37, 39, 41, 43, 45]
+    assert [ml[s][0] for s in (36, 37, 38, 39, 40, 41, 42)] == [32, 34, 36, 38, 40, 42, 44]
+    assert ml[33][0] == 24
+    assert [ml[s][0] for s in (58, 59, 60, 61, 62, 63)] == [51, 50, 49, 48, 47, 46]
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="zstd binary not on PATH")
+def test_interop_decode_real_zstd_frames():
+    """Frames produced by the real binary at several levels decode
+    byte-exactly (levels 1-19 all use predefined sequence tables for
+    inputs this size)."""
+    import random
+    rng = random.Random(7)
+    words = [bytes(rng.randrange(256) for _ in range(rng.randrange(3, 40)))
+             for _ in range(40)]
+    docs = [b"".join(rng.choice(words) + bytes([rng.randrange(256)])
+                     for _ in range(rng.randrange(5, 120)))
+            for _ in range(10)]
+    docs += [(b"the quick brown fox %d " % i) * (10 + i) for i in range(5)]
+    for level in (1, 3, 9, 19):
+        for doc in docs:
+            frame = _subprocess.run(
+                [_ZSTD_BIN, f"-{level}", "-c"], input=doc,
+                capture_output=True, check=True).stdout
+            from precios_nexo_sperant_etl_spark.operators.zstdframe import (
+                decode_zstd_frame)
+            assert decode_zstd_frame(frame)["content"] == doc
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="zstd binary not on PATH")
+def test_interop_real_zstd_decodes_our_frames():
+    """Every seq_mode × checksum combination we emit is accepted and
+    decoded byte-exactly by the real binary — including the Raw_Block
+    fallback for bodies over Block_Maximum_Size."""
+    import random
+    rng = random.Random(99)
+    for trial in range(15):
+        nblk = rng.randrange(1, 4)
+        blocks, expected = [], bytearray()
+        for _ in range(nblk):
+            lits = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(0, 300)))
+            seqs, used = [], 0
+            sim = bytearray(expected)
+            for _ in range(rng.randrange(0, 6)):
+                ll = rng.randrange(0, min(len(lits) - used, 40) + 1)
+                sim += lits[used:used + ll]
+                used += ll
+                if not sim:
+                    continue
+                off = rng.randrange(1, min(len(sim), 2000) + 1)
+                ml = rng.randrange(3, 80)
+                for _ in range(ml):
+                    sim.append(sim[len(sim) - off])
+                seqs.append((ll, off, ml))
+            sim += lits[used:]
+            blocks.append((lits, seqs))
+            expected = sim
+        for mode in ("predefined", "repeat", "auto"):
+            for cks in (False, True):
+                frame = encode_zstd_compressed(blocks, seq_mode=mode,
+                                               checksum=cks)
+                p = _subprocess.run([_ZSTD_BIN, "-d", "-c"], input=frame,
+                                    capture_output=True)
+                assert p.returncode == 0, p.stderr.decode(errors="replace")
+                assert p.stdout == bytes(expected)
