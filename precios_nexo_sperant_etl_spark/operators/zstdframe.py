@@ -34,8 +34,106 @@ _MAGIC = 0xFD2FB528
 class UnsupportedZstd(ValueError):
     """Valid zstd, outside the implemented subset (ValueError subclass
     so the uniform fail-cleanly fuzz contract covers it, same as
-    UnsupportedJpeg). Since the r9 entropy stack landed this is only
-    dictionary-compressed frames."""
+    UnsupportedJpeg). Since the r10 dictionary support landed this is
+    only dictionary-referencing frames decoded WITHOUT the matching
+    dictionary."""
+
+
+# ---------------------------------------------------------------------------
+# Dictionaries (RFC 8878 §5): magic 0xEC30A437, Dictionary_ID, an
+# entropy section (Huffman literals table, then FSE tables in OF/ML/LL
+# order, then the 3 initial repeat offsets as u32 LE), then raw content
+# that seeds the match window. A blob WITHOUT the magic is a raw-content
+# dictionary: window seed only, no entropy tables, no ID.
+# ---------------------------------------------------------------------------
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def encode_zstd_dictionary(content: bytes, dict_id: int,
+                           reps: tuple[int, int, int] = (1, 4, 8)) -> bytes:
+    """Write a structured dictionary. The entropy section ships a flat
+    256-symbol Huffman table (weight 1 each — covers any literal byte)
+    and the three RFC predefined sequence distributions, so frames can
+    open with Treeless literals and Repeat_Mode sequences regardless of
+    payload; ``content`` seeds the match window and ``reps`` the
+    repeat-offset history."""
+    if not 1 <= dict_id <= 0xFFFFFFFF:
+        raise ValueError("zstd: dictionary id must be a non-zero u32")
+    if any(r <= 0 for r in reps):
+        raise ValueError("zstd: dictionary repeat offsets must be > 0")
+    out = bytearray(_DICT_MAGIC.to_bytes(4, "little"))
+    out += dict_id.to_bytes(4, "little")
+    # full-alphabet Huffman table: every byte representable, so any
+    # literal payload can ride Treeless. A flat 256×weight-1 profile is
+    # degenerate for the FSE weight coder (single-symbol histogram), so
+    # use the Kraft-tight 3-tier profile 128×w1 + 64×w2 + 64×w3 = 2^9.
+    out += _ze.huf_write_weights(
+        {s: (1 if s < 128 else 2 if s < 192 else 3) for s in range(256)})
+    out += _ze.fse_write_ncount(_ze.OF_DEFAULT, _ze.OF_DEFAULT_ACC)
+    out += _ze.fse_write_ncount(_ze.ML_DEFAULT, _ze.ML_DEFAULT_ACC)
+    out += _ze.fse_write_ncount(_ze.LL_DEFAULT, _ze.LL_DEFAULT_ACC)
+    for r in reps:
+        out += int(r).to_bytes(4, "little")
+    out += content
+    return bytes(out)
+
+
+def parse_zstd_dictionary(blob: bytes) -> dict:
+    """Parse a dictionary blob into the state a frame decode/encode
+    starts from. Structured (magic-led) dictionaries yield entropy
+    tables + repeat offsets + content; anything else is a raw-content
+    dictionary (window seed only)."""
+    if len(blob) < 8 or \
+            int.from_bytes(blob[:4], "little") != _DICT_MAGIC:
+        return {"dict_id": 0, "content": bytes(blob), "huf": None,
+                "ctable": None, "max_bits": None, "seq_counts": None,
+                "reps": [1, 4, 8]}
+    dict_id = int.from_bytes(blob[4:8], "little")
+    if dict_id == 0:
+        raise ValueError("zstd: structured dictionary with id 0")
+    pos = 8
+    weights, n = _ze.huf_read_weights(blob[pos:])
+    pos += n
+    live = {s: w for s, w in weights.items() if w > 0}
+    huf = _ze.huf_build_dtable(live)
+    ctable, max_bits = _ze.huf_build_ctable(live)
+    tables = {}
+    for ch, acc_max, max_sym in (("of", 8, 31), ("ml", 9, 52),
+                                 ("ll", 9, 35)):
+        counts, acc, used = _ze.fse_read_ncount(blob[pos:], acc_max)
+        if len(counts) - 1 > max_sym:
+            raise ValueError(f"zstd: dictionary {ch} table symbol "
+                             "out of range")
+        tables[ch] = (counts, acc)
+        pos += used
+    if pos + 12 > len(blob):
+        raise ValueError("zstd: truncated dictionary repeat offsets")
+    reps = [int.from_bytes(blob[pos + 4 * i:pos + 4 * i + 4], "little")
+            for i in range(3)]
+    if any(r <= 0 for r in reps):
+        raise ValueError("zstd: dictionary repeat offset must be > 0")
+    pos += 12
+    return {"dict_id": dict_id, "content": blob[pos:], "huf": huf,
+            "ctable": ctable, "max_bits": max_bits,
+            "seq_counts": tables, "reps": reps}
+
+
+def _dict_state(dictionary) -> dict | None:
+    """Normalize a dictionary argument (None / raw bytes / parsed dict)
+    and expand the FSE count vectors into fresh decode tables — each
+    frame mutates its table state, so tables are rebuilt per call."""
+    if dictionary is None:
+        return None
+    d = parse_zstd_dictionary(dictionary) \
+        if isinstance(dictionary, (bytes, bytearray)) else dict(dictionary)
+    seq = _ze._SeqTables()
+    if d.get("seq_counts"):
+        for ch in ("ll", "of", "ml"):
+            counts, acc = d["seq_counts"][ch]
+            setattr(seq, ch, (_ze.fse_build_dtable(counts, acc), acc))
+    d["seq"] = seq
+    return d
 
 
 def encode_zstd_raw(data: bytes, block_size: int = 64,
@@ -248,7 +346,8 @@ def _build_literals_section(lits: bytes, fstate_enc: dict | None = None,
 def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]],
                            checksum: bool = False,
                            seq_mode: str = "predefined",
-                           lit_mode: str = "fresh") -> bytes:
+                           lit_mode: str = "fresh",
+                           dictionary=None) -> bytes:
     """One zstd frame of Compressed_Blocks. Each block is
     ``(literals, sequences)`` with sequences as (literals_length,
     RAW match offset, match_length >= 3) — offsets are converted to
@@ -264,17 +363,37 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
     as a Raw_Block instead — the same fallback a real encoder applies.
     A raw fallback installs no FSE/Huffman tables and leaves the repeat
     -offset history untouched, so the encoder state is snapshot-restored
-    and the next block in ``repeat``/``treeless`` chains re-installs."""
+    and the next block in ``repeat``/``treeless`` chains re-installs.
+
+    ``dictionary`` (RFC 8878 §5) seeds the match window (offsets may
+    reach into the dictionary content), the repeat-offset history, and —
+    for structured dictionaries — the Huffman/FSE tables, so the FIRST
+    block may already use Treeless literals (``lit_mode="treeless"``)
+    and Repeat_Mode sequences (``seq_mode="repeat"``). Dictionary
+    frames swap single-segment framing for a window descriptor that
+    covers dictionary + content and carry a 4-byte Dictionary_ID."""
+    dstate = _dict_state(dictionary)
     total_content = sum(len(lits) + sum(s[2] for s in seqs)
                         for lits, seqs in blocks)
     block_max = min(max(total_content, 1), 1 << 17)
-    reps = [1, 4, 8]
     payloads: list[tuple[int, bytes]] = []      # (block_type, body)
-    enc_seq_state = _ze._SeqTables()
-    enc_lit_state: dict = {}
-    first_seq_block = True
-    first_lit_block = True
-    window = bytearray()
+    if dstate is not None:
+        reps = list(dstate["reps"])
+        enc_seq_state = dstate["seq"]
+        enc_lit_state = {}
+        if dstate["ctable"] is not None:
+            enc_lit_state = {"ctable": dstate["ctable"],
+                             "max_bits": dstate["max_bits"]}
+        first_seq_block = enc_seq_state.ll is None
+        first_lit_block = not enc_lit_state
+        window = bytearray(dstate["content"])
+    else:
+        reps = [1, 4, 8]
+        enc_seq_state = _ze._SeqTables()
+        enc_lit_state = {}
+        first_seq_block = True
+        first_lit_block = True
+        window = bytearray()
     for lits, seqs in blocks:
         lit_used = sum(s[0] for s in seqs)
         if lit_used > len(lits):
@@ -328,7 +447,21 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
             first_seq_block = False
         payloads.append((2, body))
     out = bytearray(_MAGIC.to_bytes(4, "little"))
-    out.append((2 << 6) | (1 << 5) | (4 if checksum else 0))
+    if dstate is not None:
+        # window descriptor (exponent-only) covering dict + content,
+        # 4-byte Dictionary_ID, 4-byte FCS
+        need = len(dstate["content"]) + total_content
+        exp = 0
+        while (1 << (10 + exp)) < need:
+            exp += 1
+            if exp > 21:
+                raise ValueError("zstd: dictionary frame over 2 GiB "
+                                 "window")
+        out.append((2 << 6) | (4 if checksum else 0) | 3)
+        out.append(exp << 3)
+        out += int(dstate["dict_id"]).to_bytes(4, "little")
+    else:
+        out.append((2 << 6) | (1 << 5) | (4 if checksum else 0))
     out += total_content.to_bytes(4, "little")
     for i, (btype, body) in enumerate(payloads):
         last = 1 if i == len(payloads) - 1 else 0
@@ -337,15 +470,22 @@ def encode_zstd_compressed(blocks: list[tuple[bytes, list[tuple[int, int, int]]]
         out += (last | (btype << 1) | (len(body) << 3)).to_bytes(3, "little")
         out += body
     if checksum:
-        out += (_ze.xxh64(bytes(window)) & 0xFFFFFFFF).to_bytes(4, "little")
+        skip = len(dstate["content"]) if dstate is not None else 0
+        out += (_ze.xxh64(bytes(window[skip:]))
+                & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
 
 
-def decode_zstd_frame(payload: bytes) -> dict:
+def decode_zstd_frame(payload: bytes, dictionary=None) -> dict:
     """Walk one zstd frame: parse the header, decode every Raw/RLE
     block, verify the reassembled size against the frame-content-size
     field. Returns content plus per-type block counts and the total
-    frame length."""
+    frame length. ``dictionary`` (raw bytes, encode_zstd_dictionary
+    blob, or parse_zstd_dictionary dict) seeds the match window,
+    entropy tables and repeat offsets per RFC 8878 §5; a frame whose
+    Dictionary_ID names a dictionary that wasn't provided (or names a
+    different one) refuses instead of misdecoding."""
+    dstate = _dict_state(dictionary)
     if len(payload) < 5:
         raise ValueError("zstd: truncated frame header")
     if int.from_bytes(payload[:4], "little") != _MAGIC:
@@ -366,10 +506,16 @@ def decode_zstd_frame(payload: bytes) -> dict:
         window_log = 10 + (wd >> 3)  # exponent part; mantissa adds /8ths
         pos += 1
     if did_size:
-        if int.from_bytes(payload[pos:pos + did_size], "little"):
-            raise UnsupportedZstd(
-                "dictionary-compressed frames need the dictionary "
-                "registry (libzstd + dict store slot behind this seam)")
+        frame_did = int.from_bytes(payload[pos:pos + did_size], "little")
+        if frame_did:
+            if dstate is None:
+                raise UnsupportedZstd(
+                    "dictionary-compressed frame: pass the dictionary "
+                    f"(frame names Dictionary_ID {frame_did})")
+            if dstate["dict_id"] not in (0, frame_did):
+                raise ValueError(
+                    "zstd: frame Dictionary_ID "
+                    f"{frame_did} != dictionary {dstate['dict_id']}")
         pos += did_size
     fcs_size = (0, 2, 4, 8)[fcs_flag]
     if fcs_flag == 0 and single_segment:
@@ -383,10 +529,16 @@ def decode_zstd_frame(payload: bytes) -> dict:
             fcs += 256
         pos += fcs_size
 
-    content = bytearray()
+    if dstate is not None:
+        content = bytearray(dstate["content"])
+        fstate = {"huf": dstate["huf"], "seq": dstate["seq"],
+                  "reps": list(dstate["reps"])}
+    else:
+        content = bytearray()
+        fstate = {"huf": None, "seq": _ze._SeqTables(), "reps": [1, 4, 8]}
+    base = len(content)
     n_raw = n_rle = n_compressed = 0
     n_seq = lit_len = match_len = 0
-    fstate = {"huf": None, "seq": _ze._SeqTables(), "reps": [1, 4, 8]}
     while True:
         if pos + 3 > len(payload):
             raise ValueError("zstd: truncated block header")
@@ -419,6 +571,7 @@ def decode_zstd_frame(payload: bytes) -> dict:
             raise ValueError("zstd: reserved block type")
         if last:
             break
+    content = content[base:] if base else content
     if has_checksum:
         if pos + 4 > len(payload):
             raise ValueError("zstd: truncated content checksum")
@@ -457,11 +610,14 @@ def encode_zstd_skippable(data: bytes, nibble: int = 0) -> bytes:
         + len(data).to_bytes(4, "little") + data
 
 
-def decode_zstd_stream(payload: bytes) -> dict:
+def decode_zstd_stream(payload: bytes, dictionary=None) -> dict:
     """Walk a whole .zst stream: every data frame is fully decoded
     (Raw/RLE/Compressed blocks, checksum verified when present),
     skippable frames are framed-and-skipped with their payloads
-    surfaced. Returns concatenated content plus per-frame summaries."""
+    surfaced. Returns concatenated content plus per-frame summaries.
+    ``dictionary`` applies to every dictionary-referencing data frame
+    (parsed once up front)."""
+    dstate = _dict_state(dictionary)
     pos = 0
     content = bytearray()
     frames = []
@@ -482,8 +638,10 @@ def decode_zstd_stream(payload: bytes) -> dict:
         if magic != _MAGIC:
             raise ValueError("zstd: bad magic number")
         # memoryview slice: O(1) per frame — a many-frame WET stream
-        # must not pay a quadratic re-copy of the tail
-        f = decode_zstd_frame(memoryview(payload)[pos:])
+        # must not pay a quadratic re-copy of the tail. dstate is
+        # passed pre-parsed; _dict_state rebuilds the mutable FSE
+        # table state fresh for every frame.
+        f = decode_zstd_frame(memoryview(payload)[pos:], dictionary=dstate)
         content += f["content"]
         frames.append({k: f[k] for k in
                        ("content_len", "n_blocks", "n_raw", "n_rle",

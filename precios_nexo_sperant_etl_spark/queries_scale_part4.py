@@ -3955,3 +3955,117 @@ FROM d ORDER BY d.doc_id
         "size, profile-derived chroma subsampling) over genuine "
         "spec-built streams; every field lattice-pinned in SQL.",
 )
+
+
+# ---------------------------------------------------------------------------
+# zstd DICTIONARY roundtrip (round 10, VERDICT r9 item 5): RFC 8878 §5
+# dictionaries — Common Crawl-adjacent corpora compress small records
+# against a shared dictionary, so the ingest seam must decode
+# Dictionary_ID frames. operators/zstdframe.py now parses structured
+# dictionaries (Huffman + OF/ML/LL FSE tables + repeat offsets +
+# window-seeding content, interop-tested against zstd v1.5.7 incl.
+# --train'ed dictionaries) and encodes frames that open with Treeless
+# literals + Repeat_Mode sequences and copy matches OUT of the
+# dictionary content. The fixture: one corpus-wide dictionary whose
+# content ends in 64 'q's; each doc's frame carries utf8(text) as
+# treeless literals plus one sequence copying those 64 dictionary
+# bytes (offset = lit_len + 64 reaches past the frame into the dict).
+# The oracle pins every content-derived field incl. the md5, and the
+# dict_gated column pins the refusal path (decode WITHOUT the
+# dictionary must raise, never misdecode). Scale: the dictionary blob
+# is built per Arrow batch from constants (no broadcast needed);
+# frames decode independently; one sort.
+# Registered BEHIND the driver's 50-slot window (r10 queue discipline:
+# new queries never displace committed stamp slots).
+# ---------------------------------------------------------------------------
+
+_ZDICT_MARK = b"shared-prefix:the quick brown fox jumps over the lazy dog;"
+_ZDICT_TAIL = 64
+
+
+def _zstd_dict_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.zstdframe import (UnsupportedZstd, decode_zstd_frame,
+                                      encode_zstd_compressed,
+                                      encode_zstd_dictionary,
+                                      parse_zstd_dictionary)
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(it):
+        blob = encode_zstd_dictionary(_ZDICT_MARK + b"q" * _ZDICT_TAIL,
+                                      dict_id=101)
+        parsed = parse_zstd_dictionary(blob)
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                lits = t.encode("utf-8")
+                seqs = [(len(lits), len(lits) + _ZDICT_TAIL, _ZDICT_TAIL)]
+                payloads.append(encode_zstd_compressed(
+                    [(lits, seqs)], seq_mode="repeat",
+                    lit_mode="treeless", dictionary=parsed,
+                    checksum=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    def dec(it):
+        blob = encode_zstd_dictionary(_ZDICT_MARK + b"q" * _ZDICT_TAIL,
+                                      dict_id=101)
+        parsed = parse_zstd_dictionary(blob)
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"),
+                              pdf["payload"]):
+                p = bytes(p)
+                try:
+                    decode_zstd_frame(p)
+                    gated = False              # must never happen
+                except UnsupportedZstd:
+                    gated = True
+                r = decode_zstd_frame(p, dictionary=parsed)
+                rows.append({
+                    "doc_id": int(did),
+                    "content_len": r["content_len"],
+                    "n_seq": r["n_seq"],
+                    "lit_len": r["lit_len"],
+                    "match_len": r["match_len"],
+                    "fcs_ok": r["content_len"] == r["fcs"],
+                    "dict_gated": gated,
+                    "content_md5":
+                        hashlib.md5(r["content"]).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(enc, "doc_id long, payload binary")
+               .mapInPandas(dec, "doc_id long, content_len long,"
+                                 " n_seq long, lit_len long,"
+                                 " match_len long, fcs_ok boolean,"
+                                 " dict_gated boolean, content_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "zstd_dict_roundtrip",
+    _zstd_dict_roundtrip,
+    f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) + {_ZDICT_TAIL} AS BIGINT)
+         AS content_len,
+       CAST(1 AS BIGINT) AS n_seq,
+       CAST(octet_length(encode(text)) AS BIGINT) AS lit_len,
+       CAST({_ZDICT_TAIL} AS BIGINT) AS match_len,
+       TRUE AS fcs_ok,
+       TRUE AS dict_gated,
+       md5(text || repeat('q', {_ZDICT_TAIL})) AS content_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="RFC 8878 §5 dictionary frames: structured dictionary (Huffman "
+        "+ OF/ML/LL FSE tables + repeat offsets + content) seeds "
+        "Treeless literals, Repeat_Mode sequences and cross-boundary "
+        "matches INTO the dictionary; the oracle pins content md5 and "
+        "the census, and dict_gated pins the refuse-without-dictionary "
+        "path. Interop-tested against the real zstd binary.",
+)

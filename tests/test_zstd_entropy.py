@@ -575,3 +575,125 @@ def test_interop_real_zstd_decodes_our_frames():
                                     capture_output=True)
                 assert p.returncode == 0, p.stderr.decode(errors="replace")
                 assert p.stdout == bytes(expected)
+
+
+# ---------------------------------------------------------------------------
+# Dictionaries (RFC 8878 §5) — round 10: structured dictionaries carry a
+# Huffman table + OF/ML/LL FSE tables + repeat offsets + window-seeding
+# content; frames referencing them may open with Treeless literals and
+# Repeat_Mode sequences and copy matches out of the dictionary.
+# ---------------------------------------------------------------------------
+
+from precios_nexo_sperant_etl_spark.operators.zstdframe import (  # noqa: E402
+    UnsupportedZstd as _UZ, decode_zstd_stream as _dzs,
+    encode_zstd_dictionary, parse_zstd_dictionary)
+
+
+def test_dictionary_parse_roundtrip():
+    blob = encode_zstd_dictionary(b"seed-content" * 10, dict_id=42,
+                                  reps=(7, 11, 13))
+    d = parse_zstd_dictionary(blob)
+    assert d["dict_id"] == 42
+    assert d["content"] == b"seed-content" * 10
+    assert d["reps"] == [7, 11, 13]
+    assert d["huf"] is not None and d["seq_counts"] is not None
+    # raw-content dictionaries: no magic -> window seed only
+    raw = parse_zstd_dictionary(b"just some bytes")
+    assert raw["dict_id"] == 0 and raw["content"] == b"just some bytes"
+    assert raw["huf"] is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=8, max_size=300), st.binary(min_size=0, max_size=200),
+       st.integers(3, 60), st.booleans())
+def test_dictionary_frame_roundtrip(dict_content, lits, ml, cks):
+    blob = encode_zstd_dictionary(dict_content, dict_id=9)
+    reach = min(len(dict_content), 8)
+    off = len(lits) + reach                   # copy out of the dict tail
+    seqs = [(len(lits), off, ml)]
+    frame = encode_zstd_compressed([(lits, seqs)], seq_mode="repeat",
+                                   lit_mode="treeless", dictionary=blob,
+                                   checksum=cks)
+    got = decode_zstd_frame(frame, dictionary=blob)
+    window = bytearray(dict_content) + lits
+    ref = bytearray(window)
+    for _ in range(ml):
+        ref.append(ref[len(ref) - off])
+    assert got["content"] == bytes(ref[len(dict_content):])
+    assert got["content_len"] == len(lits) + ml
+
+
+def test_dictionary_refusal_paths():
+    blob = encode_zstd_dictionary(b"x" * 32, dict_id=5)
+    frame = encode_zstd_compressed([(b"hello world!", [])],
+                                   dictionary=blob)
+    with pytest.raises(UnsupportedZstd, match="Dictionary_ID 5"):
+        decode_zstd_frame(frame)
+    other = encode_zstd_dictionary(b"y" * 32, dict_id=6)
+    with pytest.raises(ValueError, match="!= dictionary 6"):
+        decode_zstd_frame(frame, dictionary=other)
+    # raw-content dictionary (id 0) is accepted for any frame id
+    raw_frame = encode_zstd_compressed(
+        [(b"", [(0, 10, 12)])], dictionary=b"0123456789")
+    got = decode_zstd_frame(raw_frame, dictionary=b"0123456789")
+    assert got["content"] == b"0123456789" + b"01"
+
+
+def test_dictionary_stream_decode():
+    blob = encode_zstd_dictionary(b"window-seed-" * 4, dict_id=3)
+    f1 = encode_zstd_compressed([(b"abc", [(3, 15, 4)])],
+                                seq_mode="repeat", lit_mode="treeless",
+                                dictionary=blob)
+    f2 = encode_zstd_compressed([(b"defg", [])], dictionary=blob)
+    d = _dzs(f1 + f2, dictionary=blob)
+    assert d["n_frames"] == 2
+    assert d["content"].startswith(b"abc") and d["content"].endswith(b"defg")
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="zstd binary not on PATH")
+def test_dictionary_interop_real_zstd(tmp_path):
+    """Both directions against the real binary, plus a --train'ed
+    dictionary: confirms the §5 entropy-section order (Huffman, OF, ML,
+    LL, rep offsets) and the window/Dictionary_ID framing."""
+    import random
+    dict_content = b"q" * 64 + b"COMMON:the quick brown fox;" * 6
+    blob = encode_zstd_dictionary(dict_content, dict_id=77)
+    dpath = tmp_path / "dict"
+    dpath.write_bytes(blob)
+    text = b"hello dictionary world \xc3\xa9\xc3\xb1" * 3
+    frame = encode_zstd_compressed(
+        [(text, [(len(text), len(text) + 40, 40)])], seq_mode="repeat",
+        lit_mode="treeless", dictionary=blob, checksum=True)
+    expected = text + dict_content[-40:]
+    p = _subprocess.run([_ZSTD_BIN, "-d", "-c", "-D", str(dpath)],
+                        input=frame, capture_output=True)
+    assert p.returncode == 0, p.stderr.decode(errors="replace")
+    assert p.stdout == expected
+    # real zstd compresses WITH our dictionary blob; we decode
+    p2 = _subprocess.run([_ZSTD_BIN, "-3", "-c", "-D", str(dpath)],
+                         input=expected, capture_output=True)
+    assert p2.returncode == 0, p2.stderr.decode(errors="replace")
+    assert decode_zstd_frame(p2.stdout,
+                             dictionary=blob)["content"] == expected
+    # and a dictionary the binary TRAINED itself
+    rng = random.Random(3)
+    base = b"GET /index.html HTTP/1.1 Host: example.com "
+    samples = []
+    for i in range(40):
+        sp = tmp_path / f"s{i}"
+        sp.write_bytes(base + bytes(rng.randrange(97, 123)
+                                    for _ in range(rng.randrange(50, 300)))
+                       + base)
+        samples.append(str(sp))
+    tpath = tmp_path / "trained"
+    pt = _subprocess.run([_ZSTD_BIN, "--train"] + samples
+                         + ["-o", str(tpath), "--maxdict=2048"],
+                         capture_output=True)
+    assert pt.returncode == 0, pt.stderr.decode(errors="replace")
+    tdict = tpath.read_bytes()
+    doc = base + b"payload-payload-payload" + base
+    for lvl in ("-1", "-19"):
+        p3 = _subprocess.run([_ZSTD_BIN, lvl, "-c", "-D", str(tpath)],
+                             input=doc, capture_output=True)
+        assert decode_zstd_frame(p3.stdout,
+                                 dictionary=tdict)["content"] == doc
