@@ -197,3 +197,151 @@ def ingest_project_files(spark: SparkSession, archivos: dict[str, str],
 def drop_all_null_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """P7 (python_json.py:130): remove rows where every column is null."""
     return df.na.drop(how="all", subset=list(subset) if subset else None)
+
+
+def _parse_file_rows(rows: Sequence[Sequence[object]],
+                     header_row: int | None) -> tuple[list[str], list[list]]:
+    """The per-file half of :func:`ingest_sheet`, shaped for executors:
+    header detect → clean names → positional duplicate collapse
+    (first non-null left-to-right) → alias renames → in-file ordinal.
+    Pure Python on ONE file's rows; returns (column names, row lists)."""
+    hdr_idx = header_row if header_row is not None else find_header_row(rows)
+    if hdr_idx is None:
+        hdr_idx = 4
+    header = [clean_col_name(c) for c in rows[hdr_idx]]
+    width = len(header)
+    seen: dict[str, list[int]] = {}
+    for i, name in enumerate(header):
+        seen.setdefault(name, []).append(i)
+    ren = {}
+    for aliases, canonical in ((ALIASES_NUMERO, COL_NUMERO),
+                               (ALIASES_PRECIO, COL_PRECIO),
+                               (ALIASES_ESTADO, COL_ESTADO)):
+        picked = alias_pick(list(seen), aliases, canonical)
+        if picked != canonical and picked in seen:
+            ren[picked] = canonical
+    names = [ren.get(n, n) for n in seen]
+    out_rows = []
+    for ordn, r in enumerate(rows[hdr_idx + 1:]):
+        cells = [None if c == "" else str(c) if c is not None else None
+                 for c in list(r)[:width]]
+        cells += [None] * (width - len(cells))
+        collapsed = []
+        for idxs in seen.values():
+            v = None
+            for i in idxs:
+                if cells[i] is not None:
+                    v = cells[i]
+                    break
+            collapsed.append(v)
+        out_rows.append(collapsed + [ordn])
+    return names, out_rows
+
+
+def ingest_project_files_distributed(spark: SparkSession,
+                                     archivos: dict[str, str],
+                                     reader=None,
+                                     header_row: int | None = None,
+                                     on_skip=None) -> DataFrame:
+    """S5 fan-in at fleet scale: same tolerant semantics as
+    :func:`ingest_project_files` (missing path / per-file parse error →
+    warn and skip; zero successes → ``RuntimeError``) but the file
+    parsing runs ON EXECUTORS, one task per file, so 1 000 workbook
+    exports ingest in parallel instead of a driver-side loop.
+
+    Mechanics: the (project, path) list is parallelized with one
+    partition per file; each task reads + header-normalizes its file
+    (:func:`_parse_file_rows` — the same logic ``ingest_sheet`` runs)
+    and yields tagged records. The parsed RDD is persisted once, a
+    NAMES-ONLY pass collects the union of column name lists (bounded
+    by header width × distinct layouts, never row data), then the row
+    pass aligns every file to that union (pandas-concat semantics, U1)
+    and becomes one DataFrame. Skip reports ride the same cached pass.
+
+    The driver-loop variant stays for small interactive runs; tests
+    pin that both produce identical rows."""
+    import logging
+
+    if reader is None:
+        from .excel import read_xls_rows
+        reader = read_xls_rows
+    if on_skip is None:
+        log = logging.getLogger(__name__)
+        on_skip = lambda project, reason: log.warning(  # noqa: E731
+            "skipping %s: %s", project, reason)
+
+    import os
+
+    items = []
+    for project, path in archivos.items():
+        if isinstance(path, str) and not os.path.exists(path):
+            on_skip(project, f"not found: {path}")
+            continue
+        items.append((project, path))
+    if not items:
+        raise RuntimeError(
+            "No project file could be read — check paths and formats "
+            "(reference: 'No se leyó ningún .xls')")
+
+    hdr = header_row
+
+    def parse_one(item):
+        project, path = item
+        try:
+            names, rows = _parse_file_rows(reader(path), hdr)
+            return ("ok", project, names, rows)
+        except Exception as ex:  # noqa: BLE001 — per-file tolerance is the op
+            return ("skip", project, f"{type(ex).__name__}: {ex}", None)
+
+    sc = spark.sparkContext
+    parsed = sc.parallelize(items, numSlices=len(items)).map(parse_one)
+    parsed.persist()
+    try:
+        # names-only pass: tiny driver traffic (no row data)
+        metas = parsed.map(lambda t: (t[0], t[1], t[2] if t[0] == "skip"
+                                      else tuple(t[2]))).collect()
+        all_names: list[str] = []
+        seen_names: set[str] = set()
+        n_ok = 0
+        for tag, project, info in metas:
+            if tag == "skip":
+                on_skip(project, info)
+                continue
+            n_ok += 1
+            for n in info:
+                if n not in seen_names:
+                    seen_names.add(n)
+                    all_names.append(n)
+        if not n_ok:
+            raise RuntimeError(
+                "No project file could be read — check paths and formats "
+                "(reference: 'No se leyó ningún .xls')")
+        for c in (COL_NUMERO, COL_PRECIO, COL_ESTADO):
+            if c not in seen_names:
+                seen_names.add(c)
+                all_names.append(c)
+
+        # APN:233 semantics: the map key OVERWRITES any in-file
+        # Proyecto column, so that name never enters the union
+        target = [n for n in all_names if n != "Proyecto"]
+
+        def align(t):
+            if t[0] != "ok":
+                return
+            _, project, names, rows = t
+            pos = {n: i for i, n in enumerate(names)}
+            idxs = [pos.get(n) for n in target]
+            for r in rows:
+                yield tuple(
+                    [project]
+                    + [None if i is None else r[i] for i in idxs]
+                    + [r[-1]])
+
+        out_schema = StructType(
+            [StructField("Proyecto", StringType())]
+            + [StructField(n, StringType()) for n in target]
+            + [StructField("_ord", LongType())])
+        df = spark.createDataFrame(parsed.flatMap(align), out_schema)
+        return df.withColumn(COL_PRECIO, to_number(F.col(COL_PRECIO)))
+    finally:
+        parsed.unpersist()
