@@ -43,11 +43,24 @@ def run_once(fn, spark, sf_dir: str) -> tuple[float, int]:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
     sf01 = args[0] if args else "/root/testdata/sf0.1"
     sf1 = args[1] if len(args) > 1 else "/tmp/sf1_synth"
     names = args[2:] or DEFAULT_QUERIES
     k = 10.0
-    spark = get_spark()
+    if vanilla:
+        # the driver's session shape (VERDICT r9 item 6): no tuned confs,
+        # so measured exponents hold under the vanilla runtime too
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .appName("sf1-vanilla")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .getOrCreate())
+    else:
+        spark = get_spark()
     qs = registry.queries()
     rows = []
     for name in names:

@@ -110,6 +110,12 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "h264_slice_header_walk": 9,
     "warc_zst_extract": 9,
     "av1_obu_probe": 9,
+    # r10-session addition (VERDICT r9 item 5: RFC 8878 §5 dictionary
+    # frames), registered BEHIND the committed r10 window per the
+    # registration-pause discipline (item 2); parity-green at sf0.01
+    # tuned AND vanilla plus sf0.1 in its registration session, and
+    # interop-tested against the real zstd binary. Heads the r11 queue.
+    "zstd_dict_roundtrip": 10,
 }
 
 
