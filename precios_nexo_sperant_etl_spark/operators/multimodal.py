@@ -2681,6 +2681,180 @@ def encode_h264_annexb(width: int, height: int, n_idr: int = 1,
     return bytes(out)
 
 
+def encode_h264_ipcm(luma: bytes, cb: bytes, cr: bytes, width: int,
+                     height: int) -> bytes:
+    """REAL H.264 slice-DATA encode for the lossless subset (round 10):
+    one IDR slice whose macroblocks are all I_PCM (§7.3.5 mb_type 25 in
+    an I slice) — raw byte-aligned 4:2:0 samples, no transform, no
+    prediction, no entropy coding, so a from-spec implementation can be
+    bit-honest without an ffmpeg-class library. This retires one more
+    layer of the ``decode_media_batch`` stub: slice data for I_PCM
+    streams decodes losslessly; transform-coded residuals remain the
+    documented codec-library boundary.
+
+    Input planes are raster-order 8-bit: ``luma`` ``width*height``,
+    ``cb``/``cr`` quarter-size. Dimensions must be multiples of 16 (no
+    cropping — I_PCM fixtures control their own geometry)."""
+    if width % 16 or height % 16 or width <= 0 or height <= 0:
+        raise ValueError("h264 I_PCM: dimensions must be multiples of 16")
+    if len(luma) != width * height:
+        raise ValueError("h264 I_PCM: luma plane size mismatch")
+    if len(cb) != width * height // 4 or len(cr) != width * height // 4:
+        raise ValueError("h264 I_PCM: chroma plane size mismatch")
+    w_mbs, h_mbs = width // 16, height // 16
+    # SPS (§7.3.2.1, baseline, poc_type 2, frame_mbs_only, no crop)
+    w = _BitWriterMSB()
+    w.u(66, 8)                                  # profile_idc baseline
+    w.u(0, 8)                                   # constraint flags
+    w.u(30, 8)                                  # level_idc
+    w.ue(0)                                     # sps id
+    w.ue(4)                                     # log2_max_frame_num - 4
+    w.ue(2)                                     # pic_order_cnt_type
+    w.ue(1)                                     # max_num_ref_frames
+    w.u(0, 1)                                   # gaps allowed
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.u(1, 1)                                   # frame_mbs_only
+    w.u(1, 1)                                   # direct_8x8_inference
+    w.u(0, 1)                                   # frame_cropping_flag
+    w.u(0, 1)                                   # vui absent
+    sps = _ep_escape(w.trailing())
+    pw = _BitWriterMSB()                        # PPS (§7.3.2.2)
+    pw.ue(0)                                    # pps id
+    pw.ue(0)                                    # sps id
+    pw.u(0, 1)                                  # CAVLC
+    pw.u(0, 1)                                  # bottom_field_poc_present
+    pw.ue(0)                                    # num_slice_groups - 1
+    pw.ue(0)                                    # num_ref_idx_l0_default - 1
+    pw.ue(0)                                    # num_ref_idx_l1_default - 1
+    pw.u(0, 1)                                  # weighted_pred_flag
+    pw.u(0, 2)                                  # weighted_bipred_idc
+    pw.se(0)                                    # pic_init_qp - 26
+    pw.se(0)                                    # pic_init_qs - 26
+    pw.se(0)                                    # chroma_qp_index_offset
+    pw.u(0, 1)                                  # deblocking control absent
+    pw.u(0, 1)                                  # constrained_intra_pred
+    pw.u(0, 1)                                  # redundant_pic_cnt_present
+    pps = _ep_escape(pw.trailing())
+    # IDR slice: header (§7.3.3) then all-I_PCM slice data (§7.3.4-5)
+    sw = _BitWriterMSB()
+    sw.ue(0)                                    # first_mb_in_slice
+    sw.ue(7)                                    # slice_type: I (all)
+    sw.ue(0)                                    # pic_parameter_set_id
+    sw.u(0, 8)                                  # frame_num (log2 = 8)
+    sw.ue(0)                                    # idr_pic_id
+    sw.u(0, 1)                                  # no_output_of_prior_pics
+    sw.u(0, 1)                                  # long_term_reference
+    sw.se(0)                                    # slice_qp_delta
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            sw.ue(25)                           # mb_type I_PCM (I slice)
+            while sw.n:                         # pcm_alignment_zero_bit(s)
+                sw.u(0, 1)
+            # samples are byte-aligned now: write whole rows at once
+            for y in range(16):                 # pcm_sample_luma
+                row = (mby * 16 + y) * width + mbx * 16
+                sw.out += luma[row:row + 16]
+            for plane in (cb, cr):              # pcm_sample_chroma
+                for y in range(8):
+                    row = (mby * 8 + y) * (width // 2) + mbx * 8
+                    sw.out += plane[row:row + 8]
+    slice_rbsp = _ep_escape(sw.trailing())
+    return (b"\x00\x00\x00\x01" + bytes([(3 << 5) | 7]) + sps
+            + b"\x00\x00\x01" + bytes([(3 << 5) | 8]) + pps
+            + b"\x00\x00\x01" + bytes([(3 << 5) | 5]) + slice_rbsp)
+
+
+def decode_h264_ipcm(payload: bytes) -> dict:
+    """Lossless decode of the I_PCM subset :func:`encode_h264_ipcm`
+    emits (and any conformant stream of the same shape): SPS-derived
+    geometry, slice header, then per macroblock mb_type == I_PCM →
+    alignment bits → 384 raw 4:2:0 samples. A transform-coded
+    macroblock raises a named ValueError (the documented boundary) —
+    never garbage pixels."""
+    nals = _annexb_nals(payload)
+    dims = None
+    planes = None
+    n_mb = 0
+    for unit in nals:
+        if not unit:
+            raise ValueError("empty NAL unit")
+        typ = unit[0] & 0x1F
+        if typ == 7 and dims is None:
+            r = _BitReaderMSB(_ep_unescape(unit[1:]))
+            r.u(24)                             # profile/constraints/level
+            r.ue()                              # sps id
+            log2_fn = r.ue() + 4
+            if r.ue() != 2:
+                raise ValueError("h264 I_PCM: poc_type 2 only")
+            r.ue()                              # max_num_ref_frames
+            r.u(1)                              # gaps allowed
+            w_mbs = r.ue() + 1
+            h_mbs = r.ue() + 1
+            if r.u(1) != 1:
+                raise ValueError("h264 I_PCM: frame_mbs_only required")
+            r.u(1)                              # direct_8x8
+            if r.u(1):
+                raise ValueError("h264 I_PCM: cropping unsupported")
+            dims = (w_mbs, h_mbs, log2_fn)
+        elif typ == 5:
+            if dims is None:
+                raise ValueError("h264 I_PCM: slice before SPS")
+            w_mbs, h_mbs, log2_fn = dims
+            width, height = w_mbs * 16, h_mbs * 16
+            luma = bytearray(width * height)
+            cbp = bytearray(width * height // 4)
+            crp = bytearray(width * height // 4)
+            r = _BitReaderMSB(_ep_unescape(unit[1:]))
+            if r.ue() != 0:
+                raise ValueError("h264 I_PCM: multi-slice unsupported")
+            st = r.ue()
+            if st % 5 != 2:                     # I slice
+                raise ValueError("h264 I_PCM: I slices only")
+            r.ue()                              # pps id
+            r.u(log2_fn)                        # frame_num
+            r.ue()                              # idr_pic_id
+            r.u(1)                              # no_output_of_prior_pics
+            r.u(1)                              # long_term_reference
+            r.se()                              # slice_qp_delta
+            for mb in range(w_mbs * h_mbs):
+                if r.ue() != 25:
+                    raise ValueError(
+                        "h264 I_PCM: transform-coded macroblock — "
+                        "codec-library boundary")
+                while r.pos & 7:                # pcm_alignment_zero_bit
+                    if r.u(1):
+                        raise ValueError(
+                            "h264 I_PCM: nonzero alignment bit")
+                mbx, mby = mb % w_mbs, mb // w_mbs
+                # byte-aligned now: slice whole sample rows out of the
+                # RBSP instead of 384 bit-reader calls per macroblock
+                off = r.pos >> 3
+                if off + 384 > len(r.d):
+                    raise ValueError("h264 I_PCM: truncated PCM samples")
+                for y in range(16):
+                    row = (mby * 16 + y) * width + mbx * 16
+                    luma[row:row + 16] = r.d[off:off + 16]
+                    off += 16
+                for plane in (cbp, crp):
+                    for y in range(8):
+                        row = (mby * 8 + y) * (width // 2) + mbx * 8
+                        plane[row:row + 8] = r.d[off:off + 8]
+                        off += 8
+                r.pos = off << 3
+                n_mb += 1
+            if r.u(1) != 1:                     # rbsp_stop_one_bit
+                raise ValueError("h264 I_PCM: missing stop bit")
+            planes = (bytes(luma), bytes(cbp), bytes(crp))
+            break
+    if planes is None:
+        raise ValueError("h264 I_PCM: stream carries no IDR slice")
+    w_mbs, h_mbs, _ = dims
+    return {"width": w_mbs * 16, "height": h_mbs * 16,
+            "n_macroblocks": n_mb, "luma": planes[0],
+            "cb": planes[1], "cr": planes[2]}
+
+
 def _annexb_nals(payload: bytes) -> list[bytes]:
     """Start-code scan shared by the SPS probe and the slice-header
     walk: find 3/4-byte start codes and split NAL units."""

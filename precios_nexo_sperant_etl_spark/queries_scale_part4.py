@@ -4069,3 +4069,104 @@ FROM documents ORDER BY doc_id
         "the census, and dict_gated pins the refuse-without-dictionary "
         "path. Interop-tested against the real zstd binary.",
 )
+
+
+# ---------------------------------------------------------------------------
+# H.264 I_PCM slice-data roundtrip (round 10): one layer past r9's
+# slice-header walk. I_PCM macroblocks (§7.3.5 mb_type 25) carry raw
+# byte-aligned 4:2:0 samples — the lossless H.264 subset a from-spec
+# implementation can decode bit-honestly without an ffmpeg-class
+# library, so slice DATA for these streams is now real decode, not a
+# stub. The fixture synthesizes per-doc planes from closed-form
+# per-pixel arithmetic, encodes a genuine Annex-B stream (SPS + PPS +
+# one all-I_PCM IDR slice, emulation prevention applied), decodes it
+# back, and publishes geometry + exact plane sums + the lossless bit;
+# the oracle recomputes every sum from the same closed forms over
+# generate_series. Transform-coded macroblocks remain the documented
+# codec-library boundary (named ValueError, pinned in tests).
+# Scale: per-payload work partition-local, two Arrow crossings, one
+# sort. Registered BEHIND the driver's window (r11 queue).
+# ---------------------------------------------------------------------------
+
+def _h264_ipcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import decode_h264_ipcm, encode_h264_ipcm
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def work(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w = 16 * (1 + did % 4)
+                h = 16 * (1 + did % 3)
+                luma = bytes((3 * x + 5 * y + did) % 256
+                             for y in range(h) for x in range(w))
+                cb = bytes((7 * x + 11 * y + 2 * did) % 256
+                           for y in range(h // 2) for x in range(w // 2))
+                cr = bytes((13 * x + 17 * y + 3 * did) % 256
+                           for y in range(h // 2) for x in range(w // 2))
+                dec = decode_h264_ipcm(encode_h264_ipcm(luma, cb, cr, w, h))
+                rows.append({
+                    "doc_id": did,
+                    "width": dec["width"], "height": dec["height"],
+                    "n_mbs": dec["n_macroblocks"],
+                    "lossless": (dec["luma"], dec["cb"], dec["cr"])
+                                == (luma, cb, cr),
+                    "luma_sum": sum(dec["luma"]),
+                    "cb_sum": sum(dec["cb"]),
+                    "cr_sum": sum(dec["cr"])})
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(work, "doc_id long, width long, height long,"
+                                  " n_mbs long, lossless boolean,"
+                                  " luma_sum long, cb_sum long,"
+                                  " cr_sum long")
+               .orderBy("doc_id"))
+
+
+register(
+    "h264_ipcm_roundtrip",
+    _h264_ipcm_roundtrip,
+    """
+WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 4) AS w,
+                  16 * (1 + doc_id % 3) AS h
+           FROM documents),
+ls AS (SELECT d.doc_id,
+              SUM((3 * (c.i % d.w) + 5 * (c.i // d.w) + d.doc_id) % 256)
+                AS s
+       FROM d JOIN LATERAL (SELECT unnest(range(d.w * d.h)) AS i) c ON TRUE
+       GROUP BY d.doc_id),
+cbs AS (SELECT d.doc_id,
+               SUM((7 * (c.i % (d.w // 2)) + 11 * (c.i // (d.w // 2))
+                    + 2 * d.doc_id) % 256) AS s
+        FROM d JOIN LATERAL
+             (SELECT unnest(range((d.w // 2) * (d.h // 2))) AS i) c ON TRUE
+        GROUP BY d.doc_id),
+crs AS (SELECT d.doc_id,
+               SUM((13 * (c.i % (d.w // 2)) + 17 * (c.i // (d.w // 2))
+                    + 3 * d.doc_id) % 256) AS s
+        FROM d JOIN LATERAL
+             (SELECT unnest(range((d.w // 2) * (d.h // 2))) AS i) c ON TRUE
+        GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST((d.w // 16) * (d.h // 16) AS BIGINT) AS n_mbs,
+       TRUE AS lossless,
+       CAST(ls.s AS BIGINT) AS luma_sum,
+       CAST(cbs.s AS BIGINT) AS cb_sum,
+       CAST(crs.s AS BIGINT) AS cr_sum
+FROM d JOIN ls USING (doc_id) JOIN cbs USING (doc_id)
+       JOIN crs USING (doc_id)
+ORDER BY d.doc_id
+""",
+    doc="H.264 I_PCM slice-data decode: genuine Annex-B SPS/PPS/IDR "
+        "streams whose macroblocks are raw byte-aligned 4:2:0 samples, "
+        "encoded and decoded losslessly from the spec; the oracle "
+        "recomputes plane sums from the closed-form pixel synthesis, "
+        "and the lossless bit pins byte equality.",
+)

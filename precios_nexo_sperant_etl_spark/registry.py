@@ -109,8 +109,8 @@ _CHECK_FIRST: list[str] = [
     "w1_dedup_latest",             # dedup keep-latest (NaT quirk)
     "w2_dedup_keep_last",          # dedup keep-last ordinal
     # --- ROUND-11 QUEUE (committed head, in priority order):
-    # 1. Any query registered new in r10 (registered BEHIND this
-    #    window): zstd_dict_roundtrip, mp3_synthesis_roundtrip, ...
+    # 1. The queries registered new in r10 (BEHIND this window):
+    #    zstd_dict_roundtrip, h264_ipcm_roundtrip.
     # 2. The 38-query r04-stamp cohort (oldest first; see STAMPS.md):
     #    j3_p6_change_detail, tpch_q1_pricing_summary,
     #    referential_integrity, j1_left_enrich_coalesce,

