@@ -83,21 +83,32 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
 def real_decode_placeholder(payload: bytes) -> None:
     """Where the REMAINING stubbed codecs (MP3 audio synthesis
-    filterbank, MP4/H.264 video) would plug in. Kept explicit so the
-    gap is visible and tested as such — BMP, WAV/PCM, PNG
-    (zlib-deflate), baseline-sequential JPEG including 4:2:2/4:2:0
-    chroma subsampling, AND progressive JPEG (SOF2 multi-scan with
-    successive approximation — r8) are decoded for real
-    (``operators/jpegcodec.py``); out-of-subset JPEGs (12-bit,
-    arithmetic) fall back to the header probe rather than
-    pretending."""
+    filterbank, transform-coded H.264 video) would plug in. Kept
+    explicit so the gap is visible and tested as such — BMP, WAV/PCM,
+    PNG (zlib-deflate), baseline-sequential JPEG including 4:2:2/4:2:0
+    chroma subsampling, progressive JPEG (SOF2 multi-scan with
+    successive approximation — r8), AND the H.264 I_PCM lossless
+    subset (raw byte-aligned slice data — r10,
+    :func:`decode_h264_ipcm`) are decoded for real; out-of-subset
+    payloads (12-bit/arithmetic JPEG, transform-coded macroblocks)
+    fall back to the header/structure probes rather than pretending.
+
+    Why the MP3 half stays a stub: the polyphase matrixing
+    cos((16+i)(2k+1)π/64) is analytic, but the 512-tap synthesis
+    window is NORMATIVE TABLE DATA (ISO/IEC 11172-3 Table B.3) with no
+    closed form — shipping an approximated window would misdecode real
+    MP3s while passing self-roundtrips, the exact failure mode the r10
+    zstd predefined-table fix removed. The honest options are the
+    verbatim table (unavailable here) or a bound codec library."""
     raise NotImplementedError(
-        "transform-codec media beyond JPEG (MP3 synthesis filterbank, "
-        "H.264) needs ffmpeg-class libraries, not available in this "
-        "environment; BMP, WAV, PNG, baseline AND progressive JPEG "
-        "decode is real (decode_bmp / decode_wav / decode_png / "
-        "jpegcodec.decode_baseline) — wire codec libraries into "
-        "decode_media_batch for the rest")
+        "transform-codec media beyond JPEG and H.264 I_PCM (MP3 "
+        "synthesis filterbank, transform-coded H.264) needs the "
+        "normative coefficient tables or ffmpeg-class libraries, not "
+        "available in this environment; BMP, WAV, PNG, baseline AND "
+        "progressive JPEG, and I_PCM H.264 decode are real "
+        "(decode_bmp / decode_wav / decode_png / "
+        "jpegcodec.decode_baseline / decode_h264_ipcm) — wire codec "
+        "libraries into decode_media_batch for the rest")
 
 
 # ---------------------------------------------------------------------------
