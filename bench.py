@@ -211,6 +211,9 @@ HEADLINE = [
     "h264_slice_header_walk",   # baseline PPS + slice-header exp-Golomb
     "warc_zst_extract",         # WARC-over-zstd composed carriage
     "av1_obu_probe",            # leb128 OBU walk + sequence header
+    # appended r10:
+    "zstd_dict_roundtrip",      # RFC 8878 §5 dictionary frames
+    "h264_ipcm_roundtrip",      # lossless I_PCM slice-data decode
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

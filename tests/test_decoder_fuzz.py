@@ -78,6 +78,23 @@ FIXTURES = {
          (b"second block reusing the table " * 3, [(10, 2, 8)])],
         checksum=True, seq_mode="auto", lit_mode="treeless"),
         zs.decode_zstd_frame),
+    # r10: the dictionary blob parser and a dictionary-referencing
+    # frame (decoded WITH the intact dictionary while the frame bytes
+    # are corrupted), plus the I_PCM slice-data decoder
+    "zstd_dict_blob": (zs.encode_zstd_dictionary(b"dict content " * 8, 9),
+                       zs.parse_zstd_dictionary),
+    "zstd_dict_frame": (zs.encode_zstd_compressed(
+        [(b"doc body bytes " * 6, [(30, 40, 12)])], seq_mode="repeat",
+        lit_mode="treeless", checksum=True,
+        dictionary=zs.encode_zstd_dictionary(b"dict content " * 8, 9)),
+        lambda b: zs.decode_zstd_frame(
+            b, dictionary=zs.encode_zstd_dictionary(
+                b"dict content " * 8, 9))),
+    "h264_ipcm": (mm.encode_h264_ipcm(
+        bytes((3 * i) % 256 for i in range(32 * 32)),
+        bytes((5 * i) % 256 for i in range(256)),
+        bytes((7 * i) % 256 for i in range(256)), 32, 32),
+        mm.decode_h264_ipcm),
 }
 
 

@@ -1,0 +1,89 @@
+"""Python Data Source formats (round 10): spark.read.format("xlsx")
+and spark.read.format("warc") — planning driver-side, parsing
+executor-side, one input partition per file."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from precios_nexo_sperant_etl_spark.operators.webdataset import build_warc
+from precios_nexo_sperant_etl_spark.operators.zstdframe import (
+    encode_zstd_compressed, encode_zstd_dictionary, encode_zstd_raw,
+    encode_zstd_skippable)
+from precios_nexo_sperant_etl_spark.sources.excel import write_xlsx
+from precios_nexo_sperant_etl_spark.sources.spark_datasource import (
+    register_data_sources)
+
+SHEET = [
+    ["REPORTE", "", "", ""],
+    ["codigo", "precio lista", "estado", "Área Total"],
+    ["u1", "1.000,50", "Disponible (Visible)", "55"],
+    ["u2", "2.500,00", "No Disponible (Vendido)", "60"],
+]
+
+
+def test_xlsx_format_reads_files_as_partitions(spark, tmp_path):
+    register_data_sources(spark)
+    for i in range(4):
+        write_xlsx(str(tmp_path / f"P{i}.xlsx"), {"S": SHEET})
+    df = spark.read.format("xlsx").load(str(tmp_path / "*.xlsx"))
+    assert df.rdd.getNumPartitions() == 4
+    # alias renames applied by the shared per-file normalizer
+    assert "Número de inmueble" in df.columns
+    assert "Precio de lista" in df.columns
+    rows = df.collect()
+    assert len(rows) == 8
+    assert {r["Proyecto"] for r in rows} == {f"P{i}" for i in range(4)}
+    # column pruning composes: a narrow projection still answers
+    n = (df.select("Proyecto", "Precio de lista")
+           .where(F.col("Precio de lista") == "1.000,50").count())
+    assert n == 4
+    # _ord is the in-file ordinal
+    assert sorted(r["_ord"] for r in rows) == [0, 0, 0, 0, 1, 1, 1, 1]
+
+
+def test_xlsx_format_header_row_option(spark, tmp_path):
+    register_data_sources(spark)
+    write_xlsx(str(tmp_path / "x.xlsx"), {"S": SHEET})
+    df = (spark.read.format("xlsx").option("header_row", 1)
+          .load(str(tmp_path / "x.xlsx")))
+    assert df.count() == 2
+
+
+def test_warc_format_plain_gzip_and_zstd(spark, tmp_path):
+    import gzip
+
+    register_data_sources(spark)
+    recs = [("response", f"<urn:uuid:{i}>", f"payload-{i}".encode() * 3)
+            for i in range(5)]
+    warc = build_warc(recs)
+    (tmp_path / "a.warc").write_bytes(warc)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(warc))
+    (tmp_path / "c.warc.zst").write_bytes(
+        encode_zstd_raw(warc, block_size=512))
+    df = spark.read.format("warc").load(str(tmp_path / "*.warc*"))
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 15
+    got = {(r["warc_file"], r["rec_index"]): bytes(r["payload"])
+           for r in rows}
+    for i, (_, _, payload) in enumerate(recs):
+        for fname in ("a.warc", "b.warc.gz", "c.warc.zst"):
+            assert got[(fname, i)] == payload
+    assert rows[0]["warc_type"] == "response"
+
+
+def test_warc_format_zstd_dictionary_member(spark, tmp_path):
+    """The Common Crawl dictionary convention: a leading skippable
+    frame carries the dictionary; data frames reference it by ID."""
+    register_data_sources(spark)
+    recs = [("response", "<urn:uuid:d>", b"dict-member-payload " * 4)]
+    warc = build_warc(recs)
+    blob = encode_zstd_dictionary(b"seed " * 16, dict_id=5)
+    member = (encode_zstd_skippable(blob)
+              + encode_zstd_compressed([(warc, [])], dictionary=blob))
+    (tmp_path / "d.warc.zst").write_bytes(member)
+    df = spark.read.format("warc").load(str(tmp_path / "d.warc.zst"))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["payload"]) == recs[0][2]
