@@ -30,8 +30,10 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
+                                    Filter, In, InputPartition,
+                                    StringContains, StringEndsWith,
+                                    StringStartsWith)
 from pyspark.sql.types import (BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
@@ -51,6 +53,26 @@ def _file_list(options: dict) -> list[str]:
 class _FilePartition(InputPartition):
     def __init__(self, path: str) -> None:
         self.path = path
+
+
+def _string_predicate(f: Filter):
+    """A supported single-string-column filter → (column, test) or
+    None. Every test is a plain predicate over the column VALUE, so
+    the same machinery prunes FILES in partitions() (warc_file /
+    Proyecto — unmatched members are never opened, the Catalyst
+    partition-pruning analog) and records in read()."""
+    if isinstance(f, EqualTo) and isinstance(f.value, str):
+        return f.attribute[0], lambda v, val=f.value: v == val
+    if isinstance(f, In) and all(isinstance(x, str) for x in f.value):
+        vals = set(f.value)
+        return f.attribute[0], lambda v, vals=vals: v in vals
+    if isinstance(f, StringStartsWith):
+        return f.attribute[0], lambda v, val=f.value: v.startswith(val)
+    if isinstance(f, StringEndsWith):
+        return f.attribute[0], lambda v, val=f.value: v.endswith(val)
+    if isinstance(f, StringContains):
+        return f.attribute[0], lambda v, val=f.value: val in v
+    return None
 
 
 class ExcelDataSource(DataSource):
@@ -91,13 +113,31 @@ class ExcelReader(DataSourceReader):
         self.header_row = options.get("header_row")
         self.sheet = int(options.get("sheet", 0))
         self.names = [f.name for f in schema.fields]
+        self._project_tests: list = []
+
+    def pushFilters(self, filters):
+        """Consume string predicates on ``Proyecto`` (= the file stem):
+        file-level pruning, so a per-project query over a 1 000-file
+        export opens exactly the matching workbooks."""
+        for f in filters:
+            sp = _string_predicate(f)
+            if sp and sp[0] == "Proyecto":
+                self._project_tests.append(sp[1])
+            else:
+                yield f
 
     def partitions(self) -> list[InputPartition]:
-        return [_FilePartition(p) for p in self.files]
+        files = [p for p in self.files
+                 if all(t(os.path.splitext(os.path.basename(p))[0])
+                        for t in self._project_tests)]
+        return [_FilePartition(p) for p in files] or \
+            [_FilePartition("\x00empty")]
 
     def read(self, partition: _FilePartition):
         from .excel import read_xlsx_rows
         from .ingest import _parse_file_rows
+        if partition.path == "\x00empty":       # all files pruned
+            return
         hdr = int(self.header_row) if self.header_row is not None else None
         names, rows = _parse_file_rows(
             read_xlsx_rows(partition.path, self.sheet), hdr)
@@ -142,13 +182,35 @@ class WarcDataSource(DataSource):
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.files = _file_list(options)
+        self._file_tests: list = []
+        self._type_tests: list = []
+
+    def pushFilters(self, filters):
+        """Consume string predicates on ``warc_file`` (FILE PRUNING —
+        unmatched members are never opened, the Python-datasource
+        analog of partition pruning) and on ``warc_type`` (record
+        pruning before the row leaves the reader). Everything else is
+        returned for Spark to evaluate post-scan."""
+        for f in filters:
+            sp = _string_predicate(f)
+            if sp and sp[0] == "warc_file":
+                self._file_tests.append(sp[1])
+            elif sp and sp[0] == "warc_type":
+                self._type_tests.append(sp[1])
+            else:
+                yield f
 
     def partitions(self) -> list[InputPartition]:
-        return [_FilePartition(p) for p in self.files]
+        files = [p for p in self.files
+                 if all(t(os.path.basename(p)) for t in self._file_tests)]
+        return [_FilePartition(p) for p in files] or \
+            [_FilePartition("\x00empty")]
 
     def read(self, partition: _FilePartition):
         from ..operators.webdataset import parse_warc_records
         from ..operators.zstdframe import UnsupportedZstd, decode_zstd_stream
+        if partition.path == "\x00empty":       # all files pruned
+            return
         with open(partition.path, "rb") as f:
             blob = f.read()
         if blob[:4] == b"\x28\xb5\x2f\xfd" or \
@@ -166,11 +228,15 @@ class WarcReader(DataSourceReader):
                     blob, dictionary=dictionary)["content"]
         name = os.path.basename(partition.path)
         for i, rec in enumerate(parse_warc_records(blob)):
-            yield (name, i, rec["type"], rec["record_id"],
-                   rec["content_length"], bytes(rec["payload"]))
+            if all(t(rec["type"]) for t in self._type_tests):
+                yield (name, i, rec["type"], rec["record_id"],
+                       rec["content_length"], bytes(rec["payload"]))
 
 
 def register_data_sources(spark) -> None:
-    """Idempotently register both formats on a session."""
+    """Idempotently register both formats on a session, enabling the
+    Python-datasource filter-pushdown conf they implement (runtime-
+    settable; off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ExcelDataSource)
     spark.dataSource.register(WarcDataSource)

@@ -87,3 +87,46 @@ def test_warc_format_zstd_dictionary_member(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1
     assert bytes(rows[0]["payload"]) == recs[0][2]
+
+
+def test_xlsx_filter_pushdown_prunes_files(spark, tmp_path):
+    """EqualTo/In/prefix predicates on Proyecto prune at the FILE
+    level: only matching workbooks become partitions."""
+    register_data_sources(spark)
+    for i in range(6):
+        write_xlsx(str(tmp_path / f"Q{i}.xlsx"), {"S": SHEET})
+    df = (spark.read.format("xlsx").load(str(tmp_path / "*.xlsx"))
+          .where(F.col("Proyecto") == "Q3"))
+    assert df.rdd.getNumPartitions() == 1        # 5 files never opened
+    assert df.count() == 2
+    df2 = (spark.read.format("xlsx").load(str(tmp_path / "*.xlsx"))
+           .where(F.col("Proyecto").isin("Q1", "Q4")))
+    assert df2.rdd.getNumPartitions() == 2
+    assert df2.count() == 4
+    # no match -> empty result, no crash
+    df3 = (spark.read.format("xlsx").load(str(tmp_path / "*.xlsx"))
+           .where(F.col("Proyecto") == "nope"))
+    assert df3.count() == 0
+
+
+def test_warc_filter_pushdown(spark, tmp_path):
+    register_data_sources(spark)
+    recs = [("response", "<urn:r>", b"rr" * 10),
+            ("request", "<urn:q>", b"qq" * 10),
+            ("metadata", "<urn:m>", b"mm" * 10)]
+    for i in range(3):
+        (tmp_path / f"f{i}.warc").write_bytes(build_warc(recs))
+    base = spark.read.format("warc").load(str(tmp_path / "*.warc"))
+    # record-level pushdown on warc_type
+    assert base.where(F.col("warc_type") == "response").count() == 3
+    # file-level pruning on warc_file
+    one = base.where(F.col("warc_file") == "f1.warc")
+    assert one.rdd.getNumPartitions() == 1
+    assert one.count() == 3
+    # combined: both dimensions pushed
+    both = base.where((F.col("warc_file") == "f2.warc")
+                      & (F.col("warc_type") != "metadata"))
+    assert both.count() == 2
+    # residual (non-pushable) predicates still evaluate post-scan
+    res = base.where(F.length("payload") > 15)
+    assert res.count() == 9
