@@ -32,6 +32,7 @@ import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
                                     Filter, In, InputPartition,
+                                    SimpleDataSourceStreamReader,
                                     StringContains, StringEndsWith,
                                     StringStartsWith)
 from pyspark.sql.types import (BinaryType, IntegerType, LongType,
@@ -178,6 +179,9 @@ class WarcDataSource(DataSource):
     def reader(self, schema: StructType) -> "WarcReader":
         return WarcReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "WarcStreamReader":
+        return WarcStreamReader(self.options)
+
 
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -231,6 +235,50 @@ class WarcReader(DataSourceReader):
             if all(t(rec["type"]) for t in self._type_tests):
                 yield (name, i, rec["type"], rec["record_id"],
                        rec["content_length"], bytes(rec["payload"]))
+
+
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("warc")``: micro-batch over a growing
+    directory of WARC members (the crawl-landing shape). The offset is
+    the LEXICOGRAPHICALLY LARGEST member name processed so far — small
+    and replayable — which assumes members arrive with monotonically
+    increasing names (Common Crawl's segment naming does; name landing
+    files accordingly). ``readBetweenOffsets`` replays any (start,
+    end] window deterministically for recovery."""
+
+    def __init__(self, options: dict) -> None:
+        self.options = dict(options)
+        path = options.get("path")
+        if not path:
+            raise ValueError("path option is required")
+
+    def _files(self) -> list[str]:
+        try:
+            return _file_list(self.options)
+        except ValueError:                      # nothing landed yet
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _rows(self, path: str):
+        r = WarcReader({"path": path})
+        yield from r.read(_FilePartition(path))
+
+    def read(self, start: dict):
+        names = {os.path.basename(p): p for p in self._files()}
+        new = sorted(n for n in names if n > start["last"])
+        end = {"last": new[-1]} if new else dict(start)
+        # a LIST, not a generator: the simple stream reader prefetches
+        # the batch on the driver and pickles it to executors
+        rows = [row for n in new for row in self._rows(names[n])]
+        return rows, end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        names = {os.path.basename(p): p for p in self._files()}
+        for n in sorted(names):
+            if start["last"] < n <= end["last"]:
+                yield from self._rows(names[n])
 
 
 def register_data_sources(spark) -> None:

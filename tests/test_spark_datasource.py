@@ -130,3 +130,42 @@ def test_warc_filter_pushdown(spark, tmp_path):
     # residual (non-pushable) predicates still evaluate post-scan
     res = base.where(F.length("payload") > 15)
     assert res.count() == 9
+
+
+def test_warc_streaming_source(spark, tmp_path):
+    """readStream.format('warc'): members landing between micro-batches
+    are picked up exactly once (lexicographic-name offsets)."""
+    import time
+
+    register_data_sources(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    out = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    recs1 = [("response", "<urn:1>", b"first " * 4)]
+    recs2 = [("response", "<urn:2>", b"second " * 4),
+             ("request", "<urn:3>", b"third " * 4)]
+    (land / "seg-00001.warc").write_bytes(build_warc(recs1))
+    q = (spark.readStream.format("warc")
+         .load(str(land / "*.warc"))
+         .writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    (land / "seg-00002.warc").write_bytes(build_warc(recs2))
+    q2 = (spark.readStream.format("warc")
+          .load(str(land / "*.warc"))
+          .writeStream.format("parquet")
+          .option("path", str(out))
+          .option("checkpointLocation", str(ckpt))
+          .trigger(availableNow=True)
+          .start())
+    q2.awaitTermination(120)
+    time.sleep(0.2)
+    got = spark.read.parquet(str(out))
+    rows = {r["record_id"]: (r["warc_file"], bytes(r["payload"]))
+            for r in got.collect()}
+    assert set(rows) == {"<urn:1>", "<urn:2>", "<urn:3>"}
+    assert rows["<urn:2>"] == ("seg-00002.warc", b"second " * 4)
