@@ -221,10 +221,14 @@ def _ulaw_expand(u):
 
 def _alaw_expand(a):
     """ITU-T G.711 A-law byte → linear sample: XOR 0x55, then segment
-    expansion ((m<<4)+8 for segment 0, ((m<<4)+0x108)<<(e-1) above)."""
+    expansion ((m<<4)+8 for segment 0, ((m<<4)+0x108)<<(e-1) above).
+    A-law transmits sign bit 1 for POSITIVE (the inverse of mu-law's
+    complemented convention) — r10 fixed a global sign flip here,
+    caught by the exhaustive audioop cross-check; every magnitude was
+    already exact."""
     import numpy as np
     c = a ^ 0x55
-    sign = (c & 0x80) != 0
+    sign = (c & 0x80) == 0
     e = (c >> 4) & 0x07
     m = c & 0x0F
     mag0 = (m << 4) + 8

@@ -3038,8 +3038,8 @@ x AS (
            CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END
            * ((((255 - byte) % 16) * 8 + 132)
               * (1 << (((255 - byte) // 16) % 8)) - 132)
-         ELSE                                     -- A-law
-           CASE WHEN xor(byte, 85) >= 128 THEN -1 ELSE 1 END
+         ELSE                  -- A-law: sign bit 1 means POSITIVE
+           CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END
            * (CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
                    THEN (xor(byte, 85) % 16) * 16 + 8
                    ELSE ((xor(byte, 85) % 16) * 16 + 264)

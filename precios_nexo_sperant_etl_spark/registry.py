@@ -105,12 +105,22 @@ _CHECK_FIRST: list[str] = [
     "cohort_retention",            # cohort retention matrix
     "paragraph_dedup",             # paragraph-level dedup
     "text_repetition_stats",       # repetition/dup-ngram stats
-    # -- 3. the 2 oldest r04 stamps (committed r10-queue tail) --
+    # -- 3. mid-r10 CORRECTNESS fix: the A-law expansion carried a
+    #       global sign flip (sign bit 1 is POSITIVE; the oracle
+    #       replicated the inversion so parity was green) — caught by
+    #       the new exhaustive audioop cross-check, fixed on both
+    #       sides. The r8 stamp attests the WRONG behavior, so this
+    #       displaces the last refresh slot (w2_dedup_keep_last's r04
+    #       stamp is old but VALID; it leads the r11 queue instead) --
+    "g711_wav_roundtrip",          # A-law sign fix re-stamp
+    # -- 4. the oldest r04 stamp (committed r10-queue tail) --
     "w1_dedup_latest",             # dedup keep-latest (NaT quirk)
-    "w2_dedup_keep_last",          # dedup keep-last ordinal
     # --- ROUND-11 QUEUE (committed head, in priority order):
     # 1. The queries registered new in r10 (BEHIND this window):
-    #    zstd_dict_roundtrip, h264_ipcm_roundtrip.
+    #    zstd_dict_roundtrip, h264_ipcm_roundtrip — plus
+    #    w2_dedup_keep_last, whose committed r10 slot was displaced by
+    #    the g711_wav_roundtrip correctness re-stamp (its r04 stamp is
+    #    old but valid).
     # 2. The 38-query r04-stamp cohort (oldest first; see STAMPS.md):
     #    j3_p6_change_detail, tpch_q1_pricing_summary,
     #    referential_integrity, j1_left_enrich_coalesce,
