@@ -54,3 +54,49 @@ def test_image_encoders_decode_identically_in_imageio(spark, name):
     assert got is not None, f"{name}: imageio found no reader"
     assert (got == expect).all(), \
         f"{name}: {(got != expect).any(axis=2).sum()} pixels differ"
+
+
+def _imageio_raster(spark, blob: bytes) -> np.ndarray | None:
+    """Raw raster samples (band 0) — getRGB would route 8-bit GRAY
+    through the gray→sRGB color transform and distort values."""
+    jvm = spark.sparkContext._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(blob)))
+    if img is None:
+        return None
+    r = img.getRaster()
+    w, h = img.getWidth(), img.getHeight()
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            out[y, x] = r.getSample(x, y, 0)
+    return out
+
+
+_GRAY = ((7 + 2 * _X + 3 * _Y) % 256).astype(np.uint8)
+
+
+def test_tiff_encoders_decode_identically_in_imageio(spark):
+    got = _imageio_raster(spark, mm.encode_tiff_gray(_GRAY))
+    if got is None:
+        pytest.skip("this JVM ships no TIFF reader")
+    assert (got == _GRAY).all()
+    # multipage: ImageIO's plain read() returns the FIRST directory
+    mp = mm.encode_tiff_multipage([_GRAY, 255 - _GRAY])
+    got0 = _imageio_raster(spark, mp)
+    assert (got0 == _GRAY).all()
+
+
+def test_baseline_jpeg_decodes_within_tolerance_in_imageio(spark):
+    """Lossy, but the decode pipeline is tightly specified: an
+    independent decoder must land within IDCT rounding (±1) of our own
+    decode — a channel/zigzag/table convention error would be tens of
+    levels off. (On this fixture the agreement is exact.)"""
+    from precios_nexo_sperant_etl_spark.operators import jpegcodec as jc
+    blob = jc.encode_baseline_gray(_GRAY)
+    got = _imageio_raster(spark, blob)
+    assert got is not None
+    ours = np.asarray(jc.decode_baseline(blob)["pixels"], dtype=np.int64)
+    if ours.ndim == 3:
+        ours = ours[:, :, 0]
+    assert int(np.abs(got - ours).max()) <= 1
