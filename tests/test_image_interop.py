@@ -100,3 +100,44 @@ def test_baseline_jpeg_decodes_within_tolerance_in_imageio(spark):
     if ours.ndim == 3:
         ours = ours[:, :, 0]
     assert int(np.abs(got - ours).max()) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Non-image JVM cross-checks riding the same session: snappy (the
+# from-scratch Avro-OCF codec vs Spark's bundled snappy-java, both
+# directions) and CRC-32C (the TFRecord masked-CRC base vs
+# java.util.zip.CRC32C).
+# ---------------------------------------------------------------------------
+
+def test_snappy_interops_with_snappy_java(spark):
+    import random
+
+    from precios_nexo_sperant_etl_spark.operators import avro_ocf as av
+    jvm = spark.sparkContext._jvm
+    rng = random.Random(4)
+    for trial in range(10):
+        data = (b"hello world compressed " * rng.randrange(1, 40)
+                + bytes(rng.randrange(256)
+                        for _ in range(rng.randrange(0, 300))))
+        out = jvm.org.xerial.snappy.Snappy.uncompress(
+            bytearray(av.snappy_compress(data)))
+        assert bytes(out) == data
+        theirs = jvm.org.xerial.snappy.Snappy.compress(bytearray(data))
+        assert av.snappy_decompress(bytes(theirs)) == data
+
+
+def test_crc32c_matches_jvm(spark):
+    import random
+
+    from precios_nexo_sperant_etl_spark.operators.tfrecord import crc32c
+    jvm = spark.sparkContext._jvm
+    rng = random.Random(9)
+    blobs = [b"", b"\x00", b"123456789",
+             bytes(range(256))] + [bytes(rng.randrange(256) for _ in
+                                         range(rng.randrange(1, 400)))
+                                   for _ in range(30)]
+    for b in blobs:
+        j = jvm.java.util.zip.CRC32C()
+        if b:
+            j.update(bytearray(b))
+        assert crc32c(b) == j.getValue(), b[:16]
