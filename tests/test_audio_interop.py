@@ -103,3 +103,30 @@ def test_ima_adpcm_core_matches_audioop():
         lin, _ = audioop.adpcm2lin(repacked, 2, (pred, idx))
         ref = list(struct.unpack(f"<{len(nibbles)}h", lin))
         assert ours[1:] == ref, f"trial {trial}"
+
+
+def test_g711_wav_framing_recognized_by_javax_sound(spark):
+    """The format-6/7 RIFF framing the g711 fixtures emit is read by
+    javax.sound.sampled as genuine ALAW/ULAW audio with the right
+    geometry (the container half; the expansion tables are pinned by
+    the audioop tests above)."""
+    jvm = spark.sparkContext._jvm
+    payload = bytes((13 * i + 7) % 256 for i in range(64))
+
+    def g711_wav(fmt_tag):
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, 8)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(payload)) + payload)
+        return (b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                + b"WAVE" + chunks)
+
+    for tag, enc in ((7, "ULAW"), (6, "ALAW")):
+        blob = g711_wav(tag)
+        d = decode_wav(blob)
+        assert d["audio_format"] == tag and d["n_frames"] == 64
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(blob)))
+        f = ais.getFormat()
+        assert str(f.getEncoding()) == enc
+        assert int(f.getSampleRate()) == 8000
+        assert int(ais.getFrameLength()) == 64
