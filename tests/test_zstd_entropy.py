@@ -697,3 +697,20 @@ def test_dictionary_interop_real_zstd(tmp_path):
                              input=doc, capture_output=True)
         assert decode_zstd_frame(p3.stdout,
                                  dictionary=tdict)["content"] == doc
+
+
+def test_repeat_of_rle_channel_requires_matching_codes():
+    """ADVICE r9 low: a repeated RLE channel emits no state bits, so a
+    block whose codes differ from the installed RLE symbol must refuse
+    at encode instead of silently decoding to different values."""
+    st_ = ze._SeqTables()
+    # install: constant OF/ML codes -> RLE channels (auto mode)
+    first = ze.encode_sequences([(3, 5, 4), (9, 5, 4)], st_, mode="auto")
+    dec = ze._SeqTables()
+    assert ze.decode_sequences(first, dec) == [(3, 5, 4), (9, 5, 4)]
+    # same ML code repeats fine (ML is the RLE channel: ml=4 const)
+    ok = ze.encode_sequences([(3, 5, 4)], st_, mode="repeat")
+    assert ze.decode_sequences(ok, dec) == [(3, 5, 4)]
+    # an ML code differing from the installed RLE symbol must raise
+    with pytest.raises(ValueError, match="repeat of an RLE channel"):
+        ze.encode_sequences([(3, 5, 7)], st_, mode="repeat")
