@@ -141,3 +141,48 @@ def test_crc32c_matches_jvm(spark):
         if b:
             j.update(bytearray(b))
         assert crc32c(b) == j.getValue(), b[:16]
+
+
+def test_avro_ocf_interops_with_java_avro(spark):
+    """Both directions, both codecs, against the org.apache.avro jar
+    the Spark distro bundles: our OCF writer's output is read by
+    DataFileStream record-for-record, and our reader consumes
+    DataFileWriter output (varint zigzag, UTF-8, block framing, sync
+    markers, snappy-with-CRC block codec)."""
+    import json
+
+    from precios_nexo_sperant_etl_spark.operators import avro_ocf as av
+    jvm = spark.sparkContext._jvm
+    schema = {"type": "record", "name": "D", "fields": [
+        {"name": "a", "type": "long"}, {"name": "t", "type": "string"}]}
+    recs = [{"a": i, "t": f"x{i}é"} for i in range(25)]
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    for codec in ("null", "snappy"):
+        # ours -> java
+        blob = av.write_ocf(schema, recs, bytes(range(16)), codec=codec)
+        stream = jvm.org.apache.avro.file.DataFileStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(blob)),
+            jvm.org.apache.avro.generic.GenericDatumReader())
+        out = []
+        while stream.hasNext():
+            r = stream.next()
+            out.append({"a": r.get("a"), "t": str(r.get("t"))})
+        assert out == recs, codec
+        assert str(stream.getMetaString("avro.codec")) == codec
+        # java -> ours
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(sch))
+        factory = jvm.org.apache.avro.file.CodecFactory
+        writer.setCodec(factory.nullCodec() if codec == "null"
+                        else factory.snappyCodec())
+        baos = jvm.java.io.ByteArrayOutputStream()
+        writer.create(sch, baos)
+        for rec in recs:
+            rb = jvm.org.apache.avro.generic.GenericRecordBuilder(sch)
+            rb.set("a", rec["a"])
+            rb.set("t", rec["t"])
+            writer.append(rb.build())
+        writer.close()
+        got = av.read_ocf(bytes(baos.toByteArray()))
+        jrecs = got["records"] if isinstance(got, dict) else got
+        assert list(jrecs) == recs, codec
