@@ -30,11 +30,12 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
-                                    Filter, In, InputPartition,
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, EqualTo, Filter, In,
+                                    InputPartition,
                                     SimpleDataSourceStreamReader,
                                     StringContains, StringEndsWith,
-                                    StringStartsWith)
+                                    StringStartsWith, WriterCommitMessage)
 from pyspark.sql.types import (BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
@@ -107,6 +108,9 @@ class ExcelDataSource(DataSource):
     def reader(self, schema: StructType) -> "ExcelReader":
         return ExcelReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "ExcelWriter":
+        return ExcelWriter(self.options, schema, overwrite)
+
 
 class ExcelReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType) -> None:
@@ -150,6 +154,67 @@ class ExcelReader(DataSourceReader):
             yield tuple([project]
                         + [None if i is None else r[i] for i in idxs]
                         + [r[-1]])
+
+
+class _XlsxCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class ExcelWriter(DataSourceWriter):
+    """``df.write.format("xlsx").save(dir)``: one workbook PER
+    PARTITION, written executor-side with the stdlib xlsx codec —
+    the fleet-scale gear for the S6/S8 per-group sinks (the
+    driver-side audit-workbook sinks in ``sources.sinks`` stay for
+    the small multi-sheet artifacts). Files land as
+    ``part-<partition>-<uuid>.xlsx`` with one header row (the
+    DataFrame's column names) and every cell serialized with the
+    writer's native-number/inline-string rules; ``commit`` writes a
+    ``_SUCCESS`` manifest listing the committed parts, ``abort``
+    removes this attempt's files — partition-local work, no driver
+    collect anywhere."""
+
+    def __init__(self, options: dict, schema: StructType,
+                 overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("path option is required")
+        self.dir = path
+        self.columns = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        self.sheet = str(options.get("sheet", "Sheet1"))
+
+    def write(self, iterator) -> _XlsxCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        from .excel import write_xlsx
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        rows = [list(self.columns)]
+        for row in iterator:
+            rows.append([row[i] for i in range(len(self.columns))])
+        os.makedirs(self.dir, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.xlsx"
+        write_xlsx(os.path.join(self.dir, name), {self.sheet: rows})
+        return _XlsxCommit(name, len(rows) - 1)
+
+    def commit(self, messages) -> None:
+        manifest = sorted(f"{m.path}\t{m.rows}" for m in messages
+                          if m is not None)
+        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+            f.write("\n".join(manifest) + "\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.dir, m.path))
+            except OSError:
+                pass
 
 
 class WarcDataSource(DataSource):

@@ -10,7 +10,8 @@ from precios_nexo_sperant_etl_spark.operators.webdataset import build_warc
 from precios_nexo_sperant_etl_spark.operators.zstdframe import (
     encode_zstd_compressed, encode_zstd_dictionary, encode_zstd_raw,
     encode_zstd_skippable)
-from precios_nexo_sperant_etl_spark.sources.excel import write_xlsx
+from precios_nexo_sperant_etl_spark.sources.excel import (read_xlsx_rows,
+                                                           write_xlsx)
 from precios_nexo_sperant_etl_spark.sources.spark_datasource import (
     register_data_sources)
 
@@ -169,3 +170,36 @@ def test_warc_streaming_source(spark, tmp_path):
             for r in got.collect()}
     assert set(rows) == {"<urn:1>", "<urn:2>", "<urn:3>"}
     assert rows["<urn:2>"] == ("seg-00002.warc", b"second " * 4)
+
+
+def test_xlsx_writer_one_workbook_per_partition(spark, tmp_path):
+    """df.write.format('xlsx'): executor-side per-partition workbooks
+    + _SUCCESS manifest; the files roundtrip through both the xlsx
+    READ format and the raw reader."""
+    import os
+
+    register_data_sources(spark)
+    out = tmp_path / "books"
+    df = (spark.range(40)
+          .select(F.format_string("u-%03d", F.col("id")).alias("unidad"),
+                  (F.col("id") * 11).cast("string").alias("precio"))
+          .repartition(4))
+    df.write.format("xlsx").mode("append").save(str(out))
+    files = sorted(p for p in os.listdir(out) if p.endswith(".xlsx"))
+    assert len(files) == 4
+    manifest = (out / "_SUCCESS").read_text().strip().splitlines()
+    assert len(manifest) == 4
+    assert sum(int(l.split("\t")[1]) for l in manifest) == 40
+    rows = []
+    for p in files:
+        raw = read_xlsx_rows(str(out / p))
+        assert raw[0] == ["unidad", "precio"]
+        rows += raw[1:]
+    assert sorted(r[0] for r in rows) == [f"u-{i:03d}" for i in range(40)]
+    # and the read format ingests the directory back (header_row=0:
+    # these books have no banner rows; 'unidad'/'precio' alias-rename
+    # to the canonical columns on the way in)
+    back = (spark.read.format("xlsx").option("header_row", 0)
+            .load(str(out / "*.xlsx")))
+    assert back.count() == 40
+    assert back.select("Número de inmueble").distinct().count() == 40
