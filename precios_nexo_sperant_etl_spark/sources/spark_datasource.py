@@ -247,6 +247,9 @@ class WarcDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "WarcStreamReader":
         return WarcStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "WarcWriter":
+        return WarcWriter(self.options, schema, overwrite)
+
 
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -302,6 +305,170 @@ class WarcReader(DataSourceReader):
                        rec["content_length"], bytes(rec["payload"]))
 
 
+class _PartCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+def _write_manifest(out_dir: str, messages) -> None:
+    manifest = sorted(f"{m.path}\t{m.rows}" for m in messages
+                      if m is not None)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("\n".join(manifest) + "\n")
+
+
+def _abort_parts(out_dir: str, messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        try:
+            os.remove(os.path.join(out_dir, m.path))
+        except OSError:
+            pass
+
+
+class WarcWriter(DataSourceWriter):
+    """``df.write.format("warc").save(dir)``: one WARC member per
+    partition, executor-side, re-sharding crawl records at fleet
+    scale. Input columns (by name): ``warc_type``, ``record_id``,
+    ``payload``. Options: ``compression`` = ``none`` (default),
+    ``gzip``, or ``zstd`` (members land as .warc / .warc.gz /
+    .warc.zst — the reader sniffs all three)."""
+
+    def __init__(self, options: dict, schema: StructType,
+                 overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("path option is required")
+        self.dir = path
+        comp = str(options.get("compression", "none")).lower()
+        if comp not in ("none", "gzip", "zstd"):
+            raise ValueError("compression must be none/gzip/zstd")
+        self.comp = comp
+        names = [f.name for f in schema.fields]
+        for c in ("warc_type", "record_id", "payload"):
+            if c not in names:
+                raise ValueError(f"warc writer needs column {c!r}")
+        self.idx = {c: names.index(c)
+                    for c in ("warc_type", "record_id", "payload")}
+
+    def write(self, iterator) -> _PartCommit:
+        import gzip
+        import uuid
+
+        from pyspark import TaskContext
+
+        from ..operators.webdataset import build_warc
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        recs = []
+        for row in iterator:
+            recs.append((str(row[self.idx["warc_type"]]),
+                         str(row[self.idx["record_id"]]),
+                         bytes(row[self.idx["payload"]])))
+        blob = build_warc(recs)
+        ext = {"none": ".warc", "gzip": ".warc.gz",
+               "zstd": ".warc.zst"}[self.comp]
+        if self.comp == "gzip":
+            blob = gzip.compress(blob)
+        elif self.comp == "zstd":
+            from ..operators.zstdframe import encode_zstd_raw
+            blob = encode_zstd_raw(blob, block_size=1 << 16,
+                                   checksum=True) if blob else blob
+        os.makedirs(self.dir, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}{ext}"
+        with open(os.path.join(self.dir, name), "wb") as f:
+            f.write(blob)
+        return _PartCommit(name, len(recs))
+
+    def commit(self, messages) -> None:
+        _write_manifest(self.dir, messages)
+
+    def abort(self, messages) -> None:
+        _abort_parts(self.dir, messages)
+
+
+class TFRecordDataSource(DataSource):
+    """``spark.read/write.format("tfrecord")`` over raw record bytes:
+    the length-framed masked-CRC32C container every TF data pipeline
+    speaks (the Example-proto layer stays in ``operators.tfrecord`` —
+    this format moves OPAQUE records, one file per partition on write,
+    one partition per file on read). Read schema:
+    ``(tf_file, rec_index, record)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tfrecord"
+
+    def schema(self) -> StructType:
+        return StructType([
+            StructField("tf_file", StringType()),
+            StructField("rec_index", IntegerType()),
+            StructField("record", BinaryType()),
+        ])
+
+    def reader(self, schema: StructType) -> "TFRecordReader":
+        return TFRecordReader(self.options)
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> "TFRecordWriter":
+        return TFRecordWriter(self.options, schema)
+
+
+class TFRecordReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.files = _file_list(options)
+
+    def partitions(self) -> list[InputPartition]:
+        return [_FilePartition(p) for p in self.files]
+
+    def read(self, partition: _FilePartition):
+        from ..operators.tfrecord import read_records
+        with open(partition.path, "rb") as f:
+            payload = f.read()
+        name = os.path.basename(partition.path)
+        for i, rec in enumerate(read_records(payload)):
+            yield (name, i, bytes(rec))
+
+
+class TFRecordWriter(DataSourceWriter):
+    """One .tfrecord file per partition; rows need a ``record`` binary
+    column (extra columns are ignored — ordering/placement is the
+    caller's repartition/sortWithinPartitions concern)."""
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("path option is required")
+        self.dir = path
+        names = [f.name for f in schema.fields]
+        if "record" not in names:
+            raise ValueError("tfrecord writer needs a 'record' column")
+        self.rec_idx = names.index("record")
+
+    def write(self, iterator) -> _PartCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        from ..operators.tfrecord import frame_records
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        recs = [bytes(row[self.rec_idx]) for row in iterator]
+        os.makedirs(self.dir, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.tfrecord"
+        with open(os.path.join(self.dir, name), "wb") as f:
+            f.write(frame_records(recs))
+        return _PartCommit(name, len(recs))
+
+    def commit(self, messages) -> None:
+        _write_manifest(self.dir, messages)
+
+    def abort(self, messages) -> None:
+        _abort_parts(self.dir, messages)
+
+
 class WarcStreamReader(SimpleDataSourceStreamReader):
     """``spark.readStream.format("warc")``: micro-batch over a growing
     directory of WARC members (the crawl-landing shape). The offset is
@@ -353,3 +520,4 @@ def register_data_sources(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ExcelDataSource)
     spark.dataSource.register(WarcDataSource)
+    spark.dataSource.register(TFRecordDataSource)

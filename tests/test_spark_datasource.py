@@ -203,3 +203,53 @@ def test_xlsx_writer_one_workbook_per_partition(spark, tmp_path):
             .load(str(out / "*.xlsx")))
     assert back.count() == 40
     assert back.select("Número de inmueble").distinct().count() == 40
+
+
+def test_warc_writer_roundtrip_all_compressions(spark, tmp_path):
+    register_data_sources(spark)
+    df = (spark.range(12)
+          .select(F.lit("response").alias("warc_type"),
+                  F.format_string("<urn:uuid:%d>", F.col("id"))
+                   .alias("record_id"),
+                  F.encode(F.format_string("payload-%d-", F.col("id")),
+                           "utf-8").alias("payload"))
+          .repartition(3))
+    for comp in ("none", "gzip", "zstd"):
+        out = tmp_path / f"w_{comp}"
+        (df.write.format("warc").option("compression", comp)
+           .mode("append").save(str(out)))
+        import os
+        parts = [p for p in os.listdir(out) if p.startswith("part-")]
+        assert len(parts) == 3
+        back = spark.read.format("warc").load(str(out / "part-*"))
+        rows = back.collect()
+        assert len(rows) == 12
+        ids = sorted(r["record_id"] for r in rows)
+        assert ids == sorted(f"<urn:uuid:{i}>" for i in range(12))
+        assert all(bytes(r["payload"]).startswith(b"payload-")
+                   for r in rows)
+
+
+def test_tfrecord_format_roundtrip(spark, tmp_path):
+    from precios_nexo_sperant_etl_spark.operators.tfrecord import (
+        decode_example, encode_example)
+    register_data_sources(spark)
+    out = tmp_path / "tfr"
+    df = (spark.range(20)
+          .select(F.col("id"),
+                  F.encode(F.format_string("tok-%d", F.col("id")),
+                           "utf-8").alias("record"))
+          .repartition(4))
+    df.write.format("tfrecord").mode("append").save(str(out))
+    back = spark.read.format("tfrecord").load(str(out / "part-*"))
+    assert back.rdd.getNumPartitions() == 4
+    rows = back.collect()
+    assert sorted(bytes(r["record"]) for r in rows) == \
+        sorted(b"tok-%d" % i for i in range(20))
+    # Example-proto layer composes on top of the raw-record format
+    ex = encode_example({"a": [1, 2], "t": b"x"})
+    df2 = spark.createDataFrame([(bytearray(ex),)], "record binary")
+    df2.write.format("tfrecord").mode("append").save(str(tmp_path / "ex"))
+    got = (spark.read.format("tfrecord")
+           .load(str(tmp_path / "ex" / "part-*")).collect())
+    assert decode_example(bytes(got[0]["record"]))["a"] == [1, 2]
