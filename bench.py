@@ -214,6 +214,7 @@ HEADLINE = [
     # appended r10:
     "zstd_dict_roundtrip",      # RFC 8878 §5 dictionary frames
     "h264_ipcm_roundtrip",      # lossless I_PCM slice-data decode
+    "warc_datasource_roundtrip",  # data-source formats end-to-end
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

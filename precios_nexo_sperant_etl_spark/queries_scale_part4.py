@@ -4170,3 +4170,61 @@ ORDER BY d.doc_id
         "recomputes plane sums from the closed-form pixel synthesis, "
         "and the lossless bit pins byte equality.",
 )
+
+
+# ---------------------------------------------------------------------------
+# WARC data-source roundtrip (round 10): the Python Data Source formats
+# (sources/spark_datasource.py) driven end-to-end as a DRIVER-CHECKABLE
+# query, not just pytest — documents are re-sharded through
+# df.write.format("warc") (one zstd-compressed member per partition,
+# executor-side encode, _SUCCESS manifest) and read back through
+# spark.read.format("warc") (per-member partition, zstd decode,
+# Content-Length-framed parse). The oracle recomputes every published
+# value from the parquet originals, so a byte lost anywhere in the
+# write→compress→decompress→parse chain breaks the md5. Same tempdir
+# discipline as orc_roundtrip. Scale: one shuffle to shard, then
+# partition-local codec work both directions.
+# Registered BEHIND the driver's window (r10 registration-pause
+# discipline); heads the r11 queue with the other r10 additions.
+# ---------------------------------------------------------------------------
+
+def _warc_datasource_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .sources.spark_datasource import register_data_sources
+
+    register_data_sources(spark)
+    out = tempfile.mkdtemp(prefix="warc_ds_roundtrip_")
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    (d.repartition(8)
+      .select(F.lit("response").alias("warc_type"),
+              F.format_string("<urn:doc:%d>", F.col("doc_id"))
+               .alias("record_id"),
+              F.encode(F.col("text"), "utf-8").alias("payload"))
+      .write.format("warc").option("compression", "zstd")
+      .mode("append").save(out))
+    back = spark.read.format("warc").load(out + "/part-*")
+    return (back.select(
+        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+         .cast("long").alias("doc_id"),
+        F.col("warc_type"),
+        F.col("content_length"),
+        F.md5(F.col("payload")).alias("payload_md5"))
+        .orderBy("doc_id"))
+
+
+register(
+    "warc_datasource_roundtrip",
+    _warc_datasource_roundtrip,
+    """
+SELECT doc_id,
+       'response' AS warc_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="Python Data Source formats end-to-end: documents re-sharded "
+        "through df.write.format('warc') (zstd members, executor-side) "
+        "and read back via spark.read.format('warc'); content lengths "
+        "and payload md5s pinned against the parquet originals.",
+)

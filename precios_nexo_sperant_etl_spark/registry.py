@@ -117,7 +117,8 @@ _CHECK_FIRST: list[str] = [
     "w1_dedup_latest",             # dedup keep-latest (NaT quirk)
     # --- ROUND-11 QUEUE (committed head, in priority order):
     # 1. The queries registered new in r10 (BEHIND this window):
-    #    zstd_dict_roundtrip, h264_ipcm_roundtrip — plus
+    #    zstd_dict_roundtrip, h264_ipcm_roundtrip,
+    #    warc_datasource_roundtrip — plus
     #    w2_dedup_keep_last, whose committed r10 slot was displaced by
     #    the g711_wav_roundtrip correctness re-stamp (its r04 stamp is
     #    old but valid).

@@ -116,6 +116,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     # tuned AND vanilla plus sf0.1 in its registration session, and
     # interop-tested against the real zstd binary. Heads the r11 queue.
     "zstd_dict_roundtrip": 10,
+    "warc_datasource_roundtrip": 10,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
