@@ -57,6 +57,20 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _clear_parts(out_dir: str) -> None:
+    """Overwrite semantics for the part-file writers: drop previous
+    part files + manifest (driver-side, at planning) so a re-run
+    replaces the dataset instead of accreting stale members."""
+    if not os.path.isdir(out_dir):
+        return
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") or f == "_SUCCESS":
+            try:
+                os.remove(os.path.join(out_dir, f))
+            except OSError:
+                pass
+
+
 def _string_predicate(f: Filter):
     """A supported single-string-column filter → (column, test) or
     None. Every test is a plain predicate over the column VALUE, so
@@ -182,8 +196,9 @@ class ExcelWriter(DataSourceWriter):
             raise ValueError("path option is required")
         self.dir = path
         self.columns = [f.name for f in schema.fields]
-        self.overwrite = overwrite
         self.sheet = str(options.get("sheet", "Sheet1"))
+        if overwrite:
+            _clear_parts(path)
 
     def write(self, iterator) -> _XlsxCommit:
         import uuid
@@ -346,6 +361,8 @@ class WarcWriter(DataSourceWriter):
         if comp not in ("none", "gzip", "zstd"):
             raise ValueError("compression must be none/gzip/zstd")
         self.comp = comp
+        if overwrite:
+            _clear_parts(path)
         names = [f.name for f in schema.fields]
         for c in ("warc_type", "record_id", "payload"):
             if c not in names:
@@ -413,7 +430,7 @@ class TFRecordDataSource(DataSource):
 
     def writer(self, schema: StructType,
                overwrite: bool) -> "TFRecordWriter":
-        return TFRecordWriter(self.options, schema)
+        return TFRecordWriter(self.options, schema, overwrite)
 
 
 class TFRecordReader(DataSourceReader):
@@ -437,7 +454,8 @@ class TFRecordWriter(DataSourceWriter):
     column (extra columns are ignored — ordering/placement is the
     caller's repartition/sortWithinPartitions concern)."""
 
-    def __init__(self, options: dict, schema: StructType) -> None:
+    def __init__(self, options: dict, schema: StructType,
+                 overwrite: bool = False) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("path option is required")
@@ -446,6 +464,8 @@ class TFRecordWriter(DataSourceWriter):
         if "record" not in names:
             raise ValueError("tfrecord writer needs a 'record' column")
         self.rec_idx = names.index("record")
+        if overwrite:
+            _clear_parts(path)
 
     def write(self, iterator) -> _PartCommit:
         import uuid

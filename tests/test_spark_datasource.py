@@ -253,3 +253,23 @@ def test_tfrecord_format_roundtrip(spark, tmp_path):
     got = (spark.read.format("tfrecord")
            .load(str(tmp_path / "ex" / "part-*")).collect())
     assert decode_example(bytes(got[0]["record"]))["a"] == [1, 2]
+
+
+def test_writer_overwrite_mode_replaces_parts(spark, tmp_path):
+    import os
+
+    register_data_sources(spark)
+    out = tmp_path / "ow"
+    df1 = spark.range(6).select(
+        F.format_string("a-%d", F.col("id")).alias("u")).repartition(3)
+    df1.write.format("xlsx").mode("append").save(str(out))
+    assert len([p for p in os.listdir(out) if p.endswith(".xlsx")]) == 3
+    df2 = spark.range(4).select(
+        F.format_string("b-%d", F.col("id")).alias("u")).repartition(2)
+    df2.write.format("xlsx").mode("overwrite").save(str(out))
+    parts = [p for p in os.listdir(out) if p.endswith(".xlsx")]
+    assert len(parts) == 2                     # stale parts removed
+    back = (spark.read.format("xlsx").option("header_row", 0)
+            .load(str(out / "*.xlsx")))
+    vals = sorted(r[1] for r in back.collect())
+    assert vals == [f"b-{i}" for i in range(4)]
