@@ -71,6 +71,15 @@ def _clear_parts(out_dir: str) -> None:
                 pass
 
 
+def _sheet_opt(options: dict):
+    """xlsx ``sheet`` option: index or name (read_xlsx_rows takes both)."""
+    v = options.get("sheet", 0)
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return str(v)
+
+
 def _string_predicate(f: Filter):
     """A supported single-string-column filter → (column, test) or
     None. Every test is a plain predicate over the column VALUE, so
@@ -111,7 +120,7 @@ class ExcelDataSource(DataSource):
         sample = _file_list(self.options)[0]
         hdr = self.options.get("header_row")
         names, _ = _parse_file_rows(
-            read_xlsx_rows(sample, int(self.options.get("sheet", 0))),
+            read_xlsx_rows(sample, _sheet_opt(self.options)),
             int(hdr) if hdr is not None else None)
         fields = [StructField("Proyecto", StringType())]
         fields += [StructField(n, StringType()) for n in names
@@ -130,7 +139,7 @@ class ExcelReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType) -> None:
         self.files = _file_list(options)
         self.header_row = options.get("header_row")
-        self.sheet = int(options.get("sheet", 0))
+        self.sheet = _sheet_opt(options)
         self.names = [f.name for f in schema.fields]
         self._project_tests: list = []
 
@@ -259,8 +268,8 @@ class WarcDataSource(DataSource):
     def reader(self, schema: StructType) -> "WarcReader":
         return WarcReader(self.options)
 
-    def simpleStreamReader(self, schema: StructType) -> "WarcStreamReader":
-        return WarcStreamReader(self.options)
+    def simpleStreamReader(self, schema: StructType) -> "FileStreamReader":
+        return FileStreamReader(self.options, WarcReader)
 
     def writer(self, schema: StructType, overwrite: bool) -> "WarcWriter":
         return WarcWriter(self.options, schema, overwrite)
@@ -432,6 +441,9 @@ class TFRecordDataSource(DataSource):
                overwrite: bool) -> "TFRecordWriter":
         return TFRecordWriter(self.options, schema, overwrite)
 
+    def simpleStreamReader(self, schema: StructType) -> "FileStreamReader":
+        return FileStreamReader(self.options, TFRecordReader)
+
 
 class TFRecordReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -489,17 +501,19 @@ class TFRecordWriter(DataSourceWriter):
         _abort_parts(self.dir, messages)
 
 
-class WarcStreamReader(SimpleDataSourceStreamReader):
-    """``spark.readStream.format("warc")``: micro-batch over a growing
-    directory of WARC members (the crawl-landing shape). The offset is
-    the LEXICOGRAPHICALLY LARGEST member name processed so far — small
-    and replayable — which assumes members arrive with monotonically
-    increasing names (Common Crawl's segment naming does; name landing
-    files accordingly). ``readBetweenOffsets`` replays any (start,
-    end] window deterministically for recovery."""
+class FileStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch over a growing directory of members (the
+    crawl/training-data landing shape), generic over a per-file batch
+    reader class (warc, tfrecord). The offset is the LEXICOGRAPHICALLY
+    LARGEST member name processed so far — small and replayable —
+    which assumes members arrive with monotonically increasing names
+    (Common Crawl's segment naming does; name landing files
+    accordingly). ``readBetweenOffsets`` replays any (start, end]
+    window deterministically for recovery."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, reader_cls=None) -> None:
         self.options = dict(options)
+        self.reader_cls = reader_cls or WarcReader
         path = options.get("path")
         if not path:
             raise ValueError("path option is required")
@@ -514,7 +528,7 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def _rows(self, path: str):
-        r = WarcReader({"path": path})
+        r = self.reader_cls({"path": path})
         yield from r.read(_FilePartition(path))
 
     def read(self, start: dict):

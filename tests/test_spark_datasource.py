@@ -273,3 +273,33 @@ def test_writer_overwrite_mode_replaces_parts(spark, tmp_path):
             .load(str(out / "*.xlsx")))
     vals = sorted(r[1] for r in back.collect())
     assert vals == [f"b-{i}" for i in range(4)]
+
+
+def test_xlsx_sheet_by_name(spark, tmp_path):
+    register_data_sources(spark)
+    write_xlsx(str(tmp_path / "two.xlsx"),
+               {"Portada": [["banner"]],
+                "Datos": [["codigo", "precio"], ["u9", "5"]]})
+    df = (spark.read.format("xlsx").option("sheet", "Datos")
+          .option("header_row", 0).load(str(tmp_path / "two.xlsx")))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["Número de inmueble"] == "u9"
+
+
+def test_tfrecord_streaming_source(spark, tmp_path):
+    from precios_nexo_sperant_etl_spark.operators.tfrecord import (
+        frame_records)
+    register_data_sources(spark)
+    land = tmp_path / "tland"
+    land.mkdir()
+    (land / "s-001.tfrecord").write_bytes(
+        frame_records([b"r1", b"r2"]))
+    q = (spark.readStream.format("tfrecord")
+         .load(str(land / "*.tfrecord"))
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "tsink"))
+         .option("checkpointLocation", str(tmp_path / "tckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "tsink"))
+    assert sorted(bytes(r["record"]) for r in got.collect()) == [b"r1", b"r2"]
