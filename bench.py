@@ -15,12 +15,26 @@ record ``parsed: null``), so the printed line is now COMPACT — totals,
 the cross-round-comparable r4 subset, and the top-10 exec walls — and
 the full per-query exec/construct maps go to ``BENCH_DETAIL.json``
 next to this script.
+
+Timing scheme (r11): queries execute in the FIXED append-only HEADLINE
+order (never registry order), and any query whose first warm execution
+exceeds ``MEDIAN3_THRESHOLD_SEC`` is executed twice more with the
+MEDIAN of the three walls reported. Rationale: r10 burned half a round
+chasing a 0.89s→1.85s "regression" in ``simhash_near_pairs`` that a
+worktree bisect proved was single-execution cache-warmth luck in the
+r9 cell, not code. Sub-threshold queries keep single-execution cells
+(their absolute noise is bounded by the threshold); the >1s tier —
+where a 2× swing reads as a real regression — is now a median, so a
+lucky or unlucky single draw can't publish. ``BENCH_DETAIL.json``
+carries the individual trials in ``trials`` for any query that was
+re-run.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -222,6 +236,10 @@ HEADLINE = [
 #: cross-round comparison.
 N_R4_COMPARABLE = HEADLINE.index("multimodal_frame_schedule") + 1
 
+#: Queries whose first warm wall exceeds this run two extra trials and
+#: publish the median (see module docstring, "Timing scheme (r11)").
+MEDIAN3_THRESHOLD_SEC = 1.0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -234,6 +252,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     construct: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     for name in HEADLINE:
         # Construction is timed separately: iterative operators
         # (connected components) run their convergence loop EAGERLY while
@@ -248,7 +267,17 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()  # warm-up (untimed)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        first = time.perf_counter() - t0
+        if first > MEDIAN3_THRESHOLD_SEC:
+            runs = [first]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(statistics.median(runs), 3)
+            trials[name] = [round(r, 3) for r in runs]
+        else:
+            times[name] = round(first, 3)
         # Release per-query persists (e.g. the LSH shingle cache) so one
         # query's cache never occupies executor storage for the next.
         spark.catalog.clearCache()
@@ -267,6 +296,9 @@ def main() -> None:
             "queries": times,
             "construct": construct,
             "construct_total": construct_total,
+            "trials": trials,
+            "timing_scheme": "fixed HEADLINE order; median-of-3 for "
+                             f"queries >{MEDIAN3_THRESHOLD_SEC}s",
             "sf": sf,
         }, fh, indent=1)
 
@@ -284,6 +316,7 @@ def main() -> None:
         "r4_subset_total": round(sum(times[q] for q in comparable), 3),
         "queries": {q: times[q] for q in comparable},
         "top10_exec": top10,
+        "timing": f"median3>{MEDIAN3_THRESHOLD_SEC}s",
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")))
 

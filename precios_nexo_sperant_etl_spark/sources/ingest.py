@@ -342,6 +342,13 @@ def ingest_project_files_distributed(spark: SparkSession,
             + [StructField(n, StringType()) for n in target]
             + [StructField("_ord", LongType())])
         df = spark.createDataFrame(parsed.flatMap(align), out_schema)
+        # Materialize ONCE before releasing the parsed cache:
+        # createDataFrame over an RDD is lazy, so unpersisting here
+        # without this would make every caller action re-read and
+        # re-parse all files. localCheckpoint pins the aligned rows in
+        # executor storage and truncates the lineage back to the
+        # Python parse closures.
+        df = df.localCheckpoint(eager=True)
         return df.withColumn(COL_PRECIO, to_number(F.col(COL_PRECIO)))
     finally:
         parsed.unpersist()

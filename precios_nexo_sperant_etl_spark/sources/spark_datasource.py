@@ -16,19 +16,31 @@ where its partition is scheduled; nothing but the file list and (for
 xlsx) one header row ever crosses the driver.
 
 Scale notes: the file list comes from a driver-side glob (metadata
-only). xlsx schema inference reads ONE sample file's header row at
-planning time; every other file aligns by name executor-side (missing
-name → null, extra name → dropped — pin layouts upstream when that
-matters; the tolerant RDD path is the gear for heterogeneous layouts).
-WARC schema is static, so planning touches no data at all; `.zst` and
-`.gz` members inflate through the verified zstd/gzip seams
+only). xlsx schema inference reads the header rows of the first
+``samples`` files (default 1) at planning time and takes the
+first-seen-ordered union of names; other files align by name
+executor-side (missing name → null, extra name → dropped unless
+``strict=true``, which fails the read loudly; the tolerant RDD path
+remains the gear for arbitrarily heterogeneous layouts). WARC schema
+is static, so planning touches no data at all; `.zst` and `.gz`
+members inflate through the verified zstd/gzip seams
 partition-locally.
+
+Filesystem boundary: these sources address files with plain
+``os``/``glob`` calls on BOTH driver (planning, commit) and executors
+(read/write), so ``path`` must live on a POSIX filesystem visible
+from both — local disk in local mode, an NFS-class shared mount on a
+cluster. Object-store URIs (``s3://``, ``gs://``, ``hdfs://``, …)
+raise ``SharedFilesystemRequired`` at planning rather than failing
+obscurely executor-side; see PLANS.md 'Data-source filesystem
+boundary' for the design note.
 """
 
 from __future__ import annotations
 
 import glob as _glob
 import os
+import re
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceWriter, EqualTo, Filter, In,
@@ -40,10 +52,36 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 
+class SharedFilesystemRequired(ValueError):
+    """Raised when a path names an object store these formats can't
+    reach. The part-file readers/writers here use plain ``os``/``glob``
+    on both driver and executors, so the path must be a POSIX
+    filesystem visible from BOTH (local disk in local mode, NFS-style
+    mounts on a cluster). An ``s3://``-class URI needs a Hadoop-FS
+    seam these Python sources deliberately don't carry — see PLANS.md
+    'Data-source filesystem boundary'."""
+
+
+def _require_shared_fs(path: str) -> str:
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if m:
+        scheme = m.group(1).lower()
+        if scheme == "file":
+            return path[len(m.group(0)) - 1:][1:] or "/"
+        raise SharedFilesystemRequired(
+            f"path {path!r} uses scheme {scheme!r}: the xlsx/warc/"
+            "tfrecord formats read and write through the shared POSIX "
+            "filesystem only (driver-visible AND executor-visible). "
+            "Stage object-store data onto a shared mount, or use "
+            "Spark's built-in Hadoop-FS formats for that tier.")
+    return path
+
+
 def _file_list(options: dict) -> list[str]:
     path = options.get("path")
     if not path:
         raise ValueError("path option is required")
+    path = _require_shared_fs(path)
     files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") \
         else ([os.path.join(path, f) for f in sorted(os.listdir(path))]
               if os.path.isdir(path) else [path])
@@ -57,18 +95,27 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _clear_parts(out_dir: str) -> None:
-    """Overwrite semantics for the part-file writers: drop previous
-    part files + manifest (driver-side, at planning) so a re-run
-    replaces the dataset instead of accreting stale members."""
+def _snapshot_parts(out_dir: str) -> list[str]:
+    """Overwrite semantics for the part-file writers, commit-protocol
+    style: SNAPSHOT the previous part files at planning and delete
+    them only at ``commit()``, after every new part is written — so a
+    failed or aborted job leaves the old dataset intact (new part
+    names carry fresh uuids, so old and new never collide). The
+    non-atomic window is the commit itself: old parts are removed one
+    by one before the new ``_SUCCESS`` lands, exactly like Spark's
+    non-transactional overwrite of a directory sink."""
     if not os.path.isdir(out_dir):
-        return
-    for f in os.listdir(out_dir):
-        if f.startswith("part-") or f == "_SUCCESS":
-            try:
-                os.remove(os.path.join(out_dir, f))
-            except OSError:
-                pass
+        return []
+    return [f for f in sorted(os.listdir(out_dir))
+            if f.startswith("part-") or f == "_SUCCESS"]
+
+
+def _remove_old_parts(out_dir: str, old_parts: list[str]) -> None:
+    for f in old_parts:
+        try:
+            os.remove(os.path.join(out_dir, f))
+        except OSError:
+            pass
 
 
 def _sheet_opt(options: dict):
@@ -105,8 +152,14 @@ class ExcelDataSource(DataSource):
 
     Options: ``path`` (file / dir / glob), ``header_row`` (0-based
     physical index; default auto-detection via the alias scan),
-    ``sheet`` (index, default 0). Output columns: ``Proyecto`` (file
-    stem, the reference's APN:233 convention), the cleaned +
+    ``sheet`` (index, default 0), ``samples`` (int, default 1: how
+    many files the planner opens for schema inference — the schema is
+    the first-seen-ordered UNION of their header names, so
+    heterogeneous exports stop silently dropping columns absent from
+    file #1), ``strict`` (default false: when true, a file whose
+    headers include a name NOT in the schema fails the read loudly
+    instead of dropping that column). Output columns: ``Proyecto``
+    (file stem, the reference's APN:233 convention), the cleaned +
     duplicate-collapsed + alias-renamed header names as strings, and
     the in-file ordinal ``_ord``."""
 
@@ -117,11 +170,19 @@ class ExcelDataSource(DataSource):
     def schema(self) -> StructType:
         from .ingest import _parse_file_rows
         from .excel import read_xlsx_rows
-        sample = _file_list(self.options)[0]
+        files = _file_list(self.options)
+        n_samples = max(1, int(self.options.get("samples", 1)))
         hdr = self.options.get("header_row")
-        names, _ = _parse_file_rows(
-            read_xlsx_rows(sample, _sheet_opt(self.options)),
-            int(hdr) if hdr is not None else None)
+        names: list[str] = []
+        seen: set[str] = set()
+        for sample in files[:n_samples]:
+            file_names, _ = _parse_file_rows(
+                read_xlsx_rows(sample, _sheet_opt(self.options)),
+                int(hdr) if hdr is not None else None)
+            for n in file_names:
+                if n not in seen:
+                    seen.add(n)
+                    names.append(n)
         fields = [StructField("Proyecto", StringType())]
         fields += [StructField(n, StringType()) for n in names
                    if n != "Proyecto"]
@@ -141,6 +202,16 @@ class ExcelReader(DataSourceReader):
         self.header_row = options.get("header_row")
         self.sheet = _sheet_opt(options)
         self.names = [f.name for f in schema.fields]
+        # read() maps cells positionally into [Proyecto, <data...>, _ord];
+        # a user-supplied .schema(...) that drops or moves the sentinels
+        # would silently misalign values to columns — fail at planning.
+        if not self.names or self.names[0] != "Proyecto" \
+                or self.names[-1] != "_ord":
+            raise ValueError(
+                "xlsx format schemas must start with 'Proyecto' and end "
+                f"with '_ord' (got {self.names!r}); select/rename after "
+                "the scan instead of overriding the schema shape")
+        self.strict = str(options.get("strict", "false")).lower() == "true"
         self._project_tests: list = []
 
     def pushFilters(self, filters):
@@ -171,6 +242,15 @@ class ExcelReader(DataSourceReader):
             read_xlsx_rows(partition.path, self.sheet), hdr)
         project = os.path.splitext(os.path.basename(partition.path))[0]
         target = self.names[1:-1]                 # strip Proyecto/_ord
+        if self.strict:
+            extra = [n for n in names
+                     if n not in ("Proyecto",) and n not in target]
+            if extra:
+                raise ValueError(
+                    f"xlsx strict mode: {partition.path} has columns "
+                    f"{extra} absent from the inferred schema — raise "
+                    "the 'samples' option (or drop strict) so no "
+                    "column is silently lost")
         pos = {n: i for i, n in enumerate(names)}
         idxs = [pos.get(n) for n in target]
         for r in rows:
@@ -203,11 +283,10 @@ class ExcelWriter(DataSourceWriter):
         path = options.get("path")
         if not path:
             raise ValueError("path option is required")
-        self.dir = path
+        self.dir = _require_shared_fs(path)
         self.columns = [f.name for f in schema.fields]
         self.sheet = str(options.get("sheet", "Sheet1"))
-        if overwrite:
-            _clear_parts(path)
+        self._old_parts = _snapshot_parts(self.dir) if overwrite else []
 
     def write(self, iterator) -> _XlsxCommit:
         import uuid
@@ -226,19 +305,11 @@ class ExcelWriter(DataSourceWriter):
         return _XlsxCommit(name, len(rows) - 1)
 
     def commit(self, messages) -> None:
-        manifest = sorted(f"{m.path}\t{m.rows}" for m in messages
-                          if m is not None)
-        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
-            f.write("\n".join(manifest) + "\n")
+        _remove_old_parts(self.dir, self._old_parts)
+        _write_manifest(self.dir, messages)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            try:
-                os.remove(os.path.join(self.dir, m.path))
-            except OSError:
-                pass
+        _abort_parts(self.dir, messages)
 
 
 class WarcDataSource(DataSource):
@@ -317,7 +388,14 @@ class WarcReader(DataSourceReader):
             except UnsupportedZstd:
                 # dictionary-referencing frames: Common Crawl ships the
                 # dictionary as a LEADING skippable frame — peel it and
-                # re-decode with it
+                # re-decode with it. Gate the peel on the first frame
+                # actually BEING skippable: a member whose first frame
+                # references an external dictionary would otherwise have
+                # garbage compressed bytes become a raw-content
+                # dictionary and silently mis-seed the window.
+                if not (len(blob) >= 8 and 0x184D2A50 <=
+                        int.from_bytes(blob[:4], "little") <= 0x184D2A5F):
+                    raise
                 size = int.from_bytes(blob[4:8], "little")
                 dictionary = blob[8:8 + size]
                 blob = decode_zstd_stream(
@@ -365,13 +443,12 @@ class WarcWriter(DataSourceWriter):
         path = options.get("path")
         if not path:
             raise ValueError("path option is required")
-        self.dir = path
+        self.dir = _require_shared_fs(path)
         comp = str(options.get("compression", "none")).lower()
         if comp not in ("none", "gzip", "zstd"):
             raise ValueError("compression must be none/gzip/zstd")
         self.comp = comp
-        if overwrite:
-            _clear_parts(path)
+        self._old_parts = _snapshot_parts(self.dir) if overwrite else []
         names = [f.name for f in schema.fields]
         for c in ("warc_type", "record_id", "payload"):
             if c not in names:
@@ -409,6 +486,7 @@ class WarcWriter(DataSourceWriter):
         return _PartCommit(name, len(recs))
 
     def commit(self, messages) -> None:
+        _remove_old_parts(self.dir, self._old_parts)
         _write_manifest(self.dir, messages)
 
     def abort(self, messages) -> None:
@@ -471,13 +549,12 @@ class TFRecordWriter(DataSourceWriter):
         path = options.get("path")
         if not path:
             raise ValueError("path option is required")
-        self.dir = path
+        self.dir = _require_shared_fs(path)
         names = [f.name for f in schema.fields]
         if "record" not in names:
             raise ValueError("tfrecord writer needs a 'record' column")
         self.rec_idx = names.index("record")
-        if overwrite:
-            _clear_parts(path)
+        self._old_parts = _snapshot_parts(self.dir) if overwrite else []
 
     def write(self, iterator) -> _PartCommit:
         import uuid
@@ -495,6 +572,7 @@ class TFRecordWriter(DataSourceWriter):
         return _PartCommit(name, len(recs))
 
     def commit(self, messages) -> None:
+        _remove_old_parts(self.dir, self._old_parts)
         _write_manifest(self.dir, messages)
 
     def abort(self, messages) -> None:

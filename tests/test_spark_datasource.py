@@ -303,3 +303,146 @@ def test_tfrecord_streaming_source(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "tsink"))
     assert sorted(bytes(r["record"]) for r in got.collect()) == [b"r1", b"r2"]
+
+
+def test_xlsx_multi_sample_schema_union(spark, tmp_path):
+    """samples=N infers the first-seen-ordered UNION of header names
+    over the first N files, so heterogeneous exports stop silently
+    dropping columns that are absent from file #1 (r11)."""
+    register_data_sources(spark)
+    write_xlsx(str(tmp_path / "A.xlsx"),
+               {"S": [["codigo", "precio"], ["a1", "10"]]})
+    write_xlsx(str(tmp_path / "B.xlsx"),
+               {"S": [["codigo", "precio", "torre"], ["b1", "20", "T2"]]})
+    # default (samples=1): schema comes from A.xlsx alone — B's extra
+    # column is dropped by name alignment (the documented default)
+    d1 = (spark.read.format("xlsx").option("header_row", 0)
+          .load(str(tmp_path / "*.xlsx")))
+    assert "torre" not in d1.columns
+    # samples=2: union schema carries B's column; A rows null-fill it
+    d2 = (spark.read.format("xlsx").option("header_row", 0)
+          .option("samples", 2).load(str(tmp_path / "*.xlsx")))
+    assert "torre" in d2.columns
+    got = {r["Proyecto"]: r["torre"] for r in d2.collect()}
+    assert got == {"A": None, "B": "T2"}
+
+
+def test_xlsx_strict_mode_fails_on_extra_columns(spark, tmp_path):
+    """strict=true: a file with columns missing from the schema fails
+    the read loudly instead of silently dropping them (r11)."""
+    import pytest
+
+    register_data_sources(spark)
+    write_xlsx(str(tmp_path / "A.xlsx"),
+               {"S": [["codigo", "precio"], ["a1", "10"]]})
+    write_xlsx(str(tmp_path / "B.xlsx"),
+               {"S": [["codigo", "precio", "torre"], ["b1", "20", "T2"]]})
+    narrow = (spark.read.format("xlsx").option("header_row", 0)
+              .option("strict", True).load(str(tmp_path / "*.xlsx")))
+    with pytest.raises(Exception, match="strict"):
+        narrow.collect()
+    # strict + a wide-enough sample union succeeds
+    wide = (spark.read.format("xlsx").option("header_row", 0)
+            .option("strict", True).option("samples", 2)
+            .load(str(tmp_path / "*.xlsx")))
+    assert wide.count() == 2
+
+
+def test_xlsx_user_schema_shape_validated(spark, tmp_path):
+    """A user-supplied schema without the Proyecto/_ord sentinels
+    fails at planning instead of silently misaligning cells (ADVICE
+    r10)."""
+    import pytest
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    register_data_sources(spark)
+    write_xlsx(str(tmp_path / "A.xlsx"),
+               {"S": [["codigo", "precio"], ["a1", "10"]]})
+    bad = StructType([StructField("codigo", StringType()),
+                      StructField("precio", StringType())])
+    with pytest.raises(Exception, match="Proyecto"):
+        (spark.read.format("xlsx").schema(bad)
+         .option("header_row", 0).load(str(tmp_path / "A.xlsx")).collect())
+
+
+def test_object_store_uri_raises_named_error(spark, tmp_path):
+    """Object-store URIs hit the SharedFilesystemRequired guard at
+    planning (the formats address files via POSIX os/glob on driver
+    and executors — PLANS.md 'Data-source filesystem boundary')."""
+    import pytest
+
+    from precios_nexo_sperant_etl_spark.sources.spark_datasource import (
+        ExcelWriter, SharedFilesystemRequired, _file_list,
+        _require_shared_fs)
+
+    with pytest.raises(SharedFilesystemRequired, match="s3"):
+        _file_list({"path": "s3://bucket/prefix/*.warc"})
+    with pytest.raises(SharedFilesystemRequired, match="gs"):
+        ExcelWriter({"path": "gs://bucket/out"},
+                    __import__("pyspark").sql.types.StructType([]), False)
+    # file:// is a plain path in disguise — accepted and stripped
+    assert _require_shared_fs("file:///tmp/x") == "/tmp/x"
+    # end-to-end: the reader surfaces the guard through Spark planning
+    with pytest.raises(Exception, match="shared POSIX filesystem"):
+        register_data_sources(spark)
+        spark.read.format("warc").load("s3a://bucket/crawl/*.warc.gz") \
+            .collect()
+
+
+def test_overwrite_defers_old_part_removal_to_commit(tmp_path):
+    """Commit-protocol overwrite (ADVICE r10): old parts survive
+    planning and write; they disappear only at commit. An aborted
+    overwrite leaves the previous dataset fully intact."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from precios_nexo_sperant_etl_spark.operators.tfrecord import (
+        read_records)
+    from precios_nexo_sperant_etl_spark.sources.spark_datasource import (
+        TFRecordWriter)
+
+    out = tmp_path / "ds"
+    out.mkdir()
+    schema = StructType([StructField("record", BinaryType())])
+    # seed an existing committed dataset
+    w0 = TFRecordWriter({"path": str(out)}, schema, False)
+    m0 = w0.write(iter([(b"old-1",), (b"old-2",)]))
+    w0.commit([m0])
+    old_parts = sorted(p.name for p in out.glob("part-*"))
+    assert len(old_parts) == 1
+
+    # overwrite attempt #1: write, then ABORT — old data intact
+    w1 = TFRecordWriter({"path": str(out)}, schema, True)
+    assert sorted(p.name for p in out.glob("part-*")) == old_parts
+    m1 = w1.write(iter([(b"new-A",)]))
+    assert set(old_parts) <= {p.name for p in out.glob("part-*")}
+    w1.abort([m1])
+    assert sorted(p.name for p in out.glob("part-*")) == old_parts
+    assert (out / "_SUCCESS").exists()
+    data = b"".join(rec for p in out.glob("part-*")
+                    for rec in read_records(p.read_bytes()))
+    assert data == b"old-1old-2"
+
+    # overwrite attempt #2: write + COMMIT — old parts replaced
+    w2 = TFRecordWriter({"path": str(out)}, schema, True)
+    m2 = w2.write(iter([(b"new-B",)]))
+    w2.commit([m2])
+    parts = sorted(p.name for p in out.glob("part-*"))
+    assert len(parts) == 1 and parts != old_parts
+    assert read_records((out / parts[0]).read_bytes()) == [b"new-B"]
+
+
+def test_warc_zstd_external_dict_frame_refuses(spark, tmp_path):
+    """A .warc.zst member whose FIRST frame references an external
+    dictionary (no leading skippable frame) must refuse, not peel
+    compressed bytes into a garbage raw-content dictionary (ADVICE
+    r10, medium)."""
+    import pytest
+
+    register_data_sources(spark)
+    warc = build_warc([("response", "<urn:x>", b"payload " * 8)])
+    blob = encode_zstd_dictionary(b"seed " * 16, dict_id=7)
+    member = encode_zstd_compressed([(warc, [])], dictionary=blob)
+    (tmp_path / "x.warc.zst").write_bytes(member)
+    with pytest.raises(Exception, match="[Dd]ictionary"):
+        spark.read.format("warc").load(str(tmp_path / "x.warc.zst")) \
+            .collect()
