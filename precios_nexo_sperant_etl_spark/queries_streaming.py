@@ -740,3 +740,152 @@ FROM j GROUP BY user_id ORDER BY user_id
         "expires; landed pairs aggregate bit-equal to the batch "
         "interval join.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming WARC ingestion (round 11, VERDICT r10 item 5): the
+# readStream.format("warc") source registered as a DRIVER-CHECKABLE
+# query, not just pytest. Documents are re-sharded into zstd WARC
+# members landed in TWO WAVES; one checkpointed availableNow run
+# drains wave 1, a second run against the SAME checkpoint drains only
+# wave 2 (the lexicographic-name offset replays exactly — wave-2
+# members are named to sort after wave 1, the Common Crawl segment
+# convention the source documents). The landed union must therefore
+# contain every document exactly once, and every published value
+# (content length, payload md5) is recomputed by the oracle from the
+# parquet originals — a byte lost in write→zstd→stream→parse, or a
+# record dropped/duplicated across the checkpoint boundary, breaks
+# the hash. Scale: the simple stream reader prefetches each
+# microbatch driver-side by design (landing-shape batches); the
+# BATCH warc format stays the fleet gear for backfills.
+# ---------------------------------------------------------------------------
+
+def _streaming_warc_census(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from .queries_scale_common import _t
+    from .sources.spark_datasource import register_data_sources
+
+    register_data_sources(spark)
+    root = tempfile.mkdtemp(prefix="stream_warc_q_")
+    land = os.path.join(root, "land")
+    os.makedirs(land)
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def land_wave(tag: str, wave_df) -> None:
+        stage = os.path.join(root, f"stage_{tag}")
+        (wave_df.repartition(4)
+         .select(F.lit("response").alias("warc_type"),
+                 F.format_string("<urn:doc:%d>", F.col("doc_id"))
+                  .alias("record_id"),
+                 F.encode(F.col("text"), "utf-8").alias("payload"))
+         .write.format("warc").option("compression", "zstd")
+         .mode("append").save(stage))
+        # monotone landing names (the stream offset contract)
+        for i, p in enumerate(sorted(glob.glob(
+                os.path.join(stage, "part-*.warc.zst")))):
+            shutil.move(p, os.path.join(land, f"{tag}-{i:03d}.warc.zst"))
+
+    def drain() -> None:
+        q = (spark.readStream.format("warc")
+             .load(os.path.join(land, "*.warc.zst"))
+             .select(F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+                      .cast("long").alias("doc_id"),
+                     F.col("warc_type"),
+                     F.col("content_length"),
+                     F.md5(F.col("payload")).alias("payload_md5"))
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    land_wave("w1", d.where(F.col("doc_id") % 2 == 0))
+    drain()
+    land_wave("w2", d.where(F.col("doc_id") % 2 == 1))
+    drain()                      # same checkpoint: only wave 2 is new
+    return spark.read.parquet(sink).orderBy("doc_id")
+
+
+register(
+    "streaming_warc_census",
+    _streaming_warc_census,
+    """
+SELECT doc_id,
+       'response' AS warc_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="readStream.format('warc') end-to-end: two landing waves of "
+        "zstd WARC members drained through ONE checkpoint "
+        "(availableNow twice); exactly-once union pinned per record "
+        "against the parquet originals.",
+)
+
+
+def _streaming_tfrecord_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Same two-wave/one-checkpoint discipline as
+    ``streaming_warc_census``, over ``readStream.format("tfrecord")``:
+    records are ``doc_id|text`` bytes in masked-CRC32C frames, so the
+    landed (md5, length) set pins the whole frame→stream→parse chain
+    against the parquet originals."""
+    import glob
+    import shutil
+
+    from .queries_scale_common import _t
+    from .sources.spark_datasource import register_data_sources
+
+    register_data_sources(spark)
+    root = tempfile.mkdtemp(prefix="stream_tfrec_q_")
+    land = os.path.join(root, "land")
+    os.makedirs(land)
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+
+    d = (_t(spark, sf, "documents")
+         .select(F.encode(F.format_string("%d|%s", F.col("doc_id"),
+                                          F.col("text")), "utf-8")
+                  .alias("record"), F.col("doc_id")))
+
+    def land_wave(tag: str, wave_df) -> None:
+        stage = os.path.join(root, f"stage_{tag}")
+        (wave_df.repartition(4).select("record")
+         .write.format("tfrecord").mode("append").save(stage))
+        for i, p in enumerate(sorted(glob.glob(
+                os.path.join(stage, "part-*.tfrecord")))):
+            shutil.move(p, os.path.join(land, f"{tag}-{i:03d}.tfrecord"))
+
+    def drain() -> None:
+        q = (spark.readStream.format("tfrecord")
+             .load(os.path.join(land, "*.tfrecord"))
+             .select(F.md5(F.col("record")).alias("rec_md5"),
+                     F.octet_length(F.col("record")).alias("rec_len"))
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    land_wave("w1", d.where(F.col("doc_id") % 2 == 0))
+    drain()
+    land_wave("w2", d.where(F.col("doc_id") % 2 == 1))
+    drain()
+    return spark.read.parquet(sink).orderBy("rec_md5")
+
+
+register(
+    "streaming_tfrecord_census",
+    _streaming_tfrecord_census,
+    """
+SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS rec_md5,
+       CAST(octet_length(encode(CAST(doc_id AS VARCHAR) || '|' || text))
+            AS INTEGER) AS rec_len
+FROM documents ORDER BY rec_md5
+""",
+    doc="readStream.format('tfrecord') end-to-end: two landing waves "
+        "of CRC32C-framed records drained through one checkpoint; the "
+        "exactly-once (md5, length) census matches the originals.",
+)

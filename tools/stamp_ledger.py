@@ -117,6 +117,14 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     # interop-tested against the real zstd binary. Heads the r11 queue.
     "zstd_dict_roundtrip": 10,
     "warc_datasource_roundtrip": 10,
+    # r11-session additions (VERDICT r10 item 5: the readStream
+    # warc/tfrecord sources as driver-checkable queries), registered
+    # BEHIND the committed r11 window per the registration-pause
+    # discipline (third round running); parity-green at sf0.01 tuned
+    # AND vanilla plus sf0.1 in their registration session. They head
+    # the r12 queue.
+    "streaming_warc_census": 11,
+    "streaming_tfrecord_census": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
