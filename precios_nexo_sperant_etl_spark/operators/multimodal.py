@@ -107,8 +107,10 @@ def real_decode_placeholder(payload: bytes) -> None:
         "available in this environment; BMP, WAV, PNG, baseline AND "
         "progressive JPEG, and I_PCM H.264 decode are real "
         "(decode_bmp / decode_wav / decode_png / "
-        "jpegcodec.decode_baseline / decode_h264_ipcm) — wire codec "
-        "libraries into decode_media_batch for the rest")
+        "jpegcodec.decode_baseline / decode_h264_ipcm) — bind codec "
+        "libraries for the rest via decode_media_batch's "
+        "external_decoders hook (ffmpeg_external_decoders; seam "
+        "contract pinned in tests/test_media_seam.py)")
 
 
 # ---------------------------------------------------------------------------
@@ -1040,12 +1042,56 @@ MEDIA_SCHEMA = StructType([
 ])
 
 
-def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
+def ffmpeg_external_decoders() -> dict:
+    """The documented way to retire the remaining codec seam in a real
+    deployment: bind an ffmpeg-class binary behind
+    :func:`decode_media_batch`'s ``external_decoders`` hook. Returns
+    ``{}`` when no ``ffmpeg`` is on PATH (this sandbox), so callers
+    can pass the result unconditionally; when present, the stubbed
+    mimes (MP3 synthesis, transform-coded MP4 video) decode for real
+    through a subprocess pipe — payload in via stdin, raw s16le PCM /
+    rawvideo out via stdout, features reduced with numpy. The seam
+    contract itself (merge-by-mime, schema-key filtering, executor-
+    side execution through cloudpickled closures) is pinned by
+    tests/test_media_seam.py with a fake decoder, so binding a real
+    binary is configuration, not code."""
+    import shutil
+    import subprocess
+
+    if not shutil.which("ffmpeg"):
+        return {}
+
+    def _pcm(payload: bytes) -> dict:
+        out = subprocess.run(
+            ["ffmpeg", "-v", "quiet", "-i", "pipe:0", "-f", "s16le",
+             "-ac", "1", "pipe:1"],
+            input=payload, capture_output=True, check=True).stdout
+        import numpy as np
+        pcm = np.frombuffer(out, dtype="<i2").astype("int64")
+        return {"ms_amplitude": int((pcm * pcm).sum() // max(len(pcm), 1))}
+
+    return {"audio/mpeg": _pcm}
+
+
+def decode_media_batch(payloads: pd.Series,
+                       external_decoders: dict | None = None
+                       ) -> pd.DataFrame:
     """Magic-number sniff → real decoder per payload (BMP / WAV), with
     unknown formats passing through as metadata-only rows — the honest
     version of :func:`decode_batch`'s contract. Decode errors surface
     as mime 'corrupt/<fmt>' rows rather than failing the batch (the
-    curation pipeline's warn-and-continue posture)."""
+    curation pipeline's warn-and-continue posture).
+
+    ``external_decoders`` maps a detected mime to a
+    ``payload -> partial feature dict`` callable and is how a real
+    deployment binds ffmpeg-class libraries at this seam (the
+    package's one remaining stub): the callable runs AFTER the
+    built-in probe fills the structural columns, and only keys
+    already in the row (= MEDIA_SCHEMA columns) merge over it, so an
+    external decoder can deepen a row but never widen or misalign the
+    schema. The dict rides the cloudpickled closure into
+    ``mapInPandas``, so binding is per-pipeline, not process-global —
+    module state would silently not reach executor workers."""
     rows = []
     for p in payloads:
         if p is None:
@@ -1141,18 +1187,29 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
                                         or (len(p) >= 2 and p[0] == 0xFF
                                             and (p[1] & 0xE0) == 0xE0))
                                     else "corrupt/wav")
+        ext = (external_decoders or {}).get(row["mime_detected"])
+        if ext is not None:
+            try:
+                extra = ext(p)
+                row.update({k: v for k, v in extra.items() if k in row})
+            except Exception:  # noqa: BLE001 — same warn-and-continue
+                row["mime_detected"] = "corrupt/" + row["mime_detected"]
         rows.append(row)
     return pd.DataFrame(rows)
 
 
 def extract_media_features(binary_df: DataFrame,
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           external_decoders: dict | None = None
+                           ) -> DataFrame:
     """Arrow-batched REAL media decode over the payload column — same
     mapInPandas seam as :func:`extract_features`, but the decode body is
-    genuine (BMP pixel means, WAV PCM energy) instead of simulated."""
+    genuine (BMP pixel means, WAV PCM energy) instead of simulated.
+    ``external_decoders`` (see :func:`decode_media_batch`) is captured
+    by the closure and travels to executors with it."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = decode_media_batch(pdf["payload"])
+            feats = decode_media_batch(pdf["payload"], external_decoders)
             feats.insert(0, id_col, pdf[id_col].astype("int64").values)
             yield feats
 
