@@ -229,6 +229,9 @@ HEADLINE = [
     "zstd_dict_roundtrip",      # RFC 8878 §5 dictionary frames
     "h264_ipcm_roundtrip",      # lossless I_PCM slice-data decode
     "warc_datasource_roundtrip",  # data-source formats end-to-end
+    # appended r11:
+    "bm25_topk",                # Okapi BM25 posting join, ordered fold
+    "streaming_warc_census",    # two-wave checkpointed warc stream
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -224,3 +224,112 @@ def negative_samples(docs: DataFrame, n_buckets: int = 64, k: int = 2,
                           F.coalesce(fallback, F.lit(False))
                            .alias("used_fallback"))
                   .orderBy("anchor_id", "j"))
+
+
+def term_freqs(docs: DataFrame, ngram: int = 2, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Non-distinct term occurrences aggregated to ``(did, term, tf)``
+    — the posting list WITH frequencies that BM25 needs (contrast
+    :func:`term_sets`, whose distinct pairs make every tf 1). One
+    shuffle keyed (did, term) with map-side combine; the explode
+    itself is narrow."""
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    tk = tokens(F.col(text_col))
+    if ngram == 1:
+        terms = F.filter(tk, lambda x: x != "")
+    else:
+        terms = F.expr(
+            f"transform(slice({'_tk'}, 1, size(_tk) - 1),"
+            " (x, i) -> concat(x, ' ', element_at(_tk, i + 2)))")
+        return (docs.select(F.col(id_col).alias("did"), tk.alias("_tk"))
+                    .select("did", F.explode(terms).alias("term"))
+                    .groupBy("did", "term")
+                    .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+    return (docs.select(F.col(id_col).alias("did"), terms.alias("_terms"))
+                .select("did", F.explode("_terms").alias("term"))
+                .groupBy("did", "term")
+                .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+
+
+def bm25_topk(docs: DataFrame, query_ids: list[int], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, df_prune_den: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              ngram: int = 2) -> DataFrame:
+    """Okapi BM25 top-``k`` per probe document — the canonical sparse
+    ranking function of Lucene-class search engines, with the
+    Lucene-style non-negative idf ``ln(1 + (N - df + .5)/(df + .5))``.
+
+    Engine-exact determinism, the module's usual discipline: document
+    length ``dl`` is computed NARROWLY as ``size(tokens) - 1`` (no
+    per-doc shuffle), ``avgdl`` is a ratio of exact integer sums, each
+    term's contribution is one fixed-order double expression, and the
+    per-pair score folds contributions in lexicographic term order
+    (sort_array + aggregate — the float sum is order-pinned). One
+    hazard remains: ``ln`` itself is libm-implementation territory
+    (measured: a single 1-ulp JVM-vs-DuckDB divergence across the
+    sf0.01 posting set), so the PUBLISHED score is the micro-quantized
+    integer ``bm25_micro = round(score * 1e6)`` and the ranking orders
+    by it — 1-ulp noise (~4e-16 relative) cannot move a 1e-6 quantum
+    except at engineered boundaries, and ties break by neighbor id
+    identically in both engines. Scale shape mirrors
+    ``sparse_overlap_topk``: broadcast stop-list prune (df above
+    1/df_prune_den of the corpus never joins), broadcast probe terms,
+    corpus side never shuffles on term; the tf build is one combined
+    map-side shuffle on (did, term).
+    """
+    tfreq = term_freqs(docs, ngram=ngram, text_col=text_col, id_col=id_col)
+    dl_expr = F.greatest(
+        F.size(tokens(F.col(text_col))) - (1 if ngram == 2 else 0),
+        F.lit(0))
+    dls = docs.select(F.col(id_col).alias("did"), dl_expr.alias("dl")) \
+              .where(F.col("dl") >= 1)
+    stats = (dls.agg(F.sum("dl").alias("_sdl"),
+                     F.count(F.lit(1)).alias("_ndl"))
+                .crossJoin(docs.agg(F.count(F.lit(1)).alias("_n")))
+                .select((F.col("_sdl").cast("double")
+                         / F.col("_ndl").cast("double")).alias("avgdl"),
+                        F.col("_n").alias("n_docs")))
+    dfs = tfreq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stop = (dfs.crossJoin(F.broadcast(
+                docs.select(F.count(F.lit(1)).alias("_n"))))
+               .where(F.col("df") * df_prune_den > F.col("_n"))
+               .select("term"))
+    pruned = (tfreq.join(F.broadcast(stop), "term", "left_anti")
+                   .join(dfs, "term"))
+    probes = (term_sets(docs.where(F.col(id_col).isin(query_ids)),
+                        ngram=ngram, text_col=text_col, id_col=id_col)
+              .select(F.col("did").alias("query_id"), "term"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs").cast("double")
+                   - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5)))
+    tf_d = F.col("tf").cast("double")
+    norm = (tf_d * F.lit(k1 + 1.0)
+            / (tf_d + F.lit(k1)
+               * (F.lit(1.0 - b)
+                  + F.lit(b) * F.col("dl").cast("double")
+                  / F.col("avgdl"))))
+    contrib = (idf * norm).alias("contrib")
+    scored = (pruned.join(F.broadcast(probes), "term")
+                    .where(F.col("did") != F.col("query_id"))
+                    .join(dls, "did")
+                    .crossJoin(F.broadcast(stats))
+                    .select("query_id", F.col("did").alias("neighbor_id"),
+                            "term", contrib))
+    folded = (scored.groupBy("query_id", "neighbor_id")
+              .agg(F.aggregate(
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct("term", "contrib"))),
+                       lambda s: s["contrib"]),
+                   F.lit(0.0), lambda acc, x: acc + x)
+                   .alias("_score"))
+              .select("query_id", "neighbor_id",
+                      F.round(F.col("_score") * F.lit(1000000.0))
+                       .cast("long").alias("bm25_micro")))
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.desc("bm25_micro"), F.asc("neighbor_id")))
+    return (folded.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .orderBy("query_id", "rank"))

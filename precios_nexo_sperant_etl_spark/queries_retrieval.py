@@ -179,3 +179,78 @@ ORDER BY anchor_id, j
         "minima broadcast to every anchor; NULL draws reported, never "
         "dropped.",
 )
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk (r11): the canonical Okapi BM25 sparse ranking (Robertson &
+# Zaragoza 2009; Lucene's non-negative idf variant) over word-bigram
+# terms, top-10 per probe document. Same engine-exactness discipline as
+# rrf_hybrid_retrieval: every constant subexpression is written
+# IDENTICALLY on both sides (1.2 + 1.0, not 2.2 — the two doubles
+# differ), avgdl is a ratio of exact integer sums, the per-pair
+# float sum folds in lexicographic term order, and the published score
+# is micro-quantized to an integer (ln is libm territory — a measured
+# 1-ulp JVM/DuckDB divergence motivates the quantum; see the operator
+# docstring). Scale shape: broadcast stop-list prune +
+# broadcast probe terms; the corpus never shuffles on term (see
+# operators.retrieval.bm25_topk). Registered BEHIND the r11 window
+# (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _bm25(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.retrieval import bm25_topk
+    return bm25_topk(_t(spark, sf, "documents"), _RRF_PROBES, k=10)
+
+
+register(
+    "bm25_topk",
+    _bm25,
+    f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+toks AS (SELECT doc_id AS did,
+                unnest(list_transform(range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS term
+         FROM base),
+tfreq AS (SELECT did, term, CAST(COUNT(*) AS INT) AS tf
+          FROM toks GROUP BY 1, 2),
+dls AS (SELECT doc_id AS did, len(tk) - 1 AS dl FROM base
+        WHERE len(tk) - 1 >= 1),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avgdl,
+                 (SELECT COUNT(*) FROM documents) AS n_docs
+          FROM dls),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfreq GROUP BY term),
+pruned AS (SELECT t.did, t.term, t.tf, d.df
+           FROM tfreq t JOIN dfs d USING (term)
+           WHERE d.df * 10 <= (SELECT COUNT(*) FROM documents)),
+probes AS (SELECT DISTINCT did AS query_id, term FROM toks
+           WHERE did IN ({_RRF_IDS})),
+scored AS (
+  SELECT p.query_id, c.did AS neighbor_id, c.term,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(c.df AS DOUBLE) + 0.5)
+                  / (CAST(c.df AS DOUBLE) + 0.5))
+         * (CAST(c.tf AS DOUBLE) * (1.2 + 1.0)
+            / (CAST(c.tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)))
+           AS contrib
+  FROM pruned c JOIN probes p USING (term)
+       JOIN dls l ON l.did = c.did, stats s
+  WHERE c.did != p.query_id),
+folded AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                             list(contrib ORDER BY term)),
+                                (x, y) -> x + y) * 1000000.0)
+              AS BIGINT) AS bm25_micro
+  FROM scored GROUP BY 1, 2)
+SELECT query_id, neighbor_id, bm25_micro, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY bm25_micro DESC, neighbor_id) AS rn FROM folded)
+WHERE rn <= 10
+ORDER BY query_id, rank
+""",
+    doc="Okapi BM25 top-10 per probe over word-bigram terms: "
+        "Lucene-style idf, exact-integer avgdl, order-pinned float "
+        "fold — the full ranking is oracle-exact, and the posting "
+        "join is stop-list-pruned and probe-broadcast.",
+)

@@ -195,3 +195,61 @@ def test_rrf_fuse_matches_reference(spark, la, lb):
                                                  for w in want]
     for g, w in zip(got, want):
         assert g[2] == w[2]  # bit-exact: same two divisions, same sum order
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """bm25_topk (r11) against an independent eager-Python Okapi BM25
+    over the same bigram/len/df definitions — rank list and quantized
+    scores must agree exactly."""
+    import math
+
+    from precios_nexo_sperant_etl_spark.operators.retrieval import (
+        bm25_topk)
+
+    texts = {
+        0: "red fox jumps over the lazy dog near the red barn",
+        1: "red fox sleeps under a barn roof every day",
+        2: "lazy dog and red fox share the barn",
+        3: "quick brown fox jumps high",
+        4: "the cat sleeps all day in the sun",
+        5: "dog barks at the cat near the sun porch",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+
+    def bigrams(t):
+        w = t.split()
+        return [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    n = len(texts)
+    tf = {i: {} for i in texts}
+    for i, t in texts.items():
+        for g in bigrams(t):
+            tf[i][g] = tf[i].get(g, 0) + 1
+    df = {}
+    for i in texts:
+        for g in tf[i]:
+            df[g] = df.get(g, 0) + 1
+    kept = {g for g, d in df.items() if d * 10 <= n}
+    dl = {i: len(bigrams(t)) for i, t in texts.items()}
+    avgdl = sum(dl.values()) / len(dl)
+
+    def score(q, c):
+        s = 0.0
+        for g in sorted(set(bigrams(texts[q]))):
+            if g in kept and g in tf[c]:
+                idf = math.log(1.0 + (n - df[g] + 0.5) / (df[g] + 0.5))
+                t = float(tf[c][g])
+                s += idf * (t * (1.2 + 1.0)
+                            / (t + 1.2 * (0.25 + 0.75 * dl[c] / avgdl)))
+        return s
+
+    got = [(r["query_id"], r["neighbor_id"], r["bm25_micro"], r["rank"])
+           for r in bm25_topk(docs, [0, 4], k=3).collect()]
+    want = []
+    for q in (0, 4):
+        ranked = sorted(((round(score(q, c) * 1e6), c)
+                         for c in texts if c != q and score(q, c) > 0),
+                        key=lambda x: (-x[0], x[1]))[:3]
+        want += [(q, c, s, i + 1) for i, (s, c) in enumerate(ranked)]
+    assert got == want
