@@ -232,6 +232,7 @@ HEADLINE = [
     # appended r11:
     "bm25_topk",                # Okapi BM25 posting join, ordered fold
     "streaming_warc_census",    # two-wave checkpointed warc stream
+    "bitext_mining_pairs",      # LSH-bucketed margin bitext mining
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

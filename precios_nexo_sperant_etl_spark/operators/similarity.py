@@ -741,3 +741,92 @@ def quantization_audit(emb: DataFrame, id_col: str = "vec_id",
                      (F.col("_sse") / F.col("n_values")).alias("mse"),
                      "max_abs_err")
              .orderBy("dim"))
+
+
+def bitext_margin_pairs(docs: DataFrame, emb: DataFrame,
+                        lang_a: str, lang_b: str,
+                        k_margin: int = 4,
+                        margin_threshold: float = 1.05,
+                        n_planes: int = 6,
+                        max_bucket_size: int | None = 256,
+                        doc_id_col: str = "doc_id",
+                        vec_id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    ratio-margin criterion behind LASER/CCMatrix): candidate
+    translation pairs between ``lang_a`` and ``lang_b`` documents are
+    scored by cosine DIVIDED by the average of each side's mean top-k
+    candidate cosine — raw cosine over-fires on hub vectors that sit
+    close to everything; the margin normalizes each anchor by its own
+    neighborhood density, which is the whole trick.
+
+    Scale shape: candidates come from a shared LSH sign-bucket join
+    between the two language sides (never all-pairs; same plane
+    generator as :func:`embedding_neardup_lsh`, with the same
+    degenerate-bucket cap — capped buckets belong to the cluster-level
+    path). Margins are computed WITHIN the candidate set (the
+    production approximation: the same k-NN list the join already
+    built), each mean folding its top-k cosines in rank order so the
+    published micro-quantized margin is oracle-exact. One shuffle on
+    the bucket key, one on each anchor side for the top-k window.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import ddot
+
+    def side(lang: str, suffix: str) -> DataFrame:
+        ids = (docs.where(F.col("lang") == lang)
+                   .select(F.col(doc_id_col).alias(f"id_{suffix}")))
+        return (emb.join(ids, emb[vec_id_col] == F.col(f"id_{suffix}"))
+                   .select(F.col(f"id_{suffix}"),
+                           F.col(vec_col).alias(f"v_{suffix}"),
+                           _norm(F.col(vec_col)).alias(f"n_{suffix}"),
+                           F.expr(lsh_bucket_expr(vec_col, n_planes))
+                            .alias("bucket")))
+
+    a = side(lang_a, "a")
+    b = side(lang_b, "b")
+    if max_bucket_size is not None:
+        for s, nm in ((a, "a"), (b, "b")):
+            keep = (s.groupBy("bucket")
+                     .agg(F.count(F.lit(1)).alias("_bn"))
+                     .where(F.col("_bn") <= max_bucket_size)
+                     .select("bucket"))
+            if nm == "a":
+                a = a.join(F.broadcast(keep), "bucket")
+            else:
+                b = b.join(F.broadcast(keep), "bucket")
+    cand = (a.join(b, "bucket")
+             .select("id_a", "id_b",
+                     (ddot(F.col("v_a"), F.col("v_b"))
+                      / (F.col("n_a") * F.col("n_b"))).alias("cosine"))
+             .distinct())
+    cand = cand.persist()
+
+    def topk_mean(key: str) -> DataFrame:
+        w = (Window.partitionBy(key)
+                   .orderBy(F.desc("cosine"),
+                            F.asc("id_b" if key == "id_a" else "id_a")))
+        ranked = cand.withColumn("_r", F.row_number().over(w)) \
+                     .where(F.col("_r") <= k_margin)
+        fold = F.aggregate(
+            F.transform(F.sort_array(F.collect_list(
+                F.struct("_r", "cosine"))), lambda s: s["cosine"]),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return (ranked.groupBy(key)
+                .agg((fold / F.count(F.lit(1)).cast("double"))
+                     .alias(f"mean_{key[-1]}")))
+
+    scored = (cand.join(topk_mean("id_a"), "id_a")
+                  .join(topk_mean("id_b"), "id_b")
+                  .select("id_a", "id_b",
+                          F.round(F.col("cosine") * F.lit(1000000.0))
+                           .cast("long").alias("cosine_micro"),
+                          F.round(F.col("cosine")
+                                  / ((F.col("mean_a") + F.col("mean_b"))
+                                     / F.lit(2.0)) * F.lit(1000000.0))
+                           .cast("long").alias("margin_micro")))
+    return (scored
+            .where(F.col("margin_micro")
+                   >= int(round(margin_threshold * 1000000)))
+            .orderBy("id_a", "id_b"))

@@ -254,3 +254,90 @@ ORDER BY query_id, rank
         "fold — the full ranking is oracle-exact, and the posting "
         "join is stop-list-pruned and probe-broadcast.",
 )
+
+
+# ---------------------------------------------------------------------------
+# bitext_mining_pairs (r11): margin-based bitext mining (Artetxe &
+# Schwenk 2019 — the LASER/CCMatrix ratio criterion) between the en and
+# es document sides, candidates from a shared LSH sign-bucket join
+# (never all-pairs; per-side degenerate-bucket cap, mirrored in the
+# oracle like every capped-LSH query). Margins normalize each anchor by
+# its own candidate-neighborhood density; published scores are
+# micro-quantized with rank-ordered float folds, so the pair set is
+# oracle-exact. Registered BEHIND the r11 window.
+# ---------------------------------------------------------------------------
+
+_BITEXT_PLANES = 6
+_BITEXT_CAP = 256
+_BITEXT_K = 4
+
+
+def _bitext(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import bitext_margin_pairs
+    return bitext_margin_pairs(_t(spark, sf, "documents"),
+                               _t(spark, sf, "embeddings"), "en", "es",
+                               k_margin=_BITEXT_K, margin_threshold=1.05,
+                               n_planes=_BITEXT_PLANES,
+                               max_bucket_size=_BITEXT_CAP)
+
+
+from .operators.similarity import duck_lsh_bucket_expr as _dlbe  # noqa: E402
+
+_BITEXT_BUCKET = _dlbe("e.embedding", _BITEXT_PLANES)
+
+register(
+    "bitext_mining_pairs",
+    _bitext,
+    f"""
+WITH sa AS (SELECT e.vec_id AS id_a, e.embedding AS v_a,
+                   sqrt({_duck_dot('e.embedding', 'e.embedding')}) AS n_a,
+                   {_BITEXT_BUCKET} AS bucket
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            WHERE d.lang = 'en'),
+sb AS (SELECT e.vec_id AS id_b, e.embedding AS v_b,
+              sqrt({_duck_dot('e.embedding', 'e.embedding')}) AS n_b,
+              {_BITEXT_BUCKET} AS bucket
+       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       WHERE d.lang = 'es'),
+ka AS (SELECT bucket FROM sa GROUP BY bucket
+       HAVING COUNT(*) <= {_BITEXT_CAP}),
+kb AS (SELECT bucket FROM sb GROUP BY bucket
+       HAVING COUNT(*) <= {_BITEXT_CAP}),
+cand AS (
+  SELECT DISTINCT id_a, id_b,
+         {_duck_dot('v_a', 'v_b')} / (n_a * n_b) AS cosine
+  FROM sa JOIN ka USING (bucket) JOIN sb USING (bucket)
+       JOIN kb ON kb.bucket = sb.bucket),
+ra AS (SELECT id_a, cosine,
+              ROW_NUMBER() OVER (PARTITION BY id_a
+                ORDER BY cosine DESC, id_b) AS rn FROM cand),
+ma AS (SELECT id_a,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(cosine ORDER BY rn)),
+                          (x, y) -> x + y)
+                / CAST(COUNT(*) AS DOUBLE) AS mean_a
+       FROM ra WHERE rn <= {_BITEXT_K} GROUP BY id_a),
+rb AS (SELECT id_b, cosine,
+              ROW_NUMBER() OVER (PARTITION BY id_b
+                ORDER BY cosine DESC, id_a) AS rn FROM cand),
+mb AS (SELECT id_b,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(cosine ORDER BY rn)),
+                          (x, y) -> x + y)
+                / CAST(COUNT(*) AS DOUBLE) AS mean_b
+       FROM rb WHERE rn <= {_BITEXT_K} GROUP BY id_b),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(ROUND(cosine * 1000000.0) AS BIGINT) AS cosine_micro,
+         CAST(ROUND(cosine / ((mean_a + mean_b) / 2.0) * 1000000.0)
+              AS BIGINT) AS margin_micro
+  FROM cand JOIN ma USING (id_a) JOIN mb USING (id_b))
+SELECT id_a, id_b, cosine_micro, margin_micro
+FROM scored WHERE margin_micro >= 1050000
+ORDER BY id_a, id_b
+""",
+    doc="Margin-based bitext mining between the en/es sides: LSH "
+        "sign-bucket candidates (per-side cap), ratio margin over "
+        "rank-ordered top-k candidate means, micro-quantized scores "
+        "— the mined pair set is oracle-exact.",
+)

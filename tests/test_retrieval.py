@@ -253,3 +253,39 @@ def test_bm25_matches_pure_python_reference(spark):
                         key=lambda x: (-x[0], x[1]))[:3]
         want += [(q, c, s, i + 1) for i, (s, c) in enumerate(ranked)]
     assert got == want
+
+
+def test_bitext_margin_demotes_hub_vectors(spark):
+    """The ratio margin (r11) must score a one-to-one translation pair
+    above a hub pairing of equal raw cosine: the hub's dense candidate
+    neighborhood inflates its normalizer."""
+    from precios_nexo_sperant_etl_spark.operators.similarity import (
+        bitext_margin_pairs)
+
+    # 2-D toy geometry, replicated into 8 dims; all six vectors land
+    # in ONE sign bucket of the single LSH plane (x, y both positive
+    # along its aggregate direction), so every cross-lingual pair is a
+    # candidate. Anchor 0 has one clean match (10) and distant other
+    # candidates; hub 1 sits in a dense cluster (11-13) of equally
+    # good candidates — its margin must not reward that density.
+    def v(x, y):
+        return [float(x), float(y)] * 4
+
+    docs = spark.createDataFrame(
+        [(0, "en"), (1, "en"), (10, "es"), (11, "es"),
+         (12, "es"), (13, "es")], "doc_id long, lang string")
+    emb = spark.createDataFrame(
+        [(0, v(0.3, 0.9)), (1, v(0.6, 0.6)),
+         (10, v(0.3, 0.91)), (11, v(0.59, 0.61)),
+         (12, v(0.6, 0.6)), (13, v(0.61, 0.59))],
+        "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["margin_micro"]
+           for r in bitext_margin_pairs(
+               docs, emb, "en", "es", k_margin=3,
+               margin_threshold=0.0, n_planes=1,
+               max_bucket_size=None).collect()}
+    # all 8 cross pairs are candidates (single shared bucket)
+    assert len(got) == 8
+    # the clean match out-margins every hub pairing
+    hub_margins = [m for (a, _), m in got.items() if a == 1]
+    assert got[(0, 10)] > max(hub_margins)
