@@ -233,6 +233,7 @@ HEADLINE = [
     "bm25_topk",                # Okapi BM25 posting join, ordered fold
     "streaming_warc_census",    # two-wave checkpointed warc stream
     "bitext_mining_pairs",      # LSH-bucketed margin bitext mining
+    "clustering_agreement",     # exact-integer ARI + quantized NMI
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

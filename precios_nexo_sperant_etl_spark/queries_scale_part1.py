@@ -3438,3 +3438,142 @@ FROM d GROUP BY lang ORDER BY lang
 )
 
 
+
+
+# ---------------------------------------------------------------------------
+# clustering_agreement (r11): Adjusted Rand Index + NMI between the
+# verified near-dup clustering and the source partition — the standard
+# external-validity audit for a dedup clustering ("do near-dup clusters
+# respect corpus provenance?"). ARI is computed from the contingency
+# table in EXACT integer arithmetic (pair counts and their cross
+# products in DECIMAL(18,0)-factor products, one final IEEE division);
+# the entropy terms of NMI quantize each cell's contribution to
+# micro-nats BEFORE the order-free integer sum, the bm25 precedent for
+# ln's libm variance. Scale: contingency is |clusters|×|sources| cells
+# via one combinable agg; marginals and scalars are tiny broadcast
+# frames; nothing corpus-sized shuffles beyond the clustering itself.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _clustering_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import cluster_assignment
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    assigned = cluster_assignment(docs, pairs).select("doc_id", "cluster_id")
+    ct = (assigned.join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("cluster_id", "source")
+          .agg(F.count(F.lit(1)).alias("nij")))
+    tot = ct.agg(F.sum("nij").alias("n"))
+    a = ct.groupBy("cluster_id").agg(F.sum("nij").alias("ai"))
+    b = ct.groupBy("source").agg(F.sum("nij").alias("bj"))
+
+    def pair2(c):
+        return F.sum(c * (c - 1) / F.lit(2)).cast("long")
+
+    def ent_micro(c):
+        # per-cell micro-nat quantization, then exact integer sum
+        p = c.cast("double") / F.col("n").cast("double")
+        return F.sum(F.round(-(p * F.log(p)) * F.lit(1000000.0))
+                     .cast("long"))
+
+    sij = ct.agg(pair2(F.col("nij")).alias("sij2"))
+    sa = (a.crossJoin(F.broadcast(tot))
+           .agg(pair2(F.col("ai")).alias("sa2"),
+                ent_micro(F.col("ai")).alias("ha_micro")))
+    sb = (b.crossJoin(F.broadcast(tot))
+           .agg(pair2(F.col("bj")).alias("sb2"),
+                ent_micro(F.col("bj")).alias("hb_micro")))
+    mi = (ct.join(a, "cluster_id").join(b, "source")
+          .crossJoin(F.broadcast(tot))
+          .agg(F.sum(F.round(
+               (F.col("nij").cast("double") / F.col("n").cast("double"))
+               * F.log(F.col("n").cast("double")
+                       * F.col("nij").cast("double")
+                       / (F.col("ai").cast("double")
+                          * F.col("bj").cast("double")))
+               * F.lit(1000000.0)).cast("long")).alias("mi_micro"),
+               F.count(F.lit(1)).alias("n_cells")))
+    d18 = "decimal(18,0)"
+    c2 = (F.col("n") * (F.col("n") - 1) / F.lit(2)).cast(d18)
+    num = (F.lit(2).cast(d18)
+           * (c2 * F.col("sij2").cast(d18)
+              - F.col("sa2").cast(d18) * F.col("sb2").cast(d18)))
+    den = (c2 * (F.col("sa2") + F.col("sb2")).cast(d18)
+           - F.lit(2).cast(d18)
+           * F.col("sa2").cast(d18) * F.col("sb2").cast(d18))
+    nmi_den = F.sqrt(F.col("ha_micro").cast("double")
+                     * F.col("hb_micro").cast("double"))
+    return (tot.crossJoin(sij).crossJoin(sa).crossJoin(sb).crossJoin(mi)
+            .select(
+                F.col("n").alias("n_docs"),
+                F.col("n_cells"),
+                F.col("sij2"), F.col("sa2"), F.col("sb2"),
+                F.when(den == 0, F.lit(0)).otherwise(
+                    F.round(num.cast("double") / den.cast("double")
+                            * F.lit(1000000.0))).cast("long")
+                 .alias("ari_micro"),
+                F.when(nmi_den == 0, F.lit(0)).otherwise(
+                    F.round(F.col("mi_micro").cast("double") / nmi_den
+                            * F.lit(1000000.0))).cast("long")
+                 .alias("nmi_micro")))
+
+
+register(
+    "clustering_agreement",
+    _clustering_agreement,
+    f"""{_NEARDUP_CLOSURE_SQL},
+lab AS (SELECT a.doc_id, a.cluster_id, d.source
+        FROM assigned a JOIN documents d USING (doc_id)),
+ct AS (SELECT cluster_id, source, CAST(COUNT(*) AS BIGINT) AS nij
+       FROM lab GROUP BY 1, 2),
+tot AS (SELECT SUM(nij) AS n FROM ct),
+ma AS (SELECT cluster_id, SUM(nij) AS ai FROM ct GROUP BY 1),
+mb AS (SELECT source, SUM(nij) AS bj FROM ct GROUP BY 1),
+sij AS (SELECT CAST(SUM(nij * (nij - 1) / 2) AS BIGINT) AS sij2 FROM ct),
+sa AS (SELECT CAST(SUM(ai * (ai - 1) / 2) AS BIGINT) AS sa2,
+              CAST(SUM(CAST(ROUND(-(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE)
+                     * ln(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * 1000000.0) AS BIGINT)) AS BIGINT) AS ha_micro
+       FROM ma, tot),
+sb AS (SELECT CAST(SUM(bj * (bj - 1) / 2) AS BIGINT) AS sb2,
+              CAST(SUM(CAST(ROUND(-(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE)
+                     * ln(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * 1000000.0) AS BIGINT)) AS BIGINT) AS hb_micro
+       FROM mb, tot),
+mi AS (SELECT CAST(SUM(CAST(ROUND(
+              (CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+                   / (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE)))
+              * 1000000.0) AS BIGINT)) AS BIGINT) AS mi_micro,
+              CAST(COUNT(*) AS BIGINT) AS n_cells
+       FROM ct JOIN ma USING (cluster_id) JOIN mb USING (source), tot),
+fin AS (
+  SELECT n, n_cells, sij2, sa2, sb2, ha_micro, hb_micro, mi_micro,
+         CAST(n * (n - 1) / 2 AS DECIMAL(18,0)) AS c2
+  FROM tot, sij, sa, sb, mi)
+SELECT CAST(n AS BIGINT) AS n_docs, n_cells, sij2, sa2, sb2,
+       CASE WHEN (c2 * CAST(sa2 + sb2 AS DECIMAL(18,0))
+                  - CAST(2 AS DECIMAL(18,0)) * CAST(sa2 AS DECIMAL(18,0))
+                    * CAST(sb2 AS DECIMAL(18,0))) = 0 THEN 0
+            ELSE CAST(ROUND(
+              CAST(CAST(2 AS DECIMAL(18,0))
+                   * (c2 * CAST(sij2 AS DECIMAL(18,0))
+                      - CAST(sa2 AS DECIMAL(18,0))
+                        * CAST(sb2 AS DECIMAL(18,0))) AS DOUBLE)
+              / CAST(c2 * CAST(sa2 + sb2 AS DECIMAL(18,0))
+                     - CAST(2 AS DECIMAL(18,0))
+                       * CAST(sa2 AS DECIMAL(18,0))
+                       * CAST(sb2 AS DECIMAL(18,0)) AS DOUBLE)
+              * 1000000.0) AS BIGINT) END AS ari_micro,
+       CASE WHEN sqrt(CAST(ha_micro AS DOUBLE) * CAST(hb_micro AS DOUBLE))
+                 = 0 THEN 0
+            ELSE CAST(ROUND(CAST(mi_micro AS DOUBLE)
+              / sqrt(CAST(ha_micro AS DOUBLE) * CAST(hb_micro AS DOUBLE))
+              * 1000000.0) AS BIGINT) END AS nmi_micro
+FROM fin
+""",
+    doc="External clustering validity: exact-integer Adjusted Rand "
+        "Index and micro-quantized NMI between the verified near-dup "
+        "clustering and the source partition, from one contingency "
+        "agg; the oracle replays the identical closure + arithmetic.",
+)

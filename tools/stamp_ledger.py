@@ -127,6 +127,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "streaming_tfrecord_census": 11,
     "bm25_topk": 11,
     "bitext_mining_pairs": 11,
+    "clustering_agreement": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
