@@ -234,6 +234,8 @@ HEADLINE = [
     "streaming_warc_census",    # two-wave checkpointed warc stream
     "bitext_mining_pairs",      # LSH-bucketed margin bitext mining
     "clustering_agreement",     # exact-integer ARI + quantized NMI
+    "interval_union_coverage",  # sweep-line prefix-max window
+    "isotonic_calibration",     # PAVA minimax over bounded buckets
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

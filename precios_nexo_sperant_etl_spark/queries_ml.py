@@ -1185,3 +1185,91 @@ register(
         "capped-feature scores, one prefix-sum window over the score "
         "aggregate (design-bounded), truncating-division micro units.",
 )
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration (r11): the PAVA-optimal monotone calibration
+# curve for a quality score against a binary target, via the MINIMAX
+# closed form iso[i] = max_{j<=i} min_{k>=i} mean(y over buckets j..k)
+# — identical to pool-adjacent-violators (Barlow et al. 1972) but
+# expressed as bounded joins instead of an iterative merge, so it is
+# fully declarative and oracle-exact: prefix sums are exact integers,
+# each interval mean is ONE IEEE division, min/max are order-free.
+# Scale: the score is bucketed to <=64 cells up front (one combinable
+# agg over the corpus); everything after runs on the 64-row bucket
+# table (64^3 minimax tuples — constant work, broadcast joins).
+# Registered BEHIND the r11 window.
+# ---------------------------------------------------------------------------
+
+def _isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    nt = F.size(tokens(F.col("text")))
+    bucket = F.least(F.lit(63), F.floor(nt * 64 / F.lit(50)).cast("int"))
+    y = (F.col("lang") == "en").cast("int")
+    bt = (docs.select(bucket.alias("bucket"), y.alias("y"))
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("y").cast("long").alias("pos")))
+    from pyspark.sql import Window
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    pref = (bt.withColumn("cp", F.sum("pos").over(w))
+              .withColumn("cn", F.sum("n").over(w)))
+    pj = pref.select(F.col("bucket").alias("j"),
+                     (F.col("cp") - F.col("pos")).alias("cpj"),
+                     (F.col("cn") - F.col("n")).alias("cnj"))
+    pk = pref.select(F.col("bucket").alias("k"),
+                     F.col("cp").alias("cpk"), F.col("cn").alias("cnk"))
+    m = (pj.crossJoin(pk).where(F.col("k") >= F.col("j"))
+           .select("j", "k",
+                   ((F.col("cpk") - F.col("cpj")).cast("double")
+                    / (F.col("cnk") - F.col("cnj")).cast("double"))
+                    .alias("mjk")))
+    ids = pref.select(F.col("bucket").alias("i"))
+    t1 = (m.crossJoin(ids)
+           .where((F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")))
+           .groupBy("i", "j").agg(F.min("mjk").alias("mn")))
+    iso = t1.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return (pref.join(iso, pref["bucket"] == iso["i"])
+                .select("bucket", "n", "pos",
+                        (F.col("pos").cast("double")
+                         / F.col("n").cast("double")).alias("raw_rate"),
+                        "iso_rate")
+                .orderBy("bucket"))
+
+
+register(
+    "isotonic_calibration",
+    _isotonic_calibration,
+    """
+WITH d AS (
+  SELECT LEAST(63, CAST(FLOOR(len(string_split_regex(trim(text), '\\s+'))
+                             * 64 / 50) AS INT)) AS bucket,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+bt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(y) AS BIGINT) AS pos
+       FROM d GROUP BY bucket),
+pref AS (SELECT bucket, n, pos,
+                SUM(pos) OVER (ORDER BY bucket) AS cp,
+                SUM(n) OVER (ORDER BY bucket) AS cn
+         FROM bt),
+m AS (SELECT pj.bucket AS j, pk.bucket AS k,
+             CAST(pk.cp - (pj.cp - pj.pos) AS DOUBLE)
+               / CAST(pk.cn - (pj.cn - pj.n) AS DOUBLE) AS mjk
+      FROM pref pj, pref pk WHERE pk.bucket >= pj.bucket),
+t1 AS (SELECT i.bucket AS i, m.j, MIN(m.mjk) AS mn
+       FROM m, pref i
+       WHERE m.j <= i.bucket AND i.bucket <= m.k
+       GROUP BY 1, 2),
+iso AS (SELECT i, MAX(mn) AS iso_rate FROM t1 GROUP BY i)
+SELECT CAST(p.bucket AS INT) AS bucket, p.n, p.pos,
+       CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS raw_rate,
+       iso.iso_rate
+FROM pref p JOIN iso ON iso.i = p.bucket
+ORDER BY p.bucket
+""",
+    doc="PAVA isotonic calibration via the minimax closed form over "
+        "<=64 score buckets: exact integer prefix sums, one IEEE "
+        "division per interval mean, order-free min/max — the whole "
+        "monotone curve is oracle-exact.",
+)

@@ -3577,3 +3577,64 @@ FROM fin
         "clustering and the source partition, from one contingency "
         "agg; the oracle replays the identical closure + arithmetic.",
 )
+
+
+# ---------------------------------------------------------------------------
+# interval_union_coverage (r11): per-user union length of overlapping
+# activity intervals (event start + value-minutes duration) — the
+# sweep-line-as-window idiom (prefix max of interval ends) that powers
+# uptime/SLA/active-time analytics. Entirely integer epoch-microsecond
+# arithmetic after one quantized duration round, so the per-user
+# coverage and merged-interval census are oracle-exact. One window over
+# (user, start) — the same shuffle sessionization already pays.
+# ---------------------------------------------------------------------------
+
+def _interval_union(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select("user_id", "event_id", us.alias("s"),
+                  (us + F.round(F.col("value") * F.lit(60.0)).cast("long")
+                   * F.lit(1000000)).alias("t"))
+    w = (Window.partitionBy("user_id").orderBy("s", "t", "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    x = iv.withColumn("pm", F.max("t").over(w))
+    covered = F.greatest(
+        F.col("t") - F.greatest(F.col("s"),
+                                F.coalesce(F.col("pm"), F.col("s"))),
+        F.lit(0).cast("long"))
+    new_iv = F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")),
+                    F.lit(1)).otherwise(F.lit(0))
+    return (x.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(new_iv).cast("long").alias("n_merged_intervals"),
+                  F.sum(covered).cast("long").alias("coverage_us"))
+             .orderBy("user_id"))
+
+
+register(
+    "interval_union_coverage",
+    _interval_union,
+    """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS s,
+         epoch_us(ts::TIMESTAMP)
+           + CAST(ROUND(value * 60.0) AS BIGINT) * 1000000 AS t
+  FROM events),
+x AS (
+  SELECT user_id, s, t,
+         MAX(t) OVER (PARTITION BY user_id ORDER BY s, t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_merged_intervals,
+       CAST(SUM(GREATEST(t - GREATEST(s, COALESCE(pm, s)), 0))
+            AS BIGINT) AS coverage_us
+FROM x GROUP BY user_id ORDER BY user_id
+""",
+    doc="Sweep-line interval union per user (prefix-max window): exact "
+        "integer coverage and merged-interval counts over overlapping "
+        "event durations.",
+)

@@ -115,3 +115,54 @@ def test_elo_expectation_table_shape():
     assert t[40] == 500                      # equal ratings -> 1/2
     assert t[0] + t[80] == 999 or t[0] + t[80] == 1000  # symmetry (trunc)
     assert all(t[i] <= t[i + 1] for i in range(80))     # monotone
+
+
+def test_isotonic_minimax_equals_pava(spark):
+    """The minimax closed form used by isotonic_calibration (r11) must
+    equal classic pool-adjacent-violators on weighted buckets."""
+    import random
+
+    rng = random.Random(7)
+    buckets = [(i, rng.randint(1, 20), None) for i in range(12)]
+    buckets = [(i, n, rng.randint(0, n)) for i, n, _ in buckets]
+
+    def pava(rows):
+        # stack of [n, pos] blocks merged while decreasing
+        blocks = []
+        for _, n, p in rows:
+            blocks.append([n, p, 1])
+            while len(blocks) > 1 and \
+                    blocks[-2][1] * blocks[-1][0] >= \
+                    blocks[-1][1] * blocks[-2][0]:
+                n2, p2, c2 = blocks.pop()
+                blocks[-1][0] += n2
+                blocks[-1][1] += p2
+                blocks[-1][2] += c2
+        out = []
+        for n, p, c in blocks:
+            out.extend([p / n] * c)
+        return out
+
+    def minimax(rows):
+        cp = [0]
+        cn = [0]
+        for _, n, p in rows:
+            cp.append(cp[-1] + p)
+            cn.append(cn[-1] + n)
+        out = []
+        for i in range(len(rows)):
+            out.append(max(
+                min((cp[k + 1] - cp[j]) / (cn[k + 1] - cn[j])
+                    for k in range(i, len(rows)))
+                for j in range(i + 1)))
+        return out
+
+    a, b = pava(buckets), minimax(buckets)
+    assert all(abs(x - y) < 1e-12 for x, y in zip(a, b))
+    # and the registered query's output is monotone non-decreasing
+    from precios_nexo_sperant_etl_spark.registry import queries
+    rows = queries()["isotonic_calibration"](
+        spark, "/root/testdata/sf0.001").collect()
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)
+    assert all(0.0 <= v <= 1.0 for v in iso)

@@ -128,6 +128,8 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "bm25_topk": 11,
     "bitext_mining_pairs": 11,
     "clustering_agreement": 11,
+    "interval_union_coverage": 11,
+    "isotonic_calibration": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
