@@ -273,33 +273,52 @@ def bm25_topk(docs: DataFrame, query_ids: list[int], k: int = 10,
     by it — 1-ulp noise (~4e-16 relative) cannot move a 1e-6 quantum
     except at engineered boundaries, and ties break by neighbor id
     identically in both engines. Scale shape mirrors
-    ``sparse_overlap_topk``: broadcast stop-list prune (df above
-    1/df_prune_den of the corpus never joins), broadcast probe terms,
-    corpus side never shuffles on term; the tf build is one combined
-    map-side shuffle on (did, term).
+    ``sparse_overlap_topk``: the corpus-side posting table NEVER
+    shuffles on term — the tf build is one combined map-side shuffle
+    on (did, term) that carries ``dl`` for free (functionally
+    dependent on the doc key), and everything keyed by term reaches it
+    as a broadcast: the stop list (bounded by document shape, see
+    sparse_overlap_topk), the probe terms, and the df table FILTERED
+    TO PROBE TERMS (|probe terms| rows). A plain
+    ``posting.join(dfs, "term")`` instead would be a vocab-sized
+    shuffle join with hot-term skew — the r11 plan audit caught
+    exactly that shape and this ordering removed it.
     """
-    tfreq = term_freqs(docs, ngram=ngram, text_col=text_col, id_col=id_col)
-    dl_expr = F.greatest(
-        F.size(tokens(F.col(text_col))) - (1 if ngram == 2 else 0),
-        F.lit(0))
-    dls = docs.select(F.col(id_col).alias("did"), dl_expr.alias("dl")) \
-              .where(F.col("dl") >= 1)
-    stats = (dls.agg(F.sum("dl").alias("_sdl"),
-                     F.count(F.lit(1)).alias("_ndl"))
-                .crossJoin(docs.agg(F.count(F.lit(1)).alias("_n")))
-                .select((F.col("_sdl").cast("double")
-                         / F.col("_ndl").cast("double")).alias("avgdl"),
-                        F.col("_n").alias("n_docs")))
-    dfs = tfreq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tk = tokens(F.col(text_col))
+    if ngram == 1:
+        terms = F.filter(tk, lambda x: x != "")
+        dl_expr = F.size(terms)
+        base = docs.select(F.col(id_col).alias("did"),
+                           dl_expr.alias("dl"), terms.alias("_terms"))
+    else:
+        bigrams = F.expr(
+            "transform(slice(_tk, 1, size(_tk) - 1),"
+            " (x, i) -> concat(x, ' ', element_at(_tk, i + 2)))")
+        base = (docs.select(F.col(id_col).alias("did"), tk.alias("_tk"))
+                    .select("did",
+                            F.greatest(F.size(F.col("_tk")) - 1,
+                                       F.lit(0)).alias("dl"),
+                            bigrams.alias("_terms")))
+    posting = (base.select("did", "dl", F.explode("_terms").alias("term"))
+                   .groupBy("did", "dl", "term")
+                   .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+    stats = (base.where(F.col("dl") >= 1)
+                 .agg(F.sum("dl").alias("_sdl"),
+                      F.count(F.lit(1)).alias("_ndl"))
+                 .crossJoin(docs.agg(F.count(F.lit(1)).alias("_n")))
+                 .select((F.col("_sdl").cast("double")
+                          / F.col("_ndl").cast("double")).alias("avgdl"),
+                         F.col("_n").alias("n_docs")))
+    dfs = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stop = (dfs.crossJoin(F.broadcast(
                 docs.select(F.count(F.lit(1)).alias("_n"))))
                .where(F.col("df") * df_prune_den > F.col("_n"))
                .select("term"))
-    pruned = (tfreq.join(F.broadcast(stop), "term", "left_anti")
-                   .join(dfs, "term"))
     probes = (term_sets(docs.where(F.col(id_col).isin(query_ids)),
                         ngram=ngram, text_col=text_col, id_col=id_col)
               .select(F.col("did").alias("query_id"), "term"))
+    dfs_probe = dfs.join(
+        F.broadcast(probes.select("term").distinct()), "term")
     idf = F.log(F.lit(1.0)
                 + (F.col("n_docs").cast("double")
                    - F.col("df").cast("double") + F.lit(0.5))
@@ -311,12 +330,13 @@ def bm25_topk(docs: DataFrame, query_ids: list[int], k: int = 10,
                   + F.lit(b) * F.col("dl").cast("double")
                   / F.col("avgdl"))))
     contrib = (idf * norm).alias("contrib")
-    scored = (pruned.join(F.broadcast(probes), "term")
-                    .where(F.col("did") != F.col("query_id"))
-                    .join(dls, "did")
-                    .crossJoin(F.broadcast(stats))
-                    .select("query_id", F.col("did").alias("neighbor_id"),
-                            "term", contrib))
+    scored = (posting.join(F.broadcast(stop), "term", "left_anti")
+                     .join(F.broadcast(probes), "term")
+                     .where(F.col("did") != F.col("query_id"))
+                     .join(F.broadcast(dfs_probe), "term")
+                     .crossJoin(F.broadcast(stats))
+                     .select("query_id", F.col("did").alias("neighbor_id"),
+                             "term", contrib))
     folded = (scored.groupBy("query_id", "neighbor_id")
               .agg(F.aggregate(
                    F.transform(
