@@ -484,7 +484,13 @@ def decode_zstd_frame(payload: bytes, dictionary=None) -> dict:
     blob, or parse_zstd_dictionary dict) seeds the match window,
     entropy tables and repeat offsets per RFC 8878 §5; a frame whose
     Dictionary_ID names a dictionary that wasn't provided (or names a
-    different one) refuses instead of misdecoding."""
+    different one) refuses instead of misdecoding. A RAW-CONTENT
+    dictionary (parsed dict_id 0 — no header, window seed only)
+    deliberately matches any frame Dictionary_ID, the same contract
+    as libzstd's ZSTD_decompress_usingDict with a raw dict; callers
+    that synthesize raw dictionaries from untrusted bytes must gate
+    on their own framing first (the WarcReader skippable-frame peel
+    does exactly that since r11)."""
     dstate = _dict_state(dictionary)
     if len(payload) < 5:
         raise ValueError("zstd: truncated frame header")
