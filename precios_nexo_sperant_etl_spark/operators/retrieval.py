@@ -37,9 +37,11 @@ def term_sets(docs: DataFrame, ngram: int = 1, text_col: str = "text",
     shuffle is ever needed. The r6 bigram form routed through
     posexplode + a ``lead`` window keyed by a row tag + a global
     ``.distinct()`` — two corpus-wide shuffles that the r7 plan diet
-    removed; the indexed-``transform`` lambda costs ~O(1) per element
-    (``element_at`` on an array, not the 9×-slower per-element slice
-    forms measured for shingle_hashes).
+    removed. The bigram array itself is ``zip_with`` over two slices
+    (r11): the r7 indexed-``transform`` + ``element_at`` form measured
+    4× slower at sf0.1 (3.1s → 0.8s on the bm25 posting build) —
+    ``element_at`` re-dereferences the array per element inside the
+    lambda, while ``zip_with`` walks both slices linearly.
 
     Blank text yields ``['']`` from ``tokens`` (so no bigram and an
     empty unigram, filtered); interior empty tokens cannot occur
@@ -53,8 +55,8 @@ def term_sets(docs: DataFrame, ngram: int = 1, text_col: str = "text",
     else:
         base = docs.select(F.col(id_col).alias("did"), tk.alias("_tk"))
         bigrams = F.expr(
-            "transform(slice(_tk, 1, size(_tk) - 1),"
-            " (x, i) -> concat(x, ' ', element_at(_tk, i + 2)))")
+            "zip_with(slice(_tk, 1, size(_tk) - 1),"
+            " slice(_tk, 2, size(_tk) - 1), (a, b) -> concat(a, ' ', b))")
         return base.select("did",
                            F.explode(F.array_distinct(bigrams)).alias("term"))
     return (docs.select(F.col(id_col).alias("did"), terms.alias("_terms"))
@@ -240,8 +242,8 @@ def term_freqs(docs: DataFrame, ngram: int = 2, text_col: str = "text",
         terms = F.filter(tk, lambda x: x != "")
     else:
         terms = F.expr(
-            f"transform(slice({'_tk'}, 1, size(_tk) - 1),"
-            " (x, i) -> concat(x, ' ', element_at(_tk, i + 2)))")
+            "zip_with(slice(_tk, 1, size(_tk) - 1),"
+            " slice(_tk, 2, size(_tk) - 1), (a, b) -> concat(a, ' ', b))")
         return (docs.select(F.col(id_col).alias("did"), tk.alias("_tk"))
                     .select("did", F.explode(terms).alias("term"))
                     .groupBy("did", "term")
@@ -292,8 +294,8 @@ def bm25_topk(docs: DataFrame, query_ids: list[int], k: int = 10,
                            dl_expr.alias("dl"), terms.alias("_terms"))
     else:
         bigrams = F.expr(
-            "transform(slice(_tk, 1, size(_tk) - 1),"
-            " (x, i) -> concat(x, ' ', element_at(_tk, i + 2)))")
+            "zip_with(slice(_tk, 1, size(_tk) - 1),"
+            " slice(_tk, 2, size(_tk) - 1), (a, b) -> concat(a, ' ', b))")
         base = (docs.select(F.col(id_col).alias("did"), tk.alias("_tk"))
                     .select("did",
                             F.greatest(F.size(F.col("_tk")) - 1,
@@ -302,6 +304,11 @@ def bm25_topk(docs: DataFrame, query_ids: list[int], k: int = 10,
     posting = (base.select("did", "dl", F.explode("_terms").alias("term"))
                    .groupBy("did", "dl", "term")
                    .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+    # Two consumers (df aggregation + the scoring join) — persist so
+    # the explode+combine runs once; same cache-lifetime contract as
+    # the LSH shingle frames (callers / the parity harness clearCache
+    # between queries).
+    posting = posting.persist()
     stats = (base.where(F.col("dl") >= 1)
                  .agg(F.sum("dl").alias("_sdl"),
                       F.count(F.lit(1)).alias("_ndl"))
