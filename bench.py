@@ -236,6 +236,8 @@ HEADLINE = [
     "clustering_agreement",     # exact-integer ARI + quantized NMI
     "interval_union_coverage",  # sweep-line prefix-max window
     "isotonic_calibration",     # PAVA minimax over bounded buckets
+    "golden_record_merge",      # MDM survivorship windows
+    "fellegi_sunter_weights",   # blocked linkage m/u estimation
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

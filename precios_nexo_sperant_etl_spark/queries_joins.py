@@ -1125,3 +1125,251 @@ ORDER BY s_name
         "(window share vs Q20's correlated subquery), semi-joined to the "
         "supplier dimension.",
 )
+
+
+# ---------------------------------------------------------------------------
+# golden_record_merge (r11): MDM survivorship — collapse duplicate
+# entity records into one golden row with the three classic rules,
+# each deterministic: LONGEST (length desc, value asc) for names,
+# MOST-RECENT NON-NULL (update order desc, variant asc) for balances,
+# MOST-FREQUENT (count desc, value asc) for categories. Duplicates are
+# synthesized from the customer table (3 variants per entity with
+# deterministic perturbations and nulls), so truth is exact and the
+# oracle replays every rule. Scale: one shuffle keyed by entity for
+# the windows + one (entity, value) agg for the mode — the standard
+# entity-resolution merge shape.
+# ---------------------------------------------------------------------------
+
+def _golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    c = _t(spark, sf, "customer")
+    ent = (F.col("c_custkey") / F.lit(3)).cast("long")
+    var = (F.col("c_custkey") % 3).cast("int")
+    name_v = (F.when(var == 1, F.upper(F.col("c_name")))
+               .when(var == 2, F.concat(F.col("c_name"), F.lit(" jr")))
+               .otherwise(F.col("c_name")))
+    bal_v = F.when((var == 0) & (ent % 4 == 0), F.lit(None)) \
+             .otherwise(F.round(F.col("c_acctbal") * 100).cast("long"))
+    seg_v = F.when((var == 1) & (ent % 5 == 0), F.lit("UNKNOWN")) \
+             .otherwise(F.col("c_mktsegment"))
+    recs = c.select(ent.alias("entity_id"), var.alias("variant"),
+                    name_v.alias("name_v"), bal_v.alias("bal_v"),
+                    seg_v.alias("seg_v"))
+    wn = (Window.partitionBy("entity_id")
+                .orderBy(F.desc(F.length("name_v")), F.asc("name_v")))
+    wb = (Window.partitionBy("entity_id")
+                .orderBy(F.desc("variant")))
+    names = (recs.withColumn("_r", F.row_number().over(wn))
+                 .where(F.col("_r") == 1)
+                 .select("entity_id", F.col("name_v").alias("golden_name"),
+                         F.col("variant").alias("name_from_variant")))
+    bals = (recs.where(F.col("bal_v").isNotNull())
+                .withColumn("_r", F.row_number().over(wb))
+                .where(F.col("_r") == 1)
+                .select("entity_id", F.col("bal_v").alias("golden_bal_cents")))
+    segs = (recs.groupBy("entity_id", "seg_v")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    ws = (Window.partitionBy("entity_id")
+                .orderBy(F.desc("_c"), F.asc("seg_v")))
+    seg1 = (segs.withColumn("_r", F.row_number().over(ws))
+                .where(F.col("_r") == 1)
+                .select("entity_id", F.col("seg_v").alias("golden_segment")))
+    base = recs.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"))
+    return (base.join(names, "entity_id")
+                .join(bals, "entity_id", "left")
+                .join(seg1, "entity_id")
+                .orderBy("entity_id"))
+
+
+register(
+    "golden_record_merge",
+    _golden_record,
+    """
+WITH recs AS (
+  SELECT CAST(FLOOR(c_custkey / 3) AS BIGINT) AS entity_id,
+         CAST(c_custkey % 3 AS INT) AS variant,
+         CASE WHEN c_custkey % 3 = 1 THEN upper(c_name)
+              WHEN c_custkey % 3 = 2 THEN c_name || ' jr'
+              ELSE c_name END AS name_v,
+         CASE WHEN c_custkey % 3 = 0
+                   AND CAST(FLOOR(c_custkey / 3) AS BIGINT) % 4 = 0
+              THEN NULL
+              ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT) END AS bal_v,
+         CASE WHEN c_custkey % 3 = 1
+                   AND CAST(FLOOR(c_custkey / 3) AS BIGINT) % 5 = 0
+              THEN 'UNKNOWN' ELSE c_mktsegment END AS seg_v
+  FROM customer),
+names AS (
+  SELECT entity_id, name_v AS golden_name,
+         variant AS name_from_variant
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+          ORDER BY len(name_v) DESC, name_v ASC) AS r FROM recs)
+  WHERE r = 1),
+bals AS (
+  SELECT entity_id, bal_v AS golden_bal_cents
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+          ORDER BY variant DESC) AS r FROM recs WHERE bal_v IS NOT NULL)
+  WHERE r = 1),
+segs AS (SELECT entity_id, seg_v, COUNT(*) AS c
+         FROM recs GROUP BY 1, 2),
+seg1 AS (
+  SELECT entity_id, seg_v AS golden_segment
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+          ORDER BY c DESC, seg_v ASC) AS r FROM segs)
+  WHERE r = 1),
+base AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records
+         FROM recs GROUP BY 1)
+SELECT b.entity_id, b.n_records, n.golden_name, n.name_from_variant,
+       bl.golden_bal_cents, s.golden_segment
+FROM base b JOIN names n USING (entity_id)
+LEFT JOIN bals bl USING (entity_id)
+JOIN seg1 s USING (entity_id)
+ORDER BY b.entity_id
+""",
+    doc="MDM golden-record survivorship over synthesized duplicate "
+        "entities: longest-string, most-recent-non-null, and "
+        "most-frequent rules, each with deterministic tie-breaks; "
+        "every golden field and its provenance is oracle-replayed.",
+)
+
+
+# ---------------------------------------------------------------------------
+# fellegi_sunter_weights (r11): probabilistic record-linkage parameter
+# estimation (Fellegi & Sunter 1969 — the model behind Splink-class
+# toolkits). Over the same synthesized duplicate universe as
+# golden_record_merge, candidate pairs come from a NATIONKEY BLOCK
+# self-join (never all-pairs; the blocking discipline every linkage
+# run needs), truth labels from entity identity, and per-field m/u
+# probabilities are exact count ratios with Laplace smoothing
+# ((k+0.5)/(n+1)) so no weight is ever infinite. Agreement weights
+# ln(m/u) and disagreement weights ln((1-m)/(1-u)) publish
+# micro-quantized (the ln discipline). One blocked join + ONE
+# combinable agg — no per-pair output ever leaves the executors.
+# ---------------------------------------------------------------------------
+
+def _fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    ent = (F.col("c_custkey") / F.lit(3)).cast("long")
+    var = (F.col("c_custkey") % 3).cast("int")
+    name_v = (F.when(var == 1, F.upper(F.col("c_name")))
+               .when(var == 2, F.concat(F.col("c_name"), F.lit(" jr")))
+               .otherwise(F.col("c_name")))
+    bal_v = F.when((var == 0) & (ent % 4 == 0), F.lit(None)) \
+             .otherwise(F.round(F.col("c_acctbal") * 100).cast("long"))
+    seg_v = F.when((var == 1) & (ent % 5 == 0), F.lit("UNKNOWN")) \
+             .otherwise(F.col("c_mktsegment"))
+    recs = c.select(F.col("c_custkey").alias("rid"),
+                    F.col("c_nationkey").alias("block"),
+                    ent.alias("entity_id"),
+                    name_v.alias("name_v"), bal_v.alias("bal_v"),
+                    seg_v.alias("seg_v"))
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = (a.join(b, (F.col("a.block") == F.col("b.block"))
+                    & (F.col("a.rid") < F.col("b.rid")))
+             .select(
+                 (F.col("a.entity_id") == F.col("b.entity_id"))
+                  .cast("int").alias("is_match"),
+                 (F.upper(F.col("a.name_v")) == F.upper(F.col("b.name_v")))
+                  .cast("int").alias("ag_name"),
+                 (F.col("a.bal_v") == F.col("b.bal_v"))
+                  .cast("int").alias("ag_bal"),
+                 (F.col("a.seg_v") == F.col("b.seg_v"))
+                  .cast("int").alias("ag_seg")))
+    # ONE combinable agg: totals + per-field agreement counts by label
+    m = F.col("is_match")
+    agg = pairs.agg(
+        F.sum(m).cast("long").alias("n_match"),
+        F.sum(1 - m).cast("long").alias("n_nonmatch"),
+        *[F.sum(F.coalesce(F.col(f"ag_{f}"), F.lit(0)) * m).cast("long")
+           .alias(f"am_{f}") for f in ("name", "bal", "seg")],
+        *[F.sum(F.coalesce(F.col(f"ag_{f}"), F.lit(0)) * (1 - m))
+           .cast("long").alias(f"au_{f}") for f in ("name", "bal", "seg")])
+    rows = []
+    for f in ("name", "bal", "seg"):
+        mm = ((F.col(f"am_{f}").cast("double") + F.lit(0.5))
+              / (F.col("n_match").cast("double") + F.lit(1.0)))
+        uu = ((F.col(f"au_{f}").cast("double") + F.lit(0.5))
+              / (F.col("n_nonmatch").cast("double") + F.lit(1.0)))
+        rows.append(agg.select(
+            F.lit(f).alias("field"),
+            F.col("n_match"), F.col("n_nonmatch"),
+            F.round(mm * F.lit(1000000.0)).cast("long").alias("m_micro"),
+            F.round(uu * F.lit(1000000.0)).cast("long").alias("u_micro"),
+            F.round(F.log(mm / uu) * F.lit(1000000.0)).cast("long")
+             .alias("w_agree_micro"),
+            F.round(F.log((F.lit(1.0) - mm) / (F.lit(1.0) - uu))
+                    * F.lit(1000000.0)).cast("long")
+             .alias("w_disagree_micro")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("field")
+
+
+register(
+    "fellegi_sunter_weights",
+    _fellegi_sunter,
+    """
+WITH recs AS (
+  SELECT c_custkey AS rid, c_nationkey AS block,
+         CAST(FLOOR(c_custkey / 3) AS BIGINT) AS entity_id,
+         CASE WHEN c_custkey % 3 = 1 THEN upper(c_name)
+              WHEN c_custkey % 3 = 2 THEN c_name || ' jr'
+              ELSE c_name END AS name_v,
+         CASE WHEN c_custkey % 3 = 0
+                   AND CAST(FLOOR(c_custkey / 3) AS BIGINT) % 4 = 0
+              THEN NULL
+              ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT) END AS bal_v,
+         CASE WHEN c_custkey % 3 = 1
+                   AND CAST(FLOOR(c_custkey / 3) AS BIGINT) % 5 = 0
+              THEN 'UNKNOWN' ELSE c_mktsegment END AS seg_v
+  FROM customer),
+pairs AS (
+  SELECT CASE WHEN a.entity_id = b.entity_id THEN 1 ELSE 0 END AS is_match,
+         COALESCE(CASE WHEN upper(a.name_v) = upper(b.name_v)
+                       THEN 1 ELSE 0 END, 0) AS ag_name,
+         COALESCE(CASE WHEN a.bal_v = b.bal_v THEN 1 ELSE 0 END, 0) AS ag_bal,
+         COALESCE(CASE WHEN a.seg_v = b.seg_v THEN 1 ELSE 0 END, 0) AS ag_seg
+  FROM recs a JOIN recs b ON a.block = b.block AND a.rid < b.rid),
+agg AS (
+  SELECT CAST(SUM(is_match) AS BIGINT) AS n_match,
+         CAST(SUM(1 - is_match) AS BIGINT) AS n_nonmatch,
+         CAST(SUM(ag_name * is_match) AS BIGINT) AS am_name,
+         CAST(SUM(ag_bal * is_match) AS BIGINT) AS am_bal,
+         CAST(SUM(ag_seg * is_match) AS BIGINT) AS am_seg,
+         CAST(SUM(ag_name * (1 - is_match)) AS BIGINT) AS au_name,
+         CAST(SUM(ag_bal * (1 - is_match)) AS BIGINT) AS au_bal,
+         CAST(SUM(ag_seg * (1 - is_match)) AS BIGINT) AS au_seg
+  FROM pairs),
+f AS (
+  SELECT 'name' AS field, n_match, n_nonmatch, am_name AS am, au_name AS au
+  FROM agg
+  UNION ALL
+  SELECT 'bal', n_match, n_nonmatch, am_bal, au_bal FROM agg
+  UNION ALL
+  SELECT 'seg', n_match, n_nonmatch, am_seg, au_seg FROM agg)
+SELECT field, n_match, n_nonmatch,
+       CAST(ROUND((CAST(am AS DOUBLE) + 0.5)
+                  / (CAST(n_match AS DOUBLE) + 1.0) * 1000000.0)
+            AS BIGINT) AS m_micro,
+       CAST(ROUND((CAST(au AS DOUBLE) + 0.5)
+                  / (CAST(n_nonmatch AS DOUBLE) + 1.0) * 1000000.0)
+            AS BIGINT) AS u_micro,
+       CAST(ROUND(ln(((CAST(am AS DOUBLE) + 0.5)
+                      / (CAST(n_match AS DOUBLE) + 1.0))
+                     / ((CAST(au AS DOUBLE) + 0.5)
+                        / (CAST(n_nonmatch AS DOUBLE) + 1.0)))
+                  * 1000000.0) AS BIGINT) AS w_agree_micro,
+       CAST(ROUND(ln((1.0 - (CAST(am AS DOUBLE) + 0.5)
+                            / (CAST(n_match AS DOUBLE) + 1.0))
+                     / (1.0 - (CAST(au AS DOUBLE) + 0.5)
+                              / (CAST(n_nonmatch AS DOUBLE) + 1.0)))
+                  * 1000000.0) AS BIGINT) AS w_disagree_micro
+FROM f ORDER BY field
+""",
+    doc="Fellegi-Sunter linkage parameters from a blocked labeled "
+        "pair universe: exact-count m/u with Laplace smoothing, "
+        "micro-quantized ln agreement/disagreement weights; one "
+        "blocked self-join + one combinable agg.",
+)

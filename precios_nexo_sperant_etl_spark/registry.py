@@ -107,12 +107,13 @@ _CHECK_FIRST: list[str] = [
     "prep_pipeline",
     "doc_chunks",
     # --- ROUND-12 QUEUE (committed head, in priority order):
-    # 1. The 7 queries registered new in r11 (behind this window, all
+    # 1. The queries registered new in r11 (behind this window, all
     #    locally parity-green at sf0.01 tuned AND vanilla plus sf0.1
     #    in their registration session): bm25_topk,
     #    bitext_mining_pairs, clustering_agreement,
     #    interval_union_coverage, isotonic_calibration,
-    #    streaming_warc_census, streaming_tfrecord_census.
+    #    streaming_warc_census, streaming_tfrecord_census,
+    #    golden_record_merge, fellegi_sunter_weights (9 total).
     # 2. The remaining 33-query r05-stamp cohort (oldest first; see
     #    STAMPS.md): semdedup_survivors, bpe_merges, bpe_token_budget, multimodal_frame_schedule, semdedup_diverse, shard_assignment,
     #    repeat_high_spenders, dup_ngram_rate, gopher_quality_flags, stratified_sample_audit, embedding_quantization_audit, token_fertility_by_lang,
