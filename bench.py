@@ -238,6 +238,7 @@ HEADLINE = [
     "isotonic_calibration",     # PAVA minimax over bounded buckets
     "golden_record_merge",      # MDM survivorship windows
     "fellegi_sunter_weights",   # blocked linkage m/u estimation
+    "series_ohlc_downsample",   # one-agg chart decimation
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

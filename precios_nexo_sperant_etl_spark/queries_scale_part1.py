@@ -3638,3 +3638,77 @@ FROM x GROUP BY user_id ORDER BY user_id
         "integer coverage and merged-interval counts over overlapping "
         "event durations.",
 )
+
+
+# ---------------------------------------------------------------------------
+# series_ohlc_downsample (r11): chart decimation for the serving
+# surface (the reference ships a chart dashboard — SURVEY §3.3): each
+# (event_type, hour-bucket) keeps open/high/low/close + count + an
+# exact cent sum, the standard lossy-but-faithful downsample that
+# bounds any dashboard payload to |series|×|buckets| rows no matter
+# the corpus size. Every survivor is an argmin/argmax with a
+# deterministic (value, ts, event_id) tiebreak, and money is exact
+# integer cents — fully oracle-replayable. One combinable agg over
+# the fact scan; no window over the corpus.
+# ---------------------------------------------------------------------------
+
+def _series_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    b = (e.select(F.col("event_type"),
+                  (us / F.lit(3600000000)).cast("long").alias("bucket"),
+                  us.alias("us"), F.col("event_id"), cents.alias("cents")))
+    # open = cents of the (us, event_id)-min row; close = of the max;
+    # high/low = extreme cents with (us, event_id) tiebreak — all via
+    # struct min/max so one combinable agg does everything.
+    return (b.groupBy("event_type", "bucket")
+             .agg(F.min(F.struct("us", "event_id", "cents"))["cents"]
+                   .alias("open_cents"),
+                  F.max(F.struct("us", "event_id", "cents"))["cents"]
+                   .alias("close_cents"),
+                  F.max(F.struct("cents", "us", "event_id"))["cents"]
+                   .alias("high_cents"),
+                  F.min(F.struct("cents", "us", "event_id"))["cents"]
+                   .alias("low_cents"),
+                  F.count(F.lit(1)).alias("n_points"),
+                  F.sum("cents").alias("sum_cents"))
+             .orderBy("event_type", "bucket"))
+
+
+register(
+    "series_ohlc_downsample",
+    _series_ohlc,
+    """
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts::TIMESTAMP) / 3600000000) AS BIGINT)
+           AS bucket,
+         epoch_us(ts::TIMESTAMP) AS us, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+           ORDER BY us, event_id) AS r_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+           ORDER BY us DESC, event_id DESC) AS r_close,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+           ORDER BY cents DESC, us DESC, event_id DESC) AS r_high,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+           ORDER BY cents, us, event_id) AS r_low
+  FROM b)
+SELECT event_type, bucket,
+       MAX(CASE WHEN r_open = 1 THEN cents END) AS open_cents,
+       MAX(CASE WHEN r_close = 1 THEN cents END) AS close_cents,
+       MAX(CASE WHEN r_high = 1 THEN cents END) AS high_cents,
+       MAX(CASE WHEN r_low = 1 THEN cents END) AS low_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+    doc="OHLC chart decimation per (series, hour): open/high/low/close "
+        "by struct-ordered argmin/argmax with deterministic tiebreaks, "
+        "exact cent sums; payload bounded by series x buckets.",
+)
