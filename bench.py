@@ -239,6 +239,7 @@ HEADLINE = [
     "golden_record_merge",      # MDM survivorship windows
     "fellegi_sunter_weights",   # blocked linkage m/u estimation
     "series_ohlc_downsample",   # one-agg chart decimation
+    "bz2_multistream_extract",  # from-scratch bzip2 multistream
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

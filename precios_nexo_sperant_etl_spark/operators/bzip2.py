@@ -1,0 +1,482 @@
+"""From-scratch bzip2 codec (decoder + subset encoder) — the container
+Wikipedia-class corpus dumps ship in (multistream ``.bz2``), built from
+the public format (the format has no RFC; the layout is fixed by the
+reference implementation and documented in e.g. the bzip2 manual and
+the Hadoop/commons-compress ports):
+
+``'BZh' + level`` stream header; per block a 48-bit magic
+``0x314159265359``, 32-bit block CRC, the deprecated ``randomised``
+bit (always 0 since bzip2 0.9.5 — refused here), a 24-bit BWT origin
+pointer, the two-level used-symbol bitmap, 2..6 Huffman groups with
+MTF+unary-coded selectors switching every 50 symbols, per-group
+delta-coded canonical code lengths, then the RLE2(MTF(BWT(RLE1(data))))
+symbol stream; stream footer ``0x177245385090`` + combined CRC. All
+bit I/O is MSB-first; the CRC is the CRC-32/BZIP2 variant (poly
+0x04C11DB7 fed MSB-first, init/final 0xFFFFFFFF — NOT the reflected
+zlib CRC).
+
+Independence: both directions are pinned against the stdlib ``bz2``
+module in tests (their encoder → this decoder, this encoder → their
+decoder), the same external-implementation discipline as the zstd
+stack — shared-table bugs cannot hide in a self-roundtrip.
+
+The encoder is an honest SUBSET: single-stream, 100k level, 2
+identical Huffman groups (the legal minimum; selectors all pick group
+0), and a sorted-rotations BWT bounded by ``_ENC_MAX_BLOCK`` — right
+for record-sized payloads on executors, not for re-compressing whole
+dumps (bind the real bzip2 for that tier; reading is the scale path
+here).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+_BLOCK_MAGIC = 0x314159265359
+_EOS_MAGIC = 0x177245385090
+_ENC_MAX_BLOCK = 1 << 15  # sorted-rotations BWT bound (post-RLE1 bytes)
+
+
+class Bzip2Error(ValueError):
+    pass
+
+
+# --- CRC-32/BZIP2 -----------------------------------------------------------
+
+def _crc_table() -> list[int]:
+    tbl = []
+    for b in range(256):
+        c = b << 24
+        for _ in range(8):
+            c = ((c << 1) ^ 0x04C11DB7 if c & 0x80000000 else c << 1) \
+                & 0xFFFFFFFF
+        tbl.append(c)
+    return tbl
+
+
+_CRC_TBL = _crc_table()
+
+
+def bz2_crc(data: bytes, crc: int = 0xFFFFFFFF) -> int:
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TBL[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def _crc_final(crc: int) -> int:
+    return crc ^ 0xFFFFFFFF
+
+
+# --- MSB-first bit I/O ------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.d = data
+        self.p = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        d, p = self.d, self.p
+        for _ in range(n):
+            byte = d[p >> 3]
+            v = (v << 1) | ((byte >> (7 - (p & 7))) & 1)
+            p += 1
+        self.p = p
+        return v
+
+    def read1(self) -> int:
+        byte = self.d[self.p >> 3]
+        bit = (byte >> (7 - (self.p & 7))) & 1
+        self.p += 1
+        return bit
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nb += n
+        while self.nb >= 8:
+            self.nb -= 8
+            self.out.append((self.acc >> self.nb) & 0xFF)
+        self.acc &= (1 << self.nb) - 1
+
+    def finish(self) -> bytes:
+        if self.nb:
+            self.out.append((self.acc << (8 - self.nb)) & 0xFF)
+            self.acc = 0
+            self.nb = 0
+        return bytes(self.out)
+
+
+# --- canonical Huffman (bzip2 style: lengths table -> limit/base/perm) ------
+
+def _huff_decode_tables(lengths: list[int]):
+    """bzip2's limit/base/perm decoding tables from code lengths."""
+    min_len = min(lengths)
+    max_len = max(lengths)
+    perm = []
+    for ln in range(min_len, max_len + 1):
+        for sym, sl in enumerate(lengths):
+            if sl == ln:
+                perm.append(sym)
+    count = [0] * (max_len + 2)
+    for sl in lengths:
+        count[sl] += 1
+    limit = [0] * (max_len + 2)
+    base = [0] * (max_len + 2)
+    vec = 0
+    total = 0
+    for ln in range(min_len, max_len + 1):
+        base[ln] = vec - total
+        total += count[ln]
+        vec += count[ln]
+        limit[ln] = vec - 1
+        vec <<= 1
+    return min_len, max_len, limit, base, perm
+
+
+def _huff_read_symbol(br: _BitReader, tabs) -> int:
+    min_len, max_len, limit, base, perm = tabs
+    ln = min_len
+    v = br.read(min_len)
+    while ln <= max_len:
+        if v <= limit[ln]:
+            return perm[v - base[ln]]
+        v = (v << 1) | br.read1()
+        ln += 1
+    raise Bzip2Error("bzip2: invalid Huffman code")
+
+
+def _huff_lengths(freqs: list[int], max_len: int = 17) -> list[int]:
+    """Code lengths for the encoder: standard heap Huffman, then a
+    crude-but-valid rebalance if anything exceeds ``max_len`` (flatten
+    to ceil-log2 — always a legal prefix code for our small
+    alphabets). Every symbol gets a code (bzip2 requires it)."""
+    n = len(freqs)
+    if n == 1:
+        return [1]
+    heap = [(max(f, 1), i, (i,)) for i, f in enumerate(freqs)]
+    heapq.heapify(heap)
+    lens = [0] * n
+    while len(heap) > 1:
+        fa, ia, sa = heapq.heappop(heap)
+        fb, ib, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            lens[s] += 1
+        heapq.heappush(heap, (fa + fb, min(ia, ib), sa + sb))
+    if max(lens) > max_len:
+        flat = max(1, (n - 1).bit_length())
+        if flat > max_len:
+            raise Bzip2Error("bzip2: alphabet too large to flatten")
+        lens = [flat] * n
+    return lens
+
+
+def _huff_codes(lengths: list[int]) -> list[int]:
+    """Canonical codes in the same (length, symbol-order) convention
+    the decoder's perm table walks."""
+    codes = [0] * len(lengths)
+    vec = 0
+    for ln in range(min(lengths), max(lengths) + 1):
+        for sym, sl in enumerate(lengths):
+            if sl == ln:
+                codes[sym] = vec
+                vec += 1
+        vec <<= 1
+    return codes
+
+
+# --- decoder ----------------------------------------------------------------
+
+def _decode_block(br: _BitReader, block_size100k: int) -> bytes:
+    stored_crc = br.read(32)
+    if br.read1():
+        raise Bzip2Error("bzip2: deprecated randomised blocks unsupported")
+    orig_ptr = br.read(24)
+    # two-level used-symbol map
+    used16 = br.read(16)
+    used = []
+    for i in range(16):
+        if used16 & (0x8000 >> i):
+            bits = br.read(16)
+            for j in range(16):
+                if bits & (0x8000 >> j):
+                    used.append(16 * i + j)
+        # unused range: no bits
+    n_used = len(used)
+    if not n_used:
+        raise Bzip2Error("bzip2: empty symbol map")
+    alpha = n_used + 2                      # RUNA, RUNB, MTFV.., EOB
+    n_groups = br.read(3)
+    if not 2 <= n_groups <= 6:
+        raise Bzip2Error("bzip2: bad group count")
+    n_sel = br.read(15)
+    sel_mtf = [0] * n_groups
+    for i in range(n_groups):
+        sel_mtf[i] = i
+    selectors = []
+    for _ in range(n_sel):
+        j = 0
+        while br.read1():
+            j += 1
+            if j >= n_groups:
+                raise Bzip2Error("bzip2: selector overflow")
+        v = sel_mtf.pop(j)
+        sel_mtf.insert(0, v)
+        selectors.append(v)
+    tables = []
+    for _ in range(n_groups):
+        ln = br.read(5)
+        lens = []
+        for _ in range(alpha):
+            while br.read1():
+                ln += -1 if br.read1() else 1
+                if not 1 <= ln <= 20:
+                    raise Bzip2Error("bzip2: bad code length")
+            lens.append(ln)
+        tables.append(_huff_decode_tables(lens))
+    eob = alpha - 1
+    # RLE2 + MTF decode straight into the BWT column
+    mtf = list(used)
+    bwt = bytearray()
+    limit = block_size100k * 100000
+    run = 0
+    run_bit = 0
+    g_idx = -1
+    g_left = 0
+    tabs = None
+    while True:
+        if g_left == 0:
+            g_idx += 1
+            if g_idx >= len(selectors):
+                raise Bzip2Error("bzip2: ran out of selectors")
+            tabs = tables[selectors[g_idx]]
+            g_left = 50
+        g_left -= 1
+        sym = _huff_read_symbol(br, tabs)
+        if sym <= 1:                         # RUNA / RUNB
+            run += (sym + 1) << run_bit
+            run_bit += 1
+            continue
+        if run:
+            bwt.extend(bytes([mtf[0]]) * run)
+            run = 0
+            run_bit = 0
+        if sym == eob:
+            break
+        v = mtf.pop(sym - 1)
+        mtf.insert(0, v)
+        bwt.append(v)
+        if len(bwt) > limit:
+            raise Bzip2Error("bzip2: block overflows its size class")
+    if run:
+        bwt.extend(bytes([mtf[0]]) * run)
+    n = len(bwt)
+    if orig_ptr >= n:
+        raise Bzip2Error("bzip2: origin pointer out of range")
+    # inverse BWT (counting sort -> next-links), then RLE1 expansion
+    counts = [0] * 256
+    for b in bwt:
+        counts[b] += 1
+    starts = [0] * 256
+    t = 0
+    for b in range(256):
+        starts[b] = t
+        t += counts[b]
+    nxt = [0] * n
+    seen = [0] * 256
+    for i, b in enumerate(bwt):
+        nxt[starts[b] + seen[b]] = i
+        seen[b] += 1
+    out = bytearray(n)
+    p = nxt[orig_ptr]
+    for i in range(n):
+        out[i] = bwt[p]
+        p = nxt[p]
+    # RLE1: 4 equal bytes are followed by an extra-repeat count byte
+    plain = bytearray()
+    i = 0
+    while i < n:
+        b = out[i]
+        j = i + 1
+        while j < n and j - i < 4 and out[j] == b:
+            j += 1
+        if j - i == 4:
+            if j >= n:
+                raise Bzip2Error("bzip2: truncated RLE1 run")
+            plain.extend(bytes([b]) * (4 + out[j]))
+            i = j + 1
+        else:
+            plain.extend(out[i:j])
+            i = j
+    if _crc_final(bz2_crc(bytes(plain))) != stored_crc:
+        raise Bzip2Error("bzip2: block CRC mismatch")
+    return bytes(plain)
+
+
+def decode_bzip2(blob: bytes) -> dict:
+    """Decode a (possibly multistream) .bz2 blob. Returns
+    ``{'content', 'n_streams', 'n_blocks'}``. Streams are
+    byte-aligned back to back (the Wikipedia multistream layout)."""
+    out = bytearray()
+    n_streams = 0
+    n_blocks = 0
+    pos = 0
+    while pos < len(blob):
+        if blob[pos:pos + 2] != b"BZ":
+            raise Bzip2Error("bzip2: bad stream magic")
+        if blob[pos + 2:pos + 3] != b"h":
+            raise Bzip2Error("bzip2: only the 'h' (Huffman) format exists")
+        level = blob[pos + 3] - 0x30
+        if not 1 <= level <= 9:
+            raise Bzip2Error("bzip2: bad block-size level")
+        br = _BitReader(blob, (pos + 4) * 8)
+        combined = 0
+        while True:
+            magic = br.read(48)
+            if magic == _BLOCK_MAGIC:
+                blk = _decode_block(br, level)
+                out.extend(blk)
+                n_blocks += 1
+                combined = (((combined << 1) | (combined >> 31))
+                            & 0xFFFFFFFF) ^ _crc_final(bz2_crc(blk))
+            elif magic == _EOS_MAGIC:
+                stored = br.read(32)
+                if stored != combined:
+                    raise Bzip2Error("bzip2: combined CRC mismatch")
+                break
+            else:
+                raise Bzip2Error("bzip2: bad block magic")
+        n_streams += 1
+        pos = (br.p + 7) >> 3               # streams are byte-aligned
+    if not n_streams:
+        raise Bzip2Error("bzip2: empty input")
+    return {"content": bytes(out), "n_streams": n_streams,
+            "n_blocks": n_blocks}
+
+
+# --- encoder (subset: one stream, 2 identical groups) ------------------------
+
+def _rle1(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        j = i
+        while j < n and j - i < 255 + 4 and data[j] == b:
+            j += 1
+        run = j - i
+        if run >= 4:
+            out.extend(bytes([b]) * 4)
+            out.append(run - 4)
+        else:
+            out.extend(bytes([b]) * run)
+        i = j
+    return bytes(out)
+
+
+def _bwt(data: bytes) -> tuple[bytes, int]:
+    n = len(data)
+    dd = data + data
+    idx = sorted(range(n), key=lambda i: dd[i:i + n])
+    last = bytes(data[(i - 1) % n] for i in idx)
+    return last, idx.index(0)
+
+
+def encode_bzip2(data: bytes) -> bytes:
+    """Encode ``data`` as one bzip2 stream (level 1 container; blocks
+    bounded by the sorted-rotations BWT limit). Raises on empty input
+    (bzip2 streams always carry at least the EOS; stdlib accepts an
+    empty-payload stream but record sinks never need one here)."""
+    if not data:
+        raise Bzip2Error("bzip2: empty payload")
+    w = _BitWriter()
+    w.out.extend(b"BZh1")
+    combined = 0
+    # Split the PLAIN data and RLE1 each block independently — exactly
+    # the reference encoder's per-block shape, and it makes splitting
+    # trivially safe (an RLE1 unit can never straddle blocks). RLE1
+    # worst-case expansion is 5/4 (a bare 4-run gains a count byte),
+    # so the plain quota keeps every block under _ENC_MAX_BLOCK.
+    plain_quota = _ENC_MAX_BLOCK * 4 // 5
+    for off in range(0, len(data), plain_quota):
+        plain = data[off:off + plain_quota]
+        rblk = _rle1(plain)
+        blk_crc = _crc_final(bz2_crc(bytes(plain)))
+        combined = (((combined << 1) | (combined >> 31))
+                    & 0xFFFFFFFF) ^ blk_crc
+        bwt, orig_ptr = _bwt(rblk)
+        used = sorted(set(bwt))
+        rank = {b: i for i, b in enumerate(used)}
+        alpha = len(used) + 2
+        eob = alpha - 1
+        # MTF + RLE2
+        mtf = list(used)
+        syms: list[int] = []
+        zrun = 0
+
+        def flush_zrun(z: int) -> None:
+            while z:
+                z -= 1
+                syms.append(z & 1)          # RUNA=0 / RUNB=1 bijective
+                z >>= 1
+
+        for b in bwt:
+            p = mtf.index(b)
+            if p == 0:
+                zrun += 1
+                continue
+            flush_zrun(zrun)
+            zrun = 0
+            mtf.pop(p)
+            mtf.insert(0, b)
+            syms.append(p + 1)
+        flush_zrun(zrun)
+        syms.append(eob)
+        freqs = [0] * alpha
+        for s in syms:
+            freqs[s] += 1
+        lens = _huff_lengths(freqs)
+        codes = _huff_codes(lens)
+        n_sel = (len(syms) + 49) // 50
+        w.write(_BLOCK_MAGIC, 48)
+        w.write(blk_crc, 32)
+        w.write(0, 1)                       # not randomised
+        w.write(orig_ptr, 24)
+        used16 = 0
+        for b in used:
+            used16 |= 0x8000 >> (b >> 4)
+        w.write(used16, 16)
+        for i16 in range(16):
+            if used16 & (0x8000 >> i16):
+                bits = 0
+                for b in used:
+                    if (b >> 4) == i16:
+                        bits |= 0x8000 >> (b & 15)
+                w.write(bits, 16)
+        w.write(2, 3)                       # nGroups = 2 (legal minimum)
+        w.write(n_sel, 15)
+        for _ in range(n_sel):
+            w.write(0, 1)                   # selector MTF 0 -> group 0
+        for _ in range(2):                  # two identical tables
+            cur = lens[0]
+            w.write(cur, 5)
+            for ln in lens:
+                while cur < ln:
+                    w.write(0b10, 2)
+                    cur += 1
+                while cur > ln:
+                    w.write(0b11, 2)
+                    cur -= 1
+                w.write(0, 1)
+        for s in syms:
+            w.write(codes[s], lens[s])
+    w.write(_EOS_MAGIC, 48)
+    w.write(combined, 32)
+    return w.finish()

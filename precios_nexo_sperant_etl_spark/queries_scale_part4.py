@@ -4228,3 +4228,69 @@ FROM documents ORDER BY doc_id
         "and read back via spark.read.format('warc'); content lengths "
         "and payload md5s pinned against the parquet originals.",
 )
+
+
+# ---------------------------------------------------------------------------
+# bz2_multistream_extract (round 11): the Wikipedia-dump carriage —
+# each document becomes its OWN bzip2 stream (our from-scratch
+# encoder, stdlib-bz2-interop-pinned in tests/test_bzip2.py), streams
+# concatenate back-to-back per group exactly like enwiki multistream
+# shards, and the composed blob is decoded back by the from-scratch
+# multistream decoder. Every published value (per-group stream/block
+# census, concatenated-content md5 and byte length) is recomputed by
+# the oracle from the parquet originals, so a byte lost anywhere in
+# RLE1→BWT→MTF→RLE2→Huffman→bit-pack→decode breaks the hash. The
+# texts are record-sized so each doc is exactly one block (the
+# encoder's 26k plain quota) — making n_blocks oracle-predictable.
+# Scale: applyInPandas per group; codec work partition-local.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _bz2_multistream_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.bzip2 import decode_bzip2, encode_bzip2
+
+    d = (_t(spark, sf, "documents")
+         .select((F.col("doc_id") % 16).alias("gid"), "doc_id", "text"))
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blob = b"".join(encode_bzip2((t + "\n").encode("utf-8"))
+                        for t in pdf["text"])
+        r = decode_bzip2(blob)
+        return pd.DataFrame([{
+            "gid": int(pdf["gid"].iloc[0]),
+            "n_streams": r["n_streams"],
+            "n_blocks": r["n_blocks"],
+            "content_len": len(r["content"]),
+            "content_md5": hashlib.md5(r["content"]).hexdigest(),
+        }])
+
+    return (d.groupBy("gid")
+             .applyInPandas(per_group,
+                            "gid long, n_streams long, n_blocks long,"
+                            " content_len long, content_md5 string")
+             .orderBy("gid"))
+
+
+register(
+    "bz2_multistream_extract",
+    _bz2_multistream_extract,
+    """
+SELECT doc_id % 16 AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_streams,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(octet_length(encode(text || chr(10)))) AS BIGINT)
+         AS content_len,
+       md5(string_agg(text || chr(10), '' ORDER BY doc_id))
+         AS content_md5
+FROM documents GROUP BY 1 ORDER BY gid
+""",
+    doc="Wikipedia-style bzip2 multistream carriage: one from-scratch "
+        "stream per document, concatenated per group, decoded back by "
+        "the from-scratch multistream decoder; census + content md5 "
+        "pinned against the parquet originals.",
+)

@@ -316,8 +316,9 @@ class WarcDataSource(DataSource):
     """``spark.read.format("warc")``: one row per WARC record.
 
     Options: ``path`` (file / dir / glob). Members may be plain,
-    gzip-wrapped (`.warc.gz`) or zstd-wrapped (`.warc.zst`, optionally
-    with a skippable-frame dictionary — the Common Crawl convention);
+    gzip-wrapped (`.warc.gz`), zstd-wrapped (`.warc.zst`, optionally
+    with a skippable-frame dictionary — the Common Crawl convention)
+    or bzip2-wrapped (`.warc.bz2`, incl. Wikipedia-style multistream);
     wrapping is sniffed per file, executor-side. Static schema:
     ``(warc_file, rec_index, warc_type, record_id, content_length,
     payload)``."""
@@ -380,7 +381,10 @@ class WarcReader(DataSourceReader):
             return
         with open(partition.path, "rb") as f:
             blob = f.read()
-        if blob[:4] == b"\x28\xb5\x2f\xfd" or \
+        if blob[:3] == b"BZh":                  # .warc.bz2 member
+            from ..operators.bzip2 import decode_bzip2
+            blob = decode_bzip2(blob)["content"]
+        elif blob[:4] == b"\x28\xb5\x2f\xfd" or \
                 (len(blob) >= 8 and 0x184D2A50 <=
                  int.from_bytes(blob[:4], "little") <= 0x184D2A5F):
             try:
@@ -435,8 +439,8 @@ class WarcWriter(DataSourceWriter):
     partition, executor-side, re-sharding crawl records at fleet
     scale. Input columns (by name): ``warc_type``, ``record_id``,
     ``payload``. Options: ``compression`` = ``none`` (default),
-    ``gzip``, or ``zstd`` (members land as .warc / .warc.gz /
-    .warc.zst — the reader sniffs all three)."""
+    ``gzip``, ``zstd``, or ``bz2`` (members land as .warc / .warc.gz /
+    .warc.zst / .warc.bz2 — the reader sniffs all four)."""
 
     def __init__(self, options: dict, schema: StructType,
                  overwrite: bool) -> None:
@@ -445,8 +449,8 @@ class WarcWriter(DataSourceWriter):
             raise ValueError("path option is required")
         self.dir = _require_shared_fs(path)
         comp = str(options.get("compression", "none")).lower()
-        if comp not in ("none", "gzip", "zstd"):
-            raise ValueError("compression must be none/gzip/zstd")
+        if comp not in ("none", "gzip", "zstd", "bz2"):
+            raise ValueError("compression must be none/gzip/zstd/bz2")
         self.comp = comp
         self._old_parts = _snapshot_parts(self.dir) if overwrite else []
         names = [f.name for f in schema.fields]
@@ -472,9 +476,12 @@ class WarcWriter(DataSourceWriter):
                          bytes(row[self.idx["payload"]])))
         blob = build_warc(recs)
         ext = {"none": ".warc", "gzip": ".warc.gz",
-               "zstd": ".warc.zst"}[self.comp]
+               "zstd": ".warc.zst", "bz2": ".warc.bz2"}[self.comp]
         if self.comp == "gzip":
             blob = gzip.compress(blob)
+        elif self.comp == "bz2":
+            from ..operators.bzip2 import encode_bzip2
+            blob = encode_bzip2(blob) if blob else blob
         elif self.comp == "zstd":
             from ..operators.zstdframe import encode_zstd_raw
             blob = encode_zstd_raw(blob, block_size=1 << 16,

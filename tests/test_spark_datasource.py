@@ -446,3 +446,30 @@ def test_warc_zstd_external_dict_frame_refuses(spark, tmp_path):
     with pytest.raises(Exception, match="[Dd]ictionary"):
         spark.read.format("warc").load(str(tmp_path / "x.warc.zst")) \
             .collect()
+
+
+def test_warc_format_bz2_members(spark, tmp_path):
+    """.warc.bz2 members (r11): our encoder's streams AND stdlib bz2
+    streams (the Wikipedia multistream shape) both sniff + decode."""
+    import bz2
+
+    register_data_sources(spark)
+    recs = [("response", f"<urn:uuid:{i}>", f"payload-{i}".encode() * 3)
+            for i in range(4)]
+    warc = build_warc(recs)
+    (tmp_path / "a.warc.bz2").write_bytes(bz2.compress(warc))
+    df = spark.createDataFrame(
+        [(t, r, p) for t, r, p in recs],
+        "warc_type string, record_id string, payload binary")
+    (df.repartition(1).write.format("warc").option("compression", "bz2")
+       .mode("append").save(str(tmp_path / "ours")))
+    import glob
+    import shutil
+    part = glob.glob(str(tmp_path / "ours" / "part-*.warc.bz2"))[0]
+    shutil.copy(part, tmp_path / "b.warc.bz2")
+    both = spark.read.format("warc").load(str(tmp_path / "*.warc.bz2"))
+    rows = both.collect()
+    assert len(rows) == 8
+    got = sorted(bytes(r["payload"]) for r in rows)
+    want = sorted([p for _, _, p in recs] * 2)
+    assert got == want
