@@ -240,6 +240,7 @@ HEADLINE = [
     "fellegi_sunter_weights",   # blocked linkage m/u estimation
     "series_ohlc_downsample",   # one-agg chart decimation
     "bz2_multistream_extract",  # from-scratch bzip2 multistream
+    "xz_dump_extract",          # from-scratch LZMA range decoding
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

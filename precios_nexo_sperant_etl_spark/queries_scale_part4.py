@@ -4294,3 +4294,72 @@ FROM documents GROUP BY 1 ORDER BY gid
         "the from-scratch multistream decoder; census + content md5 "
         "pinned against the parquet originals.",
 )
+
+
+# ---------------------------------------------------------------------------
+# xz_dump_extract (round 11): the xz-utils dump carriage decoded by
+# the from-scratch LZMA stack — per document the INDEPENDENT stdlib
+# lzma encoder produces a real .xz stream (check type alternating
+# CRC32/CRC64/SHA-256 by doc id, so all three verifiers run in the
+# driver-checked path) and operators.xzlzma decodes it back: range
+# coder, 12-state machine, literal contexts, rep distances, container
+# CRCs, index and footer all on the hot path. The oracle recomputes
+# every published value from the parquet originals; the decoder has
+# NO companion encoder, so nothing can hide in a self-roundtrip.
+# Scale: mapInPandas, codec work partition-local. Registered BEHIND
+# the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _xz_dump_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import lzma
+
+    import pandas as pd
+
+    from .operators.xzlzma import decode_xz
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+    checks = [lzma.CHECK_CRC32, lzma.CHECK_CRC64, lzma.CHECK_SHA256]
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = []
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                raw = t.encode("utf-8")
+                blob = lzma.compress(raw, format=lzma.FORMAT_XZ,
+                                     check=checks[int(did) % 3])
+                r = decode_xz(blob)
+                rows.append({
+                    "doc_id": int(did),
+                    "check_name": r["checks"][0],
+                    "n_blocks": r["n_blocks"],
+                    "content_len": len(r["content"]),
+                    "content_md5":
+                        hashlib.md5(r["content"]).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(
+                roundtrip, "doc_id long, check_name string,"
+                           " n_blocks long, content_len long,"
+                           " content_md5 string")
+               .orderBy("doc_id"))
+
+
+register(
+    "xz_dump_extract",
+    _xz_dump_extract,
+    """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'crc32' WHEN 1 THEN 'crc64'
+            ELSE 'sha256' END AS check_name,
+       CAST(1 AS BIGINT) AS n_blocks,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+       md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="xz/LZMA2 dump carriage: stdlib-encoded .xz streams (all three "
+        "check types) decoded by the from-scratch range-coder stack; "
+        "content md5 and structural census pinned per document.",
+)

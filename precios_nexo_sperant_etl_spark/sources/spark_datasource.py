@@ -318,8 +318,9 @@ class WarcDataSource(DataSource):
     Options: ``path`` (file / dir / glob). Members may be plain,
     gzip-wrapped (`.warc.gz`), zstd-wrapped (`.warc.zst`, optionally
     with a skippable-frame dictionary — the Common Crawl convention)
-    or bzip2-wrapped (`.warc.bz2`, incl. Wikipedia-style multistream);
-    wrapping is sniffed per file, executor-side. Static schema:
+    bzip2-wrapped (`.warc.bz2`, incl. Wikipedia-style multistream) or
+    xz-wrapped (`.warc.xz`); wrapping is sniffed per file,
+    executor-side. Static schema:
     ``(warc_file, rec_index, warc_type, record_id, content_length,
     payload)``."""
 
@@ -384,6 +385,9 @@ class WarcReader(DataSourceReader):
         if blob[:3] == b"BZh":                  # .warc.bz2 member
             from ..operators.bzip2 import decode_bzip2
             blob = decode_bzip2(blob)["content"]
+        elif blob[:6] == b"\xfd7zXZ\x00":       # .warc.xz member
+            from ..operators.xzlzma import decode_xz
+            blob = decode_xz(blob)["content"]
         elif blob[:4] == b"\x28\xb5\x2f\xfd" or \
                 (len(blob) >= 8 and 0x184D2A50 <=
                  int.from_bytes(blob[:4], "little") <= 0x184D2A5F):

@@ -473,3 +473,19 @@ def test_warc_format_bz2_members(spark, tmp_path):
     got = sorted(bytes(r["payload"]) for r in rows)
     want = sorted([p for _, _, p in recs] * 2)
     assert got == want
+
+
+def test_warc_format_xz_members(spark, tmp_path):
+    """.warc.xz members (r11) sniff + decode via the from-scratch
+    LZMA stack (stdlib lzma is the independent encoder)."""
+    import lzma
+
+    register_data_sources(spark)
+    recs = [("response", f"<urn:uuid:{i}>", f"payload-{i}".encode() * 3)
+            for i in range(4)]
+    (tmp_path / "a.warc.xz").write_bytes(lzma.compress(build_warc(recs)))
+    df = spark.read.format("warc").load(str(tmp_path / "a.warc.xz"))
+    rows = df.collect()
+    assert len(rows) == 4
+    assert sorted(bytes(r["payload"]) for r in rows) == \
+        sorted(p for _, _, p in recs)
