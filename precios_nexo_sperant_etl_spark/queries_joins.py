@@ -1235,35 +1235,60 @@ ORDER BY b.entity_id
 
 
 # ---------------------------------------------------------------------------
-# fellegi_sunter_weights (r11): probabilistic record-linkage parameter
-# estimation (Fellegi & Sunter 1969 — the model behind Splink-class
-# toolkits). Over the same synthesized duplicate universe as
-# golden_record_merge, candidate pairs come from a NATIONKEY BLOCK
-# self-join (never all-pairs; the blocking discipline every linkage
-# run needs), truth labels from entity identity, and per-field m/u
-# probabilities are exact count ratios with Laplace smoothing
-# ((k+0.5)/(n+1)) so no weight is ever infinite. Agreement weights
-# ln(m/u) and disagreement weights ln((1-m)/(1-u)) publish
-# micro-quantized (the ln discipline). One blocked join + ONE
-# combinable agg — no per-pair output ever leaves the executors.
+# fellegi_sunter_weights (r11, reworked same-round): probabilistic
+# record-linkage parameter estimation (Fellegi & Sunter 1969 — the
+# model behind Splink-class toolkits). The duplicate universe derives
+# every variant from its ENTITY's base row (case/suffix-perturbed
+# names, shared balances with a null pattern, segment noise), so field
+# agreement carries real signal: m_name lands near the 1/3 the
+# perturbation scheme implies while u_name stays near zero, m_seg high
+# vs u_seg ~ 1/|segments|. Candidate pairs come from a
+# (nationkey, name-digit) BLOCK self-join with the repo's standard
+# degenerate-block cap (blocks over _FS_BLOCK_CAP records are excluded
+# from pair generation via a broadcast keep-list, mirrored in the
+# oracle) — so pair mass is blocks × cap² at worst, never quadratic in
+# the corpus; m/u estimated under blocking+cap is the production
+# sampling shape. Laplace smoothing ((k+0.5)/(n+1)) keeps every weight
+# finite; ln weights publish micro-quantized. One blocked join + ONE
+# combinable agg — no per-pair output leaves the executors.
 # ---------------------------------------------------------------------------
+
+_FS_BLOCK_CAP = 64
+
 
 def _fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer")
-    ent = (F.col("c_custkey") / F.lit(3)).cast("long")
-    var = (F.col("c_custkey") % 3).cast("int")
-    name_v = (F.when(var == 1, F.upper(F.col("c_name")))
-               .when(var == 2, F.concat(F.col("c_name"), F.lit(" jr")))
-               .otherwise(F.col("c_name")))
-    bal_v = F.when((var == 0) & (ent % 4 == 0), F.lit(None)) \
-             .otherwise(F.round(F.col("c_acctbal") * 100).cast("long"))
-    seg_v = F.when((var == 1) & (ent % 5 == 0), F.lit("UNKNOWN")) \
-             .otherwise(F.col("c_mktsegment"))
-    recs = c.select(F.col("c_custkey").alias("rid"),
-                    F.col("c_nationkey").alias("block"),
-                    ent.alias("entity_id"),
-                    name_v.alias("name_v"), bal_v.alias("bal_v"),
-                    seg_v.alias("seg_v"))
+    base = (c.where(F.col("c_custkey") % 3 == 0)
+             .select((F.col("c_custkey") / F.lit(3)).cast("long")
+                      .alias("entity_id"),
+                     F.col("c_name").alias("bname"),
+                     F.col("c_nationkey").alias("bnation"),
+                     F.round(F.col("c_acctbal") * 100).cast("long")
+                      .alias("bbal"),
+                     F.col("c_mktsegment").alias("bseg")))
+    v = F.col("variant")
+    recs = (base.select("*", F.explode(F.array(
+                F.lit(0), F.lit(1), F.lit(2))).alias("variant"))
+            .select(
+                "entity_id", "variant",
+                F.concat(F.col("bnation").cast("string"), F.lit("|"),
+                         F.substring(F.col("bname"), -2, 2))
+                 .alias("block"),
+                F.when(v == 1, F.upper(F.col("bname")))
+                 .when(v == 2, F.concat(F.col("bname"), F.lit(" jr")))
+                 .otherwise(F.col("bname")).alias("name_v"),
+                F.when((v == 0) & (F.col("entity_id") % 4 == 0),
+                       F.lit(None)).otherwise(F.col("bbal"))
+                 .alias("bal_v"),
+                F.when((v == 1) & (F.col("entity_id") % 5 == 0),
+                       F.lit("UNKNOWN")).otherwise(F.col("bseg"))
+                 .alias("seg_v"),
+                (F.col("entity_id") * 3 + v).alias("rid")))
+    keep = (recs.groupBy("block")
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .where(F.col("_bn") <= _FS_BLOCK_CAP)
+                .select("block"))
+    recs = recs.join(F.broadcast(keep), "block")
     a, b = recs.alias("a"), recs.alias("b")
     pairs = (a.join(b, (F.col("a.block") == F.col("b.block"))
                     & (F.col("a.rid") < F.col("b.rid")))
@@ -1276,7 +1301,6 @@ def _fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
                   .cast("int").alias("ag_bal"),
                  (F.col("a.seg_v") == F.col("b.seg_v"))
                   .cast("int").alias("ag_seg")))
-    # ONE combinable agg: totals + per-field agreement counts by label
     m = F.col("is_match")
     agg = pairs.agg(
         F.sum(m).cast("long").alias("n_match"),
@@ -1310,28 +1334,34 @@ def _fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
 register(
     "fellegi_sunter_weights",
     _fellegi_sunter,
-    """
-WITH recs AS (
-  SELECT c_custkey AS rid, c_nationkey AS block,
-         CAST(FLOOR(c_custkey / 3) AS BIGINT) AS entity_id,
-         CASE WHEN c_custkey % 3 = 1 THEN upper(c_name)
-              WHEN c_custkey % 3 = 2 THEN c_name || ' jr'
-              ELSE c_name END AS name_v,
-         CASE WHEN c_custkey % 3 = 0
-                   AND CAST(FLOOR(c_custkey / 3) AS BIGINT) % 4 = 0
-              THEN NULL
-              ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT) END AS bal_v,
-         CASE WHEN c_custkey % 3 = 1
-                   AND CAST(FLOOR(c_custkey / 3) AS BIGINT) % 5 = 0
-              THEN 'UNKNOWN' ELSE c_mktsegment END AS seg_v
-  FROM customer),
+    f"""
+WITH base AS (
+  SELECT CAST(FLOOR(c_custkey / 3) AS BIGINT) AS entity_id,
+         c_name AS bname, c_nationkey AS bnation,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bbal,
+         c_mktsegment AS bseg
+  FROM customer WHERE c_custkey % 3 = 0),
+recs AS (
+  SELECT entity_id, v AS variant,
+         CAST(bnation AS VARCHAR) || '|' || bname[-2:] AS block,
+         CASE WHEN v = 1 THEN upper(bname)
+              WHEN v = 2 THEN bname || ' jr' ELSE bname END AS name_v,
+         CASE WHEN v = 0 AND entity_id % 4 = 0 THEN NULL
+              ELSE bbal END AS bal_v,
+         CASE WHEN v = 1 AND entity_id % 5 = 0 THEN 'UNKNOWN'
+              ELSE bseg END AS seg_v,
+         entity_id * 3 + v AS rid
+  FROM base, (SELECT unnest([0, 1, 2]) AS v)),
+keep AS (SELECT block FROM recs GROUP BY block
+         HAVING COUNT(*) <= {_FS_BLOCK_CAP}),
+kept AS (SELECT r.* FROM recs r JOIN keep USING (block)),
 pairs AS (
   SELECT CASE WHEN a.entity_id = b.entity_id THEN 1 ELSE 0 END AS is_match,
          COALESCE(CASE WHEN upper(a.name_v) = upper(b.name_v)
                        THEN 1 ELSE 0 END, 0) AS ag_name,
          COALESCE(CASE WHEN a.bal_v = b.bal_v THEN 1 ELSE 0 END, 0) AS ag_bal,
          COALESCE(CASE WHEN a.seg_v = b.seg_v THEN 1 ELSE 0 END, 0) AS ag_seg
-  FROM recs a JOIN recs b ON a.block = b.block AND a.rid < b.rid),
+  FROM kept a JOIN kept b ON a.block = b.block AND a.rid < b.rid),
 agg AS (
   SELECT CAST(SUM(is_match) AS BIGINT) AS n_match,
          CAST(SUM(1 - is_match) AS BIGINT) AS n_nonmatch,
@@ -1368,8 +1398,7 @@ SELECT field, n_match, n_nonmatch,
                   * 1000000.0) AS BIGINT) AS w_disagree_micro
 FROM f ORDER BY field
 """,
-    doc="Fellegi-Sunter linkage parameters from a blocked labeled "
-        "pair universe: exact-count m/u with Laplace smoothing, "
-        "micro-quantized ln agreement/disagreement weights; one "
-        "blocked self-join + one combinable agg.",
-)
+    doc="Fellegi-Sunter linkage parameters over entity-derived "
+        "duplicate variants: capped-block candidate pairs, exact-count "
+        "m/u with Laplace smoothing, micro-quantized ln weights; one "
+        "blocked join + one combinable agg.")
