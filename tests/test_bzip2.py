@@ -78,3 +78,20 @@ def test_corruption_is_loud():
         decode_bzip2(b"notbzip2")
     with pytest.raises(Bzip2Error):
         encode_bzip2(b"")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=1, max_size=3000))
+    def test_hyp_our_encoder_stdlib_decodes(data):
+        assert bz2.decompress(encode_bzip2(data)) == data
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=3000), st.sampled_from([1, 9]))
+    def test_hyp_stdlib_encoder_we_decode(data, lvl):
+        assert decode_bzip2(bz2.compress(data, lvl))["content"] == data
+except ImportError:  # pragma: no cover
+    pass

@@ -87,3 +87,17 @@ def test_corruption_is_loud():
     good = lzma.compress(b"payload")
     with pytest.raises(XzError):
         decode_xz(good[:-4])              # truncated footer
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=5000),
+           st.sampled_from([0, 6, 9]))
+    def test_hyp_stdlib_xz_we_decode(data, preset):
+        assert decode_xz(lzma.compress(data, preset=preset))["content"] \
+            == data
+except ImportError:  # pragma: no cover
+    pass
