@@ -241,6 +241,7 @@ HEADLINE = [
     "series_ohlc_downsample",   # one-agg chart decimation
     "bz2_multistream_extract",  # from-scratch bzip2 multistream
     "xz_dump_extract",          # from-scratch LZMA range decoding
+    "wikipedia_dump_pipeline",  # XML-in-bz2 ingest, JVM-side parse
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

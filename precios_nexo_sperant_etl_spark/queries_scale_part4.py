@@ -4363,3 +4363,84 @@ FROM documents ORDER BY doc_id
         "check types) decoded by the from-scratch range-coder stack; "
         "content md5 and structural census pinned per document.",
 )
+
+
+# ---------------------------------------------------------------------------
+# wikipedia_dump_pipeline (round 11): the canonical public-corpus
+# ingestion chain end-to-end — documents rendered as MediaWiki export
+# XML pages, carried as a bzip2 MULTISTREAM shard per group (one
+# from-scratch stream per page, the enwiki layout), decoded back by
+# the from-scratch bz2 decoder, and then parsed JVM-SIDE: page
+# splitting and title/id/text extraction are codegen regexp_extract
+# over the decoded XML (the Spark-first half — only the codec crosses
+# into Python), XML entities unescaped in the pinned reverse order.
+# Every published value (ids, titles, revision ids, text md5) is
+# recomputed by the oracle from the parquet originals, so a byte lost
+# in escape→stream→decode→parse→unescape breaks the hash.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _wikipedia_dump_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.bzip2 import decode_bzip2, encode_bzip2
+
+    d = (_t(spark, sf, "documents")
+         .select((F.col("doc_id") % 8).alias("gid"), "doc_id", "text"))
+
+    def esc(t: str) -> str:
+        return (t.replace("&", "&amp;").replace("<", "&lt;")
+                 .replace(">", "&gt;"))
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        streams = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            page = (f"<page><title>Doc {did}</title><id>{did}</id>"
+                    f"<revision><id>{did * 7}</id>"
+                    f"<text>{esc(t)}</text></revision></page>")
+            streams.append(encode_bzip2(page.encode("utf-8")))
+        xml = decode_bzip2(b"".join(streams))["content"].decode("utf-8")
+        return pd.DataFrame([{"gid": int(pdf["gid"].iloc[0]),
+                              "xml": "<mediawiki>" + xml + "</mediawiki>"}])
+
+    shards = d.groupBy("gid").applyInPandas(per_group,
+                                            "gid long, xml string")
+    pages = shards.select(
+        F.explode(F.expr(
+            r"regexp_extract_all(xml, '(?s)<page>(.*?)</page>', 1)"))
+         .alias("page"))
+    unescape = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract("page", r"(?s)<text>(.*?)</text>", 1),
+                "&lt;", "<"),
+            "&gt;", ">"),
+        "&amp;", "&")
+    return (pages.select(
+                F.regexp_extract("page", r"<id>(\d+)</id>", 1)
+                 .cast("long").alias("doc_id"),
+                F.regexp_extract("page", r"<title>(.*?)</title>", 1)
+                 .alias("title"),
+                F.regexp_extract("page",
+                                 r"<revision><id>(\d+)</id>", 1)
+                 .cast("long").alias("rev_id"),
+                F.md5(F.encode(unescape, "utf-8")).alias("text_md5"))
+            .orderBy("doc_id"))
+
+
+register(
+    "wikipedia_dump_pipeline",
+    _wikipedia_dump_pipeline,
+    """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       doc_id * 7 AS rev_id,
+       md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="Wikipedia-dump ingestion chain: MediaWiki XML pages through "
+        "the from-scratch bzip2 multistream codec, parsed back with "
+        "JVM-side codegen regex extraction and pinned-order entity "
+        "unescaping; ids, titles and text md5s oracle-exact per page.",
+)
