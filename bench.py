@@ -242,6 +242,8 @@ HEADLINE = [
     "bz2_multistream_extract",  # from-scratch bzip2 multistream
     "xz_dump_extract",          # from-scratch LZMA range decoding
     "wikipedia_dump_pipeline",  # XML-in-bz2 ingest, JVM-side parse
+    "mojibake_repair_audit",    # JVM charset-chain repair
+    "ip_range_lookup_join",     # bucket-decomposed banded-dim BHJ
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

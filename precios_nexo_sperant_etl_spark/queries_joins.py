@@ -1402,3 +1402,85 @@ FROM f ORDER BY field
         "duplicate variants: capped-block candidate pairs, exact-count "
         "m/u with Laplace smoothing, micro-quantized ln weights; one "
         "blocked join + one combinable agg.")
+
+
+# ---------------------------------------------------------------------------
+# ip_range_lookup_join (r11): the range-LOOKUP join (map a point value
+# into a banded dimension — IP→geo, price→bracket, ts→calendar) done
+# the way it must be done at 100 TB: the 64-entry range dim is
+# DECOMPOSED into the fixed /64 top-bucket grid (a range spanning k
+# buckets contributes k rows — bounded by dim shape), broadcast, and
+# equi-joined on the bucket key with an exact residual filter — a
+# BroadcastHashJoin the fact scan streams through, where the naive
+# spelling (broadcast + BETWEEN) is a BroadcastNestedLoopJoin that
+# evaluates every range per row. The oracle IS the naive BETWEEN join
+# (ground truth, fine at oracle scale), so the decomposition's
+# correctness — boundary rows included — is what the gate checks.
+# Facts get deterministic 32-bit IPs from the portable md5 fold.
+# ---------------------------------------------------------------------------
+
+def _ip_range_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import md5_hash
+    r = F.col("id")
+    start = (r * F.lit(67108864)
+             + (r * r % F.lit(1000)) * F.lit(4096)).cast("long")
+    r1 = r + F.lit(1)
+    end = F.when(r == 63, F.lit(1 << 32).cast("long")) \
+           .otherwise((r1 * F.lit(67108864)
+                       + (r1 * r1 % F.lit(1000)) * F.lit(4096))
+                      .cast("long"))
+    dim = (spark.range(64)
+           .select(F.col("id").alias("range_id"),
+                   start.alias("lo"), end.alias("hi")))
+    expanded = (dim.select("range_id", "lo", "hi",
+                           F.explode(F.sequence(
+                               F.shiftrightunsigned("lo", 26),
+                               F.shiftrightunsigned(F.col("hi") - 1, 26)))
+                            .alias("bucket")))
+    e = _t(spark, sf, "events")
+    facts = e.select(
+        "event_id", "user_id",
+        (md5_hash(F.concat(F.lit("ip:"),
+                           F.col("user_id").cast("string")))
+         % F.lit(1 << 32)).alias("ip"))
+    joined = (facts.withColumn("bucket",
+                               F.shiftrightunsigned("ip", 26))
+              .join(F.broadcast(expanded), "bucket")
+              .where((F.col("ip") >= F.col("lo"))
+                     & (F.col("ip") < F.col("hi"))))
+    return (joined.groupBy("range_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.min("ip").alias("min_ip"), F.max("ip").alias("max_ip"))
+            .orderBy("range_id"))
+
+
+register(
+    "ip_range_lookup_join",
+    _ip_range_lookup,
+    """
+WITH dim AS (
+  SELECT r AS range_id,
+         CAST(r * 67108864 + (r * r % 1000) * 4096 AS BIGINT) AS lo,
+         CASE WHEN r = 63 THEN CAST(4294967296 AS BIGINT)
+              ELSE CAST((r + 1) * 67108864
+                        + ((r + 1) * (r + 1) % 1000) * 4096 AS BIGINT)
+         END AS hi
+  FROM (SELECT unnest(range(0, 64)) AS r)),
+facts AS (
+  SELECT event_id, user_id,
+         ('0x' || substr(md5('ip:' || CAST(user_id AS VARCHAR)), 1, 12))
+           ::BIGINT % 4294967296 AS ip
+  FROM events)
+SELECT d.range_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+       MIN(f.ip) AS min_ip, MAX(f.ip) AS max_ip
+FROM facts f JOIN dim d ON f.ip >= d.lo AND f.ip < d.hi
+GROUP BY d.range_id ORDER BY d.range_id
+""",
+    doc="Range-lookup join via bucket decomposition: the banded dim "
+        "explodes onto a fixed top-bucket grid and broadcast "
+        "equi-joins the fact scan (BHJ, not BNLJ); the oracle is the "
+        "naive BETWEEN join, so boundary handling is value-checked.",
+)

@@ -536,3 +536,48 @@ register(
         "happens on exact DECIMAL before formatting, so both engines "
         "format a plain integer.",
 )
+
+
+# ---------------------------------------------------------------------------
+# mojibake_repair_audit (r11): the classic double-encoding corruption
+# (UTF-8 bytes re-read as Latin-1 — the single most common mojibake in
+# scraped corpora) synthesized, detected and REPAIRED entirely
+# JVM-side with charset chains: corrupt = decode(encode(text, UTF-8),
+# ISO-8859-1); repair = decode(encode(corrupt, ISO-8859-1), UTF-8).
+# Pure codegen, no Python in the loop. The oracle pins the repaired
+# md5 against the original text and the detection flag against the
+# byte-length-vs-char-length identity, so a repair that loses even one
+# byte fails the gate; `repaired_ok` is ASSERTED per row (a false
+# anywhere breaks the value hash).
+# ---------------------------------------------------------------------------
+
+def _mojibake_repair(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.tables import load_tables
+    d = load_tables(spark, sf)["documents"]
+    moji = F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
+    repair = F.decode(F.encode(moji, "ISO-8859-1"), "UTF-8")
+    return (d.select(
+                "doc_id",
+                (F.octet_length(F.col("text"))
+                 != F.length(F.col("text"))).alias("has_non_ascii"),
+                (moji != F.col("text")).alias("was_corrupted"),
+                (repair == F.col("text")).alias("repaired_ok"),
+                F.md5(F.encode(repair, "UTF-8")).alias("repaired_md5"))
+            .orderBy("doc_id"))
+
+
+register(
+    "mojibake_repair_audit",
+    _mojibake_repair,
+    """
+SELECT doc_id,
+       octet_length(encode(text)) != length(text) AS has_non_ascii,
+       octet_length(encode(text)) != length(text) AS was_corrupted,
+       TRUE AS repaired_ok,
+       md5(text) AS repaired_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="Double-encoding mojibake synthesized and repaired with pure "
+        "JVM charset chains; repaired md5 and detection flags "
+        "oracle-asserted per document.",
+)
