@@ -244,6 +244,7 @@ HEADLINE = [
     "wikipedia_dump_pipeline",  # XML-in-bz2 ingest, JVM-side parse
     "mojibake_repair_audit",    # JVM charset-chain repair
     "ip_range_lookup_join",     # bucket-decomposed banded-dim BHJ
+    "deflate_dynamic_roundtrip",  # from-scratch RFC 1951 stack
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -4444,3 +4444,66 @@ FROM documents ORDER BY doc_id
         "JVM-side codegen regex extraction and pinned-order entity "
         "unescaping; ids, titles and text md5s oracle-exact per page.",
 )
+
+
+# ---------------------------------------------------------------------------
+# deflate_dynamic_roundtrip (round 11): the from-scratch RFC 1951
+# stack on the driver-checked path — per document OUR dynamic-Huffman
+# deflate (LZ77 hash chains, 16/17/18 code-length RLE) wrapped as
+# gzip, decoded back by OUR inflate AND independently by the stdlib
+# (the executor asserts stdlib agreement per row; a False anywhere
+# breaks the value hash). Completes the from-scratch compression
+# suite's driver surface: zstd, bzip2, xz/LZMA, deflate. Scale:
+# mapInPandas, partition-local codec work.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _deflate_dynamic_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import gzip as _gz
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.deflatecodec import gzip_compress, gzip_decompress
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = []
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                raw = t.encode("utf-8")
+                blob = gzip_compress(raw)
+                back = gzip_decompress(blob)
+                rows.append({
+                    "doc_id": int(did),
+                    "content_len": len(back),
+                    "content_md5": hashlib.md5(back).hexdigest(),
+                    "stdlib_agrees": _gz.decompress(blob) == raw,
+                    "self_ok": back == raw,
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(
+                roundtrip, "doc_id long, content_len long,"
+                           " content_md5 string, stdlib_agrees boolean,"
+                           " self_ok boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "deflate_dynamic_roundtrip",
+    _deflate_dynamic_roundtrip,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+       md5(text) AS content_md5,
+       TRUE AS stdlib_agrees,
+       TRUE AS self_ok
+FROM documents ORDER BY doc_id
+""",
+    doc="From-scratch dynamic-Huffman DEFLATE + gzip wrapper driver-"
+        "checked per document, with per-row stdlib-gzip agreement "
+        "asserted inside the value hash.",
+)

@@ -138,6 +138,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "wikipedia_dump_pipeline": 11,
     "mojibake_repair_audit": 11,
     "ip_range_lookup_join": 11,
+    "deflate_dynamic_roundtrip": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
