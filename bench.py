@@ -245,6 +245,8 @@ HEADLINE = [
     "mojibake_repair_audit",    # JVM charset-chain repair
     "ip_range_lookup_join",     # bucket-decomposed banded-dim BHJ
     "deflate_dynamic_roundtrip",  # from-scratch RFC 1951 stack
+    "lake_time_travel",         # commit-log snapshot replay
+    "event_pattern_match",      # regex funnel over event strings
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -4507,3 +4507,131 @@ FROM documents ORDER BY doc_id
         "checked per document, with per-row stdlib-gzip agreement "
         "asserted inside the value hash.",
 )
+
+
+# ---------------------------------------------------------------------------
+# lake_time_travel (round 11): table-format log replay — a
+# deterministic add/remove commit log (Delta/Iceberg shape: version v
+# adds four files, and two versions later a third of them are
+# compacted away) replayed to EVERY historical snapshot in one query:
+# snapshot(v) = adds with v_add <= v, anti-joined against removes
+# with v_rem <= v. File-manifest-sized inputs (the established lake-op
+# class); versions broadcast over the add set. Completes the lake
+# surface next to schema-evolution, compaction, manifest-prune and
+# SCD2: the time-travel read path.
+# ---------------------------------------------------------------------------
+
+def _lake_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    n_versions = 10
+    adds = (spark.range(n_versions * 4)
+            .select(F.col("id").alias("file_id"),
+                    (F.col("id") / 4).cast("long").alias("v_add"),
+                    (F.lit(100) + (F.col("id") % 7) * 10).alias("n_rows")))
+    removes = (adds.where((F.col("file_id") % 3 == 0)
+                          & (F.col("v_add") <= n_versions - 3))
+               .select("file_id", (F.col("v_add") + 2).alias("v_rem")))
+    versions = spark.range(n_versions).select(F.col("id").alias("version"))
+    live = (adds.join(removes, "file_id", "left")
+                .crossJoin(F.broadcast(versions))
+                .where((F.col("v_add") <= F.col("version"))
+                       & (F.col("v_rem").isNull()
+                          | (F.col("v_rem") > F.col("version")))))
+    return (live.groupBy("version")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("n_rows").alias("total_rows"),
+                 F.min("file_id").alias("oldest_file"),
+                 F.max("file_id").alias("newest_file"))
+            .orderBy("version"))
+
+
+register(
+    "lake_time_travel",
+    _lake_time_travel,
+    """
+WITH adds AS (
+  SELECT f AS file_id, CAST(FLOOR(f / 4) AS BIGINT) AS v_add,
+         CAST(100 + (f % 7) * 10 AS BIGINT) AS n_rows
+  FROM (SELECT unnest(range(0, 40)) AS f)),
+removes AS (
+  SELECT file_id, v_add + 2 AS v_rem FROM adds
+  WHERE file_id % 3 = 0 AND v_add <= 7),
+versions AS (SELECT unnest(range(0, 10)) AS version),
+live AS (
+  SELECT a.file_id, a.n_rows, v.version
+  FROM adds a LEFT JOIN removes r USING (file_id), versions v
+  WHERE a.v_add <= v.version
+    AND (r.v_rem IS NULL OR r.v_rem > v.version))
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(file_id) AS oldest_file, MAX(file_id) AS newest_file
+FROM live GROUP BY version ORDER BY version
+""",
+    doc="Table-format time travel: add/remove commit log replayed to "
+        "every historical snapshot via one anti-style join; "
+        "manifest-sized inputs, versions broadcast.",
+)
+
+
+# ---------------------------------------------------------------------------
+# event_pattern_match (round 11): MATCH_RECOGNIZE-flavored sequence
+# pattern mining — each user's event history collapses to a type
+# string (one char per event, (ts, event_id)-ordered inside an
+# array_sort, so the sequence is deterministic without a second
+# window), and funnel patterns are counted with CODEGEN regex over
+# that string: non-overlapping 'vc*p' (view→clicks→purchase runs),
+# 'ee' error bursts, and the position of the first purchase. One
+# shuffle (the per-user collect); everything after is JVM string
+# work on |users| rows.
+# ---------------------------------------------------------------------------
+
+def _event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    ch = (F.when(F.col("event_type") == "view", F.lit("v"))
+           .when(F.col("event_type") == "click", F.lit("c"))
+           .when(F.col("event_type") == "purchase", F.lit("p"))
+           .when(F.col("event_type") == "error", F.lit("e"))
+           .otherwise(F.lit("o")))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = (e.select("user_id", F.struct(us.alias("us"),
+                                             F.col("event_id").alias("eid"),
+                                             ch.alias("ch")).alias("s"))
+                 .groupBy("user_id")
+                 .agg(F.array_join(
+                      F.transform(F.sort_array(F.collect_list("s")),
+                                  lambda x: x["ch"]), "").alias("seq")))
+    return (per_user.select(
+                "user_id",
+                F.length("seq").alias("seq_len"),
+                F.size(F.expr("regexp_extract_all(seq, 'vc*p', 0)"))
+                 .alias("n_funnel_runs"),
+                F.size(F.expr("regexp_extract_all(seq, 'ee', 0)"))
+                 .alias("n_error_bursts"),
+                F.instr(F.col("seq"), "p").alias("first_purchase_pos"))
+            .orderBy("user_id"))
+
+
+register(
+    "event_pattern_match",
+    _event_pattern_match,
+    """
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                    WHEN 'error' THEN 'e' ELSE 'o' END, ''
+                    ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(length(seq) AS INT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT)
+         AS n_funnel_runs,
+       CAST(len(regexp_extract_all(seq, 'ee')) AS INT)
+         AS n_error_bursts,
+       CAST(strpos(seq, 'p') AS INT) AS first_purchase_pos
+FROM s ORDER BY user_id
+""",
+    doc="Sequence pattern mining over per-user event-type strings: "
+        "deterministic array_sort collapse, codegen regex counts for "
+        "funnel runs and error bursts; one shuffle total.",
+)
