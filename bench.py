@@ -247,6 +247,7 @@ HEADLINE = [
     "deflate_dynamic_roundtrip",  # from-scratch RFC 1951 stack
     "lake_time_travel",         # commit-log snapshot replay
     "event_pattern_match",      # regex funnel over event strings
+    "streaming_scd2_upsert",    # foreachBatch merge into state
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

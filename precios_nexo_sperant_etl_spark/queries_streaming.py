@@ -889,3 +889,119 @@ FROM documents ORDER BY rec_md5
         "of CRC32C-framed records drained through one checkpoint; the "
         "exactly-once (md5, length) census matches the originals.",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_scd2_upsert (round 11): the warehouse upsert loop as a
+# STREAM — dimension updates (latest event_type per user) land in two
+# waves, a checkpointed availableNow query drains each wave through
+# foreachBatch, and every batch applies the SAME scd2_merge operator
+# the batch surface ships (read current state → merge → write next
+# state version; the MERGE-into-a-table pattern Delta's foreachBatch
+# upsert recipe documents, with versioned-directory state instead of
+# a table format). Starting from an EMPTY dimension makes the final
+# history a pure function of the per-wave latest series, so the
+# oracle derives it with windows: per (user, wave) latest value,
+# consecutive-distinct change points, effective/end chained by LEAD.
+# A record duplicated or lost across the checkpoint boundary, or a
+# batch applied out of order, breaks the hash.
+# ---------------------------------------------------------------------------
+
+_SCD2_STREAM_MID = "2024-01-16 00:00:00"
+
+
+def _streaming_scd2_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampNTZType)
+
+    from .operators.update import scd2_merge
+    from .queries_scale_common import _t
+
+    root = tempfile.mkdtemp(prefix="stream_scd2_")
+    land = os.path.join(root, "land")
+    os.makedirs(land)
+    state_root = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+
+    e = _t(spark, sf, "events")
+    upd = e.select(F.col("user_id").alias("k"),
+                   F.col("event_type").alias("v"),
+                   F.col("ts").alias("update_ts"),
+                   "event_id")
+    mid = F.lit(_SCD2_STREAM_MID).cast("timestamp_ntz")
+
+    def land_wave(tag: str, df) -> None:
+        stage = os.path.join(root, f"stage_{tag}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(land, f"{tag}.parquet"))
+
+    state = {"v": 0}
+    dim_schema = StructType([
+        StructField("k", upd.schema["k"].dataType),
+        StructField("v", StringType()),
+        StructField("effective_ts", TimestampNTZType()),
+        StructField("end_ts", TimestampNTZType()),
+    ])
+
+    def apply_batch(bdf, _bid) -> None:
+        dim = (spark.createDataFrame([], dim_schema) if state["v"] == 0
+               else spark.read.parquet(
+                   os.path.join(state_root, f"v{state['v']}")))
+        merged = scd2_merge(dim, bdf.select("k", "v", "update_ts"),
+                            ["k"], ["v"])
+        state["v"] += 1
+        merged.write.parquet(os.path.join(state_root, f"v{state['v']}"))
+
+    def drain() -> None:
+        q = (spark.readStream
+             .schema("k long, v string, update_ts timestamp_ntz,"
+                     " event_id long")
+             .parquet(land)
+             .writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    land_wave("w1", upd.where(F.col("update_ts") < mid))
+    drain()
+    land_wave("w2", upd.where(F.col("update_ts") >= mid))
+    drain()
+    return (spark.read.parquet(os.path.join(state_root, f"v{state['v']}"))
+            .orderBy("k", "effective_ts"))
+
+
+register(
+    "streaming_scd2_upsert",
+    _streaming_scd2_upsert,
+    f"""
+WITH upd AS (
+  SELECT user_id AS k, event_type AS v, ts::TIMESTAMP AS uts, event_id,
+         CASE WHEN ts::TIMESTAMP < TIMESTAMP '{_SCD2_STREAM_MID}'
+              THEN 1 ELSE 2 END AS wave
+  FROM events),
+latest AS (
+  SELECT k, wave, v, uts
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k, wave
+          ORDER BY uts DESC, v DESC NULLS LAST) AS rn FROM upd)
+  WHERE rn = 1),
+chg AS (
+  SELECT k, wave, v, uts,
+         LAG(v) OVER (PARTITION BY k ORDER BY wave) AS pv,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY wave) AS rk
+  FROM latest),
+kept AS (
+  SELECT k, v, uts FROM chg
+  WHERE rk = 1 OR v IS DISTINCT FROM pv)
+SELECT k, v, uts AS effective_ts,
+       LEAD(uts) OVER (PARTITION BY k ORDER BY uts) AS end_ts
+FROM kept ORDER BY k, effective_ts
+""",
+    doc="Streaming SCD2 upsert: two update waves drained through one "
+        "checkpoint, foreachBatch applying the batch scd2_merge into "
+        "versioned state; final history equals the window-derived "
+        "change-point oracle exactly.",
+)

@@ -141,6 +141,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "deflate_dynamic_roundtrip": 11,
     "lake_time_travel": 11,
     "event_pattern_match": 11,
+    "streaming_scd2_upsert": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
