@@ -199,15 +199,19 @@ class _LzmaState:
 
 def _decode_lzma_chunk(data: bytes, pos: int, comp_end: int,
                        st: _LzmaState, out: bytearray,
-                       unpacked: int) -> None:
+                       unpacked: int | None,
+                       allow_marker: bool = False) -> None:
     """Decode exactly ``unpacked`` bytes into ``out`` (which carries
-    the whole dictionary history)."""
+    the whole dictionary history); ``unpacked=None`` decodes until the
+    LZMA end marker (the legacy .lzma unknown-size mode)."""
     rc = _RangeDecoder(data, pos)
-    limit = len(out) + unpacked
+    limit = None if unpacked is None else len(out) + unpacked
     pb_mask = (1 << st.pb) - 1
     lp_mask = (1 << st.lp) - 1
     lc = st.lc
-    while len(out) < limit:
+    while limit is None or len(out) < limit:
+        if rc.p > comp_end:
+            raise XzError("lzma: truncated stream (no end marker)")
         pos_state = len(out) & pb_mask
         if not rc.bit(st.is_match, (st.state << 4) + pos_state):
             prev = out[-1] if out else 0
@@ -277,11 +281,13 @@ def _decode_lzma_chunk(data: bytes, pos: int, comp_end: int,
                     dist += rc.direct(nd - 4) << 4
                     dist += _bittree_rev_at(rc, st.align, 0, 4)
             if dist == 0xFFFFFFFF:
+                if allow_marker:
+                    return
                 raise XzError("lzma: unexpected end marker inside LZMA2")
             st.rep0 = dist
         if st.rep0 >= len(out) or st.rep0 < 0:
             raise XzError("lzma: distance past dictionary start")
-        if len(out) + length > limit:
+        if limit is not None and len(out) + length > limit:
             raise XzError("lzma: match overruns chunk size")
         src = len(out) - st.rep0 - 1
         for i in range(length):
@@ -519,3 +525,30 @@ def _lzma2_extent(data: bytes, pos: int) -> int:
             pos += comp
         else:
             raise XzError(f"lzma2: bad control byte {c:#x}")
+
+
+def decode_lzma_alone(blob: bytes) -> bytes:
+    """Decode the legacy ``.lzma`` container (LZMA_Alone / stdlib
+    FORMAT_ALONE): 1 props byte, 4-byte dict size, 8-byte
+    uncompressed size (all-0xFF = unknown → end-marker terminated),
+    then a single LZMA stream. Exercises the end-marker path LZMA2
+    never takes."""
+    if len(blob) < 13:
+        raise XzError("lzma_alone: truncated header")
+    pbyte = blob[0]
+    if pbyte >= 225:
+        raise XzError("lzma_alone: bad props byte")
+    lc = pbyte % 9
+    lp = (pbyte // 9) % 5
+    pb = pbyte // 45
+    if lc + lp > 4:
+        raise XzError("lzma_alone: lc+lp > 4 unsupported")
+    size = int.from_bytes(blob[5:13], "little")
+    st = _LzmaState(lc, lp, pb)
+    out = bytearray()
+    unpacked = None if size == 0xFFFFFFFFFFFFFFFF else size
+    _decode_lzma_chunk(blob, 13, len(blob), st, out, unpacked,
+                       allow_marker=True)
+    if unpacked is not None and len(out) != unpacked:
+        raise XzError("lzma_alone: size mismatch")
+    return bytes(out)

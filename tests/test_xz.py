@@ -101,3 +101,23 @@ try:
             == data
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_lzma_alone_legacy_format():
+    """Legacy .lzma (FORMAT_ALONE): unknown-size, end-marker-terminated
+    single stream — the marker path LZMA2 never exercises."""
+    from precios_nexo_sperant_etl_spark.operators.xzlzma import (
+        decode_lzma_alone)
+    r = random.Random(3)
+    for c in [b"hello", b"a" * 50000, b"",
+              bytes(r.randrange(256) for _ in range(7000)),
+              b"repeat " * 3000]:
+        for preset in (1, 6, 9):
+            blob = lzma.compress(c, format=lzma.FORMAT_ALONE,
+                                 preset=preset)
+            assert decode_lzma_alone(blob) == c
+    with pytest.raises(XzError):
+        decode_lzma_alone(b"\x5d\x00\x00\x01\x00")        # truncated
+    good = bytearray(lzma.compress(b"x" * 500, format=lzma.FORMAT_ALONE))
+    with pytest.raises(XzError):
+        decode_lzma_alone(bytes(good[:-10]))              # no end marker
