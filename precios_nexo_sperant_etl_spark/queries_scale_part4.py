@@ -4635,3 +4635,69 @@ FROM s ORDER BY user_id
         "deterministic array_sort collapse, codegen regex counts for "
         "funnel runs and error bursts; one shuffle total.",
 )
+
+
+# ---------------------------------------------------------------------------
+# lz4_frame_roundtrip (round 11): the from-scratch LZ4 block + frame
+# codec (operators/lz4codec.py — LZ4 frame spec v1.6.3 with xxHash32
+# header/block/content checksums, also implemented from scratch) on
+# the driver-checked path: per document OUR frame encoder (block
+# checksums on) then OUR decoder, every checksum verified on the way
+# back. The independent-implementation pins (lz4-java fast/HC/frame,
+# net.jpountz xxhash 32/64, both directions) live in tests/test_lz4.py
+# — the query proves the executor-side plumbing at data scale. Scale:
+# mapInPandas, partition-local codec work, identical shape to the
+# zstd/deflate/bzip2/xz roundtrip queries (exponents 0.15-0.69).
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _lz4_frame_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.lz4codec import (lz4_frame_compress,
+                                     lz4_frame_decompress)
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = []
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                raw = t.encode("utf-8")
+                blob = lz4_frame_compress(raw, block_checksum=True)
+                back = lz4_frame_decompress(blob)
+                rows.append({
+                    "doc_id": int(did),
+                    "content_len": len(back),
+                    "content_md5": hashlib.md5(back).hexdigest(),
+                    "n_blocks": max(1, -(-len(raw) // 65536)),
+                    "self_ok": back == raw,
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(
+                roundtrip, "doc_id long, content_len long,"
+                           " content_md5 string, n_blocks int,"
+                           " self_ok boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "lz4_frame_roundtrip",
+    _lz4_frame_roundtrip,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+       md5(text) AS content_md5,
+       CAST(GREATEST(1, CEIL(octet_length(encode(text)) / 65536.0))
+            AS INT) AS n_blocks,
+       TRUE AS self_ok
+FROM documents ORDER BY doc_id
+""",
+    doc="From-scratch LZ4 frame codec (xxHash32 checksums included) "
+        "driver-checked per document; lz4-java both-direction interop "
+        "pins in tests/test_lz4.py.",
+)

@@ -318,9 +318,9 @@ class WarcDataSource(DataSource):
     Options: ``path`` (file / dir / glob). Members may be plain,
     gzip-wrapped (`.warc.gz`), zstd-wrapped (`.warc.zst`, optionally
     with a skippable-frame dictionary — the Common Crawl convention)
-    bzip2-wrapped (`.warc.bz2`, incl. Wikipedia-style multistream) or
-    xz-wrapped (`.warc.xz`); wrapping is sniffed per file,
-    executor-side. Static schema:
+    bzip2-wrapped (`.warc.bz2`, incl. Wikipedia-style multistream),
+    xz-wrapped (`.warc.xz`) or lz4-frame-wrapped (`.warc.lz4`);
+    wrapping is sniffed per file, executor-side. Static schema:
     ``(warc_file, rec_index, warc_type, record_id, content_length,
     payload)``."""
 
@@ -388,6 +388,9 @@ class WarcReader(DataSourceReader):
         elif blob[:6] == b"\xfd7zXZ\x00":       # .warc.xz member
             from ..operators.xzlzma import decode_xz
             blob = decode_xz(blob)["content"]
+        elif blob[:4] == b"\x04\x22\x4d\x18":   # .warc.lz4 member
+            from ..operators.lz4codec import lz4_frame_decompress
+            blob = lz4_frame_decompress(blob)
         elif blob[:4] == b"\x28\xb5\x2f\xfd" or \
                 (len(blob) >= 8 and 0x184D2A50 <=
                  int.from_bytes(blob[:4], "little") <= 0x184D2A5F):
@@ -443,8 +446,9 @@ class WarcWriter(DataSourceWriter):
     partition, executor-side, re-sharding crawl records at fleet
     scale. Input columns (by name): ``warc_type``, ``record_id``,
     ``payload``. Options: ``compression`` = ``none`` (default),
-    ``gzip``, ``zstd``, or ``bz2`` (members land as .warc / .warc.gz /
-    .warc.zst / .warc.bz2 — the reader sniffs all four)."""
+    ``gzip``, ``zstd``, ``bz2``, or ``lz4`` (members land as .warc /
+    .warc.gz / .warc.zst / .warc.bz2 / .warc.lz4 — the reader sniffs
+    all five)."""
 
     def __init__(self, options: dict, schema: StructType,
                  overwrite: bool) -> None:
@@ -453,8 +457,8 @@ class WarcWriter(DataSourceWriter):
             raise ValueError("path option is required")
         self.dir = _require_shared_fs(path)
         comp = str(options.get("compression", "none")).lower()
-        if comp not in ("none", "gzip", "zstd", "bz2"):
-            raise ValueError("compression must be none/gzip/zstd/bz2")
+        if comp not in ("none", "gzip", "zstd", "bz2", "lz4"):
+            raise ValueError("compression must be none/gzip/zstd/bz2/lz4")
         self.comp = comp
         self._old_parts = _snapshot_parts(self.dir) if overwrite else []
         names = [f.name for f in schema.fields]
@@ -479,8 +483,8 @@ class WarcWriter(DataSourceWriter):
                          str(row[self.idx["record_id"]]),
                          bytes(row[self.idx["payload"]])))
         blob = build_warc(recs)
-        ext = {"none": ".warc", "gzip": ".warc.gz",
-               "zstd": ".warc.zst", "bz2": ".warc.bz2"}[self.comp]
+        ext = {"none": ".warc", "gzip": ".warc.gz", "zstd": ".warc.zst",
+               "bz2": ".warc.bz2", "lz4": ".warc.lz4"}[self.comp]
         if self.comp == "gzip":
             blob = gzip.compress(blob)
         elif self.comp == "bz2":
@@ -490,6 +494,9 @@ class WarcWriter(DataSourceWriter):
             from ..operators.zstdframe import encode_zstd_raw
             blob = encode_zstd_raw(blob, block_size=1 << 16,
                                    checksum=True) if blob else blob
+        elif self.comp == "lz4":
+            from ..operators.lz4codec import lz4_frame_compress
+            blob = lz4_frame_compress(blob) if blob else blob
         os.makedirs(self.dir, exist_ok=True)
         name = f"part-{pid:05d}-{uuid.uuid4().hex}{ext}"
         with open(os.path.join(self.dir, name), "wb") as f:

@@ -214,7 +214,7 @@ def test_warc_writer_roundtrip_all_compressions(spark, tmp_path):
                   F.encode(F.format_string("payload-%d-", F.col("id")),
                            "utf-8").alias("payload"))
           .repartition(3))
-    for comp in ("none", "gzip", "zstd"):
+    for comp in ("none", "gzip", "zstd", "lz4"):
         out = tmp_path / f"w_{comp}"
         (df.write.format("warc").option("compression", comp)
            .mode("append").save(str(out)))
