@@ -4701,3 +4701,82 @@ FROM documents ORDER BY doc_id
         "driver-checked per document; lz4-java both-direction interop "
         "pins in tests/test_lz4.py.",
 )
+
+
+# ---------------------------------------------------------------------------
+# zip_archive_extract (round 11): the from-scratch ZIP container
+# (operators/ziparchive.py — EOCD/ZIP64/central-directory walk, CRC-32
+# verify, deflate members through OUR RFC 1951 codec) on the driver-
+# checked path with the INDEPENDENT implementation in the loop both
+# directions, per bucket of documents:
+#   stdlib zipfile (zlib deflate) builds the archive -> OURS extracts
+#   OURS builds the archive -> stdlib extracts + testzip()s
+# so neither direction is a self-roundtrip. Scale: applyInPandas per
+# doc_id bucket (32 bounded groups of ~n/32 docs), archive work
+# partition-local; same shape as webdataset_roundtrip.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _zip_archive_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from .operators.ziparchive import zip_create, zip_extract
+
+    d = (_t(spark, sf, "documents").select("doc_id", "text")
+         .withColumn("bucket", (F.col("doc_id") % 32).cast("int")))
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        entries = [(f"doc_{int(i):08d}.txt", t.encode("utf-8"))
+                   for i, t in sorted(zip(pdf["doc_id"], pdf["text"]))]
+        # independent encoder -> our decoder
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for name, data in entries:
+                info = zipfile.ZipInfo(name, (2020, 1, 1, 0, 0, 0))
+                zf.writestr(info, data)
+        members = zip_extract(buf.getvalue())
+        # our encoder -> independent decoder
+        ours = zip_create(entries)
+        zf2 = zipfile.ZipFile(io.BytesIO(ours))
+        stdlib_ok = (zf2.testzip() is None
+                     and [zf2.read(n) for n, _ in entries]
+                     == [d_ for _, d_ in entries])
+        rows = []
+        for (name, data), m in zip(entries, members):
+            rows.append({
+                "doc_id": int(name[4:12]),
+                "content_len": len(m["data"]),
+                "content_md5": hashlib.md5(m["data"]).hexdigest(),
+                "crc_ok": bool(m["crc_ok"]) and m["data"] == data,
+                "stdlib_reads_ours": bool(stdlib_ok),
+            })
+        return pd.DataFrame(rows)
+
+    return (d.groupBy("bucket")
+             .applyInPandas(per_bucket,
+                            "doc_id long, content_len long,"
+                            " content_md5 string, crc_ok boolean,"
+                            " stdlib_reads_ours boolean")
+             .orderBy("doc_id"))
+
+
+register(
+    "zip_archive_extract",
+    _zip_archive_extract,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+       md5(text) AS content_md5,
+       TRUE AS crc_ok,
+       TRUE AS stdlib_reads_ours
+FROM documents ORDER BY doc_id
+""",
+    doc="From-scratch ZIP container with the independent stdlib "
+        "zipfile in the loop both directions per bucket: zlib-built "
+        "archives decoded by our EOCD/central-directory walker + RFC "
+        "1951 inflate, and our archives verified by stdlib testzip.",
+)
