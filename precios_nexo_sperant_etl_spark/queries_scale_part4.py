@@ -4780,3 +4780,106 @@ FROM documents ORDER BY doc_id
         "archives decoded by our EOCD/central-directory walker + RFC "
         "1951 inflate, and our archives verified by stdlib testzip.",
 )
+
+
+# ---------------------------------------------------------------------------
+# parquet_footer_stats (round 11): the from-scratch parquet FOOTER
+# parser (operators/parquetmeta.py — Thrift compact protocol + the
+# parquet-format IDL, no pyarrow in the loop) on the driver-checked
+# path, as the 100 TB pruning primitive: one task per table does a
+# footer-ONLY read (seek to the PAR1 trailer, one bounded tail read —
+# kilobytes per file regardless of file size) and emits the footer's
+# own row counts, null counts and min/max statistics per column chunk,
+# aggregated across row groups. The oracle recomputes THE SAME numbers
+# from the data with a full DuckDB scan — writer (parquet-cpp), parser
+# (ours) and verifier (duckdb) are three independent implementations.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+_FOOTER_STAT_COLS: list[tuple[str, str]] = [
+    ("customer", "c_acctbal"), ("customer", "c_custkey"),
+    ("documents", "doc_id"), ("documents", "n_chars"),
+    ("embeddings", "label"), ("embeddings", "vec_id"),
+    ("events", "event_id"), ("events", "user_id"), ("events", "value"),
+    ("lineitem", "l_discount"), ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_orderkey"), ("lineitem", "l_quantity"),
+    ("nation", "n_nationkey"), ("orders", "o_custkey"),
+    ("orders", "o_orderkey"), ("orders", "o_totalprice"),
+    ("part", "p_retailprice"), ("part", "p_size"),
+    ("region", "r_regionkey"), ("supplier", "s_suppkey"),
+]
+
+
+def _parquet_footer_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+
+    import pandas as pd
+
+    wanted: dict[str, list[str]] = {}
+    for t, c in _FOOTER_STAT_COLS:
+        wanted.setdefault(t, []).append(c)
+    tables = sorted(wanted)
+    src = (spark.createDataFrame([(t,) for t in tables], "tbl string")
+           .repartition(len(tables), "tbl"))
+
+    def per_table(it):
+        from .operators.parquetmeta import read_footer
+        for pdf in it:
+            rows = []
+            for t in pdf["tbl"]:
+                footer = read_footer(_os.path.join(sf, f"{t}.parquet"))
+                per_col: dict[str, dict] = {}
+                n_rows = 0
+                for rg in footer["row_groups"]:
+                    n_rows += rg["num_rows"]
+                    for c in rg["columns"]:
+                        if c["path"] not in wanted[t]:
+                            continue
+                        st = c["statistics"]
+                        agg = per_col.setdefault(
+                            c["path"], {"nulls": 0, "min": None,
+                                        "max": None})
+                        agg["nulls"] += st["null_count"] or 0
+                        if st["min"] is not None and (
+                                agg["min"] is None
+                                or st["min"] < agg["min"]):
+                            agg["min"] = st["min"]
+                        if st["max"] is not None and (
+                                agg["max"] is None
+                                or st["max"] > agg["max"]):
+                            agg["max"] = st["max"]
+                for col in wanted[t]:
+                    agg = per_col[col]
+                    rows.append({
+                        "tbl": t, "col": col, "n_rows": n_rows,
+                        "null_count": agg["nulls"],
+                        "min_v": float(agg["min"]),
+                        "max_v": float(agg["max"]),
+                    })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(per_table,
+                            "tbl string, col string, n_rows long,"
+                            " null_count long, min_v double,"
+                            " max_v double")
+               .orderBy("tbl", "col"))
+
+
+register(
+    "parquet_footer_stats",
+    _parquet_footer_stats,
+    "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tbl, '{c}' AS col,"
+        f" COUNT(*)::BIGINT AS n_rows,"
+        f" SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+        f" AS null_count,"
+        f" MIN({c})::DOUBLE AS min_v, MAX({c})::DOUBLE AS max_v"
+        f" FROM {t}"
+        for t, c in _FOOTER_STAT_COLS
+    ) + "\nORDER BY tbl, col",
+    doc="From-scratch parquet footer parser (Thrift compact protocol) "
+        "as the pruning primitive: footer-only bounded tail reads, one "
+        "task per table; footer statistics must equal DuckDB's full "
+        "rescan of the data — writer, parser and verifier are three "
+        "independent implementations.",
+)

@@ -119,7 +119,8 @@ _CHECK_FIRST: list[str] = [
     #    mojibake_repair_audit, ip_range_lookup_join,
     #    deflate_dynamic_roundtrip, lake_time_travel,
     #    event_pattern_match, streaming_scd2_upsert,
-    #    lz4_frame_roundtrip, zip_archive_extract (21 total).
+    #    lz4_frame_roundtrip, zip_archive_extract,
+    #    parquet_footer_stats (22 total).
     # 2. The remaining 33-query r05-stamp cohort (oldest first; see
     #    STAMPS.md): semdedup_survivors, bpe_merges, bpe_token_budget, multimodal_frame_schedule, semdedup_diverse, shard_assignment,
     #    repeat_high_spenders, dup_ngram_rate, gopher_quality_flags, stratified_sample_audit, embedding_quantization_audit, token_fertility_by_lang,
