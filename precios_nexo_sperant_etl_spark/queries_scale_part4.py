@@ -4883,3 +4883,95 @@ register(
         "rescan of the data — writer, parser and verifier are three "
         "independent implementations.",
 )
+
+
+# ---------------------------------------------------------------------------
+# rowgroup_pruning_scan (round 11): footer-based scan pruning driven
+# END-TO-END — orders are bucketed by fixed price bands (one parquet
+# file per band via repartition(bucket)+partitionBy, executor-side),
+# then for each probe predicate the PRUNING DECISION is made from OUR
+# footer parser alone (bounded tail reads over the file manifest — the
+# established file-manifest-sized lake-op class) and only surviving
+# files are scanned. Published per predicate: how many files the
+# footer stats admitted, and the exact row count + orderkey sum from
+# the pruned scan. The oracle recomputes all three from a FULL scan —
+# so a footer min/max decoded wrong either admits a file the oracle's
+# band census doesn't count, or (worse) silently drops rows and breaks
+# n_rows/key_sum. Integer sums keep the comparison exact.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+_PRUNE_BAND = 40000.0
+_PRUNE_PREDICATES: list[tuple[float, float]] = [
+    (0.0, 50000.0), (100000.0, 150000.0), (200000.0, 220000.0),
+    (390000.0, 600000.0), (505000.0, 515000.0), (-100.0, 0.0),
+]
+
+
+def _rowgroup_pruning_scan(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile
+    from functools import reduce
+
+    from .operators.parquetmeta import read_footer
+
+    out = tempfile.mkdtemp(prefix="footer_prune_")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    (orders
+     .withColumn("bucket",
+                 F.floor(F.col("o_totalprice") / _PRUNE_BAND).cast("int"))
+     .repartition(F.col("bucket"))
+     .write.partitionBy("bucket").mode("overwrite").parquet(out))
+
+    files = sorted(_glob.glob(_os.path.join(out, "bucket=*", "*.parquet")))
+    ranges = []
+    for path in files:                  # footer-ONLY reads, manifest-sized
+        mins, maxs = [], []
+        for rg in read_footer(path)["row_groups"]:
+            for c in rg["columns"]:
+                if c["path"] == "o_totalprice":
+                    mins.append(c["statistics"]["min"])
+                    maxs.append(c["statistics"]["max"])
+        ranges.append((path, min(mins), max(maxs)))
+
+    parts = []
+    for i, (lo, hi) in enumerate(_PRUNE_PREDICATES):
+        survivors = [p for p, mn, mx in ranges if mx >= lo and mn <= hi]
+        base = (spark.createDataFrame(
+                    [], "o_orderkey long, o_totalprice double")
+                if not survivors else
+                spark.read.parquet(*survivors)
+                     .where(F.col("o_totalprice").between(lo, hi)))
+        parts.append(base.agg(
+            F.lit(i).alias("pred_id"),
+            F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi"),
+            F.lit(len(survivors)).alias("n_files_scanned"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0)).cast("long")
+             .alias("key_sum")))
+    return reduce(lambda a, b: a.unionAll(b), parts).orderBy("pred_id")
+
+
+register(
+    "rowgroup_pruning_scan",
+    _rowgroup_pruning_scan,
+    "\nUNION ALL\n".join(
+        f"""SELECT {i} AS pred_id, CAST({lo} AS DOUBLE) AS lo,
+ CAST({hi} AS DOUBLE) AS hi,
+ (SELECT CAST(COUNT(*) AS INT) FROM
+   (SELECT FLOOR(o_totalprice / {_PRUNE_BAND}) AS b,
+           MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+    FROM orders GROUP BY 1)
+  WHERE mx >= {lo} AND mn <= {hi}) AS n_files_scanned,
+ (SELECT COUNT(*) FROM orders
+  WHERE o_totalprice BETWEEN {lo} AND {hi}) AS n_rows,
+ (SELECT CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) FROM orders
+  WHERE o_totalprice BETWEEN {lo} AND {hi}) AS key_sum"""
+        for i, (lo, hi) in enumerate(_PRUNE_PREDICATES)
+    ) + "\nORDER BY pred_id",
+    doc="Footer-stat scan pruning end-to-end: per-band parquet files, "
+        "pruning decided from our footer parser alone, survivors "
+        "rescanned; files-admitted census and exact integer aggregates "
+        "both pinned against a DuckDB full scan.",
+)
