@@ -4975,3 +4975,81 @@ register(
         "rescanned; files-admitted census and exact integer aggregates "
         "both pinned against a DuckDB full scan.",
 )
+
+
+# ---------------------------------------------------------------------------
+# sqlite_table_scan (round 11): the from-scratch SQLite file-format
+# reader (operators/sqlitefile.py — b-tree pages, serial-type records,
+# overflow chains, IPK rowid aliasing) on the driver-checked path with
+# the INDEPENDENT implementation writing every byte: per bucket of
+# documents, the real SQLite library (stdlib sqlite3, executor-side)
+# builds a database with an INTEGER PRIMARY KEY table and our reader
+# decodes the raw serialized bytes back; texts are long enough that
+# some rows traverse genuine overflow chains and the 500+-row buckets
+# exercise interior pages at sf>=0.1. Every published value is
+# recomputed by the oracle from the parquet originals. Scale:
+# applyInPandas per doc_id bucket — partition-local bytes-in/rows-out,
+# one file per bucket, the established container-walker shape.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _sqlite_table_scan(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import sqlite3
+
+    import pandas as pd
+
+    from .operators.sqlitefile import sqlite_read_table
+
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", "text", "n_chars", "lang")
+         .withColumn("bucket", (F.col("doc_id") % 32).cast("int")))
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE docs("
+                    "doc_id INTEGER PRIMARY KEY, text TEXT,"
+                    " n_chars INTEGER, lang TEXT)")
+        src = sorted(zip(pdf["doc_id"], pdf["text"], pdf["n_chars"],
+                         pdf["lang"]))
+        con.executemany("INSERT INTO docs VALUES (?,?,?,?)",
+                        [(int(i), t, int(n), lg) for i, t, n, lg in src])
+        con.commit()
+        decoded = sqlite_read_table(con.serialize(), "docs")
+        assert decoded["columns"] == ["doc_id", "text", "n_chars",
+                                      "lang"]
+        rows = []
+        for (i, t, n, lg), (di, dt, dn, dlg) in zip(src,
+                                                    decoded["rows"]):
+            rows.append({
+                "doc_id": int(di),
+                "n_chars_db": int(dn),
+                "lang": dlg,
+                "text_md5": hashlib.md5(dt.encode("utf-8")).hexdigest(),
+                "row_ok": (di, dt, dn, dlg) == (int(i), t, int(n), lg),
+            })
+        return pd.DataFrame(rows)
+
+    return (d.groupBy("bucket")
+             .applyInPandas(per_bucket,
+                            "doc_id long, n_chars_db long, lang string,"
+                            " text_md5 string, row_ok boolean")
+             .orderBy("doc_id"))
+
+
+register(
+    "sqlite_table_scan",
+    _sqlite_table_scan,
+    """
+SELECT doc_id,
+       n_chars AS n_chars_db,
+       lang,
+       md5(text) AS text_md5,
+       TRUE AS row_ok
+FROM documents ORDER BY doc_id
+""",
+    doc="From-scratch SQLite file-format reader on the driver-checked "
+        "path: the real SQLite library writes each bucket's database, "
+        "our b-tree/record/overflow decoder reads the raw bytes back; "
+        "values pinned against the parquet originals.",
+)
