@@ -248,6 +248,11 @@ HEADLINE = [
     "lake_time_travel",         # commit-log snapshot replay
     "event_pattern_match",      # regex funnel over event strings
     "streaming_scd2_upsert",    # foreachBatch merge into state
+    "lz4_frame_roundtrip",      # from-scratch LZ4 frame + xxHash32
+    "zip_archive_extract",      # ZIP container, stdlib both ways
+    "parquet_footer_stats",     # thrift footer parse vs data rescan
+    "rowgroup_pruning_scan",    # footer-stat pruning end-to-end
+    "sqlite_table_scan",        # SQLite b-tree file decode
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and
