@@ -5053,3 +5053,86 @@ FROM documents ORDER BY doc_id
         "our b-tree/record/overflow decoder reads the raw bytes back; "
         "values pinned against the parquet originals.",
 )
+
+
+# ---------------------------------------------------------------------------
+# string_distance_suite (round 11): the record-linkage edit-distance
+# primitives (functions/strdist.py — Wagner-Fischer Levenshtein,
+# UNRESTRICTED Lowrance-Wagner Damerau-Levenshtein, Jaro-Winkler with
+# the 0.7/4/0.1 boost rule, Hamming) computed from scratch in an Arrow
+# batch over three deterministic pair families (digit-shifted
+# neighbors, full reversals, 0→O confusable swaps) and pinned against
+# DuckDB's FOUR independent native implementations in the oracle —
+# verified bit-exact including the raw float Jaro-Winkler, published
+# micro-quantized. Scale: one self-equi-join on a synthetic key plus
+# two narrow projections; distances are per-pair O(len²) on 18-byte
+# names inside mapInPandas. Blocking (never all-pairs) remains the
+# caller's contract, as with fellegi_sunter_weights.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _string_distance_suite(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from .functions.strdist import (damerau_levenshtein, hamming,
+                                    jaro_winkler, levenshtein)
+
+    c = (_t(spark, sf, "customer")
+         .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("n")))
+    a, b = c.alias("a"), c.alias("b")
+    shifted = (a.join(b, F.col("b.k") == F.col("a.k") + 7)
+               .select(F.lit("shift7").alias("pair_type"),
+                       F.col("a.n").alias("x"), F.col("b.n").alias("y")))
+    reversed_ = c.select(F.lit("reverse").alias("pair_type"),
+                         F.col("n").alias("x"),
+                         F.reverse("n").alias("y"))
+    confus = c.select(F.lit("confusable").alias("pair_type"),
+                      F.col("n").alias("x"),
+                      F.regexp_replace("n", "0", "O").alias("y"))
+    pairs = shifted.unionAll(reversed_).unionAll(confus)
+
+    def dist(it):
+        for pdf in it:
+            rows = []
+            for pt, x, y in zip(pdf["pair_type"], pdf["x"], pdf["y"]):
+                bx, by = x.encode("utf-8"), y.encode("utf-8")
+                rows.append({
+                    "pair_type": pt, "x": x,
+                    "lev": levenshtein(bx, by),
+                    "dl": damerau_levenshtein(bx, by),
+                    "jw_micro": round(jaro_winkler(bx, by) * 1000000.0),
+                    "ham": hamming(bx, by),
+                })
+            yield pd.DataFrame(rows)
+
+    return (pairs.mapInPandas(dist, "pair_type string, x string,"
+                                    " lev long, dl long, jw_micro long,"
+                                    " ham long")
+                 .orderBy("pair_type", "x"))
+
+
+register(
+    "string_distance_suite",
+    _string_distance_suite,
+    """
+WITH c AS (SELECT c_custkey AS k, c_name AS n FROM customer),
+p AS (
+  SELECT 'shift7' AS pair_type, a.n AS x, b.n AS y
+  FROM c a JOIN c b ON b.k = a.k + 7
+  UNION ALL
+  SELECT 'reverse', n, reverse(n) FROM c
+  UNION ALL
+  SELECT 'confusable', n, replace(n, '0', 'O') FROM c)
+SELECT pair_type, x,
+       CAST(levenshtein(x, y) AS BIGINT) AS lev,
+       CAST(damerau_levenshtein(x, y) AS BIGINT) AS dl,
+       CAST(ROUND(jaro_winkler_similarity(x, y) * 1000000.0) AS BIGINT)
+         AS jw_micro,
+       CAST(hamming(x, y) AS BIGINT) AS ham
+FROM p ORDER BY pair_type, x
+""",
+    doc="From-scratch Levenshtein / unrestricted Damerau-Levenshtein / "
+        "Jaro-Winkler / Hamming inside Arrow batches, pinned against "
+        "DuckDB's four independent native implementations over three "
+        "deterministic pair families.",
+)
