@@ -5136,3 +5136,108 @@ FROM p ORDER BY pair_type, x
         "DuckDB's four independent native implementations over three "
         "deterministic pair families.",
 )
+
+
+# ---------------------------------------------------------------------------
+# geo_nearest_city (round 11): geospatial enrichment — deterministic
+# synthetic coordinates per customer (integer-exact grid transforms,
+# identical in both engines), great-circle haversine distance to a
+# fixed 8-city dimension, nearest-city assignment with a total
+# (dist, name) tie-break, and the bounding-box prefilter census that
+# demonstrates the spatial-pruning shape (±20° boxes = integer-exact
+# candidate counting BEFORE any trig — at fleet scale the bbox is the
+# partition/prune key and the trig runs only on survivors). Distances
+# are published as whole meters; Python libm and DuckDB libm were
+# verified bit-identical on this exact formula over the full grid
+# (worst abs delta 0.0), so the rounding cannot flip. Scale: the city
+# dim rides the Arrow closure (broadcast-equivalent), per-row O(8)
+# work, no shuffle before the final sort.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+_GEO_CITIES: list[tuple[str, float, float]] = [
+    ("lima", -12.0, -77.0), ("nyc", 40.7, -74.0),
+    ("madrid", 40.4, -3.7), ("tokyo", 35.7, 139.7),
+    ("sydney", -33.9, 151.2), ("saopaulo", -23.6, -46.6),
+    ("lagos", 6.5, 3.4), ("mumbai", 19.1, 72.9),
+]
+
+
+def _geo_nearest_city(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+
+    def enrich(it):
+        r2 = 2.0 * 6371008.8
+        for pdf in it:
+            rows = []
+            for k in pdf["k"].astype("int64"):
+                k = int(k)
+                lat = (k * 37 % 1800) / 10.0 - 90.0
+                lon = (k * 73 % 3600) / 10.0 - 180.0
+                best = None
+                n_bbox = 0
+                for name, clat, clon in _GEO_CITIES:
+                    if abs(clat - lat) <= 20.0 and abs(clon - lon) <= 20.0:
+                        n_bbox += 1
+                    h = (math.sin(math.radians(clat - lat) / 2) ** 2
+                         + math.cos(math.radians(lat))
+                         * math.cos(math.radians(clat))
+                         * math.sin(math.radians(clon - lon) / 2) ** 2)
+                    d = r2 * math.asin(math.sqrt(h))
+                    if best is None or (d, name) < best:
+                        best = (d, name)
+                rows.append({"c_custkey": k, "nearest_city": best[1],
+                             "dist_m": round(best[0]),
+                             "n_bbox": n_bbox})
+            yield pd.DataFrame(rows)
+
+    return (c.mapInPandas(enrich, "c_custkey long, nearest_city string,"
+                                  " dist_m long, n_bbox int")
+             .orderBy("c_custkey"))
+
+
+register(
+    "geo_nearest_city",
+    _geo_nearest_city,
+    """
+WITH cities(name, clat, clon) AS (VALUES
+  ('lima', -12.0, -77.0), ('nyc', 40.7, -74.0),
+  ('madrid', 40.4, -3.7), ('tokyo', 35.7, 139.7),
+  ('sydney', -33.9, 151.2), ('saopaulo', -23.6, -46.6),
+  ('lagos', 6.5, 3.4), ('mumbai', 19.1, 72.9)),
+pts AS (
+  SELECT c_custkey AS k,
+         (c_custkey * 37 % 1800) / 10.0 - 90.0 AS lat,
+         (c_custkey * 73 % 3600) / 10.0 - 180.0 AS lon
+  FROM customer),
+d AS (
+  SELECT k, name,
+         2.0 * 6371008.8 * asin(sqrt(
+           pow(sin(radians(clat - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(clat))
+           * pow(sin(radians(clon - lon) / 2), 2))) AS dist,
+         CASE WHEN abs(clat - lat) <= 20.0 AND abs(clon - lon) <= 20.0
+              THEN 1 ELSE 0 END AS in_box,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY
+           2.0 * 6371008.8 * asin(sqrt(
+             pow(sin(radians(clat - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(clat))
+             * pow(sin(radians(clon - lon) / 2), 2))), name) AS rn
+  FROM pts CROSS JOIN cities)
+SELECT k AS c_custkey,
+       MAX(CASE WHEN rn = 1 THEN name END) AS nearest_city,
+       CAST(ROUND(MAX(CASE WHEN rn = 1 THEN dist END)) AS BIGINT)
+         AS dist_m,
+       CAST(SUM(in_box) AS INT) AS n_bbox
+FROM d GROUP BY k ORDER BY c_custkey
+""",
+    doc="Geospatial enrichment: haversine nearest-city over a fixed "
+        "broadcast dimension with deterministic synthetic coordinates, "
+        "plus the integer-exact bounding-box prefilter census (the "
+        "spatial-pruning shape); libm verified bit-identical across "
+        "engines on this formula.",
+)
