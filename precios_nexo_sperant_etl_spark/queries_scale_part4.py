@@ -5241,3 +5241,84 @@ FROM d GROUP BY k ORDER BY c_custkey
         "spatial-pruning shape); libm verified bit-identical across "
         "engines on this formula.",
 )
+
+
+# ---------------------------------------------------------------------------
+# funnel_attribution (round 11): marketing-style first/last-touch
+# attribution — every purchase is attributed to the view/click touch
+# in its trailing 7-day window, winner chosen by a TOTAL (time,
+# event_id) order so ties cannot wobble. Spark side is pure window
+# algebra: one RANGE frame over event-time micros per user (no self
+# join, no shuffle beyond the user partition); struct max/min give
+# argmax/argmin in a single pass. The oracle mirrors it with an
+# explicit join + ROW_NUMBER, so two different formulations must
+# agree. Integer micros end-to-end.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+_SEVEN_D_US = 7 * 86400 * 1000000
+
+
+def _funnel_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (_t(spark, sf, "events")
+         .select("user_id", "event_id", "event_type",
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    touch = F.when(F.col("event_type").isin("view", "click"),
+                   F.struct(F.col("us"), F.col("event_id"),
+                            F.col("event_type")))
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-_SEVEN_D_US, -1))
+    attributed = (e
+                  .withColumn("last_t", F.max(touch).over(w))
+                  .withColumn("first_t", F.min(touch).over(w))
+                  .where(F.col("event_type") == "purchase"))
+    return (attributed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("last_t").isNotNull().cast("int")).cast("long")
+         .alias("n_attributed"),
+        F.sum((F.col("last_t.event_type") == "click").cast("int"))
+         .cast("long").alias("n_last_click"),
+        F.sum((F.col("last_t.event_type") == "view").cast("int"))
+         .cast("long").alias("n_last_view"),
+        F.sum((F.col("first_t.event_type") == "click").cast("int"))
+         .cast("long").alias("n_first_click"))
+        .orderBy("user_id"))
+
+
+register(
+    "funnel_attribution",
+    _funnel_attribution,
+    f"""
+WITH e AS (SELECT user_id, event_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS us FROM events),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+j AS (SELECT p.user_id, p.event_id AS pid, t.event_type AS ttype,
+             t.us AS tus, t.event_id AS tid
+      FROM p LEFT JOIN t ON t.user_id = p.user_id
+        AND t.us >= p.us - {_SEVEN_D_US} AND t.us < p.us),
+r AS (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, pid
+          ORDER BY tus DESC NULLS LAST, tid DESC) AS rn_last,
+        ROW_NUMBER() OVER (PARTITION BY user_id, pid
+          ORDER BY tus ASC NULLS LAST, tid ASC) AS rn_first
+      FROM j)
+SELECT user_id,
+  COUNT(DISTINCT pid) AS n_purchases,
+  CAST(SUM(CASE WHEN rn_last = 1 AND tus IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_attributed,
+  CAST(SUM(CASE WHEN rn_last = 1 AND ttype = 'click' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_last_click,
+  CAST(SUM(CASE WHEN rn_last = 1 AND ttype = 'view' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_last_view,
+  CAST(SUM(CASE WHEN rn_first = 1 AND ttype = 'click' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_first_click
+FROM r GROUP BY user_id ORDER BY user_id
+""",
+    doc="First/last-touch purchase attribution over trailing 7-day "
+        "windows: Spark uses one RANGE frame with struct argmax/argmin "
+        "per user; the oracle re-derives it with an explicit join + "
+        "ROW_NUMBER — two formulations, one answer.",
+)
