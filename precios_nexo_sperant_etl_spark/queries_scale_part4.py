@@ -5322,3 +5322,112 @@ FROM r GROUP BY user_id ORDER BY user_id
         "per user; the oracle re-derives it with an explicit join + "
         "ROW_NUMBER — two formulations, one answer.",
 )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_conversion (round 11): survival analysis over the
+# signup→first-purchase funnel — the Kaplan-Meier estimator with
+# right-censoring at a fixed horizon (2024-02-01). Durations are whole
+# days (integer micros arithmetic, exact in both engines); at each
+# distinct duration the risk set is a reverse cumulative sum, and the
+# survival curve S(d) = Π_{d'≤d} (1 − events/at_risk) is computed as a
+# RANK-ORDERED FLOAT FOLD (collect_list over the ordered frame +
+# F.aggregate) so the multiplication sequence is identical to the
+# oracle's windowed PRODUCT() — same doubles, same order, bit-equal,
+# then micro-quantized. The curve table is duration-bounded (≤ the
+# observation span in days), so the fold is constant-size.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+_KM_HORIZON_US = 1706745600 * 1000000   # 2024-02-01T00:00:00Z
+
+
+def _kaplan_meier_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (_t(spark, sf, "events")
+         .select("user_id", "event_type",
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    signup = (e.where(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("us").alias("s_us")))
+    first_p = (e.where(F.col("event_type") == "purchase")
+               .groupBy("user_id").agg(F.min("us").alias("p_us")))
+    subj = (signup.join(first_p, "user_id", "left")
+            .withColumn("converted",
+                        F.col("p_us").isNotNull()
+                        & (F.col("p_us") >= F.col("s_us")))
+            .withColumn("end_us",
+                        F.when(F.col("converted"), F.col("p_us"))
+                         .otherwise(F.lit(_KM_HORIZON_US)))
+            .withColumn("dur_days",
+                        ((F.col("end_us") - F.col("s_us"))
+                         / F.lit(86400000000)).cast("long")))
+    per_d = (subj.groupBy("dur_days").agg(
+        F.sum(F.col("converted").cast("int")).cast("long")
+         .alias("n_events"),
+        F.sum((~F.col("converted")).cast("int")).cast("long")
+         .alias("n_censored")))
+    w_desc = (Window.orderBy(F.col("dur_days").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_asc = (Window.orderBy("dur_days")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    curve = (per_d
+             .withColumn("n_at_risk",
+                         F.sum(F.col("n_events") + F.col("n_censored"))
+                          .over(w_desc))
+             .withColumn("factor",
+                         F.lit(1.0) - F.col("n_events").cast("double")
+                         / F.col("n_at_risk").cast("double"))
+             .withColumn("surv",
+                         F.aggregate(F.collect_list("factor").over(w_asc),
+                                     F.lit(1.0), lambda a, x: a * x)))
+    return (curve.select(
+        "dur_days", "n_at_risk", "n_events", "n_censored",
+        F.round(F.col("surv") * 1000000.0).cast("long")
+         .alias("surv_micro"))
+        .orderBy("dur_days"))
+
+
+register(
+    "kaplan_meier_conversion",
+    _kaplan_meier_conversion,
+    f"""
+WITH e AS (SELECT user_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS us FROM events),
+s AS (SELECT user_id, MIN(us) AS s_us FROM e
+      WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, MIN(us) AS p_us FROM e
+      WHERE event_type = 'purchase' GROUP BY user_id),
+subj AS (
+  SELECT s.user_id,
+         (p.p_us IS NOT NULL AND p.p_us >= s.s_us) AS converted,
+         CAST((CASE WHEN p.p_us IS NOT NULL AND p.p_us >= s.s_us
+                    THEN p.p_us ELSE {_KM_HORIZON_US} END - s.s_us)
+              // 86400000000 AS BIGINT) AS dur_days
+  FROM s LEFT JOIN p USING (user_id)),
+per_d AS (
+  SELECT dur_days,
+         CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_events,
+         CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_censored
+  FROM subj GROUP BY dur_days),
+curve AS (
+  SELECT *,
+         CAST(SUM(n_events + n_censored) OVER (ORDER BY dur_days DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_at_risk
+  FROM per_d)
+SELECT dur_days, n_at_risk, n_events, n_censored,
+       CAST(ROUND(PRODUCT(1.0 - CAST(n_events AS DOUBLE)
+                          / CAST(n_at_risk AS DOUBLE))
+         OVER (ORDER BY dur_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         * 1000000.0) AS BIGINT) AS surv_micro
+FROM curve ORDER BY dur_days
+""",
+    doc="Kaplan-Meier signup→purchase survival with fixed-horizon "
+        "right-censoring: integer day durations, reverse-cumulative "
+        "risk sets, survival via a rank-ordered float fold matching "
+        "the oracle's windowed PRODUCT() multiplication order.",
+)
