@@ -5431,3 +5431,100 @@ FROM curve ORDER BY dur_days
         "risk sets, survival via a rank-ordered float fold matching "
         "the oracle's windowed PRODUCT() multiplication order.",
 )
+
+
+# ---------------------------------------------------------------------------
+# gini_concentration (round 11): revenue-inequality metrics per market
+# segment — the Gini coefficient from the closed rank form
+# G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over ascending-sorted
+# customer revenues, plus the Lorenz top-decile share. All mass terms
+# are EXACT integer cents in DECIMAL(38) accumulation (the repo's
+# float discipline), the rank weighting is tie-safe (equal x values
+# contribute the same Σ i·x under any permutation of their ranks), and
+# only the final ratio is a double — identical in both engines.
+# Zero-order customers enter with zero revenue (left join), which is
+# what makes the inequality statement about the SEGMENT, not just its
+# buyers. Scale: one fact aggregation, one segment-partitioned window.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = (_t(spark, sf, "orders")
+              .groupBy("o_custkey")
+              .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                         .cast("decimal(38,0)")).alias("cents")))
+    rev = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+           .select("c_custkey", "c_mktsegment",
+                   F.coalesce(F.col("cents"),
+                              F.lit(0).cast("decimal(38,0)"))
+                    .alias("cents")))
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("cents"), F.col("c_custkey")))
+    ranked = (rev.withColumn("i", F.row_number().over(w))
+              .withColumn("seg_n", F.count(F.lit(1)).over(
+                  Window.partitionBy("c_mktsegment")))
+              .withColumn("in_top",
+                          F.col("i") > (F.col("seg_n") * 9 / 10)
+                          .cast("long")))
+    per_seg = (ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s0"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+         .cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(F.col("in_top"), F.col("cents"))
+               .otherwise(F.lit(0).cast("decimal(38,0)")))
+         .cast("decimal(38,0)").alias("top_decile_cents")))
+    return (per_seg.select(
+        "c_mktsegment", "n",
+        F.col("s0").cast("long").alias("total_cents"),
+        F.round((F.lit(2.0) * F.col("s1").cast("double")
+                 - (F.col("n") + 1).cast("double")
+                 * F.col("s0").cast("double"))
+                / (F.col("n").cast("double")
+                   * F.col("s0").cast("double")) * 1000000.0)
+         .cast("long").alias("gini_micro"),
+        F.round(F.col("top_decile_cents").cast("double")
+                / F.col("s0").cast("double") * 1000000.0)
+         .cast("long").alias("top10_share_micro"))
+        .orderBy("c_mktsegment"))
+
+
+register(
+    "gini_concentration",
+    _gini_concentration,
+    """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS HUGEINT)), 0)
+           AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents, c_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_n
+  FROM rev)
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(ROUND((2.0 * CAST(SUM(CAST(i AS HUGEINT) * cents) AS DOUBLE)
+                   - CAST(COUNT(*) + 1 AS DOUBLE)
+                     * CAST(SUM(cents) AS DOUBLE))
+                  / (CAST(COUNT(*) AS DOUBLE)
+                     * CAST(SUM(cents) AS DOUBLE)) * 1000000.0)
+            AS BIGINT) AS gini_micro,
+       CAST(ROUND(CAST(SUM(CASE WHEN i > seg_n * 9 / 10 THEN cents
+                                ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(cents) AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS top10_share_micro
+FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    doc="Gini coefficient + Lorenz top-decile share of customer revenue "
+        "per market segment: exact integer-cents mass terms in "
+        "DECIMAL(38), tie-safe rank weighting, zero-order customers "
+        "included; only the final ratio is floating point.",
+)
