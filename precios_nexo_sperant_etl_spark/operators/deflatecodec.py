@@ -196,7 +196,16 @@ _STATIC_DIST_LENS = [5] * 30
 # --- inflate -----------------------------------------------------------------
 
 def inflate(data: bytes) -> bytes:
+    return inflate_stream(data, 0)[0]
+
+
+def inflate_stream(data: bytes, offset: int = 0) -> tuple[bytes, int]:
+    """Inflate one deflate stream starting at byte ``offset`` and
+    report the byte position just past its final block — the embedded-
+    stream use (git packfiles concatenate zlib members back-to-back
+    with no length framing; only the decoder knows where one ends)."""
     br = _BitReader(data)
+    br.pos = offset << 3
     out = bytearray()
     while True:
         bfinal = br.bits(1)
@@ -264,7 +273,28 @@ def inflate(data: bytes) -> bytes:
             raise DeflateError("deflate: reserved block type")
         if bfinal:
             break
-    return bytes(out)
+    return bytes(out), (br.pos + 7) >> 3
+
+
+def zlib_decompress_stream(buf: bytes, offset: int = 0) \
+        -> tuple[bytes, int]:
+    """Decode one zlib member embedded at ``offset``; returns
+    (content, position past the Adler-32 trailer)."""
+    if offset + 6 > len(buf):
+        raise DeflateError("zlib: truncated")
+    cmf, flg = buf[offset], buf[offset + 1]
+    if cmf & 0x0F != 8:
+        raise DeflateError("zlib: not deflate")
+    if (cmf * 256 + flg) % 31:
+        raise DeflateError("zlib: bad header check")
+    if flg & 0x20:
+        raise DeflateError("zlib: preset dictionary unsupported")
+    content, end = inflate_stream(buf, offset + 2)
+    if end + 4 > len(buf):
+        raise DeflateError("zlib: truncated Adler-32 trailer")
+    if adler32(content) != int.from_bytes(buf[end:end + 4], "big"):
+        raise DeflateError("zlib: Adler-32 mismatch")
+    return content, end + 4
 
 
 def zlib_decompress(blob: bytes) -> bytes:

@@ -5528,3 +5528,115 @@ FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
         "DECIMAL(38), tie-safe rank weighting, zero-order customers "
         "included; only the final ratio is floating point.",
 )
+
+
+# ---------------------------------------------------------------------------
+# git_packfile_scan (round 11): the from-scratch git object-store
+# codec (operators/gitpack.py — PACK v2 walk, OFS/REF delta decode,
+# loose zlib objects through OUR inflate, FIPS 180-1 SHA-1 from
+# scratch) on the driver-checked path with the REAL git binary writing
+# every byte: per bucket of documents an actual repository takes two
+# commits (v1 text, then an appended marker) and is gc-packed, so
+# HEAD's blobs are typically stored as genuine delta chains; OUR
+# reader walks the pack, resolves the HEAD tree and
+# publishes the decoded blob md5s, which the oracle recomputes from
+# the parquet originals — one wrong delta copy or SHA-1 round breaks
+# the hash. sha_ok additionally pins our from-scratch SHA-1 against
+# the ids git itself assigned. Scale: applyInPandas per doc_id bucket
+# (16 bounded groups), repo work partition-local — the mining-code-
+# from-git shape, one repository per task.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _git_packfile_scan(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import subprocess
+    import tempfile
+
+    import pandas as pd
+
+    from .operators.gitpack import (object_sha, parse_tree,
+                                    read_repo_objects)
+
+    d = (_t(spark, sf, "documents").select("doc_id", "text")
+         .withColumn("bucket", (F.col("doc_id") % 16).cast("int")))
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        env = dict(_os.environ,
+                   GIT_AUTHOR_NAME="t", GIT_AUTHOR_EMAIL="t@t",
+                   GIT_COMMITTER_NAME="t", GIT_COMMITTER_EMAIL="t@t",
+                   GIT_AUTHOR_DATE="2024-01-01T00:00:00Z",
+                   GIT_COMMITTER_DATE="2024-01-01T00:00:00Z",
+                   GIT_CONFIG_GLOBAL="/dev/null",
+                   GIT_CONFIG_SYSTEM="/dev/null")
+        repo = tempfile.mkdtemp(prefix="gitscan_")
+
+        def git(*args):
+            subprocess.run(["git", *args], check=True, cwd=repo,
+                           env=env, capture_output=True)
+
+        try:
+            git("init", "-q")
+            docs = sorted(zip(pdf["doc_id"].astype("int64"),
+                              pdf["text"]))
+            for did, text in docs:
+                with open(_os.path.join(repo, f"doc_{did:08d}.txt"),
+                          "w") as f:
+                    f.write(text)
+            git("add", "-A")
+            git("commit", "-q", "-m", "v1")
+            for did, text in docs:
+                with open(_os.path.join(repo, f"doc_{did:08d}.txt"),
+                          "w") as f:
+                    f.write(text + f"\nV2 {did}")
+            git("add", "-A")
+            git("commit", "-q", "-m", "v2")
+            git("gc", "-q")
+            head_tree = subprocess.run(
+                ["git", "rev-parse", "HEAD^{tree}"], check=True,
+                cwd=repo, env=env,
+                capture_output=True).stdout.decode().strip()
+            objs = read_repo_objects(_os.path.join(repo, ".git"))
+            tree = {e["name"]: e["sha"]
+                    for e in parse_tree(objs[head_tree][1])}
+            rows = []
+            for did, text in docs:
+                sha = tree[f"doc_{did:08d}.txt"]
+                obj_type, content = objs[sha]
+                rows.append({
+                    "doc_id": int(did),
+                    "content_len": len(content),
+                    "content_md5": hashlib.md5(content).hexdigest(),
+                    "sha_ok": (obj_type == "blob"
+                               and object_sha("blob", content) == sha),
+                })
+            return pd.DataFrame(rows)
+        finally:
+            _shutil.rmtree(repo, ignore_errors=True)
+
+    return (d.groupBy("bucket")
+             .applyInPandas(per_bucket,
+                            "doc_id long, content_len long,"
+                            " content_md5 string, sha_ok boolean")
+             .orderBy("doc_id"))
+
+
+register(
+    "git_packfile_scan",
+    _git_packfile_scan,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text || chr(10) || 'V2 ' || doc_id))
+            AS BIGINT) AS content_len,
+       md5(text || chr(10) || 'V2 ' || doc_id) AS content_md5,
+       TRUE AS sha_ok
+FROM documents ORDER BY doc_id
+""",
+    doc="From-scratch git packfile codec on the driver-checked path: "
+        "the real git binary commits and gc-packs each bucket (genuine "
+        "delta chains), our reader walks the pack and HEAD tree; "
+        "decoded blob md5s pinned against the parquet originals and "
+        "our SHA-1 against git's own object ids.",
+)

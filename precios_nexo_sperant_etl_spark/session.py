@@ -29,7 +29,18 @@ def configure(spark: SparkSession) -> SparkSession:
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # AQE partition coalescing targets BYTES per partition, but this
+    # engine's grouped Python stages (applyInPandas codec/container
+    # walkers: zip, bzip2, wikipedia, git, webdataset shards) cost per
+    # GROUP, not per byte — at test scale every group is <<1 MiB, so
+    # coalescing folds all groups into ONE post-shuffle partition and
+    # serializes the Python work (measured: 16 × sleep(2) groups took
+    # 38.8s coalesced vs 5.5s uncoalesced; a 9-query sf0.1 probe fell
+    # 38.3s → 15.3s). shuffle.partitions is already sized to the core
+    # count here, so there is nothing useful left to coalesce. On a
+    # real cluster with byte-bound shuffles, re-enable it and instead
+    # pre-repartition by the group key before expensive Python stages.
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.autoBroadcastJoinThreshold", str(_BROADCAST_THRESHOLD))
     return spark
