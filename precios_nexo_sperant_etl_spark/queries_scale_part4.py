@@ -5640,3 +5640,63 @@ FROM documents ORDER BY doc_id
         "decoded blob md5s pinned against the parquet originals and "
         "our SHA-1 against git's own object ids.",
 )
+
+
+# ---------------------------------------------------------------------------
+# scratch_hash_audit (round 11): the from-scratch digest family on the
+# driver-checked path — OUR MD5 (RFC 1321, sine table derived from the
+# defining formula), SHA-256 (FIPS 180-4) and SHA-1 (FIPS 180-1, the
+# gitpack implementation) over every document, with THREE independent
+# implementations in the loop: the md5 column is compared against
+# DuckDB's md5() by the driver itself, and the sha columns are pinned
+# per-row against hashlib (OpenSSL) inside the executor — a False
+# anywhere breaks the value hash. Scale: mapInPandas, partition-local,
+# pure CPU. Registered BEHIND the r11 window.
+# ---------------------------------------------------------------------------
+
+def _scratch_hash_audit(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .functions.hashes import md5_hex, sha256_hex
+    from .operators.gitpack import sha1_hex
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def digest(it):
+        for pdf in it:
+            rows = []
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                raw = t.encode("utf-8")
+                rows.append({
+                    "doc_id": int(did),
+                    "content_md5": md5_hex(raw),
+                    "sha1_ok": sha1_hex(raw)
+                    == hashlib.sha1(raw).hexdigest(),
+                    "sha256_ok": sha256_hex(raw)
+                    == hashlib.sha256(raw).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(digest, "doc_id long, content_md5 string,"
+                                    " sha1_ok boolean,"
+                                    " sha256_ok boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "scratch_hash_audit",
+    _scratch_hash_audit,
+    """
+SELECT doc_id,
+       md5(text) AS content_md5,
+       TRUE AS sha1_ok,
+       TRUE AS sha256_ok
+FROM documents ORDER BY doc_id
+""",
+    doc="From-scratch MD5/SHA-1/SHA-256 on the driver-checked path: "
+        "our md5 vs DuckDB's md5() via the driver hash, our SHA digests "
+        "vs hashlib per row inside the executor.",
+)
