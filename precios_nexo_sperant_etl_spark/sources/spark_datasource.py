@@ -48,8 +48,9 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     SimpleDataSourceStreamReader,
                                     StringContains, StringEndsWith,
                                     StringStartsWith, WriterCommitMessage)
-from pyspark.sql.types import (BinaryType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType)
 
 
 class SharedFilesystemRequired(ValueError):
@@ -643,6 +644,313 @@ class FileStreamReader(SimpleDataSourceStreamReader):
                 yield from self._rows(names[n])
 
 
+
+
+class ZipDataSource(DataSource):
+    """``spark.read/write.format("zip")`` over the from-scratch ZIP
+    container (``operators.ziparchive``): read yields one row per
+    archive member with the payload decoded through OUR central-
+    directory walker + RFC 1951 inflate and its CRC-32 verdict; write
+    lands ONE archive per partition (columns ``name``, ``data``) with
+    a ``_SUCCESS`` manifest, same commit/abort protocol as the other
+    part-file writers. Read schema:
+    ``(zip_file, member_index, name, size, method, crc_ok, data)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zip"
+
+    def schema(self) -> StructType:
+        return StructType([
+            StructField("zip_file", StringType()),
+            StructField("member_index", IntegerType()),
+            StructField("name", StringType()),
+            StructField("size", LongType()),
+            StructField("method", IntegerType()),
+            StructField("crc_ok", StringType()),
+            StructField("data", BinaryType()),
+        ])
+
+    def reader(self, schema: StructType) -> "ZipReader":
+        return ZipReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ZipWriter":
+        return ZipWriter(self.options, schema, overwrite)
+
+
+class ZipReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.files = _file_list(options)
+        self._file_tests: list = []
+        self._name_tests: list = []
+
+    def pushFilters(self, filters):
+        """String predicates on ``zip_file`` prune unopened archives
+        (file-level pruning); predicates on ``name`` prune members
+        before the row leaves the reader."""
+        for f in filters:
+            sp = _string_predicate(f)
+            if sp and sp[0] == "zip_file":
+                self._file_tests.append(sp[1])
+            elif sp and sp[0] == "name":
+                self._name_tests.append(sp[1])
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        files = [p for p in self.files
+                 if all(t(os.path.basename(p)) for t in self._file_tests)]
+        return [_FilePartition(p) for p in files] or \
+            [_FilePartition("\x00empty")]
+
+    def read(self, partition: _FilePartition):
+        from ..operators.ziparchive import zip_extract
+        if partition.path == "\x00empty":
+            return
+        with open(partition.path, "rb") as f:
+            blob = f.read()
+        base = os.path.basename(partition.path)
+        for i, m in enumerate(zip_extract(blob)):
+            if all(t(m["name"]) for t in self._name_tests):
+                yield (base, i, m["name"], len(m["data"]),
+                       int(m["method"]),
+                       "ok" if m["crc_ok"] else "crc_mismatch",
+                       bytes(m["data"]))
+
+
+class ZipWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType,
+                 overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("path option is required")
+        self.dir = _require_shared_fs(path)
+        self._old_parts = _snapshot_parts(self.dir) if overwrite else []
+        names = [f.name for f in schema.fields]
+        for c in ("name", "data"):
+            if c not in names:
+                raise ValueError(f"zip writer needs column {c!r}")
+        self.idx = {c: names.index(c) for c in ("name", "data")}
+
+    def write(self, iterator) -> _PartCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        from ..operators.ziparchive import zip_create
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        entries = []
+        for row in iterator:
+            entries.append((str(row[self.idx["name"]]),
+                            bytes(row[self.idx["data"]])))
+        blob = zip_create(entries)
+        os.makedirs(self.dir, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.zip"
+        with open(os.path.join(self.dir, name), "wb") as f:
+            f.write(blob)
+        return _PartCommit(name, len(entries))
+
+    def commit(self, messages) -> None:
+        _remove_old_parts(self.dir, self._old_parts)
+        _write_manifest(self.dir, messages)
+
+    def abort(self, messages) -> None:
+        _abort_parts(self.dir, messages)
+
+
+_SQLITE_AFFINITY_RULES = (
+    # (substring, spark type, python coercion) — the documented SQLite
+    # type-affinity rules, applied in order
+    ("INT", LongType(), "int"),
+    ("CHAR", StringType(), "str"),
+    ("CLOB", StringType(), "str"),
+    ("TEXT", StringType(), "str"),
+    ("BLOB", BinaryType(), "bytes"),
+    ("REAL", "real", "float"),
+    ("FLOA", "real", "float"),
+    ("DOUB", "real", "float"),
+)
+
+
+class SqliteDataSource(DataSource):
+    """``spark.read.format("sqlite").option("table", t)``: one row per
+    table row, decoded by the from-scratch b-tree reader
+    (``operators.sqlitefile``), one partition per database file. The
+    schema comes from the declared column types of the FIRST file's
+    CREATE TABLE via the documented SQLite affinity rules (INT→long,
+    CHAR/CLOB/TEXT→string, BLOB/untyped→binary, REAL/FLOA/DOUB→double,
+    else→string rendering); values that cannot coerce raise loudly.
+    ``spark.read`` schema is ``(db_file, rowid, <table columns...>)``.
+    Write side: ``df.write.format("sqlite")`` lands one database per
+    partition through the real SQLite library (stdlib), giving the
+    read path a genuinely independent producer."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite"
+
+    def _table(self) -> str:
+        t = self.options.get("table")
+        if not t:
+            raise ValueError("sqlite format needs .option('table', ...)")
+        return t
+
+    def schema(self) -> StructType:
+        from ..operators.sqlitefile import _Db, _master_rows, _parse_columns
+        sample = _file_list(self.options)[0]
+        with open(sample, "rb") as f:
+            blob = f.read()
+        decl = None
+        for vals in _master_rows(_Db(blob)):
+            if vals[0] == "table" and vals[1] == self._table():
+                decl = vals[4]
+        if decl is None:
+            raise ValueError(f"table {self._table()!r} absent from "
+                             f"sample file {sample!r}")
+        names, _ = _parse_columns(decl)
+        fields = [StructField("db_file", StringType()),
+                  StructField("rowid", LongType())]
+        inner = decl[decl.index("(") + 1:decl.rindex(")")]
+        for name in names:
+            # find this column's declared type in the DDL
+            m = re.search(r'(?:"%s"|\[%s\]|`%s`|\b%s\b)\s+([A-Za-z0-9 ]*)'
+                          % tuple([re.escape(name)] * 4), inner)
+            decl_type = (m.group(1) if m else "").upper()
+            typ = StringType()
+            matched = False
+            for sub, t, _coerce in _SQLITE_AFFINITY_RULES:
+                if sub in decl_type:
+                    typ = DoubleType() if t == "real" else t
+                    matched = True
+                    break
+            if not matched:
+                typ = BinaryType() if not decl_type.strip() else typ
+            fields.append(StructField(name, typ))
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> "SqliteReader":
+        return SqliteReader(self.options, self._table(), schema)
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> "SqliteWriter":
+        return SqliteWriter(self.options, self._table(), schema,
+                            overwrite)
+
+
+class SqliteReader(DataSourceReader):
+    def __init__(self, options: dict, table: str,
+                 schema: StructType) -> None:
+        self.files = _file_list(options)
+        self.table = table
+        self.schema = schema
+        self._file_tests: list = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            sp = _string_predicate(f)
+            if sp and sp[0] == "db_file":
+                self._file_tests.append(sp[1])
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        files = [p for p in self.files
+                 if all(t(os.path.basename(p)) for t in self._file_tests)]
+        return [_FilePartition(p) for p in files] or \
+            [_FilePartition("\x00empty")]
+
+    def read(self, partition: _FilePartition):
+        from ..operators.sqlitefile import _Db, _master_rows, sqlite_read_table
+        if partition.path == "\x00empty":
+            return
+        with open(partition.path, "rb") as f:
+            blob = f.read()
+        got = sqlite_read_table(blob, self.table)
+        want = [f.name for f in self.schema.fields[2:]]
+        if got["columns"] != want:
+            raise ValueError(
+                f"{os.path.basename(partition.path)!r}: table "
+                f"{self.table!r} has columns {got['columns']}, the "
+                f"planned schema (from the first file) says {want}")
+        base = os.path.basename(partition.path)
+        types = [f.dataType for f in self.schema.fields[2:]]
+        for rid, vals in enumerate(got["rows"]):
+            out = [base, rid]
+            for v, t in zip(vals, types):
+                if v is None:
+                    out.append(None)
+                elif isinstance(t, LongType):
+                    if not isinstance(v, int):
+                        raise ValueError(
+                            f"non-integer value {v!r} in INTEGER-"
+                            f"affinity column of {self.table!r}")
+                    out.append(v)
+                elif isinstance(t, DoubleType):
+                    out.append(float(v))
+                elif isinstance(t, StringType):
+                    out.append(v if isinstance(v, str) else str(v))
+                else:
+                    out.append(bytes(v) if isinstance(v, (bytes,
+                               bytearray)) else v)
+            yield tuple(out)
+
+
+class SqliteWriter(DataSourceWriter):
+    def __init__(self, options: dict, table: str, schema: StructType,
+                 overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("path option is required")
+        self.dir = _require_shared_fs(path)
+        self.table = table
+        self.schema = schema
+        self._old_parts = _snapshot_parts(self.dir) if overwrite else []
+
+    def write(self, iterator) -> _PartCommit:
+        import sqlite3
+        import uuid
+
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        ddl_types = []
+        for f in self.schema.fields:
+            t = f.dataType
+            if isinstance(t, LongType) or isinstance(t, IntegerType):
+                ddl_types.append("INTEGER")
+            elif isinstance(t, DoubleType):
+                ddl_types.append("REAL")
+            elif isinstance(t, BinaryType):
+                ddl_types.append("BLOB")
+            else:
+                ddl_types.append("TEXT")
+        cols = ", ".join(f'"{f.name}" {t}'
+                         for f, t in zip(self.schema.fields, ddl_types))
+        con = sqlite3.connect(":memory:")
+        con.execute(f'CREATE TABLE "{self.table}" ({cols})')
+        ph = ",".join("?" * len(self.schema.fields))
+        n = 0
+        for row in iterator:
+            con.execute(f'INSERT INTO "{self.table}" VALUES ({ph})',
+                        tuple(bytes(v) if isinstance(v, bytearray)
+                              else v for v in row))
+            n += 1
+        con.commit()
+        os.makedirs(self.dir, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.sqlite"
+        with open(os.path.join(self.dir, name), "wb") as f:
+            f.write(con.serialize())
+        return _PartCommit(name, n)
+
+    def commit(self, messages) -> None:
+        _remove_old_parts(self.dir, self._old_parts)
+        _write_manifest(self.dir, messages)
+
+    def abort(self, messages) -> None:
+        _abort_parts(self.dir, messages)
+
+
 def register_data_sources(spark) -> None:
     """Idempotently register both formats on a session, enabling the
     Python-datasource filter-pushdown conf they implement (runtime-
@@ -651,3 +959,5 @@ def register_data_sources(spark) -> None:
     spark.dataSource.register(ExcelDataSource)
     spark.dataSource.register(WarcDataSource)
     spark.dataSource.register(TFRecordDataSource)
+    spark.dataSource.register(ZipDataSource)
+    spark.dataSource.register(SqliteDataSource)
