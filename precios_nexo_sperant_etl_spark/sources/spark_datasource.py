@@ -1,9 +1,10 @@
 """Native Spark read formats via the PySpark 4 Python Data Source API
-(public `pyspark.sql.datasource`): ``spark.read.format("xlsx")`` and
-``spark.read.format("warc")`` over the repo's from-scratch readers, so
-workbook exports and web-crawl archives ingest like any first-class
-format — planning on the driver, PARSING ON EXECUTORS, one input
-partition per file.
+(public `pyspark.sql.datasource`): ``spark.read.format(...)`` for
+``xlsx``, ``warc``, ``tfrecord``, ``zip`` and ``sqlite`` over the
+repo's from-scratch readers, so workbook exports, web-crawl archives,
+record files, zipped datasets and SQLite exports ingest like any
+first-class format — planning on the driver, PARSING ON EXECUTORS,
+one input partition per file.
 
 Why this exists next to ``sources.ingest``: the RDD-based
 ``ingest_project_files_distributed`` mirrors the reference's tolerant
@@ -676,6 +677,9 @@ class ZipDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "ZipWriter":
         return ZipWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> "FileStreamReader":
+        return FileStreamReader(self.options, ZipReader)
 
 
 class ZipReader(DataSourceReader):

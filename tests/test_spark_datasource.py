@@ -559,3 +559,42 @@ def test_sqlite_format_schema_mismatch_fails_loudly(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         df.collect()
     assert "columns" in str(ei.value)
+
+
+def test_zip_streaming_source(spark, tmp_path):
+    """readStream.format('zip'): archives landing between micro-batches
+    are picked up exactly once, members decoded by our walker."""
+    import io
+    import time
+    import zipfile
+
+    register_data_sources(spark)
+    land = tmp_path / "zland"
+    land.mkdir()
+    out = tmp_path / "zsink"
+    ckpt = tmp_path / "zckpt"
+
+    def _zip(names):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for n in names:
+                zf.writestr(n, f"payload {n}".encode())
+        return buf.getvalue()
+
+    (land / "seg-00001.zip").write_bytes(_zip(["a.txt"]))
+    for _ in range(2):
+        q = (spark.readStream.format("zip")
+             .load(str(land / "*.zip"))
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        (land / "seg-00002.zip").write_bytes(_zip(["b.txt", "c.txt"]))
+    time.sleep(0.2)
+    rows = {r["name"]: bytes(r["data"])
+            for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {"a.txt": b"payload a.txt",
+                    "b.txt": b"payload b.txt",
+                    "c.txt": b"payload c.txt"}
