@@ -5700,3 +5700,175 @@ FROM documents ORDER BY doc_id
         "our md5 vs DuckDB's md5() via the driver hash, our SHA digests "
         "vs hashlib per row inside the executor.",
 )
+
+
+# ---------------------------------------------------------------------------
+# zipf_heaps_fit (round 11): corpus-law diagnostics — the Zipf
+# rank-frequency exponent (OLS on ln rank vs ln count over the top-200
+# terms) and the Heaps vocabulary-growth exponent (OLS on ln V(N) vs
+# ln N over every 5th document prefix). Float discipline: ln values
+# are micro-quantized (JVM Math.log, glibc ln and Python math.log
+# verified to agree micro-exactly over 1..400k) and every OLS moment
+# is an EXACT decimal/HUGEINT sum of integer products — only the final
+# slope/r² divisions are floating point, identical in both engines.
+# Scale: one token explode + two hash aggregations; the rank window
+# runs over the vocabulary (bounded, ~50k at sf1) and the prefix
+# window over per-doc counts. Registered BEHIND the r11 window.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 200
+
+
+def _zipf_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("term"))
+    stats = (toks.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.min("doc_id").alias("first_doc")))
+
+    def dec(c):
+        return c.cast("decimal(19,0)")
+
+    def ols(points, x, y, labels):
+        p = points.select(dec(x).alias("x"), dec(y).alias("y"))
+        agg = p.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"))
+        n = F.col("n").cast("double")
+        sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        sxx = F.col("sxx").cast("double")
+        syy = F.col("syy").cast("double")
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        return agg.select(
+            F.col("n").alias(labels[0]),
+            F.round(num / den * 1000000.0).cast("long").alias(labels[1]),
+            F.round(num * num / (den * (n * syy - sy * sy))
+                    * 1000000.0).cast("long").alias(labels[2]))
+
+    micro = 1000000.0
+    zipf_pts = (stats
+                .withColumn("rank", F.row_number().over(
+                    Window.orderBy(F.col("cnt").desc(), F.col("term"))))
+                .where(F.col("rank") <= _ZIPF_TOP)
+                .select(F.round(F.log(F.col("rank").cast("double"))
+                                * micro).cast("long").alias("xm"),
+                        F.round(F.log(F.col("cnt").cast("double"))
+                                * micro).cast("long").alias("ym")))
+    zipf = ols(zipf_pts, F.col("xm"), F.col("ym"),
+               ["zipf_points", "zipf_slope_micro", "zipf_r2_micro"])
+
+    w_doc = (Window.orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    per_doc = (toks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("ntok")))
+    new_terms = (stats.groupBy("first_doc")
+                 .agg(F.count(F.lit(1)).alias("nv")))
+    growth = (per_doc.join(new_terms,
+                           per_doc.doc_id == new_terms.first_doc, "left")
+              .select(per_doc.doc_id, "ntok",
+                      F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
+              .withColumn("cum_tokens", F.sum("ntok").over(w_doc))
+              .withColumn("cum_vocab", F.sum("nv").over(w_doc)))
+    heaps_pts = (growth.where(F.col("doc_id") % 5 == 0)
+                 .select(F.round(F.log(F.col("cum_tokens")
+                                       .cast("double")) * micro)
+                          .cast("long").alias("xm"),
+                         F.round(F.log(F.col("cum_vocab")
+                                       .cast("double")) * micro)
+                          .cast("long").alias("ym")))
+    heaps = ols(heaps_pts, F.col("xm"), F.col("ym"),
+                ["heaps_points", "heaps_beta_micro", "heaps_r2_micro"])
+
+    totals = stats.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cnt").cast("long").alias("n_tokens"))
+    return totals.crossJoin(zipf).crossJoin(heaps)
+
+
+register(
+    "zipf_heaps_fit",
+    _zipf_heaps_fit,
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents),
+stats AS (
+  SELECT term, COUNT(*) AS cnt, MIN(doc_id) AS first_doc
+  FROM toks GROUP BY term),
+zp AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS HUGEINT)
+           AS x,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS HUGEINT)
+           AS y
+  FROM (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+        FROM stats)
+  WHERE rank <= {_ZIPF_TOP}),
+zs AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy FROM zp),
+growth AS (
+  SELECT p.doc_id,
+         SUM(p.ntok) OVER (ORDER BY p.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens,
+         SUM(COALESCE(v.nv, 0)) OVER (ORDER BY p.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_vocab
+  FROM (SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY doc_id) p
+  LEFT JOIN (SELECT first_doc, COUNT(*) AS nv FROM stats
+             GROUP BY first_doc) v ON v.first_doc = p.doc_id),
+hp AS (
+  SELECT CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)) * 1000000.0)
+              AS HUGEINT) AS x,
+         CAST(ROUND(ln(CAST(cum_vocab AS DOUBLE)) * 1000000.0)
+              AS HUGEINT) AS y
+  FROM growth WHERE doc_id % 5 = 0),
+hs AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy FROM hp),
+tot AS (
+  SELECT COUNT(*) AS n_terms, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+  FROM stats)
+SELECT tot.n_terms, tot.n_tokens,
+  zs.n AS zipf_points,
+  CAST(ROUND((CAST(zs.n AS DOUBLE) * CAST(zs.sxy AS DOUBLE)
+              - CAST(zs.sx AS DOUBLE) * CAST(zs.sy AS DOUBLE))
+             / (CAST(zs.n AS DOUBLE) * CAST(zs.sxx AS DOUBLE)
+                - CAST(zs.sx AS DOUBLE) * CAST(zs.sx AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS zipf_slope_micro,
+  CAST(ROUND(POW(CAST(zs.n AS DOUBLE) * CAST(zs.sxy AS DOUBLE)
+                 - CAST(zs.sx AS DOUBLE) * CAST(zs.sy AS DOUBLE), 2)
+             / ((CAST(zs.n AS DOUBLE) * CAST(zs.sxx AS DOUBLE)
+                 - CAST(zs.sx AS DOUBLE) * CAST(zs.sx AS DOUBLE))
+                * (CAST(zs.n AS DOUBLE) * CAST(zs.syy AS DOUBLE)
+                   - CAST(zs.sy AS DOUBLE) * CAST(zs.sy AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS zipf_r2_micro,
+  hs.n AS heaps_points,
+  CAST(ROUND((CAST(hs.n AS DOUBLE) * CAST(hs.sxy AS DOUBLE)
+              - CAST(hs.sx AS DOUBLE) * CAST(hs.sy AS DOUBLE))
+             / (CAST(hs.n AS DOUBLE) * CAST(hs.sxx AS DOUBLE)
+                - CAST(hs.sx AS DOUBLE) * CAST(hs.sx AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS heaps_beta_micro,
+  CAST(ROUND(POW(CAST(hs.n AS DOUBLE) * CAST(hs.sxy AS DOUBLE)
+                 - CAST(hs.sx AS DOUBLE) * CAST(hs.sy AS DOUBLE), 2)
+             / ((CAST(hs.n AS DOUBLE) * CAST(hs.sxx AS DOUBLE)
+                 - CAST(hs.sx AS DOUBLE) * CAST(hs.sx AS DOUBLE))
+                * (CAST(hs.n AS DOUBLE) * CAST(hs.syy AS DOUBLE)
+                   - CAST(hs.sy AS DOUBLE) * CAST(hs.sy AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS heaps_r2_micro
+FROM tot, zs, hs
+""",
+    doc="Zipf rank-frequency and Heaps vocabulary-growth exponents: "
+        "micro-quantized ln values with exact decimal/HUGEINT OLS "
+        "moments; only the final slope and r-squared divisions are "
+        "floating point.",
+)
