@@ -286,3 +286,63 @@ def kmv_finalize(minima: DataFrame, group_cols: list[str],
     est = F.when(F.col("k_used") < k, F.col("k_used").cast("long")) \
            .otherwise(F.expr(f"({k} - 1) * {KMV_SPACE}L div h_k"))
     return agg.select(*group_cols, "k_used", "h_k", est.alias("kmv_est"))
+
+
+def misra_gries_partition(items: DataFrame, item_col: str,
+                          k: int) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries (Misra &
+    Gries 1982): each partition keeps at most ``k-1`` counters; on
+    overflow every counter decrements (the classic k-way cancellation).
+    Returns ``(item, mg_count)`` rows, ≤ k-1 per partition.
+
+    Guarantees that survive ANY merge (Agarwal et al. 2013,
+    "Mergeable summaries"): for every item,
+    ``true_count - N/k <= mg_count_sum <= true_count``, so every item
+    with frequency > N/k is PRESENT in the union of summaries — which
+    is what makes a query over the sketch partition-independent when
+    it publishes only theorem-backed facts."""
+    import pandas as pd
+
+    def mg(it):
+        counters: dict = {}
+        for pdf in it:
+            for v in pdf[item_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters), "mg_count": list(counters.values())}
+            if counters else {"item": [], "mg_count": []})
+
+    return items.select(F.col(item_col).cast("string").alias(item_col)) \
+        .mapInPandas(mg, f"item string, mg_count long")
+
+
+def misra_gries_merge(summaries: DataFrame, k: int) -> DataFrame:
+    """Merge per-partition MG summaries: sum matching counters, then
+    apply the rank-(k)-subtraction (subtract the k-th largest count
+    from every counter, drop non-positive) — the mergeable-summaries
+    reduction that preserves the N/k error bound. Bounded input
+    (≤ (k-1) × partitions rows), one aggregation + one window."""
+    from pyspark.sql import Window
+
+    summed = summaries.groupBy("item").agg(
+        F.sum("mg_count").alias("mg_count"))
+    w = Window.orderBy(F.col("mg_count").desc(), F.col("item"))
+    ranked = summed.withColumn("rk", F.row_number().over(w))
+    kth = ranked.agg(
+        F.coalesce(F.max(F.when(F.col("rk") == k, F.col("mg_count"))),
+                   F.lit(0)).alias("kth"))
+    return (ranked.crossJoin(F.broadcast(kth))
+            .withColumn("mg_count", F.col("mg_count") - F.col("kth"))
+            .where(F.col("mg_count") > 0)
+            .select("item", "mg_count"))

@@ -5872,3 +5872,70 @@ FROM tot, zs, hs
         "moments; only the final slope and r-squared divisions are "
         "floating point.",
 )
+
+
+# ---------------------------------------------------------------------------
+# misra_gries_heavy_hitters (round 11): the deterministic mergeable
+# heavy-hitters summary (Misra-Gries 1982; mergeability per Agarwal et
+# al. 2013) next to the randomized CMS: each partition keeps k-1
+# counters with k-way cancellation, summaries merge with the rank-k
+# subtraction, and the theorem guarantees every item with frequency
+# > N/k SURVIVES any merge with estimate in [true - N/k, true]. The
+# query publishes exactly the theorem-backed facts for the TRUE heavy
+# hitters (exact recount join): presence and the integer-exact error
+# bound — which is what makes the output partition-INDEPENDENT even
+# though the sketch itself depends on the partitioning. Scale: one
+# mapInPandas pass + a (k-1)×partitions-bounded merge.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+_MG_K = 64
+
+
+def _misra_gries_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sketches import (misra_gries_merge,
+                                     misra_gries_partition)
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                    .alias("term"))
+    sketch = misra_gries_merge(
+        misra_gries_partition(toks, "term", _MG_K), _MG_K)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = exact.agg(F.sum("cnt").cast("long").alias("n_total"))
+    heavy = (exact.crossJoin(F.broadcast(total))
+             .where(F.col("cnt") * _MG_K > F.col("n_total")))
+    joined = (heavy.join(sketch.withColumnRenamed("item", "term"),
+                         "term", "left"))
+    return (joined.select(
+        "term", "cnt", "n_total",
+        F.col("mg_count").isNotNull().alias("in_sketch"),
+        ((F.col("mg_count") <= F.col("cnt"))
+         & (F.col("mg_count") * _MG_K
+            >= F.col("cnt") * _MG_K - F.col("n_total")))
+         .alias("within_bound"))
+        .orderBy("term"))
+
+
+register(
+    "misra_gries_heavy_hitters",
+    _misra_gries_heavy_hitters,
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents),
+exact AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM exact)
+SELECT term, cnt, n_total,
+       TRUE AS in_sketch,
+       TRUE AS within_bound
+FROM exact, tot
+WHERE cnt * {_MG_K} > n_total
+ORDER BY term
+""",
+    doc="Misra-Gries deterministic heavy hitters: partition summaries "
+        "with k-way cancellation merged via rank-k subtraction; the "
+        "query publishes the theorem-backed facts (presence + integer "
+        "error bound) for the exact heavy hitters, making the output "
+        "partition-independent.",
+)

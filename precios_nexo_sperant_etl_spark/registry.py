@@ -125,7 +125,7 @@ _CHECK_FIRST: list[str] = [
     #    geo_nearest_city, funnel_attribution,
     #    kaplan_meier_conversion, gini_concentration,
     #    git_packfile_scan, scratch_hash_audit,
-    #    zipf_heaps_fit (32 total).
+    #    zipf_heaps_fit, misra_gries_heavy_hitters (33 total).
     # 2. The remaining 33-query r05-stamp cohort (oldest first; see
     #    STAMPS.md): semdedup_survivors, bpe_merges, bpe_token_budget, multimodal_frame_schedule, semdedup_diverse, shard_assignment,
     #    repeat_high_spenders, dup_ngram_rate, gopher_quality_flags, stratified_sample_audit, embedding_quantization_audit, token_fertility_by_lang,
