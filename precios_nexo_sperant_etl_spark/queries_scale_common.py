@@ -29,6 +29,7 @@ __all__ = [
     "_duck_char_hash",
     "_duck_dot",
     "_duck_md5_hash",
+    "_spread",
     "_t",
     "attach_binary",
     "cosine_topk",
@@ -121,3 +122,21 @@ toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
 shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
 hs AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs)
 """
+
+
+def _spread(df, key, n_groups):
+    """Pre-partition by the group key ahead of ``groupBy(key)
+    .applyInPandas``. AQE's byte-targeted coalescing folds tiny
+    per-group shuffle partitions into ONE and serializes grouped
+    Python stages (cost per GROUP, not per byte: 16 sleep(2) groups
+    measured 38.8s coalesced vs 5.5s not). A user-specified
+    ``repartition(n, key)`` is exempt from coalescing and the
+    downstream grouping REUSES the partitioning (no second Exchange),
+    so the Python work parallelizes while every other stage in the
+    query keeps coalescing's small-task savings — the per-site fix the
+    session keeps coalescing ON for (see ``session.configure``).
+    Width is exactly ``n_groups``: hash collisions leave ~2 groups in
+    a few tasks, but measured A/B (avro shards at width 1×/2×/4× =
+    0.95/1.24/1.74 s) shows task overhead beats the tail-parallelism
+    gain at larger widths."""
+    return df.repartition(int(n_groups), key)

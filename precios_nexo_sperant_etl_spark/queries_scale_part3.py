@@ -60,7 +60,7 @@ def _webdataset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "payload": [build_shard(parts)],
         })
 
-    shards = (d.groupBy("shard_id")
+    shards = (_spread(d, "shard_id", 32).groupBy("shard_id")
                .applyInPandas(write_shard, "shard_id long, payload binary"))
 
     def read_shard(it):

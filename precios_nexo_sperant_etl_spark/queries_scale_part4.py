@@ -753,7 +753,7 @@ def _tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         return pd.DataFrame({"shard": [int(key[0])],
                              "payload": [frame_records(records)]})
 
-    shards = d.groupBy("shard").applyInPandas(
+    shards = _spread(d, "shard", 32).groupBy("shard").applyInPandas(
         build, "shard long, payload binary")
 
     def unpack(it):
@@ -866,7 +866,7 @@ def _avro_container_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                                    recs, sync,
                                                    block_records=8)]})
 
-    shards = d.groupBy("shard").applyInPandas(
+    shards = _spread(d, "shard", 32).groupBy("shard").applyInPandas(
         build, "shard long, payload binary")
 
     def unpack(it):
@@ -974,7 +974,7 @@ def _avro_snappy_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         return pd.DataFrame({"shard": [s], "payload": [snappy],
                              "saved": [len(null) - len(snappy)]})
 
-    shards = d.groupBy("shard").applyInPandas(
+    shards = _spread(d, "shard", 32).groupBy("shard").applyInPandas(
         build, "shard long, payload binary, saved long")
 
     def unpack(it):
@@ -1421,7 +1421,7 @@ def _arrow_ipc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         return pd.DataFrame({"shard": [s], "path": [path],
                              "n_rows": [table.num_rows]})
 
-    shards = d.groupBy("shard").applyInPandas(
+    shards = _spread(d, "shard", 16).groupBy("shard").applyInPandas(
         write_shards, "shard long, path string, n_rows long")
 
     def read_back(it):
@@ -1868,7 +1868,7 @@ def _crawl_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
                          "tokens_after": tokens})
         return pd.DataFrame(rows)
 
-    return (d.groupBy("domain").applyInPandas(
+    return (_spread(d, "domain", 20).groupBy("domain").applyInPandas(
                 bucket, "doc_id long, domain long, arrival_ms long,"
                         " allowed boolean, tokens_after long")
             .orderBy("doc_id"))
@@ -4269,7 +4269,7 @@ def _bz2_multistream_extract(spark: SparkSession, sf: str) -> DataFrame:
             "content_md5": hashlib.md5(r["content"]).hexdigest(),
         }])
 
-    return (d.groupBy("gid")
+    return (_spread(d, "gid", 16).groupBy("gid")
              .applyInPandas(per_group,
                             "gid long, n_streams long, n_blocks long,"
                             " content_len long, content_md5 string")
@@ -4404,8 +4404,8 @@ def _wikipedia_dump_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         return pd.DataFrame([{"gid": int(pdf["gid"].iloc[0]),
                               "xml": "<mediawiki>" + xml + "</mediawiki>"}])
 
-    shards = d.groupBy("gid").applyInPandas(per_group,
-                                            "gid long, xml string")
+    shards = _spread(d, "gid", 8).groupBy("gid") \
+        .applyInPandas(per_group, "gid long, xml string")
     pages = shards.select(
         F.explode(F.expr(
             r"regexp_extract_all(xml, '(?s)<page>(.*?)</page>', 1)"))
@@ -4756,7 +4756,7 @@ def _zip_archive_extract(spark: SparkSession, sf: str) -> DataFrame:
             })
         return pd.DataFrame(rows)
 
-    return (d.groupBy("bucket")
+    return (_spread(d, "bucket", 32).groupBy("bucket")
              .applyInPandas(per_bucket,
                             "doc_id long, content_len long,"
                             " content_md5 string, crc_ok boolean,"
@@ -5030,7 +5030,7 @@ def _sqlite_table_scan(spark: SparkSession, sf: str) -> DataFrame:
             })
         return pd.DataFrame(rows)
 
-    return (d.groupBy("bucket")
+    return (_spread(d, "bucket", 32).groupBy("bucket")
              .applyInPandas(per_bucket,
                             "doc_id long, n_chars_db long, lang string,"
                             " text_md5 string, row_ok boolean")
@@ -5616,7 +5616,7 @@ def _git_packfile_scan(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             _shutil.rmtree(repo, ignore_errors=True)
 
-    return (d.groupBy("bucket")
+    return (_spread(d, "bucket", 16).groupBy("bucket")
              .applyInPandas(per_bucket,
                             "doc_id long, content_len long,"
                             " content_md5 string, sha_ok boolean")

@@ -29,18 +29,18 @@ def configure(spark: SparkSession) -> SparkSession:
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.adaptive.enabled", "true")
-    # AQE partition coalescing targets BYTES per partition, but this
-    # engine's grouped Python stages (applyInPandas codec/container
-    # walkers: zip, bzip2, wikipedia, git, webdataset shards) cost per
-    # GROUP, not per byte — at test scale every group is <<1 MiB, so
-    # coalescing folds all groups into ONE post-shuffle partition and
-    # serializes the Python work (measured: 16 × sleep(2) groups took
-    # 38.8s coalesced vs 5.5s uncoalesced; a 9-query sf0.1 probe fell
-    # 38.3s → 15.3s). shuffle.partitions is already sized to the core
-    # count here, so there is nothing useful left to coalesce. On a
-    # real cluster with byte-bound shuffles, re-enable it and instead
-    # pre-repartition by the group key before expensive Python stages.
-    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # AQE partition coalescing stays ON: it saves real time across the
+    # ~190-query bench tail (each tiny query's shuffles collapse to a
+    # few tasks). The pathology it causes for grouped PYTHON stages —
+    # cost per GROUP, not per byte, so folding all groups into one
+    # partition serializes the Python work (measured 16 × sleep(2):
+    # 38.8s coalesced vs 5.5s not) — is fixed at the CALL SITES with an
+    # explicit repartition(n, key) before groupBy().applyInPandas:
+    # user-specified repartitions are exempt from AQE coalescing, and
+    # the grouping reuses the partitioning (no second shuffle). A full
+    # A/B showed coalescing OFF costs +41s across the 172-query tail
+    # while the per-site fix keeps the heavy-query wins.
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.autoBroadcastJoinThreshold", str(_BROADCAST_THRESHOLD))
     return spark

@@ -37,13 +37,6 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if key in _CACHE:
         return dict(_CACHE[key])
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Grouped-Python stages cost per GROUP, not per byte; AQE's
-    # byte-targeted coalescing folds their tiny shuffle partitions into
-    # one and serializes the Python work (see session.configure). Set
-    # here too so the driver's own vanilla session picks it up at query
-    # time — every registered query loads tables through this path.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
-                   "false")
     # Some fixture generations store events.ts as TIMESTAMP(NANOS), which
     # Spark's parquet reader rejects; read nanos as epoch-long and truncate
     # to micros (the data is second-precision, so lossless). Newer fixtures
