@@ -216,8 +216,6 @@ def _parse_columns(sql: str) -> tuple[list[str], int | None]:
         if not m:
             continue
         name = next(g for g in m.groups() if g is not None)
-        if name.lower() in constraint_kw and not names:
-            pass
         if name.lower() in constraint_kw:
             continue                    # table-level constraint
         if re.search(r"\bINTEGER\s+PRIMARY\s+KEY\b", p, re.I):
