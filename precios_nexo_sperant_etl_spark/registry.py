@@ -57,6 +57,18 @@ _CHECK_FIRST: list[str] = [
     "zstd_dict_roundtrip",         # RFC 8878 §5 dictionary frames
     "h264_ipcm_roundtrip",         # H.264 I_PCM lossless decode
     "warc_datasource_roundtrip",   # spark.read/write.format("warc")
+    # -- 1b. stamped queries REWRITTEN this round (the _spread
+    #        pre-partitioning fix for AQE grouped-Python coalescing —
+    #        partitioning-only, outputs partition-independent, all six
+    #        re-verified locally tuned+vanilla after the change; policy
+    #        says changed-since-stamp beats hygiene refreshes, so they
+    #        displace the six youngest r05 slots) --
+    "tfrecord_roundtrip",
+    "avro_container_roundtrip",
+    "avro_snappy_roundtrip",
+    "arrow_ipc_roundtrip",
+    "crawl_token_bucket",
+    "webdataset_roundtrip",
     # -- 2. the 37-query r04 cohort, oldest standing stamps --
     "w2_dedup_keep_last",
     "j3_p6_change_detail",
@@ -95,17 +107,13 @@ _CHECK_FIRST: list[str] = [
     "order_fulfillment_lag",
     "neardup_cluster_sizes",
     "o2_es_collation",
-    # -- 3. the 10 oldest r05 stamps (ledger order) --
+    # -- 3. the 4 oldest r05 stamps (ledger order; the remaining six
+    #        of the originally-queued ten moved to the r12 cohort head
+    #        when section 1b claimed their slots) --
     "window_analytics_suite",
     "price_trend_by_priority",
     "corpus_diversity_index",
     "k_anonymity_screen",
-    "inverted_index_stats",
-    "expectations_report",
-    "minhash_dedup_pairs",
-    "pack_sequences_by_lang",
-    "prep_pipeline",
-    "doc_chunks",
     # --- ROUND-12 QUEUE (committed head, in priority order):
     # 1. The queries registered new in r11 (behind this window, all
     #    locally parity-green at sf0.01 tuned AND vanilla plus sf0.1
@@ -126,8 +134,10 @@ _CHECK_FIRST: list[str] = [
     #    kaplan_meier_conversion, gini_concentration,
     #    git_packfile_scan, scratch_hash_audit,
     #    zipf_heaps_fit, misra_gries_heavy_hitters (33 total).
-    # 2. The remaining 33-query r05-stamp cohort (oldest first; see
-    #    STAMPS.md): semdedup_survivors, bpe_merges, bpe_token_budget, multimodal_frame_schedule, semdedup_diverse, shard_assignment,
+    # 2. The remaining 39-query r05-stamp cohort (oldest first; see
+    #    STAMPS.md): inverted_index_stats, expectations_report,
+    #    minhash_dedup_pairs, pack_sequences_by_lang, prep_pipeline,
+    #    doc_chunks, semdedup_survivors, bpe_merges, bpe_token_budget, multimodal_frame_schedule, semdedup_diverse, shard_assignment,
     #    repeat_high_spenders, dup_ngram_rate, gopher_quality_flags, stratified_sample_audit, embedding_quantization_audit, token_fertility_by_lang,
     #    release_manifest, exact_substring_coverage, fuzzy_part_match, source_temperature_mix, ccnet_lm_buckets, filter_funnel,
     #    ewma_user_activity, neardup_triangles, benford_digit_audit, bpe_compression_curve, neardup_keep_best_quality, pagerank_neardup,
