@@ -142,6 +142,25 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "lake_time_travel": 11,
     "event_pattern_match": 11,
     "streaming_scd2_upsert": 11,
+    # r11 second-session additions, same discipline and evidence (each
+    # parity-green sf0.01 tuned AND vanilla plus sf0.1 in its
+    # registration session; whole registry swept 0-failed at sf0.01
+    # after the last of them landed). All head the r12 queue per the
+    # registry rotation comment.
+    "lz4_frame_roundtrip": 11,
+    "zip_archive_extract": 11,
+    "parquet_footer_stats": 11,
+    "rowgroup_pruning_scan": 11,
+    "sqlite_table_scan": 11,
+    "string_distance_suite": 11,
+    "geo_nearest_city": 11,
+    "funnel_attribution": 11,
+    "kaplan_meier_conversion": 11,
+    "gini_concentration": 11,
+    "git_packfile_scan": 11,
+    "scratch_hash_audit": 11,
+    "zipf_heaps_fit": 11,
+    "misra_gries_heavy_hitters": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
