@@ -5574,11 +5574,19 @@ def _git_packfile_scan(spark: SparkSession, sf: str) -> DataFrame:
         repo = tempfile.mkdtemp(prefix="gitscan_")
 
         def git(*args):
-            subprocess.run(["git", *args], check=True, cwd=repo,
-                           env=env, capture_output=True)
+            p = subprocess.run(["git", *args], cwd=repo, env=env,
+                               capture_output=True, text=True)
+            if p.returncode:
+                raise RuntimeError(
+                    f"git {' '.join(args)} rc={p.returncode}: "
+                    f"{p.stderr.strip()[:400]}")
 
         try:
             git("init", "-q")
+            # above ~6700 loose objects (sf1 buckets) a commit triggers
+            # a DETACHED auto-gc that our explicit gc then collides
+            # with ("gc is already running"); keep gc fully manual
+            git("config", "gc.auto", "0")
             docs = sorted(zip(pdf["doc_id"].astype("int64"),
                               pdf["text"]))
             for did, text in docs:
@@ -5593,7 +5601,12 @@ def _git_packfile_scan(spark: SparkSession, sf: str) -> DataFrame:
                     f.write(text + f"\nV2 {did}")
             git("add", "-A")
             git("commit", "-q", "-m", "v2")
-            git("gc", "-q")
+            # 16 buckets gc concurrently: stay in the foreground (a
+            # detached gc races the tempdir cleanup) and pack on one
+            # thread each (16 × online-cpu thread pools starved the
+            # JVM-sized process at sf1 — exit 128 from pack-objects)
+            git("-c", "gc.autoDetach=false", "-c", "pack.threads=1",
+                "gc", "-q")
             head_tree = subprocess.run(
                 ["git", "rev-parse", "HEAD^{tree}"], check=True,
                 cwd=repo, env=env,
