@@ -121,3 +121,37 @@ def sha256(data: bytes) -> bytes:
 
 def sha256_hex(data: bytes) -> str:
     return sha256(data).hex()
+
+
+# --- HMAC (RFC 2104) and PBKDF2 (RFC 2898) over our SHA-256 ---------------
+
+def hmac_sha256(key: bytes, msg: bytes) -> bytes:
+    """RFC 2104 with our SHA-256: the keyed digest behind the engine's
+    pseudonymization surface (a keyed hash is what makes FK tokens
+    non-invertible without the secret, unlike plain sha)."""
+    if len(key) > 64:
+        key = sha256(key)
+    key = key + b"\x00" * (64 - len(key))
+    ipad = bytes(b ^ 0x36 for b in key)
+    opad = bytes(b ^ 0x5C for b in key)
+    return sha256(opad + sha256(ipad + msg))
+
+
+def pbkdf2_hmac_sha256(password: bytes, salt: bytes, iterations: int,
+                       dklen: int = 32) -> bytes:
+    """RFC 2898 PBKDF2-HMAC-SHA256 (key stretching for the envelope-
+    encryption seam). Pinned against hashlib.pbkdf2_hmac."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    out = bytearray()
+    block = 1
+    while len(out) < dklen:
+        u = hmac_sha256(password, salt + block.to_bytes(4, "big"))
+        acc = bytearray(u)
+        for _ in range(iterations - 1):
+            u = hmac_sha256(password, u)
+            for i in range(32):
+                acc[i] ^= u[i]
+        out += acc
+        block += 1
+    return bytes(out[:dklen])

@@ -5952,3 +5952,85 @@ ORDER BY term
         "error bound) for the exact heavy hitters, making the output "
         "partition-independent.",
 )
+
+
+# ---------------------------------------------------------------------------
+# aes_gcm_envelope_roundtrip (round 11): client-side envelope
+# encryption for data at rest, with the whole key path from scratch —
+# per-document data keys derived via OUR PBKDF2-HMAC-SHA256 (RFC 2898
+# over the FIPS 180-4 implementation), payloads sealed with OUR AES-
+# GCM (FIPS-197 with a derived-not-transcribed S-box; SP 800-38D GCM)
+# and opened again with authentication REQUIRED: the row also proves a
+# flipped ciphertext byte is refused, so the tamper check itself is
+# inside the value hash. Interop: javax.crypto produces bit-identical
+# ct||tag on the same inputs (tests/test_aesgcm.py, both directions,
+# all key sizes). Scale: mapInPandas, partition-local crypto — the
+# decrypt-only-what-you-scan shape. Registered BEHIND the r11 window.
+# ---------------------------------------------------------------------------
+
+def _aes_gcm_envelope_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from .functions.aesgcm import AesError, gcm_decrypt, gcm_encrypt
+    from .functions.hashes import pbkdf2_hmac_sha256, sha256
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    src = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def seal_open(it):
+        master = b"corpus-master-key"
+        for pdf in it:
+            rows = []
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                did = int(did)
+                raw = t.encode("utf-8")
+                key = pbkdf2_hmac_sha256(master, did.to_bytes(8, "big"),
+                                         3, 16)
+                iv = sha256(b"iv" + did.to_bytes(8, "big"))[:12]
+                aad = f"doc:{did}".encode()
+                ct, tag = gcm_encrypt(key, iv, raw, aad)
+                back = gcm_decrypt(key, iv, ct, tag, aad)
+                if ct:
+                    bad = ct[:-1] + bytes([ct[-1] ^ 1])
+                else:
+                    bad = None
+                try:
+                    if bad is not None:
+                        gcm_decrypt(key, iv, bad, tag, aad)
+                    tampered_refused = bad is None
+                except AesError:
+                    tampered_refused = True
+                rows.append({
+                    "doc_id": did,
+                    "ct_len": len(ct),
+                    "content_md5": hashlib.md5(back).hexdigest(),
+                    "auth_ok": back == raw,
+                    "tamper_refused": tampered_refused,
+                })
+            yield pd.DataFrame(rows)
+
+    return (src.mapInPandas(seal_open,
+                            "doc_id long, ct_len long,"
+                            " content_md5 string, auth_ok boolean,"
+                            " tamper_refused boolean")
+               .orderBy("doc_id"))
+
+
+register(
+    "aes_gcm_envelope_roundtrip",
+    _aes_gcm_envelope_roundtrip,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS ct_len,
+       md5(text) AS content_md5,
+       TRUE AS auth_ok,
+       TRUE AS tamper_refused
+FROM documents ORDER BY doc_id
+""",
+    doc="Envelope encryption for data at rest with a from-scratch key "
+        "path: PBKDF2-derived per-doc keys, AES-GCM seal/open with "
+        "authentication, and an in-row tamper-refusal proof; "
+        "javax.crypto is bit-identical on the same inputs.",
+)

@@ -133,7 +133,8 @@ _CHECK_FIRST: list[str] = [
     #    geo_nearest_city, funnel_attribution,
     #    kaplan_meier_conversion, gini_concentration,
     #    git_packfile_scan, scratch_hash_audit,
-    #    zipf_heaps_fit, misra_gries_heavy_hitters (33 total).
+    #    zipf_heaps_fit, misra_gries_heavy_hitters,
+    #    aes_gcm_envelope_roundtrip (34 total).
     # 2. The remaining 39-query r05-stamp cohort (oldest first; see
     #    STAMPS.md): inverted_index_stats, expectations_report,
     #    minhash_dedup_pairs, pack_sequences_by_lang, prep_pipeline,

@@ -45,3 +45,34 @@ def test_duckdb_third_opinion():
     for s in ("", "hola", "texto con eñes y acentós", "x" * 1000):
         assert md5_hex(s.encode()) == con.execute(
             "select md5(?)", [s]).fetchone()[0]
+
+
+def test_hmac_sha256_rfc4231_vectors():
+    from precios_nexo_sperant_etl_spark.functions.hashes import (
+        hmac_sha256)
+    # RFC 4231 test case 1 and 2
+    assert hmac_sha256(b"\x0b" * 20, b"Hi There").hex() == (
+        "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+    assert hmac_sha256(b"Jefe", b"what do ya want for nothing?").hex() \
+        == ("5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b9"
+            "64ec3843")
+    # long-key path (key > block size)
+    assert hmac_sha256(b"\xaa" * 131, b"Test Using Larger Than "
+                       b"Block-Size Key - Hash Key First").hex() == (
+        "60e431591ee0b67f0d8a26aacbf5b77f8e0bc6213728c5140546040f0ee37f54")
+
+
+def test_hmac_pbkdf2_match_hashlib():
+    import hmac as _hmac
+    from precios_nexo_sperant_etl_spark.functions.hashes import (
+        hmac_sha256, pbkdf2_hmac_sha256)
+    rng = random.Random(31)
+    for _ in range(60):
+        k = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 140)))
+        m = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        assert hmac_sha256(k, m) == _hmac.new(k, m, "sha256").digest()
+    for it in (1, 2, 7):
+        for dklen in (16, 32, 33, 80):
+            got = pbkdf2_hmac_sha256(b"pass", b"salt", it, dklen)
+            assert got == hashlib.pbkdf2_hmac("sha256", b"pass", b"salt",
+                                              it, dklen)

@@ -161,6 +161,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "scratch_hash_audit": 11,
     "zipf_heaps_fit": 11,
     "misra_gries_heavy_hitters": 11,
+    "aes_gcm_envelope_roundtrip": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
