@@ -253,6 +253,16 @@ HEADLINE = [
     "parquet_footer_stats",     # thrift footer parse vs data rescan
     "rowgroup_pruning_scan",    # footer-stat pruning end-to-end
     "sqlite_table_scan",        # SQLite b-tree file decode
+    "string_distance_suite",    # 4 edit distances vs DuckDB's four
+    "geo_nearest_city",         # haversine + bbox prefilter census
+    "funnel_attribution",       # RANGE-frame first/last touch
+    "kaplan_meier_conversion",  # survival curve, ordered float fold
+    "gini_concentration",       # exact-cents Lorenz/Gini
+    "git_packfile_scan",        # git-written packs, our delta decode
+    "scratch_hash_audit",       # from-scratch MD5/SHA-1/SHA-256
+    "zipf_heaps_fit",           # corpus-law OLS, micro-int moments
+    "misra_gries_heavy_hitters",  # deterministic mergeable sketch
+    "aes_gcm_envelope_roundtrip",  # from-scratch AES-GCM seal/open
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and
