@@ -961,3 +961,32 @@ def kneser_ney_scores(df: DataFrame, text_col: str = "text",
                        (fold / F.size("ps")).alias("mean_kn_p"),
                        "min_kn_p")
             .orderBy(id_col))
+
+
+def soundex_col(name: Column) -> Column:
+    """American Soundex (the NARA coding rules) as a pure Column
+    expression — JVM-side codegen, no UDF: H/W are transparent
+    separators (removed before run-collapsing), vowels break adjacency
+    then drop, the first letter's own code suppresses a duplicate
+    second code, and the result pads to letter + 3 digits. Run
+    collapsing is spelled as six per-digit ``regexp_replace`` passes so
+    the same expression is RE2-safe for the DuckDB oracle (RE2 has no
+    backreferences). Verified on the classic vectors: ROBERT/RUPERT →
+    R163, ASHCRAFT → A261 (H transparent), TYMCZAK → T522,
+    PFISTER → P236, HONEYMAN → H555. Empty/non-alpha input → ''."""
+    clean = F.regexp_extract(F.upper(name), "^[A-Z]+", 0)
+    first = F.substring(clean, 1, 1)
+    t1 = F.translate(F.substring(clean, 2, 1 << 20), "HW", "")
+    dg = F.translate(t1, "BFPVCGJKQSXZDTLMNRAEIOUY",
+                     "111122222222334556000000")
+    for d in "123456":
+        dg = F.regexp_replace(dg, d + "+", d)
+    fcode = F.translate(first, "BFPVCGJKQSXZDTLMNRAEIOUYHW",
+                        "11112222222233455600000000")
+    digits = F.regexp_replace(
+        F.when(F.substring(dg, 1, 1) == fcode,
+               F.substring(dg, 2, 1 << 20)).otherwise(dg), "0", "")
+    return F.when(clean == "", F.lit("")) \
+        .otherwise(F.concat(first,
+                            F.substring(F.concat(digits, F.lit("000")),
+                                        1, 3)))

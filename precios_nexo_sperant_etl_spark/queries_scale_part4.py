@@ -6034,3 +6034,70 @@ FROM documents ORDER BY doc_id
         "authentication, and an in-row tamper-refusal proof; "
         "javax.crypto is bit-identical on the same inputs.",
 )
+
+
+# ---------------------------------------------------------------------------
+# soundex_blocking_census (round 11): phonetic blocking for the
+# record-linkage family (next to fellegi_sunter_weights /
+# golden_record_merge / string_distance_suite) — American Soundex
+# (NARA rules, classic vectors verified) over the leading word of
+# part names, as a PURE Column expression (JVM codegen, no UDF; the
+# run-collapse is spelled per digit so the identical pipeline is
+# RE2-safe in the oracle). Census per code: block size, distinct
+# words, the lexicographic extremes — exactly the block-cardinality
+# audit a linkage pass runs before generating candidate pairs.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _soundex_blocking_census(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import soundex_col
+
+    p = _t(spark, sf, "part").select("p_name")
+    words = p.select(F.regexp_extract(F.upper("p_name"), "^[A-Z]+", 0)
+                     .alias("word")).where(F.col("word") != "")
+    return (words.withColumn("sdx", soundex_col(F.col("word")))
+            .groupBy("sdx")
+            .agg(F.count(F.lit(1)).alias("block_size"),
+                 F.countDistinct("word").alias("n_words"),
+                 F.min("word").alias("first_word"),
+                 F.max("word").alias("last_word"))
+            .orderBy("sdx"))
+
+
+register(
+    "soundex_blocking_census",
+    _soundex_blocking_census,
+    """
+WITH w AS (SELECT regexp_extract(upper(p_name), '^[A-Z]+') AS word
+           FROM part),
+f AS (SELECT word FROM w WHERE word <> ''),
+s AS (SELECT word, substr(word, 1, 1) AS first,
+        translate(substr(word, 2), 'HW', '') AS t1
+      FROM f),
+c AS (SELECT word, first,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(
+          translate(t1, 'BFPVCGJKQSXZDTLMNRAEIOUY',
+                        '111122222222334556000000'),
+          '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+          '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g')
+          AS collapsed,
+        translate(first, 'BFPVCGJKQSXZDTLMNRAEIOUYHW',
+                         '11112222222233455600000000') AS fcode
+      FROM s),
+e AS (SELECT word, first,
+        replace(CASE WHEN substr(collapsed, 1, 1) = fcode
+                     THEN substr(collapsed, 2) ELSE collapsed END,
+                '0', '') AS digits
+      FROM c),
+sdx AS (SELECT word, first || substr(digits || '000', 1, 3) AS sdx
+        FROM e)
+SELECT sdx, COUNT(*) AS block_size,
+       COUNT(DISTINCT word) AS n_words,
+       MIN(word) AS first_word, MAX(word) AS last_word
+FROM sdx GROUP BY sdx ORDER BY sdx
+""",
+    doc="American Soundex phonetic blocking census over part-name "
+        "leading words: identical NARA-rule pipelines as Spark Column "
+        "codegen and RE2-safe SQL; classic vectors verified in tests.",
+)
