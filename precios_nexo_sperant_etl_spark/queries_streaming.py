@@ -1005,3 +1005,74 @@ FROM kept ORDER BY k, effective_ts
         "versioned state; final history equals the window-derived "
         "change-point oracle exactly.",
 )
+
+
+def _streaming_zip_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Same two-wave/one-checkpoint discipline as
+    ``streaming_warc_census``, over ``readStream.format("zip")``: each
+    wave lands ZIP archives written by ``df.write.format("zip")`` (our
+    central-directory writer, stdlib-verified in pytest), the stream
+    reader extracts members through OUR walker + RFC 1951 inflate with
+    CRC verdicts, and the landed union must hold every document
+    exactly once with oracle-recomputed lengths and md5s."""
+    import glob
+    import shutil
+
+    from .queries_scale_common import _t
+    from .sources.spark_datasource import register_data_sources
+
+    register_data_sources(spark)
+    root = tempfile.mkdtemp(prefix="stream_zip_q_")
+    land = os.path.join(root, "land")
+    os.makedirs(land)
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def land_wave(tag: str, wave_df) -> None:
+        stage = os.path.join(root, f"stage_{tag}")
+        (wave_df.repartition(4)
+         .select(F.format_string("doc_%08d.txt", F.col("doc_id"))
+                  .alias("name"),
+                 F.encode(F.col("text"), "utf-8").alias("data"))
+         .write.format("zip").mode("append").save(stage))
+        for i, p in enumerate(sorted(glob.glob(
+                os.path.join(stage, "part-*.zip")))):
+            shutil.move(p, os.path.join(land, f"{tag}-{i:03d}.zip"))
+
+    def drain() -> None:
+        q = (spark.readStream.format("zip")
+             .load(os.path.join(land, "*.zip"))
+             .select(F.regexp_extract("name", r"doc_(\d+)\.txt", 1)
+                      .cast("long").alias("doc_id"),
+                     F.col("size"),
+                     F.col("crc_ok"),
+                     F.md5(F.col("data")).alias("payload_md5"))
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    land_wave("w1", d.where(F.col("doc_id") % 2 == 0))
+    drain()
+    land_wave("w2", d.where(F.col("doc_id") % 2 == 1))
+    drain()
+    return spark.read.parquet(sink).orderBy("doc_id")
+
+
+register(
+    "streaming_zip_census",
+    _streaming_zip_census,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size,
+       'ok' AS crc_ok,
+       md5(text) AS payload_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="readStream.format('zip') end-to-end: two landing waves of "
+        "archives from our zip writer drained through ONE checkpoint; "
+        "exactly-once member union with CRC verdicts pinned against "
+        "the parquet originals.",
+)

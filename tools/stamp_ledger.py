@@ -163,6 +163,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "misra_gries_heavy_hitters": 11,
     "aes_gcm_envelope_roundtrip": 11,
     "soundex_blocking_census": 11,
+    "streaming_zip_census": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
