@@ -6101,3 +6101,87 @@ FROM sdx GROUP BY sdx ORDER BY sdx
         "leading words: identical NARA-rule pipelines as Spark Column "
         "codegen and RE2-safe SQL; classic vectors verified in tests.",
 )
+
+
+# ---------------------------------------------------------------------------
+# arrow_ipc_scratch_read (round 11): the engine's INTERCHANGE format
+# decoded from scratch — pyarrow (the independent implementation)
+# writes one IPC stream per shard executor-side, and OUR reader
+# (operators/arrowipc.py: raw flatbuffers vtable/union/struct-vector
+# decode + the columnar buffer layouts, no flatbuffers runtime)
+# extracts every row back, nulls included (every 7th n_chars is
+# written null and must come back null, exercising validity bitmaps
+# on the driver-checked path). Complements arrow_ipc_roundtrip
+# (pyarrow→pyarrow through our Arrow seam) by replacing the READ side
+# with the from-scratch decoder. Oracle recomputes all published
+# values from the parquet originals. Scale: _spread-partitioned
+# applyInPandas shards, decode partition-local.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _arrow_ipc_scratch_read(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import io as _io
+
+    import pandas as pd
+
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", "text", "n_chars", "lang")
+         .withColumn("shard", (F.col("doc_id") % 16).cast("long")))
+
+    def build_and_read(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        from .operators.arrowipc import read_arrow_stream
+        src = sorted(zip(pdf["doc_id"].astype("int64"), pdf["text"],
+                         pdf["n_chars"].astype("int64"), pdf["lang"]))
+        table = pa.table({
+            "doc_id": pa.array([int(i) for i, _, _, _ in src],
+                               type=pa.int64()),
+            "text": pa.array([t for _, t, _, _ in src]),
+            "n_chars": pa.array([None if i % 7 == 0 else int(n)
+                                 for i, _, n, _ in src],
+                                type=pa.int64()),
+            "lang": pa.array([lg for _, _, _, lg in src]),
+        })
+        buf = _io.BytesIO()
+        with ipc.new_stream(buf, table.schema) as w:
+            w.write_table(table, max_chunksize=64)
+        got = read_arrow_stream(buf.getvalue())
+        assert got["columns"] == ["doc_id", "text", "n_chars", "lang"]
+        rows = []
+        for did, text, n_chars, lang in got["rows"]:
+            rows.append({
+                "doc_id": int(did),
+                "text_md5": hashlib.md5(text.encode("utf-8"))
+                .hexdigest(),
+                "n_chars_or_null": n_chars,
+                "lang": lang,
+            })
+        return pd.DataFrame(rows).astype({"n_chars_or_null": "object"})
+
+    return (_spread(d, "shard", 16).groupBy("shard")
+            .applyInPandas(build_and_read,
+                           "doc_id long, text_md5 string,"
+                           " n_chars_or_null long, lang string")
+            .orderBy("doc_id"))
+
+
+register(
+    "arrow_ipc_scratch_read",
+    _arrow_ipc_scratch_read,
+    """
+SELECT doc_id,
+       md5(text) AS text_md5,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE n_chars END AS n_chars_or_null,
+       lang
+FROM documents ORDER BY doc_id
+""",
+    doc="From-scratch Arrow IPC decode on the driver-checked path: "
+        "pyarrow writes per-shard streams (64-row batches, every 7th "
+        "n_chars null), our raw-flatbuffers reader extracts rows and "
+        "validity bitmaps; all values pinned against the parquet "
+        "originals.",
+)

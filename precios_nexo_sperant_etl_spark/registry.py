@@ -135,7 +135,7 @@ _CHECK_FIRST: list[str] = [
     #    git_packfile_scan, scratch_hash_audit,
     #    zipf_heaps_fit, misra_gries_heavy_hitters,
     #    aes_gcm_envelope_roundtrip, soundex_blocking_census,
-    #    streaming_zip_census (36 total).
+    #    streaming_zip_census, arrow_ipc_scratch_read (37 total).
     # 2. The remaining 39-query r05-stamp cohort (oldest first; see
     #    STAMPS.md): inverted_index_stats, expectations_report,
     #    minhash_dedup_pairs, pack_sequences_by_lang, prep_pipeline,

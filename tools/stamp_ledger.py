@@ -164,6 +164,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "aes_gcm_envelope_roundtrip": 11,
     "soundex_blocking_census": 11,
     "streaming_zip_census": 11,
+    "arrow_ipc_scratch_read": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
