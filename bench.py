@@ -263,6 +263,9 @@ HEADLINE = [
     "zipf_heaps_fit",           # corpus-law OLS, micro-int moments
     "misra_gries_heavy_hitters",  # deterministic mergeable sketch
     "aes_gcm_envelope_roundtrip",  # from-scratch AES-GCM seal/open
+    "soundex_blocking_census",  # phonetic blocking, pure codegen
+    "streaming_zip_census",     # checkpointed zip landing stream
+    "arrow_ipc_scratch_read",   # raw-flatbuffers Arrow IPC decode
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and
