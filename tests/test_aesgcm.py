@@ -105,3 +105,14 @@ def test_ours_decrypts_jvm(spark):
             ours_ct, ours_tag = gcm_encrypt(key, iv, pt, aad)
             assert (ours_ct, ours_tag) == (ct, tag)     # bit-identical
             assert gcm_decrypt(key, iv, ct, tag, aad) == pt
+
+
+def test_non_96bit_ivs_match_jvm(spark):
+    rng = random.Random(77)
+    for ivlen in (8, 13, 16, 20, 32):
+        key = bytes(rng.randrange(256) for _ in range(16))
+        iv = bytes(rng.randrange(256) for _ in range(ivlen))
+        pt = bytes(rng.randrange(256) for _ in range(70))
+        blob = _jvm_gcm(spark, key, iv, pt, b"hdr")
+        ct, tag = gcm_encrypt(key, iv, pt, b"hdr")
+        assert ct + tag == blob
