@@ -145,9 +145,14 @@ _CHECK_FIRST: list[str] = [
     #    ewma_user_activity, neardup_triangles, benford_digit_audit, bpe_compression_curve, neardup_keep_best_quality, pagerank_neardup,
     #    events_gapfill_locf, bpe_roundtrip_audit, event_cooccurrence_rules, discount_price_corr, f22_money_format, hll_distinct_terms,
     #    hll_set_algebra, histogram_quantile_sketch, streaming_curation_hashes.
-    #    33 + new-in-r11 ≈ the full r12 window; the r06 cohort follows
-    #    in r13. Never-stamped evidence always beats refreshing a valid
-    #    old stamp. ---
+    #    ALLOCATION for the 50-slot r12 window: the 37 never-stamped
+    #    new-in-r11 queries first (never-stamped evidence always beats
+    #    refreshing a valid old stamp), then the 13 oldest r05 stamps
+    #    beginning with the six displaced by this round's 1b section
+    #    (inverted_index_stats, expectations_report,
+    #    minhash_dedup_pairs, pack_sequences_by_lang, prep_pipeline,
+    #    doc_chunks) and continuing in ledger order from
+    #    semdedup_survivors. The r06 cohort follows in r13. ---
 ]
 
 
