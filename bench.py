@@ -266,6 +266,7 @@ HEADLINE = [
     "soundex_blocking_census",  # phonetic blocking, pure codegen
     "streaming_zip_census",     # checkpointed zip landing stream
     "arrow_ipc_scratch_read",   # raw-flatbuffers Arrow IPC decode
+    "spearman_rank_corr",       # tie-safe integer-exact rank corr
 ]
 
 #: Size of the r4-comparable prefix of HEADLINE (everything up to and

@@ -6185,3 +6185,97 @@ FROM documents ORDER BY doc_id
         "validity bitmaps; all values pinned against the parquet "
         "originals.",
 )
+
+
+# ---------------------------------------------------------------------------
+# spearman_rank_corr (round 11): rank correlation between order value
+# and the customer's account balance, per market segment — the robust
+# complement to the exact-Pearson family (discount_price_corr).
+# Exactness: average ranks are kept INTEGER by doubling them
+# (2·avg_rank = rank_min + rank_max, tie-safe), every moment is an
+# exact DECIMAL/HUGEINT sum of integer products, and only the final
+# rho division is floating point — identical in both engines, then
+# micro-quantized. Scale: one join, two segment-partitioned windows,
+# one aggregation.
+# Registered BEHIND the r11 window (registration-pause discipline).
+# ---------------------------------------------------------------------------
+
+def _spearman_rank_corr(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment",
+                                         "c_acctbal")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "c_acctbal")
+
+    def ranks2(col_name: str, out: str):
+        # 2*average-rank as an integer: rank() gives the min rank of a
+        # tie group; min + max = min + (min + count - 1)
+        w = Window.partitionBy("c_mktsegment").orderBy(F.col(col_name))
+        wg = Window.partitionBy("c_mktsegment", col_name)
+        return ((F.rank().over(w) * 2 + F.count(F.lit(1)).over(wg)
+                 - 1).alias(out))
+
+    ranked = j.select("c_mktsegment",
+                      ranks2("o_totalprice", "rx"),
+                      ranks2("c_acctbal", "ry"))
+
+    def dec(c_):
+        return c_.cast("decimal(38,0)")
+
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("rx"))).alias("sx"),
+        F.sum(dec(F.col("ry"))).alias("sy"),
+        F.sum(dec(F.col("rx")) * dec(F.col("ry"))).alias("sxy"),
+        F.sum(dec(F.col("rx")) * dec(F.col("rx"))).alias("sxx"),
+        F.sum(dec(F.col("ry")) * dec(F.col("ry"))).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    rho = ((n * sxy - sx * sy)
+           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return (agg.select("c_mktsegment", "n",
+                       F.round(rho * 1000000.0).cast("long")
+                        .alias("rho_micro"))
+            .orderBy("c_mktsegment"))
+
+
+register(
+    "spearman_rank_corr",
+    _spearman_rank_corr,
+    """
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_totalprice, c.c_acctbal
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+r AS (
+  SELECT c_mktsegment,
+         CAST(RANK() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice) * 2
+              + COUNT(*) OVER (PARTITION BY c_mktsegment, o_totalprice)
+              - 1 AS HUGEINT) AS rx,
+         CAST(RANK() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal) * 2
+              + COUNT(*) OVER (PARTITION BY c_mktsegment, c_acctbal)
+              - 1 AS HUGEINT) AS ry
+  FROM j)
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rx*ry) AS DOUBLE)
+                   - CAST(SUM(rx) AS DOUBLE) * CAST(SUM(ry) AS DOUBLE))
+                  / SQRT((CAST(COUNT(*) AS DOUBLE)
+                          * CAST(SUM(rx*rx) AS DOUBLE)
+                          - CAST(SUM(rx) AS DOUBLE)
+                            * CAST(SUM(rx) AS DOUBLE))
+                         * (CAST(COUNT(*) AS DOUBLE)
+                            * CAST(SUM(ry*ry) AS DOUBLE)
+                            - CAST(SUM(ry) AS DOUBLE)
+                              * CAST(SUM(ry) AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS rho_micro
+FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    doc="Spearman rank correlation per segment with tie-safe integer "
+        "doubled ranks and exact decimal/HUGEINT moments; only the "
+        "final rho division is floating point.",
+)

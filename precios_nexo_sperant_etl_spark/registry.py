@@ -135,7 +135,8 @@ _CHECK_FIRST: list[str] = [
     #    git_packfile_scan, scratch_hash_audit,
     #    zipf_heaps_fit, misra_gries_heavy_hitters,
     #    aes_gcm_envelope_roundtrip, soundex_blocking_census,
-    #    streaming_zip_census, arrow_ipc_scratch_read (37 total).
+    #    streaming_zip_census, arrow_ipc_scratch_read,
+    #    spearman_rank_corr (38 total).
     # 2. The remaining 39-query r05-stamp cohort (oldest first; see
     #    STAMPS.md): inverted_index_stats, expectations_report,
     #    minhash_dedup_pairs, pack_sequences_by_lang, prep_pipeline,
@@ -145,9 +146,9 @@ _CHECK_FIRST: list[str] = [
     #    ewma_user_activity, neardup_triangles, benford_digit_audit, bpe_compression_curve, neardup_keep_best_quality, pagerank_neardup,
     #    events_gapfill_locf, bpe_roundtrip_audit, event_cooccurrence_rules, discount_price_corr, f22_money_format, hll_distinct_terms,
     #    hll_set_algebra, histogram_quantile_sketch, streaming_curation_hashes.
-    #    ALLOCATION for the 50-slot r12 window: the 37 never-stamped
+    #    ALLOCATION for the 50-slot r12 window: the 38 never-stamped
     #    new-in-r11 queries first (never-stamped evidence always beats
-    #    refreshing a valid old stamp), then the 13 oldest r05 stamps
+    #    refreshing a valid old stamp), then the 12 oldest r05 stamps
     #    beginning with the six displaced by this round's 1b section
     #    (inverted_index_stats, expectations_report,
     #    minhash_dedup_pairs, pack_sequences_by_lang, prep_pipeline,

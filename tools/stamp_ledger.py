@@ -165,6 +165,7 @@ DEFERRED_TO_NEXT: dict[str, int] = {
     "soundex_blocking_census": 11,
     "streaming_zip_census": 11,
     "arrow_ipc_scratch_read": 11,
+    "spearman_rank_corr": 11,
     # r10-session addition #2 (H.264 I_PCM slice-data decode — the
     # lossless subset, one layer past r9's slice-header walk); same
     # discipline and evidence: parity-green sf0.01 tuned AND vanilla
