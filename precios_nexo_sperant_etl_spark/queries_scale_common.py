@@ -29,6 +29,7 @@ __all__ = [
     "_duck_char_hash",
     "_duck_dot",
     "_duck_md5_hash",
+    "_sorted1",
     "_spread",
     "_t",
     "attach_binary",
@@ -122,6 +123,24 @@ toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
 shs AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM toks),
 hs AS (SELECT DISTINCT doc_id, {_duck_md5_hash('s')} AS h FROM shs)
 """
+
+
+def _sorted1(df, *cols):
+    """Total-order an audit-sized result without ``orderBy``'s
+    range-exchange SAMPLING pass. ``orderBy`` plans an
+    ``Exchange rangepartitioning`` whose partition-bounds sampling job
+    re-executes the child subtree; when that subtree is an opaque
+    Python stage (mapInPandas/applyInPandas codec work), every
+    expensive batch runs TWICE per action (measured with a sleep
+    probe: 3.39 s orderBy vs 1.67 s this shape on an 8×1 s map; see
+    OPTIMIZATION_r11.md). Shuffling the audit-sized output to one
+    partition and sorting there executes the Python stage once and
+    yields the same totally-ordered rows. Applied only where the
+    result is audit-sized (≤ corpus row count at bench scale); the
+    100 TB gear for corpus-sized results is write-unsorted or a
+    known-bounds range partition — documented, not silently assumed.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 def _spread(df, key, n_groups):

@@ -2291,7 +2291,7 @@ def _wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return (extract_media_features(binary_df)
             .select("doc_id", "mime_detected", "byte_len", "channels",
                     "sample_rate", "duration_ms", "ms_amplitude")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2371,7 +2371,7 @@ def _bmp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", "mime_detected", "byte_len", "width",
                     "height", "mean_b_milli", "mean_g_milli",
                     "mean_r_milli")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2469,7 +2469,7 @@ def _png_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return (extract_media_features(binary_df)
             .select("doc_id", "mime_detected", "width", "height",
                     "mean_r_milli", "mean_g_milli", "mean_b_milli")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2570,7 +2570,7 @@ def _bmp_resize_features(spark: SparkSession, sf: str) -> DataFrame:
 
     return (src.mapInPandas(feats, "doc_id long, out_w long, out_h long,"
                                    " sum_b long, sum_g long, sum_r long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2663,7 +2663,7 @@ def _gzip_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return (src.mapInPandas(enc, "doc_id long, payload binary")
                .mapInPandas(dec, "doc_id long, uncompressed_len long,"
                                  " text_md5 string")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2778,7 +2778,7 @@ def _jpeg_header_probe(spark: SparkSession, sf: str) -> DataFrame:
     return (extract_media_features(binary_df)
             .select("doc_id", "mime_detected", "byte_len", "width",
                     "height", "channels")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3277,7 +3277,7 @@ def _jpeg_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                .mapInPandas(dec, "doc_id long, out_w long, out_h long,"
                                  " pix_sum long, pix_min long,"
                                  " pix_max long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3379,7 +3379,7 @@ def _mp4_box_probe(spark: SparkSession, sf: str) -> DataFrame:
                                    " timescale long, duration_ms long,"
                                    " n_tracks long, width long,"
                                    " height long, byte_len long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3465,7 +3465,7 @@ def _wav_frame_energy(spark: SparkSession, sf: str) -> DataFrame:
                                    " voiced_frames long, doc_id long")
                .select("doc_id", "n_samples", "n_frames", "max_energy",
                        "peak_frame", "voiced_frames", "zero_crossings")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(

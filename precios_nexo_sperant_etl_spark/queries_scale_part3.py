@@ -82,7 +82,7 @@ def _webdataset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return (shards.mapInPandas(read_shard,
                                "doc_id long, shard_id long,"
                                " txt_len long, cls string")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -170,7 +170,7 @@ def _exif_orientation_probe(spark: SparkSession, sf: str) -> DataFrame:
     return (src.mapInPandas(probe, "doc_id long, carriage string,"
                                    " byte_order string, width long,"
                                    " height long, orientation long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -261,7 +261,7 @@ def _mp3_frame_probe(spark: SparkSession, sf: str) -> DataFrame:
                                    " byte_len long, doc_id long")
                .select("doc_id", "n_frames", "bitrate_kbps",
                        "sample_rate", "duration_ms", "byte_len")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 _MP3_BR_SQL = ("CASE 1 + doc_id % 14 "
@@ -2058,7 +2058,7 @@ def _maxmatch_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 
     return (src.mapInPandas(seg, "doc_id long, n_tok long,"
                                  " n_fallback long, toks_md5 string")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2195,7 +2195,7 @@ def _jpeg420_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " out_h long, y_sum long, y_min long,"
                                  " y_max long, cb_const long,"
                                  " cr_const long, chroma_flat boolean")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2383,7 +2383,7 @@ def _mp3_sideinfo_audit(spark: SparkSession, sf: str) -> DataFrame:
                .mapInPandas(probe, "doc_id long, n_frames long,"
                                    " max_mdb long, sum_part23 long,"
                                    " max_bigv long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 _MP3_BR2_SQL = ("CASE 2 + doc_id % 12 "
@@ -2722,7 +2722,7 @@ def _jpeg_progressive_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                .mapInPandas(dec, "doc_id long, out_w long, out_h long,"
                                  " pix_sum long, pix_min long,"
                                  " pix_max long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2815,7 +2815,7 @@ def _png_adam7_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " mean_r_milli long, mean_g_milli long,"
                                  " mean_b_milli long, moment_r long,"
                                  " moment_g long, moment_b long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2919,7 +2919,7 @@ def _gif_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " mean_r_milli long, mean_g_milli long,"
                                  " mean_b_milli long, moment_r long,"
                                  " moment_g long, moment_b long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3019,7 +3019,7 @@ def _g711_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                .mapInPandas(dec, "doc_id long, audio_format long,"
                                  " n_frames long, duration_ms long,"
                                  " sample_sum long, ms_amplitude long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3142,7 +3142,7 @@ def _avi_mjpeg_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                                  " fps_milli long, idx_consistent boolean,"
                                  " sampled_frames long, luma_sum long,"
                                  " luma_min long, luma_max long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3251,7 +3251,7 @@ def _adpcm_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " n_samples long, duration_ms long,"
                                  " sample_sum long, max_abs long,"
                                  " last_b0 long, last_b1 long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 def _ima_steps_sql() -> str:
@@ -3392,7 +3392,7 @@ def _tiff_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " n_strips long, pix_sum long,"
                                  " moment long, pix_min long,"
                                  " pix_max long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(

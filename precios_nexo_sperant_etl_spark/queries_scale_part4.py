@@ -200,7 +200,7 @@ def _blocklist_screen(spark: SparkSession, sf: str) -> DataFrame:
     cols = ", ".join(f"n_{i} long" for i in range(len(pats)))
     return (src.mapInPandas(scan, f"doc_id long, {cols}, total long,"
                                   " n_patterns long, blocked boolean")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -782,7 +782,7 @@ def _tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                         " n_tokens long, token_sum long, neg_tokens long,"
                         " score0 double, score1 double, text_len long,"
                         " crc_ok boolean")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -894,7 +894,7 @@ def _avro_container_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 unpack, "doc_id long, shard long, shard_size long,"
                         " n_blocks long, n_tokens long, token_sum long,"
                         " score double, text_len long, sync_ok boolean")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1001,7 +1001,7 @@ def _avro_snappy_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 unpack, "doc_id long, shard long, codec string,"
                         " n_blocks long, n_tokens long, token_sum long,"
                         " score double, compressed boolean")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1074,7 +1074,7 @@ def _longest_repeated(spark: SparkSession, sf: str) -> DataFrame:
 
     return (src.mapInPandas(scan, "doc_id long, lrs_len long,"
                                   " lrs string, occurrences long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1165,7 +1165,7 @@ def _mp4_sample_table_probe(spark: SparkSession, sf: str) -> DataFrame:
                                  " n_chunks long, duration long,"
                                  " total_bytes long, sum_offsets long,"
                                  " sum_dts long, sum_first_bytes long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1446,7 +1446,7 @@ def _arrow_ipc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                         "n_batches", "shard_rows",
                         F.length("text").cast("long").alias("n_chars_rt"),
                         F.md5(F.col("text")).alias("text_md5"))
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1534,7 +1534,7 @@ def _png_palette_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " palette_size long,"
                                  " bits_per_pixel long, moment_r long,"
                                  " moment_g long, moment_b long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1623,7 +1623,7 @@ def _tiff_multipage_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " big_endian boolean, compression long,"
                                  " pix_sum long, page_moment long,"
                                  " pix_min long, pix_max long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1711,7 +1711,7 @@ def _webm_block_probe(spark: SparkSession, sf: str) -> DataFrame:
                                  " ts_sum long, payload_bytes long,"
                                  " first_byte_sum long,"
                                  " timestamp_scale long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1791,7 +1791,7 @@ def _h264_sps_probe(spark: SparkSession, sf: str) -> DataFrame:
                                  " profile_idc long, level_idc long,"
                                  " n_nals long, idr_nals long,"
                                  " nonidr_nals long, hd_gate boolean")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1871,7 +1871,7 @@ def _crawl_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     return (_spread(d, "domain", 20).groupBy("domain").applyInPandas(
                 bucket, "doc_id long, domain long, arrival_ms long,"
                         " allowed boolean, tokens_after long")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2197,7 +2197,7 @@ def _idn_label_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " ascii_prefix string,"
                                  " roundtrip_ok boolean,"
                                  " wire_is_ascii boolean")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2385,7 +2385,7 @@ def _compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("_g").applyInPandas(
                 plan, "file_id long, bytes long, bin_id long,"
                       " bin_fill_after long, target long")
-            .orderBy("file_id"))
+            .transform(_sorted1, "file_id"))
 
 
 register(
@@ -3136,7 +3136,7 @@ def _jl_projection_audit(spark: SparkSession, sf: str) -> DataFrame:
                        F.size("es").cast("long").alias("n_pairs"),
                        (fold / F.size("es")).alias("mean_abs_err"),
                        "max_abs_err")
-            .orderBy("probe_id"))
+            .transform(_sorted1, "probe_id"))
 
 
 def _jl_oracle() -> str:
@@ -3356,7 +3356,7 @@ def _flac_subframe_decode(spark: SparkSession, sf: str) -> DataFrame:
                                  " sample_sum long, max_abs long,"
                                  " last_sample long, crc_ok boolean,"
                                  " md5_ok boolean")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3449,7 +3449,7 @@ def _zstd_frame_probe(spark: SparkSession, sf: str) -> DataFrame:
                                  " n_blocks long, n_raw long,"
                                  " n_rle long, frame_bytes long,"
                                  " fcs_ok boolean, content_md5 string")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3557,7 +3557,7 @@ def _zstd_compressed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " n_seq long, lit_len long,"
                                  " match_len long, fcs_ok boolean,"
                                  " content_md5 string")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3745,7 +3745,7 @@ def _h264_slice_header_walk(spark: SparkSession, sf: str) -> DataFrame:
                                  " frame_num_sum long, idr_id_sum long,"
                                  " qp_sum long, deblock_off_slices long,"
                                  " alpha_sum long, beta_sum long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3845,7 +3845,7 @@ def _warc_zst_extract(spark: SparkSession, sf: str) -> DataFrame:
                             "doc_id long, n_records long,"
                             " n_zstd_blocks long, fcs_ok boolean,"
                             " response_len long, response_md5 string")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3921,7 +3921,7 @@ def _av1_obu_probe(spark: SparkSession, sf: str) -> DataFrame:
                                  " max_width long, max_height long,"
                                  " sub_x long, sub_y long, n_obus long,"
                                  " n_frames long, frame_bytes long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -4044,7 +4044,7 @@ def _zstd_dict_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                  " n_seq long, lit_len long,"
                                  " match_len long, fcs_ok boolean,"
                                  " dict_gated boolean, content_md5 string")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -4125,7 +4125,7 @@ def _h264_ipcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                                   " n_mbs long, lossless boolean,"
                                   " luma_sum long, cb_sum long,"
                                   " cr_sum long")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -4273,7 +4273,7 @@ def _bz2_multistream_extract(spark: SparkSession, sf: str) -> DataFrame:
              .applyInPandas(per_group,
                             "gid long, n_streams long, n_blocks long,"
                             " content_len long, content_md5 string")
-             .orderBy("gid"))
+             .transform(_sorted1, "gid"))
 
 
 register(
@@ -4340,11 +4340,12 @@ def _xz_dump_extract(spark: SparkSession, sf: str) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    return (src.mapInPandas(
-                roundtrip, "doc_id long, check_name string,"
-                           " n_blocks long, content_len long,"
-                           " content_md5 string")
-               .orderBy("doc_id"))
+    return _sorted1(
+        src.mapInPandas(
+            roundtrip, "doc_id long, check_name string,"
+                       " n_blocks long, content_len long,"
+                       " content_md5 string"),
+        "doc_id")
 
 
 register(
@@ -4426,7 +4427,7 @@ def _wikipedia_dump_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                                  r"<revision><id>(\d+)</id>", 1)
                  .cast("long").alias("rev_id"),
                 F.md5(F.encode(unescape, "utf-8")).alias("text_md5"))
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -4489,7 +4490,7 @@ def _deflate_dynamic_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 roundtrip, "doc_id long, content_len long,"
                            " content_md5 string, stdlib_agrees boolean,"
                            " self_ok boolean")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -4682,7 +4683,7 @@ def _lz4_frame_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 roundtrip, "doc_id long, content_len long,"
                            " content_md5 string, n_blocks int,"
                            " self_ok boolean")
-               .orderBy("doc_id"))
+               .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -4761,7 +4762,7 @@ def _zip_archive_extract(spark: SparkSession, sf: str) -> DataFrame:
                             "doc_id long, content_len long,"
                             " content_md5 string, crc_ok boolean,"
                             " stdlib_reads_ours boolean")
-             .orderBy("doc_id"))
+             .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -4862,7 +4863,7 @@ def _parquet_footer_stats(spark: SparkSession, sf: str) -> DataFrame:
                             "tbl string, col string, n_rows long,"
                             " null_count long, min_v double,"
                             " max_v double")
-               .orderBy("tbl", "col"))
+               .transform(_sorted1, "tbl", "col"))
 
 
 register(
@@ -4950,7 +4951,7 @@ def _rowgroup_pruning_scan(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.coalesce(F.sum("o_orderkey"), F.lit(0)).cast("long")
              .alias("key_sum")))
-    return reduce(lambda a, b: a.unionAll(b), parts).orderBy("pred_id")
+    return reduce(lambda a, b: a.unionAll(b), parts).transform(_sorted1, "pred_id")
 
 
 register(
@@ -5034,7 +5035,7 @@ def _sqlite_table_scan(spark: SparkSession, sf: str) -> DataFrame:
              .applyInPandas(per_bucket,
                             "doc_id long, n_chars_db long, lang string,"
                             " text_md5 string, row_ok boolean")
-             .orderBy("doc_id"))
+             .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -5072,10 +5073,12 @@ FROM documents ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def _string_distance_suite(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
     import pandas as pd
 
-    from .functions.strdist import (damerau_levenshtein, hamming,
-                                    jaro_winkler, levenshtein)
+    from .functions.strdistvec import (damerau_levenshtein_batch,
+                                       hamming_batch, jaro_winkler_batch,
+                                       levenshtein_batch)
 
     c = (_t(spark, sf, "customer")
          .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("n")))
@@ -5092,23 +5095,27 @@ def _string_distance_suite(spark: SparkSession, sf: str) -> DataFrame:
     pairs = shifted.unionAll(reversed_).unionAll(confus)
 
     def dist(it):
+        # whole-batch NumPy DP (functions/strdistvec.py, scalar-pinned
+        # in tests/test_strdistvec.py): one vector step per DP cell
+        # across the batch instead of a Python loop per pair.
         for pdf in it:
-            rows = []
-            for pt, x, y in zip(pdf["pair_type"], pdf["x"], pdf["y"]):
-                bx, by = x.encode("utf-8"), y.encode("utf-8")
-                rows.append({
-                    "pair_type": pt, "x": x,
-                    "lev": levenshtein(bx, by),
-                    "dl": damerau_levenshtein(bx, by),
-                    "jw_micro": round(jaro_winkler(bx, by) * 1000000.0),
-                    "ham": hamming(bx, by),
-                })
-            yield pd.DataFrame(rows)
+            bx = [x.encode("utf-8") for x in pdf["x"]]
+            by = [y.encode("utf-8") for y in pdf["y"]]
+            jw = jaro_winkler_batch(bx, by)
+            yield pd.DataFrame({
+                "pair_type": pdf["pair_type"], "x": pdf["x"],
+                "lev": levenshtein_batch(bx, by).astype(np.int64),
+                "dl": damerau_levenshtein_batch(bx, by).astype(np.int64),
+                "jw_micro": np.rint(jw * 1000000.0).astype(np.int64),
+                "ham": hamming_batch(bx, by),
+            })
 
-    return (pairs.mapInPandas(dist, "pair_type string, x string,"
-                                    " lev long, dl long, jw_micro long,"
-                                    " ham long")
-                 .orderBy("pair_type", "x"))
+    return _sorted1(
+        pairs.repartition(spark.sparkContext.defaultParallelism)
+             .mapInPandas(dist, "pair_type string, x string,"
+                                " lev long, dl long, jw_micro long,"
+                                " ham long"),
+        "pair_type", "x")
 
 
 register(
@@ -5633,7 +5640,7 @@ def _git_packfile_scan(spark: SparkSession, sf: str) -> DataFrame:
              .applyInPandas(per_bucket,
                             "doc_id long, content_len long,"
                             " content_md5 string, sha_ok boolean")
-             .orderBy("doc_id"))
+             .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -5672,31 +5679,35 @@ def _scratch_hash_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    from .functions.hashes import md5_hex, sha256_hex
-    from .operators.gitpack import sha1_hex
+    from .functions.hashvec import (md5_hex_batch, sha1_hex_batch,
+                                    sha256_hex_batch)
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
     src = d.repartition(spark.sparkContext.defaultParallelism)
 
     def digest(it):
+        # whole-batch NumPy compression (functions/hashvec.py, pinned
+        # bit-equal to the scalar from-scratch digests AND hashlib in
+        # tests/test_hashvec.py); hashlib stays in the loop per row as
+        # the independent verifier.
         for pdf in it:
-            rows = []
-            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
-                raw = t.encode("utf-8")
-                rows.append({
-                    "doc_id": int(did),
-                    "content_md5": md5_hex(raw),
-                    "sha1_ok": sha1_hex(raw)
-                    == hashlib.sha1(raw).hexdigest(),
-                    "sha256_ok": sha256_hex(raw)
-                    == hashlib.sha256(raw).hexdigest(),
-                })
-            yield pd.DataFrame(rows)
+            raws = [t.encode("utf-8") for t in pdf["text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "content_md5": md5_hex_batch(raws),
+                "sha1_ok": [
+                    ours == hashlib.sha1(raw).hexdigest()
+                    for ours, raw in zip(sha1_hex_batch(raws), raws)],
+                "sha256_ok": [
+                    ours == hashlib.sha256(raw).hexdigest()
+                    for ours, raw in zip(sha256_hex_batch(raws), raws)],
+            })
 
-    return (src.mapInPandas(digest, "doc_id long, content_md5 string,"
-                                    " sha1_ok boolean,"
-                                    " sha256_ok boolean")
-               .orderBy("doc_id"))
+    return _sorted1(
+        src.mapInPandas(digest, "doc_id long, content_md5 string,"
+                                " sha1_ok boolean,"
+                                " sha256_ok boolean"),
+        "doc_id")
 
 
 register(
@@ -5973,49 +5984,58 @@ def _aes_gcm_envelope_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    from .functions.aesgcm import AesError, gcm_decrypt, gcm_encrypt
-    from .functions.hashes import pbkdf2_hmac_sha256, sha256
+    from .functions.aesvec import (gcm_encrypt_batch, gcm_open_batch,
+                                   gcm_verify_batch)
+    from .functions.hashvec import pbkdf2_hmac_sha256_batch, sha256_batch
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
     src = d.repartition(spark.sparkContext.defaultParallelism)
 
     def seal_open(it):
+        # whole-batch NumPy key path + AES-CTR (functions/hashvec.py,
+        # functions/aesvec.py — both pinned bit-equal to the scalar
+        # from-scratch modules, which are themselves javax.crypto- and
+        # NIST-vector-pinned). Same per-doc crypto: PBKDF2 data keys,
+        # sealed with auth tag, opened with authentication REQUIRED,
+        # and the flipped-byte refusal proof (verify-only, exactly the
+        # scalar gcm_decrypt behavior: no CTR pass on a bad tag).
         master = b"corpus-master-key"
         for pdf in it:
-            rows = []
-            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
-                did = int(did)
-                raw = t.encode("utf-8")
-                key = pbkdf2_hmac_sha256(master, did.to_bytes(8, "big"),
-                                         3, 16)
-                iv = sha256(b"iv" + did.to_bytes(8, "big"))[:12]
-                aad = f"doc:{did}".encode()
-                ct, tag = gcm_encrypt(key, iv, raw, aad)
-                back = gcm_decrypt(key, iv, ct, tag, aad)
-                if ct:
-                    bad = ct[:-1] + bytes([ct[-1] ^ 1])
-                else:
-                    bad = None
-                try:
-                    if bad is not None:
-                        gcm_decrypt(key, iv, bad, tag, aad)
-                    tampered_refused = bad is None
-                except AesError:
-                    tampered_refused = True
-                rows.append({
-                    "doc_id": did,
-                    "ct_len": len(ct),
-                    "content_md5": hashlib.md5(back).hexdigest(),
-                    "auth_ok": back == raw,
-                    "tamper_refused": tampered_refused,
-                })
-            yield pd.DataFrame(rows)
+            dids = [int(x) for x in pdf["doc_id"].astype("int64")]
+            raws = [t.encode("utf-8") for t in pdf["text"]]
+            salts = [did.to_bytes(8, "big") for did in dids]
+            keys = pbkdf2_hmac_sha256_batch(master, salts, 3, 16)
+            ivs = [h[:12] for h in
+                   sha256_batch([b"iv" + s for s in salts])]
+            aads = [f"doc:{did}".encode() for did in dids]
+            sealed = gcm_encrypt_batch(keys, ivs, raws, aads)
+            cts = [s[0] for s in sealed]
+            tags = [s[1] for s in sealed]
+            backs = gcm_open_batch(keys, ivs, cts, tags, aads)
+            bads = [ct[:-1] + bytes([ct[-1] ^ 1]) if ct else None
+                    for ct in cts]
+            bad_ok = gcm_verify_batch(
+                keys, ivs, [b if b is not None else b"" for b in bads],
+                tags, aads)
+            yield pd.DataFrame({
+                "doc_id": dids,
+                "ct_len": [len(ct) for ct in cts],
+                "content_md5": [hashlib.md5(b).hexdigest()
+                                for b in backs],
+                "auth_ok": [b == raw
+                            for b, raw in zip(backs, raws)],
+                # refused = tag check failed on the tampered ct (or the
+                # ct was empty and nothing could be tampered)
+                "tamper_refused": [bad is None or not ok
+                                   for bad, ok in zip(bads, bad_ok)],
+            })
 
-    return (src.mapInPandas(seal_open,
-                            "doc_id long, ct_len long,"
-                            " content_md5 string, auth_ok boolean,"
-                            " tamper_refused boolean")
-               .orderBy("doc_id"))
+    return _sorted1(
+        src.mapInPandas(seal_open,
+                        "doc_id long, ct_len long,"
+                        " content_md5 string, auth_ok boolean,"
+                        " tamper_refused boolean"),
+        "doc_id")
 
 
 register(
@@ -6165,7 +6185,7 @@ def _arrow_ipc_scratch_read(spark: SparkSession, sf: str) -> DataFrame:
             .applyInPandas(build_and_read,
                            "doc_id long, text_md5 string,"
                            " n_chars_or_null long, lang string")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
