@@ -39,14 +39,39 @@ def _pad_blocks(msgs: list[bytes], little: bool) -> tuple[np.ndarray,
     raw = np.zeros((n, mx * 64), dtype=np.uint8)
     for i, p in enumerate(padded):
         raw[i, :len(p)] = np.frombuffer(p, dtype=np.uint8)
-    words = raw.reshape(n, mx, 16, 4).astype(np.uint32)
-    if little:
-        cube = (words[..., 0] | (words[..., 1] << 8)
-                | (words[..., 2] << 16) | (words[..., 3] << 24))
-    else:
-        cube = ((words[..., 0] << 24) | (words[..., 1] << 16)
-                | (words[..., 2] << 8) | words[..., 3])
-    return cube, nblk
+    # zero-copy word view; one byteswap copy only for the big-endian
+    # digests (the little-endian MD5 view is already native here)
+    cube = raw.view("<u4" if little else ">u4").astype(np.uint32,
+                                                       copy=not little)
+    return cube.reshape(n, mx, 16), nblk
+
+
+#: Lanes are dispatched in power-of-two block-count groups: one slow
+#: lane (a multi-hundred-block tree object among 6-block blobs) would
+#: otherwise stretch the masked block loop — and the word cube — to
+#: its own width for EVERY lane. Groups below this lane count fall
+#: back to the scalar implementation (vector ops on a 2-lane array
+#: cost more than the plain-int rounds).
+_MIN_VECTOR_LANES = 8
+
+
+def _grouped(msgs: list[bytes], vector_fn, scalar_fn) -> list[bytes]:
+    n = len(msgs)
+    if n == 0:
+        return []
+    groups: dict[int, list[int]] = {}
+    for i, m in enumerate(msgs):
+        nblk = (len(m) + 9 + 63) // 64
+        groups.setdefault(nblk.bit_length(), []).append(i)
+    out: list[bytes | None] = [None] * n
+    for idx in groups.values():
+        if len(idx) < _MIN_VECTOR_LANES:
+            for i in idx:
+                out[i] = scalar_fn(msgs[i])
+        else:
+            for i, d in zip(idx, vector_fn([msgs[i] for i in idx])):
+                out[i] = d
+    return out  # type: ignore[return-value]
 
 
 def _rotl32(x: np.ndarray, s: int) -> np.ndarray:
@@ -66,6 +91,11 @@ _MD5_S = ([7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
 
 
 def md5_batch(msgs: list[bytes]) -> list[bytes]:
+    from .hashes import md5 as _md5_scalar
+    return _grouped(msgs, _md5_batch_lanes, _md5_scalar)
+
+
+def _md5_batch_lanes(msgs: list[bytes]) -> list[bytes]:
     cube, nblk = _pad_blocks(msgs, little=True)
     n = len(msgs)
     h = np.empty((n, 4), dtype=np.uint32)
@@ -107,6 +137,11 @@ def md5_hex_batch(msgs: list[bytes]) -> list[str]:
 
 
 def sha1_batch(msgs: list[bytes]) -> list[bytes]:
+    from ..operators.gitpack import sha1 as _sha1_scalar
+    return _grouped(msgs, _sha1_batch_lanes, _sha1_scalar)
+
+
+def _sha1_batch_lanes(msgs: list[bytes]) -> list[bytes]:
     cube, nblk = _pad_blocks(msgs, little=False)
     n = len(msgs)
     h = np.empty((n, 5), dtype=np.uint32)
@@ -157,6 +192,11 @@ _SHA256_H0 = (0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
 
 
 def sha256_batch(msgs: list[bytes]) -> list[bytes]:
+    from .hashes import sha256 as _sha256_scalar
+    return _grouped(msgs, _sha256_batch_lanes, _sha256_scalar)
+
+
+def _sha256_batch_lanes(msgs: list[bytes]) -> list[bytes]:
     cube, nblk = _pad_blocks(msgs, little=False)
     n = len(msgs)
     h = np.empty((n, 8), dtype=np.uint32)

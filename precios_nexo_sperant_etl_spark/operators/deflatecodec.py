@@ -74,19 +74,37 @@ def crc32(data: bytes) -> int:
 # --- LSB-first bit I/O -------------------------------------------------------
 
 class _BitReader:
+    __slots__ = ("d", "pos", "nbits")
+
     def __init__(self, data: bytes) -> None:
         self.d = data
         self.pos = 0                          # bit position
+        self.nbits = len(data) << 3
 
     def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            p = self.pos + i
-            if p >> 3 >= len(self.d):
-                raise DeflateError("deflate: truncated stream")
-            v |= ((self.d[p >> 3] >> (p & 7)) & 1) << i
+        # one int.from_bytes over the covering bytes instead of a
+        # per-bit loop (same LSB-first semantics)
+        p = self.pos
+        end = p + n
+        if end > self.nbits:
+            raise DeflateError("deflate: truncated stream")
+        v = int.from_bytes(self.d[p >> 3:(end + 7) >> 3], "little") \
+            >> (p & 7)
+        self.pos = end
+        return v & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        """Up to ``n`` look-ahead bits, zero-padded past the end (the
+        table decoder peeks a fixed width; codes that would need the
+        padding are rejected by the post-skip bounds check)."""
+        p = self.pos
+        return (int.from_bytes(self.d[p >> 3:(p + n + 7) >> 3],
+                               "little") >> (p & 7)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
         self.pos += n
-        return v
+        if self.pos > self.nbits:
+            raise DeflateError("deflate: truncated stream")
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -146,9 +164,17 @@ def _codes_from_lengths(lengths: list[int]) -> list[int]:
     return out
 
 
+_TBITS = 10  # primary-table width (zlib-style one-shot decode)
+
+
 class _Decoder:
-    """length-indexed first-code/first-symbol tables (the classic
-    count/offset canonical decoder)."""
+    """Canonical decoder: a 2^_TBITS one-shot primary table (entry =
+    length << 16 | symbol, indexed by the next _TBITS LSB-first stream
+    bits) with the classic count/offset walk as the fallback for the
+    rare codes longer than the table width. Same code assignment as
+    before — only the lookup mechanics changed."""
+
+    __slots__ = ("max_len", "counts", "symbols", "table")
 
     def __init__(self, lengths: list[int]) -> None:
         max_len = max(lengths) if lengths else 0
@@ -156,23 +182,61 @@ class _Decoder:
             self.max_len = 0
             return
         self.max_len = max_len
-        self.counts = [0] * (max_len + 1)
+        counts = [0] * (max_len + 1)
         for ln in lengths:
             if ln:
-                self.counts[ln] += 1
-        self.symbols: list[int] = []
+                counts[ln] += 1
+        self.counts = counts
+        # counting-sort symbol placement (O(n), not O(n * max_len))
+        offs = [0] * (max_len + 2)
         for ln in range(1, max_len + 1):
-            for sym, sl in enumerate(lengths):
-                if sl == ln:
-                    self.symbols.append(sym)
+            offs[ln + 1] = offs[ln] + counts[ln]
+        symbols = [0] * offs[max_len + 1]
+        place = offs[:]
+        for sym, ln in enumerate(lengths):
+            if ln:
+                symbols[place[ln]] = sym
+                place[ln] += 1
+        self.symbols = symbols
         # sanity: over-subscribed code
         left = 1
         for ln in range(1, max_len + 1):
-            left = (left << 1) - self.counts[ln]
+            left = (left << 1) - counts[ln]
             if left < 0:
                 raise DeflateError("deflate: over-subscribed code")
+        # primary table over the canonical codes (RFC 1951 §3.2.2),
+        # bit-reversed because the stream delivers code MSB first into
+        # an LSB-first reader
+        table = [0] * (1 << _TBITS)
+        code = 0
+        idx = 0
+        for ln in range(1, max_len + 1):
+            for _ in range(counts[ln]):
+                sym = symbols[idx]
+                idx += 1
+                if ln <= _TBITS:
+                    rev = 0
+                    c = code
+                    for _b in range(ln):
+                        rev = (rev << 1) | (c & 1)
+                        c >>= 1
+                    entry = (ln << 16) | sym
+                    for hi in range(0, 1 << _TBITS, 1 << ln):
+                        table[rev | hi] = entry
+                code += 1
+            code <<= 1
+        self.table = table
 
     def read(self, br: _BitReader) -> int:
+        if self.max_len == 0:
+            raise DeflateError("deflate: invalid Huffman code")
+        entry = self.table[br.peek(_TBITS)]
+        if entry:
+            br.skip(entry >> 16)
+            return entry & 0xFFFF
+        return self._read_slow(br)
+
+    def _read_slow(self, br: _BitReader) -> int:
         code = 0
         first = 0
         index = 0
@@ -267,8 +331,12 @@ def inflate_stream(data: bytes, offset: int = 0) -> tuple[bytes, int]:
                     if dist > len(out):
                         raise DeflateError("deflate: distance too far back")
                     start = len(out) - dist
-                    for i in range(length):
-                        out.append(out[start + i])
+                    if dist >= length:
+                        out += out[start:start + length]
+                    else:
+                        # overlapping copy: the last `dist` bytes repeat
+                        pattern = out[start:]
+                        out += (pattern * (length // dist + 1))[:length]
         else:
             raise DeflateError("deflate: reserved block type")
         if bfinal:

@@ -173,6 +173,26 @@ def parse_pack(pack: bytes) -> list[dict]:
     by_offset: dict[int, tuple[str, bytes]] = {}
     by_sha: dict[str, tuple[str, bytes]] = {}
     out: list[dict] = []
+    # Object ids are batched through the NumPy SHA-1 lanes
+    # (functions.hashvec, pinned bit-equal to `sha1` above in
+    # tests/test_hashvec.py): ids are only NEEDED during the walk when
+    # a REF_DELTA names its base by sha, so entries accumulate unhashed
+    # and flush in one vector batch then — and once at the end for the
+    # returned records. git's own gc emits OFS_DELTA chains, so the
+    # mid-walk flush is the rare path.
+    unhashed: list[dict] = []
+
+    def _flush_shas() -> None:
+        if not unhashed:
+            return
+        from ..functions.hashvec import sha1_hex_batch
+        msgs = [f"{e['type']} {len(e['content'])}\x00".encode()
+                + e["content"] for e in unhashed]
+        for e, sha in zip(unhashed, sha1_hex_batch(msgs)):
+            e["sha"] = sha
+            by_sha[sha] = (e["type"], e["content"])
+        unhashed.clear()
+
     for _ in range(count):
         entry_off = pos
         b = pack[pos]
@@ -208,6 +228,8 @@ def parse_pack(pack: bytes) -> list[dict]:
             base_sha = pack[pos:pos + 20].hex()
             pos += 20
             if base_sha not in by_sha:
+                _flush_shas()
+            if base_sha not in by_sha:
                 raise GitError(f"REF_DELTA base {base_sha} not in pack "
                                "(thin packs need an object store)")
             delta, pos = zlib_decompress_stream(pack, pos)
@@ -218,11 +240,12 @@ def parse_pack(pack: bytes) -> list[dict]:
             raise GitError(f"bad pack object type {obj_type}")
         if obj_type in _TYPE_NAMES and len(content) != size:
             raise GitError("pack entry size mismatch")
-        sha = object_sha(tname, content)
         by_offset[entry_off] = (tname, content)
-        by_sha[sha] = (tname, content)
-        out.append({"sha": sha, "type": tname, "content": content,
-                    "offset": entry_off, "stored_as": stored_as})
+        entry = {"sha": None, "type": tname, "content": content,
+                 "offset": entry_off, "stored_as": stored_as}
+        unhashed.append(entry)
+        out.append(entry)
+    _flush_shas()
     return out
 
 

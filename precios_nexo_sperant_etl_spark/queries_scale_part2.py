@@ -1145,7 +1145,9 @@ ORDER BY type_a, type_b
 # ---------------------------------------------------------------------------
 
 def _discount_price_corr(spark: SparkSession, sf: str) -> DataFrame:
-    li = _t(spark, sf, "lineitem")
+    # _fanout: six decimal-product partial sums over 600k rows would
+    # otherwise run in the single-task local scan stage
+    li = _fanout(_t(spark, sf, "lineitem"), spark)
     x = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
     agg = (li.groupBy("l_returnflag").agg(
@@ -1200,7 +1202,9 @@ FROM s ORDER BY l_returnflag
 
 
 def _winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
+    # _fanout: the exact-percentile partial buffers over the whole
+    # orders table would otherwise build in the single-task scan stage
+    o = _fanout(_t(spark, sf, "orders"), spark)
     pct = (o.groupBy("o_orderstatus").agg(
         F.expr("percentile(o_totalprice, 0.05)").alias("p5"),
         F.expr("percentile(o_totalprice, 0.95)").alias("p95")))
@@ -1267,11 +1271,15 @@ FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
 def _pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
     from .operators.text import BPE_ISH_PATTERN, quality_expr
-    d = _t(spark, sf, "documents").select(
-        "doc_id",
-        quality_expr(F.col("text")).alias("quality"),
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
-         .cast("long").alias("n_tokens"))
+    d = (_fanout(_t(spark, sf, "documents"), spark)
+         # _fanout: the regexp_count + quality_expr projection is the
+         # expensive stage and otherwise runs in the single-task local
+         # scan (no-op on real multi-split inputs)
+         .select(
+             "doc_id",
+             quality_expr(F.col("text")).alias("quality"),
+             F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+              .cast("long").alias("n_tokens")))
     per_len = d.groupBy("n_tokens").agg(
         F.max("quality").alias("_best_same"))
     # one row per distinct length → rows-frame ≡ range-frame here
@@ -1684,8 +1692,11 @@ FROM tot
 # ---------------------------------------------------------------------------
 
 def _item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
-    li = (_t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
+    # _fanout: the basket distinct's partial aggregation otherwise
+    # runs inside the single-task local scan stage (no-op on real
+    # multi-split inputs)
+    li = (_fanout(_t(spark, sf, "lineitem")
+                  .select("l_orderkey", "l_partkey"), spark).distinct())
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (a.join(b, "l_orderkey")

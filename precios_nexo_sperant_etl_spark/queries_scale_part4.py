@@ -2541,7 +2541,7 @@ def _neardup_consensus(spark: SparkSession, sf: str) -> DataFrame:
                     (F.col("mh") == 1).alias("via_minhash"),
                     (F.col("sh") == 1).alias("via_simhash"),
                     (F.col("em") == 1).alias("via_embedding"))
-            .orderBy("doc_a", "doc_b"))
+            .transform(_sorted1, "doc_a", "doc_b"))
 
 
 def _enp_capped_oracle() -> str:
@@ -3606,9 +3606,11 @@ def _winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
     from .operators.text import md5_hash
 
-    d = (_t(spark, sf, "documents")
-         .select("doc_id", F.trim("text").alias("t"))
-         .where(F.length("t") >= _WIN_K + _WIN_W - 1))
+    d = _fanout(_t(spark, sf, "documents")
+                .select("doc_id", F.trim("text").alias("t"))
+                .where(F.length("t") >= _WIN_K + _WIN_W - 1), spark)
+    # _fanout: the k-gram explode + 1.4M md5()s otherwise run in the
+    # single-task local scan stage before the window exchange
     grams = (d.select(
         "doc_id", F.length("t").alias("n"),
         F.explode(F.sequence(F.lit(1),
@@ -4386,8 +4388,12 @@ def _wikipedia_dump_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
     from .operators.bzip2 import decode_bzip2, encode_bzip2
 
+    # 32 shards (was 8): the shard id never reaches the published rows
+    # (pages are re-extracted from the XML), so the width is a pure
+    # parallelism knob for the per-shard bzip2 codec work — one task
+    # per local core.
     d = (_t(spark, sf, "documents")
-         .select((F.col("doc_id") % 8).alias("gid"), "doc_id", "text"))
+         .select((F.col("doc_id") % 32).alias("gid"), "doc_id", "text"))
 
     def esc(t: str) -> str:
         return (t.replace("&", "&amp;").replace("<", "&lt;")
@@ -4405,7 +4411,7 @@ def _wikipedia_dump_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         return pd.DataFrame([{"gid": int(pdf["gid"].iloc[0]),
                               "xml": "<mediawiki>" + xml + "</mediawiki>"}])
 
-    shards = _spread(d, "gid", 8).groupBy("gid") \
+    shards = _spread(d, "gid", 32).groupBy("gid") \
         .applyInPandas(per_group, "gid long, xml string")
     pages = shards.select(
         F.explode(F.expr(
@@ -5564,8 +5570,8 @@ def _git_packfile_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    from .operators.gitpack import (object_sha, parse_tree,
-                                    read_repo_objects)
+    from .functions.hashvec import sha1_hex_batch
+    from .operators.gitpack import parse_tree, read_repo_objects
 
     d = (_t(spark, sf, "documents").select("doc_id", "text")
          .withColumn("bucket", (F.col("doc_id") % 16).cast("int")))
@@ -5608,10 +5614,10 @@ def _git_packfile_scan(spark: SparkSession, sf: str) -> DataFrame:
                     f.write(text + f"\nV2 {did}")
             git("add", "-A")
             git("commit", "-q", "-m", "v2")
-            # 16 buckets gc concurrently: stay in the foreground (a
+            # buckets gc concurrently: stay in the foreground (a
             # detached gc races the tempdir cleanup) and pack on one
-            # thread each (16 × online-cpu thread pools starved the
-            # JVM-sized process at sf1 — exit 128 from pack-objects)
+            # thread each (concurrent online-cpu thread pools starved
+            # the JVM-sized process at sf1 — exit 128 from pack-objects)
             git("-c", "gc.autoDetach=false", "-c", "pack.threads=1",
                 "gc", "-q")
             head_tree = subprocess.run(
@@ -5621,21 +5627,27 @@ def _git_packfile_scan(spark: SparkSession, sf: str) -> DataFrame:
             objs = read_repo_objects(_os.path.join(repo, ".git"))
             tree = {e["name"]: e["sha"]
                     for e in parse_tree(objs[head_tree][1])}
-            rows = []
-            for did, text in docs:
-                sha = tree[f"doc_{did:08d}.txt"]
-                obj_type, content = objs[sha]
-                rows.append({
-                    "doc_id": int(did),
-                    "content_len": len(content),
-                    "content_md5": hashlib.md5(content).hexdigest(),
-                    "sha_ok": (obj_type == "blob"
-                               and object_sha("blob", content) == sha),
-                })
-            return pd.DataFrame(rows)
+            shas = [tree[f"doc_{did:08d}.txt"] for did, _ in docs]
+            picked = [objs[sha] for sha in shas]
+            # our SHA-1 vs git's own ids, batched through the NumPy
+            # lanes (bit-equal to object_sha; tests/test_hashvec.py)
+            ours = sha1_hex_batch(
+                [f"blob {len(c)}\x00".encode() + c for _, c in picked])
+            return pd.DataFrame({
+                "doc_id": [int(did) for did, _ in docs],
+                "content_len": [len(c) for _, c in picked],
+                "content_md5": [hashlib.md5(c).hexdigest()
+                                for _, c in picked],
+                "sha_ok": [t == "blob" and o == sha
+                           for (t, _), o, sha in zip(picked, ours, shas)],
+            })
         finally:
             _shutil.rmtree(repo, ignore_errors=True)
 
+    # 16 buckets, measured: widening to 32 was SLOWER (5.1 s vs 4.2 s
+    # wall) — 32 concurrent repositories quadruple-fork git per bucket
+    # and the subprocess storm beats the extra parallelism; the decode
+    # side is already batched (sha1 lanes + table-driven inflate).
     return (_spread(d, "bucket", 16).groupBy("bucket")
              .applyInPandas(per_bucket,
                             "doc_id long, content_len long,"
