@@ -1384,7 +1384,7 @@ def _curation(spark: SparkSession, sf: str) -> DataFrame:
                 F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
                  .cast("long").alias("bpe_ish_tokens"))
             .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1817,7 +1817,7 @@ def _prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                      & (F.col("lang_pred") != "und")))
     train = (hash_split(gated).filter(F.col("split") == "train")
              .select("lang", "doc_id", "n_tokens"))
-    return pack_sequences(train, budget=512).orderBy("lang", "doc_id")
+    return pack_sequences(train, budget=512).transform(_sorted1, "lang", "doc_id")
 
 
 _PREP_QUALITY_SQL = f"""(0.4 * least(len(tk) / 50.0, 1.0)
@@ -3308,7 +3308,7 @@ def _stratified_audit(spark: SparkSession, sf: str) -> DataFrame:
                        "target_rate",
                        (F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"))
                         .alias("realized_rate"))
-               .orderBy("source"))
+               .transform(_sorted1, "source"))
 
 
 def _stratified_oracle() -> str:

@@ -129,7 +129,7 @@ def _release_manifest(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").alias("n_tokens"),
                  F.countDistinct("source").alias("n_sources"))
-            .orderBy("split", "lang"))
+            .transform(_sorted1, "split", "lang"))
 
 
 def _release_oracle() -> str:
@@ -466,7 +466,7 @@ def _filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return (a.select(stages.alias("s")).select("s.*")
              .withColumn("n_removed", F.col("n_in") - F.col("n_out"))
              .withColumn("removed_frac", F.col("n_removed") / F.col("n_in"))
-             .orderBy("stage"))
+             .transform(_sorted1, "stage"))
 
 
 def _funnel_oracle() -> str:
@@ -711,7 +711,7 @@ def _benford_audit(spark: SparkSession, sf: str) -> DataFrame:
                     "benford_frac",
                     F.abs(F.coalesce("n", F.lit(0)) / F.col("n_total")
                           - F.col("benford_frac")).alias("abs_dev"))
-            .orderBy("digit"))
+            .transform(_sorted1, "digit"))
 
 
 def _benford_oracle() -> str:
@@ -894,7 +894,7 @@ register(
 def _events_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.windows import gapfill_locf
     return (gapfill_locf(_t(spark, sf, "events"))
-            .orderBy("user_id", "d"))
+            .transform(_sorted1, "user_id", "d"))
 
 
 register(
@@ -1104,7 +1104,7 @@ def _event_rules(spark: SparkSession, sf: str) -> DataFrame:
                           .cast("double")
                           / (F.col("n_a") * F.col("n_b")).cast("double"))
                          .alias("lift"))
-                 .orderBy("type_a", "type_b"))
+                 .transform(_sorted1, "type_a", "type_b"))
 
 
 register(
@@ -1166,7 +1166,7 @@ def _discount_price_corr(spark: SparkSession, sf: str) -> DataFrame:
     r = ((n * sxy - sx * sy)
          / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
     return (agg.select("l_returnflag", "n_rows", r.alias("pearson_r"))
-               .orderBy("l_returnflag"))
+               .transform(_sorted1, "l_returnflag"))
 
 
 register(
@@ -1224,7 +1224,7 @@ def _winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
                     (F.col("w_total")
                      / F.col("n_orders").cast("double"))
                     .alias("winsorized_mean"))
-            .orderBy("o_orderstatus"))
+            .transform(_sorted1, "o_orderstatus"))
 
 
 register(
@@ -1559,7 +1559,7 @@ def _event_transitions(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_from").cast("bigint").alias("n_from"),
                     (F.col("n_trans").cast("double")
                      / F.col("n_from").cast("double")).alias("p_trans"))
-            .orderBy("from_type", "to_type"))
+            .transform(_sorted1, "from_type", "to_type"))
 
 
 register(
@@ -1866,7 +1866,7 @@ def _ann_mrr(spark: SparkSession, sf: str) -> DataFrame:
                     F.coalesce(F.lit(1.0)
                                / F.col("ivf_rank").cast("double"),
                                F.lit(0.0)).alias("rr"))
-            .orderBy("query_id"))
+            .transform(_sorted1, "query_id"))
 
 
 def _ann_mrr_oracle() -> str:
@@ -1939,7 +1939,7 @@ def _quantile_normalized_quality(spark: SparkSession, sf: str) -> DataFrame:
                      / ((F.col("n_docs") - 1) * F.col("n_docs"))
                        .cast("double")).alias("cal_mean"),
                     "n_above_global_cut")
-            .orderBy("source"))
+            .transform(_sorted1, "source"))
 
 
 register(
@@ -2942,7 +2942,7 @@ def _domain_dedup_datasheet(spark: SparkSession, sf: str) -> DataFrame:
                         (F.col("n_tokens") / F.col("_total"))
                          .alias("token_share"),
                         "n_cross_domain_dup")
-                .orderBy("domain"))
+                .transform(_sorted1, "domain"))
 
 
 register(
@@ -3119,7 +3119,7 @@ def _heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
                         F.col("cum_vocab").alias("vocab_size"),
                         (F.col("cum_vocab") * F.lit(1000.0)
                          / F.col("cum_tokens")).alias("vocab_per_kilotoken"))
-                .orderBy("decile"))
+                .transform(_sorted1, "decile"))
 
 
 register(

@@ -797,7 +797,7 @@ def _skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
                      & (F.col("pa") != F.col("pb"))))
     return (pairs.groupBy("center", "context")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
-            .orderBy(F.desc("n_pairs"), F.asc("center"),
+            .transform(_sorted1, F.desc("n_pairs"), F.asc("center"),
                      F.asc("context"))
             .limit(50))
 
@@ -992,7 +992,7 @@ def _html_extract_text(spark: SparkSession, sf: str) -> DataFrame:
                 "doc_id", title.alias("title"),
                 F.length(extracted).cast("long").alias("extracted_len"),
                 F.md5(extracted).alias("extracted_md5"))
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 def _html_oracle_sql() -> str:
@@ -1183,7 +1183,7 @@ def _web_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.size(tokens(F.col("body"))).cast("long"))
                   .alias("total_tokens"),
                  F.min("doc_id").alias("min_doc_id"))
-            .orderBy("source"))
+            .transform(_sorted1, "source"))
 
 
 register(
@@ -3485,7 +3485,7 @@ def _robots_txt_gate(spark: SparkSession, sf: str) -> DataFrame:
     return (robots_gate(urls, rules, agent="trainingbot")
             .select("doc_id", "domain", "path", "matched_agent",
                     "matched_rule", "spec_len", "allowed")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(

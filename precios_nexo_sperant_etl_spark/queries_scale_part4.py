@@ -89,7 +89,7 @@ def _image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
                 .cast("long"))
             .filter(F.col("hamming") <= 6)
             .select("doc_a", "doc_b", "hamming", "same_base")
-            .orderBy("doc_a", "doc_b"))
+            .transform(_sorted1, "doc_a", "doc_b"))
 
 
 register(
@@ -659,7 +659,7 @@ def _pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("adc_d2").asc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= 10)
-            .orderBy("query_id", "rank"))
+            .transform(_sorted1, "query_id", "rank"))
 
 
 def _pq_adc_oracle(k: int = 10) -> str:
@@ -2124,7 +2124,7 @@ def _media_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                         F.col("n_docs") - F.col("n_thumb_keys"))
             .select("base", "n_docs", "n_thumb_keys", "dropped",
                     "largest_group", "survivor_id_sum")
-            .orderBy("base"))
+            .transform(_sorted1, "base"))
 
 
 register(
@@ -2730,7 +2730,7 @@ def _levenshtein_decontam(spark: SparkSession, sf: str) -> DataFrame:
     return (best.join(bdoc, "eval_id")
             .select("eval_id", "n_cand", "best_dist", "best_doc",
                     (F.col("best_dist") <= 3).alias("contaminated"))
-            .orderBy("eval_id"))
+            .transform(_sorted1, "eval_id"))
 
 
 register(
@@ -5210,7 +5210,7 @@ def _geo_nearest_city(spark: SparkSession, sf: str) -> DataFrame:
 
     return (c.mapInPandas(enrich, "c_custkey long, nearest_city string,"
                                   " dist_m long, n_bbox int")
-             .orderBy("c_custkey"))
+             .transform(_sorted1, "c_custkey"))
 
 
 register(
@@ -5297,7 +5297,7 @@ def _funnel_attribution(spark: SparkSession, sf: str) -> DataFrame:
          .cast("long").alias("n_last_view"),
         F.sum((F.col("first_t.event_type") == "click").cast("int"))
          .cast("long").alias("n_first_click"))
-        .orderBy("user_id"))
+        .transform(_sorted1, "user_id"))
 
 
 register(
@@ -5950,7 +5950,7 @@ def _misra_gries_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
          & (F.col("mg_count") * _MG_K
             >= F.col("cnt") * _MG_K - F.col("n_total")))
          .alias("within_bound"))
-        .orderBy("term"))
+        .transform(_sorted1, "term"))
 
 
 register(

@@ -17,6 +17,7 @@ from .operators.sketches import (KMV_SPACE, bloom_bits, bloom_probe,
                                  cms_counters, cms_estimate, hll_estimate,
                                  hll_registers, kmv_sketch)
 from .operators.text import tokens
+from .queries_scale_common import _sorted1
 from .registry import register
 from .sources.tables import load_tables
 
@@ -112,7 +113,7 @@ def _hll_distinct_terms(spark: SparkSession, sf: str) -> DataFrame:
     return (est.join(exact, "source")
                .select("source", "n_registers_set", "max_rho", "scaled_sum",
                        "hll_estimate", "exact_distinct")
-               .orderBy("source"))
+               .transform(_sorted1, "source"))
 
 
 _HLL_H = _DUCK_H.format(s="term")
@@ -183,7 +184,7 @@ def _bloom_join_prefilter(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(((F.col("bloom_pass").cast("int")
                          - F.coalesce("_true", F.lit(0)))).cast("bigint"))
                   .cast("bigint").alias("n_false_pos"))
-            .orderBy("o_orderpriority"))
+            .transform(_sorted1, "o_orderpriority"))
 
 
 _BLOOM_POS = " UNION ALL ".join(
@@ -363,7 +364,7 @@ def _hist_quantile(spark: SparkSession, sf: str) -> DataFrame:
                     binw.alias("bin_width"),
                     (F.abs(approx - F.col("exact_p50")) <= binw)
                     .alias("within_one_bin"))
-            .orderBy("o_orderstatus"))
+            .transform(_sorted1, "o_orderstatus"))
 
 
 register(
@@ -441,7 +442,7 @@ def _kmv_distinct_terms(spark: SparkSession, sf: str) -> DataFrame:
                       ((F.col("kmv_est") - F.col("exact_distinct"))
                        .cast("double") / F.col("exact_distinct"))
                       .alias("err_frac"))
-              .orderBy("source"))
+              .transform(_sorted1, "source"))
 
 
 register(

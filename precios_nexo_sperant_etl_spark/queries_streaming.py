@@ -14,8 +14,10 @@ winner-dependent stays in the pytest surface (test_prep_to_lake).
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,7 +25,45 @@ from pyspark.sql import functions as F
 from .queries_scale import _DUCK_TOKENS, _HIT_SQL, _PRED_SQL, _STOP_SQL
 from .registry import register
 
+#: Streaming STATE partition count — sized to state volume, NOT core
+#: count. Every stateful streaming operator materializes one state
+#: store per shuffle partition per micro-batch (checkpoint delta +
+#: snapshot files each); these queries carry a few hundred rows of
+#: state, so the session's 32 core-sized partitions were pure
+#: commit-protocol overhead: streaming_late_drop measured 14.1 s at 32
+#: vs 3.8 s at 4, identical results (every landed algebra here is
+#: partition-independent by construction and parity-verified). At
+#: fleet scale this knob grows with state cardinality (windows × keys),
+#: which is why it is an env override rather than a constant buried in
+#: the plan.
+_STREAM_STATE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
 
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _STREAM_STATE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _sized_stream_state(fn):
+    """Run a streaming query's construct (landing waves + drain) under
+    the state-sized shuffle-partition setting, restoring the session
+    value afterwards — streams pin their state partitioning at first
+    checkpoint, so only the construct needs the override."""
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        with _stream_state_partitions(spark):
+            return fn(spark, sf)
+    return wrapped
+
+
+@_sized_stream_state
 def _streaming_curation_hashes(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_curation import stream_curated_to_lake
     out = tempfile.mkdtemp(prefix="stream_curation_q_")
@@ -71,6 +111,7 @@ ORDER BY text_hash
 # merge-at-read) with an ordinary value oracle.
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_curation import stream_documents
     from .streaming.stream_sketches import (read_hll_registers,
@@ -129,6 +170,7 @@ FROM hr GROUP BY source, bucket ORDER BY source, bucket
 _SCMS_D, _SCMS_W = 4, 256
 
 
+@_sized_stream_state
 def _streaming_cms_counters(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_curation import stream_documents
     from .streaming.stream_sketches import (read_cms_counters,
@@ -190,6 +232,7 @@ GROUP BY row, bucket ORDER BY row, bucket
 _SBLOOM_K, _SBLOOM_M = 3, 4096
 
 
+@_sized_stream_state
 def _streaming_bloom_bits(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_curation import stream_documents
     from .streaming.stream_sketches import (read_bloom_bits,
@@ -242,6 +285,7 @@ ORDER BY bit
 # epoch-aligned window starts.
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_late_drop(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_kpis import streaming_late_window_counts
     return streaming_late_window_counts(spark, sf)
@@ -283,6 +327,7 @@ ORDER BY win_start
 _SKMV_K = 64
 
 
+@_sized_stream_state
 def _streaming_kmv_minima(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_curation import stream_documents
     from .streaming.stream_sketches import (read_kmv_sketch,
@@ -341,6 +386,7 @@ FROM km ORDER BY source
 # oracle (the same SQL as quality_linear_probe).
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_gram_moments(spark: SparkSession, sf: str) -> DataFrame:
     from .queries_ml import _TRAIN_SCHEMA, _solve
     from .streaming.stream_curation import stream_documents
@@ -389,6 +435,7 @@ _register_streaming_gram()
 # doc per source" SQL bit for bit.
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_lww_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_curation import stream_documents
     from .streaming.stream_sketches import (read_lww_snapshot,
@@ -492,6 +539,7 @@ def _stateful_sessions_fn(key, pdfs, state):
         yield pd.DataFrame(rows)
 
 
+@_sized_stream_state
 def _streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -550,6 +598,7 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 # deliberate user->custkey gap keeps the LEFT-outer path in the hash.
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.tables import load_tables
     from .streaming.stream_kpis import (read_static_enrich,
@@ -599,6 +648,7 @@ GROUP BY 1, 2 ORDER BY segment, event_type
 # ≤ max_ts, with the standard lag/cumsum island machinery.
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_session_builtin(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_kpis import streaming_session_landing
     out = tempfile.mkdtemp(prefix="stream_sess_q_")
@@ -647,6 +697,7 @@ ORDER BY user_id, session_start
 # plain DISTINCT batch answer (counts + id/value masses per type).
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_dedup_redelivery(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_kpis import streaming_dedup_landing
     out = tempfile.mkdtemp(prefix="stream_dedup_q_")
@@ -693,6 +744,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 # aggregates to the plain batch interval join per user.
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.stream_kpis import (stream_events,
                                         streaming_click_purchase_join)
@@ -760,6 +812,7 @@ FROM j GROUP BY user_id ORDER BY user_id
 # BATCH warc format stays the fleet gear for backfills.
 # ---------------------------------------------------------------------------
 
+@_sized_stream_state
 def _streaming_warc_census(spark: SparkSession, sf: str) -> DataFrame:
     import glob
     import shutil
@@ -778,7 +831,7 @@ def _streaming_warc_census(spark: SparkSession, sf: str) -> DataFrame:
 
     def land_wave(tag: str, wave_df) -> None:
         stage = os.path.join(root, f"stage_{tag}")
-        (wave_df.repartition(4)
+        (wave_df.repartition(spark.sparkContext.defaultParallelism)
          .select(F.lit("response").alias("warc_type"),
                  F.format_string("<urn:doc:%d>", F.col("doc_id"))
                   .alias("record_id"),
@@ -827,6 +880,7 @@ FROM documents ORDER BY doc_id
 )
 
 
+@_sized_stream_state
 def _streaming_tfrecord_census(spark: SparkSession, sf: str) -> DataFrame:
     """Same two-wave/one-checkpoint discipline as
     ``streaming_warc_census``, over ``readStream.format("tfrecord")``:
@@ -853,7 +907,7 @@ def _streaming_tfrecord_census(spark: SparkSession, sf: str) -> DataFrame:
 
     def land_wave(tag: str, wave_df) -> None:
         stage = os.path.join(root, f"stage_{tag}")
-        (wave_df.repartition(4).select("record")
+        (wave_df.repartition(spark.sparkContext.defaultParallelism).select("record")
          .write.format("tfrecord").mode("append").save(stage))
         for i, p in enumerate(sorted(glob.glob(
                 os.path.join(stage, "part-*.tfrecord")))):
@@ -910,6 +964,7 @@ FROM documents ORDER BY rec_md5
 _SCD2_STREAM_MID = "2024-01-16 00:00:00"
 
 
+@_sized_stream_state
 def _streaming_scd2_upsert(spark: SparkSession, sf: str) -> DataFrame:
     import glob
     import shutil
@@ -1007,6 +1062,7 @@ FROM kept ORDER BY k, effective_ts
 )
 
 
+@_sized_stream_state
 def _streaming_zip_census(spark: SparkSession, sf: str) -> DataFrame:
     """Same two-wave/one-checkpoint discipline as
     ``streaming_warc_census``, over ``readStream.format("zip")``: each
@@ -1032,7 +1088,7 @@ def _streaming_zip_census(spark: SparkSession, sf: str) -> DataFrame:
 
     def land_wave(tag: str, wave_df) -> None:
         stage = os.path.join(root, f"stage_{tag}")
-        (wave_df.repartition(4)
+        (wave_df.repartition(spark.sparkContext.defaultParallelism)
          .select(F.format_string("doc_%08d.txt", F.col("doc_id"))
                   .alias("name"),
                  F.encode(F.col("text"), "utf-8").alias("data"))
