@@ -75,13 +75,18 @@ class _BitReader:
         self.p = pos_bits
 
     def read(self, n: int) -> int:
-        v = 0
-        d, p = self.d, self.p
-        for _ in range(n):
-            byte = d[p >> 3]
-            v = (v << 1) | ((byte >> (7 - (p & 7))) & 1)
-            p += 1
-        self.p = p
+        # one int.from_bytes over the covering bytes instead of a
+        # per-bit loop (same MSB-first semantics, same IndexError on
+        # reads past the end)
+        p = self.p
+        end = p + n
+        d = self.d
+        b1 = (end + 7) >> 3
+        if b1 > len(d):
+            raise IndexError("bzip2: bit read past end of stream")
+        v = (int.from_bytes(d[p >> 3:b1], "big")
+             >> ((b1 << 3) - end)) & ((1 << n) - 1)
+        self.p = end
         return v
 
     def read1(self) -> int:

@@ -405,18 +405,38 @@ def gzip_decompress(blob: bytes) -> bytes:
 
 # --- deflate encoder (dynamic Huffman, LZ77 hash chains) ---------------------
 
+def _mk_code_tbl(bases: list[int], top: int) -> bytes:
+    """Direct value→code-index table derived from the base arrays (the
+    per-token reverse linear scans were the encoder's hottest calls)."""
+    tbl = bytearray(top + 1)
+    i = 0
+    for v in range(bases[0], top + 1):
+        while i + 1 < len(bases) and v >= bases[i + 1]:
+            i += 1
+        tbl[v] = i
+    return bytes(tbl)
+
+
+_LEN_CODE_TBL = None   # built lazily from _LEN_BASE/_DIST_BASE below
+_DIST_CODE_TBL = None
+
+
 def _len_code(length: int) -> int:
-    for i in range(len(_LEN_BASE) - 1, -1, -1):
-        if length >= _LEN_BASE[i]:
-            return i
-    raise DeflateError("deflate: bad match length")
+    global _LEN_CODE_TBL
+    if _LEN_CODE_TBL is None:
+        _LEN_CODE_TBL = _mk_code_tbl(_LEN_BASE, 258)
+    if not 3 <= length <= 258:
+        raise DeflateError("deflate: bad match length")
+    return _LEN_CODE_TBL[length]
 
 
 def _dist_code(dist: int) -> int:
-    for i in range(len(_DIST_BASE) - 1, -1, -1):
-        if dist >= _DIST_BASE[i]:
-            return i
-    raise DeflateError("deflate: bad match distance")
+    global _DIST_CODE_TBL
+    if _DIST_CODE_TBL is None:
+        _DIST_CODE_TBL = _mk_code_tbl(_DIST_BASE, 32768)
+    if not 1 <= dist <= 32768:
+        raise DeflateError("deflate: bad match distance")
+    return _DIST_CODE_TBL[dist]
 
 
 def _lz77(data: bytes, max_chain: int = 32):
@@ -552,9 +572,22 @@ def deflate(data: bytes) -> bytes:
     hclen = 19
     while hclen > 4 and cl_lens[_CLC_ORDER[hclen - 1]] == 0:
         hclen -= 1
-    lit_codes = _codes_from_lengths(lit_lens)
-    dist_codes = _codes_from_lengths(dist_lens)
-    cl_codes = _codes_from_lengths(cl_lens)
+    # bit-reverse every code ONCE per tree (w.huff reversed per call —
+    # it was the hottest writer function); w.bits emits the reversed
+    # code directly
+    def _rev_codes(codes: list[int], lens: list[int]) -> list[int]:
+        out = [0] * len(codes)
+        for s, (c, ln) in enumerate(zip(codes, lens)):
+            r = 0
+            for _ in range(ln):
+                r = (r << 1) | (c & 1)
+                c >>= 1
+            out[s] = r
+        return out
+
+    lit_codes = _rev_codes(_codes_from_lengths(lit_lens), lit_lens)
+    dist_codes = _rev_codes(_codes_from_lengths(dist_lens), dist_lens)
+    cl_codes = _rev_codes(_codes_from_lengths(cl_lens), cl_lens)
     w = _BitWriter()
     w.bits(1, 1)                              # BFINAL
     w.bits(2, 2)                              # dynamic
@@ -564,22 +597,23 @@ def deflate(data: bytes) -> bytes:
     for i in range(hclen):
         w.bits(cl_lens[_CLC_ORDER[i]], 3)
     for sym, extra, nbits in cl_seq:
-        w.huff(cl_codes[sym], cl_lens[sym])
+        w.bits(cl_codes[sym], cl_lens[sym])
         if nbits:
             w.bits(extra, nbits)
+    wbits = w.bits
     for a, b in tokens:
         if b is None:
-            w.huff(lit_codes[a], lit_lens[a])
+            wbits(lit_codes[a], lit_lens[a])
         else:
             lc = _len_code(a)
-            w.huff(lit_codes[257 + lc], lit_lens[257 + lc])
+            wbits(lit_codes[257 + lc], lit_lens[257 + lc])
             if _LEN_EXTRA[lc]:
-                w.bits(a - _LEN_BASE[lc], _LEN_EXTRA[lc])
+                wbits(a - _LEN_BASE[lc], _LEN_EXTRA[lc])
             dc = _dist_code(b)
-            w.huff(dist_codes[dc], dist_lens[dc])
+            wbits(dist_codes[dc], dist_lens[dc])
             if _DIST_EXTRA[dc]:
-                w.bits(b - _DIST_BASE[dc], _DIST_EXTRA[dc])
-    w.huff(lit_codes[256], lit_lens[256])
+                wbits(b - _DIST_BASE[dc], _DIST_EXTRA[dc])
+    wbits(lit_codes[256], lit_lens[256])
     dyn = w.finish()
     # stored fallback: 5-byte overhead per 65535 chunk
     stored_size = 1 + sum(5 + min(65535, max(1, len(data) - i))
