@@ -220,9 +220,10 @@ class _Decoder:
                     for _b in range(ln):
                         rev = (rev << 1) | (c & 1)
                         c >>= 1
-                    entry = (ln << 16) | sym
-                    for hi in range(0, 1 << _TBITS, 1 << ln):
-                        table[rev | hi] = entry
+                    # one strided slice store per symbol (C speed)
+                    # instead of a Python loop over the 2^(T-ln) copies
+                    table[rev::1 << ln] = \
+                        [(ln << 16) | sym] * (1 << (_TBITS - ln))
                 code += 1
             code <<= 1
         self.table = table

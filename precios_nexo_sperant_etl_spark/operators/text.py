@@ -28,6 +28,13 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 STOPWORDS = tuple(w for ws in LANG_PROFILES.values() for w in ws)
 
 
+def _final_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total-order an audit-sized result without ``orderBy``'s
+    range-exchange SAMPLING pass (re-executes the final child stage once
+    more per action — see OPTIMIZATION_r11.md /
+    ``queries_scale_common._sorted1``)."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of trimmed text."""
     return F.split(F.trim(text), r"\s+")
@@ -333,7 +340,7 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                          lambda x: x["para"]),
                      sep).alias("text_dedup"))
             .filter(F.col("n_kept") > 0)
-            .orderBy(id_col))
+            .transform(_final_sort, id_col))
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -384,7 +391,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                .withColumn(f"top{n}gram_char_frac",
                            F.coalesce(frac, F.lit(0.0)))
                .drop("m"))
-    return out.drop("_toks", "n_chars").orderBy(id_col)
+    return _final_sort(out.drop("_toks", "n_chars"), id_col)
 
 
 def exact_substring_coverage(df: DataFrame, window: int = 8,
@@ -471,7 +478,7 @@ def exact_substring_coverage(df: DataFrame, window: int = 8,
                                   .cast("double") /
                                 F.col("n_tokens").cast("double"))
                           .otherwise(F.lit(0.0)).alias("dup_frac"))
-                 .orderBy(id_col))
+                 .transform(_final_sort, id_col))
 
 
 def bigram_lm_scores(df: DataFrame, text_col: str = "text",
@@ -534,7 +541,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     return (agg.select(F.col(id_col),
                        F.size("ps").cast("long").alias("n_bigrams"),
                        (fold / F.size("ps")).alias("mean_bigram_p"))
-            .orderBy(id_col))
+            .transform(_final_sort, id_col))
 
 
 def chunk_documents(docs: DataFrame, chunk_size: int = 32, step: int = 24,
@@ -626,7 +633,7 @@ def dsir_importance_weights(docs: DataFrame, target: Column, k: int = 32,
     fold = F.aggregate(vals, F.lit(1.0), lambda a, x: a * x)
     return (agg.select(F.col(id_col), F.size("ps").alias("n_scored"),
                        fold.alias("dsir_weight"))
-               .orderBy(id_col))
+               .transform(_final_sort, id_col))
 
 
 #: Gopher-style rule thresholds (Rae et al. 2021, arXiv:2112.11446,
@@ -639,6 +646,28 @@ GOPHER_MAX_MEAN_WORD_LEN = 12.0
 GOPHER_MAX_SYMBOL_RATIO = 0.1
 GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_passes_expr(text: Column) -> Column:
+    """The :func:`gopher_quality_flags` conjunction as ONE Column
+    expression, for pipelines that only need the pass/fail verdict:
+    composing it inline keeps the corpus to a single scan instead of a
+    join back against the flags frame (same subexpressions, so the
+    verdict is bit-identical to ``passes_gopher``; pinned by
+    tests/test_text_ops.py)."""
+    tk = tokens(text)
+    n_words = F.size(tk).cast("bigint")
+    mean_wl = (F.length(F.trim(text)) - (F.size(tk) - 1)) / F.size(tk)
+    n_sym = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    n_alpha = F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = word_set_hits(text, STOPWORDS)
+    return ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & ((n_sym / n_words) < GOPHER_MAX_SYMBOL_RATIO)
+            & ((n_alpha / n_words) >= GOPHER_MIN_ALPHA_WORD_RATIO)
+            & (n_stop.cast("bigint") >= GOPHER_MIN_STOPWORD_HITS))
 
 
 def gopher_quality_flags(df: DataFrame, text_col: str = "text",
@@ -690,7 +719,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
         ok_alpha.alias("ok_alpha_words"),
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_wl & ok_sym & ok_alpha & ok_stop)
-            .alias("passes_gopher")).orderBy(id_col)
+            .alias("passes_gopher")).transform(_final_sort, id_col)
 
 
 def temperature_mix(docs: DataFrame, group_col: str = "source") -> DataFrame:
@@ -960,7 +989,7 @@ def kneser_ney_scores(df: DataFrame, text_col: str = "text",
                        F.size("ps").cast("long").alias("n_bigrams"),
                        (fold / F.size("ps")).alias("mean_kn_p"),
                        "min_kn_p")
-            .orderBy(id_col))
+            .transform(_final_sort, id_col))
 
 
 def soundex_col(name: Column) -> Column:

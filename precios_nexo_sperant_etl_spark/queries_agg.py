@@ -14,6 +14,7 @@ from .operators.kpi import kpi_by_group, kpi_cards, value_counts
 from .operators.pivot import pct_within_group, pivot_counts
 from .operators.serve import distinct_sorted, equality_filters, global_search, sort_page
 from .registry import register
+from .queries_scale_common import _sorted1
 from .sources.tables import load_tables
 
 # DECIMAL type used by functions.exact — the oracle must accumulate in the
@@ -410,7 +411,7 @@ def _q1(spark: SparkSession, sf: str) -> DataFrame:
                 (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
                 (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
                 F.count(F.lit(1)).alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
+            .transform(_sorted1, "l_returnflag", "l_linestatus"))
 
 
 register(
@@ -793,7 +794,7 @@ def _price_trend(spark: SparkSession, sf: str) -> DataFrame:
     return (agg.select("o_orderpriority", "n_orders",
                        slope.alias("slope_per_day"),
                        intercept.alias("intercept"))
-               .orderBy("o_orderpriority"))
+               .transform(_sorted1, "o_orderpriority"))
 
 
 register(

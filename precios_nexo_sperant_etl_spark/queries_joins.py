@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from .registry import register
+from .queries_scale_common import _sorted1
 from .sources.tables import load_tables
 
 _DEC = "DECIMAL(18,2)"
@@ -82,7 +83,7 @@ def _q5(spark: SparkSession, sf: str) -> DataFrame:
               .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
               .groupBy("n_name")
               .agg(F.sum(disc).cast("double").alias("revenue"))
-              .orderBy("n_name"))
+              .transform(_sorted1, "n_name"))
 
 
 register(
@@ -899,7 +900,7 @@ def _skew_salted(spark: SparkSession, sf: str) -> DataFrame:
     return (joined.filter(F.col("l_quantity") == F.col("max_qty"))
                   .groupBy("skew_key")
                   .agg(F.count(F.lit(1)).alias("n_at_max"))
-                  .orderBy("skew_key"))
+                  .transform(_sorted1, "skew_key"))
 
 
 register(
@@ -1179,7 +1180,7 @@ def _golden_record(spark: SparkSession, sf: str) -> DataFrame:
     return (base.join(names, "entity_id")
                 .join(bals, "entity_id", "left")
                 .join(seg1, "entity_id")
-                .orderBy("entity_id"))
+                .transform(_sorted1, "entity_id"))
 
 
 register(
@@ -1452,7 +1453,7 @@ def _ip_range_lookup(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
                  F.min("ip").alias("min_ip"), F.max("ip").alias("max_ip"))
-            .orderBy("range_id"))
+            .transform(_sorted1, "range_id"))
 
 
 register(

@@ -20,6 +20,7 @@ from .functions.normalize import intlike_canon, norm_key
 from .functions.numparse import NULL_SENTINELS, safe_num, to_number
 from .operators.update import tower_prefix
 from .registry import register
+from .queries_scale_common import _sorted1
 
 
 def _sql_lit(v) -> str:
@@ -563,7 +564,7 @@ def _mojibake_repair(spark: SparkSession, sf: str) -> DataFrame:
                 (moji != F.col("text")).alias("was_corrupted"),
                 (repair == F.col("text")).alias("repaired_ok"),
                 F.md5(F.encode(repair, "UTF-8")).alias("repaired_md5"))
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(

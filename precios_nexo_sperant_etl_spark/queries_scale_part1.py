@@ -359,7 +359,7 @@ def _cc_largestar(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.graph import cluster_assignment
     docs = _t(spark, sf, "documents")
     pairs = minhash_dedup_pairs(docs, threshold=0.2)
-    return cluster_assignment(docs, pairs, algo="star").orderBy("doc_id")
+    return cluster_assignment(docs, pairs, algo="star").transform(_sorted1, "doc_id")
 
 
 register(
@@ -2290,7 +2290,7 @@ def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
                   F.max("ck").alias("custkey_max"),
                   F.min("dy").alias("day_min"),
                   F.max("dy").alias("day_max"))
-             .orderBy("file_bucket"))
+             .transform(_sorted1, "file_bucket"))
 
 
 def _zorder_oracle() -> str:
@@ -2536,7 +2536,7 @@ def _zorder_layout3(spark: SparkSession, sf: str) -> DataFrame:
                   F.min("dy").alias("day_min"), F.max("dy").alias("day_max"),
                   F.min("cents").alias("cents_min"),
                   F.max("cents").alias("cents_max"))
-             .orderBy("file_bucket"))
+             .transform(_sorted1, "file_bucket"))
 
 
 def _zorder3_oracle() -> str:
@@ -3610,7 +3610,7 @@ def _interval_union(spark: SparkSession, sf: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.sum(new_iv).cast("long").alias("n_merged_intervals"),
                   F.sum(covered).cast("long").alias("coverage_us"))
-             .orderBy("user_id"))
+             .transform(_sorted1, "user_id"))
 
 
 register(
@@ -3673,7 +3673,7 @@ def _series_ohlc(spark: SparkSession, sf: str) -> DataFrame:
                    .alias("low_cents"),
                   F.count(F.lit(1)).alias("n_points"),
                   F.sum("cents").alias("sum_cents"))
-             .orderBy("event_type", "bucket"))
+             .transform(_sorted1, "event_type", "bucket"))
 
 
 register(

@@ -439,13 +439,17 @@ FROM b GROUP BY lang, bucket ORDER BY lang, bucket
 
 def _filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup_fuzzy import canonical_text
-    from .operators.text import gopher_quality_flags, lang_pred_expr
+    from .operators.text import gopher_passes_expr, lang_pred_expr
     docs = _t(spark, sf, "documents")
-    g = gopher_quality_flags(docs).select("doc_id", "passes_gopher")
-    base = (docs.select("doc_id",
-                        lang_pred_expr(F.col("text")).alias("lp"),
-                        F.md5(canonical_text(F.col("text"))).alias("h"))
-                .join(g, "doc_id"))
+    # One projection computes all three stage signals (guide §2.4): the
+    # old shape joined gopher_quality_flags back on doc_id, scanning and
+    # tokenizing the corpus TWICE plus a join exchange for flags that
+    # are pure Column expressions over the same text.
+    base = docs.select("doc_id",
+                       lang_pred_expr(F.col("text")).alias("lp"),
+                       F.md5(canonical_text(F.col("text"))).alias("h"),
+                       gopher_passes_expr(F.col("text"))
+                       .alias("passes_gopher"))
     pass2 = F.col("passes_gopher") & (F.col("lp") != "und")
     a = base.agg(
         F.count(F.lit(1)).alias("n0"),
@@ -539,7 +543,7 @@ def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("max_v").cast("double").alias("max_v"),
                 (F.col("total").cast("double")
                  / F.col("cnt")).alias("avg_price"))
-            .orderBy("month"))
+            .transform(_sorted1, "month"))
 
 
 register(
@@ -590,7 +594,7 @@ def _ewma_user_activity(spark: SparkSession, sf: str) -> DataFrame:
                              F.greatest(F.size(arr) - 1, F.lit(0))),
                      F.element_at(arr, 1)["c"],
                      lambda acc, x: 0.5 * x["c"] + 0.5 * acc).alias("ewma"))
-            .orderBy("user_id"))
+            .transform(_sorted1, "user_id"))
 
 
 register(
@@ -982,7 +986,7 @@ def _systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
                          .cast("int"))
             .select("doc_id", "source", "n_chars", "cum_chars", "n_ticks")
             .where(F.col("n_ticks") >= 1)
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1292,7 +1296,7 @@ def _pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
                          | (F.col("_best_cheaper") < F.col("quality")))
                         & (F.col("quality") == F.col("_best_same"))))
     return (frontier.select("doc_id", "quality", "n_tokens")
-                    .orderBy("doc_id"))
+                    .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1692,18 +1696,30 @@ FROM tot
 # ---------------------------------------------------------------------------
 
 def _item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
-    # _fanout: the basket distinct's partial aggregation otherwise
-    # runs inside the single-task local scan stage (no-op on real
-    # multi-split inputs)
-    li = (_fanout(_t(spark, sf, "lineitem")
-                  .select("l_orderkey", "l_partkey"), spark).distinct())
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (a.join(b, "l_orderkey")
-              .where(F.col("part_a") < F.col("part_b"))
-              .groupBy("part_a", "part_b")
-              .agg(F.count(F.lit(1)).alias("n_both")))
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    # One basket aggregation instead of distinct + self-join (guide
+    # §2.4): the old shape shuffled the distinct (order, part) relation
+    # THREE more times (join left, join right, per-item counts) to
+    # rebuild per-order context the groupBy already had. collect_set is
+    # the distinct; the sorted set expanded bucket-locally (posexplode +
+    # slice, codegen generators — no interpreted lambda) yields each
+    # a < b pair exactly once, so pair counts and per-item counts are
+    # unchanged. No _fanout here: the keyless repartition's mandatory
+    # pre-sort (SPARK-23207) of the full lineitem projection measured
+    # +0.6 s, more than the single-task partial agg it parallelizes.
+    baskets = (_t(spark, sf, "lineitem")
+               .select("l_orderkey", "l_partkey")
+               .groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("parts")))
+    pairs = (baskets
+             .select(F.posexplode("parts").alias("i", "part_a"), "parts")
+             .select("part_a",
+                     F.explode(F.expr("slice(parts, i + 2, size(parts))"))
+                     .alias("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    item = (baskets.select(F.explode("parts").alias("l_partkey"))
+            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item")))
     na = item.select(F.col("l_partkey").alias("part_a"),
                      F.col("n_item").alias("n_a"))
     nb = item.select(F.col("l_partkey").alias("part_b"),
@@ -2112,7 +2128,7 @@ def _embedding_health(spark: SparkSession, sf: str) -> DataFrame:
                        fold_mean("_ns").alias("mean_norm"),
                        "min_norm", "max_norm", "centroid_norm",
                        fold_mean("_cs").alias("cohesion"))
-               .orderBy("label"))
+               .transform(_sorted1, "label"))
 
 
 register(
@@ -2723,7 +2739,7 @@ def _training_order(spark: SparkSession, sf: str) -> DataFrame:
                 (F.col("position") % _ORDER_SHARDS).cast("int")
                  .alias("shard"),
                 F.expr(f"position div {_ORDER_SHARDS}").alias("offset"))
-            .orderBy("position"))
+            .transform(_sorted1, "position"))
 
 
 register(
@@ -2874,7 +2890,7 @@ def _url_host_extract(spark: SparkSession, sf: str) -> DataFrame:
     return (with_url_parts(base)
             .select("doc_id", "url", "host", "port", "path",
                     "query_string", "domain")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -3199,7 +3215,7 @@ def _snm_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 (F.expr("split_part(name_a, ' ', 2)")
                  == F.expr("split_part(name_b, ' ', 2)")).alias("same_block"))
                 .where(F.col("dist") <= _SNM_MAXD)
-                .orderBy("name_a", "name_b"))
+                .transform(_sorted1, "name_a", "name_b"))
 
 
 register(

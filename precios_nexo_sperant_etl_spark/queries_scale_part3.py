@@ -2278,7 +2278,7 @@ def _psl_registrable_domain(spark: SparkSession, sf: str) -> DataFrame:
                         .cast("int"))
     return (d.select("doc_id", host.alias("host"))
              .withColumn("domain", registrable_domain(F.col("host")))
-             .orderBy("doc_id"))
+             .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -2543,7 +2543,7 @@ def _domain_cap_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return (base.withColumn("rk", F.row_number().over(w).cast("long"))
                 .where(F.col("rk") <= _DCAP)
                 .select("doc_id", "domain", "rk")
-                .orderBy("domain", "rk"))
+                .transform(_sorted1, "domain", "rk"))
 
 
 register(
@@ -2621,7 +2621,7 @@ def _eval_panel_quota(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("rk") <= F.col("quota")))
     return (picked.select("doc_id", "lang", "source", "n_docs",
                           "quota", "rk")
-                  .orderBy("lang", "source", "rk"))
+                  .transform(_sorted1, "lang", "source", "rk"))
 
 
 register(

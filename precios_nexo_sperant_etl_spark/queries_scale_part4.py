@@ -266,7 +266,7 @@ def _dp_randomized_response(spark: SparkSession, sf: str) -> DataFrame:
     return (agg.withColumn("est_milli", est_milli)
             .withColumn("abs_err_milli",
                         F.abs(est_milli - 1000 * F.col("true_count")))
-            .orderBy("source"))
+            .transform(_sorted1, "source"))
 
 
 register(
@@ -355,7 +355,7 @@ def _unicode_script_mix(spark: SparkSession, sf: str) -> DataFrame:
     return (t.withColumn("n_scripts", n_scripts.cast("long"))
             .withColumn("dominant", dominant)
             .withColumn("mixed_script", n_scripts >= 3)
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1257,7 +1257,7 @@ def _manifest_prune_audit(spark: SparkSession, sf: str) -> DataFrame:
                                " div greatest(exact_rows, 1)"))
             .select("pid", "lo", "hi", "files_total", "files_skipped",
                     "rows_scanned", "exact_rows", "amp_milli")
-            .orderBy("pid"))
+            .transform(_sorted1, "pid"))
 
 
 register(
@@ -1348,7 +1348,7 @@ def _confusable_skeleton(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("changed", F.col("spoofed") != F.col("base"))
             .select("doc_id", "spoof_kind", "n_confusables",
                     "skeleton_eq_base", "changed")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -1951,7 +1951,7 @@ def _preference_cycle_audit(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("transitive", F.col("cyclic_triads") == 0)
             .select("g", "n_pairs", "max_wins", "cyclic_triads",
                     "transitive")
-            .orderBy("g"))
+            .transform(_sorted1, "g"))
 
 
 register(
@@ -2013,7 +2013,7 @@ def _annotator_kappa(spark: SparkSession, sf: str) -> DataFrame:
                         F.expr("(1000 * (n * agree - chance_mass))"
                                " div (n * n - chance_mass)"))
             .select("source", "n", "agree", "chance_mass", "kappa_milli")
-            .orderBy("source"))
+            .transform(_sorted1, "source"))
 
 
 register(
@@ -2281,7 +2281,7 @@ def _schema_evolution_audit(spark: SparkSession, sf: str) -> DataFrame:
                              "widened", "narrowed")])
             .withColumn("breaking",
                         (F.col("dropped") + F.col("narrowed")) > 0)
-            .orderBy("t"))
+            .transform(_sorted1, "t"))
 
 
 register(
@@ -2454,7 +2454,7 @@ def _gini_domain_concentration(spark: SparkSession, sf: str) -> DataFrame:
                         F.expr("(1000 * (2 * rank_mass"
                                " - (n_domains + 1) * n_docs))"
                                " div (n_domains * n_docs)"))
-            .orderBy("source"))
+            .transform(_sorted1, "source"))
 
 
 register(
@@ -2821,7 +2821,7 @@ def _length_matched_sample(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.when(F.col("accept"), 1).otherwise(0))
                   .cast("long").alias("accepted_n"),
                  F.min("ratio").alias("accept_ratio"))
-            .orderBy("bucket"))
+            .transform(_sorted1, "bucket"))
 
 
 register(
@@ -2910,7 +2910,7 @@ def _sitemap_url_extract(spark: SparkSession, sf: str) -> DataFrame:
                   "yyyy-MM-dd").alias("lastmod"),
         F.regexp_extract("u", "<priority>(.*?)</priority>", 1)
          .cast("double").alias("priority"))
-        .orderBy("loc"))
+        .transform(_sorted1, "loc"))
 
 
 register(
@@ -3018,7 +3018,7 @@ def _phonetic_blocking(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("est_pairs",
                         (F.col("block_size") * (F.col("block_size") - 1)
                          / 2).cast("long"))
-            .orderBy("skey"))
+            .transform(_sorted1, "skey"))
 
 
 register(
@@ -3239,7 +3239,7 @@ def _holt_winters_forecast(spark: SparkSession, sf: str) -> DataFrame:
         "pr", "n_months", "last_month",
         state["l"].alias("level"), state["b"].alias("trend"),
         (state["l"] + F.lit(3.0) * state["b"]).alias("forecast_3m"))
-        .orderBy("pr"))
+        .transform(_sorted1, "pr"))
 
 
 register(
@@ -4548,7 +4548,7 @@ def _lake_time_travel(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum("n_rows").alias("total_rows"),
                  F.min("file_id").alias("oldest_file"),
                  F.max("file_id").alias("newest_file"))
-            .orderBy("version"))
+            .transform(_sorted1, "version"))
 
 
 register(
@@ -4615,7 +4615,7 @@ def _event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
                 F.size(F.expr("regexp_extract_all(seq, 'ee', 0)"))
                  .alias("n_error_bursts"),
                 F.instr(F.col("seq"), "p").alias("first_purchase_pos"))
-            .orderBy("user_id"))
+            .transform(_sorted1, "user_id"))
 
 
 register(
@@ -5502,7 +5502,7 @@ def _gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("top_decile_cents").cast("double")
                 / F.col("s0").cast("double") * 1000000.0)
          .cast("long").alias("top10_share_micro"))
-        .orderBy("c_mktsegment"))
+        .transform(_sorted1, "c_mktsegment"))
 
 
 register(
@@ -6093,7 +6093,7 @@ def _soundex_blocking_census(spark: SparkSession, sf: str) -> DataFrame:
                  F.countDistinct("word").alias("n_words"),
                  F.min("word").alias("first_word"),
                  F.max("word").alias("last_word"))
-            .orderBy("sdx"))
+            .transform(_sorted1, "sdx"))
 
 
 register(
@@ -6272,7 +6272,7 @@ def _spearman_rank_corr(spark: SparkSession, sf: str) -> DataFrame:
     return (agg.select("c_mktsegment", "n",
                        F.round(rho * 1000000.0).cast("long")
                         .alias("rho_micro"))
-            .orderBy("c_mktsegment"))
+            .transform(_sorted1, "c_mktsegment"))
 
 
 register(

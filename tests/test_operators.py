@@ -387,3 +387,29 @@ def test_url_parts_edge_cases(spark):
         r = got[url]
         assert (r["host"], r["port"], r["path"], r["query_string"],
                 r["domain"]) == (host, port, path, qs, dom), url
+
+
+def test_gopher_passes_expr_matches_flags_frame(spark):
+    """The single-expression verdict must agree with the flags-frame
+    conjunction on every rule-violation shape (the inline form exists so
+    pipelines can gate in one scan instead of a join — filter_funnel)."""
+    import pyspark.sql.functions as F
+    from precios_nexo_sperant_etl_spark.operators.text import (
+        gopher_passes_expr, gopher_quality_flags)
+
+    docs = spark.createDataFrame([
+        (1, "the cat and the dog ran to the big house"),
+        (2, "one two"),
+        (3, "the ### and ## of # a # to # # stuff"),
+        (4, "1 2 3 4 5 6 7 8 9 the and"),
+        (5, "lorem ipsum dolor sit amet foo bar"),
+        (6, "a " * 400 + "the and of"),            # mean word len low
+        (7, ""),                                   # empty text
+    ], "doc_id long, text string")
+    frame = {r["doc_id"]: r["passes_gopher"]
+             for r in gopher_quality_flags(docs).collect()}
+    expr = {r["doc_id"]: r["p"]
+            for r in docs.select("doc_id",
+                                 gopher_passes_expr(F.col("text"))
+                                 .alias("p")).collect()}
+    assert frame == expr
