@@ -434,7 +434,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       n_bits: int = 16) -> DataFrame:
+                       n_bits: int = 16, sort: bool = True) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance on the 16-bit signature.
 
     Candidate generation is EXACT banding, never all-pairs: split the
@@ -499,12 +499,19 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             _chunk(F.col("sh_a"), c) == _chunk(F.col("sh_b"), c),
             F.lit(c)).otherwise(first_match)
     dist = F.bit_count(F.expr("sh_a ^ sh_b"))
-    return (a.join(b, on=["chunk", "cv"], how="inner")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .filter(F.col("chunk") == first_match)
-             .select("doc_a", "doc_b", dist.alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming)
-             .transform(_final_sort, "doc_a", "doc_b"))
+    pairs = (a.join(b, on=["chunk", "cv"], how="inner")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .filter(F.col("chunk") == first_match)
+              .select("doc_a", "doc_b", dist.alias("hamming"))
+              .filter(F.col("hamming") <= max_hamming))
+    # The SimHash pair relation is NOT audit-sized (3.1M rows at sf0.1
+    # — Hamming ≤ 3 over a 16-bit signature is permissive), so the
+    # single-partition sampling-free sort used by the verified-pair
+    # operators would serialize millions of rows through one task
+    # (measured 4.1 s vs 0.9 s). The parallel range sort stays; callers
+    # that re-aggregate (the consensus vote) pass sort=False and skip
+    # the presentation sort entirely.
+    return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
 def simhash_near_pairs_allpairs(df: DataFrame, text_col: str = "text",

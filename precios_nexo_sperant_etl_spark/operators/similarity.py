@@ -64,15 +64,24 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
         dot = make_ddot_arrow()
     else:
         dot = ddot
+    # Norms are hoisted to one fold PER VECTOR before the cross join
+    # (bit-identical — the same sqrt(fold) expression on the same row)
+    # instead of two folds per (query, candidate) pair: per-pair work
+    # drops to the single dot fold, the same hoist
+    # embedding_neardup_lsh measured 8.7 s → 5.3 s.
     q = (emb.filter(F.col(id_col).isin(query_ids))
-            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+            .select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv"),
+                    F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+                    .alias("qn")))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("cv"),
+                   F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cn"))
     scored = (broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       (dot(F.col("qv"), F.col("cv"))
-                       / (F.sqrt(dot(F.col("qv"), F.col("qv")))
-                          * F.sqrt(dot(F.col("cv"), F.col("cv"))))).alias("cosine")))
+                       / (F.col("qn") * F.col("cn"))).alias("cosine")))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -149,13 +158,16 @@ def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc(cell_col))
     probes = (qc.withColumn("r", F.row_number().over(w))
                 .filter(F.col("r") <= n_probe).select("query_id", "qv", cell_col))
+    # Same per-vector norm hoist as cosine_topk: one fold per row on
+    # each side instead of two folds per scored pair (bit-identical).
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                   cell_col)
-    scored = (broadcast(probes).join(c, cell_col)
+                   cell_col, _norm(F.col(vec_col)).alias("cn"))
+    scored = (broadcast(probes.withColumn("qn", _norm(F.col("qv"))))
+              .join(c, cell_col)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       (ddot(F.col("qv"), F.col("cv"))
-                       / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine")))
+                       / (F.col("qn") * F.col("cn"))).alias("cosine")))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w2))
                   .filter(F.col("rank") <= k)

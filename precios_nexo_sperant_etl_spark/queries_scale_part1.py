@@ -908,8 +908,13 @@ def _ivf_centroids(spark: SparkSession, sf: str, n_cells: int = 10,
 
 def _ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import assign_cells_fold
+    # Persist the assignment: ivf_cosine_topk reads it three times
+    # (centroid means, probe queries, candidate scan) and the argmin is
+    # an interpreted 10-centroid fold per vector — same cache-lifetime
+    # contract as the shingle frames (harness clearCache between
+    # queries).
     cells = assign_cells_fold(_t(spark, sf, "embeddings"),
-                              _ivf_centroids(spark, sf))
+                              _ivf_centroids(spark, sf)).persist()
     return ivf_cosine_topk(cells, _ANN_QUERY_IDS, k=3, cell_col="cell")
 
 

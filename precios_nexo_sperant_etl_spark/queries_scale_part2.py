@@ -445,11 +445,14 @@ def _filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     # old shape joined gopher_quality_flags back on doc_id, scanning and
     # tokenizing the corpus TWICE plus a join exchange for flags that
     # are pure Column expressions over the same text.
-    base = docs.select("doc_id",
-                       lang_pred_expr(F.col("text")).alias("lp"),
-                       F.md5(canonical_text(F.col("text"))).alias("h"),
-                       gopher_passes_expr(F.col("text"))
-                       .alias("passes_gopher"))
+    # _fanout: all three signals are regex-dense and the bench-scale
+    # scan is one parquet file (single task); no-op on real multi-split
+    # inputs.
+    base = _fanout(docs.select("doc_id", "text"), spark).select(
+        "doc_id",
+        lang_pred_expr(F.col("text")).alias("lp"),
+        F.md5(canonical_text(F.col("text"))).alias("h"),
+        gopher_passes_expr(F.col("text")).alias("passes_gopher"))
     pass2 = F.col("passes_gopher") & (F.col("lp") != "und")
     a = base.agg(
         F.count(F.lit(1)).alias("n0"),
