@@ -444,9 +444,18 @@ def decode_bzip2(blob: bytes) -> dict:
 # --- encoder (subset: one stream, 2 identical groups) ------------------------
 
 def _rle1(data: bytes) -> bytes:
+    n = len(data)
+    # fast path: no 4-byte run anywhere (typical text) -> RLE1 is the
+    # identity; one vectorized scan replaces the per-byte loop
+    if n < 4:
+        return data
+    import numpy as np
+    a = np.frombuffer(data, dtype=np.uint8)
+    if not ((a[:-3] == a[1:-2]) & (a[1:-2] == a[2:-1])
+            & (a[2:-1] == a[3:])).any():
+        return data
     out = bytearray()
     i = 0
-    n = len(data)
     while i < n:
         b = data[i]
         j = i

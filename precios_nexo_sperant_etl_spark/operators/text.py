@@ -424,8 +424,14 @@ def exact_substring_coverage(df: DataFrame, window: int = 8,
     from pyspark.sql import Window as PW
     w = window
     toks = F.array_remove(tokens(F.col(text_col)), "")
-    sized = df.select(F.col(id_col), toks.alias("tk"),
-                      F.size(toks).cast("long").alias("n_tokens"))
+    src = df
+    # bench-scale scans are one parquet file: spread the per-window
+    # slice+md5 projection across cores (no-op on multi-split inputs)
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        src = df.repartition(spark.sparkContext.defaultParallelism)
+    sized = src.select(F.col(id_col), toks.alias("tk"),
+                       F.size(toks).cast("long").alias("n_tokens"))
     wins = (sized.select(
                 F.col(id_col), "tk",
                 F.explode(
@@ -438,12 +444,14 @@ def exact_substring_coverage(df: DataFrame, window: int = 8,
                      .alias("h")))
     # Cross-doc duplicated hashes: the span is shared with at least one
     # OTHER document (within-doc repeats alone are Gopher's signal, not
-    # this one's). min!=max is combinable — no distinct-count needed.
-    dup = (wins.groupBy("h")
-               .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
-               .filter(F.col("_lo") != F.col("_hi"))
-               .select("h"))
-    spans = (wins.join(dup, "h")
+    # this one's). min!=max over a window partitioned by the hash keeps
+    # it one shuffle of the window relation — the earlier
+    # groupBy + semi-join shape shuffled it twice AND re-ran the
+    # per-window slice+md5 projection once per consumer (guide §2.4).
+    by_h = PW.partitionBy("h")
+    spans = (wins.withColumn("_lo", F.min(id_col).over(by_h))
+                 .withColumn("_hi", F.max(id_col).over(by_h))
+                 .filter(F.col("_lo") != F.col("_hi"))
                  .select(F.col(id_col), "start",
                          (F.col("start") + w - 1).alias("end")))
     by_doc = PW.partitionBy(id_col).orderBy("start")
