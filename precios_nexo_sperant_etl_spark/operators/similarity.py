@@ -849,4 +849,4 @@ def bitext_margin_pairs(docs: DataFrame, emb: DataFrame,
     return (scored
             .where(F.col("margin_micro")
                    >= int(round(margin_threshold * 1000000)))
-            .orderBy("id_a", "id_b"))
+            .transform(_final_sort, "id_a", "id_b"))

@@ -45,7 +45,8 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
                        dsum(F.col("value")).alias("total_value"))
                   .select("user_id", F.col("win.start").alias("session_start"),
                           "n_events", "total_value")
-                  .orderBy("user_id", "session_start"))
+                  .repartition(1)
+                  .sortWithinPartitions("user_id", "session_start"))
 
 
 def funnel_counts(events: DataFrame, stages: tuple[str, ...] =

@@ -82,4 +82,5 @@ def core_update_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         price_before="precio_antes", price_after="precio_despues",
         state_before="estado_antes", state_after="estado_despues",
     )
-    return audit_summary(flagged, group_col="n_name").orderBy("n_name")
+    return (audit_summary(flagged, group_col="n_name")
+            .repartition(1).sortWithinPartitions("n_name"))

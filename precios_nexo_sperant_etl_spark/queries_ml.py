@@ -35,6 +35,7 @@ from pyspark.sql.types import (DoubleType, LongType, StringType,
 
 from .operators.text import LANG_PROFILES, tokens, word_set_hits
 from .registry import register
+from .queries_scale_common import _sorted1
 from .sources.tables import load_tables
 
 
@@ -378,7 +379,7 @@ def _curriculum_order_manifest(spark: SparkSession, sf: str) -> DataFrame:
         keyed, [F.desc("bucket"), F.asc("_ok"), F.asc("doc_id")],
         name="position")
     return (ordered.select("doc_id", "bucket", "score", "position")
-            .orderBy("position"))
+            .transform(_sorted1, "position"))
 
 
 _CURRICULUM_ORACLE = """
@@ -1007,7 +1008,7 @@ def _elo_ratings(spark: SparkSession, sf: str) -> DataFrame:
     g = _elo_games(spark, sf)
     out = g.groupBy("pool").applyInPandas(
         fold, "pool long, item long, rating long, games long, wins long")
-    return out.orderBy("pool", "item")
+    return _sorted1(out, "pool", "item")
 
 
 def _elo_oracle() -> str:
@@ -1234,7 +1235,7 @@ def _isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
                         (F.col("pos").cast("double")
                          / F.col("n").cast("double")).alias("raw_rate"),
                         "iso_rate")
-                .orderBy("bucket"))
+                .transform(_sorted1, "bucket"))
 
 
 register(

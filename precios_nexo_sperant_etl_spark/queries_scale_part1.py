@@ -288,7 +288,7 @@ def _neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.graph import cluster_assignment
     docs = _t(spark, sf, "documents")
     pairs = minhash_dedup_pairs(docs, threshold=0.2)
-    return cluster_assignment(docs, pairs).orderBy("doc_id")
+    return _sorted1(cluster_assignment(docs, pairs), "doc_id")
 
 
 # Shared closure: LSH candidates → Jaccard verify → recursive transitive

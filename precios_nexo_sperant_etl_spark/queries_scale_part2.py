@@ -377,7 +377,7 @@ def _ccnet_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum("n_bigrams").alias("total_bigrams"),
                  F.min("mean_bigram_p").alias("min_score"),
                  F.max("mean_bigram_p").alias("max_score"))
-            .orderBy("lang", "bucket"))
+            .transform(_sorted1, "lang", "bucket"))
 
 
 register(
@@ -845,9 +845,8 @@ FROM r WHERE rn = 1 ORDER BY doc_id
 def _pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.graph import pagerank_fixed_point
     pairs = minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.2)
-    return (pagerank_fixed_point(pairs, n_rounds=5)
-            .withColumnRenamed("node", "doc_id")
-            .orderBy("doc_id"))
+    return _sorted1(pagerank_fixed_point(pairs, n_rounds=5)
+                    .withColumnRenamed("node", "doc_id"), "doc_id")
 
 
 def _pagerank_oracle(n_rounds: int = 5, scale: int = 10 ** 12,

@@ -377,7 +377,7 @@ FROM w GROUP BY r
 
 register(
     "poisson_bootstrap_means",
-    lambda spark, sf: _boot_means_df(spark, sf).orderBy("r"),
+    lambda spark, sf: _sorted1(_boot_means_df(spark, sf), "r"),
     _BOOT_MEANS_SQL + "ORDER BY r",
     doc="Poisson-bootstrap replicate table: 64 replicates of the mean "
         "token count from ONE corpus scan (Poisson(1) multiplicities "

@@ -518,7 +518,7 @@ def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("packed",
                         sum(F.col(f"code{j}") * (8 ** j)
                             for j in range(_PQ_M)).cast("long"))
-            .orderBy("vec_id"))
+            .transform(_sorted1, "vec_id"))
 
 
 def _pq_sub_ctes(j: int) -> list[str]:
@@ -3662,7 +3662,7 @@ def _winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
                         .cast("long"))
             .select("doc_id", "n_kgrams", "n_windows", "n_fps",
                     "density_micro", "min_fp", "max_fp")
-            .orderBy("doc_id"))
+            .transform(_sorted1, "doc_id"))
 
 
 register(
@@ -4232,7 +4232,7 @@ def _warc_datasource_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("warc_type"),
         F.col("content_length"),
         F.md5(F.col("payload")).alias("payload_md5"))
-        .orderBy("doc_id"))
+        .transform(_sorted1, "doc_id"))
 
 
 register(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_scale import _DUCK_TOKENS, _HIT_SQL, _PRED_SQL, _STOP_SQL
+from .queries_scale_common import _sorted1
 from .registry import register
 
 #: Streaming STATE partition count — sized to state volume, NOT core
@@ -70,7 +71,7 @@ def _streaming_curation_hashes(spark: SparkSession, sf: str) -> DataFrame:
     stream_curated_to_lake(spark, sf, out)
     landed = spark.read.parquet(os.path.join(out, "docs"))
     return (landed.select("text_hash").distinct()
-                  .orderBy("text_hash"))
+                  .transform(_sorted1, "text_hash"))
 
 
 register(
@@ -128,7 +129,7 @@ def _streaming_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
     return (read_hll_registers(spark, os.path.join(out, "regs"))
             .select("source", F.col("bucket").cast("long").alias("bucket"),
                     F.col("rho").cast("int").alias("rho"))
-            .orderBy("source", "bucket"))
+            .transform(_sorted1, "source", "bucket"))
 
 
 _SHLL_H = "('0x' || substr(md5(term), 1, 12))::BIGINT"
@@ -187,7 +188,7 @@ def _streaming_cms_counters(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("row").cast("int").alias("row"),
                     F.col("bucket").cast("long").alias("bucket"),
                     F.col("counter").cast("long").alias("counter"))
-            .orderBy("row", "bucket"))
+            .transform(_sorted1, "row", "bucket"))
 
 
 _SCMS_H = "('0x' || substr(md5({s}), 1, 12))::BIGINT"
@@ -247,7 +248,7 @@ def _streaming_bloom_bits(spark: SparkSession, sf: str) -> DataFrame:
         raise TimeoutError("streaming Bloom drain exceeded 120s")
     return (read_bloom_bits(spark, os.path.join(out, "bits"))
             .select(F.col("bit").cast("long").alias("bit"))
-            .orderBy("bit"))
+            .transform(_sorted1, "bit"))
 
 
 _SBLOOM_H = "('0x' || substr(md5({s}), 1, 12))::BIGINT"
@@ -340,7 +341,7 @@ def _streaming_kmv_minima(spark: SparkSession, sf: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming KMV drain exceeded 300s")
     return (read_kmv_sketch(spark, os.path.join(out, "minima"), k=_SKMV_K)
-            .orderBy("source"))
+            .transform(_sorted1, "source"))
 
 
 _SKMV_H = "('0x' || substr(md5(term), 1, 12))::BIGINT"
@@ -448,7 +449,7 @@ def _streaming_lww_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming LWW drain exceeded 120s")
     return (read_lww_snapshot(spark, os.path.join(out, "snap"))
-            .orderBy("source"))
+            .transform(_sorted1, "source"))
 
 
 register(
@@ -562,7 +563,7 @@ def _streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stateful session drain exceeded 300s")
     return (spark.read.parquet(os.path.join(out, "sessions"))
-            .orderBy("user_id", "session_start"))
+            .transform(_sorted1, "user_id", "session_start"))
 
 
 register(
@@ -612,7 +613,7 @@ def _streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming enrich drain exceeded 120s")
     return (read_static_enrich(spark, os.path.join(out, "agg"))
-            .orderBy("segment", "event_type"))
+            .transform(_sorted1, "segment", "event_type"))
 
 
 register(
@@ -658,7 +659,7 @@ def _streaming_session_builtin(spark: SparkSession, sf: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming session drain exceeded 120s")
     return (spark.read.parquet(os.path.join(out, "agg"))
-            .orderBy("user_id", "session_start"))
+            .transform(_sorted1, "user_id", "session_start"))
 
 
 register(
@@ -712,7 +713,7 @@ def _streaming_dedup_redelivery(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum("event_id").alias("id_mass"),
                  F.sum((F.col("value").cast("decimal(18,2)") * 100)
                        .cast("long")).alias("value_cents"))
-            .orderBy("event_type"))
+            .transform(_sorted1, "event_type"))
 
 
 register(
@@ -763,7 +764,7 @@ def _streaming_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
                  F.countDistinct("click_id").alias("n_clicks_matched"),
                  F.sum((F.col("buy_value").cast("decimal(18,2)") * 100)
                        .cast("long")).alias("buy_cents"))
-            .orderBy("user_id"))
+            .transform(_sorted1, "user_id"))
 
 
 register(
@@ -860,7 +861,7 @@ def _streaming_warc_census(spark: SparkSession, sf: str) -> DataFrame:
     drain()
     land_wave("w2", d.where(F.col("doc_id") % 2 == 1))
     drain()                      # same checkpoint: only wave 2 is new
-    return spark.read.parquet(sink).orderBy("doc_id")
+    return _sorted1(spark.read.parquet(sink), "doc_id")
 
 
 register(
@@ -927,7 +928,7 @@ def _streaming_tfrecord_census(spark: SparkSession, sf: str) -> DataFrame:
     drain()
     land_wave("w2", d.where(F.col("doc_id") % 2 == 1))
     drain()
-    return spark.read.parquet(sink).orderBy("rec_md5")
+    return _sorted1(spark.read.parquet(sink), "rec_md5")
 
 
 register(
@@ -1026,7 +1027,7 @@ def _streaming_scd2_upsert(spark: SparkSession, sf: str) -> DataFrame:
     land_wave("w2", upd.where(F.col("update_ts") >= mid))
     drain()
     return (spark.read.parquet(os.path.join(state_root, f"v{state['v']}"))
-            .orderBy("k", "effective_ts"))
+            .transform(_sorted1, "k", "effective_ts"))
 
 
 register(
@@ -1114,7 +1115,7 @@ def _streaming_zip_census(spark: SparkSession, sf: str) -> DataFrame:
     drain()
     land_wave("w2", d.where(F.col("doc_id") % 2 == 1))
     drain()
-    return spark.read.parquet(sink).orderBy("doc_id")
+    return _sorted1(spark.read.parquet(sink), "doc_id")
 
 
 register(
