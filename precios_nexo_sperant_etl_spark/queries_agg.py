@@ -746,7 +746,7 @@ def _referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
              .alias("n_null_keys"))
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("edge")
+    return _sorted1(out, "edge")
 
 
 _RI_SQL = "\nUNION ALL\n".join(f"""
