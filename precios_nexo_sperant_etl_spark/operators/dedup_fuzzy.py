@@ -138,10 +138,27 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     the next k-1 tokens per position), NOT an array higher-order
     function: the ``transform(sequence, i -> concat_ws(slice))`` form is
     expression-interpreted per shingle and measured 9× slower at sf0.1
-    (4.3s → 0.5s). The window costs one extra linear exchange keyed by
-    document — cheap next to the per-shingle CPU, and the downstream
-    ``distinct`` shuffles the same volume anyway. (``shingle_expr``
-    remains the reference/oracle form; both produce identical sets.)"""
+    (4.3s → 0.5s). (``shingle_expr`` remains the reference/oracle form;
+    both produce identical sets.)
+
+    r12 exchange discipline: the whole pipeline is CLUSTERED BY the
+    document id in ONE explicit repartition of the raw document rows
+    (fewer bytes than shuffling the exploded tokens), and every later
+    step reuses that partitioning — hashpartitioning(id) satisfies the
+    window's (id, _row) clustering, the final ``distinct``'s (id, h)
+    clustering, AND the downstream per-document aggregations
+    (signatures, shingle-set sizes), which all become exchange-free
+    COMPLETE aggs. Before, the 128-permutation signature agg ran
+    partial+final over an (id, h)-partitioned cache: each of N
+    partitions held rows of nearly every document, so the partial stage
+    emitted up to N × n_docs × n_perms wide rows — ~160 MB at 32 cores
+    vs ~40 MB at 8, the measured source of minhash_dedup_pairs_prod's
+    core-count ANTI-scaling (2.48 s @32 vs 1.17 s @8; guide §2.3
+    "aggregate before you shuffle" cuts both ways when the partial
+    output exceeds its input). The explicit width keeps AQE from
+    coalescing the CPU-dense shingle window into one task; at fleet
+    scale defaultParallelism is the executor-core total, the right
+    order for a per-token compute stage."""
     from pyspark.sql import Window
 
     # A per-ROW tag (not just the id) keys the window: two input rows
@@ -154,6 +171,9 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     # (own projection: a nondeterministic expr in the SAME select as a
     # generator would be re-evaluated per exploded row — every token
     # would get its own tag and no shingle would ever form)
+    spark = df.sparkSession
+    tagged = tagged.repartition(spark.sparkContext.defaultParallelism,
+                                id_col)
     toks = tagged.select(
         F.col(id_col), F.col("_row"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"))

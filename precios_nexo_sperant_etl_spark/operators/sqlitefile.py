@@ -37,6 +37,24 @@ class SqliteError(ValueError):
 
 _MAGIC = b"SQLite format 3\x00"
 
+# Corrupt bytes can land an unpack/slice/decode anywhere in the walk;
+# the module contract is that every public entry point terminates with
+# SqliteError on a bad file, so low-level exceptions are converted at
+# the boundary rather than bounds-checking every unpack twice.
+_LOWLEVEL = (struct.error, IndexError, KeyError, OverflowError,
+             UnicodeDecodeError, TypeError, AttributeError,
+             RecursionError, ValueError)
+
+
+def _guarded(fn, *args):
+    try:
+        return fn(*args)
+    except SqliteError:
+        raise
+    except _LOWLEVEL as e:
+        raise SqliteError(f"corrupt database: {type(e).__name__}: {e}") \
+            from e
+
 
 def _varint(buf: bytes, pos: int) -> tuple[int, int]:
     """SQLite varint: 1-9 bytes big-endian base-128; the 9th byte
@@ -125,12 +143,21 @@ class _Db:
         x = u - 35                      # table-leaf max local payload
         if plen <= x:
             return page[pos:pos + plen]
+        if plen > len(self.blob):
+            raise SqliteError("payload length exceeds database size")
         m = ((u - 12) * 32) // 255 - 23
         k = m + ((plen - m) % (u - 4))
         local = k if k <= x else m
         out = bytearray(page[pos:pos + local])
         (nxt,) = struct.unpack_from(">I", page, pos + local)
-        while nxt:
+        # a corrupt chain can cycle; no valid chain is longer than the
+        # page count, so cap the walk there
+        max_pages = len(self.blob) // self.page_size + 1
+        hops = 0
+        while nxt and len(out) < plen:
+            hops += 1
+            if hops > max_pages:
+                raise SqliteError("overflow chain cycle")
             p = self.page(nxt)
             (nxt,) = struct.unpack_from(">I", p, 0)
             out += p[4:4 + (plen - len(out))]
@@ -225,6 +252,10 @@ def _parse_columns(sql: str) -> tuple[list[str], int | None]:
 
 
 def sqlite_list_tables(blob: bytes) -> list[str]:
+    return _guarded(_list_tables, blob)
+
+
+def _list_tables(blob: bytes) -> list[str]:
     db = _Db(blob)
     return sorted(v[1] for v in _master_rows(db)
                   if v[0] == "table" and not str(v[1]).startswith(
@@ -236,6 +267,10 @@ def sqlite_read_table(blob: bytes, table: str) -> dict:
     "rows": [tuple, ...]}`` with the INTEGER PRIMARY KEY rowid-alias
     rule applied (such columns are stored as NULL; the rowid is the
     value)."""
+    return _guarded(_read_table, blob, table)
+
+
+def _read_table(blob: bytes, table: str) -> dict:
     db = _Db(blob)
     entry = None
     for vals in _master_rows(db):

@@ -130,6 +130,51 @@ def test_garbage_and_missing_table():
         sqlite_read_table(con.serialize(), "nope")
 
 
+def test_corruption_always_raises_sqlite_error():
+    """Every mutated-byte failure surfaces as SqliteError — never a raw
+    struct.error/IndexError escaping the b-tree walk (r12 contract)."""
+    con = _db()
+    con.execute("create table t(k integer primary key, v text)")
+    con.executemany("insert into t values (?,?)",
+                    [(i, f"row {i} " * 5) for i in range(30)])
+    base = bytes(con.serialize())
+    for pos in range(16, len(base), 7):
+        blob = bytearray(base)
+        blob[pos] ^= 0xFF
+        try:
+            got = sqlite_read_table(bytes(blob), "t")
+            assert len(got["rows"]) <= 34
+        except SqliteError:
+            pass
+
+
+def test_overflow_chain_cycle_terminates():
+    """An overflow page pointing back at itself must terminate (the
+    pre-r12 walk looped forever appending empty slices): either a
+    SqliteError or a bounded garbage parse is acceptable."""
+    con = _db()
+    con.execute("create table big(v text)")
+    con.execute("insert into big values (?)", ("x" * 20000,))
+    blob = bytearray(con.serialize())
+    page_size = int.from_bytes(blob[16:18], "big") or 65536
+    n_pages = len(blob) // page_size
+    # point every overflow page's next-pointer at itself
+    changed = 0
+    for p in range(1, n_pages + 1):
+        off = (p - 1) * page_size
+        nxt = int.from_bytes(blob[off:off + 4], "big")
+        if 0 < nxt <= n_pages and blob[off + (100 if p == 1 else 0)] \
+                not in (2, 5, 10, 13):
+            blob[off:off + 4] = p.to_bytes(4, "big")
+            changed += 1
+    assert changed, "fixture no longer produces overflow pages"
+    try:
+        got = sqlite_read_table(bytes(blob), "big")
+        assert len(got["rows"]) <= 1
+    except SqliteError:
+        pass
+
+
 def test_on_disk_file(tmp_path):
     path = str(tmp_path / "export.sqlite")
     con = sqlite3.connect(path)
