@@ -53,9 +53,24 @@ def ddot(a: Column, b: Column) -> Column:
     expression-interpreted, so at real embedding dims (768+) the fold
     dominates similarity scoring. :func:`ddot_arrow` is the throughput
     form — still deterministic, not bit-identical to this fold.
+
+    r12: one fused index fold instead of ``zip_with`` (materialize the
+    product array) + ``aggregate`` (walk it): same multiplies, same
+    adds, same left-to-right order — bit-identical values — with one
+    interpreted pass and no per-pair array allocation. ``greatest`` of
+    the two sizes reproduces ``zip_with``'s null-padding on (never
+    expected) length mismatches: any out-of-range index yields a null
+    product and nulls the whole fold, exactly as before.
     """
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    n = F.greatest(F.size(a), F.size(b))
+    # when(n == 0): sequence(0, -1) would DESCEND, not be empty — return
+    # the fold's init value directly, as aggregate([]) does.
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + (F.get(a, i).cast("double")
+                                  * F.get(b, i).cast("double"))))
 
 
 def make_ddot_arrow():

@@ -397,6 +397,15 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
     # sf0.1). A statically-unrolled 64-term expression tree was tried
     # and is SLOWER than the fold (the 128-node tree falls out of
     # codegen), so the fold stays.
+    #
+    # r12: the plane/norm folds are interpreted per VECTOR and ran in
+    # however many splits the scan gave — ONE task on a single-file
+    # bench table (guide §2.5 input skew), 1.2 s serial of the capped
+    # detector's 2.4 s. Spread to core width when the scan is narrower;
+    # a no-op on real multi-split input.
+    spark = emb.sparkSession
+    if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
     bucketed = (emb.withColumn("bucket",
                                F.expr(lsh_bucket_expr(vec_col, n_planes)))
                 .withColumn("_nrm", _norm(F.col(vec_col))))
@@ -424,13 +433,23 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
                 .select("bucket"))
         a = a.join(F.broadcast(keep), "bucket")
         b = b.join(F.broadcast(keep), "bucket")
-    return (a.join(b, "bucket")
+    # r12: dedupe BEFORE the exact fold. Multi-probe gives the same
+    # (a, b) pair one candidate row per shared bucket; scoring first
+    # paid the interpreted 64-term fold per COPY and deduped after.
+    # The distinct on the vector-carrying tuple is the same pair set
+    # (va/na are functions of vec_a), and duplicate folds vanish —
+    # measured 1.12 s → 0.89 s on the capped detector. (The
+    # ids-only-distinct + join-back form that re-attaches vectors after
+    # dedup — the 100 TB shape when pair volume dwarfs the corpus —
+    # measured 5.0 s here: two extra exchanges dominate at bench scale.)
+    cand = (a.join(b, "bucket")
              .filter(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "vec_b",
-                     (ddot(F.col("va"), F.col("vb"))
-                      / (F.col("na") * F.col("nb"))).alias("cosine"))
+             .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+             .distinct())
+    return (cand.select("vec_a", "vec_b",
+                        (ddot(F.col("va"), F.col("vb"))
+                         / (F.col("na") * F.col("nb"))).alias("cosine"))
              .filter(F.col("cosine") >= threshold)
-             .distinct()
              .transform(_final_sort, "vec_a", "vec_b"))
 
 
