@@ -126,10 +126,23 @@ def _xor_payloads(payloads: list[bytes], ks: np.ndarray,
             for i, p in enumerate(payloads)]
 
 
+
+def _check_lanes(keys, **named):
+    """Public batch entry points take parallel per-lane lists; a length
+    mismatch would otherwise truncate silently (zip) or surface as an
+    opaque numpy shape error (np.fromiter count=len(keys))."""
+    for name, vals in named.items():
+        if len(vals) != len(keys):
+            raise ValueError(
+                f"aesvec batch: {name} has {len(vals)} entries for "
+                f"{len(keys)} keys")
+
+
 def gcm_encrypt_batch(keys: list[bytes], ivs: list[bytes],
                       plaintexts: list[bytes], aads: list[bytes]
                       ) -> list[tuple[bytes, bytes]]:
     """Batch twin of ``gcm_encrypt`` for 96-bit IV lanes."""
+    _check_lanes(keys, ivs=ivs, plaintexts=plaintexts, aads=aads)
     if any(len(iv) != 12 for iv in ivs):
         raise ValueError("batch GCM path requires 96-bit IVs")
     rks = expand_keys_batch(keys)
@@ -153,6 +166,8 @@ def gcm_verify_batch(keys: list[bytes], ivs: list[bytes],
                      aads: list[bytes]) -> list[bool]:
     """Tag check only — like scalar ``gcm_decrypt`` refusing before any
     CTR work. One AES block per lane plus GHASH."""
+    _check_lanes(keys, ivs=ivs, ciphertexts=ciphertexts, tags=tags,
+                 aads=aads)
     if any(len(iv) != 12 for iv in ivs):
         raise ValueError("batch GCM path requires 96-bit IVs")
     rks = expand_keys_batch(keys)
@@ -174,6 +189,8 @@ def gcm_open_batch(keys: list[bytes], ivs: list[bytes],
                    aads: list[bytes]) -> list[bytes | None]:
     """Batch twin of ``gcm_decrypt``: verify THEN decrypt; a failed
     lane yields None and its plaintext is never produced."""
+    _check_lanes(keys, ivs=ivs, ciphertexts=ciphertexts, tags=tags,
+                 aads=aads)
     oks = gcm_verify_batch(keys, ivs, ciphertexts, tags, aads)
     idx = [i for i, ok in enumerate(oks) if ok]
     if not idx:

@@ -217,6 +217,13 @@ def _huff_read_symbol(br: _BitReader, tabs) -> int:
     entry = table[br.peek(_HTBITS)]
     if entry:
         br.p += entry >> 16
+        # peek() zero-pads past end-of-stream, so a truncated stream
+        # could advance p beyond the data and decode phantom symbols
+        # until a later CRC/magic gate; fail at the overrun instead,
+        # mirroring read()'s bound.
+        if br.p > len(br.d) * 8:
+            raise Bzip2Error("bzip2: truncated stream inside Huffman "
+                             "symbol")
         return entry & 0xFFFF
     ln = min_len
     v = br.read(min_len)
@@ -474,9 +481,12 @@ def _rle1(data: bytes) -> bytes:
 def _bwt(data: bytes) -> tuple[bytes, int]:
     """Cyclic-rotation BWT via numpy prefix doubling: ranks compare a
     2k-prefix of each rotation per round, so log2(n) stable lexsorts
-    replace the O(n² log n) sliced-rotation sort. Equal rotations
-    (fully periodic inputs) keep their index order, exactly like the
-    stable ``sorted(range(n), key=rotation)`` it replaces (pinned
+    replace the O(n² log n) sliced-rotation sort. Tie order among fully
+    EQUAL rotations (periodic inputs) is arbitrary — the lexsort
+    tie-break key is the previous round's order permutation, not a
+    per-rotation original index — but output bytes and the roundtrip
+    are unaffected: equal rotations share their last-column byte, and
+    any orig_ptr within the group reconstructs the same string (pinned
     against stdlib bz2 both directions in tests/test_bzip2.py)."""
     import numpy as np
     n = len(data)

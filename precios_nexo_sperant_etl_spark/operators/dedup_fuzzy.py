@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sortutil import final_sort
 from .text import HASH_P, md5_hash
 
 #: MinHash permutation parameters (a*h + b mod P), fixed small primes.
@@ -50,7 +51,7 @@ def _final_sort(df: DataFrame, *cols: str) -> DataFrame:
     same fix as ``queries_scale_common._sorted1`` (see
     OPTIMIZATION_r11.md). Pair relations are collision-sized, so the
     single output partition is the documented audit-scale gear."""
-    return df.repartition(1).sortWithinPartitions(*cols)
+    return final_sort(df, *cols)
 
 
 def minhash_params(n_perms: int) -> list[tuple[int, int]]:

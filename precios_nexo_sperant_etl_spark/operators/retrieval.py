@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .sortutil import final_sort
 from .text import md5_hash, tokens
 
 
@@ -29,7 +30,7 @@ def _final_sort(df: DataFrame, *cols) -> DataFrame:
     range-exchange SAMPLING pass (re-executes the final child stage once
     more per action — see OPTIMIZATION_r11.md /
     ``queries_scale_common._sorted1``)."""
-    return df.repartition(1).sortWithinPartitions(*cols)
+    return final_sort(df, *cols)
 
 def term_sets(docs: DataFrame, ngram: int = 1, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:

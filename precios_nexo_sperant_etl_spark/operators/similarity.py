@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.exact import ddot
+from .sortutil import final_sort
 
 #: Deterministic hyperplane constants (pseudo-random but engine-portable).
 _LSH_MULT = 2654435761
@@ -44,7 +45,7 @@ def _final_sort(df: DataFrame, *cols) -> DataFrame:
     range-exchange SAMPLING pass (it re-executes the final child stage
     once more per action — see OPTIMIZATION_r11.md and
     ``queries_scale_common._sorted1``)."""
-    return df.repartition(1).sortWithinPartitions(*cols)
+    return final_sort(df, *cols)
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,

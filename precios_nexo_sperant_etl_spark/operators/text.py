@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .sortutil import final_sort
+
 #: Modulus for all rolling hashes (fits products in int64: p*31+c < 2^35).
 HASH_P = 1_000_000_007
 
@@ -33,7 +35,7 @@ def _final_sort(df: DataFrame, *cols) -> DataFrame:
     range-exchange SAMPLING pass (re-executes the final child stage once
     more per action — see OPTIMIZATION_r11.md /
     ``queries_scale_common._sorted1``)."""
-    return df.repartition(1).sortWithinPartitions(*cols)
+    return final_sort(df, *cols)
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of trimmed text."""

@@ -156,8 +156,11 @@ def _sorted1(df, *cols):
     result is audit-sized (≤ corpus row count at bench scale); the
     100 TB gear for corpus-sized results is write-unsorted or a
     known-bounds range partition — documented, not silently assumed.
+    Shared implementation (with the ``SPARK_GRAFT_SERIAL_SORT_GUARD``
+    debug fallback): :mod:`..operators.sortutil`.
     """
-    return df.repartition(1).sortWithinPartitions(*cols)
+    from .operators.sortutil import final_sort
+    return final_sort(df, *cols)
 
 
 def _spread(df, key, n_groups):

@@ -68,3 +68,17 @@ def test_refusal_contract():
 def test_batch_rejects_non96_iv():
     with pytest.raises(ValueError):
         gcm_encrypt_batch([b"k" * 16], [b"iv" * 4], [b"x"], [b""])
+
+
+def test_batch_lane_length_mismatch_raises():
+    from precios_nexo_sperant_etl_spark.functions.aesvec import (
+        gcm_encrypt_batch, gcm_open_batch, gcm_verify_batch)
+    import pytest
+    keys = [b"k" * 16, b"q" * 16]
+    ivs = [b"i" * 12]
+    with pytest.raises(ValueError, match="ivs has 1 entries for 2 keys"):
+        gcm_encrypt_batch(keys, ivs, [b"a", b"b"], [b"", b""])
+    with pytest.raises(ValueError, match="tags has"):
+        gcm_verify_batch(keys, ivs * 2, [b"a", b"b"], [b"t" * 16], [b"", b""])
+    with pytest.raises(ValueError, match="aads has"):
+        gcm_open_batch(keys, ivs * 2, [b"a", b"b"], [b"t" * 16] * 2, [b""])
