@@ -197,103 +197,274 @@ class _LzmaState:
         self.rep_len_dec = _LenDecoder()
 
 
+def _bit_t(probs, i, rng, code, rp, data, dlen):
+    """Tuple-state twin of ``_RangeDecoder.bit`` for the non-literal
+    paths of the chunk decoder (same arithmetic, same normalization)."""
+    prob = probs[i]
+    bound = (rng >> 11) * prob
+    if code < bound:
+        rng = bound
+        probs[i] = prob + ((2048 - prob) >> 5)
+        b = 0
+    else:
+        code -= bound
+        rng -= bound
+        probs[i] = prob - (prob >> 5)
+        b = 1
+    if rng < 0x1000000:
+        rng = (rng << 8) & 0xFFFFFFFF
+        code = ((code << 8) | (data[rp] if rp < dlen else 0)) & 0xFFFFFFFF
+        rp += 1
+    return b, rng, code, rp
+
+
+def _bittree_t(probs, nbits, rng, code, rp, data, dlen):
+    m = 1
+    for _ in range(nbits):
+        b, rng, code, rp = _bit_t(probs, m, rng, code, rp, data, dlen)
+        m = (m << 1) | b
+    return m - (1 << nbits), rng, code, rp
+
+
+def _bittree_rev_t(probs, off, nbits, rng, code, rp, data, dlen):
+    m = 1
+    sym = 0
+    for i in range(nbits):
+        b, rng, code, rp = _bit_t(probs, off + m - 1, rng, code, rp,
+                                  data, dlen)
+        m = (m << 1) | b
+        sym |= b << i
+    return sym, rng, code, rp
+
+
+def _direct_t(nbits, rng, code, rp, data, dlen):
+    v = 0
+    for _ in range(nbits):
+        rng >>= 1
+        code = (code - rng) & 0xFFFFFFFF
+        t = 0 - (code >> 31)
+        code = (code + (rng & t)) & 0xFFFFFFFF
+        if rng < 0x1000000:
+            rng = (rng << 8) & 0xFFFFFFFF
+            code = ((code << 8)
+                    | (data[rp] if rp < dlen else 0)) & 0xFFFFFFFF
+            rp += 1
+        v = (v << 1) + t + 1
+    return v, rng, code, rp
+
+
+def _len_t(dec, pos_state, rng, code, rp, data, dlen):
+    b, rng, code, rp = _bit_t(dec.choice, 0, rng, code, rp, data, dlen)
+    if not b:
+        v, rng, code, rp = _bittree_t(dec.low[pos_state], 3, rng, code,
+                                      rp, data, dlen)
+        return 2 + v, rng, code, rp
+    b, rng, code, rp = _bit_t(dec.choice, 1, rng, code, rp, data, dlen)
+    if not b:
+        v, rng, code, rp = _bittree_t(dec.mid[pos_state], 3, rng, code,
+                                      rp, data, dlen)
+        return 10 + v, rng, code, rp
+    v, rng, code, rp = _bittree_t(dec.high, 8, rng, code, rp, data, dlen)
+    return 18 + v, rng, code, rp
+
+
 def _decode_lzma_chunk(data: bytes, pos: int, comp_end: int,
                        st: _LzmaState, out: bytearray,
                        unpacked: int | None,
                        allow_marker: bool = False) -> None:
     """Decode exactly ``unpacked`` bytes into ``out`` (which carries
     the whole dictionary history); ``unpacked=None`` decodes until the
-    LZMA end marker (the legacy .lzma unknown-size mode)."""
-    rc = _RangeDecoder(data, pos)
-    limit = None if unpacked is None else len(out) + unpacked
+    LZMA end marker (the legacy .lzma unknown-size mode).
+
+    r12 hot-loop form (guide §4.2 applied to the one codec that cannot
+    batch: range coding is ADAPTIVE, every bit updates the probability
+    it was decoded with, so there is no Huffman-style table to
+    precompute). Profiling put 65% of decode time in the per-bit
+    ``_RangeDecoder.bit``/``_norm`` METHOD calls (432k calls / 300
+    docs), so the literal paths — the bulk of all bits — run fully
+    inlined on local ints here, and the rarer match/rep paths go
+    through module-level tuple-state helpers (``_bit_t`` family) with
+    the same arithmetic. ``_RangeDecoder`` keeps the readable
+    reference form and stays bit-for-bit equivalent (lzma interop
+    tests pin both). LZ copies use one slice extend when source and
+    destination do not overlap."""
+    if data[pos] != 0:
+        raise XzError("lzma: first range-coder byte must be 0")
+    code = int.from_bytes(data[pos + 1:pos + 5], "big")
+    rp = pos + 5
+    rng = 0xFFFFFFFF
+    dlen = len(data)
+    n = len(out)
+    limit = None if unpacked is None else n + unpacked
     pb_mask = (1 << st.pb) - 1
     lp_mask = (1 << st.lp) - 1
     lc = st.lc
-    while limit is None or len(out) < limit:
-        if rc.p > comp_end:
+    state = st.state
+    rep0, rep1, rep2, rep3 = st.rep0, st.rep1, st.rep2, st.rep3
+    lit = st.lit
+    is_match = st.is_match
+    while limit is None or n < limit:
+        if rp > comp_end:
             raise XzError("lzma: truncated stream (no end marker)")
-        pos_state = len(out) & pb_mask
-        if not rc.bit(st.is_match, (st.state << 4) + pos_state):
-            prev = out[-1] if out else 0
-            lit_state = (((len(out) & lp_mask) << lc) + (prev >> (8 - lc)))
-            probs_off = 0x300 * lit_state
-            if st.state >= 7:
-                match_byte = out[-st.rep0 - 1]
+        pos_state = n & pb_mask
+        i = (state << 4) + pos_state
+        prob = is_match[i]
+        bound = (rng >> 11) * prob
+        if code < bound:
+            # literal — fully inlined bit decodes
+            rng = bound
+            is_match[i] = prob + ((2048 - prob) >> 5)
+            if rng < 0x1000000:
+                rng = (rng << 8) & 0xFFFFFFFF
+                code = ((code << 8)
+                        | (data[rp] if rp < dlen else 0)) & 0xFFFFFFFF
+                rp += 1
+            prev = out[-1] if n else 0
+            probs_off = 0x300 * (((n & lp_mask) << lc)
+                                 + (prev >> (8 - lc)))
+            if state >= 7:
+                match_byte = out[n - rep0 - 1]
                 sym = 1
                 while sym < 0x100:
                     match_bit = (match_byte >> 7) & 1
                     match_byte = (match_byte << 1) & 0xFF
-                    b = rc.bit(st.lit, probs_off
-                               + ((1 + match_bit) << 8) + sym)
+                    i = probs_off + ((1 + match_bit) << 8) + sym
+                    prob = lit[i]
+                    bound = (rng >> 11) * prob
+                    if code < bound:
+                        rng = bound
+                        lit[i] = prob + ((2048 - prob) >> 5)
+                        b = 0
+                    else:
+                        code -= bound
+                        rng -= bound
+                        lit[i] = prob - (prob >> 5)
+                        b = 1
+                    if rng < 0x1000000:
+                        rng = (rng << 8) & 0xFFFFFFFF
+                        code = ((code << 8) | (data[rp] if rp < dlen
+                                               else 0)) & 0xFFFFFFFF
+                        rp += 1
                     sym = (sym << 1) | b
                     if match_bit != b:
-                        while sym < 0x100:
-                            sym = (sym << 1) | rc.bit(st.lit,
-                                                      probs_off + sym)
                         break
             else:
                 sym = 1
-                while sym < 0x100:
-                    sym = (sym << 1) | rc.bit(st.lit, probs_off + sym)
+            while sym < 0x100:
+                i = probs_off + sym
+                prob = lit[i]
+                bound = (rng >> 11) * prob
+                if code < bound:
+                    rng = bound
+                    lit[i] = prob + ((2048 - prob) >> 5)
+                    sym <<= 1
+                else:
+                    code -= bound
+                    rng -= bound
+                    lit[i] = prob - (prob >> 5)
+                    sym = (sym << 1) | 1
+                if rng < 0x1000000:
+                    rng = (rng << 8) & 0xFFFFFFFF
+                    code = ((code << 8)
+                            | (data[rp] if rp < dlen else 0)) & 0xFFFFFFFF
+                    rp += 1
             out.append(sym & 0xFF)
-            st.state = (0 if st.state < 4 else st.state - 3
-                        if st.state < 10 else st.state - 6)
+            n += 1
+            state = (0 if state < 4 else state - 3
+                     if state < 10 else state - 6)
             continue
+        code -= bound
+        rng -= bound
+        is_match[i] = prob - (prob >> 5)
+        if rng < 0x1000000:
+            rng = (rng << 8) & 0xFFFFFFFF
+            code = ((code << 8)
+                    | (data[rp] if rp < dlen else 0)) & 0xFFFFFFFF
+            rp += 1
         # match / rep
-        if rc.bit(st.is_rep, st.state):
-            if not out and st.rep0 == 0:
+        b, rng, code, rp = _bit_t(st.is_rep, state, rng, code, rp,
+                                  data, dlen)
+        if b:
+            if not n and rep0 == 0:
                 raise XzError("lzma: rep match with empty history")
-            if not rc.bit(st.is_rep_g0, st.state):
-                if not rc.bit(st.is_rep0_long,
-                              (st.state << 4) + pos_state):
-                    st.state = 9 if st.state < 7 else 11
-                    out.append(out[-st.rep0 - 1])
+            b, rng, code, rp = _bit_t(st.is_rep_g0, state, rng, code,
+                                      rp, data, dlen)
+            if not b:
+                b, rng, code, rp = _bit_t(st.is_rep0_long,
+                                          (state << 4) + pos_state,
+                                          rng, code, rp, data, dlen)
+                if not b:
+                    state = 9 if state < 7 else 11
+                    out.append(out[n - rep0 - 1])
+                    n += 1
                     continue
             else:
-                if not rc.bit(st.is_rep_g1, st.state):
-                    dist = st.rep1
+                b, rng, code, rp = _bit_t(st.is_rep_g1, state, rng,
+                                          code, rp, data, dlen)
+                if not b:
+                    dist = rep1
                 else:
-                    if not rc.bit(st.is_rep_g2, st.state):
-                        dist = st.rep2
+                    b, rng, code, rp = _bit_t(st.is_rep_g2, state, rng,
+                                              code, rp, data, dlen)
+                    if not b:
+                        dist = rep2
                     else:
-                        dist = st.rep3
-                        st.rep3 = st.rep2
-                    st.rep2 = st.rep1
-                st.rep1 = st.rep0
-                st.rep0 = dist
-            length = st.rep_len_dec.decode(rc, pos_state)
-            st.state = 8 if st.state < 7 else 11
+                        dist = rep3
+                        rep3 = rep2
+                    rep2 = rep1
+                rep1 = rep0
+                rep0 = dist
+            length, rng, code, rp = _len_t(st.rep_len_dec, pos_state,
+                                           rng, code, rp, data, dlen)
+            state = 8 if state < 7 else 11
         else:
-            st.rep3, st.rep2, st.rep1 = st.rep2, st.rep1, st.rep0
-            length = st.len_dec.decode(rc, pos_state)
-            st.state = 7 if st.state < 7 else 10
+            rep3, rep2, rep1 = rep2, rep1, rep0
+            length, rng, code, rp = _len_t(st.len_dec, pos_state, rng,
+                                           code, rp, data, dlen)
+            state = 7 if state < 7 else 10
             len_state = min(length - _K_MATCH_MIN_LEN, 3)
-            slot = rc.bittree(st.pos_slot[len_state], 6)
+            slot, rng, code, rp = _bittree_t(st.pos_slot[len_state], 6,
+                                             rng, code, rp, data, dlen)
             if slot < 4:
                 dist = slot
             else:
                 nd = (slot >> 1) - 1
                 dist = (2 | (slot & 1)) << nd
                 if slot < 14:
-                    dist += _bittree_rev_at(rc, st.spec_pos,
-                                            dist - slot - 1, nd)
+                    v, rng, code, rp = _bittree_rev_t(
+                        st.spec_pos, dist - slot - 1, nd, rng, code,
+                        rp, data, dlen)
+                    dist += v
                 else:
-                    dist += rc.direct(nd - 4) << 4
-                    dist += _bittree_rev_at(rc, st.align, 0, 4)
+                    v, rng, code, rp = _direct_t(nd - 4, rng, code, rp,
+                                                 data, dlen)
+                    dist += v << 4
+                    v, rng, code, rp = _bittree_rev_t(
+                        st.align, 0, 4, rng, code, rp, data, dlen)
+                    dist += v
             if dist == 0xFFFFFFFF:
                 if allow_marker:
+                    st.state = state
+                    st.rep0, st.rep1, st.rep2, st.rep3 = (rep0, rep1,
+                                                          rep2, rep3)
                     return
                 raise XzError("lzma: unexpected end marker inside LZMA2")
-            st.rep0 = dist
-        if st.rep0 >= len(out) or st.rep0 < 0:
+            rep0 = dist
+        if rep0 >= n or rep0 < 0:
             raise XzError("lzma: distance past dictionary start")
-        if limit is not None and len(out) + length > limit:
+        if limit is not None and n + length > limit:
             raise XzError("lzma: match overruns chunk size")
-        src = len(out) - st.rep0 - 1
-        for i in range(length):
-            out.append(out[src + i])
-    if rc.p > comp_end:
+        src = n - rep0 - 1
+        if rep0 + 1 >= length:
+            out += out[src:src + length]
+        else:
+            for i in range(length):
+                out.append(out[src + i])
+        n += length
+    if rp > comp_end:
         raise XzError("lzma: range coder read past chunk")
+    st.state = state
+    st.rep0, st.rep1, st.rep2, st.rep3 = rep0, rep1, rep2, rep3
 
 
 def _bittree_rev_at(rc: _RangeDecoder, probs: list[int], off: int,
