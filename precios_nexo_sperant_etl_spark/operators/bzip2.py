@@ -153,6 +153,20 @@ class _BitWriter:
             self.out.append((self.acc >> self.nb) & 0xFF)
         self.acc &= (1 << self.nb) - 1
 
+    def write_big(self, v: int, n: int) -> None:
+        """Append ``n`` bits of ``v`` in ONE int.to_bytes conversion —
+        the bulk path for pre-packed sections (the per-block Huffman
+        symbol stream): same bit stream as n calls to ``write``, minus
+        the per-call and per-byte Python overhead."""
+        total = (self.acc << n) | (v & ((1 << n) - 1))
+        nbt = self.nb + n
+        rem = nbt & 7
+        nbytes = (nbt - rem) >> 3
+        if nbytes:
+            self.out += (total >> rem).to_bytes(nbytes, "big")
+        self.acc = total & ((1 << rem) - 1)
+        self.nb = rem
+
     def finish(self) -> bytes:
         if self.nb:
             self.out.append((self.acc << (8 - self.nb)) & 0xFF)
@@ -324,7 +338,16 @@ def _decode_block(br: _BitReader, block_size100k: int) -> bytes:
             lens.append(ln)
         tables.append(_huff_decode_tables(lens))
     eob = alpha - 1
-    # RLE2 + MTF decode straight into the BWT column
+    # RLE2 + MTF decode straight into the BWT column. The per-symbol
+    # Huffman decode is INLINED on a local bit cursor (r12): the
+    # method-call form (_huff_read_symbol + peek's int.from_bytes
+    # slice per symbol) was 55% of block-decode time; here the
+    # 12-bit table index comes from one 3-byte window read
+    # (p&7 + 12 <= 19 < 24 bits), zero-padded by a one-time 3-byte
+    # tail so end-of-stream peeks read 0s exactly like peek() —
+    # overrun still raises after the length advance, mirroring
+    # _huff_read_symbol. Long codes (>12 bits, rare) fall back to the
+    # shared reader with the cursor synced both ways.
     mtf = list(used)
     bwt = bytearray()
     limit = block_size100k * 100000
@@ -332,16 +355,33 @@ def _decode_block(br: _BitReader, block_size100k: int) -> bytes:
     run_bit = 0
     g_idx = -1
     g_left = 0
-    tabs = None
+    table = None
+    dpad = br.d + b"\x00\x00\x00"
+    dbits = len(br.d) * 8
+    p = br.p
+    n_sel_total = len(selectors)
     while True:
         if g_left == 0:
             g_idx += 1
-            if g_idx >= len(selectors):
+            if g_idx >= n_sel_total:
                 raise Bzip2Error("bzip2: ran out of selectors")
             tabs = tables[selectors[g_idx]]
+            table = tabs[5]
             g_left = 50
         g_left -= 1
-        sym = _huff_read_symbol(br, tabs)
+        bi = p >> 3
+        w = ((dpad[bi] << 16) | (dpad[bi + 1] << 8) | dpad[bi + 2])
+        entry = table[(w >> (12 - (p & 7))) & 0xFFF]
+        if entry:
+            p += entry >> 16
+            if p > dbits:
+                raise Bzip2Error("bzip2: truncated stream inside "
+                                 "Huffman symbol")
+            sym = entry & 0xFFFF
+        else:
+            br.p = p
+            sym = _huff_read_symbol(br, tabs)
+            p = br.p
         if sym <= 1:                         # RUNA / RUNB
             run += (sym + 1) << run_bit
             run_bit += 1
@@ -357,6 +397,7 @@ def _decode_block(br: _BitReader, block_size100k: int) -> bytes:
         bwt.append(v)
         if len(bwt) > limit:
             raise Bzip2Error("bzip2: block overflows its size class")
+    br.p = p
     if run:
         bwt.extend(bytes([mtf[0]]) * run)
     n = len(bwt)
@@ -492,6 +533,17 @@ def _bwt(data: bytes) -> tuple[bytes, int]:
     n = len(data)
     if n == 1:
         return data, 0
+    if n <= 1024:
+        # Record-sized blocks (the multistream carriages encode one
+        # document per stream): 5+ numpy lexsort rounds cost more in
+        # per-call overhead than one C sort of materialized rotations.
+        # Tie order among equal rotations differs from the
+        # prefix-doubling path but is output-equivalent (docstring
+        # above); measured ~3× at n≈300.
+        doubled = data + data
+        order_s = sorted(range(n), key=lambda i: doubled[i:i + n])
+        last_b = bytes(data[(i - 1) % n] for i in order_s)
+        return last_b, order_s.index(0)
     arr = np.frombuffer(data, dtype=np.uint8)
     rank = arr.astype(np.int64)
     order = np.arange(n)
@@ -601,8 +653,24 @@ def encode_bzip2(data: bytes) -> bytes:
                     w.write(0b11, 2)
                     cur -= 1
                 w.write(0, 1)
-        for s in syms:
-            w.write(codes[s], lens[s])
+        # Symbol stream: pack all codes with numpy and append in one
+        # bulk write (r12) — the per-symbol w.write loop was the
+        # encoder's single largest cost (one method call + per-byte
+        # flush per symbol).
+        import numpy as np
+        syms_np = np.asarray(syms, dtype=np.int64)
+        L = np.asarray(lens, dtype=np.int64)[syms_np]
+        C = np.asarray(codes, dtype=np.int64)[syms_np]
+        ends = np.cumsum(L)
+        total_bits = int(ends[-1])
+        pos = np.arange(total_bits, dtype=np.int64)
+        sym_id = np.searchsorted(ends, pos, side="right")
+        bit_from_end = ends[sym_id] - pos - 1
+        bits = ((C[sym_id] >> bit_from_end) & 1).astype(np.uint8)
+        packed = np.packbits(bits)          # MSB-first, zero-padded
+        pad = len(packed) * 8 - total_bits
+        w.write_big(int.from_bytes(packed.tobytes(), "big") >> pad,
+                    total_bits)
     w.write(_EOS_MAGIC, 48)
     w.write(combined, 32)
     return w.finish()
