@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sortutil import final_sort
+from .spread import fanout_by
 from .text import md5_hash, tokens
 
 
@@ -112,6 +113,10 @@ def sparse_overlap_topk(docs: DataFrame, query_ids: list[int], k: int = 20,
 
     Integer scoring end-to-end; ties broken by candidate id.
     """
+    # r12: spread the CPU-dense tokenize/explode subtrees to core width
+    # keyed by document id (one scan task at bench scale otherwise);
+    # the overlap groupBy (query_id, did) reuses the did clustering.
+    docs = fanout_by(docs, id_col)
     toks = term_sets(docs, ngram=ngram, text_col=text_col, id_col=id_col)
     stop = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
                 .crossJoin(F.broadcast(
@@ -294,21 +299,32 @@ def bm25_topk(docs: DataFrame, query_ids: list[int], k: int = 10,
     shuffle join with hot-term skew — the r11 plan audit caught
     exactly that shape and this ordering removed it.
     """
+    # r12: cluster the whole corpus side by document id at core width
+    # BEFORE tokenization. The tokenize+bigram projection is CPU-dense
+    # and ran in the scan's split count (one task on a single-file
+    # bench table — 0.53 s serial of the 1.56 s query); and
+    # hashpartitioning(did) satisfies both the tf groupBy's
+    # (did, dl, term) clustering and the scoring fold's
+    # (query_id, neighbor_id=did) clustering, so the posting build and
+    # the per-pair fold run with NO additional exchange — only the
+    # vocab df aggregation still shuffles on term. (Same clustered-
+    # pipeline shape as dedup_fuzzy.shingle_hashes.)
+    docs_w = fanout_by(docs, id_col)
     tk = tokens(F.col(text_col))
     if ngram == 1:
         terms = F.filter(tk, lambda x: x != "")
         dl_expr = F.size(terms)
-        base = docs.select(F.col(id_col).alias("did"),
-                           dl_expr.alias("dl"), terms.alias("_terms"))
+        base = docs_w.select(F.col(id_col).alias("did"),
+                             dl_expr.alias("dl"), terms.alias("_terms"))
     else:
         bigrams = F.expr(
             "zip_with(slice(_tk, 1, size(_tk) - 1),"
             " slice(_tk, 2, size(_tk) - 1), (a, b) -> concat(a, ' ', b))")
-        base = (docs.select(F.col(id_col).alias("did"), tk.alias("_tk"))
-                    .select("did",
-                            F.greatest(F.size(F.col("_tk")) - 1,
-                                       F.lit(0)).alias("dl"),
-                            bigrams.alias("_terms")))
+        base = (docs_w.select(F.col(id_col).alias("did"), tk.alias("_tk"))
+                      .select("did",
+                              F.greatest(F.size(F.col("_tk")) - 1,
+                                         F.lit(0)).alias("dl"),
+                              bigrams.alias("_terms")))
     posting = (base.select("did", "dl", F.explode("_terms").alias("term"))
                    .groupBy("did", "dl", "term")
                    .agg(F.count(F.lit(1)).cast("int").alias("tf")))

@@ -75,9 +75,14 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     F.col(vec_col).alias("qv"),
                     F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
                     .alias("qn")))
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("cv"),
-                   F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cn"))
+    # r12: the per-candidate folds run in the candidate scan's split
+    # count — one task on a single-file bench table; spread to core
+    # width (no-op on multi-split input, see operators.spread).
+    from .spread import fanout
+    c = fanout(emb).select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cv"),
+                           F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+                           .alias("cn"))
     scored = (broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
@@ -404,9 +409,8 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
     # bench table (guide §2.5 input skew), 1.2 s serial of the capped
     # detector's 2.4 s. Spread to core width when the scan is narrower;
     # a no-op on real multi-split input.
-    spark = emb.sparkSession
-    if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    from .spread import fanout
+    emb = fanout(emb)
     bucketed = (emb.withColumn("bucket",
                                F.expr(lsh_bucket_expr(vec_col, n_planes)))
                 .withColumn("_nrm", _norm(F.col(vec_col))))
