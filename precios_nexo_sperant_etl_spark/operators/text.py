@@ -616,24 +616,33 @@ def dsir_importance_weights(docs: DataFrame, target: Column, k: int = 32,
     otherwise — Catalyst/AQE decides) plus a 1-row broadcast of the
     totals. No UDFs anywhere.
     """
+    # r12 single-pass counts: cr, ct and the scalar totals used to be
+    # three independent corpus-wide subtrees (three tokenize+explode
+    # evaluations, two vocab shuffles, a left join back) — now ONE
+    # corpus explode feeds ONE vocab aggregation carrying both counts
+    # (sum-when gives ct = 0 where the old left join gave null, same
+    # +1-smoothed value), and the totals aggregate the VOCAB table
+    # (nr = Σcr, nt = Σct, v = row count — identical integers). The
+    # tokenize is also spread to core width (single-file scan at bench
+    # scale; see operators.spread).
+    from .spread import fanout_by
     tk = tokens(F.col(text_col))
-    base = (docs.select(F.col(id_col), tk.alias("tk"), target.alias("is_t"))
-                .filter(F.size("tk") > 0))
+    base = (fanout_by(docs, id_col)
+            .select(F.col(id_col), tk.alias("tk"), target.alias("is_t"))
+            .filter(F.size("tk") > 0))
     alltok = base.select(F.explode("tk").alias("w"), "is_t")
-    cr = alltok.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
-    ct = (alltok.filter(F.col("is_t"))
-                .groupBy("w").agg(F.count(F.lit(1)).alias("ct")))
-    scal = alltok.agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("nt"),
-        F.countDistinct("w").alias("v"))
+    wc = alltok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"))
+    scal = wc.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"),
+                  F.count(F.lit(1)).alias("v"))
     tok = base.select(id_col,
                       F.posexplode(F.slice("tk", 1, k)).alias("pos", "w"))
-    ratio = ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+    ratio = ((F.col("ct") + 1).cast("double")
              * (F.col("nr") + F.col("v")).cast("double")
              / ((F.col("nt") + F.col("v")).cast("double")
                 * (F.col("cr") + 1).cast("double")))
-    r = (tok.join(cr, "w").join(ct, "w", "left")
+    r = (tok.join(wc, "w")
             .crossJoin(F.broadcast(scal))
             .select(id_col, "pos", ratio.alias("r")))
     agg = (r.groupBy(id_col)

@@ -112,11 +112,14 @@ FROM r ORDER BY source
 def _release_manifest(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup_fuzzy import exact_dedup_survivors
     from .operators.serve import hash_split, stratified_hash_sample
-    from .operators.text import BPE_ISH_PATTERN, gopher_quality_flags
+    from .operators.text import BPE_ISH_PATTERN, gopher_passes_expr
     docs = _t(spark, sf, "documents")
-    good_ids = (gopher_quality_flags(docs)
-                .filter(F.col("passes_gopher")).select("doc_id"))
-    good = docs.join(good_ids, "doc_id")
+    # r12: the gopher verdict is one inline filter expression
+    # (bit-identical to gopher_quality_flags' conjunction — the same
+    # inlining filter_funnel got in r11): the flags-frame + semi-join
+    # shape scanned documents twice and evaluated the regex pass in a
+    # broadcast branch.
+    good = docs.filter(gopher_passes_expr(F.col("text")))
     deduped = exact_dedup_survivors(good)
     sampled = stratified_hash_sample(deduped, _STRAT_RATES,
                                      n_buckets=_STRAT_BUCKETS)
