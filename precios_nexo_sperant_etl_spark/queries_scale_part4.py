@@ -2545,10 +2545,32 @@ def _neardup_consensus(spark: SparkSession, sf: str) -> DataFrame:
           .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
           .withColumn("mh", F.lit(0)).withColumn("sh", F.lit(0))
           .withColumn("em", F.lit(1)))
-    u = mh.unionByName(sh).unionByName(em)
-    v = (u.groupBy("a", "b")
-         .agg(F.max("mh").alias("mh"), F.max("sh").alias("sh"),
-              F.max("em").alias("em")))
+    # r12 vote restructure: a ≥2-of-3 pair MUST appear in minhash or
+    # embedding (a simhash-only pair has one vote), and those two
+    # relations are collision-sized while simhash's is the 3.1 M-row
+    # bulk. So the vote aggregates only mh ∪ em, and simhash
+    # participation is a MEMBERSHIP probe: a semi join of the simhash
+    # relation against the small candidate set (AQE broadcasts the
+    # small side; the 3.1 M rows are never shuffled into a wide
+    # grouping). Identical result set: the old groupBy over the full
+    # union kept a simhash-only pair only to drop it at votes >= 2.
+    # ``small`` feeds both the probe build side and the vote's left
+    # side; persisting it runs the minhash/embedding pipelines once
+    # (same cache-lifetime contract as the LSH shingle frames), and
+    # the explicit broadcasts keep the 3.1 M-row side out of
+    # SortMergeJoin sorts.
+    small = (mh.unionByName(em)
+             .groupBy("a", "b")
+             .agg(F.max("mh").alias("mh"), F.max("em").alias("em"))
+             .persist())
+    hits = (sh.select("a", "b")
+            .join(F.broadcast(small.select("a", "b")), ["a", "b"],
+                  "left_semi")
+            .distinct()
+            .withColumn("sh", F.lit(1)))
+    v = (small.join(F.broadcast(hits), ["a", "b"], "left")
+         .select("a", "b", "mh", "em",
+                 F.coalesce(F.col("sh"), F.lit(0)).alias("sh")))
     return (v.withColumn("votes",
                          (F.col("mh") + F.col("sh") + F.col("em"))
                          .cast("long"))
