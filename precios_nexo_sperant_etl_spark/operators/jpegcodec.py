@@ -377,9 +377,18 @@ class _BitReader:
         return b
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        # bulk form (r12): one slice of the accumulator instead of n
+        # bit() calls — same MSB-first semantics, same truncation /
+        # marker behavior (a _fill mid-way raises before any of the n
+        # bits are consumed, where the per-bit form had consumed a
+        # prefix; both abort the block identically).
+        if n == 0:
+            return 0
+        while self._nbits < n:
+            self._fill()
+        self._nbits -= n
+        v = (self._acc >> self._nbits) & ((1 << n) - 1)
+        self._acc &= (1 << self._nbits) - 1
         return v
 
     def align(self) -> None:
@@ -403,12 +412,25 @@ def _extend(amp: int, ssss: int) -> int:
 
 
 def _huff_decode(rd: _BitReader, table: dict) -> int:
+    # r12: per-bit state in locals, synced to the reader around fills —
+    # the per-bit method call was the decoder's hottest line (same
+    # arithmetic, same (length, code) dict probe order).
+    acc, nb = rd._acc, rd._nbits
+    get = table.get
     code = 0
     for length in range(1, 17):
-        code = (code << 1) | rd.bit()
-        sym = table.get((length, code))
+        if nb == 0:
+            rd._acc, rd._nbits = acc, nb
+            rd._fill()
+            acc, nb = rd._acc, rd._nbits
+        nb -= 1
+        code = (code << 1) | ((acc >> nb) & 1)
+        acc &= (1 << nb) - 1
+        sym = get((length, code))
         if sym is not None:
+            rd._acc, rd._nbits = acc, nb
             return sym
+    rd._acc, rd._nbits = acc, nb
     raise ValueError("invalid Huffman code in entropy segment")
 
 
