@@ -2938,13 +2938,20 @@ def _domain_dedup_datasheet(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import BPE_ISH_PATTERN
     from .operators.urls import registrable_domain, url_host
 
+    from .operators.spread import fanout_by
+
     d = _t(spark, sf, "documents")
-    base = d.select(
+    # r12: the url-parse + canonical-md5 + token-count regex projection
+    # fed THREE consumers (spread, totals, the join's probe side), each
+    # re-running it on the single-task bench scan. Spread to core width
+    # and persist so it runs once, in parallel (same cache-lifetime
+    # contract as the LSH shingle frames).
+    base = fanout_by(d, "doc_id").select(
         registrable_domain(url_host(_synth_url_spark())).alias("domain"),
         F.md5(canonical_text(F.col("text"))).alias("h"),
         F.regexp_count(F.col("text"),
                        F.lit(BPE_ISH_PATTERN)).cast("long")
-         .alias("n_tokens"))
+         .alias("n_tokens")).persist()
     spread = (base.groupBy("h")
                   .agg(F.count_distinct("domain").alias("n_domains")))
     totals = base.agg(F.sum("n_tokens").alias("_total"))
